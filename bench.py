@@ -1,0 +1,60 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a count() action (materializes the full plan
+without driver-side result transfer). A warmup pass primes the JVM/codegen
+cache; reported numbers are the post-warmup wall-clock per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from telecom_dataengineering_pipeline_spark.queries.registry import REGISTRY, bench_queries
+from telecom_dataengineering_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark("bench")
+
+    targets = bench_queries()
+    # JVM/codegen warmup on the smallest query plan.
+    warm = next(iter(targets))
+    REGISTRY[warm].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in targets.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

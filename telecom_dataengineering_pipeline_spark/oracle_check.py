@@ -1,0 +1,124 @@
+"""Local replica of the driver's correctness harness.
+
+Runs a registered query on Spark and its oracle SQL on DuckDB (same parquet
+tables registered as views, as the driver does), then compares row count,
+column names/types, and order-insensitive values. Used by tests and by
+``python -m telecom_dataengineering_pipeline_spark.oracle_check [--sf DIR] [names...]``.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from .queries.registry import REGISTRY
+from .sources.catalog import TABLES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir.rstrip('/')}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) == 0:
+        return df
+    key = df.astype(str)
+    order = key.sort_values(by=list(df.columns)).index
+    return df.loc[order].reset_index(drop=True)
+
+
+def _values_equal(a: object, b: object) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    if pd.isna(a) and pd.isna(b):  # type: ignore[arg-type]
+        return True
+    return str(a) == str(b)
+
+
+@dataclass
+class ParityResult:
+    name: str
+    ok: bool
+    detail: str
+    spark_rows: int = -1
+    oracle_rows: int = -1
+
+
+def check_query(spark: SparkSession, name: str, sf_dir: str) -> ParityResult:
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, sf_dir)
+    spark_pd = sdf.toPandas()
+    if spec.oracle is None:
+        return ParityResult(name, True, f"rows-only ({len(spark_pd)} rows)", len(spark_pd), -1)
+    con = duckdb_connection(sf_dir)
+    try:
+        duck_pd = con.execute(spec.oracle).fetchdf()
+    finally:
+        con.close()
+
+    if len(spark_pd) != len(duck_pd):
+        return ParityResult(
+            name, False, f"row count: spark={len(spark_pd)} duckdb={len(duck_pd)}",
+            len(spark_pd), len(duck_pd),
+        )
+    if sorted(spark_pd.columns) != sorted(duck_pd.columns):
+        return ParityResult(
+            name, False,
+            f"columns: spark={sorted(spark_pd.columns)} duckdb={sorted(duck_pd.columns)}",
+            len(spark_pd), len(duck_pd),
+        )
+    s = _normalize(spark_pd)
+    d = _normalize(duck_pd)
+    for col in s.columns:
+        sv, dv = s[col].tolist(), d[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            if not _values_equal(a, b):
+                return ParityResult(
+                    name, False,
+                    f"value mismatch col={col} row={i}: spark={a!r} duckdb={b!r}",
+                    len(spark_pd), len(duck_pd),
+                )
+    return ParityResult(name, True, f"match ({len(spark_pd)} rows)", len(spark_pd), len(duck_pd))
+
+
+def main() -> int:
+    from .session import get_spark
+
+    args = [a for a in sys.argv[1:]]
+    sf_dir = "/root/testdata/sf0.01"
+    if "--sf" in args:
+        i = args.index("--sf")
+        sf_dir = args[i + 1]
+        del args[i : i + 2]
+    names = args or list(REGISTRY)
+    spark = get_spark("oracle-check")
+    failures = 0
+    for n in names:
+        try:
+            r = check_query(spark, n, sf_dir)
+        except Exception as e:  # surface per-query instead of dying
+            r = ParityResult(n, False, f"exception: {type(e).__name__}: {e}")
+        status = "OK  " if r.ok else "FAIL"
+        print(f"{status} {n}: {r.detail}")
+        failures += 0 if r.ok else 1
+    print(f"\n{len(names) - failures}/{len(names)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

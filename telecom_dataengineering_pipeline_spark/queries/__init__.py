@@ -1,0 +1,19 @@
+"""Named query registry — the single source of truth behind
+``/root/repo/__spark_entry__.py``.
+
+Importing this package imports every query module, which registers each query
+(Spark callable + optional DuckDB oracle SQL) into ``REGISTRY``.
+"""
+
+from .registry import REGISTRY, QuerySpec, oracle_sql, queries, register
+
+# Import for registration side effects.
+from . import relational  # noqa: F401
+from . import scalar  # noqa: F401
+from . import windows  # noqa: F401
+from . import fraud  # noqa: F401
+from . import quality  # noqa: F401
+from . import llmprep  # noqa: F401
+from . import writeside  # noqa: F401
+
+__all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracle_sql"]

@@ -1,0 +1,478 @@
+"""Core relational queries — scans, filters, joins, aggregations, set ops.
+
+Each query re-expresses a reference operator (SURVEY.md §2 ids in docstrings)
+on the driver's TPC-H-ish tables. Column-name and numeric conventions per
+``registry.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.decimals import dec, pct_of
+from ..functions.keys import surrogate_key
+from ..operators.dedup import dedup_keep_latest
+from ..operators.joins import anti_join_violations, broadcast_star_join, left_join_nonnull_filter
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Flagship: hourly usage rollup (reference agg_tower_hourly_utilization —
+# A1 multi-measure hash agg + A3 conditional agg + A5 derived ratios + J1
+# broadcast dim join + P3 validity filter, recast onto events × customer).
+# ---------------------------------------------------------------------------
+
+_HOURLY_ORACLE = """
+SELECT
+  strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:00:00') AS hour_ts,
+  coalesce(c.c_mktsegment, 'UNKNOWN')                     AS mktsegment,
+  count(*)                                                AS total_events,
+  CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count,
+  CAST(sum(CASE WHEN e.event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
+  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)     AS sum_value,
+  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) / count(e.value) AS avg_value,
+  max(e.value)                                            AS max_value,
+  round(CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+        * 100 / count(*), 4)                              AS purchase_rate_pct
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_id IS NOT NULL AND e.value >= 0
+GROUP BY 1, 2
+"""
+
+
+@register("hourly_usage_rollup", oracle=_HOURLY_ORACLE, tags=("A1", "A3", "A5", "J1", "P3"), bench=True)
+def hourly_usage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull() & (F.col("value") >= 0)
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = broadcast_star_join(
+        ev, [(cust, ev["user_id"] == cust["c_custkey"], "left")]
+    )
+    purchases = F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).cast("long")
+    return (
+        joined.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour_ts"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("mktsegment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_events"),
+            purchases.alias("purchase_count"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("long").alias("error_count"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+            (F.sum(dec("value")).cast("double") / F.count("value")).alias("avg_value"),
+            F.max("value").alias("max_value"),
+            F.round(purchases.cast("double") * 100 / F.count(F.lit(1)), 4).alias("purchase_rate_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2: multi-measure KPI rollup (TPC-H Q1 shape; reference's 12-measure
+# AVG/MAX probe rollup agg_tower_hourly_utilization.sql:51-81).
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(sum(CAST(l_quantity      AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,4))
+                                                       * CAST(1 + l_tax      AS DECIMAL(8,4))) AS DECIMAL(24,6)) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity      AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(l_discount      AS DECIMAL(8,4)))  AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary_rollup", oracle=_Q1_ORACLE, tags=("A2", "P6"), bench=True)
+def pricing_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    qty = dec("l_quantity", 12, 2)
+    price = dec("l_extendedprice", 12, 2)
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    tax_f = (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc_f).cast("double").alias("sum_disc_price"),
+            # narrow to scale 6 (exact: inputs are 2-decimal, product is 6dp)
+            # before the double cast — a scale-10 unscaled value exceeds 2^53
+            # and would round differently per engine.
+            F.sum(price * disc_f * tax_f).cast("decimal(24,6)").cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(dec("l_discount", 8, 4)).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 + F8: star join fact→dims with broadcast + sentinel coalesce + surrogate
+# key (reference fact_calls.sql:52,58-60,92-95).
+# ---------------------------------------------------------------------------
+
+_STAR_ORACLE = """
+SELECT
+  md5(concat_ws('|',
+      coalesce(CAST(o.o_orderkey AS VARCHAR), 'UNKNOWN'),
+      coalesce(CAST(o.o_custkey  AS VARCHAR), 'UNKNOWN'))) AS order_fact_key,
+  o.o_orderkey   AS orderkey,
+  o.o_totalprice AS totalprice,
+  o.o_orderstatus AS orderstatus,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+  coalesce(c.c_name, 'UNKNOWN')       AS customer_name,
+  coalesce(c.c_mktsegment, 'UNKNOWN') AS mktsegment,
+  coalesce(n.n_name, 'UNKNOWN')       AS nation_name,
+  coalesce(r.r_name, 'UNKNOWN')       AS region_name
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r   ON n.n_regionkey = r.r_regionkey
+"""
+
+
+@register("star_join_enriched_orders", oracle=_STAR_ORACLE, tags=("J1", "F8", "F3"), bench=True)
+def star_join_enriched_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = broadcast_star_join(
+        o,
+        [
+            (c, o["o_custkey"] == c["c_custkey"], "left"),
+            (n, c["c_nationkey"] == n["n_nationkey"], "left"),
+            (r, n["n_regionkey"] == r["r_regionkey"], "left"),
+        ],
+    )
+    return joined.select(
+        surrogate_key("o_orderkey", "o_custkey").alias("order_fact_key"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderstatus").alias("orderstatus"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.coalesce("c_name", F.lit("UNKNOWN")).alias("customer_name"),
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("mktsegment"),
+        F.coalesce("n_name", F.lit("UNKNOWN")).alias("nation_name"),
+        F.coalesce("r_name", F.lit("UNKNOWN")).alias("region_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 + A4: composite-key join of two aggregates (probe-hour × call-hour,
+# agg_tower_hourly_utilization.sql:131-134) recast as user×month activity.
+# J3: the left-join-then-NOT-NULL quirk (agg_customer_monthly_summary.sql:99-101).
+# ---------------------------------------------------------------------------
+
+_MONTHLY_ORACLE = """
+WITH monthly AS (
+  SELECT user_id,
+         strftime(date_trunc('month', ts), '%Y-%m') AS year_month,
+         count(*) AS event_count,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count
+  FROM events GROUP BY 1, 2
+)
+SELECT c.c_custkey AS custkey, c.c_name AS customer_name, m.year_month,
+       m.event_count, m.total_value, m.purchase_count,
+       round(CAST(m.purchase_count AS DOUBLE) * 100 / m.event_count, 4) AS purchase_rate_pct
+FROM customer c
+LEFT JOIN monthly m ON c.c_custkey = m.user_id
+WHERE m.year_month IS NOT NULL
+"""
+
+
+@register("customer_monthly_summary", oracle=_MONTHLY_ORACLE, tags=("A4", "A5", "J3"), bench=True)
+def customer_monthly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    monthly = ev.groupBy(
+        F.col("user_id"),
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("year_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).cast("long").alias("purchase_count"),
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    joined = left_join_nonnull_filter(
+        cust.withColumnRenamed("c_custkey", "user_id"), monthly, ["user_id"], "year_month"
+    )
+    return joined.select(
+        F.col("user_id").alias("custkey"),
+        F.col("c_name").alias("customer_name"),
+        "year_month",
+        "event_count",
+        "total_value",
+        "purchase_count",
+        pct_of(F.col("purchase_count"), F.col("event_count")).alias("purchase_rate_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 + J4: daily row-count anomaly vs trailing-7-day baseline, single-row
+# cross join (dbt test assert_row_count_anomaly.sql:4-33). Anchored on
+# max(event date) instead of current_date for determinism.
+# ---------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1
+), anchor AS (
+  SELECT max(d) AS today FROM daily
+), today_row AS (
+  SELECT daily.n AS today_rows FROM daily, anchor WHERE daily.d = anchor.today
+), baseline AS (
+  SELECT CAST(sum(daily.n) AS DOUBLE) / count(*) AS avg_rows
+  FROM daily, anchor
+  WHERE daily.d < anchor.today AND daily.d >= anchor.today - INTERVAL 7 DAY
+)
+SELECT t.today_rows,
+       round(b.avg_rows, 4) AS avg_daily_rows,
+       round(CAST(t.today_rows AS DOUBLE) * 100 / b.avg_rows, 4) AS pct_of_avg,
+       (t.today_rows < b.avg_rows * 0.5) AS is_anomaly
+FROM today_row t CROSS JOIN baseline b
+"""
+
+
+@register("row_count_anomaly_check", oracle=_ANOMALY_ORACLE, tags=("A6", "J4", "F11"))
+def row_count_anomaly_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(F.count(F.lit(1)).alias("n"))
+    anchor = daily.agg(F.max("d").alias("today"))
+    today_row = (
+        daily.crossJoin(F.broadcast(anchor))
+        .filter(F.col("d") == F.col("today"))
+        .select(F.col("n").alias("today_rows"))
+    )
+    baseline = (
+        daily.crossJoin(F.broadcast(anchor))
+        .filter((F.col("d") < F.col("today")) & (F.col("d") >= F.date_sub(F.col("today"), 7)))
+        .agg((F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_rows"))
+    )
+    return today_row.crossJoin(F.broadcast(baseline)).select(
+        "today_rows",
+        F.round(F.col("avg_rows"), 4).alias("avg_daily_rows"),
+        F.round(F.col("today_rows").cast("double") * 100 / F.col("avg_rows"), 4).alias("pct_of_avg"),
+        (F.col("today_rows") < F.col("avg_rows") * 0.5).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6: referential-integrity anti-join (dbt relationships test,
+# models/gold/facts/schema.yml:18-35). Passing = 0 rows.
+# ---------------------------------------------------------------------------
+
+_ORPHAN_ORACLE = """
+SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+"""
+
+
+@register("orphan_lineitems_check", oracle=_ORPHAN_ORACLE, tags=("J6",))
+def orphan_lineitems_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return anti_join_violations(li, o, {"l_orderkey": "o_orderkey"}).select(
+        F.col("l_orderkey").alias("orderkey"), F.col("l_linenumber").alias("linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1: UNION ALL violation stack (assert_no_negative_revenue.sql:3-19) — here
+# as over-threshold scans so the result is non-empty on clean data.
+# ---------------------------------------------------------------------------
+
+_UNION_ORACLE = """
+SELECT 'events' AS source_table, CAST(event_id AS VARCHAR) AS record_id,
+       value AS amount, concat('value above threshold: ', CAST(value AS VARCHAR)) AS reason
+FROM events WHERE value > 195
+UNION ALL
+SELECT 'orders' AS source_table, CAST(o_orderkey AS VARCHAR) AS record_id,
+       o_totalprice AS amount, concat('totalprice above threshold: ', CAST(o_totalprice AS VARCHAR)) AS reason
+FROM orders WHERE o_totalprice > 400000
+"""
+
+
+@register("threshold_violations_union", oracle=_UNION_ORACLE, tags=("U1", "F4"))
+def threshold_violations_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 195).select(
+        F.lit("events").alias("source_table"),
+        F.col("event_id").cast("string").alias("record_id"),
+        F.col("value").alias("amount"),
+        F.concat(F.lit("value above threshold: "), F.col("value").cast("string")).alias("reason"),
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000).select(
+        F.lit("orders").alias("source_table"),
+        F.col("o_orderkey").cast("string").alias("record_id"),
+        F.col("o_totalprice").alias("amount"),
+        F.concat(F.lit("totalprice above threshold: "), F.col("o_totalprice").cast("string")).alias("reason"),
+    )
+    return ev.unionByName(o)
+
+
+# ---------------------------------------------------------------------------
+# W1: keep-latest dedup via row_number (silver_calls.sql:40-55). Events are
+# unique per event_id, so the dedup key here is (user_id, event_type):
+# "latest event of each type per user" — same operator shape.
+# Ordering uses epoch-microseconds + event_id tie-break on both engines.
+# ---------------------------------------------------------------------------
+
+_DEDUP_ORACLE = """
+SELECT user_id, event_type, event_id, value,
+       strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_second
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type
+      ORDER BY epoch_us(ts) DESC, event_id DESC) AS _rn
+  FROM events
+) WHERE _rn = 1
+"""
+
+
+@register("latest_event_per_user_type", oracle=_DEDUP_ORACLE, tags=("W1",), bench=True)
+def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    latest = dedup_keep_latest(
+        ev,
+        keys=["user_id", "event_type"],
+        order_by=[F.unix_micros(F.col("ts")).desc(), F.col("event_id").desc()],
+    )
+    return latest.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        F.date_format(F.date_trunc("second", "ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_second"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1/O6: global sort + top-k with deterministic tie-break.
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+SELECT o_orderkey AS orderkey, o_totalprice AS totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+"""
+
+
+@register("top_orders_by_price", oracle=_TOPK_ORACLE, tags=("O1", "O6"))
+def top_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P2/P5 + F2: projection, renames, derived boolean flags, CASE decode
+# (silver_calls.sql:60-114 status decode; silver_network_probes.sql:65-76).
+# ---------------------------------------------------------------------------
+
+_FLAGS_ORACLE = """
+SELECT
+  event_id,
+  user_id AS customer_ref,
+  event_type,
+  value   AS amount,
+  (event_type = 'purchase')               AS is_purchase,
+  (event_type = 'error')                  AS is_error,
+  (value = 0)                             AS is_zero_amount,
+  CASE event_type
+    WHEN 'purchase' THEN 'REVENUE'
+    WHEN 'signup'   THEN 'ACQUISITION'
+    WHEN 'error'    THEN 'FAILURE'
+    WHEN 'click'    THEN 'ENGAGEMENT'
+    WHEN 'view'     THEN 'ENGAGEMENT'
+    ELSE concat('UNKNOWN_', event_type)
+  END AS event_class,
+  CASE
+    WHEN value >= 150 THEN 'CRITICAL'
+    WHEN value >= 100 THEN 'WARNING'
+    WHEN value >= 50  THEN 'ELEVATED'
+    ELSE 'NORMAL'
+  END AS value_status
+FROM events
+"""
+
+
+@register("event_flags_projection", oracle=_FLAGS_ORACLE, tags=("P1", "P2", "P5", "F2"))
+def event_flags_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    et = F.col("event_type")
+    return ev.select(
+        "event_id",
+        F.col("user_id").alias("customer_ref"),
+        "event_type",
+        v.alias("amount"),
+        (et == "purchase").alias("is_purchase"),
+        (et == "error").alias("is_error"),
+        (v == 0).alias("is_zero_amount"),
+        F.when(et == "purchase", "REVENUE")
+        .when(et == "signup", "ACQUISITION")
+        .when(et == "error", "FAILURE")
+        .when(et == "click", "ENGAGEMENT")
+        .when(et == "view", "ENGAGEMENT")
+        .otherwise(F.concat(F.lit("UNKNOWN_"), et))
+        .alias("event_class"),
+        F.when(v >= 150, "CRITICAL")
+        .when(v >= 100, "WARNING")
+        .when(v >= 50, "ELEVATED")
+        .otherwise("NORMAL")
+        .alias("value_status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4: incremental-lookback predicate (3-day window, silver_calls.sql:31-37),
+# anchored on max(ts) for determinism; P7-style slice included.
+# ---------------------------------------------------------------------------
+
+_LOOKBACK_ORACLE = """
+WITH anchor AS (SELECT CAST(max(ts) AS DATE) AS today FROM events)
+SELECT e.event_id, e.user_id, e.event_type, e.value,
+       strftime(e.ts, '%Y-%m-%d') AS event_date
+FROM events e, anchor a
+WHERE CAST(e.ts AS DATE) >= a.today - 3
+"""
+
+
+@register("incremental_lookback_slice", oracle=_LOOKBACK_ORACLE, tags=("P4", "P6"))
+def incremental_lookback_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("today"))
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .filter(F.col("ts").cast("date") >= F.date_sub(F.col("today"), 3))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        )
+    )
