@@ -1,0 +1,262 @@
+"""Document deduplication operators.
+
+Scale design (the point of each variant):
+
+- **exact**: one hash + one groupBy — the cheapest pass, always run first.
+- **n-gram Jaccard (exact)**: shingle-explode + equi-join on hashed shingle.
+  Correct but O(sum of per-shingle doc-frequency²) — the *oracle*, viable
+  when shingle frequencies are bounded; at 100 TB use it only on LSH
+  candidates.
+- **MinHash + LSH**: the scale path. Per-doc signature (narrow shuffle),
+  band→bucket equi-join for candidates (no all-pairs anywhere), exact
+  Jaccard verification only on candidates. All hashing is md5-derived and
+  engine-neutral, so the full pipeline is DuckDB-oracle-checkable.
+- **SimHash**: single 32-bit fingerprint per doc; hamming-adjacent buckets.
+
+Shingles are produced as a *stream* (posexplode + lead window), not as
+per-doc arrays: building n-gram arrays with ``transform(sequence, ...)``
+lambdas makes Catalyst inline the tokenizer into every element access —
+O(tokens²) re-splitting per document (measured 17 s vs 1 s on a 5k-doc
+corpus). The stream form evaluates the tokenizer once per doc, rides the
+doc_id hash partitioning, and never materializes wide arrays.
+
+No step collects to the driver; every intermediate is keyed by doc or by
+(band, bucket) and AQE handles bucket skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import normalized_fingerprint, token_hash32, tokens
+
+# MinHash permutation field: p = 2^31 - 1 (Mersenne). Multipliers/offsets are
+# md5-derived constants — deterministic, and small enough that a·h + b stays
+# under 2^63 (a, h < 2^31), so the arithmetic is exact 64-bit in any engine.
+# The modulus MUST engage (products >> p) or the "permutations" degenerate
+# into monotone maps and every signature slot picks the same min shingle.
+MERSENNE_31 = (1 << 31) - 1
+
+
+def _perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(num_perm):
+        a = int(hashlib.md5(f"mh_a_{i}".encode()).hexdigest()[:8], 16) % (MERSENNE_31 - 1) + 1
+        b = int(hashlib.md5(f"mh_b_{i}".encode()).hexdigest()[:8], 16) % MERSENNE_31
+        out.append((a, b))
+    return out
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (after normalization) documents: fingerprint,
+    group size, canonical (min) id."""
+    fp = docs.select(F.col(id_col), normalized_fingerprint(text_col).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingle_stream(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct (doc_id, shingle) word n-grams as a stream.
+
+    Repartition by doc first (small-file corpora arrive as one input split),
+    posexplode tokens — the tokenizer runs once per document inside the
+    generator — then assemble n-grams with lead() over the in-partition
+    (doc, pos) order and de-dup.
+    """
+    ex = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")).repartition(
+        F.col("doc_id")
+    ).select("doc_id", F.posexplode(tokens("_t")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    return (
+        ex.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+        .distinct()
+    )
+
+
+def _shingle_sizes(stream: DataFrame) -> DataFrame:
+    return stream.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc1 < doc2, j >= threshold).
+
+    Intersection via equi-join on a 64-bit shingle hash (same counts as the
+    string join — collision odds ~n²/2⁶⁴ — with a far narrower shuffle);
+    union = |A| + |B| − |A∩B|.
+    """
+    stream = shingle_stream(docs, text_col, id_col, n)
+    sizes = _shingle_sizes(stream)
+    ex = stream.select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle_h") == F.col("b.shingle_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = F.col("inter").cast("double") / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("inter"))
+    return (
+        inter.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        .select("doc1", "doc2", F.round(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """Per-doc MinHash signature as an array<long> of length ``num_perm``.
+
+    Shingle base hash h is 32-bit md5-derived (engine-neutral), reduced mod
+    p = 2³¹−1 and projected ONCE; permutation i is the universal hash
+    (aᵢ·h + bᵢ) mod p with md5-derived constants.
+    """
+    stream = shingle_stream(docs, text_col, id_col, n)
+    ex = stream.select("doc_id", (token_hash32(F.col("shingle")) % F.lit(MERSENNE_31)).alias("h"))
+    h = F.col("h")
+    mins = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_constants(num_perm))
+    ]
+    sig = ex.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, sig_len: int = 64) -> DataFrame:
+    """Band the signature; docs sharing any (band, bucket) are candidates.
+
+    bucket key = md5 of the band's slice — an equi-join key, so candidate
+    generation is a hash join on (band, bucket), never an all-pairs scan.
+    """
+    rows_per_band = sig_len // bands or 1
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures → banded candidates → exact
+    Jaccard verification (shingle-stream join restricted to candidates) →
+    thresholded pairs."""
+    stream = shingle_stream(docs, text_col, id_col, n)
+    sizes = _shingle_sizes(stream)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(docs, text_col, id_col, n, num_perm), bands, sig_len=num_perm
+    )
+    ex = stream.select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
+    left = cands.join(ex.withColumnRenamed("doc_id", "doc1"), "doc1").select(
+        "doc1", "doc2", "shingle_h"
+    )
+    inter = (
+        left.join(
+            ex.withColumnRenamed("doc_id", "doc2"), ["doc2", "shingle_h"]
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = F.col("inter").cast("double") / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("inter"))
+    return (
+        inter.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        .select("doc1", "doc2", F.round(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Per-doc SimHash: sign of the per-bit sum of (±1) over token hashes.
+
+    32-bit md5-derived token hashes keep the whole computation exact and
+    engine-neutral. Emits the fingerprint plus a 12-bit bucket for
+    hamming-neighborhood candidate grouping.
+    """
+    ex = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+    hashed = ex.select("doc_id", token_hash32(F.col("tok")).alias("h"))
+    h = F.col("h")
+    bit_sums = [
+        F.sum(F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)).alias(f"bit_{i}")
+        for i in range(bits)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"bit_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(
+        "doc_id",
+        fp.cast("long").alias("simhash"),
+        (fp.cast("long") % F.lit(4096)).alias("bucket"),
+    )

@@ -1,1 +1,317 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Training-data pipeline queries over ``documents`` / ``embeddings``
+(BASELINE.json north-star operators): text analysis, dedup family,
+similarity search. Backed by ``telecom_dataengineering_pipeline_spark/llmprep/``.
+
+Oracle notes: DuckDB regexp_replace needs the 'g' flag to match Spark's
+global-by-default behavior; shingling/hashing uses the engine-neutral
+md5-derived 32-bit hash (see llmprep/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llmprep.dedup import (
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_near_dup_pairs,
+    simhash_fingerprints,
+)
+from ..llmprep.similarity import bucketed_ann_topk, cosine_topk, sign_lsh_buckets
+from ..llmprep.text import LANG_MARKERS, langid_votes, quality_metrics, tokens
+from ..sources.catalog import load_table
+from .registry import register
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+# ---------------------------------------------------------------------------
+# Text quality scoring (length / stopword / repetition features).
+# ---------------------------------------------------------------------------
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents
+)
+SELECT doc_id, lang,
+  CAST(length(text) AS BIGINT) AS char_count,
+  CAST(len(toks) AS BIGINT)    AS token_count,
+  round(CAST(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS DOUBLE) / len(toks), 4) AS avg_word_len,
+  round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+        / greatest(len(toks), 1), 4) AS stopword_ratio,
+  round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 4) AS distinct_token_ratio,
+  round((
+    (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+            / greatest(len(toks), 1) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) >= 0.3 THEN 1.0 ELSE 0.0 END)
+  ) / 3.0, 4) AS quality_score
+FROM t
+"""
+
+
+@register("text_quality_scores", oracle=_QUALITY_ORACLE, tags=("LLM", "text"), bench=True)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = quality_metrics("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        m["char_count"].alias("char_count"),
+        m["token_count"].alias("token_count"),
+        m["avg_word_len"].alias("avg_word_len"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        m["distinct_token_ratio"].alias("distinct_token_ratio"),
+        m["quality_score"].alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic: marker-token votes, argmax with fixed preference
+# order. (The driver's synthetic docs share one vocabulary, so votes are a
+# real exercise even when labels are arbitrary.)
+# ---------------------------------------------------------------------------
+
+
+def _langid_oracle() -> str:
+    vote_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        vote_cols.append(
+            f"CAST(len(list_filter(toks, x -> x IN ({inlist}))) AS BIGINT) AS v_{lang}"
+        )
+    votes = ",\n  ".join(vote_cols)
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+v AS (SELECT doc_id, lang,
+  {votes}
+FROM t)
+SELECT doc_id, lang AS labeled_lang, v_en, v_es, v_de, v_fr, v_zh,
+  CASE
+    WHEN v_en >= greatest(v_es, v_de, v_fr, v_zh) THEN 'en'
+    WHEN v_es >= greatest(v_de, v_fr, v_zh) THEN 'es'
+    WHEN v_de >= greatest(v_fr, v_zh) THEN 'de'
+    WHEN v_fr >= v_zh THEN 'fr'
+    ELSE 'zh'
+  END AS predicted_lang,
+  (CASE
+    WHEN v_en >= greatest(v_es, v_de, v_fr, v_zh) THEN 'en'
+    WHEN v_es >= greatest(v_de, v_fr, v_zh) THEN 'es'
+    WHEN v_de >= greatest(v_fr, v_zh) THEN 'de'
+    WHEN v_fr >= v_zh THEN 'fr'
+    ELSE 'zh'
+  END = lang) AS is_match
+FROM v
+"""
+
+
+@register("text_langid_heuristic", oracle=_langid_oracle(), tags=("LLM", "text"))
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    votes = langid_votes(toks)
+    d = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[v.cast("long").alias(f"v_{lang}") for lang, v in votes.items()],
+    )
+    ven, ves, vde, vfr, vzh = [F.col(f"v_{x}") for x in ("en", "es", "de", "fr", "zh")]
+    predicted = (
+        F.when(ven >= F.greatest(ves, vde, vfr, vzh), "en")
+        .when(ves >= F.greatest(vde, vfr, vzh), "es")
+        .when(vde >= F.greatest(vfr, vzh), "de")
+        .when(vfr >= vzh, "fr")
+        .otherwise("zh")
+    )
+    return d.select(
+        "doc_id",
+        "labeled_lang",
+        "v_en",
+        "v_es",
+        "v_de",
+        "v_fr",
+        "v_zh",
+        predicted.alias("predicted_lang"),
+        (predicted == F.col("labeled_lang")).alias("is_match"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: normalized-fingerprint groups (pass-through check; the driver
+# corpus has no exact dups, so an empty result is the correct answer).
+# ---------------------------------------------------------------------------
+
+_EXACT_DUP_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM fp GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+@register("dedup_exact_groups", oracle=_EXACT_DUP_ORACLE, tags=("LLM", "dedup"))
+def dedup_exact_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup #1: exact 3-gram Jaccard (the ground-truth oracle).
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len({_TOKS}) - 2, 0)),
+           i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+         )) AS s
+  FROM documents
+), ex AS (SELECT doc_id, unnest(s) AS g FROM sets),
+sz AS (SELECT doc_id, len(s) AS n FROM sets),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       round(CAST(i AS DOUBLE) / (x.n + y.n - i), 6) AS jaccard
+FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+"""
+
+
+@register("dedup_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("LLM", "dedup"), bench=True)
+def dedup_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup #2: MinHash + LSH (the 100 TB path). Oracle = exact Jaccard —
+# valid because every true pair in this corpus sits far above the threshold,
+# where 64-perm/16-band LSH recall is ~1; candidates are exact-verified.
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_minhash_lsh_pairs", oracle=_JACCARD_ORACLE, tags=("LLM", "dedup"), bench=True)
+def dedup_minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), num_perm=64, bands=16, threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup #3: SimHash fingerprints (32-bit, engine-neutral md5-derived).
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS bit_{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN bit_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM ex
+), bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({fp} AS BIGINT) AS simhash,
+       CAST(({fp}) % 4096 AS BIGINT) AS bucket
+FROM bits
+"""
+
+
+@register("dedup_simhash_fingerprints", oracle=_simhash_oracle(), tags=("LLM", "dedup"))
+def dedup_simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force exact cosine top-k (baseline) and
+# sign-LSH-bucketed approximate variant (scale path).
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10
+), s AS (
+  SELECT q.query_id, n.vec_id,
+         round(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6) AS cosine
+  FROM q JOIN n ON n.vec_id <> q.query_id
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM s
+)
+SELECT query_id, vec_id AS neighbor_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("knn_cosine_bruteforce", oracle=_KNN_ORACLE, tags=("LLM", "similarity"), bench=True)
+def knn_cosine_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, query_ids=list(range(10)), k=5).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+_BUCKET_ORACLE = """
+SELECT list_aggregate(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                      'string_agg', '') AS bucket,
+       count(*) AS n_vectors,
+       min(vec_id) AS min_vec_id
+FROM embeddings
+GROUP BY 1
+"""
+
+
+@register("embedding_lsh_bucket_profile", oracle=_BUCKET_ORACLE, tags=("LLM", "similarity"))
+def embedding_lsh_bucket_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        sign_lsh_buckets(emb, bits=8)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+_ANN_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_aggregate(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                        'string_agg', '') AS bucket
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v, bucket, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket FROM n WHERE vec_id < 10
+), s AS (
+  SELECT q.query_id, n.vec_id,
+         round(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6) AS cosine
+  FROM q JOIN n ON n.bucket = q.qbucket AND n.vec_id <> q.query_id
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM s
+)
+SELECT query_id, vec_id AS neighbor_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("ann_bucketed_topk", oracle=_ANN_ORACLE, tags=("LLM", "similarity"))
+def ann_bucketed_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bucketed_ann_topk(emb, query_ids=list(range(10)), k=5, bits=8).withColumn(
+        "rank", F.col("rank").cast("int")
+    )

@@ -1,1 +1,231 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Data-quality and observability queries (SURVEY.md §5, §2.4 A6–A11).
+
+Each reproduces a reference quality gate as an engine query: dbt generic
+tests (unique / accepted_values / expression), GX-style profiles, and the
+custom observability monitors (volume z-score, null rate, cardinality,
+freshness). The same logic is exposed as reusable check functions in
+``telecom_dataengineering_pipeline_spark/quality/checks.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# dbt `unique` test (models/silver/schema.yml): duplicated PKs → violations.
+# ---------------------------------------------------------------------------
+
+_UNIQUE_ORACLE = """
+SELECT l_orderkey AS orderkey, l_linenumber AS linenumber, count(*) AS n
+FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+"""
+
+
+@register("dq_unique_violations", oracle=_UNIQUE_ORACLE, tags=("DQ", "A7"))
+def dq_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.col("l_orderkey").alias("orderkey"), F.col("l_linenumber").alias("linenumber")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dbt `accepted_values` + expression tests: violating rows (pass = empty).
+# ---------------------------------------------------------------------------
+
+_ACCEPTED_ORACLE = """
+SELECT event_id, event_type AS offending_value, 'event_type not in accepted set' AS reason
+FROM events
+WHERE event_type NOT IN ('signup', 'click', 'purchase', 'error', 'view')
+   OR event_type IS NULL
+UNION ALL
+SELECT event_id, CAST(value AS VARCHAR) AS offending_value, 'value out of range [0, 100000]' AS reason
+FROM events WHERE value < 0 OR value > 100000
+"""
+
+
+@register("dq_accepted_values_violations", oracle=_ACCEPTED_ORACLE, tags=("DQ", "U1"))
+def dq_accepted_values_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bad_type = ev.filter(
+        ~F.col("event_type").isin("signup", "click", "purchase", "error", "view")
+        | F.col("event_type").isNull()
+    ).select(
+        "event_id",
+        F.col("event_type").alias("offending_value"),
+        F.lit("event_type not in accepted set").alias("reason"),
+    )
+    bad_range = ev.filter((F.col("value") < 0) | (F.col("value") > 100000)).select(
+        "event_id",
+        F.col("value").cast("string").alias("offending_value"),
+        F.lit("value out of range [0, 100000]").alias("reason"),
+    )
+    return bad_type.unionByName(bad_range)
+
+
+# ---------------------------------------------------------------------------
+# A10: null-rate profile per column (pipeline_observability.py:150-173) —
+# one row per profiled column, distributed aggregation only.
+# ---------------------------------------------------------------------------
+
+_NULLRATE_ORACLE = """
+SELECT 'o_custkey' AS column_name, count(*) AS total_rows,
+       CAST(count(*) - count(o_custkey) AS BIGINT) AS null_count,
+       round(CAST(count(*) - count(o_custkey) AS DOUBLE) / count(*), 6) AS null_rate
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), CAST(count(*) - count(o_totalprice) AS BIGINT),
+       round(CAST(count(*) - count(o_totalprice) AS DOUBLE) / count(*), 6)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), CAST(count(*) - count(o_orderstatus) AS BIGINT),
+       round(CAST(count(*) - count(o_orderstatus) AS DOUBLE) / count(*), 6)
+FROM orders
+"""
+
+
+@register("dq_null_rate_profile", oracle=_NULLRATE_ORACLE, tags=("DQ", "A10"))
+def dq_null_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    total = F.count(F.lit(1))
+    parts = []
+    for c in ["o_custkey", "o_totalprice", "o_orderstatus"]:
+        nulls = (total - F.count(c)).cast("long")
+        parts.append(
+            o.agg(
+                F.lit(c).alias("column_name"),
+                total.alias("total_rows"),
+                nulls.alias("null_count"),
+                F.round(nulls.cast("double") / total, 6).alias("null_rate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A9: cardinality profile (distinct counts; pipeline_observability.py:175-205).
+# Exact countDistinct here (oracle-checkable); approx_count_distinct is the
+# documented 100 TB path in quality/monitors.py.
+# ---------------------------------------------------------------------------
+
+_CARDINALITY_ORACLE = """
+SELECT 'user_id' AS column_name, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_count FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+UNION ALL
+SELECT 'event_date', CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM events
+"""
+
+
+@register("dq_cardinality_profile", oracle=_CARDINALITY_ORACLE, tags=("DQ", "A9"))
+def dq_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rows = [
+        ev.agg(F.lit("user_id").alias("column_name"), F.countDistinct("user_id").alias("distinct_count")),
+        ev.agg(F.lit("event_type").alias("column_name"), F.countDistinct("event_type").alias("distinct_count")),
+        ev.agg(
+            F.lit("event_date").alias("column_name"),
+            F.countDistinct(F.col("ts").cast("date")).alias("distinct_count"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A8: volume z-score monitor (pipeline_observability.py:99,118-124): daily
+# counts vs mean/stddev. Stddev is computed with an explicit two-pass formula
+# (identical expression both engines) rather than builtin stddev, so the
+# floating-point result is bit-identical.
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1
+), stats AS (
+  SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mean_n,
+         sqrt((CAST(sum(n * n) AS DOUBLE) - CAST(sum(n) AS DOUBLE) * sum(n) / count(*))
+              / (count(*) - 1)) AS sd_n
+  FROM daily
+)
+SELECT strftime(daily.d, '%Y-%m-%d') AS day,
+       daily.n AS daily_rows,
+       round(stats.mean_n, 4) AS mean_rows,
+       round(stats.sd_n, 4) AS stddev_rows,
+       round((daily.n - stats.mean_n) / stats.sd_n, 4) AS z_score,
+       (abs((daily.n - stats.mean_n) / stats.sd_n) > 3.0) AS is_anomaly
+FROM daily CROSS JOIN stats
+"""
+
+
+@register("dq_volume_zscore", oracle=_ZSCORE_ORACLE, tags=("DQ", "A8"))
+def dq_volume_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(F.count(F.lit(1)).alias("n"))
+    n = F.col("n")
+    cnt = F.count(F.lit(1))
+    stats = daily.agg(
+        (F.sum(n).cast("double") / cnt).alias("mean_n"),
+        F.sqrt(
+            (F.sum(n * n).cast("double") - F.sum(n).cast("double") * F.sum(n) / cnt)
+            / (cnt - 1)
+        ).alias("sd_n"),
+    )
+    z = (F.col("n") - F.col("mean_n")) / F.col("sd_n")
+    return daily.crossJoin(F.broadcast(stats)).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").alias("daily_rows"),
+        F.round("mean_n", 4).alias("mean_rows"),
+        F.round("sd_n", 4).alias("stddev_rows"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > 3.0).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Freshness monitor (pipeline_observability.py:52-87): per event_type, how
+# stale is the newest record vs the table's global high-water mark.
+# ---------------------------------------------------------------------------
+
+_FRESHNESS_ORACLE = """
+WITH per_type AS (
+  SELECT event_type, max(epoch_us(ts)) AS max_us, count(*) AS n
+  FROM events GROUP BY 1
+), hwm AS (SELECT max(max_us) AS global_us FROM per_type)
+SELECT p.event_type,
+       strftime(make_timestamp(p.max_us), '%Y-%m-%d %H:%M:%S') AS latest_ts,
+       CAST((h.global_us - p.max_us) // 1000000 AS BIGINT) AS lag_seconds,
+       ((h.global_us - p.max_us) // 1000000 > 86400) AS sla_breached,
+       p.n AS row_count
+FROM per_type p CROSS JOIN hwm h
+"""
+
+
+@register("dq_freshness_check", oracle=_FRESHNESS_ORACLE, tags=("DQ",))
+def dq_freshness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("max_us"), F.count(F.lit(1)).alias("n")
+    )
+    hwm = per_type.agg(F.max("max_us").alias("global_us"))
+    lag_s = F.floor((F.col("global_us") - F.col("max_us")) / 1_000_000).cast("long")
+    return per_type.crossJoin(F.broadcast(hwm)).select(
+        "event_type",
+        F.date_format(F.timestamp_micros(F.col("max_us")), "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+        lag_s.alias("lag_seconds"),
+        (lag_s > 86400).alias("sla_breached"),
+        F.col("n").alias("row_count"),
+    )

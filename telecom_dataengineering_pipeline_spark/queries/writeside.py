@@ -1,1 +1,130 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Write-side semantics as checkable transformations (SURVEY.md §2.10).
+
+M1 MERGE and M3 SCD are write-path operators; here their *semantics* are
+expressed as pure queries (target/source derived deterministically from the
+test tables) so the DuckDB oracle can verify them. The actual write path —
+partitioned parquet, compaction, overwrite — lives in
+``telecom_dataengineering_pipeline_spark/sources/writers.py`` and is exercised by tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.compat import split_part
+from ..functions.keys import record_hash, surrogate_key
+from ..functions.masking import mask_name
+from ..operators.merge import merge_upsert
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# M1: incremental MERGE on unique_key (dbt incremental_strategy merge,
+# dbt_project.yml:29-32). Target = odd-ish snapshot v1; source = even-key
+# updates v2 with a price adjustment; merged = source wins per orderkey.
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH target AS (
+  SELECT o_orderkey, 1 AS version,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price, o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 3 != 0
+), source AS (
+  SELECT o_orderkey, 2 AS version,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,2)) AS DECIMAL(14,4)) AS price,
+         'U' AS status
+  FROM orders WHERE o_orderkey % 2 = 0
+), unioned AS (
+  SELECT o_orderkey, version, CAST(price AS DECIMAL(14,4)) AS price, status FROM target
+  UNION ALL
+  SELECT o_orderkey, version, price, status FROM source
+)
+SELECT o_orderkey AS orderkey, version, CAST(price AS DOUBLE) AS totalprice, status
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS _rn
+  FROM unioned
+) WHERE _rn = 1
+"""
+
+
+@register("merge_upsert_orders", oracle=_MERGE_ORACLE, tags=("M1", "W1"))
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    target = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.lit(1).alias("version"),
+        price.cast("decimal(14,4)").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("version"),
+        (price * F.lit(1.1).cast("decimal(3,2)")).cast("decimal(14,4)").alias("price"),
+        F.lit("U").alias("status"),
+    )
+    merged = merge_upsert(
+        target, source, keys=["o_orderkey"], order_by=[F.col("version").desc()]
+    )
+    return merged.select(
+        F.col("o_orderkey").alias("orderkey"),
+        "version",
+        F.col("price").cast("double").alias("totalprice"),
+        "status",
+    )
+
+
+# ---------------------------------------------------------------------------
+# M3: SCD2-shaped dimension build (dim_customers.sql:18-95): surrogate key,
+# PII mask, plan parsing via SPLIT_PART, segment CASE, SCD2 columns with the
+# reference's snapshot behavior (effective_end NULL, is_current TRUE).
+# ---------------------------------------------------------------------------
+
+_SCD_ORACLE = """
+SELECT
+  md5(concat_ws('|', coalesce(CAST(c_custkey AS VARCHAR), 'UNKNOWN'))) AS customer_key,
+  c_custkey AS customer_id,
+  concat(substring(c_name, 1, 1), '***') AS masked_name,
+  concat(c_mktsegment, '_', CAST((c_custkey % 5 + 1) * 30 AS VARCHAR)) AS plan_code,
+  str_split(concat(c_mktsegment, '_', CAST((c_custkey % 5 + 1) * 30 AS VARCHAR)), '_')[1] AS plan_tier,
+  CAST(str_split(concat(c_mktsegment, '_', CAST((c_custkey % 5 + 1) * 30 AS VARCHAR)), '_')[2] AS INTEGER) AS plan_monthly_fee,
+  CASE
+    WHEN c_acctbal >= 5000 THEN 'PREMIUM'
+    WHEN c_acctbal >= 1000 THEN 'STANDARD'
+    WHEN c_acctbal >= 0   THEN 'BASIC'
+    ELSE 'DELINQUENT'
+  END AS balance_segment,
+  md5(concat_ws('||', coalesce(c_name, 'UNKNOWN'), coalesce(c_mktsegment, 'UNKNOWN'),
+                      coalesce(CAST(c_acctbal AS VARCHAR), 'UNKNOWN'))) AS _record_hash,
+  '2024-01-01' AS effective_start_date,
+  CAST(NULL AS VARCHAR) AS effective_end_date,
+  TRUE AS is_current
+FROM customer
+"""
+
+
+@register("scd2_customer_dim", oracle=_SCD_ORACLE, tags=("M3", "F2", "F7", "F8"))
+def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    plan_code = F.concat(
+        F.col("c_mktsegment"), F.lit("_"), ((F.col("c_custkey") % 5 + 1) * 30).cast("string")
+    )
+    bal = F.col("c_acctbal")
+    return c.select(
+        surrogate_key("c_custkey").alias("customer_key"),
+        F.col("c_custkey").alias("customer_id"),
+        mask_name("c_name").alias("masked_name"),
+        plan_code.alias("plan_code"),
+        split_part(plan_code, "_", 1).alias("plan_tier"),
+        split_part(plan_code, "_", 2).cast("int").alias("plan_monthly_fee"),
+        F.when(bal >= 5000, "PREMIUM")
+        .when(bal >= 1000, "STANDARD")
+        .when(bal >= 0, "BASIC")
+        .otherwise("DELINQUENT")
+        .alias("balance_segment"),
+        record_hash("c_name", "c_mktsegment", "c_acctbal").alias("_record_hash"),
+        F.lit("2024-01-01").alias("effective_start_date"),
+        F.lit(None).cast("string").alias("effective_end_date"),
+        F.lit(True).alias("is_current"),
+    )
