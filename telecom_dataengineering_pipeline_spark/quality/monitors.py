@@ -1,0 +1,163 @@
+"""Observability monitors (reference ``monitoring/pipeline_observability.py``).
+
+Statistical drift/freshness monitors as Spark aggregations. Each returns a
+small summary DataFrame (or plain dataclass) — the HEALTHY/DEGRADED/BLOCKED
+rollup the reference builds (pipeline_observability.py:326-364) is a fold
+over these.
+
+Scale notes: cardinality uses ``approx_count_distinct`` by default (HLL —
+one pass, mergeable, no giant exact-distinct shuffle at 100 TB); callers can
+request exact for small dims. Null-rate and volume monitors are single
+aggregates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def volume_zscore(df: DataFrame, date_col: str, z_threshold: float = 3.0) -> DataFrame:
+    """Daily row counts with z-scores vs the table's own history
+    (pipeline_observability.py:92-139)."""
+    daily = df.groupBy(F.col(date_col).cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n = F.col("n")
+    cnt = F.count(F.lit(1))
+    stats = daily.agg(
+        (F.sum(n).cast("double") / cnt).alias("mean_n"),
+        F.sqrt(
+            (F.sum(n * n).cast("double") - F.sum(n).cast("double") * F.sum(n) / cnt) / (cnt - 1)
+        ).alias("sd_n"),
+    )
+    z = (F.col("n") - F.col("mean_n")) / F.col("sd_n")
+    return daily.crossJoin(F.broadcast(stats)).select(
+        "d",
+        "n",
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > z_threshold).alias("is_anomaly"),
+    )
+
+
+def null_rate_drift(
+    df: DataFrame, cols: Sequence[str], baseline: Mapping[str, float], tolerance: float = 0.05
+) -> DataFrame:
+    """Per-column null rate vs a stored baseline, ±tolerance
+    (pipeline_observability.py:150-173). One aggregate for all columns."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.avg(F.col(c).isNull().cast("double")).alias(c))
+    rates = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', `{c}`" for c in cols)
+    long = rates.selectExpr(f"stack({len(cols)}, {stack_expr}) as (column_name, null_rate)")
+    base = F.create_map(*[x for c in cols for x in (F.lit(c), F.lit(float(baseline.get(c, 0.0))))])
+    return long.select(
+        "column_name",
+        F.round("null_rate", 6).alias("null_rate"),
+        F.round(base[F.col("column_name")], 6).alias("baseline_rate"),
+        (F.abs(F.col("null_rate") - base[F.col("column_name")]) > tolerance).alias("drifted"),
+    )
+
+
+def cardinality_drift(
+    df: DataFrame,
+    cols: Sequence[str],
+    baseline: Mapping[str, int],
+    tolerance_pct: float = 20.0,
+    exact: bool = False,
+) -> DataFrame:
+    """Distinct-count drift vs baseline ±pct (pipeline_observability.py:175-205).
+    HLL (approx_count_distinct) by default — the only sane choice at 100 TB;
+    ``exact=True`` for small dimensions."""
+    agg_fn = F.countDistinct if exact else F.approx_count_distinct
+    aggs = [agg_fn(c).alias(c) for c in cols]
+    counts = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', `{c}`" for c in cols)
+    long = counts.selectExpr(f"stack({len(cols)}, {stack_expr}) as (column_name, distinct_count)")
+    base = F.create_map(*[x for c in cols for x in (F.lit(c), F.lit(int(baseline.get(c, 0))))])
+    pct = F.when(
+        base[F.col("column_name")] > 0,
+        F.abs(F.col("distinct_count") - base[F.col("column_name")])
+        * 100.0
+        / base[F.col("column_name")],
+    )
+    return long.select(
+        "column_name",
+        "distinct_count",
+        base[F.col("column_name")].alias("baseline_count"),
+        F.round(pct, 2).alias("drift_pct"),
+        (pct > tolerance_pct).alias("drifted"),
+    )
+
+
+def freshness(
+    df: DataFrame, ts_col: str, sla_seconds: Mapping[str, int] | int, group_col: str | None = None
+) -> DataFrame:
+    """Staleness vs the table's high-water mark, optionally per group
+    (pipeline_observability.py:52-87). SLA breach is relative to max(ts) so
+    the monitor is reproducible on static fixtures; production callers pass
+    a clock column instead."""
+    if group_col is None:
+        agg = df.agg(F.max(F.unix_micros(F.col(ts_col))).alias("max_us"))
+        sla = sla_seconds if isinstance(sla_seconds, int) else max(sla_seconds.values())
+        return agg.select(
+            F.timestamp_micros(F.col("max_us")).alias("latest_ts"),
+            F.lit(sla).alias("sla_seconds"),
+        )
+    per = df.groupBy(group_col).agg(F.max(F.unix_micros(F.col(ts_col))).alias("max_us"))
+    hwm = per.agg(F.max("max_us").alias("global_us"))
+    lag_s = F.floor((F.col("global_us") - F.col("max_us")) / 1_000_000).cast("long")
+    default_sla = sla_seconds if isinstance(sla_seconds, int) else 0
+    sla_map = (
+        F.create_map(
+            *[x for k, v in sla_seconds.items() for x in (F.lit(k), F.lit(int(v)))]
+        )
+        if isinstance(sla_seconds, Mapping)
+        else None
+    )
+    sla_col = (
+        F.coalesce(sla_map[F.col(group_col)], F.lit(default_sla))
+        if sla_map is not None
+        else F.lit(default_sla)
+    )
+    return per.crossJoin(F.broadcast(hwm)).select(
+        group_col,
+        F.timestamp_micros(F.col("max_us")).alias("latest_ts"),
+        lag_s.alias("lag_seconds"),
+        sla_col.alias("sla_seconds"),
+        (lag_s > sla_col).alias("sla_breached"),
+    )
+
+
+@dataclass
+class SchemaDriftReport:
+    removed: list[str]
+    added: list[str]
+    type_changed: list[tuple[str, str, str]]
+
+    @property
+    def status(self) -> str:
+        """Reference policy (pipeline_observability.py:210-277): removed =
+        CRITICAL, type change = WARNING, added = INFO."""
+        if self.removed:
+            return "CRITICAL"
+        if self.type_changed:
+            return "WARNING"
+        if self.added:
+            return "INFO"
+        return "OK"
+
+
+def schema_drift(baseline: Mapping[str, str], current: DataFrame) -> SchemaDriftReport:
+    """U2: set comparison of {column: type} vs the live DataFrame schema."""
+    cur = {f.name: f.dataType.simpleString() for f in current.schema.fields}
+    removed = sorted(set(baseline) - set(cur))
+    added = sorted(set(cur) - set(baseline))
+    changed = sorted(
+        (c, baseline[c], cur[c]) for c in set(baseline) & set(cur) if baseline[c] != cur[c]
+    )
+    return SchemaDriftReport(removed=removed, added=added, type_changed=changed)

@@ -1,0 +1,78 @@
+"""Write-side operators: partitioned layout, compaction, clustering.
+
+Reproduces the reference's physical-layout policies (SURVEY.md §2.6, §2.10):
+
+- S5 Hive-style partitioned parquet (``kafka_to_bronze.py:63-67``:
+  ``year=/month=/day=``) → ``partitionBy`` — static+dynamic partition
+  pruning downstream.
+- O3 compaction to ~target-file-size (``bronze_compaction.py:54,115-122``:
+  256 MB files, row-size estimate) → ``repartition(n)`` +
+  ``maxRecordsPerFile`` belt-and-braces.
+- O2 partition-local sort for compression/scan locality
+  (``bronze_compaction.py:112-113``) → ``sortWithinPartitions``.
+- O4 z-order approximation (``bronze_compaction.py:141-151``; vanilla Spark
+  has no z-order) → ``repartitionByRange`` on the leading cluster key +
+  in-partition sort on the full key — linear clustering, which captures most
+  of the scan-pruning benefit for a 2-key cluster; a table format (Delta
+  OPTIMIZE ZORDER / Iceberg rewrite) slots in here when available.
+- M4 schema evolution on append (``dbt_project.yml:32``) → ``mergeSchema``.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+TARGET_FILE_BYTES = 256 * 1024 * 1024  # reference bronze_compaction.py:54
+DEFAULT_ROW_BYTES = 500  # reference's estimate, bronze_compaction.py:117
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = ("year", "month", "day"),
+    mode: str = "overwrite",
+) -> None:
+    """Hive-layout snappy parquet (S4+S5)."""
+    (
+        df.write.mode(mode)
+        .option("compression", "snappy")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def compact_to_target_size(
+    df: DataFrame,
+    sort_cols: Sequence[str],
+    row_count: int | None = None,
+    avg_row_bytes: int = DEFAULT_ROW_BYTES,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> DataFrame:
+    """O2+O3: size-aware repartition + in-partition sort.
+
+    ``row_count`` lets callers reuse a count they already have; otherwise one
+    count job runs (same as the reference, bronze_compaction.py:96).
+    """
+    n_rows = row_count if row_count is not None else df.count()
+    rows_per_file = max(1, target_file_bytes // max(1, avg_row_bytes))
+    n_files = max(1, math.ceil(n_rows / rows_per_file))
+    return df.repartition(n_files).sortWithinPartitions(*sort_cols)
+
+
+def cluster_approx_zorder(df: DataFrame, cluster_cols: Sequence[str]) -> DataFrame:
+    """O4 approximation: range-partition on the leading key, sort by all keys
+    within partitions. Layout-only (no query-semantics impact)."""
+    return df.repartitionByRange(*cluster_cols).sortWithinPartitions(*cluster_cols)
+
+
+def read_with_schema_merge(spark: SparkSession, path: str) -> DataFrame:
+    """M4: tolerate appended columns across files."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def append_with_new_columns(df: DataFrame, path: str) -> None:
+    """Append-side of M4 (on_schema_change: append_new_columns)."""
+    df.write.mode("append").option("mergeSchema", "true").parquet(path)

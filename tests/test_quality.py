@@ -1,0 +1,82 @@
+"""Quality checks + monitors over fixtures with planted defects."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from telecom_dataengineering_pipeline_spark.quality.checks import (
+    expect_accepted_values,
+    expect_expression,
+    expect_not_null,
+    expect_relationships,
+    expect_unique,
+    run_checks,
+)
+from telecom_dataengineering_pipeline_spark.quality.monitors import (
+    cardinality_drift,
+    freshness,
+    null_rate_drift,
+    schema_drift,
+    volume_zscore,
+)
+from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
+
+
+def test_checks_clean_and_dirty(spark):
+    clean = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 0.0)], ["id", "cat", "amt"]
+    )
+    dirty = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "z", -5.0), (None, "b", 20.0)], ["id", "cat", "amt"]
+    )
+    assert expect_unique(clean, ["id"]).count() == 0
+    assert expect_unique(dirty, ["id"]).count() == 1
+    assert expect_not_null(dirty, ["id"]).count() == 1
+    assert expect_accepted_values(dirty, "cat", ["a", "b"]).count() == 1
+    assert expect_expression(dirty, "amt >= 0").count() == 1
+    parent = spark.createDataFrame([(1,), (2,)], ["pid"])
+    child = spark.createDataFrame([(1,), (3,)], ["fk"])
+    assert expect_relationships(child, parent, {"fk": "pid"}).count() == 1
+
+    results = run_checks(
+        {
+            "unique_id": expect_unique(dirty, ["id"]),
+            "fk_ok": expect_relationships(child, parent, {"fk": "pid"}),
+        },
+        severities={"fk_ok": "warn"},
+    )
+    by_name = {r.name: r for r in results}
+    assert not by_name["unique_id"].passed
+    assert by_name["fk_ok"].passed and by_name["fk_ok"].violations == 1
+
+
+def test_monitors_on_events(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    z = volume_zscore(ev, "ts")
+    assert z.count() == 30
+    assert z.filter(F.col("z_score").isNull()).count() == 0
+
+    nr = null_rate_drift(ev, ["event_id", "props"], baseline={"event_id": 0.0, "props": 0.5})
+    rows = {r["column_name"]: r for r in nr.collect()}
+    assert rows["event_id"]["null_rate"] == 0.0 and not rows["event_id"]["drifted"]
+    assert rows["props"]["drifted"]  # baseline 0.5 vs actual 0.0
+
+    cd = cardinality_drift(ev, ["event_type"], baseline={"event_type": 5}, exact=True)
+    r = cd.collect()[0]
+    assert r["distinct_count"] == 5 and not r["drifted"]
+
+    fr = freshness(ev, "ts", sla_seconds={"signup": 86400}, group_col="event_type")
+    assert fr.count() == 5
+    assert set(fr.columns) >= {"lag_seconds", "sla_breached"}
+
+
+def test_schema_drift_policy(spark):
+    df = spark.createDataFrame([(1, "x")], ["a", "b"])
+    rep = schema_drift({"a": "bigint", "b": "string"}, df)
+    assert rep.status == "OK"
+    rep2 = schema_drift({"a": "bigint", "b": "string", "c": "double"}, df)
+    assert rep2.status == "CRITICAL" and rep2.removed == ["c"]
+    rep3 = schema_drift({"a": "int", "b": "string"}, df)
+    assert rep3.status == "WARNING"
+    rep4 = schema_drift({"a": "bigint"}, df)
+    assert rep4.status == "INFO" and rep4.added == ["b"]
