@@ -315,3 +315,30 @@ def ann_bucketed_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_ann_topk(emb, query_ids=list(range(10)), k=5, bits=8).withColumn(
         "rank", F.col("rank").cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary payload + metadata struct + mapInPandas
+# feature extraction (llmprep/multimodal.py). The payload is synthesized
+# deterministically from document text, so byte-level features are
+# oracle-checkable (DuckDB computes them from the text directly). crc32 has
+# no DuckDB equivalent — covered by tests/test_multimodal.py instead.
+# ---------------------------------------------------------------------------
+
+_MEDIA_ORACLE = """
+SELECT doc_id AS media_id,
+       'image' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum_md5,
+       CAST(octet_length(encode(text)) % 64 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 48 AS INTEGER) AS height
+FROM documents
+"""
+
+
+@register("multimodal_feature_extract", oracle=_MEDIA_ORACLE, tags=("LLM", "multimodal"))
+def multimodal_feature_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.multimodal import extract_features, synthesize_media_table
+
+    media = synthesize_media_table(load_table(spark, sf_dir, "documents"))
+    return extract_features(media, fake_decode=True).drop("crc32")

@@ -1,0 +1,4 @@
+from .fraud import fraud_alerts_stream, FraudConfig
+from .ingest import bronze_ingest_stream, events_file_stream
+
+__all__ = ["fraud_alerts_stream", "FraudConfig", "bronze_ingest_stream", "events_file_stream"]

@@ -1,0 +1,56 @@
+"""Multimodal column plumbing: schema, mapInPandas batch shape, decode stub
+gating, frame-sampling row expansion."""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from telecom_dataengineering_pipeline_spark.llmprep.multimodal import (
+    decode_image,
+    extract_features,
+    frame_sample,
+    synthesize_media_table,
+)
+from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
+
+
+def test_decode_stub_gated():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc", fake=False)
+    d = decode_image(b"abc", fake=True)
+    assert d["checksum_md5"] == hashlib.md5(b"abc").hexdigest()
+    assert d["crc32"] == zlib.crc32(b"abc") & 0xFFFFFFFF
+
+
+def test_feature_extraction_end_to_end(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    media = synthesize_media_table(docs)
+    feats = extract_features(media, fake_decode=True)
+    assert feats.count() == docs.count()
+    row = feats.join(docs, feats.media_id == docs.doc_id).select("text", "n_bytes", "checksum_md5", "crc32").first()
+    payload = row["text"].encode("utf-8")
+    assert row["n_bytes"] == len(payload)
+    assert row["checksum_md5"] == hashlib.md5(payload).hexdigest()
+    assert row["crc32"] == zlib.crc32(payload) & 0xFFFFFFFF
+
+
+def test_frame_sampling_row_expansion(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    media = synthesize_media_table(docs)
+    frames = frame_sample(media, every_n_bytes=64)
+    # every doc expands to ceil(n_bytes/64) frames
+    expected = media.select(
+        F.ceil(F.col("meta.n_bytes") / 64).cast("long").alias("k")
+    ).agg(F.sum("k")).collect()[0][0]
+    assert frames.count() == expected
+    # frames reassemble to the original payload
+    one = media.orderBy("media_id").first()
+    got = b"".join(
+        bytes(r["frame"])
+        for r in frames.filter(F.col("media_id") == one["media_id"]).orderBy("frame_offset").collect()
+    )
+    assert got == bytes(one["payload"])
