@@ -1,0 +1,95 @@
+"""Range / as-of joins (SURVEY.md §2.3 J5).
+
+The reference documents the fact-to-SCD2 pattern
+(``dim_customers.sql:11-15``): ``ON f.k = d.k AND f.date BETWEEN
+d.effective_start AND COALESCE(d.effective_end, CURRENT_DATE)``.
+
+Two implementations:
+
+- ``range_join``: the literal equi + BETWEEN predicate. Catalyst executes
+  equi-key + range as a hash join on the key with a post-filter — fine when
+  key cardinality dominates (SCD dims: few versions per key).
+- ``asof_join``: "latest right row at or before the left timestamp" without
+  a version-interval table. Implemented as union + window (one shuffle on
+  the key, no range explosion): tag both sides, sort by (key, ts, side),
+  carry the last right value forward with ``last(ignorenulls)``, keep left
+  rows. This is the scalable form — an equi-join would fan out per version
+  and a theta-join would nested-loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: tuple[str, str],
+    point: str,
+    lower: str,
+    upper: str,
+    how: str = "left",
+    open_upper_sentinel: Column | None = None,
+) -> DataFrame:
+    """left.key = right.key AND left.point BETWEEN right.lower AND
+    COALESCE(right.upper, sentinel)."""
+    lk, rk = key
+    upper_col = right[upper]
+    if open_upper_sentinel is not None:
+        upper_col = F.coalesce(upper_col, open_upper_sentinel)
+    cond = (left[lk] == right[rk]) & left[point].between(right[lower], upper_col)
+    return left.join(right, cond, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tie_break: str | None = None,
+) -> DataFrame:
+    """For each left row: the most recent right row with right_ts <= left_ts
+    for the same key (NULL values when none exists).
+
+    Single shuffle on ``key``; within each key the union is sorted once and
+    right values are carried forward — O(n log n) per key, no pair blow-up.
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # right (0) sorts before left (1) on ties
+        F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_v_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            l_tagged.schema["_lrow"].dataType.simpleString()
+        ).alias("_lrow"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    order = [F.col("_ts"), F.col("_side")]
+    if tie_break:
+        order.append(F.col("_lrow").getField(tie_break))
+    w = Window.partitionBy("_k").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    carried = unioned.select(
+        "_k",
+        "_ts",
+        "_side",
+        "_lrow",
+        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_v_{c}") for c in value_cols],
+    ).filter(F.col("_side") == 1)
+    return carried.select(
+        *[F.col("_lrow").getField(c).alias(c) for c in lcols],
+        *[F.col(f"_v_{c}").alias(c) for c in value_cols],
+    )

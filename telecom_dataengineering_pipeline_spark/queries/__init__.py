@@ -8,6 +8,7 @@ Importing this package imports every query module, which registers each query
 from .registry import REGISTRY, QuerySpec, oracle_sql, queries, register
 
 # Import for registration side effects.
+from . import advanced  # noqa: F401
 from . import relational  # noqa: F401
 from . import scalar  # noqa: F401
 from . import windows  # noqa: F401

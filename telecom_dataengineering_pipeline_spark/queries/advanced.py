@@ -1,0 +1,276 @@
+"""Advanced relational coverage: as-of/range joins (J5), exact quantile
+distribution checks (A11), regex validation (F21), CSV seed source (S8).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DecimalType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.decimals import dec
+from ..operators.asof import asof_join, range_join
+from ..operators.dedup import dedup_keep_latest
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# J5a: as-of join — each event picks up the customer's latest "price change"
+# at or before the event time. Change stream is derived deterministically
+# from orders, remapped into the events' month so matches actually vary over
+# time. Oracle uses DuckDB's native ASOF JOIN against our union+window
+# implementation (operators/asof.py) — two independent algorithms.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH changes AS (
+  SELECT o_custkey AS user_id,
+         TIMESTAMP '2024-01-01' + INTERVAL (datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 30) DAY AS change_ts,
+         max(o_orderkey) AS ref_orderkey,
+         max_by(o_totalprice, o_orderkey) AS ref_price
+  FROM orders WHERE o_orderkey % 7 = 0
+  GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       strftime(date_trunc('second', e.ts), '%Y-%m-%d %H:%M:%S') AS event_second,
+       c.ref_orderkey, c.ref_price
+FROM events e ASOF LEFT JOIN changes c
+  ON e.user_id = c.user_id AND e.ts >= c.change_ts
+"""
+
+
+@register("asof_join_price_changes", oracle=_ASOF_ORACLE, tags=("J5",), bench=True)
+def asof_join_price_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    changes = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            (
+                F.lit("2024-01-01").cast("timestamp")
+                + F.expr(
+                    "make_interval(0, 0, 0, datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') % 30, 0, 0, 0)"
+                )
+            ).alias("change_ts"),
+        )
+        .agg(
+            F.max("o_orderkey").alias("ref_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("ref_price"),
+        )
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        changes,
+        key="user_id",
+        left_ts="ts",
+        right_ts="change_ts",
+        value_cols=["ref_orderkey", "ref_price"],
+        tie_break="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format(F.date_trunc("second", "ts"), "yyyy-MM-dd HH:mm:ss").alias("event_second"),
+        "ref_orderkey",
+        "ref_price",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5b: the literal SCD2 range-join pattern (dim_customers.sql:11-15):
+# point BETWEEN start AND COALESCE(end, far-future). Two synthetic versions
+# per customer split at 2024-01-16.
+# ---------------------------------------------------------------------------
+
+_RANGE_ORACLE = """
+WITH versions AS (
+  SELECT c_custkey AS user_id, 1 AS version,
+         TIMESTAMP '2024-01-01' AS eff_start, TIMESTAMP '2024-01-16' AS eff_end,
+         c_mktsegment AS segment
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 2, TIMESTAMP '2024-01-16', NULL, concat(c_mktsegment, '_V2')
+  FROM customer
+)
+SELECT e.event_id, e.user_id, v.version, v.segment
+FROM events e
+LEFT JOIN versions v
+  ON e.user_id = v.user_id
+ AND e.ts >= v.eff_start
+ AND e.ts < coalesce(v.eff_end, TIMESTAMP '9999-12-31')
+"""
+
+
+@register("range_join_scd_versions", oracle=_RANGE_ORACLE, tags=("J5", "P7"))
+def range_join_scd_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    v1 = c.select(
+        F.col("c_custkey").alias("user_id"),
+        F.lit(1).alias("version"),
+        F.lit("2024-01-01").cast("timestamp").alias("eff_start"),
+        F.lit("2024-01-16").cast("timestamp").alias("eff_end"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    v2 = c.select(
+        F.col("c_custkey").alias("user_id"),
+        F.lit(2).alias("version"),
+        F.lit("2024-01-16").cast("timestamp").alias("eff_start"),
+        F.lit(None).cast("timestamp").alias("eff_end"),
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("segment"),
+    )
+    versions = v1.unionByName(v2)
+    left = ev.select("event_id", F.col("user_id").alias("e_user"), "ts")
+    cond = (
+        (left["e_user"] == versions["user_id"])
+        & (left["ts"] >= versions["eff_start"])
+        & (left["ts"] < F.coalesce(versions["eff_end"], F.lit("9999-12-31").cast("timestamp")))
+    )
+    return left.join(versions, cond, "left").select(
+        "event_id", F.col("e_user").alias("user_id"), "version", "segment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11: distribution checks — exact median / p90 / mean per group (GX
+# ExpectColumnMedianToBeBetween etc., great_expectations_suite.py:126-138).
+# Exact percentile (not approx) so the DuckDB quantile_cont oracle matches.
+# ---------------------------------------------------------------------------
+
+_DIST_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.5), 4) AS median_value,
+       round(quantile_cont(value, 0.9), 4) AS p90_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS mean_value,
+       (quantile_cont(value, 0.5) BETWEEN 30 AND 600) AS median_in_expected_range
+FROM events GROUP BY event_type
+"""
+
+
+@register("value_distribution_check", oracle=_DIST_ORACLE, tags=("A11", "DQ"))
+def value_distribution_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = F.percentile("value", F.lit(0.5))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(med, 4).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
+        (F.sum(dec("value")).cast("double") / F.count("value")).alias("mean_value"),
+        med.between(30, 600).alias("median_in_expected_range"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F21: regex format validation (GX MSISDN regex ^\+1\d{10}$,
+# great_expectations_suite.py:70-75) on synthesized phone numbers with a
+# deterministic 5% invalid slice.
+# ---------------------------------------------------------------------------
+
+_REGEX_ORACLE = """
+WITH phones AS (
+  SELECT c_custkey AS custkey,
+         CASE WHEN c_custkey % 20 = 0
+              THEN concat('+1', lpad(CAST(c_custkey * 7919 % 999999999 AS VARCHAR), 9, '0'))
+              ELSE concat('+1', lpad(CAST(c_custkey * 7919 % 9999999999 AS VARCHAR), 10, '0'))
+         END AS msisdn
+  FROM customer
+)
+SELECT custkey, msisdn,
+       regexp_matches(msisdn, '^\\+1[0-9]{10}$') AS is_valid_format
+FROM phones
+"""
+
+
+@register("msisdn_format_validation", oracle=_REGEX_ORACLE, tags=("F21", "DQ"))
+def msisdn_format_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    ten = F.lpad((F.col("c_custkey") * 7919 % 9999999999).cast("string"), 10, "0")
+    nine = F.lpad((F.col("c_custkey") * 7919 % 999999999).cast("string"), 9, "0")
+    msisdn = F.when(F.col("c_custkey") % 20 == 0, F.concat(F.lit("+1"), nine)).otherwise(
+        F.concat(F.lit("+1"), ten)
+    )
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        msisdn.alias("msisdn"),
+        msisdn.rlike(r"^\+1[0-9]{10}$").alias("is_valid_format"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8: CSV seed source (dbt seed; towers_seed.csv) with an explicit pinned
+# schema — no inference — plus the dim_towers region/tier derivations
+# (dim_towers.sql:27-47).
+# ---------------------------------------------------------------------------
+
+SEED_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "towers_seed.csv")
+
+TOWER_SEED_SCHEMA = StructType(
+    [
+        StructField("tower_id", StringType()),
+        StructField("city", StringType()),
+        StructField("state", StringType()),
+        StructField("latitude", DecimalType(9, 6)),
+        StructField("longitude", DecimalType(9, 6)),
+        StructField("tower_type", StringType()),
+        StructField("capacity_erlangs", IntegerType()),
+        StructField("is_active", BooleanType()),
+    ]
+)
+
+_CSV_ORACLE = f"""
+SELECT tower_id, city, state,
+       CAST(latitude AS DOUBLE) AS latitude,
+       CAST(longitude AS DOUBLE) AS longitude,
+       tower_type,
+       capacity_erlangs,
+       CASE
+         WHEN state IN ('WA', 'OR', 'CA', 'AZ') THEN 'WEST'
+         WHEN state IN ('CO', 'TX', 'IL') THEN 'CENTRAL'
+         ELSE 'EAST'
+       END AS region,
+       CASE
+         WHEN capacity_erlangs >= 1000 THEN 'HIGH_CAPACITY'
+         WHEN capacity_erlangs >= 600 THEN 'MEDIUM_CAPACITY'
+         ELSE 'STANDARD'
+       END AS capacity_tier,
+       is_active
+FROM read_csv('{SEED_PATH}', header=true, columns={{
+  'tower_id': 'VARCHAR', 'city': 'VARCHAR', 'state': 'VARCHAR',
+  'latitude': 'DECIMAL(9,6)', 'longitude': 'DECIMAL(9,6)',
+  'tower_type': 'VARCHAR', 'capacity_erlangs': 'INTEGER', 'is_active': 'BOOLEAN'
+}})
+"""
+
+
+@register("csv_seed_dim_towers", oracle=_CSV_ORACLE, tags=("S8", "F2"))
+def csv_seed_dim_towers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = spark.read.option("header", True).schema(TOWER_SEED_SCHEMA).csv(SEED_PATH)
+    return t.select(
+        "tower_id",
+        "city",
+        "state",
+        F.col("latitude").cast("double").alias("latitude"),
+        F.col("longitude").cast("double").alias("longitude"),
+        "tower_type",
+        "capacity_erlangs",
+        F.when(F.col("state").isin("WA", "OR", "CA", "AZ"), "WEST")
+        .when(F.col("state").isin("CO", "TX", "IL"), "CENTRAL")
+        .otherwise("EAST")
+        .alias("region"),
+        F.when(F.col("capacity_erlangs") >= 1000, "HIGH_CAPACITY")
+        .when(F.col("capacity_erlangs") >= 600, "MEDIUM_CAPACITY")
+        .otherwise("STANDARD")
+        .alias("capacity_tier"),
+        "is_active",
+    )
