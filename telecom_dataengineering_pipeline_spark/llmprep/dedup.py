@@ -207,6 +207,11 @@ def minhash_near_dup_pairs(
     """Full MinHash-LSH pipeline: signatures → banded candidates → exact
     Jaccard verification (shingle-stream join restricted to candidates) →
     thresholded pairs."""
+    # The shingle stream feeds signatures, sizes and verification and is
+    # recomputed per consumer. Measured on this corpus, recompute beats
+    # persist(): the stream is cheap while cache materialization blocks
+    # stage pipelining and accumulates executor memory across calls. For a
+    # corpus where shingling dominates, persist(MEMORY_AND_DISK) here.
     stream = shingle_stream(docs, text_col, id_col, n)
     sizes = _shingle_sizes(stream)
     cands = lsh_candidate_pairs(

@@ -103,3 +103,64 @@ def bucketed_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroid_mod: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization with deterministic centroids (every
+    ``centroid_mod``-th vector — stands in for k-means training, which is an
+    offline job at scale). Assign every vector to its max-cosine centroid.
+
+    The assignment is a broadcast join (centroids are tiny by construction)
+    + per-vector argmax — one pass over the corpus, no shuffle of the
+    corpus itself."""
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    cents = emb.filter(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "c_cos", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "v", "nrm", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    centroid_mod: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: rank only vectors sharing the query's cell (nprobe=1).
+    The cell equi-join is the only shuffle — same shape as the sign-LSH
+    variant, but with data-adaptive cells."""
+    assigned = ivf_assign(embeddings, centroid_mod, id_col, vec_col)
+    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cell").alias("qcell"),
+    )
+    joined = assigned.join(
+        F.broadcast(q), (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id"))
+    )
+    sim = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        joined.select("query_id", "vec_id", F.round(sim, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )

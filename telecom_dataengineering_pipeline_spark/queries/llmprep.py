@@ -342,3 +342,49 @@ def multimodal_feature_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_media_table(load_table(spark, sf_dir, "documents"))
     return extract_features(media, fake_decode=True).drop("crc32")
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: deterministic coarse centroids (every 100th vector), assign
+# to max-cosine cell, rank within the query's cell (nprobe=1).
+# ---------------------------------------------------------------------------
+
+_IVF_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), cent AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT n.vec_id, n.v, n.nrm, cent.cid,
+         list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn) AS c_cos
+  FROM n CROSS JOIN cent
+), assigned AS (
+  SELECT vec_id, v, nrm, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cid ASC) AS _rn
+    FROM scored
+  ) WHERE _rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell AS qcell
+  FROM assigned WHERE vec_id < 10
+), s AS (
+  SELECT q.query_id, a.vec_id,
+         round(list_dot_product(q.qv, a.v) / (q.qn * a.nrm), 6) AS cosine
+  FROM q JOIN assigned a ON a.cell = q.qcell AND a.vec_id <> q.query_id
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM s
+)
+SELECT query_id, vec_id AS neighbor_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_topk", oracle=_IVF_ORACLE, tags=("LLM", "similarity"))
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_ids=list(range(10)), k=5, centroid_mod=100).withColumn(
+        "rank", F.col("rank").cast("int")
+    )

@@ -1,0 +1,110 @@
+"""Scale-path operators: salted aggregation/join equivalence, bucketed
+shuffle-free joins, CBO statistics, streaming dedup-within-watermark."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from telecom_dataengineering_pipeline_spark.operators.skew import salted_agg, salted_join
+from telecom_dataengineering_pipeline_spark.sources.bucketing import analyze_table, write_bucketed
+from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
+
+
+def test_salted_agg_equals_direct(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    direct = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        F.max("value").alias("mx"),
+    )
+    salted = salted_agg(
+        ev,
+        ["user_id"],
+        {
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "total": (F.sum(F.col("value").cast("decimal(18,2)")), F.sum("total")),
+            "mx": (F.max("value"), F.max("mx")),
+        },
+        salt_buckets=8,
+    )
+    d = {r["user_id"]: (r["n"], r["total"], r["mx"]) for r in direct.collect()}
+    s = {r["user_id"]: (r["n"], r["total"], r["mx"]) for r in salted.collect()}
+    assert d == s
+
+
+def test_salted_join_equals_plain(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id", "value")
+    cust = load_table(spark, sf_smoke, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plain = ev.join(cust, "user_id").select("event_id", "c_mktsegment")
+    salted = salted_join(ev, cust, "user_id", salt_buckets=8).select("event_id", "c_mktsegment")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+@pytest.fixture()
+def warehouse_spark(spark):
+    yield spark
+    for t in ("b_orders", "b_lineitem", "stats_demo"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_has_no_shuffle(warehouse_spark, sf_smoke, tmp_path):
+    spark = warehouse_spark
+    o = load_table(spark, sf_smoke, "orders")
+    li = load_table(spark, sf_smoke, "lineitem")
+    write_bucketed(o, "b_orders", ["o_orderkey"], n_buckets=8, path=str(tmp_path / "b_orders"))
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], n_buckets=8, path=str(tmp_path / "b_lineitem"))
+    joined = spark.table("b_lineitem").join(
+        spark.table("b_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    # bucketed co-located join: no Exchange (shuffle) in the final plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert "Exchange" not in plan.replace("ReusedExchange", "")
+    assert joined.count() == li.count()
+
+
+def test_analyze_table_statistics(warehouse_spark, sf_smoke, tmp_path):
+    spark = warehouse_spark
+    load_table(spark, sf_smoke, "orders").write.mode("overwrite").option(
+        "path", str(tmp_path / "stats_demo")
+    ).saveAsTable("stats_demo")
+    analyze_table(spark, "stats_demo", columns=["o_custkey", "o_totalprice"])
+    stats = spark.sql("DESCRIBE EXTENDED stats_demo").filter("col_name = 'Statistics'").collect()
+    assert stats and "rows" in stats[0]["data_type"]
+    col_stats = spark.sql("DESCRIBE EXTENDED stats_demo o_custkey").collect()
+    kv = {r["info_name"]: r["info_value"] for r in col_stats}
+    assert int(kv["distinct_count"]) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, sf_smoke):
+    """W1's streaming form: dropDuplicatesWithinWatermark on at-least-once
+    input (duplicates injected within the watermark window)."""
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "ts", "value").limit(200)
+    dups = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 SECONDS"))
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        ev.unionByName(dups).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        deduped = stream.withWatermark("ts", "1 minute").dropDuplicatesWithinWatermark(["event_id"])
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.sql("SELECT * FROM dedup_stream")
+        assert out.count() == 200
+        assert out.groupBy("event_id").count().filter("count > 1").count() == 0
