@@ -285,6 +285,73 @@ class MedallionPipeline:
         ).filter(F.col("year_month").isNotNull())
         joined.write.mode("overwrite").parquet(self.path("gold", "agg_customer_monthly"))
 
+    # -- Incremental refresh (M1 + P4 + S12 composed) --------------------
+    def incremental_silver_calls(self, lookback_days: int = 3) -> None:
+        """Refresh silver from bronze incrementally: only bronze rows newer
+        than silver's high-water mark (minus the late-data lookback,
+        dbt_project.yml:53) are re-processed, then MERGEd on call_id with
+        keep-latest semantics — the dbt incremental model's exact shape."""
+        bronze = self.spark.read.parquet(self.path("bronze", "call_events"))
+        existing = self.spark.read.parquet(self.path("silver", "calls"))
+        hwm = existing.agg(F.max("_bronze_ingested_at")).collect()[0][0]
+        fresh = bronze.filter(
+            F.col("_bronze_ingested_at") > F.lit(hwm) - F.expr(f"INTERVAL {lookback_days} DAYS")
+        )
+        deduped = dedup_keep_latest(
+            fresh,
+            keys=["event_id"],
+            order_by=[F.col("_bronze_ingested_at").desc(), F.col("call_start_timestamp").desc()],
+        )
+        valid = deduped.filter(
+            F.col("event_id").isNotNull()
+            & F.col("caller_msisdn").isNotNull()
+            & F.col("tower_id").isNotNull()
+            & (F.col("duration_seconds") >= 0)
+        )
+        desc_expr = F.coalesce(
+            *[F.when(F.col("call_result_code") == k, v) for k, v in RESULT_DESC.items()],
+            F.concat(F.lit("UNKNOWN_"), F.col("call_result_code")),
+        )
+        incoming = valid.select(
+            F.col("event_id").alias("call_id"),
+            F.col("caller_customer_id").alias("customer_id"),
+            "caller_msisdn",
+            "called_msisdn",
+            "tower_id",
+            F.col("call_start_timestamp").alias("call_start_ts"),
+            F.col("call_end_timestamp").alias("call_end_ts"),
+            F.col("call_start_timestamp").cast("date").alias("call_date"),
+            F.col("duration_seconds").cast("bigint").alias("duration_seconds"),
+            F.round(F.col("duration_seconds") / 60.0, 2).alias("duration_minutes"),
+            "call_result_code",
+            desc_expr.alias("call_result_desc"),
+            (F.col("call_result_code") == "0").alias("is_successful"),
+            (F.col("duration_seconds") == 0).alias("is_zero_duration"),
+            "plan_type",
+            F.col("roaming").cast("boolean").alias("roaming"),
+            F.col("revenue_usd").cast("decimal(12,4)").alias("revenue_usd"),
+            "_bronze_ingested_at",
+        )
+        from ..operators.merge import merge_upsert
+
+        merged = merge_upsert(
+            existing.drop("year", "month"),
+            incoming,
+            keys=["call_id"],
+            order_by=[F.col("_bronze_ingested_at").desc()],
+        )
+        staging = self.path("silver", "calls") + "__staging"
+        write_partitioned(
+            merged.withColumn("year", F.year("call_date")).withColumn("month", F.month("call_date")),
+            staging,
+            partition_cols=("year", "month"),
+        )
+        final = self.path("silver", "calls")
+        import shutil
+
+        shutil.rmtree(final)
+        shutil.move(staging, final)
+
     # -- Quality gate ----------------------------------------------------
     def quality_gate(self) -> list:
         calls = self.spark.read.parquet(self.path("silver", "calls"))

@@ -229,3 +229,66 @@ def dq_freshness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lag_s > 86400).alias("sla_breached"),
         F.col("n").alias("row_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A3 (preserved quirk): "worst status" via rank-encode → MAX → decode
+# (agg_tower_hourly_utilization.sql:70-77,106-111) + threshold-breach count.
+# ---------------------------------------------------------------------------
+
+_WORST_STATUS_ORACLE = """
+WITH statused AS (
+  SELECT user_id,
+         CASE
+           WHEN value >= 150 THEN 'CRITICAL'
+           WHEN value >= 100 THEN 'WARNING'
+           WHEN value >= 50  THEN 'ELEVATED'
+           ELSE 'NORMAL'
+         END AS value_status,
+         (value > 185) AS breached
+  FROM events
+), encoded AS (
+  SELECT user_id,
+         max(CASE value_status
+               WHEN 'CRITICAL' THEN 4 WHEN 'WARNING' THEN 3
+               WHEN 'ELEVATED' THEN 2 ELSE 1 END) AS worst_rank,
+         CAST(sum(CASE WHEN breached THEN 1 ELSE 0 END) AS BIGINT) AS breach_count,
+         count(*) AS n
+  FROM statused GROUP BY user_id
+)
+SELECT user_id,
+       CASE worst_rank WHEN 4 THEN 'CRITICAL' WHEN 3 THEN 'WARNING'
+            WHEN 2 THEN 'ELEVATED' ELSE 'NORMAL' END AS worst_status,
+       breach_count, n
+FROM encoded
+"""
+
+
+@register("worst_status_rollup", oracle=_WORST_STATUS_ORACLE, tags=("A3", "F2"))
+def worst_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    status = (
+        F.when(v >= 150, "CRITICAL")
+        .when(v >= 100, "WARNING")
+        .when(v >= 50, "ELEVATED")
+        .otherwise("NORMAL")
+    )
+    rank = (
+        F.when(status == "CRITICAL", 4)
+        .when(status == "WARNING", 3)
+        .when(status == "ELEVATED", 2)
+        .otherwise(1)
+    )
+    encoded = ev.groupBy("user_id").agg(
+        F.max(rank).alias("worst_rank"),
+        F.sum(F.when(v > 185, 1).otherwise(0)).cast("long").alias("breach_count"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    decode = (
+        F.when(F.col("worst_rank") == 4, "CRITICAL")
+        .when(F.col("worst_rank") == 3, "WARNING")
+        .when(F.col("worst_rank") == 2, "ELEVATED")
+        .otherwise("NORMAL")
+    )
+    return encoded.select("user_id", decode.alias("worst_status"), "breach_count", "n")
