@@ -388,3 +388,48 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, query_ids=list(range(10)), k=5, centroid_mod=100).withColumn(
         "rank", F.col("rank").cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex classes) and a polynomial
+# rolling-hash document fingerprint — both as pure fold/regex expressions,
+# exact in both engines (mod 2^31-1 keeps the fold in safe int64 range).
+# ---------------------------------------------------------------------------
+
+_TOKEN_COUNT_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', '', 'g') AS norm
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_token_count,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_token_count,
+  round(CAST(length(text) AS DOUBLE) / greatest(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')), 1), 4) AS chars_per_bpeish_token,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT) AS rolling_fingerprint
+FROM t
+"""
+
+
+@register("text_token_counts", oracle=_TOKEN_COUNT_ORACLE, tags=("LLM", "text"))
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""), r"\s+", ""
+    )
+    bpeish = F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)")
+    rolling = F.aggregate(
+        F.split(norm, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(2147483647),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long").alias("ws_token_count"),
+        F.size(bpeish).cast("long").alias("bpeish_token_count"),
+        F.round(F.length("text").cast("double") / F.greatest(F.size(bpeish), F.lit(1)), 4).alias(
+            "chars_per_bpeish_token"
+        ),
+        rolling.cast("long").alias("rolling_fingerprint"),
+    )

@@ -75,3 +75,116 @@ def user_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key="user_id", ts_col="ts", window_seconds=86400
     )
     return counted.select("user_id", "event_id", "events_in_window")
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: lag(ts) + cumulative-sum-on-gap (30-minute inactivity
+# gap). The canonical event-analytics session builder — two window passes
+# over one per-key shuffle.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800
+
+_SESSION_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER w AS prev_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), marked AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_S} * 1000000
+                 THEN 1 ELSE 0 END AS is_new_session
+  FROM seq
+)
+SELECT user_id, event_id,
+       CAST(sum(is_new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq,
+       (is_new_session = 1) AS is_session_start
+FROM marked
+"""
+
+
+@register("user_sessionization", oracle=_SESSION_ORACLE, tags=("W3", "sessionization"))
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = ev.withColumn("prev_us", F.lag("us").over(w)).withColumn(
+        "is_new_session",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("us") - F.col("prev_us") > SESSION_GAP_S * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    cum = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return marked.select(
+        "user_id",
+        "event_id",
+        F.sum("is_new_session").over(cum).cast("long").alias("session_seq"),
+        (F.col("is_new_session") == 1).alias("is_session_start"),
+    )
+
+
+_SESSION_STATS_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER w AS prev_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), marked AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_S} * 1000000
+                 THEN 1 ELSE 0 END AS is_new_session
+  FROM seq
+), sess AS (
+  SELECT *, sum(is_new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_seconds,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+@register("session_stats_rollup", oracle=_SESSION_STATS_ORACLE, tags=("W3", "A1", "sessionization"))
+def session_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = user_sessionization(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    joined = ev.join(sessions.select("event_id", "session_seq"), "event_id")
+    return joined.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor((F.max("us") - F.min("us")) / 1_000_000).cast("long").alias("duration_seconds"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: per-user event-type counts as columns (explicit value list so the
+# output schema is deterministic); oracle via conditional aggregation.
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+  CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+  CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+  CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+  CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
+FROM events GROUP BY user_id
+"""
+
+
+@register("event_type_pivot", oracle=_PIVOT_ORACLE, tags=("pivot",))
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["signup", "click", "view", "purchase", "error"]
+    pivoted = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    return pivoted.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds]
+    )

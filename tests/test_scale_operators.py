@@ -108,3 +108,19 @@ def test_streaming_dedup_within_watermark(spark, sf_smoke):
         out = spark.sql("SELECT * FROM dedup_stream")
         assert out.count() == 200
         assert out.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+def test_session_window_matches_manual_sessionization(spark, sf_smoke):
+    """Spark's native session_window(gap) must produce the same per-session
+    event counts as the lag+cumsum construction in queries/windows.py."""
+    from telecom_dataengineering_pipeline_spark.queries.windows import SESSION_GAP_S, session_stats_rollup
+
+    manual = session_stats_rollup(spark, sf_smoke)
+    ev = load_table(spark, sf_smoke, "events")
+    native = (
+        ev.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_S} seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    m = sorted((r["user_id"], r["n_events"]) for r in manual.collect())
+    n = sorted((r["user_id"], r["n_events"]) for r in native.collect())
+    assert m == n
