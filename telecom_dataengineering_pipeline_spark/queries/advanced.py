@@ -274,3 +274,37 @@ def csv_seed_dim_towers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("capacity_tier"),
         "is_active",
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping (beyond the reference, which has no grouping sets): all
+# (returnflag × linestatus) subtotal combinations with 'ALL' labels — the
+# pre-aggregated dashboard cube pattern.
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("lineitem_cube_rollup", oracle=_CUBE_ORACLE, tags=("cube",))
+def lineitem_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec("l_extendedprice", 12, 2)).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_price",
+        )
+    )
