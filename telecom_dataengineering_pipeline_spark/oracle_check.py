@@ -44,7 +44,9 @@ def _values_equal(a: object, b: object) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b
+        # repr-strict: the driver may hash stringified values, where
+        # "0.0" != "-0.0" and ulp differences show — require bit-identity.
+        return repr(a) == repr(b)
     if pd.isna(a) and pd.isna(b):  # type: ignore[arg-type]
         return True
     return str(a) == str(b)
