@@ -476,3 +476,100 @@ def incremental_lookback_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: multi-way join (customer⋈orders⋈lineitem⋈nation⋈region)
+# with a region + date-window filter and revenue rollup per nation — the
+# biggest shuffle-join shape in the engine (lineitem⋈orders is the only
+# shuffled join; every dimension broadcasts).
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@register("revenue_by_nation", oracle=_Q5_ORACLE, tags=("J1", "A1", "tpch"), bench=True)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    price = dec("l_extendedprice", 12, 2)
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(price * disc_f).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: shipping priority — top unshipped orders by revenue for
+# one market segment (filter → shuffled join → agg → deterministic top-k).
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT l.l_orderkey AS orderkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+       strftime(min(o.o_orderdate), '%Y-%m-%d') AS orderdate,
+       min(o.o_orderpriority) AS orderpriority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+"""
+
+
+@register("shipping_priority_topk", oracle=_Q3_ORACLE, tags=("J1", "A1", "O6", "tpch"), bench=True)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    price = dec("l_extendedprice", 12, 2)
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    )
+    return (
+        joined.groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            F.sum(price * disc_f).cast("double").alias("revenue"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
+            F.min("o_orderpriority").alias("orderpriority"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
