@@ -433,3 +433,41 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         rolling.cast("long").alias("rolling_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup #5: embedding-cosine over hashed-TF vectors. Spark runs the
+# LSH-bucketed pipeline (random-hyperplane bands → candidate equi-join →
+# exact cosine on candidates); the oracle computes EXACT all-pairs cosine —
+# valid for the same reason as MinHash: true pairs sit at cosine ≈ 1 where
+# 24-plane/6-band recall is ~1, and candidates are exact-verified.
+# ---------------------------------------------------------------------------
+
+_COS_DUP_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents
+), dims AS (
+  SELECT doc_id, CAST(('0x'||substr(md5(tok),1,8))::BIGINT % 64 AS INTEGER) AS dim,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM toks WHERE tok <> '' GROUP BY 1, 2
+), maps AS (
+  SELECT doc_id, map_from_entries(list(struct_pack(k := dim, v := cnt))) AS m
+  FROM dims GROUP BY doc_id
+), vecs AS (
+  SELECT doc_id, list_transform(range(0, 64), d -> coalesce(map_extract(m, d)[1], 0.0)) AS v
+  FROM maps
+), n AS (
+  SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vecs
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.doc_id < b.doc_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.98
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_COS_DUP_ORACLE, tags=("LLM", "dedup"), bench=True)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.dedup import cosine_dup_pairs
+
+    return cosine_dup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.98)

@@ -573,3 +573,137 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated scalar subquery — lineitems below 20% of their
+# part's average quantity. Spark expresses the decorrelated plan directly:
+# broadcast the filtered part dim, then a per-part window average (one
+# shuffle on l_partkey) instead of a second lineitem scan + self-join.
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@register("small_quantity_revenue", oracle=_Q17_ORACLE, tags=("J1", "A1", "tpch"))
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    # Correlated avg decorrelates to a window over the part key: the brand
+    # filter restricts to those partkeys, so the window average equals the
+    # full-table per-part average the subquery describes.
+    w = Window.partitionBy("l_partkey")
+    return (
+        joined.withColumn("qty_lim", F.lit(0.2) * F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            (F.sum(dec("l_extendedprice", 12, 2)).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier(s) — revenue per supplier over a shipping
+# window, keep the rows equal to the global max (correlated max subquery ≡
+# an unpartitioned window max over the aggregated, already-tiny result).
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l.l_suppkey AS suppkey,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE) AS total_revenue
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey AS suppkey, s.s_name AS supplier_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+@register("top_supplier_by_revenue", oracle=_Q15_ORACLE, tags=("J1", "A1", "tpch"))
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    price = dec("l_extendedprice", 12, 2)
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(price * disc_f).cast("double").alias("total_revenue")
+    )
+    # The correlated max runs over the per-supplier aggregate (|suppliers|
+    # rows) — an unpartitioned window here is a single-partition pass over
+    # an already-reduced input, not over lineitem.
+    w = Window.partitionBy()
+    top = (
+        rev.withColumn("_mx", F.max("total_revenue").over(w))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .drop("_mx")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return top.join(F.broadcast(s), top["suppkey"] == s["s_suppkey"]).select(
+        "suppkey", F.col("s_name").alias("supplier_name"), "total_revenue"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-quantity customers — group filter (HAVING) on a
+# big aggregation, then enrich the few survivors via broadcast joins.
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+SELECT c.c_name AS customer_name, c.c_custkey AS custkey,
+       o.o_orderkey AS orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(b.total_qty AS DOUBLE) AS total_qty
+FROM big b
+JOIN orders o   ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("large_quantity_customers", oracle=_Q18_ORACLE, tags=("J1", "A1", "tpch"))
+def large_quantity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_name").alias("customer_name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
