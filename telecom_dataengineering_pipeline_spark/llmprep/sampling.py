@@ -1,0 +1,55 @@
+"""Deterministic dataset splitting and stratified sampling.
+
+Training-data pipelines need split assignment that is (a) stable across
+runs and cluster sizes — no ``rand()``, which reshuffles with partitioning —
+and (b) a pure map over the id: train/val/test membership is a function of
+``md5(salt || id)``, so any engine (and any re-run over late-arriving data)
+agrees on every row's split. Stratified sampling ranks rows per stratum by
+the same deterministic hash, giving a reproducible "random" top-k per group
+with one shuffle (the window partition).
+
+Scale: split assignment is shuffle-free; stratified sampling shuffles once
+on the stratum key, and the rank-filter prunes map-side via
+WindowGroupLimit when k is a literal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import token_hash32
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split_v1",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Adds ``split_bucket`` (0..99) and ``split`` (train/val/test)."""
+    bucket = F.pmod(
+        token_hash32(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))),
+        F.lit(100),
+    ).cast("int")
+    return df.withColumn("split_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < train_pct, F.lit("train"))
+        .when(F.col("split_bucket") < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample_flag(
+    df: DataFrame,
+    stratum_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "sample_v1",
+) -> DataFrame:
+    """Adds ``sampled`` — true for a deterministic pseudo-random k rows per
+    stratum (hash order, id tie-break)."""
+    h = token_hash32(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return df.withColumn("sampled", F.row_number().over(w) <= k)

@@ -471,3 +471,65 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmprep.dedup import cosine_dup_pairs
 
     return cosine_dup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.98)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: fixed-size token windows with overlap (chunk 100,
+# stride 80) — a pure map stage (no shuffle anywhere in the plan).
+# ---------------------------------------------------------------------------
+
+_CHUNK_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(list_filter(toks, x -> x <> '')) AS n_tok FROM base
+), starts AS (
+  SELECT doc_id, toks, n_tok, unnest(range(0, n_tok, 80)) AS start
+  FROM sized WHERE n_tok > 0
+)
+SELECT doc_id,
+       CAST(start / 80 AS INTEGER) AS chunk_idx,
+       least(100, n_tok - start) AS n_tokens,
+       md5(array_to_string(list_slice(toks, start + 1, least(start + 100, n_tok)), ' ')) AS chunk_md5
+FROM starts
+"""
+
+
+@register("doc_chunking", oracle=_CHUNK_ORACLE, tags=("LLM", "chunking"))
+def doc_chunking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.chunking import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_size=100, stride=80
+    ).withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset split + per-language stratified sample: membership
+# is a pure function of md5(salt || id) — stable across runs, engines, and
+# cluster sizes (rand() is none of those).
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(('0x'||substr(md5('split_v1_' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS INTEGER) AS split_bucket,
+         ('0x'||substr(md5('sample_v1_' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS sh
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, split_bucket,
+         CASE WHEN split_bucket < 90 THEN 'train'
+              WHEN split_bucket < 95 THEN 'val' ELSE 'test' END AS split,
+         row_number() OVER (PARTITION BY lang ORDER BY sh ASC, doc_id ASC) AS rn
+  FROM b
+)
+SELECT doc_id, lang, split_bucket, split, rn <= 25 AS sampled FROM r
+"""
+
+
+@register("dataset_split_assignments", oracle=_SPLIT_ORACLE, tags=("LLM", "sampling"))
+def dataset_split_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.sampling import split_assign, stratified_sample_flag
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample_flag(split_assign(docs), stratum_col="lang", k=25)

@@ -1,0 +1,60 @@
+"""Chunking and dataset-split invariants beyond value parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from telecom_dataengineering_pipeline_spark.llmprep.chunking import chunk_documents
+from telecom_dataengineering_pipeline_spark.llmprep.sampling import (
+    split_assign,
+    stratified_sample_flag,
+)
+from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
+
+
+def test_chunking_is_shuffle_free(spark, sf_smoke):
+    df = chunk_documents(load_table(spark, sf_smoke, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map stage: scan → generate → project
+
+
+def test_chunks_cover_every_token(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    chunks = chunk_documents(docs, chunk_size=100, stride=80)
+    # stride 80 < size 100: chunk i starts at 80*i, so the last chunk must
+    # reach the final token and consecutive chunks overlap by 20.
+    agg = chunks.groupBy("doc_id").agg(
+        F.max(F.col("chunk_idx") * 80 + F.col("n_tokens")).alias("covered"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n_tok"),
+        F.length(F.trim("text")).alias("n_chars"),
+    ).filter(F.col("n_chars") > 0)
+    joined = agg.join(toks, "doc_id")
+    assert joined.filter(F.col("covered") != F.col("n_tok")).count() == 0
+
+
+def test_split_is_deterministic_and_proportional(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "lang")
+    a = {r.doc_id: r.split for r in split_assign(docs).collect()}
+    b = {r.doc_id: r.split for r in split_assign(docs.repartition(7)).collect()}
+    assert a == b  # partitioning-independent
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train")
+    assert 0.80 * n <= train <= 0.97 * n  # ~90% with hash noise at small n
+
+
+def test_stratified_sample_exactly_k_per_stratum(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "lang")
+    flagged = stratified_sample_flag(docs, stratum_col="lang", k=5)
+    per = (
+        flagged.filter("sampled")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in per:
+        assert r.n == min(5, sizes[r.lang])
