@@ -76,3 +76,38 @@ def read_with_schema_merge(spark: SparkSession, path: str) -> DataFrame:
 def append_with_new_columns(df: DataFrame, path: str) -> None:
     """Append-side of M4 (on_schema_change: append_new_columns)."""
     df.write.mode("append").option("mergeSchema", "true").parquet(path)
+
+
+def expire_old_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    cutoff_value: str,
+    dry_run: bool = False,
+) -> list[str]:
+    """Retention maintenance for partitioned parquet tables — the
+    plain-parquet analog of the reference's Iceberg snapshot expiry
+    (``bronze_compaction.py:134,153-160``: 7-day retention +
+    ``expire_snapshots``; SURVEY §2.6 O5).
+
+    Drops Hive partition directories whose value sorts strictly below
+    ``cutoff_value`` (ISO dates compare lexicographically, so a date string
+    cutoff expires everything older). Goes through the Hadoop FileSystem
+    API, so the same call works on HDFS/S3A/local URIs, and deletes whole
+    partition directories — an O(|partitions|) metadata operation that never
+    reads data. Returns the expired partition directory names.
+    """
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    expired = []
+    prefix = partition_col + "="
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix) and name[len(prefix):] < cutoff_value:
+            expired.append(name)
+            if not dry_run:
+                fs.delete(st.getPath(), True)
+    return sorted(expired)
