@@ -140,6 +140,33 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+def resize_media(media: DataFrame, target_w: int = 32, target_h: int = 24) -> DataFrame:
+    """'Resize' as a mapInPandas stage: 1 row in → 1 row out with a new
+    payload and updated metadata, preserving ``MEDIA_SCHEMA`` so resize
+    composes with every other media stage. The stub resamples payload bytes
+    nearest-neighbor to ``target_w·target_h`` length — deterministic, and
+    exactly the batch shape a PIL ``Image.resize`` replacement drops into."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = target_w * target_h
+        for pdf in batches:
+            out = pdf.copy()
+            resized = []
+            for payload in pdf["payload"]:
+                n = len(payload)
+                if n == 0:
+                    resized.append(b"\x00" * size)
+                else:  # nearest-neighbor index scaling, like a 1-D Image.resize
+                    resized.append(bytes(payload[(i * n) // size] for i in range(size)))
+            out["payload"] = resized
+            out["meta"] = [
+                {"width": target_w, "height": target_h, "n_bytes": size} for _ in resized
+            ]
+            yield out
+
+    return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' on the fake payload: slice every Nth byte — the same
     mapInPandas shape a video frame sampler uses (1 input row → K output

@@ -54,3 +54,26 @@ def test_frame_sampling_row_expansion(spark, sf_smoke):
         for r in frames.filter(F.col("media_id") == one["media_id"]).orderBy("frame_offset").collect()
     )
     assert got == bytes(one["payload"])
+
+
+def test_resize_preserves_schema_and_sets_target(spark, sf_smoke):
+    from telecom_dataengineering_pipeline_spark.llmprep.multimodal import resize_media
+
+    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    media = synthesize_media_table(docs)
+    resized = resize_media(media, target_w=32, target_h=24)
+    # same names/types (nullability differs: literals are non-null)
+    assert resized.schema.simpleString() == media.schema.simpleString()
+    rows = resized.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert (r["meta"]["width"], r["meta"]["height"]) == (32, 24)
+        assert len(bytes(r["payload"])) == 32 * 24 == r["meta"]["n_bytes"]
+    # deterministic: same input → same bytes
+    again = {r["media_id"]: bytes(r["payload"]) for r in resize_media(media, 32, 24).collect()}
+    assert {r["media_id"]: bytes(r["payload"]) for r in rows} == again
+    # nearest-neighbor resample preserves leading byte
+    orig = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, p in again.items():
+        if orig[mid]:
+            assert p[0] == orig[mid][0]
