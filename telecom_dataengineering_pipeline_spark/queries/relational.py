@@ -707,3 +707,54 @@ def large_quantity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_qty").cast("double").alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EXISTS / left-semi join: customers with at least one open order above a
+# price floor. LeftSemi is its own physical operator — probe side emits each
+# row at most once, no fan-out, no columns from the build side.
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c.c_custkey AS custkey, c.c_name AS customer_name, c.c_mktsegment AS mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O' AND o.o_totalprice > 200000
+)
+"""
+
+
+@register("customers_with_open_orders", oracle=_SEMI_ORACLE, tags=("J1", "semi"))
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000)
+    )
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT: users active in both the first and last week of the event
+# window — Spark's Intersect rewrites to a distinct + semi-join pair; the
+# date filters prune at the scan.
+# ---------------------------------------------------------------------------
+
+_INTERSECT_ORACLE = """
+SELECT user_id FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'
+INTERSECT
+SELECT user_id FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-24' AND DATE '2024-01-30'
+"""
+
+
+@register("users_active_both_periods", oracle=_INTERSECT_ORACLE, tags=("U1", "setop"))
+def users_active_both_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    first = ev.filter(d.between("2024-01-01", "2024-01-07")).select("user_id")
+    last = ev.filter(d.between("2024-01-24", "2024-01-30")).select("user_id")
+    return first.intersect(last)
