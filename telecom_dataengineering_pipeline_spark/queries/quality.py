@@ -292,3 +292,63 @@ def worst_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("NORMAL")
     )
     return encoded.select("user_id", decode.alias("worst_status"), "breach_count", "n")
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation: o_totalprice vs the lineitem-derived total —
+# the classic finance DQ gate (header amount == sum of lines). Reports the
+# top-20 relative deviations plus orders with no lines at all. All money
+# math in DECIMAL so the ranking is deterministic across engines.
+# ---------------------------------------------------------------------------
+
+_RECON_ORACLE = """
+WITH s AS (
+  SELECT l_orderkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1 - l_discount AS DECIMAL(8,4))
+             * CAST(1 + l_tax AS DECIMAL(8,4))) AS net
+  FROM lineitem GROUP BY 1
+), d AS (
+  SELECT o.o_orderkey AS orderkey,
+         CAST(o.o_totalprice AS DOUBLE) AS header_total,
+         CAST(s.net AS DOUBLE) AS lines_total,
+         s.l_orderkey IS NULL AS no_lines,
+         CASE WHEN s.l_orderkey IS NULL THEN 1e9
+              ELSE round(CAST(abs(CAST(o.o_totalprice AS DECIMAL(14,4)) - s.net)
+                              / CAST(o.o_totalprice AS DECIMAL(14,4)) AS DOUBLE), 6)
+         END AS rel_dev
+  FROM orders o LEFT JOIN s ON s.l_orderkey = o.o_orderkey
+)
+SELECT orderkey, header_total, lines_total, no_lines, rel_dev
+FROM d ORDER BY rel_dev DESC, orderkey ASC LIMIT 20
+"""
+
+
+@register("dq_totalprice_reconciliation", oracle=_RECON_ORACLE, tags=("DQ", "A5"))
+def dq_totalprice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.decimals import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    net = (
+        dec("l_extendedprice", 12, 2)
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+        * (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
+    )
+    s = li.groupBy("l_orderkey").agg(F.sum(net).alias("net"))
+    o = load_table(spark, sf_dir, "orders")
+    tot_dec = F.col("o_totalprice").cast("decimal(14,4)")
+    rel = F.when(F.col("l_orderkey").isNull(), F.lit(1e9)).otherwise(
+        F.round((F.abs(tot_dec - F.col("net")) / tot_dec).cast("double"), 6)
+    )
+    return (
+        o.join(s, o["o_orderkey"] == s["l_orderkey"], "left")
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").cast("double").alias("header_total"),
+            F.col("net").cast("double").alias("lines_total"),
+            F.col("l_orderkey").isNull().alias("no_lines"),
+            rel.alias("rel_dev"),
+        )
+        .orderBy(F.col("rel_dev").desc(), F.col("orderkey").asc())
+        .limit(20)
+    )

@@ -107,3 +107,55 @@ def test_foreachbatch_merge_refresh(spark, sf_smoke):
         got = {r["user_id"]: (r["n"], r["max_event"]) for r in final.collect()}
         want = {r["user_id"]: (r["n"], r["max_event"]) for r in batch_truth.collect()}
         assert got == want
+
+
+def test_streaming_session_window_matches_batch(spark, sf_smoke):
+    """Native session_window in a stream (dynamic-gap session aggregation
+    with watermark) must finalize the same sessions as the batch
+    session_window aggregation on the same input."""
+    ev = load_table(spark, sf_smoke, "events").select("ts", "user_id", "value")
+    gap = "10 minutes"
+
+    def sessionize(df):
+        return (
+            df.groupBy(F.session_window("ts", gap), F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total"))
+            .select(
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "user_id",
+                "n_events",
+            )
+        )
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        ev.filter(F.col("ts") < "2024-01-16").coalesce(1).write.parquet(os.path.join(src, "b0"))
+        ev.filter(F.col("ts") >= "2024-01-16").coalesce(1).write.parquet(os.path.join(src, "b1"))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/b*")
+        )
+        q = (
+            sessionize(stream.withWatermark("ts", "30 seconds"))
+            .writeStream.format("memory")
+            .queryName("stream_sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r["session_start"], r["session_end"], r["user_id"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM stream_sessions").collect()
+        }
+    batch = {
+        (r["session_start"], r["session_end"], r["user_id"]): r["n_events"]
+        for r in sessionize(ev).collect()
+    }
+    assert got, "no finalized sessions emitted"
+    for k, v in got.items():
+        assert batch[k] == v
+    # at most the sessions still open at the final watermark may be pending
+    assert len(got) >= len(batch) - len({u for (_, _, u) in batch})
