@@ -113,3 +113,18 @@ def normalized_fingerprint(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.regexp_replace(F.regexp_replace(F.lower(c), r"[^\w\s]", ""), r"\s+", " ")
     return F.md5(F.trim(normalized))
+
+
+def predicted_lang(toks: Column) -> Column:
+    """Argmax of marker votes with the fixed en>es>de>fr>zh preference order
+    (ties break toward the earlier language, matching the reference-style
+    deterministic CASE)."""
+    v = langid_votes(toks)
+    ven, ves, vde, vfr, vzh = (v[x] for x in ("en", "es", "de", "fr", "zh"))
+    return (
+        F.when(ven >= F.greatest(ves, vde, vfr, vzh), F.lit("en"))
+        .when(ves >= F.greatest(vde, vfr, vzh), F.lit("es"))
+        .when(vde >= F.greatest(vfr, vzh), F.lit("de"))
+        .when(vfr >= vzh, F.lit("fr"))
+        .otherwise(F.lit("zh"))
+    )

@@ -107,32 +107,18 @@ FROM v
 
 @register("text_langid_heuristic", oracle=_langid_oracle(), tags=("LLM", "text"))
 def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.text import predicted_lang
+
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     votes = langid_votes(toks)
-    d = docs.select(
+    predicted = predicted_lang(toks)
+    return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         *[v.cast("long").alias(f"v_{lang}") for lang, v in votes.items()],
-    )
-    ven, ves, vde, vfr, vzh = [F.col(f"v_{x}") for x in ("en", "es", "de", "fr", "zh")]
-    predicted = (
-        F.when(ven >= F.greatest(ves, vde, vfr, vzh), "en")
-        .when(ves >= F.greatest(vde, vfr, vzh), "es")
-        .when(vde >= F.greatest(vfr, vzh), "de")
-        .when(vfr >= vzh, "fr")
-        .otherwise("zh")
-    )
-    return d.select(
-        "doc_id",
-        "labeled_lang",
-        "v_en",
-        "v_es",
-        "v_de",
-        "v_fr",
-        "v_zh",
         predicted.alias("predicted_lang"),
-        (predicted == F.col("labeled_lang")).alias("is_match"),
+        (predicted == F.col("lang")).alias("is_match"),
     )
 
 
@@ -533,3 +519,102 @@ def dataset_split_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return stratified_sample_flag(split_assign(docs), stratum_col="lang", k=25)
+
+
+# ---------------------------------------------------------------------------
+# The whole llmprep layer composed: exact dedup → near-dup removal (MinHash
+# on the Spark side, ground-truth exact Jaccard in the oracle — equivalence
+# separately gate-proven) → quality floor → chunking → deterministic split →
+# per-(split, language) corpus stats. One query = the full training-set
+# build at 100 TB shape: two keyed exchanges (fingerprint window, final
+# rollup) + the MinHash banded joins; every other stage is a pure map.
+# ---------------------------------------------------------------------------
+
+_TRAINING_SET_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+  FROM documents
+), canon AS (
+  SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS c FROM fp) WHERE doc_id = c
+), sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len({_TOKS}) - 2, 0)),
+           i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+         )) AS s
+  FROM documents
+), ex AS (SELECT doc_id, unnest(s) AS g FROM sets),
+sz AS (SELECT doc_id, len(s) AS n FROM sets),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), drop2 AS (
+  SELECT DISTINCT doc2 AS doc_id
+  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+), t AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), q AS (
+  SELECT doc_id,
+    round((
+      (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+              / greatest(len(toks), 1) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) >= 0.3 THEN 1.0 ELSE 0.0 END)
+    ) / 3.0, 4) AS quality_score
+  FROM t
+), votes AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS v_en,
+    len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS v_es,
+    len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS v_de,
+    len(list_filter(toks, x -> x IN ('le','la','de','et','est'))) AS v_fr,
+    len(list_filter(toks, x -> x IN ('的','是','了','在','我'))) AS v_zh
+  FROM t
+), lp AS (
+  SELECT doc_id,
+    CASE WHEN v_en >= greatest(v_es, v_de, v_fr, v_zh) THEN 'en'
+         WHEN v_es >= greatest(v_de, v_fr, v_zh) THEN 'es'
+         WHEN v_de >= greatest(v_fr, v_zh) THEN 'de'
+         WHEN v_fr >= v_zh THEN 'fr' ELSE 'zh' END AS pred_lang
+  FROM votes
+), surv AS (
+  SELECT c.doc_id, lp.pred_lang
+  FROM canon c
+  JOIN q ON q.doc_id = c.doc_id
+  JOIN lp ON lp.doc_id = c.doc_id
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM drop2) AND q.quality_score >= 0.6
+), nt AS (
+  SELECT s.doc_id, s.pred_lang, len(list_filter(t.toks, x -> x <> '')) AS n_tok
+  FROM surv s JOIN t ON t.doc_id = s.doc_id
+), chunks AS (
+  SELECT doc_id, pred_lang, n_tok, unnest(range(0, n_tok, 80)) AS start
+  FROM nt WHERE n_tok > 0
+), cd AS (
+  SELECT doc_id, pred_lang,
+         count(*) AS n_chunks,
+         sum(least(100, n_tok - start)) AS n_tokens
+  FROM chunks GROUP BY 1, 2
+), sp AS (
+  SELECT doc_id,
+    CASE WHEN CAST(('0x'||substr(md5('split_v1_' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS INTEGER) < 90 THEN 'train'
+         WHEN CAST(('0x'||substr(md5('split_v1_' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS INTEGER) < 95 THEN 'val'
+         ELSE 'test' END AS split
+  FROM surv
+)
+SELECT sp.split, cd.pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(cd.n_chunks) AS BIGINT) AS n_chunks,
+       CAST(sum(cd.n_tokens) AS BIGINT) AS n_tokens
+FROM cd JOIN sp ON sp.doc_id = cd.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("training_set_summary", oracle=_TRAINING_SET_ORACLE, tags=("LLM", "pipeline"), bench=True)
+def training_set_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.pipeline import training_set_summary
+
+    return training_set_summary(load_table(spark, sf_dir, "documents"))
