@@ -758,3 +758,62 @@ def users_active_both_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = ev.filter(d.between("2024-01-01", "2024-01-07")).select("user_id")
     last = ev.filter(d.between("2024-01-24", "2024-01-30")).select("user_id")
     return first.intersect(last)
+
+
+# ---------------------------------------------------------------------------
+# The flagship rollup through the two-phase SALTED aggregation path,
+# value-checked against the SAME oracle as the direct form: proof that the
+# skew-mitigation machinery is semantics-preserving, not just plausible.
+# Every aggregate decomposes into (phase-1 partial over rows, phase-2
+# combine over partials); derived ratios are computed after the combine.
+# ---------------------------------------------------------------------------
+
+
+@register("hourly_usage_rollup_salted", oracle=_HOURLY_ORACLE, tags=("A1", "skew"))
+def hourly_usage_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull() & (F.col("value") >= 0)
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = broadcast_star_join(
+        ev, [(cust, ev["user_id"] == cust["c_custkey"], "left")]
+    ).select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour_ts"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("mktsegment"),
+        "event_type",
+        "value",
+    )
+    agg = salted_agg(
+        joined,
+        ["hour_ts", "mktsegment"],
+        {
+            "total_events": (F.count(F.lit(1)), F.sum("total_events")),
+            "purchase_count": (
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)),
+                F.sum("purchase_count"),
+            ),
+            "error_count": (
+                F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)),
+                F.sum("error_count"),
+            ),
+            "_sum_dec": (F.sum(dec("value")), F.sum("_sum_dec")),
+            "_n_value": (F.count("value"), F.sum("_n_value")),
+            "max_value": (F.max("value"), F.max("max_value")),
+        },
+        salt_buckets=16,
+    )
+    return agg.select(
+        "hour_ts",
+        "mktsegment",
+        F.col("total_events").cast("long").alias("total_events"),
+        F.col("purchase_count").cast("long").alias("purchase_count"),
+        F.col("error_count").cast("long").alias("error_count"),
+        F.col("_sum_dec").cast("double").alias("sum_value"),
+        (F.col("_sum_dec").cast("double") / F.col("_n_value")).alias("avg_value"),
+        "max_value",
+        F.round(F.col("purchase_count").cast("double") * 100 / F.col("total_events"), 4).alias(
+            "purchase_rate_pct"
+        ),
+    )

@@ -1,0 +1,49 @@
+"""Physical-plan invariants for the headline queries — the PLANS.md claims
+as assertions. These pin the *shape* that makes each query scale: shuffle
+counts, broadcast choices, pushdown, pruning, window-limit pushdown, and
+top-k fusion."""
+
+from __future__ import annotations
+
+import re
+
+from telecom_dataengineering_pipeline_spark.queries.registry import REGISTRY
+
+
+def _physical(spark, name, sf):
+    df = REGISTRY[name].fn(spark, sf)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_shuffles(plan: str) -> int:
+    return len(re.findall(r"Exchange hashpartitioning", plan))
+
+
+def test_hourly_rollup_one_shuffle_broadcast_pushdown_pruning(spark, sf_smoke):
+    plan = _physical(spark, "hourly_usage_rollup", sf_smoke)
+    assert _n_shuffles(plan) == 1  # the agg exchange — and nothing else
+    assert "BroadcastHashJoin" in plan  # dim join never shuffles the facts
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan
+    assert "props" not in plan  # widest events column pruned from the scan
+
+
+def test_revenue_by_nation_dims_broadcast(spark, sf_smoke):
+    plan = _physical(spark, "revenue_by_nation", sf_smoke)
+    assert plan.count("BroadcastHashJoin") >= 3  # customer/nation/region (+AQE orders)
+    assert _n_shuffles(plan) <= 2  # agg exchange (+ join exchange iff SMJ at scale)
+
+
+def test_keep_latest_dedup_window_group_limit(spark, sf_smoke):
+    plan = _physical(spark, "latest_event_per_user_type", sf_smoke)
+    assert "WindowGroupLimit" in plan  # top-1 pruned map-side pre-shuffle
+
+
+def test_topk_fuses_sort_and_limit(spark, sf_smoke):
+    plan = _physical(spark, "shipping_priority_topk", sf_smoke)
+    assert "TakeOrderedAndProject" in plan  # never a global sort of all groups
+
+
+def test_salted_rollup_two_phase(spark, sf_smoke):
+    plan = _physical(spark, "hourly_usage_rollup_salted", sf_smoke)
+    assert _n_shuffles(plan) == 2  # (key, salt) phase + key combine phase
+    assert "BroadcastHashJoin" in plan
