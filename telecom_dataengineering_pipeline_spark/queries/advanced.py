@@ -308,3 +308,111 @@ def lineitem_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: strict-order view → click → purchase per user. Chained
+# earliest-after-previous-stage aggregations, every one keyed on user_id —
+# the exchanges reuse one partitioning. Timestamps compare as epoch
+# microseconds on both engines (events.ts is nanos parquet; Spark floors).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), s1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) AS t1 FROM e GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.us) AS t2
+  FROM e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND s1.t1 IS NOT NULL AND e.us > s1.t1
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.us) AS t3
+  FROM e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.us > s2.t2
+  GROUP BY 1
+)
+SELECT s1.user_id,
+       CASE WHEN s3.t3 IS NOT NULL THEN 3
+            WHEN s2.t2 IS NOT NULL THEN 2
+            WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage,
+       s1.t1 AS view_us, s2.t2 AS click_us, s3.t3 AS purchase_us
+FROM s1
+LEFT JOIN s2 ON s2.user_id = s1.user_id
+LEFT JOIN s3 ON s3.user_id = s1.user_id
+"""
+
+
+@register("user_funnel_stages", oracle=_FUNNEL_ORACLE, tags=("W3", "funnel"))
+def user_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    s1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("t1")
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1.filter(F.col("t1").isNotNull()), "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            stage.cast("int").alias("funnel_stage"),
+            F.col("t1").alias("view_us"),
+            F.col("t2").alias("click_us"),
+            F.col("t3").alias("purchase_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity week, distinct-user
+# counts per week offset — the standard retention triangle.
+# ---------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+), a AS (
+  SELECT e.user_id,
+         strftime(date_trunc('week', f.first_day), '%Y-%m-%d') AS cohort_week,
+         CAST(floor(date_diff('day', f.first_day, CAST(e.ts AS DATE)) / 7) AS INTEGER) AS week_offset
+  FROM events e JOIN f ON f.user_id = e.user_id
+)
+SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
+FROM a GROUP BY 1, 2
+"""
+
+
+@register("cohort_retention_triangle", oracle=_COHORT_ORACLE, tags=("A4", "cohort"))
+def cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    f = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    a = e.join(f, "user_id").select(
+        "user_id",
+        F.date_format(F.date_trunc("week", "first_day"), "yyyy-MM-dd").alias("cohort_week"),
+        F.floor(F.datediff("day", "first_day") / 7).cast("int").alias("week_offset"),
+    )
+    return a.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
