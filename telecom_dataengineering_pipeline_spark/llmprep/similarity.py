@@ -164,3 +164,66 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+def ivf_probe_cells(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    nprobe: int = 2,
+    centroid_mod: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The query side of multi-probe IVF: each query's top-``nprobe`` cells
+    by centroid cosine. Only |queries|×|centroids| scores are ranked — a
+    broadcast-sized relation regardless of corpus size."""
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    cents = emb.filter(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    q = emb.filter(F.col("vec_id").isin(query_ids))
+    scored = q.join(F.broadcast(cents)).withColumn(
+        "c_cos", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("cid").alias("probe_cell"),
+        )
+    )
+
+
+def ivf_topk_multiprobe(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    centroid_mod: int = 100,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with the standard recall knob: rank vectors in the query's
+    ``nprobe`` nearest cells instead of one. Cells partition the corpus, so
+    probing 2 cells exactly doubles candidates — recall rises while the
+    equi-join shape (the thing that scales) is unchanged."""
+    assigned = ivf_assign(embeddings, centroid_mod, id_col, vec_col)
+    probes = ivf_probe_cells(embeddings, query_ids, nprobe, centroid_mod, id_col, vec_col)
+    joined = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    sim = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        joined.select("query_id", "vec_id", F.round(sim, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )

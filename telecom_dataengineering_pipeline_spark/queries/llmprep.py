@@ -618,3 +618,51 @@ def training_set_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmprep.pipeline import training_set_summary
 
     return training_set_summary(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe IVF (nprobe=2): the standard recall knob — candidates come
+# from the query's two nearest cells; the equi-join shape is unchanged.
+# ---------------------------------------------------------------------------
+
+_IVF_NPROBE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), cent AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT n.vec_id, n.v, n.nrm, cent.cid,
+         list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn) AS c_cos
+  FROM n CROSS JOIN cent
+), assigned AS (
+  SELECT vec_id, v, nrm, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cid ASC) AS _rn
+    FROM scored
+  ) WHERE _rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid AS probe_cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cid ASC) AS _rn
+    FROM scored WHERE vec_id < 10
+  ) WHERE _rn <= 2
+), s AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 6) AS cosine
+  FROM probes p JOIN assigned a ON a.cell = p.probe_cell AND a.vec_id <> p.query_id
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM s
+)
+SELECT query_id, vec_id AS neighbor_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_nprobe_topk", oracle=_IVF_NPROBE_ORACLE, tags=("LLM", "similarity"))
+def ann_ivf_nprobe_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.similarity import ivf_topk_multiprobe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_multiprobe(
+        emb, query_ids=list(range(10)), k=5, centroid_mod=100, nprobe=2
+    ).withColumn("rank", F.col("rank").cast("int"))
