@@ -460,3 +460,42 @@ def cosine_dup_pairs(
         .select("doc1", "doc2", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Transitive dup groups from a pair list: connected components by
+    iterative min-label propagation (the DataFrame form of the standard
+    CC algorithm; GraphFrames' connectedComponents does the same dance).
+
+    Each round every vertex adopts the minimum label among itself and its
+    neighbors; convergence needs O(component diameter) rounds — near-dup
+    components are shallow (stars/chains of a few docs), so the loop exits
+    in 2-4 rounds. The only driver-side values are the per-round change
+    counts (scalars); labels never collect. Returns (doc_id, group_id)
+    where group_id is the component's minimum doc id."""
+    edges = (
+        pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+        .union(pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges["a"] == labels["doc_id"]).select(
+            F.col("b").alias("doc_id"), "label"
+        )
+        new_labels = (
+            labels.union(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
+        ).persist()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("group_id"))

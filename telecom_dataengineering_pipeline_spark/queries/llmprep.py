@@ -666,3 +666,50 @@ def ann_ivf_nprobe_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_multiprobe(
         emb, query_ids=list(range(10)), k=5, centroid_mod=100, nprobe=2
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Transitive dup groups: connected components over the near-dup pair graph.
+# Spark runs iterative min-label propagation (O(diameter) rounds, labels
+# never collect); the oracle replicates it with a recursive CTE over the
+# ground-truth exact-Jaccard pairs.
+# ---------------------------------------------------------------------------
+
+_CC_ORACLE = f"""
+WITH sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len({_TOKS}) - 2, 0)),
+           i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+         )) AS s
+  FROM documents
+), ex AS (SELECT doc_id, unnest(s) AS g FROM sets),
+sz AS (SELECT doc_id, len(s) AS n FROM sets),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc1, doc2
+  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+), edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs
+), walk AS (
+  WITH RECURSIVE w(doc_id, label) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, w.label FROM w JOIN edges e ON e.a = w.doc_id
+  )
+  SELECT doc_id, label FROM w
+)
+SELECT doc_id, min(label) AS group_id FROM walk GROUP BY doc_id
+"""
+
+
+@register("dedup_connected_groups", oracle=_CC_ORACLE, tags=("LLM", "dedup", "iterative"))
+def dedup_connected_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.dedup import connected_dup_groups
+
+    pairs = minhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return connected_dup_groups(pairs)
