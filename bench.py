@@ -39,6 +39,11 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries that persist() intermediates leave cached relations behind;
+        # drop them so later queries aren't measured under earlier queries'
+        # accumulated cache pressure (steady-state reuse WITHIN a query —
+        # warmup → measured run — is intentional and kept)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
