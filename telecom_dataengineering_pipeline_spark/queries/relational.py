@@ -817,3 +817,43 @@ def hourly_usage_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_rate_pct"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (k>1): highest-value orders per market segment. Exercises
+# the WindowGroupLimit pushdown at k=3 — each input partition pre-prunes to
+# 3 candidates per segment BEFORE the shuffle, the same reason keep-latest
+# dedup (k=1) scales.
+# ---------------------------------------------------------------------------
+
+_TOPK_GROUP_ORACLE = """
+SELECT * FROM (
+  SELECT c.c_mktsegment AS mktsegment, o.o_orderkey AS orderkey,
+         CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+         CAST(row_number() OVER (PARTITION BY c.c_mktsegment
+                                 ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS INTEGER) AS rnk
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+)
+WHERE rnk <= 3
+"""
+
+
+@register("top_orders_per_segment", oracle=_TOPK_GROUP_ORACLE, tags=("W1", "O6"))
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("mktsegment").orderBy(
+        F.col("totalprice").desc(), F.col("orderkey").asc()
+    )
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -47,3 +47,8 @@ def test_salted_rollup_two_phase(spark, sf_smoke):
     plan = _physical(spark, "hourly_usage_rollup_salted", sf_smoke)
     assert _n_shuffles(plan) == 2  # (key, salt) phase + key combine phase
     assert "BroadcastHashJoin" in plan
+
+
+def test_topk_per_group_window_group_limit(spark, sf_smoke):
+    plan = _physical(spark, "top_orders_per_segment", sf_smoke)
+    assert "WindowGroupLimit" in plan  # k=3 pre-pruned map-side, like k=1
