@@ -52,3 +52,21 @@ def test_salted_rollup_two_phase(spark, sf_smoke):
 def test_topk_per_group_window_group_limit(spark, sf_smoke):
     plan = _physical(spark, "top_orders_per_segment", sf_smoke)
     assert "WindowGroupLimit" in plan  # k=3 pre-pruned map-side, like k=1
+
+
+def test_shingle_and_signature_single_exchange(spark, sf_smoke):
+    """The shared tokenize/shingle spine of all dedup variants: ONE exchange
+    (the doc repartition). The (doc_id, shingle) distinct runs partition-
+    locally because hashpartitioning(doc_id) already satisfies the
+    clustering, and the MinHash signature agg rides the same partitioning."""
+    from telecom_dataengineering_pipeline_spark.llmprep.dedup import (
+        minhash_signatures,
+        shingle_stream,
+    )
+    from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    p1 = shingle_stream(docs)._jdf.queryExecution().executedPlan().toString()
+    assert p1.count("Exchange") == 1
+    p2 = minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
+    assert p2.count("Exchange") == 1
