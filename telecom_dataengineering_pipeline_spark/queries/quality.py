@@ -352,3 +352,35 @@ def dq_totalprice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rel_dev").desc(), F.col("orderkey").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped distribution profile (A11 per group): exact quartiles of `value`
+# per event type — percentile_approx's exact twin, checked against
+# quantile_cont per group.
+# ---------------------------------------------------------------------------
+
+_GROUPED_DIST_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events WHERE value IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("value_distribution_by_type", oracle=_GROUPED_DIST_ORACLE, tags=("A11", "DQ"))
+def value_distribution_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )

@@ -188,3 +188,40 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "user_id", *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds]
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing moving average over a date RANGE frame: daily revenue with its
+# 7-day trailing mean — the classic KPI-smoothing window, RANGE-framed so
+# gaps in the calendar widen the lookback correctly (unlike ROWS frames).
+# ---------------------------------------------------------------------------
+
+_MOVAVG_ORACLE = """
+WITH daily AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT day, revenue,
+       round(avg(revenue) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS revenue_7d_avg
+FROM daily
+"""
+
+
+@register("daily_revenue_moving_avg", oracle=_MOVAVG_ORACLE, tags=("W4", "A5"))
+def daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("day_num"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day", "revenue", F.round(F.avg("revenue").over(w), 6).alias("revenue_7d_avg")
+    )
