@@ -857,3 +857,26 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# EXCEPT: users active in the first week but silent in the last — churn's
+# raw form, and the set-difference counterpart of the INTERSECT query.
+# ---------------------------------------------------------------------------
+
+_EXCEPT_ORACLE = """
+SELECT user_id FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'
+EXCEPT
+SELECT user_id FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-24' AND DATE '2024-01-30'
+"""
+
+
+@register("lapsed_users", oracle=_EXCEPT_ORACLE, tags=("U1", "setop"))
+def lapsed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    first = ev.filter(d.between("2024-01-01", "2024-01-07")).select("user_id")
+    last = ev.filter(d.between("2024-01-24", "2024-01-30")).select("user_id")
+    # subtract == EXCEPT DISTINCT; exceptAll would keep a user who merely
+    # has more week-1 events than last-week events (multiset difference)
+    return first.subtract(last)
