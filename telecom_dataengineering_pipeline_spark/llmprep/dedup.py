@@ -483,18 +483,25 @@ def connected_dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
-    for _ in range(max_iters):
+    prev_cached = None
+    for it in range(max_iters):
         prop = edges.join(labels, edges["a"] == labels["doc_id"]).select(
             F.col("b").alias("doc_id"), "label"
         )
         new_labels = (
             labels.union(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
-        ).persist()
+        )
+        # Truncate lineage every few rounds — iterative self-joins otherwise
+        # grow the plan exponentially and executor storage accumulates.
+        new_labels = new_labels.localCheckpoint(eager=True) if it % 4 == 3 else new_labels.persist()
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
             .filter(F.col("label") != F.col("old"))
             .count()
         )
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_labels
         labels = new_labels
         if changed == 0:
             break

@@ -59,6 +59,11 @@ def asof_join(
 
     Single shuffle on ``key``; within each key the union is sorted once and
     right values are carried forward — O(n log n) per key, no pair blow-up.
+
+    When multiple right rows share (key, right_ts), the carried value is the
+    one sorting last under the right-side tie-break: ``value_cols`` in order
+    (appended to the window ordering below), so the result is deterministic
+    regardless of partition order.
     """
     lcols = left.columns
     l_tagged = left.select(
@@ -79,6 +84,9 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
     order = [F.col("_ts"), F.col("_side")]
+    # Deterministic winner among right rows sharing (key, right_ts): sort by
+    # the carried values themselves (all-NULL on left rows → no effect there).
+    order.extend(F.col(f"_v_{c}").asc_nulls_first() for c in value_cols)
     if tie_break:
         order.append(F.col("_lrow").getField(tie_break))
     w = Window.partitionBy("_k").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)

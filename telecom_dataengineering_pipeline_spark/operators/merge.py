@@ -47,23 +47,26 @@ def scd2_close_and_insert(
     (dim_customers.sql:84-89 stores the columns but snapshots Type-1):
     close changed rows (end = new start, is_current = false) and insert the
     new versions."""
+    # Change detection against the OPEN version only: a key's closed history
+    # rows must neither match (their hash may equal an old update's) nor be
+    # rewritten.  One row per key so the close join can't fan out.
+    open_rows = current.filter(F.col(current_col))
     changed = (
-        current.alias("c")
+        open_rows.alias("c")
         .join(updates.alias("u"), on=key, how="inner")
         .filter(F.col(f"c.{hash_col}") != F.col(f"u.{hash_col}"))
-        .select(f"c.{key}", F.col(f"u.{start_col}").alias("_new_start"))
+        .groupBy(key)
+        .agg(F.min(F.col(f"u.{start_col}")).alias("_new_start"))
     )
+    close_me = F.col("_new_start").isNotNull() & F.col(current_col)
     closed = (
         current.join(F.broadcast(changed), on=key, how="left")
-        .withColumn(
-            end_col,
-            F.when(F.col("_new_start").isNotNull(), F.col("_new_start")).otherwise(F.col(end_col)),
-        )
+        .withColumn(end_col, F.when(close_me, F.col("_new_start")).otherwise(F.col(end_col)))
         .withColumn(current_col, F.col("_new_start").isNull() & F.col(current_col))
         .drop("_new_start")
     )
     new_rows = updates.join(
-        current.select(key, F.col(hash_col).alias("_cur_hash")), on=key, how="left"
+        open_rows.select(key, F.col(hash_col).alias("_cur_hash")), on=key, how="left"
     ).filter(
         F.col("_cur_hash").isNull() | (F.col("_cur_hash") != F.col(hash_col))
     ).drop("_cur_hash")

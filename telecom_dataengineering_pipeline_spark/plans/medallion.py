@@ -349,8 +349,20 @@ class MedallionPipeline:
         final = self.path("silver", "calls")
         import shutil
 
-        shutil.rmtree(final)
-        shutil.move(staging, final)
+        # Swap via rename-aside so no failure window loses the table: the old
+        # version is only deleted after the new one is in place.  (Local-FS
+        # renames here; on HDFS/object stores this step is the FileSystem
+        # .rename() pair, same protocol.)
+        retired = final + "__retired"
+        if os.path.exists(retired):
+            shutil.rmtree(retired)
+        shutil.move(final, retired)
+        try:
+            shutil.move(staging, final)
+        except BaseException:
+            shutil.move(retired, final)  # roll back; staging left for inspection
+            raise
+        shutil.rmtree(retired)
 
     # -- Quality gate ----------------------------------------------------
     def quality_gate(self) -> list:

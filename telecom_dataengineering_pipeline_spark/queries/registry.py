@@ -42,6 +42,87 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Explicit emission order for ``queries()`` / ``oracle_sql()``.
+#
+# The driver's correctness harness verifies the first 50 entries of
+# ``queries()`` per round.  Round 1 proved the first 50 registration-order
+# entries green (CORRECTNESS_r01.json) but left the llmprep/writeside layer
+# (registered last) driver-unchecked.  This list rotates the window: the 22
+# queries without a round-1 driver row come first, then round-2 additions,
+# then the highest-coverage round-1-green queries; the tail (overlapping
+# TPC-H variants, scalar-function twins, the DQ head — all value-exact in
+# CORRECTNESS_r01.json) falls outside the window.  Names not present here
+# sort after the list in registration order; names listed but not (yet)
+# registered are simply skipped.
+DRIVER_ORDER: list[str] = [
+    # -- never driver-checked in round 1 (llmprep 18, writeside 2, quality tail 2)
+    "text_quality_scores",
+    "text_langid_heuristic",
+    "dedup_exact_groups",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_fingerprints",
+    "knn_cosine_bruteforce",
+    "embedding_lsh_bucket_profile",
+    "ann_bucketed_topk",
+    "multimodal_feature_extract",
+    "ann_ivf_topk",
+    "text_token_counts",
+    "dedup_embedding_cosine",
+    "doc_chunking",
+    "dataset_split_assignments",
+    "training_set_summary",
+    "ann_ivf_nprobe_topk",
+    "dedup_connected_groups",
+    "merge_upsert_orders",
+    "scd2_customer_dim",
+    "dq_totalprice_reconciliation",
+    "value_distribution_by_type",
+    # -- round-2 additions (registered as they are built)
+    "fraud_stream_availablenow",
+    "dedup_connected_groups_star",
+    "jdbc_source_contract",
+    # -- round-1-green, highest coverage value (distinct §2 IDs)
+    "hourly_usage_rollup",
+    "pricing_summary_rollup",
+    "revenue_by_nation",
+    "shipping_priority_topk",
+    "star_join_enriched_orders",
+    "customer_monthly_summary",
+    "latest_event_per_user_type",
+    "top_orders_per_segment",
+    "asof_join_price_changes",
+    "range_join_scd_versions",
+    "fraud_impossible_travel",
+    "fraud_velocity_alerts",
+    "fraud_alert_stream",
+    "user_sliding_window_counts",
+    "user_sessionization",
+    "daily_revenue_moving_avg",
+    "event_type_pivot",
+    "lineitem_cube_rollup",
+    "user_funnel_stages",
+    "cohort_retention_triangle",
+    "incremental_lookback_slice",
+    "csv_seed_dim_towers",
+    "orphan_lineitems_check",
+    "threshold_violations_union",
+    "dim_date_spine",
+]
+
+
+def _ordered_specs() -> list[QuerySpec]:
+    rank = {name: i for i, name in enumerate(DRIVER_ORDER)}
+    default = len(DRIVER_ORDER)
+    names = sorted(
+        REGISTRY,
+        key=lambda n, _ins={m: j for j, m in enumerate(REGISTRY)}: (
+            rank.get(n, default),
+            _ins[n],
+        ),
+    )
+    return [REGISTRY[n] for n in names]
+
 
 def register(
     name: str,
@@ -59,11 +140,11 @@ def register(
 
 
 def queries() -> dict[str, QueryFn]:
-    return {n: s.fn for n, s in REGISTRY.items()}
+    return {s.name: s.fn for s in _ordered_specs()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+    return {s.name: s.oracle for s in _ordered_specs() if s.oracle is not None}
 
 
 def bench_queries() -> dict[str, QueryFn]:

@@ -87,6 +87,38 @@ def test_scd2_close_and_insert(spark):
     assert [r["plan"] for r in jan.collect()] == ["plan_A"]
 
 
+def test_scd2_close_and_insert_with_full_history(spark):
+    """`current` holding closed historical versions must leave them untouched:
+    only the open row is compared, closed, or used for duplicate-insert checks
+    — even when the update's hash equals an OLD version's hash (plan flip-back)."""
+    schema = (
+        "customer_id string, plan string, effective_start_date string, "
+        "effective_end_date string, is_current boolean"
+    )
+    cur = spark.createDataFrame(
+        [
+            ("C1", "plan_A", "2024-01-01", "2024-02-01", False),  # closed history
+            ("C1", "plan_B", "2024-02-01", None, True),  # open version
+        ],
+        schema,
+    ).withColumn("_record_hash", record_hash("plan"))
+    upd = spark.createDataFrame(
+        [("C1", "plan_A", "2024-03-01", None, True)],  # flip back to plan_A
+        schema,
+    ).withColumn("_record_hash", record_hash("plan"))
+
+    out = scd2_close_and_insert(cur, upd, key="customer_id", hash_col="_record_hash")
+    rows = sorted(
+        (r["plan"], r["effective_start_date"], r["effective_end_date"], r["is_current"])
+        for r in out.collect()
+    )
+    assert rows == [
+        ("plan_A", "2024-01-01", "2024-02-01", False),  # history untouched
+        ("plan_A", "2024-03-01", None, True),  # flip-back inserted
+        ("plan_B", "2024-02-01", "2024-03-01", False),  # open version closed
+    ]
+
+
 def test_asof_join_handles_missing_and_ties(spark):
     left = spark.createDataFrame(
         [(1, 5, "e1"), (1, 15, "e2"), (2, 10, "e3")], ["k", "ts", "name"]
