@@ -108,16 +108,35 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc1 < doc2, j >= threshold).
 
     Intersection via equi-join on a 64-bit shingle hash (same counts as the
     string join — collision odds ~n²/2⁶⁴ — with a far narrower shuffle);
     union = |A| + |B| − |A∩B|.
+
+    ``max_df`` guards the quadratic blowup: the self-join costs
+    O(Σ per-shingle document-frequency²), so one boilerplate shingle shared
+    by 1 M docs is a 10¹²-row join.  Shingles with df > max_df are removed
+    from the universe before the join — on BOTH numerator and denominator
+    (stopword semantics), so jaccard stays a true set similarity over the
+    informative shingles.  Pairs whose overlap is only boilerplate are
+    exactly the pairs MinHash-LSH (the scale path) also rejects.  Pass
+    ``max_df=None`` for literal all-shingles semantics.
     """
     stream = shingle_stream(docs, text_col, id_col, n)
-    sizes = _shingle_sizes(stream)
     ex = stream.select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
+    if max_df is not None:
+        # One shuffle on shingle_h: count df with a window on the same
+        # partitioning the join needs anyway, filter inline.
+        dfw = Window.partitionBy("shingle_h")
+        ex = (
+            ex.withColumn("_df", F.count(F.lit(1)).over(dfw))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (

@@ -168,10 +168,36 @@ FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
 WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
 """
 
+# Same semantics as jaccard_pairs(max_df=1000): shingles with document
+# frequency above the cap leave the universe entirely (numerator AND
+# denominator), so both engines compute the identical capped similarity.
+_JACCARD_CAPPED_ORACLE = f"""
+WITH sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len({_TOKS}) - 2, 0)),
+           i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+         )) AS s
+  FROM documents
+), ex0 AS (SELECT doc_id, unnest(s) AS g FROM sets),
+kept AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 1000),
+ex AS (SELECT doc_id, g FROM ex0 WHERE g IN (SELECT g FROM kept)),
+sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       round(CAST(i AS DOUBLE) / (x.n + y.n - i), 6) AS jaccard
+FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+"""
 
-@register("dedup_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("LLM", "dedup"), bench=True)
+
+@register("dedup_jaccard_pairs", oracle=_JACCARD_CAPPED_ORACLE, tags=("LLM", "dedup"), bench=True)
 def dedup_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5, max_df=1000)
 
 
 # ---------------------------------------------------------------------------

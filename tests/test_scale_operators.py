@@ -124,3 +124,35 @@ def test_session_window_matches_manual_sessionization(spark, sf_smoke):
     m = sorted((r["user_id"], r["n_events"]) for r in manual.collect())
     n = sorted((r["user_id"], r["n_events"]) for r in native.collect())
     assert m == n
+
+
+def test_jaccard_max_df_caps_ubiquitous_shingle(spark):
+    """One boilerplate shingle shared by every doc must not create a
+    quadratic all-pairs join: with max_df it leaves the universe (numerator
+    AND denominator), pairs whose only overlap is boilerplate disappear, and
+    genuine near-dups keep their (capped-universe) similarity."""
+    import time
+
+    from telecom_dataengineering_pipeline_spark.llmprep.dedup import jaccard_pairs
+
+    boiler = "all rights reserved worldwide"
+    docs = [(i, f"unique text number {i} alpha beta {boiler}") for i in range(2000)]
+    # two genuine near-dups sharing informative shingles
+    docs += [
+        (9001, f"the quick brown fox jumps over the lazy dog {boiler}"),
+        (9002, f"the quick brown fox jumps over the lazy cat {boiler}"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(8)
+
+    t0 = time.monotonic()
+    out = jaccard_pairs(df, threshold=0.3, max_df=100)
+    pairs = {(r["doc1"], r["doc2"]): r["jaccard"] for r in out.collect()}
+    elapsed = time.monotonic() - t0
+
+    assert set(pairs) == {(9001, 9002)}
+    # capped universe: 13 tokens -> 11 shingles, 2 boilerplate-capped -> 9
+    # kept per doc, 6 shared informative
+    assert pairs[(9001, 9002)] == round(6 / (9 + 9 - 6), 6)
+    # uncapped this is a ~2002^2/2 pair join on the boilerplate shingles;
+    # capped it must stay interactive
+    assert elapsed < 60
