@@ -215,3 +215,61 @@ def fraud_alert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "severity",
     )
     return travel.unionByName(velocity)
+
+
+@register("fraud_stream_availablenow", oracle=_ALERT_STREAM_ORACLE, tags=("T1", "T2", "T3", "T4"))
+def fraud_stream_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL stateful stream (applyInPandasWithState, streaming/fraud.py)
+    run to completion with an availableNow trigger and returned as a batch
+    DataFrame — so the driver's DuckDB oracle checks the Flink-equivalent
+    stateful path itself, not just its batch twin ``fraud_alert_stream``.
+
+    The located-events table is staged to parquet and read back as a file
+    stream (the same stand-in for Kafka the ingest layer uses, S1); alerts
+    land in a memory sink which is returned after termination.  Ordering
+    parity with the RANGE-window oracle holds because event times are unique
+    per user (asserted by the batch twin's green oracle row).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    tower = F.col("event_id") % N_TOWERS
+    located = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (F.lit(-35.0) + tower * 5.5).alias("lat"),
+        (F.lit(-160.0) + tower * 22.0).alias("lon"),
+    )
+
+    from ..streaming.fraud import FraudConfig, fraud_alerts_stream
+
+    cfg = FraudConfig(
+        min_distance_km=MIN_DISTANCE_KM,
+        speed_alert_kmh=SPEED_ALERT_KMH,
+        speed_high_kmh=SPEED_HIGH_KMH,
+        velocity_window_s=VELOCITY_WINDOW_S,
+        velocity_alert=VELOCITY_ALERT,
+        velocity_high=VELOCITY_HIGH,
+    )
+    sink = "fraud_stream_availablenow_sink"
+    spark.catalog.dropTempView(sink)
+    staging = tempfile.mkdtemp(prefix="fraud_stream_src_")
+    try:
+        src = os.path.join(staging, "events")
+        located.write.parquet(src)
+        stream = spark.readStream.schema(located.schema).parquet(src)
+        alerts = fraud_alerts_stream(stream, cfg)
+        q = (
+            alerts.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return spark.table(sink).select("alert_type", "alert_id", "user_id", "severity")
