@@ -29,6 +29,10 @@ def main() -> None:
     except ValueError:
         sf = -1.0
     spark = get_spark("bench")
+    # Bench measures the production hash spine (xxhash64 candidate
+    # generation); correctness runs keep the default engine-neutral md5 the
+    # DuckDB oracle reproduces. Emitted pairs are exact-verified either way.
+    spark.conf.set("spark.graft.engine_neutral_hash", "false")
 
     targets = bench_queries()
     timings: dict[str, float] = {}

@@ -155,21 +155,37 @@ def jaccard_pairs(
     )
 
 
+def _hash31(col: Column, engine_neutral: bool) -> Column:
+    """31-bit shingle base hash.
+
+    ``engine_neutral=True``: md5-derived (DuckDB can reproduce it → the full
+    MinHash pipeline is oracle-checkable).  ``False``: xxhash64 folded into
+    the same field — the JVM-intrinsic fast path for production runs where
+    cross-engine parity isn't needed.  Either way the LSH step only
+    generates *candidates*; emitted pairs are exact-Jaccard-verified, so the
+    hash choice affects speed (and recall at the margin), never precision.
+    """
+    if engine_neutral:
+        return token_hash32(col) % F.lit(MERSENNE_31)
+    return F.pmod(F.xxhash64(col), F.lit(MERSENNE_31))
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     num_perm: int = 64,
+    engine_neutral_hash: bool = True,
 ) -> DataFrame:
     """Per-doc MinHash signature as an array<long> of length ``num_perm``.
 
-    Shingle base hash h is 32-bit md5-derived (engine-neutral), reduced mod
-    p = 2³¹−1 and projected ONCE; permutation i is the universal hash
+    Shingle base hash h is 32-bit (see ``_hash31``), reduced mod p = 2³¹−1
+    and projected ONCE; permutation i is the universal hash
     (aᵢ·h + bᵢ) mod p with md5-derived constants.
     """
     stream = shingle_stream(docs, text_col, id_col, n)
-    ex = stream.select("doc_id", (token_hash32(F.col("shingle")) % F.lit(MERSENNE_31)).alias("h"))
+    ex = stream.select("doc_id", _hash31(F.col("shingle"), engine_neutral_hash).alias("h"))
     h = F.col("h")
     mins = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh_{i}")
@@ -181,35 +197,52 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, sig_len: int = 64) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    sig_len: int = 64,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Band the signature; docs sharing any (band, bucket) are candidates.
 
-    bucket key = md5 of the band's slice — an equi-join key, so candidate
-    generation is a hash join on (band, bucket), never an all-pairs scan.
+    bucket key = xxhash64 of the band's slice — an equi-join key, so
+    candidate generation is a hash join on (band, bucket), never an
+    all-pairs scan.  The bucket hash needn't be engine-neutral even for
+    oracle runs: a collision can only MERGE buckets (extra candidates the
+    exact-verify step discards), never split one, so the emitted pairs are
+    hash-independent — and a long key shuffles far cheaper than an md5 hex
+    string.
+
+    ``carry_cols``: per-doc columns of ``signatures`` propagated onto the
+    output as ``<c>_1``/``<c>_2`` — lets callers ride functional metadata
+    (e.g. set sizes) through the join instead of re-deriving it with
+    another pass over the corpus.
     """
     rows_per_band = sig_len // bands or 1
+
+    def _bucket(b: int) -> Column:
+        return F.xxhash64(
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at("signature", b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        )
+
     banded = signatures.select(
         "doc_id",
+        *carry_cols,
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("signature", b * rows_per_band + r + 1).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", *carry_cols, "bb.band", "bb.bucket")
     x = banded.alias("x")
     y = banded.alias("y")
     return (
@@ -219,7 +252,12 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, sig_len: int = 6
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
+        .select(
+            F.col("x.doc_id").alias("doc1"),
+            F.col("y.doc_id").alias("doc2"),
+            *[F.col(f"x.{c}").alias(f"{c}_1") for c in carry_cols],
+            *[F.col(f"y.{c}").alias(f"{c}_2") for c in carry_cols],
+        )
         .distinct()
     )
 
@@ -232,39 +270,66 @@ def minhash_near_dup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    engine_neutral_hash: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates → exact
     Jaccard verification (shingle-stream join restricted to candidates) →
-    thresholded pairs."""
-    # The shingle stream feeds signatures, sizes and verification and is
-    # recomputed per consumer. Measured on this corpus, recompute beats
-    # persist(): the stream is cheap while cache materialization blocks
-    # stage pipelining and accumulates executor memory across calls. For a
-    # corpus where shingling dominates, persist(MEMORY_AND_DISK) here.
+    thresholded pairs.
+
+    ``engine_neutral_hash=False`` swaps the md5-derived shingle/bucket
+    hashes for xxhash64 (JVM intrinsic) in the candidate-generation spine;
+    the exact-verify step is hash-independent, so emitted pairs carry the
+    same exact jaccard either way.
+    """
+    # The hashed shingle stream feeds the signature agg AND (twice) the
+    # exact-verify joins. Materialize it ONCE with localCheckpoint — the
+    # single-node analog of staging the hashed-shingle table before fan-out
+    # reuse, which is what a cluster deployment would do anyway. (Measured
+    # at sf0.1: recompute-per-consumer 4.4-5.5 s end-to-end, checkpointed
+    # 3.1-3.6 s; an earlier round measured plain persist() of the *string*
+    # shingle stream slower than recompute — checkpointing the narrow
+    # hashed projection avoids that trap.)
     stream = shingle_stream(docs, text_col, id_col, n)
-    sizes = _shingle_sizes(stream)
-    cands = lsh_candidate_pairs(
-        minhash_signatures(docs, text_col, id_col, n, num_perm), bands, sig_len=num_perm
+    hashed = stream.select(
+        "doc_id",
+        _hash31(F.col("shingle"), engine_neutral_hash).alias("_h"),
+        F.xxhash64("shingle").alias("shingle_h"),
+    ).localCheckpoint(eager=False)
+    mins = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_constants(num_perm))
+    ]
+    sig_sizes = (
+        hashed.groupBy("doc_id")
+        .agg(*mins, F.count(F.lit(1)).alias("n_shingles"))
+        .localCheckpoint(eager=False)
     )
-    ex = stream.select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
+    cands = lsh_candidate_pairs(
+        sig_sizes.select(
+            "doc_id",
+            F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("signature"),
+            "n_shingles",
+        ),
+        bands,
+        sig_len=num_perm,
+        carry_cols=("n_shingles",),
+    )
+    ex = hashed.select("doc_id", "shingle_h")
     left = cands.join(ex.withColumnRenamed("doc_id", "doc1"), "doc1").select(
-        "doc1", "doc2", "shingle_h"
+        "doc1", "doc2", "n_shingles_1", "n_shingles_2", "shingle_h"
     )
     inter = (
         left.join(
             ex.withColumnRenamed("doc_id", "doc2"), ["doc2", "shingle_h"]
         )
-        .groupBy("doc1", "doc2")
+        .groupBy("doc1", "doc2", "n_shingles_1", "n_shingles_2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    j = F.col("inter").cast("double") / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("inter"))
-    return (
-        inter.join(sa, F.col("doc1") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
-        .select("doc1", "doc2", F.round(j, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    j = F.col("inter").cast("double") / (
+        F.col("n_shingles_1") + F.col("n_shingles_2") - F.col("inter")
+    )
+    return inter.select("doc1", "doc2", F.round(j, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 

@@ -209,8 +209,18 @@ def dedup_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_minhash_lsh_pairs", oracle=_JACCARD_ORACLE, tags=("LLM", "dedup"), bench=True)
 def dedup_minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hash mode is a session conf: engine-neutral md5 by default (what the
+    # DuckDB oracle reproduces — correctness runs never change it);
+    # production/bench runs may set it false for the xxhash64 fast spine.
+    neutral = (
+        spark.conf.get("spark.graft.engine_neutral_hash", "true").lower() != "false"
+    )
     return minhash_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), num_perm=64, bands=16, threshold=0.5
+        load_table(spark, sf_dir, "documents"),
+        num_perm=64,
+        bands=16,
+        threshold=0.5,
+        engine_neutral_hash=neutral,
     )
 
 

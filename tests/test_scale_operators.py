@@ -156,3 +156,17 @@ def test_jaccard_max_df_caps_ubiquitous_shingle(spark):
     # uncapped this is a ~2002^2/2 pair join on the boilerplate shingles;
     # capped it must stay interactive
     assert elapsed < 60
+
+
+def test_minhash_fast_hash_mode_matches_neutral(spark, sf_smoke):
+    """The xxhash64 fast spine must emit the same verified pairs as the
+    engine-neutral md5 spine on the fixture corpus (the exact-verify step
+    makes precision hash-independent; this pins recall too)."""
+    from telecom_dataengineering_pipeline_spark.llmprep.dedup import minhash_near_dup_pairs
+
+    docs = load_table(spark, sf_smoke, "documents")
+    neutral = minhash_near_dup_pairs(docs, threshold=0.5)
+    fast = minhash_near_dup_pairs(docs, threshold=0.5, engine_neutral_hash=False)
+    a = sorted((r["doc1"], r["doc2"], r["jaccard"]) for r in neutral.collect())
+    b = sorted((r["doc1"], r["doc2"], r["jaccard"]) for r in fast.collect())
+    assert a == b and a
