@@ -456,39 +456,52 @@ def rhp_band_buckets(
     cosine≈1 is unaffected, while background pairs drop to centered
     cosine≈0 (per-bit collision probability ½)."""
     r = _rhp_matrix(planes, dims)
+    # Center via the mean VECTOR: sign(v·rᵢ − μ·rᵢ) with μ = per-dim average
+    # — mathematically identical to subtracting the per-plane mean of the
+    # per-doc sums, but it needs only a 64-column agg on the (tiny, usually
+    # cached) vector relation instead of materializing a |docs|×planes
+    # projection twice. Floating-point association differs at ~1e-15, which
+    # can flip only exactly-boundary bits; candidates are exact-verified, so
+    # emitted pairs are unaffected.
+    mu = vecs.agg(
+        *[F.avg(F.element_at("v", d + 1)).alias(f"mu_{d}") for d in range(dims)]
+    )
+    with_mu = vecs.select("doc_id", "v").crossJoin(F.broadcast(mu))
+    per_band = planes // bands
 
-    def _project(batches):
+    def _bucketize(batches):
         import numpy as np
         import pandas as pd
 
         rt = np.array(r).T  # dims × planes
+        weights = (np.int64(1) << np.arange(per_band, dtype=np.int64))
+        c = None
         for pdf in batches:
+            if not len(pdf):
+                continue
+            if c is None:
+                muv = pdf.iloc[0][[f"mu_{d}" for d in range(dims)]].to_numpy(dtype=float)
+                c = muv @ rt  # planes
             v = np.stack(pdf["v"].to_numpy())
-            s = v @ rt
-            out = pd.DataFrame(s, columns=[f"s{i}" for i in range(planes)])
-            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
-            yield out
+            bits = ((v @ rt - c) >= 0).astype(np.int64)  # docs × planes
+            n = len(pdf)
+            buckets = np.stack(
+                [bits[:, b * per_band : (b + 1) * per_band] @ weights for b in range(bands)],
+                axis=1,
+            ).reshape(-1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                    "bucket": buckets,
+                }
+            )
 
-    schema = "doc_id long, " + ", ".join(f"s{i} double" for i in range(planes))
-    per_doc = vecs.select("doc_id", "v").mapInPandas(_project, schema).persist()
-    consts = per_doc.agg(*[F.avg(f"s{i}").alias(f"c{i}") for i in range(planes)])
-    sig = per_doc.crossJoin(F.broadcast(consts)).select(
-        "doc_id",
-        *[((F.col(f"s{i}") - F.col(f"c{i}")) >= 0).cast("int").alias(f"b{i}") for i in range(planes)],
-    )
-    per_band = planes // bands
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("", *[F.col(f"b{b * per_band + r}") for r in range(per_band)]).alias(
-                "bucket"
-            ),
-        )
-        for b in range(bands)
-    ]
-    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "doc_id", "bb.band", "bb.bucket"
-    )
+    # One Arrow-batched pass: projection, centering, sign bits and band
+    # packing all happen in the same numpy kernel; bucket keys come out as
+    # longs (bit-packed), the cheapest join key. This replaces the previous
+    # 3-stage persist → per-plane-avg → crossJoin-sign → concat pipeline.
+    return with_mu.mapInPandas(_bucketize, "doc_id long, band int, bucket long")
 
 
 def cosine_dup_pairs(
@@ -521,7 +534,10 @@ def cosine_dup_pairs(
     blocking has no such floor."""
     tfd = hashed_tf_dims(docs, dims, text_col, id_col)
     vecs = hashed_tf_vectors(tfd, dims).persist()
-    bb = rhp_band_buckets(vecs, planes, bands, dims)
+    # Materialize the banded buckets once: the self-join would otherwise run
+    # the whole signature pipeline (incl. the mapInPandas projection) once
+    # per side.
+    bb = rhp_band_buckets(vecs, planes, bands, dims).localCheckpoint(eager=False)
     x, y = bb.alias("x"), bb.alias("y")
     cands = (
         x.join(
@@ -533,17 +549,35 @@ def cosine_dup_pairs(
         .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
         .distinct()
     )
-    from .similarity import _dot
-
     a = vecs.select(F.col("doc_id").alias("doc1"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = vecs.select(F.col("doc_id").alias("doc2"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-    return (
-        cands.join(a, "doc1")
-        .join(b, "doc2")
-        .select("doc1", "doc2", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    joined = cands.join(a, "doc1").join(b, "doc2")
+
+    # Exact-verify dot products: one batched numpy pass over the candidate
+    # pairs. The Catalyst zip_with/aggregate fold is interpreted per element
+    # (~candidates × dims operations); einsum over Arrow batches keeps the
+    # verify step sub-second at 10× the candidate volume. Products and sums
+    # are exact float64 on integral TF counts, so the result is
+    # bit-identical to the fold (and to the DuckDB oracle).
+    def _verify(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.stack(pdf["va"].to_numpy())
+            vb = np.stack(pdf["vb"].to_numpy())
+            dot = np.einsum("ij,ij->i", va, vb)
+            out = pdf[["doc1", "doc2"]].copy()
+            out["cosine_raw"] = dot / (pdf["na"].to_numpy() * pdf["nb"].to_numpy())
+            yield out
+
+    # Rounding + threshold stay in Spark: F.round is HALF_UP like the
+    # DuckDB oracle, numpy rounds half-even.
+    raw = joined.mapInPandas(_verify, "doc1 long, doc2 long, cosine_raw double")
+    return raw.select(
+        "doc1", "doc2", F.round(F.col("cosine_raw"), 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
 
 
 def connected_dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
