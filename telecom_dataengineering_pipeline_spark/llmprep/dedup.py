@@ -580,6 +580,80 @@ def cosine_dup_pairs(
     ).filter(F.col("cosine") >= threshold)
 
 
+def connected_dup_groups_star(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", 2014)
+    — same contract as ``connected_dup_groups`` but O(log n) rounds instead
+    of O(component diameter), so pathological chains (a 1000-link chain of
+    near-dup revisions) converge in ~10 rounds, not ~1000.
+
+    large-star: every node points its larger neighbors at the minimum of
+    its closed neighborhood; small-star: every node folds its smaller
+    neighbors (and itself) onto that minimum. Both are one groupBy + one
+    equi-join; each round's edge set is keyed by node — no all-pairs step
+    anywhere. Only scalar per-round change counts reach the driver.
+    """
+    # Directed-down canonical edge list (a > b), self-loops dropped.
+    e = (
+        pairs.select(
+            F.greatest("doc1", "doc2").alias("a"), F.least("doc1", "doc2").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    all_nodes = (
+        pairs.select(F.col("doc1").alias("doc_id"))
+        .union(pairs.select("doc2"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _labels(edges: DataFrame) -> DataFrame:
+        mins = edges.groupBy("a").agg(F.min("b").alias("_lbl"))
+        return all_nodes.join(
+            mins.withColumnRenamed("a", "doc_id"), "doc_id", "left"
+        ).select("doc_id", F.coalesce("_lbl", "doc_id").alias("label"))
+
+    prev_labels = None
+    prev_cached = None
+    for it in range(max_iters):
+        # large-star over both edge directions
+        both = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = both.groupBy("a").agg(F.min("b").alias("mn"))
+        e = (
+            both.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.least("a", "mn").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over the (a > b)-directed edges
+        mins = e.groupBy("a").agg(F.min("b").alias("mn"))
+        j = e.join(mins, "a")
+        e = (
+            j.filter(F.col("b") != F.col("mn"))
+            .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+            .union(mins.select("a", F.col("mn").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        e = e.localCheckpoint(eager=False)
+        labels = _labels(e)
+        if prev_labels is not None:
+            changed = (
+                labels.join(prev_labels.withColumnRenamed("label", "_old"), "doc_id")
+                .filter(F.col("label") != F.col("_old"))
+                .count()
+            )
+            if changed == 0:
+                break
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = e
+        prev_labels = labels
+    return _labels(e).select("doc_id", F.col("label").alias("group_id"))
+
+
 def connected_dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Transitive dup groups from a pair list: connected components by
     iterative min-label propagation (the DataFrame form of the standard

@@ -749,3 +749,14 @@ def dedup_connected_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = minhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
     return connected_dup_groups(pairs)
+
+
+@register("dedup_connected_groups_star", oracle=_CC_ORACLE, tags=("LLM", "dedup", "iterative"))
+def dedup_connected_groups_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same transitive dup groups, O(log n)-round large-star/small-star
+    algorithm — the variant that survives deep near-dup chains (revision
+    histories) where min-label propagation needs diameter rounds."""
+    from ..llmprep.dedup import connected_dup_groups_star
+
+    pairs = minhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return connected_dup_groups_star(pairs)

@@ -58,3 +58,30 @@ def test_stratified_sample_exactly_k_per_stratum(spark, sf_smoke):
     sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     for r in per:
         assert r.n == min(5, sizes[r.lang])
+
+
+def test_connected_groups_star_on_deep_chain(spark):
+    """A 1000-link chain converges in O(log n) star rounds (min-label
+    propagation would need ~1000 diameter rounds). Every node must land in
+    component 0, and both algorithms must agree on a branchy graph."""
+    from telecom_dataengineering_pipeline_spark.llmprep.dedup import (
+        connected_dup_groups,
+        connected_dup_groups_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000)], "doc1 long, doc2 long"
+    ).repartition(8)
+    out = connected_dup_groups_star(chain, max_iters=15)
+    rows = out.collect()
+    assert len(rows) == 1001
+    assert {r["group_id"] for r in rows} == {0}
+
+    # cross-check against the propagate variant on a multi-component graph
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21), (5, 4)],
+        "doc1 long, doc2 long",
+    )
+    a = sorted((r["doc_id"], r["group_id"]) for r in connected_dup_groups(pairs).collect())
+    b = sorted((r["doc_id"], r["group_id"]) for r in connected_dup_groups_star(pairs).collect())
+    assert a == b
