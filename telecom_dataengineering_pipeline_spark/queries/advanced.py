@@ -416,3 +416,38 @@ def cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.groupBy("cohort_week", "week_offset").agg(
         F.count_distinct("user_id").alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# S13: JDBC source — a REAL JDBC engine (embedded Derby, which ships on
+# Spark's own classpath) stands in for the reference's Postgres catalog
+# (infrastructure/docker/trino/etc/catalog/postgresql.properties:1-4).
+# The query round-trips the region dim through JDBC and reads it back as a
+# partitioned scan with the filter pushed into the remote WHERE clause.
+# ---------------------------------------------------------------------------
+
+_JDBC_ORACLE = """
+SELECT r_regionkey, r_name FROM region WHERE r_regionkey >= 1
+"""
+
+
+@register("jdbc_source_contract", oracle=_JDBC_ORACLE, tags=("S13",))
+def jdbc_source_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.jdbc import derby_url, read_jdbc, write_jdbc
+
+    region = load_table(spark, sf_dir, "region")
+    url = derby_url(os.path.join(tempfile.gettempdir(), "spark_graft_jdbc", "region_db"))
+    write_jdbc(region, url, "region_t", column_types="r_name VARCHAR(64)")
+    df = read_jdbc(
+        spark,
+        url,
+        "region_t",
+        partition_column="r_regionkey",
+        lower_bound=0,
+        upper_bound=5,
+        num_partitions=2,
+    )
+    return df.filter(F.col("r_regionkey") >= 1).select("r_regionkey", "r_name")

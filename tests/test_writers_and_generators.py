@@ -92,3 +92,37 @@ def test_towers_dim(spark):
     t = towers_dim(spark)
     assert t.count() == 15
     assert t.select("tower_id").distinct().count() == 15
+
+
+def test_jdbc_roundtrip_partitioned_pushdown(spark, sf_smoke, tmp_path):
+    """S13: real JDBC (embedded Derby) — partitioned parallel read, filter
+    pushed into the remote WHERE clause, overwrite re-runnable."""
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
+    from telecom_dataengineering_pipeline_spark.sources.jdbc import (
+        derby_url,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    nation = load_table(spark, sf_smoke, "nation")
+    url = derby_url(str(tmp_path / "nation_db"))
+    write_jdbc(nation, url, "nation_t", column_types="n_name VARCHAR(64)")
+    df = read_jdbc(
+        spark, url, "nation_t",
+        partition_column="n_nationkey", lower_bound=0, upper_bound=25, num_partitions=4,
+    )
+    out = df.filter(F.col("n_nationkey") >= 10).select("n_nationkey", "n_name")
+    assert out.rdd.getNumPartitions() == 4
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "JDBCRelation" in plan and "PushedFilters" in plan
+    assert "GreaterThanOrEqual(n_nationkey,10)" in plan
+    expected = {
+        (r["n_nationkey"], r["n_name"])
+        for r in nation.filter("n_nationkey >= 10").collect()
+    }
+    assert {(r["n_nationkey"], r["n_name"]) for r in out.collect()} == expected
+    # idempotent overwrite (the contract MERGE-style refresh relies on)
+    write_jdbc(nation, url, "nation_t", column_types="n_name VARCHAR(64)")
+    assert read_jdbc(spark, url, "nation_t").count() == nation.count()
