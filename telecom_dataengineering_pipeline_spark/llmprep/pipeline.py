@@ -31,6 +31,7 @@ def training_set_survivors(
     min_quality: float = 0.6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    engine_neutral_hash: bool = True,
 ) -> DataFrame:
     """Documents that survive exact dedup, near-dup removal, and the quality
     floor — with predicted language attached."""
@@ -42,7 +43,11 @@ def training_set_survivors(
         .drop("_fp", "_canon")
     )
     near_dup2 = (
-        minhash_near_dup_pairs(docs, text_col, id_col, threshold=jaccard_threshold)
+        minhash_near_dup_pairs(
+            docs, text_col, id_col,
+            threshold=jaccard_threshold,
+            engine_neutral_hash=engine_neutral_hash,
+        )
         .select(F.col("doc2").alias(id_col))
         .distinct()
     )
@@ -60,10 +65,13 @@ def training_set_summary(
     stride: int = 80,
     jaccard_threshold: float = 0.5,
     min_quality: float = 0.6,
+    engine_neutral_hash: bool = True,
 ) -> DataFrame:
     """Per-(split, predicted language) corpus stats for the final training
     set: document, chunk, and token counts."""
-    survivors = training_set_survivors(docs, jaccard_threshold, min_quality)
+    survivors = training_set_survivors(
+        docs, jaccard_threshold, min_quality, engine_neutral_hash=engine_neutral_hash
+    )
     assigned = split_assign(survivors.select("doc_id", "pred_lang"))
     chunks = chunk_documents(survivors, chunk_size, stride)
     per_doc = chunks.groupBy("doc_id").agg(

@@ -653,7 +653,12 @@ GROUP BY 1, 2
 def training_set_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmprep.pipeline import training_set_summary
 
-    return training_set_summary(load_table(spark, sf_dir, "documents"))
+    neutral = (
+        spark.conf.get("spark.graft.engine_neutral_hash", "true").lower() != "false"
+    )
+    return training_set_summary(
+        load_table(spark, sf_dir, "documents"), engine_neutral_hash=neutral
+    )
 
 
 # ---------------------------------------------------------------------------
