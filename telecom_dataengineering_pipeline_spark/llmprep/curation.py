@@ -1,0 +1,184 @@
+"""Corpus-curation operators: decontamination, sequence packing,
+repetition quality, vocabulary statistics.
+
+The second tier of a training-data pipeline, after dedup/quality/chunking
+(``llmprep/dedup.py``, ``text.py``, ``chunking.py``):
+
+- **Decontamination** — n-gram overlap of evaluation-split documents
+  against the train split (the standard "did the benchmark leak into
+  training data" check). Same shingle-hash equi-join spine as the dedup
+  family: the train side collapses to a distinct shingle-hash set (one
+  groupBy), the test side joins against it — no all-pairs anywhere, and
+  the join key is a 64-bit hash, never the string.
+- **Sequence packing** — assign chunk rows to fixed-token context windows
+  (the pre-training batch-building step). Packing is inherently
+  sequential, so a single global cumsum would serialize onto one task; we
+  pack within deterministic salted groups (hash(doc) mod G) — each group
+  is an independent ordered fill, groups pack in parallel, and the
+  assignment is a pure function of (doc_id, chunk_idx), reproducible on
+  any engine and any cluster size.
+- **Repetition metrics** — within-document duplicate n-gram ratios
+  (Gopher-style quality signals). Pure per-doc aggregation over the
+  non-distinct shingle stream; rides the doc partitioning, one exchange.
+- **Vocabulary stats** — corpus token/document frequencies + top-k
+  (wordcount with a TakeOrderedAndProject tail; the df side feeds IDF
+  and stopword discovery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import split_assign
+from .text import tokens
+
+
+def _shingle_stream_all(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) word n-grams WITHOUT de-dup (repetition analysis
+    needs multiplicity; ``dedup.shingle_stream`` is the distinct variant)."""
+    ex = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .repartition(F.col("doc_id"))
+        .select("doc_id", F.posexplode(tokens("_t")).alias("pos", "tok"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    return (
+        ex.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+
+
+def decontamination_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    salt: str = "split_v1",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Per eval-split (val/test) document: how much of it appears verbatim
+    (at n-gram granularity) in the train split.
+
+    Returns (doc_id, split, n_shingles, n_contaminated, contamination_ratio)
+    for every non-train document. At 100 TB the train shingle set is the
+    big side — it stays a distinct-hash relation (narrow: one long per
+    shingle) and the join is hash-partitioned on the shingle; the eval side
+    is a few percent of the corpus by construction.
+    """
+    from .dedup import shingle_stream
+
+    assigned = split_assign(docs, id_col=id_col, salt=salt, train_pct=train_pct, val_pct=val_pct)
+    stream = shingle_stream(assigned, text_col, id_col, n)
+    sided = stream.join(assigned.select(F.col(id_col).alias("doc_id"), "split"), "doc_id")
+    train_set = (
+        sided.filter(F.col("split") == "train")
+        .select(F.xxhash64("shingle").alias("shingle_h"))
+        .distinct()
+    )
+    ev = sided.filter(F.col("split") != "train").select(
+        "doc_id", "split", F.xxhash64("shingle").alias("shingle_h")
+    )
+    hits = ev.join(train_set.withColumn("_hit", F.lit(1)), "shingle_h", "left")
+    return hits.groupBy("doc_id", "split").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("_hit").alias("n_contaminated"),
+        F.round(
+            F.count("_hit").cast("double") / F.count(F.lit(1)), 6
+        ).alias("contamination_ratio"),
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    context_len: int = 512,
+    n_groups: int = 16,
+    salt: str = "pack_v1",
+) -> DataFrame:
+    """Assign chunk rows to fixed-token context windows.
+
+    Input: (doc_id, chunk_idx, n_tokens) from ``chunk_documents``. Each
+    chunk lands in pack group g = hash(salt‖doc_id) mod n_groups; within a
+    group, chunks fill contiguous windows in (doc_id, chunk_idx) order:
+    window boundary = cumulative tokens div context_len. Deterministic on
+    any engine/cluster; groups pack in parallel (one window partition per
+    group, sized corpus/n_groups — pick n_groups ≈ executor count at
+    scale). Returns one row per (group, sequence) with fill statistics.
+    """
+    from .text import token_hash32
+
+    g = F.pmod(
+        token_hash32(F.concat(F.lit(salt + "_"), F.col("doc_id").cast("string"))),
+        F.lit(n_groups),
+    ).cast("int")
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    assigned = (
+        chunks.withColumn("pack_group", g)
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "seq_idx", ((F.col("_cum") - F.col("n_tokens")) / F.lit(context_len)).cast("int")
+        )
+    )
+    return assigned.groupBy("pack_group", "seq_idx").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
+
+
+def repetition_metrics(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Within-document repetition (Gopher-style quality signals): per doc,
+    the fraction of n-gram occurrences that are repeats of an already-seen
+    n-gram, and the share taken by the single most repeated n-gram.
+
+    Two keyed aggregations, both on the doc partitioning: (doc, shingle)
+    counts, then per-doc totals. Boilerplate-heavy docs (repeated headers,
+    templated rows) score high and get filtered before training.
+    """
+    per_shingle = (
+        _shingle_stream_all(docs, text_col, id_col, n)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_shingle.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_shingles"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.round(
+            (F.sum("cnt") - F.count(F.lit(1))).cast("double") / F.sum("cnt"), 6
+        ).alias("dup_ngram_ratio"),
+        F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias("top_ngram_share"),
+    )
+
+
+def vocab_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 100
+) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by total frequency with document
+    frequency attached (IDF feed / stopword discovery). The wordcount agg
+    is map-side combined; top-k runs as TakeOrderedAndProject, never a
+    global sort of the vocabulary."""
+    ex = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    counts = ex.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.count_distinct("doc_id").cast("bigint").alias("df"),
+    )
+    return counts.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(k)

@@ -765,3 +765,140 @@ def dedup_connected_groups_star_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
     pairs = minhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
     return connected_dup_groups_star(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Curation tier: decontamination, sequence packing, repetition quality,
+# vocabulary stats (llmprep/curation.py).
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUCKET = "('0x'||substr(md5('split_v1_'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100"
+
+_DECON_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id, text,
+         CASE WHEN {_SPLIT_BUCKET} < 90 THEN 'train'
+              WHEN {_SPLIT_BUCKET} < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), sets AS (
+  SELECT doc_id, split,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len({_TOKS}) - 2, 0)),
+           i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+         )) AS s
+  FROM assigned
+), ex AS (SELECT doc_id, split, unnest(s) AS g FROM sets),
+train_set AS (SELECT DISTINCT g FROM ex WHERE split = 'train'),
+ev AS (SELECT doc_id, split, g FROM ex WHERE split <> 'train')
+SELECT ev.doc_id, ev.split,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(t.g) AS BIGINT) AS n_contaminated,
+       round(CAST(count(t.g) AS DOUBLE) / count(*), 6) AS contamination_ratio
+FROM ev LEFT JOIN train_set t ON ev.g = t.g
+GROUP BY 1, 2
+"""
+
+
+@register("decontamination_check", oracle=_DECON_ORACLE, tags=("LLM", "curation"))
+def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-split documents whose n-grams leak from the train split —
+    the pre-release benchmark-contamination audit."""
+    from ..llmprep.curation import decontamination_overlap
+
+    out = decontamination_overlap(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "split",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        "contamination_ratio",
+    )
+
+
+_PACK_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sized AS (
+  SELECT doc_id, len(list_filter(toks, x -> x <> '')) AS n_tok FROM base
+), starts AS (
+  SELECT doc_id, unnest(range(0, n_tok, 80)) AS start, n_tok
+  FROM sized WHERE n_tok > 0
+), chunks AS (
+  SELECT doc_id,
+         CAST(start / 80 AS INTEGER) AS chunk_idx,
+         least(100, n_tok - start) AS n_tokens,
+         ('0x'||substr(md5('pack_v1_'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 16 AS pack_group
+  FROM starts
+), cum AS (
+  SELECT pack_group, doc_id, chunk_idx, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id, chunk_idx
+                             ROWS UNBOUNDED PRECEDING) AS c
+  FROM chunks
+)
+SELECT CAST(pack_group AS INTEGER) AS pack_group,
+       CAST(floor((c - n_tokens) / 512.0) AS INTEGER) AS seq_idx,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc_id,
+       max(doc_id) AS last_doc_id
+FROM cum GROUP BY 1, 2
+"""
+
+
+@register("sequence_packing_stats", oracle=_PACK_ORACLE, tags=("LLM", "curation"))
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunks → fixed-token context windows (the batch-building step),
+    packed in parallel salted groups; per-sequence fill statistics."""
+    from ..llmprep.chunking import chunk_documents
+    from ..llmprep.curation import pack_sequences
+
+    chunks = chunk_documents(load_table(spark, sf_dir, "documents"))
+    return pack_sequences(chunks.drop("chunk_md5"), context_len=512, n_groups=16)
+
+
+_REP_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len({_TOKS}) - 2, 0)),
+           i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+         )) AS g
+  FROM documents
+), per AS (
+  SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_shingles,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round((CAST(sum(cnt) AS DOUBLE) - count(*)) / sum(cnt), 6) AS dup_ngram_ratio,
+       round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_ngram_share
+FROM per GROUP BY doc_id
+"""
+
+
+@register("text_repetition_metrics", oracle=_REP_ORACLE, tags=("LLM", "curation"))
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals."""
+    from ..llmprep.curation import repetition_metrics
+
+    return repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+_VOCAB_ORACLE = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM ex WHERE tok <> ''
+GROUP BY tok ORDER BY tf DESC, tok ASC LIMIT 100
+"""
+
+
+@register("vocab_topk", oracle=_VOCAB_ORACLE, tags=("LLM", "curation"))
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 tokens by frequency with document
+    frequency (IDF feed / stopword discovery)."""
+    from ..llmprep.curation import vocab_stats
+
+    return vocab_stats(load_table(spark, sf_dir, "documents"), k=100)

@@ -82,6 +82,10 @@ DRIVER_ORDER: list[str] = [
     "fraud_stream_availablenow",
     "dedup_connected_groups_star",
     "jdbc_source_contract",
+    "decontamination_check",
+    "sequence_packing_stats",
+    "text_repetition_metrics",
+    "vocab_topk",
     # -- round-1-green, highest coverage value (distinct §2 IDs)
     "hourly_usage_rollup",
     "pricing_summary_rollup",
