@@ -136,6 +136,9 @@ def jaccard_pairs(
             .filter(F.col("_df") <= max_df)
             .drop("_df")
         )
+    # Three consumers below (both self-join sides + sizes): materialize the
+    # narrow hashed stream once instead of re-running the shingle spine.
+    ex = ex.localCheckpoint(eager=False)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = ex.alias("a")
     b = ex.alias("b")
