@@ -70,3 +70,41 @@ def test_shingle_and_signature_single_exchange(spark, sf_smoke):
     assert p1.count("Exchange") == 1
     p2 = minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
     assert p2.count("Exchange") == 1
+
+
+def test_curation_plan_shapes(spark, sf_smoke):
+    """Pin the scale-critical plan shapes of the curation tier:
+    repetition/packing ride a single exchange, vocab top-k never sorts the
+    full vocabulary, decontamination joins on the shingle key (no
+    cartesian/nested-loop anywhere)."""
+    from telecom_dataengineering_pipeline_spark.llmprep.chunking import chunk_documents
+    from telecom_dataengineering_pipeline_spark.llmprep.curation import (
+        decontamination_overlap,
+        pack_sequences,
+        repetition_metrics,
+        vocab_stats,
+    )
+    from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # repetition: doc repartition is the only exchange; both aggs ride it
+    p = plan(repetition_metrics(docs))
+    assert p.count("Exchange") == 1
+
+    # packing: one exchange on pack_group; the per-sequence agg rides the
+    # window partitioning (hashpartitioning(pack_group) satisfies the
+    # (pack_group, seq_idx) clustering)
+    p = plan(pack_sequences(chunk_documents(docs).drop("chunk_md5")))
+    assert p.count("Exchange") == 1
+
+    # vocab top-k: TakeOrderedAndProject, not a global Sort of the vocab
+    p = plan(vocab_stats(docs, k=50))
+    assert "TakeOrderedAndProject" in p
+
+    # decontamination: keyed joins only
+    p = plan(decontamination_overlap(docs))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
