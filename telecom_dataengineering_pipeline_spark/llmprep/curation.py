@@ -182,3 +182,46 @@ def vocab_stats(
         F.count_distinct("doc_id").cast("bigint").alias("df"),
     )
     return counts.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(k)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf.
+
+    idf = ln((N+1)/(df+1)) (smoothed, always > 0); ties broken by token so
+    the ranking is total. Two keyed aggregations (per-(doc, token) tf and
+    per-token df) plus one window for the per-doc top-k — the window's
+    rank-filter prunes map-side via WindowGroupLimit when k is a literal.
+    N rides in as a broadcast 1-row aggregate, not a driver-side collect.
+    """
+    ex = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tf = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "tok", "tf", "df", "tfidf")
+    )

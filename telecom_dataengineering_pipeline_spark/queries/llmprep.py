@@ -902,3 +902,33 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmprep.curation import vocab_stats
 
     return vocab_stats(load_table(spark, sf_dir, "documents"), k=100)
+
+
+_TFIDF_ORACLE = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM ex WHERE tok <> '' GROUP BY 1, 2
+), df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)), 6) AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok, tf, df, tfidf
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("LLM", "curation"))
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by smoothed tf-idf."""
+    from ..llmprep.curation import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)

@@ -86,6 +86,7 @@ DRIVER_ORDER: list[str] = [
     "sequence_packing_stats",
     "text_repetition_metrics",
     "vocab_topk",
+    "tfidf_top_terms",
     # -- round-1-green, highest coverage value (distinct §2 IDs)
     "hourly_usage_rollup",
     "pricing_summary_rollup",
