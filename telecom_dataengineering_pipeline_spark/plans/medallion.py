@@ -332,37 +332,21 @@ class MedallionPipeline:
             F.col("revenue_usd").cast("decimal(12,4)").alias("revenue_usd"),
             "_bronze_ingested_at",
         )
-        from ..operators.merge import merge_upsert
+        # MERGE through the table-format contract (S7): the parquet sink
+        # resolves keep-latest and swaps via rename-aside; a Delta/Iceberg
+        # sink executes a real MERGE INTO behind the same call.
+        from ..sources.table_format import ParquetDirSink
 
-        merged = merge_upsert(
-            existing.drop("year", "month"),
-            incoming,
+        sink = ParquetDirSink(partition_by=("year", "month"))
+        sink.merge_keep_latest(
+            self.spark,
+            self.path("silver", "calls"),
+            incoming.withColumn("year", F.year("call_date")).withColumn(
+                "month", F.month("call_date")
+            ),
             keys=["call_id"],
             order_by=[F.col("_bronze_ingested_at").desc()],
         )
-        staging = self.path("silver", "calls") + "__staging"
-        write_partitioned(
-            merged.withColumn("year", F.year("call_date")).withColumn("month", F.month("call_date")),
-            staging,
-            partition_cols=("year", "month"),
-        )
-        final = self.path("silver", "calls")
-        import shutil
-
-        # Swap via rename-aside so no failure window loses the table: the old
-        # version is only deleted after the new one is in place.  (Local-FS
-        # renames here; on HDFS/object stores this step is the FileSystem
-        # .rename() pair, same protocol.)
-        retired = final + "__retired"
-        if os.path.exists(retired):
-            shutil.rmtree(retired)
-        shutil.move(final, retired)
-        try:
-            shutil.move(staging, final)
-        except BaseException:
-            shutil.move(retired, final)  # roll back; staging left for inspection
-            raise
-        shutil.rmtree(retired)
 
     # -- Quality gate ----------------------------------------------------
     def quality_gate(self) -> list:
