@@ -48,6 +48,11 @@ def main() -> None:
         # accumulated cache pressure (steady-state reuse WITHIN a query —
         # warmup → measured run — is intentional and kept)
         spark.catalog.clearCache()
+        # clearCache() only drops CacheManager (SQL) entries; RDDs pinned by
+        # localCheckpoint(eager=False) stay in the context's persistent-RDD
+        # map and accumulate storage-memory pressure across queries
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -50,6 +50,10 @@ def main() -> int:
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
+        # clearCache() misses RDDs pinned by localCheckpoint(eager=False);
+        # drop them so queries aren't timed under earlier queries' residue
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
     spark.stop()
 
     if args.update or not os.path.exists(baseline_path):
