@@ -184,6 +184,139 @@ def vocab_stats(
     return counts.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(k)
 
 
+def source_mixing_weights(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    token_budget: int = 1_000_000,
+) -> DataFrame:
+    """Per-source sampling weights for corpus mixing (the multi-source
+    temperature-sampling step of batch construction).
+
+    weight_s = sqrt(tokens_s) / Σ sqrt(tokens) — temperature α=0.5
+    up-weights small sources relative to proportional sampling. sqrt (not
+    an arbitrary pow) because IEEE-754 requires it correctly rounded, so
+    Spark and any oracle engine agree bit-for-bit. ``epochs_at_budget`` =
+    how many passes over source s a ``token_budget``-token mix implies —
+    the overfitting-risk signal for small high-weight sources.
+
+    One hash agg on source + a whole-frame window over the (tiny,
+    #sources-row) aggregate — the corpus-sized scan never shuffles twice.
+    """
+    per_source = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    weight = F.sqrt(F.col("n_tokens")) / F.sum(F.sqrt(F.col("n_tokens"))).over(total)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(weight, 6).alias("mix_weight"),
+        F.round(F.lit(token_budget) * weight / F.col("n_tokens"), 6).alias("epochs_at_budget"),
+    )
+
+
+FUNNEL_STAGES: tuple[str, ...] = ("length", "lang_allowed", "repetition", "langid_agree")
+FUNNEL_ALLOWED_LANGS: tuple[str, ...] = ("en", "es", "de", "fr")
+
+
+def filter_funnel(
+    docs: DataFrame,
+    min_chars: int = 100,
+    max_chars: int = 500,
+) -> DataFrame:
+    """Sequential quality-gate funnel with first-fail attribution: each
+    document is charged to the FIRST gate it fails (length bounds → allowed
+    language → repetition via distinct-token ratio → language-ID agreement
+    with the claimed ``lang``), so per-stage drop counts sum to total drops.
+
+    Returns one row per stage: (stage_idx, stage, n_in, n_dropped, n_out).
+    The corpus scan is a single pure-map pass into a 4-group count; the
+    funnel arithmetic runs on the 4-row aggregate (whole-frame window over
+    post-agg rows, not data).
+    """
+    from .text import distinct_token_ratio, predicted_lang, tokens as _toks
+
+    toks = _toks("text")
+    fails = [
+        ~F.col("n_chars").between(min_chars, max_chars),
+        ~F.col("lang").isin(*FUNNEL_ALLOWED_LANGS),
+        distinct_token_ratio(toks) < 0.3,
+        predicted_lang(toks) != F.col("lang"),
+    ]
+    first_fail = F.lit(len(fails))  # sentinel: passed every gate
+    for idx in range(len(fails) - 1, -1, -1):
+        first_fail = F.when(fails[idx], F.lit(idx)).otherwise(first_fail)
+    drops = (
+        docs.select(first_fail.alias("stage_idx"))
+        .filter(F.col("stage_idx") < len(fails))
+        .groupBy("stage_idx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dropped"))
+    )
+    spark = docs.sparkSession
+    stages = spark.createDataFrame(
+        list(enumerate(FUNNEL_STAGES)), "stage_idx INT, stage STRING"
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    prior = (
+        Window.partitionBy()
+        .orderBy("stage_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    funnel = (
+        stages.join(drops, "stage_idx", "left")
+        .withColumn("n_dropped", F.coalesce("n_dropped", F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_in",
+            (F.col("n_total") - F.coalesce(F.sum("n_dropped").over(prior), F.lit(0))).cast(
+                "bigint"
+            ),
+        )
+    )
+    return funnel.select(
+        "stage_idx",
+        "stage",
+        "n_in",
+        "n_dropped",
+        (F.col("n_in") - F.col("n_dropped")).cast("bigint").alias("n_out"),
+    )
+
+
+def cluster_representatives(docs: DataFrame, groups: DataFrame) -> DataFrame:
+    """Pick one surviving document per duplicate cluster (the step after
+    transitive grouping: keep the best copy, drop the rest).
+
+    ``groups`` is (doc_id, group_id) from ``connected_dup_groups``; docs
+    absent from it are singletons (their own group). Representative =
+    longest text, ties to the lowest doc_id — a deterministic total order.
+    Implemented as ONE hash aggregation via the max-struct trick (no
+    window, no second shuffle): max((n_chars, -doc_id)) picks the winner
+    while count(*) rides along in the same agg.
+    """
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(groups, "doc_id", "left")
+        .withColumn("group_id", F.coalesce("group_id", F.col("doc_id")))
+    )
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("_neg")))
+    return (
+        labeled.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            best.alias("_best"),
+        )
+        .select(
+            "group_id",
+            (-F.col("_best._neg")).cast("bigint").alias("rep_doc_id"),
+            F.col("_best.n_chars").cast("bigint").alias("rep_chars"),
+            "n_members",
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     text_col: str = "text",

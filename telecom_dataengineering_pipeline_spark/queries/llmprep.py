@@ -932,3 +932,112 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmprep.curation import tfidf_top_terms
 
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+_MIX_ORACLE = f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+  round(sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER (), 6) AS mix_weight,
+  round(1000000 * (sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER ()) / n_tokens, 6)
+    AS epochs_at_budget
+FROM per_source
+"""
+
+
+@register("source_mixing_weights", oracle=_MIX_ORACLE, tags=("LLM", "curation"))
+def source_mixing_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled (α=0.5) per-source mixing weights + implied
+    epochs at a 1M-token budget."""
+    from ..llmprep.curation import source_mixing_weights
+
+    return source_mixing_weights(load_table(spark, sf_dir, "documents"))
+
+
+def _funnel_oracle() -> str:
+    langid_case = """CASE
+      WHEN v_en >= greatest(v_es, v_de, v_fr, v_zh) THEN 'en'
+      WHEN v_es >= greatest(v_de, v_fr, v_zh) THEN 'es'
+      WHEN v_de >= greatest(v_fr, v_zh) THEN 'de'
+      WHEN v_fr >= v_zh THEN 'fr'
+      ELSE 'zh'
+    END"""
+    vote_cols = ",\n  ".join(
+        f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)}))) AS v_{lang}"
+        for lang, markers in LANG_MARKERS.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars, {_TOKS} AS toks FROM documents
+), v AS (
+  SELECT doc_id, lang, n_chars, toks,
+  {vote_cols}
+  FROM t
+), ff AS (
+  SELECT CASE
+    WHEN NOT (n_chars BETWEEN 100 AND 500) THEN 0
+    WHEN lang NOT IN ('en', 'es', 'de', 'fr') THEN 1
+    WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) < 0.3 THEN 2
+    WHEN ({langid_case}) <> lang THEN 3
+    ELSE 4 END AS stage_idx
+  FROM v
+), drops AS (
+  SELECT stage_idx, CAST(count(*) AS BIGINT) AS n_dropped
+  FROM ff WHERE stage_idx < 4 GROUP BY stage_idx
+), stages(stage_idx, stage) AS (
+  VALUES (0, 'length'), (1, 'lang_allowed'), (2, 'repetition'), (3, 'langid_agree')
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+SELECT CAST(s.stage_idx AS INTEGER) AS stage_idx, s.stage,
+  CAST(n_total - coalesce(sum(coalesce(d.n_dropped, 0)) OVER (
+    ORDER BY s.stage_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    AS BIGINT) AS n_in,
+  CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+  CAST(n_total - coalesce(sum(coalesce(d.n_dropped, 0)) OVER (
+    ORDER BY s.stage_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    - coalesce(d.n_dropped, 0) AS BIGINT) AS n_out
+FROM stages s LEFT JOIN drops d USING (stage_idx) CROSS JOIN tot
+"""
+
+
+@register("curation_filter_funnel", oracle=_funnel_oracle(), tags=("LLM", "curation"))
+def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential quality-gate funnel (length → allowed lang → repetition →
+    lang-ID agreement) with first-fail drop attribution."""
+    from ..llmprep.curation import filter_funnel
+
+    return filter_funnel(load_table(spark, sf_dir, "documents"))
+
+
+_KEEPBEST_ORACLE = f"""
+WITH groups AS ({_CC_ORACLE}),
+labeled AS (
+  SELECT d.doc_id, d.n_chars, coalesce(g.group_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY group_id ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM labeled
+), stats AS (
+  SELECT group_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM labeled GROUP BY group_id
+)
+SELECT r.group_id, CAST(r.doc_id AS BIGINT) AS rep_doc_id,
+       CAST(r.n_chars AS BIGINT) AS rep_chars, s.n_members
+FROM ranked r JOIN stats s USING (group_id) WHERE rnk = 1
+"""
+
+
+@register("dedup_keep_best", oracle=_KEEPBEST_ORACLE, tags=("LLM", "dedup", "curation"))
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One surviving representative per transitive near-dup cluster
+    (longest text, doc_id tie-break) — the keep-best step after grouping."""
+    from ..llmprep.curation import cluster_representatives
+    from ..llmprep.dedup import connected_dup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = connected_dup_groups(minhash_near_dup_pairs(docs, threshold=0.5))
+    return cluster_representatives(docs, groups)

@@ -87,6 +87,9 @@ DRIVER_ORDER: list[str] = [
     "text_repetition_metrics",
     "vocab_topk",
     "tfidf_top_terms",
+    "source_mixing_weights",
+    "curation_filter_funnel",
+    "dedup_keep_best",
     # -- round-1-green, highest coverage value (distinct §2 IDs)
     "hourly_usage_rollup",
     "pricing_summary_rollup",

@@ -1,0 +1,78 @@
+"""Curation-tier operator invariants beyond value parity: mixing-weight
+normalization, funnel first-fail attribution, keep-best tie-breaks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from telecom_dataengineering_pipeline_spark.llmprep.curation import (
+    FUNNEL_STAGES,
+    cluster_representatives,
+    filter_funnel,
+    source_mixing_weights,
+)
+from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
+
+
+def test_mixing_weights_normalize_and_upweight_small(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * 10, "small") for i in range(5)]
+        + [(i + 100, "w " * 10, "big") for i in range(80)],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    rows = {r["source"]: r for r in source_mixing_weights(docs).collect()}
+    total_w = sum(r["mix_weight"] for r in rows.values())
+    assert abs(total_w - 1.0) < 1e-5
+    # α=0.5 temperature: small source's weight share exceeds its token share
+    small_tok_share = rows["small"]["n_tokens"] / (
+        rows["small"]["n_tokens"] + rows["big"]["n_tokens"]
+    )
+    assert rows["small"]["mix_weight"] > small_tok_share
+    # epochs = budget * weight / tokens — small high-weight source repeats more
+    assert rows["small"]["epochs_at_budget"] > rows["big"]["epochs_at_budget"]
+
+
+def test_funnel_first_fail_attribution(spark):
+    # doc 1 fails length AND lang — must be charged to length (stage 0) only;
+    # doc 2 passes length, fails lang; doc 3 passes everything.
+    docs = spark.createDataFrame(
+        [
+            (1, "short", "zh", 10),
+            (2, "the of and is a plain english sentence with the usual words", "ja", 300),
+            (3, "the quick brown fox jumps over a lazy dog of the morning", "en", 300),
+        ],
+        "doc_id LONG, text STRING, lang STRING, n_chars LONG",
+    )
+    out = {r["stage"]: r for r in filter_funnel(docs).collect()}
+    assert [out[s]["stage_idx"] for s in FUNNEL_STAGES] == [0, 1, 2, 3]
+    assert out["length"]["n_in"] == 3 and out["length"]["n_dropped"] == 1
+    assert out["lang_allowed"]["n_in"] == 2 and out["lang_allowed"]["n_dropped"] == 1
+    assert out["repetition"]["n_dropped"] == 0
+    assert out["langid_agree"]["n_out"] == 1
+    # funnel telescopes: each stage's n_out is the next stage's n_in
+    for a, b in zip(FUNNEL_STAGES, FUNNEL_STAGES[1:]):
+        assert out[a]["n_out"] == out[b]["n_in"]
+
+
+def test_keep_best_ties_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (9, 40)],
+        "doc_id LONG, n_chars LONG",
+    )
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id LONG, group_id LONG"
+    )
+    out = {r["group_id"]: r for r in cluster_representatives(docs, groups).collect()}
+    # cluster 1: max n_chars is tied 2/3 -> lowest doc_id wins
+    assert out[1]["rep_doc_id"] == 2 and out[1]["rep_chars"] == 90
+    assert out[1]["n_members"] == 3
+    # doc 9 is in no pair: singleton cluster keyed by its own id
+    assert out[9]["rep_doc_id"] == 9 and out[9]["n_members"] == 1
+
+
+def test_funnel_is_single_scan(spark, sf_smoke):
+    # the corpus-sized side of the funnel must be one scan into one partial
+    # agg; the 4-row funnel arithmetic may exchange freely
+    df = filter_funnel(load_table(spark, sf_smoke, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 2  # corpus scan + count(*) scan
