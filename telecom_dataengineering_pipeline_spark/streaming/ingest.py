@@ -79,3 +79,25 @@ def bronze_ingest_stream(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming exact-dedup: drop repeat deliveries of the same logical
+    record (at-least-once upstream → exactly-once downstream rows).
+
+    ``dropDuplicatesWithinWatermark`` keys the dedup state on ``keys`` and
+    evicts each key once the event-time watermark passes it — state is
+    bounded by (arrival rate × watermark), never by corpus size, which is
+    what makes this viable on an unbounded 100 TB/day firehose where plain
+    ``dropDuplicates`` would accrete state forever. On a batch DataFrame the
+    same callable degrades to ``dropDuplicates(keys)`` so stream-vs-batch
+    parity is testable with one code path.
+    """
+    if not stream.isStreaming:
+        return stream.dropDuplicates(keys)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
