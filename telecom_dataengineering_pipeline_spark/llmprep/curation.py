@@ -358,3 +358,61 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "tok", "tf", "df", "tfidf")
     )
+
+
+def source_overlap_matrix(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Cross-source duplication matrix: for each (unordered) source pair,
+    how many near-dup document pairs straddle it — the "which feeds are
+    re-hosting each other" curation signal that decides source-level drops
+    before doc-level dedup even runs.
+
+    ``pairs`` is (doc1, doc2, ...) from any dedup-family generator. Two
+    broadcast-sized joins attach sources (the doc→source map is narrow);
+    sources are sorted within the pair so A↔B and B↔A accumulate together.
+    """
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(src.withColumnRenamed("doc_id", "doc1").withColumnRenamed("source", "_s1"), "doc1")
+        .join(src.withColumnRenamed("doc_id", "doc2").withColumnRenamed("source", "_s2"), "doc2")
+    )
+    return (
+        labeled.select(
+            F.least("_s1", "_s2").alias("source_a"),
+            F.greatest("_s1", "_s2").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+    )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the cheap perplexity
+    proxy: docs whose tokens are globally rare (garbled text, wrong-language
+    fragments, binary spew) score very negative and get filtered.
+
+    p(tok) = tf_corpus / total_tokens over the corpus itself (add-nothing
+    MLE; every observed token has tf ≥ 1 so log is finite). Per-token
+    log-probs are rounded to 9 dp and summed as DECIMAL — floating-point
+    addition is order-dependent and a corpus-sized sum would drift across
+    engines, while the decimal sum is exact, so the score is reproducible
+    bit-for-bit on any engine/partitioning (same convention as the decimal
+    revenue sums in the relational tier).
+    """
+    ex = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tf = ex.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    total = tf.agg(F.sum("tf").cast("bigint").alias("n_total"))
+    logp = (
+        F.round(F.log(F.col("tf").cast("double") / F.col("n_total")), 9)
+        .cast("decimal(18,9)")
+        .alias("logp")
+    )
+    scored = ex.join(tf, "tok").crossJoin(F.broadcast(total)).select("doc_id", logp)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round((F.sum("logp") / F.count(F.lit(1))).cast("double"), 6).alias("mean_logprob"),
+    )

@@ -1041,3 +1041,68 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     groups = connected_dup_groups(minhash_near_dup_pairs(docs, threshold=0.5))
     return cluster_representatives(docs, groups)
+
+
+_SRC_OVERLAP_ORACLE = f"""
+WITH sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len({_TOKS}) - 2, 0)),
+           i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+         )) AS s
+  FROM documents
+), ex AS (SELECT doc_id, unnest(s) AS g FROM sets),
+sz AS (SELECT doc_id, len(s) AS n FROM sets),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc1, doc2
+  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_dup_pairs
+FROM pairs
+JOIN documents da ON pairs.doc1 = da.doc_id
+JOIN documents db ON pairs.doc2 = db.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("dedup_source_overlap", oracle=_SRC_OVERLAP_ORACLE, tags=("LLM", "dedup", "curation"))
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pair counts per unordered
+    source pair — the which-feeds-rehost-each-other curation signal."""
+    from ..llmprep.curation import source_overlap_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(docs, minhash_near_dup_pairs(docs, threshold=0.5))
+
+
+_LOGPROB_ORACLE = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), fex AS (SELECT doc_id, tok FROM ex WHERE tok <> ''),
+tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM fex GROUP BY tok),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM tf),
+scored AS (
+  SELECT doc_id,
+         CAST(round(ln(CAST(tf AS DOUBLE) / n_total), 9) AS DECIMAL(18,9)) AS logp
+  FROM fex JOIN tf USING (tok) CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(logp) / count(*) AS DOUBLE), 6) AS mean_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_unigram_logprob", oracle=_LOGPROB_ORACLE, tags=("LLM", "curation"))
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document (perplexity proxy);
+    decimal-summed so the score is engine- and partitioning-exact."""
+    from ..llmprep.curation import unigram_logprob_scores
+
+    return unigram_logprob_scores(load_table(spark, sf_dir, "documents"))

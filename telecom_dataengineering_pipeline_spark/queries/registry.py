@@ -90,6 +90,8 @@ DRIVER_ORDER: list[str] = [
     "source_mixing_weights",
     "curation_filter_funnel",
     "dedup_keep_best",
+    "dedup_source_overlap",
+    "text_unigram_logprob",
     # -- round-1-green, highest coverage value (distinct §2 IDs)
     "hourly_usage_rollup",
     "pricing_summary_rollup",
