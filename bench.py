@@ -4,9 +4,9 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is forced with a count() action (materializes the full plan
-without driver-side result transfer). A warmup pass primes the JVM/codegen
-cache; reported numbers are the post-warmup wall-clock per query.
+Measurement protocol (warmup, steady-state timing, per-query cache/RDD
+isolation) lives in ``telecom_dataengineering_pipeline_spark.benchlib`` and is
+shared with the regression gate (``bench_gate``).
 """
 
 from __future__ import annotations
@@ -14,12 +14,10 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from telecom_dataengineering_pipeline_spark.queries.registry import REGISTRY, bench_queries
-from telecom_dataengineering_pipeline_spark.session import get_spark
+from telecom_dataengineering_pipeline_spark.benchlib import bench_session, measure_queries
 
 
 def main() -> None:
@@ -28,32 +26,8 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = -1.0
-    spark = get_spark("bench")
-    # Bench measures the production hash spine (xxhash64 candidate
-    # generation); correctness runs keep the default engine-neutral md5 the
-    # DuckDB oracle reproduces. Emitted pairs are exact-verified either way.
-    spark.conf.set("spark.graft.engine_neutral_hash", "false")
-
-    targets = bench_queries()
-    timings: dict[str, float] = {}
-    for name, fn in targets.items():
-        # warm once (plan + whole-stage-codegen JIT compile — constant
-        # overhead that amortizes away at real scale), measure steady state.
-        fn(spark, sf_dir).count()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # queries that persist() intermediates leave cached relations behind;
-        # drop them so later queries aren't measured under earlier queries'
-        # accumulated cache pressure (steady-state reuse WITHIN a query —
-        # warmup → measured run — is intentional and kept)
-        spark.catalog.clearCache()
-        # clearCache() only drops CacheManager (SQL) entries; RDDs pinned by
-        # localCheckpoint(eager=False) stay in the context's persistent-RDD
-        # map and accumulate storage-memory pressure across queries
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
-
+    spark = bench_session("bench")
+    timings = measure_queries(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

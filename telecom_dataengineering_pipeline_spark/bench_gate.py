@@ -1,20 +1,26 @@
 """Bench regression gate.
 
-Runs the headline (``bench=True``) queries exactly like ``bench.py`` and
-fails (exit 1) if any query regresses more than ``--factor`` (default
-1.5×) against the committed baseline ``BENCH_BASELINE.json`` — the
-per-query numbers carried forward from the best known round. Queries
-without a baseline entry are reported but never fail the gate (new
-queries earn a baseline by updating the file with ``--update``).
+Runs the headline (``bench=True``) queries with the SAME measurement
+protocol as ``bench.py`` (shared ``benchlib.measure_queries``) and fails
+(exit 1) if any query regresses more than ``--factor`` (default 1.5×)
+against the committed baseline ``BENCH_BASELINE.json`` — the per-query
+numbers carried forward from the best known round. Queries without a
+baseline entry are reported but never fail the gate (new queries earn a
+baseline by updating the file with ``--update``); baseline entries whose
+query no longer runs are reported as GONE so a renamed query cannot
+silently lose its gate.
+
+The baseline records the sf_dir it was measured at; a run against a
+different $SPARK_GRAFT_SF_DIR refuses to compare (exit 2) instead of
+producing bogus ok/FAIL rows across scale factors.
 
 Usage::
 
     python -m telecom_dataengineering_pipeline_spark.bench_gate
     python -m telecom_dataengineering_pipeline_spark.bench_gate --update
 
-Timing noise: each query is warmed once and the cache cleared between
-queries (same protocol as bench.py); local[32] run-to-run variance is
-~±15%, so 1.5× headroom flags real regressions, not jitter.
+Timing noise: local[32] run-to-run variance is ~±15%, so 1.5× headroom
+flags real regressions, not jitter.
 """
 
 from __future__ import annotations
@@ -23,7 +29,8 @@ import argparse
 import json
 import os
 import sys
-import time
+
+from .benchlib import bench_session, measure_queries
 
 
 def main() -> int:
@@ -36,24 +43,21 @@ def main() -> int:
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     baseline_path = args.baseline or os.path.join(repo_root, "BENCH_BASELINE.json")
 
-    from .queries.registry import bench_queries
-    from .session import get_spark
-
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench-gate")
-    spark.conf.set("spark.graft.engine_neutral_hash", "false")
 
-    timings: dict[str, float] = {}
-    for name, fn in bench_queries().items():
-        fn(spark, sf_dir).count()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
-        # clearCache() misses RDDs pinned by localCheckpoint(eager=False);
-        # drop them so queries aren't timed under earlier queries' residue
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
+    if not args.update and os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            recorded = json.load(f)
+        if recorded.get("sf_dir") != sf_dir:
+            print(
+                f"baseline was recorded at sf_dir={recorded.get('sf_dir')!r} but this "
+                f"run targets {sf_dir!r} — cross-scale comparisons are meaningless. "
+                f"Set SPARK_GRAFT_SF_DIR to match or pass --update/--baseline."
+            )
+            return 2
+
+    spark = bench_session("bench-gate")
+    timings = measure_queries(spark, sf_dir)
     spark.stop()
 
     if args.update or not os.path.exists(baseline_path):
@@ -62,8 +66,7 @@ def main() -> int:
         print(f"baseline written: {baseline_path}")
         return 0
 
-    with open(baseline_path) as f:
-        baseline = json.load(f)["queries"]
+    baseline = recorded["queries"]
 
     failures = []
     for name, t in sorted(timings.items()):
@@ -75,6 +78,8 @@ def main() -> int:
             print(f"FAIL {name}: {t:.3f}s vs baseline {base:.3f}s (> {args.factor}x)")
         else:
             print(f"ok   {name}: {t:.3f}s vs baseline {base:.3f}s")
+    for name in sorted(set(baseline) - set(timings)):
+        print(f"GONE {name}: baseline {baseline[name]:.3f}s but not in bench set")
     if failures:
         print(f"\n{len(failures)} regression(s) beyond {args.factor}x")
         return 1

@@ -1,0 +1,44 @@
+"""Shared bench measurement protocol — the ONE definition used by both
+``bench.py`` (the driver-facing CLI) and ``bench_gate`` (the regression
+gate), so the gate always measures under exactly the conditions the
+baseline was recorded with.
+
+Protocol per query: warm once (plan + whole-stage-codegen JIT — constant
+overhead that amortizes away at real scale), measure the steady-state run,
+then drop BOTH cache layers: ``catalog.clearCache()`` (CacheManager / SQL
+cache) and the persistent-RDD map (RDDs pinned by ``localCheckpoint``,
+which clearCache misses), so later queries aren't timed under earlier
+queries' residue.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+
+
+def bench_session(app_name: str) -> SparkSession:
+    """Bench sessions measure the production hash spine (xxhash64 candidate
+    generation); correctness runs keep the engine-neutral md5 default the
+    DuckDB oracle reproduces. Emitted pairs are exact-verified either way."""
+    from .session import get_spark
+
+    spark = get_spark(app_name)
+    spark.conf.set("spark.graft.engine_neutral_hash", "false")
+    return spark
+
+
+def measure_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    from .queries.registry import bench_queries
+
+    timings: dict[str, float] = {}
+    for name, fn in bench_queries().items():
+        fn(spark, sf_dir).count()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+    return timings

@@ -37,24 +37,11 @@ from .text import tokens
 def _shingle_stream_all(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(doc_id, shingle) word n-grams WITHOUT de-dup (repetition analysis
-    needs multiplicity; ``dedup.shingle_stream`` is the distinct variant)."""
-    ex = (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
-        .repartition(F.col("doc_id"))
-        .select("doc_id", F.posexplode(tokens("_t")).alias("pos", "tok"))
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
-    return (
-        ex.select(
-            "doc_id",
-            F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
-            leads[-1].alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
-    )
+    """(doc_id, shingle) word n-grams WITH multiplicity (repetition analysis
+    needs repeats) — the non-distinct mode of the one shared shingle spine."""
+    from .dedup import shingle_stream
+
+    return shingle_stream(docs, text_col, id_col, n, distinct=False)
 
 
 def decontamination_overlap(

@@ -72,21 +72,27 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def shingle_stream(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct (doc_id, shingle) word n-grams as a stream.
+    """(doc_id, shingle) word n-grams as a stream — distinct per doc by
+    default (set-similarity semantics); ``distinct=False`` keeps
+    multiplicity (repetition analysis).
 
     Repartition by doc first (small-file corpora arrive as one input split),
     posexplode tokens — the tokenizer runs once per document inside the
     generator — then assemble n-grams with lead() over the in-partition
-    (doc, pos) order and de-dup.
+    (doc, pos) order.
     """
     ex = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")).repartition(
         F.col("doc_id")
     ).select("doc_id", F.posexplode(tokens("_t")).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("tok", j).over(w) for j in range(1, n)]
-    return (
+    out = (
         ex.select(
             "doc_id",
             F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
@@ -94,12 +100,8 @@ def shingle_stream(
         )
         .filter(F.col("_last").isNotNull())
         .drop("_last")
-        .distinct()
     )
-
-
-def _shingle_sizes(stream: DataFrame) -> DataFrame:
-    return stream.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(
@@ -173,6 +175,17 @@ def _hash31(col: Column, engine_neutral: bool) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(MERSENNE_31))
 
 
+def _signature_min_exprs(num_perm: int, h: Column) -> list[Column]:
+    """The ``num_perm`` universal-hash minimum expressions over a 31-bit
+    base-hash column — the ONE definition of the permutation scheme, shared
+    by ``minhash_signatures`` and ``minhash_near_dup_pairs`` so the
+    standalone signature query and the full LSH pipeline cannot diverge."""
+    return [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_constants(num_perm))
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -189,12 +202,7 @@ def minhash_signatures(
     """
     stream = shingle_stream(docs, text_col, id_col, n)
     ex = stream.select("doc_id", _hash31(F.col("shingle"), engine_neutral_hash).alias("h"))
-    h = F.col("h")
-    mins = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_perm_constants(num_perm))
-    ]
-    sig = ex.groupBy("doc_id").agg(*mins)
+    sig = ex.groupBy("doc_id").agg(*_signature_min_exprs(num_perm, F.col("h")))
     return sig.select(
         "doc_id", F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("signature")
     )
@@ -298,13 +306,9 @@ def minhash_near_dup_pairs(
         _hash31(F.col("shingle"), engine_neutral_hash).alias("_h"),
         F.xxhash64("shingle").alias("shingle_h"),
     ).localCheckpoint(eager=False)
-    mins = [
-        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_perm_constants(num_perm))
-    ]
     sig_sizes = (
         hashed.groupBy("doc_id")
-        .agg(*mins, F.count(F.lit(1)).alias("n_shingles"))
+        .agg(*_signature_min_exprs(num_perm, F.col("_h")), F.count(F.lit(1)).alias("n_shingles"))
         .localCheckpoint(eager=False)
     )
     cands = lsh_candidate_pairs(
@@ -583,6 +587,24 @@ def cosine_dup_pairs(
     ).filter(F.col("cosine") >= threshold)
 
 
+def _persistent_rdd_ids(spark) -> set[int]:
+    """Ids currently in the context's persistent-RDD map (includes RDDs
+    pinned by ``localCheckpoint``, which ``DataFrame.unpersist`` — a
+    CacheManager operation — cannot release)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _release_rdds(spark, ids: set[int]) -> None:
+    """Unpersist the given persistent-RDD ids (no-op for ids already gone)."""
+    if not ids:
+        return
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in jmap.keySet().toArray():
+        if int(k) in ids:
+            jmap.get(k).unpersist()
+
+
 def connected_dup_groups_star(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     """Connected components via alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond", 2014)
@@ -617,8 +639,9 @@ def connected_dup_groups_star(pairs: DataFrame, max_iters: int = 25) -> DataFram
             mins.withColumnRenamed("a", "doc_id"), "doc_id", "left"
         ).select("doc_id", F.coalesce("_lbl", "doc_id").alias("label"))
 
+    spark = pairs.sparkSession
     prev_labels = None
-    prev_cached = None
+    prev_ids: set[int] = set()
     for it in range(max_iters):
         # large-star over both edge directions
         both = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -640,7 +663,13 @@ def connected_dup_groups_star(pairs: DataFrame, max_iters: int = 25) -> DataFram
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-        e = e.localCheckpoint(eager=False)
+        # Eager checkpoint so the pinned RDD registers NOW: unpersisting a
+        # checkpointed DataFrame is a CacheManager no-op, so superseded
+        # rounds are released by persistent-RDD id instead (id-diff around
+        # the checkpoint — without this, ~max_iters edge RDDs stay pinned).
+        ids_before = _persistent_rdd_ids(spark)
+        e = e.localCheckpoint(eager=True)
+        new_ids = _persistent_rdd_ids(spark) - ids_before
         labels = _labels(e)
         if prev_labels is not None:
             changed = (
@@ -649,10 +678,12 @@ def connected_dup_groups_star(pairs: DataFrame, max_iters: int = 25) -> DataFram
                 .count()
             )
             if changed == 0:
+                # the returned _labels(e) still reads THIS round's
+                # checkpoint — release the superseded previous round only
+                _release_rdds(spark, prev_ids)
                 break
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = e
+        _release_rdds(spark, prev_ids)
+        prev_ids = new_ids
         prev_labels = labels
     return _labels(e).select("doc_id", F.col("label").alias("group_id"))
 
@@ -678,7 +709,9 @@ def connected_dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
-    prev_cached = None
+    spark = pairs.sparkSession
+    prev_df = None  # persist()-backed round: DataFrame.unpersist works
+    prev_ids: set[int] = set()  # checkpoint-backed round: release by RDD id
     for it in range(max_iters):
         prop = edges.join(labels, edges["a"] == labels["doc_id"]).select(
             F.col("b").alias("doc_id"), "label"
@@ -687,16 +720,27 @@ def connected_dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             labels.union(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
         )
         # Truncate lineage every few rounds — iterative self-joins otherwise
-        # grow the plan exponentially and executor storage accumulates.
-        new_labels = new_labels.localCheckpoint(eager=True) if it % 4 == 3 else new_labels.persist()
+        # grow the plan exponentially and executor storage accumulates. The
+        # checkpoint rounds pin an RDD that DataFrame.unpersist cannot
+        # release (CacheManager no-op), so those are dropped by id.
+        if it % 4 == 3:
+            ids_before = _persistent_rdd_ids(spark)
+            new_labels = new_labels.localCheckpoint(eager=True)
+            new_ids = _persistent_rdd_ids(spark) - ids_before
+            new_df = None
+        else:
+            new_labels = new_labels.persist()
+            new_ids = set()
+            new_df = new_labels
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
             .filter(F.col("label") != F.col("old"))
             .count()
         )
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = new_labels
+        if prev_df is not None:
+            prev_df.unpersist()
+        _release_rdds(spark, prev_ids)
+        prev_df, prev_ids = new_df, new_ids
         labels = new_labels
         if changed == 0:
             break

@@ -60,18 +60,23 @@ def asof_join(
     Single shuffle on ``key``; within each key the union is sorted once and
     right values are carried forward — O(n log n) per key, no pair blow-up.
 
-    When multiple right rows share (key, right_ts), the carried value is the
-    one sorting last under the right-side tie-break: ``value_cols`` in order
-    (appended to the window ordering below), so the result is deterministic
-    regardless of partition order.
+    The carry is ROW-atomic: all value columns come from the single winning
+    right row (the one sorting last under the struct ordering below) — never
+    a per-column mix of different tied rows. When multiple right rows share
+    (key, right_ts) the winner is deterministic regardless of partition
+    order: the value-struct comparison is a total order over the tied rows'
+    payloads.
     """
     lcols = left.columns
+    r_struct = F.struct(*[F.col(c) for c in value_cols])
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),  # right (0) sorts before left (1) on ties
         F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_v_{c}") for c in value_cols],
+        F.lit(None).cast(
+            right.select(r_struct.alias("_vrow")).schema["_vrow"].dataType.simpleString()
+        ).alias("_vrow"),
     )
     r_tagged = right.select(
         F.col(key).alias("_k"),
@@ -80,24 +85,24 @@ def asof_join(
         F.lit(None).cast(
             l_tagged.schema["_lrow"].dataType.simpleString()
         ).alias("_lrow"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        r_struct.alias("_vrow"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     order = [F.col("_ts"), F.col("_side")]
-    # Deterministic winner among right rows sharing (key, right_ts): sort by
-    # the carried values themselves (all-NULL on left rows → no effect there).
-    order.extend(F.col(f"_v_{c}").asc_nulls_first() for c in value_cols)
+    # Deterministic winner among right rows sharing (key, right_ts): the
+    # whole value struct (field-wise comparison; all-NULL on left rows → no
+    # effect there). last(ignorenulls) then carries ONE row's struct, so the
+    # emitted tuple always exists in the right input.
+    order.append(F.col("_vrow").asc_nulls_first())
     if tie_break:
         order.append(F.col("_lrow").getField(tie_break))
     w = Window.partitionBy("_k").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     carried = unioned.select(
-        "_k",
-        "_ts",
         "_side",
         "_lrow",
-        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_v_{c}") for c in value_cols],
+        F.last("_vrow", ignorenulls=True).over(w).alias("_vrow"),
     ).filter(F.col("_side") == 1)
     return carried.select(
         *[F.col("_lrow").getField(c).alias(c) for c in lcols],
-        *[F.col(f"_v_{c}").alias(c) for c in value_cols],
+        *[F.col("_vrow").getField(c).alias(c) for c in value_cols],
     )

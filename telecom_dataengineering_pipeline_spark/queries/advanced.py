@@ -439,7 +439,12 @@ def jdbc_source_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.jdbc import derby_url, read_jdbc, write_jdbc
 
     region = load_table(spark, sf_dir, "region")
-    url = derby_url(os.path.join(tempfile.gettempdir(), "spark_graft_jdbc", "region_db"))
+    # Embedded Derby allows ONE booting JVM per database directory — key the
+    # path by pid so concurrent harness processes (oracle_check alongside
+    # pytest, parallel CI shards) don't collide on a machine-global path.
+    url = derby_url(
+        os.path.join(tempfile.gettempdir(), f"spark_graft_jdbc_{os.getpid()}", "region_db")
+    )
     write_jdbc(region, url, "region_t", column_types="r_name VARCHAR(64)")
     df = read_jdbc(
         spark,

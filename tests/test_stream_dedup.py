@@ -39,7 +39,7 @@ def test_stream_dedup_matches_batch(spark, sf_smoke):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "availableNow stream did not finish in 300s"
         got = spark.sql("SELECT * FROM deduped_events")
         n_got = got.count()
         assert got.groupBy(*KEYS).count().filter(F.col("count") > 1).count() == 0
