@@ -227,3 +227,67 @@ def ivf_topk_multiprobe(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+def _nearest_centroid(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Max-cosine centroid per vector: broadcast the (tiny) centroid table,
+    score, keep the argmax (ties to the lower centroid id)."""
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "c_cos", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "v", "nrm", F.col("cid").alias("cell"), "c_cos")
+    )
+
+
+def ivf_kmeans_assign(
+    embeddings: DataFrame,
+    centroid_mod: int = 100,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization with LEARNED centroids: spherical k-means
+    (cosine assignment, per-dimension mean update), Lloyd-iterated ``iters``
+    times from the deterministic seed centroids ``ivf_assign`` uses.
+
+    Each round is one broadcast-join assignment pass over the corpus plus a
+    (cell, dim)-keyed aggregation whose output is k×dims rows — the update
+    never shuffles vectors, only per-dimension partial sums (map-side
+    combined). Per-dimension means sum 7-dp-rounded DECIMALs, so the learned
+    centroids — and therefore the final assignment — are bit-identical on
+    any engine and any partitioning (float summation order would drift).
+    At scale this is the standard big-data k-means shape: assignments stay
+    on executors, only k×dims aggregates move.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    cents = emb.filter(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    for _ in range(iters):
+        assigned = _nearest_centroid(emb, cents)
+        upd = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(
+                (
+                    F.sum(F.round(F.col("val"), 7).cast("decimal(20,7)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+        )
+        cents = (
+            upd.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("_dc"))
+            .select(
+                F.col("cell").alias("cid"),
+                F.transform(F.col("_dc"), lambda s: s.getField("c")).alias("cv"),
+            )
+            .withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+        )
+    return _nearest_centroid(emb, cents)

@@ -1106,3 +1106,63 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmprep.curation import unigram_logprob_scores
 
     return unigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _kmeans_oracle(iters: int = 2, mod: int = 100, dims: int = 64) -> str:
+    """Unrolled spherical-k-means oracle: assignment uses the proven
+    list_dot_product fold; centroid means sum 7-dp DECIMALs (exact,
+    order-independent) exactly like the Spark side."""
+    assign = """
+s{i} AS (
+  SELECT n.vec_id, n.v, n.nrm, c.cid,
+         list_dot_product(n.v, c.cv) / (n.nrm * c.cn) AS c_cos
+  FROM n CROSS JOIN {cents} c
+), a{i} AS (
+  SELECT vec_id, v, nrm, cid AS cell, c_cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cid ASC) AS _rn
+    FROM s{i}
+  ) WHERE _rn = 1
+)"""
+    update = """
+x{i} AS (
+  SELECT cell, t.i AS dim, v[t.i] AS val FROM a{i} CROSS JOIN generate_series(1, {dims}) t(i)
+), u{i} AS (
+  SELECT cell, dim,
+         CAST(sum(CAST(round(val, 7) AS DECIMAL(20,7))) AS DOUBLE) / count(*) AS c
+  FROM x{i} GROUP BY cell, dim
+), c{i} AS (
+  SELECT cell AS cid, array_agg(c ORDER BY dim) AS cv FROM u{i} GROUP BY cell
+), cn{i} AS (
+  SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c{i}
+)"""
+    parts = [
+        f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), c0 AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % {mod} = 0
+)"""
+    ]
+    cents = "c0"
+    for i in range(1, iters + 1):
+        parts.append(assign.format(i=i, cents=cents))
+        parts.append(update.format(i=i, dims=dims))
+        cents = f"cn{i}"
+    final = iters + 1
+    parts.append(assign.format(i=final, cents=cents))
+    return (
+        ",".join(parts)
+        + f"\nSELECT vec_id, cell, round(c_cos, 6) AS centroid_cos FROM a{final}"
+    )
+
+
+@register("ann_ivf_kmeans_cells", oracle=_kmeans_oracle(), tags=("LLM", "similarity", "iterative"))
+def ann_ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cells from LEARNED centroids: 2 Lloyd rounds of spherical
+    k-means over the embedding table (deterministic seeds, decimal-exact
+    mean updates), emitting each vector's cell and centroid cosine."""
+    from ..llmprep.similarity import ivf_kmeans_assign
+
+    out = ivf_kmeans_assign(load_table(spark, sf_dir, "embeddings"), centroid_mod=100, iters=2)
+    return out.select("vec_id", "cell", F.round(F.col("c_cos"), 6).alias("centroid_cos"))

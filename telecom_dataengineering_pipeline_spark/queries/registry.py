@@ -92,6 +92,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_keep_best",
     "dedup_source_overlap",
     "text_unigram_logprob",
+    "ann_ivf_kmeans_cells",
     # -- round-1-green, highest coverage value (distinct §2 IDs)
     "hourly_usage_rollup",
     "pricing_summary_rollup",

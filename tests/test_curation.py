@@ -76,3 +76,21 @@ def test_funnel_is_single_scan(spark, sf_smoke):
     df = filter_funnel(load_table(spark, sf_smoke, "documents"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 2  # corpus scan + count(*) scan
+
+
+def test_kmeans_centroids_move_and_tighten(spark, sf_smoke):
+    from telecom_dataengineering_pipeline_spark.llmprep.similarity import (
+        ivf_kmeans_assign,
+    )
+    from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    seeded = ivf_kmeans_assign(emb, iters=0)  # = the hash-seeded ivf_assign cells
+    learned = ivf_kmeans_assign(emb, iters=2)
+    q0 = seeded.agg(F.sum("c_cos")).collect()[0][0]
+    q2 = learned.agg(F.sum("c_cos")).collect()[0][0]
+    # Lloyd rounds monotonically improve the quantization objective
+    assert q2 > q0
+    # every vector keeps exactly one cell
+    assert learned.count() == emb.count()
+    assert learned.select("vec_id").distinct().count() == emb.count()
