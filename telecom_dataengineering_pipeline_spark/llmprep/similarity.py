@@ -291,3 +291,38 @@ def ivf_kmeans_assign(
             .withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
         )
     return _nearest_centroid(emb, cents)
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    centroid_mod: int = 100,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over the LEARNED (spherical-k-means) coarse quantizer:
+    train cells with ``ivf_kmeans_assign``, then rank only vectors sharing
+    the query's learned cell — the trained-quantizer version of
+    ``ivf_topk``. Same single cell-equi-join shuffle; training cost is
+    ``iters`` extra corpus passes, amortized across every query batch at
+    scale (train once, search many)."""
+    assigned = ivf_kmeans_assign(embeddings, centroid_mod, iters, id_col, vec_col)
+    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cell").alias("qcell"),
+    )
+    joined = assigned.join(
+        F.broadcast(q), (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id"))
+    )
+    sim = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        joined.select("query_id", "vec_id", F.round(sim, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )

@@ -1166,3 +1166,34 @@ def ann_ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = ivf_kmeans_assign(load_table(spark, sf_dir, "embeddings"), centroid_mod=100, iters=2)
     return out.select("vec_id", "cell", F.round(F.col("c_cos"), 6).alias("centroid_cos"))
+
+
+_KMEANS_TOPK_ORACLE = (
+    _kmeans_oracle().rsplit("SELECT", 1)[0]
+    + """, q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell AS qcell
+  FROM a3 WHERE vec_id < 10
+), s AS (
+  SELECT q.query_id, a.vec_id,
+         round(list_dot_product(q.qv, a.v) / (q.qn * a.nrm), 6) AS cosine
+  FROM q JOIN a3 a ON a.cell = q.qcell AND a.vec_id <> q.query_id
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM s
+)
+SELECT query_id, vec_id AS neighbor_id, cosine, rank FROM r WHERE rank <= 5
+"""
+)
+
+
+@register(
+    "ann_ivf_kmeans_topk", oracle=_KMEANS_TOPK_ORACLE, tags=("LLM", "similarity", "iterative")
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 within the trained (2-round spherical-k-means) cells for
+    query vectors 0-9 — the train-once / search-many quantizer path."""
+    from ..llmprep.similarity import ivf_kmeans_topk
+
+    return ivf_kmeans_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    )

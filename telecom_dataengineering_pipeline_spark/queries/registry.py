@@ -93,6 +93,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_source_overlap",
     "text_unigram_logprob",
     "ann_ivf_kmeans_cells",
+    "ann_ivf_kmeans_topk",
     # -- round-1-green, highest coverage value (distinct §2 IDs)
     "hourly_usage_rollup",
     "pricing_summary_rollup",
