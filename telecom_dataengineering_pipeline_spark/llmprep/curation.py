@@ -380,7 +380,12 @@ def unigram_logprob_scores(
     fragments, binary spew) score very negative and get filtered.
 
     p(tok) = tf_corpus / total_tokens over the corpus itself (add-nothing
-    MLE; every observed token has tf ≥ 1 so log is finite). Per-token
+    MLE; every observed token has tf ≥ 1 so log is finite). The token→tf
+    join shuffles the token stream by token here (exact, general); at
+    100 TB swap in ``F.broadcast(tf)`` when the vocabulary fits executor
+    memory (it usually does — vocab grows ~sublinearly in corpus size), or
+    pre-stage tf as a bucketed table — the expression layer is unchanged
+    either way. Per-token
     log-probs are rounded to 9 dp and summed as DECIMAL — floating-point
     addition is order-dependent and a corpus-sized sum would drift across
     engines, while the decimal sum is exact, so the score is reproducible

@@ -94,3 +94,13 @@ def test_kmeans_centroids_move_and_tighten(spark, sf_smoke):
     # every vector keeps exactly one cell
     assert learned.count() == emb.count()
     assert learned.select("vec_id").distinct().count() == emb.count()
+
+
+def test_mixing_weights_single_corpus_pass(spark, sf_smoke):
+    # one corpus scan; exchanges = the source groupBy + the #sources-row
+    # whole-frame window, nothing corpus-sized beyond the first
+    df = source_mixing_weights(load_table(spark, sf_smoke, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange") <= 2
+    assert "Python" not in plan  # pure JVM column expressions
