@@ -408,3 +408,68 @@ def unigram_logprob_scores(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.round((F.sum("logp") / F.count(F.lit(1))).cast("double"), 6).alias("mean_logprob"),
     )
+
+
+def sampling_manifest(
+    docs: DataFrame,
+    token_budget: int = 10_000,
+    text_col: str = "text",
+    source_col: str = "source",
+    salt: str = "sample_v1",
+) -> DataFrame:
+    """Turn temperature mixing weights into an actual sampled corpus:
+    per-source acceptance rate = min(1, budget·w_s / tokens_s), membership
+    decided by a salted hash bucket per document (NOT rand() — the manifest
+    is a pure function of doc_id, identical on any engine, cluster size, or
+    re-run, so a resumed/backfilled job samples the same corpus).
+
+    One corpus pass builds (doc, source, tokens, bucket); per-source totals
+    broadcast back (the source table is tiny); the filter is map-side.
+    Returns per-source fill stats — the audit table a sampling job emits.
+    """
+    from .text import token_hash32
+
+    per_doc = docs.select(
+        F.col("doc_id"),
+        F.col(source_col).alias("source"),
+        F.size(tokens(text_col)).alias("n_tok"),
+        F.pmod(
+            token_hash32(F.concat(F.lit(salt + "_"), F.col("doc_id").cast("string"))),
+            F.lit(1_000_000),
+        ).alias("bucket"),
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    weight = F.sqrt(F.col("n_tokens")) / F.sum(F.sqrt(F.col("n_tokens"))).over(total)
+    rates = per_source.select(
+        "source",
+        "n_docs",
+        F.least(F.lit(1.0), F.lit(token_budget) * weight / F.col("n_tokens")).alias("rate"),
+    )
+    joined = per_doc.join(F.broadcast(rates), "source")
+    return (
+        joined.groupBy("source", "n_docs", "rate")
+        .agg(
+            F.count(F.when(F.col("bucket") < F.col("rate") * 1_000_000, 1))
+            .cast("bigint")
+            .alias("n_sampled"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("bucket") < F.col("rate") * 1_000_000, F.col("n_tok"))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_tokens_sampled"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("rate"), 6).alias("rate"),
+            "n_sampled",
+            "n_tokens_sampled",
+        )
+    )

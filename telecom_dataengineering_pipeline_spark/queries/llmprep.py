@@ -1197,3 +1197,36 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_kmeans_topk(
         load_table(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
     )
+
+
+_MANIFEST_BUCKET = "('0x'||substr(md5('sample_v1_'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 1000000"
+
+_MANIFEST_ORACLE = f"""
+WITH per_doc AS (
+  SELECT doc_id, source, len({_TOKS}) AS n_tok, {_MANIFEST_BUCKET} AS bucket
+  FROM documents
+), per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY source
+), rates AS (
+  SELECT source, n_docs,
+         least(1.0, 10000 * (sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER ()) / n_tokens) AS rate
+  FROM per_source
+)
+SELECT r.source, r.n_docs, round(r.rate, 6) AS rate,
+       CAST(count(CASE WHEN d.bucket < r.rate * 1000000 THEN 1 END) AS BIGINT) AS n_sampled,
+       CAST(coalesce(sum(CASE WHEN d.bucket < r.rate * 1000000 THEN d.n_tok END), 0) AS BIGINT)
+         AS n_tokens_sampled
+FROM per_doc d JOIN rates r USING (source)
+GROUP BY r.source, r.n_docs, r.rate
+"""
+
+
+@register("corpus_sampling_manifest", oracle=_MANIFEST_ORACLE, tags=("LLM", "curation", "sampling"))
+def corpus_sampling_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampled-corpus manifest: temperature mixing weights →
+    per-source acceptance rates → salted-hash doc membership (re-run and
+    engine stable, unlike rand()); per-source fill stats."""
+    from ..llmprep.curation import sampling_manifest
+
+    return sampling_manifest(load_table(spark, sf_dir, "documents"), token_budget=10_000)

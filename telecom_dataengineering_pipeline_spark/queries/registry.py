@@ -94,6 +94,7 @@ DRIVER_ORDER: list[str] = [
     "text_unigram_logprob",
     "ann_ivf_kmeans_cells",
     "ann_ivf_kmeans_topk",
+    "corpus_sampling_manifest",
     # -- round-1-green, highest coverage value (distinct §2 IDs)
     "hourly_usage_rollup",
     "pricing_summary_rollup",
