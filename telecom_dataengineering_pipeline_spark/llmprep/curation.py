@@ -473,3 +473,36 @@ def sampling_manifest(
             "n_tokens_sampled",
         )
     )
+
+
+def dedup_effective_stats(
+    docs: DataFrame, groups: DataFrame, source_col: str = "source"
+) -> DataFrame:
+    """Per-source corpus accounting AFTER keep-best dedup: how many
+    documents (and characters) each source actually contributes once every
+    near-dup cluster collapses to its representative — the "what did dedup
+    cost each feed" audit. A doc survives iff it is its cluster's
+    representative (clusters may span sources, so a rep in one source can
+    eliminate copies in another).
+
+    Reuses ``cluster_representatives``; the survivor set is a narrow id
+    join back to the corpus, then one groupBy(source).
+    """
+    reps = cluster_representatives(docs, groups).select(
+        F.col("rep_doc_id").alias("doc_id"), F.lit(1).alias("_kept")
+    )
+    labeled = docs.select("doc_id", F.col(source_col).alias("source"), "n_chars").join(
+        reps, "doc_id", "left"
+    )
+    kept = F.col("_kept").isNotNull()
+    return labeled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(kept, 1)).cast("bigint").alias("n_kept"),
+        F.count(F.when(~kept, 1)).cast("bigint").alias("n_dropped"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0))
+        .cast("bigint")
+        .alias("chars_kept"),
+        F.coalesce(F.sum(F.when(~kept, F.col("n_chars"))), F.lit(0))
+        .cast("bigint")
+        .alias("chars_dropped"),
+    )

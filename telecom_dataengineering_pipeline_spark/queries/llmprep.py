@@ -1230,3 +1230,38 @@ def corpus_sampling_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmprep.curation import sampling_manifest
 
     return sampling_manifest(load_table(spark, sf_dir, "documents"), token_budget=10_000)
+
+
+_EFFECTIVE_ORACLE = f"""
+WITH groups AS ({_CC_ORACLE}),
+labeled AS (
+  SELECT d.doc_id, d.n_chars, coalesce(g.group_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY group_id ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM labeled
+), reps AS (SELECT doc_id FROM ranked WHERE rnk = 1)
+SELECT d.source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(r.doc_id) AS BIGINT) AS n_kept,
+  CAST(count(*) - count(r.doc_id) AS BIGINT) AS n_dropped,
+  CAST(coalesce(sum(CASE WHEN r.doc_id IS NOT NULL THEN d.n_chars END), 0) AS BIGINT)
+    AS chars_kept,
+  CAST(coalesce(sum(CASE WHEN r.doc_id IS NULL THEN d.n_chars END), 0) AS BIGINT)
+    AS chars_dropped
+FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc_id
+GROUP BY d.source
+"""
+
+
+@register("dedup_effective_stats", oracle=_EFFECTIVE_ORACLE, tags=("LLM", "dedup", "curation"))
+def dedup_effective_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc/char contribution after keep-best dedup — what
+    near-dup collapse cost each feed."""
+    from ..llmprep.curation import dedup_effective_stats
+    from ..llmprep.dedup import connected_dup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = connected_dup_groups(minhash_near_dup_pairs(docs, threshold=0.5))
+    return dedup_effective_stats(docs, groups)

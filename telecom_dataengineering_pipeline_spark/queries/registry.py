@@ -95,6 +95,7 @@ DRIVER_ORDER: list[str] = [
     "ann_ivf_kmeans_cells",
     "ann_ivf_kmeans_topk",
     "corpus_sampling_manifest",
+    "dedup_effective_stats",
     # -- round-1-green, highest coverage value (distinct §2 IDs)
     "hourly_usage_rollup",
     "pricing_summary_rollup",
