@@ -506,3 +506,48 @@ def dedup_effective_stats(
         .cast("bigint")
         .alias("chars_dropped"),
     )
+
+
+def quality_verdicts(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 1000,
+    min_avg_word: float = 2.0,
+    max_avg_word: float = 12.0,
+    min_stopword: float = 0.02,
+    min_distinct: float = 0.3,
+    max_symbol: float = 0.1,
+) -> DataFrame:
+    """Per-document boolean rule battery (Gopher/C4-style keep/drop
+    verdicts) — the row-level companion to :func:`filter_funnel`'s
+    corpus-level first-fail attribution. Downstream jobs filter on ``keep``
+    or slice per-rule false columns for drop forensics.
+
+    Pure map over the corpus: every rule is a column expression on one
+    tokenizer pass, no shuffle, no UDF — the whole battery fuses into the
+    scan stage at any scale.
+    """
+    from .text import distinct_token_ratio, stopword_ratio, tokens as _toks
+
+    c = F.col("text")
+    toks = _toks(c)
+    n_tok = F.size(toks)
+    nonspace = F.length(F.regexp_replace(F.lower(F.trim(c)), r"\s+", ""))
+    avg_word = nonspace.cast("double") / F.greatest(n_tok, F.lit(1))
+    symbols = F.length(F.regexp_replace(F.lower(F.trim(c)), r"[a-z0-9\s]", ""))
+    symbol_ratio = symbols.cast("double") / F.greatest(F.length(c), F.lit(1))
+    rules = {
+        "r_token_count": (n_tok >= min_tokens) & (n_tok <= max_tokens),
+        "r_avg_word_len": (avg_word >= min_avg_word) & (avg_word <= max_avg_word),
+        "r_stopword": stopword_ratio(toks) >= min_stopword,
+        "r_distinct_tokens": distinct_token_ratio(toks) >= min_distinct,
+        "r_symbol_ratio": symbol_ratio <= max_symbol,
+    }
+    keep = None
+    for expr in rules.values():
+        keep = expr if keep is None else (keep & expr)
+    return docs.select(
+        "doc_id",
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("keep"),
+    )

@@ -745,3 +745,61 @@ def connected_dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("group_id"))
+
+
+def dup_ngram_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-n-gram coverage (the C4/substring-dedup
+    signal): what fraction of a document's n-gram positions repeat elsewhere
+    in the corpus (or within the document itself)?
+
+    Plan shape: positioned shingle stream (multiplicity kept) → hashed →
+    corpus-wide occurrence counts (one groupBy with map-side partial agg) →
+    hash-join the stream back to the ``count >= min_count`` subset → per-doc
+    counts. Everything is keyed by doc or by 64-bit gram hash; both shuffles
+    are linear in corpus token count — the same budget as the MinHash spine.
+    At 100 TB the duplicated-gram subset is small relative to the stream, so
+    a runtime bloom filter on ``h`` (or AQE converting the count-side to
+    broadcast after the HAVING) keeps the join one-sided; no all-pairs stage
+    anywhere.
+
+    Returns one row per input document: (doc_id, n_ngrams, n_dup_ngrams,
+    dup_ngram_ratio) with 0s for docs shorter than ``n`` tokens.
+    """
+    grams = shingle_stream(docs, text_col=text_col, id_col=id_col, n=n, distinct=False)
+    hashed = grams.select("doc_id", token_hash32(F.col("shingle")).alias("h"))
+    dup = (
+        hashed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    totals = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    dup_counts = (
+        hashed.join(dup, "h").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_ngrams"))
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(totals, "doc_id", "left")
+        .join(dup_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_dup_ngrams", F.lit(0)).cast("long").alias("n_dup_ngrams"),
+            F.when(
+                F.coalesce("n_ngrams", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_dup_ngrams", F.lit(0)).cast("double")
+                    / F.col("n_ngrams"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_ngram_ratio"),
+        )
+    )

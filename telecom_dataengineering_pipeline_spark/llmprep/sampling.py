@@ -53,3 +53,32 @@ def stratified_sample_flag(
     h = token_hash32(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string")))
     w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
     return df.withColumn("sampled", F.row_number().over(w) <= k)
+
+
+def shuffle_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle_v1",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic global training-order shuffle, expressed as a sharded
+    manifest: (id, shard, pos_in_shard).
+
+    A literal global ``row_number`` would funnel the corpus through ONE
+    window partition; instead the hash splits the corpus into ``n_shards``
+    independent pseudo-random shards and each shard orders internally by the
+    same hash — the layout training jobs actually consume (one input shard
+    per reader, deterministic order within). Scale knob: n_shards rises with
+    corpus size (100 TB → thousands), keeping every window partition
+    bounded; assignment and order are functions of md5(salt || id) so every
+    engine and every re-run agrees.
+    """
+    h = token_hash32(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string")))
+    shard = F.pmod(h, F.lit(n_shards)).cast("int")
+    with_keys = df.select(F.col(id_col), h.alias("_h"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return with_keys.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )

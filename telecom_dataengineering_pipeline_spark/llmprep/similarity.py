@@ -326,3 +326,45 @@ def ivf_kmeans_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+def norm_profile(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding-norm distribution — the drift monitor an
+    embedding pipeline runs per batch (collapsed norms => dead encoder;
+    drifting means => distribution shift vs the indexed corpus).
+
+    One pure-map pass (norms are a codegen'd array fold) into one hash agg.
+    Mean-of-norms aggregates DECIMAL-cast rounded norms (exact,
+    order-independent) and divides once at the end — the registry's
+    cross-engine determinism convention.
+    """
+    nrm = F.round(F.sqrt(_dot(_as_double(F.col(vec_col)), _as_double(F.col(vec_col)))), 6)
+    rows = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("vec_id"),
+        F.size(vec_col).alias("dims"),
+        nrm.alias("nrm"),
+    )
+    return (
+        rows.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("dims").cast("int").alias("min_dims"),
+            F.max("dims").cast("int").alias("max_dims"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+            (
+                F.sum(F.col("nrm").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_norm"),
+        )
+        .select(
+            "label", "n_vecs", "min_dims", "max_dims", "min_norm", "max_norm",
+            F.round("avg_norm", 6).alias("avg_norm"),
+        )
+    )

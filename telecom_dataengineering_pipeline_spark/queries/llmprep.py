@@ -1265,3 +1265,246 @@ def dedup_effective_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     groups = connected_dup_groups(minhash_near_dup_pairs(docs, threshold=0.5))
     return dedup_effective_stats(docs, groups)
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction. The synthetic corpus has no organic PII, so the
+# query injects deterministic synthetic PII (emails/phones/IPs/SSN-shapes
+# derived from doc_id) with identical expressions in BOTH engines, then
+# detects and redacts — making the oracle exercise real matches, not just
+# all-zeros. Patterns are RE2-compatible so Spark (Java regex) and DuckDB
+# (RE2) agree; DuckDB regexp_replace needs the 'g' flag to match Spark's
+# global default.
+# ---------------------------------------------------------------------------
+
+_PII_ORACLE = r"""
+WITH inj AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+         THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 254 + 1 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+         THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    AS t
+  FROM documents
+), red AS (
+  SELECT doc_id, t,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+      '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS redacted
+  FROM inj
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS INTEGER) AS n_ssn,
+  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phone,
+  md5(redacted) AS redacted_md5,
+  CAST(length(redacted) AS BIGINT) AS redacted_chars
+FROM red
+"""
+
+
+@register("pii_redaction_stats", oracle=_PII_ORACLE, tags=("LLM", "pii"))
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub pass over the corpus: per-type PII counts + md5/length of the
+    redacted text. Pure map (regexp_count / chained regexp_replace), zero
+    shuffle — runs at scan speed at any corpus size."""
+    from ..llmprep.pii import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                (did % 254 + 1).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" ssn 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    t = docs.select("doc_id", injected.alias("t"))
+    counts = pii_counts(F.col("t"))
+    redacted = redact_pii(F.col("t"))
+    return t.select(
+        "doc_id",
+        counts["email"].cast("int").alias("n_email"),
+        counts["ipv4"].cast("int").alias("n_ipv4"),
+        counts["ssn"].cast("int").alias("n_ssn"),
+        counts["phone"].cast("int").alias("n_phone"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("long").alias("redacted_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-n-gram coverage (C4/substring-dedup signal): fraction of each
+# document's 3-gram positions whose gram occurs >= 2 times corpus-wide.
+# ---------------------------------------------------------------------------
+
+_DUP_NGRAM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(toks) - 2, 0)),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+  )) AS g
+  FROM toks
+),
+hs AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM grams),
+cnt AS (SELECT h, count(*) AS c FROM hs GROUP BY 1),
+tot AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY 1),
+dup AS (
+  SELECT hs.doc_id, count(*) AS nd
+  FROM hs JOIN cnt ON hs.h = cnt.h
+  WHERE cnt.c >= 2
+  GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(t.n, 0) AS BIGINT) AS n_ngrams,
+  CAST(coalesce(u.nd, 0) AS BIGINT) AS n_dup_ngrams,
+  CASE WHEN coalesce(t.n, 0) > 0
+       THEN round(CAST(coalesce(u.nd, 0) AS DOUBLE) / t.n, 6)
+       ELSE 0.0 END AS dup_ngram_ratio
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN dup u ON d.doc_id = u.doc_id
+"""
+
+
+@register("duplicate_ngram_coverage", oracle=_DUP_NGRAM_ORACLE, tags=("LLM", "dedup"))
+def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-3-gram coverage — positioned shingle stream, one
+    corpus-wide occurrence count, hash-join back; both shuffles linear in
+    token count (see llmprep.dedup.dup_ngram_stats)."""
+    from ..llmprep.dedup import dup_ngram_stats
+
+    return dup_ngram_stats(load_table(spark, sf_dir, "documents"), n=3, min_count=2)
+
+
+# ---------------------------------------------------------------------------
+# Per-document quality rule battery (row-level twin of curation_filter_funnel).
+# ---------------------------------------------------------------------------
+
+_VERDICT_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    len(toks) AS n_tok,
+    CAST(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS DOUBLE)
+      / greatest(len(toks), 1) AS avg_word,
+    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+      / greatest(len(toks), 1) AS sw,
+    CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS dtr,
+    CAST(length(regexp_replace(lower(trim(text)), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1) AS sym
+  FROM t
+)
+SELECT doc_id,
+  (n_tok BETWEEN 10 AND 1000) AS r_token_count,
+  (avg_word >= 2.0 AND avg_word <= 12.0) AS r_avg_word_len,
+  (sw >= 0.02) AS r_stopword,
+  (dtr >= 0.3) AS r_distinct_tokens,
+  (sym <= 0.1) AS r_symbol_ratio,
+  ((n_tok BETWEEN 10 AND 1000) AND (avg_word >= 2.0 AND avg_word <= 12.0)
+   AND (sw >= 0.02) AND (dtr >= 0.3) AND (sym <= 0.1)) AS keep
+FROM m
+"""
+
+
+@register("quality_filter_verdicts", oracle=_VERDICT_ORACLE, tags=("LLM", "curation"))
+def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style per-doc boolean rule battery + keep verdict. Pure map,
+    one tokenizer pass, no shuffle (see llmprep.curation.quality_verdicts)."""
+    from ..llmprep.curation import quality_verdicts
+
+    return quality_verdicts(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-order shuffle manifest (sharded; no global window).
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_ORACLE = """
+WITH k AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('shuffle_v1_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents
+), s AS (SELECT doc_id, h, CAST(h % 8 AS INTEGER) AS shard FROM k)
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS BIGINT)
+    AS pos_in_shard
+FROM s
+"""
+
+
+@register("corpus_shuffle_manifest", oracle=_SHUFFLE_ORACLE, tags=("LLM", "sampling"))
+def corpus_shuffle_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded pseudo-random training order as (shard, pos_in_shard) — hash
+    shards bound every window partition; no corpus-wide row_number
+    (see llmprep.sampling.shuffle_manifest)."""
+    from ..llmprep.sampling import shuffle_manifest
+
+    return shuffle_manifest(load_table(spark, sf_dir, "documents"), n_shards=8)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-norm drift profile per label.
+# ---------------------------------------------------------------------------
+
+_NORM_ORACLE = """
+WITH e AS (
+  SELECT label, len(embedding) AS dims,
+    round(sqrt(list_dot_product(
+      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) AS nrm
+  FROM embeddings
+)
+SELECT label,
+  CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(min(dims) AS INTEGER) AS min_dims,
+  CAST(max(dims) AS INTEGER) AS max_dims,
+  min(nrm) AS min_norm,
+  max(nrm) AS max_norm,
+  round(CAST(sum(CAST(nrm AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS avg_norm
+FROM e GROUP BY label
+"""
+
+
+@register("embedding_norm_profile", oracle=_NORM_ORACLE, tags=("LLM", "similarity"))
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label norm distribution of the embedding corpus (encoder-drift
+    monitor): one map pass + one hash agg, decimal-exact mean
+    (see llmprep.similarity.norm_profile)."""
+    from ..llmprep.similarity import norm_profile
+
+    return norm_profile(load_table(spark, sf_dir, "embeddings"))

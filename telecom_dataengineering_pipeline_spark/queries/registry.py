@@ -96,6 +96,12 @@ DRIVER_ORDER: list[str] = [
     "ann_ivf_kmeans_topk",
     "corpus_sampling_manifest",
     "dedup_effective_stats",
+    # -- round-3 additions
+    "pii_redaction_stats",
+    "duplicate_ngram_coverage",
+    "quality_filter_verdicts",
+    "corpus_shuffle_manifest",
+    "embedding_norm_profile",
     # -- round-1-green, highest coverage value (distinct §2 IDs)
     "hourly_usage_rollup",
     "pricing_summary_rollup",
