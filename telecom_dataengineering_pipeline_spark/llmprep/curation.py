@@ -171,6 +171,31 @@ def vocab_stats(
     return counts.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(k)
 
 
+def pair_merge_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 100
+) -> DataFrame:
+    """Top-k adjacent token pairs by corpus frequency — the counting step of
+    one BPE-style tokenizer-training merge round (the most frequent pair is
+    the next merge candidate), with document frequency attached.
+
+    Rides the shared shingle spine in bigram mode WITH multiplicity
+    (``shingle_stream(n=2, distinct=False)``): one posexplode per document,
+    pair assembly via lead() inside the per-doc partitioning, then a single
+    map-side-combined count agg. Top-k is TakeOrderedAndProject — at 100 TB
+    the pair vocabulary never undergoes a global sort, and only k rows
+    reach the driver's side of the limit."""
+    from .dedup import shingle_stream
+
+    pairs = shingle_stream(docs, text_col, id_col, n=2, distinct=False).withColumnRenamed(
+        "shingle", "pair"
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.count_distinct("doc_id").cast("bigint").alias("df"),
+    )
+    return counts.orderBy(F.col("tf").desc(), F.col("pair").asc()).limit(k)
+
+
 def source_mixing_weights(
     docs: DataFrame,
     text_col: str = "text",

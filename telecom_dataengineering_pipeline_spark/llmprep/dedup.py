@@ -340,6 +340,106 @@ def minhash_near_dup_pairs(
     )
 
 
+def incremental_lsh_probe(
+    index_docs: DataFrame,
+    batch_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    engine_neutral_hash: bool = True,
+) -> DataFrame:
+    """Probe a NEW document batch against an EXISTING corpus index — the
+    incremental form of near-dup detection a production pipeline runs per
+    ingest batch instead of re-deduplicating the whole corpus.
+
+    Same MinHash-LSH spine as ``minhash_near_dup_pairs`` but asymmetric:
+    candidates come from joining the batch's (band, bucket) stream against
+    the index's, and exact-Jaccard verification touches only the candidate
+    pairs' shingle sets. At 100 TB the index side's banded buckets and
+    hashed shingles are a *precomputed, persisted* table (they change only
+    by appending each committed batch); the per-batch cost is then
+    O(batch) hashing + a hash join against the bucket table — the corpus
+    is never rescanned. Here both sides are derived from the same corpus
+    table for oracle-checkability.
+
+    Returns (batch_doc, index_doc, jaccard) for verified pairs ≥ threshold.
+    Caller guarantees the two id spaces are disjoint.
+    """
+    rows_per_band = num_perm // bands or 1
+
+    def _spine(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(banded bucket stream, hashed shingle stream) for one side."""
+        stream = shingle_stream(docs, text_col, id_col, n)
+        hashed = stream.select(
+            "doc_id",
+            _hash31(F.col("shingle"), engine_neutral_hash).alias("_h"),
+            F.xxhash64("shingle").alias("shingle_h"),
+        ).localCheckpoint(eager=False)
+        sig = hashed.groupBy("doc_id").agg(
+            *_signature_min_exprs(num_perm, F.col("_h")),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+
+        def _bucket(b: int) -> Column:
+            return F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+
+        banded = sig.select(
+            "doc_id",
+            "n_shingles",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "n_shingles", "bb.band", "bb.bucket")
+        return banded, hashed.select("doc_id", "shingle_h")
+
+    ix_banded, ix_shingles = _spine(index_docs)
+    b_banded, b_shingles = _spine(batch_docs)
+    cands = (
+        b_banded.alias("b")
+        .join(
+            ix_banded.alias("x"),
+            (F.col("b.band") == F.col("x.band")) & (F.col("b.bucket") == F.col("x.bucket")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_doc"),
+            F.col("x.doc_id").alias("index_doc"),
+            F.col("b.n_shingles").alias("n1"),
+            F.col("x.n_shingles").alias("n2"),
+        )
+        .distinct()
+    )
+    left = cands.join(
+        b_shingles.withColumnRenamed("doc_id", "batch_doc"), "batch_doc"
+    ).select("batch_doc", "index_doc", "n1", "n2", "shingle_h")
+    inter = (
+        left.join(
+            ix_shingles.withColumnRenamed("doc_id", "index_doc"), ["index_doc", "shingle_h"]
+        )
+        .groupBy("batch_doc", "index_doc", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return inter.select("batch_doc", "index_doc", F.round(j, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:

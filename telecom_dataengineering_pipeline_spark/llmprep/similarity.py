@@ -368,3 +368,62 @@ def norm_profile(
             F.round("avg_norm", 6).alias("avg_norm"),
         )
     )
+
+
+def centroid_outliers(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bottom_k: int = 5,
+) -> DataFrame:
+    """Per-label semantic outliers: cosine of every vector to its own
+    label's centroid, keeping the ``bottom_k`` least-central vectors per
+    label — the mislabeled-example / noisy-cluster sweep a curation
+    pipeline runs over embedded training data.
+
+    Centroid update is the k-means shape: posexplode to (label, dim)
+    partial sums — map-side combined, only labels×dims aggregate rows ever
+    shuffle, vectors themselves move zero times. Means sum 7-dp-rounded
+    DECIMALs (order-independent, engine-exact); the tiny centroid table
+    broadcasts back onto the corpus for a codegen'd zip_with/aggregate
+    cosine, and bottom-k resolves as a WindowGroupLimit per label."""
+    emb = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    cent = (
+        emb.select("label", F.posexplode("v").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.round(F.col("val"), 7).cast("decimal(20,7)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("_dc"))
+        .select(
+            "label",
+            F.transform(F.col("_dc"), lambda s: s.getField("c")).alias("cv"),
+        )
+        .withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        F.round(
+            _dot(F.col("v"), F.col("cv"))
+            / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.col("cn")),
+            6,
+        ).alias("cosine_to_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cosine_to_centroid").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= bottom_k)
+        .select("label", "rank", "vec_id", "cosine_to_centroid")
+    )

@@ -27,6 +27,12 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Driver testdata writes parquet timestamps with isAdjustedToUTC=false
+    # (naive micros). Spark 4 would infer TIMESTAMP_NTZ, which unix_micros /
+    # time-window functions reject; read them as plain TIMESTAMP instead.
+    # Values are UTC instants either way (session tz is UTC), and keeping the
+    # reader type native preserves filter pushdown on timestamp columns.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -45,6 +45,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Defense in depth for sessions where inferTimestampNTZ is immutable:
+    # naive parquet timestamps must surface as TIMESTAMP (session tz is UTC,
+    # so the cast is instant-preserving and matches DuckDB's epoch_us).
+    ntz_cols = [n for n, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
