@@ -36,6 +36,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Without this, any plan under a persist() keeps its static
+    # shuffle-partition count — every stage over a small cached relation
+    # (the dedup/ANN spines cache their vector tables) pays full-width task
+    # overhead. Letting AQE re-partition cached plans sizes those stages from
+    # runtime stats at every scale; measured 2-3× on the sf0.1 cosine-dedup
+    # bench, and at 100 TB it is what keeps cached intermediates from
+    # inheriting a partition count tuned for a different stage.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
