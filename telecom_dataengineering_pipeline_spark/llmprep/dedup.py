@@ -49,6 +49,24 @@ _cp.register_pickle_by_value(_sys.modules[__name__])
 MERSENNE_31 = (1 << 31) - 1
 
 
+def _check_band_geometry(sig_len: int, bands: int) -> int:
+    """Rows-per-band, validated. ``bands`` must evenly divide the signature
+    length: a remainder would silently drop trailing signature rows from
+    every bucket key, and ``bands > sig_len`` would reference nonexistent
+    signature slots (AnalysisException deep inside the plan)."""
+    if sig_len <= 0 or bands <= 0:
+        raise ValueError(
+            f"signature length ({sig_len}) and bands ({bands}) must be positive"
+        )
+    if sig_len % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide the signature length "
+            f"({sig_len}); remainder {sig_len % bands} rows would be "
+            f"silently ignored"
+        )
+    return sig_len // bands
+
+
 def _perm_constants(num_perm: int) -> list[tuple[int, int]]:
     import hashlib
 
@@ -229,7 +247,7 @@ def lsh_candidate_pairs(
     (e.g. set sizes) through the join instead of re-deriving it with
     another pass over the corpus.
     """
-    rows_per_band = sig_len // bands or 1
+    rows_per_band = _check_band_geometry(sig_len, bands)
 
     def _bucket(b: int) -> Column:
         return F.xxhash64(
@@ -368,7 +386,7 @@ def incremental_lsh_probe(
     Returns (batch_doc, index_doc, jaccard) for verified pairs ≥ threshold.
     Caller guarantees the two id spaces are disjoint.
     """
-    rows_per_band = num_perm // bands or 1
+    rows_per_band = _check_band_geometry(num_perm, bands)
 
     def _spine(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         """(banded bucket stream, hashed shingle stream) for one side."""
@@ -585,7 +603,7 @@ def rhp_band_buckets(
         [0.0 if mu_row[d] is None else float(mu_row[d]) for d in range(dims)]
     )
     c_offsets = tuple(muv @ _np.array(r).T)  # planes floats, closed into the UDF
-    per_band = planes // bands
+    per_band = _check_band_geometry(planes, bands)
 
     def _bucketize(batches):
         import numpy as np

@@ -410,17 +410,21 @@ def centroid_outliers(
         )
         .withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
     )
+    # Zero-norm guard: 0/0 is NaN, which sorts LAST ascending in Spark — a
+    # degenerate (all-zero) vector would silently vanish from the bottom-k
+    # instead of surfacing. nullif makes the cosine NULL and the explicit
+    # nulls-first ordering ranks it as the most-outlier row.
     scored = emb.join(F.broadcast(cent), "label").select(
         "label",
         "vec_id",
         F.round(
             _dot(F.col("v"), F.col("cv"))
-            / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.col("cn")),
+            / F.nullif(F.sqrt(_dot(F.col("v"), F.col("v"))) * F.col("cn"), F.lit(0.0)),
             6,
         ).alias("cosine_to_centroid"),
     )
     w = Window.partitionBy("label").orderBy(
-        F.col("cosine_to_centroid").asc(), F.col("vec_id").asc()
+        F.col("cosine_to_centroid").asc_nulls_first(), F.col("vec_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -1508,3 +1508,141 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmprep.similarity import norm_profile
 
     return norm_profile(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup probe: a NEW ingest batch vs the EXISTING corpus
+# index — the per-batch dedup shape a production pipeline runs instead of
+# re-deduplicating the whole corpus. Oracle = exact cross-side Jaccard,
+# valid on the same grounds as dedup_minhash_lsh_pairs (64-perm/16-band
+# recall ~1 at threshold 0.5; candidates are exact-verified).
+# ---------------------------------------------------------------------------
+
+_INCR_PROBE_ORACLE = f"""
+WITH sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len({_TOKS}) - 2, 0)),
+           i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+         )) AS s
+  FROM documents
+), ex AS (SELECT doc_id, unnest(s) AS g FROM sets),
+sz AS (SELECT doc_id, len(s) AS n FROM sets),
+inter AS (
+  SELECT b.doc_id AS batch_doc, a.doc_id AS index_doc, count(*) AS i
+  FROM ex b JOIN ex a ON b.g = a.g
+  WHERE b.doc_id % 2 = 1 AND a.doc_id % 2 = 0
+  GROUP BY 1, 2
+)
+SELECT batch_doc, index_doc,
+       round(CAST(i AS DOUBLE) / (x.n + y.n - i), 6) AS jaccard
+FROM inter JOIN sz x ON batch_doc = x.doc_id JOIN sz y ON index_doc = y.doc_id
+WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+"""
+
+
+@register("dedup_incremental_lsh_probe", oracle=_INCR_PROBE_ORACLE, tags=("LLM", "dedup"))
+def dedup_incremental_lsh_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split the corpus by doc_id parity into index (even) / batch (odd)
+    halves and probe the batch against the index's banded buckets (see
+    llmprep.dedup.incremental_lsh_probe — at scale the index side is a
+    precomputed, persisted table that only appends per committed batch)."""
+    from ..llmprep.dedup import incremental_lsh_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    neutral = (
+        spark.conf.get("spark.graft.engine_neutral_hash", "true").lower() != "false"
+    )
+    return incremental_lsh_probe(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        num_perm=64,
+        bands=16,
+        threshold=0.5,
+        engine_neutral_hash=neutral,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid outliers: the mislabeled-example sweep over embedded
+# training data. Centroid means sum 7-dp DECIMALs (order-independent,
+# engine-exact), same convention as ann_ivf_kmeans_cells.
+# ---------------------------------------------------------------------------
+
+_CENTROID_OUTLIER_ORACLE = """
+WITH e AS (
+  SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), x AS (
+  SELECT label, vec_id, t.i AS dim, v[t.i] AS val
+  FROM e CROSS JOIN generate_series(1, 64) t(i)
+), u AS (
+  SELECT label, dim,
+         CAST(sum(CAST(round(val, 7) AS DECIMAL(20,7))) AS DOUBLE) / count(*) AS c
+  FROM x GROUP BY label, dim
+), c AS (
+  SELECT label, array_agg(c ORDER BY dim) AS cv FROM u GROUP BY label
+), cn AS (
+  SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c
+), s AS (
+  SELECT e.label, e.vec_id,
+         round(list_dot_product(e.v, cn.cv)
+               / nullif(sqrt(list_dot_product(e.v, e.v)) * cn.cn, 0), 6)
+           AS cosine_to_centroid
+  FROM e JOIN cn ON e.label = cn.label
+), r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY label ORDER BY cosine_to_centroid ASC NULLS FIRST, vec_id ASC
+    ) AS INTEGER) AS rank
+  FROM s
+)
+SELECT label, rank, vec_id, cosine_to_centroid FROM r WHERE rank <= 5
+"""
+
+
+@register(
+    "embedding_centroid_outliers",
+    oracle=_CENTROID_OUTLIER_ORACLE,
+    tags=("LLM", "similarity", "curation"),
+)
+def embedding_centroid_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-5 least-central vectors per label by cosine to the label
+    centroid (see llmprep.similarity.centroid_outliers — vectors never
+    shuffle; only labels×dims partial sums do)."""
+    from ..llmprep.similarity import centroid_outliers
+
+    return centroid_outliers(load_table(spark, sf_dir, "embeddings"), bottom_k=5)
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pair-merge counting: top-k adjacent token pairs with document
+# frequency — the counting step of one tokenizer-training merge round.
+# ---------------------------------------------------------------------------
+
+_PAIR_MERGE_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(toks) - 1, 0)),
+           i -> toks[i] || ' ' || toks[i+1]
+         )) AS pair
+  FROM t
+)
+SELECT pair,
+       CAST(count(*) AS BIGINT) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM p GROUP BY pair
+ORDER BY tf DESC, pair ASC
+LIMIT 100
+"""
+
+
+@register("tokenizer_pair_merge_stats", oracle=_PAIR_MERGE_ORACLE, tags=("LLM", "curation"))
+def tokenizer_pair_merge_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 adjacent token pairs by corpus frequency (see
+    llmprep.curation.pair_merge_stats — bigram shingle stream with
+    multiplicity, one map-side-combined agg, TakeOrderedAndProject top-k)."""
+    from ..llmprep.curation import pair_merge_stats
+
+    return pair_merge_stats(load_table(spark, sf_dir, "documents"), k=100)

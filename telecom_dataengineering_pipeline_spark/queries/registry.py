@@ -97,6 +97,9 @@ DRIVER_ORDER: list[str] = [
     "corpus_sampling_manifest",
     "dedup_effective_stats",
     # -- round-3 additions
+    "dedup_incremental_lsh_probe",
+    "embedding_centroid_outliers",
+    "tokenizer_pair_merge_stats",
     "pii_redaction_stats",
     "duplicate_ngram_coverage",
     "quality_filter_verdicts",

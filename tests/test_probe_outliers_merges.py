@@ -1,0 +1,97 @@
+"""Round-3 registrations: incremental LSH probe, centroid outliers, and
+BPE pair-merge counting — behavior invariants beyond the value-parity gate,
+plus the band-geometry / zero-norm guards and the driver-window rotation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from telecom_dataengineering_pipeline_spark.llmprep.curation import pair_merge_stats
+from telecom_dataengineering_pipeline_spark.llmprep.dedup import (
+    _check_band_geometry,
+    incremental_lsh_probe,
+    minhash_near_dup_pairs,
+)
+from telecom_dataengineering_pipeline_spark.llmprep.similarity import centroid_outliers
+
+
+def test_incremental_probe_finds_cross_side_dups_only(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    index = spark.createDataFrame(
+        [(0, base), (2, "completely different words about spark adaptive execution")],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        # 1 ≈ index doc 0; 3 matches nothing; 5 ≈ index doc 2's twin IN THE
+        # SAME BATCH (must NOT be emitted — probe is strictly batch×index).
+        [(1, base), (3, "unrelated corpus text entirely"), (5, base)],
+        "doc_id LONG, text STRING",
+    )
+    rows = incremental_lsh_probe(index, batch, threshold=0.5).collect()
+    pairs = {(r["batch_doc"], r["index_doc"]) for r in rows}
+    assert (1, 0) in pairs and (5, 0) in pairs
+    # no batch-batch or index-index pairs
+    assert all(b in (1, 3, 5) and i in (0, 2) for b, i in pairs)
+    for r in rows:
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_band_geometry_validation():
+    assert _check_band_geometry(64, 16) == 4
+    with pytest.raises(ValueError, match="evenly divide"):
+        _check_band_geometry(64, 24)
+    with pytest.raises(ValueError, match="positive"):
+        _check_band_geometry(64, 0)
+
+
+def test_minhash_rejects_bad_band_geometry(spark):
+    docs = spark.createDataFrame([(0, "a b c d e")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="evenly divide"):
+        minhash_near_dup_pairs(docs, num_perm=64, bands=24)
+
+
+def test_centroid_outlier_zero_vector_surfaces_first(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 7),
+            (1, [0.9, 0.1], 7),
+            (2, [0.0, 0.0], 7),  # zero vector: cosine undefined
+            (3, [0.8, 0.3], 7),
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    rows = centroid_outliers(emb, bottom_k=2).collect()
+    by_rank = {r["rank"]: r for r in rows}
+    # the degenerate vector is the TOP outlier (NULL cosine, nulls first),
+    # not silently dropped
+    assert by_rank[1]["vec_id"] == 2
+    assert by_rank[1]["cosine_to_centroid"] is None
+
+
+def test_pair_merge_counts_multiplicity_and_df(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x")],  # doc 2: no pairs
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["pair"]: r for r in pair_merge_stats(docs, k=10).collect()}
+    assert rows["a b"]["tf"] == 3 and rows["a b"]["df"] == 2  # multiplicity kept
+    assert rows["b a"]["tf"] == 1 and rows["b a"]["df"] == 1
+    assert rows["b c"]["df"] == 1
+    assert "x" not in rows
+
+
+def test_round3_registrations_inside_driver_window():
+    from telecom_dataengineering_pipeline_spark.queries.registry import (
+        oracle_sql,
+        queries,
+    )
+
+    new_names = {
+        "dedup_incremental_lsh_probe",
+        "embedding_centroid_outliers",
+        "tokenizer_pair_merge_stats",
+    }
+    window = list(queries())[:50]
+    assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
+    assert new_names <= set(oracle_sql()), "every round-3 addition needs an oracle"
