@@ -29,16 +29,35 @@ def bench_session(app_name: str) -> SparkSession:
     return spark
 
 
+# The localCheckpoint-heavy dedup/pipeline spines vary ±40% run-to-run
+# (executor-local block writes + Python worker scheduling); a single draw
+# makes gate verdicts a coin flip, so those families report the median of
+# VARIANCE_REPS clean runs — the same protocol BENCH_BASELINE.json's own
+# dedup entries were recorded with (median of clean solo runs).
+VARIANCE_TAGS = ("dedup", "pipeline")
+VARIANCE_REPS = 3
+
+
+def _clear_caches(spark: SparkSession) -> None:
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+
+
 def measure_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
-    from .queries.registry import bench_queries
+    from .queries.registry import REGISTRY, bench_queries
 
     timings: dict[str, float] = {}
     for name, fn in bench_queries().items():
-        fn(spark, sf_dir).count()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
+        tags = REGISTRY[name].tags
+        reps = VARIANCE_REPS if any(t in tags for t in VARIANCE_TAGS) else 1
+        fn(spark, sf_dir).count()  # warm: plan + codegen JIT
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+            _clear_caches(spark)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
     return timings
