@@ -108,3 +108,48 @@ def test_curation_plan_shapes(spark, sf_smoke):
     # decontamination: keyed joins only
     p = plan(decontamination_overlap(docs))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_skewed_source_join_triggers_aqe_skew_split(spark):
+    """Skew-stress fixture: one source owns ~95% of the docs, and the
+    doc→source-dim join (keep-best / source-overlap shape: text payload
+    rides through the join) must get the AQE skew-split treatment rather
+    than one straggler task. Thresholds are scaled down to test volume —
+    at production scale the session defaults (256 MB threshold, 5× median)
+    fire the same rule. Broadcast is disabled to force the shuffle-join
+    path a 100 TB fact×fact join would take."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        docs = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7))
+            .otherwise(F.col("id") % 13)
+            .alias("source_id"),
+            F.concat(
+                F.lit("doc-"), F.col("id").cast("string"), F.lit("x" * 200)
+            ).alias("text"),
+        )
+        dim = spark.range(0, 13).select(
+            F.col("id").alias("source_id"),
+            F.concat(F.lit("src_"), F.col("id").cast("string")).alias("source"),
+        )
+        j = docs.join(dim, "source_id").select(
+            "source_id", "source", F.substring("text", 1, 4).alias("t4")
+        )
+        assert len(j.collect()) == 400_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skewed" in plan, "AQE skew-join did not split the skewed partition"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
