@@ -431,3 +431,177 @@ def centroid_outliers(
         .filter(F.col("rank") <= bottom_k)
         .select("label", "rank", "vec_id", "cosine_to_centroid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-bound ANN path. Vectors compress to
+# m sub-space codeword ids (64 dims × 8 B → 8 small ints ≈ 32× smaller), and
+# query-time ranking reads ONLY the codes plus a tiny per-query distance
+# table (ADC — asymmetric distance computation). At 100 TB this is what
+# makes the vector index fit the cluster: the raw embedding column is read
+# once at encode time, never at query time. Compose with the IVF cell join
+# (ivf_kmeans_assign) for candidate pruning on top of compression — the
+# FAISS IVF-PQ layout; this module keeps the flat-ADC form oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 via three dot products — the expansion keeps every
+    operation a proven engine-exact fold (same expression shape as the
+    DuckDB oracle: x·x − 2·x·y + y·y)."""
+    return _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
+
+
+def pq_subvectors(
+    embeddings: DataFrame,
+    m: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sub, sv): the vector split into ``m`` contiguous sub-spaces
+    of ``dims//m`` dimensions — a pure map stage (posexplode of slices)."""
+    if dims % m != 0:
+        raise ValueError(f"m ({m}) must evenly divide dims ({dims})")
+    sd = dims // m
+    v = _as_double(F.col(vec_col))
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.array(*[F.slice(v, s * sd + 1, sd) for s in range(m)])).alias(
+            "sub", "sv"
+        ),
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    dims: int = 64,
+    codeword_mod: int = 25,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace codebooks: (sub, cid, cw). Deterministic seeds (every
+    ``codeword_mod``-th vector's sub-vectors, same convention as
+    ``ivf_assign``), then ``iters`` L2 Lloyd rounds.
+
+    Scale shape per round: one broadcast-join assignment pass over the
+    (vec, sub) stream plus a (sub, cid, dim)-keyed mean — only
+    m × k × sub_dims aggregate rows shuffle, never vectors. Means sum
+    7-dp-rounded DECIMALs (order-independent), so codebooks — and every
+    downstream code — are bit-identical on any engine or partitioning.
+    """
+    sv = pq_subvectors(embeddings, m, dims, id_col, vec_col)
+    sd = dims // m
+    cbs = sv.filter(F.col("vec_id") % codeword_mod == 0).select(
+        "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("cw")
+    )
+    for _ in range(iters):
+        assigned = _nearest_codeword(sv, cbs)
+        cbs = (
+            assigned.select("sub", "cid", F.posexplode("sv").alias("dim", "val"))
+            .groupBy("sub", "cid", "dim")
+            .agg(
+                (
+                    F.sum(F.round(F.col("val"), 7).cast("decimal(20,7)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+            .groupBy("sub", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("_dc"))
+            .select(
+                "sub",
+                "cid",
+                F.transform(F.col("_dc"), lambda s: s.getField("c")).alias("cw"),
+            )
+        )
+    return cbs
+
+
+def _nearest_codeword(sv: DataFrame, cbs: DataFrame) -> DataFrame:
+    """Nearest codeword per (vec_id, sub) under squared L2; deterministic
+    cid tie-break. Codebooks broadcast — the join never shuffles the
+    sub-vector stream."""
+    j = sv.join(F.broadcast(cbs), "sub").select(
+        "vec_id", "sub", "cid", "sv", _l2sq(F.col("sv"), F.col("cw")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "d2")
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 8,
+    dims: int = 64,
+    codeword_mod: int = 25,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sub, cid): the PQ-compressed corpus — ``m`` codeword ids per
+    vector. This relation (written once, grouped to an array<tinyint> per
+    vector in a real index layout) replaces the raw embedding column at
+    query time."""
+    cbs = pq_codebooks(embeddings, m, dims, codeword_mod, iters, id_col, vec_col)
+    return _nearest_codeword(
+        pq_subvectors(embeddings, m, dims, id_col, vec_col), cbs
+    ).select("vec_id", "sub", "cid")
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 8,
+    dims: int = 64,
+    codeword_mod: int = 25,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: approximate L2² = Σ_sub d²(query sub-vector, assigned
+    codeword), ranked ascending.
+
+    Query-time reads touch ONLY the code relation: the per-query distance
+    table (|queries| × m × k codeword distances — tiny) broadcasts onto the
+    codes; the Σ_sub reduction sums 7-dp-rounded DECIMALs so the ADC score
+    is partition-order-exact; ranking is a WindowGroupLimit top-k. The raw
+    embedding column is read only by the (amortized, train-once) codebook /
+    encode passes."""
+    cbs = pq_codebooks(embeddings, m, dims, codeword_mod, iters, id_col, vec_col)
+    sv = pq_subvectors(embeddings, m, dims, id_col, vec_col)
+    codes = _nearest_codeword(sv, cbs).select("vec_id", "sub", "cid")
+    dt = (
+        sv.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qsv"))
+        .join(F.broadcast(cbs), "sub")
+        .select(
+            "query_id", "sub", "cid", _l2sq(F.col("qsv"), F.col("cw")).alias("d2")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(dt), ["sub", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.round(F.col("d2"), 7).cast("decimal(20,7)"))
+            .cast("double")
+            .alias("dist2")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("dist2"), 6).alias("adc_dist2"),
+            "rank",
+        )
+    )

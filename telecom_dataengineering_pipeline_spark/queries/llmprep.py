@@ -1646,3 +1646,89 @@ def tokenizer_pair_merge_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmprep.curation import pair_merge_stats
 
     return pair_merge_stats(load_table(spark, sf_dir, "documents"), k=100)
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ADC top-k: the memory-bound ANN path (codes ≈ 32×
+# smaller than raw vectors; query time touches only codes + a tiny distance
+# table). Oracle unrolls one L2 Lloyd round per subspace with the same
+# decimal-exact means as the k-means oracle.
+# ---------------------------------------------------------------------------
+
+_PQ_ADC_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), sv AS (
+  SELECT vec_id, s.s AS sub, v[s.s*8+1 : s.s*8+8] AS sv
+  FROM e CROSS JOIN generate_series(0, 7) s(s)
+), c0 AS (
+  SELECT sub, vec_id AS cid, sv AS cw FROM sv WHERE vec_id % 25 = 0
+), a1 AS (
+  SELECT vec_id, sub, cid, sv FROM (
+    SELECT sv.vec_id, sv.sub, c0.cid, sv.sv,
+           list_dot_product(sv.sv, sv.sv) - 2*list_dot_product(sv.sv, c0.cw)
+             + list_dot_product(c0.cw, c0.cw) AS d2,
+           row_number() OVER (
+             PARTITION BY sv.vec_id, sv.sub
+             ORDER BY list_dot_product(sv.sv, sv.sv) - 2*list_dot_product(sv.sv, c0.cw)
+                      + list_dot_product(c0.cw, c0.cw) ASC, c0.cid ASC
+           ) AS rn
+    FROM sv JOIN c0 ON sv.sub = c0.sub
+  ) WHERE rn = 1
+), x1 AS (
+  SELECT sub, cid, t.i AS dim, sv[t.i] AS val
+  FROM a1 CROSS JOIN generate_series(1, 8) t(i)
+), u1 AS (
+  SELECT sub, cid, dim,
+         CAST(sum(CAST(round(val, 7) AS DECIMAL(20,7))) AS DOUBLE) / count(*) AS c
+  FROM x1 GROUP BY sub, cid, dim
+), c1 AS (
+  SELECT sub, cid, array_agg(c ORDER BY dim) AS cw FROM u1 GROUP BY sub, cid
+), enc AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT sv.vec_id, sv.sub, c1.cid,
+           row_number() OVER (
+             PARTITION BY sv.vec_id, sv.sub
+             ORDER BY list_dot_product(sv.sv, sv.sv) - 2*list_dot_product(sv.sv, c1.cw)
+                      + list_dot_product(c1.cw, c1.cw) ASC, c1.cid ASC
+           ) AS rn
+    FROM sv JOIN c1 ON sv.sub = c1.sub
+  ) WHERE rn = 1
+), dt AS (
+  SELECT q.vec_id AS query_id, c1.sub, c1.cid,
+         list_dot_product(q.sv, q.sv) - 2*list_dot_product(q.sv, c1.cw)
+           + list_dot_product(c1.cw, c1.cw) AS d2
+  FROM sv q JOIN c1 ON q.sub = c1.sub
+  WHERE q.vec_id < 10
+), adc AS (
+  SELECT dt.query_id, enc.vec_id,
+         CAST(sum(CAST(round(dt.d2, 7) AS DECIMAL(20,7))) AS DOUBLE) AS dist2
+  FROM enc JOIN dt ON enc.sub = dt.sub AND enc.cid = dt.cid
+  WHERE enc.vec_id <> dt.query_id
+  GROUP BY 1, 2
+), r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY dist2 ASC, vec_id ASC
+    ) AS INTEGER) AS rank
+  FROM adc
+)
+SELECT query_id, vec_id AS neighbor_id, round(dist2, 6) AS adc_dist2, rank
+FROM r WHERE rank <= 5
+"""
+
+
+@register("ann_pq_adc_topk", oracle=_PQ_ADC_ORACLE, tags=("LLM", "similarity", "iterative"))
+def ann_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN: 8 subspaces × learned codebooks (1 Lloyd round),
+    ADC ranking over codes only (see llmprep.similarity.pq_adc_topk)."""
+    from ..llmprep.similarity import pq_adc_topk
+
+    return pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        m=8,
+        dims=64,
+        codeword_mod=25,
+        iters=1,
+    )

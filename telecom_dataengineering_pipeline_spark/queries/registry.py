@@ -100,6 +100,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_incremental_lsh_probe",
     "embedding_centroid_outliers",
     "tokenizer_pair_merge_stats",
+    "ann_pq_adc_topk",
     "pii_redaction_stats",
     "duplicate_ngram_coverage",
     "quality_filter_verdicts",

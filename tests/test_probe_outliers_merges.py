@@ -91,7 +91,50 @@ def test_round3_registrations_inside_driver_window():
         "dedup_incremental_lsh_probe",
         "embedding_centroid_outliers",
         "tokenizer_pair_merge_stats",
+        "ann_pq_adc_topk",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
     assert new_names <= set(oracle_sql()), "every round-3 addition needs an oracle"
+
+
+def test_pq_encode_shape_and_self_distance(spark):
+    """Every vector gets exactly m codes; a vector that IS a codeword seed
+    reconstructs its own subspaces well enough that its ADC self-distance
+    ranks it nearest to an identical twin."""
+    from telecom_dataengineering_pipeline_spark.llmprep.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_subvectors,
+    )
+
+    base = [float(i % 7) - 3.0 for i in range(16)]
+    rows = [(0, base), (1, base), (2, [v + 5.0 for v in base]), (25, [v - 2.0 for v in base])]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    codes = pq_encode(emb, m=4, dims=16, codeword_mod=25, iters=1)
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 4 for r in per_vec) and len(per_vec) == 4
+
+    out = pq_adc_topk(emb, query_ids=[0], k=3, m=4, dims=16, codeword_mod=25, iters=1)
+    top = {r["rank"]: r for r in out.collect()}
+    # identical twin shares every code → ADC distance is the same for both,
+    # and vec 1 (the twin) wins the tie-break at rank 1 or 2
+    assert top[1]["neighbor_id"] == 1
+
+    with pytest.raises(ValueError, match="evenly divide"):
+        pq_subvectors(emb, m=5, dims=16)
+
+
+def test_pq_query_path_reads_codes_not_vectors(spark):
+    """The ADC join broadcasts the distance table onto the code relation —
+    no shuffle of the corpus codes, no cartesian product."""
+    from telecom_dataengineering_pipeline_spark.llmprep.similarity import pq_adc_topk
+    from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = pq_adc_topk(emb, query_ids=list(range(10)), k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # ADC reduction + ranking: the dist-table join side is broadcast
+    assert "BroadcastHashJoin" in plan
