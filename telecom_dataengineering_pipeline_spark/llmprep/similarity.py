@@ -605,3 +605,73 @@ def pq_adc_topk(
             "rank",
         )
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    centroid_mod: int = 100,
+    m: int = 8,
+    dims: int = 64,
+    codeword_mod: int = 25,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ composed — the production vector-index layout (FAISS
+    IVFPQ): coarse cells prune candidates to the query's cell, PQ codes
+    replace raw vectors for the ADC ranking inside it.
+
+    At 100 TB the code relation is stored PARTITIONED BY cell, so the
+    candidate step is a partition-pruned scan of ~1/|cells| of an
+    already-32×-compressed index, and the per-query distance table is the
+    only thing that moves. Here cells come from the deterministic
+    ``ivf_assign`` quantizer and codes from ``pq_codebooks`` — both
+    broadcast-joined; the corpus shuffles zero times on the query path.
+    """
+    cells = ivf_assign(embeddings, centroid_mod, id_col, vec_col).select(
+        "vec_id", "cell"
+    )
+    cbs = pq_codebooks(embeddings, m, dims, codeword_mod, iters, id_col, vec_col)
+    sv = pq_subvectors(embeddings, m, dims, id_col, vec_col)
+    codes = (
+        _nearest_codeword(sv, cbs).select("vec_id", "sub", "cid").join(cells, "vec_id")
+    )
+    qcell = cells.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
+    )
+    dt = (
+        sv.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qsv"))
+        .join(F.broadcast(cbs), "sub")
+        .select("query_id", "sub", "cid", _l2sq(F.col("qsv"), F.col("cw")).alias("d2"))
+        .join(F.broadcast(qcell), "query_id")
+    )
+    adc = (
+        codes.alias("c")
+        .join(
+            F.broadcast(dt).alias("t"),
+            (F.col("c.sub") == F.col("t.sub"))
+            & (F.col("c.cid") == F.col("t.cid"))
+            & (F.col("c.cell") == F.col("t.qcell"))
+            & (F.col("c.vec_id") != F.col("t.query_id")),
+        )
+        .groupBy(F.col("t.query_id").alias("query_id"), F.col("c.vec_id").alias("vec_id"))
+        .agg(
+            F.sum(F.round(F.col("t.d2"), 7).cast("decimal(20,7)"))
+            .cast("double")
+            .alias("dist2")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("dist2"), 6).alias("adc_dist2"),
+            "rank",
+        )
+    )

@@ -1732,3 +1732,103 @@ def ann_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         codeword_mod=25,
         iters=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composed (the production FAISS-style index layout): coarse cell
+# pruning, then ADC over codes within the cell.
+# ---------------------------------------------------------------------------
+
+_IVF_PQ_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), sv AS (
+  SELECT vec_id, s.s AS sub, v[s.s*8+1 : s.s*8+8] AS sv
+  FROM e CROSS JOIN generate_series(0, 7) s(s)
+), c0 AS (
+  SELECT sub, vec_id AS cid, sv AS cw FROM sv WHERE vec_id % 25 = 0
+), a1 AS (
+  SELECT vec_id, sub, cid, sv FROM (
+    SELECT sv.vec_id, sv.sub, c0.cid, sv.sv,
+           row_number() OVER (
+             PARTITION BY sv.vec_id, sv.sub
+             ORDER BY list_dot_product(sv.sv, sv.sv) - 2*list_dot_product(sv.sv, c0.cw)
+                      + list_dot_product(c0.cw, c0.cw) ASC, c0.cid ASC
+           ) AS rn
+    FROM sv JOIN c0 ON sv.sub = c0.sub
+  ) WHERE rn = 1
+), x1 AS (
+  SELECT sub, cid, t.i AS dim, sv[t.i] AS val
+  FROM a1 CROSS JOIN generate_series(1, 8) t(i)
+), u1 AS (
+  SELECT sub, cid, dim,
+         CAST(sum(CAST(round(val, 7) AS DECIMAL(20,7))) AS DOUBLE) / count(*) AS c
+  FROM x1 GROUP BY sub, cid, dim
+), c1 AS (
+  SELECT sub, cid, array_agg(c ORDER BY dim) AS cw FROM u1 GROUP BY sub, cid
+), enc AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT sv.vec_id, sv.sub, c1.cid,
+           row_number() OVER (
+             PARTITION BY sv.vec_id, sv.sub
+             ORDER BY list_dot_product(sv.sv, sv.sv) - 2*list_dot_product(sv.sv, c1.cw)
+                      + list_dot_product(c1.cw, c1.cw) ASC, c1.cid ASC
+           ) AS rn
+    FROM sv JOIN c1 ON sv.sub = c1.sub
+  ) WHERE rn = 1
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), cent AS (
+  SELECT vec_id AS ccid, v AS ccv, nrm AS ccn FROM n WHERE vec_id % 100 = 0
+), cells AS (
+  SELECT vec_id, ccid AS cell FROM (
+    SELECT n.vec_id, cent.ccid,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, cent.ccv) / (n.nrm * cent.ccn) DESC,
+                      cent.ccid ASC
+           ) AS rn
+    FROM n CROSS JOIN cent
+  ) WHERE rn = 1
+), dt AS (
+  SELECT q.vec_id AS query_id, c1.sub, c1.cid,
+         list_dot_product(q.sv, q.sv) - 2*list_dot_product(q.sv, c1.cw)
+           + list_dot_product(c1.cw, c1.cw) AS d2
+  FROM sv q JOIN c1 ON q.sub = c1.sub
+  WHERE q.vec_id < 10
+), adc AS (
+  SELECT dt.query_id, enc.vec_id,
+         CAST(sum(CAST(round(dt.d2, 7) AS DECIMAL(20,7))) AS DOUBLE) AS dist2
+  FROM enc
+  JOIN dt ON enc.sub = dt.sub AND enc.cid = dt.cid
+  JOIN cells ca ON ca.vec_id = enc.vec_id
+  JOIN cells qa ON qa.vec_id = dt.query_id AND qa.cell = ca.cell
+  WHERE enc.vec_id <> dt.query_id
+  GROUP BY 1, 2
+), r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY dist2 ASC, vec_id ASC
+    ) AS INTEGER) AS rank
+  FROM adc
+)
+SELECT query_id, vec_id AS neighbor_id, round(dist2, 6) AS adc_dist2, rank
+FROM r WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_pq_topk", oracle=_IVF_PQ_ORACLE, tags=("LLM", "similarity", "iterative"))
+def ann_ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell pruning + PQ-ADC ranking — the composed production index
+    shape (see llmprep.similarity.ivf_pq_topk)."""
+    from ..llmprep.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        centroid_mod=100,
+        m=8,
+        dims=64,
+        codeword_mod=25,
+        iters=1,
+    )

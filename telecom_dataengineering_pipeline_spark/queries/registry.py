@@ -101,6 +101,7 @@ DRIVER_ORDER: list[str] = [
     "embedding_centroid_outliers",
     "tokenizer_pair_merge_stats",
     "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
     "pii_redaction_stats",
     "duplicate_ngram_coverage",
     "quality_filter_verdicts",

@@ -92,6 +92,7 @@ def test_round3_registrations_inside_driver_window():
         "embedding_centroid_outliers",
         "tokenizer_pair_merge_stats",
         "ann_pq_adc_topk",
+        "ann_ivf_pq_topk",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
