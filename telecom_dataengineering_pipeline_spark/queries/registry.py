@@ -102,6 +102,7 @@ DRIVER_ORDER: list[str] = [
     "tokenizer_pair_merge_stats",
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
+    "merge_upsert_orders_txnlog",
     "pii_redaction_stats",
     "duplicate_ngram_coverage",
     "quality_filter_verdicts",

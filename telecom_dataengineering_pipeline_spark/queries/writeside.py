@@ -128,3 +128,51 @@ def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("effective_end_date"),
         F.lit(True).alias("is_current"),
     )
+
+
+@register("merge_upsert_orders_txnlog", oracle=_MERGE_ORACLE, tags=("M1", "S7"))
+def merge_upsert_orders_txnlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 MERGE executed THROUGH the transaction-log table format
+    (sources/txnlog.py — the S7 implementation): the target snapshot is
+    committed as version 0, the source MERGEs as a file-granular
+    copy-on-write commit, and the result is read back from the resulting
+    log snapshot. Same oracle as ``merge_upsert_orders`` — the storage
+    format must not change MERGE semantics."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.txnlog import TxnLogTable
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    target = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.lit(1).alias("version"),
+        price.cast("decimal(14,4)").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("version"),
+        (price * F.lit(1.1).cast("decimal(3,2)")).cast("decimal(14,4)").alias("price"),
+        F.lit("U").alias("status"),
+    )
+    # Stable per-sf scratch table, rebuilt from scratch each run so the
+    # query stays deterministic and re-runnable.
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"txnlog_merge_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = TxnLogTable(path)
+    t.create_or_replace(target)
+    t.merge_keep_latest(
+        spark, source, keys=["o_orderkey"], order_by=[F.col("version").desc()]
+    )
+    return t.read(spark).select(
+        F.col("o_orderkey").alias("orderkey"),
+        "version",
+        F.col("price").cast("double").alias("totalprice"),
+        "status",
+    )

@@ -1,0 +1,143 @@
+"""Transaction-log table format (S7/M1): atomic versioned commits,
+file-granular copy-on-write MERGE, time travel, exactly-once by txn id,
+conflict detection, compaction, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from telecom_dataengineering_pipeline_spark.sources.txnlog import (
+    CommitConflict,
+    TxnLogSink,
+    TxnLogTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id LONG, payload STRING, version INT")
+
+
+def test_create_append_read_and_versions(spark, tmp_path):
+    t = TxnLogTable(str(tmp_path / "t1"))
+    assert not t.exists()
+    v0 = t.create_or_replace(_df(spark, [(1, "a", 1), (2, "b", 1)]))
+    v1 = t.append(_df(spark, [(3, "c", 1)]))
+    assert (v0, v1) == (0, 1)
+    got = {r["id"]: r["payload"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["create_or_replace", "append"]
+
+
+def test_merge_rewrites_only_hit_files(spark, tmp_path):
+    t = TxnLogTable(str(tmp_path / "t2"))
+    t.create_or_replace(_df(spark, [(1, "a", 1), (2, "b", 1)]).coalesce(1))
+    t.append(_df(spark, [(10, "x", 1), (11, "y", 1)]).coalesce(1))
+    files_before = t.snapshot_files()
+    assert len(files_before) == 2
+    untouched = files_before[1]  # the appended file: ids 10/11, no match below
+
+    t.merge_keep_latest(
+        spark,
+        _df(spark, [(2, "b2", 2), (5, "e", 2)]),
+        keys=["id"],
+        order_by=[F.col("version").desc()],
+    )
+    got = {r["id"]: r["payload"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "b2", 5: "e", 10: "x", 11: "y"}
+    after = set(t.snapshot_files())
+    # the file without matched keys carried over BY REFERENCE
+    assert untouched in after
+    # the hit file was rewritten out of the snapshot
+    assert files_before[0] not in after
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    t = TxnLogTable(str(tmp_path / "t3"))
+    t.create_or_replace(_df(spark, [(1, "a", 1)]))
+    t.merge_keep_latest(
+        spark, _df(spark, [(1, "a2", 2)]), keys=["id"],
+        order_by=[F.col("version").desc()],
+    )
+    assert t.read(spark, version=0).collect()[0]["payload"] == "a"
+    assert t.read(spark, version=1).collect()[0]["payload"] == "a2"
+    with pytest.raises(ValueError, match="does not exist"):
+        t.read(spark, version=9)
+
+
+def test_exactly_once_by_txn_id(spark, tmp_path):
+    t = TxnLogTable(str(tmp_path / "t4"))
+    t.create_or_replace(_df(spark, [(1, "a", 1)]))
+    t.append(_df(spark, [(2, "b", 1)]), app_txn_id="batch-7")
+    t.append(_df(spark, [(2, "b", 1)]), app_txn_id="batch-7")  # duplicate delivery
+    assert t.read(spark).count() == 2
+    assert len(t.history()) == 2
+
+
+def test_write_write_conflict_detected(spark, tmp_path):
+    t = TxnLogTable(str(tmp_path / "t5"))
+    t.create_or_replace(_df(spark, [(1, "a", 1)]).coalesce(1))
+    t.append(_df(spark, [(2, "b", 1)]).coalesce(1))
+    rv = t.version()
+    victim = t.snapshot_files()[0]
+    t.optimize(spark, target_files=1)  # concurrent winner removes `victim`
+    with pytest.raises(CommitConflict):
+        t.commit(adds=[], removes=[victim], operation="merge", read_version=rv)
+
+
+def test_optimize_compacts_and_keeps_history(spark, tmp_path):
+    t = TxnLogTable(str(tmp_path / "t6"))
+    t.create_or_replace(_df(spark, [(1, "a", 1)]).coalesce(1))
+    t.append(_df(spark, [(2, "b", 1)]).coalesce(1))
+    t.append(_df(spark, [(3, "c", 1)]).coalesce(1))
+    pre = t.version()
+    t.optimize(spark, target_files=1)
+    assert len(t.snapshot_files()) == 1
+    assert t.read(spark).count() == 3
+    # pre-compaction snapshot still resolves its own files
+    assert t.read(spark, version=pre).count() == 3
+
+
+def test_vacuum_removes_only_unreferenced(spark, tmp_path):
+    t = TxnLogTable(str(tmp_path / "t7"))
+    t.create_or_replace(_df(spark, [(1, "a", 1)]))
+    orphans = t._write_data(_df(spark, [(9, "z", 1)]))  # aborted writer
+    removed = t.vacuum()
+    assert set(removed) == set(orphans)
+    assert t.read(spark).count() == 1  # committed data untouched
+
+
+def test_schema_evolution_backfills_null(spark, tmp_path):
+    t = TxnLogTable(str(tmp_path / "t8"))
+    t.create_or_replace(_df(spark, [(1, "a", 1)]))
+    wide = spark.createDataFrame(
+        [(2, "b", 1, "extra")], "id LONG, payload STRING, version INT, note STRING"
+    )
+    t.append(wide)
+    rows = {r["id"]: r["note"] for r in t.read(spark).collect()}
+    assert rows == {1: None, 2: "extra"}
+
+
+def test_txnlog_sink_contract(spark, tmp_path):
+    """The S7 TableSink contract driven end-to-end by the log-backed
+    implementation — same scenario the ParquetDirSink contract test runs."""
+    table = str(tmp_path / "orders_t")
+    sink = TxnLogSink()
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 2)], "id long, payload string, version int"
+    )
+    sink.create_or_replace(base, table)
+    updates = spark.createDataFrame(
+        [(2, "b2", 2), (4, "d", 1)], "id long, payload string, version int"
+    )
+    sink.merge_keep_latest(
+        spark, table, updates, keys=["id"], order_by=[F.col("version").desc()]
+    )
+    got = {r["id"]: r["payload"] for r in sink.read(spark, table).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c", 4: "d"}
+    # the log is the source of truth: no staging/retired directories at all
+    assert os.path.isdir(os.path.join(table, "_txnlog"))
+    assert not os.path.exists(table + "__staging")
