@@ -141,3 +141,33 @@ def test_txnlog_sink_contract(spark, tmp_path):
     # the log is the source of truth: no staging/retired directories at all
     assert os.path.isdir(os.path.join(table, "_txnlog"))
     assert not os.path.exists(table + "__staging")
+
+
+def test_streaming_foreachbatch_exactly_once_into_txnlog(spark, tmp_path):
+    """T6 ∘ S7: a streaming foreachBatch sink committing each micro-batch
+    with an epoch-derived txn id — redelivered batches (at-least-once
+    upstream) land exactly once in the log."""
+    src, ckpt, table = (str(tmp_path / x) for x in ("src", "ckpt", "t_stream"))
+    df = spark.range(0, 100).select("id", (F.col("id") % 7).alias("k"))
+    df.filter("id < 50").coalesce(1).write.parquet(src + "/b0")
+    df.filter("id >= 50").coalesce(1).write.parquet(src + "/b1")
+    t = TxnLogTable(table)
+    batches = []
+
+    def commit_batch(bdf, bid):
+        batches.append(bid)
+        t.append(bdf, app_txn_id=f"epoch-{bid}")
+        t.append(bdf, app_txn_id=f"epoch-{bid}")  # simulated redelivery
+
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+        .writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert t.read(spark).count() == 100  # no duplicated rows
+    assert len(t.history()) == len(batches)  # one commit per epoch
