@@ -1541,7 +1541,7 @@ WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
 """
 
 
-@register("dedup_incremental_lsh_probe", oracle=_INCR_PROBE_ORACLE, tags=("LLM", "dedup"))
+@register("dedup_incremental_lsh_probe", oracle=_INCR_PROBE_ORACLE, tags=("LLM", "dedup"), bench=True)
 def dedup_incremental_lsh_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split the corpus by doc_id parity into index (even) / batch (odd)
     halves and probe the batch against the index's banded buckets (see
@@ -1662,7 +1662,7 @@ WITH e AS (
   SELECT vec_id, s.s AS sub, v[s.s*8+1 : s.s*8+8] AS sv
   FROM e CROSS JOIN generate_series(0, 7) s(s)
 ), c0 AS (
-  SELECT sub, vec_id AS cid, sv AS cw FROM sv WHERE vec_id % 25 = 0
+  SELECT sub, vec_id AS cid, sv AS cw FROM sv WHERE vec_id % 25 = 0 AND vec_id < 400
 ), a1 AS (
   SELECT vec_id, sub, cid, sv FROM (
     SELECT sv.vec_id, sv.sub, c0.cid, sv.sv,
@@ -1717,7 +1717,7 @@ FROM r WHERE rank <= 5
 """
 
 
-@register("ann_pq_adc_topk", oracle=_PQ_ADC_ORACLE, tags=("LLM", "similarity", "iterative"))
+@register("ann_pq_adc_topk", oracle=_PQ_ADC_ORACLE, tags=("LLM", "similarity", "iterative"), bench=True)
 def ann_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-compressed ANN: 8 subspaces × learned codebooks (1 Lloyd round),
     ADC ranking over codes only (see llmprep.similarity.pq_adc_topk)."""
@@ -1746,7 +1746,7 @@ WITH e AS (
   SELECT vec_id, s.s AS sub, v[s.s*8+1 : s.s*8+8] AS sv
   FROM e CROSS JOIN generate_series(0, 7) s(s)
 ), c0 AS (
-  SELECT sub, vec_id AS cid, sv AS cw FROM sv WHERE vec_id % 25 = 0
+  SELECT sub, vec_id AS cid, sv AS cw FROM sv WHERE vec_id % 25 = 0 AND vec_id < 400
 ), a1 AS (
   SELECT vec_id, sub, cid, sv FROM (
     SELECT sv.vec_id, sv.sub, c0.cid, sv.sv,
