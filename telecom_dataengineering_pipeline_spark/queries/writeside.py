@@ -165,7 +165,7 @@ def merge_upsert_orders_txnlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"txnlog_merge_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     shutil.rmtree(path, ignore_errors=True)
-    t = TxnLogTable(path)
+    t = TxnLogTable(path, stat_cols=("o_orderkey",))
     t.create_or_replace(target)
     t.merge_keep_latest(
         spark, source, keys=["o_orderkey"], order_by=[F.col("version").desc()]

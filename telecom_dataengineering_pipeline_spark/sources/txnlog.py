@@ -61,11 +61,18 @@ class CommitConflict(RuntimeError):
 
 
 class TxnLogTable:
-    """One log-backed table rooted at ``path``."""
+    """One log-backed table rooted at ``path``.
 
-    def __init__(self, path: str) -> None:
+    ``stat_cols``: columns to record per-file min/max for in every commit —
+    the data-skipping stats MERGE uses to prune candidate files without
+    scanning them (Delta/Iceberg file statistics). Collecting them costs one
+    aggregate over the just-written files at commit time.
+    """
+
+    def __init__(self, path: str, stat_cols: Sequence[str] = ()) -> None:
         self.path = path.rstrip("/")
         self.log_dir = os.path.join(self.path, _LOG_DIR)
+        self.stat_cols = tuple(stat_cols)
 
     # -- log primitives ----------------------------------------------------
 
@@ -154,20 +161,104 @@ class TxnLogTable:
 
     # -- write path --------------------------------------------------------
 
-    def _write_data(self, df: DataFrame, cluster_by: Sequence[str] = ()) -> list[str]:
-        """Write a new immutable file set for one commit; returns relative
-        paths. Not visible until a commit references them."""
+    def _write_data(
+        self, df: DataFrame, cluster_by: Sequence[str] = ()
+    ) -> tuple[list[str], dict]:
+        """Write a new immutable file set for one commit; returns (relative
+        paths, per-file min/max stats for ``stat_cols``). Not visible until
+        a commit references them."""
         rel_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         out = os.path.join(self.path, rel_dir)
         w = df
         if cluster_by:
             w = df.repartition(*[F.col(c) for c in cluster_by])
         w.write.mode("overwrite").option("compression", "snappy").parquet(out)
-        return sorted(
+        files = sorted(
             os.path.join(rel_dir, f)
             for f in os.listdir(out)
             if f.endswith(".parquet")
         )
+        return files, self._collect_stats(df, files)
+
+    def _collect_stats(self, df: DataFrame, files: list[str]) -> dict:
+        """Per-file min/max of ``stat_cols`` over freshly-written files: one
+        file-grouped aggregate (rows never leave executors; |files| result
+        rows). Only JSON-clean scalar bounds are recorded — anything else
+        simply leaves the file unprunable (safe)."""
+        cols = [c for c in self.stat_cols if c in df.columns]
+        if not cols:
+            return {}
+        spark = df.sparkSession
+        aggd = (
+            spark.read.schema(df.schema)
+            .parquet(*[os.path.join(self.path, f) for f in files])
+            .withColumn("_f", F.input_file_name())
+            .groupBy("_f")
+            .agg(
+                *[F.min(c).alias(f"_lo_{c}") for c in cols],
+                *[F.max(c).alias(f"_hi_{c}") for c in cols],
+            )
+            .collect()
+        )
+        by_base = {os.path.basename(f): f for f in files}
+        stats: dict = {}
+        for r in aggd:
+            rel = by_base.get(os.path.basename(r["_f"]))
+            if rel is None:
+                continue
+            entry = {}
+            for c in cols:
+                lo, hi = r[f"_lo_{c}"], r[f"_hi_{c}"]
+                if all(isinstance(x, (int, float, str, bool)) for x in (lo, hi)):
+                    entry[c] = [lo, hi]
+            if entry:
+                stats[rel] = entry
+        return stats
+
+    def _file_stats(self, version: int | None = None) -> dict:
+        """rel_path → {col: [lo, hi]} union over commits (files are
+        immutable, so the adding commit's stats stay authoritative)."""
+        out: dict = {}
+        for c in self._commits(version):
+            out.update(c.get("stats") or {})
+        return out
+
+    def _prune_by_stats(
+        self, files: list[str], source: DataFrame, keys: Sequence[str]
+    ) -> list[str]:
+        """Files that COULD contain a source key: keep a file unless some
+        stat key's recorded range is disjoint from the source's range. The
+        source bounds are one scalar aggregate (a legitimate driver fetch);
+        files without stats are always kept (safe)."""
+        all_stats = self._file_stats()
+        stat_keys = [
+            k
+            for k in keys
+            if any(k in (all_stats.get(f) or {}) for f in files)
+        ]
+        if not stat_keys:
+            return files
+        row = source.agg(
+            *[F.min(k).alias(f"_lo_{k}") for k in stat_keys],
+            *[F.max(k).alias(f"_hi_{k}") for k in stat_keys],
+        ).first()
+        kept = []
+        for f in files:
+            fs = all_stats.get(f) or {}
+            disjoint = False
+            for k in stat_keys:
+                if k not in fs:
+                    continue
+                lo, hi = fs[k]
+                s_lo, s_hi = row[f"_lo_{k}"], row[f"_hi_{k}"]
+                if s_lo is None or s_hi is None:
+                    continue
+                if hi < s_lo or lo > s_hi:
+                    disjoint = True
+                    break
+            if not disjoint:
+                kept.append(f)
+        return kept
 
     def _txn_seen(self, app_txn_id: str | None) -> bool:
         return app_txn_id is not None and any(
@@ -182,6 +273,7 @@ class TxnLogTable:
         schema_json: str | None = None,
         app_txn_id: str | None = None,
         read_version: int | None = None,
+        stats: dict | None = None,
     ) -> int:
         """Publish one atomic commit; returns the committed version.
 
@@ -210,6 +302,7 @@ class TxnLogTable:
                 "removes": list(removes),
                 "schema": schema_json,
                 "app_txn_id": app_txn_id,
+                "stats": stats or {},
                 "timestamp": time.time_ns() // 1_000_000,
             }
             tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
@@ -234,7 +327,7 @@ class TxnLogTable:
         """Full-snapshot replace: add the new file set, remove every
         currently-active file, one commit."""
         rv = self.version()
-        adds = self._write_data(df, cluster_by)
+        adds, stats = self._write_data(df, cluster_by)
         return self.commit(
             adds=adds,
             removes=self.snapshot_files(),
@@ -242,17 +335,19 @@ class TxnLogTable:
             schema_json=df.schema.json(),
             app_txn_id=app_txn_id,
             read_version=rv,
+            stats=stats,
         )
 
     def append(self, df: DataFrame, app_txn_id: str | None = None) -> int:
         """Blind append: always retry-safe (no removes to conflict on)."""
-        adds = self._write_data(df)
+        adds, stats = self._write_data(df)
         return self.commit(
             adds=adds,
             removes=[],
             operation="append",
             schema_json=df.schema.json(),
             app_txn_id=app_txn_id,
+            stats=stats,
         )
 
     def merge_keep_latest(
@@ -273,11 +368,20 @@ class TxnLogTable:
         schema = self.snapshot_schema(rv)
         files = self.snapshot_files(rv)
         if not files:
-            adds = self._write_data(source)
+            adds, stats = self._write_data(source)
             return self.commit(
-                adds, [], "merge", source.schema.json(), app_txn_id, rv
+                adds, [], "merge", source.schema.json(), app_txn_id, rv, stats
             )
-        abs_of = {os.path.join(self.path, f): f for f in files}
+        # Data skipping: a file whose recorded [min, max] on every stat key
+        # is disjoint from the source's key range cannot contain a match —
+        # it is excluded from the scan entirely, not just from the rewrite.
+        scan_files = self._prune_by_stats(files, source, keys)
+        abs_of = {os.path.join(self.path, f): f for f in scan_files}
+        if not abs_of:
+            adds, stats = self._write_data(source)
+            return self.commit(
+                adds, [], "merge", source.schema.json(), app_txn_id, rv, stats
+            )
         tgt = (
             spark.read.schema(schema)
             .parquet(*abs_of)
@@ -298,7 +402,7 @@ class TxnLogTable:
             else spark.createDataFrame([], schema)
         )
         merged = merge_upsert(affected, source, keys=list(keys), order_by=list(order_by))
-        adds = self._write_data(merged)
+        adds, stats = self._write_data(merged)
         return self.commit(
             adds=adds,
             removes=hit_rel,
@@ -306,6 +410,7 @@ class TxnLogTable:
             schema_json=merged.schema.json(),
             app_txn_id=app_txn_id,
             read_version=rv,
+            stats=stats,
         )
 
     def optimize(self, spark: SparkSession, target_files: int = 1) -> int:
@@ -317,13 +422,14 @@ class TxnLogTable:
         if len(files) <= target_files:
             return rv
         df = self.read(spark, rv).coalesce(target_files)
-        adds = self._write_data(df)
+        adds, stats = self._write_data(df)
         return self.commit(
             adds=adds,
             removes=files,
             operation="optimize",
             schema_json=None,
             read_version=rv,
+            stats=stats,
         )
 
     def vacuum(self) -> list[str]:

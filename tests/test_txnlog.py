@@ -104,7 +104,7 @@ def test_optimize_compacts_and_keeps_history(spark, tmp_path):
 def test_vacuum_removes_only_unreferenced(spark, tmp_path):
     t = TxnLogTable(str(tmp_path / "t7"))
     t.create_or_replace(_df(spark, [(1, "a", 1)]))
-    orphans = t._write_data(_df(spark, [(9, "z", 1)]))  # aborted writer
+    orphans, _ = t._write_data(_df(spark, [(9, "z", 1)]))  # aborted writer
     removed = t.vacuum()
     assert set(removed) == set(orphans)
     assert t.read(spark).count() == 1  # committed data untouched
@@ -171,3 +171,40 @@ def test_streaming_foreachbatch_exactly_once_into_txnlog(spark, tmp_path):
     q.awaitTermination(300)
     assert t.read(spark).count() == 100  # no duplicated rows
     assert len(t.history()) == len(batches)  # one commit per epoch
+
+
+def test_merge_prunes_files_by_key_stats(spark, tmp_path):
+    """Data skipping: with stat_cols on, a file whose recorded [min, max]
+    key range is disjoint from the source's key range is excluded from the
+    MERGE scan entirely — and the merge result is still exact."""
+    t = TxnLogTable(str(tmp_path / "t9"), stat_cols=("id",))
+    t.create_or_replace(_df(spark, [(1, "a", 1), (2, "b", 1)]).coalesce(1))
+    t.append(_df(spark, [(100, "x", 1), (101, "y", 1)]).coalesce(1))
+    files = t.snapshot_files()
+    stats = t._file_stats()
+    assert stats[files[0]]["id"] == [1, 2]
+    assert stats[files[1]]["id"] == [100, 101]
+
+    source = _df(spark, [(2, "b2", 2), (3, "c", 2)])
+    # the high-range file is pruned before any scan happens
+    assert t._prune_by_stats(files, source, ["id"]) == [files[0]]
+
+    t.merge_keep_latest(spark, source, keys=["id"], order_by=[F.col("version").desc()])
+    got = {r["id"]: r["payload"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c", 100: "x", 101: "y"}
+    assert files[1] in set(t.snapshot_files())  # untouched by reference
+
+
+def test_merge_fully_pruned_becomes_pure_insert(spark, tmp_path):
+    """Source keys entirely outside every file's range: zero files scanned
+    or rewritten — the MERGE degenerates to an insert commit."""
+    t = TxnLogTable(str(tmp_path / "t10"), stat_cols=("id",))
+    t.create_or_replace(_df(spark, [(1, "a", 1)]).coalesce(1))
+    before = set(t.snapshot_files())
+    t.merge_keep_latest(
+        spark, _df(spark, [(50, "z", 2)]), keys=["id"],
+        order_by=[F.col("version").desc()],
+    )
+    assert before <= set(t.snapshot_files())  # nothing rewritten
+    got = {r["id"]: r["payload"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 50: "z"}
