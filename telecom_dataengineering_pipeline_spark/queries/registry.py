@@ -103,6 +103,7 @@ DRIVER_ORDER: list[str] = [
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
     "merge_upsert_orders_txnlog",
+    "session_stream_availablenow",
     "pii_redaction_stats",
     "duplicate_ngram_coverage",
     "quality_filter_verdicts",

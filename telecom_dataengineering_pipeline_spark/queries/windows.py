@@ -225,3 +225,110 @@ def daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "revenue", F.round(F.avg("revenue").over(w), 6).alias("revenue_7d_avg")
     )
+
+
+# ---------------------------------------------------------------------------
+# The REAL stateful streaming sessionizer (applyInPandasWithState,
+# streaming/sessions.py) run to completion with availableNow and checked
+# value-exact against the batch lag/cumsum sessionization. A far-future
+# sentinel event per user closes every REAL session inside the gap rule, so
+# the stream's output is deterministic and complete (the sentinel's own
+# open session is never emitted).
+# ---------------------------------------------------------------------------
+
+_SESSION_STREAM_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER w AS prev_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), marked AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_S} * 1000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM seq
+), numbered AS (
+  SELECT *, CAST(sum(new_s) OVER (
+      PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING
+    ) AS BIGINT) AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq,
+       min(us) AS start_us, max(us) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS session_value
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+@register(
+    "session_stream_availablenow",
+    oracle=_SESSION_STREAM_ORACLE,
+    tags=("T1", "T2", "T3", "sessionization"),
+)
+def session_stream_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization end-to-end: events staged to parquet, read
+    back as a file stream, sessionized by the keyed-state operator, flushed
+    by per-user sentinels, collected from a memory sink — the driver's
+    oracle checks the stateful streaming path itself."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.sessions import session_stream
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("us", F.unix_micros("ts"))
+        .select("ts", "us", "user_id", "event_id", "value")
+    )
+    # one sentinel per user, two gaps past that user's last event: closes the
+    # final real session via the in-batch gap rule (no watermark race)
+    sentinel = (
+        ev.groupBy("user_id")
+        .agg(F.max("us").alias("_mx"))
+        .select(
+            F.timestamp_micros(F.col("_mx") + 2 * SESSION_GAP_S * 1_000_000).alias("ts"),
+            (F.col("_mx") + 2 * SESSION_GAP_S * 1_000_000).alias("us"),
+            "user_id",
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    staged = ev.unionByName(sentinel)
+    sink = "session_stream_availablenow_sink"
+    spark.catalog.dropTempView(sink)
+    staging = tempfile.mkdtemp(prefix="session_stream_src_")
+    try:
+        src = os.path.join(staging, "events")
+        staged.write.parquet(src)
+        stream = (
+            spark.readStream.schema(staged.schema)
+            .parquet(src)
+            .withWatermark("ts", "30 seconds")
+        )
+        sessions = session_stream(stream, gap_s=SESSION_GAP_S)
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    # The final watermark can time out and flush sentinel-only sessions for
+    # users whose sentinel precedes the GLOBAL max event time; drop them by
+    # their known (user, start) coordinates — a sentinel can never co-session
+    # with a real event (it sits two gaps past the user's last one).
+    return (
+        spark.table(sink)
+        .join(
+            sentinel.select("user_id", F.col("us").alias("start_us")),
+            ["user_id", "start_us"],
+            "left_anti",
+        )
+        .select(
+            "user_id", "session_seq", "start_us", "end_us", "n_events", "session_value"
+        )
+    )

@@ -94,6 +94,7 @@ def test_round3_registrations_inside_driver_window():
         "ann_pq_adc_topk",
         "ann_ivf_pq_topk",
         "merge_upsert_orders_txnlog",
+        "session_stream_availablenow",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
