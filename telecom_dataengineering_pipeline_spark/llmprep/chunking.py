@@ -48,3 +48,40 @@ def chunk_documents(
         F.least(F.lit(chunk_size), F.col("n_tok") - F.col("start")).alias("n_tokens"),
         F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
     )
+
+
+def duplicate_chunk_groups(
+    docs: DataFrame,
+    chunk_size: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document exact dedup: NON-overlapping token chunks whose content
+    hash appears more than once across the corpus — the boilerplate-
+    paragraph / repeated-snippet sweep that runs below document granularity
+    (doc-level dedup misses a header duplicated into thousands of otherwise
+    distinct documents).
+
+    Rides the chunking spine with stride == chunk_size, then one hash agg on
+    the chunk hash: n_occurrences, distinct docs, and a deterministic
+    canonical occurrence (min (doc, idx) struct — no window, plain
+    partial-aggregatable MIN). At 100 TB this is the same shape as exact
+    doc dedup: shuffle keyed by content hash, combiner-reduced map-side.
+    """
+    chunks = chunk_documents(docs, chunk_size, stride=chunk_size, text_col=text_col, id_col=id_col)
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min(F.struct("doc_id", "chunk_idx")).alias("_c"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .select(
+            "chunk_md5",
+            "n_occurrences",
+            "n_docs",
+            F.col("_c.doc_id").alias("canonical_doc"),
+            F.col("_c.chunk_idx").alias("canonical_idx"),
+        )
+    )

@@ -704,3 +704,50 @@ def ivf_pq_topk(
             "rank",
         )
     )
+
+
+def sq8_reconstruction_profile(
+    embeddings: DataFrame,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Scalar (int8) quantization quality profile: per-dimension corpus
+    [min, max] → 255-step uniform grid, reconstruct, and report per-label
+    error stats (max / decimal-exact mean absolute error).
+
+    The SQ path complements PQ: 4× smaller vectors (float32 → uint8) with a
+    per-dim codebook of just (lo, scale) — the compression a 100 TB
+    embedding store applies before anything else. Shapes: one (dim)-keyed
+    bounds aggregate (dims rows), broadcast back onto the exploded value
+    stream, one label-keyed error aggregate. Vectors never shuffle. A
+    zero-range dimension quantizes to code 0 / exact reconstruction
+    (nullif guards the 0/0)."""
+    emb = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    x = emb.select("label", "vec_id", F.posexplode("v").alias("dim", "val"))
+    bounds = x.groupBy("dim").agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    scale = (F.col("hi") - F.col("lo")) / F.lit(255.0)
+    code = F.coalesce(
+        F.round((F.col("val") - F.col("lo")) / F.nullif(scale, F.lit(0.0))),
+        F.lit(0.0),
+    )
+    err = F.abs(F.col("val") - (F.col("lo") + code * scale))
+    return (
+        x.join(F.broadcast(bounds), "dim")
+        .select("label", "vec_id", err.alias("err"))
+        .groupBy("label")
+        .agg(
+            F.count_distinct("vec_id").cast("bigint").alias("n_vecs"),
+            F.round(F.max("err"), 9).alias("max_abs_err"),
+            F.round(
+                F.sum(F.round(F.col("err"), 12).cast("decimal(24,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_abs_err"),
+        )
+    )

@@ -1832,3 +1832,84 @@ def ann_ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         codeword_mod=25,
         iters=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document exact dedup: non-overlapping 10-token chunks duplicated
+# across the corpus (boilerplate/repeated-snippet sweep below document
+# granularity).
+# ---------------------------------------------------------------------------
+
+_DUP_CHUNK_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(list_filter(toks, x -> x <> '')) AS n_tok FROM base
+), starts AS (
+  SELECT doc_id, toks, n_tok, unnest(range(0, n_tok, 10)) AS start
+  FROM sized WHERE n_tok > 0
+), ch AS (
+  SELECT doc_id,
+         CAST(start / 10 AS INTEGER) AS chunk_idx,
+         md5(array_to_string(list_slice(toks, start + 1, least(start + 10, n_tok)), ' ')) AS chunk_md5
+  FROM starts
+), grouped AS (
+  SELECT chunk_md5,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM ch GROUP BY chunk_md5 HAVING count(*) > 1
+), canon AS (
+  SELECT chunk_md5, doc_id AS canonical_doc, chunk_idx AS canonical_idx FROM (
+    SELECT *, row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) AS rn
+    FROM ch
+  ) WHERE rn = 1
+)
+SELECT g.chunk_md5, g.n_occurrences, g.n_docs, c.canonical_doc, c.canonical_idx
+FROM grouped g JOIN canon c ON g.chunk_md5 = c.chunk_md5
+"""
+
+
+@register("dedup_chunk_groups", oracle=_DUP_CHUNK_ORACLE, tags=("LLM", "dedup", "chunking"))
+def dedup_chunk_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated 10-token chunks with occurrence/doc counts and a
+    deterministic canonical occurrence (see
+    llmprep.chunking.duplicate_chunk_groups)."""
+    from ..llmprep.chunking import duplicate_chunk_groups
+
+    return duplicate_chunk_groups(load_table(spark, sf_dir, "documents"), chunk_size=10)
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) quantization profile: per-dim min/max grid, reconstruction
+# error stats per label — the 4x embedding compression step.
+# ---------------------------------------------------------------------------
+
+_SQ8_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), x AS (
+  SELECT vec_id, label, t.i AS dim, v[t.i] AS val
+  FROM e CROSS JOIN generate_series(1, 64) t(i)
+), b AS (
+  SELECT dim, min(val) AS lo, max(val) AS hi FROM x GROUP BY dim
+), r AS (
+  SELECT x.label, x.vec_id,
+         abs(x.val - (b.lo + coalesce(round((x.val - b.lo) / nullif((b.hi - b.lo)/255, 0)), 0)
+                      * ((b.hi - b.lo)/255))) AS err
+  FROM x JOIN b ON x.dim = b.dim
+)
+SELECT label,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+       round(max(err), 9) AS max_abs_err,
+       round(CAST(sum(CAST(round(err, 12) AS DECIMAL(24,12))) AS DOUBLE) / count(*), 9) AS mean_abs_err
+FROM r GROUP BY label
+"""
+
+
+@register("embedding_sq8_profile", oracle=_SQ8_ORACLE, tags=("LLM", "similarity"))
+def embedding_sq8_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization reconstruction profile (see
+    llmprep.similarity.sq8_reconstruction_profile)."""
+    from ..llmprep.similarity import sq8_reconstruction_profile
+
+    return sq8_reconstruction_profile(load_table(spark, sf_dir, "embeddings"))

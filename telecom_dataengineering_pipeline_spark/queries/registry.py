@@ -104,6 +104,8 @@ DRIVER_ORDER: list[str] = [
     "ann_ivf_pq_topk",
     "merge_upsert_orders_txnlog",
     "session_stream_availablenow",
+    "dedup_chunk_groups",
+    "embedding_sq8_profile",
     "pii_redaction_stats",
     "duplicate_ngram_coverage",
     "quality_filter_verdicts",

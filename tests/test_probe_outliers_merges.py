@@ -95,6 +95,8 @@ def test_round3_registrations_inside_driver_window():
         "ann_ivf_pq_topk",
         "merge_upsert_orders_txnlog",
         "session_stream_availablenow",
+        "dedup_chunk_groups",
+        "embedding_sq8_profile",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
