@@ -386,48 +386,95 @@ def incremental_lsh_probe(
     Returns (batch_doc, index_doc, jaccard) for verified pairs ≥ threshold.
     Caller guarantees the two id spaces are disjoint.
     """
-    rows_per_band = _check_band_geometry(num_perm, bands)
+    ix_banded, ix_shingles = lsh_index_tables(
+        index_docs, text_col, id_col, n, num_perm, bands, engine_neutral_hash
+    )
+    return incremental_lsh_probe_prepared(
+        ix_banded,
+        ix_shingles,
+        batch_docs,
+        text_col,
+        id_col,
+        n,
+        num_perm,
+        bands,
+        threshold,
+        engine_neutral_hash,
+    )
 
-    def _spine(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """(banded bucket stream, hashed shingle stream) for one side."""
-        stream = shingle_stream(docs, text_col, id_col, n)
-        hashed = stream.select(
-            "doc_id",
-            _hash31(F.col("shingle"), engine_neutral_hash).alias("_h"),
-            F.xxhash64("shingle").alias("shingle_h"),
-        ).localCheckpoint(eager=False)
-        sig = hashed.groupBy("doc_id").agg(
-            *_signature_min_exprs(num_perm, F.col("_h")),
-            F.count(F.lit(1)).alias("n_shingles"),
+
+def lsh_index_tables(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    engine_neutral_hash: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The PERSISTABLE index side of incremental dedup: (banded bucket
+    stream ``(doc_id, n_shingles, band, bucket)``, hashed shingle stream
+    ``(doc_id, shingle_h)``). Write both as parquet/log tables partitioned
+    respectively by (band, bucket-range) and doc; each committed batch
+    APPENDS its own rows — the corpus text is tokenized exactly once in its
+    lifetime, and every later probe joins these narrow tables instead."""
+    rows_per_band = _check_band_geometry(num_perm, bands)
+    stream = shingle_stream(docs, text_col, id_col, n)
+    hashed = stream.select(
+        "doc_id",
+        _hash31(F.col("shingle"), engine_neutral_hash).alias("_h"),
+        F.xxhash64("shingle").alias("shingle_h"),
+    ).localCheckpoint(eager=False)
+    sig = hashed.groupBy("doc_id").agg(
+        *_signature_min_exprs(num_perm, F.col("_h")),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
+
+    def _bucket(b: int) -> Column:
+        return F.xxhash64(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
         )
 
-        def _bucket(b: int) -> Column:
-            return F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh_{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
+    banded = sig.select(
+        "doc_id",
+        "n_shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
+                    for b in range(bands)
+                ]
             )
+        ).alias("bb"),
+    ).select("doc_id", "n_shingles", "bb.band", "bb.bucket")
+    return banded, hashed.select("doc_id", "shingle_h")
 
-        banded = sig.select(
-            "doc_id",
-            "n_shingles",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("doc_id", "n_shingles", "bb.band", "bb.bucket")
-        return banded, hashed.select("doc_id", "shingle_h")
 
-    ix_banded, ix_shingles = _spine(index_docs)
-    b_banded, b_shingles = _spine(batch_docs)
+def incremental_lsh_probe_prepared(
+    ix_banded: DataFrame,
+    ix_shingles: DataFrame,
+    batch_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    engine_neutral_hash: bool = True,
+) -> DataFrame:
+    """Probe a batch against PRECOMPUTED index tables (see
+    ``lsh_index_tables``) — the form a production ingest loop actually
+    calls: per-batch cost is O(batch) hashing plus hash joins against the
+    persisted bucket/shingle tables; the indexed corpus is never rescanned."""
+    b_banded, b_shingles = lsh_index_tables(
+        batch_docs, text_col, id_col, n, num_perm, bands, engine_neutral_hash
+    )
     cands = (
         b_banded.alias("b")
         .join(

@@ -143,3 +143,31 @@ def test_pq_query_path_reads_codes_not_vectors(spark):
     assert "CartesianProduct" not in plan
     # ADC reduction + ranking: the dist-table join side is broadcast
     assert "BroadcastHashJoin" in plan
+
+
+def test_probe_against_persisted_index_roundtrip(spark, tmp_path):
+    """The production ingest flow: index tables built once, PERSISTED to
+    parquet, read back, probed — identical pairs to the derive-both-sides
+    path (the index never re-tokenizes)."""
+    from telecom_dataengineering_pipeline_spark.llmprep.dedup import (
+        incremental_lsh_probe_prepared,
+        lsh_index_tables,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    index = spark.createDataFrame(
+        [(0, base), (2, "completely different words about spark adaptive execution")],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame([(1, base)], "doc_id LONG, text STRING")
+
+    banded, shingles = lsh_index_tables(index)
+    bp, sp = str(tmp_path / "banded"), str(tmp_path / "shingles")
+    banded.write.parquet(bp)
+    shingles.write.parquet(sp)
+
+    out = incremental_lsh_probe_prepared(
+        spark.read.parquet(bp), spark.read.parquet(sp), batch, threshold=0.5
+    ).collect()
+    assert {(r["batch_doc"], r["index_doc"]) for r in out} == {(1, 0)}
+    assert all(r["jaccard"] == 1.0 for r in out)
