@@ -29,12 +29,13 @@ def bench_session(app_name: str) -> SparkSession:
     return spark
 
 
-# The localCheckpoint-heavy dedup/pipeline spines vary ±40% run-to-run
-# (executor-local block writes + Python worker scheduling); a single draw
-# makes gate verdicts a coin flip, so those families report the median of
-# VARIANCE_REPS clean runs — the same protocol BENCH_BASELINE.json's own
-# dedup entries were recorded with (median of clean solo runs).
-VARIANCE_TAGS = ("dedup", "pipeline")
+# The localCheckpoint-heavy dedup/pipeline/iterative spines vary ±40%
+# run-to-run (executor-local block writes + Python worker scheduling); a
+# single draw makes gate verdicts a coin flip, so those families report the
+# median of VARIANCE_REPS clean runs — the same protocol
+# BENCH_BASELINE.json's own dedup entries were recorded with (median of
+# clean solo runs).
+VARIANCE_TAGS = ("dedup", "pipeline", "iterative")
 VARIANCE_REPS = 3
 
 
@@ -52,6 +53,11 @@ def measure_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         tags = REGISTRY[name].tags
         reps = VARIANCE_REPS if any(t in tags for t in VARIANCE_TAGS) else 1
         fn(spark, sf_dir).count()  # warm: plan + codegen JIT
+        # Drop the warm run's cache residue BEFORE the timed reps: the first
+        # rep would otherwise reuse the persisted relations the warm run
+        # materialized (CacheManager matches the rebuilt plan) while later
+        # reps rebuild them — a median over two different distributions.
+        _clear_caches(spark)
         samples: list[float] = []
         for _ in range(reps):
             t0 = time.perf_counter()

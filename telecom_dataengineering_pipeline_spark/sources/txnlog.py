@@ -278,22 +278,34 @@ class TxnLogTable:
         """Publish one atomic commit; returns the committed version.
 
         Optimistic concurrency: on a version collision the commit re-reads
-        the log and retries. If a concurrent winner removed any file in
-        ``removes`` (write-write conflict on the same data) or already
-        committed ``app_txn_id`` (duplicate), the retry stops instead.
+        the log and retries. Blind appends (no ``removes``) retry freely —
+        they cannot invalidate or be invalidated. A commit that REPLACES
+        data (``removes`` non-empty, or a full replace) conflicts if ANY
+        intervening commit changed the file set: a concurrent append may
+        have added rows for keys this merge resolved, and a concurrent
+        remove means this commit's inputs are stale either way. The caller
+        must re-run the operation from a fresh snapshot (Delta's own
+        MERGE-vs-append semantics). Duplicate ``app_txn_id`` commits are
+        no-ops.
         """
         os.makedirs(self.log_dir, exist_ok=True)
+        replaces_data = bool(removes) or operation in ("merge", "create_or_replace")
         while True:
             if self._txn_seen(app_txn_id):
                 return self.version()  # duplicate delivery: no-op
             v = self.version() + 1
-            if read_version is not None and v > read_version + 1:
-                # someone committed since our snapshot: validate removes
-                still_active = set(self.snapshot_files())
-                gone = [f for f in removes if f not in still_active]
-                if gone:
+            if read_version is not None and v > read_version + 1 and replaces_data:
+                intervening = [
+                    c
+                    for c in self._commits()
+                    if c["version"] > read_version
+                    and (c.get("adds") or c.get("removes"))
+                ]
+                if intervening:
                     raise CommitConflict(
-                        f"files removed by a concurrent commit: {gone[:3]}"
+                        f"{len(intervening)} commit(s) changed the file set "
+                        f"since version {read_version}; re-run from a fresh "
+                        f"snapshot"
                     )
             payload = {
                 "version": v,
@@ -395,7 +407,13 @@ class TxnLogTable:
             .distinct()
             .collect()  # one row per FILE — bounded by file count, not rows
         ]
-        hit_rel = [abs_of[p.removeprefix("file://")] for p in hit_abs]
+        # Map URIs back to log-relative paths by BASENAME: part-file names
+        # are globally unique (per-commit uuid dirs + Spark's task uuids),
+        # and input_file_name() returns a percent-encoded URI whose scheme
+        # and escaping (file://, s3a://, %20 for spaces) would break any
+        # prefix-stripping comparison against raw filesystem paths.
+        rel_by_base = {os.path.basename(rel): rel for rel in scan_files}
+        hit_rel = [rel_by_base[os.path.basename(p)] for p in hit_abs]
         affected = (
             tgt.filter(F.col("_file").isin(hit_abs)).drop("_file")
             if hit_abs

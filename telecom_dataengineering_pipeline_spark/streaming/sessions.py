@@ -11,11 +11,13 @@ needs no further traffic from that user (the semantics
 ``F.session_window`` provides for aggregations, here for arbitrary
 per-session state — the reason to drop to ``applyInPandasWithState``).
 
-Scale shape: state is one fixed-size row per ACTIVE user (idle state is
-reclaimed by the timeout); each micro-batch shuffles only its own events by
-user. Value sums accumulate as integer cents, so emitted totals are exact
-regardless of batch boundaries — a float accumulator would drift between
-the streaming and batch paths.
+Scale shape: state is one fixed-size row per user — the open session while
+active, and a few-longs counter row after the timeout flush (the session
+counter must survive idleness: dropping it would restart ``session_seq``
+and emit duplicate keys when the user returns). Each micro-batch shuffles
+only its own events by user. Value sums accumulate as integer cents, so
+emitted totals are exact regardless of batch boundaries — a float
+accumulator would drift between the streaming and batch paths.
 """
 
 from __future__ import annotations
@@ -86,22 +88,21 @@ def make_sessionizer(gap_s: int = 1800):
         cols = list(SESSION_SCHEMA.fieldNames())
 
         if state.hasTimedOut:
-            # watermark passed last_us + gap: flush the open session
+            # Watermark passed last_us + gap: flush the open session but
+            # KEEP a counter-only state row — removing it would restart
+            # session_seq at 1 when the user returns, duplicating already-
+            # emitted (user_id, session_seq) keys. The kept row is a few
+            # longs per ever-seen user (no timeout re-armed: nothing left
+            # to flush), the same footprint as any per-user counter.
             start_us, last_us, n_events, sum_cents, n_closed = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [
-                    (
-                        user_id,
-                        n_closed + 1,
-                        start_us,
-                        last_us,
-                        n_events,
-                        sum_cents / 100.0,
-                    )
-                ],
-                columns=cols,
-            )
+            out = []
+            if start_us is not None:
+                n_closed += 1
+                out.append(
+                    (user_id, n_closed, start_us, last_us, n_events, sum_cents / 100.0)
+                )
+            state.update((None, None, 0, 0, n_closed))
+            yield pd.DataFrame(out, columns=cols)
             return
 
         if state.exists:

@@ -100,3 +100,53 @@ def test_stream_sessions_match_batch(spark, sf_smoke):
         u: max(s for (uu, s) in want if uu == u) for (u, _) in want
     }
     assert any((u, s) in got for u, s in last_per_user.items())
+
+
+def test_session_seq_survives_timeout_flush(spark, tmp_path):
+    """A user who goes idle (session flushed by event-time timeout) and
+    later returns must CONTINUE session_seq — dropping the counter with the
+    state would re-emit (user, 1) for a different session."""
+    H = 3_600_000_000  # 1h in us
+    T0 = 1_700_000_000_000_000
+
+    def _batch(rows, name):
+        spark.createDataFrame(
+            [(r[0], r[1], r[2], r[3], float(r[4])) for r in rows],
+            "us LONG, user_id LONG, event_id LONG, _o LONG, value DOUBLE",
+        ).select(
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "us",
+            "user_id",
+            "event_id",
+            "value",
+        ).coalesce(1).write.parquet(str(tmp_path / "src" / name))
+
+    _batch([(T0, 1, 10, 0, 1.0), (T0 + 10_000_000, 1, 11, 0, 2.0)], "b0")
+    _batch([(T0 + 2 * H, 2, 20, 0, 1.0)], "b1")      # watermark advances
+    _batch([(T0 + 2 * H + 1, 2, 21, 0, 1.0)], "b2")  # user 1 absent: timeout fires
+    _batch([(T0 + 4 * H, 1, 12, 0, 3.0)], "b3")      # user 1 returns
+    _batch([(T0 + 8 * H, 2, 22, 0, 1.0)], "b4")      # flush user 1's second session
+
+    schema = "ts TIMESTAMP, us LONG, user_id LONG, event_id LONG, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src" / "b*"))
+        .withWatermark("ts", "30 seconds")
+    )
+    q = (
+        session_stream(stream, gap_s=GAP_S)
+        .writeStream.format("memory")
+        .queryName("seq_continuity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    u1 = {
+        r["session_seq"]: (r["n_events"], r["session_value"])
+        for r in spark.sql(
+            "SELECT * FROM seq_continuity WHERE user_id = 1"
+        ).collect()
+    }
+    assert u1 == {1: (2, 3.0), 2: (1, 3.0)}, u1

@@ -208,3 +208,19 @@ def test_merge_fully_pruned_becomes_pure_insert(spark, tmp_path):
     assert before <= set(t.snapshot_files())  # nothing rewritten
     got = {r["id"]: r["payload"] for r in t.read(spark).collect()}
     assert got == {1: "a", 50: "z"}
+
+
+def test_concurrent_append_conflicts_with_merge(spark, tmp_path):
+    """A replacing commit (MERGE) built on a stale snapshot must conflict
+    when ANY intervening commit changed the file set — a concurrent append
+    may hold rows for keys the merge already resolved."""
+    t = TxnLogTable(str(tmp_path / "t11"))
+    t.create_or_replace(_df(spark, [(1, "a", 1)]).coalesce(1))
+    rv = t.version()
+    victim = t.snapshot_files()[0]
+    t.append(_df(spark, [(2, "b", 1)]).coalesce(1))  # concurrent append wins
+    with pytest.raises(CommitConflict, match="changed the file set"):
+        t.commit(adds=[], removes=[victim], operation="merge", read_version=rv)
+    # blind appends are unaffected by the same interleaving
+    t.append(_df(spark, [(3, "c", 1)]))
+    assert t.read(spark).count() == 3
