@@ -978,3 +978,68 @@ def dup_ngram_stats(
             .alias("dup_ngram_ratio"),
         )
     )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``, found
+    by BANDED BLOCKING: split the fingerprint into ``bands`` equal bit
+    slices; by pigeonhole, any pair within ``max_hamming < bands`` bit
+    flips agrees EXACTLY on at least one slice, so the (band, slice-value)
+    equi-join has recall 1 — never an all-pairs scan — and the cheap
+    bit_count(xor) verify runs on candidates only. The same pigeonhole
+    argument Delta-ships at any scale: raise ``bands`` to loosen
+    ``max_hamming`` while keeping candidate generation an equi-join."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded blocking is complete only for max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    if bits % bands != 0:
+        raise ValueError(f"bands ({bands}) must evenly divide bits ({bits})")
+    w = bits // bands
+    fp = simhash_fingerprints(docs, text_col, id_col, bits).select("doc_id", "simhash")
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * w)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("slice"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.slice")
+    x, y = banded.alias("x"), banded.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.slice") == F.col("y.slice"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc1"),
+            F.col("y.doc_id").alias("doc2"),
+            F.col("x.simhash").alias("f1"),
+            F.col("y.simhash").alias("f2"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "doc1",
+        "doc2",
+        F.bit_count(F.col("f1").bitwiseXOR(F.col("f2"))).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1913,3 +1913,36 @@ def embedding_sq8_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmprep.similarity import sq8_reconstruction_profile
 
     return sq8_reconstruction_profile(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup PAIRS via banded hamming blocking. Oracle = plain
+# all-pairs hamming filter: pigeonhole guarantees the banded equi-join has
+# recall 1 for max_hamming < bands, so the two agree exactly.
+# ---------------------------------------------------------------------------
+
+def _simhash_pairs_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    fp = " + ".join(
+        f"(CASE WHEN bit_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    prefix = _simhash_oracle(bits).rsplit("SELECT doc_id,", 1)[0].rstrip()
+    return f"""{prefix}, fp AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+_SIMHASH_PAIRS_ORACLE = _simhash_pairs_oracle()
+
+
+@register("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE, tags=("LLM", "dedup"))
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-≤3 SimHash pairs via 4-band blocking (see
+    llmprep.dedup.simhash_near_dup_pairs)."""
+    from ..llmprep.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))

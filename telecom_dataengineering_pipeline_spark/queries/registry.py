@@ -106,6 +106,7 @@ DRIVER_ORDER: list[str] = [
     "session_stream_availablenow",
     "dedup_chunk_groups",
     "embedding_sq8_profile",
+    "dedup_simhash_pairs",
     "pii_redaction_stats",
     "duplicate_ngram_coverage",
     "quality_filter_verdicts",

@@ -97,6 +97,7 @@ def test_round3_registrations_inside_driver_window():
         "session_stream_availablenow",
         "dedup_chunk_groups",
         "embedding_sq8_profile",
+        "dedup_simhash_pairs",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
