@@ -65,10 +65,13 @@ def main() -> int:
         # --update must not wipe the provenance note the workflow requires
         # maintainers to keep; carry it forward for hand-editing.
         if os.path.exists(baseline_path):
-            with open(baseline_path) as f:
-                prev_note = json.load(f).get("note")
-            if prev_note:
-                doc["note"] = prev_note
+            try:
+                with open(baseline_path) as f:
+                    prev = json.load(f)
+                if isinstance(prev, dict) and prev.get("note"):
+                    doc["note"] = prev["note"]
+            except (ValueError, OSError):
+                pass  # corrupt baseline: --update rewrites it fresh
         with open(baseline_path, "w") as f:
             json.dump(doc, f, indent=2, sort_keys=True)
         print(f"baseline written: {baseline_path}")

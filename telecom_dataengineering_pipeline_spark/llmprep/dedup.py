@@ -1022,6 +1022,10 @@ def simhash_near_dup_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.slice")
+    # Materialize the banded fingerprints ONCE: the self-join would
+    # otherwise run the token-explode + 32-column aggregation pipeline once
+    # per side (same convention as the MinHash spine).
+    banded = banded.localCheckpoint(eager=False)
     x, y = banded.alias("x"), banded.alias("y")
     cands = (
         x.join(

@@ -12,9 +12,11 @@ mechanics those formats use:
 - **Atomic, optimistic commits**: a commit is published by hard-linking a
   temp file to the next version number — ``os.link`` fails if the version
   exists (rename-without-overwrite, the same primitive Delta uses on HDFS).
-  Losers re-read the log and retry; a retry whose removed files were
-  already removed by the winner raises ``CommitConflict`` (true write-write
-  conflict) instead of silently dropping data.
+  Losers re-read the log and retry. Conflict rules are operation-aware
+  (Delta's model): blind appends always retry cleanly; MERGE/replace
+  conflicts on ANY intervening file-set change (a concurrent append may
+  hold rows for keys the merge resolved); compaction conflicts only when a
+  file it rewrites was itself removed.
 - **Exactly-once by txn id**: a commit carrying an ``app_txn_id`` already
   present in the log is a no-op — at-least-once callers (foreachBatch
   retries, S12 incremental re-runs) can re-commit blindly.
@@ -56,8 +58,11 @@ _DATA_DIR = "data"
 
 
 class CommitConflict(RuntimeError):
-    """A concurrent commit removed one of the files this commit rewrites.
-    The operation must be re-run from a fresh snapshot."""
+    """A concurrent commit invalidated this one: for MERGE/replace, ANY
+    intervening change to the file set (an append may hold rows for keys
+    the merge already resolved); for compaction, one of the files it
+    rewrites was already removed. Re-run the operation from a fresh
+    snapshot."""
 
 
 class TxnLogTable:
@@ -289,24 +294,39 @@ class TxnLogTable:
         no-ops.
         """
         os.makedirs(self.log_dir, exist_ok=True)
-        replaces_data = bool(removes) or operation in ("merge", "create_or_replace")
+        resolves_keys = operation in ("merge", "create_or_replace")
         while True:
             if self._txn_seen(app_txn_id):
                 return self.version()  # duplicate delivery: no-op
             v = self.version() + 1
-            if read_version is not None and v > read_version + 1 and replaces_data:
-                intervening = [
-                    c
-                    for c in self._commits()
-                    if c["version"] > read_version
-                    and (c.get("adds") or c.get("removes"))
-                ]
-                if intervening:
-                    raise CommitConflict(
-                        f"{len(intervening)} commit(s) changed the file set "
-                        f"since version {read_version}; re-run from a fresh "
-                        f"snapshot"
-                    )
+            if read_version is not None and v > read_version + 1:
+                if resolves_keys:
+                    # key-resolving commits need snapshot currency: a
+                    # concurrent append may hold rows for keys this commit
+                    # already resolved
+                    intervening = [
+                        c
+                        for c in self._commits()
+                        if c["version"] > read_version
+                        and (c.get("adds") or c.get("removes"))
+                    ]
+                    if intervening:
+                        raise CommitConflict(
+                            f"{len(intervening)} commit(s) changed the file "
+                            f"set since version {read_version}; re-run from "
+                            f"a fresh snapshot"
+                        )
+                elif removes:
+                    # row-preserving rewrites (compaction): only conflict if
+                    # a file this commit rewrites was itself removed —
+                    # concurrent appends carry over untouched (Delta's
+                    # OPTIMIZE-vs-append rule)
+                    still_active = set(self.snapshot_files())
+                    gone = [f for f in removes if f not in still_active]
+                    if gone:
+                        raise CommitConflict(
+                            f"files removed by a concurrent commit: {gone[:3]}"
+                        )
             payload = {
                 "version": v,
                 "operation": operation,

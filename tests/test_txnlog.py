@@ -224,3 +224,23 @@ def test_concurrent_append_conflicts_with_merge(spark, tmp_path):
     # blind appends are unaffected by the same interleaving
     t.append(_df(spark, [(3, "c", 1)]))
     assert t.read(spark).count() == 3
+
+
+def test_optimize_tolerates_concurrent_append(spark, tmp_path):
+    """Compaction is row-preserving: a concurrent blind append must NOT
+    conflict it (Delta's OPTIMIZE-vs-append rule) — the appended file simply
+    carries over."""
+    t = TxnLogTable(str(tmp_path / "t12"))
+    t.create_or_replace(_df(spark, [(1, "a", 1)]).coalesce(1))
+    t.append(_df(spark, [(2, "b", 1)]).coalesce(1))
+    rv = t.version()
+    files = t.snapshot_files()
+    t.append(_df(spark, [(3, "c", 1)]).coalesce(1))  # concurrent append
+    # replay optimize's commit against the stale snapshot: succeeds
+    df = spark.read.schema(t.snapshot_schema(rv)).parquet(
+        *[str(tmp_path / "t12" / f) for f in files]
+    ).coalesce(1)
+    adds, stats = t._write_data(df)
+    t.commit(adds=adds, removes=files, operation="optimize", read_version=rv, stats=stats)
+    got = {r["id"]: r["payload"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
