@@ -153,3 +153,27 @@ def test_skewed_source_join_triggers_aqe_skew_split(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_simhash_pairs_and_chunk_dedup_plan_shapes(spark, sf_smoke):
+    """Round-3 dedup spines: candidate generation stays an equi-join (no
+    cartesian anywhere), the banded self-join rides the materialized
+    fingerprint relation (broadcast hash join at this scale), and chunk
+    dedup is bounded by its two keyed exchanges (doc repartition + content-
+    hash agg)."""
+    from telecom_dataengineering_pipeline_spark.llmprep.chunking import (
+        duplicate_chunk_groups,
+    )
+    from telecom_dataengineering_pipeline_spark.llmprep.dedup import (
+        simhash_near_dup_pairs,
+    )
+    from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    p = simhash_near_dup_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange") <= 2  # doc repartition + candidate distinct
+
+    p = duplicate_chunk_groups(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange") <= 2  # doc repartition + chunk-hash agg
