@@ -15,7 +15,7 @@ writer without a exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -83,5 +83,36 @@ def duplicate_chunk_groups(
             "n_docs",
             F.col("_c.doc_id").alias("canonical_doc"),
             F.col("_c.chunk_idx").alias("canonical_idx"),
+        )
+    )
+
+
+def chunk_dup_coverage(
+    docs: DataFrame,
+    chunk_size: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicate-chunk coverage: the fraction of a doc's
+    non-overlapping chunks whose content hash appears anywhere else in the
+    corpus — the doc-level signal a curation filter thresholds on (docs
+    that are mostly boilerplate get dropped; docs with one shared header
+    survive). One window over the chunk-hash partitioning plus one per-doc
+    aggregate; nothing quadratic."""
+    chunks = chunk_documents(docs, chunk_size, stride=chunk_size, text_col=text_col, id_col=id_col)
+    w = Window.partitionBy("chunk_md5")
+    tagged = chunks.withColumn("_n", F.count(F.lit(1)).over(w))
+    dup = F.when(F.col("_n") > 1, 1).otherwise(0)
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(dup).cast("bigint").alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4).alias("dup_chunk_ratio"),
         )
     )

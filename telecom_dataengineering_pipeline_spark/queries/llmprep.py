@@ -1946,3 +1946,35 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmprep.dedup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_CHUNK_COVERAGE_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(list_filter(toks, x -> x <> '')) AS n_tok FROM base
+), starts AS (
+  SELECT doc_id, toks, n_tok, unnest(range(0, n_tok, 10)) AS start
+  FROM sized WHERE n_tok > 0
+), ch AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, start + 1, least(start + 10, n_tok)), ' ')) AS chunk_md5
+  FROM starts
+), w AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY chunk_md5) AS n FROM ch
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_chunk_ratio
+FROM w GROUP BY doc_id
+"""
+
+
+@register("chunk_dup_coverage", oracle=_CHUNK_COVERAGE_ORACLE, tags=("LLM", "dedup", "chunking"))
+def chunk_dup_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicate-chunk coverage ratio (see
+    llmprep.chunking.chunk_dup_coverage)."""
+    from ..llmprep.chunking import chunk_dup_coverage
+
+    return chunk_dup_coverage(load_table(spark, sf_dir, "documents"), chunk_size=10)

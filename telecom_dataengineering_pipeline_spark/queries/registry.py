@@ -107,6 +107,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_chunk_groups",
     "embedding_sq8_profile",
     "dedup_simhash_pairs",
+    "chunk_dup_coverage",
     "pii_redaction_stats",
     "duplicate_ngram_coverage",
     "quality_filter_verdicts",

@@ -98,6 +98,7 @@ def test_round3_registrations_inside_driver_window():
         "dedup_chunk_groups",
         "embedding_sq8_profile",
         "dedup_simhash_pairs",
+        "chunk_dup_coverage",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
