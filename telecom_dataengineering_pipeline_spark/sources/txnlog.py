@@ -393,7 +393,13 @@ class TxnLogTable:
         """Copy-on-write MERGE: rewrite ONLY the data files containing a
         matched key; every other active file carries over by reference.
         Matched rows resolve to the winner under ``order_by`` (keep-latest,
-        the dbt merge semantics); unmatched source rows insert."""
+        the dbt merge semantics); unmatched source rows insert.
+
+        Like SQL MERGE INTO, the target is assumed to hold ONE row per key
+        (the invariant this operation itself maintains when the table is
+        created from deduplicated data). A target with duplicate keys gets
+        file-layout-dependent resolution: dup rows inside a rewritten file
+        collapse to the winner, dup rows in untouched files carry over."""
         if not self.exists():
             return self.create_or_replace(source, app_txn_id=app_txn_id)
         rv = self.version()

@@ -99,3 +99,58 @@ def test_merge_upsert_matches_bruteforce(spark, target, source):
     got = sorted((r["k"], r["version"], r["v"]) for r in out.collect())
     want = _ref_merge(target or [(99, 0)], source or [(98, 0)])
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.dictionaries(_key, _val, min_size=1, max_size=4),
+    batches=st.lists(
+        st.lists(st.tuples(_key, _val), min_size=1, max_size=6),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_txnlog_merge_sequence_matches_reference(spark, tmp_path_factory, base, batches):
+    """A create + N successive MERGEs through the transaction log equals the
+    in-memory keep-latest fold, for arbitrary overlapping key batches —
+    exercising file-granular COW, stats pruning, and carry-by-reference
+    under randomized interleavings. The base holds one row per key: MERGE
+    (like SQL MERGE INTO) assumes and maintains the unique-key invariant —
+    an earlier draft of this test caught exactly that contract edge."""
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.sources.txnlog import TxnLogTable
+
+    t = TxnLogTable(
+        str(tmp_path_factory.mktemp("prop_txnlog") / "t"), stat_cols=("k",)
+    )
+    best = {}
+    ver = 0
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(k, 0, v) for k, v in base.items()], "k LONG, version INT, v LONG"
+        )
+    )
+    for k, v in base.items():
+        best[k] = (0, v)
+    for batch in batches:
+        ver += 1
+        t.merge_keep_latest(
+            spark,
+            spark.createDataFrame(
+                [(k, ver, v) for k, v in batch], "k LONG, version INT, v LONG"
+            ),
+            keys=["k"],
+            order_by=[F.col("version").desc(), F.col("v").desc()],
+        )
+        for k, v in batch:
+            cand = (ver, v)
+            if k not in best or cand > best[k]:
+                best[k] = cand
+    got = sorted((r["k"], r["version"], r["v"]) for r in t.read(spark).collect())
+    want = sorted((k, ver_, v) for k, (ver_, v) in best.items())
+    assert got == want
