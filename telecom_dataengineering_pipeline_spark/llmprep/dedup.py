@@ -403,6 +403,76 @@ def incremental_lsh_probe(
     )
 
 
+def incremental_lsh_probe_onepass(
+    docs: DataFrame,
+    batch_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    engine_neutral_hash: bool = True,
+) -> DataFrame:
+    """``incremental_lsh_probe`` for the case where index and batch are
+    SLICES OF ONE TABLE (``batch_pred`` over its columns picks the batch
+    side): tokenize + signature-agg + band the whole corpus in a single
+    pass, then split the narrow derived tables — one scan, one shuffle, one
+    checkpoint instead of two of each. Same result as probing the two
+    filtered halves separately (every doc lands on exactly one side)."""
+    banded, shingles = lsh_index_tables(
+        docs, text_col, id_col, n, num_perm, bands, engine_neutral_hash
+    )
+    pred = batch_pred
+    return _probe_verified_pairs(
+        banded.filter(pred),
+        shingles.filter(pred),
+        banded.filter(~pred),
+        shingles.filter(~pred),
+        threshold,
+    )
+
+
+def _probe_verified_pairs(
+    b_banded: DataFrame,
+    b_shingles: DataFrame,
+    ix_banded: DataFrame,
+    ix_shingles: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Banded candidate join (batch buckets × index buckets) + exact-Jaccard
+    verification restricted to candidates — the shared tail of every
+    incremental-probe entry point."""
+    cands = (
+        b_banded.alias("b")
+        .join(
+            ix_banded.alias("x"),
+            (F.col("b.band") == F.col("x.band")) & (F.col("b.bucket") == F.col("x.bucket")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_doc"),
+            F.col("x.doc_id").alias("index_doc"),
+            F.col("b.n_shingles").alias("n1"),
+            F.col("x.n_shingles").alias("n2"),
+        )
+        .distinct()
+    )
+    left = cands.join(
+        b_shingles.withColumnRenamed("doc_id", "batch_doc"), "batch_doc"
+    ).select("batch_doc", "index_doc", "n1", "n2", "shingle_h")
+    inter = (
+        left.join(
+            ix_shingles.withColumnRenamed("doc_id", "index_doc"), ["index_doc", "shingle_h"]
+        )
+        .groupBy("batch_doc", "index_doc", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return inter.select("batch_doc", "index_doc", F.round(j, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def lsh_index_tables(
     docs: DataFrame,
     text_col: str = "text",
@@ -475,34 +545,7 @@ def incremental_lsh_probe_prepared(
     b_banded, b_shingles = lsh_index_tables(
         batch_docs, text_col, id_col, n, num_perm, bands, engine_neutral_hash
     )
-    cands = (
-        b_banded.alias("b")
-        .join(
-            ix_banded.alias("x"),
-            (F.col("b.band") == F.col("x.band")) & (F.col("b.bucket") == F.col("x.bucket")),
-        )
-        .select(
-            F.col("b.doc_id").alias("batch_doc"),
-            F.col("x.doc_id").alias("index_doc"),
-            F.col("b.n_shingles").alias("n1"),
-            F.col("x.n_shingles").alias("n2"),
-        )
-        .distinct()
-    )
-    left = cands.join(
-        b_shingles.withColumnRenamed("doc_id", "batch_doc"), "batch_doc"
-    ).select("batch_doc", "index_doc", "n1", "n2", "shingle_h")
-    inter = (
-        left.join(
-            ix_shingles.withColumnRenamed("doc_id", "index_doc"), ["index_doc", "shingle_h"]
-        )
-        .groupBy("batch_doc", "index_doc", "n1", "n2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    j = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
-    return inter.select("batch_doc", "index_doc", F.round(j, 6).alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
-    )
+    return _probe_verified_pairs(b_banded, b_shingles, ix_banded, ix_shingles, threshold)
 
 
 def simhash_fingerprints(

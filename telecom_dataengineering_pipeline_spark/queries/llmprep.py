@@ -1546,16 +1546,18 @@ def dedup_incremental_lsh_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame
     """Split the corpus by doc_id parity into index (even) / batch (odd)
     halves and probe the batch against the index's banded buckets (see
     llmprep.dedup.incremental_lsh_probe — at scale the index side is a
-    precomputed, persisted table that only appends per committed batch)."""
-    from ..llmprep.dedup import incremental_lsh_probe
+    precomputed, persisted table that only appends per committed batch).
+    Both sides are slices of one table here, so the one-pass form applies:
+    a single tokenize + signature pass over the corpus, split afterward."""
+    from ..llmprep.dedup import incremental_lsh_probe_onepass
 
     docs = load_table(spark, sf_dir, "documents")
     neutral = (
         spark.conf.get("spark.graft.engine_neutral_hash", "true").lower() != "false"
     )
-    return incremental_lsh_probe(
-        docs.filter(F.col("doc_id") % 2 == 0),
-        docs.filter(F.col("doc_id") % 2 == 1),
+    return incremental_lsh_probe_onepass(
+        docs,
+        F.col("doc_id") % 2 == 1,
         num_perm=64,
         bands=16,
         threshold=0.5,

@@ -158,11 +158,13 @@ def merge_upsert_orders_txnlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         (price * F.lit(1.1).cast("decimal(3,2)")).cast("decimal(14,4)").alias("price"),
         F.lit("U").alias("status"),
     )
-    # Stable per-sf scratch table, rebuilt from scratch each run so the
-    # query stays deterministic and re-runnable.
+    # Per-process scratch table, rebuilt from scratch each run so the query
+    # stays deterministic and re-runnable. The PID in the path keeps a bench
+    # run that overlaps a correctness run from racing on rmtree + commits —
+    # determinism only needs stability within one invocation.
     path = os.path.join(
         tempfile.gettempdir(),
-        f"txnlog_merge_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"txnlog_merge_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     shutil.rmtree(path, ignore_errors=True)
     t = TxnLogTable(path, stat_cols=("o_orderkey",))

@@ -30,6 +30,21 @@ mechanics those formats use:
 - **OPTIMIZE-style compaction**: rewrite the active file set into fewer
   files as one add/remove commit — readers at older versions are
   unaffected.
+- **Log checkpoints** (Delta's checkpoint mechanism): every
+  ``checkpoint_interval`` commits, the full reconstructed state — active
+  file list, per-file stats, schema, seen txn ids — is written as ONE
+  parquet file (``<version>.checkpoint.parquet``) with a
+  ``_last_checkpoint`` pointer. Snapshot reconstruction then reads the
+  checkpoint plus only the tail commits after it, instead of replaying
+  every JSON commit since version 0 — O(tail) driver work at
+  streaming-ingest commit rates, not O(#commits). ``expire_log()``
+  deletes pre-checkpoint commit files (bounding the directory listing
+  too), which limits time travel to post-checkpoint versions — the
+  Delta/Iceberg log-retention model. The checkpoint is parquet precisely
+  so that at 100 TB (millions of file entries) it can be written and read
+  by a distributed job instead of the driver without a format change;
+  driver-side pyarrow here mirrors Delta's driver-side snapshot
+  reconstruction at moderate file counts.
 
 Files are stored unpartitioned under per-commit directories: file-level
 add/remove (plus, at scale, per-file column stats in the log) replaces
@@ -42,6 +57,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from collections.abc import Sequence
@@ -55,6 +71,7 @@ from .table_format import TableSink
 
 _LOG_DIR = "_txnlog"
 _DATA_DIR = "data"
+_CHECKPOINT_PTR = "_last_checkpoint"
 
 
 class CommitConflict(RuntimeError):
@@ -74,28 +91,48 @@ class TxnLogTable:
     aggregate over the just-written files at commit time.
     """
 
-    def __init__(self, path: str, stat_cols: Sequence[str] = ()) -> None:
+    def __init__(
+        self,
+        path: str,
+        stat_cols: Sequence[str] = (),
+        checkpoint_interval: int = 10,
+    ) -> None:
         self.path = path.rstrip("/")
         self.log_dir = os.path.join(self.path, _LOG_DIR)
         self.stat_cols = tuple(stat_cols)
+        # A checkpoint is auto-written after every Nth commit (0 disables).
+        self.checkpoint_interval = checkpoint_interval
+        # Published commit files are immutable, so parsed JSON is cached
+        # per-instance; the directory listing itself is never cached (it is
+        # how concurrent writers become visible).
+        self._commit_cache: dict[int, dict] = {}
 
     # -- log primitives ----------------------------------------------------
 
+    _VERSION_FILE = re.compile(r"^(\d{20})\.json$")
+
     def _versions(self) -> list[int]:
+        # Only exact 20-digit version files count: a stray hand-dropped
+        # metadata.json / editor artifact in _txnlog/ must not brick reads.
         if not os.path.isdir(self.log_dir):
             return []
         out = []
         for f in os.listdir(self.log_dir):
-            if f.endswith(".json") and not f.startswith("."):
-                out.append(int(f[: -len(".json")]))
+            m = self._VERSION_FILE.match(f)
+            if m:
+                out.append(int(m.group(1)))
         return sorted(out)
 
     def _commit_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:020d}.json")
 
     def _read_commit(self, version: int) -> dict:
-        with open(self._commit_path(version)) as f:
-            return json.load(f)
+        c = self._commit_cache.get(version)
+        if c is None:
+            with open(self._commit_path(version)) as f:
+                c = json.load(f)
+            self._commit_cache[version] = c
+        return c
 
     def _commits(self, upto: int | None = None) -> list[dict]:
         return [
@@ -112,24 +149,173 @@ class TxnLogTable:
     def exists(self) -> bool:
         return self.version() >= 0
 
+    # -- checkpoints -------------------------------------------------------
+
+    @staticmethod
+    def _empty_state() -> dict:
+        return {"active": {}, "stats": {}, "schema": None, "txn_ids": set()}
+
+    @staticmethod
+    def _apply_commit(state: dict, c: dict) -> None:
+        for f in c.get("removes", []):
+            state["active"].pop(f, None)
+            state["stats"].pop(f, None)
+        for f in c.get("adds", []):
+            state["active"][f] = None
+        for f, s in (c.get("stats") or {}).items():
+            if f in state["active"]:
+                state["stats"][f] = s
+        if c.get("schema") is not None:
+            state["schema"] = c["schema"]
+        if c.get("app_txn_id") is not None:
+            state["txn_ids"].add(c["app_txn_id"])
+
+    def _checkpoint_info(self) -> tuple[int, str] | None:
+        """(version, absolute path) of the last valid checkpoint, if any."""
+        ptr = os.path.join(self.log_dir, _CHECKPOINT_PTR)
+        try:
+            with open(ptr) as f:
+                d = json.load(f)
+            v = int(d["version"])
+            p = os.path.join(self.log_dir, str(d["file"]))
+            if os.path.isfile(p):
+                return v, p
+        except (OSError, ValueError, KeyError):
+            pass  # missing/corrupt pointer degrades to a full log replay
+        return None
+
+    def _load_checkpoint(self, path: str) -> dict:
+        import pyarrow.parquet as pq
+
+        state = self._empty_state()
+        adds = []
+        for r in pq.read_table(path).to_pylist():
+            kind = r["kind"]
+            if kind == "add":
+                adds.append(r)
+            elif kind == "txn":
+                state["txn_ids"].add(r["app_txn_id"])
+            elif kind == "schema":
+                state["schema"] = r["schema_json"]
+        for r in sorted(adds, key=lambda r: r["ord"]):
+            state["active"][r["path"]] = None
+            if r["stats"]:
+                state["stats"][r["path"]] = json.loads(r["stats"])
+        return state
+
+    def checkpoint(self, version: int | None = None) -> str:
+        """Write a parquet checkpoint of the full reconstructed state at
+        ``version`` (default: latest) and advance ``_last_checkpoint``.
+        Returns the checkpoint file path."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        v = self.version() if version is None else version
+        if v < 0:
+            raise ValueError("cannot checkpoint an empty table")
+        state = self._state(v)
+        rows: list[dict] = []
+        if state["schema"] is not None:
+            rows.append({"kind": "schema", "schema_json": state["schema"]})
+        for i, f in enumerate(state["active"]):
+            s = state["stats"].get(f)
+            rows.append(
+                {
+                    "kind": "add",
+                    "path": f,
+                    "ord": i,
+                    "stats": json.dumps(s) if s else None,
+                }
+            )
+        rows.extend(
+            {"kind": "txn", "app_txn_id": t} for t in sorted(state["txn_ids"])
+        )
+        schema = pa.schema(
+            [
+                ("kind", pa.string()),
+                ("path", pa.string()),
+                ("ord", pa.int64()),
+                ("stats", pa.string()),
+                ("app_txn_id", pa.string()),
+                ("schema_json", pa.string()),
+            ]
+        )
+        name = f"{v:020d}.checkpoint.parquet"
+        final = os.path.join(self.log_dir, name)
+        tmp = os.path.join(self.log_dir, f".tmp-ckpt-{uuid.uuid4().hex}")
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+        os.replace(tmp, final)
+        # Advance the pointer only forward: a lost race between two
+        # checkpointers can at worst leave an OLDER pointer (extra tail
+        # replay), never an invalid one — both files stay on disk.
+        existing = self._checkpoint_info()
+        if existing is None or existing[0] < v:
+            ptmp = os.path.join(self.log_dir, f".tmp-ptr-{uuid.uuid4().hex}")
+            with open(ptmp, "w") as f:
+                json.dump({"version": v, "file": name}, f)
+            os.replace(ptmp, os.path.join(self.log_dir, _CHECKPOINT_PTR))
+        return final
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        iv = self.checkpoint_interval
+        if iv and version > 0 and version % iv == 0:
+            try:
+                self.checkpoint(version)
+            except Exception:
+                pass  # checkpoints are an optimization; never fail the commit
+
+    def expire_log(self) -> list[int]:
+        """Delete commit files strictly older than the last checkpoint —
+        bounds both the log listing and replay work. Time travel to expired
+        versions then raises (the Delta/Iceberg log-retention trade); the
+        checkpoint itself keeps every later version reconstructible."""
+        cp = self._checkpoint_info()
+        if cp is None:
+            return []
+        removed = []
+        for v in self._versions():
+            if v < cp[0]:
+                os.unlink(self._commit_path(v))
+                self._commit_cache.pop(v, None)
+                removed.append(v)
+        return removed
+
     # -- snapshot ----------------------------------------------------------
+
+    def _state(self, upto: int | None = None) -> dict:
+        """Reconstructed table state at ``upto`` (default: latest): last
+        checkpoint at-or-before the target plus the tail commits after it.
+        Falls back to a full replay when no checkpoint applies (e.g. time
+        travel to a pre-checkpoint version whose commits are retained)."""
+        versions = self._versions()
+        cp = self._checkpoint_info()
+        if cp is not None and (upto is None or cp[0] <= upto):
+            state = self._load_checkpoint(cp[1])
+            start = cp[0]
+        else:
+            state = self._empty_state()
+            start = -1
+            if versions and versions[0] != 0:
+                raise ValueError(
+                    f"cannot reconstruct version {upto}: commits before "
+                    f"{versions[0]} were expired from the log and no "
+                    "checkpoint covers it"
+                )
+        for v in versions:
+            if v <= start:
+                continue
+            if upto is not None and v > upto:
+                break
+            self._apply_commit(state, self._read_commit(v))
+        return state
 
     def snapshot_files(self, version: int | None = None) -> list[str]:
         """Active data files (paths relative to the table root) at a
         version, in first-added order."""
-        active: dict[str, None] = {}
-        for c in self._commits(version):
-            for f in c.get("removes", []):
-                active.pop(f, None)
-            for f in c.get("adds", []):
-                active[f] = None
-        return list(active)
+        return list(self._state(version)["active"])
 
     def snapshot_schema(self, version: int | None = None) -> StructType | None:
-        schema = None
-        for c in self._commits(version):
-            if c.get("schema") is not None:
-                schema = c["schema"]
+        schema = self._state(version)["schema"]
         return StructType.fromJson(json.loads(schema)) if schema else None
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -140,10 +326,15 @@ class TxnLogTable:
             raise ValueError(
                 f"version {version} does not exist (latest: {self.version()})"
             )
-        schema = self.snapshot_schema(version)
+        state = self._state(version)  # one reconstruction for schema + files
+        schema = (
+            StructType.fromJson(json.loads(state["schema"]))
+            if state["schema"]
+            else None
+        )
         if schema is None:
             raise ValueError(f"no such table (empty log): {self.path}")
-        files = self.snapshot_files(version)
+        files = list(state["active"])
         if not files:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(
@@ -221,12 +412,10 @@ class TxnLogTable:
         return stats
 
     def _file_stats(self, version: int | None = None) -> dict:
-        """rel_path → {col: [lo, hi]} union over commits (files are
-        immutable, so the adding commit's stats stay authoritative)."""
-        out: dict = {}
-        for c in self._commits(version):
-            out.update(c.get("stats") or {})
-        return out
+        """rel_path → {col: [lo, hi]} for the active files at a version
+        (files are immutable, so the adding commit's stats stay
+        authoritative)."""
+        return self._state(version)["stats"]
 
     def _prune_by_stats(
         self, files: list[str], source: DataFrame, keys: Sequence[str]
@@ -266,9 +455,9 @@ class TxnLogTable:
         return kept
 
     def _txn_seen(self, app_txn_id: str | None) -> bool:
-        return app_txn_id is not None and any(
-            c.get("app_txn_id") == app_txn_id for c in self._commits()
-        )
+        # Checkpoints carry the full txn-id set forward, so exactly-once
+        # holds even after the originating commit's JSON is expired.
+        return app_txn_id is not None and app_txn_id in self._state()["txn_ids"]
 
     def commit(
         self,
@@ -306,9 +495,12 @@ class TxnLogTable:
                     # already resolved
                     intervening = [
                         c
-                        for c in self._commits()
-                        if c["version"] > read_version
-                        and (c.get("adds") or c.get("removes"))
+                        for c in (
+                            self._read_commit(iv)
+                            for iv in self._versions()
+                            if iv > read_version
+                        )
+                        if c.get("adds") or c.get("removes")
                     ]
                     if intervening:
                         raise CommitConflict(
@@ -342,6 +534,7 @@ class TxnLogTable:
                 json.dump(payload, f)
             try:
                 os.link(tmp, self._commit_path(v))  # atomic create-no-overwrite
+                self._maybe_checkpoint(v)
                 return v
             except FileExistsError:
                 if read_version is None:
@@ -439,6 +632,13 @@ class TxnLogTable:
         # and escaping (file://, s3a://, %20 for spaces) would break any
         # prefix-stripping comparison against raw filesystem paths.
         rel_by_base = {os.path.basename(rel): rel for rel in scan_files}
+        # Structural guarantee, not just a documented argument: if two scan
+        # files ever shared a basename across commit dirs, the URI→log-path
+        # mapping would silently mis-attribute rewrites. Fail loudly instead.
+        assert len(rel_by_base) == len(scan_files), (
+            "duplicate parquet basename across commit directories; "
+            "file attribution by basename is unsound for this table"
+        )
         hit_rel = [rel_by_base[os.path.basename(p)] for p in hit_abs]
         affected = (
             tgt.filter(F.col("_file").isin(hit_abs)).drop("_file")
@@ -476,20 +676,39 @@ class TxnLogTable:
             stats=stats,
         )
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, retention_seconds: float = 3600.0) -> list[str]:
         """Delete data files no active OR historical version references
         (aborted writers' leftovers). Files referenced by any commit are
-        kept so every version stays readable."""
+        kept so every version stays readable.
+
+        ``retention_seconds`` (default 1 h, Delta's VACUUM retention model):
+        a data directory younger than the threshold is never touched, even
+        if unreferenced — a concurrent writer that has finished
+        ``_write_data`` but not yet published its commit would otherwise
+        have its files deleted out from under a commit that then wins the
+        ``os.link`` race. Pass ``0`` only when no concurrent writers exist
+        (tests, single-writer maintenance windows)."""
         referenced: set[str] = set()
         for c in self._commits():
             referenced.update(c.get("adds", []))
+        # After expire_log(), pre-checkpoint adds survive only via the
+        # checkpoint's active list — those files must never be vacuumed.
+        cp = self._checkpoint_info()
+        if cp is not None:
+            referenced.update(self._load_checkpoint(cp[1])["active"])
         removed = []
         data_root = os.path.join(self.path, _DATA_DIR)
         if not os.path.isdir(data_root):
             return removed
+        cutoff = time.time() - retention_seconds
         for d in os.listdir(data_root):
             rel_dir = os.path.join(_DATA_DIR, d)
             full = os.path.join(data_root, d)
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue  # possibly an in-flight writer: retention guard
+            except OSError:
+                continue
             files = {
                 os.path.join(rel_dir, f)
                 for f in os.listdir(full)
@@ -507,13 +726,22 @@ class TxnLogSink(TableSink):
     table-format implementation of the contract (``ParquetDirSink`` is the
     plain-directory fallback)."""
 
-    def __init__(self, partition_by: Sequence[str] = ()) -> None:
+    def __init__(
+        self,
+        partition_by: Sequence[str] = (),
+        stat_cols: Sequence[str] = (),
+    ) -> None:
         self.partition_by = tuple(partition_by)
+        # Per-file min/max stats are the data-skipping story; without them a
+        # MERGE through the sink contract scans every file. When the caller
+        # doesn't name stat columns, the merge keys are derived as stats at
+        # merge time (the columns pruning actually happens on).
+        self.stat_cols = tuple(stat_cols)
 
     def create_or_replace(
         self, df: DataFrame, table: str, partition_by: Sequence[str] = ()
     ) -> None:
-        TxnLogTable(table).create_or_replace(
+        TxnLogTable(table, stat_cols=self.stat_cols).create_or_replace(
             df, cluster_by=tuple(partition_by) or self.partition_by
         )
 
@@ -525,7 +753,9 @@ class TxnLogSink(TableSink):
         keys: Sequence[str],
         order_by: Sequence[Column],
     ) -> None:
-        TxnLogTable(table).merge_keep_latest(spark, source, keys, order_by)
+        TxnLogTable(
+            table, stat_cols=self.stat_cols or tuple(keys)
+        ).merge_keep_latest(spark, source, keys, order_by)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return TxnLogTable(table).read(spark)

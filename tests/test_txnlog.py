@@ -105,9 +105,31 @@ def test_vacuum_removes_only_unreferenced(spark, tmp_path):
     t = TxnLogTable(str(tmp_path / "t7"))
     t.create_or_replace(_df(spark, [(1, "a", 1)]))
     orphans, _ = t._write_data(_df(spark, [(9, "z", 1)]))  # aborted writer
-    removed = t.vacuum()
+    removed = t.vacuum(retention_seconds=0.0)
     assert set(removed) == set(orphans)
     assert t.read(spark).count() == 1  # committed data untouched
+
+
+def test_vacuum_retention_protects_inflight_writers(spark, tmp_path):
+    """Default retention: unreferenced-but-fresh directories survive — a
+    writer that finished _write_data but hasn't published its commit yet
+    must not lose its files to a concurrent vacuum."""
+    t = TxnLogTable(str(tmp_path / "t7b"))
+    t.create_or_replace(_df(spark, [(1, "a", 1)]))
+    inflight, stats = t._write_data(_df(spark, [(9, "z", 2)]))
+    assert t.vacuum() == []  # default 1 h retention: nothing deleted
+    # the in-flight writer can still publish and its files resolve
+    t.commit(adds=inflight, removes=[], operation="append", stats=stats)
+    assert t.read(spark).count() == 2
+
+
+def test_stray_log_file_does_not_brick_table(spark, tmp_path):
+    t = TxnLogTable(str(tmp_path / "t7c"))
+    t.create_or_replace(_df(spark, [(1, "a", 1)]))
+    with open(os.path.join(t.log_dir, "metadata.json"), "w") as f:
+        f.write("{}")  # hand-dropped artifact, not a version file
+    assert t.read(spark).count() == 1
+    assert t.append(_df(spark, [(2, "b", 1)])) == 1
 
 
 def test_schema_evolution_backfills_null(spark, tmp_path):
@@ -224,6 +246,91 @@ def test_concurrent_append_conflicts_with_merge(spark, tmp_path):
     # blind appends are unaffected by the same interleaving
     t.append(_df(spark, [(3, "c", 1)]))
     assert t.read(spark).count() == 3
+
+
+def test_checkpoint_reconstruction_matches_full_replay(spark, tmp_path):
+    """A checkpoint + tail replay must reconstruct the identical snapshot a
+    full log replay would: files, stats, schema, txn ids."""
+    t = TxnLogTable(str(tmp_path / "c1"), stat_cols=("id",), checkpoint_interval=0)
+    t.create_or_replace(_df(spark, [(1, "a", 1)]).coalesce(1))
+    for i in range(2, 6):
+        t.append(_df(spark, [(i, f"p{i}", 1)]).coalesce(1), app_txn_id=f"b{i}")
+    full = t._state()
+    t.checkpoint()
+    t.append(_df(spark, [(9, "tail", 1)]).coalesce(1))  # commit after the checkpoint
+
+    fresh = TxnLogTable(str(tmp_path / "c1"), stat_cols=("id",))
+    assert fresh._checkpoint_info() is not None
+    state = fresh._state()
+    assert list(state["active"])[:-1] == list(full["active"])
+    assert state["schema"] == full["schema"]
+    assert state["txn_ids"] == full["txn_ids"] == {f"b{i}" for i in range(2, 6)}
+    got = {r["id"]: r["payload"] for r in fresh.read(spark).collect()}
+    assert got == {1: "a", 2: "p2", 3: "p3", 4: "p4", 5: "p5", 9: "tail"}
+    # stats survived the checkpoint round-trip (data skipping still works)
+    assert all("id" in s for s in state["stats"].values())
+    assert len(state["stats"]) == len(state["active"])
+
+
+def test_auto_checkpoint_every_interval(spark, tmp_path):
+    t = TxnLogTable(str(tmp_path / "c2"), checkpoint_interval=3)
+    t.create_or_replace(_df(spark, [(0, "a", 1)]))
+    assert t._checkpoint_info() is None
+    for i in range(1, 4):
+        t.append(_df(spark, [(i, "x", 1)]))
+    cp = t._checkpoint_info()
+    assert cp is not None and cp[0] == 3
+    for i in range(4, 7):
+        t.append(_df(spark, [(i, "x", 1)]))
+    assert t._checkpoint_info()[0] == 6  # pointer advanced to the next one
+
+
+def test_exactly_once_survives_log_expiry(spark, tmp_path):
+    """The txn-id set rides the checkpoint: a duplicate delivery whose
+    original commit JSON was expired is STILL a no-op."""
+    t = TxnLogTable(str(tmp_path / "c3"), checkpoint_interval=0)
+    t.create_or_replace(_df(spark, [(1, "a", 1)]))
+    t.append(_df(spark, [(2, "b", 1)]), app_txn_id="epoch-1")
+    t.checkpoint()
+    expired = t.expire_log()
+    assert expired == [0]
+    t.append(_df(spark, [(2, "b", 1)]), app_txn_id="epoch-1")  # redelivery
+    assert t.read(spark).count() == 2
+
+
+def test_expired_time_travel_raises_but_tail_versions_work(spark, tmp_path):
+    t = TxnLogTable(str(tmp_path / "c4"), checkpoint_interval=0)
+    t.create_or_replace(_df(spark, [(1, "a", 1)]))
+    t.append(_df(spark, [(2, "b", 1)]))
+    t.append(_df(spark, [(3, "c", 1)]))
+    t.checkpoint(2)
+    t.expire_log()
+    t.append(_df(spark, [(4, "d", 1)]))
+    assert t.read(spark, version=2).count() == 3  # checkpoint version itself
+    assert t.read(spark, version=3).count() == 4  # checkpoint + tail
+    with pytest.raises(ValueError, match="expired"):
+        t.read(spark, version=1)
+
+
+def test_vacuum_keeps_checkpoint_referenced_files_after_expiry(spark, tmp_path):
+    """Files whose adding commit was expired are referenced only through
+    the checkpoint's active list — vacuum must keep them."""
+    t = TxnLogTable(str(tmp_path / "c5"), checkpoint_interval=0)
+    t.create_or_replace(_df(spark, [(1, "a", 1)]))
+    t.append(_df(spark, [(2, "b", 1)]))
+    t.checkpoint()
+    t.expire_log()
+    assert t.vacuum(retention_seconds=0.0) == []  # nothing falsely orphaned
+    assert t.read(spark).count() == 2
+
+
+def test_corrupt_checkpoint_pointer_degrades_to_replay(spark, tmp_path):
+    t = TxnLogTable(str(tmp_path / "c6"), checkpoint_interval=0)
+    t.create_or_replace(_df(spark, [(1, "a", 1)]))
+    t.checkpoint()
+    with open(os.path.join(t.log_dir, "_last_checkpoint"), "w") as f:
+        f.write("not json")
+    assert t.read(spark).count() == 1  # full replay still works
 
 
 def test_optimize_tolerates_concurrent_append(spark, tmp_path):
