@@ -82,3 +82,33 @@ def shuffle_manifest(
         "shard",
         F.row_number().over(w).cast("long").alias("pos_in_shard"),
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample_v1",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): each row gets priority ``u^(1/w)`` with ``u`` a
+    hash-derived uniform in (0,1); the k highest priorities are a true
+    weight-proportional sample. The reservoir algorithm's streaming form
+    degenerates on Spark to exactly this top-k — which runs as
+    TakeOrderedAndProject (per-partition heads, no global sort), so the
+    sample costs one scan at any corpus size. No ``rand()``: the priority
+    is a pure function of (salt, id, weight), so re-runs, engines, and
+    late-arriving re-ingests agree on the sample. Rows with
+    non-positive weight are excluded (zero mass)."""
+    u = (
+        token_hash32(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))) + 1
+    ).cast("double") / F.lit(float(2**32 + 1))
+    w = F.col(weight_col).cast("double")
+    pri = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.filter(w > 0)
+        .withColumn("priority", pri)
+        .orderBy(F.col("priority").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

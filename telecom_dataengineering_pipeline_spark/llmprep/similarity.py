@@ -751,3 +751,52 @@ def sq8_reconstruction_profile(
             ).alias("mean_abs_err"),
         )
     )
+
+
+def bitext_mutual_nn(
+    embeddings: DataFrame,
+    src_label: int,
+    tgt_label: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cross-label translation-pair mining: (src, tgt) pairs that are each
+    other's nearest neighbor across the two label slices — the mutual-NN
+    filter bitext mining pipelines apply before margin scoring (each side's
+    best match must agree, which kills hub vectors that are "everyone's
+    neighbor").
+
+    Exact brute-force form: one cross-slice similarity matrix, ranked both
+    directions on the ROUNDED cosine (6 dp, id tie-break) so every engine
+    agrees on ties, then an equi-join keeps mutual pairs. The smaller
+    (broadcast) side here is the src slice; at corpus scale the same
+    mutual-agreement join composes with the IVF/PQ candidate generators in
+    this module instead of the exact matrix — the filter is separable from
+    how candidates are produced."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = e.filter(F.col("label") == src_label).select(
+        F.col("vec_id").alias("src_id"), F.col("v").alias("av"), F.col("nrm").alias("an")
+    )
+    b = e.filter(F.col("label") == tgt_label).select(
+        F.col("vec_id").alias("tgt_id"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
+    )
+    sim = _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    pairs = b.join(F.broadcast(a)).select(
+        "src_id", "tgt_id", F.round(sim, 6).alias("cosine")
+    )
+    fwd = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("tgt_id").asc()
+    )
+    rev = Window.partitionBy("tgt_id").orderBy(
+        F.col("cosine").desc(), F.col("src_id").asc()
+    )
+    best_fwd = pairs.withColumn("r", F.row_number().over(fwd)).filter(F.col("r") == 1).drop("r")
+    best_rev = pairs.withColumn("r", F.row_number().over(rev)).filter(F.col("r") == 1).drop("r")
+    return best_fwd.join(best_rev, ["src_id", "tgt_id", "cosine"]).select(
+        "src_id", "tgt_id", "cosine"
+    )

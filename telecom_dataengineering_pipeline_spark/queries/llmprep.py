@@ -1980,3 +1980,137 @@ def chunk_dup_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmprep.chunking import chunk_dup_coverage
 
     return chunk_dup_coverage(load_table(spark, sf_dir, "documents"), chunk_size=10)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (llmprep/sketches.py): the mergeable frequency sketch —
+# fixed depth×width counter grid, one pass, additive across shards. Hashes
+# are the md5-derived 32-bit family, so DuckDB rebuilds the EXACT sketch
+# and the estimates (not just the true counts) are oracle-checked.
+# ---------------------------------------------------------------------------
+
+_CMS_ORACLE = f"""
+WITH tk AS (
+  SELECT tok FROM (SELECT unnest({_TOKS}) AS tok FROM documents) WHERE tok <> ''
+), J AS (SELECT unnest(generate_series(0, 3)) AS j),
+cells AS (
+  SELECT j AS rw,
+         ('0x'||substr(md5('cms_' || CAST(j AS VARCHAR) || '_' || tok), 1, 8))::BIGINT % 256 AS cl,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tk CROSS JOIN J GROUP BY 1, 2
+),
+cd AS (
+  SELECT DISTINCT tok
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents WHERE doc_id % 50 = 0)
+  WHERE tok <> ''
+),
+probe AS (
+  SELECT cd.tok, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS cms_count
+  FROM cd CROSS JOIN J
+  LEFT JOIN cells ON cells.rw = J.j
+    AND cells.cl = ('0x'||substr(md5('cms_' || CAST(J.j AS VARCHAR) || '_' || cd.tok), 1, 8))::BIGINT % 256
+  GROUP BY cd.tok
+)
+SELECT tok, cms_count FROM probe ORDER BY cms_count DESC, tok ASC LIMIT 20
+"""
+
+
+@register("cms_heavy_hitters", oracle=_CMS_ORACLE, tags=("LLM", "sketch"))
+def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-estimated hottest tokens among a candidate set: the corpus
+    token stream is seen ONCE into a 4×256 count-min grid; candidates (the
+    distinct tokens of a doc sample) are estimated by broadcast-probing the
+    grid (see llmprep.sketches — at 100 TB the grid is still 1024 rows)."""
+    from ..llmprep.sketches import cms_heavy_hitters
+    from ..llmprep.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    items = docs.select(F.explode(tokens("text")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    cands = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    return cms_heavy_hitters(items, cands, "tok", k=20, depth=4, width=256)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (llmprep/sampling.py): Efraimidis-
+# Spirakis priorities u^(1/w) from hash-derived uniforms — a true
+# weight-proportional sample with no rand(), reproducible cross-engine.
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, len(list_filter({_TOKS}, x -> x <> '')) AS weight FROM documents
+), p AS (
+  SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+         pow((('0x'||substr(md5('wsample_v1_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1) / 4294967297.0,
+             1.0 / weight) AS pri
+  FROM t WHERE weight > 0
+)
+SELECT doc_id, weight, round(pri, 6) AS priority
+FROM p ORDER BY pri DESC, doc_id ASC LIMIT 50
+"""
+
+
+@register("weighted_sample_manifest", oracle=_WSAMPLE_ORACLE, tags=("LLM", "sampling"))
+def weighted_sample_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional doc sample (weight = token count, k = 50): the
+    deterministic weighted-reservoir form — top-k by hash-derived priority
+    runs as TakeOrderedAndProject, one scan at any corpus size (see
+    llmprep.sampling.weighted_sample_topk)."""
+    from ..llmprep.sampling import weighted_sample_topk
+    from ..llmprep.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id",
+        F.size(F.filter(tokens("text"), lambda t: t != ""))
+        .cast("bigint")
+        .alias("weight"),
+    )
+    return weighted_sample_topk(weighted, weight_col="weight", k=50).select(
+        "doc_id", "weight", F.round("priority", 6).alias("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitext mining (llmprep/similarity.py bitext_mutual_nn): mutual cross-
+# label nearest neighbors — the parallel-corpus pair filter. Ranks run on
+# the ROUNDED cosine with id tie-breaks, so both engines agree exactly.
+# ---------------------------------------------------------------------------
+
+_BITEXT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), a AS (SELECT vec_id AS src_id, v AS av, nrm AS an FROM n WHERE label = 0),
+b AS (SELECT vec_id AS tgt_id, v AS bv, nrm AS bn FROM n WHERE label = 1),
+s AS (
+  SELECT src_id, tgt_id,
+         round(list_dot_product(av, bv) / (an * bn), 6) AS cosine
+  FROM a CROSS JOIN b
+), f AS (
+  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, tgt_id ASC) AS rf FROM s
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY cosine DESC, src_id ASC) AS rr FROM s
+)
+SELECT f.src_id, f.tgt_id, f.cosine
+FROM f JOIN r ON f.src_id = r.src_id AND f.tgt_id = r.tgt_id
+WHERE f.rf = 1 AND r.rr = 1
+"""
+
+
+@register("bitext_mining_mutual_nn", oracle=_BITEXT_ORACLE, tags=("LLM", "similarity"))
+def bitext_mining_mutual_nn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest-neighbor pairs between label-0 and label-1 embedding
+    slices (see llmprep.similarity.bitext_mutual_nn)."""
+    from ..llmprep.similarity import bitext_mutual_nn
+
+    return bitext_mutual_nn(load_table(spark, sf_dir, "embeddings"), 0, 1)

@@ -96,6 +96,11 @@ DRIVER_ORDER: list[str] = [
     "ann_ivf_kmeans_topk",
     "corpus_sampling_manifest",
     "dedup_effective_stats",
+    # -- round-4 additions (must stay inside the 50-entry driver window)
+    "txnlog_table_changes",
+    "cms_heavy_hitters",
+    "weighted_sample_manifest",
+    "bitext_mining_mutual_nn",
     # -- round-3 additions
     "dedup_incremental_lsh_probe",
     "embedding_centroid_outliers",

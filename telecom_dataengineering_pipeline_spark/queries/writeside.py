@@ -178,3 +178,81 @@ def merge_upsert_orders_txnlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price").cast("double").alias("totalprice"),
         "status",
     )
+
+
+# ---------------------------------------------------------------------------
+# Change data feed over the transaction log (Delta CDF semantics, derived):
+# the row-level diff between two committed versions. The feed is
+# file-layout-INDEPENDENT — COW carry-overs cancel in the multiset diff —
+# so a pure-SQL oracle over the base table is exact: deletes = old images
+# of keys hit by the merge, inserts = every source row.
+# ---------------------------------------------------------------------------
+
+_CDF_ORACLE = """
+WITH target AS (
+  SELECT o_orderkey, 1 AS version,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(14,4)) AS price,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 3 != 0
+), source AS (
+  SELECT o_orderkey, 2 AS version,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,2)) AS DECIMAL(14,4)) AS price,
+         'U' AS status
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT t.o_orderkey AS orderkey, t.version, CAST(t.price AS DOUBLE) AS totalprice,
+       t.status, 'delete' AS change_type
+FROM target t SEMI JOIN source s ON t.o_orderkey = s.o_orderkey
+UNION ALL
+SELECT o_orderkey AS orderkey, version, CAST(price AS DOUBLE) AS totalprice,
+       status, 'insert' AS change_type
+FROM source
+"""
+
+
+@register("txnlog_table_changes", oracle=_CDF_ORACLE, tags=("M1", "S7", "T7"))
+def txnlog_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed between txnlog versions (sources/txnlog.py
+    ``table_changes``): version 0 commits the target snapshot, version 1
+    MERGEs the source; the feed reads ONLY the files the merge touched and
+    emits delete+insert pairs for updated keys, inserts for new keys, and
+    nothing for rows merely carried over. The reference gets this from
+    Iceberg's changelog; here it is derived from the commit log's file
+    deltas."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.txnlog import TxnLogTable
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    target = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.lit(1).alias("version"),
+        price.cast("decimal(14,4)").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("version"),
+        (price * F.lit(1.1).cast("decimal(3,2)")).cast("decimal(14,4)").alias("price"),
+        F.lit("U").alias("status"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"txnlog_cdf_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = TxnLogTable(path, stat_cols=("o_orderkey",))
+    t.create_or_replace(target)
+    t.merge_keep_latest(
+        spark, source, keys=["o_orderkey"], order_by=[F.col("version").desc()]
+    )
+    return t.table_changes(spark, 0, 1).select(
+        F.col("o_orderkey").alias("orderkey"),
+        "version",
+        F.col("price").cast("double").alias("totalprice"),
+        "status",
+        F.col("_change_type").alias("change_type"),
+    )

@@ -657,6 +657,50 @@ class TxnLogTable:
             stats=stats,
         )
 
+    def table_changes(
+        self, spark: SparkSession, from_version: int, to_version: int
+    ) -> DataFrame:
+        """Row-level change feed between two versions (Delta CDF semantics,
+        derived rather than stored): ``_change_type`` ∈ insert | delete; an
+        update surfaces as a delete+insert pair.
+
+        Scale story: only the files ADDED or REMOVED between the two
+        versions are read — files carried over by reference (the vast
+        majority under file-granular COW) are never scanned, so the cost
+        tracks the delta, not the table. Within the touched file sets,
+        row-level changes are the multiset differences (EXCEPT ALL both
+        ways): rows merely rewritten into new files (COW carry-overs inside
+        a touched file) cancel out and do not appear as changes."""
+        if to_version < from_version:
+            raise ValueError("to_version must be >= from_version")
+        before = set(self.snapshot_files(from_version))
+        after_state = self._state(to_version)
+        after = set(after_state["active"])
+        schema = (
+            StructType.fromJson(json.loads(after_state["schema"]))
+            if after_state["schema"]
+            else None
+        )
+        if schema is None:
+            raise ValueError(f"no such table (empty log): {self.path}")
+
+        def _read(files: set[str]) -> DataFrame:
+            if not files:
+                return spark.createDataFrame([], schema)
+            return spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f) for f in sorted(files)]
+            )
+
+        added_rows = _read(after - before)
+        removed_rows = _read(before - after)
+        inserts = added_rows.exceptAll(removed_rows).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deletes = removed_rows.exceptAll(added_rows).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return inserts.unionAll(deletes)
+
     def optimize(self, spark: SparkSession, target_files: int = 1) -> int:
         """Compact the active file set into ``target_files`` files — one
         add/remove commit; time travel to pre-compaction versions still

@@ -81,13 +81,25 @@ def test_pair_merge_counts_multiplicity_and_df(spark):
     assert "x" not in rows
 
 
-def test_round3_registrations_inside_driver_window():
+def test_new_registrations_inside_driver_window():
+    """The driver's correctness harness only verifies the first 50 entries
+    of queries() per round: every query added in the CURRENT round must sit
+    inside that window (earlier rounds' additions already have driver rows
+    from their own round and may rotate out)."""
     from telecom_dataengineering_pipeline_spark.queries.registry import (
         oracle_sql,
         queries,
     )
 
     new_names = {
+        # round 4
+        "txnlog_table_changes",
+        "cms_heavy_hitters",
+        "weighted_sample_manifest",
+        "bitext_mining_mutual_nn",
+        # round 3 entries still inside (the four rotated out —
+        # dedup_chunk_groups, embedding_sq8_profile, dedup_simhash_pairs,
+        # chunk_dup_coverage — have fresh driver rows in CORRECTNESS_r03)
         "dedup_incremental_lsh_probe",
         "embedding_centroid_outliers",
         "tokenizer_pair_merge_stats",
@@ -95,14 +107,10 @@ def test_round3_registrations_inside_driver_window():
         "ann_ivf_pq_topk",
         "merge_upsert_orders_txnlog",
         "session_stream_availablenow",
-        "dedup_chunk_groups",
-        "embedding_sq8_profile",
-        "dedup_simhash_pairs",
-        "chunk_dup_coverage",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
-    assert new_names <= set(oracle_sql()), "every round-3 addition needs an oracle"
+    assert new_names <= set(oracle_sql()), "every addition needs an oracle"
 
 
 def test_pq_encode_shape_and_self_distance(spark):

@@ -1,0 +1,107 @@
+"""Count-min sketch, weighted sampling, bitext mutual-NN: the structural
+properties the oracle's value-match can't express — CMS one-sided error and
+shard additivity, sample determinism and weight-proportionality, mutual-NN
+symmetry — plus the broadcast shape of the sketch probe."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from telecom_dataengineering_pipeline_spark.llmprep.sampling import weighted_sample_topk
+from telecom_dataengineering_pipeline_spark.llmprep.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_heavy_hitters,
+    cms_merge,
+)
+from telecom_dataengineering_pipeline_spark.llmprep.similarity import bitext_mutual_nn
+
+
+def _tokens(spark, rows):
+    return spark.createDataFrame([(t,) for t in rows], "tok STRING")
+
+
+def test_cms_never_underestimates_and_is_tight_when_sparse(spark):
+    """One-sided error: estimate >= true count always; with far fewer
+    distinct items than cells, collisions are unlikely and estimates are
+    exact."""
+    stream = _tokens(spark, ["a"] * 5 + ["b"] * 3 + ["c"] * 1)
+    sketch = cms_build(stream, "tok", depth=4, width=256)
+    est = {
+        r["tok"]: r["cms_count"]
+        for r in cms_estimate(
+            sketch, _tokens(spark, ["a", "b", "c", "zz"]), "tok", depth=4, width=256
+        ).collect()
+    }
+    true = {"a": 5, "b": 3, "c": 1, "zz": 0}
+    assert all(est[t] >= true[t] for t in true)  # one-sided, including absent
+    assert est == true  # sparse regime: exact
+
+
+def test_cms_merge_equals_single_pass_sketch(spark):
+    """Counters are additive: sketching two shards independently and
+    merging must equal sketching the concatenated stream — the property
+    that makes per-executor/per-day sketching sound."""
+    s1 = _tokens(spark, ["a", "a", "b"])
+    s2 = _tokens(spark, ["a", "c", "c"])
+    merged = cms_merge(
+        cms_build(s1, "tok", depth=4, width=64), cms_build(s2, "tok", depth=4, width=64)
+    )
+    single = cms_build(_tokens(spark, ["a", "a", "b", "a", "c", "c"]), "tok", depth=4, width=64)
+    as_set = lambda df: {(r["rw"], r["cl"], r["cnt"]) for r in df.collect()}
+    assert as_set(merged) == as_set(single)
+
+
+def test_cms_estimate_broadcasts_the_sketch(spark):
+    """The probe join must broadcast the (<= d*w rows) cell table — a
+    shuffled sketch join would defeat the fixed-size design."""
+    stream = _tokens(spark, ["a", "b"] * 10)
+    sketch = cms_build(stream, "tok", depth=4, width=64)
+    plan = cms_estimate(sketch, _tokens(spark, ["a"]), "tok", 4, 64)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_cms_heavy_hitters_orders_by_estimate_then_item(spark):
+    stream = _tokens(spark, ["x"] * 9 + ["y"] * 9 + ["z"] * 2)
+    out = cms_heavy_hitters(stream, _tokens(spark, ["x", "y", "z"]).distinct(), "tok", k=2)
+    rows = [(r["tok"], r["cms_count"]) for r in out.collect()]
+    assert rows == [("x", 9), ("y", 9)]  # tie broken by item asc, k enforced
+
+
+def test_weighted_sample_deterministic_and_excludes_zero_weight(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(1, 200)], "doc_id LONG, w DOUBLE"
+    )
+    a = [r["doc_id"] for r in weighted_sample_topk(df, "w", k=20).collect()]
+    b = [r["doc_id"] for r in weighted_sample_topk(df, "w", k=20).collect()]
+    assert a == b  # no rand(): identical across runs
+    zero_weight = {i for i in range(1, 200) if i % 7 == 0}
+    assert not (set(a) & zero_weight)  # zero-mass rows can never be drawn
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """Weight-proportionality, statistically: with weights 100 vs 1, the
+    heavy stratum should dominate a k=50 sample from 100+100 rows."""
+    rows = [(i, 100.0) for i in range(100)] + [(i, 1.0) for i in range(100, 200)]
+    df = spark.createDataFrame(rows, "doc_id LONG, w DOUBLE")
+    picked = [r["doc_id"] for r in weighted_sample_topk(df, "w", k=50).collect()]
+    heavy = sum(1 for i in picked if i < 100)
+    assert heavy >= 40  # E-S with w=100 vs 1: heavy side wins overwhelmingly
+
+
+def test_bitext_mutual_nn_keeps_only_mutual_pairs(spark):
+    """Vectors engineered so src 1 and tgt 11 are mutual best matches,
+    while src 2's best (tgt 11) prefers src 1 back — src 2 emits nothing."""
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [0.8, 0.6, 0.0]),
+        (11, 1, [0.99, 0.1, 0.0]),
+        (12, 1, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, label INT, embedding ARRAY<DOUBLE>")
+    got = {(r["src_id"], r["tgt_id"]) for r in bitext_mutual_nn(emb, 0, 1).collect()}
+    assert (1, 11) in got
+    assert all(s != 2 for s, _ in got)  # non-mutual src excluded
+    # symmetry: every emitted tgt appears exactly once (it has one best src)
+    tgts = [t for _, t in got]
+    assert len(tgts) == len(set(tgts))

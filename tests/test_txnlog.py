@@ -333,6 +333,46 @@ def test_corrupt_checkpoint_pointer_degrades_to_replay(spark, tmp_path):
     assert t.read(spark).count() == 1  # full replay still works
 
 
+def test_table_changes_insert_update_delete_shapes(spark, tmp_path):
+    """CDF between versions: an upserted key surfaces as delete+insert, a
+    new key as insert; untouched rows in carried-over files never appear."""
+    t = TxnLogTable(str(tmp_path / "cdc1"))
+    t.create_or_replace(_df(spark, [(1, "a", 1), (2, "b", 1)]).coalesce(1))
+    t.append(_df(spark, [(10, "x", 1)]).coalesce(1))  # separate file, no matches
+    t.merge_keep_latest(
+        spark,
+        _df(spark, [(2, "b2", 2), (5, "e", 2)]),
+        keys=["id"],
+        order_by=[F.col("version").desc()],
+    )
+    changes = {
+        (r["id"], r["_change_type"]): r["payload"]
+        for r in t.table_changes(spark, 1, 2).collect()
+    }
+    # id=1 was rewritten unchanged into the merge's new file (COW carry-over
+    # inside a touched file): the multiset diff cancels it out of the feed.
+    assert changes == {
+        (2, "delete"): "b",  # old image of the updated key
+        (2, "insert"): "b2",  # new image
+        (5, "insert"): "e",  # pure insert
+    }
+    # the appended-only window is a pure insert feed
+    assert {
+        (r["id"], r["_change_type"]) for r in t.table_changes(spark, 0, 1).collect()
+    } == {(10, "insert")}
+
+
+def test_table_changes_optimize_is_a_noop_feed(spark, tmp_path):
+    """Compaction rewrites files but changes no rows — the multiset diff
+    cancels and the change feed is empty."""
+    t = TxnLogTable(str(tmp_path / "cdc2"))
+    t.create_or_replace(_df(spark, [(1, "a", 1)]).coalesce(1))
+    t.append(_df(spark, [(2, "b", 1)]).coalesce(1))
+    v_pre = t.version()
+    t.optimize(spark, target_files=1)
+    assert t.table_changes(spark, v_pre, t.version()).count() == 0
+
+
 def test_optimize_tolerates_concurrent_append(spark, tmp_path):
     """Compaction is row-preserving: a concurrent blind append must NOT
     conflict it (Delta's OPTIMIZE-vs-append rule) — the appended file simply
