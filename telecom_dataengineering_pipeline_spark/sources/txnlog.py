@@ -74,6 +74,60 @@ _DATA_DIR = "data"
 _CHECKPOINT_PTR = "_last_checkpoint"
 
 
+_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _skip_by_stats(
+    files: list[str], stats: dict, where: Sequence[tuple]
+) -> list[str]:
+    """Files that COULD satisfy every predicate, judged only from recorded
+    per-file [min, max] bounds. Conservative by construction: a file with
+    no stats for a predicate's column is always kept, and only provable
+    disjointness drops a file — so pruning never changes results, only the
+    scan list."""
+    kept = []
+    for f in files:
+        fs = stats.get(f) or {}
+        drop = False
+        for col, op, val in where:
+            if op not in _OPS:
+                raise ValueError(f"unsupported predicate op: {op!r}")
+            bounds = fs.get(col)
+            if bounds is None or val is None:
+                continue
+            lo, hi = bounds
+            if lo is None or hi is None:
+                continue
+            if (
+                (op == "=" and (val < lo or val > hi))
+                or (op == "<" and lo >= val)
+                or (op == "<=" and lo > val)
+                or (op == ">" and hi <= val)
+                or (op == ">=" and hi < val)
+            ):
+                drop = True
+                break
+        if not drop:
+            kept.append(f)
+    return kept
+
+
+def _predicate_expr(where: Sequence[tuple]) -> Column:
+    """The residual filter equivalent to the conjunction of ``where``."""
+    expr = F.lit(True)
+    for col, op, val in where:
+        c = F.col(col)
+        cond = {
+            "=": c == F.lit(val),
+            "<": c < F.lit(val),
+            "<=": c <= F.lit(val),
+            ">": c > F.lit(val),
+            ">=": c >= F.lit(val),
+        }[op]
+        expr = expr & cond
+    return expr
+
+
 class CommitConflict(RuntimeError):
     """A concurrent commit invalidated this one: for MERGE/replace, ANY
     intervening change to the file set (an append may hold rows for keys
@@ -318,10 +372,26 @@ class TxnLogTable:
         schema = self._state(version)["schema"]
         return StructType.fromJson(json.loads(schema)) if schema else None
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: Sequence[tuple] | None = None,
+    ) -> DataFrame:
         """Snapshot (or time-travel) read: the log's file list under the
         as-of schema — added columns backfill as NULL in older files, and
-        data directories are never listed."""
+        data directories are never listed.
+
+        ``where`` — optional conjunctive range predicates as ``(col, op,
+        value)`` triples with op ∈ {'=', '<', '<=', '>', '>='} — is the
+        stats-based data skipping the log's per-file min/max enables on the
+        READ path (Iceberg gets this from manifest metadata): a file whose
+        recorded range provably cannot satisfy some predicate is excluded
+        from the scan list BEFORE Spark ever opens it — metadata-only
+        pruning, ahead of parquet row-group pushdown. The same predicates
+        are then applied as a residual DataFrame filter, so the result is
+        exact regardless of which files have stats.
+        """
         if version is not None and version > self.version():
             raise ValueError(
                 f"version {version} does not exist (latest: {self.version()})"
@@ -335,11 +405,29 @@ class TxnLogTable:
         if schema is None:
             raise ValueError(f"no such table (empty log): {self.path}")
         files = list(state["active"])
+        if where:
+            files = _skip_by_stats(files, state["stats"], where)
         if not files:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(self.path, f) for f in files]
-        )
+            df = spark.createDataFrame([], schema)
+        else:
+            df = spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f) for f in files]
+            )
+        if where:
+            df = df.filter(_predicate_expr(where))
+        return df
+
+    def scan_file_count(
+        self, version: int | None = None, where: Sequence[tuple] | None = None
+    ) -> int:
+        """Number of data files a ``read(version, where)`` would open —
+        metadata-only (no Spark job); the observability hook tests and
+        capacity planning use to verify skipping."""
+        state = self._state(version)
+        files = list(state["active"])
+        if where:
+            files = _skip_by_stats(files, state["stats"], where)
+        return len(files)
 
     def history(self) -> list[dict]:
         """Commit metadata, oldest first: version, operation, file deltas."""
@@ -701,15 +789,35 @@ class TxnLogTable:
         )
         return inserts.unionAll(deletes)
 
-    def optimize(self, spark: SparkSession, target_files: int = 1) -> int:
+    def optimize(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        cluster_by: Sequence[str] = (),
+    ) -> int:
         """Compact the active file set into ``target_files`` files — one
         add/remove commit; time travel to pre-compaction versions still
-        resolves the old files."""
+        resolves the old files.
+
+        ``cluster_by`` composes compaction with linear z-order-style
+        clustering (the reference's ``rewrite_data_files`` sort/zorder,
+        ``bronze_compaction.py:141-151``): rows range-partition across the
+        output files on the cluster keys and sort within each file. Because
+        ``stat_cols`` min/max are re-collected on the rewritten files, each
+        file's recorded range tightens to its slice of the key space — so
+        post-OPTIMIZE, ``read(where=...)`` and MERGE data skipping prune
+        MORE files for the same predicate. Compaction without ``cluster_by``
+        preserves arrival order (coalesce, no shuffle)."""
         rv = self.version()
         files = self.snapshot_files(rv)
-        if len(files) <= target_files:
+        if not cluster_by and len(files) <= target_files:
             return rv
-        df = self.read(spark, rv).coalesce(target_files)
+        df = self.read(spark, rv)
+        if cluster_by:
+            cols = [F.col(c) for c in cluster_by]
+            df = df.repartitionByRange(target_files, *cols).sortWithinPartitions(*cols)
+        else:
+            df = df.coalesce(target_files)
         adds, stats = self._write_data(df)
         return self.commit(
             adds=adds,

@@ -391,3 +391,55 @@ def test_optimize_tolerates_concurrent_append(spark, tmp_path):
     t.commit(adds=adds, removes=files, operation="optimize", read_version=rv, stats=stats)
     got = {r["id"]: r["payload"] for r in t.read(spark).collect()}
     assert got == {1: "a", 2: "b", 3: "c"}
+
+
+def test_read_skips_files_by_stats(spark, tmp_path):
+    """READ-path data skipping: a range predicate prunes files whose
+    recorded [min, max] cannot satisfy it — fewer files scanned, identical
+    values to filtering a full scan."""
+    t = TxnLogTable(str(tmp_path / "t13"), stat_cols=("id",))
+    t.create_or_replace(_df(spark, [(1, "a", 1), (2, "b", 1)]).coalesce(1))
+    t.append(_df(spark, [(100, "x", 1), (101, "y", 1)]).coalesce(1))
+    t.append(_df(spark, [(200, "p", 1), (201, "q", 1)]).coalesce(1))
+    assert t.scan_file_count() == 3
+
+    where = [("id", ">=", 100), ("id", "<", 200)]
+    assert t.scan_file_count(where=where) == 1
+    pruned = t.read(spark, where=where)
+    # the scan truly opens only the one surviving file
+    assert len(pruned.inputFiles()) == 1
+    full = t.read(spark).filter((F.col("id") >= 100) & (F.col("id") < 200))
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in full.collect()
+    ) == [100, 101]
+
+    # equality predicate; and a file with no stats is always kept
+    assert t.scan_file_count(where=[("id", "=", 2)]) == 1
+    t2 = TxnLogTable(str(tmp_path / "t13b"))  # no stat_cols: nothing prunable
+    t2.create_or_replace(_df(spark, [(1, "a", 1)]).coalesce(1))
+    assert t2.scan_file_count(where=[("id", "=", 99)]) == 1
+    assert t2.read(spark, where=[("id", "=", 99)]).count() == 0  # residual filter
+
+
+def test_optimize_cluster_by_tightens_stats_and_pruning(spark, tmp_path):
+    """OPTIMIZE+zorder composition: interleaved key ranges across files mean
+    a range probe prunes nothing; after optimize(cluster_by) the rewritten
+    files hold disjoint key slices, so the same probe prunes most files."""
+    t = TxnLogTable(str(tmp_path / "t14"), stat_cols=("id",))
+    # every file spans the whole key range -> no pruning possible
+    t.create_or_replace(_df(spark, [(1, "a", 1), (900, "z", 1)]).coalesce(1))
+    t.append(_df(spark, [(2, "b", 1), (901, "y", 1)]).coalesce(1))
+    t.append(_df(spark, [(3, "c", 1), (902, "x", 1)]).coalesce(1))
+    probe = [("id", "<=", 3)]
+    assert t.scan_file_count(where=probe) == 3
+
+    v = t.optimize(spark, target_files=3, cluster_by=["id"])
+    assert t.snapshot_files() and t.version() == v
+    after = t.scan_file_count(where=probe)
+    assert after < 3  # clustering made the probe selective
+    got = {r["id"]: r["payload"] for r in t.read(spark, where=probe).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    # row set unchanged by the rewrite
+    assert t.read(spark).count() == 6
+    # time travel to the pre-optimize layout still works
+    assert t.read(spark, version=v - 1).count() == 6
