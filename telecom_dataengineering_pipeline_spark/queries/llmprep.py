@@ -2114,3 +2114,92 @@ def bitext_mining_mutual_nn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmprep.similarity import bitext_mutual_nn
 
     return bitext_mutual_nn(load_table(spark, sf_dir, "embeddings"), 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall profile: the quality metric production vector indexes are
+# graded by — recall@k of each approximate family against the exact
+# brute-force top-k, per query. The oracle COMPOSES the already-verified
+# family oracles as subqueries (DuckDB allows WITH inside a derived table),
+# so the recall arithmetic is checked end-to-end, not re-derived.
+# Deterministic across engines because every family ranks on round(cos, 6)
+# with a vec_id tie-break — the neighbor SETS match exactly, hence so do
+# the intersection counts.
+# ---------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({_KNN_ORACLE}) x),
+lsh AS (SELECT query_id, neighbor_id FROM ({_ANN_ORACLE}) x),
+ivf AS (SELECT query_id, neighbor_id FROM ({_IVF_ORACLE}) x),
+nprobe AS (SELECT query_id, neighbor_id FROM ({_IVF_NPROBE_ORACLE}) x),
+ann AS (
+  SELECT 'lsh_bucket' AS family, query_id, neighbor_id FROM lsh
+  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf
+  UNION ALL SELECT 'ivf_nprobe2', query_id, neighbor_id FROM nprobe
+),
+spine AS (
+  SELECT f.family, CAST(q.query_id AS BIGINT) AS query_id
+  FROM (VALUES ('lsh_bucket'), ('ivf'), ('ivf_nprobe2')) f(family)
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS query_id) q
+),
+hits AS (
+  SELECT a.family, a.query_id, count(e.neighbor_id) AS n_hits
+  FROM ann a
+  LEFT JOIN exact e ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT s.family, s.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5, 4) AS recall_at_k
+FROM spine s LEFT JOIN hits h ON s.family = h.family AND s.query_id = h.query_id
+"""
+
+
+@register("ann_recall_profile", oracle=_RECALL_ORACLE, tags=("LLM", "similarity"))
+def ann_recall_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 per (family, query) for the three comparable ANN families
+    vs exact brute force. Scale story: the exact side is the expensive leg
+    and runs ONCE for all families; the per-family legs are the same
+    cell/bucket-pruned scans the individual queries use, and the recall
+    join is over 3 × 10 × 5 rows — negligible. On a cluster this is the
+    recurring index-quality audit you run on a sampled query set."""
+    from ..llmprep.similarity import ivf_topk, ivf_topk_multiprobe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids, k = list(range(10)), 5
+    exact = cosine_topk(emb, query_ids=qids, k=k).select("query_id", "neighbor_id")
+    fams = [
+        ("lsh_bucket", bucketed_ann_topk(emb, query_ids=qids, k=k, bits=8)),
+        ("ivf", ivf_topk(emb, query_ids=qids, k=k, centroid_mod=100)),
+        (
+            "ivf_nprobe2",
+            ivf_topk_multiprobe(emb, query_ids=qids, k=k, centroid_mod=100, nprobe=2),
+        ),
+    ]
+    ann = None
+    for name, df in fams:
+        part = df.select(
+            F.lit(name).alias("family"),
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        )
+        ann = part if ann is None else ann.unionAll(part)
+    flagged = ann.join(
+        F.broadcast(exact.withColumn("_hit", F.lit(1))),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    per = flagged.groupBy("family", "query_id").agg(
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits")
+    )
+    spine = spark.createDataFrame(
+        [(f, q) for f, _ in fams for q in qids], "family STRING, query_id LONG"
+    )
+    return spine.join(F.broadcast(per), ["family", "query_id"], "left").select(
+        "family",
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / 5, 4).alias(
+            "recall_at_k"
+        ),
+    )

@@ -55,76 +55,16 @@ REGISTRY: dict[str, QuerySpec] = {}
 # sort after the list in registration order; names listed but not (yet)
 # registered are simply skipped.
 DRIVER_ORDER: list[str] = [
-    # -- never driver-checked in round 1 (llmprep 18, writeside 2, quality tail 2)
-    "text_quality_scores",
-    "text_langid_heuristic",
-    "dedup_exact_groups",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_fingerprints",
-    "knn_cosine_bruteforce",
-    "embedding_lsh_bucket_profile",
-    "ann_bucketed_topk",
-    "multimodal_feature_extract",
-    "ann_ivf_topk",
-    "text_token_counts",
-    "dedup_embedding_cosine",
-    "doc_chunking",
-    "dataset_split_assignments",
-    "training_set_summary",
-    "ann_ivf_nprobe_topk",
-    "dedup_connected_groups",
-    "merge_upsert_orders",
-    "scd2_customer_dim",
-    "dq_totalprice_reconciliation",
-    "value_distribution_by_type",
-    # -- round-2 additions (registered as they are built)
-    "fraud_stream_availablenow",
-    "dedup_connected_groups_star",
-    "jdbc_source_contract",
-    "decontamination_check",
-    "sequence_packing_stats",
-    "text_repetition_metrics",
-    "vocab_topk",
-    "tfidf_top_terms",
-    "source_mixing_weights",
-    "curation_filter_funnel",
-    "dedup_keep_best",
-    "dedup_source_overlap",
-    "text_unigram_logprob",
-    "ann_ivf_kmeans_cells",
-    "ann_ivf_kmeans_topk",
-    "corpus_sampling_manifest",
-    "dedup_effective_stats",
-    # -- round-4 additions (must stay inside the 50-entry driver window)
+    # -- round-4 additions: no driver row yet — ALWAYS inside the window.
+    #    Each later r4 registration appended HERE displaces one r1-stale
+    #    name from the 50-entry window (those stay locally oracle-checked).
     "txnlog_table_changes",
     "cms_heavy_hitters",
     "weighted_sample_manifest",
     "bitext_mining_mutual_nn",
-    # -- round-3 additions
-    "dedup_incremental_lsh_probe",
-    "embedding_centroid_outliers",
-    "tokenizer_pair_merge_stats",
-    "ann_pq_adc_topk",
-    "ann_ivf_pq_topk",
-    "merge_upsert_orders_txnlog",
-    "session_stream_availablenow",
-    "dedup_chunk_groups",
-    "embedding_sq8_profile",
-    "dedup_simhash_pairs",
-    "chunk_dup_coverage",
-    "pii_redaction_stats",
-    "duplicate_ngram_coverage",
-    "quality_filter_verdicts",
-    "corpus_shuffle_manifest",
-    "embedding_norm_profile",
-    # -- round-1-green, highest coverage value (distinct §2 IDs)
-    "hourly_usage_rollup",
-    "pricing_summary_rollup",
-    "revenue_by_nation",
-    "shipping_priority_topk",
-    "star_join_enriched_orders",
-    "customer_monthly_summary",
+    "ann_recall_profile",
+    # -- last driver-checked in ROUND 1 (stalest driver evidence; the
+    #    relational/window/DQ tier VERDICT r3 asked to rotate back in)
     "latest_event_per_user_type",
     "top_orders_per_segment",
     "asof_join_price_changes",
@@ -144,6 +84,46 @@ DRIVER_ORDER: list[str] = [
     "orphan_lineitems_check",
     "threshold_violations_union",
     "dim_date_spine",
+    "value_distribution_check",
+    "msisdn_format_validation",
+    "row_count_anomaly_check",
+    "top_orders_by_price",
+    "event_flags_projection",
+    "small_quantity_revenue",
+    "top_supplier_by_revenue",
+    "large_quantity_customers",
+    "customers_with_open_orders",
+    "users_active_both_periods",
+    "hourly_usage_rollup_salted",
+    "lapsed_users",
+    "customer_pii_masked_keys",
+    "order_date_math",
+    "event_props_json_decode",
+    "haversine_tower_distances",
+    "user_event_deltas",
+    "session_stats_rollup",
+    "dq_unique_violations",
+    "dq_accepted_values_violations",
+    "dq_null_rate_profile",
+    "dq_cardinality_profile",
+    "dq_volume_zscore",
+    "dq_freshness_check",
+    "worst_status_rollup",
+    # -- last driver-checked in round 2 (outside the 50-window unless the
+    #    r4 block stays small; still locally verified every round)
+    "pii_redaction_stats",
+    "duplicate_ngram_coverage",
+    "quality_filter_verdicts",
+    "corpus_shuffle_manifest",
+    "embedding_norm_profile",
+    "hourly_usage_rollup",
+    "pricing_summary_rollup",
+    "revenue_by_nation",
+    "shipping_priority_topk",
+    "star_join_enriched_orders",
+    "customer_monthly_summary",
+    # -- everything else (fresh round-3 driver rows) sorts after, in
+    #    registration order.
 ]
 
 

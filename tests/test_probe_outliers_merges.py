@@ -4,6 +4,8 @@ plus the band-geometry / zero-norm guards and the driver-window rotation."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -91,26 +93,41 @@ def test_new_registrations_inside_driver_window():
         queries,
     )
 
+    # Round-4 registrations (round-3 entries all have driver rows in
+    # CORRECTNESS_r03 and rotated out so the r4 window can refresh the
+    # relational/window/DQ tier, driver-stale since round 1).
     new_names = {
-        # round 4
         "txnlog_table_changes",
         "cms_heavy_hitters",
         "weighted_sample_manifest",
         "bitext_mining_mutual_nn",
-        # round 3 entries still inside (the four rotated out —
-        # dedup_chunk_groups, embedding_sq8_profile, dedup_simhash_pairs,
-        # chunk_dup_coverage — have fresh driver rows in CORRECTNESS_r03)
-        "dedup_incremental_lsh_probe",
-        "embedding_centroid_outliers",
-        "tokenizer_pair_merge_stats",
-        "ann_pq_adc_topk",
-        "ann_ivf_pq_topk",
-        "merge_upsert_orders_txnlog",
-        "session_stream_availablenow",
+        "ann_recall_profile",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
     assert new_names <= set(oracle_sql()), "every addition needs an oracle"
+
+
+def test_driver_window_refreshes_stalest_evidence():
+    """Round-4 rotation contract (VERDICT r3 item 2): the 44 queries whose
+    only driver row is from round 1 are all inside the 50-entry window,
+    alongside every round-4 addition."""
+    import json
+
+    from telecom_dataengineering_pipeline_spark.queries.registry import queries
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    seen: dict[str, int] = {}
+    for rnd in (1, 2, 3):
+        p = os.path.join(root, f"CORRECTNESS_r{rnd:02d}.json")
+        if not os.path.exists(p):
+            continue
+        for name in json.load(open(p)):
+            seen[name] = rnd
+    window = list(queries())[:50]
+    r1_stale = [n for n in queries() if seen.get(n) == 1]
+    missing = [n for n in r1_stale if n not in window]
+    assert not missing, f"r1-stale queries left outside the window: {missing}"
 
 
 def test_pq_encode_shape_and_self_distance(spark):
