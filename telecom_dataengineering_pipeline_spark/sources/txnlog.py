@@ -794,6 +794,7 @@ class TxnLogTable:
         spark: SparkSession,
         target_files: int = 1,
         cluster_by: Sequence[str] = (),
+        morton: bool = False,
     ) -> int:
         """Compact the active file set into ``target_files`` files — one
         add/remove commit; time travel to pre-compaction versions still
@@ -813,7 +814,14 @@ class TxnLogTable:
         if not cluster_by and len(files) <= target_files:
             return rv
         df = self.read(spark, rv)
-        if cluster_by:
+        if cluster_by and morton:
+            # True z-order: interleaved-bit key localizes EVERY cluster
+            # column, so single-dimension probes prune post-OPTIMIZE files
+            # on any of them (Delta OPTIMIZE ZORDER semantics).
+            from .writers import cluster_zorder_morton
+
+            df = cluster_zorder_morton(df, cluster_by, target_files)
+        elif cluster_by:
             cols = [F.col(c) for c in cluster_by]
             df = df.repartitionByRange(target_files, *cols).sortWithinPartitions(*cols)
         else:

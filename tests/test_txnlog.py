@@ -443,3 +443,54 @@ def test_optimize_cluster_by_tightens_stats_and_pruning(spark, tmp_path):
     assert t.read(spark).count() == 6
     # time travel to the pre-optimize layout still works
     assert t.read(spark, version=v - 1).count() == 6
+
+
+def test_optimize_morton_prunes_on_every_dimension(spark, tmp_path):
+    """True z-order vs linear clustering: after linear cluster_by=(x, y) a
+    y-only probe prunes nothing (every x-slice spans all y); after Morton
+    clustering the same probe prunes files, and x probes still prune too."""
+    rows = [(x, y, x * 32 + y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x INT, y INT, pk INT")
+
+    lin = TxnLogTable(str(tmp_path / "lin"), stat_cols=("x", "y"))
+    lin.create_or_replace(df)
+    lin.optimize(spark, target_files=16, cluster_by=["x", "y"])
+    zor = TxnLogTable(str(tmp_path / "zor"), stat_cols=("x", "y"))
+    zor.create_or_replace(df)
+    zor.optimize(spark, target_files=16, cluster_by=["x", "y"], morton=True)
+
+    y_probe = [("y", "<", 4)]
+    lin_files, zor_files = lin.scan_file_count(), zor.scan_file_count()
+    assert lin.scan_file_count(where=y_probe) == lin_files  # no pruning
+    assert zor.scan_file_count(where=y_probe) < zor_files / 2
+    # leading-dimension probes prune under BOTH layouts
+    x_probe = [("x", "<", 4)]
+    assert lin.scan_file_count(where=x_probe) < lin_files
+    assert zor.scan_file_count(where=x_probe) < zor_files
+    # values are layout-independent
+    got = sorted(r["pk"] for r in zor.read(spark, where=y_probe).collect())
+    want = sorted(x * 32 + y for x in range(32) for y in range(4))
+    assert got == want
+
+
+def test_morton_key_bit_interleave_exact(spark):
+    """Spot-check the interleave arithmetic against hand-computed codes on
+    an identity quantization range [0, 65535]."""
+    from telecom_dataengineering_pipeline_spark.sources.writers import morton_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "a INT, b INT"
+    )
+    bounds = {"a": (0, 65535), "b": (0, 65535)}
+    got = [
+        r["z"]
+        for r in df.select(morton_key(["a", "b"], bounds).alias("z")).collect()
+    ]
+
+    def ref(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [ref(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)]]
