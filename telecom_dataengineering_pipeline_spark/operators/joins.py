@@ -31,6 +31,26 @@ def broadcast_star_join(
     return out
 
 
+def collapse_dim_snowflake(
+    base: DataFrame,
+    chain: Sequence[tuple[DataFrame, Sequence[str] | Column, str]],
+    keep: Sequence[str],
+) -> DataFrame:
+    """Pre-join a dim CHAIN (customer→nation→region) into one flat dim.
+
+    A snowflake joined dim-by-dim makes every FACT row probe one hash table
+    per level; collapsing first runs the chain at DIM cardinality (thousands
+    of rows) and the fact then probes a single broadcast — at 100 TB that is
+    N-1 fewer probe passes over the fact and one broadcast instead of N.
+    Semantics are unchanged when each level's join key is unique on its
+    right side (true for normalized dim chains): left-join composition is
+    then associative and row counts never fan out."""
+    out = base
+    for dim, on, how in chain:
+        out = out.join(F.broadcast(dim), on=on, how=how)
+    return out.select(*keep)
+
+
 def coalesce_unknown(col: Column, sentinel: str = "UNKNOWN") -> Column:
     return F.coalesce(col, F.lit(sentinel))
 

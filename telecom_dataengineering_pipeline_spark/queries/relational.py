@@ -13,7 +13,12 @@ from pyspark.sql import functions as F
 from ..functions.decimals import dec, pct_of
 from ..functions.keys import surrogate_key
 from ..operators.dedup import dedup_keep_latest
-from ..operators.joins import anti_join_violations, broadcast_star_join, left_join_nonnull_filter
+from ..operators.joins import (
+    anti_join_violations,
+    broadcast_star_join,
+    collapse_dim_snowflake,
+    left_join_nonnull_filter,
+)
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -152,13 +157,19 @@ def star_join_enriched_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    joined = broadcast_star_join(
-        o,
+    # Snowflake collapsed at dim cardinality: the chain joins run over ~c
+    # rows, then every fact row probes ONE broadcast hash table instead of
+    # three (same result — each chain key is unique on its right side).
+    dim = collapse_dim_snowflake(
+        c,
         [
-            (c, o["o_custkey"] == c["c_custkey"], "left"),
             (n, c["c_nationkey"] == n["n_nationkey"], "left"),
             (r, n["n_regionkey"] == r["r_regionkey"], "left"),
         ],
+        keep=["c_custkey", "c_name", "c_mktsegment", "n_name", "r_name"],
+    )
+    joined = broadcast_star_join(
+        o, [(dim, o["o_custkey"] == dim["c_custkey"], "left")]
     )
     return joined.select(
         surrogate_key("o_orderkey", "o_custkey").alias("order_fact_key"),

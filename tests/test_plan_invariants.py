@@ -177,3 +177,19 @@ def test_simhash_pairs_and_chunk_dedup_plan_shapes(spark, sf_smoke):
     p = duplicate_chunk_groups(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert p.count("Exchange") <= 2  # doc repartition + chunk-hash agg
+
+
+def test_star_join_collapses_snowflake_into_one_fact_probe(spark, sf_smoke):
+    """The dim chain (customer->nation->region) pre-joins INSIDE the
+    broadcast build: in the printed tree both chain joins sit below the
+    top join's BroadcastExchange, so fact rows probe exactly one hash
+    table. (In the old dim-by-dim plan the chain joins sat on the fact's
+    probe path, printed before any BroadcastExchange.)"""
+    plan = _physical(spark, "star_join_enriched_orders", sf_smoke)
+    lines = plan.splitlines()
+    bhj = [i for i, l in enumerate(lines) if "BroadcastHashJoin" in l]
+    bex = [i for i, l in enumerate(lines) if "BroadcastExchange" in l]
+    assert len(bhj) == 3 and bex, plan
+    # top fact join first; the two chain joins live under its broadcast build
+    assert bhj[1] > bex[0] and bhj[2] > bex[0], plan
+    assert _n_shuffles(plan) == 0
