@@ -63,6 +63,7 @@ DRIVER_ORDER: list[str] = [
     "weighted_sample_manifest",
     "bitext_mining_mutual_nn",
     "ann_recall_profile",
+    "incremental_matview_sales",
     # -- last driver-checked in ROUND 1 (stalest driver evidence; the
     #    relational/window/DQ tier VERDICT r3 asked to rotate back in)
     "latest_event_per_user_type",

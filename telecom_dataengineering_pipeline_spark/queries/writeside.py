@@ -256,3 +256,86 @@ def txnlog_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         F.col("_change_type").alias("change_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (operators/matview.py): the
+# rollup is NEVER fully recomputed after init — every base commit's change
+# feed folds into it additively. The oracle aggregates the equivalent final
+# base state directly, so the value-match proves incremental ≡ recompute.
+# ---------------------------------------------------------------------------
+
+_IVM_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS prio,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100 AS DECIMAL(12,2))
+              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+  FROM orders
+)
+SELECT prio,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(CAST(sum(CAST(price AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price
+FROM base GROUP BY prio
+"""
+
+
+@register("incremental_matview_sales", oracle=_IVM_ORACLE, tags=("M1", "S7", "A4"))
+def incremental_matview_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup maintained from change feeds across three base commits:
+    v0 initial load (full refresh — the only full aggregate ever run),
+    v1 append of the remaining orders, v2 MERGE repricing every 7th order
+    (+100). Each refresh folds ``table_changes`` of exactly one commit into
+    the view: deltas aggregate at feed size, only affected groups are
+    fetched (broadcast semi-join), and the COW merge rewrites only view
+    files holding them. Final contents must equal a from-scratch aggregate
+    of the final base state — which is what the oracle computes."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.matview import IncrementalRollup
+    from ..sources.txnlog import TxnLogTable
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    rows = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.lit(1).alias("version"),
+        price.alias("price"),
+    )
+    initial = rows.filter(F.col("o_orderkey") % 3 != 0)
+    appended = rows.filter(F.col("o_orderkey") % 3 == 0)
+    repriced = rows.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "prio",
+        F.lit(2).alias("version"),
+        (F.col("price") + F.lit(100)).cast("decimal(12,2)").alias("price"),
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"txnlog_ivm_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    base = TxnLogTable(os.path.join(root, "base"), stat_cols=("o_orderkey",))
+    base.create_or_replace(initial)  # v0
+    base.append(appended)  # v1
+    base.merge_keep_latest(  # v2
+        spark, repriced, keys=["o_orderkey"], order_by=[F.col("version").desc()]
+    )
+
+    view = IncrementalRollup(
+        TxnLogTable(os.path.join(root, "view"), stat_cols=("prio",)),
+        group_cols=["prio"],
+        sum_cols=["price"],
+    )
+    view.full_refresh(base.read(spark, version=0), refresh_v=0)
+    view.apply_changes(spark, base.table_changes(spark, 0, 1), refresh_v=1)
+    view.apply_changes(spark, base.table_changes(spark, 1, 2), refresh_v=2)
+    return view.read(spark).select(
+        "prio",
+        F.col("n_rows").alias("n_orders"),
+        F.col("sum_price").cast("double").alias("total_price"),
+    )

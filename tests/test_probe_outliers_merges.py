@@ -102,6 +102,7 @@ def test_new_registrations_inside_driver_window():
         "weighted_sample_manifest",
         "bitext_mining_mutual_nn",
         "ann_recall_profile",
+        "incremental_matview_sales",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
