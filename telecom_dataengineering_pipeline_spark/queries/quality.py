@@ -384,3 +384,44 @@ def value_distribution_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("vmin"),
         F.round(F.max("value"), 6).alias("vmax"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A11 at scale: mergeable histogram quantile sketch (quality/quantile_sketch)
+# — exact percentile() needs the full per-group value multiset; the sketch
+# is one map-side-combined pass over fixed [0, 500)×100 buckets, mergeable
+# across shards, with deterministic interpolation both engines reproduce
+# bit-exactly.
+# ---------------------------------------------------------------------------
+
+_QSKETCH_ORACLE = """
+WITH h AS (
+  SELECT event_type,
+         CAST(least(greatest(CAST(floor((value - 0.0) / 5.0) AS BIGINT), 0), 99) AS INTEGER) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bucket, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM h
+), p AS (SELECT unnest([0.5, 0.9, 0.99]) AS prob)
+SELECT event_type, p.prob,
+       round(0.0 + 5.0 * (bucket + (p.prob * total - (cum - n)) / n), 6) AS quantile_est
+FROM c CROSS JOIN p
+WHERE (cum - n) < p.prob * total AND p.prob * total <= cum
+"""
+
+
+@register("value_quantile_sketch", oracle=_QSKETCH_ORACLE, tags=("A11", "DQ", "sketch"))
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.quantile_sketch import histogram_sketch, quantile_estimates
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = histogram_sketch(
+        ev, "value", lo=0.0, hi=500.0, n_buckets=100, group_cols=["event_type"]
+    )
+    return quantile_estimates(
+        sk, [0.5, 0.9, 0.99], lo=0.0, hi=500.0, n_buckets=100, group_cols=["event_type"]
+    )
