@@ -456,3 +456,62 @@ def jdbc_source_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_partitions=2,
     )
     return df.filter(F.col("r_regionkey") >= 1).select("r_regionkey", "r_name")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction (operators/bloom.py): the dim side's key
+# set compresses to 64 literal longs; the fact side is pre-filtered by pure
+# bit-test expressions (no join, no shuffle) before the exact join. The
+# query measures the filter itself: per priority, orders scanned, orders
+# passing the bloom, and true matches — so no-false-negatives and the
+# false-positive margin are value-checked, with the oracle rebuilding the
+# identical filter from the position-set side.
+# ---------------------------------------------------------------------------
+
+_BLOOM_ORACLE = """
+WITH bkeys AS (SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+idx AS (SELECT unnest(range(0, 4)) AS i),
+pos AS (
+  SELECT DISTINCT ('0x'||substr(md5('bloom_' || CAST(i AS VARCHAR) || '_' || CAST(c_custkey AS VARCHAR)),1,8))::BIGINT % 4096 AS p
+  FROM bkeys CROSS JOIN idx
+),
+opos AS (
+  SELECT o_orderkey, ('0x'||substr(md5('bloom_' || CAST(i AS VARCHAR) || '_' || CAST(o_custkey AS VARCHAR)),1,8))::BIGINT % 4096 AS p
+  FROM orders CROSS JOIN idx
+),
+hits AS (
+  SELECT o_orderkey, count(pos.p) AS nhit
+  FROM opos LEFT JOIN pos ON pos.p = opos.p
+  GROUP BY 1
+)
+SELECT o.o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN h.nhit = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       CAST(sum(CASE WHEN b.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match
+FROM orders o
+JOIN hits h ON h.o_orderkey = o.o_orderkey
+LEFT JOIN bkeys b ON b.c_custkey = o.o_custkey
+GROUP BY 1
+"""
+
+
+@register("bloom_semi_join_stats", oracle=_BLOOM_ORACLE, tags=("J1", "J6", "sketch"))
+def bloom_semi_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_build, bloom_might_contain
+
+    dim = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    words = bloom_build(dim, "c_custkey", m_bits=4096, k=4)
+    keys = dim.select("c_custkey").distinct()
+    flagged = o.withColumn(
+        "_bloom", bloom_might_contain(F.col("o_custkey"), words, m_bits=4096, k=4)
+    ).join(F.broadcast(keys), o["o_custkey"] == keys["c_custkey"], "left")
+    return flagged.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("_bloom"), 1).otherwise(0)).cast("long").alias("n_bloom_pass"),
+        F.sum(F.when(F.col("c_custkey").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_match"),
+    )

@@ -104,6 +104,7 @@ def test_new_registrations_inside_driver_window():
         "ann_recall_profile",
         "incremental_matview_sales",
         "value_quantile_sketch",
+        "bloom_semi_join_stats",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
