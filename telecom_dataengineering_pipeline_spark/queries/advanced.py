@@ -515,3 +515,71 @@ def bloom_semi_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_true_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics (operators/graph.py): fixed-point PageRank on
+# the bipartite customer<->supplier purchase graph. Integer fixed-point
+# arithmetic keeps every iteration exact and engine-neutral, so 3 unrolled
+# iterations match the oracle's unrolled CTEs hash-exact — no float drift.
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    parts = [
+        """WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_fp FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        prev = "r0" if i == 1 else f"i{i - 1}"
+        parts.append(
+            f""",
+i{i} AS (
+  SELECT n.node,
+         CAST(150000000000 + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS rank_fp
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank_fp // d.outdeg) AS s
+    FROM edges e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY 1
+  ) s ON s.node = n.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, rank_fp FROM i{iters} ORDER BY rank_fp DESC, node ASC LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@register("pagerank_purchase_graph", oracle=_pagerank_oracle(), tags=("LLM", "iterative", "graph"))
+def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most central parties in the purchase graph after 3 PageRank
+    iterations. Scale shape: per iteration one shuffle of edges on src (the
+    rank join) + one map-side-combined sum on dst; ranks never collect, the
+    iteration count is fixed, and the final top-k is TakeOrderedAndProject
+    — the Pregel cost model, not an adjacency-matrix one."""
+    from ..operators.graph import pagerank_fixed_point
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank_fixed_point(edges, iters=3)
+    return ranks.orderBy(F.col("rank_fp").desc(), F.col("node").asc()).limit(20)

@@ -1,0 +1,47 @@
+"""Fixed-point PageRank: structural properties the value-parity gate can't
+see — hub dominance, determinism across runs, and the Pregel plan shape."""
+
+from __future__ import annotations
+
+from telecom_dataengineering_pipeline_spark.operators.graph import pagerank_fixed_point
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src STRING, dst STRING")
+
+
+def test_hub_outranks_leaves_and_iteration_sharpens(spark):
+    # star: every leaf points at the hub; hub points back at one leaf
+    pairs = [(f"leaf{i}", "hub") for i in range(5)] + [("hub", "leaf0")]
+    r1 = {r["node"]: r["rank_fp"] for r in pagerank_fixed_point(_edges(spark, pairs), iters=1).collect()}
+    r3 = {r["node"]: r["rank_fp"] for r in pagerank_fixed_point(_edges(spark, pairs), iters=3).collect()}
+    assert r1["hub"] > r1["leaf1"]
+    assert r3["hub"] > r3["leaf1"]
+    # leaf0 receives the hub's (large) mass — outranks the other leaves
+    assert r3["leaf0"] > r3["leaf1"]
+    # leaves 1..4 are symmetric: identical ranks, exactly
+    assert len({r3[f"leaf{i}"] for i in range(1, 5)}) == 1
+
+
+def test_deterministic_across_runs(spark):
+    pairs = [(f"n{i}", f"n{(i * 7) % 23}") for i in range(100)]
+    a = sorted(pagerank_fixed_point(_edges(spark, pairs), iters=3).collect())
+    b = sorted(pagerank_fixed_point(_edges(spark, pairs), iters=3).collect())
+    assert a == b  # integer fixed-point: bit-identical, not approximately equal
+
+
+def test_dangling_node_keeps_teleport_rank(spark):
+    # b has no out-edges: its mass leaks, but it still holds teleport + inflow
+    r = {r["node"]: r["rank_fp"] for r in pagerank_fixed_point(_edges(spark, [("a", "b")]), iters=2).collect()}
+    teleport = 10**12 * 15 // 100
+    assert r["a"] == teleport  # no inflow at all
+    assert r["b"] > teleport  # a's contribution arrived
+
+
+def test_topk_plan_is_take_ordered(spark, sf_smoke):
+    from telecom_dataengineering_pipeline_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["pagerank_purchase_graph"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -105,6 +105,7 @@ def test_new_registrations_inside_driver_window():
         "incremental_matview_sales",
         "value_quantile_sketch",
         "bloom_semi_join_stats",
+        "pagerank_purchase_graph",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
