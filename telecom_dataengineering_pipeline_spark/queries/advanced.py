@@ -495,7 +495,7 @@ GROUP BY 1
 """
 
 
-@register("bloom_semi_join_stats", oracle=_BLOOM_ORACLE, tags=("J1", "J6", "sketch"))
+@register("bloom_semi_join_stats", oracle=_BLOOM_ORACLE, tags=("J1", "J6", "sketch"), bench=True)
 def bloom_semi_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bloom import bloom_build, bloom_might_contain
 
@@ -559,7 +559,7 @@ SELECT node, rank_fp FROM i{iters} ORDER BY rank_fp DESC, node ASC LIMIT 20"""
     return "".join(parts)
 
 
-@register("pagerank_purchase_graph", oracle=_pagerank_oracle(), tags=("LLM", "iterative", "graph"))
+@register("pagerank_purchase_graph", oracle=_pagerank_oracle(), tags=("LLM", "iterative", "graph"), bench=True)
 def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most central parties in the purchase graph after 3 PageRank
     iterations. Scale shape: per iteration one shuffle of edges on src (the

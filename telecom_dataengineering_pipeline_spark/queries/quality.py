@@ -414,7 +414,7 @@ WHERE (cum - n) < p.prob * total AND p.prob * total <= cum
 """
 
 
-@register("value_quantile_sketch", oracle=_QSKETCH_ORACLE, tags=("A11", "DQ", "sketch"))
+@register("value_quantile_sketch", oracle=_QSKETCH_ORACLE, tags=("A11", "DQ", "sketch"), bench=True)
 def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..quality.quantile_sketch import histogram_sketch, quantile_estimates
 

@@ -542,6 +542,29 @@ class TxnLogTable:
                 kept.append(f)
         return kept
 
+    def _check_schema_evolution(self, new_json: str) -> None:
+        cur = self.snapshot_schema()
+        if cur is None:
+            return
+        new_fields = {
+            f.name: f
+            for f in StructType.fromJson(json.loads(new_json)).fields
+        }
+        for f in cur.fields:
+            nf = new_fields.get(f.name)
+            if nf is None:
+                raise ValueError(
+                    f"schema evolution cannot drop column {f.name!r} on "
+                    "append/merge; rewrite via create_or_replace"
+                )
+            if nf.dataType != f.dataType:
+                raise ValueError(
+                    f"incompatible type change for column {f.name!r}: "
+                    f"{f.dataType.simpleString()} -> "
+                    f"{nf.dataType.simpleString()}; rewrite via "
+                    "create_or_replace"
+                )
+
     def _txn_seen(self, app_txn_id: str | None) -> bool:
         # Checkpoints carry the full txn-id set forward, so exactly-once
         # holds even after the originating commit's JSON is expired.
@@ -572,6 +595,14 @@ class TxnLogTable:
         """
         os.makedirs(self.log_dir, exist_ok=True)
         resolves_keys = operation in ("merge", "create_or_replace")
+        if schema_json is not None and operation in ("append", "merge"):
+            # Evolution guard (M4 discipline): appending may ADD nullable
+            # columns (old files backfill NULL on read) but never retype or
+            # drop one — the as-of read applies the LATEST schema to EVERY
+            # active file, so an incompatible change would corrupt or brick
+            # reads of data committed under the old shape. Full rewrites go
+            # through create_or_replace, which replaces the schema freely.
+            self._check_schema_evolution(schema_json)
         while True:
             if self._txn_seen(app_txn_id):
                 return self.version()  # duplicate delivery: no-op
@@ -835,6 +866,73 @@ class TxnLogTable:
             read_version=rv,
             stats=stats,
         )
+
+    def maintenance_plan(
+        self,
+        target_file_bytes: int = 256 * 1024 * 1024,
+        min_compaction_files: int = 4,
+    ) -> list[dict]:
+        """Advise which maintenance operations this table needs — the
+        policy loop a table service runs per table (the reference schedules
+        the equivalent Iceberg calls from its DAG,
+        ``bronze_compaction.py``). Metadata-only: file sizes come from the
+        filesystem (O(#files) stat calls), nothing is scanned. Returns a
+        list of findings, each ``{action, reason, ...counts}``; callers
+        map actions onto :meth:`optimize` / :meth:`expire_log` /
+        :meth:`vacuum`."""
+        plan: list[dict] = []
+        files = self.snapshot_files()
+        sizes = []
+        for f in files:
+            try:
+                sizes.append(os.path.getsize(os.path.join(self.path, f)))
+            except OSError:
+                sizes.append(0)
+        small = sum(1 for s in sizes if s < target_file_bytes // 2)
+        if small >= min_compaction_files:
+            plan.append(
+                {
+                    "action": "optimize",
+                    "reason": f"{small} files under half the {target_file_bytes}-byte target",
+                    "n_files": len(files),
+                    "n_small": small,
+                    "target_files": max(1, sum(sizes) // target_file_bytes + 1),
+                }
+            )
+        cp = self._checkpoint_info()
+        tail = [v for v in self._versions() if cp is None or v < cp[0]]
+        if cp is not None and tail:
+            plan.append(
+                {
+                    "action": "expire_log",
+                    "reason": f"{len(tail)} commit files predate checkpoint v{cp[0]}",
+                    "n_expirable": len(tail),
+                }
+            )
+        referenced = {a for c in self._commits() for a in c.get("adds", [])}
+        if cp is not None:
+            referenced.update(self._load_checkpoint(cp[1])["active"])
+        data_root = os.path.join(self.path, _DATA_DIR)
+        orphans = 0
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                full = os.path.join(data_root, d)
+                fs = {
+                    os.path.join(_DATA_DIR, d, f)
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                }
+                if fs and not (fs & referenced):
+                    orphans += len(fs)
+        if orphans:
+            plan.append(
+                {
+                    "action": "vacuum",
+                    "reason": f"{orphans} data files referenced by no commit",
+                    "n_orphans": orphans,
+                }
+            )
+        return plan
 
     def vacuum(self, retention_seconds: float = 3600.0) -> list[str]:
         """Delete data files no active OR historical version references

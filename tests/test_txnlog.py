@@ -494,3 +494,49 @@ def test_morton_key_bit_interleave_exact(spark):
         return z
 
     assert got == [ref(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)]]
+
+
+def test_append_rejects_incompatible_schema_evolution(spark, tmp_path):
+    """M4 discipline: appends may ADD nullable columns (null-backfill) but a
+    type change or dropped column would corrupt reads of old files under
+    the as-of schema — rejected loudly, create_or_replace is the rewrite
+    path."""
+    t = TxnLogTable(str(tmp_path / "t15"))
+    t.create_or_replace(_df(spark, [(1, "a", 1)]))
+    with pytest.raises(ValueError, match="type change"):
+        t.append(
+            spark.createDataFrame(
+                [("2", "b", 1)], "id STRING, payload STRING, version INT"
+            )
+        )
+    with pytest.raises(ValueError, match="drop column"):
+        t.append(spark.createDataFrame([(2, "b")], "id LONG, payload STRING"))
+    # additive evolution still works (and replace may retype freely)
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 1, "x")], "id LONG, payload STRING, version INT, extra STRING"
+        )
+    )
+    assert t.read(spark).count() == 2
+    t.create_or_replace(
+        spark.createDataFrame([("9", "z", 1)], "id STRING, payload STRING, version INT")
+    )
+    assert t.read(spark).collect()[0]["id"] == "9"
+
+
+def test_maintenance_plan_flags_small_files_log_tail_and_orphans(spark, tmp_path):
+    t = TxnLogTable(str(tmp_path / "t16"), checkpoint_interval=3)
+    for i in range(5):  # five tiny single-file commits
+        t.append(_df(spark, [(i, "x", 1)]).coalesce(1))
+    # orphan: a written-but-never-committed data dir
+    t._write_data(_df(spark, [(99, "orphan", 1)]).coalesce(1))
+    plan = {p["action"]: p for p in t.maintenance_plan()}
+    assert plan["optimize"]["n_small"] == 5
+    assert plan["expire_log"]["n_expirable"] >= 1  # commits predate the auto-checkpoint
+    assert plan["vacuum"]["n_orphans"] >= 1
+    # acting on the plan clears it
+    t.optimize(spark, target_files=1)
+    t.expire_log()
+    t.vacuum(retention_seconds=0)
+    actions = {p["action"] for p in t.maintenance_plan()}
+    assert "vacuum" not in actions and "expire_log" not in actions
