@@ -339,3 +339,49 @@ def incremental_matview_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").alias("n_orders"),
         F.col("sum_price").cast("double").alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DELETE WHERE through the transaction log (file-granular COW, stats-pruned
+# candidates) — completes the DML triad next to MERGE and the change feed.
+# ---------------------------------------------------------------------------
+
+_DELETE_ORACLE = """
+SELECT o_orderkey AS orderkey,
+       o_orderstatus AS status,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice
+FROM orders
+WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 5000)
+"""
+
+
+@register("delete_where_orders_txnlog", oracle=_DELETE_ORACLE, tags=("M1", "S7"))
+def delete_where_orders_txnlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-shaped DELETE: commit the snapshot, delete a key range through
+    the log (only files whose stats admit a match are rewritten), read the
+    result back from the new version. Must equal filtering the source."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.txnlog import TxnLogTable
+
+    o = load_table(spark, sf_dir, "orders")
+    target = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"txnlog_del_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = TxnLogTable(path, stat_cols=("o_orderkey",))
+    t.create_or_replace(target)
+    t.delete_where(spark, [("o_orderkey", ">=", 1000), ("o_orderkey", "<", 5000)])
+    return t.read(spark).select(
+        F.col("o_orderkey").alias("orderkey"),
+        "status",
+        F.col("price").cast("double").alias("totalprice"),
+    )

@@ -462,6 +462,18 @@ class TxnLogTable:
             for f in os.listdir(out)
             if f.endswith(".parquet")
         )
+        # Zero-row part files (empty partitions; a DELETE/MERGE that drops a
+        # whole file's rows) never enter the log: they carry no stats, so
+        # they would be permanently unprunable candidates for every later
+        # stats-pruned operation. Footer metadata read — O(#files) driver
+        # work, no data scanned.
+        import pyarrow.parquet as pq
+
+        files = [
+            f
+            for f in files
+            if pq.ParquetFile(os.path.join(self.path, f)).metadata.num_rows > 0
+        ]
         return files, self._collect_stats(df, files)
 
     def _collect_stats(self, df: DataFrame, files: list[str]) -> dict:
@@ -594,7 +606,7 @@ class TxnLogTable:
         no-ops.
         """
         os.makedirs(self.log_dir, exist_ok=True)
-        resolves_keys = operation in ("merge", "create_or_replace")
+        resolves_keys = operation in ("merge", "create_or_replace", "delete")
         if schema_json is not None and operation in ("append", "merge"):
             # Evolution guard (M4 discipline): appending may ADD nullable
             # columns (old files backfill NULL on read) but never retype or
@@ -771,6 +783,48 @@ class TxnLogTable:
             removes=hit_rel,
             operation="merge",
             schema_json=merged.schema.json(),
+            app_txn_id=app_txn_id,
+            read_version=rv,
+            stats=stats,
+        )
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        where: Sequence[tuple],
+        app_txn_id: str | None = None,
+    ) -> int:
+        """File-granular copy-on-write DELETE (Delta ``DELETE WHERE``; the
+        GDPR right-to-be-forgotten path): only files whose per-file stats
+        say they COULD hold a matching row are read and rewritten without
+        the matches; every other file carries over by reference. The same
+        ``(col, op, value)`` predicate triples as :meth:`read`. At 100 TB
+        with key-clustered files (OPTIMIZE + stats) a targeted delete
+        touches a handful of files, not the table."""
+        rv = self.version()
+        state = self._state(rv)
+        files = list(state["active"])
+        schema = (
+            StructType.fromJson(json.loads(state["schema"]))
+            if state["schema"]
+            else None
+        )
+        if schema is None:
+            raise ValueError(f"no such table (empty log): {self.path}")
+        candidates = _skip_by_stats(files, state["stats"], where)
+        if not candidates:
+            return rv  # provably nothing to delete
+        kept_rows = (
+            spark.read.schema(schema)
+            .parquet(*[os.path.join(self.path, f) for f in candidates])
+            .filter(~_predicate_expr(where))
+        )
+        adds, stats = self._write_data(kept_rows)
+        return self.commit(
+            adds=adds,
+            removes=candidates,
+            operation="delete",
+            schema_json=None,
             app_txn_id=app_txn_id,
             read_version=rv,
             stats=stats,

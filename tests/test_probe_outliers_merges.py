@@ -106,6 +106,7 @@ def test_new_registrations_inside_driver_window():
         "value_quantile_sketch",
         "bloom_semi_join_stats",
         "pagerank_purchase_graph",
+        "delete_where_orders_txnlog",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"

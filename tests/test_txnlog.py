@@ -106,7 +106,10 @@ def test_vacuum_removes_only_unreferenced(spark, tmp_path):
     t.create_or_replace(_df(spark, [(1, "a", 1)]))
     orphans, _ = t._write_data(_df(spark, [(9, "z", 1)]))  # aborted writer
     removed = t.vacuum(retention_seconds=0.0)
-    assert set(removed) == set(orphans)
+    # every orphan goes; vacuum may ALSO sweep zero-row part files that
+    # _write_data excluded from adds (they are unreferenced by design)
+    assert set(orphans) <= set(removed)
+    assert not any(f in removed for f in t.snapshot_files())
     assert t.read(spark).count() == 1  # committed data untouched
 
 
@@ -540,3 +543,46 @@ def test_maintenance_plan_flags_small_files_log_tail_and_orphans(spark, tmp_path
     t.vacuum(retention_seconds=0)
     actions = {p["action"] for p in t.maintenance_plan()}
     assert "vacuum" not in actions and "expire_log" not in actions
+
+
+def test_delete_where_rewrites_only_candidate_files(spark, tmp_path):
+    """COW DELETE: files whose stats exclude the predicate carry over BY
+    REFERENCE; only candidates are rewritten without their matches; a
+    provably-empty delete is a version no-op."""
+    t = TxnLogTable(str(tmp_path / "t17"), stat_cols=("id",))
+    t.create_or_replace(_df(spark, [(1, "a", 1), (2, "b", 1)]).coalesce(1))
+    t.append(_df(spark, [(100, "x", 1), (101, "y", 1)]).coalesce(1))
+    t.append(_df(spark, [(200, "p", 1), (201, "q", 1)]).coalesce(1))
+    before = t.snapshot_files()
+
+    v = t.delete_where(spark, [("id", ">=", 100), ("id", "<", 200)])
+    after = set(t.snapshot_files())
+    assert before[0] in after and before[2] in after  # untouched by reference
+    assert before[1] not in after  # the candidate file was rewritten away
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == [1, 2, 200, 201]
+    # time travel still sees the deleted rows
+    assert t.read(spark, version=v - 1).count() == 6
+    # the change feed records exactly the deletions
+    feed = t.table_changes(spark, v - 1, v).collect()
+    assert sorted((r["id"], r["_change_type"]) for r in feed) == [
+        (100, "delete"),
+        (101, "delete"),
+    ]
+    # predicate provably outside every file: no new version
+    assert t.delete_where(spark, [("id", ">=", 10_000)]) == v
+
+
+def test_delete_conflicts_with_concurrent_append(spark, tmp_path):
+    """Serializability: a concurrent append may add rows matching the
+    predicate — replaying the delete against its stale snapshot must
+    conflict, like MERGE."""
+    t = TxnLogTable(str(tmp_path / "t18"), stat_cols=("id",))
+    t.create_or_replace(_df(spark, [(1, "a", 1)]).coalesce(1))
+    rv = t.version()
+    files = t.snapshot_files()
+    t.append(_df(spark, [(2, "b", 1)]).coalesce(1))  # concurrent append
+    kept = t.read(spark, version=rv).filter(F.col("id") != 1)
+    adds, stats = t._write_data(kept)
+    with pytest.raises(CommitConflict):
+        t.commit(adds=adds, removes=files, operation="delete", read_version=rv, stats=stats)
