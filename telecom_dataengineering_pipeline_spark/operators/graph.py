@@ -21,7 +21,7 @@ simplified PageRank variant; both engines compute the same thing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -35,32 +35,41 @@ def pagerank_fixed_point(
     multiplicity should not weight the walk). Returns ``(node, rank_fp)``
     with rank in units of ``scale`` after ``iters`` synchronous
     iterations from a uniform start."""
-    edges = edges.select("src", "dst")
+    # Loop-invariant spine, computed ONCE (localCheckpoint truncates the
+    # lineage — without it Spark re-derives the upstream edge construction
+    # per iteration): the edge list with its out-degree folded in, so no
+    # per-iteration degree join.
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    w = Window.partitionBy("src")
+    ed = edges.withColumn(
+        "outdeg", F.count(F.lit(1)).over(w).cast("long")
+    ).localCheckpoint(eager=False)
+    teleport = scale * (100 - damping_pct) // 100
+    damp = f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100"
+    # Ranks stay SPARSE between iterations: only nodes with inflow carry a
+    # row; a node absent from the inflow relation has rank exactly
+    # ``teleport``, which the coalesce reconstructs at the next join — one
+    # join + one map-side-combined sum per iteration, nothing else.
+    inflow: DataFrame | None = None
+    for _ in range(iters):
+        if inflow is None:
+            contrib = ed.select(
+                F.col("dst").alias("node"),
+                F.expr(f"{scale} div outdeg").alias("c"),
+            )
+        else:
+            joined = ed.join(inflow, ed["src"] == inflow["node"], "left")
+            contrib = joined.select(
+                F.col("dst").alias("node"),
+                F.expr(f"(({teleport} + {damp})) div outdeg").alias("c"),
+            )
+        inflow = contrib.groupBy("node").agg(F.sum("c").cast("long").alias("s"))
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
-    teleport = scale * (100 - damping_pct) // 100
-    rank = nodes.withColumn("rank_fp", F.lit(scale).cast("long"))
-    for _ in range(iters):
-        contrib = (
-            edges.join(rank, edges["src"] == rank["node"])
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_fp div outdeg").alias("c"),
-            )
-        )
-        inflow = contrib.groupBy("node").agg(F.sum("c").cast("long").alias("s"))
-        rank = nodes.join(inflow, "node", "left").select(
-            "node",
-            (
-                F.lit(teleport)
-                + F.expr(f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100")
-            )
-            .cast("long")
-            .alias("rank_fp"),
-        )
-    return rank
+    return nodes.join(inflow, "node", "left").select(
+        "node",
+        (F.lit(teleport) + F.expr(damp)).cast("long").alias("rank_fp"),
+    )
