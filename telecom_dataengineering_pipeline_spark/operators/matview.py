@@ -153,3 +153,52 @@ class IncrementalRollup:
         return (
             self.view.read(spark).filter(F.col("n_rows") > 0).drop("_refresh_v")
         )
+
+    # -- base-version tracking / recovery -----------------------------------
+
+    def last_refreshed_version(self) -> int:
+        """Highest base version folded into the view, recovered from the
+        view log's own txn ids (``ivm-N``/``full-N``) — no side-channel
+        state, so recovery needs nothing but the two tables."""
+        if not self.view.exists():
+            return -1
+        versions = []
+        for t in self.view._state()["txn_ids"]:
+            if t.startswith(("ivm-", "full-")):
+                versions.append(int(t.rsplit("-", 1)[1]))
+        return max(versions, default=-1)
+
+    def catch_up(self, base: TxnLogTable, spark: SparkSession) -> int:
+        """Fold every base commit not yet reflected in the view, one
+        version-aligned feed at a time. Crash-safe and idempotent: a
+        refresh that already happened is a txn-id no-op, and a refresh that
+        was lost (crash between base commit and view merge) is simply
+        re-derived from the change feed — the recovery loop IS the normal
+        path. Returns the base version the view now reflects."""
+        bv = base.version()
+        for v in range(self.last_refreshed_version() + 1, bv + 1):
+            self.apply_changes(
+                spark, base.table_changes(spark, v - 1, v), refresh_v=v
+            )
+        return bv
+
+
+class StreamingRollupLoop:
+    """Streaming ingest + incremental view maintenance in one foreachBatch:
+    each micro-batch appends to the base table (exactly-once by batch id)
+    and the rollup catches up on every base version it has not folded yet.
+    A batch retried after the append committed but before the view merged
+    lands in the catch-up path instead of being lost — the at-least-once →
+    exactly-once bridge for BOTH tables."""
+
+    def __init__(self, base: TxnLogTable, rollup: IncrementalRollup) -> None:
+        self.base = base
+        self.rollup = rollup
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        txn = f"mv-ingest-{batch_id}"
+        if self.base.exists():
+            self.base.append(batch_df, app_txn_id=txn)
+        else:
+            self.base.create_or_replace(batch_df, app_txn_id=txn)
+        self.rollup.catch_up(self.base, batch_df.sparkSession)

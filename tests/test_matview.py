@@ -92,3 +92,63 @@ def test_retried_refresh_is_a_noop(spark, tmp_path):
     view.apply_changes(spark, feed, refresh_v=1)  # at-least-once redelivery
     after = [(r["grp"], r["n_rows"], str(r["sum_amt"])) for r in view.read(spark).collect()]
     assert before == after
+
+
+def test_streaming_rollup_loop_with_crash_recovery(spark, tmp_path):
+    """foreachBatch streaming IVM: three micro-batches ingest + fold; a
+    batch retried after its append committed (crash before the view merge)
+    is recovered by catch-up, and out-of-band base commits fold too."""
+    import os
+    import shutil
+
+    from pyspark.sql.types import StructType
+
+    from telecom_dataengineering_pipeline_spark.operators.matview import (
+        StreamingRollupLoop,
+    )
+
+    schema_str = "id LONG, grp STRING, version INT, amt DECIMAL(12,2)"
+    batches = [
+        [(1, "a", 1, 10.00), (2, "b", 1, 4.00)],
+        [(3, "a", 1, 6.00)],
+        [(4, "c", 1, 2.50), (5, "b", 1, 1.50)],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"stage{i}")
+        _df(spark, rows).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+
+    base, rollup = _mk(spark, tmp_path)
+    loop = StreamingRollupLoop(base, rollup)
+    q = (
+        spark.readStream.schema(StructType.fromDDL(schema_str))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(loop.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    _assert_view_matches_base(spark, base, rollup)
+    assert rollup.last_refreshed_version() == base.version() == 2
+
+    # retry of a committed batch: append no-ops, catch-up finds nothing
+    loop.process_batch(_df(spark, batches[2]), 2)
+    _assert_view_matches_base(spark, base, rollup)
+    assert base.version() == 2
+
+    # crash shape: base gains a commit with NO view refresh (out-of-band
+    # writer / crash between commit and merge) — the next batch's catch-up
+    # folds it
+    base.append(_df(spark, [(6, "a", 1, 100.00)]))
+    assert rollup.last_refreshed_version() == 2 and base.version() == 3
+    loop.process_batch(_df(spark, [(7, "d", 1, 0.25)]), 3)
+    _assert_view_matches_base(spark, base, rollup)
+    assert rollup.last_refreshed_version() == base.version() == 4
