@@ -154,3 +154,96 @@ def test_txnlog_merge_sequence_matches_reference(spark, tmp_path_factory, base, 
     got = sorted((r["k"], r["version"], r["v"]) for r in t.read(spark).collect())
     want = sorted((k, ver_, v) for k, (ver_, v) in best.items())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: membership is never a false negative, for ANY key set and
+# any probe set; false positives exist but composition with the exact join
+# is lossless. Reference = Python set arithmetic.
+# ---------------------------------------------------------------------------
+
+_keys = st.lists(st.integers(min_value=-1000, max_value=1000), min_size=0, max_size=30)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(members=_keys, probes=_keys)
+def test_bloom_never_false_negative(spark, members, probes):
+    from telecom_dataengineering_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    dim = spark.createDataFrame([(k,) for k in members] or [(None,)], "k LONG").filter(
+        F.col("k").isNotNull()
+    )
+    words = bloom_build(dim, "k", m_bits=256, k=3)
+    probe_df = spark.createDataFrame(
+        [(p,) for p in probes] or [(None,)], "p LONG"
+    ).filter(F.col("p").isNotNull())
+    passed = {
+        r["p"]
+        for r in probe_df.filter(
+            bloom_might_contain(F.col("p"), words, m_bits=256, k=3)
+        ).collect()
+    }
+    member_set = set(members)
+    # every true member among the probes passes — no false negative, ever
+    assert (member_set & set(probes)) <= passed
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch: estimate within one bucket width of the true
+# percentile; merge of any split equals single-pass. Reference = sorted
+# Python list.
+# ---------------------------------------------------------------------------
+
+_vals = st.lists(
+    st.floats(min_value=0.0, max_value=100.0, allow_nan=False), min_size=1, max_size=60
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(vals=_vals, cut=st.integers(min_value=0, max_value=60), p=st.sampled_from([0.25, 0.5, 0.9]))
+def test_quantile_sketch_bound_and_merge(spark, vals, cut, p):
+    from telecom_dataengineering_pipeline_spark.quality.quantile_sketch import (
+        histogram_sketch,
+        merge_histogram_sketches,
+        quantile_estimates,
+    )
+
+    lo, hi, nb = 0.0, 100.0, 25
+    width = (hi - lo) / nb
+    df = spark.createDataFrame([("g", v) for v in vals], "grp STRING, v DOUBLE")
+    sk = histogram_sketch(df, "v", lo, hi, nb, ["grp"])
+    est = quantile_estimates(sk, [p], lo, hi, nb, ["grp"]).collect()[0]["quantile_est"]
+    # true percentile (nearest-rank, either convention) is inside the same
+    # or adjacent bucket: the estimate can be off by at most one width
+    s = sorted(vals)
+    import math
+
+    rank_lo = s[max(0, math.ceil(p * len(s)) - 1)]
+    assert abs(est - rank_lo) <= 2 * width
+
+    cut = min(cut, len(vals))
+    a = histogram_sketch(
+        spark.createDataFrame([("g", v) for v in vals[:cut]] or [("g", None)], "grp STRING, v DOUBLE"),
+        "v", lo, hi, nb, ["grp"],
+    )
+    b = histogram_sketch(
+        spark.createDataFrame([("g", v) for v in vals[cut:]] or [("g", None)], "grp STRING, v DOUBLE"),
+        "v", lo, hi, nb, ["grp"],
+    )
+    merged = {
+        (r["grp"], r["bucket"]): r["n"]
+        for r in merge_histogram_sketches([a, b], ["grp"]).collect()
+    }
+    single = {(r["grp"], r["bucket"]): r["n"] for r in sk.collect()}
+    assert merged == single
