@@ -425,3 +425,55 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_estimates(
         sk, [0.5, 0.9, 0.99], lo=0.0, hi=500.0, n_buckets=100, group_cols=["event_type"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation from exact decimal sums: corr() in both engines sums
+# doubles in partition order (never reproducible bit-exact); deriving it
+# from DECIMAL Σx, Σy, Σxy, Σx², Σy², n — exact, order-independent — and
+# applying the SAME double formula at the end makes the statistic itself
+# value-comparable. The shape that scales: one map-side-combined aggregate,
+# five running sums per group.
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+         sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+         sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       AS qty_price_corr
+FROM s
+"""
+
+
+@register("qty_price_correlation", oracle=_CORR_ORACLE, tags=("A8", "DQ"))
+def qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return s.select("l_returnflag", "n", F.round(corr, 6).alias("qty_price_corr"))

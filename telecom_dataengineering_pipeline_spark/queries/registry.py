@@ -68,6 +68,7 @@ DRIVER_ORDER: list[str] = [
     "bloom_semi_join_stats",
     "pagerank_purchase_graph",
     "delete_where_orders_txnlog",
+    "qty_price_correlation",
     # -- last driver-checked in ROUND 1 (stalest driver evidence; the
     #    relational/window/DQ tier VERDICT r3 asked to rotate back in)
     "latest_event_per_user_type",
