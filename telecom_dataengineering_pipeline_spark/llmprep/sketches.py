@@ -25,6 +25,8 @@ plausible. The complement of the HLL cardinality sketch in
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -127,3 +129,86 @@ def cms_heavy_hitters(
     sketch = cms_build(items, item_col, depth, width)
     est = cms_estimate(sketch, candidates, item_col, depth, width)
     return est.orderBy(F.col("cms_count").desc(), F.col(item_col).asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — the cardinality member of the
+# mergeable-sketch family (CMS answers "how often", HLL answers "how many
+# distinct"). Spark's approx_count_distinct is HLL too but its registers
+# are engine-internal; this construction uses the same md5-derived 32-bit
+# hash family as the CMS, so DuckDB rebuilds the EXACT register table and
+# the estimate itself is oracle-checkable. Registers max-merge across
+# shards (the distributable property); integer-scaled harmonic sums keep
+# the estimate arithmetic bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_HLL_B = 5  # 2^5 = 32 registers; relative error ~1.04/sqrt(32) ≈ 18%
+_HLL_REM_BITS = 32 - _HLL_B  # remainder width -> rho ∈ [1, 28]
+
+
+def hll_registers(
+    df: DataFrame, col: str, b: int = _HLL_B, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Per-(group, bucket) max leading-zero rank: ``(*group_cols, bucket,
+    M)``. One pass, map-side-combined max; merge shards with another
+    groupBy-max."""
+    m = 1 << b
+    rem_bits = 32 - b
+    h = token_hash32(F.concat(F.lit("hll_"), F.col(col).cast("string")))
+    hashed = df.select(*group_cols, h.alias("_h"))
+    # bucket = low b bits; remainder = the top 32−b bits; rho = leading
+    # zeros within the remainder + 1, via binary-string length (exact in
+    # both engines, no float log2 edge cases)
+    rem = F.expr(f"_h div {m}")
+    rho = F.when(rem > 0, F.lit(rem_bits + 1) - F.length(F.bin(rem))).otherwise(
+        F.lit(rem_bits + 1)
+    )
+    return (
+        hashed.select(
+            *group_cols,
+            (F.col("_h") % m).cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_alpha(b: int = _HLL_B) -> float:
+    m = 1 << b
+    return {4: 0.673, 5: 0.697, 6: 0.709}.get(b, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_const(b: int = _HLL_B) -> float:
+    """The Python-computed α·m²·2^(rem_bits+1) numerator, exposed so the
+    DuckDB oracle can embed the IDENTICAL double (multiplication order
+    matters at the ulp level)."""
+    m = 1 << b
+    return hll_alpha(b) * m * m * float(1 << (32 - b + 1))
+
+
+def hll_estimate_expr(b: int = _HLL_B):
+    """Aggregate expressions turning grouped registers into the estimate.
+    Returns (z_int_agg, estimate_fn): the harmonic sum is kept as an exact
+    scaled integer (Σ 2^(rem_bits+1−M), empty registers contribute the full
+    2^(rem_bits+1)) so both engines divide the same integers with the same
+    literals — bit-identical doubles out."""
+    m = 1 << b
+    rem_bits = 32 - b
+    top = rem_bits + 1
+    z_nonempty = F.sum(
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({top} - M AS INT))")
+    ).cast("long")
+    n_buckets = F.count(F.lit(1)).cast("long")
+
+    def estimate(z_col, cnt_col):
+        z_int = z_col + (F.lit(m) - cnt_col) * F.lit(1 << top)
+        zeros = F.lit(m) - cnt_col
+        e_raw = F.lit(hll_const(b)) / z_int
+        corrected = F.when(
+            (e_raw <= 2.5 * m) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+        ).otherwise(e_raw)
+        return F.round(corrected, 4)
+
+    return z_nonempty, n_buckets, estimate

@@ -477,3 +477,67 @@ def qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
     return s.select("l_returnflag", "n", F.round(corr, 6).alias("qty_price_corr"))
+
+
+# ---------------------------------------------------------------------------
+# A9 at scale, oracle-checkable form: engine-neutral HyperLogLog.
+# approx_count_distinct is HLL with engine-internal registers; this
+# construction (llmprep/sketches.py) hashes with the md5 family so DuckDB
+# rebuilds the EXACT register table, and integer-scaled harmonic sums make
+# the estimate bit-identical — an approximate algorithm behind an exact
+# correctness gate, like the quantile sketch.
+# ---------------------------------------------------------------------------
+
+
+def _hll_oracle() -> str:
+    from ..llmprep.sketches import hll_const
+
+    c = repr(hll_const(5))
+    est = f"CASE WHEN ({c} / (z + (32 - cnt) * 268435456)) <= 80.0 AND (32 - cnt) > 0 THEN 32.0 * ln(32.0 / (32 - cnt)) ELSE {c} / (z + (32 - cnt) * 268435456) END"
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x'||substr(md5('hll_' || CAST(event_id AS VARCHAR)),1,8))::BIGINT AS h
+  FROM events
+), reg AS (
+  SELECT event_type, CAST(h % 32 AS INTEGER) AS bucket,
+         MAX(CASE WHEN h // 32 > 0 THEN 28 - length(bin(h // 32)) ELSE 28 END) AS M
+  FROM h GROUP BY 1, 2
+), g AS (
+  SELECT event_type,
+         CAST(sum(1::BIGINT << (28 - M)) AS BIGINT) AS z,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM reg GROUP BY 1
+), ex AS (
+  SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT g.event_type, ex.n_exact,
+       round({est}, 4) AS hll_estimate,
+       round(abs(round({est}, 4) - ex.n_exact) / ex.n_exact, 4) AS rel_error
+FROM g JOIN ex ON g.event_type = ex.event_type
+"""
+
+
+@register("cardinality_hll_profile", oracle=_hll_oracle(), tags=("A9", "DQ", "sketch"))
+def cardinality_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.sketches import hll_estimate_expr, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev, "event_id", group_cols=["event_type"])
+    z_agg, cnt_agg, est = hll_estimate_expr()
+    g = regs.groupBy("event_type").agg(z_agg.alias("z"), cnt_agg.alias("cnt"))
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("event_id").cast("long").alias("n_exact")
+    )
+    out = g.join(exact, "event_type").withColumn(
+        "hll_estimate", est(F.col("z"), F.col("cnt"))
+    )
+    return out.select(
+        "event_type",
+        "n_exact",
+        "hll_estimate",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_error"),
+    )

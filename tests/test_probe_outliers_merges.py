@@ -108,6 +108,7 @@ def test_new_registrations_inside_driver_window():
         "pagerank_purchase_graph",
         "delete_where_orders_txnlog",
         "qty_price_correlation",
+        "cardinality_hll_profile",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"

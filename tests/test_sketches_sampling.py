@@ -105,3 +105,35 @@ def test_bitext_mutual_nn_keeps_only_mutual_pairs(spark):
     # symmetry: every emitted tgt appears exactly once (it has one best src)
     tgts = [t for _, t in got]
     assert len(tgts) == len(set(tgts))
+
+
+def test_hll_registers_merge_and_accuracy(spark):
+    """HLL: shard registers max-merge to the single-pass registers; the
+    estimate lands within a few standard errors of truth; the small-range
+    correction branch engages for tiny sets and stays positive."""
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.llmprep.sketches import (
+        hll_estimate_expr,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame([(f"item_{i}",) for i in range(1000)], "v STRING")
+    regs = hll_registers(df, "v")
+    a = hll_registers(spark.createDataFrame([(f"item_{i}",) for i in range(600)], "v STRING"), "v")
+    b = hll_registers(spark.createDataFrame([(f"item_{i}",) for i in range(400, 1000)], "v STRING"), "v")
+    merged = a.unionByName(b).groupBy("bucket").agg(F.max("M").alias("M"))
+    assert sorted(map(tuple, regs.collect())) == sorted(map(tuple, merged.collect()))
+
+    z_agg, cnt_agg, est = hll_estimate_expr()
+    one = regs.agg(z_agg.alias("z"), cnt_agg.alias("cnt")).select(
+        est(F.col("z"), F.col("cnt")).alias("e")
+    ).first()["e"]
+    # m=32 -> stderr ~18%; allow 3 sigma
+    assert 0.46 * 1000 <= one <= 1.54 * 1000
+
+    tiny = hll_registers(spark.createDataFrame([("a",), ("b",), ("c",)], "v STRING"), "v")
+    t = tiny.agg(z_agg.alias("z"), cnt_agg.alias("cnt")).select(
+        est(F.col("z"), F.col("cnt")).alias("e")
+    ).first()["e"]
+    assert 0 < t <= 12  # linear-counting branch, small answer for 3 items
