@@ -800,3 +800,47 @@ def bitext_mutual_nn(
     return best_fwd.join(best_rev, ["src_id", "tgt_id", "cosine"]).select(
         "src_id", "tgt_id", "cosine"
     )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    centroid_mod: int = 100,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup, SemDeDup-shaped (cluster-then-compare): spherical
+    k-means partitions the corpus, and candidate pairs form ONLY within a
+    cell — the quadratic comparison shrinks from all-pairs to
+    Σ|cell|², the same blocking idea as LSH but driven by learned
+    clusters, which catch paraphrase-level duplicates exact-shingle
+    methods miss. Returns ``(cell, vec1, vec2, cosine)`` for within-cell
+    pairs at or above ``threshold``.
+
+    Scale shape: the assignment never shuffles vectors (k×dims aggregates
+    only, see ``ivf_kmeans_assign``); the pair join shuffles each vector
+    once on its cell id; candidates are verified with the JVM fold dot
+    product. Skew guard at 100 TB: cap cell size upstream (split oversized
+    cells by re-clustering) — cells here are seed-count bounded."""
+    a = ivf_kmeans_assign(
+        embeddings, centroid_mod=centroid_mod, iters=iters, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=False)  # one k-means run feeds both join sides
+    left, right = a.alias("a"), a.alias("b")
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    return (
+        left.join(
+            right,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cell").alias("cell"),
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -2203,3 +2203,31 @@ def ann_recall_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape): learned-cluster blocking + within-cell
+# cosine pairs. The oracle reuses the proven unrolled-k-means CTEs, so the
+# cluster assignment AND the pair verification are both value-checked.
+# Threshold tuned to the synthetic embeddings' cosine range (max pairwise
+# ≈0.48) so the path is exercised; production corpora use ~0.95+.
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_DEDUP_ORACLE = (
+    _kmeans_oracle().rsplit("SELECT", 1)[0]
+    + """
+SELECT a.cell, a.vec_id AS vec1, b.vec_id AS vec2,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+FROM a3 a JOIN a3 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
+"""
+)
+
+
+@register("semantic_dedup_pairs", oracle=_SEMANTIC_DEDUP_ORACLE, tags=("LLM", "dedup", "iterative"))
+def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.similarity import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )

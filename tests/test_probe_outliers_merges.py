@@ -109,6 +109,7 @@ def test_new_registrations_inside_driver_window():
         "delete_where_orders_txnlog",
         "qty_price_correlation",
         "cardinality_hll_profile",
+        "semantic_dedup_pairs",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
