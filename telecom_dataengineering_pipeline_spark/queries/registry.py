@@ -71,6 +71,7 @@ DRIVER_ORDER: list[str] = [
     "qty_price_correlation",
     "cardinality_hll_profile",
     "semantic_dedup_pairs",
+    "orders_snapshot_diff",
     # -- last driver-checked in ROUND 1 (stalest driver evidence; the
     #    relational/window/DQ tier VERDICT r3 asked to rotate back in)
     "latest_event_per_user_type",

@@ -385,3 +385,54 @@ def delete_where_orders_txnlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         F.col("price").cast("double").alias("totalprice"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-level snapshot diff (operators/diff.py): the table-compare tool
+# for states with no shared commit log (migration source vs target,
+# backfill vs production). Derives added/removed/changed per key from two
+# deterministic orders snapshots.
+# ---------------------------------------------------------------------------
+
+_SNAPDIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders WHERE o_orderkey % 3 != 0
+), new AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100 AS DECIMAL(12,2))
+              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+  FROM orders WHERE o_orderkey % 5 != 0
+)
+SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.status IS DISTINCT FROM n.status OR o.price IS DISTINCT FROM n.price THEN 'changed'
+       END AS change_type
+FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.status IS DISTINCT FROM n.status OR o.price IS DISTINCT FROM n.price THEN 'changed'
+       END IS NOT NULL
+"""
+
+
+@register("orders_snapshot_diff", oracle=_SNAPDIFF_ORACLE, tags=("U2", "M1"))
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    old = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", F.col("o_orderstatus").alias("status"), price.alias("price")
+    )
+    new = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.when(F.col("o_orderkey") % 7 == 0, (price + 100).cast("decimal(12,2)"))
+        .otherwise(price)
+        .alias("price"),
+    )
+    return snapshot_diff(old, new, keys=["o_orderkey"])

@@ -146,3 +146,30 @@ def test_range_join_open_interval(spark):
     )
     got = {r["d"]: r["ver"] for r in out.collect()}
     assert got == {5: "v1", 20: "v2"}
+
+
+def test_snapshot_diff_null_semantics_and_shapes(spark):
+    """operators/diff.py: added/removed/changed detection with null-safe
+    compare — NULL==NULL is unchanged (dropped), NULL vs value is changed;
+    same-lineage inputs (slices of one frame) must not trip the ambiguous
+    self-join analyzer."""
+    from telecom_dataengineering_pipeline_spark.operators.diff import snapshot_diff
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d"), (5, None)],
+        "k LONG, v STRING",
+    )
+    old = base.filter(F.col("k") <= 4)
+    new = (
+        base.filter(F.col("k") >= 2)
+        .withColumn("v", F.when(F.col("k") == 3, "c2")
+                    .when(F.col("k") == 4, F.lit(None).cast("string"))
+                    .otherwise(F.col("v")))
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: "removed",   # only in old
+        3: "changed",   # c -> c2
+        4: "changed",   # d -> NULL (null-safe: different)
+        5: "added",     # only in new
+    }  # k=2: NULL == NULL -> unchanged, dropped
