@@ -74,3 +74,29 @@ def read_table(
     if fmt == "csv":
         r = r.option("header", "true")
     return r.load(path)
+
+
+def read_json_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Landing-zone JSON read that QUARANTINES malformed lines instead of
+    failing the job or silently dropping them: PERMISSIVE mode parses what
+    it can, and any line that doesn't parse (or doesn't match the schema)
+    lands whole in ``corrupt_col`` with every data column NULL. Callers
+    split on ``corrupt_col IS NULL`` — clean rows continue, quarantined
+    raw lines go to a dead-letter sink for replay. At 100 TB of scraped
+    or vendor-fed JSON, a single bad line must never kill a 6-hour job
+    (FAILFAST) or vanish without audit (DROPMALFORMED)."""
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if corrupt_col not in [f.name for f in schema.fields]:
+        schema = schema.add(corrupt_col, "string")
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

@@ -50,3 +50,26 @@ def test_schemaless_row_format_read_refused(spark, tmp_path):
         read_table(spark, path, fmt="json")
     with pytest.raises(ValueError, match="unsupported format"):
         write_table(_df(spark), path, fmt="avro")
+
+
+def test_permissive_json_quarantines_corrupt_lines(spark, tmp_path):
+    from telecom_dataengineering_pipeline_spark.sources.formats import (
+        read_json_permissive,
+    )
+
+    p = tmp_path / "landing"
+    p.mkdir()
+    (p / "part1.json").write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "{this is not json at all\n"
+        '{"id": "not-a-number", "v": "type-mismatch"}\n'
+        '{"id": 3, "v": "fine"}\n'
+    )
+    df = read_json_permissive(spark, str(p), "id LONG, v STRING")
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    quarantined = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r["id"] for r in clean.collect()) == [1, 3]
+    bad = [r["_corrupt_record"] for r in quarantined.collect()]
+    assert len(bad) == 2 and any("not json" in b for b in bad)
+    # quarantined rows carry NULL data columns, never partial garbage
+    assert all(r["id"] is None for r in quarantined.collect())
