@@ -576,3 +576,59 @@ def quality_verdicts(
         *[expr.alias(name) for name, expr in rules.items()],
         keep.alias("keep"),
     )
+
+
+def bigram_logprob_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean bigram log-probability with add-1 smoothing —
+    the stronger perplexity proxy: unigram scoring only sees rare WORDS,
+    bigram scoring also flags rare SEQUENCES (shuffled text, boilerplate
+    keyword stuffing, wrong-order spans) whose individual tokens are
+    common. log p(w2|w1) = log((c(w1,w2)+1) / (c(w1)+V)).
+
+    Bigram pairs come from slicing each doc's own token array
+    (``arrays_zip(t[0:n-1], t[1:n-1])``) — a pure map stage, no
+    positional self-join. Count joins shuffle the pair stream by its key;
+    at 100 TB broadcast the count tables when the vocabulary fits (it
+    usually does). Per-pair log-probs round to 9 dp and sum as DECIMAL —
+    the engine/partitioning-exact convention of the unigram scorer.
+    Documents with fewer than two tokens have no bigrams and drop out.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(tokens(text_col), lambda t: t != "").alias("t"),
+    )
+    n = F.size(F.col("t"))
+    prs = base.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.greatest(n - 1, F.lit(0))),
+                F.expr("slice(t, 2, greatest(size(t) - 1, 0))"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    big = prs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    ex = base.select(F.explode("t").alias("tok"))
+    uni = ex.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    vocab = ex.agg(F.countDistinct("tok").cast("bigint").alias("V"))
+    logp = (
+        F.round(
+            F.log((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("V"))), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("logp")
+    )
+    scored = (
+        prs.join(big, ["w1", "w2"])
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", logp)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round((F.sum("logp") / F.count(F.lit(1))).cast("double"), 6).alias(
+            "mean_bigram_logprob"
+        ),
+    )

@@ -2231,3 +2231,46 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.35
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring (llmprep/curation.py): the stronger perplexity proxy —
+# flags rare SEQUENCES whose individual tokens are common (shuffled text,
+# keyword stuffing). Same decimal-summed determinism contract as the
+# unigram scorer.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS t FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM base WHERE len(t) >= 2
+), prs AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM idx
+), big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM prs GROUP BY 1, 2
+), toks AS (
+  SELECT unnest(t) AS tok FROM base
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY 1
+), voc AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS V FROM toks
+), scored AS (
+  SELECT p.doc_id,
+         CAST(round(ln(CAST(b.c12 + 1 AS DOUBLE) / (u.c1 + v.V)), 9) AS DECIMAL(18,9)) AS logp
+  FROM prs p
+  JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+  JOIN uni u ON u.tok = p.w1
+  CROSS JOIN voc v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(logp) / count(*) AS DOUBLE), 6) AS mean_bigram_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_bigram_logprob", oracle=_BIGRAM_ORACLE, tags=("LLM", "curation"))
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.curation import bigram_logprob_scores
+
+    return bigram_logprob_scores(load_table(spark, sf_dir, "documents"))

@@ -72,6 +72,7 @@ DRIVER_ORDER: list[str] = [
     "cardinality_hll_profile",
     "semantic_dedup_pairs",
     "orders_snapshot_diff",
+    "text_bigram_logprob",
     # -- last driver-checked in ROUND 1 (stalest driver evidence; the
     #    relational/window/DQ tier VERDICT r3 asked to rotate back in)
     "latest_event_per_user_type",
