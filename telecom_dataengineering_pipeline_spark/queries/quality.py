@@ -541,3 +541,68 @@ def cardinality_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 4
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: clip each group's values at the sketch's p05/p95 before
+# computing stats — the standard outlier-robust normalization for training
+# signals, composed FROM the quantile sketch (one extra broadcast of
+# groups×2 bounds; the clip is a pure column expression). Decimal-summed
+# means keep the result engine-exact.
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = f"""
+WITH q AS ({_QSKETCH_ORACLE.replace("[0.5, 0.9, 0.99]", "[0.05, 0.95]")}),
+bounds AS (
+  SELECT event_type,
+         max(CASE WHEN prob = 0.05 THEN quantile_est END) AS lo,
+         max(CASE WHEN prob = 0.95 THEN quantile_est END) AS hi
+  FROM q GROUP BY 1
+), clipped AS (
+  SELECT e.event_type,
+         least(greatest(e.value, b.lo), b.hi) AS cv,
+         CASE WHEN e.value < b.lo THEN 1 ELSE 0 END AS clip_lo,
+         CASE WHEN e.value > b.hi THEN 1 ELSE 0 END AS clip_hi
+  FROM events e JOIN bounds b ON e.event_type = b.event_type
+  WHERE e.value IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(clip_lo) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(clip_hi) AS BIGINT) AS n_clipped_hi,
+       round(CAST(sum(CAST(round(cv, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS winsorized_mean
+FROM clipped GROUP BY 1
+"""
+
+
+@register("winsorized_value_stats", oracle=_WINSOR_ORACLE, tags=("A11", "DQ", "sketch"))
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.quantile_sketch import histogram_sketch, quantile_estimates
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = histogram_sketch(ev, "value", 0.0, 500.0, 100, ["event_type"])
+    qs = quantile_estimates(sk, [0.05, 0.95], 0.0, 500.0, 100, ["event_type"])
+    bounds = qs.groupBy("event_type").agg(
+        F.max(F.when(F.col("prob") == 0.05, F.col("quantile_est"))).alias("lo"),
+        F.max(F.when(F.col("prob") == 0.95, F.col("quantile_est"))).alias("hi"),
+    )
+    clipped = (
+        ev.filter(F.col("value").isNotNull())
+        .join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("cv"),
+            (F.col("value") < F.col("lo")).cast("int").alias("clip_lo"),
+            (F.col("value") > F.col("hi")).cast("int").alias("clip_hi"),
+        )
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("clip_lo").cast("long").alias("n_clipped_lo"),
+        F.sum("clip_hi").cast("long").alias("n_clipped_hi"),
+        F.round(
+            F.sum(F.round(F.col("cv"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("winsorized_mean"),
+    )

@@ -112,6 +112,7 @@ def test_new_registrations_inside_driver_window():
         "semantic_dedup_pairs",
         "orders_snapshot_diff",
         "text_bigram_logprob",
+        "winsorized_value_stats",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
