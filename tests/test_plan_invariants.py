@@ -193,3 +193,25 @@ def test_star_join_collapses_snowflake_into_one_fact_probe(spark, sf_smoke):
     # top fact join first; the two chain joins live under its broadcast build
     assert bhj[1] > bex[0] and bhj[2] > bex[0], plan
     assert _n_shuffles(plan) == 0
+
+
+def test_sketch_builds_are_single_exchange_pruned_scans(spark, sf_smoke):
+    """Histogram-sketch and HLL-register builds: ONE hash exchange (the
+    map-side-combined aggregate), events scan pruned to exactly the used
+    columns — the one-pass mergeable-sketch contract."""
+    from telecom_dataengineering_pipeline_spark.llmprep.sketches import hll_registers
+    from telecom_dataengineering_pipeline_spark.quality.quantile_sketch import (
+        histogram_sketch,
+    )
+    from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    hist = histogram_sketch(ev, "value", 0.0, 500.0, 100, ["event_type"])
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    assert _n_shuffles(plan) == 1
+    assert "props" not in plan and "user_id" not in plan  # pruned scan
+
+    regs = hll_registers(ev, "event_id", group_cols=["event_type"])
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    assert _n_shuffles(plan) == 1
+    assert "props" not in plan
