@@ -844,3 +844,53 @@ def semantic_dedup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    ceiling: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard negatives for contrastive/embedding training: for each query,
+    the top-k most-similar vectors with a DIFFERENT label, capped below a
+    similarity ceiling (a cross-label candidate above it is more likely a
+    labeling error or near-duplicate than a useful negative — the standard
+    false-negative filter in retrieval training).
+
+    Same scale shape as ``cosine_topk``: the query slice broadcasts, the
+    corpus streams through JVM fold dot products, ranks prune with
+    WindowGroupLimit. Swap in the IVF/PQ candidate generators for the
+    corpus side at scale — the mining filter (label mismatch + ceiling +
+    top-k) is separable from how candidates are produced."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    q = e.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
+    scored = (
+        e.join(F.broadcast(q), F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") < ceiling)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -2274,3 +2274,37 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmprep.curation import bigram_logprob_scores
 
     return bigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (llmprep/similarity.py): top-k most-similar
+# CROSS-label vectors under a similarity ceiling — the retrieval-training
+# negative sampler, with the standard false-negative filter.
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), q AS (
+  SELECT vec_id AS query_id, label AS q_label, v AS qv, nrm AS qn FROM n WHERE vec_id < 10
+), s AS (
+  SELECT q.query_id, n.vec_id AS negative_id,
+         round(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6) AS cosine
+  FROM q JOIN n ON n.label <> q.q_label
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, negative_id ASC) AS INTEGER) AS rank
+  FROM s WHERE cosine < 0.95
+)
+SELECT query_id, negative_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("hard_negative_mining", oracle=_HARDNEG_ORACLE, tags=("LLM", "similarity"))
+def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.similarity import hard_negative_mining
+
+    return hard_negative_mining(
+        load_table(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    )
