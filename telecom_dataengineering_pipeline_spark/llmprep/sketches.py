@@ -212,3 +212,51 @@ def hll_estimate_expr(b: int = _HLL_B):
         return F.round(corrected, 4)
 
     return z_nonempty, n_buckets, estimate
+
+
+class StreamingSketchLoop:
+    """Continuous frequency tracking: each micro-batch's CMS cells APPEND
+    to a txnlog table (exactly-once by batch id), and the live sketch is
+    the cell-wise sum of everything appended — the additive-counter
+    property means the merge is just a groupBy, no rebuild, no state
+    store. The sketch table time-travels with the log (frequency profile
+    as-of any batch), stays ≤ batches × depth × width rows between
+    OPTIMIZE compactions, and one ``optimize()`` collapses it back to
+    ≤ depth × width with identical sums."""
+
+    def __init__(
+        self,
+        table,
+        item_col: str,
+        depth: int = 4,
+        width: int = 256,
+    ) -> None:
+        self.table = table
+        self.item_col = item_col
+        self.depth, self.width = depth, width
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        cells = cms_build(batch_df, self.item_col, self.depth, self.width)
+        txn = f"cms-{batch_id}"
+        if self.table.exists():
+            self.table.append(cells, app_txn_id=txn)
+        else:
+            self.table.create_or_replace(cells, app_txn_id=txn)
+
+    def sketch(self, spark, version: int | None = None) -> DataFrame:
+        """The merged sketch as of a txnlog version (default: latest)."""
+        return (
+            self.table.read(spark, version)
+            .groupBy("rw", "cl")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def heavy_hitters(
+        self, spark, candidates: DataFrame, k: int = 20, version: int | None = None
+    ) -> DataFrame:
+        est = cms_estimate(
+            self.sketch(spark, version), candidates, self.item_col, self.depth, self.width
+        )
+        return est.orderBy(
+            F.col("cms_count").desc(), F.col(self.item_col).asc()
+        ).limit(k)

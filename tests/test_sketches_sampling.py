@@ -137,3 +137,47 @@ def test_hll_registers_merge_and_accuracy(spark):
         est(F.col("z"), F.col("cnt")).alias("e")
     ).first()["e"]
     assert 0 < t <= 12  # linear-counting branch, small answer for 3 items
+
+
+def test_streaming_cms_loop_merges_batches_and_time_travels(spark, tmp_path):
+    """Continuous CMS: per-batch cells appended through the txnlog sum to
+    the single-pass sketch over all data; retried batches no-op; the
+    sketch time-travels; OPTIMIZE compacts without changing sums."""
+    from telecom_dataengineering_pipeline_spark.llmprep.sketches import (
+        StreamingSketchLoop,
+        cms_build,
+    )
+    from telecom_dataengineering_pipeline_spark.sources.txnlog import TxnLogTable
+
+    batches = [
+        [("a",)] * 5 + [("b",)] * 2,
+        [("a",)] * 3 + [("c",)] * 4,
+        [("b",)] * 6,
+    ]
+    loop = StreamingSketchLoop(TxnLogTable(str(tmp_path / "cms")), "tok")
+    for i, rows in enumerate(batches):
+        loop.process_batch(spark.createDataFrame(rows, "tok STRING"), i)
+
+    all_rows = spark.createDataFrame([r for b in batches for r in b], "tok STRING")
+    single = {(r["rw"], r["cl"]): r["cnt"] for r in cms_build(all_rows, "tok").collect()}
+    merged = {(r["rw"], r["cl"]): r["cnt"] for r in loop.sketch(spark).collect()}
+    assert merged == single
+
+    # retry no-op
+    loop.process_batch(spark.createDataFrame(batches[2], "tok STRING"), 2)
+    assert {(r["rw"], r["cl"]): r["cnt"] for r in loop.sketch(spark).collect()} == single
+
+    # heavy hitters over the live sketch (CMS never under-counts)
+    cands = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], "tok STRING")
+    hh = {r["tok"]: r["cms_count"] for r in loop.heavy_hitters(spark, cands, k=4).collect()}
+    assert hh["a"] >= 8 and hh["b"] >= 8 and hh["c"] >= 4
+
+    # time travel: version 0 sees only batch 0
+    v0 = {(r["rw"], r["cl"]): r["cnt"] for r in loop.sketch(spark, version=0).collect()}
+    b0 = {(r["rw"], r["cl"]): r["cnt"] for r in cms_build(
+        spark.createDataFrame(batches[0], "tok STRING"), "tok").collect()}
+    assert v0 == b0
+
+    # OPTIMIZE compacts the cell table; sums unchanged
+    loop.table.optimize(spark, target_files=1)
+    assert {(r["rw"], r["cl"]): r["cnt"] for r in loop.sketch(spark).collect()} == single
