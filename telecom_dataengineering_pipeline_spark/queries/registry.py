@@ -75,6 +75,7 @@ DRIVER_ORDER: list[str] = [
     "text_bigram_logprob",
     "winsorized_value_stats",
     "hard_negative_mining",
+    "order_price_deciles",
     # -- last driver-checked in ROUND 1 (stalest driver evidence; the
     #    relational/window/DQ tier VERDICT r3 asked to rotate back in)
     "latest_event_per_user_type",

@@ -332,3 +332,49 @@ def session_stream_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "session_seq", "start_us", "end_us", "n_events", "session_value"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-family windows over the order book: ntile deciles + percent_rank,
+# tie-broken deterministically so both engines agree row-for-row.
+# ---------------------------------------------------------------------------
+
+_DECILE_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderpriority AS priority,
+         ntile(10) OVER w AS decile,
+         percent_rank() OVER w AS pr,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) ASC, o_orderkey ASC)
+)
+SELECT priority, decile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(price) AS DOUBLE) AS decile_min,
+       CAST(max(price) AS DOUBLE) AS decile_max,
+       round(max(pr), 6) AS max_percent_rank
+FROM ranked GROUP BY 1, 2
+"""
+
+
+@register("order_price_deciles", oracle=_DECILE_ORACLE, tags=("W3", "A11"))
+def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        price.asc(), F.col("o_orderkey").asc()
+    )
+    ranked = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        price.alias("price"),
+    )
+    return ranked.groupBy("priority", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("price").cast("double").alias("decile_min"),
+        F.max("price").cast("double").alias("decile_max"),
+        F.round(F.max("pr"), 6).alias("max_percent_rank"),
+    )

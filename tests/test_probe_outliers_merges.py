@@ -114,6 +114,7 @@ def test_new_registrations_inside_driver_window():
         "text_bigram_logprob",
         "winsorized_value_stats",
         "hard_negative_mining",
+        "order_price_deciles",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
