@@ -436,3 +436,60 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price"),
     )
     return snapshot_diff(old, new, keys=["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# Atomic region restatement (replace_where — Delta's replaceWhere): one
+# commit deletes a partition's rows and inserts their recomputation, the
+# idempotent-backfill primitive.
+# ---------------------------------------------------------------------------
+
+_REPLACE_ORACLE = """
+SELECT o_orderkey AS orderkey,
+       o_orderpriority AS priority,
+       CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,2)) AS DECIMAL(14,4))
+                 ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(14,4)) END AS DOUBLE) AS totalprice
+FROM orders
+"""
+
+
+@register("backfill_replace_where_txnlog", oracle=_REPLACE_ORACLE, tags=("M1", "S7"))
+def backfill_replace_where_txnlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit the orders snapshot, then restate the 1-URGENT partition in
+    ONE replace_where commit (recomputed at +10%); the read-back must equal
+    applying the restatement to the source. Stats-pruned: only files that
+    could hold 1-URGENT rows are rewritten."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.txnlog import TxnLogTable
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    rows = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        price.cast("decimal(14,4)").alias("price"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"txnlog_rw_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = TxnLogTable(path, stat_cols=("priority",))
+    t.create_or_replace(rows, cluster_by=("priority",))
+    restated = rows.filter(F.col("priority") == "1-URGENT").select(
+        "o_orderkey",
+        "priority",
+        (F.col("price").cast("decimal(12,2)") * F.lit(1.1).cast("decimal(3,2)"))
+        .cast("decimal(14,4)")
+        .alias("price"),
+    )
+    t.replace_where(spark, [("priority", "=", "1-URGENT")], restated)
+    return t.read(spark).select(
+        F.col("o_orderkey").alias("orderkey"),
+        "priority",
+        F.col("price").cast("double").alias("totalprice"),
+    )

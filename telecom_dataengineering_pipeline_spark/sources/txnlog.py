@@ -606,8 +606,13 @@ class TxnLogTable:
         no-ops.
         """
         os.makedirs(self.log_dir, exist_ok=True)
-        resolves_keys = operation in ("merge", "create_or_replace", "delete")
-        if schema_json is not None and operation in ("append", "merge"):
+        resolves_keys = operation in (
+            "merge",
+            "create_or_replace",
+            "delete",
+            "replace_where",
+        )
+        if schema_json is not None and operation in ("append", "merge", "replace_where"):
             # Evolution guard (M4 discipline): appending may ADD nullable
             # columns (old files backfill NULL on read) but never retype or
             # drop one — the as-of read applies the LATEST schema to EVERY
@@ -825,6 +830,61 @@ class TxnLogTable:
             removes=candidates,
             operation="delete",
             schema_json=None,
+            app_txn_id=app_txn_id,
+            read_version=rv,
+            stats=stats,
+        )
+
+    def replace_where(
+        self,
+        spark: SparkSession,
+        where: Sequence[tuple],
+        new_rows: DataFrame,
+        app_txn_id: str | None = None,
+    ) -> int:
+        """Atomic partition/range overwrite (Delta's ``replaceWhere``): in
+        ONE commit, rows matching ``where`` are deleted and ``new_rows``
+        are inserted — the idempotent backfill/restatement primitive (no
+        reader ever sees the region missing, unlike delete-then-append).
+        Stats-pruned like DELETE: only files that could hold a match are
+        rewritten; everything else carries over by reference.
+
+        Every ``new_rows`` row must itself satisfy ``where`` (writing
+        outside the declared region would silently corrupt neighboring
+        partitions — rejected loudly, Delta's rule). Costs one validation
+        action over the new rows."""
+        violating = new_rows.filter(~_predicate_expr(where))
+        if not violating.isEmpty():
+            raise ValueError(
+                "replace_where: new rows fall outside the declared region; "
+                "refusing to write beyond the predicate"
+            )
+        rv = self.version()
+        state = self._state(rv)
+        files = list(state["active"])
+        schema = (
+            StructType.fromJson(json.loads(state["schema"]))
+            if state["schema"]
+            else None
+        )
+        candidates = (
+            _skip_by_stats(files, state["stats"], where) if schema is not None else []
+        )
+        if candidates:
+            kept = (
+                spark.read.schema(schema)
+                .parquet(*[os.path.join(self.path, f) for f in candidates])
+                .filter(~_predicate_expr(where))
+            )
+            combined = kept.unionByName(new_rows.select(*kept.columns))
+        else:
+            combined = new_rows
+        adds, stats = self._write_data(combined)
+        return self.commit(
+            adds=adds,
+            removes=candidates,
+            operation="replace_where",
+            schema_json=combined.schema.json(),
             app_txn_id=app_txn_id,
             read_version=rv,
             stats=stats,

@@ -115,6 +115,7 @@ def test_new_registrations_inside_driver_window():
         "winsorized_value_stats",
         "hard_negative_mining",
         "order_price_deciles",
+        "backfill_replace_where_txnlog",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
