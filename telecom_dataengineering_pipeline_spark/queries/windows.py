@@ -378,3 +378,78 @@ def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("price").cast("double").alias("decile_max"),
         F.round(F.max("pr"), 6).alias("max_percent_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T1 driven end-to-end through the driver gate: watermarked tumbling-window
+# streaming aggregation in append mode (windows emit only when the
+# watermark closes them), flushed by a far-future sentinel, value-checked
+# against the batch date_trunc oracle.
+# ---------------------------------------------------------------------------
+
+_WINCOUNT_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("windowed_counts_stream", oracle=_WINCOUNT_ORACLE, tags=("T1", "streaming"))
+def windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type over the event stream:
+    counts plus min/max value (order-independent, so exact under any
+    micro-batching). Append mode means a window row is emitted exactly
+    once, when the watermark passes its end — the sentinel two days past
+    the last event closes every real window before the stream ends."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    sentinel = ev.agg(
+        (F.timestamp_micros(F.unix_micros(F.max("ts")) + 2 * 86400 * 1_000_000)).alias("ts")
+    ).select("ts", F.lit("__flush__").alias("event_type"), F.lit(0.0).alias("value"))
+    staged = ev.unionByName(sentinel)
+    sink = "windowed_counts_stream_sink"
+    spark.catalog.dropTempView(sink)
+    staging = tempfile.mkdtemp(prefix="wincount_stream_src_")
+    try:
+        src = os.path.join(staging, "events")
+        staged.write.parquet(src)
+        stream = (
+            spark.readStream.schema(staged.schema)
+            .parquet(src)
+            .withWatermark("ts", "30 seconds")
+        )
+        agg = stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.min("value"), 6).alias("vmin"),
+            F.round(F.max("value"), 6).alias("vmax"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return (
+        spark.table(sink)
+        .filter(F.col("event_type") != "__flush__")
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "vmin",
+            "vmax",
+        )
+    )

@@ -116,6 +116,7 @@ def test_new_registrations_inside_driver_window():
         "hard_negative_mining",
         "order_price_deciles",
         "backfill_replace_where_txnlog",
+        "windowed_counts_stream",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
