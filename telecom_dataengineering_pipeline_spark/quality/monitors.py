@@ -16,7 +16,7 @@ from __future__ import annotations
 from collections.abc import Mapping, Sequence
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -161,3 +161,30 @@ def schema_drift(baseline: Mapping[str, str], current: DataFrame) -> SchemaDrift
         (c, baseline[c], cur[c]) for c in set(baseline) & set(cur) if baseline[c] != cur[c]
     )
     return SchemaDriftReport(removed=removed, added=added, type_changed=changed)
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Partition-skew diagnostics for a prospective shuffle key: the top-k
+    heaviest keys with their share and cumulative share of all rows — the
+    report that decides between a plain, salted, or AQE-skew-split plan
+    BEFORE the expensive job runs. One map-side-combined count per key,
+    top-k via TakeOrderedAndProject, a 1-row total broadcast onto k rows;
+    the base table is scanned once and only the key column."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("_total"))
+    top = counts.orderBy(F.col("n").desc(), F.col(key_col).asc()).limit(top_k)
+    w = (
+        Window.orderBy(F.col("n").desc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.col("n").desc(), F.col(key_col).asc())).cast("int"))
+        .select(
+            "rank",
+            F.col(key_col).cast("string").alias("key"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_total"), 6).alias("share"),
+            F.round(F.sum("n").over(w).cast("double") / F.col("_total"), 6).alias("cum_share"),
+        )
+    )

@@ -606,3 +606,30 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("winsorized_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew diagnostics (quality/monitors.py): the pre-flight report
+# that decides plain vs salted vs AQE-skew-split plans.
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+), total AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts),
+top AS (
+  SELECT user_id, n, CAST(row_number() OVER (ORDER BY n DESC, user_id ASC) AS INTEGER) AS rank
+  FROM counts ORDER BY n DESC, user_id ASC LIMIT 10
+)
+SELECT rank, CAST(user_id AS VARCHAR) AS key, n,
+       round(CAST(n AS DOUBLE) / t, 6) AS share,
+       round(CAST(sum(n) OVER (ORDER BY rank) AS DOUBLE) / t, 6) AS cum_share
+FROM top CROSS JOIN total
+"""
+
+
+@register("events_key_skew_profile", oracle=_SKEW_ORACLE, tags=("A12", "DQ"))
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import key_skew_profile
+
+    return key_skew_profile(load_table(spark, sf_dir, "events"), "user_id", top_k=10)

@@ -117,6 +117,7 @@ def test_new_registrations_inside_driver_window():
         "order_price_deciles",
         "backfill_replace_where_txnlog",
         "windowed_counts_stream",
+        "events_key_skew_profile",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"

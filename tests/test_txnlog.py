@@ -629,3 +629,29 @@ def test_concurrent_appenders_all_land_exactly_once(spark, tmp_path):
     # historical snapshots (pre- and post-checkpoint) reconstruct
     assert t.read(spark, version=0).count() == 1
     assert t.read(spark, version=9).count() == 10
+
+
+def test_change_feed_replicates_table_exactly(spark, tmp_path):
+    """CDC replication: applying each version's table_changes to a replica
+    (insert images added, delete images subtracted as a multiset) keeps the
+    replica row-identical to the base through create/append/merge/delete —
+    the downstream-sync contract the change feed exists for."""
+    base = TxnLogTable(str(tmp_path / "cdc_base"), stat_cols=("id",))
+    base.create_or_replace(_df(spark, [(1, "a", 1), (2, "b", 1)]).coalesce(1))
+    base.append(_df(spark, [(3, "c", 1)]).coalesce(1))
+    base.merge_keep_latest(
+        spark, _df(spark, [(2, "b2", 2), (4, "d", 2)]), keys=["id"],
+        order_by=[F.col("version").desc()],
+    )
+    base.delete_where(spark, [("id", "=", 1)])
+
+    replica = None  # maintained purely from feeds
+    for v in range(0, base.version() + 1):
+        feed = base.table_changes(spark, max(v - 1, 0) if v else -1, v)
+        ins = feed.filter("_change_type = 'insert'").drop("_change_type")
+        dels = feed.filter("_change_type = 'delete'").drop("_change_type")
+        replica = ins if replica is None else replica.unionByName(ins).exceptAll(dels)
+
+    want = sorted(map(tuple, base.read(spark).collect()))
+    got = sorted(map(tuple, replica.collect()))
+    assert got == want
