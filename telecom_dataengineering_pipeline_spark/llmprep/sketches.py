@@ -260,3 +260,44 @@ class StreamingSketchLoop:
         return est.orderBy(
             F.col("cms_count").desc(), F.col(self.item_col).asc()
         ).limit(k)
+
+
+class StreamingHllLoop:
+    """Continuous cardinality tracking — the max-merge sibling of
+    :class:`StreamingSketchLoop`: each micro-batch's HLL registers append
+    to a txnlog table (exactly-once by batch id) and the live register set
+    is the per-bucket MAX of everything appended. Max is idempotent as
+    well as commutative/associative, so replays cannot inflate the
+    estimate even before the txn-id guard kicks in — the
+    "how many distinct so far" counter for an unbounded ingest stream,
+    with time travel giving the cardinality curve as-of any batch."""
+
+    def __init__(self, table, item_col: str, b: int = _HLL_B) -> None:
+        self.table = table
+        self.item_col = item_col
+        self.b = b
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        regs = hll_registers(batch_df, self.item_col, self.b)
+        txn = f"hll-{batch_id}"
+        if self.table.exists():
+            self.table.append(regs, app_txn_id=txn)
+        else:
+            self.table.create_or_replace(regs, app_txn_id=txn)
+
+    def registers(self, spark, version: int | None = None) -> DataFrame:
+        return (
+            self.table.read(spark, version)
+            .groupBy("bucket")
+            .agg(F.max("M").alias("M"))
+        )
+
+    def estimate(self, spark, version: int | None = None) -> float:
+        z_agg, cnt_agg, est = hll_estimate_expr(self.b)
+        row = (
+            self.registers(spark, version)
+            .agg(z_agg.alias("z"), cnt_agg.alias("cnt"))
+            .select(est(F.col("z"), F.col("cnt")).alias("e"))
+            .first()
+        )
+        return float(row["e"])

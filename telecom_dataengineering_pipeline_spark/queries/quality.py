@@ -633,3 +633,67 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..quality.monitors import key_skew_profile
 
     return key_skew_profile(load_table(spark, sf_dir, "events"), "user_id", top_k=10)
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the whole schema in one battery: per
+# FK relationship, child rows and orphan count via left-anti probes (J6 at
+# schema scope — the dbt relationships test generalized).
+# ---------------------------------------------------------------------------
+
+_FK_AUDIT_ORACLE = """
+SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey) AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM orders r ANTI JOIN customer c ON r.o_custkey = c.c_custkey) AS BIGINT)
+UNION ALL
+SELECT 'customer.c_nationkey -> nation',
+       CAST((SELECT count(*) FROM customer) AS BIGINT),
+       CAST((SELECT count(*) FROM customer c ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey) AS BIGINT)
+UNION ALL
+SELECT 'supplier.s_nationkey -> nation',
+       CAST((SELECT count(*) FROM supplier) AS BIGINT),
+       CAST((SELECT count(*) FROM supplier s ANTI JOIN nation n ON s.s_nationkey = n.n_nationkey) AS BIGINT)
+UNION ALL
+SELECT 'nation.n_regionkey -> region',
+       CAST((SELECT count(*) FROM nation) AS BIGINT),
+       CAST((SELECT count(*) FROM nation n ANTI JOIN region r ON n.n_regionkey = r.r_regionkey) AS BIGINT)
+"""
+
+
+@register("fk_integrity_audit", oracle=_FK_AUDIT_ORACLE, tags=("J6", "DQ"))
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema relationships audit: each FK probes its parent with a
+    left-anti join (parent keys broadcast when dim-sized). Scale shape:
+    the child sides stream once each; nothing materializes beyond five
+    (relationship, count, count) rows."""
+    from ..operators.joins import anti_join_violations
+
+    pairs = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for child, fk, parent, pk in pairs:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent)
+        row = (
+            c.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+            .crossJoin(
+                anti_join_violations(c, p, {fk: pk})
+                .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+            )
+            .select(
+                F.lit(f"{child}.{fk} -> {parent}").alias("relationship"),
+                "n_child",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -181,3 +181,37 @@ def test_streaming_cms_loop_merges_batches_and_time_travels(spark, tmp_path):
     # OPTIMIZE compacts the cell table; sums unchanged
     loop.table.optimize(spark, target_files=1)
     assert {(r["rw"], r["cl"]): r["cnt"] for r in loop.sketch(spark).collect()} == single
+
+
+def test_streaming_hll_loop_tracks_cardinality_curve(spark, tmp_path):
+    """Continuous HLL: per-batch registers max-merge through the txnlog to
+    the single-pass registers; the estimate is monotone along the version
+    history; replays and re-appends of the same batch change nothing."""
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.llmprep.sketches import (
+        StreamingHllLoop,
+        hll_registers,
+    )
+    from telecom_dataengineering_pipeline_spark.sources.txnlog import TxnLogTable
+
+    batches = [
+        [(f"u{i}",) for i in range(0, 300)],
+        [(f"u{i}",) for i in range(200, 600)],  # overlap must not inflate
+        [(f"u{i}",) for i in range(600, 700)],
+    ]
+    loop = StreamingHllLoop(TxnLogTable(str(tmp_path / "hll")), "v")
+    for i, rows in enumerate(batches):
+        loop.process_batch(spark.createDataFrame(rows, "v STRING"), i)
+
+    all_df = spark.createDataFrame([r for b in batches for r in b], "v STRING")
+    single = {r["bucket"]: r["M"] for r in hll_registers(all_df, "v").collect()}
+    merged = {r["bucket"]: r["M"] for r in loop.registers(spark).collect()}
+    assert merged == single
+
+    e0, e1, e2 = (loop.estimate(spark, version=v) for v in range(3))
+    assert e0 <= e1 <= e2  # cardinality curve is monotone
+    assert 0.46 * 700 <= e2 <= 1.54 * 700  # 3 sigma at m=32
+
+    loop.process_batch(spark.createDataFrame(batches[1], "v STRING"), 1)  # replay
+    assert loop.estimate(spark) == e2
