@@ -80,6 +80,7 @@ DRIVER_ORDER: list[str] = [
     "windowed_counts_stream",
     "events_key_skew_profile",
     "fk_integrity_audit",
+    "national_market_share",
     # -- last driver-checked in ROUND 1 (stalest driver evidence; the
     #    relational/window/DQ tier VERDICT r3 asked to rotate back in)
     "latest_event_per_user_type",

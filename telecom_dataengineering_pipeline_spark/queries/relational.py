@@ -891,3 +891,75 @@ def lapsed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == EXCEPT DISTINCT; exceptAll would keep a user who merely
     # has more week-1 events than last-week events (multiset difference)
     return first.subtract(last)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share — the 7-table star/snowflake join
+# (lineitem ⋈ part ⋈ orders ⋈ customer ⋈ nation ⋈ region + supplier nation)
+# with a conditional-share aggregate per year. Dims broadcast; the two fact
+# tables join on their key; decimal-exact volume sums.
+# ---------------------------------------------------------------------------
+
+_MKTSHARE_ORACLE = """
+WITH base AS (
+  SELECT strftime(CAST(o.o_orderdate AS DATE), '%Y') AS o_year,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(8,4))) AS DECIMAL(24,6)) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p       ON p.p_partkey = l.l_partkey
+  JOIN orders o     ON o.o_orderkey = l.l_orderkey
+  JOIN customer c   ON c.c_custkey = o.o_custkey
+  JOIN nation cn    ON cn.n_nationkey = c.c_nationkey
+  JOIN region r     ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier s   ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn    ON sn.n_nationkey = s.s_nationkey
+  WHERE p.p_type = 'PROMO' AND r.r_name = 'REGION_0'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE) AS nation_volume,
+       CAST(sum(volume) AS DOUBLE) AS total_volume,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM base GROUP BY o_year
+"""
+
+
+@register("national_market_share", oracle=_MKTSHARE_ORACLE, tags=("J1", "A3", "A5"))
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cn = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    s = load_table(spark, sf_dir, "supplier")
+    sn = load_table(spark, sf_dir, "nation")
+    volume = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(8,4)"))
+    ).cast("decimal(24,6)")
+    base = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == cn["n_nationkey"])
+        .join(F.broadcast(r), cn["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            F.broadcast(sn.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select(
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(24,6)")
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(zero))
+    tot = F.sum("volume")
+    return base.groupBy("o_year").agg(
+        nat.cast("double").alias("nation_volume"),
+        tot.cast("double").alias("total_volume"),
+        F.round(nat.cast("double") / tot.cast("double"), 6).alias("mkt_share"),
+    )

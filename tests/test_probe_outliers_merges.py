@@ -119,6 +119,7 @@ def test_new_registrations_inside_driver_window():
         "windowed_counts_stream",
         "events_key_skew_profile",
         "fk_integrity_audit",
+        "national_market_share",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
