@@ -2308,3 +2308,53 @@ def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_mining(
         load_table(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Ensemble dedup verdicts: text evidence (MinHash-LSH exact-Jaccard ≥0.5)
+# FULL-OUTER embedding evidence (cluster-blocked cosine ≥0.35 on the
+# aligned vector table) per id pair — the multi-detector agreement view a
+# production dedup pipeline reviews before destructive removal (agreement
+# raises confidence; single-detector hits get a second look). The oracle
+# composes the two already-verified family oracles.
+# ---------------------------------------------------------------------------
+
+_ENSEMBLE_ORACLE = f"""
+WITH text_pairs AS (SELECT doc1, doc2, jaccard FROM ({_JACCARD_ORACLE}) t),
+emb_pairs AS (SELECT vec1, vec2, cosine FROM ({_SEMANTIC_DEDUP_ORACLE}) e)
+SELECT coalesce(t.doc1, e.vec1) AS id1,
+       coalesce(t.doc2, e.vec2) AS id2,
+       t.jaccard, e.cosine,
+       CASE WHEN t.doc1 IS NOT NULL AND e.vec1 IS NOT NULL THEN 'both'
+            WHEN t.doc1 IS NOT NULL THEN 'text_only'
+            ELSE 'embedding_only' END AS verdict
+FROM text_pairs t
+FULL JOIN emb_pairs e ON t.doc1 = e.vec1 AND t.doc2 = e.vec2
+"""
+
+
+@register("ensemble_dedup_verdicts", oracle=_ENSEMBLE_ORACLE, tags=("LLM", "dedup", "iterative"))
+def ensemble_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.similarity import semantic_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    text = minhash_near_dup_pairs(docs, threshold=0.5).select(
+        F.col("doc1").alias("t1"), F.col("doc2").alias("t2"), "jaccard"
+    )
+    vec = semantic_dedup_pairs(emb, threshold=0.35).select(
+        F.col("vec1").alias("v1"), F.col("vec2").alias("v2"), "cosine"
+    )
+    j = text.join(
+        vec, (F.col("t1") == F.col("v1")) & (F.col("t2") == F.col("v2")), "full"
+    )
+    return j.select(
+        F.coalesce(F.col("t1"), F.col("v1")).alias("id1"),
+        F.coalesce(F.col("t2"), F.col("v2")).alias("id2"),
+        "jaccard",
+        "cosine",
+        F.when(F.col("t1").isNotNull() & F.col("v1").isNotNull(), "both")
+        .when(F.col("t1").isNotNull(), "text_only")
+        .otherwise("embedding_only")
+        .alias("verdict"),
+    )

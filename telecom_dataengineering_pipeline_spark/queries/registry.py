@@ -81,6 +81,7 @@ DRIVER_ORDER: list[str] = [
     "events_key_skew_profile",
     "fk_integrity_audit",
     "national_market_share",
+    "ensemble_dedup_verdicts",
     # -- last driver-checked in ROUND 1 (stalest driver evidence; the
     #    relational/window/DQ tier VERDICT r3 asked to rotate back in)
     "latest_event_per_user_type",
