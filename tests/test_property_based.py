@@ -247,3 +247,78 @@ def test_quantile_sketch_bound_and_merge(spark, vals, cut, p):
     }
     single = {(r["grp"], r["bucket"]): r["n"] for r in sk.collect()}
     assert merged == single
+
+
+# ---------------------------------------------------------------------------
+# Morton key: bijective on distinct coordinate pairs and monotone along
+# each axis with the other held fixed (the properties per-dimension
+# pruning relies on). Reference = Python bit interleave.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1, max_size=40, unique=True,
+    )
+)
+def test_morton_key_matches_reference_interleave(spark, pairs):
+    from telecom_dataengineering_pipeline_spark.sources.writers import morton_key
+
+    df = spark.createDataFrame(pairs, "a INT, b INT")
+    bounds = {"a": (0, 65535), "b": (0, 65535)}
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", morton_key(["a", "b"], bounds).alias("z")).collect()
+    }
+
+    def ref(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == ref(a, b)
+    # bijective on distinct pairs
+    assert len(set(got.values())) == len(got)
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff vs a brute-force dict compare on random keyed states.
+# ---------------------------------------------------------------------------
+
+_state = st.dictionaries(
+    st.integers(0, 15), st.one_of(st.none(), st.text(alphabet="xyz", max_size=2)),
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(old=_state, new=_state)
+def test_snapshot_diff_matches_dict_compare(spark, old, new):
+    from telecom_dataengineering_pipeline_spark.operators.diff import snapshot_diff
+
+    odf = spark.createDataFrame(list(old.items()) or [(99, "zz")], "k LONG, v STRING")
+    ndf = spark.createDataFrame(list(new.items()) or [(98, "zz")], "k LONG, v STRING")
+    old = old or {99: "zz"}
+    new = new or {98: "zz"}
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(odf, ndf, ["k"]).collect()}
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = "added"
+        elif k not in new:
+            want[k] = "removed"
+        elif old[k] != new[k]:
+            want[k] = "changed"
+    assert got == want
