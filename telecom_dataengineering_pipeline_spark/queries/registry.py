@@ -82,6 +82,7 @@ DRIVER_ORDER: list[str] = [
     "fk_integrity_audit",
     "national_market_share",
     "ensemble_dedup_verdicts",
+    "spatial_proximity_pairs",
     # -- last driver-checked in ROUND 1 (stalest driver evidence; the
     #    relational/window/DQ tier VERDICT r3 asked to rotate back in)
     "latest_event_per_user_type",

@@ -209,3 +209,44 @@ def haversine_tower_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("distance_km"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial proximity join (operators/spatial.py): latitude-band blocking +
+# exact haversine verification — candidates only, never all pairs. Points
+# derive deterministically from customer keys (the synthetic-coordinate
+# precedent of the haversine query); the oracle computes ALL-pairs
+# haversine, which is valid for the same reason the LSH oracles are:
+# blocking is provably complete, so the two algorithms must agree exactly.
+# ---------------------------------------------------------------------------
+
+_PROXIMITY_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey AS id,
+         -60 + (c_custkey % 1200) / 10.0 AS lat,
+         -150 + ((c_custkey * 7) % 3000) / 10.0 AS lon
+  FROM customer
+), d AS (
+  SELECT a.id AS id1, b.id AS id2,
+         round(2 * 6371.0 * asin(sqrt(
+            sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+            + cos(radians(a.lat)) * cos(radians(b.lat))
+              * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
+         )), 3) AS distance_km
+  FROM pts a JOIN pts b ON a.id < b.id
+)
+SELECT id1, id2, distance_km FROM d WHERE distance_km <= 50.0
+"""
+
+
+@register("spatial_proximity_pairs", oracle=_PROXIMITY_ORACLE, tags=("F20", "J5"))
+def spatial_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import proximity_join_km
+
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.lit(-60) + (F.col("c_custkey") % 1200) / 10.0).alias("lat"),
+        (F.lit(-150) + ((F.col("c_custkey") * 7) % 3000) / 10.0).alias("lon"),
+    )
+    return proximity_join_km(pts, radius_km=50.0)

@@ -121,6 +121,7 @@ def test_new_registrations_inside_driver_window():
         "fk_integrity_audit",
         "national_market_share",
         "ensemble_dedup_verdicts",
+        "spatial_proximity_pairs",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"

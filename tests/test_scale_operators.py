@@ -170,3 +170,40 @@ def test_minhash_fast_hash_mode_matches_neutral(spark, sf_smoke):
     a = sorted((r["doc1"], r["doc2"], r["jaccard"]) for r in neutral.collect())
     b = sorted((r["doc1"], r["doc2"], r["jaccard"]) for r in fast.collect())
     assert a == b and a
+
+
+def test_proximity_join_blocking_complete_and_no_cartesian(spark):
+    """Spatial blocking: result equals brute-force all-pairs haversine
+    (banding provably drops nothing), and the plan contains no cartesian
+    product — candidates come from the band equi-join."""
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.functions.geo import haversine_km
+    from telecom_dataengineering_pipeline_spark.operators.spatial import (
+        proximity_join_km,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, -1.0 + (i * 13 % 40) / 40.0, 5.0 + (i * 7 % 60) / 30.0) for i in range(80)],
+        "id LONG, lat DOUBLE, lon DOUBLE",
+    )
+    out = proximity_join_km(pts, radius_km=60.0)
+    got = {(r["id1"], r["id2"]) for r in out.collect()}
+
+    a, b = pts.alias("a"), pts.alias("b")
+    brute = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.round(
+                haversine_km(F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")), 3
+            ).alias("d"),
+        )
+        .filter(F.col("d") <= 60.0)
+    )
+    want = {(r["id1"], r["id2"]) for r in brute.collect()}
+    assert got == want and want  # non-trivial fixture
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
