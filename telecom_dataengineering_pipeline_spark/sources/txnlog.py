@@ -536,6 +536,14 @@ class TxnLogTable:
             *[F.min(k).alias(f"_lo_{k}") for k in stat_keys],
             *[F.max(k).alias(f"_hi_{k}") for k in stat_keys],
         ).first()
+        # NULL bounds on a key mean the source has NO non-null value for it
+        # (empty source, or all-null key column): equality on that key can
+        # match nothing, so no file is a candidate — the empty-feed merge
+        # (e.g. folding an OPTIMIZE commit's change feed) costs zero scans.
+        if any(
+            row[f"_lo_{k}"] is None or row[f"_hi_{k}"] is None for k in stat_keys
+        ):
+            return []
         kept = []
         for f in files:
             fs = all_stats.get(f) or {}
@@ -545,8 +553,6 @@ class TxnLogTable:
                     continue
                 lo, hi = fs[k]
                 s_lo, s_hi = row[f"_lo_{k}"], row[f"_hi_{k}"]
-                if s_lo is None or s_hi is None:
-                    continue
                 if hi < s_lo or lo > s_hi:
                     disjoint = True
                     break

@@ -655,3 +655,23 @@ def test_change_feed_replicates_table_exactly(spark, tmp_path):
     want = sorted(map(tuple, base.read(spark).collect()))
     got = sorted(map(tuple, replica.collect()))
     assert got == want
+
+
+def test_merge_with_empty_or_null_key_source_scans_nothing(spark, tmp_path):
+    """NULL source key bounds (empty source or all-null keys) prove no file
+    can match: zero candidates, zero scans, and the merge degenerates to
+    inserting whatever non-matching rows exist."""
+    t = TxnLogTable(str(tmp_path / "t20"), stat_cols=("id",))
+    t.create_or_replace(_df(spark, [(1, "a", 1), (2, "b", 1)]).coalesce(1))
+    files = t.snapshot_files()
+
+    empty = spark.createDataFrame([], "id LONG, payload STRING, version INT")
+    assert t._prune_by_stats(files, empty, ["id"]) == []
+    t.merge_keep_latest(spark, empty, keys=["id"], order_by=[F.col("version").desc()])
+    assert set(files) <= set(t.snapshot_files())  # nothing rewritten
+    assert t.read(spark).count() == 2
+
+    nullkeys = spark.createDataFrame(
+        [(None, "n", 9)], "id LONG, payload STRING, version INT"
+    )
+    assert t._prune_by_stats(t.snapshot_files(), nullkeys, ["id"]) == []
