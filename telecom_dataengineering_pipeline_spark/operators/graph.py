@@ -39,6 +39,8 @@ def pagerank_fixed_point(
     # lineage — without it Spark re-derives the upstream edge construction
     # per iteration): the edge list with its out-degree folded in, so no
     # per-iteration degree join.
+    if iters < 1:
+        raise ValueError("pagerank needs at least one iteration")
     edges = edges.select("src", "dst").localCheckpoint(eager=False)
     w = Window.partitionBy("src")
     ed = edges.withColumn(

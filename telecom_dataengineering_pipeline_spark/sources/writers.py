@@ -92,7 +92,9 @@ def morton_key(
     quantized = []
     for c in cols:
         lo, hi = bounds[c]
-        span = float(hi) - float(lo)
+        # None bounds (empty input or all-null column) degrade to a
+        # constant key — clustering a nothing is a no-op, not a crash
+        span = 0.0 if lo is None or hi is None else float(hi) - float(lo)
         if span <= 0:
             q = F.lit(0).cast("long")
         else:
