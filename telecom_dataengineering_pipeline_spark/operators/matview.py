@@ -48,10 +48,17 @@ class IncrementalRollup:
         view: TxnLogTable,
         group_cols: Sequence[str],
         sum_cols: Sequence[str] = (),
+        broadcast_delta_keys: bool = True,
     ) -> None:
         self.view = view
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
+        # The affected-group fetch semi-joins the view against the delta's
+        # key set. Typical deltas touch few groups — broadcast wins. A
+        # view/delta with huge group cardinality must NOT force-broadcast
+        # (executor OOM is how forced hints fail at 100 TB); False keeps
+        # the semi-join a plain shuffle join and lets AQE decide.
+        self.broadcast_delta_keys = broadcast_delta_keys
 
     # -- aggregation shapes -------------------------------------------------
 
@@ -102,8 +109,11 @@ class IncrementalRollup:
         )
         if self.view.exists():
             old = self.view.read(spark).drop("_refresh_v")
+            keys_df = d.select(*self.group_cols).distinct()
             old_aff = old.join(
-                F.broadcast(d.select(*self.group_cols).distinct()),
+                F.broadcast(keys_df)
+                if self.broadcast_delta_keys
+                else keys_df,
                 self.group_cols,
                 "left_semi",
             )
