@@ -617,6 +617,7 @@ class TxnLogTable:
             "create_or_replace",
             "delete",
             "replace_where",
+            "restore",  # rolling back over a concurrent write would drop it
         )
         if schema_json is not None and operation in ("append", "merge", "replace_where"):
             # Evolution guard (M4 discipline): appending may ADD nullable
@@ -838,6 +839,33 @@ class TxnLogTable:
             schema_json=None,
             app_txn_id=app_txn_id,
             read_version=rv,
+            stats=stats,
+        )
+
+    def restore(self, version: int, app_txn_id: str | None = None) -> int:
+        """Roll the table back to a historical version AS A NEW COMMIT
+        (Delta RESTORE): the target version's file set becomes active
+        again by reference — no data is copied or rewritten, history is
+        preserved (the bad versions stay readable for forensics), and
+        vacuum keeps every referenced file. The instant-undo for a bad
+        merge/backfill."""
+        target = set(self.snapshot_files(version))
+        current = set(self.snapshot_files())
+        if target == current:
+            return self.version()  # already there: no-op
+        schema = self.snapshot_schema(version)
+        stats = {
+            f: s
+            for f, s in self._file_stats(version).items()
+            if f in target
+        }
+        return self.commit(
+            adds=sorted(target - current),
+            removes=sorted(current - target),
+            operation="restore",
+            schema_json=schema.json() if schema is not None else None,
+            app_txn_id=app_txn_id,
+            read_version=self.version(),
             stats=stats,
         )
 

@@ -675,3 +675,31 @@ def test_merge_with_empty_or_null_key_source_scans_nothing(spark, tmp_path):
         [(None, "n", 9)], "id LONG, payload STRING, version INT"
     )
     assert t._prune_by_stats(t.snapshot_files(), nullkeys, ["id"]) == []
+
+
+def test_restore_rolls_back_by_reference_and_keeps_history(spark, tmp_path):
+    """RESTORE: a historical version's file set becomes active again as a
+    NEW commit — no data copied, bad versions stay readable, stats travel
+    with the re-added files, and a redundant restore is a no-op."""
+    t = TxnLogTable(str(tmp_path / "t21"), stat_cols=("id",))
+    t.create_or_replace(_df(spark, [(1, "a", 1), (2, "b", 1)]).coalesce(1))
+    good = t.version()
+    t.merge_keep_latest(  # the "bad" write
+        spark, _df(spark, [(1, "CORRUPT", 2)]), keys=["id"],
+        order_by=[F.col("version").desc()],
+    )
+    bad = t.version()
+    v = t.restore(good)
+    assert v == bad + 1  # a new commit, not history rewriting
+    assert {r["payload"] for r in t.read(spark).collect()} == {"a", "b"}
+    # forensics: the bad version still reads
+    assert "CORRUPT" in {r["payload"] for r in t.read(spark, version=bad).collect()}
+    # stats came back with the re-added file: a disjoint probe prunes it
+    assert t.scan_file_count(where=[("id", ">=", 100)]) == 0
+    # vacuum keeps every referenced file; all versions still read
+    t.vacuum(retention_seconds=0)
+    assert t.read(spark, version=good).count() == 2
+    assert t.read(spark, version=bad).count() == 2
+    # idempotent: restoring to where we already are is a version no-op
+    assert t.restore(v) == v
+    assert t.restore(good) == v
