@@ -74,24 +74,45 @@ _DATA_DIR = "data"
 _CHECKPOINT_PTR = "_last_checkpoint"
 
 
-_OPS = ("=", "<", "<=", ">", ">=")
+_OPS = ("=", "<", "<=", ">", ">=", "isnull", "isnotnull")
 
 
 def _skip_by_stats(
     files: list[str], stats: dict, where: Sequence[tuple]
 ) -> list[str]:
     """Files that COULD satisfy every predicate, judged only from recorded
-    per-file [min, max] bounds. Conservative by construction: a file with
-    no stats for a predicate's column is always kept, and only provable
-    disjointness drops a file — so pruning never changes results, only the
-    scan list."""
+    per-file stats: [min, max] bounds for range/equality ops, per-column
+    null counts (``__nulls``) plus the file row count (``__rows``) for
+    ``isnull`` / ``isnotnull`` (Delta's nullCount skipping). Conservative
+    by construction: a file with no stats for a predicate's column is
+    always kept, and only provable disjointness drops a file — so pruning
+    never changes results, only the scan list."""
     kept = []
     for f in files:
         fs = stats.get(f) or {}
+        nulls = fs.get("__nulls") or {}
+        rows = fs.get("__rows")
         drop = False
         for col, op, val in where:
             if op not in _OPS:
                 raise ValueError(f"unsupported predicate op: {op!r}")
+            if op == "isnull":
+                if nulls.get(col) == 0:
+                    drop = True
+                    break
+                continue
+            if op == "isnotnull":
+                n = nulls.get(col)
+                if n is not None and rows is not None and n == rows:
+                    drop = True  # every value NULL: nothing non-null inside
+                    break
+                continue
+            # a range/equality predicate is never satisfied by NULL: an
+            # all-null file is unsatisfiable even without [min, max]
+            n = nulls.get(col)
+            if n is not None and rows is not None and n == rows:
+                drop = True
+                break
             bounds = fs.get(col)
             if bounds is None or val is None:
                 continue
@@ -123,6 +144,8 @@ def _predicate_expr(where: Sequence[tuple]) -> Column:
             "<=": c <= F.lit(val),
             ">": c > F.lit(val),
             ">=": c >= F.lit(val),
+            "isnull": c.isNull(),
+            "isnotnull": c.isNotNull(),
         }[op]
         expr = expr & cond
     return expr
@@ -491,8 +514,13 @@ class TxnLogTable:
             .withColumn("_f", F.input_file_name())
             .groupBy("_f")
             .agg(
+                F.count(F.lit(1)).alias("_n"),
                 *[F.min(c).alias(f"_lo_{c}") for c in cols],
                 *[F.max(c).alias(f"_hi_{c}") for c in cols],
+                *[
+                    F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nn_{c}")
+                    for c in cols
+                ],
             )
             .collect()
         )
@@ -502,13 +530,18 @@ class TxnLogTable:
             rel = by_base.get(os.path.basename(r["_f"]))
             if rel is None:
                 continue
-            entry = {}
+            # Reserved keys: "__rows" (file row count) and "__nulls"
+            # (per-col null counts — Delta's nullCount) drive isnull /
+            # isnotnull skipping; plain column keys stay [lo, hi].
+            entry: dict = {
+                "__rows": int(r["_n"]),
+                "__nulls": {c: int(r[f"_nn_{c}"]) for c in cols},
+            }
             for c in cols:
                 lo, hi = r[f"_lo_{c}"], r[f"_hi_{c}"]
                 if all(isinstance(x, (int, float, str, bool)) for x in (lo, hi)):
                     entry[c] = [lo, hi]
-            if entry:
-                stats[rel] = entry
+            stats[rel] = entry
         return stats
 
     def _file_stats(self, version: int | None = None) -> dict:

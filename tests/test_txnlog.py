@@ -703,3 +703,23 @@ def test_restore_rolls_back_by_reference_and_keeps_history(spark, tmp_path):
     # idempotent: restoring to where we already are is a version no-op
     assert t.restore(v) == v
     assert t.restore(good) == v
+
+
+def test_null_count_stats_skip_isnull_predicates(spark, tmp_path):
+    """nullCount skipping: IS NULL prunes files with zero nulls; IS NOT
+    NULL prunes all-null files; results stay exact via the residual
+    filter."""
+    t = TxnLogTable(str(tmp_path / "t22"), stat_cols=("payload",))
+    t.create_or_replace(_df(spark, [(1, "a", 1), (2, "b", 1)]).coalesce(1))  # 0 nulls
+    t.append(_df(spark, [(3, None, 1), (4, None, 1)]).coalesce(1))  # all null
+    t.append(_df(spark, [(5, "c", 1), (6, None, 1)]).coalesce(1))  # mixed
+
+    assert t.scan_file_count() == 3
+    assert t.scan_file_count(where=[("payload", "isnull")[0:2] + (None,)]) == 2
+    assert t.scan_file_count(where=[("payload", "isnotnull", None)]) == 2
+    got = sorted(r["id"] for r in t.read(spark, where=[("payload", "isnull", None)]).collect())
+    assert got == [3, 4, 6]
+    got = sorted(r["id"] for r in t.read(spark, where=[("payload", "isnotnull", None)]).collect())
+    assert got == [1, 2, 5]
+    # range skipping still works alongside (min/max ignore nulls)
+    assert t.scan_file_count(where=[("payload", ">=", "c")]) == 1
