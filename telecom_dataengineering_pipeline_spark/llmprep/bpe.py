@@ -1,0 +1,111 @@
+"""BPE tokenizer training: full merge rounds, distributed.
+
+``pair_merge_stats`` (curation.py) counts ONE round's merge candidates;
+this module runs the actual training loop — per round: count adjacent
+pairs, pick the winner, MERGE every occurrence corpus-wide, repeat on the
+re-tokenized corpus. The classic sequential algorithm distributes cleanly
+because each phase is relational:
+
+- **count** — the bigram slice-zip aggregate (one shuffle, map-side
+  combined);
+- **select** — a 1-row TakeOrdered (tf desc, pair asc tie-break:
+  deterministic on any engine);
+- **merge** — left-to-right greedy non-overlapping replacement, which is
+  EXACTLY the semantics of ``replace()`` on a sentinel-joined token
+  string: tokens join on ``\\x1f`` (never inside a whitespace token) with
+  leading/trailing sentinels, so the pattern ``SEP·x·SEP·y·SEP`` can only
+  match whole tokens, self-pair runs ("a a a") merge greedily
+  ("(a a) a"), and merged symbols (containing a space) can never collide
+  with raw tokens. One codegen string op per doc — no shuffle, no
+  explode, no UDF, and DuckDB's ``replace`` shares the exact scan-left
+  semantics, so every round is oracle-checkable.
+
+Rounds are data-dependent sequentially (round N+1 counts the corpus AS
+re-tokenized by round N) — the irreducible part of BPE — but each round
+is a fixed small number of distributed passes; the corpus string column
+checkpoints between rounds so lineage doesn't re-run prior merges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+SEP = "\x1f"
+
+
+def _sentinel_string(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    t = F.filter(tokens(text_col), lambda x: x != "")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), t.alias("t"))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.concat(F.lit(SEP), F.array_join("t", SEP), F.lit(SEP)).alias("s"),
+        )
+    )
+
+
+def _tok_array(s):
+    sp = F.split(s, SEP)
+    return F.slice(sp, 2, F.greatest(F.size(sp) - 2, F.lit(0)))
+
+
+def bpe_train_rounds(
+    docs: DataFrame,
+    rounds: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Run ``rounds`` BPE merges over the corpus. Returns one row per
+    round: ``(round, merged_pair, tf, tokens_after, vocab_after)`` — the
+    merge table plus the corpus compression trajectory."""
+    spark = docs.sparkSession
+    state = _sentinel_string(docs, text_col, id_col).localCheckpoint(eager=False)
+    out: DataFrame | None = None
+    for rnd in range(1, rounds + 1):
+        a = _tok_array(F.col("s"))
+        n = F.size(a)
+        prs = state.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(a, 1, F.greatest(n - 1, F.lit(0))).alias("x"),
+                    F.slice(a, 2, F.greatest(n - 1, F.lit(0))).alias("y"),
+                )
+            ).alias("p")
+        ).select(F.col("p.x").alias("w1"), F.col("p.y").alias("w2"))
+        winner = (
+            prs.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .orderBy(F.col("tf").desc(), F.col("w1").asc(), F.col("w2").asc())
+            .limit(1)
+        )
+        pat = F.concat(F.lit(SEP), F.col("w1"), F.lit(SEP), F.col("w2"), F.lit(SEP))
+        rep = F.concat(F.lit(SEP), F.col("w1"), F.lit(" "), F.col("w2"), F.lit(SEP))
+        state = (
+            state.crossJoin(F.broadcast(winner))
+            .select(
+                "doc_id",
+                F.call_function("replace", F.col("s"), pat, rep).alias("s"),
+                "w1",
+                "w2",
+                "tf",
+            )
+            .localCheckpoint(eager=False)
+        )
+        after_tok = _tok_array(F.col("s"))
+        stats = state.select(
+            F.lit(rnd).alias("round"),
+            F.concat(F.col("w1"), F.lit(" "), F.col("w2")).alias("merged_pair"),
+            "tf",
+            F.explode(after_tok).alias("tok"),
+        )
+        row = stats.groupBy("round", "merged_pair", "tf").agg(
+            F.count(F.lit(1)).cast("long").alias("tokens_after"),
+            F.count_distinct("tok").cast("long").alias("vocab_after"),
+        )
+        out = row if out is None else out.unionByName(row)
+        state = state.select("doc_id", "s")
+    return out

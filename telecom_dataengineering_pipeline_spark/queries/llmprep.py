@@ -2358,3 +2358,69 @@ def ensemble_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("embedding_only")
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (llmprep/bpe.py): real merge rounds, not just
+# candidate counting — count pairs, pick the winner, greedily merge every
+# occurrence corpus-wide, repeat on the re-tokenized corpus. The greedy
+# merge IS replace() on a sentinel-joined token string (identical scan-left
+# semantics in both engines), so the whole training loop is value-checked.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_oracle(rounds: int = 2) -> str:
+    parts = [
+        f"""WITH d0 AS (
+  SELECT doc_id,
+         CHR(31) || array_to_string(list_filter({_TOKS}, x -> x <> ''), CHR(31)) || CHR(31) AS s
+  FROM documents
+  WHERE len(list_filter({_TOKS}, x -> x <> '')) > 0
+)"""
+    ]
+    prev = "d0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+a{r} AS (
+  SELECT doc_id, s,
+         list_slice(string_split(s, CHR(31)), 2, len(string_split(s, CHR(31))) - 1) AS a
+  FROM {prev}
+), i{r} AS (
+  SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i FROM a{r} WHERE len(a) >= 2
+), c{r} AS (
+  SELECT a[i] AS w1, a[i+1] AS w2, CAST(count(*) AS BIGINT) AS tf
+  FROM i{r} GROUP BY 1, 2
+), win{r} AS (
+  SELECT w1, w2, tf FROM c{r} ORDER BY tf DESC, w1 ASC, w2 ASC LIMIT 1
+), d{r} AS (
+  SELECT t.doc_id,
+         replace(t.s, CHR(31) || w.w1 || CHR(31) || w.w2 || CHR(31),
+                      CHR(31) || w.w1 || ' ' || w.w2 || CHR(31)) AS s
+  FROM a{r} t CROSS JOIN win{r} w
+), e{r} AS (
+  SELECT doc_id,
+         list_slice(string_split(s, CHR(31)), 2, len(string_split(s, CHR(31))) - 1) AS a
+  FROM d{r}
+), s{r} AS (
+  SELECT {r} AS round,
+         (SELECT w1 || ' ' || w2 FROM win{r}) AS merged_pair,
+         (SELECT tf FROM win{r}) AS tf,
+         CAST(sum(len(a)) AS BIGINT) AS tokens_after,
+         (SELECT CAST(count(DISTINCT tok) AS BIGINT)
+          FROM (SELECT unnest(a) AS tok FROM e{r})) AS vocab_after
+  FROM e{r}
+)"""
+        )
+        prev = f"d{r}"
+    parts.append(
+        "\n" + " UNION ALL ".join(f"SELECT * FROM s{r}" for r in range(1, rounds + 1))
+    )
+    return "".join(parts)
+
+
+@register("bpe_training_rounds", oracle=_bpe_oracle(), tags=("LLM", "curation", "iterative"))
+def bpe_training_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.bpe import bpe_train_rounds
+
+    return bpe_train_rounds(load_table(spark, sf_dir, "documents"), rounds=2)

@@ -83,6 +83,7 @@ DRIVER_ORDER: list[str] = [
     "national_market_share",
     "ensemble_dedup_verdicts",
     "spatial_proximity_pairs",
+    "bpe_training_rounds",
     # -- last driver-checked in ROUND 1 (stalest driver evidence; the
     #    relational/window/DQ tier VERDICT r3 asked to rotate back in)
     "latest_event_per_user_type",

@@ -104,3 +104,28 @@ def test_mixing_weights_single_corpus_pass(spark, sf_smoke):
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange") <= 2
     assert "Python" not in plan  # pure JVM column expressions
+
+
+def test_bpe_rounds_hand_computed_and_greedy_self_pairs(spark):
+    """BPE training loop on a hand-checkable corpus: round-1 winner and
+    merge effects verified by hand, and a self-pair run ('a a a') merges
+    greedily left-to-right into (a a), a — the replace() semantics the
+    whole construction rests on."""
+    from telecom_dataengineering_pipeline_spark.llmprep.bpe import bpe_train_rounds
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a b c a b")], "doc_id LONG, text STRING"
+    )
+    rows = {r["round"]: r for r in bpe_train_rounds(docs, rounds=2).collect()}
+    # round 1: (a,b) wins with tf 3; doc0 -> [a, a, 'a b'], doc1 -> ['a b', c, 'a b']
+    assert rows[1]["merged_pair"] == "a b" and rows[1]["tf"] == 3
+    assert rows[1]["tokens_after"] == 6 and rows[1]["vocab_after"] == 3
+    # round 2: all pairs tf 1 -> tie-break picks (a, a); greedy run merge
+    assert rows[2]["merged_pair"] == "a a" and rows[2]["tf"] == 1
+    assert rows[2]["tokens_after"] == 5 and rows[2]["vocab_after"] == 3
+
+    # pure self-pair corpus: "a a a a a" -> (a a)(a a) a after one merge
+    solo = spark.createDataFrame([(0, "a a a a a")], "doc_id LONG, text STRING")
+    r1 = bpe_train_rounds(solo, rounds=1).collect()[0]
+    assert r1["merged_pair"] == "a a" and r1["tf"] == 4  # occurrences counted
+    assert r1["tokens_after"] == 3 and r1["vocab_after"] == 2

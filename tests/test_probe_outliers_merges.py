@@ -122,6 +122,7 @@ def test_new_registrations_inside_driver_window():
         "national_market_share",
         "ensemble_dedup_verdicts",
         "spatial_proximity_pairs",
+        "bpe_training_rounds",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
