@@ -84,6 +84,14 @@ DRIVER_ORDER: list[str] = [
     "ensemble_dedup_verdicts",
     "spatial_proximity_pairs",
     "bpe_training_rounds",
+    "volume_shipping_pairs",
+    "product_profit_by_nation",
+    "returned_items_report",
+    "customer_order_counts_dist",
+    "promo_revenue_ratio",
+    "brand_predicate_revenue",
+    "min_cost_supplier_per_part",
+    "prospect_balance_anti",
     # -- last driver-checked in ROUND 1 (stalest driver evidence; the
     #    relational/window/DQ tier VERDICT r3 asked to rotate back in)
     "latest_event_per_user_type",

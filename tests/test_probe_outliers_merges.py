@@ -123,6 +123,14 @@ def test_new_registrations_inside_driver_window():
         "ensemble_dedup_verdicts",
         "spatial_proximity_pairs",
         "bpe_training_rounds",
+        "volume_shipping_pairs",
+        "product_profit_by_nation",
+        "returned_items_report",
+        "customer_order_counts_dist",
+        "promo_revenue_ratio",
+        "brand_predicate_revenue",
+        "min_cost_supplier_per_part",
+        "prospect_balance_anti",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
