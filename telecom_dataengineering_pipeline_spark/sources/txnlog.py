@@ -651,6 +651,7 @@ class TxnLogTable:
             "delete",
             "replace_where",
             "restore",  # rolling back over a concurrent write would drop it
+            "clone",  # re-cloning replaces the destination's file set
         )
         if schema_json is not None and operation in ("append", "merge", "replace_where"):
             # Evolution guard (M4 discipline): appending may ADD nullable
@@ -901,6 +902,55 @@ class TxnLogTable:
             read_version=self.version(),
             stats=stats,
         )
+
+    def clone_shallow(
+        self,
+        dest: str,
+        version: int | None = None,
+        app_txn_id: str | None = None,
+    ) -> "TxnLogTable":
+        """Zero-copy SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW
+        CLONE``): the clone's first commit references the source's active
+        files at ``version`` by ABSOLUTE path — no data moves, the clone of
+        a 100 TB table is one metadata commit. Works because the log never
+        requires files to live under the table root: ``os.path.join(root,
+        f)`` passes an absolute ``f`` through untouched on every read path.
+
+        Subsequent writes are the usual copy-on-write: files the clone
+        rewrites land under the CLONE's root while untouched source files
+        stay referenced, and neither table's commits ever alter the other's
+        snapshot (the dev/test-fork + experiment-branch workflow). The
+        clone's ``vacuum`` only ever deletes files under its own root, so
+        it cannot damage the source. Shared Delta caveat, inherited
+        deliberately: vacuuming the SOURCE can delete files a clone still
+        references — clones must not outlive their source's retention.
+        Re-cloning onto an existing destination replaces its file set (one
+        "clone" commit, which conflicts with concurrent writers like any
+        other key-resolving operation)."""
+        if os.path.abspath(dest.rstrip("/")) == os.path.abspath(self.path):
+            raise ValueError("clone destination must differ from the source table")
+        state = self._state(version)
+        if state["schema"] is None:
+            raise ValueError(f"no such table (empty log): {self.path}")
+        dest_t = TxnLogTable(
+            dest,
+            stat_cols=self.stat_cols,
+            checkpoint_interval=self.checkpoint_interval,
+        )
+        adds = [os.path.join(self.path, f) for f in state["active"]]
+        # Per-file min/max stats transfer with the files (immutable), so
+        # stats-based skipping works on the clone from commit 0.
+        stats = {os.path.join(self.path, f): s for f, s in state["stats"].items()}
+        dest_t.commit(
+            adds=adds,
+            removes=dest_t.snapshot_files(),
+            operation="clone",
+            schema_json=state["schema"],
+            app_txn_id=app_txn_id,
+            read_version=dest_t.version(),
+            stats=stats,
+        )
+        return dest_t
 
     def replace_where(
         self,
