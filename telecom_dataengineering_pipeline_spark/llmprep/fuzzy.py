@@ -1,0 +1,79 @@
+"""Blocked fuzzy matching — edit-distance near-dup detection.
+
+The dedup family (``llmprep/dedup.py``) catches token-level overlap
+(Jaccard/MinHash), bit-level similarity (SimHash), and embedding-space
+similarity; what it cannot catch is small CHARACTER-level corruption —
+OCR noise, mojibake, diff-sized whitespace — where token sets diverge but
+edit distance stays tiny. That is the record-linkage regime: candidates by
+cheap deterministic BLOCKING, then exact Levenshtein verification on the
+candidates only (the classic blocking+verify shape; an all-pairs
+Levenshtein is O(n²·L²) and never acceptable).
+
+Blocking key here: (first token, length band). Two strings within edit
+distance k differ in length by at most k, so a band width ≥ k keeps
+same-band recall for prefix-stable corruptions; the first-token component
+cuts the quadratic blow-up inside popular bands. Both block keys are pure
+column expressions; the verify step uses Spark's built-in ``levenshtein``
+(JVM codegen, not a UDF), computed only on the candidate pairs.
+
+At 100 TB: candidates are an equi-join on the block key (one shuffle,
+AQE-skewable); the quadratic term is bounded per block, and oversized
+blocks can be salted or capped exactly like the ``max_df`` guard in
+``dedup.ngram_jaccard_pairs``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fuzzy_block_keys(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 40,
+    band_width: int = 100,
+) -> DataFrame:
+    """(id, prefix, block key) per document. The prefix bounds the
+    Levenshtein operand length (edit distance on the first ``prefix_len``
+    chars), keeping verify cost O(prefix_len²) per candidate instead of
+    O(full-text²)."""
+    return docs.select(
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, prefix_len).alias("pfx"),
+        F.split_part(F.col(text_col), F.lit(" "), F.lit(1)).alias("tok0"),
+        F.floor(F.length(text_col) / band_width).cast("int").alias("band"),
+    )
+
+
+def fuzzy_prefix_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 40,
+    band_width: int = 100,
+    max_dist: int = 12,
+) -> DataFrame:
+    """Candidate generation + verification: document pairs whose blocked
+    prefixes are within ``max_dist`` edits. Returns (id_a, id_b, dist)
+    with id_a < id_b."""
+    keys = fuzzy_block_keys(docs, text_col, id_col, prefix_len, band_width)
+    a = keys.select(
+        F.col(id_col).alias("id_a"),
+        F.col("pfx").alias("pfx_a"),
+        "tok0",
+        "band",
+    )
+    b = keys.select(
+        F.col(id_col).alias("id_b"),
+        F.col("pfx").alias("pfx_b"),
+        "tok0",
+        "band",
+    )
+    cand = a.join(b, ["tok0", "band"]).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.withColumn("dist", F.levenshtein("pfx_a", "pfx_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -2424,3 +2424,37 @@ def bpe_training_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmprep.bpe import bpe_train_rounds
 
     return bpe_train_rounds(load_table(spark, sf_dir, "documents"), rounds=2)
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy matching (llmprep/fuzzy.py): character-level near-dups the
+# token/bit/embedding dedup families miss (OCR noise, mojibake). Blocking
+# (first token × length band) bounds the candidate set; Levenshtein — a
+# JVM built-in in Spark, a native function in DuckDB — verifies candidates
+# only, never all pairs.
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         substr(text, 1, 40) AS pfx,
+         split_part(text, ' ', 1) AS tok0,
+         CAST(floor(length(text) / 100) AS INT) AS band
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
+FROM d a JOIN d b ON a.tok0 = b.tok0 AND a.band = b.band AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= 12
+"""
+
+
+@register("fuzzy_prefix_matches", oracle=_FUZZY_ORACLE, tags=("LLM", "dedup", "fuzzy"))
+def fuzzy_prefix_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.fuzzy import fuzzy_prefix_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = fuzzy_prefix_pairs(
+        docs, prefix_len=40, band_width=100, max_dist=12
+    )
+    return pairs.select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))

@@ -92,6 +92,8 @@ DRIVER_ORDER: list[str] = [
     "brand_predicate_revenue",
     "min_cost_supplier_per_part",
     "prospect_balance_anti",
+    "fuzzy_prefix_matches",
+    "events_gap_fill_ffill",
     # -- last driver-checked in ROUND 1 (stalest driver evidence; the
     #    relational/window/DQ tier VERDICT r3 asked to rotate back in)
     "latest_event_per_user_type",

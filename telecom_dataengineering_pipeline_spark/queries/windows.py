@@ -453,3 +453,61 @@ def windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vmax",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap fill + forward fill (operators/gapfill.py): dense per-user daily
+# series with locf-carried aggregates — the TimescaleDB
+# time_bucket_gapfill + locf shape over the reference's KPI-rollup grain.
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH obs AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value,
+         CAST(count(*) AS BIGINT) AS day_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+  FROM bounds
+)
+SELECT s.user_id,
+       strftime(s.bucket, '%Y-%m-%d') AS day,
+       o.day_events IS NULL AS is_gap,
+       last_value(o.day_value  IGNORE NULLS) OVER w AS day_value,
+       last_value(o.day_events IGNORE NULLS) OVER w AS day_events
+FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.bucket = o.bucket
+WINDOW w AS (PARTITION BY s.user_id ORDER BY s.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("events_gap_fill_ffill", oracle=_GAPFILL_ORACLE, tags=("W4", "A6", "gapfill"))
+def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily activity per user with forward-filled aggregates: the
+    spine is generated per key AFTER aggregation (|users| × days rows, the
+    raw events are touched exactly once), the fill is one window — no
+    as-of self-join, no correlated subquery."""
+    from ..functions.decimals import dec
+    from ..operators.gapfill import gap_fill_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    out = gap_fill_ffill(
+        ev,
+        key="user_id",
+        bucket=F.date_trunc("day", "ts"),
+        values=[
+            ("day_value", F.sum(dec("value", 18, 2)).cast("double")),
+            ("day_events", F.count(F.lit(1)).cast("long")),
+        ],
+        step="interval 1 day",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "is_gap",
+        "day_value",
+        "day_events",
+    )

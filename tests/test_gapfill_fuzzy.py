@@ -1,0 +1,80 @@
+"""Gap-fill/forward-fill operator and blocked fuzzy matching."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from telecom_dataengineering_pipeline_spark.llmprep.fuzzy import fuzzy_prefix_pairs
+from telecom_dataengineering_pipeline_spark.operators.gapfill import gap_fill_ffill
+
+
+def test_gapfill_synthesizes_and_carries_forward(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 5.0),
+            (1, "2024-01-01 12:00:00", 7.0),
+            # Jan 2-3 silent
+            (1, "2024-01-04 09:00:00", 1.0),
+            (2, "2024-01-02 00:00:00", 3.0),
+        ],
+        "user_id LONG, ts_s STRING, value DOUBLE",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = gap_fill_ffill(
+        ev,
+        key="user_id",
+        bucket=F.date_trunc("day", "ts"),
+        values=[
+            ("day_value", F.sum("value")),
+            ("day_events", F.count(F.lit(1)).cast("long")),
+        ],
+    )
+    rows = {
+        (r["user_id"], str(r["bucket"])[:10]): r for r in out.collect()
+    }
+    # user 1 spans 4 days: observed, gap, gap, observed.
+    assert len([k for k in rows if k[0] == 1]) == 4
+    assert rows[(1, "2024-01-01")]["day_value"] == 12.0
+    assert not rows[(1, "2024-01-01")]["is_gap"]
+    for day in ("2024-01-02", "2024-01-03"):
+        r = rows[(1, day)]
+        assert r["is_gap"] and r["day_value"] == 12.0 and r["day_events"] == 2
+    assert rows[(1, "2024-01-04")]["day_value"] == 1.0
+    # user 2: single-day span, no synthesized rows; keys never bleed.
+    assert len([k for k in rows if k[0] == 2]) == 1
+    assert rows[(2, "2024-01-02")]["day_value"] == 3.0
+
+
+def test_fuzzy_blocking_and_verify(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilom zeta eta theta"),  # 1 edit in pfx
+            (2, "alpha completely different content here to see"),  # same tok0/band, far
+            (3, "omega beta gamma delta epsilon zeta eta theta"),  # different tok0: blocked out
+        ],
+        "doc_id LONG, text STRING",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_prefix_pairs(docs, prefix_len=40, band_width=100, max_dist=5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1
+    # Far same-block pair is a candidate but fails the verify threshold.
+    assert (0, 2) not in pairs
+    # Different first token never becomes a candidate (documented blocking
+    # miss for prefix-unstable corruption — the trade every blocker makes).
+    assert all(3 not in k for k in pairs)
+
+
+def test_fuzzy_candidates_bounded_by_blocks(spark):
+    # 20 docs across 2 blocks of 10: candidates = 2 * C(10,2) = 90,
+    # not C(20,2) = 190 — the blocking actually prunes the join.
+    rows = [(i, f"{'left' if i % 2 == 0 else 'right'} word{i} filler text") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    from telecom_dataengineering_pipeline_spark.llmprep.fuzzy import fuzzy_block_keys
+
+    keys = fuzzy_block_keys(docs)
+    a = keys.select(F.col("doc_id").alias("id_a"), "tok0", "band")
+    b = keys.select(F.col("doc_id").alias("id_b"), "tok0", "band")
+    n_cand = a.join(b, ["tok0", "band"]).filter(F.col("id_a") < F.col("id_b")).count()
+    assert n_cand == 90

@@ -131,6 +131,8 @@ def test_new_registrations_inside_driver_window():
         "brand_predicate_revenue",
         "min_cost_supplier_per_part",
         "prospect_balance_anti",
+        "fuzzy_prefix_matches",
+        "events_gap_fill_ffill",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
