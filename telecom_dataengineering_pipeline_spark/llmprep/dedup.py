@@ -1090,3 +1090,58 @@ def simhash_near_dup_pairs(
         "doc2",
         F.bit_count(F.col("f1").bitwiseXOR(F.col("f2"))).cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup: set CONTAINMENT of the smaller shingle set in
+    the larger, C = |A∩B| / min(|A|, |B|).
+
+    Jaccard misses the quote/excerpt case — a 200-token document embedded
+    verbatim in a 20k-token one has J ≈ |A|/|B| ≈ 0.01 but containment 1.0;
+    dedup pipelines drop (or attribute) such pairs separately from
+    symmetric near-dups. Same single-exchange shingle-hash spine and
+    ``max_df`` stopword cap as :func:`jaccard_pairs` (the quadratic guard
+    applies identically), one extra ``least`` in the final ratio. For the
+    100 TB path the same banded MinHash-LSH candidates work: containment
+    ≥ t implies Jaccard ≥ t·|A|/(|A|+|B|), so bands tuned for the target
+    size ratio recover candidates before this exact verify."""
+    stream = shingle_stream(docs, text_col, id_col, n)
+    ex = stream.select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
+    if max_df is not None:
+        dfw = Window.partitionBy("shingle_h")
+        ex = (
+            ex.withColumn("_df", F.count(F.lit(1)).over(dfw))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    ex = ex.localCheckpoint(eager=False)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle_h") == F.col("b.shingle_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    c = F.col("inter").cast("double") / F.least(
+        F.col("sa.n_shingles"), F.col("sb.n_shingles")
+    )
+    return (
+        inter.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        .select("doc1", "doc2", F.round(c, 6).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

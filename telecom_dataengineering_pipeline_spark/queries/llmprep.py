@@ -2458,3 +2458,41 @@ def fuzzy_prefix_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, prefix_len=40, band_width=100, max_dist=12
     )
     return pairs.select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup (llmprep/dedup.py::containment_pairs): the
+# quote/excerpt case Jaccard structurally misses.
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = f"""
+WITH sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len({_TOKS}) - 2, 0)),
+           i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+         )) AS s
+  FROM documents
+), ex0 AS (SELECT doc_id, unnest(s) AS g FROM sets),
+kept AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 1000),
+ex AS (SELECT doc_id, g FROM ex0 WHERE g IN (SELECT g FROM kept)),
+sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       round(CAST(i AS DOUBLE) / least(x.n, y.n), 6) AS containment
+FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+WHERE CAST(i AS DOUBLE) / least(x.n, y.n) >= 0.8
+"""
+
+
+@register("dedup_containment_pairs", oracle=_CONTAINMENT_ORACLE, tags=("LLM", "dedup"))
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8, max_df=1000
+    )

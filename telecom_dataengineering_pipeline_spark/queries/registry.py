@@ -94,6 +94,8 @@ DRIVER_ORDER: list[str] = [
     "prospect_balance_anti",
     "fuzzy_prefix_matches",
     "events_gap_fill_ffill",
+    "dedup_containment_pairs",
+    "order_price_positions",
     # -- last driver-checked in ROUND 1 (stalest driver evidence; the
     #    relational/window/DQ tier VERDICT r3 asked to rotate back in)
     "latest_event_per_user_type",

@@ -511,3 +511,43 @@ def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_value",
         "day_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-function completion: cume_dist / first_value / nth_value over a
+# deterministically ordered partition (tie-break on the unique key — the
+# registry's window convention). Complements order_price_deciles
+# (ntile/percent_rank) so the full ANSI ranking surface is oracle-covered.
+# ---------------------------------------------------------------------------
+
+_POSITIONS_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       round(cume_dist() OVER w, 6) AS price_cume,
+       first_value(o_orderkey) OVER w AS cheapest_key,
+       nth_value(o_orderkey, 10) OVER w AS tenth_cheapest_key
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("order_price_positions", oracle=_POSITIONS_ORACLE, tags=("W1", "O1"))
+def order_price_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    # cume_dist pins its own RANGE frame in Spark (frame-independent by
+    # definition); the value lookups run over the explicit running frame.
+    w_rank = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_run = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.cume_dist().over(w_rank), 6).alias("price_cume"),
+        F.first("o_orderkey").over(w_run).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 10).over(w_run).alias("tenth_cheapest_key"),
+    )

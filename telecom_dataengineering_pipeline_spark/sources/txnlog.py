@@ -452,6 +452,63 @@ class TxnLogTable:
             files = _skip_by_stats(files, state["stats"], where)
         return len(files)
 
+    def file_manifest(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The active file set as a queryable DataFrame (Delta's
+        ``DESCRIBE DETAIL`` / Iceberg's ``.files`` metadata table): one row
+        per file with size, recorded row count, and per-stat-col [lo, hi]
+        bounds as JSON. Metadata-only — built from the log, no data files
+        opened — so it stays O(#files) however big the table is; the
+        capacity-planning / skew-audit surface maintenance tooling reads."""
+        state = self._state(version)
+        rows = []
+        for f in state["active"]:
+            full = f if os.path.isabs(f) else os.path.join(self.path, f)
+            st = state["stats"].get(f) or {}
+            try:
+                size = os.path.getsize(full)
+            except OSError:
+                size = -1  # vacuumed-from-under or remote: surfaced, not fatal
+            rows.append(
+                (
+                    f,
+                    size,
+                    int(st.get("__rows", -1)),
+                    json.dumps(
+                        {k: v for k, v in st.items() if not k.startswith("__")},
+                        sort_keys=True,
+                    ),
+                )
+            )
+        return spark.createDataFrame(
+            rows, "file STRING, size_bytes LONG, n_rows LONG, stats_json STRING"
+        )
+
+    def detail(self, version: int | None = None) -> dict:
+        """Table-level summary (Delta ``DESCRIBE DETAIL``): version, file
+        count, byte/row totals, checkpoint state. Metadata-only."""
+        state = self._state(version)
+        sizes, rows_known, n_rows = [], True, 0
+        for f in state["active"]:
+            full = f if os.path.isabs(f) else os.path.join(self.path, f)
+            try:
+                sizes.append(os.path.getsize(full))
+            except OSError:
+                pass
+            st = state["stats"].get(f) or {}
+            if "__rows" in st:
+                n_rows += int(st["__rows"])
+            else:
+                rows_known = False
+        cp = self._checkpoint_info()
+        return {
+            "version": self.version() if version is None else version,
+            "num_files": len(state["active"]),
+            "size_bytes": sum(sizes),
+            "num_rows": n_rows if rows_known else None,
+            "checkpoint_version": cp[0] if cp else None,
+            "stat_cols": list(self.stat_cols),
+        }
+
     def history(self) -> list[dict]:
         """Commit metadata, oldest first: version, operation, file deltas."""
         return [

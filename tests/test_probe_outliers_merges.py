@@ -133,6 +133,8 @@ def test_new_registrations_inside_driver_window():
         "prospect_balance_anti",
         "fuzzy_prefix_matches",
         "events_gap_fill_ffill",
+        "dedup_containment_pairs",
+        "order_price_positions",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
