@@ -215,3 +215,58 @@ def test_sketch_builds_are_single_exchange_pruned_scans(spark, sf_smoke):
     plan = regs._jdf.queryExecution().executedPlan().toString()
     assert _n_shuffles(plan) == 1
     assert "props" not in plan
+
+
+def test_tpch_deep_plan_shapes(spark, sf_smoke):
+    """Round-4 TPC-H tier: every dim side broadcasts (facts never shuffle
+    into a dim join), top-k fuses, and the Q19 disjunction's derived
+    single-side predicates reach the parquet scans."""
+    # Q7/Q9: all dims broadcast; the only hash exchanges belong to the
+    # lineitem⋈orders join + final agg.
+    for name, min_bhj in (("volume_shipping_pairs", 4), ("product_profit_by_nation", 3)):
+        plan = _physical(spark, name, sf_smoke)
+        assert plan.count("BroadcastHashJoin") >= min_bhj, name
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    # Q10: top-20 never globally sorts.
+    plan = _physical(spark, "returned_items_report", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan and "EqualTo(l_returnflag,R)" in plan
+
+    # Q19: the per-side implications of the cross-side disjunction are
+    # derived and pushed — the brand/size OR-tree into the part scan, the
+    # quantity OR-of-ranges into the lineitem scan.
+    plan = _physical(spark, "brand_predicate_revenue", sf_smoke)
+    assert "EqualTo(p_brand" in plan
+    assert "GreaterThanOrEqual(l_quantity,1" in plan
+
+    # Q2 shape: the window runs AFTER the per-(part,supplier) aggregate —
+    # partial_min proves map-side combine before the only wide shuffle.
+    plan = _physical(spark, "min_cost_supplier_per_part", sf_smoke)
+    assert "partial_min" in plan
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+    # Q22: the scalar threshold broadcasts (1-row anchor), the
+    # never-ordered side is a broadcast anti join, no cartesian on data.
+    plan = _physical(spark, "prospect_balance_anti", sf_smoke)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_gapfill_single_window_no_selfjoin(spark, sf_smoke):
+    """Forward fill is ONE window pass — the naive as-of self-join
+    formulation would be quadratic per key."""
+    plan = _physical(spark, "events_gap_fill_ffill", sf_smoke)
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+    # Spine explode happens after the bounds aggregate: generator sits
+    # above an aggregate, never over the raw events.
+    assert "Generate explode" in plan
+
+
+def test_fuzzy_blocking_is_equijoin(spark, sf_smoke):
+    """Candidate generation must be a hash equi-join on the block key —
+    never a nested-loop over all pairs."""
+    plan = _physical(spark, "fuzzy_prefix_matches", sf_smoke)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # verify runs as a JVM expression, not a UDF
+    assert "BatchEvalPython" not in plan
