@@ -894,3 +894,111 @@ def hard_negative_mining(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    pool_k: int = 10,
+    select_k: int = 3,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: greedily pick ``select_k``
+    results from each query's top-``pool_k`` cosine pool, trading relevance
+    against redundancy — score(c) = λ·rel(c) − (1−λ)·max_{s∈selected}
+    sim(c, s). The standard diversification step between retrieval and a
+    RAG context window (duplicate passages burn context tokens).
+
+    Shape that scales: the pool is ``|queries| × pool_k`` rows (tiny by
+    construction — the expensive part is the retrieval that built it, not
+    this), so the greedy loop unrolls into ``select_k`` plan stages of
+    join + max + deterministic-argmax over the pool, all JVM expressions.
+    Per-candidate relevances and pairwise sims are rounded to 6 dp before
+    use and ties break on vec_id, which makes every pick — and therefore
+    the whole greedy trajectory — engine-exact (DuckDB reproduces it
+    bit-for-bit from the same unrolled rounds).
+
+    Returns (query_id, selected_id, round, mmr_score); round 1 is the pure
+    relevance pick with score λ·rel.
+    """
+    pool = cosine_topk(embeddings, query_ids, k=pool_k, id_col=id_col, vec_col=vec_col)
+    pool = pool.select(
+        "query_id", F.col("neighbor_id").alias("cand_id"), F.col("cosine").alias("rel"), "rank"
+    ).localCheckpoint(eager=False)  # three+ consumers: don't re-run retrieval per round
+
+    # Pairwise candidate sims within each query's pool (pool_k² per query).
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    )
+    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    pv = pool.join(F.broadcast(emb), pool["cand_id"] == emb["vid"]).select(
+        "query_id", "cand_id", "v", "nrm"
+    )
+    a, b = pv.alias("a"), pv.alias("b")
+    sim = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.cand_id") != F.col("b.cand_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.cand_id").alias("c1"),
+            F.col("b.cand_id").alias("c2"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .localCheckpoint(eager=False)  # reused by every round after the first
+    )
+
+    # Score arithmetic is exact DECIMAL — λ·rel − (1−λ)·max_sim lands on a
+    # half-point at 6 dp often enough (0.7×0.371485 = 0.2600395) that
+    # double round() diverges across engines (HALF_UP on the decimal repr
+    # vs rounding the binary value). DECIMAL(3,2)×DECIMAL(8,6) is exact at
+    # scale 8; no rounding ever happens, the double cast at the edge is
+    # value-preserving, and the argmax orders on the exact score.
+    lam_d = F.lit(f"{lam:.2f}").cast("decimal(3,2)")
+    one_m = F.lit(f"{1.0 - lam:.2f}").cast("decimal(3,2)")
+    rel_d = F.col("rel").cast("decimal(8,6)")
+    # Round 1: pure relevance (the pool's rank already encodes the
+    # rounded-rel + id tie-break ordering).
+    selected = pool.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("cand_id").alias("selected_id"),
+        F.lit(1).alias("round"),
+        (lam_d * rel_d).cast("double").alias("mmr_score"),
+    )
+    out = selected
+    for r in range(2, select_k + 1):
+        sel_ids = out.select("query_id", F.col("selected_id").alias("c2"))
+        remaining = pool.join(
+            out.select("query_id", F.col("selected_id").alias("cand_id")),
+            ["query_id", "cand_id"],
+            "left_anti",
+        )
+        maxsim = (
+            pairs.join(sel_ids, ["query_id", "c2"])
+            .groupBy("query_id", F.col("c1").alias("cand_id"))
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        scored = remaining.join(maxsim, ["query_id", "cand_id"]).withColumn(
+            "score",
+            lam_d * rel_d - one_m * F.col("max_sim").cast("decimal(8,6)"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("cand_id").asc()
+        )
+        pick = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id",
+                F.col("cand_id").alias("selected_id"),
+                F.lit(r).alias("round"),
+                F.col("score").cast("double").alias("mmr_score"),
+            )
+        )
+        out = out.unionByName(pick)
+    return out

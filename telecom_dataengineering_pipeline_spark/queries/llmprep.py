@@ -2496,3 +2496,96 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.8, max_df=1000
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (llmprep/similarity.py::mmr_rerank): the greedy
+# trajectory is engine-exact because rel/sim round to 6 dp before use, every
+# argmax tie-breaks on cand_id, and the λ·rel − (1−λ)·max_sim score is EXACT
+# DECIMAL(3,2)×DECIMAL(8,6) arithmetic — a double formulation lands on
+# half-points at 6 dp (0.7×0.371485 = 0.2600395) where Spark's HALF_UP on
+# the decimal repr and DuckDB's rounding of the binary value disagree; the
+# decimal score never rounds at all.
+# ---------------------------------------------------------------------------
+
+_MMR_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5
+), s AS (
+  SELECT q.query_id, n.vec_id,
+         round(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6) AS cosine
+  FROM q JOIN n ON n.vec_id <> q.query_id
+), pool AS (
+  SELECT query_id, cand_id, rel, rnk FROM (
+    SELECT query_id, vec_id AS cand_id, cosine AS rel,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rnk
+    FROM s
+  ) WHERE rnk <= 10
+), pv AS (
+  SELECT p.query_id, p.cand_id, n.v, n.nrm FROM pool p JOIN n ON n.vec_id = p.cand_id
+), pairs AS (
+  SELECT a.query_id, a.cand_id AS c1, b.cand_id AS c2,
+         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+  FROM pv a JOIN pv b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+), s1 AS (
+  SELECT query_id, cand_id AS selected_id, 1 AS round,
+         CAST(CAST(0.70 AS DECIMAL(3,2)) * CAST(rel AS DECIMAL(8,6)) AS DOUBLE) AS mmr_score
+  FROM pool WHERE rnk = 1
+), r2c AS (
+  SELECT p.query_id, p.cand_id, p.rel, max(pr.sim) AS max_sim
+  FROM pool p
+  JOIN s1 ON s1.query_id = p.query_id AND p.cand_id <> s1.selected_id
+  JOIN pairs pr ON pr.query_id = p.query_id AND pr.c1 = p.cand_id
+                AND pr.c2 = s1.selected_id
+  GROUP BY 1, 2, 3
+), s2 AS (
+  SELECT query_id, cand_id AS selected_id, 2 AS round,
+         CAST(score AS DOUBLE) AS mmr_score FROM (
+    SELECT query_id, cand_id,
+           CAST(0.70 AS DECIMAL(3,2)) * CAST(rel AS DECIMAL(8,6))
+             - CAST(0.30 AS DECIMAL(3,2)) * CAST(max_sim AS DECIMAL(8,6)) AS score,
+           row_number() OVER (PARTITION BY query_id ORDER BY
+             CAST(0.70 AS DECIMAL(3,2)) * CAST(rel AS DECIMAL(8,6))
+               - CAST(0.30 AS DECIMAL(3,2)) * CAST(max_sim AS DECIMAL(8,6)) DESC,
+             cand_id ASC) AS rn
+    FROM r2c
+  ) WHERE rn = 1
+), sel12 AS (
+  SELECT query_id, selected_id FROM s1
+  UNION ALL SELECT query_id, selected_id FROM s2
+), r3c AS (
+  SELECT p.query_id, p.cand_id, p.rel, max(pr.sim) AS max_sim
+  FROM pool p
+  ANTI JOIN sel12 x ON x.query_id = p.query_id AND x.selected_id = p.cand_id
+  JOIN pairs pr ON pr.query_id = p.query_id AND pr.c1 = p.cand_id
+  JOIN sel12 sl ON sl.query_id = pr.query_id AND sl.selected_id = pr.c2
+  GROUP BY 1, 2, 3
+), s3 AS (
+  SELECT query_id, cand_id AS selected_id, 3 AS round,
+         CAST(score AS DOUBLE) AS mmr_score FROM (
+    SELECT query_id, cand_id,
+           CAST(0.70 AS DECIMAL(3,2)) * CAST(rel AS DECIMAL(8,6))
+             - CAST(0.30 AS DECIMAL(3,2)) * CAST(max_sim AS DECIMAL(8,6)) AS score,
+           row_number() OVER (PARTITION BY query_id ORDER BY
+             CAST(0.70 AS DECIMAL(3,2)) * CAST(rel AS DECIMAL(8,6))
+               - CAST(0.30 AS DECIMAL(3,2)) * CAST(max_sim AS DECIMAL(8,6)) DESC,
+             cand_id ASC) AS rn
+    FROM r3c
+  ) WHERE rn = 1
+)
+SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+"""
+
+
+@register("ann_mmr_rerank", oracle=_MMR_ORACLE, tags=("LLM", "similarity"))
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb, query_ids=list(range(5)), pool_k=10, select_k=3, lam=0.7
+    ).withColumn("round", F.col("round").cast("int"))

@@ -135,6 +135,7 @@ def test_new_registrations_inside_driver_window():
         "events_gap_fill_ffill",
         "dedup_containment_pairs",
         "order_price_positions",
+        "ann_mmr_rerank",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
