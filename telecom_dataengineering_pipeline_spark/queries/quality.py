@@ -697,3 +697,58 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Recency-weighted volume anomaly (operators/trend.py): the reference's
+# flat 7-day-average anomaly test (A6) upgraded to a weighted out-of-sample
+# baseline — entirely exact DECIMAL arithmetic, so the flags (not just the
+# numbers) are engine-identical.
+# ---------------------------------------------------------------------------
+
+_WMA_ORACLE = """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT day, rev,
+         CAST('0.4' AS DECIMAL(4,3)) * lag(rev, 1) OVER win
+       + CAST('0.3' AS DECIMAL(4,3)) * lag(rev, 2) OVER win
+       + CAST('0.2' AS DECIMAL(4,3)) * lag(rev, 3) OVER win
+       + CAST('0.1' AS DECIMAL(4,3)) * lag(rev, 4) OVER win AS wma
+  FROM daily
+  WINDOW win AS (ORDER BY day)
+)
+SELECT day,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(wma AS DOUBLE) AS wma,
+       CASE WHEN wma IS NOT NULL THEN rev < CAST('0.5' AS DECIMAL(4,2)) * wma END AS is_drop,
+       CASE WHEN wma IS NOT NULL THEN rev > CAST('2.0' AS DECIMAL(4,2)) * wma END AS is_spike
+FROM w
+"""
+
+
+@register("daily_revenue_wma_anomaly", oracle=_WMA_ORACLE, tags=("A6", "A8", "DQ"))
+def daily_revenue_wma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import band_anomaly_flags, weighted_moving_avg
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"))
+    )
+    flagged = band_anomaly_flags(
+        weighted_moving_avg(
+            daily, order_col="day", value_col="rev",
+            weights=("0.4", "0.3", "0.2", "0.1"),
+        ),
+        value_col="rev",
+    )
+    return flagged.select(
+        "day",
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("wma").cast("double").alias("wma"),
+        "is_drop",
+        "is_spike",
+    )

@@ -78,3 +78,29 @@ def test_fuzzy_candidates_bounded_by_blocks(spark):
     b = keys.select(F.col("doc_id").alias("id_b"), "tok0", "band")
     n_cand = a.join(b, ["tok0", "band"]).filter(F.col("id_a") < F.col("id_b")).count()
     assert n_cand == 90
+
+
+def test_wma_exact_and_out_of_sample(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import (
+        band_anomaly_flags,
+        weighted_moving_avg,
+    )
+
+    rows = [("d1", "10.00"), ("d2", "10.00"), ("d3", "10.00"), ("d4", "10.00"),
+            ("d5", "100.00"), ("d6", "1.00")]
+    df = spark.createDataFrame(rows, "day STRING, rev_s STRING").withColumn(
+        "rev", F.col("rev_s").cast("decimal(12,2)")
+    )
+    out = {r["day"]: r for r in band_anomaly_flags(
+        weighted_moving_avg(df, "day", "rev", weights=("0.4", "0.3", "0.2", "0.1")),
+        value_col="rev",
+    ).collect()}
+    # Warm-up rows (fewer than 4 priors) have NULL baseline and no flags.
+    for d in ("d1", "d2", "d3", "d4"):
+        assert out[d]["wma"] is None and out[d]["is_drop"] is None
+    # d5 baseline = exact 10.00; value 100 > 2×10 → spike, not drop.
+    assert float(out["d5"]["wma"]) == 10.0
+    assert out["d5"]["is_spike"] and not out["d5"]["is_drop"]
+    # d6 baseline = .4·100 + .3·10 + .2·10 + .1·10 = 46.00 exactly.
+    assert float(out["d6"]["wma"]) == 46.0
+    assert out["d6"]["is_drop"] and not out["d6"]["is_spike"]

@@ -136,6 +136,7 @@ def test_new_registrations_inside_driver_window():
         "dedup_containment_pairs",
         "order_price_positions",
         "ann_mmr_rerank",
+        "daily_revenue_wma_anomaly",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
