@@ -493,3 +493,99 @@ def backfill_replace_where_txnlog(spark: SparkSession, sf_dir: str) -> DataFrame
         "priority",
         F.col("price").cast("double").alias("totalprice"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shallow-clone divergence through the driver gate (sources/txnlog.py
+# ``clone_shallow``): value-checks BOTH sides of the isolation contract —
+# the COW merge into the clone (keep-latest semantics, files referenced
+# from the source root) and the append to the source after cloning (the
+# clone must not see it).
+# ---------------------------------------------------------------------------
+
+_CLONE_ORACLE = """
+WITH target AS (
+  SELECT o_orderkey, 1 AS version,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(14,4)) AS price,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 3 != 0
+), extra AS (
+  SELECT o_orderkey, 1 AS version,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(14,4)) AS price,
+         'A' AS status
+  FROM orders WHERE o_orderkey % 3 = 0
+), upd AS (
+  SELECT o_orderkey, 2 AS version,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,2)) AS DECIMAL(14,4)) AS price,
+         'U' AS status
+  FROM orders WHERE o_orderkey % 2 = 0
+), source_final AS (
+  SELECT * FROM target UNION ALL SELECT * FROM extra
+), clone_final AS (
+  SELECT t.* FROM target t ANTI JOIN upd u ON t.o_orderkey = u.o_orderkey
+  UNION ALL SELECT * FROM upd
+)
+SELECT 'source' AS table_role, o_orderkey AS orderkey, version,
+       CAST(price AS DOUBLE) AS totalprice, status
+FROM source_final
+UNION ALL
+SELECT 'clone' AS table_role, o_orderkey AS orderkey, version,
+       CAST(price AS DOUBLE) AS totalprice, status
+FROM clone_final
+"""
+
+
+@register("txnlog_clone_divergence", oracle=_CLONE_ORACLE, tags=("M1", "S7"))
+def txnlog_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Create a txnlog table, SHALLOW CLONE it, MERGE updates into the
+    clone (COW against source-rooted files), append new keys to the SOURCE
+    — then read both tables. The clone shows merged state without the
+    source's post-clone append; the source shows the append without the
+    clone's merge. One result set, role-tagged, fully value-checked."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.txnlog import TxnLogTable
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+
+    def shaped(pred, version, status_col, price_mult=None):
+        p = price
+        if price_mult is not None:
+            p = (price * F.lit(price_mult).cast("decimal(3,2)"))
+        return o.filter(pred).select(
+            "o_orderkey",
+            F.lit(version).alias("version"),
+            p.cast("decimal(14,4)").alias("price"),
+            status_col.alias("status"),
+        )
+
+    target = shaped(F.col("o_orderkey") % 3 != 0, 1, F.col("o_orderstatus"))
+    extra = shaped(F.col("o_orderkey") % 3 == 0, 1, F.lit("A"))
+    upd = shaped(F.col("o_orderkey") % 2 == 0, 2, F.lit("U"), price_mult=1.1)
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"txnlog_clone_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = TxnLogTable(os.path.join(root, "src"), stat_cols=("o_orderkey",))
+    src.create_or_replace(target)
+    clone = src.clone_shallow(os.path.join(root, "dst"))
+    clone.merge_keep_latest(
+        spark, upd, keys=["o_orderkey"], order_by=[F.col("version").desc()]
+    )
+    src.append(extra)
+
+    def tagged(t: TxnLogTable, role: str) -> DataFrame:
+        return t.read(spark).select(
+            F.lit(role).alias("table_role"),
+            F.col("o_orderkey").alias("orderkey"),
+            "version",
+            F.col("price").cast("double").alias("totalprice"),
+            "status",
+        )
+
+    return tagged(src, "source").unionByName(tagged(clone, "clone"))

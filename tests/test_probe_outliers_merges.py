@@ -137,6 +137,7 @@ def test_new_registrations_inside_driver_window():
         "order_price_positions",
         "ann_mmr_rerank",
         "daily_revenue_wma_anomaly",
+        "txnlog_clone_divergence",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
