@@ -99,6 +99,7 @@ DRIVER_ORDER: list[str] = [
     "ann_mmr_rerank",
     "daily_revenue_wma_anomaly",
     "txnlog_clone_divergence",
+    "stream_dedup_availablenow",
     # -- last driver-checked in ROUND 1 (stalest driver evidence; the
     #    relational/window/DQ tier VERDICT r3 asked to rotate back in)
     "latest_event_per_user_type",

@@ -551,3 +551,70 @@ def order_price_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w_run).alias("cheapest_key"),
         F.nth_value("o_orderkey", 10).over(w_run).alias("tenth_cheapest_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup-within-watermark through the driver gate: the W1/T5
+# at-least-once story in its STREAMING form. Duplicates are injected as
+# EXACT row copies, so whichever arrival the stream's keep-first state
+# keeps, the surviving values are identical — the output is deterministic
+# under any micro-batching, and the batch oracle is a plain DISTINCT.
+# ---------------------------------------------------------------------------
+
+_STREAM_DEDUP_ORACLE = """
+WITH staged AS (
+  SELECT event_id, user_id, event_type, value, ts FROM events
+  UNION ALL
+  SELECT event_id, user_id, event_type, value, ts FROM events WHERE user_id % 7 = 0
+)
+SELECT DISTINCT event_id, user_id, event_type,
+       round(value, 6) AS value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM staged
+"""
+
+
+@register("stream_dedup_availablenow", oracle=_STREAM_DEDUP_ORACLE, tags=("W2", "T5", "stream"))
+def stream_dedup_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream with ~14% duplicate injection, deduplicated by
+    ``dropDuplicates("event_id")`` under an event-time watermark (bounded
+    state: a key's dedup entry expires once the watermark passes it — the
+    production at-least-once ingest shape). availableNow drains the stage
+    to a memory sink; values survive exactly because dups are exact."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    staged = ev.unionByName(ev.filter(F.col("user_id") % 7 == 0))
+    sink = "stream_dedup_sink"
+    spark.catalog.dropTempView(sink)
+    staging = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    try:
+        src = os.path.join(staging, "events")
+        staged.write.parquet(src)
+        stream = (
+            spark.readStream.schema(staged.schema)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicates(["event_id"])
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return spark.table(sink).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )

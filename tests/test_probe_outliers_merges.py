@@ -138,6 +138,7 @@ def test_new_registrations_inside_driver_window():
         "ann_mmr_rerank",
         "daily_revenue_wma_anomaly",
         "txnlog_clone_divergence",
+        "stream_dedup_availablenow",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
