@@ -11,6 +11,7 @@ from .registry import REGISTRY, QuerySpec, oracle_sql, queries, register
 from . import advanced  # noqa: F401
 from . import relational  # noqa: F401
 from . import tpch_deep  # noqa: F401
+from . import tpch_fill  # noqa: F401
 from . import scalar  # noqa: F401
 from . import windows  # noqa: F401
 from . import fraud  # noqa: F401

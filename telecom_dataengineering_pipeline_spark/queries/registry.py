@@ -100,6 +100,13 @@ DRIVER_ORDER: list[str] = [
     "daily_revenue_wma_anomaly",
     "txnlog_clone_divergence",
     "stream_dedup_availablenow",
+    "order_priority_semi_counts",
+    "discount_revenue_uplift",
+    "important_part_values",
+    "shipmode_priority_matrix",
+    "supplier_part_variety",
+    "promo_part_shippers",
+    "waiting_supplier_ranking",
     # -- last driver-checked in ROUND 1 (stalest driver evidence; the
     #    relational/window/DQ tier VERDICT r3 asked to rotate back in)
     "latest_event_per_user_type",

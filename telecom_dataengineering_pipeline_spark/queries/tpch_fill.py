@@ -1,0 +1,460 @@
+"""TPC-H completion tier (round 4): the seven decision-support shapes not
+yet covered, closing out all 22 classic queries.
+
+The driver's schema omits ``partsupp``, ``l_commitdate``/``l_receiptdate``
+and ``l_shipmode``, so — exactly like the existing Q2/Q22 adaptations in
+``tpch_deep.py`` — each query preserves the ORIGINAL's operator composition
+(the thing the reference's Trino layer exercises; SURVEY.md §2 ids in the
+docstrings) on the columns that exist:
+
+- ``order_priority_semi_counts``  (Q4)  — correlated EXISTS → left-semi
+  join with a compound (key + range) condition, then a tiny rollup.
+- ``discount_revenue_uplift``     (Q6)  — pure single-scan predicate
+  aggregate; every filter must reach the parquet scan.
+- ``important_part_values``       (Q11) — group value vs a global scalar
+  threshold (1-row cross join) → HAVING on aggregate.
+- ``shipmode_priority_matrix``    (Q12) — two-way conditional counts per
+  derived class (ship-delay bucket standing in for l_shipmode).
+- ``supplier_part_variety``       (Q16) — COUNT(DISTINCT) per attribute
+  group with a NOT-IN–style anti membership on a computed supplier set.
+- ``promo_part_shippers``         (Q20) — nested semi-join chain driven by
+  a filtered aggregate exceeding a global scalar threshold.
+- ``waiting_supplier_ranking``    (Q21) — the EXISTS / NOT-EXISTS
+  self-join on l_orderkey, re-expressed as per-order aggregates (no
+  double self-join over raw lineitem); the DuckDB oracle keeps the
+  CLASSIC correlated form, so the two formulations cross-check each other.
+
+Cross-engine determinism follows the registry conventions: decimal-exact
+sums cast to DOUBLE at the edge, day arithmetic on midnight timestamps
+only, deterministic tie-breaks under every top-k.
+
+Scale notes: part/supplier/nation broadcast at every SF; lineitem/orders
+shuffle once on their join keys; the Q21 shape aggregates to per-(order,
+supplier) grain BEFORE any wide operation, so the state that flows into
+the window/rollup is orders-of-magnitude smaller than raw lineitem, and
+the classic double EXISTS self-join (which would scan lineitem three
+times) is replaced by one scan + one reduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking: orders with at least one late-shipped line.
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1998-07-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@register("order_priority_semi_counts", oracle=_Q4_ORACLE, tags=("J6", "A1", "P6"))
+def order_priority_semi_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: per-priority count of one quarter's orders having at least
+    one line shipped >90 days after the order date (the schema's stand-in
+    for commitdate<receiptdate). The correlated EXISTS becomes a LEFT SEMI
+    join whose condition spans both sides (key equality + date range) —
+    semi join means lineitem multiplicity can never double-count an order,
+    so no DISTINCT is needed. Orders' quarter filter is pushed to its scan;
+    the semi join shuffles on orderkey once."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecasting revenue change: one scan, every predicate pushed.
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(24,6)))
+            AS DOUBLE) AS revenue,
+       count(*) AS line_count
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("discount_revenue_uplift", oracle=_Q6_ORACLE, tags=("P3", "A1"))
+def discount_revenue_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue that would be gained by eliminating a discount
+    band — a pure scan-side query. All three predicates (ship year,
+    discount band, quantity cap) must appear under PushedFilters; the
+    aggregate is a single global decimal-exact sum (map-side partials, one
+    1-row exchange)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    uplift = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * F.col("l_discount").cast("decimal(8,4)")
+    ).cast("decimal(24,6)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(uplift).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock: per-part value above a global-share threshold.
+# ---------------------------------------------------------------------------
+
+_Q11_VALUE_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * CAST(l_quantity AS DECIMAL(8,2)) AS DECIMAL(30,4))"
+)
+
+_Q11_ORACLE = f"""
+SELECT l_partkey AS partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM (
+  SELECT l.l_partkey, sum({_Q11_VALUE_SQL}) AS part_value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  GROUP BY l.l_partkey
+) pv
+CROSS JOIN (
+  SELECT CAST(sum({_Q11_VALUE_SQL}) AS DOUBLE) / count(DISTINCT l.l_partkey)
+           AS threshold
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+) t
+WHERE CAST(part_value AS DOUBLE) > t.threshold
+"""
+
+
+@register("important_part_values", oracle=_Q11_ORACLE, tags=("J4", "A1", "J1"))
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part shipped value (price x quantity, standing
+    in for partsupp supplycost x availqty) restricted to three supplier
+    nations, keeping parts whose value exceeds the mean per-part value — a
+    HAVING against a global scalar. The scalar side reuses the SAME
+    per-part aggregate (self-derived, Spark computes it once under AQE
+    exchange reuse is not guaranteed, so it is derived from the grouped
+    frame, not a second scan); the threshold broadcasts as a 1-row cross
+    join. Threshold is mean-derived (total/count) so it is non-degenerate
+    at every SF — no hand-tuned fraction constant."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    value = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(8,2)")
+    ).cast("decimal(30,4)")
+    per_part = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("part_value_dec"))
+    )
+    threshold = per_part.agg(
+        (
+            F.sum("part_value_dec").cast("double") / F.count(F.lit(1))
+        ).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value_dec").cast("double") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("part_value_dec").cast("double").alias("part_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-class vs order-priority matrix (conditional dual counts).
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT ship_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM (
+  SELECT o.o_orderpriority,
+         CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 30
+                THEN 'FAST'
+              WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 180
+                THEN 'REGULAR'
+              ELSE 'SLOW' END AS ship_class
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+)
+GROUP BY ship_class
+"""
+
+
+@register("shipmode_priority_matrix", oracle=_Q12_ORACLE, tags=("A3", "J2", "P3"))
+def shipmode_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: were critical orders shipped by slow modes? The schema
+    has no l_shipmode, so the class is DERIVED from ship delay (<30 days
+    FAST, <180 REGULAR, else SLOW) — same conditional dual-count shape
+    (A3): one pass, two CASE sums per group. Ship-year filter pushes to
+    the lineitem scan; orders projects two columns into the join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    ship_class = (
+        F.when(delay < 30, "FAST").when(delay < 180, "REGULAR").otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(ship_class.alias("ship_class"), high.alias("is_high"))
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier variety per part attribute group, minus excluded suppliers.
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier
+    WHERE s_acctbal < (SELECT CAST(sum(CAST(s_acctbal AS DECIMAL(12,2)))
+                                   AS DOUBLE) / count(*)
+                       FROM supplier)
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("supplier_part_variety", oracle=_Q16_ORACLE, tags=("J6", "A1", "P3"))
+def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: how many distinct suppliers serve each (brand, type,
+    size) group, excluding a computed denylist (below-average account
+    balance standing in for the original's complaint-comment LIKE — a
+    derived set, not a constant, so the NOT-IN semantics are real). The
+    denylist is tiny at every SF: broadcast LEFT ANTI, never a shuffled
+    NOT IN. COUNT(DISTINCT) expands into Spark's two-phase distinct
+    aggregate — partial per (group, suppkey), then the count."""
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    avg_bal = sup.agg(
+        (
+            F.sum(F.col("s_acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    denylist = (
+        sup.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("s_acctbal") < F.col("avg_bal"))
+        .select("s_suppkey")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(denylist), li["l_suppkey"] == denylist["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential promotion shippers: semi-join chain off a filtered agg.
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+SELECT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT l.l_suppkey,
+           sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS promo_qty
+    FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      AND l.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY l.l_suppkey
+  ) sq
+  CROSS JOIN (
+    SELECT CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             / (2 * count(DISTINCT l.l_suppkey)) AS half_avg_qty
+    FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      AND l.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+  ) t
+  WHERE CAST(promo_qty AS DOUBLE) > t.half_avg_qty
+)
+"""
+
+
+@register("promo_part_shippers", oracle=_Q20_ORACLE, tags=("J6", "A1", "J1"))
+def promo_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than half the average
+    per-supplier quantity of PROMO parts in one year (availqty > 0.5 x
+    shipped in the original). Three chained membership tests, each kept
+    semi/broadcast: promo parts -> semi-filter lineitem; per-supplier agg
+    vs a global scalar (1-row cross join); qualifying suppkeys -> semi
+    join into supplier. Nothing wider than supplier ever shuffles."""
+    promo_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("promo_qty")
+    )
+    threshold = per_supp.agg(
+        (
+            F.sum("promo_qty").cast("double") / (2 * F.count(F.lit(1)))
+        ).alias("half_avg_qty")
+    )
+    qualified = (
+        per_supp.crossJoin(F.broadcast(threshold))
+        .filter(F.col("promo_qty").cast("double") > F.col("half_avg_qty"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(F.broadcast(qualified), s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS / NOT EXISTS self-join).
+# ---------------------------------------------------------------------------
+
+# The oracle keeps TPC-H's CLASSIC correlated formulation (count of late l1
+# lines per supplier where another supplier shares the order but none other
+# is late); the Spark side re-derives the same relation from per-order
+# aggregates. Two independent formulations hashing identically is the point.
+_Q21_ORACLE = """
+SELECT s_name, numwait FROM (
+  SELECT s.s_name, count(*) AS numwait
+  FROM supplier s
+  JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+  JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l1.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > o.o_orderdate + INTERVAL 365 DAY)
+  GROUP BY s.s_name
+)
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@register("waiting_supplier_ranking", oracle=_Q21_ORACLE, tags=("J6", "A1", "W1", "O6"))
+def waiting_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who were the SOLE late shipper on multi-supplier
+    finalized orders ("late" = shipped >365 days after order date; the
+    schema's stand-in for receiptdate>commitdate). The classic EXISTS /
+    NOT-EXISTS double self-join would scan lineitem three times and
+    shuffle it twice; here one scan reduces to per-(order, supplier) grain
+    (late-line count), a second reduce to per-order grain (supplier count,
+    late-supplier count), and the qualifying rows — orders with >=2
+    suppliers and exactly 1 late one — rejoin only the tiny aggregate.
+    Per-order state is two ints: this holds at any SF. Top-20 with s_name
+    tie-break via TakeOrderedAndProject."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+    per_os = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_os = per_os.withColumn("nsupp", F.count(F.lit(1)).over(w)).withColumn(
+        "nlate", F.sum(F.when(F.col("late_lines") > 0, 1).otherwise(0)).over(w)
+    )
+    waiting = per_os.filter(
+        (F.col("late_lines") > 0) & (F.col("nsupp") >= 2) & (F.col("nlate") == 1)
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(s), waiting["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.sum("late_lines").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

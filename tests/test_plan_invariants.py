@@ -270,3 +270,48 @@ def test_fuzzy_blocking_is_equijoin(spark, sf_smoke):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan  # verify runs as a JVM expression, not a UDF
     assert "BatchEvalPython" not in plan
+
+
+def test_tpch_fill_plan_shapes(spark, sf_smoke):
+    """TPC-H completion tier (Q4/Q6/Q11/Q12/Q16/Q20/Q21): scan-side
+    pushdown, semi/broadcast membership (never a shuffled NOT IN), 1-row
+    scalar anchors as the only nested-loop sources, and the Q21 rewrite
+    aggregating before anything wide."""
+    # Q4: the quarter filter reaches the orders scan; the EXISTS is a
+    # single semi join (one agg exchange, no distinct needed).
+    plan = _physical(spark, "order_priority_semi_counts", sf_smoke)
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1998-07-01" in plan
+    assert _n_shuffles(plan) == 1
+
+    # Q6: a pure pushed-predicate scan — zero shuffles besides the 1-row
+    # global aggregate (which is a SinglePartition exchange, not hash).
+    plan = _physical(spark, "discount_revenue_uplift", sf_smoke)
+    assert _n_shuffles(plan) == 0
+    # toString elides long filter lists — assert the pushdown list opens
+    # with the predicate columns and the scan schema pruned to the 4 used.
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)" in plan
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp>" in plan
+    )
+
+    # Q11/Q20: the global threshold is a broadcast 1-row anchor — the ONLY
+    # nested-loop join allowed; memberships are semi joins.
+    for name in ("important_part_values", "promo_part_shippers"):
+        plan = _physical(spark, name, sf_smoke)
+        assert "CartesianProduct" not in plan, name
+        assert "LeftSemi" in plan, name
+
+    # Q16: the computed denylist applies as a broadcast ANTI join and the
+    # attribute predicates push into the part scan.
+    plan = _physical(spark, "supplier_part_variety", sf_smoke)
+    assert "LeftAnti" in plan
+    assert "Not(EqualTo(p_brand,Brand#1))" in plan
+
+    # Q21: both reduces happen before the supplier join and the top-20
+    # fuses — no global sort, no triple lineitem self-join.
+    plan = _physical(spark, "waiting_supplier_ranking", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Scan parquet") <= 3  # lineitem read ONCE, not 3x
+    assert "EqualTo(o_orderstatus,F)" in plan

@@ -139,6 +139,14 @@ def test_new_registrations_inside_driver_window():
         "daily_revenue_wma_anomaly",
         "txnlog_clone_divergence",
         "stream_dedup_availablenow",
+        # -- TPC-H completion tier (closes out all 22 classic shapes)
+        "order_priority_semi_counts",
+        "discount_revenue_uplift",
+        "important_part_values",
+        "shipmode_priority_matrix",
+        "supplier_part_variety",
+        "promo_part_shippers",
+        "waiting_supplier_ranking",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
