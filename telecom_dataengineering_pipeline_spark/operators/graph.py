@@ -75,3 +75,60 @@ def pagerank_fixed_point(
         "node",
         (F.lit(teleport) + F.expr(damp)).cast("long").alias("rank_fp"),
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    ``edges``: distinct undirected pairs ``(u, v)`` with ``u < v`` (one row
+    per edge, no self-loops). Returns ``(node, triangles)`` for every node
+    participating in at least one triangle (callers left-join if they need
+    zero rows for the rest).
+
+    Scale shape — the degree-ordered orientation standard (Suri &
+    Vassilvitskii's MR-triangles / Cohen's MapReduce graph kernels): each
+    undirected edge is directed from its LOWER-degree endpoint to the
+    higher (ties on node id), so every wedge is enumerated exactly once at
+    its lowest-degree vertex and the wedge join fans out by the oriented
+    out-degree, which is O(sqrt(m)) per node on any graph — a skewed hub
+    never enumerates its quadratic neighborhood. Three hash joins total
+    (wedge build + closure probe), all on edge keys; counts are exact
+    integers, nothing approximate, nothing on the driver.
+    """
+    e = edges.select("u", "v").localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    # Orient low→high by (degree, id); (u, v) already has u < v, so the id
+    # tie-break is "keep as-is when degrees tie".
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(F.col("du") <= F.col("dv"), F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(F.col("du") <= F.col("dv"), F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    o1 = oriented.select(F.col("a").alias("w_a"), F.col("b").alias("w_b"))
+    o2 = oriented.select(F.col("a").alias("w_a"), F.col("b").alias("w_c"))
+    # Wedges centered at the lowest-ranked vertex a: pairs (b, c) of its
+    # oriented neighbors with b < c (each unordered pair once).
+    wedges = o1.join(o2, "w_a").filter(F.col("w_b") < F.col("w_c"))
+    # Closure probe: the third side may be oriented either way between b
+    # and c — but both are ranked above a, and the UNDIRECTED edge set has
+    # u < v, so probe the undirected edges directly.
+    closure = e.select(F.col("u").alias("w_b"), F.col("v").alias("w_c"))
+    tris = wedges.join(closure, ["w_b", "w_c"], "left_semi")
+    per_node = (
+        tris.select(F.col("w_a").alias("node"))
+        .unionAll(tris.select(F.col("w_b").alias("node")))
+        .unionAll(tris.select(F.col("w_c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return per_node

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
@@ -583,3 +583,75 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank_fixed_point(edges, iters=3)
     return ranks.orderBy(F.col("rank_fp").desc(), F.col("node").asc()).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (operators/graph.py::triangle_counts) on the part
+# co-purchase graph. The Spark side uses degree-ordered orientation (each
+# triangle found exactly once at its lowest-degree vertex — the skew-proof
+# formulation); the oracle enumerates by ID order (a<b<c) instead. Two
+# independent single-count formulations hashing identically is the check.
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sized AS (
+  SELECT l_orderkey FROM baskets GROUP BY 1 HAVING count(*) <= 25
+), pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM baskets a
+  JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey IN (SELECT l_orderkey FROM sized)
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.v = e2.u
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY node
+ORDER BY triangles DESC, node
+LIMIT 20
+"""
+
+
+@register("triangle_count_copurchase", oracle=_TRIANGLE_ORACLE, tags=("LLM", "graph", "A1"))
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by triangle participation in the co-purchase graph
+    (parts are adjacent when some order contains both). Market-basket
+    clustering structure: a part on many triangles sits in a tightly
+    co-bought cluster.
+
+    Scale shape: per-order pair expansion is quadratic in basket size, so
+    baskets over 25 distinct parts are EXCLUDED up front (the max_df-style
+    guard every pairwise stage in this engine uses; TPC-H baskets are ≤7,
+    production baskets get the documented cap). The triangle join itself
+    is degree-ordered — wedges enumerate at the lowest-degree endpoint
+    only, so hub parts never expand their full neighborhood — and the
+    closure test is a LEFT SEMI equi-join on the undirected edge key.
+    """
+    from ..operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    w = Window.partitionBy("l_orderkey")
+    small = li.withColumn("bsize", F.count(F.lit(1)).over(w)).filter(
+        F.col("bsize") <= 25
+    )
+    a = small.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = small.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return (
+        triangle_counts(edges)
+        .orderBy(F.col("triangles").desc(), F.col("node").asc())
+        .limit(20)
+    )

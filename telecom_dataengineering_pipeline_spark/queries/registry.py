@@ -107,6 +107,7 @@ DRIVER_ORDER: list[str] = [
     "supplier_part_variety",
     "promo_part_shippers",
     "waiting_supplier_ranking",
+    "triangle_count_copurchase",
     # -- last driver-checked in ROUND 1 (stalest driver evidence; the
     #    relational/window/DQ tier VERDICT r3 asked to rotate back in)
     "latest_event_per_user_type",

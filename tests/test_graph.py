@@ -45,3 +45,42 @@ def test_topk_plan_is_take_ordered(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def _und_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u string, v string")
+
+
+def test_triangles_k4_every_node_on_three(spark):
+    from telecom_dataengineering_pipeline_spark.operators.graph import triangle_counts
+
+    # K4: every node lies on C(3,2)=3 triangles; 4 triangles total.
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    r = {r["node"]: r["triangles"] for r in triangle_counts(_und_edges(spark, k4)).collect()}
+    assert r == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangles_path_has_none_and_skewed_hub_is_exact(spark):
+    from telecom_dataengineering_pipeline_spark.operators.graph import triangle_counts
+
+    # A path graph has no triangles at all.
+    path = [("a", "b"), ("b", "c"), ("c", "d")]
+    assert triangle_counts(_und_edges(spark, path)).count() == 0
+
+    # Star hub + one rim edge: exactly one triangle, and the hub's huge
+    # degree must not inflate the count (degree orientation enumerates the
+    # wedge at a rim node, never at the hub).
+    star = [("hub", f"n{i}") for i in range(20)] + [("n3", "n7")]
+    star = [(min(u, v), max(u, v)) for u, v in star]
+    r = {r["node"]: r["triangles"] for r in triangle_counts(_und_edges(spark, star)).collect()}
+    assert r == {"hub": 1, "n3": 1, "n7": 1}
+
+
+def test_triangle_query_plan_semi_closure_no_cartesian(spark, sf_smoke):
+    from telecom_dataengineering_pipeline_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["triangle_count_copurchase"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # closure probe is a semi join, not a count join

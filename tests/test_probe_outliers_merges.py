@@ -147,6 +147,7 @@ def test_new_registrations_inside_driver_window():
         "supplier_part_variety",
         "promo_part_shippers",
         "waiting_supplier_ranking",
+        "triangle_count_copurchase",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
