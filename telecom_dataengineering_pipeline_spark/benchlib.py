@@ -73,6 +73,14 @@ def _clear_caches(spark: SparkSession) -> None:
         # Blocking: block removal completes before the next query is timed,
         # so async cleanup can't overlap (and distort) its measurement.
         rdd.unpersist(True)
+    # Force a full JVM GC so one query's garbage (shuffle buffers, dropped
+    # broadcast/checkpoint blocks) is never collected DURING the next
+    # query's timed window. Measured effect on a 21-query session: queries
+    # late in the run were inflated up to 3x vs the same query measured in
+    # a fresh session (bloom_semi_join_stats 2.74s -> 1.42s, asof 1.43s ->
+    # 1.02s with this in place) — that inflation was cross-query GC debt,
+    # not the query. Baseline and gate share this exact protocol.
+    spark.sparkContext._jvm.System.gc()
 
 
 def measure_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
