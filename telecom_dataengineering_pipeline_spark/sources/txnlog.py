@@ -25,6 +25,15 @@ mechanics those formats use:
   File discovery here scans with ``input_file_name`` + a broadcast semi-join
   (exact); at 100 TB the log's per-file min/max key stats prune candidate
   files without a scan — the commit protocol is identical.
+- **Merge-on-read DELETE via deletion vectors** (Delta DVs / Iceberg
+  positional deletes): ``delete_where_mor`` records matching rows'
+  physical positions in a parquet sidecar keyed by (dv_id, file, pos) and
+  reads anti-apply it — a selective delete costs metadata, not file
+  rewrites. DVs are cumulative per file; any COW rewrite (OPTIMIZE,
+  MERGE, DELETE) of a vectored file materializes the vector away, and
+  concurrent-writer rules treat a DV like the row change it is (MERGE
+  conflicts on an intervening DV; compaction conflicts if a file it read
+  was re-vectored).
 - **Time travel**: ``read(version=N)`` reconstructs any historical
   snapshot; ``history()`` lists commits.
 - **OPTIMIZE-style compaction**: rewrite the active file set into fewer
@@ -71,6 +80,7 @@ from .table_format import TableSink
 
 _LOG_DIR = "_txnlog"
 _DATA_DIR = "data"
+_DV_DIR = "_dv"
 _CHECKPOINT_PTR = "_last_checkpoint"
 
 
@@ -230,18 +240,33 @@ class TxnLogTable:
 
     @staticmethod
     def _empty_state() -> dict:
-        return {"active": {}, "stats": {}, "schema": None, "txn_ids": set()}
+        return {
+            "active": {},
+            "stats": {},
+            "dvs": {},
+            "schema": None,
+            "txn_ids": set(),
+        }
 
     @staticmethod
     def _apply_commit(state: dict, c: dict) -> None:
         for f in c.get("removes", []):
             state["active"].pop(f, None)
             state["stats"].pop(f, None)
+            state["dvs"].pop(f, None)  # a rewrite materializes the DV
         for f in c.get("adds", []):
             state["active"][f] = None
         for f, s in (c.get("stats") or {}).items():
             if f in state["active"]:
                 state["stats"][f] = s
+        # Deletion-vector assignments: data file → DV directory holding its
+        # CURRENT (cumulative) deleted-position set; an explicit null
+        # CLEARS the assignment (RESTORE undoing a MOR delete).
+        for f, d in (c.get("dvs") or {}).items():
+            if d is None:
+                state["dvs"].pop(f, None)
+            elif f in state["active"]:
+                state["dvs"][f] = d
         if c.get("schema") is not None:
             state["schema"] = c["schema"]
         if c.get("app_txn_id") is not None:
@@ -278,6 +303,9 @@ class TxnLogTable:
             state["active"][r["path"]] = None
             if r["stats"]:
                 state["stats"][r["path"]] = json.loads(r["stats"])
+            # Pre-DV checkpoints have no "dv" column; .get keeps them readable.
+            if r.get("dv"):
+                state["dvs"][r["path"]] = r["dv"]
         return state
 
     def checkpoint(self, version: int | None = None) -> str:
@@ -302,6 +330,7 @@ class TxnLogTable:
                     "path": f,
                     "ord": i,
                     "stats": json.dumps(s) if s else None,
+                    "dv": state["dvs"].get(f),
                 }
             )
         rows.extend(
@@ -313,6 +342,7 @@ class TxnLogTable:
                 ("path", pa.string()),
                 ("ord", pa.int64()),
                 ("stats", pa.string()),
+                ("dv", pa.string()),
                 ("app_txn_id", pa.string()),
                 ("schema_json", pa.string()),
             ]
@@ -395,6 +425,142 @@ class TxnLogTable:
         schema = self._state(version)["schema"]
         return StructType.fromJson(json.loads(schema)) if schema else None
 
+    # -- deletion vectors (merge-on-read) ---------------------------------
+
+    def _dv_positions(
+        self, spark: SparkSession, dv_map: dict, files: Sequence[str]
+    ) -> DataFrame | None:
+        """Deleted-position rows ``(__base, __pos)`` for the given files
+        under the given file→DV-directory assignment, or None when none of
+        the files carries a DV. Exact under ANY history (restore, partial
+        re-vectoring): DV rows are matched on (dv_id, file), so stale
+        entries for a file inside an older — still referenced by some other
+        file — DV parquet are ignored."""
+        sel = {f: dv_map[f] for f in files if f in dv_map}
+        if not sel:
+            return None
+        dirs = sorted(
+            {d if os.path.isabs(d) else os.path.join(self.path, d) for d in sel.values()}
+        )
+        rows = spark.read.parquet(*dirs)
+        # Assignment table: one row per DV'd file — metadata-sized.
+        pairs = [
+            (os.path.basename(d), os.path.basename(f)) for f, d in sorted(sel.items())
+        ]
+        asg = spark.createDataFrame(pairs, "dv_id string, __base string")
+        return (
+            rows.withColumn("__base", F.element_at(F.split(F.col("file"), "/"), -1))
+            .join(F.broadcast(asg), ["dv_id", "__base"], "left_semi")
+            .select("__base", F.col("pos").alias("__pos"))
+        )
+
+    def _apply_dvs(
+        self,
+        df: DataFrame,
+        spark: SparkSession,
+        dv_map: dict,
+        files: Sequence[str],
+    ) -> DataFrame:
+        """Anti-apply deletion vectors to a DIRECT parquet scan of
+        ``files`` (the hidden ``_metadata`` columns must be available).
+        Rows are identified by (file basename, physical row index) —
+        basenames are globally unique across commit dirs (asserted where
+        attribution matters) and ``_metadata.row_index`` is stable because
+        data files are immutable. The DV side broadcasts: deletion vectors
+        are the SELECTIVE-delete path (GDPR erasure, late corrections);
+        bulk deletes belong on the copy-on-write path where whole files
+        drop out of the snapshot instead."""
+        dv = self._dv_positions(spark, dv_map, files)
+        if dv is None:
+            return df
+        cols = df.columns
+        tagged = df.withColumn(
+            "__base",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        ).withColumn("__pos", F.col("_metadata.row_index"))
+        return tagged.join(F.broadcast(dv), ["__base", "__pos"], "left_anti").select(
+            *cols
+        )
+
+    def delete_where_mor(
+        self,
+        spark: SparkSession,
+        where: Sequence[tuple],
+        app_txn_id: str | None = None,
+    ) -> int:
+        """Merge-on-read DELETE via deletion vectors (Delta DVs / Iceberg
+        positional deletes, re-derived): instead of rewriting every file
+        that holds a matching row (:meth:`delete_where`'s copy-on-write),
+        record the matching rows' physical positions in a parquet sidecar
+        and anti-apply it on every read. Deleting 3 rows from a 1 GB file
+        costs a kilobyte of metadata, not a 1 GB rewrite — the 100 TB
+        selective-delete shape. Reads stay exact; OPTIMIZE (or any COW
+        rewrite touching the file) materializes the DV away.
+
+        DVs are CUMULATIVE per file: a new vector for a file unions the
+        prior vector's positions, and the commit's assignment atomically
+        replaces the old one. Stats-based skipping still prunes the
+        candidate files first, so only files that COULD match are scanned
+        to find positions."""
+        rv = self.version()
+        state = self._state(rv)
+        files = list(state["active"])
+        schema = (
+            StructType.fromJson(json.loads(state["schema"]))
+            if state["schema"]
+            else None
+        )
+        if schema is None:
+            raise ValueError(f"no such table (empty log): {self.path}")
+        candidates = _skip_by_stats(files, state["stats"], where)
+        if not candidates:
+            return rv  # provably nothing to delete
+        rel_by_base = {os.path.basename(f): f for f in candidates}
+        assert len(rel_by_base) == len(candidates), (
+            "duplicate parquet basename across commit directories; "
+            "position attribution by basename is unsound for this table"
+        )
+        raw = spark.read.schema(schema).parquet(
+            *[f if os.path.isabs(f) else os.path.join(self.path, f) for f in candidates]
+        )
+        hits = raw.filter(_predicate_expr(where)).select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "__base"
+            ),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        # Cumulative union with the files' prior vectors (re-deleting an
+        # already-vectored position is a no-op under distinct).
+        prior = self._dv_positions(spark, state["dvs"], candidates)
+        if prior is not None:
+            hits = hits.unionByName(prior)
+        dv_id = uuid.uuid4().hex
+        rel_dir = os.path.join(_DV_DIR, dv_id)
+        base_map = spark.createDataFrame(
+            sorted(rel_by_base.items()), "__base string, file string"
+        )
+        out = (
+            hits.distinct()
+            .join(F.broadcast(base_map), "__base")
+            .select(F.lit(dv_id).alias("dv_id"), "file", F.col("__pos").alias("pos"))
+            .localCheckpoint()  # one scan feeds both the collect and the write
+        )
+        # One row per FILE — bounded by candidate file count, not rows.
+        affected = sorted(
+            r["file"] for r in out.select("file").distinct().collect()
+        )
+        if not affected:
+            return rv  # predicate matched nothing
+        out.coalesce(1).write.mode("overwrite").parquet(os.path.join(self.path, rel_dir))
+        return self.commit(
+            adds=[],
+            removes=[],
+            operation="delete_mor",
+            app_txn_id=app_txn_id,
+            read_version=rv,
+            dvs={f: rel_dir for f in affected},
+        )
+
     def read(
         self,
         spark: SparkSession,
@@ -436,6 +602,7 @@ class TxnLogTable:
             df = spark.read.schema(schema).parquet(
                 *[os.path.join(self.path, f) for f in files]
             )
+            df = self._apply_dvs(df, spark, state["dvs"], files)
         if where:
             df = df.filter(_predicate_expr(where))
         return df
@@ -499,12 +666,41 @@ class TxnLogTable:
                 n_rows += int(st["__rows"])
             else:
                 rows_known = False
+        # Live rows = physical rows minus vectored-out positions; counting
+        # the positions is a metadata read of the referenced DV parquets
+        # (O(#DV'd files), no data files opened).
+        n_deleted = 0
+        if state["dvs"]:
+            import pyarrow.parquet as _pq
+
+            want = {
+                (os.path.basename(d), os.path.basename(f))
+                for f, d in state["dvs"].items()
+            }
+            dirs = {
+                d if os.path.isabs(d) else os.path.join(self.path, d)
+                for d in state["dvs"].values()
+            }
+            for dd in sorted(dirs):
+                for part in os.listdir(dd):
+                    if not part.endswith(".parquet"):
+                        continue
+                    t = _pq.read_table(
+                        os.path.join(dd, part), columns=["dv_id", "file"]
+                    ).to_pylist()
+                    n_deleted += sum(
+                        1
+                        for r in t
+                        if (r["dv_id"], os.path.basename(r["file"])) in want
+                    )
         cp = self._checkpoint_info()
         return {
             "version": self.version() if version is None else version,
             "num_files": len(state["active"]),
             "size_bytes": sum(sizes),
-            "num_rows": n_rows if rows_known else None,
+            "num_rows": (n_rows - n_deleted) if rows_known else None,
+            "num_dv_files": len(state["dvs"]),
+            "num_deleted_rows": n_deleted,
             "checkpoint_version": cp[0] if cp else None,
             "stat_cols": list(self.stat_cols),
         }
@@ -517,6 +713,7 @@ class TxnLogTable:
                 "operation": c.get("operation", "?"),
                 "n_added": len(c.get("adds", [])),
                 "n_removed": len(c.get("removes", [])),
+                "n_dvs": len(c.get("dvs") or {}),
                 "timestamp": c.get("timestamp"),
                 "app_txn_id": c.get("app_txn_id"),
             }
@@ -687,6 +884,7 @@ class TxnLogTable:
         app_txn_id: str | None = None,
         read_version: int | None = None,
         stats: dict | None = None,
+        dvs: dict | None = None,
     ) -> int:
         """Publish one atomic commit; returns the committed version.
 
@@ -706,6 +904,7 @@ class TxnLogTable:
             "merge",
             "create_or_replace",
             "delete",
+            "delete_mor",  # DV positions were computed against a snapshot
             "replace_where",
             "restore",  # rolling back over a concurrent write would drop it
             "clone",  # re-cloning replaces the destination's file set
@@ -734,7 +933,9 @@ class TxnLogTable:
                             for iv in self._versions()
                             if iv > read_version
                         )
-                        if c.get("adds") or c.get("removes")
+                        # a concurrent DV changes row content without
+                        # touching the file set — equally invalidating
+                        if c.get("adds") or c.get("removes") or c.get("dvs")
                     ]
                     if intervening:
                         raise CommitConflict(
@@ -753,6 +954,21 @@ class TxnLogTable:
                         raise CommitConflict(
                             f"files removed by a concurrent commit: {gone[:3]}"
                         )
+                    # ... or if a concurrent DELETE vectored rows out of a
+                    # file this rewrite read pre-DV — committing would
+                    # resurrect the deleted rows.
+                    revectored: set[str] = set()
+                    for iv in self._versions():
+                        if iv > read_version:
+                            revectored.update(
+                                (self._read_commit(iv).get("dvs") or {}).keys()
+                            )
+                    hit = sorted(revectored & set(removes))
+                    if hit:
+                        raise CommitConflict(
+                            "deletion vectors added by a concurrent commit "
+                            f"on files this rewrite read: {hit[:3]}"
+                        )
             payload = {
                 "version": v,
                 "operation": operation,
@@ -761,6 +977,7 @@ class TxnLogTable:
                 "schema": schema_json,
                 "app_txn_id": app_txn_id,
                 "stats": stats or {},
+                "dvs": dvs or {},
                 "timestamp": time.time_ns() // 1_000_000,
             }
             tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
@@ -847,10 +1064,16 @@ class TxnLogTable:
             return self.commit(
                 adds, [], "merge", source.schema.json(), app_txn_id, rv, stats
             )
-        tgt = (
+        state = self._state(rv)
+        # _file is captured BEFORE the DV anti-join: input_file_name() only
+        # resolves on the direct scan, not across the join.
+        tgt = self._apply_dvs(
             spark.read.schema(schema)
             .parquet(*abs_of)
-            .withColumn("_file", F.input_file_name())
+            .withColumn("_file", F.input_file_name()),
+            spark,
+            state["dvs"],
+            scan_files,
         )
         key_set = source.select(*keys).distinct()
         hit_abs = [
@@ -917,11 +1140,14 @@ class TxnLogTable:
         candidates = _skip_by_stats(files, state["stats"], where)
         if not candidates:
             return rv  # provably nothing to delete
-        kept_rows = (
-            spark.read.schema(schema)
-            .parquet(*[os.path.join(self.path, f) for f in candidates])
-            .filter(~_predicate_expr(where))
-        )
+        kept_rows = self._apply_dvs(
+            spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f) for f in candidates]
+            ),
+            spark,
+            state["dvs"],
+            candidates,
+        ).filter(~_predicate_expr(where))
         adds, stats = self._write_data(kept_rows)
         return self.commit(
             adds=adds,
@@ -940,24 +1166,31 @@ class TxnLogTable:
         preserved (the bad versions stay readable for forensics), and
         vacuum keeps every referenced file. The instant-undo for a bad
         merge/backfill."""
-        target = set(self.snapshot_files(version))
-        current = set(self.snapshot_files())
-        if target == current:
-            return self.version()  # already there: no-op
-        schema = self.snapshot_schema(version)
-        stats = {
-            f: s
-            for f, s in self._file_stats(version).items()
-            if f in target
+        t_state = self._state(version)
+        c_state = self._state()
+        target = set(t_state["active"])
+        current = set(c_state["active"])
+        # DV assignments roll back with the file set: files active in both
+        # versions restore the TARGET's vector (null clears one added
+        # since — un-deleting the rows, which is the point of RESTORE).
+        dv_delta = {
+            f: t_state["dvs"].get(f)
+            for f in target
+            if t_state["dvs"].get(f) != c_state["dvs"].get(f)
         }
+        if target == current and not dv_delta:
+            return self.version()  # already there: no-op
+        schema = t_state["schema"]
+        stats = {f: s for f, s in t_state["stats"].items() if f in target}
         return self.commit(
             adds=sorted(target - current),
             removes=sorted(current - target),
             operation="restore",
-            schema_json=schema.json() if schema is not None else None,
+            schema_json=schema,
             app_txn_id=app_txn_id,
             read_version=self.version(),
             stats=stats,
+            dvs=dv_delta,
         )
 
     def clone_shallow(
@@ -996,8 +1229,16 @@ class TxnLogTable:
         )
         adds = [os.path.join(self.path, f) for f in state["active"]]
         # Per-file min/max stats transfer with the files (immutable), so
-        # stats-based skipping works on the clone from commit 0.
+        # stats-based skipping works on the clone from commit 0. Deletion
+        # vectors transfer the same way — by absolute reference — so the
+        # clone reads the same live rows as the source snapshot.
         stats = {os.path.join(self.path, f): s for f, s in state["stats"].items()}
+        dvs = {
+            os.path.join(self.path, f): (
+                d if os.path.isabs(d) else os.path.join(self.path, d)
+            )
+            for f, d in state["dvs"].items()
+        }
         dest_t.commit(
             adds=adds,
             removes=dest_t.snapshot_files(),
@@ -1006,6 +1247,7 @@ class TxnLogTable:
             app_txn_id=app_txn_id,
             read_version=dest_t.version(),
             stats=stats,
+            dvs=dvs,
         )
         return dest_t
 
@@ -1045,11 +1287,14 @@ class TxnLogTable:
             _skip_by_stats(files, state["stats"], where) if schema is not None else []
         )
         if candidates:
-            kept = (
-                spark.read.schema(schema)
-                .parquet(*[os.path.join(self.path, f) for f in candidates])
-                .filter(~_predicate_expr(where))
-            )
+            kept = self._apply_dvs(
+                spark.read.schema(schema).parquet(
+                    *[os.path.join(self.path, f) for f in candidates]
+                ),
+                spark,
+                state["dvs"],
+                candidates,
+            ).filter(~_predicate_expr(where))
             combined = kept.unionByName(new_rows.select(*kept.columns))
         else:
             combined = new_rows
@@ -1080,7 +1325,8 @@ class TxnLogTable:
         a touched file) cancel out and do not appear as changes."""
         if to_version < from_version:
             raise ValueError("to_version must be >= from_version")
-        before = set(self.snapshot_files(from_version))
+        before_state = self._state(from_version)
+        before = set(before_state["active"])
         after_state = self._state(to_version)
         after = set(after_state["active"])
         schema = (
@@ -1090,16 +1336,27 @@ class TxnLogTable:
         )
         if schema is None:
             raise ValueError(f"no such table (empty log): {self.path}")
+        # A file whose DV ASSIGNMENT changed between the versions changed
+        # row content without changing the file set — it is touched on both
+        # sides (each side read under its own version's vector), and the
+        # multiset difference surfaces exactly the vectored-out rows as
+        # deletes. Untouched files still never scan.
+        dv_changed = {
+            f
+            for f in before & after
+            if before_state["dvs"].get(f) != after_state["dvs"].get(f)
+        }
 
-        def _read(files: set[str]) -> DataFrame:
+        def _read(files: set[str], state: dict) -> DataFrame:
             if not files:
                 return spark.createDataFrame([], schema)
-            return spark.read.schema(schema).parquet(
+            df = spark.read.schema(schema).parquet(
                 *[os.path.join(self.path, f) for f in sorted(files)]
             )
+            return self._apply_dvs(df, spark, state["dvs"], sorted(files))
 
-        added_rows = _read(after - before)
-        removed_rows = _read(before - after)
+        added_rows = _read((after - before) | dv_changed, after_state)
+        removed_rows = _read((before - after) | dv_changed, before_state)
         inserts = added_rows.exceptAll(removed_rows).withColumn(
             "_change_type", F.lit("insert")
         )
@@ -1129,8 +1386,11 @@ class TxnLogTable:
         MORE files for the same predicate. Compaction without ``cluster_by``
         preserves arrival order (coalesce, no shuffle)."""
         rv = self.version()
-        files = self.snapshot_files(rv)
-        if not cluster_by and len(files) <= target_files:
+        opt_state = self._state(rv)
+        files = list(opt_state["active"])
+        # A table carrying deletion vectors is never "already optimal":
+        # compaction is what materializes the DVs back into plain files.
+        if not cluster_by and len(files) <= target_files and not opt_state["dvs"]:
             return rv
         df = self.read(spark, rv)
         if cluster_by and morton:
@@ -1235,13 +1495,17 @@ class TxnLogTable:
         ``os.link`` race. Pass ``0`` only when no concurrent writers exist
         (tests, single-writer maintenance windows)."""
         referenced: set[str] = set()
+        referenced_dv: set[str] = set()
         for c in self._commits():
             referenced.update(c.get("adds", []))
+            referenced_dv.update(d for d in (c.get("dvs") or {}).values() if d)
         # After expire_log(), pre-checkpoint adds survive only via the
         # checkpoint's active list — those files must never be vacuumed.
         cp = self._checkpoint_info()
         if cp is not None:
-            referenced.update(self._load_checkpoint(cp[1])["active"])
+            cp_state = self._load_checkpoint(cp[1])
+            referenced.update(cp_state["active"])
+            referenced_dv.update(cp_state["dvs"].values())
         removed = []
         data_root = os.path.join(self.path, _DATA_DIR)
         if not os.path.isdir(data_root):
@@ -1264,6 +1528,24 @@ class TxnLogTable:
                 for f in sorted(files):
                     os.unlink(os.path.join(self.path, f))
                     removed.append(f)
+        # Deletion-vector sidecars sweep the same way: a DV directory no
+        # commit (or the checkpoint) references belongs to an aborted or
+        # superseded-and-expired delete; same retention guard applies.
+        dv_root = os.path.join(self.path, _DV_DIR)
+        if os.path.isdir(dv_root):
+            import shutil
+
+            for d in os.listdir(dv_root):
+                rel_dir = os.path.join(_DV_DIR, d)
+                full = os.path.join(dv_root, d)
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue
+                except OSError:
+                    continue
+                if rel_dir not in referenced_dv:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(rel_dir)
         return removed
 
 

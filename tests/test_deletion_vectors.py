@@ -1,0 +1,190 @@
+"""Merge-on-read deletion vectors for the txnlog format: a selective
+DELETE records (file, position) sidecars instead of rewriting files;
+reads anti-apply them exactly; COW rewrites materialize them away. The
+Delta DV / Iceberg positional-delete semantics re-derived from scratch
+(reference parity slot: the reference delegates row-level deletes to
+Iceberg, ``processing/bronze/bronze_compaction.py``)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from telecom_dataengineering_pipeline_spark.sources.txnlog import (
+    CommitConflict,
+    TxnLogTable,
+)
+
+
+def _table(spark, path, n_files=3, rows=60):
+    """rows ids 0..rows-1 range-clustered into n_files files (so per-file
+    k stats are tight and stats pruning is observable)."""
+    t = TxnLogTable(str(path), stat_cols=("k",))
+    df = spark.range(0, rows).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("long").alias("v")
+    )
+    t.create_or_replace(
+        df.repartitionByRange(n_files, "k").sortWithinPartitions("k")
+    )
+    return t
+
+
+def test_mor_delete_equals_cow_delete_without_rewrites(spark, tmp_path):
+    mor = _table(spark, tmp_path / "mor")
+    cow = _table(spark, tmp_path / "cow")
+    files_before = set(mor.snapshot_files())
+    mor.delete_where_mor(spark, [("k", ">=", 10), ("k", "<", 15)])
+    cow.delete_where(spark, [("k", ">=", 10), ("k", "<", 15)])
+    assert sorted(r["k"] for r in mor.read(spark).collect()) == sorted(
+        r["k"] for r in cow.read(spark).collect()
+    )
+    # The MOR table's DATA file set is untouched; the COW table rewrote.
+    assert set(mor.snapshot_files()) == files_before
+    assert set(cow.snapshot_files()) != files_before
+    d = mor.detail()
+    assert d["num_deleted_rows"] == 5
+    assert d["num_rows"] == 55
+
+
+def test_dvs_are_cumulative_per_file(spark, tmp_path):
+    t = _table(spark, tmp_path / "t")
+    t.delete_where_mor(spark, [("k", "=", 3)])
+    t.delete_where_mor(spark, [("k", "=", 4)])  # same file re-vectored
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert 3 not in got and 4 not in got and len(got) == 58
+    # One assignment per file, pointing at the NEWEST vector.
+    assert len(t._state()["dvs"]) == 1
+
+
+def test_stats_prune_limits_position_scan_and_mor_read_is_exact(spark, tmp_path):
+    t = _table(spark, tmp_path / "t", n_files=3, rows=60)
+    # Only the file covering k<20 can match: the other two are never read.
+    assert t.scan_file_count(where=[("k", "<", 5)]) == 1
+    t.delete_where_mor(spark, [("k", "<", 5)])
+    assert len(t._state()["dvs"]) == 1  # only the candidate file vectored
+    got = t.read(spark, where=[("k", "<", 25)])
+    assert sorted(r["k"] for r in got.collect()) == list(range(5, 25))
+
+
+def test_time_travel_and_restore_roll_vectors_back(spark, tmp_path):
+    t = _table(spark, tmp_path / "t")
+    v0 = t.version()
+    t.delete_where_mor(spark, [("k", "<", 10)])
+    v1 = t.version()
+    t.delete_where_mor(spark, [("k", ">=", 50)])
+    assert t.read(spark, version=v0).count() == 60
+    assert t.read(spark, version=v1).count() == 50
+    assert t.read(spark).count() == 40
+    t.restore(v1)  # file set identical; only the DV assignment rolls back
+    assert t.read(spark).count() == 50
+    t.restore(v0)
+    assert t.read(spark).count() == 60
+
+
+def test_optimize_materializes_vectors(spark, tmp_path):
+    t = _table(spark, tmp_path / "t")
+    t.delete_where_mor(spark, [("k", "<", 7)])
+    v = t.optimize(spark, target_files=1)
+    assert v == t.version()
+    state = t._state()
+    assert state["dvs"] == {} and len(state["active"]) == 1
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(7, 60))
+    # Optimize on an already-single-file table WITH a vector still runs.
+    t.delete_where_mor(spark, [("k", "=", 30)])
+    assert t._state()["dvs"]
+    t.optimize(spark, target_files=1)
+    assert t._state()["dvs"] == {}
+    assert t.read(spark).count() == 52
+
+
+def test_cow_delete_and_merge_do_not_resurrect_vectored_rows(spark, tmp_path):
+    t = _table(spark, tmp_path / "t", n_files=1)
+    t.delete_where_mor(spark, [("k", "=", 10)])
+    # COW delete rewrites the (only) file: must apply the DV while doing so.
+    t.delete_where(spark, [("k", "=", 20)])
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert 10 not in got and 20 not in got and len(got) == 58
+    assert t._state()["dvs"] == {}  # rewrite materialized the vector
+    # Same through MERGE: upsert a row into a vectored file.
+    t2 = _table(spark, tmp_path / "t2", n_files=1)
+    t2.delete_where_mor(spark, [("k", "=", 5)])
+    src = spark.createDataFrame([(6, 99)], "k long, v long")
+    t2.merge_keep_latest(spark, src, keys=("k",), order_by=[F.col("v").desc()])
+    got = {r["k"]: r["v"] for r in t2.read(spark).collect()}
+    assert 5 not in got and got[6] == 99 and len(got) == 59
+
+
+def test_table_changes_surface_dv_deletes_row_level(spark, tmp_path):
+    t = _table(spark, tmp_path / "t")
+    v0 = t.version()
+    t.delete_where_mor(spark, [("k", "<", 3)])
+    ch = t.table_changes(spark, v0, t.version())
+    rows = sorted((r["_change_type"], r["k"]) for r in ch.collect())
+    assert rows == [("delete", 0), ("delete", 1), ("delete", 2)]
+
+
+def test_concurrent_rules_dv_vs_merge_and_compaction(spark, tmp_path):
+    t = _table(spark, tmp_path / "t", n_files=2)
+    rv = t.version()
+    # A DV lands after a MERGE snapshotted: merge must conflict.
+    t.delete_where_mor(spark, [("k", "=", 1)])
+    with pytest.raises(CommitConflict):
+        t.commit(
+            adds=[], removes=[t.snapshot_files()[0]], operation="merge",
+            read_version=rv,
+        )
+    # Compaction that read files pre-DV conflicts when one was re-vectored.
+    rv2 = t.version()
+    files = t.snapshot_files()
+    t.delete_where_mor(spark, [("k", "=", 2)])
+    with pytest.raises(CommitConflict):
+        t.commit(
+            adds=[], removes=files, operation="optimize", read_version=rv2
+        )
+    # ...but a compaction of files nobody re-vectored carries through: the
+    # DV'd file keeps its vector, so rewriting OTHER files is safe.
+
+
+def test_exactly_once_and_noop_delete(spark, tmp_path):
+    t = _table(spark, tmp_path / "t")
+    v = t.delete_where_mor(spark, [("k", "=", 7)], app_txn_id="del-7")
+    again = t.delete_where_mor(spark, [("k", "=", 8)], app_txn_id="del-7")
+    assert again == v  # duplicate delivery: no-op, 8 still present
+    assert t.read(spark).count() == 59
+    # A provably-empty delete commits nothing at all.
+    v2 = t.delete_where_mor(spark, [("k", ">", 10_000)])
+    assert v2 == t.version() == v
+
+
+def test_checkpoint_roundtrip_preserves_vectors(spark, tmp_path):
+    t = TxnLogTable(str(tmp_path / "t"), stat_cols=("k",), checkpoint_interval=2)
+    df = spark.range(0, 30).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    t.create_or_replace(df.coalesce(1))
+    t.delete_where_mor(spark, [("k", "<", 5)])
+    t.append(df.filter(F.col("k") < 0))  # pushes a checkpoint boundary
+    t.delete_where_mor(spark, [("k", "=", 29)])
+    assert t._checkpoint_info() is not None
+    # A fresh instance reconstructing from checkpoint + tail sees the DVs.
+    t2 = TxnLogTable(str(tmp_path / "t"), stat_cols=("k",))
+    assert sorted(r["k"] for r in t2.read(spark).collect()) == list(range(5, 29))
+    t.expire_log()
+    t3 = TxnLogTable(str(tmp_path / "t"), stat_cols=("k",))
+    assert t3.read(spark).count() == 24
+
+
+def test_clone_carries_vectors_and_vacuum_keeps_referenced(spark, tmp_path):
+    src = _table(spark, tmp_path / "src")
+    src.delete_where_mor(spark, [("k", "<", 10)])
+    clone = src.clone_shallow(str(tmp_path / "dst"))
+    assert clone.read(spark).count() == 50  # clone sees the vectored snapshot
+    # Vacuum keeps every referenced DV dir; an unreferenced one sweeps.
+    dv_root = tmp_path / "src" / "_dv"
+    os.makedirs(dv_root / "deadbeef")
+    with open(dv_root / "deadbeef" / "junk.parquet", "w") as f:
+        f.write("")
+    removed = src.vacuum(retention_seconds=0)
+    assert os.path.join("_dv", "deadbeef") in removed
+    assert src.read(spark).count() == 50  # referenced vectors survived
+    assert clone.read(spark).count() == 50
