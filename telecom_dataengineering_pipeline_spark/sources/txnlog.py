@@ -515,22 +515,64 @@ class TxnLogTable:
         candidates = _skip_by_stats(files, state["stats"], where)
         if not candidates:
             return rv  # provably nothing to delete
-        rel_by_base = {os.path.basename(f): f for f in candidates}
-        assert len(rel_by_base) == len(candidates), (
-            "duplicate parquet basename across commit directories; "
-            "position attribution by basename is unsound for this table"
+        raw = self._tagged_scan(spark, schema, candidates)
+        hits = raw.filter(_predicate_expr(where)).select("__base", "__pos")
+        dvs = self._build_dv(spark, state, candidates, hits)
+        if dvs is None:
+            return rv  # predicate matched nothing
+        return self.commit(
+            adds=[],
+            removes=[],
+            operation="delete_mor",
+            app_txn_id=app_txn_id,
+            read_version=rv,
+            dvs=dvs,
         )
-        raw = spark.read.schema(schema).parquet(
-            *[f if os.path.isabs(f) else os.path.join(self.path, f) for f in candidates]
-        )
-        hits = raw.filter(_predicate_expr(where)).select(
+
+    def _tagged_scan(
+        self, spark: SparkSession, schema: StructType, files: Sequence[str]
+    ) -> DataFrame:
+        """Direct scan of ``files`` with the row-identity columns
+        ``__base``/``__pos`` materialized up front — they must be captured
+        on the scan itself, before any join makes ``_metadata``
+        unresolvable."""
+        return spark.read.schema(schema).parquet(
+            *[f if os.path.isabs(f) else os.path.join(self.path, f) for f in files]
+        ).select(
+            "*",
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
                 "__base"
             ),
             F.col("_metadata.row_index").alias("__pos"),
         )
-        # Cumulative union with the files' prior vectors (re-deleting an
-        # already-vectored position is a no-op under distinct).
+
+    def _live(
+        self, tagged: DataFrame, spark: SparkSession, state: dict, files: Sequence[str]
+    ) -> DataFrame:
+        """Drop already-vectored positions from a ``_tagged_scan`` (keeps
+        the ``__base``/``__pos`` identity columns, unlike
+        :meth:`_apply_dvs`)."""
+        prior = self._dv_positions(spark, state["dvs"], files)
+        if prior is None:
+            return tagged
+        return tagged.join(F.broadcast(prior), ["__base", "__pos"], "left_anti")
+
+    def _build_dv(
+        self,
+        spark: SparkSession,
+        state: dict,
+        candidates: Sequence[str],
+        hits: DataFrame,
+    ) -> dict | None:
+        """Write one DV sidecar covering ``hits`` (``__base``/``__pos``
+        rows) plus the candidates' PRIOR vectors (cumulative-replace
+        semantics), and return the file→sidecar assignment for the commit —
+        or None when nothing matched."""
+        rel_by_base = {os.path.basename(f): f for f in candidates}
+        assert len(rel_by_base) == len(candidates), (
+            "duplicate parquet basename across commit directories; "
+            "position attribution by basename is unsound for this table"
+        )
         prior = self._dv_positions(spark, state["dvs"], candidates)
         if prior is not None:
             hits = hits.unionByName(prior)
@@ -550,15 +592,129 @@ class TxnLogTable:
             r["file"] for r in out.select("file").distinct().collect()
         )
         if not affected:
-            return rv  # predicate matched nothing
+            return None
         out.coalesce(1).write.mode("overwrite").parquet(os.path.join(self.path, rel_dir))
+        return {f: rel_dir for f in affected}
+
+    def update_where_mor(
+        self,
+        spark: SparkSession,
+        where: Sequence[tuple],
+        set_exprs: dict,
+        app_txn_id: str | None = None,
+    ) -> int:
+        """Merge-on-read UPDATE (Delta's DV-backed UPDATE): ONE atomic
+        commit vectors the matched rows' old positions out and appends
+        their updated images as a new file — no candidate file is
+        rewritten, and no reader ever sees the rows missing or doubled.
+        ``set_exprs`` maps column name → Column expression evaluated over
+        the matched rows. Matching respects existing vectors (an
+        already-deleted row can never resurrect as an updated copy)."""
+        bad = set(set_exprs) - {f.name for f in (self.snapshot_schema() or StructType([]))}
+        if bad:
+            raise ValueError(f"update_where_mor: unknown columns {sorted(bad)}")
+        rv = self.version()
+        state = self._state(rv)
+        schema = (
+            StructType.fromJson(json.loads(state["schema"]))
+            if state["schema"]
+            else None
+        )
+        if schema is None:
+            raise ValueError(f"no such table (empty log): {self.path}")
+        candidates = _skip_by_stats(list(state["active"]), state["stats"], where)
+        if not candidates:
+            return rv  # provably nothing to update
+        matched = self._live(
+            self._tagged_scan(spark, schema, candidates), spark, state, candidates
+        ).filter(_predicate_expr(where))
+        dvs = self._build_dv(
+            spark, state, candidates, matched.select("__base", "__pos")
+        )
+        if dvs is None:
+            return rv  # predicate matched nothing
+        updated = matched.select(
+            *[
+                set_exprs[f.name].cast(f.dataType).alias(f.name)
+                if f.name in set_exprs
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
+        adds, stats = self._write_data(updated)
         return self.commit(
-            adds=[],
+            adds=adds,
             removes=[],
-            operation="delete_mor",
+            operation="update_mor",
             app_txn_id=app_txn_id,
             read_version=rv,
-            dvs={f: rel_dir for f in affected},
+            stats=stats,
+            dvs=dvs,
+        )
+
+    def merge_keep_latest_mor(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: Sequence[str],
+        order_by: Sequence[Column],
+        app_txn_id: str | None = None,
+    ) -> int:
+        """Merge-on-read MERGE: matched target rows are VECTORED out (by
+        position) and the resolved winners + inserts land as new files —
+        one atomic commit, zero file rewrites. Where the copy-on-write
+        :meth:`merge_keep_latest` rewrites every file containing a matched
+        key (fine when merges touch a large row fraction), this shape wins
+        when a merge touches a few rows spread across many big files — the
+        streaming-upsert profile at 100 TB. Same keep-latest semantics and
+        the same stats-based candidate pruning; OPTIMIZE later folds the
+        accumulated vectors + small merge files back into clean ones."""
+        if not self.exists():
+            return self.create_or_replace(source, app_txn_id=app_txn_id)
+        rv = self.version()
+        state = self._state(rv)
+        schema = (
+            StructType.fromJson(json.loads(state["schema"]))
+            if state["schema"]
+            else None
+        )
+        files = list(state["active"])
+        if not files:
+            adds, stats = self._write_data(source)
+            return self.commit(
+                adds, [], "merge", source.schema.json(), app_txn_id, rv, stats
+            )
+        scan_files = self._prune_by_stats(files, source, keys)
+        if not scan_files:
+            adds, stats = self._write_data(source)
+            return self.commit(
+                adds, [], "merge", source.schema.json(), app_txn_id, rv, stats
+            )
+        key_set = source.select(*keys).distinct()
+        matched = self._live(
+            self._tagged_scan(spark, schema, scan_files), spark, state, scan_files
+        ).join(F.broadcast(key_set), list(keys), "left_semi")
+        dvs = self._build_dv(
+            spark, state, scan_files, matched.select("__base", "__pos")
+        )
+        affected = (
+            matched.drop("__base", "__pos")
+            if dvs is not None
+            else spark.createDataFrame([], schema)
+        )
+        merged = merge_upsert(
+            affected, source, keys=list(keys), order_by=list(order_by)
+        )
+        adds, stats = self._write_data(merged)
+        return self.commit(
+            adds=adds,
+            removes=[],
+            operation="merge_mor",
+            schema_json=merged.schema.json(),
+            app_txn_id=app_txn_id,
+            read_version=rv,
+            stats=stats,
+            dvs=dvs or {},
         )
 
     def read(
@@ -902,9 +1058,11 @@ class TxnLogTable:
         os.makedirs(self.log_dir, exist_ok=True)
         resolves_keys = operation in (
             "merge",
+            "merge_mor",
             "create_or_replace",
             "delete",
             "delete_mor",  # DV positions were computed against a snapshot
+            "update_mor",
             "replace_where",
             "restore",  # rolling back over a concurrent write would drop it
             "clone",  # re-cloning replaces the destination's file set

@@ -188,3 +188,74 @@ def test_clone_carries_vectors_and_vacuum_keeps_referenced(spark, tmp_path):
     assert os.path.join("_dv", "deadbeef") in removed
     assert src.read(spark).count() == 50  # referenced vectors survived
     assert clone.read(spark).count() == 50
+
+
+def test_update_mor_single_commit_no_rewrites(spark, tmp_path):
+    t = _table(spark, tmp_path / "t")
+    files_before = set(t.snapshot_files())
+    v = t.update_where_mor(
+        spark, [("k", "<", 5)], {"v": F.col("v") + 100}
+    )
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert len(got) == 60  # update, not delete+lost rows
+    assert all(got[k] == k % 7 + 100 for k in range(5))
+    assert all(got[k] == k % 7 for k in range(5, 60))
+    # Old files untouched; exactly one new file (the updated images).
+    assert files_before < set(t.snapshot_files())
+    assert len(set(t.snapshot_files()) - files_before) == 1
+    # Atomicity: the pre-update version still reads the old values.
+    assert {r["k"]: r["v"] for r in t.read(spark, version=v - 1).collect()}[0] == 0
+    # An update must never resurrect a previously deleted row.
+    t.delete_where_mor(spark, [("k", "=", 30)])
+    t.update_where_mor(spark, [("k", ">=", 30), ("k", "<", 32)], {"v": F.lit(7)})
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert 30 not in got and got[31] == 7
+    with pytest.raises(ValueError):
+        t.update_where_mor(spark, [("k", "=", 1)], {"nope": F.lit(1)})
+
+
+def test_merge_mor_vectors_matches_and_appends_winners(spark, tmp_path):
+    mor = _table(spark, tmp_path / "mor")
+    cow = _table(spark, tmp_path / "cow")
+    src = spark.createDataFrame(
+        [(3, 500), (58, 500), (1000, 500)], "k long, v long"
+    )
+    files_before = set(mor.snapshot_files())
+    mor.merge_keep_latest_mor(spark, src, keys=("k",), order_by=[F.col("v").desc()])
+    cow.merge_keep_latest(spark, src, keys=("k",), order_by=[F.col("v").desc()])
+    assert sorted(map(tuple, mor.read(spark).collect())) == sorted(
+        map(tuple, cow.read(spark).collect())
+    )
+    # MOR: every pre-merge file still active (matches vectored, not rewritten).
+    assert files_before < set(mor.snapshot_files())
+    assert mor.detail()["num_deleted_rows"] == 2  # k=3 and k=58 old images
+    # COW rewrote the hit files out of its snapshot.
+    assert not set(cow.snapshot_files()) >= files_before
+    # Exactly-once replay.
+    v = mor.version()
+    assert (
+        mor.merge_keep_latest_mor(
+            spark, src, keys=("k",), order_by=[F.col("v").desc()], app_txn_id="m1"
+        )
+        > v
+    )
+    assert (
+        mor.merge_keep_latest_mor(
+            spark, src, keys=("k",), order_by=[F.col("v").desc()], app_txn_id="m1"
+        )
+        == mor.version()
+    )
+    assert mor.read(spark).count() == 61
+
+
+def test_merge_mor_then_optimize_converges_layout(spark, tmp_path):
+    t = _table(spark, tmp_path / "t", n_files=3)
+    for i in range(3):
+        src = spark.createDataFrame([(10 * i, 900 + i)], "k long, v long")
+        t.merge_keep_latest_mor(spark, src, keys=("k",), order_by=[F.col("v").desc()])
+    assert t.detail()["num_dv_files"] >= 1
+    t.optimize(spark, target_files=2, cluster_by=("k",))
+    d = t.detail()
+    assert d["num_dv_files"] == 0 and d["num_files"] == 2
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert len(got) == 60 and got[0] == 900 and got[10] == 901 and got[20] == 902
