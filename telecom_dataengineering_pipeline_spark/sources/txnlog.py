@@ -87,16 +87,37 @@ _CHECKPOINT_PTR = "_last_checkpoint"
 _OPS = ("=", "<", "<=", ">", ">=", "isnull", "isnotnull")
 
 
+def _bloom_absent(entry: dict, value) -> bool:
+    """True when the per-file bloom PROVES ``value`` is absent. The word
+    layout and md5-derived positions mirror ``operators/bloom.py`` (which
+    mirrors Spark's cast-to-string of the key) exactly — int/string keys
+    only; anything else was never bloom-indexed. No false negatives, so
+    skipping on a definite miss is sound."""
+    import hashlib
+
+    m, k, words = entry["m"], entry["k"], entry["words"]
+    s = str(value)
+    for i in range(k):
+        p = (
+            int(hashlib.md5(f"bloom_{i}_{s}".encode()).hexdigest()[:8], 16) % m
+        )
+        if not (words[p // 64] >> (p % 64)) & 1:
+            return True
+    return False
+
+
 def _skip_by_stats(
     files: list[str], stats: dict, where: Sequence[tuple]
 ) -> list[str]:
     """Files that COULD satisfy every predicate, judged only from recorded
     per-file stats: [min, max] bounds for range/equality ops, per-column
     null counts (``__nulls``) plus the file row count (``__rows``) for
-    ``isnull`` / ``isnotnull`` (Delta's nullCount skipping). Conservative
-    by construction: a file with no stats for a predicate's column is
-    always kept, and only provable disjointness drops a file — so pruning
-    never changes results, only the scan list."""
+    ``isnull`` / ``isnotnull`` (Delta's nullCount skipping), and per-file
+    bloom words (``__bloom``, Delta's bloom filter index) for ``=`` probes
+    on high-cardinality columns whose [min, max] can't discriminate.
+    Conservative by construction: a file with no stats for a predicate's
+    column is always kept, and only provable disjointness drops a file —
+    so pruning never changes results, only the scan list."""
     kept = []
     for f in files:
         fs = stats.get(f) or {}
@@ -123,6 +144,11 @@ def _skip_by_stats(
             if n is not None and rows is not None and n == rows:
                 drop = True
                 break
+            if op == "=" and val is not None:
+                bl = (fs.get("__bloom") or {}).get(col)
+                if bl and _bloom_absent(bl, val):
+                    drop = True
+                    break
             bounds = fs.get(col)
             if bounds is None or val is None:
                 continue
@@ -183,10 +209,22 @@ class TxnLogTable:
         path: str,
         stat_cols: Sequence[str] = (),
         checkpoint_interval: int = 10,
+        bloom_cols: Sequence[str] = (),
+        bloom_m_bits: int = 4096,
+        bloom_k: int = 4,
     ) -> None:
         self.path = path.rstrip("/")
         self.log_dir = os.path.join(self.path, _LOG_DIR)
         self.stat_cols = tuple(stat_cols)
+        # Per-file bloom filter index (Delta's bloomFilterIndex): point
+        # lookups (``=``) on these columns prune files whose bloom proves
+        # the key absent — the skipping [min, max] can't provide on
+        # high-cardinality columns the layout is NOT clustered by.
+        # int/string columns only (the probe reproduces Spark's
+        # cast-to-string hashing in Python).
+        self.bloom_cols = tuple(bloom_cols)
+        self.bloom_m_bits = bloom_m_bits
+        self.bloom_k = bloom_k
         # A checkpoint is auto-written after every Nth commit (0 disables).
         self.checkpoint_interval = checkpoint_interval
         # Published commit files are immutable, so parsed JSON is cached
@@ -915,9 +953,16 @@ class TxnLogTable:
         rows). Only JSON-clean scalar bounds are recorded — anything else
         simply leaves the file unprunable (safe)."""
         cols = [c for c in self.stat_cols if c in df.columns]
-        if not cols:
+        bcols = [c for c in self.bloom_cols if c in df.columns]
+        if not cols and not bcols:
             return {}
         spark = df.sparkSession
+        by_base = {os.path.basename(f): f for f in files}
+        stats: dict = {}
+        if bcols:
+            self._collect_blooms(spark, df, files, bcols, by_base, stats)
+        if not cols:
+            return stats
         aggd = (
             spark.read.schema(df.schema)
             .parquet(*[os.path.join(self.path, f) for f in files])
@@ -934,8 +979,6 @@ class TxnLogTable:
             )
             .collect()
         )
-        by_base = {os.path.basename(f): f for f in files}
-        stats: dict = {}
         for r in aggd:
             rel = by_base.get(os.path.basename(r["_f"]))
             if rel is None:
@@ -951,8 +994,56 @@ class TxnLogTable:
                 lo, hi = r[f"_lo_{c}"], r[f"_hi_{c}"]
                 if all(isinstance(x, (int, float, str, bool)) for x in (lo, hi)):
                     entry[c] = [lo, hi]
-            stats[rel] = entry
+            stats.setdefault(rel, {}).update(entry)  # merge over bloom words
         return stats
+
+    def _collect_blooms(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        files: list[str],
+        bcols: list[str],
+        by_base: dict,
+        stats: dict,
+    ) -> None:
+        """Per-file bloom words for ``bcols`` over freshly-written files:
+        one file-grouped bit_or aggregate per column (k md5 positions per
+        key, the exact ``operators/bloom.py`` layout). Bounded driver
+        fetch: |files| x m/64 word rows — metadata, not data."""
+        from ..operators.bloom import _position
+
+        m, k = self.bloom_m_bits, self.bloom_k
+        scan = spark.read.schema(df.schema).parquet(
+            *[os.path.join(self.path, f) for f in files]
+        ).withColumn("_f", F.input_file_name())
+        for c in bcols:
+            pos = scan.filter(F.col(c).isNotNull()).select(
+                "_f",
+                F.explode(
+                    F.array(*[_position(F.col(c), i, m) for i in range(k)])
+                ).alias("p"),
+            )
+            rows = (
+                pos.groupBy("_f", (F.col("p") / 64).cast("int").alias("w"))
+                .agg(
+                    F.expr(
+                        "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))"
+                    ).alias("bits")
+                )
+                .collect()
+            )
+            words_by_f: dict = {}
+            for r in rows:
+                words_by_f.setdefault(r["_f"], [0] * (m // 64))[r["w"]] = r["bits"]
+            for absf, words in words_by_f.items():
+                rel = by_base.get(os.path.basename(absf))
+                if rel is None:
+                    continue
+                stats.setdefault(rel, {}).setdefault("__bloom", {})[c] = {
+                    "m": m,
+                    "k": k,
+                    "words": words,
+                }
 
     def _file_stats(self, version: int | None = None) -> dict:
         """rel_path → {col: [lo, hi]} for the active files at a version
