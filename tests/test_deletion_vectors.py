@@ -259,3 +259,61 @@ def test_merge_mor_then_optimize_converges_layout(spark, tmp_path):
     assert d["num_dv_files"] == 0 and d["num_files"] == 2
     got = {r["k"]: r["v"] for r in t.read(spark).collect()}
     assert len(got) == 60 and got[0] == 900 and got[10] == 901 and got[20] == 902
+
+
+def test_streaming_cdc_upserts_through_mor_merge(spark, tmp_path):
+    """The streaming-upsert loop the MOR merge exists for: foreachBatch
+    applies each micro-batch of change rows via merge_keep_latest_mor
+    under an epoch txn id (redeliveries no-op), data files only accumulate
+    — never rewrite — while the stream runs, and one OPTIMIZE converges
+    the layout afterwards."""
+    src = str(tmp_path / "src")
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    )
+    b0 = spark.createDataFrame([(3, 101), (7, 101)], "k long, v long")
+    b1 = spark.createDataFrame([(3, 202), (40, 202)], "k long, v long")
+    b0.coalesce(1).write.parquet(src + "/b0")
+    b1.coalesce(1).write.parquet(src + "/b1")
+
+    t = TxnLogTable(str(tmp_path / "t"), stat_cols=("k",))
+    t.create_or_replace(base.repartitionByRange(2, "k"))
+    files0 = set(t.snapshot_files())
+
+    def apply_batch(bdf, bid):
+        t.merge_keep_latest_mor(
+            spark,
+            bdf,
+            keys=("k",),
+            order_by=[F.col("v").desc()],
+            app_txn_id=f"cdc-{bid}",
+        )
+        # At-least-once upstream: the redelivered batch must be a no-op.
+        t.merge_keep_latest_mor(
+            spark,
+            bdf,
+            keys=("k",),
+            order_by=[F.col("v").desc()],
+            app_txn_id=f"cdc-{bid}",
+        )
+
+    q = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert len(got) == 41  # 40 base + inserted k=40
+    assert got[3] == 202 and got[7] == 101 and got[40] == 202 and got[0] == 0
+    # The base files were never rewritten mid-stream — only appends + DVs.
+    assert files0 <= set(t.snapshot_files())
+    ops = [h["operation"] for h in t.history()]
+    assert ops.count("merge_mor") == 2  # redeliveries did not commit
+    t.optimize(spark, target_files=1, cluster_by=("k",))
+    d = t.detail()
+    assert d["num_dv_files"] == 0 and d["num_files"] == 1 and d["num_rows"] == 41
