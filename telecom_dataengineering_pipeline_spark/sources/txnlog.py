@@ -1807,6 +1807,7 @@ class TxnLogSink(TableSink):
         self,
         partition_by: Sequence[str] = (),
         stat_cols: Sequence[str] = (),
+        merge_strategy: str = "cow",
     ) -> None:
         self.partition_by = tuple(partition_by)
         # Per-file min/max stats are the data-skipping story; without them a
@@ -1814,6 +1815,12 @@ class TxnLogSink(TableSink):
         # doesn't name stat columns, the merge keys are derived as stats at
         # merge time (the columns pruning actually happens on).
         self.stat_cols = tuple(stat_cols)
+        # "cow" rewrites matched files (right when merges touch a large row
+        # fraction); "mor" vectors matches and appends winners (right for
+        # trickle upserts over big files — pair with periodic OPTIMIZE).
+        if merge_strategy not in ("cow", "mor"):
+            raise ValueError(f"unknown merge_strategy: {merge_strategy!r}")
+        self.merge_strategy = merge_strategy
 
     def create_or_replace(
         self, df: DataFrame, table: str, partition_by: Sequence[str] = ()
@@ -1830,9 +1837,11 @@ class TxnLogSink(TableSink):
         keys: Sequence[str],
         order_by: Sequence[Column],
     ) -> None:
-        TxnLogTable(
-            table, stat_cols=self.stat_cols or tuple(keys)
-        ).merge_keep_latest(spark, source, keys, order_by)
+        t = TxnLogTable(table, stat_cols=self.stat_cols or tuple(keys))
+        if self.merge_strategy == "mor":
+            t.merge_keep_latest_mor(spark, source, keys, order_by)
+        else:
+            t.merge_keep_latest(spark, source, keys, order_by)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return TxnLogTable(table).read(spark)

@@ -64,3 +64,33 @@ def test_sink_contract_call_sequence(spark, tmp_path):
     assert kind == "merge" and keys == ("call_id",)
     # partition columns present in the source — the MERGE INTO alignment rule
     assert "year" in cols and "month" in cols
+
+
+def test_txnlog_sink_mor_strategy_contract(spark, tmp_path):
+    """The sink contract under merge_strategy='mor': same observable
+    results as COW, but the merge vectors matches instead of rewriting."""
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.sources.txnlog import (
+        TxnLogSink,
+        TxnLogTable,
+    )
+
+    table = str(tmp_path / "t_mor")
+    sink = TxnLogSink(merge_strategy="mor")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 2)], "id long, payload string, version int"
+    )
+    sink.create_or_replace(base, table)
+    files0 = set(TxnLogTable(table).snapshot_files())
+    updates = spark.createDataFrame(
+        [(2, "b2", 2), (4, "d", 1)], "id long, payload string, version int"
+    )
+    sink.merge_keep_latest(
+        spark, table, updates, keys=["id"], order_by=[F.col("version").desc()]
+    )
+    got = {r["id"]: r["payload"] for r in sink.read(spark, table).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c", 4: "d"}
+    t = TxnLogTable(table)
+    assert files0 <= set(t.snapshot_files())  # nothing rewritten
+    assert t.history()[-1]["operation"] == "merge_mor"
