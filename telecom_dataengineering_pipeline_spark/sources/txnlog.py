@@ -187,6 +187,11 @@ def _predicate_expr(where: Sequence[tuple]) -> Column:
     return expr
 
 
+class ConstraintViolation(RuntimeError):
+    """Incoming rows (or, for ADD CONSTRAINT, existing rows) fail a CHECK
+    constraint — the write is rejected before any commit is attempted."""
+
+
 class CommitConflict(RuntimeError):
     """A concurrent commit invalidated this one: for MERGE/replace, ANY
     intervening change to the file set (an append may hold rows for keys
@@ -282,6 +287,7 @@ class TxnLogTable:
             "active": {},
             "stats": {},
             "dvs": {},
+            "constraints": {},
             "schema": None,
             "txn_ids": set(),
         }
@@ -307,6 +313,9 @@ class TxnLogTable:
                 state["dvs"][f] = d
         if c.get("schema") is not None:
             state["schema"] = c["schema"]
+        # CHECK constraints: a commit carrying the field REPLACES the set.
+        if c.get("constraints") is not None:
+            state["constraints"] = dict(c["constraints"])
         if c.get("app_txn_id") is not None:
             state["txn_ids"].add(c["app_txn_id"])
 
@@ -335,6 +344,8 @@ class TxnLogTable:
                 adds.append(r)
             elif kind == "txn":
                 state["txn_ids"].add(r["app_txn_id"])
+            elif kind == "constraint":
+                state["constraints"][r["path"]] = r["sql"]
             elif kind == "schema":
                 state["schema"] = r["schema_json"]
         for r in sorted(adds, key=lambda r: r["ord"]):
@@ -374,6 +385,10 @@ class TxnLogTable:
         rows.extend(
             {"kind": "txn", "app_txn_id": t} for t in sorted(state["txn_ids"])
         )
+        rows.extend(
+            {"kind": "constraint", "path": n, "sql": s}
+            for n, s in sorted(state["constraints"].items())
+        )
         schema = pa.schema(
             [
                 ("kind", pa.string()),
@@ -381,6 +396,7 @@ class TxnLogTable:
                 ("ord", pa.int64()),
                 ("stats", pa.string()),
                 ("dv", pa.string()),
+                ("sql", pa.string()),
                 ("app_txn_id", pa.string()),
                 ("schema_json", pa.string()),
             ]
@@ -679,6 +695,7 @@ class TxnLogTable:
                 for f in schema.fields
             ]
         )
+        self._enforce_constraints(updated, state["constraints"])
         adds, stats = self._write_data(updated)
         return self.commit(
             adds=adds,
@@ -711,6 +728,7 @@ class TxnLogTable:
             return self.create_or_replace(source, app_txn_id=app_txn_id)
         rv = self.version()
         state = self._state(rv)
+        self._enforce_constraints(source, state["constraints"])
         schema = (
             StructType.fromJson(json.loads(state["schema"]))
             if state["schema"]
@@ -755,15 +773,37 @@ class TxnLogTable:
             dvs=dvs or {},
         )
 
+    def version_at_timestamp(self, ts_millis: int) -> int:
+        """The version a reader at ``ts_millis`` (epoch ms) would have
+        seen: the LAST commit whose recorded timestamp is <= the target
+        (Delta's ``timestampAsOf`` resolution). Raises if the target
+        precedes the first retained commit — same contract as time travel
+        to an expired version."""
+        best = -1
+        for v in self._versions():
+            c = self._read_commit(v)
+            t = c.get("timestamp")
+            if t is not None and t <= ts_millis:
+                best = v
+        if best < 0:
+            raise ValueError(
+                f"no commit at or before timestamp {ts_millis} "
+                "(before table creation, or the commits were expired)"
+            )
+        return best
+
     def read(
         self,
         spark: SparkSession,
         version: int | None = None,
         where: Sequence[tuple] | None = None,
+        as_of_timestamp: int | None = None,
     ) -> DataFrame:
         """Snapshot (or time-travel) read: the log's file list under the
         as-of schema — added columns backfill as NULL in older files, and
-        data directories are never listed.
+        data directories are never listed. ``as_of_timestamp`` (epoch ms,
+        mutually exclusive with ``version``) resolves through
+        :meth:`version_at_timestamp` — Delta's ``timestampAsOf``.
 
         ``where`` — optional conjunctive range predicates as ``(col, op,
         value)`` triples with op ∈ {'=', '<', '<=', '>', '>='} — is the
@@ -775,6 +815,10 @@ class TxnLogTable:
         are then applied as a residual DataFrame filter, so the result is
         exact regardless of which files have stats.
         """
+        if as_of_timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of_timestamp, not both")
+            version = self.version_at_timestamp(as_of_timestamp)
         if version is not None and version > self.version():
             raise ValueError(
                 f"version {version} does not exist (latest: {self.version()})"
@@ -1132,6 +1176,7 @@ class TxnLogTable:
         read_version: int | None = None,
         stats: dict | None = None,
         dvs: dict | None = None,
+        constraints: dict | None = None,
     ) -> int:
         """Publish one atomic commit; returns the committed version.
 
@@ -1154,6 +1199,7 @@ class TxnLogTable:
             "delete",
             "delete_mor",  # DV positions were computed against a snapshot
             "update_mor",
+            "set_constraint",  # validation covered only the snapshot read
             "replace_where",
             "restore",  # rolling back over a concurrent write would drop it
             "clone",  # re-cloning replaces the destination's file set
@@ -1227,6 +1273,7 @@ class TxnLogTable:
                 "app_txn_id": app_txn_id,
                 "stats": stats or {},
                 "dvs": dvs or {},
+                "constraints": constraints,  # None = unchanged
                 "timestamp": time.time_ns() // 1_000_000,
             }
             tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
@@ -1243,6 +1290,56 @@ class TxnLogTable:
             finally:
                 os.unlink(tmp)
 
+    def _enforce_constraints(self, df: DataFrame, constraints: dict) -> None:
+        """Reject a write whose rows fail any CHECK constraint — SQL CHECK
+        semantics (only FALSE violates; NULL predicates pass). One
+        validation action per constraint, the same cost class as
+        replace_where's region check."""
+        for name, sql in sorted(constraints.items()):
+            if not df.filter(~F.expr(sql)).isEmpty():
+                raise ConstraintViolation(
+                    f"CHECK constraint {name!r} ({sql}) violated by incoming rows"
+                )
+
+    def add_constraint(self, spark: SparkSession, name: str, sql_predicate: str) -> int:
+        """ADD a CHECK constraint (Delta ``ALTER TABLE ADD CONSTRAINT``):
+        existing rows must already satisfy it (validated with one read of
+        the current snapshot), and every later write is validated against
+        it before committing. The commit is metadata-only but
+        key-resolving: rows appended concurrently were never validated, so
+        it conflicts rather than silently blessing them."""
+        rv = self.version()
+        state = self._state(rv)
+        cons = dict(state["constraints"])
+        if name in cons:
+            raise ValueError(f"constraint already exists: {name}")
+        if not self.read(spark, rv).filter(~F.expr(sql_predicate)).isEmpty():
+            raise ConstraintViolation(
+                f"existing rows violate CHECK constraint {name!r} ({sql_predicate})"
+            )
+        cons[name] = sql_predicate
+        return self.commit(
+            adds=[],
+            removes=[],
+            operation="set_constraint",
+            read_version=rv,
+            constraints=cons,
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """DROP a CHECK constraint — metadata-only, never conflicts."""
+        cons = dict(self._state()["constraints"])
+        if name not in cons:
+            raise ValueError(f"no such constraint: {name}")
+        del cons[name]
+        return self.commit(
+            adds=[], removes=[], operation="drop_constraint", constraints=cons
+        )
+
+    def constraints(self) -> dict:
+        """Active CHECK constraints, name → SQL predicate."""
+        return dict(self._state()["constraints"])
+
     def create_or_replace(
         self,
         df: DataFrame,
@@ -1250,8 +1347,11 @@ class TxnLogTable:
         app_txn_id: str | None = None,
     ) -> int:
         """Full-snapshot replace: add the new file set, remove every
-        currently-active file, one commit."""
+        currently-active file, one commit. CHECK constraints survive the
+        replace (they are table properties, not data) and validate the
+        incoming snapshot."""
         rv = self.version()
+        self._enforce_constraints(df, self._state(rv)["constraints"])
         adds, stats = self._write_data(df, cluster_by)
         return self.commit(
             adds=adds,
@@ -1265,6 +1365,7 @@ class TxnLogTable:
 
     def append(self, df: DataFrame, app_txn_id: str | None = None) -> int:
         """Blind append: always retry-safe (no removes to conflict on)."""
+        self._enforce_constraints(df, self._state()["constraints"])
         adds, stats = self._write_data(df)
         return self.commit(
             adds=adds,
@@ -1298,6 +1399,7 @@ class TxnLogTable:
         rv = self.version()
         schema = self.snapshot_schema(rv)
         files = self.snapshot_files(rv)
+        self._enforce_constraints(source, self._state(rv)["constraints"])
         if not files:
             adds, stats = self._write_data(source)
             return self.commit(
@@ -1526,6 +1628,7 @@ class TxnLogTable:
             )
         rv = self.version()
         state = self._state(rv)
+        self._enforce_constraints(new_rows, state["constraints"])
         files = list(state["active"])
         schema = (
             StructType.fromJson(json.loads(state["schema"]))

@@ -723,3 +723,77 @@ def test_null_count_stats_skip_isnull_predicates(spark, tmp_path):
     assert got == [1, 2, 5]
     # range skipping still works alongside (min/max ignore nulls)
     assert t.scan_file_count(where=[("payload", ">=", "c")]) == 1
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """Delta's timestampAsOf: resolve the snapshot a reader at time T saw
+    — the last commit at-or-before T."""
+    t = TxnLogTable(str(tmp_path / "tt"))
+    t.create_or_replace(_df(spark, [(1, "a", 1)]))
+    t.append(_df(spark, [(2, "b", 1)]))
+    t.append(_df(spark, [(3, "c", 1)]))
+    hist = t.history()
+    ts1 = hist[1]["timestamp"]  # just after the first append
+    assert t.version_at_timestamp(ts1) == 1
+    got = {r["id"] for r in t.read(spark, as_of_timestamp=ts1).collect()}
+    assert got == {1, 2}
+    # Far future resolves to the latest; before creation raises.
+    assert t.version_at_timestamp(hist[-1]["timestamp"] + 10**9) == 2
+    with pytest.raises(ValueError):
+        t.version_at_timestamp(hist[0]["timestamp"] - 1)
+    with pytest.raises(ValueError):
+        t.read(spark, version=1, as_of_timestamp=ts1)
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    from telecom_dataengineering_pipeline_spark.sources.txnlog import (
+        ConstraintViolation,
+    )
+
+    t = TxnLogTable(str(tmp_path / "tc"))
+    t.create_or_replace(_df(spark, [(1, "a", 1), (2, "b", 2)]))
+    t.add_constraint(spark, "version_positive", "version > 0")
+    assert list(t.constraints()) == ["version_positive"]
+    # ADD CONSTRAINT validates existing rows first.
+    with pytest.raises(ConstraintViolation):
+        t.add_constraint(spark, "impossible", "version > 100")
+    # Every write path validates: append, merge (COW + MOR), replace_where,
+    # update; a passing write goes through untouched.
+    with pytest.raises(ConstraintViolation):
+        t.append(_df(spark, [(3, "c", 0)]))
+    with pytest.raises(ConstraintViolation):
+        t.merge_keep_latest(
+            spark, _df(spark, [(1, "a2", -1)]), keys=("id",),
+            order_by=[F.col("version").desc()],
+        )
+    with pytest.raises(ConstraintViolation):
+        t.merge_keep_latest_mor(
+            spark, _df(spark, [(1, "a2", -1)]), keys=("id",),
+            order_by=[F.col("version").desc()],
+        )
+    with pytest.raises(ConstraintViolation):
+        t.replace_where(
+            spark, [("id", ">=", 2)], _df(spark, [(2, "b2", 0)])
+        )
+    with pytest.raises(ConstraintViolation):
+        t.update_where_mor(spark, [("id", "=", 1)], {"version": F.lit(-5)})
+    t.append(_df(spark, [(3, "c", 3)]))
+    assert t.read(spark).count() == 3
+    # SQL CHECK semantics: NULL predicate result passes, FALSE violates.
+    t2 = TxnLogTable(str(tmp_path / "tnull"))
+    t2.create_or_replace(
+        spark.createDataFrame([(1, None)], "id long, v string")
+    )
+    t2.add_constraint(spark, "v_short", "length(v) < 5")  # NULL passes
+    t2.append(spark.createDataFrame([(2, None)], "id long, v string"))
+    with pytest.raises(ConstraintViolation):
+        t2.append(spark.createDataFrame([(3, "toolong")], "id long, v string"))
+    # Constraints survive checkpoint + fresh-instance reconstruction and
+    # create_or_replace; drop removes enforcement.
+    t.checkpoint()
+    fresh = TxnLogTable(str(tmp_path / "tc"))
+    with pytest.raises(ConstraintViolation):
+        fresh.create_or_replace(_df(spark, [(9, "z", 0)]))
+    fresh.drop_constraint("version_positive")
+    fresh.append(_df(spark, [(4, "d", 0)]))
+    assert fresh.read(spark).count() == 4
