@@ -417,7 +417,12 @@ LIMIT 20
 """
 
 
-@register("waiting_supplier_ranking", oracle=_Q21_ORACLE, tags=("J6", "A1", "W1", "O6"))
+@register(
+    "waiting_supplier_ranking",
+    oracle=_Q21_ORACLE,
+    tags=("J6", "A1", "W1", "O6"),
+    bench=True,
+)
 def waiting_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21: suppliers who were the SOLE late shipper on multi-supplier
     finalized orders ("late" = shipped >365 days after order date; the
