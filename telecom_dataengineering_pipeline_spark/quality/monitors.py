@@ -188,3 +188,78 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
             F.round(F.sum("n").over(w).cast("double") / F.col("_total"), 6).alias("cum_share"),
         )
     )
+
+
+def psi_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    warn: float = 0.1,
+    alert: float = 0.25,
+) -> DataFrame:
+    """Population Stability Index between a reference window and the
+    current window of a numeric column — the standard model/feature drift
+    score (PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 major shift).
+
+    Buckets are EQUAL-WIDTH over the reference's [min, max] (plus open
+    edge buckets), so bucketing is a pure column expression from one
+    broadcast 2-value aggregate — no quantile pass, no sort. Both sides
+    aggregate map-side to n_buckets+2 cells; the PSI sum runs over that
+    tiny cell table. Zero-count cells get the usual 1e-6 floor so the log
+    term stays finite. Scale: two scans (one per side), everything else is
+    metadata-sized.
+
+    Returns one row: (psi, n_ref, n_cur, status) with per-bucket detail
+    available by the same construction — kept scalar here because the
+    monitor rollup consumes scalars.
+    """
+    bounds = reference.agg(
+        F.min(F.col(value_col).cast("double")).alias("lo"),
+        F.max(F.col(value_col).cast("double")).alias("hi"),
+    )
+
+    def bucketize(df: DataFrame) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        width = (F.col("hi") - F.col("lo")) / n_buckets
+        b = F.when(v < F.col("lo"), F.lit(-1)).when(
+            v >= F.col("hi"), F.lit(n_buckets)
+        ).otherwise(
+            F.least(
+                F.floor((v - F.col("lo")) / width).cast("int"),
+                F.lit(n_buckets - 1),
+            )
+        )
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .crossJoin(F.broadcast(bounds))
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    ref = bucketize(reference).withColumnRenamed("n", "n_ref")
+    cur = bucketize(current).withColumnRenamed("n", "n_cur")
+    cells = ref.join(cur, "bucket", "full_outer").na.fill(
+        {"n_ref": 0, "n_cur": 0}
+    )
+    totals = cells.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(1e-6))
+    q = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(1e-6))
+    term = (q - p) * F.log(q / p)
+    out = (
+        cells.crossJoin(F.broadcast(totals))
+        .agg(
+            F.round(F.sum(term), 6).alias("psi"),
+            F.first("t_ref").alias("n_ref"),
+            F.first("t_cur").alias("n_cur"),
+        )
+    )
+    status = (
+        F.when(F.col("psi") < warn, "stable")
+        .when(F.col("psi") < alert, "moderate_shift")
+        .otherwise("major_shift")
+    )
+    return out.select("psi", "n_ref", "n_cur", status.alias("status"))

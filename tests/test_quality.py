@@ -80,3 +80,25 @@ def test_schema_drift_policy(spark):
     assert rep3.status == "WARNING"
     rep4 = schema_drift({"a": "bigint"}, df)
     assert rep4.status == "INFO" and rep4.added == ["b"]
+
+
+def test_psi_drift_detects_distribution_shift(spark):
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.quality.monitors import psi_drift
+
+    ref = spark.range(0, 10_000).select((F.col("id") % 100).cast("double").alias("v"))
+    # Identical distribution: PSI ~ 0, stable.
+    same = spark.range(0, 5_000).select((F.col("id") % 100).cast("double").alias("v"))
+    r = psi_drift(ref, same, "v").collect()[0]
+    assert r["status"] == "stable" and abs(r["psi"]) < 0.01
+    assert (r["n_ref"], r["n_cur"]) == (10_000, 5_000)
+    # Shifted + widened distribution: major shift, out-of-range bucket used.
+    shifted = spark.range(0, 5_000).select(
+        ((F.col("id") % 100) + 80).cast("double").alias("v")
+    )
+    r2 = psi_drift(ref, shifted, "v").collect()[0]
+    assert r2["status"] == "major_shift" and r2["psi"] > 0.25
+    # Deterministic across runs (pure column arithmetic, no sampling).
+    r3 = psi_drift(ref, shifted, "v").collect()[0]
+    assert r2["psi"] == r3["psi"]
