@@ -301,3 +301,60 @@ class StreamingHllLoop:
             .first()
         )
         return float(row["e"])
+
+
+def hll_set_ops(
+    df_a: DataFrame, df_b: DataFrame, col: str, b: int = _HLL_B
+) -> DataFrame:
+    """Distinct-count set algebra on HLL sketches (the Theta-sketch use
+    case on the HLL machinery already here): |A|, |B|, |A∪B| from the
+    MERGED registers — union is exact sketch algebra, a per-bucket MAX,
+    which is why HLL shards from different machines/days compose — and
+    |A∩B| / Jaccard by inclusion-exclusion on the three estimates (the
+    standard HLL trade: intersection error grows when the overlap is small
+    relative to either set).
+
+    One register pass per side + one bucket-grain merge; everything
+    downstream is m-bucket-sized. Deterministic: same integer-register +
+    Python-literal-constant recipe as the registered HLL profile, so the
+    whole thing is DuckDB-oracle-expressible."""
+    ra = hll_registers(df_a, col, b).withColumnRenamed("M", "Ma")
+    rb = hll_registers(df_b, col, b).withColumnRenamed("M", "Mb")
+    # Sketch union = bucketwise max; full outer keeps buckets only one
+    # side populated.
+    merged = ra.join(rb, "bucket", "full_outer").select(
+        "bucket",
+        F.greatest(
+            F.coalesce(F.col("Ma"), F.lit(0)), F.coalesce(F.col("Mb"), F.lit(0))
+        ).alias("Mu"),
+        F.col("Ma"),
+        F.col("Mb"),
+    )
+    z_expr, cnt_expr, estimate = hll_estimate_expr(b)
+
+    def est_over(m_col: str):
+        side = merged.filter(F.col(m_col).isNotNull()).select(
+            F.col(m_col).alias("M")
+        )
+        agg = side.agg(z_expr.alias("z"), cnt_expr.alias("c"))
+        return agg.select(estimate(F.col("z"), F.col("c")).alias("e"))
+
+    est_a = est_over("Ma").withColumnRenamed("e", "est_a")
+    est_b = est_over("Mb").withColumnRenamed("e", "est_b")
+    est_u = (
+        merged.select(F.col("Mu").alias("M"))
+        .agg(z_expr.alias("z"), cnt_expr.alias("c"))
+        .select(estimate(F.col("z"), F.col("c")).alias("est_union"))
+    )
+    out = est_a.crossJoin(est_b).crossJoin(est_u)
+    inter = F.greatest(
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4),
+        F.lit(0.0),
+    )
+    return out.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        inter.alias("est_intersection"),
+        F.round(inter / F.col("est_union"), 6).alias("jaccard_est"),
+    )

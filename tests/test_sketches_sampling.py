@@ -215,3 +215,36 @@ def test_streaming_hll_loop_tracks_cardinality_curve(spark, tmp_path):
 
     loop.process_batch(spark.createDataFrame(batches[1], "v STRING"), 1)  # replay
     assert loop.estimate(spark) == e2
+
+
+def test_hll_set_ops_union_intersection_jaccard(spark):
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.llmprep.sketches import (
+        hll_registers,
+        hll_set_ops,
+    )
+
+    # A = 0..5999, B = 4000..9999 → |A|=6000 |B|=6000 |A∪B|=10000 |A∩B|=2000
+    a = spark.range(0, 6000).select(F.col("id").cast("string").alias("k"))
+    bdf = spark.range(4000, 10000).select(F.col("id").cast("string").alias("k"))
+    r = hll_set_ops(a, bdf, "k", b=12).collect()[0]
+    assert abs(r["est_a"] - 6000) / 6000 < 0.05
+    assert abs(r["est_b"] - 6000) / 6000 < 0.05
+    assert abs(r["est_union"] - 10000) / 10000 < 0.05
+    assert abs(r["est_intersection"] - 2000) / 2000 < 0.3  # IE error amplifies
+    assert abs(r["jaccard_est"] - 0.2) < 0.07
+    # Determinism: integer registers + literal constants, bit-identical.
+    r2 = hll_set_ops(a, bdf, "k", b=12).collect()[0]
+    assert tuple(r) == tuple(r2)
+    # The union IS sketch algebra: merged registers == registers of A∪B.
+    both = a.unionAll(bdf)
+    direct = {
+        x["bucket"]: x["M"] for x in hll_registers(both, "k", b=12).collect()
+    }
+    ra = {x["bucket"]: x["M"] for x in hll_registers(a, "k", b=12).collect()}
+    rb = {x["bucket"]: x["M"] for x in hll_registers(bdf, "k", b=12).collect()}
+    merged = {
+        bk: max(ra.get(bk, 0), rb.get(bk, 0)) for bk in set(ra) | set(rb)
+    }
+    assert merged == direct
