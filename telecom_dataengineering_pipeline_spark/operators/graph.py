@@ -77,7 +77,9 @@ def pagerank_fixed_point(
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, closure_strategy: str = "broadcast"
+) -> DataFrame:
     """Per-node triangle participation counts over an undirected graph.
 
     ``edges``: distinct undirected pairs ``(u, v)`` with ``u < v`` (one row
@@ -89,11 +91,21 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     Vassilvitskii's MR-triangles / Cohen's MapReduce graph kernels): each
     undirected edge is directed from its LOWER-degree endpoint to the
     higher (ties on node id), so every wedge is enumerated exactly once at
-    its lowest-degree vertex and the wedge join fans out by the oriented
-    out-degree, which is O(sqrt(m)) per node on any graph — a skewed hub
-    never enumerates its quadratic neighborhood. Three hash joins total
-    (wedge build + closure probe), all on edge keys; counts are exact
-    integers, nothing approximate, nothing on the driver.
+    its lowest-degree vertex and the per-node wedge fan-out is bounded by
+    the oriented out-degree — O(sqrt(m)) on any graph; a skewed hub never
+    enumerates its quadratic neighborhood.
+
+    Plan shape: wedges are generated MAP-SIDE from per-node oriented
+    adjacency arrays (one groupBy of the edge list; the pair expansion is
+    a JVM higher-order ``transform``/``flatten`` — the wedge multiset,
+    which is orders of magnitude bigger than the edge list, is never the
+    payload of a shuffle) and flow pipelined into the closure probe. The
+    closure side (the edge list keyed by its endpoint pair) broadcasts
+    when it fits (``closure_strategy="broadcast"``/small auto), making the
+    whole wedge→triangle stage shuffle-free; on edge lists too big to
+    broadcast (``"shuffle"``) the semi join shuffles wedges — the honest
+    cost floor without an approximate prefilter. Counts are exact
+    integers, nothing on the driver either way.
     """
     e = edges.select("u", "v").localCheckpoint(eager=False)
     deg = (
@@ -104,6 +116,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    if closure_strategy == "broadcast":
+        # Same smallness regime as the broadcast closure: the degree table
+        # is node-count-sized, so folding it in by broadcast keeps the
+        # edge list from shuffling twice just to learn its endpoint
+        # degrees.
+        du, dv = F.broadcast(du), F.broadcast(dv)
     # Orient low→high by (degree, id); (u, v) already has u < v, so the id
     # tie-break is "keep as-is when degrees tie".
     oriented = (
@@ -114,15 +132,29 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.when(F.col("du") <= F.col("dv"), F.col("v")).otherwise(F.col("u")).alias("b"),
         )
     )
-    o1 = oriented.select(F.col("a").alias("w_a"), F.col("b").alias("w_b"))
-    o2 = oriented.select(F.col("a").alias("w_a"), F.col("b").alias("w_c"))
-    # Wedges centered at the lowest-ranked vertex a: pairs (b, c) of its
-    # oriented neighbors with b < c (each unordered pair once).
-    wedges = o1.join(o2, "w_a").filter(F.col("w_b") < F.col("w_c"))
+    # Per-node sorted oriented adjacency; wedge pairs (b < c) expand
+    # map-side inside codegen — no self-join, no wedge-sized shuffle.
+    adj = oriented.groupBy(F.col("a").alias("w_a")).agg(
+        F.sort_array(F.collect_list("b")).alias("nbrs")
+    )
+    wedges = adj.select(
+        "w_a",
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(nbrs, (x, i) -> "
+                    "transform(slice(nbrs, i + 2, size(nbrs)), "
+                    "y -> struct(x AS w_b, y AS w_c)))"
+                )
+            )
+        ).alias("bc"),
+    ).select("w_a", F.col("bc.w_b").alias("w_b"), F.col("bc.w_c").alias("w_c"))
     # Closure probe: the third side may be oriented either way between b
     # and c — but both are ranked above a, and the UNDIRECTED edge set has
     # u < v, so probe the undirected edges directly.
     closure = e.select(F.col("u").alias("w_b"), F.col("v").alias("w_c"))
+    if closure_strategy == "broadcast":
+        closure = F.broadcast(closure)
     tris = wedges.join(closure, ["w_b", "w_c"], "left_semi")
     per_node = (
         tris.select(F.col("w_a").alias("node"))
@@ -132,3 +164,50 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )
     return per_node
+
+
+def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """Community detection by synchronous label propagation, made fully
+    deterministic: every node adopts the label MOST FREQUENT among its
+    neighbors each round, ties broken by the smallest label (classic LPA
+    randomizes both the visit order and tie-breaks; that irreproducibility
+    is exactly what an oracle-checked engine can't have). Nodes start
+    labeled with their own id; isolated-in-this-round nodes keep their
+    label.
+
+    ``edges``: undirected distinct pairs (u, v). Returns (node, label)
+    after ``iters`` rounds. Per round: one edge⋈label join (shuffle on
+    node id) + one (node, label) count + one per-node argmax — all
+    map-side-combinable; label state is one row per node, never adjacency-
+    sized. Iterations unroll into one lazy plan like the PageRank loop.
+    """
+    if iters < 1:
+        raise ValueError("label propagation needs at least one iteration")
+    e = edges.select("u", "v")
+    both = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    nodes = both.select(F.col("u").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        # Each node's own current label joins the vote (weight 1): the
+        # self-vote damps the 2-cycle oscillation synchronous LPA exhibits
+        # on bipartite structure (x and y endlessly swapping labels) while
+        # leaving dense-community dominance untouched.
+        votes = (
+            both.join(labels, both["v"] == labels["node"])
+            .select(F.col("u").alias("n"), "label")
+            .unionAll(labels.select(F.col("node").alias("n"), "label"))
+            .groupBy("n", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax by (count desc, label asc): min of (-count, label) struct.
+        winner = votes.groupBy("n").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("w")
+        )
+        labels = nodes.join(winner, nodes["node"] == winner["n"], "left").select(
+            "node", F.coalesce(F.col("w.label"), F.col("node")).alias("label")
+        )
+    return labels

@@ -637,17 +637,31 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.graph import triangle_counts
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    w = Window.partitionBy("l_orderkey")
-    small = li.withColumn("bsize", F.count(F.lit(1)).over(w)).filter(
-        F.col("bsize") <= 25
+    # Edge construction is basket-at-a-time: one groupBy collapses each
+    # order to its sorted distinct-part array (replacing the former
+    # distinct + window-count + self-join — three shuffles — with one),
+    # the size cap filters on the array, and the pair expansion is the
+    # same map-side higher-order transform the wedge stage uses. Only the
+    # pair DISTINCT shuffles pair-sized data.
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= 25)
     )
-    a = small.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = small.select("l_orderkey", F.col("l_partkey").alias("v"))
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(parts, (x, i) -> "
+                        "transform(slice(parts, i + 2, size(parts)), "
+                        "y -> struct(x AS u, y AS v)))"
+                    )
+                )
+            ).alias("uv")
+        )
+        .select(F.col("uv.u").alias("u"), F.col("uv.v").alias("v"))
         .distinct()
     )
     return (

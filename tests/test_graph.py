@@ -84,3 +84,27 @@ def test_triangle_query_plan_semi_closure_no_cartesian(spark, sf_smoke):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan  # closure probe is a semi join, not a count join
+
+
+def test_label_propagation_two_communities(spark):
+    from telecom_dataengineering_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # Two 4-cliques joined by one bridge edge: labels converge within each
+    # clique; the bridge does not merge them (clique votes dominate).
+    c1 = [("a1", "a2"), ("a1", "a3"), ("a1", "a4"), ("a2", "a3"), ("a2", "a4"), ("a3", "a4")]
+    c2 = [("b1", "b2"), ("b1", "b3"), ("b1", "b4"), ("b2", "b3"), ("b2", "b4"), ("b3", "b4")]
+    bridge = [("a4", "b1")]
+    edges = _und_edges(spark, c1 + c2 + bridge)
+    r = {x["node"]: x["label"] for x in label_propagation(edges, iters=5).collect()}
+    assert len({r[n] for n in ("a1", "a2", "a3", "a4")}) == 1
+    assert len({r[n] for n in ("b1", "b2", "b3", "b4")}) == 1
+    assert r["a1"] != r["b1"]
+    # Deterministic across runs (no visit-order or tie-break randomness).
+    r2 = {x["node"]: x["label"] for x in label_propagation(edges, iters=5).collect()}
+    assert r == r2
+    # An isolated self-community node keeps its own label.
+    lone = _und_edges(spark, [("x", "y")])
+    rl = {x["node"]: x["label"] for x in label_propagation(lone, iters=3).collect()}
+    assert rl == {"x": "x", "y": "x"}  # pair collapses to min label
