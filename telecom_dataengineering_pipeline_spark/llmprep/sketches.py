@@ -317,9 +317,16 @@ def hll_set_ops(
     One register pass per side + one bucket-grain merge; everything
     downstream is m-bucket-sized. Deterministic: same integer-register +
     Python-literal-constant recipe as the registered HLL profile, so the
-    whole thing is DuckDB-oracle-expressible."""
-    ra = hll_registers(df_a, col, b).withColumnRenamed("M", "Ma")
-    rb = hll_registers(df_b, col, b).withColumnRenamed("M", "Mb")
+    whole thing is DuckDB-oracle-expressible. NULLs are excluded up front
+    (COUNT(DISTINCT) semantics — and a NULL key would otherwise mint a
+    phantom bucket=NULL register that the bucket equi-join can't merge);
+    an empty side estimates 0.0, not NULL."""
+    ra = hll_registers(
+        df_a.filter(F.col(col).isNotNull()), col, b
+    ).withColumnRenamed("M", "Ma")
+    rb = hll_registers(
+        df_b.filter(F.col(col).isNotNull()), col, b
+    ).withColumnRenamed("M", "Mb")
     # Sketch union = bucketwise max; full outer keeps buckets only one
     # side populated.
     merged = ra.join(rb, "bucket", "full_outer").select(
@@ -337,14 +344,22 @@ def hll_set_ops(
             F.col(m_col).alias("M")
         )
         agg = side.agg(z_expr.alias("z"), cnt_expr.alias("c"))
-        return agg.select(estimate(F.col("z"), F.col("c")).alias("e"))
+        # Zero register rows (empty side) → z is NULL: that's cardinality
+        # 0, not unknown.
+        return agg.select(
+            F.coalesce(estimate(F.col("z"), F.col("c")), F.lit(0.0)).alias("e")
+        )
 
     est_a = est_over("Ma").withColumnRenamed("e", "est_a")
     est_b = est_over("Mb").withColumnRenamed("e", "est_b")
     est_u = (
         merged.select(F.col("Mu").alias("M"))
         .agg(z_expr.alias("z"), cnt_expr.alias("c"))
-        .select(estimate(F.col("z"), F.col("c")).alias("est_union"))
+        .select(
+            F.coalesce(estimate(F.col("z"), F.col("c")), F.lit(0.0)).alias(
+                "est_union"
+            )
+        )
     )
     out = est_a.crossJoin(est_b).crossJoin(est_u)
     inter = F.greatest(
@@ -356,5 +371,7 @@ def hll_set_ops(
         "est_b",
         "est_union",
         inter.alias("est_intersection"),
-        F.round(inter / F.col("est_union"), 6).alias("jaccard_est"),
+        F.coalesce(F.round(inter / F.col("est_union"), 6), F.lit(0.0)).alias(
+            "jaccard_est"
+        ),
     )

@@ -222,8 +222,11 @@ def psi_drift(
     def bucketize(df: DataFrame) -> DataFrame:
         v = F.col(value_col).cast("double")
         width = (F.col("hi") - F.col("lo")) / n_buckets
+        # v == hi (the reference max itself) belongs in the TOP interior
+        # bucket, not the overflow bucket; the least() clamp both enforces
+        # that and guards float rounding at interior boundaries.
         b = F.when(v < F.col("lo"), F.lit(-1)).when(
-            v >= F.col("hi"), F.lit(n_buckets)
+            v > F.col("hi"), F.lit(n_buckets)
         ).otherwise(
             F.least(
                 F.floor((v - F.col("lo")) / width).cast("int"),
@@ -257,8 +260,17 @@ def psi_drift(
             F.first("t_cur").alias("n_cur"),
         )
     )
+    # A window with no (non-null) data is "no baseline / no signal", never
+    # a shift verdict — without this, an empty reference floors p to 1e-6
+    # everywhere and mints a huge, meaningless PSI.
     status = (
-        F.when(F.col("psi") < warn, "stable")
+        F.when(
+            F.col("psi").isNull()
+            | (F.coalesce(F.col("n_ref"), F.lit(0)) == 0)
+            | (F.coalesce(F.col("n_cur"), F.lit(0)) == 0),
+            "no_reference",
+        )
+        .when(F.col("psi") < warn, "stable")
         .when(F.col("psi") < alert, "moderate_shift")
         .otherwise("major_shift")
     )

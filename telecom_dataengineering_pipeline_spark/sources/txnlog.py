@@ -96,6 +96,13 @@ def _bloom_absent(entry: dict, value) -> bool:
     import hashlib
 
     m, k, words = entry["m"], entry["k"], entry["words"]
+    # Only int/str probe values render identically under Python str() and
+    # Spark's cast-to-string (the hash input the index was built from). A
+    # float/bool/date probe (str(57.0)='57.0' vs indexed '57') would hash
+    # to the wrong positions and "prove" absence of present keys — for
+    # those, the bloom abstains and min/max + residual filter decide.
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        return False
     s = str(value)
     for i in range(k):
         p = (
@@ -227,6 +234,8 @@ class TxnLogTable:
         # high-cardinality columns the layout is NOT clustered by.
         # int/string columns only (the probe reproduces Spark's
         # cast-to-string hashing in Python).
+        if bloom_m_bits % 64:
+            raise ValueError("bloom_m_bits must be a multiple of 64")
         self.bloom_cols = tuple(bloom_cols)
         self.bloom_m_bits = bloom_m_bits
         self.bloom_k = bloom_k
@@ -569,11 +578,20 @@ class TxnLogTable:
         candidates = _skip_by_stats(files, state["stats"], where)
         if not candidates:
             return rv  # provably nothing to delete
-        raw = self._tagged_scan(spark, schema, candidates)
-        hits = raw.filter(_predicate_expr(where)).select("__base", "__pos")
+        # Positions come from LIVE rows only: a predicate that matches only
+        # already-vectored positions is a no-op and must not publish a
+        # spurious commit (or churn a duplicate sidecar).
+        hits = (
+            self._live(self._tagged_scan(spark, schema, candidates), spark, state, candidates)
+            .filter(_predicate_expr(where))
+            .select("__base", "__pos")
+            .localCheckpoint()  # one scan feeds the no-op check + the sidecar
+        )
+        if hits.isEmpty():
+            return rv  # predicate matched nothing live
         dvs = self._build_dv(spark, state, candidates, hits)
         if dvs is None:
-            return rv  # predicate matched nothing
+            return rv  # unreachable given the isEmpty guard; kept for safety
         return self.commit(
             adds=[],
             removes=[],
@@ -679,14 +697,18 @@ class TxnLogTable:
         candidates = _skip_by_stats(list(state["active"]), state["stats"], where)
         if not candidates:
             return rv  # provably nothing to update
-        matched = self._live(
-            self._tagged_scan(spark, schema, candidates), spark, state, candidates
-        ).filter(_predicate_expr(where))
+        matched = (
+            self._live(
+                self._tagged_scan(spark, schema, candidates), spark, state, candidates
+            )
+            .filter(_predicate_expr(where))
+            .localCheckpoint()  # one scan feeds the guard, the DV, the images
+        )
+        if matched.isEmpty():
+            return rv  # predicate matched nothing live: no-op, no commit
         dvs = self._build_dv(
             spark, state, candidates, matched.select("__base", "__pos")
         )
-        if dvs is None:
-            return rv  # predicate matched nothing
         updated = matched.select(
             *[
                 set_exprs[f.name].cast(f.dataType).alias(f.name)
@@ -747,11 +769,21 @@ class TxnLogTable:
                 adds, [], "merge", source.schema.json(), app_txn_id, rv, stats
             )
         key_set = source.select(*keys).distinct()
-        matched = self._live(
-            self._tagged_scan(spark, schema, scan_files), spark, state, scan_files
-        ).join(F.broadcast(key_set), list(keys), "left_semi")
-        dvs = self._build_dv(
-            spark, state, scan_files, matched.select("__base", "__pos")
+        matched = (
+            self._live(
+                self._tagged_scan(spark, schema, scan_files), spark, state, scan_files
+            )
+            .join(F.broadcast(key_set), list(keys), "left_semi")
+            .localCheckpoint()  # one scan feeds the guard, the DV, the merge
+        )
+        # No live match → pure insert: don't publish a sidecar that merely
+        # re-vectors the candidates' existing positions.
+        dvs = (
+            None
+            if matched.isEmpty()
+            else self._build_dv(
+                spark, state, scan_files, matched.select("__base", "__pos")
+            )
         )
         affected = (
             matched.drop("__base", "__pos")
@@ -1204,7 +1236,12 @@ class TxnLogTable:
             "restore",  # rolling back over a concurrent write would drop it
             "clone",  # re-cloning replaces the destination's file set
         )
-        if schema_json is not None and operation in ("append", "merge", "replace_where"):
+        if schema_json is not None and operation in (
+            "append",
+            "merge",
+            "merge_mor",
+            "replace_where",
+        ):
             # Evolution guard (M4 discipline): appending may ADD nullable
             # columns (old files backfill NULL on read) but never retype or
             # drop one — the as-of read applies the LATEST schema to EVERY
@@ -1229,8 +1266,14 @@ class TxnLogTable:
                             if iv > read_version
                         )
                         # a concurrent DV changes row content without
-                        # touching the file set — equally invalidating
-                        if c.get("adds") or c.get("removes") or c.get("dvs")
+                        # touching the file set, and a concurrent
+                        # constraint change was neither seen by this
+                        # commit's validation nor validated against its
+                        # rows — both equally invalidating
+                        if c.get("adds")
+                        or c.get("removes")
+                        or c.get("dvs")
+                        or c.get("constraints") is not None
                     ]
                     if intervening:
                         raise CommitConflict(

@@ -317,3 +317,48 @@ def test_streaming_cdc_upserts_through_mor_merge(spark, tmp_path):
     t.optimize(spark, target_files=1, cluster_by=("k",))
     d = t.detail()
     assert d["num_dv_files"] == 0 and d["num_files"] == 1 and d["num_rows"] == 41
+
+
+def test_review_fixes_schema_guard_noop_deletes_and_conflicts(spark, tmp_path):
+    """Regression pins for the review findings: (1) a MOR merge cannot
+    silently retype a column; (2) a delete matching only already-vectored
+    positions publishes NO commit; (3) constraint-only commits are visible
+    to concurrent key-resolving writers."""
+    from telecom_dataengineering_pipeline_spark.sources.txnlog import (
+        CommitConflict,
+    )
+
+    t = _table(spark, tmp_path / "t", n_files=1)
+    # (2) re-deleting the same key is a version no-op.
+    t.delete_where_mor(spark, [("k", "=", 5)])
+    v = t.version()
+    assert t.delete_where_mor(spark, [("k", "=", 5)]) == v
+    assert t.version() == v
+    # (1) schema evolution guard covers merge_mor: retyping v long→double
+    # (a coercion the union would silently perform) must raise, exactly
+    # like the COW merge path.
+    bad = spark.createDataFrame([(1, 1.5)], "k long, v double")
+    with pytest.raises(ValueError):
+        t.merge_keep_latest_mor(spark, bad, keys=("k",), order_by=[F.col("v").desc()])
+    # (3) a constraint added after a merge's snapshot conflicts the merge.
+    rv = t.version()
+    t.add_constraint(spark, "v_nonneg", "v >= 0")
+    with pytest.raises(CommitConflict):
+        t.commit(adds=[], removes=[], operation="merge", read_version=rv)
+
+
+def test_bloom_probe_abstains_on_type_mismatch(spark, tmp_path):
+    """A float/bool probe against an int-built bloom must NOT prune (it
+    would hash differently and 'prove' absence of present keys)."""
+    from telecom_dataengineering_pipeline_spark.sources.txnlog import TxnLogTable
+
+    t = TxnLogTable(str(tmp_path / "t"), stat_cols=("k",), bloom_cols=("k",))
+    df = spark.range(0, 60).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    t.create_or_replace(df.repartition(3, "k"))
+    # int probe: bloom prunes to the holding file; float probe: abstains
+    # (all in-range files kept) but the residual filter still matches.
+    assert t.scan_file_count(where=[("k", "=", 57)]) == 1
+    assert t.scan_file_count(where=[("k", "=", 57.0)]) == 3
+    assert t.read(spark, where=[("k", "=", 57.0)]).count() == 1
+    with pytest.raises(ValueError):
+        TxnLogTable(str(tmp_path / "t2"), bloom_cols=("k",), bloom_m_bits=4000)
