@@ -322,3 +322,99 @@ def test_snapshot_diff_matches_dict_compare(spark, old, new):
         elif old[k] != new[k]:
             want[k] = "changed"
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Txnlog DML model check: random sequences over the FULL DML family (COW +
+# MOR + optimize + restore) must read back exactly what a plain dict model
+# says, after every single operation — the strongest correctness artifact
+# for the table format's interacting features (vectors accumulating over
+# files, rewrites materializing them, restore rolling them back).
+# ---------------------------------------------------------------------------
+
+_dml_op = st.one_of(
+    st.tuples(st.just("append"), st.lists(st.tuples(st.integers(0, 9), _val), min_size=1, max_size=4)),
+    st.tuples(st.just("delete_mor"), st.integers(0, 9)),
+    st.tuples(st.just("delete_cow"), st.integers(0, 9)),
+    st.tuples(st.just("update_mor"), st.integers(0, 9), st.integers(1, 5)),
+    st.tuples(st.just("merge_mor"), st.lists(st.tuples(st.integers(0, 9), _val), min_size=1, max_size=3)),
+    st.tuples(st.just("optimize")),
+    st.tuples(st.just("restore"), st.integers(1, 3)),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_dml_op, min_size=1, max_size=6))
+def test_txnlog_dml_sequences_match_dict_model(spark, tmp_path_factory, ops):
+    from telecom_dataengineering_pipeline_spark.sources.txnlog import TxnLogTable
+
+    t = TxnLogTable(str(tmp_path_factory.mktemp("dmlseq") / "t"), stat_cols=("k",))
+    model = {k: 0 for k in range(5)}
+    t.create_or_replace(
+        spark.createDataFrame(sorted(model.items()), "k long, v long").coalesce(2)
+    )
+    history = {t.version(): dict(model)}
+
+    def check():
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert got == model
+
+    for op in ops:
+        kind = op[0]
+        if kind == "append":
+            fresh = [(k, v) for k, v in op[1] if k not in model]
+            # de-dup within the batch too (keys stay unique by construction)
+            fresh = list({k: (k, v) for k, v in fresh}.values())
+            if fresh:
+                t.append(spark.createDataFrame(fresh, "k long, v long"))
+                model.update(dict(fresh))
+            else:
+                continue  # no commit happened
+        elif kind == "delete_mor":
+            v0 = t.version()
+            t.delete_where_mor(spark, [("k", "=", op[1])])
+            model.pop(op[1], None)
+            if t.version() == v0:
+                check()
+                continue  # no-op delete: nothing recorded in history
+        elif kind == "delete_cow":
+            v0 = t.version()
+            t.delete_where(spark, [("k", "=", op[1])])
+            model.pop(op[1], None)
+            if t.version() == v0:
+                check()
+                continue
+        elif kind == "update_mor":
+            v0 = t.version()
+            t.update_where_mor(
+                spark, [("k", "=", op[1])], {"v": F.col("v") + op[2]}
+            )
+            if op[1] in model:
+                model[op[1]] += op[2]
+            if t.version() == v0:
+                check()
+                continue
+        elif kind == "merge_mor":
+            src = list({k: (k, v) for k, v in op[1]}.values())
+            t.merge_keep_latest_mor(
+                spark,
+                spark.createDataFrame(src, "k long, v long"),
+                keys=("k",),
+                order_by=[F.col("v").desc()],
+            )
+            for k, v in src:
+                # keep-latest by v desc with k-unique target: winner is max
+                model[k] = max(model.get(k, v), v)
+        elif kind == "optimize":
+            t.optimize(spark, target_files=1)
+        elif kind == "restore":
+            candidates = sorted(history)
+            target = candidates[max(0, len(candidates) - 1 - op[1])]
+            t.restore(target)
+            model = dict(history[target])
+        history[t.version()] = dict(model)
+        check()
