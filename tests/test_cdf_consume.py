@@ -1,0 +1,84 @@
+"""Resumable change-feed consumption (streaming/cdf_consume.py): the
+poll/ack cursor over table_changes, crash-replay at-least-once delivery,
+and the exactly-once materialized-replica loop."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from telecom_dataengineering_pipeline_spark.sources.txnlog import TxnLogTable
+from telecom_dataengineering_pipeline_spark.streaming.cdf_consume import (
+    ChangeFeedCursor,
+)
+
+
+def _src(spark, path, rows):
+    t = TxnLogTable(str(path), stat_cols=("k",))
+    t.create_or_replace(spark.createDataFrame(rows, "k long, v long").coalesce(1))
+    return t
+
+
+def test_poll_ack_advances_and_crash_replays_same_batch(spark, tmp_path):
+    t = _src(spark, tmp_path / "src", [(1, 10), (2, 20)])
+    cur = ChangeFeedCursor(t, str(tmp_path / "cursor.json"))
+    assert cur.poll(spark) is None  # caught up at creation
+    t.append(spark.createDataFrame([(3, 30)], "k long, v long"))
+    b1 = cur.poll(spark)
+    rows = sorted((r["_change_type"], r["k"]) for r in b1.changes.collect())
+    assert rows == [("insert", 3)]
+    # Crash before ack: the SAME batch (same token) comes back.
+    b1_again = cur.poll(spark)
+    assert b1_again.app_txn_id == b1.app_txn_id
+    assert (b1_again.from_version, b1_again.to_version) == (
+        b1.from_version,
+        b1.to_version,
+    )
+    cur.ack(b1)
+    assert cur.poll(spark) is None
+    # Two commits between polls coalesce into one batch; MOR deletes
+    # surface as row-level delete images through the feed.
+    t.delete_where_mor(spark, [("k", "=", 1)])
+    t.append(spark.createDataFrame([(4, 40)], "k long, v long"))
+    b2 = cur.poll(spark)
+    rows = sorted((r["_change_type"], r["k"]) for r in b2.changes.collect())
+    assert rows == [("delete", 1), ("insert", 4)]
+    # Acking a stale token is refused (would skip the gap).
+    with pytest.raises(ValueError):
+        cur.ack(b1)
+    cur.ack(b2)
+    # A fresh cursor object on the same path resumes durably.
+    cur2 = ChangeFeedCursor(t, str(tmp_path / "cursor.json"))
+    assert cur2.poll(spark) is None
+
+
+def test_apply_to_materializes_replica_exactly_once(spark, tmp_path):
+    src = _src(spark, tmp_path / "src", [(1, 10), (2, 20), (3, 30)])
+    sink = TxnLogTable(str(tmp_path / "sink"), stat_cols=("k",))
+    cur = ChangeFeedCursor(src, str(tmp_path / "c.json"), start_version=-1)
+    # Bootstrap from history start, then live changes: an update (merge)
+    # and a MOR delete.
+    src.merge_keep_latest(
+        spark,
+        spark.createDataFrame([(2, 999)], "k long, v long"),
+        keys=("k",),
+        order_by=[F.col("v").desc()],
+    )
+    src.delete_where_mor(spark, [("k", "=", 3)])
+    n = cur.apply_to(spark, sink, keys=("k",))
+    assert n >= 1
+    got = {r["k"]: r["v"] for r in sink.read(spark).drop("_cdf_v").collect()}
+    assert got == {1: 10, 2: 999}
+    # Replay resilience: rewind the cursor file to simulate an ack lost
+    # AFTER the sink commits — reapplying the same batch must no-op
+    # (txn-id dedup), leaving the replica identical.
+    import json
+
+    with open(tmp_path / "c.json", "w") as f:
+        json.dump({"version": -1}, f)
+    sink_v = sink.version()
+    cur3 = ChangeFeedCursor(src, str(tmp_path / "c.json"))
+    cur3.apply_to(spark, sink, keys=("k",))
+    got2 = {r["k"]: r["v"] for r in sink.read(spark).drop("_cdf_v").collect()}
+    assert got2 == got
+    assert sink.version() == sink_v  # every replayed commit deduped
