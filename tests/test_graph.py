@@ -108,3 +108,16 @@ def test_label_propagation_two_communities(spark):
     lone = _und_edges(spark, [("x", "y")])
     rl = {x["node"]: x["label"] for x in label_propagation(lone, iters=3).collect()}
     assert rl == {"x": "x", "y": "x"}  # pair collapses to min label
+
+
+def test_triangle_closure_strategies_agree(spark):
+    from telecom_dataengineering_pipeline_spark.operators.graph import triangle_counts
+
+    # K4 plus a pendant: both closure strategies (broadcast map-side probe
+    # vs shuffled semi join for edge lists too big to broadcast) must
+    # produce identical exact counts.
+    g = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+    e = _und_edges(spark, g)
+    bc = sorted(map(tuple, triangle_counts(e, closure_strategy="broadcast").collect()))
+    sh = sorted(map(tuple, triangle_counts(e, closure_strategy="shuffle").collect()))
+    assert bc == sh == [("a", 3), ("b", 3), ("c", 3), ("d", 3)]
