@@ -362,3 +362,20 @@ def test_bloom_probe_abstains_on_type_mismatch(spark, tmp_path):
     assert t.read(spark, where=[("k", "=", 57.0)]).count() == 1
     with pytest.raises(ValueError):
         TxnLogTable(str(tmp_path / "t2"), bloom_cols=("k",), bloom_m_bits=4000)
+
+
+def test_mor_read_plan_is_broadcast_anti_no_data_shuffle(spark, tmp_path):
+    """The DV read is a direct parquet scan plus ONE broadcast anti-join
+    on (file basename, row index): the data side must never hash-shuffle
+    just to subtract deleted positions, and a table with no vectors must
+    not pay the join at all."""
+    import re
+
+    t = _table(spark, tmp_path / "t")
+    plain = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plain  # vector-free read: no anti-join inserted
+    t.delete_where_mor(spark, [("k", "<", 5)])
+    plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+    assert "row_index" in plan  # identity comes from _metadata, not a window
