@@ -73,7 +73,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from ..operators.merge import merge_upsert
 from .table_format import TableSink
@@ -297,6 +297,15 @@ class TxnLogTable:
             "stats": {},
             "dvs": {},
             "constraints": {},
+            # Column mapping (Delta column-mapping mode): logical name →
+            # PHYSICAL name as stored in parquet. Physical names never
+            # change once written, so RENAME is a metadata edit and every
+            # historical file stays readable under any later mapping.
+            # Identity entries are omitted. "dropped" tombstones physical
+            # names of dropped columns so a later same-named add can't
+            # resurrect old data out of pre-drop files.
+            "colmap": {},
+            "dropped": [],
             "schema": None,
             "txn_ids": set(),
         }
@@ -325,6 +334,10 @@ class TxnLogTable:
         # CHECK constraints: a commit carrying the field REPLACES the set.
         if c.get("constraints") is not None:
             state["constraints"] = dict(c["constraints"])
+        if c.get("colmap") is not None:
+            state["colmap"] = dict(c["colmap"])
+        if c.get("dropped") is not None:
+            state["dropped"] = list(c["dropped"])
         if c.get("app_txn_id") is not None:
             state["txn_ids"].add(c["app_txn_id"])
 
@@ -355,6 +368,10 @@ class TxnLogTable:
                 state["txn_ids"].add(r["app_txn_id"])
             elif kind == "constraint":
                 state["constraints"][r["path"]] = r["sql"]
+            elif kind == "colmap":
+                state["colmap"][r["path"]] = r["physical"]
+            elif kind == "dropped":
+                state["dropped"].append(r["physical"])
             elif kind == "schema":
                 state["schema"] = r["schema_json"]
         for r in sorted(adds, key=lambda r: r["ord"]):
@@ -398,6 +415,13 @@ class TxnLogTable:
             {"kind": "constraint", "path": n, "sql": s}
             for n, s in sorted(state["constraints"].items())
         )
+        rows.extend(
+            {"kind": "colmap", "path": lg, "physical": ph}
+            for lg, ph in sorted(state["colmap"].items())
+        )
+        rows.extend(
+            {"kind": "dropped", "physical": ph} for ph in sorted(state["dropped"])
+        )
         schema = pa.schema(
             [
                 ("kind", pa.string()),
@@ -406,6 +430,7 @@ class TxnLogTable:
                 ("stats", pa.string()),
                 ("dv", pa.string()),
                 ("sql", pa.string()),
+                ("physical", pa.string()),
                 ("app_txn_id", pa.string()),
                 ("schema_json", pa.string()),
             ]
@@ -575,14 +600,18 @@ class TxnLogTable:
         )
         if schema is None:
             raise ValueError(f"no such table (empty log): {self.path}")
-        candidates = _skip_by_stats(files, state["stats"], where)
+        candidates = _skip_by_stats(
+            files, state["stats"], self._where_physical(state, where)
+        )
         if not candidates:
             return rv  # provably nothing to delete
         # Positions come from LIVE rows only: a predicate that matches only
         # already-vectored positions is a no-op and must not publish a
         # spurious commit (or churn a duplicate sidecar).
         hits = (
-            self._live(self._tagged_scan(spark, schema, candidates), spark, state, candidates)
+            self._live(
+                self._tagged_scan(spark, state, schema, candidates), spark, state, candidates
+            )
             .filter(_predicate_expr(where))
             .select("__base", "__pos")
             .localCheckpoint()  # one scan feeds the no-op check + the sidecar
@@ -601,22 +630,58 @@ class TxnLogTable:
             dvs=dvs,
         )
 
-    def _tagged_scan(
-        self, spark: SparkSession, schema: StructType, files: Sequence[str]
-    ) -> DataFrame:
-        """Direct scan of ``files`` with the row-identity columns
-        ``__base``/``__pos`` materialized up front — they must be captured
-        on the scan itself, before any join makes ``_metadata``
-        unresolvable."""
-        return spark.read.schema(schema).parquet(
-            *[f if os.path.isabs(f) else os.path.join(self.path, f) for f in files]
-        ).select(
-            "*",
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
-                "__base"
-            ),
-            F.col("_metadata.row_index").alias("__pos"),
+    @staticmethod
+    def _physical_schema(state: dict, schema: StructType) -> StructType:
+        """The on-parquet shape of the logical ``schema`` under the
+        state's column mapping (identity when no column was ever
+        renamed). Physical names are stable across renames, so one
+        physical schema reads files written under ANY historical logical
+        naming."""
+        cm = state["colmap"]
+        return StructType(
+            [
+                StructField(cm.get(f.name, f.name), f.dataType, f.nullable, f.metadata)
+                for f in schema.fields
+            ]
         )
+
+    def _scan_logical(
+        self,
+        spark: SparkSession,
+        state: dict,
+        schema: StructType,
+        files: Sequence[str],
+        tagged: bool = False,
+    ) -> DataFrame:
+        """Direct scan of ``files`` under the PHYSICAL schema, projected
+        back to logical column names. ``tagged`` additionally materializes
+        the row-identity columns ``__base``/``__pos`` — captured on the
+        scan itself, before any join makes ``_metadata`` unresolvable."""
+        cm = state["colmap"]
+        df = spark.read.schema(self._physical_schema(state, schema)).parquet(
+            *[f if os.path.isabs(f) else os.path.join(self.path, f) for f in files]
+        )
+        cols = [F.col(cm.get(f.name, f.name)).alias(f.name) for f in schema.fields]
+        if tagged:
+            cols += [
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                    "__base"
+                ),
+                F.col("_metadata.row_index").alias("__pos"),
+            ]
+        return df.select(*cols)
+
+    def _tagged_scan(
+        self, spark: SparkSession, state: dict, schema: StructType, files: Sequence[str]
+    ) -> DataFrame:
+        return self._scan_logical(spark, state, schema, files, tagged=True)
+
+    @staticmethod
+    def _where_physical(state: dict, where: Sequence[tuple]) -> list[tuple]:
+        """Predicate triples translated to physical column names — the key
+        space per-file stats (and blooms) are recorded under."""
+        cm = state["colmap"]
+        return [(cm.get(c, c), op, v) for c, op, v in where]
 
     def _live(
         self, tagged: DataFrame, spark: SparkSession, state: dict, files: Sequence[str]
@@ -694,12 +759,14 @@ class TxnLogTable:
         )
         if schema is None:
             raise ValueError(f"no such table (empty log): {self.path}")
-        candidates = _skip_by_stats(list(state["active"]), state["stats"], where)
+        candidates = _skip_by_stats(
+            list(state["active"]), state["stats"], self._where_physical(state, where)
+        )
         if not candidates:
             return rv  # provably nothing to update
         matched = (
             self._live(
-                self._tagged_scan(spark, schema, candidates), spark, state, candidates
+                self._tagged_scan(spark, state, schema, candidates), spark, state, candidates
             )
             .filter(_predicate_expr(where))
             .localCheckpoint()  # one scan feeds the guard, the DV, the images
@@ -718,7 +785,7 @@ class TxnLogTable:
             ]
         )
         self._enforce_constraints(updated, state["constraints"])
-        adds, stats = self._write_data(updated)
+        adds, stats = self._write_data(updated, colmap=state["colmap"])
         return self.commit(
             adds=adds,
             removes=[],
@@ -758,20 +825,20 @@ class TxnLogTable:
         )
         files = list(state["active"])
         if not files:
-            adds, stats = self._write_data(source)
+            adds, stats = self._write_data(source, colmap=state["colmap"])
             return self.commit(
                 adds, [], "merge", source.schema.json(), app_txn_id, rv, stats
             )
-        scan_files = self._prune_by_stats(files, source, keys)
+        scan_files = self._prune_by_stats(files, source, keys, state)
         if not scan_files:
-            adds, stats = self._write_data(source)
+            adds, stats = self._write_data(source, colmap=state["colmap"])
             return self.commit(
                 adds, [], "merge", source.schema.json(), app_txn_id, rv, stats
             )
         key_set = source.select(*keys).distinct()
         matched = (
             self._live(
-                self._tagged_scan(spark, schema, scan_files), spark, state, scan_files
+                self._tagged_scan(spark, state, schema, scan_files), spark, state, scan_files
             )
             .join(F.broadcast(key_set), list(keys), "left_semi")
             .localCheckpoint()  # one scan feeds the guard, the DV, the merge
@@ -793,7 +860,7 @@ class TxnLogTable:
         merged = merge_upsert(
             affected, source, keys=list(keys), order_by=list(order_by)
         )
-        adds, stats = self._write_data(merged)
+        adds, stats = self._write_data(merged, colmap=state["colmap"])
         return self.commit(
             adds=adds,
             removes=[],
@@ -865,13 +932,13 @@ class TxnLogTable:
             raise ValueError(f"no such table (empty log): {self.path}")
         files = list(state["active"])
         if where:
-            files = _skip_by_stats(files, state["stats"], where)
+            files = _skip_by_stats(
+                files, state["stats"], self._where_physical(state, where)
+            )
         if not files:
             df = spark.createDataFrame([], schema)
         else:
-            df = spark.read.schema(schema).parquet(
-                *[os.path.join(self.path, f) for f in files]
-            )
+            df = self._scan_logical(spark, state, schema, files)
             df = self._apply_dvs(df, spark, state["dvs"], files)
         if where:
             df = df.filter(_predicate_expr(where))
@@ -886,7 +953,9 @@ class TxnLogTable:
         state = self._state(version)
         files = list(state["active"])
         if where:
-            files = _skip_by_stats(files, state["stats"], where)
+            files = _skip_by_stats(
+                files, state["stats"], self._where_physical(state, where)
+            )
         return len(files)
 
     def file_manifest(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -993,16 +1062,27 @@ class TxnLogTable:
     # -- write path --------------------------------------------------------
 
     def _write_data(
-        self, df: DataFrame, cluster_by: Sequence[str] = ()
+        self,
+        df: DataFrame,
+        cluster_by: Sequence[str] = (),
+        colmap: dict | None = None,
     ) -> tuple[list[str], dict]:
         """Write a new immutable file set for one commit; returns (relative
         paths, per-file min/max stats for ``stat_cols``). Not visible until
-        a commit references them."""
+        a commit references them. ``df`` arrives with LOGICAL names;
+        ``colmap`` (the writing snapshot's mapping) renames to the stable
+        PHYSICAL names on the way to parquet, so files written before and
+        after a RENAME share one physical shape."""
+        cm = colmap or {}
+        if cm:
+            df = df.select(
+                *[F.col(c).alias(cm.get(c, c)) for c in df.columns]
+            )
         rel_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         out = os.path.join(self.path, rel_dir)
         w = df
         if cluster_by:
-            w = df.repartition(*[F.col(c) for c in cluster_by])
+            w = df.repartition(*[F.col(cm.get(c, c)) for c in cluster_by])
         w.write.mode("overwrite").option("compression", "snappy").parquet(out)
         files = sorted(
             os.path.join(rel_dir, f)
@@ -1021,15 +1101,24 @@ class TxnLogTable:
             for f in files
             if pq.ParquetFile(os.path.join(self.path, f)).metadata.num_rows > 0
         ]
-        return files, self._collect_stats(df, files)
+        return files, self._collect_stats(df, files, cm)
 
-    def _collect_stats(self, df: DataFrame, files: list[str]) -> dict:
+    def _collect_stats(
+        self, df: DataFrame, files: list[str], colmap: dict | None = None
+    ) -> dict:
         """Per-file min/max of ``stat_cols`` over freshly-written files: one
         file-grouped aggregate (rows never leave executors; |files| result
         rows). Only JSON-clean scalar bounds are recorded — anything else
-        simply leaves the file unprunable (safe)."""
-        cols = [c for c in self.stat_cols if c in df.columns]
-        bcols = [c for c in self.bloom_cols if c in df.columns]
+        simply leaves the file unprunable (safe). ``df`` and the recorded
+        stat keys are PHYSICAL (``colmap`` translates the user-facing
+        ``stat_cols``); read-side predicates translate the same way."""
+        cm = colmap or {}
+        cols = [
+            cm.get(c, c) for c in self.stat_cols if cm.get(c, c) in df.columns
+        ]
+        bcols = [
+            cm.get(c, c) for c in self.bloom_cols if cm.get(c, c) in df.columns
+        ]
         if not cols and not bcols:
             return {}
         spark = df.sparkSession
@@ -1128,17 +1217,25 @@ class TxnLogTable:
         return self._state(version)["stats"]
 
     def _prune_by_stats(
-        self, files: list[str], source: DataFrame, keys: Sequence[str]
+        self,
+        files: list[str],
+        source: DataFrame,
+        keys: Sequence[str],
+        state: dict | None = None,
     ) -> list[str]:
         """Files that COULD contain a source key: keep a file unless some
         stat key's recorded range is disjoint from the source's range. The
         source bounds are one scalar aggregate (a legitimate driver fetch);
-        files without stats are always kept (safe)."""
+        files without stats are always kept (safe). ``keys`` are logical;
+        stats are recorded under physical names, so lookups go through the
+        state's column mapping."""
         all_stats = self._file_stats()
+        cm = (state or {}).get("colmap") or {}
+        phys = {k: cm.get(k, k) for k in keys}
         stat_keys = [
             k
             for k in keys
-            if any(k in (all_stats.get(f) or {}) for f in files)
+            if any(phys[k] in (all_stats.get(f) or {}) for f in files)
         ]
         if not stat_keys:
             return files
@@ -1159,9 +1256,9 @@ class TxnLogTable:
             fs = all_stats.get(f) or {}
             disjoint = False
             for k in stat_keys:
-                if k not in fs:
+                if phys[k] not in fs:
                     continue
-                lo, hi = fs[k]
+                lo, hi = fs[phys[k]]
                 s_lo, s_hi = row[f"_lo_{k}"], row[f"_hi_{k}"]
                 if hi < s_lo or lo > s_hi:
                     disjoint = True
@@ -1178,6 +1275,20 @@ class TxnLogTable:
             f.name: f
             for f in StructType.fromJson(json.loads(new_json)).fields
         }
+        # Resurrection guard: a column ADDED by evolution writes its name
+        # as the physical parquet column; if that physical name was ever
+        # DROPPED (its bytes still live in pre-drop files), reads would
+        # surface the old data as the "new" column. Tombstones block it.
+        state = self._state()
+        cur_names = {f.name for f in cur.fields}
+        for name in new_fields:
+            if name not in cur_names and name in set(state["dropped"]):
+                raise ValueError(
+                    f"column name {name!r} was previously dropped and its "
+                    "data persists in historical files; adding it back "
+                    "would resurrect old values — pick a new name or "
+                    "rewrite via create_or_replace"
+                )
         for f in cur.fields:
             nf = new_fields.get(f.name)
             if nf is None:
@@ -1209,6 +1320,8 @@ class TxnLogTable:
         stats: dict | None = None,
         dvs: dict | None = None,
         constraints: dict | None = None,
+        colmap: dict | None = None,
+        dropped: list | None = None,
     ) -> int:
         """Publish one atomic commit; returns the committed version.
 
@@ -1236,20 +1349,26 @@ class TxnLogTable:
             "restore",  # rolling back over a concurrent write would drop it
             "clone",  # re-cloning replaces the destination's file set
         )
-        if schema_json is not None and operation in (
+        evolving = schema_json is not None and operation in (
             "append",
             "merge",
             "merge_mor",
             "replace_where",
-        ):
-            # Evolution guard (M4 discipline): appending may ADD nullable
-            # columns (old files backfill NULL on read) but never retype or
-            # drop one — the as-of read applies the LATEST schema to EVERY
-            # active file, so an incompatible change would corrupt or brick
-            # reads of data committed under the old shape. Full rewrites go
-            # through create_or_replace, which replaces the schema freely.
-            self._check_schema_evolution(schema_json)
+        )
         while True:
+            if evolving:
+                # Evolution guard (M4 discipline): appending may ADD
+                # nullable columns (old files backfill NULL on read) but
+                # never retype or drop one — the as-of read applies the
+                # LATEST schema to EVERY active file, so an incompatible
+                # change would corrupt or brick reads of data committed
+                # under the old shape. Full rewrites go through
+                # create_or_replace, which replaces the schema freely.
+                # INSIDE the retry loop: a rename/drop landing between this
+                # writer's snapshot and its os.link must re-trip the guard
+                # on retry, or the stale logical schema would silently undo
+                # the rename.
+                self._check_schema_evolution(schema_json)
             if self._txn_seen(app_txn_id):
                 return self.version()  # duplicate delivery: no-op
             v = self.version() + 1
@@ -1317,6 +1436,8 @@ class TxnLogTable:
                 "stats": stats or {},
                 "dvs": dvs or {},
                 "constraints": constraints,  # None = unchanged
+                "colmap": colmap,  # None = unchanged
+                "dropped": dropped,  # None = unchanged
                 "timestamp": time.time_ns() // 1_000_000,
             }
             tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
@@ -1369,6 +1490,86 @@ class TxnLogTable:
             constraints=cons,
         )
 
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN without touching a byte of data (Delta column
+        mapping): the logical schema gets the new name while the mapping
+        keeps pointing at the original PHYSICAL parquet column, which
+        never changes — so every historical file, its per-file stats, its
+        blooms, and its deletion vectors keep working. Metadata-only, one
+        commit. Constraints referencing the old name must be dropped
+        first (their SQL would silently stop binding)."""
+        state = self._state()
+        schema = (
+            StructType.fromJson(json.loads(state["schema"]))
+            if state["schema"]
+            else None
+        )
+        if schema is None:
+            raise ValueError(f"no such table (empty log): {self.path}")
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old!r}")
+        if new in names:
+            raise ValueError(f"column already exists: {new!r}")
+        for cname, sql in state["constraints"].items():
+            if re.search(rf"\b{re.escape(old)}\b", sql):
+                raise ValueError(
+                    f"constraint {cname!r} references column {old!r}; drop "
+                    "it before renaming"
+                )
+        cm = dict(state["colmap"])
+        cm[new] = cm.pop(old, old)
+        new_schema = StructType(
+            [
+                StructField(new if f.name == old else f.name, f.dataType, f.nullable, f.metadata)
+                for f in schema.fields
+            ]
+        )
+        return self.commit(
+            adds=[],
+            removes=[],
+            operation="rename_column",
+            schema_json=new_schema.json(),
+            colmap=cm,
+        )
+
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN without rewriting data: the logical schema loses
+        the field and reads stop selecting its physical column (the bytes
+        stay in historical files — time travel to pre-drop versions still
+        shows them). The physical name is tombstoned so schema evolution
+        can never re-add it and resurrect the old values."""
+        state = self._state()
+        schema = (
+            StructType.fromJson(json.loads(state["schema"]))
+            if state["schema"]
+            else None
+        )
+        if schema is None:
+            raise ValueError(f"no such table (empty log): {self.path}")
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no such column: {name!r}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        for cname, sql in state["constraints"].items():
+            if re.search(rf"\b{re.escape(name)}\b", sql):
+                raise ValueError(
+                    f"constraint {cname!r} references column {name!r}; drop "
+                    "it before dropping the column"
+                )
+        cm = dict(state["colmap"])
+        physical = cm.pop(name, name)
+        new_schema = StructType([f for f in schema.fields if f.name != name])
+        return self.commit(
+            adds=[],
+            removes=[],
+            operation="drop_column",
+            schema_json=new_schema.json(),
+            colmap=cm,
+            dropped=sorted(set(state["dropped"]) | {physical}),
+        )
+
     def drop_constraint(self, name: str) -> int:
         """DROP a CHECK constraint — metadata-only, never conflicts."""
         cons = dict(self._state()["constraints"])
@@ -1404,12 +1605,17 @@ class TxnLogTable:
             app_txn_id=app_txn_id,
             read_version=rv,
             stats=stats,
+            # A full rewrite replaces every file, so the column mapping and
+            # the dropped-name tombstones reset (nothing old to resurrect).
+            colmap={},
+            dropped=[],
         )
 
     def append(self, df: DataFrame, app_txn_id: str | None = None) -> int:
         """Blind append: always retry-safe (no removes to conflict on)."""
-        self._enforce_constraints(df, self._state()["constraints"])
-        adds, stats = self._write_data(df)
+        a_state = self._state()
+        self._enforce_constraints(df, a_state["constraints"])
+        adds, stats = self._write_data(df, colmap=a_state["colmap"])
         return self.commit(
             adds=adds,
             removes=[],
@@ -1440,31 +1646,32 @@ class TxnLogTable:
         if not self.exists():
             return self.create_or_replace(source, app_txn_id=app_txn_id)
         rv = self.version()
+        state = self._state(rv)
         schema = self.snapshot_schema(rv)
-        files = self.snapshot_files(rv)
-        self._enforce_constraints(source, self._state(rv)["constraints"])
+        files = list(state["active"])
+        self._enforce_constraints(source, state["constraints"])
         if not files:
-            adds, stats = self._write_data(source)
+            adds, stats = self._write_data(source, colmap=state["colmap"])
             return self.commit(
                 adds, [], "merge", source.schema.json(), app_txn_id, rv, stats
             )
         # Data skipping: a file whose recorded [min, max] on every stat key
         # is disjoint from the source's key range cannot contain a match —
         # it is excluded from the scan entirely, not just from the rewrite.
-        scan_files = self._prune_by_stats(files, source, keys)
+        scan_files = self._prune_by_stats(files, source, keys, state)
         abs_of = {os.path.join(self.path, f): f for f in scan_files}
         if not abs_of:
-            adds, stats = self._write_data(source)
+            adds, stats = self._write_data(source, colmap=state["colmap"])
             return self.commit(
                 adds, [], "merge", source.schema.json(), app_txn_id, rv, stats
             )
-        state = self._state(rv)
         # _file is captured BEFORE the DV anti-join: input_file_name() only
-        # resolves on the direct scan, not across the join.
+        # resolves on the direct scan, not across the join. (_scan_logical
+        # is a projection over the scan, so both still resolve through it.)
         tgt = self._apply_dvs(
-            spark.read.schema(schema)
-            .parquet(*abs_of)
-            .withColumn("_file", F.input_file_name()),
+            self._scan_logical(spark, state, schema, scan_files).withColumn(
+                "_file", F.input_file_name()
+            ),
             spark,
             state["dvs"],
             scan_files,
@@ -1497,7 +1704,7 @@ class TxnLogTable:
             else spark.createDataFrame([], schema)
         )
         merged = merge_upsert(affected, source, keys=list(keys), order_by=list(order_by))
-        adds, stats = self._write_data(merged)
+        adds, stats = self._write_data(merged, colmap=state["colmap"])
         return self.commit(
             adds=adds,
             removes=hit_rel,
@@ -1531,18 +1738,18 @@ class TxnLogTable:
         )
         if schema is None:
             raise ValueError(f"no such table (empty log): {self.path}")
-        candidates = _skip_by_stats(files, state["stats"], where)
+        candidates = _skip_by_stats(
+            files, state["stats"], self._where_physical(state, where)
+        )
         if not candidates:
             return rv  # provably nothing to delete
         kept_rows = self._apply_dvs(
-            spark.read.schema(schema).parquet(
-                *[os.path.join(self.path, f) for f in candidates]
-            ),
+            self._scan_logical(spark, state, schema, candidates),
             spark,
             state["dvs"],
             candidates,
         ).filter(~_predicate_expr(where))
-        adds, stats = self._write_data(kept_rows)
+        adds, stats = self._write_data(kept_rows, colmap=state["colmap"])
         return self.commit(
             adds=adds,
             removes=candidates,
@@ -1642,6 +1849,11 @@ class TxnLogTable:
             read_version=dest_t.version(),
             stats=stats,
             dvs=dvs,
+            # The clone reads the source's physical files: it needs the
+            # source's column mapping (and keeps its tombstones so the
+            # same resurrection rules apply to writes into the clone).
+            colmap=dict(state["colmap"]),
+            dropped=list(state["dropped"]),
         )
         return dest_t
 
@@ -1679,13 +1891,15 @@ class TxnLogTable:
             else None
         )
         candidates = (
-            _skip_by_stats(files, state["stats"], where) if schema is not None else []
+            _skip_by_stats(
+                files, state["stats"], self._where_physical(state, where)
+            )
+            if schema is not None
+            else []
         )
         if candidates:
             kept = self._apply_dvs(
-                spark.read.schema(schema).parquet(
-                    *[os.path.join(self.path, f) for f in candidates]
-                ),
+                self._scan_logical(spark, state, schema, candidates),
                 spark,
                 state["dvs"],
                 candidates,
@@ -1693,7 +1907,7 @@ class TxnLogTable:
             combined = kept.unionByName(new_rows.select(*kept.columns))
         else:
             combined = new_rows
-        adds, stats = self._write_data(combined)
+        adds, stats = self._write_data(combined, colmap=state["colmap"])
         return self.commit(
             adds=adds,
             removes=candidates,
@@ -1745,9 +1959,10 @@ class TxnLogTable:
         def _read(files: set[str], state: dict) -> DataFrame:
             if not files:
                 return spark.createDataFrame([], schema)
-            df = spark.read.schema(schema).parquet(
-                *[os.path.join(self.path, f) for f in sorted(files)]
-            )
+            # Column mapping: physical names never change, so the AFTER
+            # version's mapping reads files from either side; each side
+            # keeps its own version's deletion vectors.
+            df = self._scan_logical(spark, after_state, schema, sorted(files))
             return self._apply_dvs(df, spark, state["dvs"], sorted(files))
 
         added_rows = _read((after - before) | dv_changed, after_state)
@@ -1800,7 +2015,7 @@ class TxnLogTable:
             df = df.repartitionByRange(target_files, *cols).sortWithinPartitions(*cols)
         else:
             df = df.coalesce(target_files)
-        adds, stats = self._write_data(df)
+        adds, stats = self._write_data(df, colmap=opt_state["colmap"])
         return self.commit(
             adds=adds,
             removes=files,
