@@ -84,7 +84,7 @@ _DV_DIR = "_dv"
 _CHECKPOINT_PTR = "_last_checkpoint"
 
 
-_OPS = ("=", "<", "<=", ">", ">=", "isnull", "isnotnull")
+_OPS = ("=", "in", "<", "<=", ">", ">=", "isnull", "isnotnull")
 
 
 def _bloom_absent(entry: dict, value) -> bool:
@@ -156,6 +156,25 @@ def _skip_by_stats(
                 if bl and _bloom_absent(bl, val):
                     drop = True
                     break
+            if op == "in":
+                vals = [v for v in (val or []) if v is not None]
+                if not vals:
+                    drop = True  # IN () / IN (NULL,...) matches nothing
+                    break
+                bounds = fs.get(col)
+                bl = (fs.get("__bloom") or {}).get(col)
+
+                def _possible(v):
+                    if bl and _bloom_absent(bl, v):
+                        return False
+                    if bounds and bounds[0] is not None and bounds[1] is not None:
+                        return bounds[0] <= v <= bounds[1]
+                    return True
+
+                if not any(_possible(v) for v in vals):
+                    drop = True
+                    break
+                continue
             bounds = fs.get(col)
             if bounds is None or val is None:
                 continue
@@ -181,15 +200,21 @@ def _predicate_expr(where: Sequence[tuple]) -> Column:
     expr = F.lit(True)
     for col, op, val in where:
         c = F.col(col)
-        cond = {
-            "=": c == F.lit(val),
-            "<": c < F.lit(val),
-            "<=": c <= F.lit(val),
-            ">": c > F.lit(val),
-            ">=": c >= F.lit(val),
-            "isnull": c.isNull(),
-            "isnotnull": c.isNotNull(),
-        }[op]
+        if op == "in":
+            # SQL IN semantics: NULL values in the set match nothing; an
+            # empty (or all-NULL) set matches nothing at all.
+            vals = [v for v in (val or []) if v is not None]
+            cond = c.isin(*vals) if vals else F.lit(False)
+        else:
+            cond = {
+                "=": c == F.lit(val),
+                "<": c < F.lit(val),
+                "<=": c <= F.lit(val),
+                ">": c > F.lit(val),
+                ">=": c >= F.lit(val),
+                "isnull": c.isNull(),
+                "isnotnull": c.isNotNull(),
+            }[op]
         expr = expr & cond
     return expr
 
@@ -824,14 +849,19 @@ class TxnLogTable:
             else None
         )
         files = list(state["active"])
+        # Source-side duplicates resolve keep-latest even when no target
+        # file matches (empty-target merge_upsert; see the COW path).
+        src_only = lambda: merge_upsert(  # noqa: E731 - local shorthand
+            source.filter(F.lit(False)), source, keys=list(keys), order_by=list(order_by)
+        )
         if not files:
-            adds, stats = self._write_data(source, colmap=state["colmap"])
+            adds, stats = self._write_data(src_only(), colmap=state["colmap"])
             return self.commit(
                 adds, [], "merge", source.schema.json(), app_txn_id, rv, stats
             )
         scan_files = self._prune_by_stats(files, source, keys, state)
         if not scan_files:
-            adds, stats = self._write_data(source, colmap=state["colmap"])
+            adds, stats = self._write_data(src_only(), colmap=state["colmap"])
             return self.commit(
                 adds, [], "merge", source.schema.json(), app_txn_id, rv, stats
             )
@@ -1075,6 +1105,17 @@ class TxnLogTable:
         after a RENAME share one physical shape."""
         cm = colmap or {}
         if cm:
+            phys_names = [cm.get(c, c) for c in df.columns]
+            dupes = sorted({n for n in phys_names if phys_names.count(n) > 1})
+            if dupes:
+                # Catch this BEFORE Spark's opaque duplicate-column error:
+                # the incoming frame carries a column named after the
+                # physical storage name of a renamed column.
+                raise ValueError(
+                    f"column(s) {dupes} collide with the physical storage "
+                    "name of a renamed column; pick different names or "
+                    "rewrite via create_or_replace"
+                )
             df = df.select(
                 *[F.col(c).alias(cm.get(c, c)) for c in df.columns]
             )
@@ -1268,26 +1309,42 @@ class TxnLogTable:
         return kept
 
     def _check_schema_evolution(self, new_json: str) -> None:
-        cur = self.snapshot_schema()
+        state = self._state()  # ONE reconstruction for schema + colmap + dropped
+        cur = (
+            StructType.fromJson(json.loads(state["schema"]))
+            if state["schema"]
+            else None
+        )
         if cur is None:
             return
         new_fields = {
             f.name: f
             for f in StructType.fromJson(json.loads(new_json)).fields
         }
-        # Resurrection guard: a column ADDED by evolution writes its name
-        # as the physical parquet column; if that physical name was ever
-        # DROPPED (its bytes still live in pre-drop files), reads would
-        # surface the old data as the "new" column. Tombstones block it.
-        state = self._state()
+        # Resurrection / collision guard: a column ADDED by evolution
+        # writes its name as the physical parquet column. If that physical
+        # name was ever DROPPED (bytes still live in pre-drop files), reads
+        # would surface the old data as the "new" column; if it is the
+        # physical name BEHIND a renamed column, the write would produce
+        # two identically-named parquet columns. Both are blocked with a
+        # clear error instead of failing deep inside Spark.
         cur_names = {f.name for f in cur.fields}
+        occupied_phys = set(state["colmap"].values())
         for name in new_fields:
-            if name not in cur_names and name in set(state["dropped"]):
+            if name in cur_names:
+                continue
+            if name in set(state["dropped"]):
                 raise ValueError(
                     f"column name {name!r} was previously dropped and its "
                     "data persists in historical files; adding it back "
                     "would resurrect old values — pick a new name or "
                     "rewrite via create_or_replace"
+                )
+            if name in occupied_phys:
+                raise ValueError(
+                    f"column name {name!r} is the physical storage name of "
+                    "a renamed column; adding it would collide on disk — "
+                    "pick a new name or rewrite via create_or_replace"
                 )
         for f in cur.fields:
             nf = new_fields.get(f.name)
@@ -1345,6 +1402,8 @@ class TxnLogTable:
             "delete_mor",  # DV positions were computed against a snapshot
             "update_mor",
             "set_constraint",  # validation covered only the snapshot read
+            "rename_column",  # wholesale colmap/schema replacement
+            "drop_column",
             "replace_where",
             "restore",  # rolling back over a concurrent write would drop it
             "clone",  # re-cloning replaces the destination's file set
@@ -1393,6 +1452,8 @@ class TxnLogTable:
                         or c.get("removes")
                         or c.get("dvs")
                         or c.get("constraints") is not None
+                        or c.get("colmap") is not None
+                        or c.get("dropped") is not None
                     ]
                     if intervening:
                         raise CommitConflict(
@@ -1498,7 +1559,8 @@ class TxnLogTable:
         blooms, and its deletion vectors keep working. Metadata-only, one
         commit. Constraints referencing the old name must be dropped
         first (their SQL would silently stop binding)."""
-        state = self._state()
+        rv = self.version()
+        state = self._state(rv)
         schema = (
             StructType.fromJson(json.loads(state["schema"]))
             if state["schema"]
@@ -1531,6 +1593,7 @@ class TxnLogTable:
             operation="rename_column",
             schema_json=new_schema.json(),
             colmap=cm,
+            read_version=rv,
         )
 
     def drop_column(self, name: str) -> int:
@@ -1539,7 +1602,8 @@ class TxnLogTable:
         stay in historical files — time travel to pre-drop versions still
         shows them). The physical name is tombstoned so schema evolution
         can never re-add it and resurrect the old values."""
-        state = self._state()
+        rv = self.version()
+        state = self._state(rv)
         schema = (
             StructType.fromJson(json.loads(state["schema"]))
             if state["schema"]
@@ -1568,6 +1632,7 @@ class TxnLogTable:
             schema_json=new_schema.json(),
             colmap=cm,
             dropped=sorted(set(state["dropped"]) | {physical}),
+            read_version=rv,
         )
 
     def drop_constraint(self, name: str) -> int:
@@ -1650,8 +1715,15 @@ class TxnLogTable:
         schema = self.snapshot_schema(rv)
         files = list(state["active"])
         self._enforce_constraints(source, state["constraints"])
+        # Even with no matching target rows, the SOURCE may carry several
+        # rows for one key: resolve them keep-latest before writing (an
+        # empty-target merge_upsert), or a duplicate-keyed source would
+        # land as duplicate table rows.
+        src_only = lambda: merge_upsert(  # noqa: E731 - local shorthand
+            source.filter(F.lit(False)), source, keys=list(keys), order_by=list(order_by)
+        )
         if not files:
-            adds, stats = self._write_data(source, colmap=state["colmap"])
+            adds, stats = self._write_data(src_only(), colmap=state["colmap"])
             return self.commit(
                 adds, [], "merge", source.schema.json(), app_txn_id, rv, stats
             )
@@ -1661,7 +1733,7 @@ class TxnLogTable:
         scan_files = self._prune_by_stats(files, source, keys, state)
         abs_of = {os.path.join(self.path, f): f for f in scan_files}
         if not abs_of:
-            adds, stats = self._write_data(source, colmap=state["colmap"])
+            adds, stats = self._write_data(src_only(), colmap=state["colmap"])
             return self.commit(
                 adds, [], "merge", source.schema.json(), app_txn_id, rv, stats
             )
@@ -1779,7 +1851,11 @@ class TxnLogTable:
             for f in target
             if t_state["dvs"].get(f) != c_state["dvs"].get(f)
         }
-        if target == current and not dv_delta:
+        meta_same = (
+            t_state["colmap"] == c_state["colmap"]
+            and t_state["dropped"] == c_state["dropped"]
+        )
+        if target == current and not dv_delta and meta_same:
             return self.version()  # already there: no-op
         schema = t_state["schema"]
         stats = {f: s for f, s in t_state["stats"].items() if f in target}
@@ -1792,6 +1868,11 @@ class TxnLogTable:
             read_version=self.version(),
             stats=stats,
             dvs=dv_delta,
+            # The column mapping (and its tombstones) are part of the
+            # snapshot being restored: without them the restored logical
+            # schema would resolve to physical names the files don't have.
+            colmap=dict(t_state["colmap"]),
+            dropped=list(t_state["dropped"]),
         )
 
     def clone_shallow(
@@ -1959,10 +2040,35 @@ class TxnLogTable:
         def _read(files: set[str], state: dict) -> DataFrame:
             if not files:
                 return spark.createDataFrame([], schema)
-            # Column mapping: physical names never change, so the AFTER
-            # version's mapping reads files from either side; each side
-            # keeps its own version's deletion vectors.
-            df = self._scan_logical(spark, after_state, schema, sorted(files))
+            # Column mapping: each side's files read under THAT side's
+            # physical schema (the invariant "a version's mapping reads its
+            # own files" — the after mapping is wrong for before-files once
+            # a create_or_replace reset it). Columns then align across the
+            # versions by PHYSICAL name — the stable identity renames
+            # preserve; a physical name absent on this side (column added,
+            # or replaced wholesale) backfills typed NULL, the same
+            # semantics evolution gives a single-version read.
+            side_logical = (
+                StructType.fromJson(json.loads(state["schema"]))
+                if state["schema"]
+                else schema
+            )
+            side_phys = self._physical_schema(state, side_logical)
+            side_phys_names = {f.name for f in side_phys.fields}
+            df = spark.read.schema(side_phys).parquet(
+                *[os.path.join(self.path, f) for f in sorted(files)]
+            )
+            after_cm = after_state["colmap"]
+            cols = []
+            for f in schema.fields:
+                ph = after_cm.get(f.name, f.name)
+                src = (
+                    F.col(ph).cast(f.dataType)
+                    if ph in side_phys_names
+                    else F.lit(None).cast(f.dataType)
+                )
+                cols.append(src.alias(f.name))
+            df = df.select(*cols)
             return self._apply_dvs(df, spark, state["dvs"], sorted(files))
 
         added_rows = _read((after - before) | dv_changed, after_state)

@@ -93,7 +93,11 @@ class ChangeFeedCursor:
         if latest <= last:
             return None
         changes = self.table.table_changes(spark, last, latest)
-        token = f"cdf:{os.path.basename(self.table.path)}:{last}->{latest}"
+        # Token identity = FULL source path: two sources with the same
+        # directory basename feeding one sink must not collide on txn ids
+        # (a collision silently deduplicates the second feed away).
+        src_id = os.path.abspath(self.table.path)
+        token = f"cdf:{src_id}:{last}->{latest}"
         return ChangeBatch(
             changes=changes,
             from_version=last,
@@ -155,12 +159,35 @@ class ChangeFeedCursor:
                     app_txn_id=batch.app_txn_id + ":upsert",
                 )
             del_keys = [r for r in pure_dels.select(*keys).distinct().collect()]
-            for r in del_keys:  # bounded: distinct deleted keys per batch
-                sink.delete_where_mor(
-                    spark,
-                    [(k, "=", r[k]) for k in keys],
-                    app_txn_id=batch.app_txn_id + f":del:{tuple(r)}",
-                )
+            if del_keys and len(keys) == 1:
+                # One IN-predicate delete for the whole batch: one scan,
+                # one commit — not a scan+commit per key. NULL keys use
+                # the isnull predicate ('=' / IN never match NULL and the
+                # delete would silently skip the row).
+                k = keys[0]
+                vals = [r[k] for r in del_keys if r[k] is not None]
+                if vals:
+                    sink.delete_where_mor(
+                        spark,
+                        [(k, "in", vals)],
+                        app_txn_id=batch.app_txn_id + ":del",
+                    )
+                if any(r[k] is None for r in del_keys):
+                    sink.delete_where_mor(
+                        spark,
+                        [(k, "isnull", None)],
+                        app_txn_id=batch.app_txn_id + ":delnull",
+                    )
+            else:
+                for r in del_keys:  # composite keys: per-key conjunction
+                    sink.delete_where_mor(
+                        spark,
+                        [
+                            (k, "isnull", None) if r[k] is None else (k, "=", r[k])
+                            for k in keys
+                        ],
+                        app_txn_id=batch.app_txn_id + f":del:{tuple(r)}",
+                    )
             self.ack(batch)
             applied += 1
         return applied

@@ -82,3 +82,45 @@ def test_apply_to_materializes_replica_exactly_once(spark, tmp_path):
     got2 = {r["k"]: r["v"] for r in sink.read(spark).drop("_cdf_v").collect()}
     assert got2 == got
     assert sink.version() == sink_v  # every replayed commit deduped
+
+
+def test_tokens_distinct_across_same_basename_sources(spark, tmp_path):
+    """Two sources whose directories share a basename must not collide on
+    txn tokens (a collision silently dedupes the second feed away)."""
+    a = _src(spark, tmp_path / "team_a" / "events", [(1, 10)])
+    b = _src(spark, tmp_path / "team_b" / "events", [(2, 20)])
+    ca = ChangeFeedCursor(a, str(tmp_path / "ca.json"), start_version=-1)
+    cb = ChangeFeedCursor(b, str(tmp_path / "cb.json"), start_version=-1)
+    ba, bb = ca.poll(spark), cb.poll(spark)
+    assert ba.app_txn_id != bb.app_txn_id
+    sink = TxnLogTable(str(tmp_path / "sink"))
+    ca.apply_to(spark, sink, keys=("k",))
+    cb.apply_to(spark, sink, keys=("k",))
+    got = {r["k"]: r["v"] for r in sink.read(spark).drop("_cdf_v").collect()}
+    assert got == {1: 10, 2: 20}  # second feed NOT deduped away
+
+
+def test_apply_to_batched_deletes_and_null_keys(spark, tmp_path):
+    """A batch's deletes apply as ONE IN-predicate commit (plus one for
+    NULL keys, which '='/IN can never match) — not a commit per key."""
+    src = TxnLogTable(str(tmp_path / "src"))
+    rows = [(i, i * 10) for i in range(8)] + [(None, 99)]
+    src.create_or_replace(
+        spark.createDataFrame(rows, "k long, v long").coalesce(1)
+    )
+    sink = TxnLogTable(str(tmp_path / "sink"))
+    cur = ChangeFeedCursor(src, str(tmp_path / "c.json"), start_version=-1)
+    cur.apply_to(spark, sink, keys=("k",))
+    src.delete_where(spark, [("k", "in", [1, 3, 5])])
+    # MOR delete of the NULL-keyed row via isnull (its own real scenario).
+    src.delete_where_mor(spark, [("k", "isnull", None)])
+    v0 = sink.version()
+    cur.apply_to(spark, sink, keys=("k",))
+    got = sorted(
+        r["k"] for r in sink.read(spark).collect() if r["k"] is not None
+    )
+    assert got == [0, 2, 4, 6, 7]
+    assert all(r["k"] is not None for r in sink.read(spark).collect())
+    # delete side cost: at most 2 delete commits (+1 merge batch bookkeeping)
+    ops = [h["operation"] for h in sink.history() if h["version"] > v0]
+    assert ops.count("delete_mor") <= 2

@@ -111,3 +111,50 @@ def test_mapping_survives_checkpoint_and_clone(spark, tmp_path):
     clone = t.clone_shallow(str(tmp_path / "dst"))
     assert clone.read(spark).columns == ["k", "value"]
     assert clone.read(spark).count() == 4
+
+
+def test_restore_rolls_mapping_back_and_collision_guard(spark, tmp_path):
+    """Second-review regression pins: (1) RESTORE across a rename/drop
+    restores the MAPPING with the schema (else the restored logical name
+    resolves to a physical that no file has and silently reads NULL);
+    (2) evolution cannot add a column whose name is the physical storage
+    name behind a rename; (3) concurrent metadata commits conflict rather
+    than silently stomping each other."""
+    from telecom_dataengineering_pipeline_spark.sources.txnlog import (
+        CommitConflict,
+    )
+
+    t = _table(spark, tmp_path / "t")
+    t.rename_column("v", "w")
+    v_renamed = t.version()
+    t.drop_column("w")
+    t.restore(v_renamed)
+    got = {r["k"]: r["w"] for r in t.read(spark).collect()}
+    assert got[0] == 0 and got[8] == 1  # real values, not a NULL column
+    # (2) appending a new column named after the occupied physical 'v'
+    # must be refused with the guard's error, not a deep Spark failure.
+    with pytest.raises(ValueError, match="physical storage name"):
+        t.append(
+            spark.createDataFrame([(999, 1, 2)], "k long, w long, v long")
+        )
+    # (3) a rename racing another metadata commit conflicts.
+    rv = t.version()
+    t.rename_column("w", "w2")
+    with pytest.raises(CommitConflict):
+        t.commit(
+            adds=[], removes=[], operation="rename_column",
+            schema_json=t.snapshot_schema().json(), colmap={}, read_version=rv,
+        )
+
+
+def test_in_predicate_reads_and_deletes_with_skipping(spark, tmp_path):
+    t = _table(spark, tmp_path / "t")  # 3 range-clustered files over k
+    got = sorted(
+        r["k"] for r in t.read(spark, where=[("k", "in", [3, 41, 59])]).collect()
+    )
+    assert got == [3, 41, 59]
+    # All probe values in one file's range: the other two files skip.
+    assert t.scan_file_count(where=[("k", "in", [1, 5, 9])]) == 1
+    assert t.scan_file_count(where=[("k", "in", [])]) == 0
+    t.delete_where_mor(spark, [("k", "in", [3, 41, 59])])
+    assert t.read(spark).count() == 57
