@@ -418,3 +418,93 @@ def test_txnlog_dml_sequences_match_dict_model(spark, tmp_path_factory, ops):
             model = dict(history[target])
         history[t.version()] = dict(model)
         check()
+
+
+# Extend the DML model with RENAME interleavings: the mapping must stay
+# exact through any combination of vectors, rewrites, and restores. The
+# model tracks the CURRENT logical name of the value column; reads are
+# validated under it after every operation.
+
+_dml_op_cm = st.one_of(
+    _dml_op,
+    st.tuples(st.just("rename")),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_dml_op_cm, min_size=2, max_size=6))
+def test_txnlog_dml_with_renames_matches_dict_model(spark, tmp_path_factory, ops):
+    from telecom_dataengineering_pipeline_spark.sources.txnlog import TxnLogTable
+
+    t = TxnLogTable(str(tmp_path_factory.mktemp("dmlcm") / "t"), stat_cols=("k",))
+    model = {k: 0 for k in range(5)}
+    t.create_or_replace(
+        spark.createDataFrame(sorted(model.items()), "k long, v long").coalesce(2)
+    )
+    vname = "v"
+    history = {t.version(): (dict(model), vname)}
+
+    def check():
+        got = {r["k"]: r[vname] for r in t.read(spark).collect()}
+        assert got == model
+        assert t.read(spark).columns == ["k", vname]
+
+    for op in ops:
+        kind = op[0]
+        if kind == "rename":
+            nxt = "v2" if vname == "v" else "v"
+            t.rename_column(vname, nxt)
+            vname = nxt
+        elif kind == "append":
+            fresh = list({k: (k, v) for k, v in op[1] if k not in model}.values())
+            if not fresh:
+                continue
+            t.append(spark.createDataFrame(fresh, f"k long, {vname} long"))
+            model.update(dict(fresh))
+        elif kind == "delete_mor":
+            v0 = t.version()
+            t.delete_where_mor(spark, [("k", "=", op[1])])
+            model.pop(op[1], None)
+            if t.version() == v0:
+                check()
+                continue
+        elif kind == "delete_cow":
+            v0 = t.version()
+            t.delete_where(spark, [("k", "=", op[1])])
+            model.pop(op[1], None)
+            if t.version() == v0:
+                check()
+                continue
+        elif kind == "update_mor":
+            v0 = t.version()
+            t.update_where_mor(
+                spark, [("k", "=", op[1])], {vname: F.col(vname) + op[2]}
+            )
+            if op[1] in model:
+                model[op[1]] += op[2]
+            if t.version() == v0:
+                check()
+                continue
+        elif kind == "merge_mor":
+            src = list({k: (k, v) for k, v in op[1]}.values())
+            t.merge_keep_latest_mor(
+                spark,
+                spark.createDataFrame(src, f"k long, {vname} long"),
+                keys=("k",),
+                order_by=[F.col(vname).desc()],
+            )
+            for k, v in src:
+                model[k] = max(model.get(k, v), v)
+        elif kind == "optimize":
+            t.optimize(spark, target_files=1)
+        elif kind == "restore":
+            candidates = sorted(history)
+            target = candidates[max(0, len(candidates) - 1 - op[1])]
+            t.restore(target)
+            model, vname = dict(history[target][0]), history[target][1]
+        history[t.version()] = (dict(model), vname)
+        check()
