@@ -251,11 +251,15 @@ def psi_drift(
     )
     p = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(1e-6))
     q = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(1e-6))
-    term = (q - p) * F.log(q / p)
+    # Round-then-decimal-sum (9 dp): each log term is a deterministic
+    # double, but a double SUM depends on partition order — the decimal
+    # accumulation is exact and order-independent, so the PSI itself is
+    # reproducible bit-for-bit (and cross-engine comparable).
+    term = F.round((q - p) * F.log(q / p), 9).cast("decimal(28,9)")
     out = (
         cells.crossJoin(F.broadcast(totals))
         .agg(
-            F.round(F.sum(term), 6).alias("psi"),
+            F.round(F.sum(term).cast("double"), 6).alias("psi"),
             F.first("t_ref").alias("n_ref"),
             F.first("t_cur").alias("n_cur"),
         )

@@ -669,3 +669,98 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("triangles").desc(), F.col("node").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Community detection (operators/graph.py::label_propagation) on the part
+# co-purchase graph. Fully deterministic LPA: per round every node adopts
+# the most-frequent neighbor label (ties → smallest label), with a
+# self-vote damping synchronous oscillation — so a fixed iteration count
+# unrolls into CTEs the oracle replays exactly, like the PageRank loop.
+# ---------------------------------------------------------------------------
+
+
+def _lpa_oracle(iters: int = 2) -> str:
+    parts = [
+        """WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sized AS (
+  SELECT l_orderkey FROM baskets GROUP BY 1 HAVING count(*) <= 25
+), pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM baskets a
+  JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey IN (SELECT l_orderkey FROM sized)
+), edges AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+), nodes AS (
+  SELECT DISTINCT u AS node FROM edges
+), l0 AS (SELECT node, node AS label FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"l{i - 1}"
+        parts.append(
+            f""",
+v{i} AS (
+  SELECT n, label, count(*) AS c FROM (
+    SELECT e.u AS n, l.label FROM edges e JOIN {prev} l ON l.node = e.v
+    UNION ALL SELECT node AS n, label FROM {prev}
+  ) GROUP BY 1, 2
+),
+w{i} AS (
+  SELECT n, label FROM (
+    SELECT n, label,
+           row_number() OVER (PARTITION BY n ORDER BY c DESC, label ASC) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+),
+l{i} AS (
+  SELECT nodes.node, coalesce(w{i}.label, nodes.node) AS label
+  FROM nodes LEFT JOIN w{i} ON w{i}.n = nodes.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT label, CAST(count(*) AS BIGINT) AS n_members
+FROM l{iters} GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+@register("lpa_copurchase_communities", oracle=_lpa_oracle(), tags=("LLM", "iterative", "graph"))
+def lpa_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community size distribution after 2 LPA rounds on the co-purchase
+    graph (same capped-basket edge construction as the triangle query).
+    Scale shape per round: one edge⋈label shuffle + one map-side-combined
+    (node, label) count + one per-node argmax; label state is one row per
+    node, never adjacency-sized."""
+    from ..operators.graph import label_propagation
+
+    # Basket-at-a-time pair expansion (one shuffle), same as the triangle
+    # query: collapse each order to its sorted distinct-part array, cap
+    # basket size, expand u<v pairs map-side, DISTINCT the pair stream.
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= 25)
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(parts, (x, i) -> "
+                        "transform(slice(parts, i + 2, size(parts)), "
+                        "y -> struct(x AS u, y AS v)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+    )
+    labels = label_propagation(pairs, iters=2)
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )

@@ -752,3 +752,136 @@ def daily_revenue_wma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_drop",
         "is_spike",
     )
+
+
+# ---------------------------------------------------------------------------
+# PSI drift (quality/monitors.py::psi_drift) through the value gate: the
+# standard model/feature drift score between two windows of events.value.
+# The windows here are a deterministic synthetic A/B split (event_id
+# parity) so the query is reproducible at any SF; production callers pass
+# two time windows. Equal-width buckets come from ONE broadcast 2-value
+# aggregate of the reference; the PSI sum runs round-then-decimal (9 dp)
+# so the double log terms accumulate order-independently in both engines.
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = """
+WITH ref AS (SELECT value AS v FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+cur AS (SELECT value AS v FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+b AS (SELECT CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi FROM ref),
+rbuck AS (
+  SELECT CASE WHEN v < lo THEN -1 WHEN v > hi THEN 10
+              ELSE least(CAST(floor((v - lo) / ((hi - lo) / 10)) AS INTEGER), 9) END AS bucket,
+         CAST(count(*) AS BIGINT) AS n_ref
+  FROM ref CROSS JOIN b GROUP BY 1
+),
+cbuck AS (
+  SELECT CASE WHEN v < lo THEN -1 WHEN v > hi THEN 10
+              ELSE least(CAST(floor((v - lo) / ((hi - lo) / 10)) AS INTEGER), 9) END AS bucket,
+         CAST(count(*) AS BIGINT) AS n_cur
+  FROM cur CROSS JOIN b GROUP BY 1
+),
+cells AS (
+  SELECT coalesce(r.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+  FROM rbuck r FULL OUTER JOIN cbuck c ON r.bucket = c.bucket
+),
+t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref, CAST(sum(n_cur) AS BIGINT) AS t_cur FROM cells),
+terms AS (
+  SELECT CAST(round((q - p) * ln(q / p), 9) AS DECIMAL(28,9)) AS term, t_ref, t_cur
+  FROM (
+    SELECT greatest(CAST(n_ref AS DOUBLE) / t_ref, 1e-6) AS p,
+           greatest(CAST(n_cur AS DOUBLE) / t_cur, 1e-6) AS q,
+           t_ref, t_cur
+    FROM cells CROSS JOIN t
+  )
+),
+agg AS (
+  SELECT round(CAST(sum(term) AS DOUBLE), 6) AS psi,
+         CAST(max(t_ref) AS BIGINT) AS n_ref,
+         CAST(max(t_cur) AS BIGINT) AS n_cur
+  FROM terms
+)
+SELECT psi, n_ref, n_cur,
+       CASE WHEN psi IS NULL OR coalesce(n_ref, 0) = 0 OR coalesce(n_cur, 0) = 0
+                 THEN 'no_reference'
+            WHEN psi < 0.1 THEN 'stable'
+            WHEN psi < 0.25 THEN 'moderate_shift'
+            ELSE 'major_shift' END AS status
+FROM agg
+"""
+
+
+@register("psi_value_drift", oracle=_PSI_ORACLE, tags=("DQ", "A11", "drift"))
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    return psi_drift(ref, cur, "value", n_buckets=10)
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra (llmprep/sketches.py::hll_set_ops): |A|, |B|, |A∪B| by
+# bucketwise register MAX (exact sketch algebra — why shards compose),
+# |A∩B| / Jaccard by inclusion-exclusion. Same engine-neutral register
+# recipe as cardinality_hll_profile, so the whole thing is oracle-exact.
+# ---------------------------------------------------------------------------
+
+
+def _hll_setops_oracle() -> str:
+    from ..llmprep.sketches import hll_const
+
+    c = repr(hll_const(5))
+    est = (
+        f"CASE WHEN ({c} / (z + (32 - cnt) * 268435456)) <= 80.0 AND (32 - cnt) > 0 "
+        f"THEN round(32.0 * ln(32.0 / (32 - cnt)), 4) "
+        f"ELSE round({c} / (z + (32 - cnt) * 268435456), 4) END"
+    )
+    side = (
+        "SELECT CAST(h % 32 AS INTEGER) AS bucket, "
+        "MAX(CASE WHEN h // 32 > 0 THEN 28 - length(bin(h // 32)) ELSE 28 END) AS M "
+        "FROM (SELECT ('0x'||substr(md5('hll_' || CAST(user_id AS VARCHAR)),1,8))::BIGINT AS h "
+        "      FROM events WHERE event_type = '{et}' AND user_id IS NOT NULL) GROUP BY 1"
+    )
+    return f"""
+WITH ra AS ({side.format(et="click")}),
+rb AS ({side.format(et="purchase")}),
+merged AS (
+  SELECT coalesce(ra.bucket, rb.bucket) AS bucket,
+         greatest(coalesce(ra.M, 0), coalesce(rb.M, 0)) AS Mu,
+         ra.M AS Ma, rb.M AS Mb
+  FROM ra FULL OUTER JOIN rb ON ra.bucket = rb.bucket
+),
+ea AS (
+  SELECT coalesce({est}, 0.0) AS est_a FROM (
+    SELECT CAST(sum(1::BIGINT << (28 - Ma)) AS BIGINT) AS z,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM merged WHERE Ma IS NOT NULL)
+),
+eb AS (
+  SELECT coalesce({est}, 0.0) AS est_b FROM (
+    SELECT CAST(sum(1::BIGINT << (28 - Mb)) AS BIGINT) AS z,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM merged WHERE Mb IS NOT NULL)
+),
+eu AS (
+  SELECT coalesce({est}, 0.0) AS est_union FROM (
+    SELECT CAST(sum(1::BIGINT << (28 - Mu)) AS BIGINT) AS z,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM merged)
+)
+SELECT est_a, est_b, est_union,
+       greatest(round(est_a + est_b - est_union, 4), 0.0) AS est_intersection,
+       coalesce(round(greatest(round(est_a + est_b - est_union, 4), 0.0) / est_union, 6), 0.0) AS jaccard_est
+FROM ea CROSS JOIN eb CROSS JOIN eu
+"""
+
+
+@register("hll_set_ops_users", oracle=_hll_setops_oracle(), tags=("A9", "DQ", "sketch"))
+def hll_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.sketches import hll_set_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click")
+    buyers = ev.filter(F.col("event_type") == "purchase")
+    return hll_set_ops(clickers, buyers, "user_id")

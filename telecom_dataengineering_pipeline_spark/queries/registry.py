@@ -55,61 +55,18 @@ REGISTRY: dict[str, QuerySpec] = {}
 # sort after the list in registration order; names listed but not (yet)
 # registered are simply skipped.
 DRIVER_ORDER: list[str] = [
-    # -- round-4 additions: no driver row yet — ALWAYS inside the window.
-    #    Each later r4 registration appended HERE displaces one r1-stale
-    #    name from the 50-entry window (those stay locally oracle-checked).
-    "txnlog_table_changes",
-    "cms_heavy_hitters",
-    "weighted_sample_manifest",
-    "bitext_mining_mutual_nn",
-    "ann_recall_profile",
-    "incremental_matview_sales",
-    "value_quantile_sketch",
-    "bloom_semi_join_stats",
-    "pagerank_purchase_graph",
-    "delete_where_orders_txnlog",
-    "qty_price_correlation",
-    "cardinality_hll_profile",
-    "semantic_dedup_pairs",
-    "orders_snapshot_diff",
-    "text_bigram_logprob",
-    "winsorized_value_stats",
-    "hard_negative_mining",
-    "order_price_deciles",
-    "backfill_replace_where_txnlog",
-    "windowed_counts_stream",
-    "events_key_skew_profile",
-    "fk_integrity_audit",
-    "national_market_share",
-    "ensemble_dedup_verdicts",
-    "spatial_proximity_pairs",
-    "bpe_training_rounds",
-    "volume_shipping_pairs",
-    "product_profit_by_nation",
-    "returned_items_report",
-    "customer_order_counts_dist",
-    "promo_revenue_ratio",
-    "brand_predicate_revenue",
-    "min_cost_supplier_per_part",
-    "prospect_balance_anti",
-    "fuzzy_prefix_matches",
-    "events_gap_fill_ffill",
-    "dedup_containment_pairs",
-    "order_price_positions",
-    "ann_mmr_rerank",
-    "daily_revenue_wma_anomaly",
-    "txnlog_clone_divergence",
-    "stream_dedup_availablenow",
-    "order_priority_semi_counts",
-    "discount_revenue_uplift",
-    "important_part_values",
-    "shipmode_priority_matrix",
-    "supplier_part_variety",
-    "promo_part_shippers",
-    "waiting_supplier_ranking",
-    "triangle_count_copurchase",
-    # -- last driver-checked in ROUND 1 (stalest driver evidence; the
-    #    relational/window/DQ tier VERDICT r3 asked to rotate back in)
+    # -- round-5 additions: no driver row yet — ALWAYS inside the window.
+    #    Each later r5 registration appended HERE displaces one stale name
+    #    from the 50-entry window (those stay locally oracle-checked).
+    "psi_value_drift",
+    "hll_set_ops_users",
+    "lpa_copurchase_communities",
+    "cdf_replica_apply",
+    # -- last driver-checked in ROUND 1 (stalest driver evidence; VERDICT
+    #    r4 item 4: the remaining window slots go to these — 44 names, so
+    #    with few r5 additions the tail spills to the stalest r2 names
+    #    below; with more additions the last r1 names wait one round,
+    #    still locally oracle-checked).
     "latest_event_per_user_type",
     "top_orders_per_segment",
     "asof_join_price_changes",
@@ -154,8 +111,8 @@ DRIVER_ORDER: list[str] = [
     "dq_volume_zscore",
     "dq_freshness_check",
     "worst_status_rollup",
-    # -- last driver-checked in round 2 (outside the 50-window unless the
-    #    r4 block stays small; still locally verified every round)
+    # -- last driver-checked in round 2 (next-stalest tier: enters the
+    #    window only if the r5 block + r1 tier leave room)
     "pii_redaction_stats",
     "duplicate_ngram_coverage",
     "quality_filter_verdicts",
@@ -167,8 +124,8 @@ DRIVER_ORDER: list[str] = [
     "shipping_priority_topk",
     "star_join_enriched_orders",
     "customer_monthly_summary",
-    # -- everything else (fresh round-3 driver rows) sorts after, in
-    #    registration order.
+    # -- everything else (fresh round-3/round-4 driver rows) sorts after,
+    #    in registration order.
 ]
 
 

@@ -589,3 +589,98 @@ def txnlog_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return tagged(src, "source").unionByName(tagged(clone, "clone"))
+
+
+# ---------------------------------------------------------------------------
+# CDC replica through the change-feed consumer (streaming/cdf_consume.py):
+# a source txnlog table takes a create → MOR-merge → MOR-delete → append
+# DML sequence; a ChangeFeedCursor drains the feed batch-by-batch (one
+# poll per committed version) into a replica table via source-wins merge +
+# ONE distributed merge-delete per batch. The replica's final rows must
+# equal the source's final state — which IS plain SQL over orders.
+# ---------------------------------------------------------------------------
+
+_CDC_REPLICA_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(14,4)) AS price,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 3 = 0
+), upd AS (
+  SELECT o_orderkey AS orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.05 AS DECIMAL(3,2)) AS DECIMAL(14,4)) AS price,
+         'U' AS status
+  FROM orders WHERE o_orderkey % 6 = 0
+), merged AS (
+  SELECT b.orderkey,
+         coalesce(u.price, b.price) AS price,
+         coalesce(u.status, b.status) AS status
+  FROM base b LEFT JOIN upd u ON u.orderkey = b.orderkey
+), appended AS (
+  SELECT o_orderkey AS orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(14,4)) AS price,
+         'N' AS status
+  FROM orders WHERE o_orderkey % 3 = 1
+)
+SELECT orderkey, CAST(price AS DOUBLE) AS price, status FROM merged WHERE status <> 'F'
+UNION ALL
+SELECT orderkey, CAST(price AS DOUBLE) AS price, status FROM appended
+"""
+
+
+@register("cdf_replica_apply", oracle=_CDC_REPLICA_ORACLE, tags=("T6", "T7", "S7", "M1"))
+def cdf_replica_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized CDC replica: the reference ships table changes to
+    downstream incrementals via Iceberg changelog + dbt incremental
+    models; here the poll/ack cursor applies row-level images under batch
+    txn ids (exactly-once), with deletes applied as one distributed
+    merge-delete commit per batch — keys never touch the driver."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.txnlog import TxnLogTable
+    from ..streaming.cdf_consume import ChangeFeedCursor
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    base = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("orderkey"),
+        price.cast("decimal(14,4)").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 6 == 0).select(
+        F.col("o_orderkey").alias("orderkey"),
+        (price * F.lit(1.05).cast("decimal(3,2)")).cast("decimal(14,4)").alias("price"),
+        F.lit("U").alias("status"),
+    )
+    extra = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        F.col("o_orderkey").alias("orderkey"),
+        price.cast("decimal(14,4)").alias("price"),
+        F.lit("N").alias("status"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"cdf_replica_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = TxnLogTable(os.path.join(root, "src"), stat_cols=("orderkey",))
+    sink = TxnLogTable(os.path.join(root, "sink"), stat_cols=("orderkey",))
+    src.create_or_replace(base)
+    cur = ChangeFeedCursor(src, os.path.join(root, "cursor.json"), start_version=-1)
+    # Drain after EVERY source commit: each poll is one version, so the
+    # replica applies four distinct batches (bootstrap, update images as
+    # delete+insert pairs, pure deletes, blind inserts) — the cross-batch
+    # source-wins precedence and per-batch delete commits all exercised.
+    cur.apply_to(spark, sink, keys=("orderkey",))
+    src.merge_keep_latest_mor(
+        spark, upd, keys=("orderkey",), order_by=[F.col("status").desc()]
+    )  # 'U' sorts above every base status (F/O/P): the update image wins
+    cur.apply_to(spark, sink, keys=("orderkey",))
+    src.delete_where_mor(spark, [("status", "=", "F")])
+    cur.apply_to(spark, sink, keys=("orderkey",))
+    src.append(extra)
+    cur.apply_to(spark, sink, keys=("orderkey",))
+    return sink.read(spark).select(
+        "orderkey", F.col("price").cast("double").alias("price"), "status"
+    )

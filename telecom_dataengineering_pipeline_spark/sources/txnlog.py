@@ -902,6 +902,96 @@ class TxnLogTable:
             dvs=dvs or {},
         )
 
+    def merge_delete_mor(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        keys: Sequence[str],
+        app_txn_id: str | None = None,
+    ) -> int:
+        """Merge-on-read DELETE BY KEY SET: vector out every live row whose
+        key tuple appears in ``keys_df`` — the WHEN MATCHED THEN DELETE arm
+        of MERGE, standalone. One atomic commit regardless of key count or
+        arity, and the key relation STAYS DISTRIBUTED end to end (contrast
+        ``delete_where_mor``'s predicate form, which would need the keys
+        materialized into an IN literal on the driver) — the CDC-replica
+        delete shape at scale: a polled batch with millions of delete keys
+        is a semi-join, a sidecar write, and one commit.
+
+        NULL-safe key matching (a NULL key in the feed deletes the NULL-key
+        row, as MERGE ON a <=> b would); stats-based pruning runs on the
+        non-NULL key bounds, and files that could hold NULL keys are kept
+        as candidates only when the feed actually carries one.
+        """
+        if self._txn_seen(app_txn_id):
+            return self.version()  # duplicate delivery: no scan, no commit
+        rv = self.version()
+        state = self._state(rv)
+        schema = (
+            StructType.fromJson(json.loads(state["schema"]))
+            if state["schema"]
+            else None
+        )
+        if schema is None:
+            raise ValueError(f"no such table (empty log): {self.path}")
+        files = list(state["active"])
+        if not files:
+            return rv
+        key_set = keys_df.select(*keys).distinct().localCheckpoint()
+        if key_set.isEmpty():
+            return rv  # empty key set: nothing to delete, no commit
+        # Bounded scalar probe: does the feed carry any NULL key at all?
+        null_pred = F.lit(False)
+        for k in keys:
+            null_pred = null_pred | F.col(k).isNull()
+        has_null = bool(key_set.filter(null_pred).limit(1).count())
+        candidates = self._prune_by_stats(
+            files, key_set.na.drop(subset=list(keys)), keys, state
+        )
+        if has_null:
+            # min/max bounds say nothing about NULLs: keep every file whose
+            # recorded null count is nonzero or unknown for some key column.
+            cm = state["colmap"]
+            extra = []
+            for f in files:
+                nulls = (state["stats"].get(f) or {}).get("__nulls") or {}
+                if any(nulls.get(cm.get(k, k), 1) != 0 for k in keys):
+                    extra.append(f)
+            candidates = sorted(set(candidates) | set(extra))
+        if not candidates:
+            return rv  # provably no file holds a matching key
+        live = self._live(
+            self._tagged_scan(spark, state, schema, candidates),
+            spark,
+            state,
+            candidates,
+        )
+        kren = key_set.select(*[F.col(k).alias(f"__k_{k}") for k in keys])
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & live[k].eqNullSafe(F.col(f"__k_{k}"))
+        # No broadcast hint: the key relation is unbounded (a CDC batch can
+        # carry millions of deletes) — AQE broadcasts when it is small and
+        # shuffles when it is not.
+        hits = (
+            live.join(kren, cond, "left_semi")
+            .select("__base", "__pos")
+            .localCheckpoint()  # one scan feeds the no-op check + the sidecar
+        )
+        if hits.isEmpty():
+            return rv  # no live row matches any key: no-op, no commit
+        dvs = self._build_dv(spark, state, candidates, hits)
+        if dvs is None:
+            return rv
+        return self.commit(
+            adds=[],
+            removes=[],
+            operation="delete_mor",
+            app_txn_id=app_txn_id,
+            read_version=rv,
+            dvs=dvs,
+        )
+
     def version_at_timestamp(self, ts_millis: int) -> int:
         """The version a reader at ``ts_millis`` (epoch ms) would have
         seen: the LAST commit whose recorded timestamp is <= the target
@@ -1215,9 +1305,31 @@ class TxnLogTable:
         """Per-file bloom words for ``bcols`` over freshly-written files:
         one file-grouped bit_or aggregate per column (k md5 positions per
         key, the exact ``operators/bloom.py`` layout). Bounded driver
-        fetch: |files| x m/64 word rows — metadata, not data."""
+        fetch: |files| x m/64 word rows — metadata, not data.
+
+        Only INTEGRAL/STRING columns are indexed — structurally, not just
+        by docstring: the probe side (``_bloom_absent``) reproduces
+        Spark's cast-to-string hashing for int/str values only, so a
+        bloom built over e.g. a double column ('57.0') probed with an int
+        ('57') would hash to different positions and falsely "prove"
+        absence — silently wrong results, not a missed optimization.
+        Other-typed columns listed in ``bloom_cols`` are skipped here and
+        fall back to min/max stats + the residual filter."""
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StringType,
+        )
+
         from ..operators.bloom import _position
 
+        indexable = (StringType, ByteType, ShortType, IntegerType, LongType)
+        types = {f.name: f.dataType for f in df.schema.fields}
+        bcols = [c for c in bcols if isinstance(types.get(c), indexable)]
+        if not bcols:
+            return
         m, k = self.bloom_m_bits, self.bloom_k
         scan = spark.read.schema(df.schema).parquet(
             *[os.path.join(self.path, f) for f in files]
@@ -1487,6 +1599,31 @@ class TxnLogTable:
                             "deletion vectors added by a concurrent commit "
                             f"on files this rewrite read: {hit[:3]}"
                         )
+                elif operation in ("append", "drop_constraint"):
+                    # Constraints are replace-semantics metadata: an append
+                    # validated its rows against the constraint set it READ
+                    # — a concurrent ADD CONSTRAINT means those rows were
+                    # never checked against the now-active predicate, so the
+                    # append must not publish past it (Delta fails the txn
+                    # on metadata change). A DROP likewise must not clobber
+                    # a concurrently-replaced set. Both callers catch the
+                    # conflict, re-read, re-validate, and retry — file-set
+                    # changes still never conflict an append.
+                    intervening = [
+                        c
+                        for c in (
+                            self._read_commit(iv)
+                            for iv in self._versions()
+                            if iv > read_version
+                        )
+                        if c.get("constraints") is not None
+                    ]
+                    if intervening:
+                        raise CommitConflict(
+                            f"{len(intervening)} commit(s) changed the "
+                            f"constraint set since version {read_version}; "
+                            "re-validate against the fresh snapshot"
+                        )
             payload = {
                 "version": v,
                 "operation": operation,
@@ -1636,14 +1773,27 @@ class TxnLogTable:
         )
 
     def drop_constraint(self, name: str) -> int:
-        """DROP a CHECK constraint — metadata-only, never conflicts."""
-        cons = dict(self._state()["constraints"])
-        if name not in cons:
-            raise ValueError(f"no such constraint: {name}")
-        del cons[name]
-        return self.commit(
-            adds=[], removes=[], operation="drop_constraint", constraints=cons
-        )
+        """DROP a CHECK constraint — metadata-only, but conflict-checked:
+        the commit carries the full REPLACEMENT constraint set, so
+        publishing it blind would silently clobber a constraint added
+        between the state read and the commit. On conflict, re-read the
+        fresh set and re-apply the drop to it."""
+        while True:
+            rv = self.version()
+            cons = dict(self._state(rv)["constraints"])
+            if name not in cons:
+                raise ValueError(f"no such constraint: {name}")
+            del cons[name]
+            try:
+                return self.commit(
+                    adds=[],
+                    removes=[],
+                    operation="drop_constraint",
+                    constraints=cons,
+                    read_version=rv,
+                )
+            except CommitConflict:
+                continue  # constraint set moved: drop from the fresh one
 
     def constraints(self) -> dict:
         """Active CHECK constraints, name → SQL predicate."""
@@ -1677,18 +1827,33 @@ class TxnLogTable:
         )
 
     def append(self, df: DataFrame, app_txn_id: str | None = None) -> int:
-        """Blind append: always retry-safe (no removes to conflict on)."""
-        a_state = self._state()
-        self._enforce_constraints(df, a_state["constraints"])
-        adds, stats = self._write_data(df, colmap=a_state["colmap"])
-        return self.commit(
-            adds=adds,
-            removes=[],
-            operation="append",
-            schema_json=df.schema.json(),
-            app_txn_id=app_txn_id,
-            stats=stats,
-        )
+        """Blind append: retry-safe against file-set changes (no removes to
+        conflict on), but NOT against constraint changes — rows validated
+        against a pre-read constraint set must never publish past a
+        concurrent ADD CONSTRAINT (set_constraint cannot see not-yet-
+        committed adds, so the append side carries the check). The commit
+        conflicts on intervening constraint commits; this loop re-reads,
+        re-validates the same already-written files, and retries."""
+        adds: list[str] | None = None
+        stats: dict = {}
+        while True:
+            rv = self.version()
+            a_state = self._state(rv)
+            self._enforce_constraints(df, a_state["constraints"])
+            if adds is None:
+                adds, stats = self._write_data(df, colmap=a_state["colmap"])
+            try:
+                return self.commit(
+                    adds=adds,
+                    removes=[],
+                    operation="append",
+                    schema_json=df.schema.json(),
+                    app_txn_id=app_txn_id,
+                    read_version=rv,
+                    stats=stats,
+                )
+            except CommitConflict:
+                continue  # constraints moved: validate against the fresh set
 
     def merge_keep_latest(
         self,
@@ -1854,6 +2019,7 @@ class TxnLogTable:
         meta_same = (
             t_state["colmap"] == c_state["colmap"]
             and t_state["dropped"] == c_state["dropped"]
+            and t_state["constraints"] == c_state["constraints"]
         )
         if target == current and not dv_delta and meta_same:
             return self.version()  # already there: no-op
@@ -1873,6 +2039,13 @@ class TxnLogTable:
             # schema would resolve to physical names the files don't have.
             colmap=dict(t_state["colmap"]),
             dropped=list(t_state["dropped"]),
+            # CHECK constraints restore with the snapshot as well (Delta
+            # RESTORE rolls table metadata back alongside the file set):
+            # keeping the CURRENT set would report a full restore while
+            # re-activating rows that were never validated against it —
+            # the target version's rows are valid under the target's own
+            # constraints by construction.
+            constraints=dict(t_state["constraints"]),
         )
 
     def clone_shallow(

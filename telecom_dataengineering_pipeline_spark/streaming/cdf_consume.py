@@ -148,8 +148,19 @@ class ChangeFeedCursor:
             )
             # Upserts first, then deletes of keys with NO insert image in
             # the same batch (an update is delete+insert of the same key —
-            # the insert wins; a pure delete has no insert image).
-            pure_dels = dels.join(ins.select(*keys).distinct(), list(keys), "left_anti")
+            # the insert wins; a pure delete has no insert image). The
+            # anti-join is NULL-SAFE: an update of a NULL-key row carries
+            # delete+insert images both keyed NULL, and a plain key-list
+            # anti-join would never match them — the delete image would
+            # survive as a "pure delete" and remove the row the upsert just
+            # wrote.
+            ikeys = ins.select(
+                *[F.col(k).alias(f"__ik_{k}") for k in keys]
+            ).distinct()
+            anti = F.lit(True)
+            for k in keys:
+                anti = anti & dels[k].eqNullSafe(F.col(f"__ik_{k}"))
+            pure_dels = dels.join(ikeys, anti, "left_anti")
             if not ins.isEmpty():
                 sink.merge_keep_latest(
                     spark,
@@ -158,36 +169,17 @@ class ChangeFeedCursor:
                     order_by=[F.col("_cdf_v").desc()],
                     app_txn_id=batch.app_txn_id + ":upsert",
                 )
-            del_keys = [r for r in pure_dels.select(*keys).distinct().collect()]
-            if del_keys and len(keys) == 1:
-                # One IN-predicate delete for the whole batch: one scan,
-                # one commit — not a scan+commit per key. NULL keys use
-                # the isnull predicate ('=' / IN never match NULL and the
-                # delete would silently skip the row).
-                k = keys[0]
-                vals = [r[k] for r in del_keys if r[k] is not None]
-                if vals:
-                    sink.delete_where_mor(
-                        spark,
-                        [(k, "in", vals)],
-                        app_txn_id=batch.app_txn_id + ":del",
-                    )
-                if any(r[k] is None for r in del_keys):
-                    sink.delete_where_mor(
-                        spark,
-                        [(k, "isnull", None)],
-                        app_txn_id=batch.app_txn_id + ":delnull",
-                    )
-            else:
-                for r in del_keys:  # composite keys: per-key conjunction
-                    sink.delete_where_mor(
-                        spark,
-                        [
-                            (k, "isnull", None) if r[k] is None else (k, "=", r[k])
-                            for k in keys
-                        ],
-                        app_txn_id=batch.app_txn_id + f":del:{tuple(r)}",
-                    )
+            # One distributed merge-delete for the whole batch: the key
+            # relation never touches the driver, composite keys and NULL
+            # keys included — one scan, one commit, any key count. (A
+            # delete against a not-yet-created sink has nothing to remove.)
+            if sink.exists():
+                sink.merge_delete_mor(
+                    spark,
+                    pure_dels,
+                    keys=keys,
+                    app_txn_id=batch.app_txn_id + ":del",
+                )
             self.ack(batch)
             applied += 1
         return applied

@@ -101,8 +101,8 @@ def test_tokens_distinct_across_same_basename_sources(spark, tmp_path):
 
 
 def test_apply_to_batched_deletes_and_null_keys(spark, tmp_path):
-    """A batch's deletes apply as ONE IN-predicate commit (plus one for
-    NULL keys, which '='/IN can never match) — not a commit per key."""
+    """A batch's deletes apply as ONE distributed merge-delete commit —
+    NULL keys included — not a commit per key and not an IN literal."""
     src = TxnLogTable(str(tmp_path / "src"))
     rows = [(i, i * 10) for i in range(8)] + [(None, 99)]
     src.create_or_replace(
@@ -121,6 +121,79 @@ def test_apply_to_batched_deletes_and_null_keys(spark, tmp_path):
     )
     assert got == [0, 2, 4, 6, 7]
     assert all(r["k"] is not None for r in sink.read(spark).collect())
-    # delete side cost: at most 2 delete commits (+1 merge batch bookkeeping)
+    # delete side cost: exactly ONE delete commit for the whole batch
     ops = [h["operation"] for h in sink.history() if h["version"] > v0]
-    assert ops.count("delete_mor") <= 2
+    assert ops.count("delete_mor") == 1
+
+
+def test_apply_to_delete_path_never_collects():
+    """The scale contract (VERDICT r4 item 2): delete keys stay distributed
+    — no ``.collect()`` anywhere on the apply_to path (the one driver-side
+    materialization the round-4 audit found)."""
+    import inspect
+
+    src = inspect.getsource(ChangeFeedCursor.apply_to)
+    assert ".collect(" not in src
+    assert ".toPandas(" not in src
+
+
+def test_apply_to_null_key_update_keeps_updated_row(spark, tmp_path):
+    """An update of a NULL-key row emits delete+insert images BOTH keyed
+    NULL; a plain key-list anti-join can never match them, so the delete
+    image would survive as a 'pure delete' and remove the row the upsert
+    just wrote. The null-safe anti-join keeps the updated image."""
+    src = TxnLogTable(str(tmp_path / "src"))
+    src.create_or_replace(
+        spark.createDataFrame([(1, 10), (None, 99)], "k long, v long").coalesce(1)
+    )
+    sink = TxnLogTable(str(tmp_path / "sink"))
+    cur = ChangeFeedCursor(src, str(tmp_path / "c.json"), start_version=-1)
+    cur.apply_to(spark, sink, keys=("k",))
+    src.update_where_mor(spark, [("k", "isnull", None)], {"v": F.lit(777)})
+    cur.apply_to(spark, sink, keys=("k",))
+    got = {r["k"]: r["v"] for r in sink.read(spark).drop("_cdf_v").collect()}
+    assert got == {1: 10, None: 777}
+
+
+def test_merge_delete_mor_composite_null_noop_and_dedup(spark, tmp_path):
+    """Direct merge_delete_mor contract: composite keys (null-safe per
+    component), one commit for the whole key set, provable no-ops publish
+    nothing, and a replayed txn id never rescans."""
+    t = TxnLogTable(str(tmp_path / "t"), stat_cols=("a",))
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(1, "x", 10), (1, "y", 11), (2, "x", 20), (None, "z", 30)],
+            "a long, b string, v long",
+        ).coalesce(1)
+    )
+    keys = spark.createDataFrame(
+        [(1, "y"), (None, "z"), (9, "nope")], "a long, b string"
+    )
+    v1 = t.merge_delete_mor(spark, keys, keys=("a", "b"), app_txn_id="d1")
+    assert v1 == t.version()
+    got = sorted((r["a"], r["b"]) for r in t.read(spark).collect())
+    assert got == [(1, "x"), (2, "x")]
+    # replay: same txn id no-ops at the same version
+    assert t.merge_delete_mor(spark, keys, keys=("a", "b"), app_txn_id="d1") == v1
+    # provable no-op (disjoint keys, nothing live matches): no new commit
+    miss = spark.createDataFrame([(42, "q")], "a long, b string")
+    assert t.merge_delete_mor(spark, miss, keys=("a", "b")) == v1
+    # empty key set: no commit
+    assert t.merge_delete_mor(spark, miss.filter("a < 0"), keys=("a", "b")) == v1
+
+
+def test_merge_delete_mor_large_key_batch_single_commit(spark, tmp_path):
+    """10k delete keys in one polled batch: one delete commit, correct
+    survivors — the CDC-at-scale shape."""
+    t = TxnLogTable(str(tmp_path / "t"), stat_cols=("k",))
+    t.create_or_replace(
+        spark.range(0, 20000).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    v0 = t.version()
+    dels = spark.range(0, 20000).filter("id % 2 = 0").select(F.col("id").alias("k"))
+    t.merge_delete_mor(spark, dels, keys=("k",))
+    assert t.version() == v0 + 1  # exactly one commit
+    assert t.read(spark).count() == 10000
+    assert t.read(spark).filter("k % 2 = 0").count() == 0

@@ -93,61 +93,14 @@ def test_new_registrations_inside_driver_window():
         queries,
     )
 
-    # Round-4 registrations (round-3 entries all have driver rows in
-    # CORRECTNESS_r03 and rotated out so the r4 window can refresh the
+    # Round-5 registrations (round-4 entries all have driver rows in
+    # CORRECTNESS_r04 and rotated out so the r5 window can refresh the
     # relational/window/DQ tier, driver-stale since round 1).
     new_names = {
-        "txnlog_table_changes",
-        "cms_heavy_hitters",
-        "weighted_sample_manifest",
-        "bitext_mining_mutual_nn",
-        "ann_recall_profile",
-        "incremental_matview_sales",
-        "value_quantile_sketch",
-        "bloom_semi_join_stats",
-        "pagerank_purchase_graph",
-        "delete_where_orders_txnlog",
-        "qty_price_correlation",
-        "cardinality_hll_profile",
-        "semantic_dedup_pairs",
-        "orders_snapshot_diff",
-        "text_bigram_logprob",
-        "winsorized_value_stats",
-        "hard_negative_mining",
-        "order_price_deciles",
-        "backfill_replace_where_txnlog",
-        "windowed_counts_stream",
-        "events_key_skew_profile",
-        "fk_integrity_audit",
-        "national_market_share",
-        "ensemble_dedup_verdicts",
-        "spatial_proximity_pairs",
-        "bpe_training_rounds",
-        "volume_shipping_pairs",
-        "product_profit_by_nation",
-        "returned_items_report",
-        "customer_order_counts_dist",
-        "promo_revenue_ratio",
-        "brand_predicate_revenue",
-        "min_cost_supplier_per_part",
-        "prospect_balance_anti",
-        "fuzzy_prefix_matches",
-        "events_gap_fill_ffill",
-        "dedup_containment_pairs",
-        "order_price_positions",
-        "ann_mmr_rerank",
-        "daily_revenue_wma_anomaly",
-        "txnlog_clone_divergence",
-        "stream_dedup_availablenow",
-        # -- TPC-H completion tier (closes out all 22 classic shapes)
-        "order_priority_semi_counts",
-        "discount_revenue_uplift",
-        "important_part_values",
-        "shipmode_priority_matrix",
-        "supplier_part_variety",
-        "promo_part_shippers",
-        "waiting_supplier_ranking",
-        "triangle_count_copurchase",
+        "psi_value_drift",
+        "hll_set_ops_users",
+        "lpa_copurchase_communities",
+        "cdf_replica_apply",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
@@ -155,11 +108,11 @@ def test_new_registrations_inside_driver_window():
 
 
 def test_driver_window_refreshes_stalest_evidence():
-    """Round-4 rotation contract (VERDICT r3 item 2): every slot of the
-    50-entry driver window goes to a query with NO driver row yet (round-4
-    additions) or whose only driver row is from round 1 (the stalest
-    evidence) — nothing fresher may occupy a slot while staler names wait
-    outside. Each new r4 registration legitimately displaces one r1-stale
+    """Round-5 rotation contract (VERDICT r4 item 4): every slot of the
+    50-entry driver window goes to a query with NO driver row yet (round-5
+    additions) or to the stalest-evidence names — no name inside the
+    window may have STRICTLY FRESHER driver evidence than a name waiting
+    outside it. Each new r5 registration legitimately displaces one stale
     name (those remain locally oracle-checked every round)."""
     import json
 
@@ -167,16 +120,23 @@ def test_driver_window_refreshes_stalest_evidence():
 
     root = os.path.join(os.path.dirname(__file__), "..")
     seen: dict[str, int] = {}
-    for rnd in (1, 2, 3):
+    for rnd in (1, 2, 3, 4):
         p = os.path.join(root, f"CORRECTNESS_r{rnd:02d}.json")
         if not os.path.exists(p):
             continue
         for name in json.load(open(p)):
             seen[name] = rnd
-    window = list(queries())[:50]
+    names = list(queries())
+    window, outside = names[:50], names[50:]
     assert len(window) == 50
-    fresher = [n for n in window if seen.get(n, 1) > 1]
-    assert not fresher, f"non-stale queries occupying window slots: {fresher}"
+    # New (never-checked) names don't constrain either side.
+    in_ev = [seen[n] for n in window if n in seen]
+    out_ev = [seen[n] for n in outside if n in seen]
+    assert in_ev and out_ev
+    assert max(in_ev) <= min(out_ev), (
+        f"window holds evidence from round {max(in_ev)} while a staler "
+        f"round-{min(out_ev)} name waits outside"
+    )
 
 
 def test_pq_encode_shape_and_self_distance(spark):

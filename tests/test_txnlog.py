@@ -797,3 +797,142 @@ def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
     fresh.drop_constraint("version_positive")
     fresh.append(_df(spark, [(4, "d", 0)]))
     assert fresh.read(spark).count() == 4
+
+
+# ---------------------------------------------------------------------------
+# Round-5 concurrency + typing hardening (ADVICE r4): bloom type guard,
+# append-vs-ADD-CONSTRAINT race, drop_constraint clobber, restore rollback
+# of the constraint set.
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_index_skips_non_int_string_columns(spark, tmp_path):
+    """A bloom over a double column would hash Spark's cast-to-string
+    ('57.0') while an int probe hashes '57' — falsely proving absence and
+    silently pruning files that DO match. The write side therefore refuses
+    to index non-int/string columns at all; min/max stats still prune."""
+    t = TxnLogTable(
+        str(tmp_path / "tb"),
+        stat_cols=("d", "k"),
+        bloom_cols=("d", "k"),  # d is double: must be skipped structurally
+    )
+    t.create_or_replace(
+        spark.createDataFrame([(57.0, 57), (3.5, 3)], "d double, k long").coalesce(1)
+    )
+    stats = t._file_stats()
+    for fs in stats.values():
+        blooms = fs.get("__bloom") or {}
+        assert "d" not in blooms  # double: never indexed
+        assert "k" in blooms  # long: indexed
+    # And the read path still finds the row by its double value.
+    got = t.read(spark, where=[("d", "=", 57.0)]).collect()
+    assert [r["k"] for r in got] == [57]
+
+
+def test_append_conflicts_on_concurrent_add_constraint(spark, tmp_path):
+    """The race ADVICE r4 flagged: a constraint committed between append's
+    validation snapshot and its commit must fail the append's first commit
+    attempt (its rows were never validated against the new predicate) —
+    the retry then re-validates and REJECTS violating rows instead of
+    silently publishing them."""
+    path = str(tmp_path / "tr")
+    t = TxnLogTable(path)
+    t.create_or_replace(_df(spark, [(1, "a", 1)]))
+
+    # Interleave deterministically: the first _enforce_constraints call
+    # (append's pre-write validation) lands a concurrent ADD CONSTRAINT
+    # right after validating against the OLD (empty) set.
+    writer = TxnLogTable(path)
+    orig = writer._enforce_constraints
+    calls = {"n": 0}
+
+    def racy(df, constraints):
+        orig(df, constraints)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            TxnLogTable(path).add_constraint(spark, "pos", "version > 0")
+
+    writer._enforce_constraints = racy
+    from telecom_dataengineering_pipeline_spark.sources.txnlog import (
+        ConstraintViolation,
+    )
+
+    with pytest.raises(ConstraintViolation):
+        writer.append(_df(spark, [(2, "b", -1)]))  # violates the new check
+    # Nothing published: the table still holds only the original row.
+    assert {r["id"] for r in t.read(spark).collect()} == {1}
+    # A NON-violating append retries through the same conflict and lands.
+    calls["n"] = 0
+    writer2 = TxnLogTable(path)
+    orig2 = writer2._enforce_constraints
+
+    def racy2(df, constraints):
+        orig2(df, constraints)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            TxnLogTable(path).add_constraint(spark, "id_pos", "id > 0")
+
+    writer2._enforce_constraints = racy2
+    writer2.append(_df(spark, [(3, "c", 3)]))
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 3}
+
+
+def test_append_commit_level_constraint_conflict(spark, tmp_path):
+    """Commit-layer pin: an 'append' commit with a stale read_version
+    conflicts when a constraints-carrying commit intervened."""
+    t = TxnLogTable(str(tmp_path / "tcl"))
+    t.create_or_replace(_df(spark, [(1, "a", 1)]))
+    rv = t.version()
+    t.add_constraint(spark, "pos", "version > 0")
+    with pytest.raises(CommitConflict):
+        t.commit(adds=[], removes=[], operation="append", read_version=rv)
+
+
+def test_drop_constraint_survives_concurrent_add(spark, tmp_path):
+    """drop_constraint re-applies the drop to the FRESH set on conflict:
+    a concurrently-added constraint is preserved, not clobbered."""
+    path = str(tmp_path / "tdc")
+    t = TxnLogTable(path)
+    t.create_or_replace(_df(spark, [(1, "a", 1)]))
+    t.add_constraint(spark, "c1", "version > 0")
+    rv = t.version()
+    t.add_constraint(spark, "c2", "id > 0")
+    # Commit-layer: stale drop conflicts instead of clobbering c2.
+    with pytest.raises(CommitConflict):
+        t.commit(
+            adds=[], removes=[], operation="drop_constraint",
+            constraints={}, read_version=rv,
+        )
+    # The public API converges: c1 drops, c2 survives.
+    t.drop_constraint("c1")
+    assert list(t.constraints()) == ["c2"]
+
+
+def test_restore_rolls_back_constraints(spark, tmp_path):
+    """RESTORE across a constraint change rolls the constraint set back
+    with the snapshot (Delta restores table metadata): the restored rows
+    are governed by the constraints they were written under."""
+    t = TxnLogTable(str(tmp_path / "trc"))
+    t.create_or_replace(_df(spark, [(1, "a", 0)]))  # version == 0 row
+    v0 = t.version()
+    # The v0 row violates this, so it must be added AFTER a delete.
+    t.delete_where(spark, [("version", "=", 0)])
+    t.add_constraint(spark, "pos", "version > 0")
+    assert list(t.constraints()) == ["pos"]
+    # Restore to v0: the row with version==0 comes back, and the
+    # constraint that would reject it rolls back with the snapshot.
+    t.restore(v0)
+    assert t.constraints() == {}
+    assert {r["id"] for r in t.read(spark).collect()} == {1}
+    # A later write is validated against the RESTORED (empty) set.
+    t.append(_df(spark, [(2, "b", 0)]))
+    assert t.read(spark).count() == 2
+    # No-op detection counts constraints: restoring to a version that
+    # differs ONLY in constraints still publishes a commit.
+    t2 = TxnLogTable(str(tmp_path / "trc2"))
+    t2.create_or_replace(_df(spark, [(1, "a", 1)]))
+    t2.add_constraint(spark, "pos", "version > 0")
+    v_before = t2.version()
+    t2.restore(0)
+    assert t2.version() == v_before + 1
+    assert t2.constraints() == {}
