@@ -361,7 +361,10 @@ def hll_set_ops(
             )
         )
     )
-    out = est_a.crossJoin(est_b).crossJoin(est_u)
+    # 1-row estimate frames: broadcast-anchored like every other scalar
+    # crossJoin in the codebase (AQE would pick it anyway; the hint makes
+    # the plan shape explicit and test-pinnable).
+    out = est_a.crossJoin(F.broadcast(est_b)).crossJoin(F.broadcast(est_u))
     inter = F.greatest(
         F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4),
         F.lit(0.0),

@@ -68,3 +68,126 @@ def band_anomaly_flags(
     ).withColumn(
         "is_spike", F.when(F.col(baseline_col).isNotNull(), F.col(value_col) > hi)
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    step_col: str,
+    value_col: str,
+    steps: Sequence[str],
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    horizon: int = 3,
+) -> DataFrame:
+    """Holt's linear method (double exponential smoothing: level + trend),
+    the classic short-horizon forecaster for trending series — unrolled
+    over a FIXED, ordered ``steps`` list so the recurrence becomes a
+    deterministic column chain instead of a sequential scan.
+
+    Scale/determinism shape: one conditional aggregate pivots each key's
+    series into T columns (single map-side-combined pass — the grain is
+    |keys| rows, not |events|); the T-step recurrence then runs as
+    per-row scalar arithmetic — no window over time, no driver loop, no
+    UDF — and per-row double arithmetic is bit-deterministic (nothing
+    accumulates across rows, the trap the registry conventions exist
+    for). Missing steps contribute 0 (a gap IS zero volume for additive
+    series like revenue). A true infinite-history EWMA/Holt is a
+    sequential recurrence; fixing T is what makes it a parallel one —
+    same trade the finite-window WMA above makes.
+
+    Returns one row per key and forecast step ``h`` in 1..horizon:
+    ``(*key_cols, h, level, trend, forecast)`` where forecast =
+    level + h·trend off the last fitted state. Initialization is the
+    textbook l₀=x₀, b₀=x₁−x₀ (needs ≥2 steps).
+    """
+    T = len(steps)
+    if T < 2:
+        raise ValueError("holt_linear needs at least two steps")
+    a, b = float(alpha), float(beta)
+    aggs = [
+        F.sum(
+            F.when(F.col(step_col) == F.lit(s), F.col(value_col)).otherwise(F.lit(0))
+        ).alias(f"_x{i}")
+        for i, s in enumerate(steps)
+    ]
+    cur = df.groupBy(*key_cols).agg(*aggs)
+    cur = cur.select(
+        *key_cols, *[F.col(f"_x{i}").cast("double").alias(f"_x{i}") for i in range(T)]
+    )
+    cur = cur.withColumn("_l0", F.col("_x0")).withColumn(
+        "_b0", F.col("_x1") - F.col("_x0")
+    )
+    for t in range(1, T):
+        cur = cur.withColumn(
+            f"_l{t}",
+            F.lit(a) * F.col(f"_x{t}")
+            + F.lit(1.0 - a) * (F.col(f"_l{t-1}") + F.col(f"_b{t-1}")),
+        ).withColumn(
+            f"_b{t}",
+            F.lit(b) * (F.col(f"_l{t}") - F.col(f"_l{t-1}"))
+            + F.lit(1.0 - b) * F.col(f"_b{t-1}"),
+        )
+    last_l, last_b = F.col(f"_l{T-1}"), F.col(f"_b{T-1}")
+    fc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(h).cast("int").alias("h"),
+                    (last_l + F.lit(float(h)) * last_b).alias("forecast"),
+                )
+                for h in range(1, horizon + 1)
+            ]
+        )
+    ).alias("_fc")
+    return cur.select(*key_cols, last_l.alias("_level"), last_b.alias("_trend"), fc).select(
+        *key_cols,
+        F.col("_fc.h").alias("h"),
+        F.col("_level").alias("level"),
+        F.col("_trend").alias("trend"),
+        F.col("_fc.forecast").alias("forecast"),
+    )
+
+
+def holt_linear_oracle_sql(
+    base_cte: str,
+    key_expr: str,
+    step_expr: str,
+    value_expr: str,
+    steps: Sequence[str],
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    horizon: int = 3,
+    round_dp: int = 4,
+) -> str:
+    """The DuckDB mirror of :func:`holt_linear`, generated by the SAME
+    unrolling loop so both engines evaluate identically-shaped double
+    expressions (IEEE determinism needs identical shapes, not just equal
+    math). ``base_cte`` must expose (key, step, value) via the given
+    expressions."""
+    T = len(steps)
+    a, b = float(alpha), float(beta)
+    xs = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN {step_expr} = '{s}' THEN {value_expr} ELSE 0 END), 0) AS DOUBLE) AS x{i}"
+        for i, s in enumerate(steps)
+    )
+    ctes = [
+        f"base AS ({base_cte})",
+        f"wide AS (SELECT {key_expr} AS k, {xs} FROM base GROUP BY 1)",
+        "s0 AS (SELECT *, x0 AS l0, x1 - x0 AS b0 FROM wide)",
+    ]
+    for t in range(1, T):
+        ctes.append(
+            f"sl{t} AS (SELECT *, {a} * x{t} + {1.0 - a} * (l{t-1} + b{t-1}) AS l{t} FROM {'s0' if t == 1 else f'sb{t-1}'})"
+        )
+        ctes.append(
+            f"sb{t} AS (SELECT *, {b} * (l{t} - l{t-1}) + {1.0 - b} * b{t-1} AS b{t} FROM sl{t})"
+        )
+    hs = ", ".join(str(h) for h in range(1, horizon + 1))
+    final = (
+        f"SELECT k, CAST(h AS INTEGER) AS h, round(l{T-1}, {round_dp}) AS level, "
+        f"round(b{T-1}, {round_dp}) AS trend, "
+        f"round(l{T-1} + CAST(h AS DOUBLE) * b{T-1}, {round_dp}) AS forecast "
+        f"FROM sb{T-1} CROSS JOIN (SELECT unnest([{hs}]) AS h)"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final

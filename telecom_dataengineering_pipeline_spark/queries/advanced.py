@@ -764,3 +764,175 @@ def lpa_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear trend forecast (operators/trend.py::holt_linear) on monthly
+# revenue per nation: the classic double-exponential smoother, unrolled
+# over the fixed 1995 month spine so the recurrence is a per-row column
+# chain both engines evaluate with identical expression shapes.
+# ---------------------------------------------------------------------------
+
+_HOLT_MONTHS = [f"1995-{m:02d}" for m in range(1, 13)]
+
+
+def _holt_oracle() -> str:
+    from ..operators.trend import holt_linear_oracle_sql
+
+    inner = holt_linear_oracle_sql(
+        base_cte=(
+            "SELECT n_name, strftime(o_orderdate, '%Y-%m') AS m, "
+            "CAST(o_totalprice AS DECIMAL(12,2)) AS rev "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        key_expr="n_name",
+        step_expr="m",
+        value_expr="rev",
+        steps=_HOLT_MONTHS,
+    )
+    return f"SELECT k AS nation, h, level, trend, forecast FROM ({inner})"
+
+
+@register("holt_forecast_nation_revenue", oracle=_holt_oracle(), tags=("A11", "trend", "forecast"))
+def holt_forecast_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-month-ahead revenue forecast per nation off a 12-month fitted
+    Holt (level+trend) state. One conditional-aggregate pivot (map-side,
+    |nations| result rows) + a scalar recurrence chain — no time window,
+    no sequential scan, no UDF."""
+    from ..operators.trend import holt_linear
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    base = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "n_name",
+            F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("rev"),
+        )
+    )
+    hl = holt_linear(base, ["n_name"], "m", "rev", _HOLT_MONTHS)
+    return hl.select(
+        F.col("n_name").alias("nation"),
+        "h",
+        F.round("level", 4).alias("level"),
+        F.round("trend", 4).alias("trend"),
+        F.round("forecast", 4).alias("forecast"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transition matrix: P(next event type | current) per user
+# journey — the Markov view of product analytics funnels. One window lag
+# per user (shuffle on user_id, the partitioning every sessionization
+# query here already uses) + one count aggregate.
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+  FROM events
+), pairs AS (
+  SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT src, CAST(sum(n) AS BIGINT) AS t FROM pairs GROUP BY 1
+)
+SELECT p.src, p.dst, p.n,
+       round(CAST(p.n AS DOUBLE) / t.t, 6) AS p_transition
+FROM pairs p JOIN tot t ON p.src = t.src
+"""
+
+
+@register("event_transition_matrix", oracle=_TRANSITION_ORACLE, tags=("W3", "A4", "sequence"))
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = pairs.groupBy("src").agg(F.sum("n").cast("long").alias("t"))
+    return pairs.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p_transition"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quartiles): the
+# workhorse customer-scoring rollup of every CRM mart. One aggregate to
+# the customer grain, three ntile windows over that (already tiny) grain
+# with full deterministic orderings, one concat.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH agg AS (
+  SELECT o_custkey AS custkey,
+         CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS last_us,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT custkey, last_us, frequency, monetary,
+         CAST(ntile(4) OVER (ORDER BY last_us DESC, custkey ASC) AS INTEGER) AS r_score,
+         CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey ASC) AS INTEGER) AS f_score,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey ASC) AS INTEGER) AS m_score
+  FROM agg
+)
+SELECT custkey, frequency, round(monetary, 2) AS monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS rfm_segment
+FROM scored
+"""
+
+
+@register("customer_rfm_segments", oracle=_RFM_ORACLE, tags=("A4", "W1", "segmentation"))
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile RFM scores per ordering customer. The ntile windows run
+    over the CUSTOMER grain (post-aggregate — orders of magnitude smaller
+    than the fact table); each ordering carries the custkey tie-break so
+    quartile boundaries are deterministic in both engines."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.unix_micros(F.col("o_orderdate"))).cast("long").alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("monetary"),
+    )
+    r = Window.orderBy(F.col("last_us").desc(), F.col("custkey").asc())
+    f_ = Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
+    m = Window.orderBy(F.col("monetary").desc(), F.col("custkey").asc())
+    scored = agg.select(
+        "custkey",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r).cast("int").alias("r_score"),
+        F.ntile(4).over(f_).cast("int").alias("f_score"),
+        F.ntile(4).over(m).cast("int").alias("m_score"),
+    )
+    return scored.select(
+        "custkey",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm_segment"),
+    )

@@ -62,6 +62,12 @@ DRIVER_ORDER: list[str] = [
     "hll_set_ops_users",
     "lpa_copurchase_communities",
     "cdf_replica_apply",
+    "holt_forecast_nation_revenue",
+    "event_transition_matrix",
+    "customer_rfm_segments",
+    "txnlog_generated_columns",
+    "txnlog_partition_evolution",
+    "matview_cursor_refresh",
     # -- last driver-checked in ROUND 1 (stalest driver evidence; VERDICT
     #    r4 item 4: the remaining window slots go to these — 44 names, so
     #    with few r5 additions the tail spills to the stalest r2 names

@@ -684,3 +684,169 @@ def cdf_replica_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read(spark).select(
         "orderkey", F.col("price").cast("double").alias("price"), "status"
     )
+
+
+# ---------------------------------------------------------------------------
+# Generated columns through the value gate (sources/txnlog.py
+# ``set_generated_column``): the month key is declared GENERATED ALWAYS AS
+# and the second slice appends WITHOUT it — the engine computes it, and
+# the oracle recomputes it in SQL over both slices.
+# ---------------------------------------------------------------------------
+
+_GENCOL_ORACLE = """
+WITH both_slices AS (
+  SELECT o_orderkey AS orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+         strftime(o_orderdate, '%Y-%m-%d') AS odate
+  FROM orders WHERE o_orderkey % 4 IN (0, 1)
+)
+SELECT orderkey, price, odate, substr(odate, 1, 7) AS o_month
+FROM both_slices
+"""
+
+
+@register("txnlog_generated_columns", oracle=_GENCOL_ORACLE, tags=("S7", "M4"))
+def txnlog_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writers stop carrying derived partition keys: the table computes
+    them (Delta GENERATED ALWAYS AS). Slice 1 creates the table with the
+    column present (validated); slice 2 appends without it (computed)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.txnlog import TxnLogTable
+
+    o = load_table(spark, sf_dir, "orders")
+    base_cols = [
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+    ]
+    slice1 = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        *base_cols, F.expr("substr(date_format(o_orderdate, 'yyyy-MM-dd'), 1, 7)").alias("o_month")
+    )
+    slice2 = o.filter(F.col("o_orderkey") % 4 == 1).select(*base_cols)  # no o_month
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"txnlog_gencol_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = TxnLogTable(path, stat_cols=("orderkey",))
+    t.create_or_replace(slice1)
+    t.set_generated_column(spark, "o_month", "substr(odate, 1, 7)")
+    t.append(slice2)
+    return t.read(spark)
+
+
+# ---------------------------------------------------------------------------
+# Clustering-spec evolution through the value gate: generation 1 written
+# unclustered, the spec evolves (one metadata commit, zero rewrites),
+# generation 2 clusters by status — and a predicate read over the MIXED
+# layout returns exactly the plain-SQL answer.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_EVOLVE_ORACLE = """
+SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+FROM orders WHERE o_orderkey % 4 IN (2, 3) AND o_orderstatus = 'F'
+"""
+
+
+@register("txnlog_partition_evolution", oracle=_CLUSTER_EVOLVE_ORACLE, tags=("S7", "O3", "O4"))
+def txnlog_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg partition-spec evolution re-derived: pruning is stats-based,
+    never path-based, so old-layout and new-layout files coexist and a
+    predicate read stays exact across generations (the test suite pins the
+    file-count pruning; this query pins the values)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.txnlog import TxnLogTable
+
+    o = load_table(spark, sf_dir, "orders")
+    cols = [
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("price"),
+    ]
+    gen1 = o.filter(F.col("o_orderkey") % 4 == 2).select(*cols)
+    gen2 = o.filter(F.col("o_orderkey") % 4 == 3).select(*cols)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"txnlog_cluster_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = TxnLogTable(path, stat_cols=("orderkey", "status"))
+    t.create_or_replace(gen1)
+    t.set_clustering(["status"])  # evolution: metadata-only
+    t.append(gen2)  # new generation clusters by status
+    return t.read(spark, where=[("status", "=", "F")])
+
+
+# ---------------------------------------------------------------------------
+# Cursor-driven incremental materialized view (operators/matview.py
+# ``catch_up_cursor``): same additive rollup as incremental_matview_sales,
+# but resume state flows through the shared ChangeFeedCursor — and the
+# final view must still equal the plain-SQL aggregate of the base's end
+# state.
+# ---------------------------------------------------------------------------
+
+_MV_CURSOR_ORACLE = """
+WITH base AS (
+  SELECT o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(12,2))
+  FROM orders WHERE o_orderkey % 4 = 1
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM base GROUP BY 1
+"""
+
+
+@register("matview_cursor_refresh", oracle=_MV_CURSOR_ORACLE, tags=("T7", "M1", "S7"))
+def matview_cursor_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.matview import IncrementalRollup
+    from ..sources.txnlog import TxnLogTable
+    from ..streaming.cdf_consume import ChangeFeedCursor
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    b1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        price.alias("price"),
+    )
+    b2 = o.filter(F.col("o_orderkey") % 4 == 1).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        (price * 2).cast("decimal(12,2)").alias("price"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"mv_cursor_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    base = TxnLogTable(os.path.join(root, "base"), stat_cols=("orderkey",))
+    rollup = IncrementalRollup(
+        TxnLogTable(os.path.join(root, "view"), stat_cols=("status",)),
+        group_cols=["status"],
+        sum_cols=["price"],
+    )
+    cur = ChangeFeedCursor(base, os.path.join(root, "cursor.json"), start_version=-1)
+    base.create_or_replace(b1)
+    rollup.catch_up_cursor(cur, spark)
+    base.append(b2)
+    rollup.catch_up_cursor(cur, spark)
+    return rollup.read(spark).select(
+        "status",
+        "n_rows",
+        F.col("sum_price").cast("double").alias("sum_price"),
+    )

@@ -268,8 +268,12 @@ class TxnLogTable:
         self.checkpoint_interval = checkpoint_interval
         # Published commit files are immutable, so parsed JSON is cached
         # per-instance; the directory listing itself is never cached (it is
-        # how concurrent writers become visible).
+        # how concurrent writers become visible). LRU-bounded: a long-lived
+        # driver scanning many historical versions (history(), time travel,
+        # CDC polling) must not grow memory with the log — recency covers
+        # the hot tail, misses re-read a small JSON file.
         self._commit_cache: dict[int, dict] = {}
+        self._commit_cache_cap = 512
 
     # -- log primitives ----------------------------------------------------
 
@@ -291,11 +295,15 @@ class TxnLogTable:
         return os.path.join(self.log_dir, f"{version:020d}.json")
 
     def _read_commit(self, version: int) -> dict:
-        c = self._commit_cache.get(version)
+        c = self._commit_cache.pop(version, None)  # pop+reinsert = LRU touch
         if c is None:
             with open(self._commit_path(version)) as f:
                 c = json.load(f)
-            self._commit_cache[version] = c
+            while len(self._commit_cache) >= self._commit_cache_cap:
+                # dicts iterate in insertion order: the first key is the
+                # least-recently-touched entry
+                self._commit_cache.pop(next(iter(self._commit_cache)))
+        self._commit_cache[version] = c
         return c
 
     def _commits(self, upto: int | None = None) -> list[dict]:
@@ -331,6 +339,16 @@ class TxnLogTable:
             # resurrect old data out of pre-drop files.
             "colmap": {},
             "dropped": [],
+            # Generated columns (Delta GENERATED ALWAYS AS): logical column
+            # name → SQL expression. Write paths compute the column when the
+            # incoming frame omits it and validate it when provided.
+            "generated": {},
+            # Clustering spec (Iceberg partition-spec evolution, Delta
+            # liquid-clustering ALTER CLUSTER BY): the CURRENT layout hint
+            # new files are clustered by. Files written under older specs
+            # stay as-is — pruning is stats-based, never path-based, so
+            # evolving the spec is one metadata commit, zero rewrites.
+            "clustering": [],
             "schema": None,
             "txn_ids": set(),
         }
@@ -363,6 +381,10 @@ class TxnLogTable:
             state["colmap"] = dict(c["colmap"])
         if c.get("dropped") is not None:
             state["dropped"] = list(c["dropped"])
+        if c.get("generated") is not None:
+            state["generated"] = dict(c["generated"])
+        if c.get("clustering") is not None:
+            state["clustering"] = list(c["clustering"])
         if c.get("app_txn_id") is not None:
             state["txn_ids"].add(c["app_txn_id"])
 
@@ -397,8 +419,16 @@ class TxnLogTable:
                 state["colmap"][r["path"]] = r["physical"]
             elif kind == "dropped":
                 state["dropped"].append(r["physical"])
+            elif kind == "generated":
+                state["generated"][r["path"]] = r["sql"]
+            elif kind == "clustering":
+                state["clustering"].append((r["ord"], r["path"]))
             elif kind == "schema":
                 state["schema"] = r["schema_json"]
+        if state["clustering"]:
+            state["clustering"] = [
+                c for _, c in sorted(state["clustering"])
+            ]
         for r in sorted(adds, key=lambda r: r["ord"]):
             state["active"][r["path"]] = None
             if r["stats"]:
@@ -446,6 +476,14 @@ class TxnLogTable:
         )
         rows.extend(
             {"kind": "dropped", "physical": ph} for ph in sorted(state["dropped"])
+        )
+        rows.extend(
+            {"kind": "generated", "path": n, "sql": s}
+            for n, s in sorted(state["generated"].items())
+        )
+        rows.extend(
+            {"kind": "clustering", "path": c, "ord": i}
+            for i, c in enumerate(state["clustering"])
         )
         schema = pa.schema(
             [
@@ -777,6 +815,13 @@ class TxnLogTable:
             raise ValueError(f"update_where_mor: unknown columns {sorted(bad)}")
         rv = self.version()
         state = self._state(rv)
+        gen_set = set(set_exprs) & set(state["generated"])
+        if gen_set:
+            raise ValueError(
+                f"update_where_mor: column(s) {sorted(gen_set)} are GENERATED "
+                "— their values derive from the generation expression and are "
+                "recomputed automatically when their inputs change"
+            )
         schema = (
             StructType.fromJson(json.loads(state["schema"]))
             if state["schema"]
@@ -809,6 +854,16 @@ class TxnLogTable:
                 for f in schema.fields
             ]
         )
+        # Generated columns recompute over the updated images — an UPDATE
+        # that changes a generation input can never leave a stale derived
+        # value behind (Delta's recompute-on-update rule). Cast pins the
+        # declared column type against expression-type drift.
+        types = {f.name: f.dataType for f in schema.fields}
+        for gname, gsql in sorted(state["generated"].items()):
+            if gname in types:
+                updated = updated.withColumn(
+                    gname, F.expr(gsql).cast(types[gname])
+                )
         self._enforce_constraints(updated, state["constraints"])
         adds, stats = self._write_data(updated, colmap=state["colmap"])
         return self.commit(
@@ -842,6 +897,7 @@ class TxnLogTable:
             return self.create_or_replace(source, app_txn_id=app_txn_id)
         rv = self.version()
         state = self._state(rv)
+        source = self._apply_generated(source, state)
         self._enforce_constraints(source, state["constraints"])
         schema = (
             StructType.fromJson(json.loads(state["schema"]))
@@ -1491,6 +1547,8 @@ class TxnLogTable:
         constraints: dict | None = None,
         colmap: dict | None = None,
         dropped: list | None = None,
+        generated: dict | None = None,
+        clustering: list | None = None,
     ) -> int:
         """Publish one atomic commit; returns the committed version.
 
@@ -1514,6 +1572,7 @@ class TxnLogTable:
             "delete_mor",  # DV positions were computed against a snapshot
             "update_mor",
             "set_constraint",  # validation covered only the snapshot read
+            "set_generated",  # same: existing rows validated at a snapshot
             "rename_column",  # wholesale colmap/schema replacement
             "drop_column",
             "replace_where",
@@ -1566,6 +1625,7 @@ class TxnLogTable:
                         or c.get("constraints") is not None
                         or c.get("colmap") is not None
                         or c.get("dropped") is not None
+                        or c.get("generated") is not None
                     ]
                     if intervening:
                         raise CommitConflict(
@@ -1617,12 +1677,14 @@ class TxnLogTable:
                             if iv > read_version
                         )
                         if c.get("constraints") is not None
+                        or c.get("generated") is not None
                     ]
                     if intervening:
                         raise CommitConflict(
                             f"{len(intervening)} commit(s) changed the "
-                            f"constraint set since version {read_version}; "
-                            "re-validate against the fresh snapshot"
+                            "constraint/generated-column set since version "
+                            f"{read_version}; re-validate against the fresh "
+                            "snapshot"
                         )
             payload = {
                 "version": v,
@@ -1636,6 +1698,8 @@ class TxnLogTable:
                 "constraints": constraints,  # None = unchanged
                 "colmap": colmap,  # None = unchanged
                 "dropped": dropped,  # None = unchanged
+                "generated": generated,  # None = unchanged
+                "clustering": clustering,  # None = unchanged
                 "timestamp": time.time_ns() // 1_000_000,
             }
             tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
@@ -1716,6 +1780,12 @@ class TxnLogTable:
                     f"constraint {cname!r} references column {old!r}; drop "
                     "it before renaming"
                 )
+        for gname, sql in state["generated"].items():
+            if gname == old or re.search(rf"\b{re.escape(old)}\b", sql):
+                raise ValueError(
+                    f"generated column {gname!r} involves column {old!r}; "
+                    "drop its rule before renaming"
+                )
         cm = dict(state["colmap"])
         cm[new] = cm.pop(old, old)
         new_schema = StructType(
@@ -1731,6 +1801,8 @@ class TxnLogTable:
             schema_json=new_schema.json(),
             colmap=cm,
             read_version=rv,
+            # the clustering spec follows the logical rename
+            clustering=[new if c == old else c for c in state["clustering"]],
         )
 
     def drop_column(self, name: str) -> int:
@@ -1759,6 +1831,12 @@ class TxnLogTable:
                     f"constraint {cname!r} references column {name!r}; drop "
                     "it before dropping the column"
                 )
+        for gname, sql in state["generated"].items():
+            if gname != name and re.search(rf"\b{re.escape(name)}\b", sql):
+                raise ValueError(
+                    f"generated column {gname!r} references column {name!r}; "
+                    "drop its rule before dropping the column"
+                )
         cm = dict(state["colmap"])
         physical = cm.pop(name, name)
         new_schema = StructType([f for f in schema.fields if f.name != name])
@@ -1770,6 +1848,10 @@ class TxnLogTable:
             colmap=cm,
             dropped=sorted(set(state["dropped"]) | {physical}),
             read_version=rv,
+            # dropping a generated column drops its rule; the clustering
+            # spec loses the column either way
+            generated={k: v for k, v in state["generated"].items() if k != name},
+            clustering=[c for c in state["clustering"] if c != name],
         )
 
     def drop_constraint(self, name: str) -> int:
@@ -1799,6 +1881,129 @@ class TxnLogTable:
         """Active CHECK constraints, name → SQL predicate."""
         return dict(self._state()["constraints"])
 
+    # -- generated columns + clustering spec --------------------------------
+
+    def _apply_generated(self, df: DataFrame, state: dict) -> DataFrame:
+        """Delta GENERATED ALWAYS AS semantics on a write: a generated
+        column ABSENT from the incoming frame is computed from its
+        expression; one PROVIDED by the writer is validated against it
+        (one bounded action per provided column — same cost class as a
+        CHECK constraint) so a writer can never silently store a value
+        that disagrees with the rule."""
+        types = {}
+        if state["schema"]:
+            types = {
+                f.name: f.dataType
+                for f in StructType.fromJson(json.loads(state["schema"])).fields
+            }
+        for name, sql in sorted(state["generated"].items()):
+            expr = F.expr(sql)
+            if name in types:
+                expr = expr.cast(types[name])  # pin the declared type
+            if name not in df.columns:
+                df = df.withColumn(name, expr)
+            elif not df.filter(~F.col(name).eqNullSafe(expr)).isEmpty():
+                raise ConstraintViolation(
+                    f"generated column {name!r} provided with values that "
+                    f"disagree with its expression ({sql})"
+                )
+        return df
+
+    def set_generated_column(
+        self, spark: SparkSession, name: str, sql_expr: str
+    ) -> int:
+        """Declare ``name`` GENERATED ALWAYS AS ``sql_expr`` (a SQL
+        expression over the table's other columns). The column must exist;
+        existing rows must already satisfy the rule (validated with one
+        read, like ADD CONSTRAINT). Metadata-only commit; key-resolving
+        under the concurrency rules — rows appended concurrently were
+        never validated, and appends conflict on this commit symmetrically."""
+        rv = self.version()
+        state = self._state(rv)
+        schema = (
+            StructType.fromJson(json.loads(state["schema"]))
+            if state["schema"]
+            else None
+        )
+        if schema is None:
+            raise ValueError(f"no such table (empty log): {self.path}")
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(
+                f"no such column: {name!r} (generated columns are declared "
+                "over an existing column; add it via a write first)"
+            )
+        if name in state["generated"]:
+            raise ValueError(f"column already generated: {name}")
+        bad = self.read(spark, rv).filter(~F.col(name).eqNullSafe(F.expr(sql_expr)))
+        if not bad.isEmpty():
+            raise ConstraintViolation(
+                f"existing rows violate generated-column rule {name!r} "
+                f"({sql_expr})"
+            )
+        gen = dict(state["generated"])
+        gen[name] = sql_expr
+        return self.commit(
+            adds=[],
+            removes=[],
+            operation="set_generated",
+            read_version=rv,
+            generated=gen,
+        )
+
+    def drop_generated_column_rule(self, name: str) -> int:
+        """Remove the generation rule (the column itself stays — it simply
+        becomes a plain writable column again)."""
+        while True:
+            rv = self.version()
+            gen = dict(self._state(rv)["generated"])
+            if name not in gen:
+                raise ValueError(f"no such generated column: {name}")
+            del gen[name]
+            try:
+                return self.commit(
+                    adds=[],
+                    removes=[],
+                    operation="drop_generated",
+                    generated=gen,
+                    read_version=rv,
+                )
+            except CommitConflict:
+                continue
+
+    def generated_columns(self) -> dict:
+        """Active generation rules, column → SQL expression."""
+        return dict(self._state()["generated"])
+
+    def set_clustering(self, cols: Sequence[str]) -> int:
+        """Evolve the clustering spec (Iceberg partition-spec evolution /
+        Delta ALTER TABLE CLUSTER BY): NEW files cluster by ``cols``;
+        existing files keep their old layout untouched — pruning here is
+        stats-based, never path-based, so mixing generations in one table
+        is sound and the evolution costs one metadata commit, zero
+        rewrites. Pass ``[]`` to stop clustering."""
+        state = self._state()
+        schema = (
+            StructType.fromJson(json.loads(state["schema"]))
+            if state["schema"]
+            else None
+        )
+        if schema is None:
+            raise ValueError(f"no such table (empty log): {self.path}")
+        names = {f.name for f in schema.fields}
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise ValueError(f"no such column(s): {missing}")
+        return self.commit(
+            adds=[],
+            removes=[],
+            operation="set_clustering",
+            clustering=list(cols),
+        )
+
+    def clustering(self) -> list:
+        """The clustering spec new files are written under."""
+        return list(self._state()["clustering"])
+
     def create_or_replace(
         self,
         df: DataFrame,
@@ -1806,12 +2011,18 @@ class TxnLogTable:
         app_txn_id: str | None = None,
     ) -> int:
         """Full-snapshot replace: add the new file set, remove every
-        currently-active file, one commit. CHECK constraints survive the
-        replace (they are table properties, not data) and validate the
-        incoming snapshot."""
+        currently-active file, one commit. CHECK constraints, generated
+        columns, and the clustering spec survive the replace (table
+        properties, not data); the incoming snapshot is validated/filled
+        accordingly. An explicit ``cluster_by`` overrides the spec for
+        this write only."""
         rv = self.version()
-        self._enforce_constraints(df, self._state(rv)["constraints"])
-        adds, stats = self._write_data(df, cluster_by)
+        cr_state = self._state(rv)
+        df = self._apply_generated(df, cr_state)
+        self._enforce_constraints(df, cr_state["constraints"])
+        adds, stats = self._write_data(
+            df, cluster_by or cr_state["clustering"]
+        )
         return self.commit(
             adds=adds,
             removes=self.snapshot_files(),
@@ -1839,15 +2050,20 @@ class TxnLogTable:
         while True:
             rv = self.version()
             a_state = self._state(rv)
-            self._enforce_constraints(df, a_state["constraints"])
+            full = self._apply_generated(df, a_state)
+            self._enforce_constraints(full, a_state["constraints"])
             if adds is None:
-                adds, stats = self._write_data(df, colmap=a_state["colmap"])
+                adds, stats = self._write_data(
+                    full,
+                    cluster_by=a_state["clustering"],
+                    colmap=a_state["colmap"],
+                )
             try:
                 return self.commit(
                     adds=adds,
                     removes=[],
                     operation="append",
-                    schema_json=df.schema.json(),
+                    schema_json=full.schema.json(),
                     app_txn_id=app_txn_id,
                     read_version=rv,
                     stats=stats,
@@ -1879,6 +2095,7 @@ class TxnLogTable:
         state = self._state(rv)
         schema = self.snapshot_schema(rv)
         files = list(state["active"])
+        source = self._apply_generated(source, state)
         self._enforce_constraints(source, state["constraints"])
         # Even with no matching target rows, the SOURCE may carry several
         # rows for one key: resolve them keep-latest before writing (an
@@ -2020,6 +2237,8 @@ class TxnLogTable:
             t_state["colmap"] == c_state["colmap"]
             and t_state["dropped"] == c_state["dropped"]
             and t_state["constraints"] == c_state["constraints"]
+            and t_state["generated"] == c_state["generated"]
+            and t_state["clustering"] == c_state["clustering"]
         )
         if target == current and not dv_delta and meta_same:
             return self.version()  # already there: no-op
@@ -2044,8 +2263,11 @@ class TxnLogTable:
             # keeping the CURRENT set would report a full restore while
             # re-activating rows that were never validated against it —
             # the target version's rows are valid under the target's own
-            # constraints by construction.
+            # constraints by construction. Generated-column rules and the
+            # clustering spec are the same class of metadata.
             constraints=dict(t_state["constraints"]),
+            generated=dict(t_state["generated"]),
+            clustering=list(t_state["clustering"]),
         )
 
     def clone_shallow(
@@ -2106,8 +2328,13 @@ class TxnLogTable:
             # The clone reads the source's physical files: it needs the
             # source's column mapping (and keeps its tombstones so the
             # same resurrection rules apply to writes into the clone).
+            # CHECK constraints, generated rules, and the clustering spec
+            # travel with the snapshot's other metadata.
             colmap=dict(state["colmap"]),
             dropped=list(state["dropped"]),
+            constraints=dict(state["constraints"]),
+            generated=dict(state["generated"]),
+            clustering=list(state["clustering"]),
         )
         return dest_t
 
@@ -2129,14 +2356,18 @@ class TxnLogTable:
         outside the declared region would silently corrupt neighboring
         partitions — rejected loudly, Delta's rule). Costs one validation
         action over the new rows."""
+        rv = self.version()
+        state = self._state(rv)
+        # Generated columns fill in BEFORE the region check: the region
+        # predicate may well be ON the generated column (partition-style
+        # backfills usually are).
+        new_rows = self._apply_generated(new_rows, state)
         violating = new_rows.filter(~_predicate_expr(where))
         if not violating.isEmpty():
             raise ValueError(
                 "replace_where: new rows fall outside the declared region; "
                 "refusing to write beyond the predicate"
             )
-        rv = self.version()
-        state = self._state(rv)
         self._enforce_constraints(new_rows, state["constraints"])
         files = list(state["active"])
         schema = (

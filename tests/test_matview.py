@@ -152,3 +152,73 @@ def test_streaming_rollup_loop_with_crash_recovery(spark, tmp_path):
     loop.process_batch(_df(spark, [(7, "d", 1, 0.25)]), 3)
     _assert_view_matches_base(spark, base, rollup)
     assert rollup.last_refreshed_version() == base.version() == 4
+
+
+def test_cursor_driven_catch_up_crash_and_grown_replay(spark, tmp_path):
+    """catch_up_cursor: the shared ChangeFeedCursor is the resume
+    mechanism. Exact replay (ack lost) is a txn-id no-op; a GROWN replay
+    (new base commits land before the re-poll) must not double-apply the
+    already-folded prefix; a DELETED cursor file re-seeds from the view's
+    high-water mark without a skip or double-apply."""
+    import json
+    import os
+
+    from telecom_dataengineering_pipeline_spark.streaming.cdf_consume import (
+        ChangeFeedCursor,
+    )
+
+    base, view = _mk(spark, tmp_path)
+    cpath = str(tmp_path / "mv_cursor.json")
+    base.create_or_replace(_df(spark, [(1, "a", 1, 10.00), (2, "b", 1, 4.00)]))
+    cur = ChangeFeedCursor(base, cpath, start_version=-1)
+    view.catch_up_cursor(cur, spark)
+    _assert_view_matches_base(spark, base, view)
+
+    # Exact replay: rewind the cursor to simulate a lost ack AFTER the
+    # view merged — re-applying the same range is a txn-id no-op.
+    base.append(_df(spark, [(3, "a", 1, 6.00)]))
+    view.catch_up_cursor(cur, spark)
+    _assert_view_matches_base(spark, base, view)
+    with open(cpath, "w") as f:
+        json.dump({"version": 0}, f)
+    view.catch_up_cursor(cur, spark)
+    _assert_view_matches_base(spark, base, view)
+
+    # Grown replay: rewind the ack AND land a new base commit first — the
+    # re-poll covers 0->latest, whose prefix (0->1) is already folded; the
+    # high-water guard re-derives the feed from hw, so nothing doubles.
+    with open(cpath, "w") as f:
+        json.dump({"version": 0}, f)
+    base.append(_df(spark, [(4, "c", 1, 2.50)]))
+    view.catch_up_cursor(cur, spark)
+    _assert_view_matches_base(spark, base, view)
+
+    # Deleted cursor file: a fresh loop re-seeds from the view's own
+    # high-water mark — no skip, no double-apply.
+    os.remove(cpath)
+    base.append(_df(spark, [(5, "b", 1, 1.50)]))
+    cur2 = ChangeFeedCursor(base, cpath, start_version=view.last_refreshed_version())
+    view.catch_up_cursor(cur2, spark)
+    _assert_view_matches_base(spark, base, view)
+
+
+def test_streaming_rollup_loop_through_cursor(spark, tmp_path):
+    """StreamingRollupLoop with cursor_path: ingest + IVM resume through
+    the shared cursor; a retried batch stays exactly-once."""
+    from telecom_dataengineering_pipeline_spark.operators.matview import (
+        StreamingRollupLoop,
+    )
+
+    base, rollup = _mk(spark, tmp_path)
+    loop = StreamingRollupLoop(base, rollup, cursor_path=str(tmp_path / "c.json"))
+    loop.process_batch(_df(spark, [(1, "a", 1, 10.00), (2, "b", 1, 4.00)]), 0)
+    loop.process_batch(_df(spark, [(3, "a", 1, 6.00)]), 1)
+    _assert_view_matches_base(spark, base, rollup)
+    # retried batch: append no-ops by txn id, cursor has nothing to poll
+    loop.process_batch(_df(spark, [(3, "a", 1, 6.00)]), 1)
+    _assert_view_matches_base(spark, base, rollup)
+    assert base.version() == 1
+    # out-of-band base commit folds through the cursor on the next batch
+    base.append(_df(spark, [(6, "a", 1, 100.00)]))
+    loop.process_batch(_df(spark, [(7, "d", 1, 0.25)]), 2)
+    _assert_view_matches_base(spark, base, rollup)

@@ -101,6 +101,12 @@ def test_new_registrations_inside_driver_window():
         "hll_set_ops_users",
         "lpa_copurchase_communities",
         "cdf_replica_apply",
+        "holt_forecast_nation_revenue",
+        "event_transition_matrix",
+        "customer_rfm_segments",
+        "txnlog_generated_columns",
+        "txnlog_partition_evolution",
+        "matview_cursor_refresh",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"

@@ -508,3 +508,122 @@ def test_txnlog_dml_with_renames_matches_dict_model(spark, tmp_path_factory, ops
             model, vname = dict(history[target][0]), history[target][1]
         history[t.version()] = (dict(model), vname)
         check()
+
+
+# Extend the model with the MAINTENANCE surface: checkpoint (+ restart),
+# expire_log, shallow clone, vacuum(0), interleaved with the full DML
+# family. The interactions most likely to hide a resurrection bug —
+# restore-across-expiry (the restore target set shrinks to retained
+# versions), clone-of-a-checkpointed-table, vacuum-right-after-clone —
+# all occur under random interleavings, and the table is re-read against
+# the dict model after every action. checkpoint swaps in a FRESH instance
+# so reconstruction-from-checkpoint itself is model-checked.
+
+_maint_op = st.one_of(
+    st.tuples(st.just("append"), st.lists(st.tuples(st.integers(0, 9), _val), min_size=1, max_size=4)),
+    st.tuples(st.just("delete_mor"), st.integers(0, 9)),
+    st.tuples(st.just("update_mor"), st.integers(0, 9), st.integers(1, 5)),
+    st.tuples(st.just("merge_mor"), st.lists(st.tuples(st.integers(0, 9), _val), min_size=1, max_size=3)),
+    st.tuples(st.just("optimize")),
+    st.tuples(st.just("restore"), st.integers(1, 3)),
+    st.tuples(st.just("checkpoint")),
+    st.tuples(st.just("expire")),
+    st.tuples(st.just("clone")),
+    st.tuples(st.just("vacuum")),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_maint_op, min_size=2, max_size=6))
+def test_txnlog_maintenance_sequences_match_dict_model(spark, tmp_path_factory, ops):
+    from telecom_dataengineering_pipeline_spark.sources.txnlog import TxnLogTable
+
+    root = tmp_path_factory.mktemp("maintseq")
+    path = str(root / "t")
+    t = TxnLogTable(path, stat_cols=("k",), checkpoint_interval=0)
+    model = {k: 0 for k in range(5)}
+    t.create_or_replace(
+        spark.createDataFrame(sorted(model.items()), "k long, v long").coalesce(2)
+    )
+    history = {t.version(): dict(model)}
+    clones = 0
+
+    def check():
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert got == model
+
+    for op in ops:
+        kind = op[0]
+        if kind == "append":
+            fresh = list({k: (k, v) for k, v in op[1] if k not in model}.values())
+            if not fresh:
+                continue
+            t.append(spark.createDataFrame(fresh, "k long, v long"))
+            model.update(dict(fresh))
+        elif kind == "delete_mor":
+            v0 = t.version()
+            t.delete_where_mor(spark, [("k", "=", op[1])])
+            model.pop(op[1], None)
+            if t.version() == v0:
+                check()
+                continue
+        elif kind == "update_mor":
+            v0 = t.version()
+            t.update_where_mor(spark, [("k", "=", op[1])], {"v": F.col("v") + op[2]})
+            if op[1] in model:
+                model[op[1]] += op[2]
+            if t.version() == v0:
+                check()
+                continue
+        elif kind == "merge_mor":
+            src = list({k: (k, v) for k, v in op[1]}.values())
+            t.merge_keep_latest_mor(
+                spark,
+                spark.createDataFrame(src, "k long, v long"),
+                keys=("k",),
+                order_by=[F.col("v").desc()],
+            )
+            for k, v in src:
+                model[k] = max(model.get(k, v), v)
+        elif kind == "optimize":
+            t.optimize(spark, target_files=1)
+        elif kind == "restore":
+            candidates = sorted(history)
+            target = candidates[max(0, len(candidates) - 1 - op[1])]
+            t.restore(target)
+            model = dict(history[target])
+        elif kind == "checkpoint":
+            t.checkpoint()
+            # restart: reconstruction must go through the checkpoint
+            t = TxnLogTable(path, stat_cols=("k",), checkpoint_interval=0)
+        elif kind == "expire":
+            t.checkpoint()
+            expired = set(t.expire_log())
+            # restore-across-expiry: expired versions leave the candidate
+            # set — restoring to them is no longer possible, to the
+            # retained ones it still must be exact.
+            for v in expired:
+                history.pop(v, None)
+        elif kind == "clone":
+            clones += 1
+            c = t.clone_shallow(str(root / f"clone{clones}"))
+            got = {r["k"]: r["v"] for r in c.read(spark).collect()}
+            assert got == model
+            # vacuum-right-after-clone (no intervening source commits):
+            # every file the clone references is still live in the source
+            # snapshot, so source vacuum must not break the clone.
+            t.vacuum(0.0)
+            got = {r["k"]: r["v"] for r in c.read(spark).collect()}
+            assert got == model
+            history = {t.version(): dict(model)}
+        elif kind == "vacuum":
+            t.vacuum(0.0)
+            # aggressive vacuum sacrifices time travel: only the current
+            # version remains a valid restore target.
+            history = {t.version(): dict(model)}
+        history[t.version()] = dict(model)
+        check()

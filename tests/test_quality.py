@@ -102,3 +102,29 @@ def test_psi_drift_detects_distribution_shift(spark):
     # Deterministic across runs (pure column arithmetic, no sampling).
     r3 = psi_drift(ref, shifted, "v").collect()[0]
     assert r2["psi"] == r3["psi"]
+
+
+def test_holt_linear_hand_computed(spark):
+    """Textbook Holt chain on a 3-step series, alpha=beta=0.5:
+    x=[1,2,4] -> l0=1, b0=1; l1=.5*2+.5*2=2, b1=.5*1+.5*1=1;
+    l2=.5*4+.5*3=3.5, b2=.5*1.5+.5*1=1.25; forecast h = l2+h*b2."""
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.operators.trend import holt_linear
+
+    df = spark.createDataFrame(
+        [("k", "s0", 1.0), ("k", "s1", 2.0), ("k", "s2", 4.0),
+         ("gap", "s0", 1.0), ("gap", "s2", 3.0)],  # missing s1 counts as 0
+        "key STRING, step STRING, x DOUBLE",
+    )
+    out = holt_linear(df, ["key"], "step", "x", ["s0", "s1", "s2"], horizon=2)
+    rows = {(r["key"], r["h"]): r for r in out.collect()}
+    assert rows[("k", 1)]["level"] == 3.5
+    assert rows[("k", 1)]["trend"] == 1.25
+    assert rows[("k", 1)]["forecast"] == 4.75
+    assert rows[("k", 2)]["forecast"] == 6.0
+    # gap series: x=[1,0,3] -> l0=1,b0=-1; l1=0.5*0+0.5*0=0, b1=.5*(-1)+.5*(-1)=-1
+    # l2=.5*3+.5*(0-1)=1, b2=.5*(1-0)+.5*(-1)=0 -> forecast = 1
+    assert rows[("gap", 1)]["forecast"] == 1.0
+    with __import__("pytest").raises(ValueError):
+        holt_linear(df, ["key"], "step", "x", ["s0"])

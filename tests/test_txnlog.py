@@ -936,3 +936,20 @@ def test_restore_rolls_back_constraints(spark, tmp_path):
     t2.restore(0)
     assert t2.version() == v_before + 1
     assert t2.constraints() == {}
+
+
+def test_commit_cache_lru_bounded(spark, tmp_path):
+    """A long-lived driver scanning many versions keeps O(cap) parsed
+    commits in memory, evicting least-recently-touched first."""
+    t = TxnLogTable(str(tmp_path / "lru"), checkpoint_interval=0)
+    t.create_or_replace(_df(spark, [(1, "a", 1)]).coalesce(1))
+    for i in range(7):
+        t.append(_df(spark, [(10 + i, "x", 1)]).coalesce(1))
+    fresh = TxnLogTable(str(tmp_path / "lru"), checkpoint_interval=0)
+    fresh._commit_cache_cap = 4
+    fresh.history()  # touches every version
+    assert len(fresh._commit_cache) <= 4
+    # Most-recent touches survive; reads still work for evicted versions.
+    assert 0 not in fresh._commit_cache
+    assert fresh._read_commit(0)["operation"] == "create_or_replace"
+    assert {r["id"] for r in fresh.read(spark, version=1).collect()} == {1, 10}
