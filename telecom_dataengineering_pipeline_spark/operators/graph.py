@@ -207,7 +207,52 @@ def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
         winner = votes.groupBy("n").agg(
             F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("w")
         )
+        # Each round references `labels` twice (edge join + self-vote
+        # union): the lazy checkpoint keeps the unrolled plan linear in
+        # rounds instead of doubling per round (same discipline as
+        # k_core; at 2 rounds it is cosmetic, at 10 it is the difference
+        # between a plan and a 2^10 analysis blowup).
         labels = nodes.join(winner, nodes["node"] == winner["n"], "left").select(
             "node", F.coalesce(F.col("w.label"), F.col("node")).alias("label")
-        )
+        ).localCheckpoint(eager=False)
     return labels
+
+
+def k_core(edges: DataFrame, k: int, rounds: int = 10) -> DataFrame:
+    """Nodes of the k-core (maximal subgraph where every node has degree
+    ≥ k) by synchronous peeling: each round drops nodes whose degree in
+    the SURVIVING subgraph is < k, together with their edges. Peeling is
+    monotone (the survivor set only shrinks), so a fixed ``rounds``
+    unrolls into one lazy plan like the PageRank/LPA loops — each round
+    is one map-side-combined degree count + two semi-joins, nothing
+    collects. ``rounds`` bounds the cascade depth; on fixture graphs the
+    set stabilizes in a handful of rounds (tests pin convergence), and a
+    production caller sizes it like an iteration budget.
+
+    ``edges``: undirected distinct pairs (u, v). Returns (node,) rows.
+    """
+    if k < 1:
+        raise ValueError("k-core needs k >= 1")
+    e = edges.select("u", "v")
+    surviving = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        deg = (
+            surviving.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("u")
+        )
+        # Each round references `surviving` twice (degree side + join
+        # side): without a lineage cut the logical plan DOUBLES per round
+        # — 2^rounds analysis blowup. The lazy checkpoint makes each
+        # round's plan reference the previous round once, keeping plan
+        # size (and Catalyst time) linear in rounds, same discipline as
+        # the PageRank/LPA loops.
+        surviving = (
+            surviving.join(deg, "u", "left_semi")
+            .join(deg.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return surviving.select(F.col("u").alias("node")).distinct()

@@ -191,3 +191,36 @@ def holt_linear_oracle_sql(
         f"FROM sb{T-1} CROSS JOIN (SELECT unnest([{hs}]) AS h)"
     )
     return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+def seasonal_index(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    season_col: str,
+    value_col: str,
+    decimal_type: str = "decimal(38,6)",
+) -> DataFrame:
+    """Multiplicative seasonality profile: per (key, season) the ratio of
+    the season's mean value to the key's overall mean — the classical
+    seasonal index every demand-planning rollup starts from (index > 1:
+    the season runs hot). Two map-side-combined aggregates; means derive
+    from exact DECIMAL sums and the ratio applies one double division at
+    the end, so the index is engine-exact. Returns
+    ``(*key_cols, season, n, seasonal_index)``."""
+    v = F.col(value_col).cast(decimal_type)
+    per = df.groupBy(*key_cols, F.col(season_col).alias("season")).agg(
+        F.sum(v).alias("_s_sum"), F.count(value_col).alias("_s_n")
+    )
+    tot = df.groupBy(*key_cols).agg(
+        F.sum(v).alias("_t_sum"), F.count(value_col).alias("_t_n")
+    )
+    joined = per.join(tot, list(key_cols))
+    idx = (F.col("_s_sum").cast("double") / F.col("_s_n")) / (
+        F.col("_t_sum").cast("double") / F.col("_t_n")
+    )
+    return joined.select(
+        *key_cols,
+        "season",
+        F.col("_s_n").cast("long").alias("n"),
+        F.round(idx, 6).alias("seasonal_index"),
+    )

@@ -279,3 +279,55 @@ def psi_drift(
         .otherwise("major_shift")
     )
     return out.select("psi", "n_ref", "n_cur", status.alias("status"))
+
+
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-data / unit-mixing screen for financial columns.
+    One map-side-combined count over 9 cells; the expected shares
+    log10(1 + 1/d) are embedded as Python-computed literals so both
+    engines compare against the IDENTICAL doubles. Only strictly
+    positive values have a first significant digit; the rest are
+    excluded (their count is visible as n_total − Σn).
+
+    Returns 9 rows: (digit, n, share, expected, deviation) with share
+    and deviation rounded to 6 — plus the caller can sum |deviation| for
+    a single MAD score (kept per-digit here because the monitor rollup
+    wants to SEE which digit is off)."""
+    import math
+
+    v = F.col(value_col).cast("double")
+    # first significant digit of v > 0: shift the decimal point so the
+    # value lands in [1, 10) and truncate — pure column arithmetic
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    counts = (
+        df.filter(v > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("_t"))
+    # All 9 digits present even when a digit never occurs (its absence IS
+    # the signal): a tiny literal spine outer-joins the observed counts.
+    spine = counts.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    expected = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        expected = F.when(F.col("digit") == d, F.lit(math.log10(1 + 1 / d))).otherwise(
+            expected
+        )
+    return (
+        spine.join(counts, "digit", "left")
+        .na.fill({"n": 0})
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_t"), 6).alias("share"),
+            F.round(expected, 6).alias("expected_share"),
+            F.round(
+                F.col("n").cast("double") / F.col("_t") - expected, 6
+            ).alias("deviation"),
+        )
+    )

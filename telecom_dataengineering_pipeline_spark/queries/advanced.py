@@ -861,12 +861,16 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("dst"),
     ).filter(F.col("dst").isNotNull())
     pairs = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    tot = pairs.groupBy("src").agg(F.sum("n").cast("long").alias("t"))
-    return pairs.join(F.broadcast(tot), "src").select(
+    # Row normalization as a window sum over the (src,dst)-grain pairs —
+    # NOT a groupBy+self-join, which would recompute the whole
+    # scan+window+aggregate pipeline for the totals side (Spark does not
+    # dedupe the shared subtree). One scan, three exchanges total.
+    t = F.sum("n").over(Window.partitionBy("src")).cast("long")
+    return pairs.select(
         "src",
         "dst",
         "n",
-        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p_transition"),
+        F.round(F.col("n").cast("double") / t, 6).alias("p_transition"),
     )
 
 
@@ -903,7 +907,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile RFM scores per ordering customer. The ntile windows run
     over the CUSTOMER grain (post-aggregate — orders of magnitude smaller
     than the fact table); each ordering carries the custkey tie-break so
-    quartile boundaries are deterministic in both engines."""
+    quartile boundaries are deterministic in both engines.
+
+    Scale note: a global ntile is a single-partition window — fine for
+    the dimension-sized grain here, the wrong tool past ~10M keys. The
+    100 TB swap (same output contract, approximate boundaries): compute
+    the three quartile cut values per metric with approx_percentile (one
+    scalar aggregate), broadcast them, and score by comparison — zero
+    global windows, boundaries off by at most the sketch error instead
+    of exact equal-count buckets."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")

@@ -315,3 +315,31 @@ def test_tpch_fill_plan_shapes(spark, sf_smoke):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Scan parquet") <= 3  # lineitem read ONCE, not 3x
     assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_holt_forecast_single_shuffle_no_window(spark, sf_smoke):
+    """The 12-step Holt recurrence folds into post-aggregate projections:
+    one agg exchange, dims broadcast, no window operator anywhere."""
+    plan = _physical(spark, "holt_forecast_nation_revenue", sf_smoke)
+    assert _n_shuffles(plan) == 1
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation
+    assert "Window" not in plan
+    assert "Generate explode" in plan  # horizon rows generated, not unioned
+
+
+def test_transition_matrix_single_scan_three_exchanges(spark, sf_smoke):
+    """Row normalization is a window over the (src,dst) grain — NOT a
+    totals self-join, which would recompute the whole scan+lead pipeline
+    (Spark does not dedupe shared subtrees)."""
+    plan = _physical(spark, "event_transition_matrix", sf_smoke)
+    assert plan.count("FileScan") == 1  # one events scan, not two
+    assert _n_shuffles(plan) <= 3  # user window + pair agg + src window
+
+
+def test_rfm_windows_over_post_aggregate_grain(spark, sf_smoke):
+    """The ntile windows run AFTER the customer-grain aggregate: exactly
+    one fact-side hash exchange; the global windows share one
+    SinglePartition exchange over the dimension-sized grain."""
+    plan = _physical(spark, "customer_rfm_segments", sf_smoke)
+    assert _n_shuffles(plan) == 1
+    assert plan.count("Exchange SinglePartition") == 1

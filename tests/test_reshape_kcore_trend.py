@@ -1,0 +1,82 @@
+"""Round-5 tests-only tier (queued for the round-6 driver window, same
+pattern round 4 used): k-core peeling, seasonal index, Benford profile,
+melt/unpivot."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_k_core_clique_with_pendant_chain(spark):
+    from telecom_dataengineering_pipeline_spark.operators.graph import k_core
+
+    # 4-clique (every node degree 3) + chain 3-10-11-12 hanging off it:
+    # the chain peels away under k=3 in cascading rounds.
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "u long, v long")
+    core3 = sorted(r["node"] for r in k_core(edges, k=3).collect())
+    assert core3 == [0, 1, 2, 3]
+    # k=2: the chain still peels (its ends have degree 1), clique stays
+    core2 = sorted(r["node"] for r in k_core(edges, k=2).collect())
+    assert core2 == [0, 1, 2, 3]
+    # k=1 keeps everything; convergence: more rounds change nothing
+    assert sorted(r["node"] for r in k_core(edges, k=1).collect()) == [
+        0, 1, 2, 3, 10, 11, 12,
+    ]
+    a = sorted(r["node"] for r in k_core(edges, k=3, rounds=10).collect())
+    b = sorted(r["node"] for r in k_core(edges, k=3, rounds=15).collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        k_core(edges, k=0)
+
+
+def test_seasonal_index_hand_computed(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import seasonal_index
+
+    df = spark.createDataFrame(
+        [("a", "s1", 2.0), ("a", "s1", 4.0), ("a", "s2", 9.0),
+         ("b", "s1", 5.0), ("b", "s2", 5.0)],
+        "k STRING, season STRING, v DOUBLE",
+    )
+    rows = {(r["k"], r["season"]): r for r in seasonal_index(df, ["k"], "season", "v").collect()}
+    assert rows[("a", "s1")]["seasonal_index"] == 0.6  # mean 3 / overall 5
+    assert rows[("a", "s2")]["seasonal_index"] == 1.8  # mean 9 / overall 5
+    assert rows[("a", "s1")]["n"] == 2
+    assert rows[("b", "s1")]["seasonal_index"] == 1.0  # flat series
+
+
+def test_benford_profile_digits_and_exclusions(spark):
+    import math
+
+    from telecom_dataengineering_pipeline_spark.quality.monitors import benford_profile
+
+    df = spark.createDataFrame(
+        [(1.0,), (1.5,), (19.0,), (0.0,), (-5.0,), (200.0,), (9000.0,), (None,)],
+        "v DOUBLE",
+    )
+    rows = {r["digit"]: r for r in benford_profile(df, "v").collect()}
+    assert len(rows) == 9  # every digit present, absent ones n=0
+    assert rows[1]["n"] == 3 and rows[2]["n"] == 1 and rows[9]["n"] == 1
+    assert rows[5]["n"] == 0  # -5 excluded: no first significant digit
+    assert rows[1]["share"] == 0.6
+    assert rows[1]["expected_share"] == round(math.log10(2), 6)
+    assert rows[3]["deviation"] == -rows[3]["expected_share"]
+
+
+def test_melt_wide_to_long(spark):
+    from telecom_dataengineering_pipeline_spark.operators.reshape import melt
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 3, None), (2, 20.5, 4, 7.0)],
+        "id LONG, a DOUBLE, b INT, c DOUBLE",
+    )
+    out = melt(df, ["id"], ["a", "b", "c"])
+    assert out.columns == ["id", "metric", "value"]
+    got = {(r["id"], r["metric"]): r["value"] for r in out.collect()}
+    assert len(got) == 6
+    assert got[(1, "a")] == 10.0 and got[(1, "b")] == 3.0  # int cast double
+    assert got[(1, "c")] is None  # NULL melts as NULL, row kept
+    with pytest.raises(ValueError):
+        melt(df, ["id"], [])
