@@ -77,3 +77,42 @@ def fuzzy_prefix_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def entity_resolution_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 40,
+    band_width: int = 100,
+    max_dist: int = 2,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Entity resolution end to end: blocked fuzzy candidate pairs
+    (first-token × length-band blocking, JVM Levenshtein verify on
+    candidates only) → transitive closure via min-label connected
+    components → one ``cluster_id`` per record (the cluster's minimum
+    id; records with no fuzzy neighbor form singleton clusters of
+    themselves). The record-linkage composition every dedup/householding
+    pipeline runs: A≈B and B≈C land A, B, C in ONE cluster even when A
+    and C are farther than ``max_dist`` apart — the closure is the point.
+
+    Scale shape: inherits the pair stage's no-all-pairs guarantee
+    (equi-join on block keys, candidates-only verification) and CC's
+    label-propagation cost (O(component diameter) rounds, labels
+    node-sized, only per-round change counts reach the driver)."""
+    from .dedup import connected_dup_groups
+
+    pairs = fuzzy_prefix_pairs(
+        df, text_col, id_col, prefix_len, band_width, max_dist
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("doc1"), F.col("id_b").alias("doc2")
+    )
+    groups = connected_dup_groups(edges, max_iters).withColumnRenamed(
+        "doc_id", id_col
+    )
+    return df.join(groups, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("group_id"), F.col(id_col)).alias("cluster_id"),
+    )

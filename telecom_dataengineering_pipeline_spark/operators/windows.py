@@ -54,3 +54,44 @@ def sliding_count_by_time(
         .rangeBetween(-(window_seconds * 1_000_000 - 1), 0)
     )
     return df.withColumn(count_col, F.count(F.lit(1)).over(w))
+
+
+def quantile_bucket_scores(
+    df,
+    metric_cols,
+    k: int = 4,
+    accuracy: int = 10000,
+    suffix: str = "_bucket",
+):
+    """Quantile bucket (quartile/decile) scores WITHOUT a global window —
+    the 100 TB replacement for ``ntile(k) OVER (ORDER BY metric)``, which
+    funnels every row through one partition. One scalar aggregate
+    computes k−1 approx-percentile cutoffs per metric, broadcasts the
+    single cutoff row, and assigns buckets by comparison: zero global
+    sorts, zero single-partition exchanges, cost = one extra map stage.
+
+    The trade (stated, not hidden): boundaries come from a sketch
+    (``accuracy`` trades memory for error), so bucket POPULATIONS are
+    approximately equal instead of exactly equal, and ties land in one
+    bucket together instead of splitting. Ascending convention: bucket 1
+    holds the smallest values; NULL metrics get NULL buckets."""
+    from pyspark.sql import functions as F
+
+    probs = [i / k for i in range(1, k)]
+    cuts = df.agg(
+        *[
+            F.percentile_approx(
+                F.col(c), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+            ).alias(f"__cuts_{c}")
+            for c in metric_cols
+        ]
+    )
+    out = df.crossJoin(F.broadcast(cuts))
+    for c in metric_cols:
+        b = F.lit(1)
+        for i in range(1, k):
+            b = b + (F.col(c) > F.element_at(F.col(f"__cuts_{c}"), i)).cast("int")
+        out = out.withColumn(
+            f"{c}{suffix}", F.when(F.col(c).isNotNull(), b).cast("int")
+        )
+    return out.drop(*[f"__cuts_{c}" for c in metric_cols])

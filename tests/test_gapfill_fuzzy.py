@@ -104,3 +104,32 @@ def test_wma_exact_and_out_of_sample(spark):
     # d6 baseline = .4·100 + .3·10 + .2·10 + .1·10 = 46.00 exactly.
     assert float(out["d6"]["wma"]) == 46.0
     assert out["d6"]["is_drop"] and not out["d6"]["is_spike"]
+
+
+def test_entity_resolution_transitive_clusters(spark):
+    """A≈B (1 edit) and B≈C (1 edit) cluster A,B,C together even though
+    A and C are 2 edits apart and max_dist=1; unrelated entities stay
+    apart; no-neighbor records form singleton clusters."""
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.llmprep.fuzzy import (
+        entity_resolution_clusters,
+    )
+
+    rows = [
+        (1, "acme corporation ltd"),
+        (2, "acme corporatian ltd"),   # 1 edit from 1
+        (3, "acme corporatian ltd."),  # 1 edit from 2, 2 edits from 1
+        (4, "globex industries"),
+        (5, "globex industrias"),      # 1 edit from 4
+        (6, "initech"),                # singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in entity_resolution_clusters(df, max_dist=1).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1  # transitive closure, min id
+    assert got[4] == got[5] == 4
+    assert got[6] == 6  # singleton keeps its own id
+    assert got[1] != got[4] != got[6]

@@ -80,3 +80,35 @@ def test_melt_wide_to_long(spark):
     assert got[(1, "c")] is None  # NULL melts as NULL, row kept
     with pytest.raises(ValueError):
         melt(df, ["id"], [])
+
+
+def test_quantile_bucket_scores_no_global_window(spark):
+    """The scalable ntile replacement: quartile buckets from broadcast
+    sketch cutoffs — near-equal populations, no SinglePartition exchange
+    in the plan, NULLs pass through as NULL."""
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.operators.windows import (
+        quantile_bucket_scores,
+    )
+
+    df = spark.range(1, 101).select(F.col("id").cast("double").alias("m"))
+    df = df.unionAll(spark.sql("SELECT CAST(NULL AS DOUBLE) AS m"))
+    out = quantile_bucket_scores(df, ["m"], k=4)
+    rows = out.collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["m_bucket"], []).append(r["m"])
+    assert by_bucket[None] == [None]
+    sizes = {b: len(v) for b, v in by_bucket.items() if b is not None}
+    assert set(sizes) == {1, 2, 3, 4}
+    assert all(20 <= n <= 30 for n in sizes.values())  # near-equal
+    # ordering property: every bucket-1 value < every bucket-4 value
+    assert max(by_bucket[1]) < min(by_bucket[4])
+    # The whole point: no window operator and no global sort of the data
+    # rows anywhere in the plan. (A SinglePartition exchange still exists
+    # UNDER the scalar cutoff aggregate — it carries per-partition sketch
+    # partials, not data rows, which is exactly the acceptable shape.)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Sort [" not in plan
