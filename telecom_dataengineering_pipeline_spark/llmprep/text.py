@@ -14,7 +14,7 @@ oracle-checkable MinHash/SimHash.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -127,4 +127,49 @@ def predicted_lang(toks: Column) -> Column:
         .when(vde >= F.greatest(vfr, vzh), F.lit("de"))
         .when(vfr >= vzh, F.lit("fr"))
         .otherwise(F.lit("zh"))
+    )
+
+
+def boilerplate_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    max_symbol_ratio: float = 0.4,
+    keep_col: str = "clean_text",
+) -> DataFrame:
+    """Line-level boilerplate stripping (the C4/Trafilatura-style cleanup
+    pass): drop lines that are too short (< ``min_words`` words), carry
+    too many non-alphanumeric characters (symbol ratio > threshold — nav
+    bars, separators, ASCII art), or end without terminal punctuation
+    while being ALL-CAPS (headings/menus). The surviving lines rejoin in
+    their original order.
+
+    Pure higher-order array expressions over the split lines — no
+    explode/regroup round trip (which would shuffle |lines| rows and
+    need an order-restoring sort), no UDF: filter+transform run
+    element-wise inside whole-stage codegen, so the pass costs one map
+    stage at any scale. Adds ``clean_text`` plus kept/total line counts;
+    callers drop docs whose kept ratio collapses."""
+    lines = F.split(F.col(text_col), "\n")
+    words = lambda l: F.size(F.split(F.trim(l), r"\s+"))  # noqa: E731
+    sym = lambda l: (  # noqa: E731 - symbol ratio of a line
+        F.length(F.regexp_replace(l, r"[A-Za-z0-9\s]", ""))
+        / F.greatest(F.length(l), F.lit(1))
+    )
+    allcaps_heading = lambda l: (  # noqa: E731
+        (F.upper(l) == l) & ~F.trim(l).rlike(r"[.!?]$")
+    )
+    keep = lambda l: (  # noqa: E731
+        (words(l) >= min_words)
+        & (sym(l) <= max_symbol_ratio)
+        & ~allcaps_heading(l)
+    )
+    kept = F.filter(lines, keep)
+    return df.select(
+        id_col,
+        text_col,
+        F.array_join(kept, "\n").alias(keep_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
     )

@@ -112,3 +112,30 @@ def test_quantile_bucket_scores_no_global_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Sort [" not in plan
+
+
+def test_boilerplate_line_filter(spark):
+    """Short lines, symbol-heavy lines, and unpunctuated ALL-CAPS
+    headings drop; prose survives in original order; a fully-boilerplate
+    doc keeps an empty clean_text with honest counts."""
+    from telecom_dataengineering_pipeline_spark.llmprep.text import (
+        boilerplate_line_filter,
+    )
+
+    doc = "\n".join(
+        [
+            "HOME | ABOUT | CONTACT",            # nav: symbols + caps
+            "====================",               # separator: symbol ratio
+            "This is the first real sentence.",   # keep
+            "ok",                                 # too short
+            "And here is another good line too.", # keep
+            "COOKIE NOTICE",                      # all-caps heading, no punct
+        ]
+    )
+    df = spark.createDataFrame([(1, doc), (2, "***\n##\nNAV")], "doc_id LONG, text STRING")
+    rows = {r["doc_id"]: r for r in boilerplate_line_filter(df).collect()}
+    assert rows[1]["clean_text"] == (
+        "This is the first real sentence.\nAnd here is another good line too."
+    )
+    assert (rows[1]["n_lines"], rows[1]["n_kept"]) == (6, 2)
+    assert rows[2]["clean_text"] == "" and rows[2]["n_kept"] == 0
