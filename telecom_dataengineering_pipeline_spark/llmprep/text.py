@@ -133,7 +133,6 @@ def predicted_lang(toks: Column) -> Column:
 def boilerplate_line_filter(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     min_words: int = 3,
     max_symbol_ratio: float = 0.4,
     keep_col: str = "clean_text",
@@ -149,8 +148,9 @@ def boilerplate_line_filter(
     explode/regroup round trip (which would shuffle |lines| rows and
     need an order-restoring sort), no UDF: filter+transform run
     element-wise inside whole-stage codegen, so the pass costs one map
-    stage at any scale. Adds ``clean_text`` plus kept/total line counts;
-    callers drop docs whose kept ratio collapses."""
+    stage at any scale. Every input column passes through untouched, with
+    ``clean_text`` plus kept/total line counts added; callers drop docs
+    whose kept ratio collapses."""
     lines = F.split(F.col(text_col), "\n")
     words = lambda l: F.size(F.split(F.trim(l), r"\s+"))  # noqa: E731
     sym = lambda l: (  # noqa: E731 - symbol ratio of a line
@@ -167,8 +167,7 @@ def boilerplate_line_filter(
     )
     kept = F.filter(lines, keep)
     return df.select(
-        id_col,
-        text_col,
+        "*",
         F.array_join(kept, "\n").alias(keep_col),
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"),

@@ -29,10 +29,18 @@ def melt(
     that whole-stage codegen fuses, and pins the cast rule."""
     if not value_cols:
         raise ValueError("melt needs at least one value column")
+
+    def _lit(s: str) -> str:  # SQL string literal, quotes escaped
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    def _ident(s: str) -> str:  # backtick-quoted identifier
+        return "`" + s.replace("`", "``") + "`"
+
     pairs = ", ".join(
-        f"'{c}', CAST({c} AS {value_type})" for c in value_cols
+        f"{_lit(c)}, CAST({_ident(c)} AS {value_type})" for c in value_cols
     )
     stacked = F.expr(
-        f"stack({len(value_cols)}, {pairs}) AS ({var_name}, {value_name})"
+        f"stack({len(value_cols)}, {pairs}) "
+        f"AS ({_ident(var_name)}, {_ident(value_name)})"
     )
     return df.select(*id_cols, stacked)

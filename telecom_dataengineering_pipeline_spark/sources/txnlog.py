@@ -1626,6 +1626,7 @@ class TxnLogTable:
                         or c.get("colmap") is not None
                         or c.get("dropped") is not None
                         or c.get("generated") is not None
+                        or c.get("clustering") is not None
                     ]
                     if intervening:
                         raise CommitConflict(
@@ -1659,16 +1660,29 @@ class TxnLogTable:
                             "deletion vectors added by a concurrent commit "
                             f"on files this rewrite read: {hit[:3]}"
                         )
-                elif operation in ("append", "drop_constraint"):
-                    # Constraints are replace-semantics metadata: an append
-                    # validated its rows against the constraint set it READ
-                    # — a concurrent ADD CONSTRAINT means those rows were
-                    # never checked against the now-active predicate, so the
-                    # append must not publish past it (Delta fails the txn
-                    # on metadata change). A DROP likewise must not clobber
-                    # a concurrently-replaced set. Both callers catch the
-                    # conflict, re-read, re-validate, and retry — file-set
-                    # changes still never conflict an append.
+                elif operation in (
+                    "append",
+                    "drop_constraint",
+                    "drop_generated",
+                    "set_clustering",
+                ):
+                    # Replace-semantics metadata races: an append validated
+                    # its rows against the constraint/generated set it READ
+                    # — a concurrent ADD means those rows were never checked
+                    # against the now-active rule, so the append must not
+                    # publish past it (Delta fails the txn on metadata
+                    # change). A constraint/generated-rule DROP likewise
+                    # must not clobber a concurrently-replaced set, and a
+                    # clustering change must not publish a spec validated
+                    # against a schema a concurrent rename/drop replaced.
+                    # All callers catch the conflict, re-read, re-validate,
+                    # and retry — file-set changes still never conflict.
+                    keys = {
+                        "append": ("constraints", "generated"),
+                        "drop_constraint": ("constraints",),
+                        "drop_generated": ("generated",),
+                        "set_clustering": ("colmap", "dropped", "clustering"),
+                    }[operation]
                     intervening = [
                         c
                         for c in (
@@ -1676,15 +1690,14 @@ class TxnLogTable:
                             for iv in self._versions()
                             if iv > read_version
                         )
-                        if c.get("constraints") is not None
-                        or c.get("generated") is not None
+                        if any(c.get(k) is not None for k in keys)
+                        or (operation == "set_clustering" and c.get("schema") is not None)
                     ]
                     if intervening:
                         raise CommitConflict(
-                            f"{len(intervening)} commit(s) changed the "
-                            "constraint/generated-column set since version "
-                            f"{read_version}; re-validate against the fresh "
-                            "snapshot"
+                            f"{len(intervening)} commit(s) changed metadata "
+                            f"{keys} since version {read_version}; "
+                            "re-validate against the fresh snapshot"
                         )
             payload = {
                 "version": v,
@@ -1980,25 +1993,38 @@ class TxnLogTable:
         existing files keep their old layout untouched — pruning here is
         stats-based, never path-based, so mixing generations in one table
         is sound and the evolution costs one metadata commit, zero
-        rewrites. Pass ``[]`` to stop clustering."""
-        state = self._state()
-        schema = (
-            StructType.fromJson(json.loads(state["schema"]))
-            if state["schema"]
-            else None
-        )
-        if schema is None:
-            raise ValueError(f"no such table (empty log): {self.path}")
-        names = {f.name for f in schema.fields}
-        missing = [c for c in cols if c not in names]
-        if missing:
-            raise ValueError(f"no such column(s): {missing}")
-        return self.commit(
-            adds=[],
-            removes=[],
-            operation="set_clustering",
-            clustering=list(cols),
-        )
+        rewrites. Pass ``[]`` to stop clustering.
+
+        Conflict-checked against concurrent renames/drops/spec changes:
+        the spec's column names were validated against a snapshot's
+        schema, so an intervening schema/mapping commit forces
+        re-validation (publishing blind could pin a spec naming a column
+        that no longer exists — every later clustered write would then
+        fail)."""
+        while True:
+            rv = self.version()
+            state = self._state(rv)
+            schema = (
+                StructType.fromJson(json.loads(state["schema"]))
+                if state["schema"]
+                else None
+            )
+            if schema is None:
+                raise ValueError(f"no such table (empty log): {self.path}")
+            names = {f.name for f in schema.fields}
+            missing = [c for c in cols if c not in names]
+            if missing:
+                raise ValueError(f"no such column(s): {missing}")
+            try:
+                return self.commit(
+                    adds=[],
+                    removes=[],
+                    operation="set_clustering",
+                    clustering=list(cols),
+                    read_version=rv,
+                )
+            except CommitConflict:
+                continue  # schema/mapping moved: re-validate the spec
 
     def clustering(self) -> list:
         """The clustering spec new files are written under."""
@@ -2007,7 +2033,7 @@ class TxnLogTable:
     def create_or_replace(
         self,
         df: DataFrame,
-        cluster_by: Sequence[str] = (),
+        cluster_by: Sequence[str] | None = None,
         app_txn_id: str | None = None,
     ) -> int:
         """Full-snapshot replace: add the new file set, remove every
@@ -2015,14 +2041,21 @@ class TxnLogTable:
         columns, and the clustering spec survive the replace (table
         properties, not data); the incoming snapshot is validated/filled
         accordingly. An explicit ``cluster_by`` overrides the spec for
-        this write only."""
+        this write only — including an explicit ``[]``, which writes
+        unclustered (None means "use the table spec"; the distinction
+        matters when the replacement frame no longer has the spec's
+        columns)."""
         rv = self.version()
         cr_state = self._state(rv)
         df = self._apply_generated(df, cr_state)
         self._enforce_constraints(df, cr_state["constraints"])
-        adds, stats = self._write_data(
-            df, cluster_by or cr_state["clustering"]
-        )
+        spec = list(cluster_by) if cluster_by is not None else cr_state["clustering"]
+        # A replace may change the schema freely: a surviving spec whose
+        # columns the new frame lacks degrades to unclustered instead of
+        # crashing the repartition (the spec itself stays in metadata for
+        # frames that do carry the columns).
+        spec = [c for c in spec if c in df.columns]
+        adds, stats = self._write_data(df, spec)
         return self.commit(
             adds=adds,
             removes=self.snapshot_files(),
@@ -2033,8 +2066,14 @@ class TxnLogTable:
             stats=stats,
             # A full rewrite replaces every file, so the column mapping and
             # the dropped-name tombstones reset (nothing old to resurrect).
+            # The clustering spec survives but drops columns the new schema
+            # no longer carries — a later append must never crash on a spec
+            # naming a column the replace removed.
             colmap={},
             dropped=[],
+            clustering=[
+                c for c in cr_state["clustering"] if c in df.columns
+            ],
         )
 
     def append(self, df: DataFrame, app_txn_id: str | None = None) -> int:
@@ -2047,17 +2086,26 @@ class TxnLogTable:
         re-validates the same already-written files, and retries."""
         adds: list[str] | None = None
         stats: dict = {}
+        written_under: dict | None = None  # generated set the files encode
         while True:
             rv = self.version()
             a_state = self._state(rv)
             full = self._apply_generated(df, a_state)
             self._enforce_constraints(full, a_state["constraints"])
+            if adds is not None and written_under != a_state["generated"]:
+                # The files on disk were computed under a superseded
+                # generated-rule set: publishing them would store values
+                # that disagree with the now-active rules — rewrite.
+                # (The orphaned first-attempt files are never referenced
+                # by any commit; vacuum sweeps them.)
+                adds = None
             if adds is None:
                 adds, stats = self._write_data(
                     full,
                     cluster_by=a_state["clustering"],
                     colmap=a_state["colmap"],
                 )
+                written_under = dict(a_state["generated"])
             try:
                 return self.commit(
                     adds=adds,

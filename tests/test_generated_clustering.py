@@ -176,3 +176,123 @@ def test_clustering_spec_evolution_and_pruning(spark, tmp_path):
     # clone carries the spec
     c = t.clone_shallow(str(tmp_path / "tc_clone"))
     assert c.clustering() == ["id"]
+
+
+def test_drop_generated_rule_survives_concurrent_add(spark, tmp_path):
+    """Replace-semantics clobber guard (same class as drop_constraint):
+    a rule-drop built from a stale snapshot must conflict on a
+    concurrently-added rule instead of silently wiping it."""
+    t = _mk(spark, tmp_path)
+    t.set_generated_column(spark, "tag", "concat('a', cast(amount as string))")
+    rv = t.version()
+    # a second rule lands concurrently
+    t2 = TxnLogTable(str(tmp_path / "t"), stat_cols=("id",))
+    t2.set_generated_column(spark, "id", "id")  # self-rule: trivially valid
+    # commit-level: the stale drop conflicts
+    with pytest.raises(CommitConflict):
+        t.commit(
+            adds=[], removes=[], operation="drop_generated",
+            generated={}, read_version=rv,
+        )
+    # public API converges: drop 'tag', keep the concurrent 'id' rule
+    t.drop_generated_column_rule("tag")
+    assert list(t.generated_columns()) == ["id"]
+
+
+def test_set_clustering_conflicts_on_concurrent_rename(spark, tmp_path):
+    """A spec validated against a stale schema must not publish past a
+    rename: commit-level conflict; the API retry re-validates (and
+    errors loudly when the column is truly gone)."""
+    t = _mk(spark, tmp_path)
+    rv = t.version()
+    t.rename_column("amount", "amt")
+    with pytest.raises(CommitConflict):
+        t.commit(
+            adds=[], removes=[], operation="set_clustering",
+            clustering=["amount"], read_version=rv,
+        )
+    # and the reverse direction: rename conflicts on intervening spec
+    rv2 = t.version()
+    t.set_clustering(["amt"])
+    with pytest.raises(CommitConflict):
+        t.commit(
+            adds=[], removes=[], operation="rename_column",
+            schema_json=t.snapshot_schema().json(), colmap={},
+            read_version=rv2,
+        )
+
+
+def test_append_rewrites_when_generated_rules_change_mid_flight(spark, tmp_path):
+    """A generated rule landing between an append's file write and its
+    commit must not publish files computed under the superseded rule set
+    — the retry rewrites them under the fresh rules."""
+    path = str(tmp_path / "tr")
+    t = TxnLogTable(path)
+    t.create_or_replace(_df(spark, [(1, 10, "a10")]))
+    writer = TxnLogTable(path)
+    orig = writer._enforce_constraints
+    calls = {"n": 0}
+
+    def racy(df, constraints):
+        orig(df, constraints)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            TxnLogTable(path).set_generated_column(
+                spark, "tag", "concat('a', cast(amount as string))"
+            )
+
+    writer._enforce_constraints = racy
+    # the append OMITS tag values consistent with... nothing: the frame
+    # carries a WRONG tag for the new rule, so the retry must re-validate
+    # and reject (first attempt's files are never published)
+    with pytest.raises(ConstraintViolation):
+        writer.append(_df(spark, [(2, 20, "WRONG")]))
+    assert {r["id"] for r in t.read(spark).collect()} == {1}
+    # a full-schema frame whose values happen to satisfy the incoming
+    # rule: the first attempt's files were written under NO rules; the
+    # commit conflicts on the intervening rule, and the retry detects
+    # written_under != fresh generated set and REWRITES the files under
+    # the fresh rules before publishing (the rewrite branch itself).
+    path2 = str(tmp_path / "tr2")
+    t2 = TxnLogTable(path2)
+    t2.create_or_replace(_df(spark, [(1, 10, "b10")]))
+    writer2 = TxnLogTable(path2)
+    orig2 = writer2._enforce_constraints
+    calls2 = {"n": 0}
+
+    def racy2(df, constraints):
+        orig2(df, constraints)
+        calls2["n"] += 1
+        if calls2["n"] == 1:
+            TxnLogTable(path2).set_generated_column(
+                spark, "tag", "concat('b', cast(amount as string))"
+            )
+
+    writer2._enforce_constraints = racy2
+    writer2.append(_df(spark, [(3, 30, "b30")]))
+    assert calls2["n"] >= 2  # the retry really re-validated
+    got = {r["id"]: r["tag"] for r in t2.read(spark).collect()}
+    assert got == {1: "b10", 3: "b30"}
+    # and a frame that OMITS a still-unruled column fails the evolution
+    # guard loudly (retryable) rather than publishing a half-schema file
+    with pytest.raises(ValueError):
+        t2_w = TxnLogTable(path2)
+        t2_w.drop_generated_column_rule("tag")
+        t2_w.append(spark.createDataFrame([(4, 40)], "id long, amount long"))
+
+
+def test_create_or_replace_explicit_empty_cluster_and_spec_pruning(spark, tmp_path):
+    """cluster_by=[] overrides the table spec (unclustered write), and a
+    replace whose new schema lacks spec columns prunes the stored spec so
+    later appends cannot crash on a vanished column."""
+    t = TxnLogTable(str(tmp_path / "tcc"), stat_cols=("id",))
+    t.create_or_replace(_df(spark, [(1, 10, "x"), (2, 20, "y")]).coalesce(1))
+    t.set_clustering(["tag"])
+    # explicit [] must not fall back to the spec
+    t.create_or_replace(_df(spark, [(3, 30, "z")]), cluster_by=[])
+    assert t.clustering() == ["tag"]  # spec itself survives
+    # replace with a schema that DROPS the spec column: spec prunes
+    t.create_or_replace(spark.createDataFrame([(4, 40)], "id long, amount long"))
+    assert t.clustering() == []
+    t.append(spark.createDataFrame([(5, 50)], "id long, amount long"))
+    assert {r["id"] for r in t.read(spark).collect()} == {4, 5}

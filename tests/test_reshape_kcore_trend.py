@@ -139,3 +139,26 @@ def test_boilerplate_line_filter(spark):
     )
     assert (rows[1]["n_lines"], rows[1]["n_kept"]) == (6, 2)
     assert rows[2]["clean_text"] == "" and rows[2]["n_kept"] == 0
+
+
+def test_melt_quoted_identifiers_and_passthrough(spark):
+    """Columns with spaces/hyphens melt correctly (quoted identifiers and
+    escaped labels), and boilerplate_line_filter passes every input
+    column through."""
+    from telecom_dataengineering_pipeline_spark.llmprep.text import (
+        boilerplate_line_filter,
+    )
+    from telecom_dataengineering_pipeline_spark.operators.reshape import melt
+
+    df = spark.createDataFrame([(1, 2.0, 3.0)], ["id", "cpu usage", "mem-free"])
+    out = melt(df, ["id"], ["cpu usage", "mem-free"])
+    got = {r["metric"]: r["value"] for r in out.collect()}
+    assert got == {"cpu usage": 2.0, "mem-free": 3.0}
+
+    docs = spark.createDataFrame(
+        [(1, "A good long sentence right here.", "en", "u://x")],
+        "doc_id LONG, text STRING, lang STRING, source_url STRING",
+    )
+    row = boilerplate_line_filter(docs).collect()[0]
+    assert row["lang"] == "en" and row["source_url"] == "u://x"
+    assert row["clean_text"] == "A good long sentence right here."
