@@ -95,3 +95,71 @@ def quantile_bucket_scores(
             f"{c}{suffix}", F.when(F.col(c).isNotNull(), b).cast("int")
         )
     return out.drop(*[f"__cuts_{c}" for c in metric_cols])
+
+
+def sequence_funnel(
+    df,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    steps,
+    within_seconds: int | None = None,
+    tiebreak_col: str | None = None,
+):
+    """Deepest funnel step reached per user by an ORDERED subsequence of
+    events (ClickHouse ``windowFunnel`` semantics): step k+1 counts only
+    after step k matched, intervening other events are ignored, and with
+    ``within_seconds`` the whole chain must fit inside a window opened by
+    the step-1 match (greedy: the FIRST step-1 occurrence opens it).
+
+    Scale shape: events are pre-filtered to the step names (usually a
+    huge reduction), collapsed to one sorted per-user array in a single
+    map-side-combined aggregate, and the greedy state machine runs as a
+    higher-order ``aggregate`` over that array — per-user scalar state
+    (depth, window start), no window function, no UDF, one shuffle on
+    the user key. Ordering ties break on ``tiebreak_col`` (required
+    deterministic order inside equal timestamps; defaults to the event
+    name). Returns (user, funnel_depth, window_start_us)."""
+    from pyspark.sql import functions as F
+
+    if not steps:
+        raise ValueError("sequence_funnel needs at least one step")
+    tb = tiebreak_col or event_col
+    filtered = df.filter(F.col(event_col).isin(list(steps))).select(
+        F.col(user_col).alias("user"),
+        F.struct(
+            F.unix_micros(F.col(ts_col)).alias("us"),
+            F.col(tb).cast("string").alias("tb"),
+            F.col(event_col).alias("ev"),
+        ).alias("e"),
+    )
+    per_user = filtered.groupBy("user").agg(
+        F.sort_array(F.collect_list("e")).alias("evs")
+    )
+    # state: (depth, t0) — the chained whens advance depth when the next
+    # expected step arrives (and still fits the window for depth >= 1)
+    limit_us = None if within_seconds is None else within_seconds * 1_000_000
+    step_arr = F.array(*[F.lit(s) for s in steps])
+
+    def advance(acc, e):
+        expected = F.element_at(step_arr, acc["depth"] + 1)
+        fits = (
+            F.lit(True)
+            if limit_us is None
+            else (acc["depth"] == 0) | (e["us"] - acc["t0"] <= F.lit(limit_us))
+        )
+        matches = (acc["depth"] < len(steps)) & (e["ev"] == expected) & fits
+        return F.struct(
+            F.when(matches, acc["depth"] + 1).otherwise(acc["depth"]).alias("depth"),
+            F.when(matches & (acc["depth"] == 0), e["us"])
+            .otherwise(acc["t0"])
+            .alias("t0"),
+        )
+
+    init = F.struct(F.lit(0).alias("depth"), F.lit(0).cast("long").alias("t0"))
+    state = F.aggregate(F.col("evs"), init, advance)
+    return per_user.select(
+        F.col("user").alias(user_col),
+        state["depth"].cast("int").alias("funnel_depth"),
+        F.when(state["depth"] > 0, state["t0"]).alias("window_start_us"),
+    )

@@ -162,3 +162,50 @@ def test_melt_quoted_identifiers_and_passthrough(spark):
     row = boilerplate_line_filter(docs).collect()[0]
     assert row["lang"] == "en" and row["source_url"] == "u://x"
     assert row["clean_text"] == "A good long sentence right here."
+
+
+def test_sequence_funnel_ordered_window_semantics(spark):
+    """windowFunnel semantics: ordered subsequence with ignored noise,
+    out-of-order steps don't count, the time budget is anchored at the
+    first step-1 match, and a step-1-only user scores depth 1."""
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.operators.windows import (
+        sequence_funnel,
+    )
+
+    def t(s):
+        return f"2024-01-01 00:00:{s:02d}"
+
+    rows = [
+        # u1: full ordered funnel with noise between steps
+        (1, t(1), "click"), (1, t(2), "noise"), (1, t(3), "view"), (1, t(5), "buy"),
+        # u2: buy BEFORE view: depth stops at 2 (click, view)
+        (2, t(1), "click"), (2, t(2), "buy"), (2, t(3), "view"),
+        # u3: full funnel but 'buy' lands outside the 5s window from click
+        (3, t(1), "click"), (3, t(2), "view"), (3, t(30), "buy"),
+        # u4: never starts
+        (4, t(1), "view"), (4, t(2), "buy"),
+        # u5: only step 1
+        (5, t(9), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts_s STRING, event STRING").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event"
+    )
+    out = sequence_funnel(
+        df, "user_id", "ts", "event", ["click", "view", "buy"], within_seconds=5
+    )
+    got = {r["user_id"]: r["funnel_depth"] for r in out.collect()}
+    assert got[1] == 3
+    assert got[2] == 2  # order matters: early 'buy' ignored
+    assert got[3] == 2  # window expired before 'buy'
+    assert got[4] == 0  # present in events but never matched step 1
+    assert got[5] == 1
+    # unbounded window: u3 completes
+    out2 = sequence_funnel(df, "user_id", "ts", "event", ["click", "view", "buy"])
+    got2 = {r["user_id"]: r["funnel_depth"] for r in out2.collect()}
+    assert got2[3] == 3
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sequence_funnel(df, "user_id", "ts", "event", [])
