@@ -112,3 +112,32 @@ def weighted_sample_topk(
         .orderBy(F.col("priority").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def capped_sample_per_key(
+    df: DataFrame,
+    key_col: str,
+    n_per_key: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``n_per_key`` rows per key, chosen DETERMINISTICALLY
+    by hash priority — the domain-cap guard every web-scale corpus build
+    applies so no single source dominates the mixture (and the
+    per-entity cap under GDPR-style data-minimization budgets). No
+    ``rand()``: the priority is a salted hash of the row id, so reruns,
+    retries, and different partitionings all keep the SAME rows.
+
+    One partitioned window per key (keys are the partition — never a
+    global window) with a row_number cap; skewed giant keys are exactly
+    the rows being cut, and WindowGroupLimit pushes the top-n filter
+    map-side before the shuffle on modern Spark."""
+    if n_per_key < 1:
+        raise ValueError("capped_sample_per_key needs n_per_key >= 1")
+    pri = F.xxhash64(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(key_col).orderBy(pri.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_key)
+        .drop("_rn")
+    )

@@ -85,3 +85,33 @@ def test_connected_groups_star_on_deep_chain(spark):
     a = sorted((r["doc_id"], r["group_id"]) for r in connected_dup_groups(pairs).collect())
     b = sorted((r["doc_id"], r["group_id"]) for r in connected_dup_groups_star(pairs).collect())
     assert a == b
+
+
+def test_capped_sample_per_key_deterministic(spark):
+    """At most n rows survive per key, chosen by salted hash — identical
+    across reruns and partitionings, no rand() anywhere."""
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.llmprep.sampling import (
+        capped_sample_per_key,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(30)], "doc_id LONG, domain STRING"
+    )
+    out = capped_sample_per_key(df, "domain", 4)
+    rows = out.collect()
+    from collections import Counter
+
+    per = Counter(r["domain"] for r in rows)
+    assert per == {"d0": 4, "d1": 4, "d2": 4}
+    # deterministic across reruns AND different partitionings
+    again = capped_sample_per_key(df.repartition(7), "domain", 4).collect()
+    assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in again}
+    # a key under the cap keeps everything
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id LONG, domain STRING")
+    assert capped_sample_per_key(small, "domain", 4).count() == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        capped_sample_per_key(df, "domain", 0)
