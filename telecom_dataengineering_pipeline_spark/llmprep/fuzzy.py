@@ -24,7 +24,9 @@ blocks can be salted or capped exactly like the ``max_df`` guard in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -115,4 +117,37 @@ def entity_resolution_clusters(
     return df.join(groups, id_col, "left").select(
         id_col,
         F.coalesce(F.col("group_id"), F.col(id_col)).alias("cluster_id"),
+    )
+
+
+def survivorship_golden_records(
+    df: DataFrame,
+    cluster_col: str = "cluster_id",
+    completeness_cols: Sequence[str] = (),
+    recency_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Golden-record selection per entity cluster — the survivorship
+    policy that finishes a record-linkage pass: within each cluster keep
+    the record with (1) the most populated ``completeness_cols``, then
+    (2) the most recent ``recency_col``, then (3) the smallest id (a
+    total order, so the survivor is deterministic in any engine).
+
+    One partitioned window over the cluster key (clusters are small by
+    construction — never a global window); completeness is a pure column
+    sum of isNotNull casts, no UDF. Returns the surviving rows with
+    their ``_completeness`` score."""
+    completeness = F.lit(0)
+    for c in completeness_cols:
+        completeness = completeness + F.col(c).isNotNull().cast("int")
+    order = [F.col("_completeness").desc()]
+    if recency_col is not None:
+        order.append(F.col(recency_col).desc_nulls_last())
+    order.append(F.col(id_col).asc())
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    return (
+        df.withColumn("_completeness", completeness)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )

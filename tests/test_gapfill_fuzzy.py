@@ -133,3 +133,35 @@ def test_entity_resolution_transitive_clusters(spark):
     assert got[4] == got[5] == 4
     assert got[6] == 6  # singleton keeps its own id
     assert got[1] != got[4] != got[6]
+
+
+def test_survivorship_golden_records(spark):
+    """Per cluster: most-complete wins, recency breaks completeness ties,
+    id breaks full ties; singletons survive trivially."""
+    from telecom_dataengineering_pipeline_spark.llmprep.fuzzy import (
+        survivorship_golden_records,
+    )
+
+    rows = [
+        # cluster 1: id 2 has more populated fields
+        (1, 1, "acme", None, None, "2024-01-05"),
+        (2, 1, "acme corp", "NY", "a@x.com", "2024-01-01"),
+        # cluster 4: equal completeness -> newer wins
+        (4, 4, "globex", "CA", None, "2024-01-01"),
+        (5, 4, "globex inc", "TX", None, "2024-02-01"),
+        # cluster 6: full tie -> min id
+        (6, 6, "initech", None, None, "2024-01-01"),
+        (7, 6, "initech!", None, None, "2024-01-01"),
+        # singleton
+        (9, 9, "hooli", "SF", "h@h.h", "2024-03-01"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, cluster_id LONG, name STRING, region STRING, email STRING, updated STRING"
+    )
+    out = survivorship_golden_records(
+        df, completeness_cols=["region", "email"], recency_col="updated"
+    )
+    got = {r["cluster_id"]: r["doc_id"] for r in out.collect()}
+    assert got == {1: 2, 4: 5, 6: 6, 9: 9}
+    scores = {r["doc_id"]: r["_completeness"] for r in out.collect()}
+    assert scores[2] == 2 and scores[6] == 0
