@@ -794,7 +794,7 @@ def _holt_oracle() -> str:
     return f"SELECT k AS nation, h, level, trend, forecast FROM ({inner})"
 
 
-@register("holt_forecast_nation_revenue", oracle=_holt_oracle(), tags=("A11", "trend", "forecast"))
+@register("holt_forecast_nation_revenue", oracle=_holt_oracle(), tags=("A11", "trend", "forecast"), bench=True)
 def holt_forecast_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-month-ahead revenue forecast per nation off a 12-month fitted
     Holt (level+trend) state. One conditional-aggregate pivot (map-side,
