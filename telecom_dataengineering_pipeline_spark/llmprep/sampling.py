@@ -120,6 +120,7 @@ def capped_sample_per_key(
     n_per_key: int,
     id_col: str = "doc_id",
     salt: str = "cap",
+    engine_neutral_hash: bool = False,
 ) -> DataFrame:
     """Keep at most ``n_per_key`` rows per key, chosen DETERMINISTICALLY
     by hash priority — the domain-cap guard every web-scale corpus build
@@ -131,10 +132,24 @@ def capped_sample_per_key(
     One partitioned window per key (keys are the partition — never a
     global window) with a row_number cap; skewed giant keys are exactly
     the rows being cut, and WindowGroupLimit pushes the top-n filter
-    map-side before the shuffle on modern Spark."""
+    map-side before the shuffle on modern Spark.
+
+    ``engine_neutral_hash=True`` swaps the xxhash64 priority for the
+    md5-derived 32-bit hash (``token_hash32``) any SQL engine reproduces
+    — same determinism contract, used by the cross-engine value gate;
+    the default stays on the cheaper JVM xxhash64 spine."""
     if n_per_key < 1:
         raise ValueError("capped_sample_per_key needs n_per_key >= 1")
-    pri = F.xxhash64(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    if engine_neutral_hash:
+        from .text import token_hash32
+
+        pri = token_hash32(
+            F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))
+        )
+    else:
+        pri = F.xxhash64(
+            F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+        )
     w = Window.partitionBy(key_col).orderBy(pri.asc(), F.col(id_col).asc())
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -55,82 +55,67 @@ REGISTRY: dict[str, QuerySpec] = {}
 # sort after the list in registration order; names listed but not (yet)
 # registered are simply skipped.
 DRIVER_ORDER: list[str] = [
-    # -- round-5 additions: no driver row yet — ALWAYS inside the window.
-    #    Each later r5 registration appended HERE displaces one stale name
-    #    from the 50-entry window (those stay locally oracle-checked).
-    "psi_value_drift",
-    "hll_set_ops_users",
-    "lpa_copurchase_communities",
-    "cdf_replica_apply",
-    "holt_forecast_nation_revenue",
-    "event_transition_matrix",
-    "customer_rfm_segments",
-    "txnlog_generated_columns",
-    "txnlog_partition_evolution",
-    "matview_cursor_refresh",
-    # -- last driver-checked in ROUND 1 (stalest driver evidence; VERDICT
-    #    r4 item 4: the remaining window slots go to these — 44 names, so
-    #    with few r5 additions the tail spills to the stalest r2 names
-    #    below; with more additions the last r1 names wait one round,
-    #    still locally oracle-checked).
-    "latest_event_per_user_type",
-    "top_orders_per_segment",
-    "asof_join_price_changes",
-    "range_join_scd_versions",
-    "fraud_impossible_travel",
-    "fraud_velocity_alerts",
-    "fraud_alert_stream",
-    "user_sliding_window_counts",
-    "user_sessionization",
-    "daily_revenue_moving_avg",
-    "event_type_pivot",
-    "lineitem_cube_rollup",
-    "user_funnel_stages",
-    "cohort_retention_triangle",
-    "incremental_lookback_slice",
-    "csv_seed_dim_towers",
-    "orphan_lineitems_check",
-    "threshold_violations_union",
-    "dim_date_spine",
-    "value_distribution_check",
-    "msisdn_format_validation",
-    "row_count_anomaly_check",
-    "top_orders_by_price",
-    "event_flags_projection",
-    "small_quantity_revenue",
-    "top_supplier_by_revenue",
-    "large_quantity_customers",
-    "customers_with_open_orders",
-    "users_active_both_periods",
-    "hourly_usage_rollup_salted",
-    "lapsed_users",
-    "customer_pii_masked_keys",
-    "order_date_math",
-    "event_props_json_decode",
-    "haversine_tower_distances",
-    "user_event_deltas",
-    "session_stats_rollup",
-    "dq_unique_violations",
-    "dq_accepted_values_violations",
-    "dq_null_rate_profile",
+    # -- round-6 additions: no driver row yet — ALWAYS inside the window.
+    #    (The round-5 tail operators promoted from tests-only, the
+    #    approx-cutoff RFM variant, and the composed record-linkage
+    #    pipeline.)
+    "k_core_copurchase",
+    "seasonal_index_nation_revenue",
+    "benford_order_prices",
+    "melt_nation_order_metrics",
+    "sequence_funnel_purchase",
+    "customer_rfm_segments_approx",
+    "entity_resolution_clusters",
+    "survivorship_golden_records",
+    "record_linkage_golden_records",
+    "capped_sample_per_source",
+    "boilerplate_line_filter",
+    # -- stalest driver evidence: last checked in ROUND 1 (these four sat
+    #    at positions 51-54 of the r5 ordering, just outside its window).
     "dq_cardinality_profile",
-    "dq_volume_zscore",
     "dq_freshness_check",
+    "dq_volume_zscore",
     "worst_status_rollup",
-    # -- last driver-checked in round 2 (next-stalest tier: enters the
-    #    window only if the r5 block + r1 tier leave room)
-    "pii_redaction_stats",
-    "duplicate_ngram_coverage",
-    "quality_filter_verdicts",
+    # -- last checked in ROUND 2.
     "corpus_shuffle_manifest",
+    "customer_monthly_summary",
+    "duplicate_ngram_coverage",
     "embedding_norm_profile",
     "hourly_usage_rollup",
+    "pii_redaction_stats",
     "pricing_summary_rollup",
+    "quality_filter_verdicts",
     "revenue_by_nation",
     "shipping_priority_topk",
     "star_join_enriched_orders",
-    "customer_monthly_summary",
-    # -- everything else (fresh round-3/round-4 driver rows) sorts after,
+    # -- last checked in ROUND 3 (all 50 r3 names are equally stale; the
+    #    first 24 alphabetically fill the remaining window slots, the other
+    #    26 rotate in next round — all stay locally oracle-checked).
+    "ann_bucketed_topk",
+    "ann_ivf_kmeans_cells",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_nprobe_topk",
+    "ann_ivf_pq_topk",
+    "ann_ivf_topk",
+    "ann_pq_adc_topk",
+    "chunk_dup_coverage",
+    "corpus_sampling_manifest",
+    "curation_filter_funnel",
+    "dataset_split_assignments",
+    "decontamination_check",
+    "dedup_chunk_groups",
+    "dedup_connected_groups",
+    "dedup_connected_groups_star",
+    "dedup_effective_stats",
+    "dedup_embedding_cosine",
+    "dedup_exact_groups",
+    "dedup_incremental_lsh_probe",
+    "dedup_jaccard_pairs",
+    "dedup_keep_best",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_fingerprints",
+    "dedup_simhash_pairs",
+    # -- everything else (fresh round-4/round-5 driver rows) sorts after,
     #    in registration order.
 ]
 

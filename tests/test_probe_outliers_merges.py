@@ -93,20 +93,21 @@ def test_new_registrations_inside_driver_window():
         queries,
     )
 
-    # Round-5 registrations (round-4 entries all have driver rows in
-    # CORRECTNESS_r04 and rotated out so the r5 window can refresh the
-    # relational/window/DQ tier, driver-stale since round 1).
+    # Round-6 registrations (round-5 entries all have driver rows in
+    # CORRECTNESS_r05 and rotated out so the r6 window can refresh the
+    # r1/r2/r3-stale tiers).
     new_names = {
-        "psi_value_drift",
-        "hll_set_ops_users",
-        "lpa_copurchase_communities",
-        "cdf_replica_apply",
-        "holt_forecast_nation_revenue",
-        "event_transition_matrix",
-        "customer_rfm_segments",
-        "txnlog_generated_columns",
-        "txnlog_partition_evolution",
-        "matview_cursor_refresh",
+        "k_core_copurchase",
+        "seasonal_index_nation_revenue",
+        "benford_order_prices",
+        "melt_nation_order_metrics",
+        "sequence_funnel_purchase",
+        "customer_rfm_segments_approx",
+        "entity_resolution_clusters",
+        "survivorship_golden_records",
+        "record_linkage_golden_records",
+        "capped_sample_per_source",
+        "boilerplate_line_filter",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
@@ -114,19 +115,19 @@ def test_new_registrations_inside_driver_window():
 
 
 def test_driver_window_refreshes_stalest_evidence():
-    """Round-5 rotation contract (VERDICT r4 item 4): every slot of the
-    50-entry driver window goes to a query with NO driver row yet (round-5
-    additions) or to the stalest-evidence names — no name inside the
-    window may have STRICTLY FRESHER driver evidence than a name waiting
-    outside it. Each new r5 registration legitimately displaces one stale
-    name (those remain locally oracle-checked every round)."""
+    """Rotation contract (VERDICT r4 item 4, renewed every round): every
+    slot of the 50-entry driver window goes to a query with NO driver row
+    yet (current-round additions) or to the stalest-evidence names — no
+    name inside the window may have STRICTLY FRESHER driver evidence than
+    a name waiting outside it. Each new registration legitimately
+    displaces one stale name (those remain locally oracle-checked)."""
     import json
 
     from telecom_dataengineering_pipeline_spark.queries.registry import queries
 
     root = os.path.join(os.path.dirname(__file__), "..")
     seen: dict[str, int] = {}
-    for rnd in (1, 2, 3, 4):
+    for rnd in (1, 2, 3, 4, 5):
         p = os.path.join(root, f"CORRECTNESS_r{rnd:02d}.json")
         if not os.path.exists(p):
             continue

@@ -627,3 +627,201 @@ def test_txnlog_maintenance_sequences_match_dict_model(spark, tmp_path_factory, 
             history = {t.version(): dict(model)}
         history[t.version()] = dict(model)
         check()
+
+
+# Extend the model once more with the ROUND-5 METADATA SURFACES interleaved
+# with DML, renames, and the maintenance family: generated-column rules
+# (set/drop + fill/validate/recompute through every DML path),
+# clustering-spec evolution (metadata-only, reads must be unaffected across
+# mixed layouts), and the distributed merge_delete_mor. The interactions
+# this hunts: a rule set over rows made stale while the rule was OFF must
+# be REJECTED; RESTORE must roll the rule/spec/colmap back with the file
+# set; RENAME under an active rule that references the column must refuse;
+# recompute-on-update must hold through MOR vectors, optimize rewrites,
+# and checkpoint restarts. The dict model tracks (v, tag) per key plus the
+# current value-column name and rule state, all versioned for restore.
+
+_gencl_op = st.one_of(
+    st.tuples(st.just("append"), st.lists(st.tuples(st.integers(0, 9), _val), min_size=1, max_size=3), st.booleans()),
+    st.tuples(st.just("update_mor"), st.integers(0, 9), st.integers(1, 5)),
+    st.tuples(st.just("delete_mor"), st.integers(0, 9)),
+    st.tuples(st.just("merge_delete"), st.lists(st.integers(0, 9), min_size=1, max_size=4)),
+    st.tuples(st.just("merge_mor"), st.lists(st.tuples(st.integers(0, 9), _val), min_size=1, max_size=3)),
+    st.tuples(st.just("set_gen")),
+    st.tuples(st.just("drop_gen")),
+    st.tuples(st.just("set_cluster"), st.integers(0, 2)),
+    st.tuples(st.just("rename")),
+    st.tuples(st.just("restore"), st.integers(1, 3)),
+    st.tuples(st.just("optimize")),
+    st.tuples(st.just("checkpoint")),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_gencl_op, min_size=3, max_size=7))
+def test_txnlog_generated_clustering_sequences_match_dict_model(
+    spark, tmp_path_factory, ops
+):
+    import pytest
+
+    from telecom_dataengineering_pipeline_spark.sources.txnlog import (
+        ConstraintViolation,
+        TxnLogTable,
+    )
+
+    path = str(tmp_path_factory.mktemp("genclseq") / "t")
+    t = TxnLogTable(path, stat_cols=("k",), checkpoint_interval=0)
+    # model: k -> (v, tag); invariant under an ACTIVE rule: tag == k + v
+    model = {k: (0, k) for k in range(5)}
+    vname, rule = "v", False
+    t.create_or_replace(
+        spark.createDataFrame(
+            sorted((k, v, tag) for k, (v, tag) in model.items()),
+            "k long, v long, tag long",
+        ).coalesce(2)
+    )
+    history = {t.version(): (dict(model), vname, rule)}
+
+    def valid():
+        return all(tag == k + v for k, (v, tag) in model.items())
+
+    def check():
+        got = {r["k"]: (r[vname], r["tag"]) for r in t.read(spark).collect()}
+        assert got == model
+        assert t.read(spark).columns == ["k", vname, "tag"]
+        # stats-pruned read across mixed clustering generations stays exact
+        got3 = {
+            r["k"]: (r[vname], r["tag"])
+            for r in t.read(spark, where=[("k", "=", 3)]).collect()
+        }
+        assert got3 == {k: kv for k, kv in model.items() if k == 3}
+
+    for op in ops:
+        kind = op[0]
+        if kind == "append":
+            fresh = list({k: (k, v) for k, v in op[1] if k not in model}.values())
+            if not fresh:
+                continue
+            if rule and not op[2]:
+                # fill path: the generated column is ABSENT from the frame
+                t.append(
+                    spark.createDataFrame(fresh, f"k long, {vname} long")
+                )
+            else:
+                # validate path (rule on) / plain 3-col write (rule off)
+                t.append(
+                    spark.createDataFrame(
+                        [(k, v, k + v) for k, v in fresh],
+                        f"k long, {vname} long, tag long",
+                    )
+                )
+            model.update({k: (v, k + v) for k, v in fresh})
+        elif kind == "update_mor":
+            v0 = t.version()
+            t.update_where_mor(
+                spark, [("k", "=", op[1])], {vname: F.col(vname) + op[2]}
+            )
+            if op[1] in model:
+                v, tag = model[op[1]]
+                nv = v + op[2]
+                # an active rule recomputes tag; without it tag goes STALE
+                model[op[1]] = (nv, op[1] + nv if rule else tag)
+            if t.version() == v0:
+                check()
+                continue
+        elif kind == "delete_mor":
+            v0 = t.version()
+            t.delete_where_mor(spark, [("k", "=", op[1])])
+            model.pop(op[1], None)
+            if t.version() == v0:
+                check()
+                continue
+        elif kind == "merge_delete":
+            v0 = t.version()
+            keys = sorted(set(op[1]))
+            t.merge_delete_mor(
+                spark,
+                spark.createDataFrame([(k,) for k in keys], "k long"),
+                keys=("k",),
+            )
+            for k in keys:
+                model.pop(k, None)
+            if t.version() == v0:
+                check()
+                continue
+        elif kind == "merge_mor":
+            src = list({k: (k, v) for k, v in op[1]}.values())
+            if rule:
+                sdf = spark.createDataFrame(src, f"k long, {vname} long")
+            else:
+                sdf = spark.createDataFrame(
+                    [(k, v, k + v) for k, v in src],
+                    f"k long, {vname} long, tag long",
+                )
+            # (v, tag) ordering makes the winner deterministic even when a
+            # stale-tag target row ties a source row on v
+            t.merge_keep_latest_mor(
+                spark,
+                sdf,
+                keys=("k",),
+                order_by=[F.col(vname).desc(), F.col("tag").desc()],
+            )
+            for k, v in src:
+                cand = [(v, k + v)]
+                if k in model:
+                    cand.append(model[k])
+                model[k] = max(cand)
+        elif kind == "set_gen":
+            if rule:
+                with pytest.raises(ValueError, match="already generated"):
+                    t.set_generated_column(spark, "tag", f"k + {vname}")
+            elif valid():
+                t.set_generated_column(spark, "tag", f"k + {vname}")
+                rule = True
+            else:
+                # rows made stale while the rule was off must be rejected
+                with pytest.raises(ConstraintViolation):
+                    t.set_generated_column(spark, "tag", f"k + {vname}")
+                check()
+                continue  # no commit happened
+        elif kind == "drop_gen":
+            if rule:
+                t.drop_generated_column_rule("tag")
+                rule = False
+            else:
+                with pytest.raises(ValueError, match="no such generated"):
+                    t.drop_generated_column_rule("tag")
+                check()
+                continue
+        elif kind == "set_cluster":
+            t.set_clustering(([], ["k"], ["tag"])[op[1]])
+        elif kind == "rename":
+            nxt = "v2" if vname == "v" else "v"
+            if rule:
+                # the rule's SQL references the value column: refuse
+                with pytest.raises(ValueError, match="generated column"):
+                    t.rename_column(vname, nxt)
+                check()
+                continue
+            t.rename_column(vname, nxt)
+            vname = nxt
+        elif kind == "restore":
+            candidates = sorted(history)
+            target = candidates[max(0, len(candidates) - 1 - op[1])]
+            t.restore(target)
+            model, vname, rule = (
+                dict(history[target][0]),
+                history[target][1],
+                history[target][2],
+            )
+        elif kind == "optimize":
+            t.optimize(spark, target_files=1)
+        elif kind == "checkpoint":
+            t.checkpoint()
+            t = TxnLogTable(path, stat_cols=("k",), checkpoint_interval=0)
+        history[t.version()] = (dict(model), vname, rule)
+        check()
