@@ -320,6 +320,67 @@ LEFT JOIN s3 ON u.user_id = s3.user_id
 """
 
 
+@register("sequence_funnel_stream", oracle=_FUNNEL_ORACLE, tags=("T2", "W3", "sequence"))
+def sequence_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL keyed-state funnel stream (streaming/funnel.py) run to
+    completion under availableNow and value-checked against the SAME
+    rank-algebra oracle as the batch twin: events stage to two
+    time-split parquet files read one per micro-batch, so the per-user
+    (depth, window-start) state must survive the batch boundary for the
+    gate to pass. Depth is monotone and the window start fixes once
+    opened, so the max-depth snapshot per user IS the final state."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.funnel import funnel_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    projected = ev.filter(F.col("event_type").isin(list(_FUNNEL_STEPS))).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").cast("string").alias("tb"),
+        F.col("event_type").alias("ev"),
+    )
+    sink = "sequence_funnel_stream_sink"
+    spark.catalog.dropTempView(sink)
+    staging = tempfile.mkdtemp(prefix="funnel_stream_src_")
+    try:
+        split = F.unix_micros(F.lit("2024-01-16").cast("timestamp"))
+        projected.filter(F.col("us") < split).coalesce(1).write.parquet(
+            os.path.join(staging, "b0")
+        )
+        projected.filter(F.col("us") >= split).coalesce(1).write.parquet(
+            os.path.join(staging, "b1")
+        )
+        stream = (
+            spark.readStream.schema(projected.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging + "/b*")
+        )
+        out = funnel_stream(
+            stream, list(_FUNNEL_STEPS), within_seconds=_FUNNEL_W_SECONDS
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("funnel_depth").cast("int").alias("funnel_depth"),
+            F.max("window_start_us").alias("window_start_us"),
+        )
+    )
+
+
 @register("sequence_funnel_purchase", oracle=_FUNNEL_ORACLE, tags=("W3", "sequence"))
 def sequence_funnel_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One shuffle on the user key: step-filtered events collapse to a

@@ -102,6 +102,7 @@ def test_new_registrations_inside_driver_window():
         "benford_order_prices",
         "melt_nation_order_metrics",
         "sequence_funnel_purchase",
+        "sequence_funnel_stream",
         "customer_rfm_segments_approx",
         "entity_resolution_clusters",
         "survivorship_golden_records",
