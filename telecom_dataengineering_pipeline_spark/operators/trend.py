@@ -207,14 +207,21 @@ def seasonal_index(
     from exact DECIMAL sums and the ratio applies one double division at
     the end, so the index is engine-exact. Returns
     ``(*key_cols, season, n, seasonal_index)``."""
+    from pyspark.sql import Window
+
     v = F.col(value_col).cast(decimal_type)
     per = df.groupBy(*key_cols, F.col(season_col).alias("season")).agg(
         F.sum(v).alias("_s_sum"), F.count(value_col).alias("_s_n")
     )
-    tot = df.groupBy(*key_cols).agg(
-        F.sum(v).alias("_t_sum"), F.count(value_col).alias("_t_n")
+    # Key totals as a window over the POST-AGGREGATE season grain — not a
+    # second groupBy + self-join, which would re-evaluate the whole base
+    # subtree (Spark does not dedupe shared subtrees: two full input
+    # scans at any size). Seasons partition the rows, so the window sums
+    # of the exact decimal partials ARE the key totals.
+    wk = Window.partitionBy(*key_cols)
+    joined = per.withColumn("_t_sum", F.sum("_s_sum").over(wk)).withColumn(
+        "_t_n", F.sum("_s_n").over(wk)
     )
-    joined = per.join(tot, list(key_cols))
     idx = (F.col("_s_sum").cast("double") / F.col("_s_n")) / (
         F.col("_t_sum").cast("double") / F.col("_t_n")
     )

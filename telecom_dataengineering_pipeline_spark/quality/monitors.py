@@ -306,7 +306,6 @@ def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    total = counts.agg(F.sum("n").cast("long").alias("_t"))
     # All 9 digits present even when a digit never occurs (its absence IS
     # the signal): a tiny literal spine outer-joins the observed counts.
     spine = counts.sparkSession.range(1, 10).select(
@@ -317,10 +316,17 @@ def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
         expected = F.when(F.col("digit") == d, F.lit(math.log10(1 + 1 / d))).otherwise(
             expected
         )
+    # The grand total as an unpartitioned window over the NINE joined rows
+    # — not counts.agg(...) joined back, which would re-evaluate the
+    # counts subtree (two full input scans; Spark does not dedupe shared
+    # subtrees). The single-partition window holds ≤ 9 rows at any input
+    # size; missing digits contribute their filled 0.
+    from pyspark.sql import Window
+
     return (
         spine.join(counts, "digit", "left")
         .na.fill({"n": 0})
-        .crossJoin(F.broadcast(total))
+        .withColumn("_t", F.sum("n").over(Window.partitionBy()).cast("long"))
         .select(
             "digit",
             "n",

@@ -467,6 +467,10 @@ def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("monetary"),
     )
+    # The grain feeds BOTH the cutoff sketch and the scoring pass; the
+    # lineage cut materializes it once instead of re-running the fact
+    # scan + aggregate per branch (Spark does not dedupe shared subtrees).
+    agg = agg.localCheckpoint(eager=False)
     scored = quantile_bucket_scores(
         agg, ["last_us", "frequency", "monetary"], k=4, accuracy=10000
     )

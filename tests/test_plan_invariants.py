@@ -343,3 +343,73 @@ def test_rfm_windows_over_post_aggregate_grain(spark, sf_smoke):
     plan = _physical(spark, "customer_rfm_segments", sf_smoke)
     assert _n_shuffles(plan) == 1
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_rfm_approx_no_grain_sized_single_partition(spark, sf_smoke):
+    """The approx-cutoff RFM variant's 100 TB contract: no ntile, no
+    window operator, no grain-sized SinglePartition funnel. The one
+    SinglePartition exchange merges the percentile sketches' PARTIAL
+    states (one bounded-size sketch per input partition) — the exact
+    variant's SinglePartition carries the whole customer grain instead.
+    The scoring side consumes the broadcast one-row cutoff frame; the
+    customer grain itself is materialized once behind a lineage cut and
+    never re-aggregated per branch."""
+    plan = _physical(spark, "customer_rfm_segments_approx", sf_smoke)
+    assert re.search(r"\bntile\(", plan) is None  # (percentile_approx is fine)
+    assert re.search(r"\bWindow ", plan) is None
+    assert plan.count("Exchange SinglePartition") == 1  # sketch-partial merge
+    assert "BroadcastExchange" in plan  # one-row cutoffs broadcast to scorers
+
+
+def test_sequence_funnel_single_shuffle_no_window_no_udf(spark, sf_smoke):
+    """windowFunnel as one user-keyed exchange: step-filtered events
+    collapse to a sorted per-user array and the greedy machine runs as a
+    higher-order aggregate — no window operator, no Python worker."""
+    plan = _physical(spark, "sequence_funnel_purchase", sf_smoke)
+    assert _n_shuffles(plan) == 1
+    assert re.search(r"\bWindow ", plan) is None
+    assert "Python" not in plan
+    assert "PushedFilters" in plan  # step-name IN filter reaches the scan
+
+
+def test_melt_is_shuffle_free_projection(spark, sf_smoke):
+    """UNPIVOT adds NOTHING beyond the aggregate it melts: the stack()
+    generator is a map-side projection (no exchange of its own)."""
+    plan = _physical(spark, "melt_nation_order_metrics", sf_smoke)
+    assert _n_shuffles(plan) == 1  # the nation aggregate only
+    assert plan.count("BroadcastHashJoin") >= 1  # nation dim broadcast
+
+
+def test_boilerplate_filter_zero_exchanges_zero_udf(spark, sf_smoke):
+    """Line filtering runs entirely inside codegen: higher-order array
+    filter over split lines — no explode/regroup shuffle, no Python."""
+    plan = _physical(spark, "boilerplate_line_filter", sf_smoke)
+    assert _n_shuffles(plan) == 0
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_capped_sample_window_group_limit_pushdown(spark, sf_smoke):
+    """The per-key cap prunes map-side BEFORE the key shuffle: the skewed
+    giant keys are exactly the rows being cut."""
+    plan = _physical(spark, "capped_sample_per_source", sf_smoke)
+    assert _n_shuffles(plan) == 1  # the per-key window exchange
+    assert "WindowGroupLimit" in plan
+
+
+def test_seasonal_index_single_scan_window_totals(spark, sf_smoke):
+    """Key totals are a window over the post-aggregate season grain — not
+    a second groupBy + self-join re-running the base scan (shared
+    subtrees are not deduped): each input table is scanned ONCE."""
+    plan = _physical(spark, "seasonal_index_nation_revenue", sf_smoke)
+    assert plan.count("FileScan") == 3  # orders + customer + nation, once each
+    assert _n_shuffles(plan) == 2  # (key, season) agg + key window
+
+
+def test_benford_single_scan_nine_row_total(spark, sf_smoke):
+    """One pass over the input: the 9-cell digit count is the only
+    data-sized aggregate; the grand total is a window over the 9 joined
+    rows, never a second scan."""
+    plan = _physical(spark, "benford_order_prices", sf_smoke)
+    assert plan.count("FileScan") <= 2  # orders once (+ the 9-row range spine)
+    assert _n_shuffles(plan) == 1  # the digit aggregate
