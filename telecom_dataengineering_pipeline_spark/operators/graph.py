@@ -256,3 +256,63 @@ def k_core(edges: DataFrame, k: int, rounds: int = 10) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return surviving.select(F.col("u").alias("node")).distinct()
+
+
+def neighborhood_jaccard(
+    edges: DataFrame,
+    max_hub_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """Link-prediction features: for every node pair sharing at least
+    ``min_common`` neighbors, the Jaccard overlap of their neighborhoods
+    |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — the classic common-neighbors score
+    (Liben-Nowell & Kleinberg 2003) behind "customers also bought" and
+    churn-affinity rollups.
+
+    Scale shape: candidate pairs come from ONE equi-join through the
+    shared neighbor (a wedge per common neighbor — never an all-pairs
+    product), counted with a map-side-combined aggregate; degrees join
+    back on the node keys. ``max_hub_degree`` is the skew guard every
+    production run sets: a hub of degree d contributes d² wedges, so
+    super-hubs (the dedup tier's ``max_df`` analog) are dropped from
+    WEDGE GENERATION while still counting toward each node's own degree
+    (the denominator stays honest). Returns (u, v, common, jaccard)
+    with u < v, jaccard rounded to 6 for cross-engine hashing.
+
+    ``edges``: undirected distinct pairs (u, v).
+    """
+    e = edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
+    both = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    wedge_src = both
+    if max_hub_degree is not None:
+        hubs = deg.filter(F.col("deg") > max_hub_degree).select("u")
+        # drop wedges THROUGH a hub: filter the shared-neighbor side (v)
+        wedge_src = both.join(
+            hubs.select(F.col("u").alias("v")), "v", "left_anti"
+        )
+    a = wedge_src.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    b = wedge_src.select(F.col("u").alias("b"), F.col("v").alias("w"))
+    common = (
+        a.join(b, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        common.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -163,3 +163,62 @@ def sequence_funnel(
         state["depth"].cast("int").alias("funnel_depth"),
         F.when(state["depth"] > 0, state["t0"]).alias("window_start_us"),
     )
+
+
+def last_touch_attribution(
+    df,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    conversion: str,
+    touch_events: Sequence[str],
+    within_seconds: int | None = None,
+    tiebreak_col: str | None = None,
+):
+    """Last-touch marketing attribution: for every ``conversion`` event,
+    the most recent STRICTLY PRECEDING touch event by the same user (and
+    within ``within_seconds``, when set) — the attribution rollup every
+    campaign mart starts from.
+
+    One shuffle on the user key: events pre-filter to the touch set plus
+    the conversion (usually a huge reduction), and the carry is a single
+    ``last_value(..., ignorenulls=True)`` over rows up to the PREVIOUS
+    event — no self-join, no as-of join against a second relation needed
+    because touches and conversions share one stream. The touch's fields
+    ride in separate last_value calls over the same frame; they are
+    null/non-null together because the same CASE guards both. Ordering
+    ties break on ``tiebreak_col`` (defaults to the event name). Returns
+    (user, conversion_us, tb, touch_event, touch_us) — touch columns
+    null when no touch qualifies."""
+    if conversion in set(touch_events):
+        raise ValueError("the conversion event cannot also be a touch event")
+    tb = tiebreak_col or event_col
+    names = [conversion, *touch_events]
+    ev = df.filter(F.col(event_col).isin(names)).select(
+        F.col(user_col).alias("user"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(tb).cast("string").alias("tb"),
+        F.col(event_col).alias("ev"),
+    )
+    w = (
+        Window.partitionBy("user")
+        .orderBy("us", "tb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("ev").isin(list(touch_events))
+    touch_ev = F.last(F.when(is_touch, F.col("ev")), ignorenulls=True).over(w)
+    touch_us = F.last(F.when(is_touch, F.col("us")), ignorenulls=True).over(w)
+    out = ev.withColumn("touch_event", touch_ev).withColumn("touch_us", touch_us)
+    out = out.filter(F.col("ev") == conversion)
+    if within_seconds is not None:
+        fits = F.col("us") - F.col("touch_us") <= within_seconds * 1_000_000
+        out = out.withColumn(
+            "touch_event", F.when(fits, F.col("touch_event"))
+        ).withColumn("touch_us", F.when(fits, F.col("touch_us")))
+    return out.select(
+        F.col("user").alias(user_col),
+        F.col("us").alias("conversion_us"),
+        "tb",
+        "touch_event",
+        "touch_us",
+    )

@@ -337,3 +337,74 @@ def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
             ).alias("deviation"),
         )
     )
+
+
+def robust_outlier_profile(
+    df: DataFrame,
+    value_col: str,
+    z_thresh: float = 3.5,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Median/MAD robust outlier screen (Iglewicz–Hoaglin modified
+    z-score): |0.6745·(x − median)| / MAD > ``z_thresh`` flags outliers
+    without the mean/stddev's own sensitivity to them — the screen the
+    z-score monitor (A8) can't provide on heavy-tailed columns.
+
+    Scale shape: two scalar percentile-sketch aggregates (median, then
+    median of |x − median|) and one counting pass, each a map-side-
+    combined aggregate whose SinglePartition merge carries one bounded
+    sketch per input partition — never a global sort. Three passes over
+    the input are inherent to nested medians; callers at the 100 TB tier
+    materialize the (usually post-aggregate) input once. The sketch is
+    rank-exact while accuracy ≫ n, where the result equals the value at
+    rank ⌈n/2⌉ (what a SQL oracle computes with row_number).
+
+    Returns ONE row: (n, median, mad, n_outliers, outlier_rate). A zero
+    MAD (> half the values identical) yields NULL outlier stats rather
+    than a division blow-up — that degenerate shape is its own signal."""
+    v = F.col(value_col).cast("double")
+    med = df.agg(
+        F.percentile_approx(v, F.lit(0.5), F.lit(accuracy)).alias("_med")
+    )
+    dev = df.crossJoin(F.broadcast(med))
+    mad = dev.agg(
+        F.percentile_approx(F.abs(v - F.col("_med")), F.lit(0.5), F.lit(accuracy)).alias("_mad"),
+        F.first("_med").alias("_med"),
+    )
+    scored = df.crossJoin(F.broadcast(mad))
+    z = F.lit(0.6745) * F.abs(v - F.col("_med")) / F.col("_mad")
+    is_out = F.when(F.col("_mad") > 0, (z > z_thresh).cast("int"))
+    return scored.agg(
+        F.count(v).cast("long").alias("n"),
+        F.round(F.first("_med"), 6).alias("median"),
+        F.round(F.first("_mad"), 6).alias("mad"),
+        F.sum(is_out).cast("long").alias("n_outliers"),
+        F.round(F.sum(is_out).cast("double") / F.count(v), 6).alias("outlier_rate"),
+    )
+
+
+def grouped_quantile_profile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75, 0.9),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group quantile bands (P25/P50/P75/P90 by default) — the
+    distribution monitor at the group grain the global quantile sketch
+    (A11) can't see: a tail regression inside one event type hides in
+    the global profile but moves its own band immediately.
+
+    One map-side-combined sketch aggregate per group — group sketches
+    merge associatively, so the single shuffle carries one bounded
+    sketch per (partition, group), never raw values. Rank-exact while
+    accuracy ≫ group size (the oracle regime). Returns one row per
+    group: (*group_cols, n, q_25, q_50, ... as column-per-prob)."""
+    v = F.col(value_col).cast("double")
+    aggs = [F.count(v).cast("long").alias("n")]
+    for p in probs:
+        name = f"q_{str(p).replace('0.', '').ljust(2, '0')}"
+        aggs.append(
+            F.percentile_approx(v, F.lit(p), F.lit(accuracy)).alias(name)
+        )
+    return df.groupBy(*group_cols).agg(*aggs)
