@@ -14,6 +14,8 @@ oracle-checkable MinHash/SimHash.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -171,4 +173,78 @@ def boilerplate_line_filter(
         F.array_join(kept, "\n").alias(keep_col),
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus (Robertson–Spärck Jones,
+    the Lucene ``(1 + ln((N − df + 0.5)/(df + 0.5)))``-family scorer) —
+    the lexical side of retrieval-based decontamination and hard-negative
+    mining, next to the embedding tier's dense kNN.
+
+    Scale shape: term frequencies come from ONE explode → filter-to-query
+    → (doc, term) count (the filter keeps only |query| terms — the
+    explode never shuffles the full token stream); document frequencies
+    aggregate that tiny relation further and BROADCAST (|query| rows);
+    per-document length/avgdl are a projection plus one scalar agg.
+    Nothing all-pairs, nothing driver-side.
+
+    Determinism (registry conventions): the per-term partial score is
+    rounded to 9 dp and cast to DECIMAL before the per-doc sum — double
+    addition is order-dependent across partitions, and ln() may differ by
+    an ulp across engines; round-then-decimal makes the sum exact and
+    engine-stable. Returns the ``top_k`` docs as (doc_id, score,
+    n_terms_matched), score rounded to 6."""
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    toks = tokens(F.col(text_col))
+    lengths = docs.select(
+        F.col(id_col), F.size(toks).cast("double").alias("_dl")
+    )
+    corpus = lengths.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("_t"))
+        .filter(F.col("_t").isin(terms))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+    dfreq = tf.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "_t")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log(
+        (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_norm = F.col("_tf") * (F.lit(k1) + 1.0) / (
+        F.col("_tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+    )
+    part = F.round(idf * tf_norm, 9).cast("decimal(22,9)")
+    return (
+        scored.select(F.col(id_col), part.alias("_s"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("_s").cast("double"), 6).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_k)
     )

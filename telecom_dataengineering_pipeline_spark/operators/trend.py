@@ -231,3 +231,169 @@ def seasonal_index(
         F.col("_s_n").cast("long").alias("n"),
         F.round(idx, 6).alias("seasonal_index"),
     )
+
+
+def cusum_change_points(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    step_col: str,
+    value_col: str,
+    steps: Sequence[str],
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Two-sided standardized CUSUM (Page 1954) over a fixed step spine —
+    the classic level-shift detector the WMA band (A6) and z-score (A8)
+    monitors miss: a small persistent drift accumulates in the CUSUM long
+    before any single point crosses a band. ``k`` is the slack (drift
+    allowance, in σ), ``h`` the decision threshold.
+
+    Same scale/determinism shape as :func:`holt_linear`: one conditional
+    aggregate pivots each key's series into T columns (grain = |keys|,
+    single map-side-combined pass), the key's own mean/σ standardize the
+    series, and the max(0, ·) recurrence — NOT expressible as a window
+    cumsum, it's nonlinear — unrolls into a per-row scalar column chain.
+    The mean/variance sums are written as LEFT-FOLD chains and the oracle
+    generator emits the identical shapes, because IEEE determinism needs
+    identical expression trees, not just equal math. A flat series
+    (σ = 0) yields NULL z/CUSUM columns rather than dividing — that
+    degenerate shape is its own signal.
+
+    Returns one row per (key, step): ``(*key_cols, step, x, z,
+    cusum_pos, cusum_neg, is_change)`` with doubles rounded to 6."""
+    T = len(steps)
+    if T < 3:
+        raise ValueError("cusum_change_points needs at least three steps")
+    kf, hf = float(k), float(h)
+    aggs = [
+        F.sum(
+            F.when(F.col(step_col) == F.lit(s), F.col(value_col)).otherwise(F.lit(0))
+        ).alias(f"_x{i}")
+        for i, s in enumerate(steps)
+    ]
+    cur = df.groupBy(*key_cols).agg(*aggs)
+    cur = cur.select(
+        *key_cols, *[F.col(f"_x{i}").cast("double").alias(f"_x{i}") for i in range(T)]
+    )
+    total = F.col("_x0")
+    for t in range(1, T):
+        total = total + F.col(f"_x{t}")
+    cur = cur.withColumn("_mean", total / F.lit(float(T)))
+    ss = (F.col("_x0") - F.col("_mean")) * (F.col("_x0") - F.col("_mean"))
+    for t in range(1, T):
+        d = F.col(f"_x{t}") - F.col("_mean")
+        ss = ss + d * d
+    cur = cur.withColumn("_sd", F.sqrt(ss / F.lit(float(T - 1))))
+    z = lambda t: F.when(  # noqa: E731
+        F.col("_sd") > 0, (F.col(f"_x{t}") - F.col("_mean")) / F.col("_sd")
+    )
+    # Guard every recurrence step on σ > 0 explicitly: Spark's greatest()
+    # IGNORES nulls, so an unguarded max(0, NULL − k) would silently turn
+    # the degenerate flat-series case into 0.0 instead of the documented
+    # NULL (and DuckDB's greatest agrees on the ignore-null behavior, so
+    # the bug would even cross-validate).
+    live = F.col("_sd") > 0
+    cur = cur.withColumn("_z0", z(0))
+    cur = cur.withColumn(
+        "_sp0", F.when(live, F.greatest(F.lit(0.0), F.col("_z0") - F.lit(kf)))
+    ).withColumn(
+        "_sn0", F.when(live, F.greatest(F.lit(0.0), -F.col("_z0") - F.lit(kf)))
+    )
+    for t in range(1, T):
+        cur = cur.withColumn(f"_z{t}", z(t))
+        cur = cur.withColumn(
+            f"_sp{t}",
+            F.when(
+                live,
+                F.greatest(
+                    F.lit(0.0), F.col(f"_sp{t-1}") + F.col(f"_z{t}") - F.lit(kf)
+                ),
+            ),
+        ).withColumn(
+            f"_sn{t}",
+            F.when(
+                live,
+                F.greatest(
+                    F.lit(0.0), F.col(f"_sn{t-1}") - F.col(f"_z{t}") - F.lit(kf)
+                ),
+            ),
+        )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("step"),
+                    F.round(F.col(f"_x{i}"), 6).alias("x"),
+                    F.round(F.col(f"_z{i}"), 6).alias("z"),
+                    F.round(F.col(f"_sp{i}"), 6).alias("cusum_pos"),
+                    F.round(F.col(f"_sn{i}"), 6).alias("cusum_neg"),
+                    (
+                        (F.col(f"_sp{i}") > F.lit(hf))
+                        | (F.col(f"_sn{i}") > F.lit(hf))
+                    ).alias("is_change"),
+                )
+                for i, s in enumerate(steps)
+            ]
+        )
+    ).alias("_r")
+    return cur.select(*key_cols, rows).select(
+        *key_cols,
+        "_r.step",
+        "_r.x",
+        "_r.z",
+        "_r.cusum_pos",
+        "_r.cusum_neg",
+        "_r.is_change",
+    )
+
+
+def cusum_oracle_sql(
+    base_cte: str,
+    key_expr: str,
+    step_expr: str,
+    value_expr: str,
+    steps: Sequence[str],
+    k: float = 0.5,
+    h: float = 4.0,
+) -> str:
+    """The DuckDB mirror of :func:`cusum_change_points`, generated by the
+    same unrolling loop (identical left-fold sum chains, identical
+    max(0,·) recurrence shapes). ``base_cte`` must expose (key, step,
+    value) via the given expressions; emits (k, step, x, z, cusum_pos,
+    cusum_neg, is_change)."""
+    T = len(steps)
+    kf, hf = float(k), float(h)
+    xs = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN {step_expr} = '{s}' THEN {value_expr} ELSE 0 END), 0) AS DOUBLE) AS x{i}"
+        for i, s in enumerate(steps)
+    )
+    total = "x0"
+    for t in range(1, T):
+        total = f"({total} + x{t})"
+    ss = "((x0 - m) * (x0 - m))"
+    for t in range(1, T):
+        ss = f"({ss} + ((x{t} - m) * (x{t} - m)))"
+    ctes = [
+        f"base AS ({base_cte})",
+        f"s0 AS (SELECT {key_expr} AS k, {xs} FROM base GROUP BY 1)",
+        f"sm AS (SELECT *, {total} / {float(T)!r} AS m FROM s0)",
+        f"sd AS (SELECT *, sqrt({ss} / {float(T - 1)!r}) AS sdv FROM sm)",
+        "z0 AS (SELECT *, CASE WHEN sdv > 0 THEN (x0 - m) / sdv END AS z0 FROM sd)",
+        f"c0 AS (SELECT *, CASE WHEN sdv > 0 THEN greatest(0.0, z0 - {kf!r}) END AS sp0, "
+        f"CASE WHEN sdv > 0 THEN greatest(0.0, -z0 - {kf!r}) END AS sn0 FROM z0)",
+    ]
+    for t in range(1, T):
+        ctes.append(
+            f"z{t} AS (SELECT *, CASE WHEN sdv > 0 THEN (x{t} - m) / sdv END AS z{t} FROM c{t-1})"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT *, CASE WHEN sdv > 0 THEN greatest(0.0, sp{t-1} + z{t} - {kf!r}) END AS sp{t}, "
+            f"CASE WHEN sdv > 0 THEN greatest(0.0, sn{t-1} - z{t} - {kf!r}) END AS sn{t} FROM z{t})"
+        )
+    selects = [
+        f"SELECT k, '{s}' AS step, round(x{i}, 6) AS x, round(z{i}, 6) AS z, "
+        f"round(sp{i}, 6) AS cusum_pos, round(sn{i}, 6) AS cusum_neg, "
+        f"(sp{i} > {hf!r} OR sn{i} > {hf!r}) AS is_change FROM c{T-1}"
+        for i, s in enumerate(steps)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)

@@ -129,3 +129,65 @@ def test_bpe_rounds_hand_computed_and_greedy_self_pairs(spark):
     r1 = bpe_train_rounds(solo, rounds=1).collect()[0]
     assert r1["merged_pair"] == "a a" and r1["tf"] == 4  # occurrences counted
     assert r1["tokens_after"] == 3 and r1["vocab_after"] == 2
+
+
+def test_bm25_ranks_relevant_docs_and_matches_bruteforce(spark):
+    """BM25 against a brute-force reference with the identical
+    round-then-decimal accumulation; rarity (IDF) must beat raw repetition
+    of a common term, and doc-length normalization must favor the short
+    focused doc over the long padded one."""
+    import math
+
+    from telecom_dataengineering_pipeline_spark.llmprep.text import bm25_scores
+
+    docs = [
+        (0, "spark shuffle join"),                      # short, focused
+        (1, "spark " + "filler " * 40 + "shuffle"),     # long, padded
+        (2, "spark spark spark spark"),                  # common term repeated
+        (3, "unrelated words entirely"),
+        (4, "shuffle tuning guide"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    terms = ["spark", "shuffle"]
+    got = {
+        r["doc_id"]: (r["score"], r["n_terms_matched"])
+        for r in bm25_scores(df, terms, top_k=10).collect()
+    }
+
+    # brute force with the same shapes
+    import collections
+
+    k1, b = 1.2, 0.75
+    toks = {d: t.lower().strip().split() for d, t in docs}
+    dls = {d: float(len(t)) for d, t in toks.items()}
+    avgdl = sum(dls.values()) / len(dls)
+    n = float(len(docs))
+    tfs = {d: collections.Counter(t) for d, t in toks.items()}
+    ref = {}
+    for d in toks:
+        parts = []
+        for term in terms:
+            tf = float(tfs[d][term])
+            if tf == 0:
+                continue
+            dfreq = float(sum(1 for x in tfs.values() if x[term] > 0))
+            idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+            tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dls[d] / avgdl))
+            parts.append(round(idf * tfn, 9))
+        if parts:
+            ref[d] = (round(float(sum(parts)), 6), len(parts))
+    assert got == ref
+    assert 3 not in got  # no query term -> absent, not zero-scored
+    # both-term docs outrank the single-term repeater; short beats padded
+    assert got[0][0] > got[2][0]
+    assert got[0][0] > got[1][0]
+
+
+def test_bm25_rejects_empty_query(spark):
+    import pytest
+
+    from telecom_dataengineering_pipeline_spark.llmprep.text import bm25_scores
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_scores(df, [])

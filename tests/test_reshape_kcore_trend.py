@@ -209,3 +209,66 @@ def test_sequence_funnel_ordered_window_semantics(spark):
 
     with _pt.raises(ValueError):
         sequence_funnel(df, "user_id", "ts", "event", [])
+
+
+def test_cusum_detects_level_shift_and_matches_duckdb_mirror(spark):
+    """A persistent mid-series level shift must accumulate past the
+    threshold (no single point is a band outlier); a flat series (σ=0)
+    degenerates to NULLs; and the generated DuckDB oracle reproduces the
+    Spark output bit-for-bit on the same fixture."""
+    import duckdb
+
+    from telecom_dataengineering_pipeline_spark.operators.trend import (
+        cusum_change_points,
+        cusum_oracle_sql,
+    )
+
+    steps = [f"m{i}" for i in range(8)]
+    rows = [("shift", f"m{i}", 10.0 if i < 4 else 20.0) for i in range(8)]
+    rows += [("flat", f"m{i}", 5.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "g string, step string, x double")
+    out = cusum_change_points(df, ["g"], "step", "x", steps, k=0.5, h=1.5)
+    got = {
+        (r["g"], r["step"]): (
+            r["x"],
+            r["z"],
+            r["cusum_pos"],
+            r["cusum_neg"],
+            r["is_change"],
+        )
+        for r in out.collect()
+    }
+    # the shift accumulates: early steps quiet, late steps alarm
+    assert got[("shift", "m0")][4] is False
+    assert got[("shift", "m7")][4] is True
+    assert got[("shift", "m7")][2] > 1.5  # positive CUSUM crossed h
+    # flat series: σ=0 -> NULL z/cusums/is_change, never a divide blow-up
+    assert got[("flat", "m3")][1] is None
+    assert got[("flat", "m3")][4] is None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE fixture AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{g}', '{s}', {x})" for g, s, x in rows)
+        + ") AS t(g, step, x)"
+    )
+    sql = cusum_oracle_sql(
+        "SELECT g, step, x FROM fixture", "g", "step", "x", steps, k=0.5, h=1.5
+    )
+    mirror = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5], r[6])
+        for r in con.execute(sql).fetchall()
+    }
+    assert mirror == got
+
+
+def test_cusum_needs_three_steps(spark):
+    import pytest
+
+    from telecom_dataengineering_pipeline_spark.operators.trend import (
+        cusum_change_points,
+    )
+
+    df = spark.createDataFrame([("a", "s0", 1.0)], "g string, step string, x double")
+    with pytest.raises(ValueError, match="three steps"):
+        cusum_change_points(df, ["g"], "step", "x", ["s0", "s1"])
