@@ -109,3 +109,82 @@ def bpe_train_rounds(
         out = row if out is None else out.unionByName(row)
         state = state.select("doc_id", "s")
     return out
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jvm_max_merges: int = 32,
+) -> DataFrame:
+    """Apply a learned BPE merge table (rank-ordered, as trained by
+    :func:`bpe_train_rounds`) to the corpus — the other half of the
+    tokenizer loop: train produces merges, ENCODE is what every
+    downstream token count, packing plan, and context-length filter
+    actually consumes.
+
+    Merge semantics match training exactly: per rank, left-to-right
+    greedy non-overlapping replacement on the sentinel-joined token
+    string (see the module docstring — ``replace()``'s scan-left
+    behavior IS the convention the training statistics were computed
+    under, so encode(train(corpus)) is self-consistent).
+
+    Two regimes, same results:
+
+    - ``len(merges) <= jvm_max_merges``: one chained ``replace()``
+      column expression per rank — pure codegen, no Python. Right for
+      analysis-sized tables; a 50k-merge chain would blow up the
+      expression tree, hence the cap.
+    - larger tables: the rank list BROADCASTS inside an Arrow-batched
+      ``mapInPandas`` that folds the same replaces per batch — the
+      production path for real vocabularies (the merge table is KBs—MBs;
+      the corpus never moves, no shuffle either way).
+
+    Returns ``(id_col, tokens array<string>, n_tokens)``.
+    """
+    if not merges:
+        raise ValueError("bpe_encode needs a non-empty merge table")
+    state = _sentinel_string(docs, text_col, id_col)
+    if len(merges) <= jvm_max_merges:
+        s = F.col("s")
+        for w1, w2 in merges:
+            pat = SEP + w1 + SEP + w2 + SEP
+            rep = SEP + w1 + " " + w2 + SEP
+            s = F.call_function("replace", s, F.lit(pat), F.lit(rep))
+        encoded = state.select("doc_id", s.alias("s"))
+    else:
+        import sys
+
+        import pandas as pd  # noqa: F401 (worker-side)
+
+        try:  # rebuildable without the repo on the worker's sys.path
+            from pyspark import cloudpickle as _cp
+
+            _cp.register_pickle_by_value(sys.modules[__name__])
+        except Exception:
+            pass
+
+        table = list(merges)
+        sep = SEP
+
+        def _apply(batches):
+            for pdf in batches:
+                s = pdf["s"]
+                for w1, w2 in table:
+                    s = s.str.replace(
+                        sep + w1 + sep + w2 + sep,
+                        sep + w1 + " " + w2 + sep,
+                        regex=False,
+                    )
+                pdf = pdf.copy()
+                pdf["s"] = s
+                yield pdf
+
+        encoded = state.mapInPandas(_apply, state.schema)
+    toks = _tok_array(F.col("s"))
+    return encoded.select(
+        F.col("doc_id").alias(id_col),
+        toks.alias("tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )

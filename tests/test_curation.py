@@ -191,3 +191,64 @@ def test_bm25_rejects_empty_query(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="at least one"):
         bm25_scores(df, [])
+
+
+def test_bpe_encode_regimes_agree_and_match_training_semantics(spark):
+    """encode() must apply merges with the exact left-to-right greedy
+    convention training used (self-pair runs merge as '(a a) a'), chain
+    ranks in order (later merges see earlier merged symbols), and the JVM
+    replace-chain and Arrow mapInPandas regimes must agree exactly."""
+    from telecom_dataengineering_pipeline_spark.llmprep.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [
+            (0, "h e l l o"),
+            (1, "a a a"),
+            (2, "h e h e l"),
+            (3, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = [("h", "e"), ("h e", "l")]
+    jvm = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    # rank 1 merges (h,e) -> "h e"; rank 2 merges ("h e", l) -> "h e l"
+    assert jvm[0] == (["h e l", "l", "o"], 3)
+    # no (a,a) merge in the table: untouched
+    assert jvm[1] == (["a", "a", "a"], 3)
+    # the scan-left convention: adjacent occurrences share the middle
+    # sentinel, so "h e h e" merges only the FIRST pair — exactly the
+    # convention the training statistics were computed under (encode must
+    # match train, not an idealized BPE)
+    assert jvm[2] == (["h e", "h", "e", "l"], 4)
+    assert jvm[3] == (["x"], 1)
+    # force the pandas regime with the same table: identical output
+    pandas_out = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_encode(docs, merges, jvm_max_merges=0).collect()
+    }
+    assert pandas_out == jvm
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-empty"):
+        bpe_encode(docs, [])
+
+
+def test_bpe_encode_consumes_trained_merges(spark, sf_smoke):
+    """The loop closes: train -> encode with the learned table reduces the
+    corpus token count by exactly the merged-pair frequencies."""
+    from telecom_dataengineering_pipeline_spark.llmprep.bpe import (
+        bpe_encode,
+        bpe_train_rounds,
+    )
+    from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    trained = bpe_train_rounds(docs, rounds=2).orderBy("round").collect()
+    merges = [tuple(r["merged_pair"].split(" ", 1)) for r in trained]
+    enc = bpe_encode(docs, merges)
+    total_after = enc.agg({"n_tokens": "sum"}).collect()[0][0]
+    assert total_after == trained[-1]["tokens_after"]
