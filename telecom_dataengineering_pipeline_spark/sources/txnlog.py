@@ -349,6 +349,13 @@ class TxnLogTable:
             # stay as-is — pruning is stats-based, never path-based, so
             # evolving the spec is one metadata commit, zero rewrites.
             "clustering": [],
+            # Column DEFAULTs (Delta ALTER TABLE ADD COLUMN ... DEFAULT):
+            # logical column name → LITERAL SQL expression. Reads coalesce
+            # the physical column through the default (files predating the
+            # column read the default, Delta's existsDefault) and write
+            # paths fill the column when omitted or NULL — so the default
+            # is total: a defaulted column never surfaces NULL.
+            "defaults": {},
             "schema": None,
             "txn_ids": set(),
         }
@@ -385,6 +392,8 @@ class TxnLogTable:
             state["generated"] = dict(c["generated"])
         if c.get("clustering") is not None:
             state["clustering"] = list(c["clustering"])
+        if c.get("defaults") is not None:
+            state["defaults"] = dict(c["defaults"])
         if c.get("app_txn_id") is not None:
             state["txn_ids"].add(c["app_txn_id"])
 
@@ -423,6 +432,8 @@ class TxnLogTable:
                 state["generated"][r["path"]] = r["sql"]
             elif kind == "clustering":
                 state["clustering"].append((r["ord"], r["path"]))
+            elif kind == "default":
+                state["defaults"][r["path"]] = r["sql"]
             elif kind == "schema":
                 state["schema"] = r["schema_json"]
         if state["clustering"]:
@@ -484,6 +495,10 @@ class TxnLogTable:
         rows.extend(
             {"kind": "clustering", "path": c, "ord": i}
             for i, c in enumerate(state["clustering"])
+        )
+        rows.extend(
+            {"kind": "default", "path": n, "sql": s}
+            for n, s in sorted(state["defaults"].items())
         )
         schema = pa.schema(
             [
@@ -724,7 +739,19 @@ class TxnLogTable:
         df = spark.read.schema(self._physical_schema(state, schema)).parquet(
             *[f if os.path.isabs(f) else os.path.join(self.path, f) for f in files]
         )
-        cols = [F.col(cm.get(f.name, f.name)).alias(f.name) for f in schema.fields]
+
+        def _logical(f):
+            phys = F.col(cm.get(f.name, f.name))
+            sql = state["defaults"].get(f.name)
+            if sql is not None:
+                # existsDefault: files predating the column (and any
+                # explicit NULL the write path let through) read the
+                # default — the write paths fill on omit/NULL, so the
+                # coalesce is total, never a guess.
+                phys = F.coalesce(phys, F.expr(sql).cast(f.dataType))
+            return phys.alias(f.name)
+
+        cols = [_logical(f) for f in schema.fields]
         if tagged:
             cols += [
                 F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
@@ -897,6 +924,7 @@ class TxnLogTable:
             return self.create_or_replace(source, app_txn_id=app_txn_id)
         rv = self.version()
         state = self._state(rv)
+        source = self._apply_defaults(source, state)
         source = self._apply_generated(source, state)
         self._enforce_constraints(source, state["constraints"])
         schema = (
@@ -1517,6 +1545,16 @@ class TxnLogTable:
         for f in cur.fields:
             nf = new_fields.get(f.name)
             if nf is None:
+                if f.name in state["defaults"]:
+                    # The writer isn't dropping anything — a concurrent
+                    # ADD COLUMN DEFAULT landed after its snapshot read,
+                    # so its frame predates the column. Retryable: the
+                    # caller's loop re-reads the fresh defaults set,
+                    # fills, and rewrites.
+                    raise CommitConflict(
+                        f"column {f.name!r} (with DEFAULT) was added "
+                        "concurrently; re-fill from a fresh snapshot"
+                    )
                 raise ValueError(
                     f"schema evolution cannot drop column {f.name!r} on "
                     "append/merge; rewrite via create_or_replace"
@@ -1549,6 +1587,7 @@ class TxnLogTable:
         dropped: list | None = None,
         generated: dict | None = None,
         clustering: list | None = None,
+        defaults: dict | None = None,
     ) -> int:
         """Publish one atomic commit; returns the committed version.
 
@@ -1573,6 +1612,7 @@ class TxnLogTable:
             "update_mor",
             "set_constraint",  # validation covered only the snapshot read
             "set_generated",  # same: existing rows validated at a snapshot
+            "add_column",  # schema + defaults replacement, like a rename
             "rename_column",  # wholesale colmap/schema replacement
             "drop_column",
             "replace_where",
@@ -1627,6 +1667,7 @@ class TxnLogTable:
                         or c.get("dropped") is not None
                         or c.get("generated") is not None
                         or c.get("clustering") is not None
+                        or c.get("defaults") is not None
                     ]
                     if intervening:
                         raise CommitConflict(
@@ -1678,7 +1719,11 @@ class TxnLogTable:
                     # All callers catch the conflict, re-read, re-validate,
                     # and retry — file-set changes still never conflict.
                     keys = {
-                        "append": ("constraints", "generated"),
+                        # an append filled/validated its rows against the
+                        # defaults set it read — a concurrent ADD COLUMN
+                        # DEFAULT means the written files lack the column,
+                        # so the append must re-fill and retry
+                        "append": ("constraints", "generated", "defaults"),
                         "drop_constraint": ("constraints",),
                         "drop_generated": ("generated",),
                         "set_clustering": ("colmap", "dropped", "clustering"),
@@ -1713,6 +1758,7 @@ class TxnLogTable:
                 "dropped": dropped,  # None = unchanged
                 "generated": generated,  # None = unchanged
                 "clustering": clustering,  # None = unchanged
+                "defaults": defaults,  # None = unchanged
                 "timestamp": time.time_ns() // 1_000_000,
             }
             tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
@@ -1816,6 +1862,11 @@ class TxnLogTable:
             read_version=rv,
             # the clustering spec follows the logical rename
             clustering=[new if c == old else c for c in state["clustering"]],
+            # a DEFAULT follows its column (literal SQL: only the key moves)
+            defaults={
+                (new if k == old else k): v
+                for k, v in state["defaults"].items()
+            },
         )
 
     def drop_column(self, name: str) -> int:
@@ -1865,6 +1916,7 @@ class TxnLogTable:
             # spec loses the column either way
             generated={k: v for k, v in state["generated"].items() if k != name},
             clustering=[c for c in state["clustering"] if c != name],
+            defaults={k: v for k, v in state["defaults"].items() if k != name},
         )
 
     def drop_constraint(self, name: str) -> int:
@@ -1895,6 +1947,32 @@ class TxnLogTable:
         return dict(self._state()["constraints"])
 
     # -- generated columns + clustering spec --------------------------------
+
+    def _apply_defaults(self, df: DataFrame, state: dict) -> DataFrame:
+        """Column-DEFAULT write semantics: a defaulted column ABSENT from
+        the incoming frame is filled with its default; an explicit NULL in
+        a provided column is replaced by it (DEFAULT-on-NULL — together
+        with the read-side coalesce this makes the default total, so the
+        pre-add files' physical NULLs are unambiguous). Runs BEFORE
+        generated-column handling so a generation rule may reference a
+        defaulted column."""
+        if not state["defaults"]:
+            return df
+        types = {}
+        if state["schema"]:
+            types = {
+                f.name: f.dataType
+                for f in StructType.fromJson(json.loads(state["schema"])).fields
+            }
+        for name, sql in sorted(state["defaults"].items()):
+            expr = F.expr(sql)
+            if name in types:
+                expr = expr.cast(types[name])
+            if name not in df.columns:
+                df = df.withColumn(name, expr)
+            else:
+                df = df.withColumn(name, F.coalesce(F.col(name), expr))
+        return df
 
     def _apply_generated(self, df: DataFrame, state: dict) -> DataFrame:
         """Delta GENERATED ALWAYS AS semantics on a write: a generated
@@ -1987,6 +2065,96 @@ class TxnLogTable:
         """Active generation rules, column → SQL expression."""
         return dict(self._state()["generated"])
 
+    def add_column(
+        self,
+        spark: SparkSession,
+        name: str,
+        data_type: str,
+        default_sql: str | None = None,
+    ) -> int:
+        """ADD COLUMN without touching a byte of data (Delta ``ALTER TABLE
+        ADD COLUMN [...] DEFAULT ...``): one metadata commit appends the
+        nullable field to the logical schema; historical files simply lack
+        the physical column and read back NULL — or, with ``default_sql``,
+        the default (existsDefault). The default must be a LITERAL
+        expression (Delta's own restriction): it is validated by
+        evaluating it standalone, so a column reference fails loudly here
+        instead of at some later read. Write paths fill the column when a
+        frame omits it and replace explicit NULLs with it (DEFAULT-on-
+        NULL), which is what makes the read-side coalesce exact rather
+        than a guess.
+
+        Interactions covered by the same machinery as the other schema
+        metadata: the resurrection/collision tombstone guards apply, the
+        default follows renames and dies with a drop, and RESTORE /
+        clone / checkpoint carry it with the snapshot."""
+        dtype = data_type  # validated via the probe select below
+        if default_sql is not None:
+            try:
+                # SELECT without FROM: only constants can bind — a column
+                # reference (non-literal default) raises here
+                probe = spark.sql(
+                    f"SELECT CAST(({default_sql}) AS {dtype}) AS v"
+                )
+                probe.collect()
+            except Exception as e:
+                raise ValueError(
+                    f"default for {name!r} must be a literal expression "
+                    f"castable to {dtype}: {e}"
+                ) from e
+        else:
+            # still validate the type string itself
+            spark.sql(f"SELECT CAST(NULL AS {dtype}) AS v").collect()
+        while True:
+            rv = self.version()
+            state = self._state(rv)
+            schema = (
+                StructType.fromJson(json.loads(state["schema"]))
+                if state["schema"]
+                else None
+            )
+            if schema is None:
+                raise ValueError(f"no such table (empty log): {self.path}")
+            if name in [f.name for f in schema.fields]:
+                raise ValueError(f"column already exists: {name!r}")
+            if name in set(state["dropped"]):
+                raise ValueError(
+                    f"column name {name!r} was previously dropped and its "
+                    "data persists in historical files; adding it back "
+                    "would resurrect old values — pick a new name or "
+                    "rewrite via create_or_replace"
+                )
+            if name in set(state["colmap"].values()):
+                raise ValueError(
+                    f"column name {name!r} is the physical storage name of "
+                    "a renamed column; adding it would collide on disk — "
+                    "pick a new name or rewrite via create_or_replace"
+                )
+            field_type = (
+                spark.sql(f"SELECT CAST(NULL AS {dtype}) AS v").schema.fields[0].dataType
+            )
+            new_schema = StructType(
+                [*schema.fields, StructField(name, field_type, True)]
+            )
+            defaults = dict(state["defaults"])
+            if default_sql is not None:
+                defaults[name] = default_sql
+            try:
+                return self.commit(
+                    adds=[],
+                    removes=[],
+                    operation="add_column",
+                    schema_json=new_schema.json(),
+                    read_version=rv,
+                    defaults=defaults,
+                )
+            except CommitConflict:
+                continue  # metadata moved: re-validate against the fresh state
+
+    def column_defaults(self) -> dict:
+        """Active column defaults, name → literal SQL expression."""
+        return dict(self._state()["defaults"])
+
     def set_clustering(self, cols: Sequence[str]) -> int:
         """Evolve the clustering spec (Iceberg partition-spec evolution /
         Delta ALTER TABLE CLUSTER BY): NEW files cluster by ``cols``;
@@ -2047,6 +2215,7 @@ class TxnLogTable:
         columns)."""
         rv = self.version()
         cr_state = self._state(rv)
+        df = self._apply_defaults(df, cr_state)
         df = self._apply_generated(df, cr_state)
         self._enforce_constraints(df, cr_state["constraints"])
         spec = list(cluster_by) if cluster_by is not None else cr_state["clustering"]
@@ -2086,13 +2255,17 @@ class TxnLogTable:
         re-validates the same already-written files, and retries."""
         adds: list[str] | None = None
         stats: dict = {}
-        written_under: dict | None = None  # generated set the files encode
+        # generated + defaults sets the on-disk files were computed under
+        written_under: tuple | None = None
         while True:
             rv = self.version()
             a_state = self._state(rv)
-            full = self._apply_generated(df, a_state)
+            full = self._apply_generated(self._apply_defaults(df, a_state), a_state)
             self._enforce_constraints(full, a_state["constraints"])
-            if adds is not None and written_under != a_state["generated"]:
+            if adds is not None and written_under != (
+                a_state["generated"],
+                a_state["defaults"],
+            ):
                 # The files on disk were computed under a superseded
                 # generated-rule set: publishing them would store values
                 # that disagree with the now-active rules — rewrite.
@@ -2105,7 +2278,10 @@ class TxnLogTable:
                     cluster_by=a_state["clustering"],
                     colmap=a_state["colmap"],
                 )
-                written_under = dict(a_state["generated"])
+                written_under = (
+                    dict(a_state["generated"]),
+                    dict(a_state["defaults"]),
+                )
             try:
                 return self.commit(
                     adds=adds,
@@ -2143,6 +2319,7 @@ class TxnLogTable:
         state = self._state(rv)
         schema = self.snapshot_schema(rv)
         files = list(state["active"])
+        source = self._apply_defaults(source, state)
         source = self._apply_generated(source, state)
         self._enforce_constraints(source, state["constraints"])
         # Even with no matching target rows, the SOURCE may carry several
@@ -2287,6 +2464,7 @@ class TxnLogTable:
             and t_state["constraints"] == c_state["constraints"]
             and t_state["generated"] == c_state["generated"]
             and t_state["clustering"] == c_state["clustering"]
+            and t_state["defaults"] == c_state["defaults"]
         )
         if target == current and not dv_delta and meta_same:
             return self.version()  # already there: no-op
@@ -2316,6 +2494,7 @@ class TxnLogTable:
             constraints=dict(t_state["constraints"]),
             generated=dict(t_state["generated"]),
             clustering=list(t_state["clustering"]),
+            defaults=dict(t_state["defaults"]),
         )
 
     def clone_shallow(
@@ -2383,6 +2562,7 @@ class TxnLogTable:
             constraints=dict(state["constraints"]),
             generated=dict(state["generated"]),
             clustering=list(state["clustering"]),
+            defaults=dict(state["defaults"]),
         )
         return dest_t
 
@@ -2409,6 +2589,7 @@ class TxnLogTable:
         # Generated columns fill in BEFORE the region check: the region
         # predicate may well be ON the generated column (partition-style
         # backfills usually are).
+        new_rows = self._apply_defaults(new_rows, state)
         new_rows = self._apply_generated(new_rows, state)
         violating = new_rows.filter(~_predicate_expr(where))
         if not violating.isEmpty():

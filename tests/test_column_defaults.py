@@ -1,0 +1,138 @@
+"""ALTER TABLE ADD COLUMN [...] DEFAULT on the txnlog format: metadata-only
+add, existsDefault on historical files, fill-on-omit / DEFAULT-on-NULL on
+every write path, literal-only validation, and survival through rename /
+drop / restore / checkpoint / clone — the same interaction matrix the
+generated-column and clustering features are held to."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from telecom_dataengineering_pipeline_spark.sources.txnlog import TxnLogTable
+
+
+def _mk(spark, tmp_path, rows=((1, 10), (2, 20))):
+    t = TxnLogTable(str(tmp_path / "t"), stat_cols=("id",))
+    t.create_or_replace(spark.createDataFrame(list(rows), "id long, amount long"))
+    return t
+
+
+def test_add_column_default_backfills_history_and_fills_writes(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v_before = t.version()
+    t.add_column(spark, "region", "string", "'emea'")
+    # metadata-only: no data files were written by the add
+    assert t.version() == v_before + 1
+    got = {r["id"]: r["region"] for r in t.read(spark).collect()}
+    assert got == {1: "emea", 2: "emea"}  # existsDefault on old files
+    # time travel to before the add: the column does not exist
+    assert "region" not in t.read(spark, v_before).columns
+
+    # append OMITTING the column: filled
+    t.append(spark.createDataFrame([(3, 30)], "id long, amount long"))
+    # append with explicit value: kept; with explicit NULL: DEFAULT-on-NULL
+    t.append(
+        spark.createDataFrame(
+            [(4, 40, "apac"), (5, 50, None)],
+            "id long, amount long, region string",
+        )
+    )
+    got = {r["id"]: r["region"] for r in t.read(spark).collect()}
+    assert got == {1: "emea", 2: "emea", 3: "emea", 4: "apac", 5: "emea"}
+
+
+def test_add_column_rejects_non_literal_duplicate_and_tombstoned(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="literal"):
+        t.add_column(spark, "bad", "long", "amount + 1")  # column reference
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column(spark, "amount", "long", "0")
+    t.add_column(spark, "gone", "long", "7")
+    t.drop_column("gone")
+    with pytest.raises(ValueError, match="previously dropped"):
+        t.add_column(spark, "gone", "long", "8")  # resurrection guard
+
+
+def test_default_through_dml_rewrites_and_optimize(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.add_column(spark, "score", "long", "5")
+    # MOR update of another column must not disturb the default view
+    t.update_where_mor(spark, [("id", "=", 1)], {"amount": F.col("amount") + 1})
+    # explicit update TO NULL reads back as the default (DEFAULT-on-NULL)
+    t.update_where_mor(spark, [("id", "=", 2)], {"score": F.lit(None).cast("long")})
+    t.optimize(spark, target_files=1)
+    got = {r["id"]: (r["amount"], r["score"]) for r in t.read(spark).collect()}
+    assert got == {1: (11, 5), 2: (20, 5)}
+    # merge: source omitting the column gets the fill; keep-latest resolves
+    t.merge_keep_latest_mor(
+        spark,
+        spark.createDataFrame([(2, 99), (6, 60)], "id long, amount long"),
+        keys=("id",),
+        order_by=[F.col("amount").desc()],
+    )
+    got = {r["id"]: (r["amount"], r["score"]) for r in t.read(spark).collect()}
+    assert got == {1: (11, 5), 2: (99, 5), 6: (60, 5)}
+
+
+def test_default_follows_rename_dies_with_drop(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.add_column(spark, "tier", "string", "'bronze'")
+    t.rename_column("tier", "level")
+    assert t.column_defaults() == {"level": "'bronze'"}
+    got = {r["id"]: r["level"] for r in t.read(spark).collect()}
+    assert got == {1: "bronze", 2: "bronze"}
+    t.drop_column("level")
+    assert t.column_defaults() == {}
+    assert "level" not in t.read(spark).columns
+
+
+def test_default_survives_checkpoint_restore_clone(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v_plain = t.version()
+    t.add_column(spark, "region", "string", "'emea'")
+    t.append(spark.createDataFrame([(3, 30)], "id long, amount long"))
+    t.checkpoint()
+    # reconstruction THROUGH the checkpoint keeps the default
+    t2 = TxnLogTable(str(tmp_path / "t"), stat_cols=("id",))
+    assert t2.column_defaults() == {"region": "'emea'"}
+    got = {r["id"]: r["region"] for r in t2.read(spark).collect()}
+    assert got == {1: "emea", 2: "emea", 3: "emea"}
+    # clone carries the default with the snapshot
+    c = t2.clone_shallow(str(tmp_path / "c"))
+    assert c.column_defaults() == {"region": "'emea'"}
+    assert {r["id"]: r["region"] for r in c.read(spark).collect()} == got
+    # restore to the pre-add version rolls the default (and column) back
+    t2.restore(v_plain)
+    assert t2.column_defaults() == {}
+    assert "region" not in t2.read(spark).columns
+    # ... and restoring forward again brings both back
+    t2.restore(v_plain + 2)
+    assert t2.column_defaults() == {"region": "'emea'"}
+
+
+def test_append_conflicts_on_concurrent_add_column_default(spark, tmp_path):
+    """An append racing an ADD COLUMN DEFAULT must not publish files that
+    lack the column-fill it never saw: the commit conflicts, the retry
+    re-reads the fresh defaults set and rewrites."""
+    t = _mk(spark, tmp_path)
+    path = str(tmp_path / "t")
+
+    calls = {"n": 0}
+    orig = t._write_data
+
+    def racy(df, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # another writer lands the ADD COLUMN between this append's
+            # snapshot read and its commit
+            TxnLogTable(path, stat_cols=("id",)).add_column(
+                spark, "region", "string", "'emea'"
+            )
+        return orig(df, **kw)
+
+    t._write_data = racy
+    t.append(spark.createDataFrame([(7, 70)], "id long, amount long"))
+    assert calls["n"] >= 2  # the retry really re-filled and rewrote
+    got = {r["id"]: r["region"] for r in t.read(spark).collect()}
+    assert got == {1: "emea", 2: "emea", 7: "emea"}

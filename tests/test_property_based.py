@@ -650,6 +650,7 @@ _gencl_op = st.one_of(
     st.tuples(st.just("set_gen")),
     st.tuples(st.just("drop_gen")),
     st.tuples(st.just("set_cluster"), st.integers(0, 2)),
+    st.tuples(st.just("add_default")),
     st.tuples(st.just("rename")),
     st.tuples(st.just("restore"), st.integers(1, 3)),
     st.tuples(st.just("optimize")),
@@ -675,24 +676,32 @@ def test_txnlog_generated_clustering_sequences_match_dict_model(
 
     path = str(tmp_path_factory.mktemp("genclseq") / "t")
     t = TxnLogTable(path, stat_cols=("k",), checkpoint_interval=0)
-    # model: k -> (v, tag); invariant under an ACTIVE rule: tag == k + v
+    # model: k -> (v, tag); invariant under an ACTIVE rule: tag == k + v.
+    # has_d: whether the defaulted column "d" (DEFAULT 7) exists — writes
+    # never provide it, so every row must read 7 whenever it does.
     model = {k: (0, k) for k in range(5)}
-    vname, rule = "v", False
+    vname, rule, has_d = "v", False, False
     t.create_or_replace(
         spark.createDataFrame(
             sorted((k, v, tag) for k, (v, tag) in model.items()),
             "k long, v long, tag long",
         ).coalesce(2)
     )
-    history = {t.version(): (dict(model), vname, rule)}
+    history = {t.version(): (dict(model), vname, rule, has_d)}
 
     def valid():
         return all(tag == k + v for k, (v, tag) in model.items())
 
     def check():
-        got = {r["k"]: (r[vname], r["tag"]) for r in t.read(spark).collect()}
+        rows = t.read(spark).collect()
+        got = {r["k"]: (r[vname], r["tag"]) for r in rows}
         assert got == model
-        assert t.read(spark).columns == ["k", vname, "tag"]
+        cols = ["k", vname, "tag"] + (["d"] if has_d else [])
+        assert t.read(spark).columns == cols
+        if has_d:
+            # the default is total: filled on every write path, coalesced
+            # over every pre-add file, through restores and restarts
+            assert all(r["d"] == 7 for r in rows)
         # stats-pruned read across mixed clustering generations stays exact
         got3 = {
             r["k"]: (r[vname], r["tag"])
@@ -799,6 +808,14 @@ def test_txnlog_generated_clustering_sequences_match_dict_model(
                 continue
         elif kind == "set_cluster":
             t.set_clustering(([], ["k"], ["tag"])[op[1]])
+        elif kind == "add_default":
+            if has_d:
+                with pytest.raises(ValueError, match="already exists"):
+                    t.add_column(spark, "d", "long", "7")
+                check()
+                continue
+            t.add_column(spark, "d", "long", "7")
+            has_d = True
         elif kind == "rename":
             nxt = "v2" if vname == "v" else "v"
             if rule:
@@ -813,15 +830,16 @@ def test_txnlog_generated_clustering_sequences_match_dict_model(
             candidates = sorted(history)
             target = candidates[max(0, len(candidates) - 1 - op[1])]
             t.restore(target)
-            model, vname, rule = (
+            model, vname, rule, has_d = (
                 dict(history[target][0]),
                 history[target][1],
                 history[target][2],
+                history[target][3],
             )
         elif kind == "optimize":
             t.optimize(spark, target_files=1)
         elif kind == "checkpoint":
             t.checkpoint()
             t = TxnLogTable(path, stat_cols=("k",), checkpoint_interval=0)
-        history[t.version()] = (dict(model), vname, rule)
+        history[t.version()] = (dict(model), vname, rule, has_d)
         check()
