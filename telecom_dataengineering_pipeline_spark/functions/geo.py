@@ -22,3 +22,61 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) * F.sin(dlon / 2)
     )
     return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def grid_cell(lat: Column, lon: Column, cell_deg: float) -> Column:
+    """Deterministic lat/lon grid-cell key at ``cell_deg`` resolution —
+    struct(cell_lat, cell_lon) of floored cell indices. Pure column
+    arithmetic (the geohash-style bucketing every tower-density /
+    coverage-map rollup groups by); floor keeps negative coordinates in
+    the correct cell, unlike a truncating cast."""
+    return F.struct(
+        F.floor(lat / F.lit(cell_deg)).cast("long").alias("cell_lat"),
+        F.floor(lon / F.lit(cell_deg)).cast("long").alias("cell_lon"),
+    )
+
+
+def grid_density(
+    df,
+    lat_col: str,
+    lon_col: str,
+    cell_deg: float = 1.0,
+    value_col: str | None = None,
+):
+    """Spatial density rollup: per grid cell the point count, mean
+    position of its members, and (optionally) a DECIMAL-exact value sum —
+    the tower-density / coverage heat-map aggregate. ONE map-side-
+    combined shuffle keyed by the cell; means derive from exact sums of
+    1e-6-rounded coordinates so the output is engine-reproducible
+    (raw double coordinate sums would be partition-order-dependent).
+    Returns (cell_lat, cell_lon, n, centroid_lat, centroid_lon[, total])
+    with centroids rounded to 6."""
+    lat = F.col(lat_col)
+    lon = F.col(lon_col)
+    cell = grid_cell(lat, lon, cell_deg)
+    dlat = F.round(lat, 6).cast("decimal(18,6)")
+    dlon = F.round(lon, 6).cast("decimal(18,6)")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dlat).alias("_slat"),
+        F.sum(dlon).alias("_slon"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast("decimal(20,4)")).alias("_sv"))
+    out = (
+        df.groupBy(cell.alias("_c"))
+        .agg(*aggs)
+        .select(
+            F.col("_c.cell_lat").alias("cell_lat"),
+            F.col("_c.cell_lon").alias("cell_lon"),
+            "n",
+            F.round(F.col("_slat").cast("double") / F.col("n"), 6).alias("centroid_lat"),
+            F.round(F.col("_slon").cast("double") / F.col("n"), 6).alias("centroid_lon"),
+            *(
+                [F.round(F.col("_sv").cast("double"), 4).alias("total")]
+                if value_col is not None
+                else []
+            ),
+        )
+    )
+    return out

@@ -150,3 +150,30 @@ def test_grouped_quantile_profile_rank_exact_per_group(spark):
     assert got["a"]["q_25"] == 25.0 and got["a"]["q_50"] == 50.0
     assert got["a"]["q_75"] == 75.0 and got["a"]["q_90"] == 90.0
     assert got["b"]["q_50"] == 50.0 and got["b"]["q_90"] == 90.0
+
+
+def test_grid_density_cells_centroids_and_negative_coords(spark):
+    from telecom_dataengineering_pipeline_spark.functions.geo import grid_density
+
+    pts = [
+        (0.2, 0.2, 10.0),
+        (0.8, 0.9, 20.0),   # same cell as above at 1-degree resolution
+        (-0.5, 0.5, 5.0),   # floor(-0.5) = -1: negative coords need floor,
+                            # not a truncating cast (which would give 0)
+        (2.5, 3.5, 1.0),
+    ]
+    df = spark.createDataFrame(pts, "lat double, lon double, v double")
+    got = {
+        (r["cell_lat"], r["cell_lon"]): (
+            r["n"],
+            r["centroid_lat"],
+            r["centroid_lon"],
+            r["total"],
+        )
+        for r in grid_density(df, "lat", "lon", 1.0, value_col="v").collect()
+    }
+    assert got == {
+        (0, 0): (2, 0.5, 0.55, 30.0),
+        (-1, 0): (1, -0.5, 0.5, 5.0),
+        (2, 3): (1, 2.5, 3.5, 1.0),
+    }
