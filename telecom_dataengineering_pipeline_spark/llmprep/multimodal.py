@@ -190,3 +190,84 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         ]
     )
     return media.mapInPandas(_sample, schema=schema)
+
+
+# --- Real container-header parsing (no codec library needed) --------------
+#
+# Unlike pixel decode (which genuinely needs PIL/libav and stays stubbed),
+# the container HEADERS are fixed byte layouts — parseable with pure column
+# expressions, JVM-side, zero Python. This is the metadata-extraction pass
+# a crawl pipeline runs over billions of blobs BEFORE deciding what to
+# decode: format sniffing + dimensions + sanity bounds, one map stage.
+
+
+def image_format(payload: Column | str) -> Column:
+    """Magic-byte format sniff over a binary column: 'png' / 'jpeg' /
+    'gif' / NULL (unknown). hex() of the leading bytes keeps the whole
+    comparison inside codegen."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    head8 = F.hex(F.substring(c, 1, 8))
+    head3 = F.hex(F.substring(c, 1, 3))
+    return (
+        F.when(head8 == "89504E470D0A1A0A", F.lit("png"))
+        .when(head3 == "FFD8FF", F.lit("jpeg"))
+        .when(head3 == "474946", F.lit("gif"))
+    )
+
+
+def _be32(c: Column, pos: int) -> Column:
+    """Big-endian uint32 at 1-based byte offset ``pos`` of a binary col."""
+    return F.conv(F.hex(F.substring(c, pos, 4)), 16, 10).cast("long")
+
+
+def _le16(c: Column, pos: int) -> Column:
+    """Little-endian uint16 at 1-based byte offset ``pos``."""
+    lo = F.conv(F.hex(F.substring(c, pos, 1)), 16, 10).cast("long")
+    hi = F.conv(F.hex(F.substring(c, pos + 1, 1)), 16, 10).cast("long")
+    return hi * 256 + lo
+
+
+def image_dimensions(payload: Column | str) -> Column:
+    """(width, height) struct parsed from the container header — PNG
+    (IHDR big-endian at bytes 17-24) and GIF (logical screen descriptor,
+    little-endian at bytes 7-10); NULL for JPEG (its SOF marker floats —
+    that one needs the scan pass) and unknown formats. Pure column
+    arithmetic: runs on billions of blobs without a Python worker."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    fmt = image_format(c)
+    png = F.struct(
+        _be32(c, 17).alias("width"), _be32(c, 21).alias("height")
+    )
+    gif = F.struct(
+        _le16(c, 7).alias("width"), _le16(c, 9).alias("height")
+    )
+    return F.when(fmt == "png", png).when(fmt == "gif", gif)
+
+
+def media_header_profile(
+    media: DataFrame,
+    payload_col: str = "payload",
+    max_pixels: int = 64_000_000,
+) -> DataFrame:
+    """Header-level screen over a media table: sniffed format, parsed
+    dimensions where the container allows it, byte size, and a
+    plausibility verdict (dimension bomb guard — a 100k×100k PNG header
+    on a 2 KB payload is a decompression bomb, rejected WITHOUT
+    decoding). Adds (sniffed_format, width, height, n_bytes, header_ok);
+    all input columns pass through."""
+    c = F.col(payload_col)
+    dims = image_dimensions(c)
+    w, h = dims["width"], dims["height"]
+    ok = (
+        F.when(image_format(c).isNull(), F.lit(False))
+        .when(w.isNull(), F.lit(None).cast("boolean"))  # jpeg: needs scan
+        .otherwise((w > 0) & (h > 0) & (w * h <= max_pixels))
+    )
+    return media.select(
+        "*",
+        image_format(c).alias("sniffed_format"),
+        w.alias("width"),
+        h.alias("height"),
+        F.length(c).cast("long").alias("n_bytes"),
+        ok.alias("header_ok"),
+    )

@@ -77,3 +77,49 @@ def test_resize_preserves_schema_and_sets_target(spark, sf_smoke):
     for mid, p in again.items():
         if orig[mid]:
             assert p[0] == orig[mid][0]
+
+
+def test_header_parsing_real_containers(spark):
+    """Format sniff + dimension parse on REAL container bytes (no codec
+    library): PNG IHDR big-endian, GIF LSD little-endian, JPEG detected
+    but dims deferred to the scan pass, unknown rejected, and the
+    dimension-bomb guard fires from the header alone."""
+    import struct
+
+    from telecom_dataengineering_pipeline_spark.llmprep.multimodal import (
+        media_header_profile,
+    )
+
+    def png(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", w, h)
+            + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+        )
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 5
+    jpeg = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + b"\x00" * 8
+    rows = [
+        (1, png(640, 480)),
+        (2, gif),
+        (3, jpeg),
+        (4, b"plain text, not an image"),
+        (5, png(100_000, 100_000)),  # 10-gigapixel claim in a tiny payload
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: (
+            r["sniffed_format"],
+            r["width"],
+            r["height"],
+            r["header_ok"],
+        )
+        for r in media_header_profile(df).collect()
+    }
+    assert got[1] == ("png", 640, 480, True)
+    assert got[2] == ("gif", 320, 200, True)
+    assert got[3] == ("jpeg", None, None, None)  # needs the SOF scan pass
+    assert got[4] == (None, None, None, False)
+    assert got[5] == ("png", 100_000, 100_000, False)  # bomb guard
