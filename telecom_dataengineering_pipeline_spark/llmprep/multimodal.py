@@ -271,3 +271,67 @@ def media_header_profile(
         F.length(c).cast("long").alias("n_bytes"),
         ok.alias("header_ok"),
     )
+
+
+JPEG_DIMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def jpeg_dimensions_scan(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_scan_bytes: int = 65_536,
+) -> DataFrame:
+    """JPEG dimensions via the marker scan the fixed-offset parser can't
+    do: walk the segment chain to the first SOF0-SOF15 frame header and
+    read its big-endian height/width. Runs as ONE Arrow-batched
+    ``mapInPandas`` pass (the sanctioned vectorized-Python form — the
+    walk is genuinely sequential per blob, a few dozen byte reads), scan
+    bounded by ``max_scan_bytes`` so a truncated or adversarial stream
+    costs O(bound), never O(blob). Non-JPEG / unparseable payloads yield
+    NULL dims. Returns (id, width, height)."""
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def dims(b):
+            try:
+                if b is None or len(b) < 4 or b[0:3] != b"\xff\xd8\xff":
+                    return None
+                i, n = 2, min(len(b), max_scan_bytes)
+                while i + 9 < n:
+                    if b[i] != 0xFF:
+                        return None  # lost sync: corrupt stream
+                    marker = b[i + 1]
+                    if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                        i += 2  # standalone markers carry no length
+                        continue
+                    seg_len = (b[i + 2] << 8) | b[i + 3]
+                    if seg_len < 2:
+                        return None
+                    # SOF0..SOF15 except the DHT/DAC/restart family
+                    if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                        h = (b[i + 5] << 8) | b[i + 6]
+                        w = (b[i + 7] << 8) | b[i + 8]
+                        return (w, h)
+                    i += 2 + seg_len
+                return None
+            except (IndexError, TypeError):
+                return None
+
+        for pdf in batches:
+            out = pd.DataFrame({"media_id": pdf[id_col].astype("int64")})
+            parsed = [dims(bytes(p) if p is not None else None) for p in pdf[payload_col]]
+            out["width"] = pd.array(
+                [p[0] if p else None for p in parsed], dtype="Int32"
+            )
+            out["height"] = pd.array(
+                [p[1] if p else None for p in parsed], dtype="Int32"
+            )
+            yield out
+
+    return media.select(id_col, payload_col).mapInPandas(_scan, JPEG_DIMS_SCHEMA)

@@ -123,3 +123,44 @@ def test_header_parsing_real_containers(spark):
     assert got[3] == ("jpeg", None, None, None)  # needs the SOF scan pass
     assert got[4] == (None, None, None, False)
     assert got[5] == ("png", 100_000, 100_000, False)  # bomb guard
+
+
+def test_jpeg_sof_scan_finds_floating_frame_header(spark):
+    """The SOF marker sits after variable-length APP/comment segments; the
+    scan must walk the chain, survive junk, and bound its work."""
+    import struct
+
+    from telecom_dataengineering_pipeline_spark.llmprep.multimodal import (
+        jpeg_dimensions_scan,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def jpeg(w, h, pad=0):
+        sof = seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9)
+        return (
+            b"\xff\xd8"
+            + seg(0xE0, b"JFIF\x00" + b"\x00" * 9)
+            + seg(0xFE, b"c" * (10 + pad))  # comment pushes SOF deeper
+            + sof
+            + b"\xff\xd9"
+        )
+
+    rows = [
+        (1, jpeg(1024, 768)),
+        (2, jpeg(33, 44, pad=500)),   # SOF past several hundred bytes
+        (3, b"\xff\xd8\xff\xe0 garbage without any frame header"),
+        (4, b"not a jpeg at all"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: (r["width"], r["height"])
+        for r in jpeg_dimensions_scan(df).collect()
+    }
+    assert got[1] == (1024, 768)
+    assert got[2] == (33, 44)
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
+    assert got[5] == (None, None)
