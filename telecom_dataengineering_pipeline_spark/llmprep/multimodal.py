@@ -256,11 +256,16 @@ def media_header_profile(
     decoding). Adds (sniffed_format, width, height, n_bytes, header_ok);
     all input columns pass through."""
     c = F.col(payload_col)
+    fmt = image_format(c)
     dims = image_dimensions(c)
     w, h = dims["width"], dims["height"]
+    # NULL dims mean "pending the scan pass" ONLY for jpeg (whose SOF
+    # floats); a png/gif too short to carry its fixed-offset dimension
+    # bytes is malformed and gets a False verdict, not a pending NULL.
     ok = (
-        F.when(image_format(c).isNull(), F.lit(False))
-        .when(w.isNull(), F.lit(None).cast("boolean"))  # jpeg: needs scan
+        F.when(fmt.isNull(), F.lit(False))
+        .when(fmt == "jpeg", F.lit(None).cast("boolean"))  # needs scan
+        .when(w.isNull() | h.isNull(), F.lit(False))  # truncated header
         .otherwise((w > 0) & (h > 0) & (w * h <= max_pixels))
     )
     return media.select(
@@ -306,6 +311,13 @@ def jpeg_dimensions_scan(
                 while i + 9 < n:
                     if b[i] != 0xFF:
                         return None  # lost sync: corrupt stream
+                    # 0xFF fill bytes are legal padding between segments
+                    # (JPEG spec B.1.1.2): advance to the last 0xFF so the
+                    # length parse below stays marker-aligned.
+                    while i + 1 < n and b[i + 1] == 0xFF:
+                        i += 1
+                    if i + 9 >= n:
+                        return None
                     marker = b[i + 1]
                     if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                         i += 2  # standalone markers carry no length

@@ -281,7 +281,16 @@ def neighborhood_jaccard(
 
     ``edges``: undirected distinct pairs (u, v).
     """
-    e = edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
+    # Canonicalize defensively: if the input carries both (u,v) and (v,u),
+    # a bare distinct() keeps both and the union below would double every
+    # degree and common-neighbor count — silently wrong jaccards.
+    e = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
     both = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     wedge_src = both

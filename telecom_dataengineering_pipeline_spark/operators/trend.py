@@ -255,7 +255,13 @@ def cusum_change_points(
     cumsum, it's nonlinear — unrolls into a per-row scalar column chain.
     The mean/variance sums are written as LEFT-FOLD chains and the oracle
     generator emits the identical shapes, because IEEE determinism needs
-    identical expression trees, not just equal math. A flat series
+    identical expression trees, not just equal math. NOTE: when a
+    (key, step) cell can hold MORE THAN ONE input row, ``value_col`` must
+    be an exact type (decimal/integral) — the conditional ``sum`` that
+    pivots the series is partition-order-dependent on DOUBLE inputs, and
+    the left-fold chains only protect the math DOWNSTREAM of those sums.
+    Cast to a decimal before calling (as the registered queries do) and
+    to double only after aggregation. A flat series
     (σ = 0) yields NULL z/CUSUM columns rather than dividing — that
     degenerate shape is its own signal.
 

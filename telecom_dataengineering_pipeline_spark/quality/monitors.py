@@ -402,8 +402,17 @@ def grouped_quantile_profile(
     group: (*group_cols, n, q_25, q_50, ... as column-per-prob)."""
     v = F.col(value_col).cast("double")
     aggs = [F.count(v).cast("long").alias("n")]
+    # Column names derive from an integer percent basis: q_25/q_50/q_90,
+    # q_100 for p=1.0 — never a dot in the name (backtick-free selects),
+    # never ambiguous. Probs are validated to two decimals so distinct
+    # probs can't collide on a name.
     for p in probs:
-        name = f"q_{str(p).replace('0.', '').ljust(2, '0')}"
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"quantile prob out of (0, 1]: {p}")
+        pct = round(p * 100)
+        if abs(p * 100 - pct) > 1e-9:
+            raise ValueError(f"quantile probs must have <= 2 decimals: {p}")
+        name = f"q_{int(pct):02d}"
         aggs.append(
             F.percentile_approx(v, F.lit(p), F.lit(accuracy)).alias(name)
         )

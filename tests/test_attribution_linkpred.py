@@ -48,6 +48,21 @@ def test_neighborhood_jaccard_matches_bruteforce(spark):
     assert got == _jaccard_ref(edges)
 
 
+def test_neighborhood_jaccard_canonicalizes_bidirectional_input(spark):
+    """Defensive canonicalization: a table carrying both (u,v) and (v,u)
+    (plus literal duplicates) must yield EXACTLY the canonical answer —
+    no doubled degrees, no doubled common counts."""
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (1, 6)]
+    noisy = edges + [(v, u) for u, v in edges] + edges[:3]
+    got = {
+        (r["u"], r["v"]): (r["common"], r["jaccard"])
+        for r in neighborhood_jaccard(
+            spark.createDataFrame(noisy, "u long, v long")
+        ).collect()
+    }
+    assert got == _jaccard_ref(edges)
+
+
 def test_neighborhood_jaccard_hub_guard_drops_wedges_not_degrees(spark):
     """A hub above the cap stops GENERATING wedges but still counts in its
     neighbors' degrees — the denominator stays honest."""

@@ -125,6 +125,29 @@ def test_header_parsing_real_containers(spark):
     assert got[5] == ("png", 100_000, 100_000, False)  # bomb guard
 
 
+def test_header_profile_truncated_png_gif_fail_not_pending(spark):
+    """A png/gif whose payload is too short to carry its fixed-offset
+    dimension bytes is MALFORMED (header_ok False) — only jpeg, whose SOF
+    genuinely floats, gets the pending-NULL verdict."""
+    from telecom_dataengineering_pipeline_spark.llmprep.multimodal import (
+        media_header_profile,
+    )
+
+    rows = [
+        (1, b"\x89PNG\r\n\x1a\n\x00\x00"),  # magic only: no IHDR dims
+        (2, b"GIF89a\x14"),  # one byte of the LSD: width incomplete
+        (3, b"\xff\xd8\xff\xe0\x00\x10JFIF\x00"),  # jpeg: legitimately pending
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: (r["sniffed_format"], r["header_ok"])
+        for r in media_header_profile(df).collect()
+    }
+    assert got[1] == ("png", False)
+    assert got[2] == ("gif", False)
+    assert got[3] == ("jpeg", None)
+
+
 def test_jpeg_sof_scan_finds_floating_frame_header(spark):
     """The SOF marker sits after variable-length APP/comment segments; the
     scan must walk the chain, survive junk, and bound its work."""
@@ -164,3 +187,30 @@ def test_jpeg_sof_scan_finds_floating_frame_header(spark):
     assert got[3] == (None, None)
     assert got[4] == (None, None)
     assert got[5] == (None, None)
+
+
+def test_jpeg_sof_scan_skips_fill_bytes_between_segments(spark):
+    """The JPEG spec permits runs of 0xFF fill/padding bytes between
+    segments (B.1.1.2); the walk must realign on the true marker instead
+    of misparsing a fill byte as a segment length."""
+    import struct
+
+    from telecom_dataengineering_pipeline_spark.llmprep.multimodal import (
+        jpeg_dimensions_scan,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof = seg(0xC0, b"\x08" + struct.pack(">HH", 77, 99) + b"\x03" + b"\x00" * 9)
+    padded = (
+        b"\xff\xd8"
+        + b"\xff" * 5  # fill bytes straight after SOI
+        + seg(0xE0, b"JFIF\x00" + b"\x00" * 9)
+        + b"\xff" * 3  # and between segments
+        + sof
+        + b"\xff\xd9"
+    )
+    df = spark.createDataFrame([(1, padded)], "media_id long, payload binary")
+    row = jpeg_dimensions_scan(df).collect()[0]
+    assert (row["width"], row["height"]) == (99, 77)

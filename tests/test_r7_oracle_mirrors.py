@@ -247,7 +247,8 @@ def test_neighborhood_jaccard_duckdb_mirror(spark):
         for r in con.execute(
             """
 WITH e AS (
-  SELECT DISTINCT u, v FROM fixture WHERE u <> v
+  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+  FROM fixture WHERE u <> v
 ), bidir AS (
   SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
 ), deg AS (
