@@ -111,6 +111,52 @@ def bpe_train_rounds(
     return out
 
 
+def bpe_learn_merges(
+    docs: DataFrame,
+    rounds: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "list[tuple[str, str]]":
+    """Train and RETURN the merge table as ``[(w1, w2), ...]`` rank-ordered —
+    the driver-side handoff :func:`bpe_encode` consumes. Identical loop to
+    :func:`bpe_train_rounds` (same winner selection, same sentinel replace),
+    but collects only the per-round winner: one 1-row collect per round, the
+    merge table itself is O(rounds) — bounded regardless of corpus size.
+    (``bpe_train_rounds`` can't serve here: its ``merged_pair`` column joins
+    w1/w2 with a space, which is ambiguous once merged symbols themselves
+    contain spaces.)"""
+    state = _sentinel_string(docs, text_col, id_col).localCheckpoint(eager=False)
+    merges: list[tuple[str, str]] = []
+    for _ in range(rounds):
+        a = _tok_array(F.col("s"))
+        n = F.size(a)
+        prs = state.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(a, 1, F.greatest(n - 1, F.lit(0))).alias("x"),
+                    F.slice(a, 2, F.greatest(n - 1, F.lit(0))).alias("y"),
+                )
+            ).alias("p")
+        ).select(F.col("p.x").alias("w1"), F.col("p.y").alias("w2"))
+        winner = (
+            prs.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .orderBy(F.col("tf").desc(), F.col("w1").asc(), F.col("w2").asc())
+            .limit(1)
+            .collect()
+        )
+        if not winner:
+            break
+        w1, w2 = winner[0]["w1"], winner[0]["w2"]
+        merges.append((w1, w2))
+        pat = F.lit(SEP + w1 + SEP + w2 + SEP)
+        rep = F.lit(SEP + w1 + " " + w2 + SEP)
+        state = state.select(
+            "doc_id", F.call_function("replace", F.col("s"), pat, rep).alias("s")
+        ).localCheckpoint(eager=False)
+    return merges
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: "list[tuple[str, str]]",

@@ -55,68 +55,70 @@ REGISTRY: dict[str, QuerySpec] = {}
 # sort after the list in registration order; names listed but not (yet)
 # registered are simply skipped.
 DRIVER_ORDER: list[str] = [
-    # -- round-6 additions: no driver row yet — ALWAYS inside the window.
-    #    (The round-5 tail operators promoted from tests-only, the
-    #    approx-cutoff RFM variant, and the composed record-linkage
-    #    pipeline.)
-    "k_core_copurchase",
-    "seasonal_index_nation_revenue",
-    "benford_order_prices",
-    "melt_nation_order_metrics",
-    "sequence_funnel_purchase",
-    "sequence_funnel_stream",
-    "customer_rfm_segments_approx",
-    "entity_resolution_clusters",
-    "survivorship_golden_records",
-    "record_linkage_golden_records",
-    "capped_sample_per_source",
-    "boilerplate_line_filter",
-    # -- stalest driver evidence: last checked in ROUND 1 (these four sat
-    #    at positions 51-54 of the r5 ordering, just outside its window).
-    "dq_cardinality_profile",
-    "dq_freshness_check",
-    "dq_volume_zscore",
-    "worst_status_rollup",
-    # -- last checked in ROUND 2.
-    "corpus_shuffle_manifest",
-    "customer_monthly_summary",
-    "duplicate_ngram_coverage",
-    "embedding_norm_profile",
-    "hourly_usage_rollup",
-    "pii_redaction_stats",
-    "pricing_summary_rollup",
-    "quality_filter_verdicts",
-    "revenue_by_nation",
-    "shipping_priority_topk",
-    "star_join_enriched_orders",
-    # -- last checked in ROUND 3 (all 50 r3 names are equally stale; the
-    #    first 24 alphabetically fill the remaining window slots, the other
-    #    26 rotate in next round — all stay locally oracle-checked).
-    "ann_bucketed_topk",
-    "ann_ivf_kmeans_cells",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_nprobe_topk",
-    "ann_ivf_pq_topk",
-    "ann_ivf_topk",
-    "ann_pq_adc_topk",
-    "chunk_dup_coverage",
-    "corpus_sampling_manifest",
-    "curation_filter_funnel",
-    "dataset_split_assignments",
-    "decontamination_check",
-    "dedup_chunk_groups",
-    "dedup_connected_groups",
-    "dedup_connected_groups_star",
-    "dedup_effective_stats",
-    "dedup_embedding_cosine",
-    "dedup_exact_groups",
-    "dedup_incremental_lsh_probe",
-    "dedup_jaccard_pairs",
-    "dedup_keep_best",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_fingerprints",
+    # -- round-7 additions: no driver row yet — ALWAYS inside the window.
+    #    (The round-6 tests-only operators promoted to oracle-checked
+    #    queries, the media header round-trip, and the BPE train→encode
+    #    composition.)
+    "bm25_keyword_retrieval",
+    "robust_outlier_daily_revenue",
+    "grouped_quantile_event_values",
+    "grid_density_event_cells",
+    "last_touch_attribution_purchases",
+    "copurchase_neighborhood_jaccard",
+    "cusum_event_value_shifts",
+    "txnlog_column_defaults",
+    "media_header_dimensions",
+    "bpe_encode_corpus",
+    # -- fix-up re-entries (VERDICT r6 items 2 & 3): both queries' prior
+    #    driver greens were VACUOUS (0 rows at every SF); their literals/
+    #    cohorts were fixed this round and they must re-enter the window to
+    #    earn a non-empty row. The rotation test exempts them by name.
+    "national_market_share",
+    "lapsed_users",
+    # -- stalest driver evidence: last checked in ROUND 3 (all 27
+    #    remaining r3 names — the alphabetical tail the r6 window could
+    #    not fit).
     "dedup_simhash_pairs",
-    # -- everything else (fresh round-4/round-5 driver rows) sorts after,
+    "dedup_source_overlap",
+    "doc_chunking",
+    "dq_totalprice_reconciliation",
+    "embedding_centroid_outliers",
+    "embedding_lsh_bucket_profile",
+    "embedding_sq8_profile",
+    "fraud_stream_availablenow",
+    "jdbc_source_contract",
+    "knn_cosine_bruteforce",
+    "merge_upsert_orders",
+    "merge_upsert_orders_txnlog",
+    "multimodal_feature_extract",
+    "scd2_customer_dim",
+    "sequence_packing_stats",
+    "session_stream_availablenow",
+    "source_mixing_weights",
+    "text_langid_heuristic",
+    "text_quality_scores",
+    "text_repetition_metrics",
+    "text_token_counts",
+    "text_unigram_logprob",
+    "tfidf_top_terms",
+    "tokenizer_pair_merge_stats",
+    "training_set_summary",
+    "value_distribution_by_type",
+    "vocab_topk",
+    # -- last checked in ROUND 4 (first 11 alphabetically; the rest rotate
+    #    in next round — all stay locally oracle-checked).
+    "ann_mmr_rerank",
+    "ann_recall_profile",
+    "backfill_replace_where_txnlog",
+    "bitext_mining_mutual_nn",
+    "bloom_semi_join_stats",
+    "bpe_training_rounds",
+    "brand_predicate_revenue",
+    "cardinality_hll_profile",
+    "cms_heavy_hitters",
+    "customer_order_counts_dist",
+    "daily_revenue_wma_anomaly",
+    # -- everything else (fresher round-5/round-6 driver rows) sorts after,
     #    in registration order.
 ]
 

@@ -876,20 +876,32 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EXCEPT_ORACLE = """
-SELECT user_id FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'
+SELECT user_id FROM events
+WHERE event_type = 'purchase'
+  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'
 EXCEPT
-SELECT user_id FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-24' AND DATE '2024-01-30'
+SELECT user_id FROM events
+WHERE event_type = 'purchase'
+  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-24' AND DATE '2024-01-30'
 """
 
 
 @register("lapsed_users", oracle=_EXCEPT_ORACLE, tags=("U1", "setop"))
 def lapsed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # Cohort = PURCHASERS (not merely active users): in this fixture every
+    # week-1 user also has late-January activity, so the raw-activity split
+    # was empty at every SF and EXCEPT DISTINCT was never value-exercised.
+    # The purchase split is non-empty at sf0.001/0.01/0.1 (1/8/53 users)
+    # AND diverges from exceptAll there (25/173/1414 rows), so the
+    # subtract-vs-exceptAll distinction this query pins is finally live.
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
     d = F.to_date("ts")
     first = ev.filter(d.between("2024-01-01", "2024-01-07")).select("user_id")
     last = ev.filter(d.between("2024-01-24", "2024-01-30")).select("user_id")
     # subtract == EXCEPT DISTINCT; exceptAll would keep a user who merely
-    # has more week-1 events than last-week events (multiset difference)
+    # has more week-1 purchases than last-week purchases (multiset diff)
     return first.subtract(last)
 
 
@@ -913,7 +925,7 @@ WITH base AS (
   JOIN region r     ON r.r_regionkey = cn.n_regionkey
   JOIN supplier s   ON s.s_suppkey = l.l_suppkey
   JOIN nation sn    ON sn.n_nationkey = s.s_nationkey
-  WHERE p.p_type = 'PROMO' AND r.r_name = 'REGION_0'
+  WHERE p.p_type = 'PROMO' AND r.r_name = 'AFRICA'
 )
 SELECT o_year,
        CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE) AS nation_volume,
@@ -931,7 +943,7 @@ def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     cn = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
     s = load_table(spark, sf_dir, "supplier")
     sn = load_table(spark, sf_dir, "nation")
     volume = (
