@@ -2692,14 +2692,29 @@ class TxnLogTable:
                 *[os.path.join(self.path, f) for f in sorted(files)]
             )
             after_cm = after_state["colmap"]
+            # This side's existsDefaults, keyed by PHYSICAL name (defaults
+            # follow renames, so the side's colmap translates them): a file
+            # predating an ADD COLUMN ... DEFAULT must surface the default
+            # in the change feed exactly as every read of that version did —
+            # otherwise a pre-add row's delete emits NULL where reads said
+            # DEFAULT, and a COW rewrite of a pre-add file would phantom-
+            # diff against post-add files. The coalesce is total for the
+            # same reason as _scan_logical's: write paths fill on omit/NULL.
+            side_cm = state["colmap"]
+            phys_defaults = {
+                side_cm.get(n, n): sql for n, sql in state["defaults"].items()
+            }
             cols = []
             for f in schema.fields:
                 ph = after_cm.get(f.name, f.name)
-                src = (
-                    F.col(ph).cast(f.dataType)
-                    if ph in side_phys_names
-                    else F.lit(None).cast(f.dataType)
-                )
+                if ph in side_phys_names:
+                    src = F.col(ph)
+                    sql = phys_defaults.get(ph)
+                    if sql is not None:
+                        src = F.coalesce(src, F.expr(sql))
+                    src = src.cast(f.dataType)
+                else:
+                    src = F.lit(None).cast(f.dataType)
                 cols.append(src.alias(f.name))
             df = df.select(*cols)
             return self._apply_dvs(df, spark, state["dvs"], sorted(files))

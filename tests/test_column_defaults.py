@@ -136,3 +136,43 @@ def test_append_conflicts_on_concurrent_add_column_default(spark, tmp_path):
     assert calls["n"] >= 2  # the retry really re-filled and rewrote
     got = {r["id"]: r["region"] for r in t.read(spark).collect()}
     assert got == {1: "emea", 2: "emea", 7: "emea"}
+
+
+def test_cdf_surfaces_default_not_null_for_pre_add_rows(spark, tmp_path):
+    """table_changes must agree with reads at each endpoint version: a
+    pre-add row's change rows carry the DEFAULT (what every read showed),
+    not the physical NULL — and the default follows a rename in the feed
+    exactly as it does on the read path."""
+    t = _mk(spark, tmp_path)  # ids 1, 2 — written BEFORE the column exists
+    v1 = t.version()
+    t.add_column(spark, "region", "string", "'emea'")
+    t.append(spark.createDataFrame([(3, 30)], "id long, amount long"))
+    v2 = t.version()
+    t.delete_where(spark, [("id", "=", 1)])  # deletes a PRE-ADD row
+    v3 = t.version()
+    cdf = {
+        (r["id"], r["_change_type"]): r["region"]
+        for r in t.table_changes(spark, v2, v3).collect()
+    }
+    assert cdf == {(1, "delete"): "emea"}  # not None
+
+    # across the rename boundary the feed uses the AFTER name and the
+    # default still fills pre-add physical NULLs
+    t.rename_column("region", "zone")
+    t.append(spark.createDataFrame([(4, 40)], "id long, amount long"))
+    v4 = t.version()
+    cdf = {
+        (r["id"], r["_change_type"]): r["zone"]
+        for r in t.table_changes(spark, v3, v4).collect()
+    }
+    assert cdf == {(4, "insert"): "emea"}
+
+    # a span whose FROM version predates the column: the before side
+    # genuinely had no such column, so its delete rows read NULL — the
+    # same answer a read at v1 gave
+    cdf = {
+        (r["id"], r["_change_type"]): r["zone"]
+        for r in t.table_changes(spark, v1, v4).collect()
+    }
+    assert cdf[(1, "delete")] is None
+    assert cdf[(3, "insert")] == "emea" and cdf[(4, "insert")] == "emea"

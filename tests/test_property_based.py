@@ -650,7 +650,14 @@ _gencl_op = st.one_of(
     st.tuples(st.just("set_gen")),
     st.tuples(st.just("drop_gen")),
     st.tuples(st.just("set_cluster"), st.integers(0, 2)),
-    st.tuples(st.just("add_default")),
+    st.tuples(
+        st.just("add_default"),
+        st.sampled_from(["d", "d2"]),
+        st.sampled_from([7, 9]),
+    ),
+    st.tuples(st.just("rename_default")),
+    st.tuples(st.just("drop_default")),
+    st.tuples(st.just("cdf_span"), st.integers(1, 4)),
     st.tuples(st.just("rename")),
     st.tuples(st.just("restore"), st.integers(1, 3)),
     st.tuples(st.just("optimize")),
@@ -677,17 +684,25 @@ def test_txnlog_generated_clustering_sequences_match_dict_model(
     path = str(tmp_path_factory.mktemp("genclseq") / "t")
     t = TxnLogTable(path, stat_cols=("k",), checkpoint_interval=0)
     # model: k -> (v, tag); invariant under an ACTIVE rule: tag == k + v.
-    # has_d: whether the defaulted column "d" (DEFAULT 7) exists — writes
-    # never provide it, so every row must read 7 whenever it does.
+    # has_d: whether a defaulted column exists; its CURRENT logical name is
+    # dname (renames follow it), its default literal is dval, its PHYSICAL
+    # storage name is d_phys (the add-time name — forever), and tombstones
+    # holds physical names whose drop makes them unaddable (resurrection
+    # guard). Writes never provide the column, so every row must read dval
+    # whenever it exists.
     model = {k: (0, k) for k in range(5)}
     vname, rule, has_d = "v", False, False
+    dname, dval, d_phys = "d", 7, "d"
+    tombstones: set = set()
     t.create_or_replace(
         spark.createDataFrame(
             sorted((k, v, tag) for k, (v, tag) in model.items()),
             "k long, v long, tag long",
         ).coalesce(2)
     )
-    history = {t.version(): (dict(model), vname, rule, has_d)}
+    history = {
+        t.version(): (dict(model), vname, rule, has_d, dname, dval, d_phys, frozenset())
+    }
 
     def valid():
         return all(tag == k + v for k, (v, tag) in model.items())
@@ -696,12 +711,12 @@ def test_txnlog_generated_clustering_sequences_match_dict_model(
         rows = t.read(spark).collect()
         got = {r["k"]: (r[vname], r["tag"]) for r in rows}
         assert got == model
-        cols = ["k", vname, "tag"] + (["d"] if has_d else [])
+        cols = ["k", vname, "tag"] + ([dname] if has_d else [])
         assert t.read(spark).columns == cols
         if has_d:
             # the default is total: filled on every write path, coalesced
             # over every pre-add file, through restores and restarts
-            assert all(r["d"] == 7 for r in rows)
+            assert all(r[dname] == dval for r in rows)
         # stats-pruned read across mixed clustering generations stays exact
         got3 = {
             r["k"]: (r[vname], r["tag"])
@@ -809,13 +824,86 @@ def test_txnlog_generated_clustering_sequences_match_dict_model(
         elif kind == "set_cluster":
             t.set_clustering(([], ["k"], ["tag"])[op[1]])
         elif kind == "add_default":
-            if has_d:
+            name, val = op[1], op[2]
+            # Guard priority mirrors add_column's own: already-exists,
+            # then the drop tombstone (physical resurrection guard), then
+            # the physical-name collision (the renamed column's storage
+            # name is taken even though no logical column bears it).
+            if has_d and name == dname:
                 with pytest.raises(ValueError, match="already exists"):
-                    t.add_column(spark, "d", "long", "7")
+                    t.add_column(spark, name, "long", str(val))
                 check()
                 continue
-            t.add_column(spark, "d", "long", "7")
-            has_d = True
+            if name in tombstones:
+                with pytest.raises(ValueError, match="previously dropped"):
+                    t.add_column(spark, name, "long", str(val))
+                check()
+                continue
+            if has_d and name == d_phys:
+                with pytest.raises(ValueError, match="physical storage name"):
+                    t.add_column(spark, name, "long", str(val))
+                check()
+                continue
+            if has_d:
+                continue  # a legal SECOND defaulted column: out of model scope
+            # drop-then-re-add under a DIFFERENT name/default is legal —
+            # a brand-new physical column, no resurrection possible
+            t.add_column(spark, name, "long", str(val))
+            has_d, dname, dval, d_phys = True, name, val, name
+        elif kind == "rename_default":
+            if not has_d:
+                with pytest.raises(ValueError, match="no such column"):
+                    t.rename_column("d", "d2")
+                check()
+                continue
+            nxt = "d2" if dname == "d" else "d"
+            # renaming a column that HAS a default: the default (and its
+            # physical identity) follow the logical name — including a
+            # rename BACK onto its own physical storage name
+            t.rename_column(dname, nxt)
+            dname = nxt
+        elif kind == "drop_default":
+            if not has_d:
+                with pytest.raises(ValueError, match="no such column"):
+                    t.drop_column("d")
+                check()
+                continue
+            t.drop_column(dname)
+            tombstones.add(d_phys)  # tombstone is PHYSICAL, not logical
+            has_d = False
+        elif kind == "cdf_span":
+            # CDF-align versions across whatever happened in the span —
+            # renames, defaults added/dropped/re-added, restores, MOR and
+            # COW DML, optimize rewrites. Invariants: (a) the feed emits
+            # under the AFTER version's logical names; (b) applying
+            # deletes-then-inserts to the FROM version's model yields the
+            # current model, with delete rows carrying the FROM values;
+            # (c) the defaulted column reads in the feed exactly as reads
+            # at each endpoint did — inserts show the live default, and
+            # deletes show the FROM default only while the physical column
+            # is the SAME one (a drop+re-add is a different column, so
+            # pre-span rows rightly read NULL under the new physical).
+            candidates = sorted(history)
+            va = candidates[max(0, len(candidates) - 1 - op[1])]
+            m_a, _, _, hd_a, _, dv_a, dp_a, _ = history[va]
+            cdf = t.table_changes(spark, va, t.version()).collect()
+            dels = [r for r in cdf if r["_change_type"] == "delete"]
+            ins = [r for r in cdf if r["_change_type"] == "insert"]
+            work = dict(m_a)
+            for r in dels:
+                assert work.pop(r["k"]) == (r[vname], r["tag"])
+            for r in ins:
+                assert r["k"] not in work
+                work[r["k"]] = (r[vname], r["tag"])
+            assert work == model
+            if has_d:
+                for r in ins:
+                    assert r[dname] == dval
+                exp_del = dv_a if (hd_a and dp_a == d_phys) else None
+                for r in dels:
+                    assert r[dname] == exp_del
+            check()
+            continue  # no commit happened
         elif kind == "rename":
             nxt = "v2" if vname == "v" else "v"
             if rule:
@@ -830,16 +918,16 @@ def test_txnlog_generated_clustering_sequences_match_dict_model(
             candidates = sorted(history)
             target = candidates[max(0, len(candidates) - 1 - op[1])]
             t.restore(target)
-            model, vname, rule, has_d = (
-                dict(history[target][0]),
-                history[target][1],
-                history[target][2],
-                history[target][3],
-            )
+            snap = history[target]
+            model = dict(snap[0])
+            vname, rule, has_d, dname, dval, d_phys = snap[1:7]
+            tombstones = set(snap[7])
         elif kind == "optimize":
             t.optimize(spark, target_files=1)
         elif kind == "checkpoint":
             t.checkpoint()
             t = TxnLogTable(path, stat_cols=("k",), checkpoint_interval=0)
-        history[t.version()] = (dict(model), vname, rule, has_d)
+        history[t.version()] = (
+            dict(model), vname, rule, has_d, dname, dval, d_phys, frozenset(tombstones)
+        )
         check()
