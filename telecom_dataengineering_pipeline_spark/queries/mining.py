@@ -381,7 +381,7 @@ def sequence_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sequence_funnel_purchase", oracle=_FUNNEL_ORACLE, tags=("W3", "sequence"))
+@register("sequence_funnel_purchase", oracle=_FUNNEL_ORACLE, tags=("W3", "sequence"), bench=True)
 def sequence_funnel_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One shuffle on the user key: step-filtered events collapse to a
     sorted per-user array and the greedy state machine runs as a
