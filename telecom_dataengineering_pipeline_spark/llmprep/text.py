@@ -207,16 +207,29 @@ def bm25_scores(
     if not terms:
         raise ValueError("bm25_scores needs at least one query term")
     toks = tokens(F.col(text_col))
-    lengths = docs.select(
-        F.col(id_col), F.size(toks).cast("double").alias("_dl")
-    )
+    # ONE pass over the text column (the wide thing at corpus scale):
+    # per-doc length rides alongside the query-term-filtered explode
+    # (explode_outer keeps zero-match docs — avgdl averages over ALL
+    # docs). The narrow exploded relation is lazily checkpointed because
+    # it feeds THREE aggregates (lengths, corpus via lengths, tf) and
+    # Spark re-executes shared subtrees — without it the tokenizer scan
+    # would run once per reference.
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("double").alias("_dl_i"),
+        F.explode_outer(
+            F.filter(toks, lambda t: t.isin(terms))
+        ).alias("_t"),
+    ).localCheckpoint(eager=False)
+    lengths = base.groupBy(id_col).agg(
+        F.first("_dl_i").alias("_dl")
+    ).localCheckpoint(eager=False)
     corpus = lengths.agg(
         F.count(F.lit(1)).cast("double").alias("_n_docs"),
         F.avg("_dl").alias("_avgdl"),
     )
     tf = (
-        docs.select(F.col(id_col), F.explode(toks).alias("_t"))
-        .filter(F.col("_t").isin(terms))
+        base.filter(F.col("_t").isNotNull())
         .groupBy(id_col, "_t")
         .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
     )

@@ -290,6 +290,12 @@ def neighborhood_jaccard(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # The edge set fans out into FIVE downstream references (two union
+        # arms, the degree count, both wedge sides): Spark does not dedupe
+        # shared subtrees, so without this the whole upstream edge
+        # derivation (often a join/explode pipeline) re-executes per
+        # reference. Lazy: materializes executor-local on first use.
+        .localCheckpoint(eager=False)
     )
     both = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))

@@ -123,6 +123,11 @@ def robust_outlier_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"))
         .select(F.col("rev").cast("double").alias("x"))
+        # nested medians are three passes over the input by construction —
+        # materialize the (calendar-bounded) aggregate once instead of
+        # re-running the orders scan+shuffle per pass, exactly the
+        # operator's documented 100 TB-tier contract
+        .localCheckpoint(eager=False)
     )
     return robust_outlier_profile(daily, "x")
 

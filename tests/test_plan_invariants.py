@@ -413,3 +413,79 @@ def test_benford_single_scan_nine_row_total(spark, sf_smoke):
     plan = _physical(spark, "benford_order_prices", sf_smoke)
     assert plan.count("FileScan") <= 2  # orders once (+ the 9-row range spine)
     assert _n_shuffles(plan) == 1  # the digit aggregate
+
+
+def test_bm25_single_text_pass_broadcast_stats(spark, sf_smoke):
+    """The text column is tokenized ONCE (the exploded base relation is
+    checkpointed and feeds lengths/corpus/tf — no repeated corpus scans);
+    document frequencies and corpus stats broadcast onto the tiny
+    filtered token relation; top-k fuses into TakeOrdered."""
+    plan = _physical(spark, "bm25_keyword_retrieval", sf_smoke)
+    assert plan.count("FileScan") == 0  # base pass materialized once
+    assert _n_shuffles(plan) <= 4  # per-doc len, tf, df, final per-doc sum
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_robust_outlier_materializes_input_once(spark, sf_smoke):
+    """Nested medians are three passes by construction — over the ONE
+    materialized calendar-grain aggregate, never three re-runs of the
+    orders scan+shuffle. The only exchanges left are the scalar sketch
+    merges (KiB-sized partials)."""
+    plan = _physical(spark, "robust_outlier_daily_revenue", sf_smoke)
+    assert plan.count("FileScan") == 0
+    assert _n_shuffles(plan) == 0
+    assert len(re.findall(r"Exchange SinglePartition", plan)) <= 3
+
+
+def test_neighborhood_jaccard_edges_materialize_once(spark, sf_smoke):
+    """The canonical edge set fans out into five references (union arms,
+    degrees, both wedge sides): it must checkpoint once, not re-execute
+    the basket→pair→sample derivation per reference; the wedge join is an
+    equi-join, never a product."""
+    plan = _physical(spark, "copurchase_neighborhood_jaccard", sf_smoke)
+    assert plan.count("FileScan") == 0  # edge pipeline materialized once
+    assert _n_shuffles(plan) <= 8
+    assert "CartesianProduct" not in plan
+
+
+def test_grid_density_single_exchange(spark, sf_smoke):
+    plan = _physical(spark, "grid_density_event_cells", sf_smoke)
+    assert plan.count("FileScan") == 1
+    assert _n_shuffles(plan) == 1  # the cell aggregate — nothing else
+
+
+def test_last_touch_one_user_exchange_pushed_event_filter(spark, sf_smoke):
+    """One shuffle on the user key; the touch/conversion name filter is
+    pushed into the parquet scan so non-participating events never leave
+    it."""
+    plan = _physical(spark, "last_touch_attribution_purchases", sf_smoke)
+    assert plan.count("FileScan") == 1
+    assert _n_shuffles(plan) == 1
+    assert "In(event_type" in plan  # pushed IN filter
+
+
+def test_grouped_quantiles_sketch_exchanges_only(spark, sf_smoke):
+    plan = _physical(spark, "grouped_quantile_event_values", sf_smoke)
+    assert plan.count("FileScan") == 1
+    assert _n_shuffles(plan) == 2  # daily decimal agg + per-group sketch
+
+
+def test_cusum_single_pivot_exchange_no_window(spark, sf_smoke):
+    """The series pivots in ONE conditional aggregate (map-side combined);
+    the recurrence is a per-row column chain — no window operator, no
+    second pass."""
+    plan = _physical(spark, "cusum_event_value_shifts", sf_smoke)
+    assert plan.count("FileScan") == 1
+    assert _n_shuffles(plan) == 1
+    assert "Window" not in plan
+
+
+def test_media_header_parse_no_shuffle(spark, sf_smoke):
+    """Construction and the PNG/GIF parse are pure column expressions;
+    the JPEG SOF walk is the only Python (Arrow-batched mapInPandas) and
+    joins back broadcast — nothing shuffles the blobs."""
+    plan = _physical(spark, "media_header_dimensions", sf_smoke)
+    assert _n_shuffles(plan) == 0
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
