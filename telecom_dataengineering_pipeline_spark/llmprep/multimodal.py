@@ -347,3 +347,76 @@ def jpeg_dimensions_scan(
             yield out
 
     return media.select(id_col, payload_col).mapInPandas(_scan, JPEG_DIMS_SCHEMA)
+
+
+
+def _le32(c: Column, pos: int) -> Column:
+    """Little-endian uint32 at 1-based byte offset ``pos``."""
+    return _le16(c, pos) + _le16(c, pos + 2) * 65536
+
+
+def wav_header_profile(
+    media: DataFrame,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """RIFF/WAVE header parse — the audio modality's analog of the image
+    tier's fixed-offset pass: the canonical 44-byte PCM header is a fixed
+    little-endian layout, so format sniff, channel/rate/depth extraction
+    and duration all run as pure column expressions (zero Python, zero
+    shuffle — one map stage over billions of blobs).
+
+    Parses the CANONICAL layout ('fmt ' at 13, 'data' at 37). A
+    non-canonical file (extra LIST/INFO chunks before 'data' — the WAV
+    analog of JPEG's floating SOF) still sniffs as WAV but gets
+    ``header_ok = False``; a chunk-walk pass can resolve those the way
+    ``jpeg_dimensions_scan`` resolves SOF. The verdict cross-checks the
+    header's INTERNAL consistency — ``byte_rate`` and ``block_align``
+    must equal their definitions and the payload must actually contain
+    the declared data bytes — a truncation/forgery screen that needs no
+    decoding (the audio twin of the image dimension-bomb guard).
+
+    Adds (is_wav, audio_format, channels, sample_rate, bits_per_sample,
+    data_bytes, duration_ms, header_ok); input columns pass through.
+    ``duration_ms = data_bytes * 1000 div byte_rate`` — exact integer
+    floor division, engine-stable (``div`` in Spark, ``//`` in DuckDB)."""
+    c = F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    is_wav = (F.hex(F.substring(c, 1, 4)) == "52494646") & (
+        F.hex(F.substring(c, 9, 4)) == "57415645"
+    )
+    canonical = (F.hex(F.substring(c, 13, 4)) == "666D7420") & (
+        F.hex(F.substring(c, 37, 4)) == "64617461"
+    )
+    audio_format = _le16(c, 21)
+    channels = _le16(c, 23)
+    rate = _le32(c, 25)
+    byte_rate = _le32(c, 29)
+    block_align = _le16(c, 33)
+    bits = _le16(c, 35)
+    data_bytes = _le32(c, 41)
+    bytes_per_frame = channels * (bits.cast("long") / F.lit(8)).cast("long")
+    consistent = (
+        canonical
+        & (channels > 0)
+        & (rate > 0)
+        & bits.isin(8, 16, 24, 32)
+        & (byte_rate == rate * bytes_per_frame)
+        & (block_align == bytes_per_frame)
+        & (F.length(c).cast("long") >= data_bytes + 44)
+    )
+    # floor division via floor(a/b): exact — both operands are headers'
+    # uint32-scale longs, far inside double's 2^53 integer range
+    duration_ms = F.when(
+        is_wav & consistent & (byte_rate > 0),
+        F.floor((data_bytes * 1000) / byte_rate).cast("long"),
+    )
+    return media.select(
+        "*",
+        is_wav.alias("is_wav"),
+        F.when(is_wav & canonical, audio_format).alias("audio_format"),
+        F.when(is_wav & canonical, channels).alias("channels"),
+        F.when(is_wav & canonical, rate).alias("sample_rate"),
+        F.when(is_wav & canonical, bits).alias("bits_per_sample"),
+        F.when(is_wav & canonical, data_bytes).alias("data_bytes"),
+        duration_ms.alias("duration_ms"),
+        F.when(is_wav, consistent).otherwise(F.lit(False)).alias("header_ok"),
+    )

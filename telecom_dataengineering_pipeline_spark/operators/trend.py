@@ -403,3 +403,157 @@ def cusum_oracle_sql(
         for i, s in enumerate(steps)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def _ewma_limit_factors(T: int, lam: float, L: float) -> "list[float]":
+    """Per-step EWMA control-limit width factors
+    ``L·sqrt(λ/(2−λ)·(1−(1−λ)^(2(t+1))))`` — computed ONCE in Python and
+    embedded as identical literals in the Spark plan and the generated
+    oracle SQL: sqrt/pow may differ by an ulp across engines, a Python
+    float literal cannot."""
+    import math
+
+    lam, L = float(lam), float(L)
+    return [
+        L * math.sqrt(lam / (2.0 - lam) * (1.0 - (1.0 - lam) ** (2 * (t + 1))))
+        for t in range(T)
+    ]
+
+
+def ewma_control_chart(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    step_col: str,
+    value_col: str,
+    steps: Sequence[str],
+    lam: float = 0.3,
+    L: float = 3.0,
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959; Lucas & Saccucci 1990) over a
+    fixed step spine — the small-persistent-shift detector between the
+    z-score band (reacts to single points) and CUSUM (reacts to drifts):
+    ``z_t = λ·x_t + (1−λ)·z_{t−1}`` against time-varying control limits
+    ``m ± L·σ·sqrt(λ/(2−λ)·(1−(1−λ)^{2(t+1)}))``.
+
+    Same scale/determinism shape as :func:`cusum_change_points`: one
+    conditional aggregate pivots each key's series into T columns (grain
+    = |keys|, single map-side-combined pass), the recurrence unrolls as a
+    per-row scalar column chain, the mean/variance sums are LEFT-FOLD
+    chains mirrored by the paired generator, and the per-step limit
+    factors are Python-computed literals shared by both engines. The
+    exact-input requirement on ``value_col`` is identical too (decimal in,
+    double out). Unlike CUSUM there is NO division by σ anywhere, so a
+    flat series degenerates gracefully: σ = 0 collapses the limits onto
+    the center and ``is_out`` is False, never NULL.
+
+    Returns one row per (key, step): ``(*key_cols, step, x, ewma, ucl,
+    lcl, is_out)`` with doubles rounded to 6."""
+    T = len(steps)
+    if T < 2:
+        raise ValueError("ewma_control_chart needs at least two steps")
+    if not 0.0 < lam <= 1.0:
+        raise ValueError("lam must be in (0, 1]")
+    lamf = float(lam)
+    factors = _ewma_limit_factors(T, lamf, float(L))
+    aggs = [
+        F.sum(
+            F.when(F.col(step_col) == F.lit(s), F.col(value_col)).otherwise(F.lit(0))
+        ).alias(f"_x{i}")
+        for i, s in enumerate(steps)
+    ]
+    cur = df.groupBy(*key_cols).agg(*aggs)
+    cur = cur.select(
+        *key_cols, *[F.col(f"_x{i}").cast("double").alias(f"_x{i}") for i in range(T)]
+    )
+    total = F.col("_x0")
+    for t in range(1, T):
+        total = total + F.col(f"_x{t}")
+    cur = cur.withColumn("_mean", total / F.lit(float(T)))
+    ss = (F.col("_x0") - F.col("_mean")) * (F.col("_x0") - F.col("_mean"))
+    for t in range(1, T):
+        d = F.col(f"_x{t}") - F.col("_mean")
+        ss = ss + d * d
+    cur = cur.withColumn("_sd", F.sqrt(ss / F.lit(float(T - 1))))
+    cur = cur.withColumn("_e0", F.col("_x0"))
+    for t in range(1, T):
+        cur = cur.withColumn(
+            f"_e{t}",
+            F.lit(lamf) * F.col(f"_x{t}")
+            + F.lit(1.0 - lamf) * F.col(f"_e{t-1}"),
+        )
+    for t in range(T):
+        cur = cur.withColumn(
+            f"_u{t}", F.col("_mean") + F.lit(factors[t]) * F.col("_sd")
+        ).withColumn(
+            f"_l{t}", F.col("_mean") - F.lit(factors[t]) * F.col("_sd")
+        )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("step"),
+                    F.round(F.col(f"_x{i}"), 6).alias("x"),
+                    F.round(F.col(f"_e{i}"), 6).alias("ewma"),
+                    F.round(F.col(f"_u{i}"), 6).alias("ucl"),
+                    F.round(F.col(f"_l{i}"), 6).alias("lcl"),
+                    (
+                        (F.col(f"_e{i}") > F.col(f"_u{i}"))
+                        | (F.col(f"_e{i}") < F.col(f"_l{i}"))
+                    ).alias("is_out"),
+                )
+                for i, s in enumerate(steps)
+            ]
+        )
+    ).alias("_r")
+    return cur.select(*key_cols, rows).select(
+        *key_cols, "_r.step", "_r.x", "_r.ewma", "_r.ucl", "_r.lcl", "_r.is_out"
+    )
+
+
+def ewma_oracle_sql(
+    base_cte: str,
+    key_expr: str,
+    step_expr: str,
+    value_expr: str,
+    steps: Sequence[str],
+    lam: float = 0.3,
+    L: float = 3.0,
+) -> str:
+    """The DuckDB mirror of :func:`ewma_control_chart`, generated by the
+    same unrolling loop: identical left-fold mean/variance chains,
+    identical recurrence shapes, the SAME Python-computed limit-factor
+    literals. ``base_cte`` must expose (key, step, value) via the given
+    expressions; emits (k, step, x, ewma, ucl, lcl, is_out)."""
+    T = len(steps)
+    lamf = float(lam)
+    factors = _ewma_limit_factors(T, lamf, float(L))
+    xs = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN {step_expr} = '{s}' THEN {value_expr} ELSE 0 END), 0) AS DOUBLE) AS x{i}"
+        for i, s in enumerate(steps)
+    )
+    total = "x0"
+    for t in range(1, T):
+        total = f"({total} + x{t})"
+    ss = "((x0 - m) * (x0 - m))"
+    for t in range(1, T):
+        ss = f"({ss} + ((x{t} - m) * (x{t} - m)))"
+    ctes = [
+        f"base AS ({base_cte})",
+        f"s0 AS (SELECT {key_expr} AS k, {xs} FROM base GROUP BY 1)",
+        f"sm AS (SELECT *, {total} / {float(T)!r} AS m FROM s0)",
+        f"sd AS (SELECT *, sqrt({ss} / {float(T - 1)!r}) AS sdv FROM sm)",
+        "e0 AS (SELECT *, x0 AS e0 FROM sd)",
+    ]
+    for t in range(1, T):
+        ctes.append(
+            f"e{t} AS (SELECT *, {lamf!r} * x{t} + {1.0 - lamf!r} * e{t-1} AS e{t} FROM e{t-1})"
+        )
+    selects = [
+        f"SELECT k, '{s}' AS step, round(x{i}, 6) AS x, round(e{i}, 6) AS ewma, "
+        f"round(m + {factors[i]!r} * sdv, 6) AS ucl, "
+        f"round(m - {factors[i]!r} * sdv, 6) AS lcl, "
+        f"(e{i} > m + {factors[i]!r} * sdv OR e{i} < m - {factors[i]!r} * sdv) AS is_out "
+        f"FROM e{T-1}"
+        for i, s in enumerate(steps)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)

@@ -1,0 +1,264 @@
+"""Round-7 tests-only additions (queued for the round-8 driver window):
+bucketized interval-overlap join, EWMA control chart, RIFF/WAVE header
+profile, and Adamic-Adar link scores. Each is verified against a
+brute-force Python reference (or its paired generated oracle) on fixtures
+the operator can't special-case."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from telecom_dataengineering_pipeline_spark.operators.graph import adamic_adar_scores
+from telecom_dataengineering_pipeline_spark.operators.interval import (
+    interval_overlap_join,
+)
+
+# --- interval overlap join -------------------------------------------------
+
+_LEFT = [
+    # (l_id, l_start, l_end) — mixes sub-bucket, bucket-straddling and
+    # multi-bucket spans, touching endpoints, and exact-equal intervals
+    (0, 5, 9),
+    (1, 10, 10),       # point interval on a bucket boundary
+    (2, 8, 23),        # straddles three buckets (width 10)
+    (3, 40, 45),
+    (4, 100, 130),     # long: four buckets
+    (5, 8, 23),        # duplicate span of 2
+]
+_RIGHT = [
+    (100, 9, 12),
+    (101, 24, 30),     # touches 2/5's end+1: NO overlap (closed intervals)
+    (102, 23, 23),     # point at 2/5's end: overlap
+    (103, 0, 4),       # ends just before 0 starts
+    (104, 44, 101),    # long, overlaps 3 and 4
+    (105, 130, 131),   # touches 4's end
+]
+
+
+def _overlap_ref():
+    return sorted(
+        (l, r)
+        for l, ls, le in _LEFT
+        for r, rs, re_ in _RIGHT
+        if ls <= re_ and rs <= le
+    )
+
+
+@pytest.mark.parametrize("width", [1, 7, 10, 1000])
+def test_interval_overlap_matches_bruteforce_any_width(spark, width):
+    """The pair set is width-INVARIANT: bucketing is a physical strategy,
+    never a semantics knob — and each pair appears exactly once (the
+    canonical-bucket election replaces distinct())."""
+    ldf = spark.createDataFrame(_LEFT, "l_id long, l_start long, l_end long")
+    rdf = spark.createDataFrame(_RIGHT, "r_id long, r_start long, r_end long")
+    rows = interval_overlap_join(
+        ldf, rdf, ("l_start", "l_end"), ("r_start", "r_end"), bucket_width=width
+    ).collect()
+    pairs = sorted((r["l_id"], r["r_id"]) for r in rows)
+    assert pairs == _overlap_ref()
+    assert len(pairs) == len(set(pairs))  # no duplicate emissions
+
+
+def test_interval_overlap_keyed_restricts_pairs(spark):
+    ldf = spark.createDataFrame(
+        [(0, "a", 0, 10), (1, "b", 0, 10)], "l_id long, lk string, l_start long, l_end long"
+    )
+    rdf = spark.createDataFrame(
+        [(7, "a", 5, 6), (8, "b", 100, 110)], "r_id long, rk string, r_start long, r_end long"
+    )
+    rows = interval_overlap_join(
+        ldf, rdf, ("l_start", "l_end"), ("r_start", "r_end"),
+        bucket_width=10, keys=("lk", "rk"),
+    ).collect()
+    assert [(r["l_id"], r["r_id"]) for r in rows] == [(0, 7)]
+
+
+def test_interval_overlap_guard_fires_on_runaway_fanout(spark):
+    ldf = spark.createDataFrame([(0, 0, 10_000_000)], "l_id long, l_start long, l_end long")
+    rdf = spark.createDataFrame([(1, 5, 6)], "r_id long, r_start long, r_end long")
+    out = interval_overlap_join(
+        ldf, rdf, ("l_start", "l_end"), ("r_start", "r_end"),
+        bucket_width=10, max_buckets_per_interval=100,
+    )
+    with pytest.raises(Exception, match="buckets"):
+        out.collect()
+    with pytest.raises(ValueError, match="positive"):
+        interval_overlap_join(
+            ldf, rdf, ("l_start", "l_end"), ("r_start", "r_end"), bucket_width=0
+        )
+
+
+def test_interval_overlap_single_equijoin_no_product(spark):
+    ldf = spark.createDataFrame(_LEFT, "l_id long, l_start long, l_end long")
+    rdf = spark.createDataFrame(_RIGHT, "r_id long, r_start long, r_end long")
+    plan = (
+        interval_overlap_join(
+            ldf, rdf, ("l_start", "l_end"), ("r_start", "r_end"), bucket_width=10
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- EWMA control chart ------------------------------------------------------
+
+def test_ewma_detects_shift_flat_degenerates_and_matches_mirror(spark):
+    """A persistent level shift drives the EWMA past the time-varying
+    limits; a flat series collapses the limits onto the center without
+    NULLs or divisions; the generated DuckDB oracle reproduces the Spark
+    output bit-for-bit."""
+    import duckdb
+
+    from telecom_dataengineering_pipeline_spark.operators.trend import (
+        ewma_control_chart,
+        ewma_oracle_sql,
+    )
+
+    steps = [f"m{i}" for i in range(10)]
+    series = [10.0, 11.0, 9.0, 10.0, 11.0, 9.0, 10.0, 14.0, 14.0, 14.0]
+    rows = [("shift", f"m{i}", x) for i, x in enumerate(series)]
+    rows += [("flat", f"m{i}", 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, step string, x double")
+    out = ewma_control_chart(df, ["g"], "step", "x", steps, lam=0.4, L=1.5)
+    got = {
+        (r["g"], r["step"]): (r["x"], r["ewma"], r["ucl"], r["lcl"], r["is_out"])
+        for r in out.collect()
+    }
+    # zig-zag base stays inside the band; the sustained +4 shift escapes
+    # only after the EWMA accumulates it (no single point is an outlier
+    # to the raw z-band: max |x - m| ≈ 2.8 < 2σ)
+    assert not any(got[("shift", f"m{i}")][4] for i in range(7))
+    assert got[("shift", "m9")][4] is True
+    flat = got[("flat", "m3")]
+    assert flat[1] == 5.0 and flat[2] == 5.0 and flat[3] == 5.0
+    assert flat[4] is False  # σ=0: limits collapse, never NULL/divide
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE fixture AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{g}', '{s}', {x})" for g, s, x in rows)
+        + ") AS t(g, step, x)"
+    )
+    sql = ewma_oracle_sql(
+        "SELECT g, step, x FROM fixture", "g", "step", "x", steps, lam=0.4, L=1.5
+    )
+    mirror = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5], r[6])
+        for r in con.execute(sql).fetchall()
+    }
+    assert mirror == got
+
+
+def test_ewma_validates_params(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import (
+        ewma_control_chart,
+    )
+
+    df = spark.createDataFrame([("g", "a", 1.0)], "g string, step string, x double")
+    with pytest.raises(ValueError, match="two steps"):
+        ewma_control_chart(df, ["g"], "step", "x", ["a"])
+    with pytest.raises(ValueError, match="lam"):
+        ewma_control_chart(df, ["g"], "step", "x", ["a", "b"], lam=0.0)
+
+
+# --- RIFF/WAVE header profile ------------------------------------------------
+
+def _wav(channels=2, rate=44_100, bits=16, n_frames=1_000, forge_byte_rate=None,
+         extra_chunk=False, truncate=False):
+    frame = channels * bits // 8
+    data_size = n_frames * frame
+    byte_rate = forge_byte_rate if forge_byte_rate is not None else rate * frame
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate, frame, bits)
+    body = b"fmt " + struct.pack("<I", 16) + fmt
+    if extra_chunk:  # LIST chunk before data: non-canonical layout
+        body += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body += b"data" + struct.pack("<I", data_size)
+    payload = b"" if truncate else b"\x00" * data_size
+    riff = b"WAVE" + body + payload
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def test_wav_header_parse_and_consistency_screen(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.multimodal import (
+        wav_header_profile,
+    )
+
+    rows = [
+        (1, _wav()),                                  # canonical stereo CD
+        (2, _wav(channels=1, rate=16_000, bits=8, n_frames=16_000)),  # 1s mono
+        (3, _wav(forge_byte_rate=1)),                 # forged byte_rate
+        (4, _wav(extra_chunk=True)),                  # non-canonical layout
+        (5, _wav(truncate=True)),                     # header claims absent bytes
+        (6, b"RIFF\x10\x00\x00\x00AVI LIST"),         # RIFF but not WAVE
+        (7, b"plain bytes"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: (
+            r["is_wav"], r["channels"], r["sample_rate"], r["bits_per_sample"],
+            r["duration_ms"], r["header_ok"],
+        )
+        for r in wav_header_profile(df).collect()
+    }
+    # 1000 frames at 44.1kHz -> 22ms (floor)
+    assert got[1] == (True, 2, 44_100, 16, 22, True)
+    assert got[2] == (True, 1, 16_000, 8, 1000, True)
+    assert got[3][5] is False          # byte_rate != rate*channels*bits/8
+    assert got[4] == (True, None, None, None, None, False)  # needs chunk walk
+    assert got[5][5] is False          # declared data bytes not present
+    assert got[6][0] is False and got[6][5] is False
+    assert got[7] == (False, None, None, None, None, False)
+
+
+# --- Adamic-Adar -------------------------------------------------------------
+
+def _aa_ref(edges, max_hub=None, min_common=1):
+    import collections
+    import itertools
+
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    out = {}
+    for a, b in itertools.combinations(sorted(adj), 2):
+        common = {
+            w for w in adj[a] & adj[b]
+            if max_hub is None or len(adj[w]) <= max_hub
+        }
+        if len(common) >= min_common:
+            from decimal import Decimal
+
+            s = sum(Decimal(str(round(1.0 / math.log(len(adj[w])), 9))) for w in common)
+            out[(a, b)] = (len(common), round(float(s), 6))
+    return out
+
+
+def test_adamic_adar_matches_bruteforce(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (1, 6), (2, 6)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        (r["u"], r["v"]): (r["common"], r["aa_score"])
+        for r in adamic_adar_scores(df).collect()
+    }
+    assert got == _aa_ref(edges)
+
+
+def test_adamic_adar_hub_guard_and_bidirectional_input(spark):
+    edges = [(0, k) for k in range(1, 6)] + [(1, 2)]
+    noisy = edges + [(v, u) for u, v in edges]
+    got = {
+        (r["u"], r["v"]): (r["common"], r["aa_score"])
+        for r in adamic_adar_scores(
+            spark.createDataFrame(noisy, "u long, v long"), max_hub_degree=3
+        ).collect()
+    }
+    assert got == _aa_ref(edges, max_hub=3)
+    # rare shared neighbors weigh MORE: deg-2 neighbor beats deg-5 hub
+    full = _aa_ref(edges)
+    assert full[(1, 2)][1] > 1.0 / math.log(5)  # includes the 1/ln(2) wedge
