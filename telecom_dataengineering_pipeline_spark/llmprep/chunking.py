@@ -116,3 +116,70 @@ def chunk_dup_coverage(
             F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4).alias("dup_chunk_ratio"),
         )
     )
+
+
+def cdc_chunk_documents(
+    docs: DataFrame,
+    divisor: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/LBFS/rsync boundary trick at
+    token granularity): a chunk boundary falls AFTER every token whose
+    engine-neutral 32-bit hash ≡ 0 (mod ``divisor``) — so boundaries are
+    a function of CONTENT, not position. That is the property fixed-size
+    chunking lacks: insert one sentence near the top of a document and
+    every fixed-size chunk after it shifts (all hashes change, dedup
+    misses everything downstream), while CDC chunks RE-ALIGN at the next
+    content boundary and the rest of the document deduplicates again.
+    Expected chunk length is ``divisor`` tokens.
+
+    Pure map stage, zero shuffle, zero Python: boundary positions come
+    from ONE `filter` over the indexed token array, chunk extents from
+    zipping the boundary list with itself shifted — all higher-order
+    column expressions; chunk rows stay co-partitioned with their
+    document. Pair with :func:`duplicate_chunk_groups`'s hash aggregate
+    for the actual dedup sweep.
+
+    Returns one row per chunk: (doc_id, chunk_idx, start_tok 1-based,
+    n_tokens, chunk_md5). Empty documents produce no chunks."""
+    if divisor < 1:
+        raise ValueError("divisor must be >= 1")
+    from .text import token_hash32
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(tokens(text_col), lambda t: t != "").alias("toks"),
+    ).filter(F.size("toks") > 0)
+    n = F.size("toks")
+    # 1-based positions whose token closes a chunk (the last token always
+    # does, whatever its hash — otherwise the tail would vanish)
+    ends = F.array_union(
+        F.filter(
+            F.transform(
+                F.col("toks"),
+                lambda t, i: F.when(
+                    token_hash32(t) % divisor == 0, i + 1
+                ).otherwise(F.lit(None)),
+            ),
+            lambda e: e.isNotNull(),
+        ),
+        F.array(n),
+    )
+    # starts = 1, then each previous end + 1 (zip_with over the shifted list)
+    spans = F.expr(
+        "transform(_ends, (e, i) -> struct("
+        "CASE WHEN i = 0 THEN 1 ELSE _ends[i - 1] + 1 END AS s, e AS e))"
+    )
+    rows = (
+        base.withColumn("_ends", ends)
+        .select("doc_id", "toks", F.posexplode(spans).alias("chunk_idx", "sp"))
+    )
+    piece = F.slice(F.col("toks"), F.col("sp.s"), F.col("sp.e") - F.col("sp.s") + 1)
+    return rows.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("sp.s").cast("int").alias("start_tok"),
+        (F.col("sp.e") - F.col("sp.s") + 1).cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
+    )

@@ -262,3 +262,96 @@ def test_adamic_adar_hub_guard_and_bidirectional_input(spark):
     # rare shared neighbors weigh MORE: deg-2 neighbor beats deg-5 hub
     full = _aa_ref(edges)
     assert full[(1, 2)][1] > 1.0 / math.log(5)  # includes the 1/ln(2) wedge
+
+
+# --- content-defined chunking --------------------------------------------
+
+def _cdc_ref(text, divisor=8):
+    import hashlib
+
+    toks = [t for t in text.lower().strip().split() if t]
+    if not toks:
+        return []
+    ends = [
+        i + 1
+        for i, t in enumerate(toks)
+        if int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % divisor == 0
+    ]
+    if not ends or ends[-1] != len(toks):
+        ends.append(len(toks))
+    out, s = [], 1
+    for idx, e in enumerate(ends):
+        piece = " ".join(toks[s - 1 : e])
+        out.append((idx, s, e - s + 1, hashlib.md5(piece.encode()).hexdigest()))
+        s = e + 1
+    return out
+
+
+def test_cdc_chunks_match_bruteforce(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.chunking import (
+        cdc_chunk_documents,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "spark shuffle join hash agg window sort filter scan batch stream",
+        "one",
+        "",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {}
+    for r in cdc_chunk_documents(df, divisor=4).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start_tok"], r["n_tokens"], r["chunk_md5"])
+        )
+    for d, text in enumerate(texts):
+        assert sorted(got.get(d, [])) == _cdc_ref(text, divisor=4), f"doc {d}"
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """THE content-defined property: an insertion near the head changes
+    only the chunks it touches — everything after the next content
+    boundary re-aligns and keeps its hash (fixed-size chunking loses the
+    whole tail). Verified on the actual corpus fixture."""
+    from telecom_dataengineering_pipeline_spark.llmprep.chunking import (
+        cdc_chunk_documents,
+        chunk_documents,
+    )
+    from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    edited = docs.select(
+        "doc_id", F.concat(F.lit("inserted preamble sentence "), F.col("text")).alias("text")
+    )
+    orig = {
+        (r["doc_id"], r["chunk_md5"]) for r in cdc_chunk_documents(docs).collect()
+    }
+    after = {
+        (r["doc_id"], r["chunk_md5"]) for r in cdc_chunk_documents(edited).collect()
+    }
+    cdc_kept = len(orig & after) / len(orig)
+    f_orig = {(r["doc_id"], r["chunk_md5"]) for r in chunk_documents(docs).collect()}
+    f_after = {
+        (r["doc_id"], r["chunk_md5"]) for r in chunk_documents(edited).collect()
+    }
+    fixed_kept = len(f_orig & f_after) / len(f_orig)
+    assert cdc_kept > 0.8      # almost every chunk re-aligns
+    assert fixed_kept < 0.2    # fixed-size chunking loses the document
+    assert cdc_kept > fixed_kept + 0.5
+
+
+def test_cdc_chunks_shuffle_free(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.chunking import (
+        cdc_chunk_documents,
+    )
+    from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        cdc_chunk_documents(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re as _re
+
+    assert not _re.findall(r"Exchange hashpartitioning", plan)
+    assert "Python" not in plan
