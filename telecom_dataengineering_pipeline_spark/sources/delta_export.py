@@ -1,0 +1,217 @@
+"""Delta Lake interop WITHOUT the Delta package: a CONVERT-shaped snapshot
+exporter that writes a real ``_delta_log``, and a spec-based reader that
+attaches to one.
+
+The Delta transaction-log format is public (the delta-io PROTOCOL spec):
+newline-delimited JSON commits named ``%020d.json`` under ``_delta_log/``,
+each carrying ``protocol`` / ``metaData`` / ``add`` / ``remove`` actions;
+``metaData.schemaString`` is exactly Spark's ``StructType.json()``. That
+makes both directions implementable from first principles:
+
+- :func:`export_delta_snapshot` materializes a txnlog table's CURRENT
+  LOGICAL snapshot (renames resolved, deletion vectors applied, column
+  defaults filled — ``TxnLogTable.read`` semantics) as clean parquet plus
+  a version-0 Delta commit with per-file ``numRecords``/min/max/nullCount
+  stats. Deep copy by design — the same choice Delta's own CONVERT makes
+  for non-parquet layouts: our physical files use mapped column names and
+  DV sidecars a foreign reader cannot know about, so re-referencing them
+  in place would export a lie. Any Delta reader (Spark+delta, delta-rs,
+  DuckDB's delta extension) can attach to the output directory.
+- :func:`read_delta_snapshot` replays a foreign ``_delta_log`` — ordered
+  JSON commits, add/remove reconciliation, partitionValues materialized
+  as columns — and returns the live rows as a DataFrame. Reader-version
+  >2 features (column mapping, deletion vectors) raise loudly instead of
+  decoding wrong data; checkpoint parquet is handled by reading the JSON
+  tail after ``_last_checkpoint`` when the full JSON chain is present
+  (the common export/CONVERT case), otherwise refused.
+
+Scale note: the export is two distributed passes (write, then one
+``_metadata.file_path``-grouped scan for per-file stats — never a
+per-file driver loop); the reader's log replay is driver-side but
+metadata-sized (actions, not rows).
+
+Reference parity: the reference writes its bronze layer through real
+Iceberg/Delta tables (``processing/bronze/bronze_compaction.py``); this
+closes the interop gap from the txnlog side as far as a package-free
+environment allows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_delta_log"
+_ATOMIC = {"long", "int", "integer", "short", "byte", "double", "float",
+           "string", "date", "boolean"}
+
+
+def _commit_path(path: str, version: int) -> str:
+    return os.path.join(path, _LOG_DIR, f"{version:020d}.json")
+
+
+def export_delta_snapshot(
+    t,
+    spark: SparkSession,
+    dest_path: str,
+) -> dict:
+    """Export ``t``'s current snapshot to ``dest_path`` as a Delta table
+    (version 0). Returns a manifest summary: n_files, n_rows, version."""
+    df = t.read(spark)
+    schema = df.schema
+    # parquet first (mode=error demands a fresh directory), log dir after
+    df.write.mode("error").parquet(dest_path)
+    os.makedirs(os.path.join(dest_path, _LOG_DIR), exist_ok=True)
+
+    # One distributed pass for per-file stats: group the written rows by
+    # their file identity (captured ON the scan). Stats only for atomic
+    # columns — same restriction Delta itself applies.
+    stat_cols = [f.name for f in schema.fields if f.dataType.typeName() in _ATOMIC]
+    back = spark.read.schema(schema).parquet(dest_path).select(
+        "*", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f")
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+    per_file = {r["__f"]: r for r in back.groupBy("__f").agg(*aggs).collect()}
+
+    def _j(v):
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        return v
+
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "CONVERT",
+                "operationParameters": {"sourceFormat": "txnlog"},
+                "engineInfo": "telecom-dataengineering-pipeline-spark",
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+    ]
+    n_rows = 0
+    for fname in sorted(per_file):
+        r = per_file[fname]
+        n_rows += r["__n"]
+        stats = {
+            "numRecords": r["__n"],
+            "minValues": {c: _j(r[f"__min_{c}"]) for c in stat_cols
+                          if r[f"__min_{c}"] is not None},
+            "maxValues": {c: _j(r[f"__max_{c}"]) for c in stat_cols
+                          if r[f"__max_{c}"] is not None},
+            "nullCount": {c: r[f"__null_{c}"] for c in stat_cols},
+        }
+        fpath = os.path.join(dest_path, fname)
+        actions.append(
+            {
+                "add": {
+                    "path": fname,
+                    "partitionValues": {},
+                    "size": os.path.getsize(fpath),
+                    "modificationTime": int(os.path.getmtime(fpath) * 1000),
+                    "dataChange": True,
+                    "stats": json.dumps(stats),
+                }
+            }
+        )
+    tmp = _commit_path(dest_path, 0) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    os.rename(tmp, _commit_path(dest_path, 0))
+    return {"version": 0, "n_files": len(per_file), "n_rows": n_rows}
+
+
+def read_delta_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """Attach to a Delta table directory and return its live rows.
+
+    Replays the full JSON commit chain in version order: last metaData
+    wins, add/remove reconcile by path, partitionValues materialize as
+    typed literal columns (Delta stores partition data in the log, not
+    the files). Refuses — loudly, never silently-wrong — tables needing
+    reader features we do not decode: column mapping, deletion vectors,
+    or a checkpoint-truncated log."""
+    log_dir = os.path.join(path, _LOG_DIR)
+    commits = sorted(
+        f for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[: -len(".json")].isdigit()
+    )
+    if not commits:
+        raise ValueError(f"no Delta commits under {log_dir}")
+    if int(commits[0][: -len(".json")]) != 0:
+        raise NotImplementedError(
+            "log starts after a checkpoint truncation; checkpoint parquet "
+            "replay is not implemented — vacuum/export the source with the "
+            "full JSON chain present"
+        )
+    meta = None
+    active: dict[str, dict] = {}
+    for fname in commits:
+        with open(os.path.join(log_dir, fname)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    if action["protocol"].get("minReaderVersion", 1) > 1:
+                        raise NotImplementedError(
+                            "reader features beyond protocol v1 (column "
+                            "mapping / deletion vectors) are not decoded"
+                        )
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    a = action["add"]
+                    if a.get("deletionVector"):
+                        raise NotImplementedError(
+                            "deletion vectors are not decoded"
+                        )
+                    active[a["path"]] = a
+                elif "remove" in action:
+                    active.pop(action["remove"]["path"], None)
+    if meta is None:
+        raise ValueError("log carries no metaData action")
+    if (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none") != "none":
+        raise NotImplementedError("column mapping is not decoded")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    file_schema = StructType([f for f in schema.fields if f.name not in part_cols])
+    by_type = {f.name: f.dataType for f in schema.fields}
+
+    if not active:
+        return spark.createDataFrame([], schema)
+    # group files by their partition tuple so each group is one typed scan
+    groups: dict[tuple, list[str]] = {}
+    for p, a in active.items():
+        key = tuple((c, (a.get("partitionValues") or {}).get(c)) for c in part_cols)
+        groups.setdefault(key, []).append(os.path.join(path, p))
+    out: DataFrame | None = None
+    for key, files in sorted(groups.items()):
+        df = spark.read.schema(file_schema).parquet(*sorted(files))
+        for c, v in key:
+            # Delta serializes partition values as strings; NULL is the
+            # absence of the key. Cast restores the declared type.
+            df = df.withColumn(
+                c,
+                (F.lit(v) if v is not None else F.lit(None)).cast(by_type[c]),
+            )
+        df = df.select(*[f.name for f in schema.fields])
+        out = df if out is None else out.unionByName(df)
+    return out

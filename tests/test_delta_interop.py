@@ -1,0 +1,180 @@
+"""Delta-format interop without the Delta package: the exporter writes a
+REAL ``_delta_log`` (public delta-io protocol layout), the reader replays
+one — round trip proven on a table exercising renames, column defaults and
+MOR deletes, the log structure cross-checked against DuckDB aggregates,
+and every unsupported reader feature refused loudly."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from telecom_dataengineering_pipeline_spark.sources.delta_export import (
+    export_delta_snapshot,
+    read_delta_snapshot,
+)
+from telecom_dataengineering_pipeline_spark.sources.txnlog import TxnLogTable
+
+
+def _source_table(spark, tmp_path):
+    """A txnlog table whose LOGICAL view diverges maximally from its
+    physical files: renamed column, filled default, vectored-out row."""
+    t = TxnLogTable(str(tmp_path / "src"), stat_cols=("id",))
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")], "id long, v long, s string"
+        )
+    )
+    t.rename_column("v", "amount")
+    t.add_column(spark, "region", "string", "'emea'")
+    t.delete_where_mor(spark, [("id", "=", 2)])
+    return t
+
+
+def test_export_round_trip_and_log_structure(spark, tmp_path):
+    t = _source_table(spark, tmp_path)
+    dest = str(tmp_path / "delta")
+    manifest = export_delta_snapshot(t, spark, dest)
+    want = {(r["id"], r["amount"], r["s"], r["region"]) for r in t.read(spark).collect()}
+    assert manifest["n_rows"] == len(want) == 2
+
+    # round trip through OUR reader
+    got = {
+        (r["id"], r["amount"], r["s"], r["region"])
+        for r in read_delta_snapshot(spark, dest).collect()
+    }
+    assert got == want
+
+    # log structure: protocol + metaData + one add per file, schemaString
+    # is the Spark schema JSON, stats reconcile with DuckDB over the
+    # ACTUAL exported parquet bytes (cross-engine structural check)
+    log = [
+        json.loads(line)
+        for line in open(os.path.join(dest, "_delta_log", f"{0:020d}.json"))
+        if line.strip()
+    ]
+    protos = [a["protocol"] for a in log if "protocol" in a]
+    metas = [a["metaData"] for a in log if "metaData" in a]
+    adds = [a["add"] for a in log if "add" in a]
+    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    assert len(metas) == 1 and len(adds) == manifest["n_files"] >= 1
+    assert json.loads(metas[0]["schemaString"]) == json.loads(
+        t.read(spark).schema.json()
+    )
+    con = duckdb.connect()
+    total = 0
+    for a in adds:
+        f = os.path.join(dest, a["path"])
+        assert os.path.getsize(f) == a["size"]
+        stats = json.loads(a["stats"])
+        n, lo, hi, nulls = con.execute(
+            f"SELECT count(*), min(id), max(id), sum((amount IS NULL)::INT) "
+            f"FROM read_parquet('{f}')"
+        ).fetchone()
+        assert stats["numRecords"] == n
+        assert stats["minValues"]["id"] == lo and stats["maxValues"]["id"] == hi
+        assert stats["nullCount"]["amount"] == nulls
+        total += n
+    assert total == manifest["n_rows"]
+
+
+def test_reader_on_foreign_partitioned_log_with_removes(spark, tmp_path):
+    """A log we did NOT write: partition values live in the log (not the
+    files), a remove action retires one file, and the partition column
+    comes back typed."""
+    root = str(tmp_path / "foreign")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    schema = "id long, x double"
+    spark.createDataFrame([(1, 1.5), (2, 2.5)], schema).coalesce(1).write.parquet(
+        os.path.join(root, "p1")
+    )
+    spark.createDataFrame([(3, 3.5)], schema).coalesce(1).write.parquet(
+        os.path.join(root, "p2")
+    )
+    spark.createDataFrame([(9, 9.9)], schema).coalesce(1).write.parquet(
+        os.path.join(root, "dead")
+    )
+
+    def parts(d):
+        return [
+            os.path.join(d, f)
+            for f in os.listdir(os.path.join(root, d))
+            if f.endswith(".parquet")
+        ]
+
+    full_schema = (
+        '{"type":"struct","fields":['
+        '{"name":"id","type":"long","nullable":true,"metadata":{}},'
+        '{"name":"x","type":"double","nullable":true,"metadata":{}},'
+        '{"name":"day","type":"date","nullable":true,"metadata":{}}]}'
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "m1", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": full_schema, "partitionColumns": ["day"],
+                      "configuration": {}}},
+    ]
+    for p in parts("p1"):
+        actions.append({"add": {"path": p, "partitionValues": {"day": "2024-01-01"},
+                                "size": 1, "modificationTime": 0, "dataChange": True}})
+    for p in parts("p2"):
+        actions.append({"add": {"path": p, "partitionValues": {"day": "2024-01-02"},
+                                "size": 1, "modificationTime": 0, "dataChange": True}})
+    dead = parts("dead")
+    for p in dead:
+        actions.append({"add": {"path": p, "partitionValues": {"day": "2024-01-03"},
+                                "size": 1, "modificationTime": 0, "dataChange": True}})
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    # commit 1 retires the dead file
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        for p in dead:
+            fh.write(json.dumps({"remove": {"path": p, "dataChange": True}}) + "\n")
+
+    out = read_delta_snapshot(spark, root)
+    assert dict(out.dtypes)["day"] == "date"
+    got = {(r["id"], r["x"], str(r["day"])) for r in out.collect()}
+    assert got == {
+        (1, 1.5, "2024-01-01"),
+        (2, 2.5, "2024-01-01"),
+        (3, 3.5, "2024-01-02"),
+    }
+
+
+def test_reader_refuses_undecodable_features(spark, tmp_path):
+    root = str(tmp_path / "bad")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    meta = {"metaData": {"id": "m", "format": {"provider": "parquet", "options": {}},
+                         "schemaString": '{"type":"struct","fields":[]}',
+                         "partitionColumns": [], "configuration": {}}}
+
+    def write(version, actions):
+        with open(os.path.join(log, f"{version:020d}.json"), "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    write(0, [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}, meta])
+    with pytest.raises(NotImplementedError, match="protocol"):
+        read_delta_snapshot(spark, root)
+
+    write(0, [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+              {"metaData": {**meta["metaData"],
+                            "configuration": {"delta.columnMapping.mode": "name"}}}])
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        read_delta_snapshot(spark, root)
+
+    write(0, [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}, meta,
+              {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
+                       "modificationTime": 0, "dataChange": True,
+                       "deletionVector": {"storageType": "u"}}}])
+    with pytest.raises(NotImplementedError, match="eletion vector"):
+        read_delta_snapshot(spark, root)
+
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    write(3, [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}, meta])
+    with pytest.raises(NotImplementedError, match="checkpoint"):
+        read_delta_snapshot(spark, root)
