@@ -1,0 +1,83 @@
+"""Distributed PCA invariants: component orthonormality, eigenvalue
+ordering, parity with numpy's full PCA on the collected fixture, whitened
+covariance ≈ identity, and a JVM-only projection plan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from telecom_dataengineering_pipeline_spark.llmprep.projections import (
+    pca_fit,
+    pca_project,
+)
+from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
+
+
+def _fixture(spark):
+    return load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+def test_pca_matches_numpy_reference(spark):
+    emb = _fixture(spark)
+    model = pca_fit(emb, k=8)
+    x = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()]
+    )
+    mu = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:8]
+
+    assert model["n"] == x.shape[0]
+    assert np.allclose(model["mean"], mu, atol=1e-9)
+    assert np.allclose(model["explained_variance"], evals[order], atol=1e-9)
+    w = np.asarray(model["components"])
+    ref = evecs[:, order].T
+    # eigenvectors match up to sign
+    for i in range(8):
+        assert np.allclose(w[i], ref[i], atol=1e-8) or np.allclose(
+            w[i], -ref[i], atol=1e-8
+        ), i
+    # orthonormal rows
+    assert np.allclose(w @ w.T, np.eye(8), atol=1e-9)
+    # variance sorted descending
+    ev = model["explained_variance"]
+    assert all(ev[i] >= ev[i + 1] for i in range(len(ev) - 1))
+
+
+def test_pca_projection_jvm_matches_numpy_and_whitens(spark):
+    emb = _fixture(spark)
+    model = pca_fit(emb, k=6)
+    rows = pca_project(emb, model, out_col="p").select("vec_id", "p").collect()
+    x = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    w = np.asarray(model["components"])
+    mu = np.asarray(model["mean"])
+    for r in rows:
+        ref = w @ (x[r["vec_id"]] - mu)
+        assert np.allclose(np.asarray(r["p"]), ref, atol=1e-7)
+
+    # whitened projection has ~unit variance per axis, ~zero covariance
+    wrows = pca_project(emb, model, out_col="p", whiten=True).select("p").collect()
+    z = np.asarray([r["p"] for r in wrows])
+    c = np.cov(z, rowvar=False, ddof=1)
+    assert np.allclose(c, np.eye(6), atol=1e-6)
+    # projection stage is pure JVM: no Python evaluator in the plan
+    plan = (
+        pca_project(emb, model, out_col="p")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_pca_validates(spark):
+    emb = _fixture(spark)
+    with pytest.raises(ValueError, match="k must be"):
+        pca_fit(emb, k=0)
+    with pytest.raises(ValueError, match="k must be"):
+        pca_fit(emb, k=65)
+    with pytest.raises(ValueError, match="empty"):
+        pca_fit(emb.filter("vec_id < 0"), k=2)
