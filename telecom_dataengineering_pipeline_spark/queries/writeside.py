@@ -130,7 +130,7 @@ def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("merge_upsert_orders_txnlog", oracle=_MERGE_ORACLE, tags=("M1", "S7"))
+@register("merge_upsert_orders_txnlog", oracle=_MERGE_ORACLE, tags=("M1", "S7"), bench=True)
 def merge_upsert_orders_txnlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 MERGE executed THROUGH the transaction-log table format
     (sources/txnlog.py — the S7 implementation): the target snapshot is
