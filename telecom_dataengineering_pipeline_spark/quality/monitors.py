@@ -417,3 +417,105 @@ def grouped_quantile_profile(
             F.percentile_approx(v, F.lit(p), F.lit(accuracy)).alias(name)
         )
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def ks_two_sample(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bucket_width: float,
+    alpha_c: float = 1.358,  # c(α) for α=0.05
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic, bucketized: D =
+    max |ECDF_ref − ECDF_cur| evaluated at bucket boundaries (buckets of
+    ``bucket_width`` over the value). PSI (:func:`psi_drift`) needs a
+    binning CHOICE and reacts to mass reallocation; KS is binning-robust
+    in the limit and reacts to any CDF separation — the pair covers each
+    other's blind spots.
+
+    Scale shape: the textbook KS needs a global sort of the pooled
+    samples — a SinglePartition non-starter. Bucketizing first reduces
+    each side to one map-side-combined count per bucket; the cumulative
+    ECDFs then run as a window over the BUCKET relation (cardinality =
+    value range / width, thousands not billions), so the only ordered
+    pass is metadata-sized. The quantized D is exact at bucket
+    boundaries and under-estimates the true D by at most the largest
+    single-bucket mass — pick ``bucket_width`` like a histogram bin.
+
+    Determinism: cumulative counts are INTEGERS (exact, any engine);
+    the ECDF divisions and the threshold ``c(α)·sqrt((n+m)/(n·m))``
+    follow the same expression shape in both engines with c(α) a
+    Python literal. Returns ONE row: (d_stat, at_bucket, n_ref, n_cur,
+    threshold, drifted)."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    def bucketize(df: DataFrame, side: str) -> DataFrame:
+        # NULLs carry no position on the value axis (and engines disagree
+        # on NULL ordering): excluded, visible via n_ref/n_cur vs count(*)
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .select(
+                F.floor(F.col(value_col).cast("double") / F.lit(float(bucket_width)))
+                .cast("long")
+                .alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"n_{side}"))
+        )
+
+    from pyspark.sql import Window
+
+    both = bucketize(ref, "ref").join(bucketize(cur, "cur"), "bucket", "full").na.fill(
+        {"n_ref": 0, "n_cur": 0}
+    )
+    w = Window.partitionBy().orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = both.select(
+        "bucket",
+        F.sum("n_ref").over(w).cast("long").alias("c_ref"),
+        F.sum("n_cur").over(w).cast("long").alias("c_cur"),
+    )
+    totals = Window.partitionBy()
+    scored = stepped.select(
+        "bucket",
+        "c_ref",
+        "c_cur",
+        F.max("c_ref").over(totals).cast("long").alias("t_ref"),
+        F.max("c_cur").over(totals).cast("long").alias("t_cur"),
+    ).select(
+        "bucket",
+        "t_ref",
+        "t_cur",
+        F.abs(
+            F.col("c_ref").cast("double") / F.col("t_ref")
+            - F.col("c_cur").cast("double") / F.col("t_cur")
+        ).alias("diff"),
+    )
+    best = scored.select(
+        F.round(F.max(F.struct(F.col("diff"), (-F.col("bucket")).alias("nb")))["diff"], 6).alias(
+            "d_stat"
+        ),
+        (-F.max(F.struct(F.col("diff"), (-F.col("bucket")).alias("nb")))["nb"]).alias(
+            "at_bucket"
+        ),
+        F.first("t_ref").alias("n_ref"),
+        F.first("t_cur").alias("n_cur"),
+    )
+    thresh = F.round(
+        F.lit(float(alpha_c))
+        * F.sqrt(
+            (F.col("n_ref") + F.col("n_cur")).cast("double")
+            / (F.col("n_ref") * F.col("n_cur")).cast("double")
+        ),
+        6,
+    )
+    return best.select(
+        "d_stat",
+        "at_bucket",
+        "n_ref",
+        "n_cur",
+        thresh.alias("threshold"),
+        (F.col("d_stat") > thresh).alias("drifted"),
+    )

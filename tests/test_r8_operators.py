@@ -355,3 +355,53 @@ def test_cdc_chunks_shuffle_free(spark):
 
     assert not _re.findall(r"Exchange hashpartitioning", plan)
     assert "Python" not in plan
+
+
+# --- two-sample KS drift ---------------------------------------------------
+
+def _ks_ref(a, b, width):
+    import math
+
+    buckets = sorted({math.floor(x / width) for x in a + b})
+    best, best_b = -1.0, None
+    for cut in buckets:
+        fa = sum(1 for x in a if math.floor(x / width) <= cut) / len(a)
+        fb = sum(1 for x in b if math.floor(x / width) <= cut) / len(b)
+        d = abs(fa - fb)
+        if d > best or (d == best and (best_b is None or cut < best_b)):
+            best, best_b = d, cut
+    return round(best, 6), best_b
+
+
+def test_ks_two_sample_matches_bruteforce_and_flags_shift(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import ks_two_sample
+
+    ref = [float(i % 40) for i in range(200)]
+    cur_same = [float((i * 7) % 40) for i in range(150)]
+    cur_shift = [float(i % 40) + 15.0 for i in range(150)]
+
+    rdf = spark.createDataFrame([(x,) for x in ref], "x double")
+    for cur, drift_expected in ((cur_same, False), (cur_shift, True)):
+        cdf = spark.createDataFrame([(x,) for x in cur], "x double")
+        row = ks_two_sample(rdf, cdf, "x", bucket_width=5.0).collect()[0]
+        d, at = _ks_ref(ref, cur, 5.0)
+        assert (row["d_stat"], row["at_bucket"]) == (d, at)
+        assert row["n_ref"] == 200 and row["n_cur"] == len(cur)
+        assert row["drifted"] is drift_expected
+        # threshold = c(alpha) * sqrt((n+m)/(n*m))
+        import math as _m
+
+        assert row["threshold"] == round(
+            1.358 * _m.sqrt((200 + len(cur)) / (200 * len(cur))), 6
+        )
+
+
+def test_ks_two_sample_nulls_excluded_and_validation(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import ks_two_sample
+
+    rdf = spark.createDataFrame([(1.0,), (2.0,), (None,)], "x double")
+    cdf = spark.createDataFrame([(1.0,), (None,), (None,)], "x double")
+    row = ks_two_sample(rdf, cdf, "x", bucket_width=1.0).collect()[0]
+    assert (row["n_ref"], row["n_cur"]) == (2, 1)  # NULLs carry no position
+    with pytest.raises(ValueError, match="positive"):
+        ks_two_sample(rdf, cdf, "x", bucket_width=0.0)
