@@ -456,16 +456,19 @@ WITH m AS (
   SELECT doc_id AS media_id, doc_id % 3 AS f,
          doc_id % 500 + 1 AS w, (doc_id * 7) % 300 + 1 AS h,
          doc_id % 13 AS pad,
-         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS fill
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS fill,
+         doc_id % 5 = 4 AS corrupt
   FROM documents
 )
 SELECT media_id,
        CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS fmt,
-       CAST(w AS BIGINT) AS width,
-       CAST(h AS BIGINT) AS height,
-       CAST(CASE f WHEN 0 THEN 29 WHEN 1 THEN 13
-                   ELSE 35 + pad + fill END AS BIGINT) AS n_bytes,
-       TRUE AS header_ok
+       CASE WHEN corrupt THEN NULL ELSE CAST(w AS BIGINT) END AS width,
+       CASE WHEN corrupt THEN NULL ELSE CAST(h AS BIGINT) END AS height,
+       CAST(CASE WHEN corrupt THEN (CASE f WHEN 0 THEN 8 WHEN 1 THEN 7
+                                         ELSE 14 + pad END)
+                 ELSE (CASE f WHEN 0 THEN 29 WHEN 1 THEN 13
+                             ELSE 35 + pad + fill END) END AS BIGINT) AS n_bytes,
+       NOT corrupt AS header_ok
 FROM m
 """
 
@@ -507,13 +510,24 @@ def media_header_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         be16(w),
         F.lit("03" + "00" * 9 + "FFD9"),  # 3 components + EOI
     )
+    # every fifth id is CORRUPT — sniffable magic, truncated before the
+    # dimension bytes (png/gif) or before the SOF segment (jpeg): the
+    # header_ok verdict and the NULL-dim paths go through the value gate
+    # instead of riding along as constants
+    corrupt = d % 5 == 4
+    png_full = F.when(corrupt, F.lit("89504E470D0A1A0A")).otherwise(png_hex)
+    gif_full = F.when(corrupt, F.lit("47494638396114")).otherwise(gif_hex)
+    jpeg_trunc = F.concat(
+        F.lit("FFD8FFE0"), be16(pad + F.lit(10)), F.repeat(F.lit("00"), pad + F.lit(8))
+    )
+    jpeg_full = F.when(corrupt, jpeg_trunc).otherwise(jpeg_hex)
     media = (
         load_table(spark, sf_dir, "documents")
         .select(F.col("doc_id").alias("media_id"))
         .select(
             "media_id",
             F.unhex(
-                F.when(d % 3 == 0, png_hex).when(d % 3 == 1, gif_hex).otherwise(jpeg_hex)
+                F.when(d % 3 == 0, png_full).when(d % 3 == 1, gif_full).otherwise(jpeg_full)
             ).alias("payload"),
         )
     )
