@@ -222,3 +222,64 @@ def last_touch_attribution(
         "touch_event",
         "touch_us",
     )
+
+
+def sessionize_events(
+    df,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+):
+    """Gap-based sessionization, batch form — the twin of the streaming
+    keyed-state sessionizer (``streaming/sessions.py``), same semantics
+    bit-for-bit: a session breaks when the gap to the previous event of
+    the same user exceeds ``gap_seconds``; per-event values accumulate as
+    HALF-UP integer cents (both engines' ``round`` rule) and divide back
+    once per session, so the sums are exact and engine-stable.
+
+    One shuffle on the user key: the break flag is a ``lag`` over the
+    (µs, tie-break)-ordered stream, the session sequence its running sum
+    over the same window (two window functions, ONE exchange+sort), and
+    the per-session rollup rides the same partitioning. ``is_open`` marks
+    the user's last session (no successor gap has closed it) — the rows
+    the streaming twin holds in state until the watermark passes.
+
+    Returns (user, session_seq 1-based, start_us, last_us, n_events,
+    sum_value, is_open)."""
+    gap_us = int(gap_seconds) * 1_000_000
+    tb = tiebreak_col or ts_col
+    ev = df.select(
+        F.col(user_col).alias("user"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(tb).cast("string").alias("tb"),
+        F.round(F.col(value_col).cast("double") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user").orderBy("us", "tb")
+    brk = F.when(
+        F.lag("us").over(w).isNull() | (F.col("us") - F.lag("us").over(w) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user").orderBy("us", "tb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tagged = ev.withColumn("session_seq", F.sum(brk).over(run).cast("long"))
+    sess = tagged.groupBy("user", "session_seq").agg(
+        F.min("us").alias("start_us"),
+        F.max("us").alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.sum("cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+    )
+    per_user_last = Window.partitionBy("user")
+    return sess.withColumn(
+        "is_open", F.col("session_seq") == F.max("session_seq").over(per_user_last)
+    ).select(
+        F.col("user").alias(user_col),
+        "session_seq",
+        "start_us",
+        "last_us",
+        "n_events",
+        "sum_value",
+        "is_open",
+    )

@@ -405,3 +405,56 @@ def test_ks_two_sample_nulls_excluded_and_validation(spark):
     assert (row["n_ref"], row["n_cur"]) == (2, 1)  # NULLs carry no position
     with pytest.raises(ValueError, match="positive"):
         ks_two_sample(rdf, cdf, "x", bucket_width=0.0)
+
+
+# --- batch sessionization -----------------------------------------------
+
+def test_sessionize_events_matches_bruteforce_and_open_semantics(spark):
+    import math
+
+    from telecom_dataengineering_pipeline_spark.operators.windows import (
+        sessionize_events,
+    )
+    from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
+
+    gap_s = 1800
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["start_us"], r["last_us"], r["n_events"],
+            round(r["sum_value"], 2), r["is_open"],
+        )
+        for r in sessionize_events(
+            ev, "user_id", "ts", "value", gap_seconds=gap_s, tiebreak_col="event_id"
+        ).collect()
+    }
+
+    rows = ev.select(
+        "user_id", F.unix_micros("ts").alias("us"),
+        F.col("event_id").cast("string").alias("tb"), "value",
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["us"], r["tb"], r["value"]))
+    ref = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        seq, start, last, n, cents = 0, None, None, 0, 0
+        sessions = []
+        for us, _, v in evs:
+            c = int(math.copysign(math.floor(abs(v * 100) + 0.5), v))
+            if start is None or us - last > gap_s * 1_000_000:
+                if start is not None:
+                    sessions.append((seq, start, last, n, cents))
+                seq, start, last, n, cents = seq + 1, us, us, 1, c
+            else:
+                last, n, cents = us, n + 1, cents + c
+        sessions.append((seq, start, last, n, cents))
+        for i, (s, a, b, k, cc) in enumerate(sessions):
+            ref[(u, s)] = (a, b, k, round(cc / 100.0, 2), i == len(sessions) - 1)
+    assert got == ref
+    # exactly one open session per user, and it is the max seq
+    opens = {(u, s) for (u, s), v in got.items() if v[4]}
+    assert len(opens) == len({u for (u, _) in got})
+    for u, s in opens:
+        assert s == max(ss for (uu, ss) in got if uu == u)
