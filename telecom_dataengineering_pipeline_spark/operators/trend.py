@@ -557,3 +557,52 @@ def ewma_oracle_sql(
         for i, s in enumerate(steps)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def ols_trend(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key ordinary-least-squares line fit — the "is this KPI
+    trending" primitive under every mart sparkline: slope/intercept from
+    the closed-form sums, plus r² as fit quality. ``x_col`` must be
+    integral (a step/day index), ``y_col`` exact (decimal/integral) —
+    then every accumulated sum (Σx, Σy, Σxy, Σx², Σy²) is EXACT and
+    order-independent, and the only doubles are the final closed-form
+    divisions, written with one expression shape for both engines.
+
+    One map-side-combined aggregate per key — the same single-pass grain
+    as the other trend operators; nothing sorts, nothing iterates.
+    Degenerate keys (n < 2 or zero x-variance) yield NULL fit columns,
+    never a division blow-up. Returns (*key_cols, n, slope, intercept,
+    r2) with doubles rounded to 6."""
+    x = F.col(x_col).cast("decimal(20,0)")
+    y = F.col(y_col).cast("decimal(24,6)")
+    agg = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum((x * y).cast("decimal(38,6)")).alias("_sxy"),
+        F.sum((y * y).cast("decimal(38,6)")).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    syy = F.col("_syy").cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = F.when((F.col("n") >= 2) & (dx > 0), cov / dx)
+    intercept = F.when((F.col("n") >= 2) & (dx > 0), (sy - (cov / dx) * sx) / n)
+    r2 = F.when((F.col("n") >= 2) & (dx > 0) & (dy > 0), (cov * cov) / (dx * dy))
+    return agg.select(
+        *key_cols,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

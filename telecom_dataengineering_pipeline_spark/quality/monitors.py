@@ -519,3 +519,41 @@ def ks_two_sample(
         thresh.alias("threshold"),
         (F.col("d_stat") > thresh).alias("drifted"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-key Gini coefficient over non-negative values — the revenue /
+    traffic concentration KPI ("do 5% of customers carry 80% of load"),
+    the scalar twin of :func:`key_skew_profile`'s top-k view. Rank form:
+    G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) with xᵢ ascending, which is
+    TIE-SAFE (permuting equal values leaves Σ i·xᵢ unchanged — no
+    tie-break column needed, unlike most rank statistics).
+
+    One exchange on the key carries both the ranking window and the
+    rollup; ranks are integers and values DECIMAL-cast, so Σ i·xᵢ and Σx
+    are exact and the single double division is engine-stable. Zero-sum
+    keys yield NULL (concentration of nothing is not 0). Returns
+    (*key_cols, n, total, gini) rounded to 6."""
+    v = F.col(value_col).cast("decimal(24,6)")
+    ranked = df.select(*key_cols, v.alias("_v")).withColumn(
+        "_i", F.row_number().over(Window.partitionBy(*key_cols).orderBy(F.col("_v").asc())).cast("long")
+    )
+    agg = ranked.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_v").alias("_s"),
+        F.sum((F.col("_i") * F.col("_v")).cast("decimal(38,6)")).alias("_is"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("_s").cast("double")
+    iws = F.col("_is").cast("double")
+    gini = F.when(s > 0, (2.0 * iws - (n + 1.0) * s) / (n * s))
+    return agg.select(
+        *key_cols,
+        "n",
+        F.round(s, 6).alias("total"),
+        F.round(gini, 6).alias("gini"),
+    )

@@ -458,3 +458,59 @@ def test_sessionize_events_matches_bruteforce_and_open_semantics(spark):
     assert len(opens) == len({u for (u, _) in got})
     for u, s in opens:
         assert s == max(ss for (uu, ss) in got if uu == u)
+
+
+# --- OLS trend + Gini concentration ---------------------------------------
+
+def test_ols_trend_matches_closed_form_and_degenerates(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import ols_trend
+
+    rows = (
+        [("up", i, 2.5 * i + 7.0) for i in range(10)]           # perfect line
+        + [("noisy", i, [3.0, 9.0, 5.0, 11.0, 7.0][i]) for i in range(5)]
+        + [("flatx", 4, 1.0), ("flatx", 4, 5.0)]                 # zero x-variance
+        + [("single", 1, 2.0)]                                   # n < 2
+    )
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    got = {
+        r["g"]: (r["n"], r["slope"], r["intercept"], r["r2"])
+        for r in ols_trend(df, ["g"], "x", "y").collect()
+    }
+    assert got["up"] == (10, 2.5, 7.0, 1.0)
+    import numpy as np
+
+    x = np.arange(5.0)
+    y = np.array([3.0, 9.0, 5.0, 11.0, 7.0])
+    slope, intercept = np.polyfit(x, y, 1)
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert got["noisy"] == (
+        5, round(float(slope), 6), round(float(intercept), 6), round(float(r2), 6)
+    )
+    assert got["flatx"] == (2, None, None, None)
+    assert got["single"] == (1, None, None, None)
+
+
+def test_gini_concentration_bounds_and_ties(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        gini_concentration,
+    )
+
+    rows = (
+        [("equal", 10.0)] * 5                       # perfect equality -> 0
+        + [("onehas", 0.0)] * 9 + [("onehas", 50.0)]  # extreme -> (n-1)/n = 0.9
+        + [("ties", 1.0), ("ties", 1.0), ("ties", 4.0), ("ties", 4.0)]
+        + [("zero", 0.0), ("zero", 0.0)]            # zero total -> NULL
+    )
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        r["g"]: (r["n"], r["total"], r["gini"])
+        for r in gini_concentration(df, ["g"], "x").collect()
+    }
+    assert got["equal"] == (5, 50.0, 0.0)
+    assert got["onehas"] == (10, 50.0, 0.9)
+    # brute force for the tie group: G = (2*sum(i*x_sorted) - (n+1)*sum) / (n*sum)
+    xs = sorted([1.0, 1.0, 4.0, 4.0])
+    s = sum(xs)
+    g = (2 * sum((i + 1) * x for i, x in enumerate(xs)) - 5 * s) / (4 * s)
+    assert got["ties"] == (4, 10.0, round(g, 6))
+    assert got["zero"] == (2, 0.0, None)
