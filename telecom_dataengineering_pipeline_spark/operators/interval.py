@@ -60,6 +60,14 @@ def interval_overlap_join(
         raise ValueError("bucket_width must be positive")
     ls, le = left_range
     rs, re_ = right_range
+    shared = set(left.columns) & set(right.columns)
+    if shared:
+        # enforce what the docstring requires: the overlap/canonical
+        # filters resolve columns by NAME on the joined relation, so a
+        # shared name would be ambiguous (or silently wrong) — fail here
+        raise ValueError(
+            f"left/right column names must be disjoint; shared: {sorted(shared)}"
+        )
     guard_l = F.floor(F.col(le) / F.lit(bucket_width)) - F.floor(
         F.col(ls) / F.lit(bucket_width)
     )

@@ -514,3 +514,12 @@ def test_gini_concentration_bounds_and_ties(spark):
     g = (2 * sum((i + 1) * x for i, x in enumerate(xs)) - 5 * s) / (4 * s)
     assert got["ties"] == (4, 10.0, round(g, 6))
     assert got["zero"] == (2, 0.0, None)
+
+
+def test_interval_overlap_rejects_shared_column_names(spark):
+    ldf = spark.createDataFrame([(0, 0, 1)], "id long, l_start long, l_end long")
+    rdf = spark.createDataFrame([(1, 0, 1)], "id long, r_start long, r_end long")
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_overlap_join(
+            ldf, rdf, ("l_start", "l_end"), ("r_start", "r_end"), bucket_width=10
+        )
