@@ -21,6 +21,8 @@ simplified PageRank variant; both engines compute the same thing.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -401,3 +403,76 @@ def adamic_adar_scores(
         .filter(F.col("common") >= min_common)
         .select(F.col("a").alias("u"), F.col("b").alias("v"), "common", "aa_score")
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    source_nodes: Sequence,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart to a SEED SET) —
+    the "related to THESE items" ranking behind recommendation candidates
+    and seed-expansion labeling, vs. plain PageRank's global centrality:
+    the teleport mass lands only on ``source_nodes``, so rank measures
+    proximity to the seeds.
+
+    Same fixed-point integer discipline as :func:`pagerank_fixed_point`
+    (exact, associative, engine-neutral — unrollable into an oracle), and
+    one structural improvement the personalized variant makes natural:
+    the rank vector stays SPARSE. Only seed-reachable nodes ever carry a
+    row, each iteration is an inner join of edges against the current
+    sparse ranks plus one map-side-combined sum, and nodes outside the
+    i-hop neighborhood never enter the shuffle at iteration i. The seed
+    set is a query parameter (human-sized); it broadcasts as a literal
+    IN filter.
+
+    Returns (node, rank_fp) for nodes with rank > 0 (the reachable set),
+    rank in units of ``scale``."""
+    if iters < 1:
+        raise ValueError("personalized_pagerank needs at least one iteration")
+    sources = list(source_nodes)
+    if not sources:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    w = Window.partitionBy("src")
+    ed = edges.withColumn(
+        "outdeg", F.count(F.lit(1)).over(w).cast("long")
+    ).localCheckpoint(eager=False)
+    teleport = scale * (100 - damping_pct) // 100
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    is_seed = F.col("node").isin(sources)
+    rank = nodes.filter(is_seed).select(
+        "node", F.lit(teleport).cast("long").alias("rank_fp")
+    )
+    for _ in range(iters):
+        inflow = (
+            ed.join(rank, ed["src"] == rank["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"({damping_pct} * (rank_fp div outdeg)) div 100").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        base = nodes.filter(is_seed).select(
+            "node", F.lit(teleport).cast("long").alias("t")
+        )
+        rank = (
+            base.join(inflow, "node", "full")
+            .select(
+                "node",
+                (F.coalesce(F.col("t"), F.lit(0)) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("rank_fp"),
+            )
+            .filter(F.col("rank_fp") > 0)
+            .localCheckpoint(eager=False)
+        )
+    return rank

@@ -523,3 +523,63 @@ def test_interval_overlap_rejects_shared_column_names(spark):
         interval_overlap_join(
             ldf, rdf, ("l_start", "l_end"), ("r_start", "r_end"), bucket_width=10
         )
+
+
+# --- personalized PageRank ---------------------------------------------
+
+def _ppr_ref(edges, sources, iters=3, damping=85, scale=10**12):
+    import collections
+
+    out = collections.defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    teleport = scale * (100 - damping) // 100
+    rank = {s: teleport for s in sources if s in out or any(s == d for _, d in edges)}
+    for _ in range(iters):
+        inflow = collections.defaultdict(int)
+        for node, r in rank.items():
+            deg = len(out.get(node, []))
+            if deg:
+                c = (damping * (r // deg)) // 100
+                for d in out[node]:
+                    inflow[d] += c
+        nxt = {}
+        for node in set(list(inflow) + list(sources)):
+            t = teleport if node in sources else 0
+            v = t + inflow.get(node, 0)
+            if v > 0:
+                nxt[node] = v
+        rank = nxt
+    return rank
+
+
+def test_personalized_pagerank_matches_fixed_point_reference(spark):
+    from telecom_dataengineering_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # two communities bridged by one edge: seeds in community A
+    edges = []
+    for a, b in [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]:
+        edges += [(a, b), (b, a)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in personalized_pagerank(df, [1, 2], iters=3).collect()
+    }
+    assert got == _ppr_ref(edges, [1, 2], iters=3)
+    # proximity to the seeds: community A outranks community B
+    assert got[3] > got.get(6, 0)
+    assert got[1] > got[4]
+    # unreachable nodes carry no row (sparse rank vector)
+    df2 = spark.createDataFrame(edges + [(9, 10), (10, 9)], "src long, dst long")
+    got2 = {
+        r["node"]: r["rank_fp"]
+        for r in personalized_pagerank(df2, [1, 2], iters=3).collect()
+    }
+    assert 9 not in got2 and 10 not in got2
+
+    with pytest.raises(ValueError, match="seed"):
+        personalized_pagerank(df, [], iters=3)
+    with pytest.raises(ValueError, match="iteration"):
+        personalized_pagerank(df, [1], iters=0)
