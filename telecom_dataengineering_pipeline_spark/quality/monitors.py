@@ -557,3 +557,184 @@ def gini_concentration(
         F.round(s, 6).alias("total"),
         F.round(gini, 6).alias("gini"),
     )
+
+
+def chi_squared_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    category_col: str,
+    min_count: int = 0,
+) -> DataFrame:
+    """Two-sample chi-squared homogeneity test over a CATEGORICAL column —
+    the categorical sibling of :func:`psi_drift` (equal-width numeric
+    buckets) and :func:`ks_two_sample` (CDF separation): "did the mix of
+    plan types / device models / event types shift between windows?".
+
+    For category i with counts a_i (reference) and b_i (current) and side
+    totals N_a, N_b, the homogeneity expectation is
+    E_side,i = N_side · (a_i + b_i) / (N_a + N_b) and
+    χ² = Σ_i (a_i − E_a,i)²/E_a,i + (b_i − E_b,i)²/E_b,i with k−1 degrees
+    of freedom. The verdict uses Cramér's V = sqrt(χ² / N) (for a 2×k
+    table min(r,c)−1 = 1), the sample-size-free effect size — no χ²
+    distribution table needed in either engine, and the usual 0.1/0.3
+    small/medium/large cuts are standard.
+
+    Scale shape: each side reduces map-side to one count per category, so
+    the only shuffled relation is (categories × 2) cells. ``min_count``
+    pools categories whose COMBINED count falls below it into
+    ``__other__`` BEFORE the test — the textbook low-expected-cell fix,
+    and at 100 TB also the guard that keeps a high-cardinality column
+    (msisdn-like) from minting a billion-row cell table: the pooled pass
+    adds one more map-side-combined aggregate, never a wide shuffle.
+
+    Determinism: counts are integers; each cell's χ² term is a
+    deterministic double ROUNDED then summed as decimal (the
+    :func:`psi_drift` recipe), so the statistic is partition-order-free
+    and cross-engine comparable. NULL categories are a real level
+    (coalesced to ``__null__``) — a drift INTO missingness is drift.
+
+    Returns one row: (chi2, dof, n_ref, n_cur, n_categories, cramers_v,
+    status); status is ``no_reference`` when either side is empty,
+    ``stable`` / ``moderate_shift`` / ``major_shift`` on V < 0.1 / < 0.3 /
+    else, matching the PSI verdict vocabulary."""
+
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                F.coalesce(F.col(category_col).cast("string"), F.lit("__null__")).alias(
+                    "cat"
+                )
+            )
+            .groupBy("cat")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"n_{side}"))
+        )
+
+    cells = counts(reference, "ref").join(counts(current, "cur"), "cat", "full").na.fill(
+        {"n_ref": 0, "n_cur": 0}
+    )
+    if min_count > 0:
+        pooled = F.when(
+            (F.col("n_ref") + F.col("n_cur")) < F.lit(int(min_count)),
+            F.lit("__other__"),
+        ).otherwise(F.col("cat"))
+        cells = (
+            cells.select(pooled.alias("cat"), "n_ref", "n_cur")
+            .groupBy("cat")
+            .agg(
+                F.sum("n_ref").cast("long").alias("n_ref"),
+                F.sum("n_cur").cast("long").alias("n_cur"),
+            )
+        )
+    t = cells.agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    both = F.col("n_ref") + F.col("n_cur")
+    grand = (F.col("t_ref") + F.col("t_cur")).cast("double")
+    e_ref = F.col("t_ref").cast("double") * both.cast("double") / grand
+    e_cur = F.col("t_cur").cast("double") * both.cast("double") / grand
+    d_ref = F.col("n_ref").cast("double") - e_ref
+    d_cur = F.col("n_cur").cast("double") - e_cur
+    # A category absent from one side gives E_side = 0 only when that
+    # side's TOTAL is 0 (the no_reference case — verdict handled below,
+    # but under ANSI mode the division itself must not evaluate: gate
+    # each term on E > 0 rather than relying on the status short-circuit).
+    term = F.round(
+        F.when(e_ref > 0, d_ref * d_ref / e_ref).otherwise(F.lit(0.0))
+        + F.when(e_cur > 0, d_cur * d_cur / e_cur).otherwise(F.lit(0.0)),
+        9,
+    ).cast("decimal(28,9)")
+    out = (
+        cells.crossJoin(F.broadcast(t))
+        .agg(
+            F.round(F.sum(term).cast("double"), 6).alias("chi2"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+            F.first("t_ref").alias("n_ref"),
+            F.first("t_cur").alias("t_cur_dup"),
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+        )
+        .withColumnRenamed("t_cur_dup", "n_cur")
+    )
+    v = F.round(
+        F.sqrt(
+            F.col("chi2") / (F.col("n_ref") + F.col("n_cur")).cast("double")
+        ),
+        6,
+    )
+    out = out.withColumn("cramers_v", v)
+    status = (
+        F.when(
+            (F.coalesce(F.col("n_ref"), F.lit(0)) == 0)
+            | (F.coalesce(F.col("n_cur"), F.lit(0)) == 0)
+            | (F.col("dof") < 1),
+            "no_reference",
+        )
+        .when(F.col("cramers_v") < 0.1, "stable")
+        .when(F.col("cramers_v") < 0.3, "moderate_shift")
+        .otherwise("major_shift")
+    )
+    return out.select(
+        "chi2", "dof", "n_ref", "n_cur", "n_categories", "cramers_v",
+        status.alias("status"),
+    )
+
+
+def k_anonymity_profile(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier set — the release-safety
+    check behind the masking tier (``functions/masking.py``): after
+    dropping direct identifiers, can any row still be singled out by the
+    remaining columns (prefix+region+plan, say)? A dataset is k-anonymous
+    when every equivalence class (distinct QI combination) contains ≥ k
+    rows.
+
+    One map-side-combined ``groupBy`` over the QI columns produces the
+    class-size relation; a second metadata-sized aggregate folds it to
+    the scalar verdict. Nothing row-grain ever shuffles twice, and the
+    class relation is the natural skew shape (many small classes) that
+    AQE coalesces. NULL QI values group as themselves (Spark and SQL
+    GROUP BY agree NULL = NULL in grouping) — a NULL plan code is a
+    distinguishing value to an attacker, so that is the honest reading.
+
+    Returns one row: (n_rows, n_classes, min_class_size, k_threshold,
+    violating_classes, violating_rows, at_risk_pct, is_k_anonymous).
+    ``at_risk_pct`` = violating_rows / n_rows rounded to 6;
+    ``min_class_size`` is the k actually achieved — the caller's
+    re-bucketing loop (coarsen QI, re-audit) keys off it. Empty input is
+    vacuously anonymous with NULL percentages, not a violation."""
+    if not quasi_identifiers:
+        raise ValueError("k_anonymity_profile needs at least one quasi-identifier")
+    kk = int(k)
+    classes = df.groupBy(*[F.col(c) for c in quasi_identifiers]).agg(
+        F.count(F.lit(1)).cast("long").alias("_sz")
+    )
+    viol = F.col("_sz") < F.lit(kk)
+    out = classes.agg(
+        F.coalesce(F.sum("_sz"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("_sz").cast("long").alias("min_class_size"),
+        F.lit(kk).cast("long").alias("k_threshold"),
+        F.coalesce(F.sum(F.when(viol, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("violating_classes"),
+        F.coalesce(F.sum(F.when(viol, F.col("_sz")).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("violating_rows"),
+    )
+    pct = F.when(
+        F.col("n_rows") > 0,
+        F.round(F.col("violating_rows").cast("double") / F.col("n_rows").cast("double"), 6),
+    )
+    return out.select(
+        "n_rows",
+        "n_classes",
+        "min_class_size",
+        "k_threshold",
+        "violating_classes",
+        "violating_rows",
+        pct.alias("at_risk_pct"),
+        (F.col("violating_classes") == 0).alias("is_k_anonymous"),
+    )

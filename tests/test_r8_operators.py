@@ -583,3 +583,144 @@ def test_personalized_pagerank_matches_fixed_point_reference(spark):
         personalized_pagerank(df, [], iters=3)
     with pytest.raises(ValueError, match="iteration"):
         personalized_pagerank(df, [1], iters=0)
+
+
+# --- chi-squared categorical drift ----------------------------------------
+
+
+def _chi2_ref(ref_cats, cur_cats):
+    from collections import Counter
+
+    a, b = Counter(ref_cats), Counter(cur_cats)
+    cats = sorted(set(a) | set(b))
+    na, nb = sum(a.values()), sum(b.values())
+    chi2 = 0.0
+    for c in cats:
+        both = a[c] + b[c]
+        ea = na * both / (na + nb)
+        eb = nb * both / (na + nb)
+        chi2 += round((a[c] - ea) ** 2 / ea + (b[c] - eb) ** 2 / eb, 9)
+    return chi2, len(cats) - 1
+
+
+def test_chi_squared_drift_matches_bruteforce(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        chi_squared_drift,
+    )
+
+    ref_cats = ["a"] * 50 + ["b"] * 30 + ["c"] * 20
+    cur_cats = ["a"] * 20 + ["b"] * 30 + ["c"] * 45 + ["d"] * 5
+    ref = spark.createDataFrame([(c,) for c in ref_cats], "cat string")
+    cur = spark.createDataFrame([(c,) for c in cur_cats], "cat string")
+    row = chi_squared_drift(ref, cur, "cat").collect()[0]
+    chi2, dof = _chi2_ref(ref_cats, cur_cats)
+    assert row["chi2"] == round(chi2, 6)
+    assert row["dof"] == dof
+    assert (row["n_ref"], row["n_cur"]) == (100, 100)
+    v = math.sqrt(row["chi2"] / 200)
+    assert row["cramers_v"] == pytest.approx(v, abs=1e-6)
+    # This mix shift is a real one: a went 50%→20%, c 20%→45%
+    assert row["status"] in ("moderate_shift", "major_shift")
+
+
+def test_chi_squared_drift_stable_nulls_and_pooling(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        chi_squared_drift,
+    )
+
+    # Identical mixes → chi2 exactly 0, stable
+    same = spark.createDataFrame([("x",)] * 40 + [("y",)] * 60, "cat string")
+    row = chi_squared_drift(same, same, "cat").collect()[0]
+    assert row["chi2"] == 0.0 and row["status"] == "stable"
+
+    # NULL is a real level: drift INTO missingness is detected
+    ref = spark.createDataFrame([("x",)] * 100, "cat string")
+    cur = spark.createDataFrame([("x",)] * 50 + [(None,)] * 50, "cat string")
+    row = chi_squared_drift(ref, cur, "cat").collect()[0]
+    assert row["n_categories"] == 2 and row["status"] == "major_shift"
+
+    # min_count pools rare tail categories into __other__ before the test
+    ref = spark.createDataFrame(
+        [("a",)] * 95 + [("r1",), ("r2",), ("r3",), ("r4",), ("r5",)], "cat string"
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 95 + [("r6",), ("r7",), ("r8",), ("r9",), ("r10",)], "cat string"
+    )
+    pooled = chi_squared_drift(ref, cur, "cat", min_count=12).collect()[0]
+    assert pooled["n_categories"] == 2  # a + __other__
+    # Pooled, the two windows are IDENTICAL (95 a / 5 other) — no drift
+    assert pooled["chi2"] == 0.0 and pooled["status"] == "stable"
+    # Unpooled, ten singleton categories each appear on one side only
+    unpooled = chi_squared_drift(ref, cur, "cat").collect()[0]
+    assert unpooled["chi2"] > 0 and unpooled["n_categories"] == 11
+
+
+def test_chi_squared_drift_empty_side_is_no_reference(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        chi_squared_drift,
+    )
+
+    cur = spark.createDataFrame([("x",)] * 10, "cat string")
+    empty = cur.filter(F.lit(False))
+    assert chi_squared_drift(empty, cur, "cat").collect()[0]["status"] == "no_reference"
+    assert chi_squared_drift(cur, empty, "cat").collect()[0]["status"] == "no_reference"
+    # Single shared category → dof 0 → no testable signal either
+    one = spark.createDataFrame([("x",)] * 5, "cat string")
+    assert chi_squared_drift(one, one, "cat").collect()[0]["dof"] == 0
+    assert chi_squared_drift(one, one, "cat").collect()[0]["status"] == "no_reference"
+
+
+# --- k-anonymity profile ---------------------------------------------------
+
+
+def test_k_anonymity_profile_matches_bruteforce(spark):
+    from collections import Counter
+
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        k_anonymity_profile,
+    )
+
+    rows = [
+        ("0171", "berlin", "gold"),
+        ("0171", "berlin", "gold"),
+        ("0171", "berlin", "gold"),
+        ("0172", "berlin", "gold"),
+        ("0172", "berlin", "silver"),
+        ("0172", None, "silver"),
+        ("0172", None, "silver"),
+        ("0173", "munich", "gold"),
+    ]
+    df = spark.createDataFrame(rows, "prefix string, city string, plan string")
+    got = k_anonymity_profile(df, ["prefix", "city", "plan"], k=2).collect()[0]
+    sizes = Counter(rows)
+    viol = {cls: n for cls, n in sizes.items() if n < 2}
+    assert got["n_rows"] == 8
+    assert got["n_classes"] == len(sizes) == 5
+    assert got["min_class_size"] == 1
+    assert got["violating_classes"] == len(viol) == 3
+    assert got["violating_rows"] == sum(viol.values()) == 3
+    assert got["at_risk_pct"] == 0.375
+    assert got["is_k_anonymous"] is False
+    # The (0172, NULL, silver) pair is ONE class of size 2 — NULL groups
+    # with NULL, so it does not violate k=2
+    assert sizes[("0172", None, "silver")] == 2
+
+    # Coarsening the QI set (plan only: gold=5, silver=3) reaches k=2
+    coarse = k_anonymity_profile(df, ["plan"], k=2).collect()[0]
+    assert coarse["is_k_anonymous"] is True
+    assert coarse["violating_rows"] == 0 and coarse["at_risk_pct"] == 0.0
+
+
+def test_k_anonymity_profile_empty_and_validation(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        k_anonymity_profile,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "q string, v int")
+    empty = df.filter(F.lit(False))
+    row = k_anonymity_profile(empty, ["q"], k=3).collect()[0]
+    assert row["n_rows"] == 0 and row["violating_rows"] == 0
+    assert row["at_risk_pct"] is None
+    assert row["is_k_anonymous"] is True  # vacuously
+    with pytest.raises(ValueError):
+        k_anonymity_profile(df, [], k=3)
