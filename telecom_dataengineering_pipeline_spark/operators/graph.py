@@ -476,3 +476,83 @@ def personalized_pagerank(
             .localCheckpoint(eager=False)
         )
     return rank
+
+
+def hits_scores(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**12,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    list — the bipartite-flavored centrality PageRank misses: a node that
+    LINKS TO many good authorities is a good hub even with zero in-links
+    (curation accounts, aggregator cells), and vice versa. Mutual
+    recursion: a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v} a(v), normalized each
+    half-step.
+
+    Determinism/oracle discipline follows :func:`pagerank_fixed_point`:
+    all mass is INTEGER fixed-point in units of ``scale`` — sums are
+    exact and associative (partition-order-free), and the per-half-step
+    normalization bounds the vector by the L∞ norm instead of the
+    textbook L2 (which would need a sqrt of a cross-partition double
+    sum): every score is floor-divided by k = ceil(max/scale), an
+    integer computed from the current MAX, so the new max is ≤ scale.
+    Crucially this never MULTIPLIES — x·scale/max would overflow LONG
+    whenever max·scale ≥ 2⁶³ (in-degree ≥ ~9 at scale 10¹²) — and pure
+    div/max over LONGs is engine-exact, so the whole iteration unrolls
+    into a DuckDB oracle verbatim. Max-bounded HITS converges to the
+    same principal eigenvectors (the norm choice only rescales).
+
+    Scale shape: the edge list is checkpointed once (loop-invariant
+    spine); each half-step is one equi-join of edges against the current
+    score vector plus one map-side-combined sum; the normalizing max is
+    a metadata-sized 1-row broadcast. Scores stay SPARSE — only nodes
+    with in-links carry authority rows, only nodes with out-links carry
+    hub rows; a full dense vector never materializes.
+
+    Returns (node, hub_fp, auth_fp) — full outer of the two sparse
+    vectors, missing side as 0 — after ``iters`` rounds from uniform
+    hubs."""
+    if iters < 1:
+        raise ValueError("hits_scores needs at least one iteration")
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+
+    def _normalize(df: DataFrame, col: str) -> DataFrame:
+        mx = df.agg(F.max(col).alias("_mx"))
+        k = f"((_mx + CAST({scale - 1} AS BIGINT)) div CAST({scale} AS BIGINT))"
+        return (
+            df.crossJoin(F.broadcast(mx))
+            .select("node", F.expr(f"{col} div {k}").alias(col))
+            .localCheckpoint(eager=False)
+        )
+
+    hub = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(int(scale)).cast("long").alias("hub_fp"))
+        .localCheckpoint(eager=False)
+    )
+    auth: DataFrame | None = None
+    for _ in range(iters):
+        auth = _normalize(
+            edges.join(hub, edges["src"] == hub["node"])
+            .select(F.col("dst").alias("node"), F.col("hub_fp").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("auth_fp")),
+            "auth_fp",
+        )
+        hub = _normalize(
+            edges.join(auth, edges["dst"] == auth["node"])
+            .select(F.col("src").alias("node"), F.col("auth_fp").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("hub_fp")),
+            "hub_fp",
+        )
+    return (
+        hub.join(auth, "node", "full")
+        .select(
+            "node",
+            F.coalesce(F.col("hub_fp"), F.lit(0)).cast("long").alias("hub_fp"),
+            F.coalesce(F.col("auth_fp"), F.lit(0)).cast("long").alias("auth_fp"),
+        )
+    )

@@ -606,3 +606,86 @@ def ols_trend(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def acf_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Per-key sample autocorrelation function at lags 1..``max_lag`` —
+    the seasonality/persistence fingerprint that picks the period for
+    :func:`seasonal_index` and validates :func:`holt_linear`'s trend
+    assumption (a daily KPI with r₇ ≫ 0 wants a weekly model, one with
+    r₁ ≈ 0 doesn't need smoothing at all). Standard biased estimator:
+    r_k = Σ_{t>k} (x_t − x̄)(x_{t−k} − x̄) / Σ_t (x_t − x̄)² with the
+    FULL-series mean and denominator (so r_k is a proper correlation
+    matrix taper, |r_k| ≤ 1).
+
+    One user-keyed exchange carries everything: the per-key mean and
+    denominator ride a partition window, the k lag columns ride the same
+    window ordered, and the final aggregate reuses the hash partitioning
+    the window installed — no second shuffle, no self-join per lag.
+
+    Determinism: the mean is ``CAST(decimal-sum AS DOUBLE)/n`` (one
+    deterministic division, identical expression cross-engine); each
+    centered product is a deterministic double ROUNDED to 9 dp then
+    decimal-summed (the PSI/BM25 recipe), so numerator and denominator
+    are partition-order-free. Ties in ``order_col`` would make lag()
+    nondeterministic — callers pass a unique order (the registered
+    queries use a date grain).
+
+    Returns one row per (key, lag): (*key_cols, lag, n, n_pairs, acf),
+    acf rounded to 6; NULL for a constant series (denominator 0) and for
+    lags with no pairs (n ≤ k)."""
+    if max_lag < 1:
+        raise ValueError("acf_profile needs max_lag >= 1")
+    kcols = [F.col(c) for c in key_cols]
+    wo = Window.partitionBy(*kcols).orderBy(F.col(order_col).asc())
+    wp = Window.partitionBy(*kcols)
+    v = F.col(value_col).cast("decimal(24,6)")
+    cur = df.select(*kcols, F.col(order_col), v.alias("_v"))
+    cur = cur.withColumn("_n", F.count(F.lit(1)).over(wp).cast("long")).withColumn(
+        "_mean", F.sum("_v").over(wp).cast("double") / F.col("_n").cast("double")
+    )
+    d = F.col("_v").cast("double") - F.col("_mean")
+    cur = cur.withColumn("_den_t", F.round(d * d, 9).cast("decimal(28,9)"))
+    for k in range(1, max_lag + 1):
+        lagged = F.lag(F.col("_v"), k).over(wo)
+        cur = cur.withColumn(
+            f"_num{k}",
+            F.when(
+                lagged.isNotNull(),
+                F.round(d * (lagged.cast("double") - F.col("_mean")), 9),
+            ).cast("decimal(28,9)"),
+        )
+    agg = cur.groupBy(*kcols).agg(
+        F.max("_n").alias("n"),
+        F.sum("_den_t").alias("_den"),
+        *[F.sum(f"_num{k}").alias(f"_num{k}") for k in range(1, max_lag + 1)],
+        *[
+            F.count(f"_num{k}").cast("long").alias(f"_np{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stacked = agg.select(
+        *key_cols,
+        "n",
+        "_den",
+        F.expr(
+            "stack({}, {})".format(
+                max_lag,
+                ", ".join(
+                    f"CAST({k} AS BIGINT), _np{k}, _num{k}"
+                    for k in range(1, max_lag + 1)
+                ),
+            )
+        ).alias("lag", "n_pairs", "_num"),
+    )
+    acf = F.when(
+        (F.col("_den") > 0) & (F.col("n_pairs") > 0),
+        F.round(F.col("_num").cast("double") / F.col("_den").cast("double"), 6),
+    )
+    return stacked.select(*key_cols, "lag", "n", "n_pairs", acf.alias("acf"))

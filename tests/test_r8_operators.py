@@ -724,3 +724,129 @@ def test_k_anonymity_profile_empty_and_validation(spark):
     assert row["is_k_anonymous"] is True  # vacuously
     with pytest.raises(ValueError):
         k_anonymity_profile(df, [], k=3)
+
+
+# --- HITS hubs and authorities --------------------------------------------
+
+
+def _hits_ref(edges, iters, scale=10**12):
+    """Integer fixed-point replica of the operator's arithmetic: each
+    half-step divides by k = ceil(max/scale) — never multiplies."""
+    def norm(d):
+        k = (max(d.values()) + scale - 1) // scale
+        return {n: x // k for n, x in d.items()}
+
+    srcs = sorted({u for u, _ in edges})
+    hub = {u: scale for u in srcs}
+    auth = {}
+    for _ in range(iters):
+        auth = {}
+        for u, v in edges:
+            if u in hub:
+                auth[v] = auth.get(v, 0) + hub[u]
+        auth = norm(auth)
+        hub = {}
+        for u, v in edges:
+            if v in auth:
+                hub[u] = hub.get(u, 0) + auth[v]
+        hub = norm(hub)
+    return hub, auth
+
+
+def test_hits_matches_integer_reference(spark):
+    from telecom_dataengineering_pipeline_spark.operators.graph import hits_scores
+
+    # A hub-shaped graph: 1 and 2 point at shared authorities 10/11/12;
+    # 3 is a weak hub; 11 also links onward (hub AND authority roles).
+    edges = [
+        (1, 10), (1, 11), (1, 12),
+        (2, 10), (2, 11),
+        (3, 12),
+        (11, 20), (12, 20),
+    ]
+    got = {
+        r["node"]: (r["hub_fp"], r["auth_fp"])
+        for r in hits_scores(
+            spark.createDataFrame(edges, "src long, dst long"), iters=3
+        ).collect()
+    }
+    hub, auth = _hits_ref(edges, 3)
+    for n in set(hub) | set(auth):
+        assert got[n] == (hub.get(n, 0), auth.get(n, 0)), n
+    # Structure: 1 is the strongest hub, and the shared targets
+    # out-rank the single-source authority
+    assert got[1][0] == max(h for h, _ in got.values())
+    assert got[10][1] > got[20][1]
+    # Node 11 carries BOTH roles
+    assert got[11][0] > 0 and got[11][1] > 0
+    with pytest.raises(ValueError):
+        hits_scores(spark.createDataFrame(edges, "src long, dst long"), iters=0)
+
+
+# --- autocorrelation profile ----------------------------------------------
+
+
+def _acf_ref(xs, k):
+    n = len(xs)
+    mean = sum(xs) / n
+    den = sum(round((x - mean) ** 2, 9) for x in xs)
+    num = sum(round((xs[t] - mean) * (xs[t - k] - mean), 9) for t in range(k, n))
+    return round(num / den, 6) if den > 0 else None
+
+
+def test_acf_matches_reference_and_detects_period(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import acf_profile
+
+    # Period-4 sawtooth + trendless noise-free series: r4 must dominate
+    xs = [float(v) for v in [1, 5, 2, 8] * 6]
+    rows = [("a", i, xs[i]) for i in range(len(xs))]
+    # Second key: constant series (denominator 0 → NULL acf)
+    rows += [("b", i, 7.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {
+        (r["k"], r["lag"]): (r["n"], r["n_pairs"], r["acf"])
+        for r in acf_profile(df, ["k"], "t", "v", max_lag=4).collect()
+    }
+    for k in range(1, 5):
+        n, np_, acf = got[("a", k)]
+        assert (n, np_) == (24, 24 - k)
+        assert acf == pytest.approx(_acf_ref(xs, k), abs=2e-6)
+    assert got[("a", 4)][2] > 0.8
+    assert got[("a", 4)][2] > abs(got[("a", 1)][2])
+    for k in range(1, 5):
+        assert got[("b", k)][2] is None
+    with pytest.raises(ValueError):
+        acf_profile(df, ["k"], "t", "v", max_lag=0)
+
+
+def test_acf_short_series_lags_beyond_n_are_null(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import acf_profile
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 3.0)], "k string, t int, v double"
+    )
+    got = {
+        r["lag"]: (r["n_pairs"], r["acf"])
+        for r in acf_profile(df, ["k"], "t", "v", max_lag=3).collect()
+    }
+    assert got[1][0] == 1 and got[1][1] is not None
+    assert got[2] == (0, None) and got[3] == (0, None)
+
+
+def test_hits_high_indegree_no_overflow(spark):
+    """20 hubs pointing at one authority: the naive x·scale/max
+    normalization overflows LONG here (20·10¹²·10¹² ≫ 2⁶³); the
+    divide-by-ceil-factor scheme must not."""
+    from telecom_dataengineering_pipeline_spark.operators.graph import hits_scores
+
+    edges = [(u, 100) for u in range(20)] + [(0, 101)]
+    got = {
+        r["node"]: (r["hub_fp"], r["auth_fp"])
+        for r in hits_scores(
+            spark.createDataFrame(edges, "src long, dst long"), iters=2
+        ).collect()
+    }
+    hub, auth = _hits_ref(edges, 2)
+    for n in set(hub) | set(auth):
+        assert got[n] == (hub.get(n, 0), auth.get(n, 0)), n
+    assert got[100][1] > got[101][1]
