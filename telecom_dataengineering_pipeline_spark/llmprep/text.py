@@ -261,3 +261,93 @@ def bm25_scores(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations over adjacent token
+    bigrams — the corpus-statistics complement to :func:`bm25_scores`
+    (retrieval) and ``curation.bigram_logprob_scores`` (per-doc LM
+    scoring): PMI = ln(P(xy) / (P(x)·P(y))) ranks pairs that co-occur
+    far above chance ("new york", "machine learning"), the standard
+    phrase-mining / tokenizer-vocabulary signal (word2vec's phrase pass).
+
+    Scale shape: the corpus tokenizes ONCE into a lazily-checkpointed
+    (doc, position-free) token-array projection feeding BOTH streams —
+    Spark re-runs shared subtrees, so without the cut the tokenizer scan
+    would execute twice (the bm25/seasonal-index lesson). Unigrams and
+    bigrams are each one explode → map-side-combined count; ``min_count``
+    prunes the bigram tail BEFORE the unigram join (anti-monotone: a
+    bigram's count bounds both unigrams' from below, so the join is
+    against frequent bigrams only), and the two unigram lookups join on
+    the pruned relation.
+
+    Determinism: all counts are exact integers; PMI is ONE deterministic
+    double expression per surviving row (ln of a ratio of integer-cast
+    doubles, identical shape cross-engine) — no float accumulation
+    anywhere, so no decimal recipe needed. Returns (token_a, token_b,
+    pair_count, count_a, count_b, n_bigrams, n_tokens, pmi) rounded to
+    6, ``top_k`` by (pmi desc, pair) if given."""
+    if min_count < 1:
+        raise ValueError("pmi_collocations needs min_count >= 1")
+    toks = docs.select(tokens(F.col(text_col)).alias("_a")).filter(
+        F.size("_a") > 0
+    ).localCheckpoint(eager=False)
+    uni = (
+        toks.select(F.explode("_a").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("_a") - 1, F.lit(0))),
+                lambda i: F.struct(
+                    F.element_at(F.col("_a"), i.cast("int")).alias("a"),
+                    F.element_at(F.col("_a"), (i + 1).cast("int")).alias("b"),
+                ),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.a").alias("token_a"), F.col("bg.b").alias("token_b"))
+    pair_counts = (
+        bigrams.groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .filter(F.col("pair_count") >= int(min_count))
+    )
+    # Totals come straight off the token-array projection: n_bigrams per
+    # doc is size−1, so no second pass over the exploded bigram stream.
+    totals = toks.agg(
+        F.sum(F.size("_a")).cast("long").alias("n_tokens"),
+        F.sum(F.size("_a") - 1).cast("long").alias("n_bigrams"),
+    )
+    ua = uni.select(F.col("t").alias("token_a"), F.col("cnt").alias("count_a"))
+    ub = uni.select(F.col("t").alias("token_b"), F.col("cnt").alias("count_b"))
+    joined = (
+        pair_counts.join(ua, "token_a")
+        .join(ub, "token_b")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("pair_count").cast("double") / F.col("n_bigrams").cast("double"))
+            / (
+                (F.col("count_a").cast("double") / F.col("n_tokens").cast("double"))
+                * (F.col("count_b").cast("double") / F.col("n_tokens").cast("double"))
+            )
+        ),
+        6,
+    )
+    out = joined.select(
+        "token_a", "token_b", "pair_count", "count_a", "count_b",
+        "n_bigrams", "n_tokens", pmi.alias("pmi"),
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("pmi").desc(), F.col("token_a").asc(), F.col("token_b").asc()
+        ).limit(int(top_k))
+    return out

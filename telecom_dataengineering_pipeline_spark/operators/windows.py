@@ -283,3 +283,77 @@ def sessionize_events(
         "sum_value",
         "is_open",
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention triangle — the classic product-analytics matrix:
+    users are cohorted by the period of their FIRST event, and each cell
+    (cohort, offset) counts how many of them were active ``offset``
+    periods later. Complements the funnel (ordered steps within a user)
+    and :func:`sessionize_events` (gap structure) with the long-horizon
+    comeback view; ``lapsed_users``' EXCEPT is its 2-period special case.
+
+    Scale shape: ONE user-keyed exchange computes each user's cohort
+    (min period) and distinct active-period set in the same aggregate;
+    the explode to (cohort, offset) cells is map-side, and the cell
+    aggregate's grain is cohorts × offsets (calendar-sized, never
+    user-sized). The per-cohort denominator rides a window over that
+    post-agg grain — the single-scan discipline from seasonal_index (no
+    join back onto the user relation, which Spark would re-derive).
+
+    Every user is active at offset 0 by construction (the cohort IS
+    their first period), so retention_rate at offset 0 is exactly 1.0
+    and the cohort size needs no separate pass. ``period`` ∈ day / week /
+    month (date_trunc grains with exact integer offset arithmetic);
+    ``max_offset`` trims the triangle (the 100 TB guard when the stream
+    spans years but the report wants 12 columns).
+
+    Returns (cohort, period_offset, active_users, cohort_size,
+    retention_rate) — cohort as an ISO date string, rate rounded to 6."""
+    divisors = {"day": 1, "week": 7}
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be one of day/week/month")
+    p = F.date_trunc(period, F.col(ts_col)).cast("date")
+    users = (
+        df.select(F.col(user_col).alias("u"), p.alias("_p"))
+        .groupBy("u")
+        .agg(
+            F.min("_p").alias("_cohort"),
+            F.collect_set("_p").alias("_periods"),
+        )
+    )
+    cells = users.select(
+        "_cohort", F.explode("_periods").alias("_active")
+    )
+    if period == "month":
+        off = F.months_between(F.col("_active"), F.col("_cohort")).cast("long")
+    else:
+        off = (
+            F.datediff(F.col("_active"), F.col("_cohort"))
+            / F.lit(divisors[period])
+        ).cast("long")
+    cells = cells.select("_cohort", off.alias("period_offset"))
+    if max_offset is not None:
+        cells = cells.filter(F.col("period_offset") <= int(max_offset))
+    agg = cells.groupBy("_cohort", "period_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users")
+    )
+    wc = Window.partitionBy("_cohort")
+    size = F.max(
+        F.when(F.col("period_offset") == 0, F.col("active_users"))
+    ).over(wc)
+    return agg.select(
+        F.date_format("_cohort", "yyyy-MM-dd").alias("cohort"),
+        "period_offset",
+        "active_users",
+        size.cast("long").alias("cohort_size"),
+        F.round(
+            F.col("active_users").cast("double") / size.cast("double"), 6
+        ).alias("retention_rate"),
+    )

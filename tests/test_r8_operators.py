@@ -850,3 +850,213 @@ def test_hits_high_indegree_no_overflow(spark):
     for n in set(hub) | set(auth):
         assert got[n] == (hub.get(n, 0), auth.get(n, 0)), n
     assert got[100][1] > got[101][1]
+
+
+# --- cohort retention -------------------------------------------------------
+
+
+def test_cohort_retention_matches_bruteforce(spark):
+    from collections import defaultdict
+    from datetime import date, timedelta
+
+    from telecom_dataengineering_pipeline_spark.operators.windows import (
+        cohort_retention,
+    )
+
+    d0 = date(2024, 1, 1)  # a Monday: week_trunc boundary
+    rows = []
+    # user, active days (offsets from d0)
+    acts = {
+        "u1": [0, 1, 8, 22],        # cohort w0, active w0 w1 w3
+        "u2": [2, 9],               # cohort w0, active w0 w1
+        "u3": [3],                  # cohort w0 only
+        "u4": [7, 21],              # cohort w1, active w1 w3
+        "u5": [8],                  # cohort w1 only
+    }
+    for u, offs in acts.items():
+        for o in offs:
+            rows.append((u, (d0 + timedelta(days=o)).isoformat() + " 12:00:00"))
+    df = spark.createDataFrame(rows, "user string, ts string").select(
+        "user", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r["cohort"], r["period_offset"]): (
+            r["active_users"], r["cohort_size"], r["retention_rate"]
+        )
+        for r in cohort_retention(df, "user", "ts", period="week").collect()
+    }
+    # Brute force
+    weeks = {u: sorted({o // 7 for o in offs}) for u, offs in acts.items()}
+    cells = defaultdict(set)
+    sizes = defaultdict(set)
+    for u, ws in weeks.items():
+        c = ws[0]
+        sizes[c].add(u)
+        for w in ws:
+            cells[(c, w - c)].add(u)
+    for (c, off), us in cells.items():
+        key = ((d0 + timedelta(weeks=c)).isoformat(), off)
+        n, sz = len(us), len(sizes[c])
+        assert got[key] == (n, sz, round(n / sz, 6)), key
+    assert len(got) == len(cells)
+    # offset 0 is always exactly 1.0
+    for (c, off), (_, _, rate) in got.items():
+        if off == 0:
+            assert rate == 1.0
+
+
+def test_cohort_retention_month_max_offset_validation(spark):
+    from telecom_dataengineering_pipeline_spark.operators.windows import (
+        cohort_retention,
+    )
+
+    rows = [
+        ("u1", "2024-01-05"), ("u1", "2024-02-10"), ("u1", "2024-05-01"),
+        ("u2", "2024-02-01"), ("u2", "2024-03-31"),
+    ]
+    df = spark.createDataFrame(rows, "user string, d string").select(
+        "user", F.col("d").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r["cohort"], r["period_offset"]): r["active_users"]
+        for r in cohort_retention(
+            df, "user", "ts", period="month", max_offset=3
+        ).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1, ("2024-01-01", 1): 1,  # u1's month 4 trimmed
+        ("2024-02-01", 0): 1, ("2024-02-01", 1): 1,
+    }
+    with pytest.raises(ValueError):
+        cohort_retention(df, "user", "ts", period="quarter")
+
+
+# --- association rules ------------------------------------------------------
+
+
+def _rules_ref(baskets, min_support):
+    from collections import Counter
+    from itertools import combinations
+
+    items = Counter()
+    sets = {b: set(it) for b, it in baskets.items()}
+    for s in sets.values():
+        items.update(s)
+    freq = {i for i, c in items.items() if c >= min_support}
+    pairs = Counter()
+    for s in sets.values():
+        for a, b in combinations(sorted(i for i in s if i in freq), 2):
+            pairs[(a, b)] += 1
+    n = len(sets)
+    out = {}
+    for (a, b), pc in pairs.items():
+        if pc < min_support:
+            continue
+        for ant, con in ((a, b), (b, a)):
+            conf = pc / items[ant]
+            out[(ant, con)] = (
+                pc, items[ant], items[con], n,
+                round(pc / n, 6), round(conf, 6),
+                round(conf / (items[con] / n), 6),
+            )
+    return out
+
+
+def test_association_rules_match_bruteforce(spark):
+    from telecom_dataengineering_pipeline_spark.operators.market import (
+        association_rules,
+    )
+
+    baskets = {
+        1: ["bread", "butter", "milk"],
+        2: ["bread", "butter"],
+        3: ["bread", "milk"],
+        4: ["butter", "milk", "beer"],
+        5: ["beer", "chips"],
+        6: ["beer", "chips", "milk"],
+        7: ["bread", "butter", "milk", "milk"],  # dup item in basket
+        8: ["caviar"],  # infrequent item, pruned
+    }
+    rows = [(b, i) for b, its in baskets.items() for i in its]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["pair_count"], r["antecedent_count"], r["consequent_count"],
+            r["n_baskets"], r["support"], r["confidence"], r["lift"],
+        )
+        for r in association_rules(df, "basket", "item", min_support=2).collect()
+    }
+    assert got == _rules_ref(baskets, 2)
+    # Sanity on one classic rule: butter→bread confidence 3/4, lift > 1
+    assert got[("butter", "bread")][5] == 0.75
+    assert got[("chips", "beer")][6] > 1.0
+    with pytest.raises(ValueError):
+        association_rules(df, "basket", "item", min_support=0)
+
+
+def test_association_rules_mega_basket_guard(spark):
+    from telecom_dataengineering_pipeline_spark.operators.market import (
+        association_rules,
+    )
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "c")]
+    # Basket 99 holds every item; its PRUNED size is 3 (a, b, c survive
+    # min_support=2), past the cap of 2 — it contributes no pairs, but
+    # its rows still count toward item supports and n_baskets.
+    rows += [(99, x) for x in ("a", "b", "c", "d", "e")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r["antecedent"], r["consequent"]): (r["pair_count"], r["antecedent_count"], r["n_baskets"])
+        for r in association_rules(
+            df, "basket", "item", min_support=2, max_basket_size=2
+        ).collect()
+    }
+    assert got[("a", "b")] == (2, 3, 4)  # pair from baskets 1,2 only
+
+
+# --- PMI collocations -------------------------------------------------------
+
+
+def test_pmi_collocations_match_bruteforce(spark):
+    from collections import Counter
+
+    from telecom_dataengineering_pipeline_spark.llmprep.text import pmi_collocations
+
+    texts = [
+        "new york is big and new york is loud",
+        "machine learning in new york",
+        "big data and machine learning",
+        "the big apple is new york",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        (r["token_a"], r["token_b"]): (
+            r["pair_count"], r["count_a"], r["count_b"],
+            r["n_bigrams"], r["n_tokens"], r["pmi"],
+        )
+        for r in pmi_collocations(df, min_count=2).collect()
+    }
+    uni = Counter()
+    bi = Counter()
+    nt = nb = 0
+    for t in texts:
+        ws = t.split()
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+        nt += len(ws)
+        nb += len(ws) - 1
+    expect = {}
+    for (a, b), c in bi.items():
+        if c >= 2:
+            expect[(a, b)] = (
+                c, uni[a], uni[b], nb, nt,
+                round(math.log((c / nb) / ((uni[a] / nt) * (uni[b] / nt))), 6),
+            )
+    assert got == expect
+    # PMI rewards rarity: "machine learning" (2/2/2) out-scores the more
+    # common "new york" (4/4/4) — both are real collocations (pmi > 0)
+    top = pmi_collocations(df, min_count=2, top_k=1).collect()[0]
+    assert (top["token_a"], top["token_b"]) == ("machine", "learning")
+    assert got[("new", "york")][5] > 1.0
+    with pytest.raises(ValueError):
+        pmi_collocations(df, min_count=0)
