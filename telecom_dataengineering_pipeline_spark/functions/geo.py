@@ -8,7 +8,7 @@ JVM-side with no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 EARTH_RADIUS_KM = 6371.0
@@ -80,3 +80,71 @@ def grid_density(
         )
     )
     return out
+
+
+def radius_of_gyration(
+    df,
+    user_col: str,
+    lat_col: str,
+    lon_col: str,
+):
+    """Per-user radius of gyration over location pings — the canonical
+    human-mobility statistic (González/Hidalgo/Barabási 2008): the RMS
+    haversine distance of a user's pings from their own centroid.
+    Telecom reading: r_g ≈ 0 is a stationary device, a few km is a
+    commuter, hundreds of km is a traveler — the one-number summary the
+    impossible-travel fraud check (`queries/fraud.py`) and grid density
+    don't give.
+
+    Plan shape: ONE user-keyed exchange carries everything — the
+    centroid (decimal-exact lat/lon sums over a partition window, cast
+    to double for the single division) and the per-ping squared
+    haversine distance both ride the same hash partitioning, and the
+    final per-user aggregate reuses it (no join of a centroid relation
+    back onto the ping relation, which would shuffle twice and re-scan).
+
+    Determinism: the centroid is CAST(decimal-sum AS DOUBLE)/n — one
+    deterministic division; each d² is a deterministic double ROUNDED to
+    9 dp then decimal-summed, so the RMS is partition-order-free and
+    mirrors in any engine. The arithmetic centroid-of-degrees is the
+    standard approximation (exact spherical centroids need 3D vector
+    means); it is documented, not hidden, and consistent cross-engine.
+
+    Returns (user, n_pings, centroid_lat, centroid_lon, rg_km) with
+    doubles rounded to 6."""
+    u = F.col(user_col)
+    w = Window.partitionBy(u)
+    lat = F.col(lat_col).cast("decimal(24,8)")
+    lon = F.col(lon_col).cast("decimal(24,8)")
+    cur = df.select(
+        u.alias("user"),
+        F.col(lat_col).cast("double").alias("_lat"),
+        F.col(lon_col).cast("double").alias("_lon"),
+        lat.alias("_latd"),
+        lon.alias("_lond"),
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("user")).cast("double")
+    cur = cur.withColumn(
+        "_clat", F.sum("_latd").over(Window.partitionBy("user")).cast("double") / n
+    ).withColumn(
+        "_clon", F.sum("_lond").over(Window.partitionBy("user")).cast("double") / n
+    )
+    d = haversine_km(
+        F.col("_lat"), F.col("_lon"), F.col("_clat"), F.col("_clon")
+    )
+    cur = cur.withColumn("_d2", F.round(d * d, 9).cast("decimal(28,9)"))
+    agg = cur.groupBy("user").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pings"),
+        F.round(F.first("_clat"), 6).alias("centroid_lat"),
+        F.round(F.first("_clon"), 6).alias("centroid_lon"),
+        F.sum("_d2").alias("_ss"),
+    )
+    return agg.select(
+        "user",
+        "n_pings",
+        "centroid_lat",
+        "centroid_lon",
+        F.round(
+            F.sqrt(F.col("_ss").cast("double") / F.col("n_pings").cast("double")), 6
+        ).alias("rg_km"),
+    )

@@ -14,6 +14,7 @@ Dot products use higher-order array functions (JVM, codegen) — no UDF.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1001,4 +1002,64 @@ def mmr_rerank(
             )
         )
         out = out.unionByName(pick)
+    return out
+
+
+def rrf_fuse(
+    results: "Sequence[DataFrame]",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rrf_k: int = 60,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) over N
+    ranked retrieval lists — the standard hybrid-search combiner for the
+    lexical (:func:`~..text.bm25_scores`) and dense (:func:`cosine_topk`
+    family) tiers: RRF(d) = Σ_lists 1/(rrf_k + rank_list(d)). Rank-based,
+    so the lists' score scales never need calibrating against each other.
+
+    Each input list is ranked by (score desc, id asc) — the tie-break
+    makes ranks deterministic — via row_number over the LIST, which is a
+    single partition ONLY because retrieval lists are top-k-sized by
+    construction (the upstream retrievers did the at-scale work; fusing
+    their outputs is metadata-sized). The fused relation unions the
+    ranked lists and runs one map-side-combined sum on the id.
+
+    Determinism: each reciprocal is a deterministic double rounded to 9
+    dp then decimal-summed (PSI recipe), so the fused score is
+    partition-order-free and unrollable into a SQL oracle. Returns
+    (id_col, n_lists, rrf_score) with rrf_score rounded to 6, sorted
+    desc with (score, id) tie-break when ``top_k`` is given."""
+    if not results:
+        raise ValueError("rrf_fuse needs at least one result list")
+    if rrf_k < 1:
+        raise ValueError("rrf_k must be >= 1")
+    ranked = []
+    w = Window.partitionBy().orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    for df in results:
+        ranked.append(
+            df.select(
+                F.col(id_col),
+                F.round(
+                    F.lit(1.0)
+                    / (F.lit(int(rrf_k)) + F.row_number().over(w)).cast("double"),
+                    9,
+                )
+                .cast("decimal(28,9)")
+                .alias("_r"),
+            )
+        )
+    u = ranked[0]
+    for r in ranked[1:]:
+        u = u.unionAll(r)
+    out = u.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.round(F.sum("_r").cast("double"), 6).alias("rrf_score"),
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("rrf_score").desc(), F.col(id_col).asc()
+        ).limit(int(top_k))
     return out

@@ -357,3 +357,68 @@ def cohort_retention(
             F.col("active_users").cast("double") / size.cast("double"), 6
         ).alias("retention_rate"),
     )
+
+
+def interarrival_profile(
+    df: DataFrame,
+    key_cols: "list[str] | tuple[str, ...]",
+    ts_col: str,
+) -> DataFrame:
+    """Per-key inter-arrival-time profile — the burstiness fingerprint
+    between :func:`sessionize_events` (which CUTS on a gap threshold)
+    and the sliding-window counters (which fix a horizon): how are the
+    gaps themselves distributed? Emits the Goh–Barabási burstiness
+    B = (σ−μ)/(σ+μ) ∈ [−1, 1]: B → −1 is a metronome (periodic
+    heartbeat traffic), B ≈ 0 is Poisson, B → +1 is bursty (human /
+    fraud-bot traffic) — the single number that separates machine from
+    human event streams.
+
+    One key-ordered window computes the lag gaps in INTEGER seconds;
+    the same keyed partitioning carries the aggregate (no second
+    shuffle). μ and σ come from exact integer Σg and Σg² via the
+    closed-form sample variance n·Σg² − (Σg)², so every engine computes
+    bit-identical doubles from identical integer sums — no float
+    accumulation, no decimal recipe needed. Ties in ``ts_col`` produce
+    0-gaps (honest for same-second events); the first event per key has
+    no gap and is excluded by lag()'s NULL.
+
+    Returns (*key_cols, n_events, n_gaps, mean_gap_s, min_gap_s,
+    max_gap_s, std_gap_s, burstiness) with doubles rounded to 6; std
+    and burstiness NULL when n_gaps < 2, burstiness NULL for all-zero
+    gaps (σ+μ = 0)."""
+    kcols = [F.col(c) for c in key_cols]
+    ts = F.unix_timestamp(F.col(ts_col)).cast("long")
+    wo = Window.partitionBy(*kcols).orderBy(
+        F.col(ts_col).asc()
+    )
+    cur = df.select(*kcols, F.col(ts_col)).withColumn(
+        "_gap", ts - F.lag(ts, 1).over(wo)
+    )
+    agg = cur.groupBy(*kcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("_gap").cast("long").alias("n_gaps"),
+        F.sum("_gap").cast("long").alias("_s"),
+        F.sum(F.col("_gap") * F.col("_gap")).cast("long").alias("_ss"),
+        F.min("_gap").cast("long").alias("min_gap_s"),
+        F.max("_gap").cast("long").alias("max_gap_s"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("_s").cast("double") / n
+    var = (
+        F.col("n_gaps").cast("double") * F.col("_ss").cast("double")
+        - F.col("_s").cast("double") * F.col("_s").cast("double")
+    ) / (n * (n - F.lit(1.0)))
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    b = F.when(
+        (std + mean) > 0, F.round((std - mean) / (std + mean), 6)
+    )
+    return agg.select(
+        *key_cols,
+        "n_events",
+        "n_gaps",
+        F.when(F.col("n_gaps") > 0, F.round(mean, 6)).alias("mean_gap_s"),
+        "min_gap_s",
+        "max_gap_s",
+        F.when(F.col("n_gaps") > 1, F.round(std, 6)).alias("std_gap_s"),
+        F.when(F.col("n_gaps") > 1, b).alias("burstiness"),
+    )

@@ -738,3 +738,58 @@ def k_anonymity_profile(
         pct.alias("at_risk_pct"),
         (F.col("violating_classes") == 0).alias("is_k_anonymous"),
     )
+
+
+def entropy_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    category_col: str,
+) -> DataFrame:
+    """Per-key Shannon entropy of a categorical column — the dispersion
+    monitor between :func:`cardinality_drift` (HOW MANY distinct values)
+    and :func:`key_skew_profile` (the top-k view): H tells whether the
+    mass is spread or concentrated. H = −Σ p·ln p over the key's
+    category distribution, plus the normalized H/ln(k) ∈ [0, 1]
+    (evenness) so keys with different cardinalities compare. Reading:
+    a user whose event-type entropy collapses to 0 became a single-action
+    bot; a column whose evenness jumps toward 1 lost its skew (or its
+    meaning).
+
+    Scale shape: one map-side-combined count on (key, category) — the
+    only row-grain shuffle — then a key-grain aggregate that rides the
+    same hash partitioning prefix. NULL categories count as a real level
+    (missingness carries information), matching
+    :func:`chi_squared_drift`.
+
+    Determinism: counts are exact integers; the per-category −p·ln p
+    term is a deterministic double from (count, total) ROUNDED to 9 dp
+    and decimal-summed (the PSI recipe). The total rides a window over
+    the (key, category) grain — post-agg, metadata-sized, no second
+    scan. Returns (*key_cols, n_rows, n_categories, entropy, evenness)
+    rounded to 6; evenness NULL for single-category keys (ln 1 = 0)."""
+    kcols = [F.col(c) for c in key_cols]
+    cat = F.coalesce(F.col(category_col).cast("string"), F.lit("__null__"))
+    cells = (
+        df.select(*kcols, cat.alias("_cat"))
+        .groupBy(*kcols, "_cat")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    wk = Window.partitionBy(*[F.col(c) for c in key_cols])
+    cells = cells.withColumn("_tot", F.sum("_n").over(wk).cast("long"))
+    p = F.col("_n").cast("double") / F.col("_tot").cast("double")
+    term = F.round(-p * F.log(p), 9).cast("decimal(28,9)")
+    agg = cells.withColumn("_term", term).groupBy(*key_cols).agg(
+        F.first("_tot").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.round(F.sum("_term").cast("double"), 6).alias("entropy"),
+    )
+    evenness = F.when(
+        F.col("n_categories") > 1,
+        F.round(
+            F.col("entropy") / F.log(F.col("n_categories").cast("double")), 6
+        ),
+    )
+    return agg.select(
+        *key_cols, "n_rows", "n_categories", "entropy",
+        evenness.alias("evenness"),
+    )

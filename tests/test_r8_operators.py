@@ -1060,3 +1060,190 @@ def test_pmi_collocations_match_bruteforce(spark):
     assert got[("new", "york")][5] > 1.0
     with pytest.raises(ValueError):
         pmi_collocations(df, min_count=0)
+
+
+# --- reciprocal rank fusion -------------------------------------------------
+
+
+def test_rrf_fuse_matches_bruteforce(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.similarity import rrf_fuse
+
+    lex = [(1, 9.5), (2, 7.2), (3, 5.0), (4, 1.1)]
+    dense = [(3, 0.99), (1, 0.95), (5, 0.90)]
+    l1 = spark.createDataFrame(lex, "doc_id long, score double")
+    l2 = spark.createDataFrame(dense, "doc_id long, score double")
+    got = {
+        r["doc_id"]: (r["n_lists"], r["rrf_score"])
+        for r in rrf_fuse([l1, l2], rrf_k=60).collect()
+    }
+
+    def ranks(lst):
+        return {
+            d: i + 1
+            for i, (d, _) in enumerate(
+                sorted(lst, key=lambda x: (-x[1], x[0]))
+            )
+        }
+
+    r1, r2 = ranks(lex), ranks(dense)
+    expect = {}
+    for d in set(r1) | set(r2):
+        terms = [round(1.0 / (60 + r[d]), 9) for r in (r1, r2) if d in r]
+        expect[d] = (len(terms), round(sum(terms), 6))
+    assert got == expect
+    # doc 1 and 3 appear in both lists and dominate the fusion
+    top = rrf_fuse([l1, l2], rrf_k=60, top_k=2).collect()
+    assert {r["doc_id"] for r in top} == {1, 3}
+    with pytest.raises(ValueError):
+        rrf_fuse([], rrf_k=60)
+    with pytest.raises(ValueError):
+        rrf_fuse([l1], rrf_k=0)
+
+
+def test_rrf_fuse_deterministic_tie_break(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.similarity import rrf_fuse
+
+    tied = spark.createDataFrame(
+        [(10, 1.0), (2, 1.0), (7, 1.0)], "doc_id long, score double"
+    )
+    got = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([tied], rrf_k=1).collect()}
+    # equal scores rank by id asc: 2→1, 7→2, 10→3
+    assert got == {
+        2: round(round(1 / 2, 9), 6),
+        7: round(round(1 / 3, 9), 6),
+        10: round(round(1 / 4, 9), 6),
+    }
+
+
+# --- radius of gyration -----------------------------------------------------
+
+
+def test_radius_of_gyration_matches_bruteforce(spark):
+    from telecom_dataengineering_pipeline_spark.functions.geo import (
+        radius_of_gyration,
+    )
+
+    pings = {
+        # commuter: Berlin center <-> suburb (~10 km apart)
+        "commuter": [(52.52, 13.405), (52.52, 13.405), (52.45, 13.30), (52.45, 13.30)],
+        # stationary: one tower
+        "stationary": [(48.137, 11.575)] * 3,
+        # traveler: Berlin / Munich / Hamburg
+        "traveler": [(52.52, 13.405), (48.137, 11.575), (53.55, 9.99)],
+    }
+    rows = [(u, la, lo) for u, ps in pings.items() for la, lo in ps]
+    df = spark.createDataFrame(rows, "user string, lat double, lon double")
+    got = {
+        r["user"]: (r["n_pings"], r["centroid_lat"], r["centroid_lon"], r["rg_km"])
+        for r in radius_of_gyration(df, "user", "lat", "lon").collect()
+    }
+
+    def hav(lat1, lon1, lat2, lon2):
+        R = 6371.0
+        dla, dlo = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+        a = (
+            math.sin(dla / 2) ** 2
+            + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2))
+            * math.sin(dlo / 2) ** 2
+        )
+        return 2 * R * math.asin(math.sqrt(a))
+
+    for u, ps in pings.items():
+        n = len(ps)
+        clat = sum(p[0] for p in ps) / n
+        clon = sum(p[1] for p in ps) / n
+        ss = sum(round(hav(la, lo, clat, clon) ** 2, 9) for la, lo in ps)
+        n_, gla, glo, rg = got[u]
+        assert n_ == n
+        assert gla == pytest.approx(clat, abs=1e-6)
+        assert glo == pytest.approx(clon, abs=1e-6)
+        assert rg == pytest.approx(math.sqrt(ss / n), abs=1e-5)
+    assert got["stationary"][3] == 0.0
+    assert got["commuter"][3] < got["traveler"][3]
+    assert 2 < got["commuter"][3] < 10
+    assert got["traveler"][3] > 100
+
+
+# --- inter-arrival profile --------------------------------------------------
+
+
+def test_interarrival_profile_matches_bruteforce(spark):
+    from telecom_dataengineering_pipeline_spark.operators.windows import (
+        interarrival_profile,
+    )
+
+    base = 1_700_000_000
+    series = {
+        "metronome": [base + 60 * i for i in range(10)],       # exact 60s beat
+        "bursty": [base, base + 1, base + 2, base + 3600, base + 3601, base + 7200],
+        "single": [base],
+        "pair": [base, base + 100],
+    }
+    rows = [(k, t) for k, ts in series.items() for t in ts]
+    df = spark.createDataFrame(rows, "k string, epoch long").select(
+        "k", F.timestamp_seconds("epoch").alias("ts")
+    )
+    got = {
+        r["k"]: (
+            r["n_events"], r["n_gaps"], r["mean_gap_s"], r["min_gap_s"],
+            r["max_gap_s"], r["std_gap_s"], r["burstiness"],
+        )
+        for r in interarrival_profile(df, ["k"], "ts").collect()
+    }
+    for k, ts in series.items():
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        n, ng = len(ts), len(gaps)
+        if ng == 0:
+            assert got[k] == (n, 0, None, None, None, None, None)
+            continue
+        mean = sum(gaps) / ng
+        assert got[k][:5] == (n, ng, round(mean, 6), min(gaps), max(gaps))
+        if ng < 2:
+            assert got[k][5] is None and got[k][6] is None
+        else:
+            var = (ng * sum(g * g for g in gaps) - sum(gaps) ** 2) / (ng * (ng - 1))
+            std = math.sqrt(var)
+            assert got[k][5] == pytest.approx(std, abs=1e-6)
+            assert got[k][6] == pytest.approx((std - mean) / (std + mean), abs=1e-6)
+    # the metronome is maximally regular; the bursty key is positive
+    assert got["metronome"][6] == -1.0
+    assert got["bursty"][6] > 0
+
+
+# --- entropy profile --------------------------------------------------------
+
+
+def test_entropy_profile_matches_bruteforce(spark):
+    from collections import Counter
+
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        entropy_profile,
+    )
+
+    data = {
+        "uniform": ["a", "b", "c", "d"] * 5,
+        "skewed": ["a"] * 17 + ["b", "c", "d"],
+        "constant": ["x"] * 8,
+        "withnull": ["a", "a", None, None],
+    }
+    rows = [(k, v) for k, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "k string, cat string")
+    got = {
+        r["k"]: (r["n_rows"], r["n_categories"], r["entropy"], r["evenness"])
+        for r in entropy_profile(df, ["k"], "cat").collect()
+    }
+    for k, vs in data.items():
+        c = Counter("__null__" if v is None else v for v in vs)
+        n = len(vs)
+        h = sum(round(-(x / n) * math.log(x / n), 9) for x in c.values())
+        n_, k_, ent, ev = got[k]
+        assert (n_, k_) == (n, len(c))
+        assert ent == pytest.approx(h, abs=2e-6)
+        if len(c) > 1:
+            assert ev == pytest.approx(round(ent, 6) / math.log(len(c)), abs=1e-5)
+        else:
+            assert ev is None
+    assert got["constant"][2] == 0.0
+    assert got["uniform"][3] == pytest.approx(1.0, abs=1e-6)
+    assert got["skewed"][3] < 0.5
+    assert got["withnull"][3] == pytest.approx(1.0, abs=1e-6)
