@@ -24,10 +24,18 @@ blocks can be salted or capped exactly like the ``max_df`` guard in
 
 from __future__ import annotations
 
+import sys as _sys
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from pyspark import cloudpickle as _cp
+
+# jaro_winkler_pairs ships a pandas_udf whose closure references this
+# module; consumers that only sys.path the repo on the DRIVER would crash
+# workers on import — pickle by value (multimodal/fraud convention).
+_cp.register_pickle_by_value(_sys.modules[__name__])
 
 
 def fuzzy_block_keys(
@@ -151,3 +159,95 @@ def survivorship_golden_records(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def _jaro(s1: str, s2: str) -> float:
+    """Standard Jaro similarity (the DuckDB/Apache-commons definition)."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 and l2 == 0:
+        return 1.0
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    t //= 2
+    return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler(s1: str, s2: str, p: float = 0.1, boost_threshold: float = 0.7) -> float:
+    """Jaro–Winkler with the standard prefix boost (≤ 4 chars, applied
+    only when jaro exceeds ``boost_threshold``) — matches DuckDB's
+    ``jaro_winkler_similarity`` so the oracle can verify bit-for-bit at
+    6 dp."""
+    j = _jaro(s1, s2)
+    if j <= boost_threshold:
+        return j
+    l = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        l += 1
+    return j + l * p * (1.0 - j)
+
+
+def jaro_winkler_pairs(
+    pairs: DataFrame,
+    left_col: str,
+    right_col: str,
+    threshold: float = 0.9,
+    out_col: str = "jw_sim",
+) -> DataFrame:
+    """Jaro–Winkler verification over CANDIDATE pairs — the
+    transposition-tolerant scorer the blocked-Levenshtein pipeline
+    (:func:`fuzzy_prefix_pairs`) can't express: JW rewards shared
+    prefixes and forgives adjacent swaps ("marhta"), the right metric
+    for human-keyed names/MSISDNs, where Levenshtein over-penalizes.
+
+    Spark has no JW built-in, so this is the sanctioned escape hatch
+    (SURVEY §2.11): an Arrow-batched ``pandas_udf`` applied ONLY to the
+    post-blocking candidate relation — the slow path is bounded by the
+    blocker's output, never the corpus product. The Python scorer
+    matches DuckDB's ``jaro_winkler_similarity`` definition exactly
+    (standard window/transposition rules, ≤4-char prefix boost gated at
+    jaro > 0.7), verified bit-for-bit at 6 dp in the cross-engine
+    mirror.
+
+    Returns the input plus ``out_col`` (rounded to 6), filtered to
+    ``>= threshold``; pairs with a NULL side are dropped (no honest
+    similarity for a missing string)."""
+    @F.pandas_udf("double")
+    def _jw(a, b):
+        import pandas as pd
+
+        out = [
+            None if (x is None or y is None) else round(jaro_winkler(x, y), 6)
+            for x, y in zip(a, b)
+        ]
+        return pd.Series(out, dtype="float64")
+
+    scored = pairs.filter(
+        F.col(left_col).isNotNull() & F.col(right_col).isNotNull()
+    ).withColumn(out_col, _jw(F.col(left_col), F.col(right_col)))
+    return scored.filter(F.col(out_col) >= float(threshold))

@@ -75,3 +75,79 @@ def anti_join_violations(
         e = child[c] == parent[p]
         cond = e if cond is None else (cond & e)
     return child.join(parent, on=cond, how="left_anti")
+
+
+def join_cardinality_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    top_k: int = 5,
+) -> DataFrame:
+    """Pre-flight inner-join size forecast — the planner's question
+    answered BEFORE the expensive shuffle runs: |A ⋈ B| = Σ_k n_A(k)·n_B(k)
+    exactly, plus the skew decomposition that decides between a plain,
+    broadcast, salted (``skew.salted_join``), or AQE-split plan. The
+    companion to :func:`~..quality.monitors.key_skew_profile` (one-sided
+    skew) for the two-sided case where the blow-up is a PRODUCT.
+
+    Scale shape: each side reduces map-side to one count per key — the
+    join then runs on the two count relations (distinct-key-sized, not
+    row-sized), and the output-size sum, max per-key product, and top-k
+    hot keys are metadata aggregates over it. The expensive join itself
+    never executes.
+
+    Returns one row per hot key plus rank 0 for the total:
+    (rank, key, left_rows, right_rows, pair_rows, share) — rank 0 holds
+    totals (key NULL, pair_rows = the full output estimate, left/right
+    rows = each side's MATCHED row counts — unmatched keys contribute
+    nothing to an inner join), ranks 1..top_k the heaviest keys by
+    product with their share of the output. Exact LONG arithmetic
+    throughout; share is one double division rounded to 6."""
+    key = [F.col(c) for c in on]
+
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy(*key).agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{side}")
+        )
+
+    cells = counts(left, "l").join(counts(right, "r"), list(on)).select(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in on]).alias("key"),
+        "n_l",
+        "n_r",
+        (F.col("n_l") * F.col("n_r")).cast("long").alias("pair_rows"),
+    )
+    totals = cells.agg(
+        F.coalesce(F.sum("n_l"), F.lit(0)).cast("long").alias("left_rows"),
+        F.coalesce(F.sum("n_r"), F.lit(0)).cast("long").alias("right_rows"),
+        F.coalesce(F.sum("pair_rows"), F.lit(0)).cast("long").alias("pair_rows"),
+    )
+    top = (
+        cells.crossJoin(F.broadcast(totals.select(F.col("pair_rows").alias("_tot"))))
+        .orderBy(F.col("pair_rows").desc(), F.col("key").asc())
+        .limit(int(top_k))
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.orderBy(F.col("pair_rows").desc(), F.col("key").asc())
+    )
+    top_rows = top.select(
+        rank.cast("int").alias("rank"),
+        "key",
+        F.col("n_l").alias("left_rows"),
+        F.col("n_r").alias("right_rows"),
+        "pair_rows",
+        F.when(
+            F.col("_tot") > 0,
+            F.round(F.col("pair_rows").cast("double") / F.col("_tot").cast("double"), 6),
+        ).alias("share"),
+    )
+    total_row = totals.select(
+        F.lit(0).cast("int").alias("rank"),
+        F.lit(None).cast("string").alias("key"),
+        "left_rows",
+        "right_rows",
+        "pair_rows",
+        F.lit(1.0).alias("share"),
+    )
+    return total_row.unionAll(top_rows)

@@ -1247,3 +1247,185 @@ def test_entropy_profile_matches_bruteforce(spark):
     assert got["uniform"][3] == pytest.approx(1.0, abs=1e-6)
     assert got["skewed"][3] < 0.5
     assert got["withnull"][3] == pytest.approx(1.0, abs=1e-6)
+
+
+# --- leave-one-out target encoding ------------------------------------------
+
+
+def test_target_encode_loo_matches_bruteforce(spark):
+    from telecom_dataengineering_pipeline_spark.operators.features import (
+        target_encode_loo,
+    )
+
+    rows = [
+        ("a", 1.0), ("a", 0.0), ("a", 1.0), ("a", 1.0),
+        ("b", 0.0), ("b", 0.0), ("c", 1.0),          # c is a singleton
+        ("b", None),                                  # NULL target still encoded
+    ]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    got = [
+        (r["cat"], r["y"], r["te_loo"])
+        for r in target_encode_loo(df, "cat", "y").collect()
+    ]
+    sums = {"a": 3.0, "b": 0.0, "c": 1.0}
+    ns = {"a": 4, "b": 2, "c": 1}
+    for cat, y, enc in got:
+        if y is None:
+            assert enc == round(sums[cat] / ns[cat], 6)  # self excluded = nothing
+        elif ns[cat] == 1:
+            assert enc is None
+        else:
+            assert enc == round((sums[cat] - y) / (ns[cat] - 1), 6)
+    # smoothing pulls singletons to the global mean
+    g = sum(v for v in sums.values()) / sum(ns.values())
+    sm = {
+        r["cat"]: r["te_loo"]
+        for r in target_encode_loo(df, "cat", "y", smoothing=10.0).collect()
+        if r["cat"] == "c"
+    }
+    assert sm["c"] == pytest.approx((0.0 + 10.0 * g) / (0 + 10.0), abs=1e-6)
+    with pytest.raises(ValueError):
+        target_encode_loo(df, "cat", "y", smoothing=-1)
+
+
+# --- ECDF normalization -----------------------------------------------------
+
+
+def test_ecdf_normalize_tie_safe(spark):
+    from telecom_dataengineering_pipeline_spark.operators.features import (
+        ecdf_normalize,
+    )
+
+    rows = [("k", v) for v in [10.0, 20.0, 20.0, 30.0, 40.0]]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = sorted(
+        (r["v"], r["ecdf"], r["pct_rank"])
+        for r in ecdf_normalize(df, ["k"], "v").collect()
+    )
+    # cume_dist counts <=; ties share values (tie-safe); percent_rank = (rank-1)/(n-1)
+    assert got == [
+        (10.0, 0.2, 0.0),
+        (20.0, 0.6, 0.25),
+        (20.0, 0.6, 0.25),
+        (30.0, 0.8, 0.75),
+        (40.0, 1.0, 1.0),
+    ]
+
+
+# --- binary AUC -------------------------------------------------------------
+
+
+def _auc_ref(pairs):
+    """Tie-averaged Mann-Whitney reference."""
+    xs = sorted(pairs, key=lambda t: t[1])
+    ranks = {}
+    i = 0
+    while i < len(xs):
+        j = i
+        while j < len(xs) and xs[j][1] == xs[i][1]:
+            j += 1
+        avg = (i + 1 + j) / 2
+        for t in range(i, j):
+            ranks[t] = avg
+        i = j
+    pos = [k for k, (y, _) in enumerate(xs) if y == 1]
+    neg = [k for k, (y, _) in enumerate(xs) if y == 0]
+    if not pos or not neg:
+        return None
+    u = sum(ranks[k] for k in pos) - len(pos) * (len(pos) + 1) / 2
+    return round(u / (len(pos) * len(neg)), 6)
+
+
+def test_binary_auc_matches_reference(spark):
+    from telecom_dataengineering_pipeline_spark.operators.features import binary_auc
+
+    cases = {
+        "perfect": [(1, 0.9), (1, 0.8), (0, 0.3), (0, 0.1)],
+        "inverted": [(0, 0.9), (0, 0.8), (1, 0.3), (1, 0.1)],
+        "ties": [(1, 0.5), (0, 0.5), (1, 0.5), (0, 0.2), (1, 0.9)],
+        "mixed": [(1, 0.7), (0, 0.6), (1, 0.6), (0, 0.4), (1, 0.3), (0, 0.3)],
+        "onesided": [(1, 0.5), (1, 0.2)],
+    }
+    rows = [(k, y, s) for k, ps in cases.items() for y, s in ps]
+    df = spark.createDataFrame(rows, "k string, y int, s double")
+    got = {
+        r["k"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in binary_auc(df, "y", "s", ["k"]).collect()
+    }
+    for k, ps in cases.items():
+        npos = sum(1 for y, _ in ps if y == 1)
+        nneg = len(ps) - npos
+        assert got[k] == (npos, nneg, _auc_ref(ps)), k
+    assert got["perfect"][2] == 1.0
+    assert got["inverted"][2] == 0.0
+    assert got["onesided"][2] is None
+    # global (un-keyed) variant and NULL exclusion
+    g = binary_auc(
+        spark.createDataFrame(
+            [(1, 0.8), (0, 0.2), (None, 0.9), (1, None)], "y int, s double"
+        ),
+        "y", "s",
+    ).collect()[0]
+    assert (g["n_pos"], g["n_neg"], g["auc"]) == (1, 1, 1.0)
+
+
+# --- Jaro-Winkler pairs -----------------------------------------------------
+
+
+def test_jaro_winkler_matches_duckdb_definition(spark):
+    import duckdb
+
+    from telecom_dataengineering_pipeline_spark.llmprep.fuzzy import (
+        jaro_winkler, jaro_winkler_pairs,
+    )
+
+    fixtures = [
+        ("martha", "marhta"), ("dixon", "dicksonx"), ("abc", "abc"),
+        ("", "abc"), ("crate", "trace"), ("ab", "ba"),
+        ("jellyfish", "smellyfish"), ("0171555123", "0171555132"),
+        ("abcdefgh", "abzzzzzz"), ("a", "a"),
+    ]
+    con = duckdb.connect()
+    for s1, s2 in fixtures:
+        mirror = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [s1, s2]
+        ).fetchone()[0]
+        assert round(jaro_winkler(s1, s2), 6) == round(mirror, 6), (s1, s2)
+
+    df = spark.createDataFrame(fixtures, "a string, b string")
+    got = {
+        (r["a"], r["b"]): r["jw_sim"]
+        for r in jaro_winkler_pairs(df, "a", "b", threshold=0.9).collect()
+    }
+    expect = {
+        (s1, s2): round(jaro_winkler(s1, s2), 6)
+        for s1, s2 in fixtures
+        if jaro_winkler(s1, s2) >= 0.9
+    }
+    assert got == expect
+    assert ("martha", "marhta") in got and ("abcdefgh", "abzzzzzz") not in got
+
+
+# --- join cardinality estimate ----------------------------------------------
+
+
+def test_join_cardinality_estimate_exact(spark):
+    from telecom_dataengineering_pipeline_spark.operators.joins import (
+        join_cardinality_estimate,
+    )
+
+    left = [(k,) for k in ["hot"] * 100 + ["warm"] * 10 + ["cold"] * 2 + ["lonly"]]
+    right = [(k,) for k in ["hot"] * 50 + ["warm"] * 5 + ["cold"] * 1 + ["ronly"] * 9]
+    ldf = spark.createDataFrame(left, "k string")
+    rdf = spark.createDataFrame(right, "k string")
+    rows = {
+        r["rank"]: (r["key"], r["left_rows"], r["right_rows"], r["pair_rows"], r["share"])
+        for r in join_cardinality_estimate(ldf, rdf, ["k"], top_k=2).collect()
+    }
+    true_out = 100 * 50 + 10 * 5 + 2 * 1
+    assert rows[0] == (None, 112, 56, true_out, 1.0)
+    assert rows[1] == ("hot", 100, 50, 5000, round(5000 / true_out, 6))
+    assert rows[2] == ("warm", 10, 5, 50, round(50 / true_out, 6))
+    assert 3 not in rows
+    # the estimate equals the REAL inner-join count
+    assert ldf.join(rdf, "k").count() == true_out
