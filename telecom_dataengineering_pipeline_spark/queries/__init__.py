@@ -20,5 +20,6 @@ from . import llmprep  # noqa: F401
 from . import writeside  # noqa: F401
 from . import mining  # noqa: F401
 from . import round7  # noqa: F401
+from . import round8  # noqa: F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracle_sql"]

@@ -69,6 +69,15 @@ DRIVER_ORDER: list[str] = [
     "txnlog_column_defaults",
     "media_header_dimensions",
     "bpe_encode_corpus",
+    # -- round-7 session-2 additions: registered the same round they were
+    #    built (no tests-only lag) — no driver row yet, always in-window.
+    "dq_chi_squared_event_mix",
+    "pii_k_anonymity_customers",
+    "dq_event_type_entropy_daily",
+    "ecdf_order_totals_by_priority",
+    "te_loo_segment_order_totals",
+    "auc_discount_predicts_returns",
+    "join_preflight_orders_lineitem",
     # -- fix-up re-entries (VERDICT r6 items 2 & 3): both queries' prior
     #    driver greens were VACUOUS (0 rows at every SF); their literals/
     #    cohorts were fixed this round and they must re-enter the window to

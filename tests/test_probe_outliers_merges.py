@@ -107,6 +107,14 @@ def test_new_registrations_inside_driver_window():
         "txnlog_column_defaults",
         "media_header_dimensions",
         "bpe_encode_corpus",
+        # session-2 additions, registered the round they were built
+        "dq_chi_squared_event_mix",
+        "pii_k_anonymity_customers",
+        "dq_event_type_entropy_daily",
+        "ecdf_order_totals_by_priority",
+        "te_loo_segment_order_totals",
+        "auc_discount_predicts_returns",
+        "join_preflight_orders_lineitem",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
