@@ -78,6 +78,14 @@ DRIVER_ORDER: list[str] = [
     "te_loo_segment_order_totals",
     "auc_discount_predicts_returns",
     "join_preflight_orders_lineitem",
+    "cohort_retention_weekly_users",
+    "interarrival_burstiness_event_types",
+    "association_rules_copurchase",
+    "pmi_document_collocations",
+    "rrf_hybrid_doc_ranking",
+    "acf_daily_event_value",
+    "hits_supply_graph",
+    "mobility_radius_of_gyration",
     # -- fix-up re-entries (VERDICT r6 items 2 & 3): both queries' prior
     #    driver greens were VACUOUS (0 rows at every SF); their literals/
     #    cohorts were fixed this round and they must re-enter the window to

@@ -320,3 +320,373 @@ def join_preflight_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("l_orderkey").alias("k")
     )
     return join_cardinality_estimate(orders, li, ["k"], top_k=5)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention triangle (operators/windows.py::cohort_retention):
+# weekly user cohorts over the events stream. Cell grain is calendar-sized
+# at every SF; the denominator is a window over the post-agg grain.
+# ---------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH peruser AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS p FROM events GROUP BY 1, 2
+), cohorted AS (
+  SELECT user_id, p, min(p) OVER (PARTITION BY user_id) AS cohort FROM peruser
+), cells AS (
+  SELECT cohort, (p - cohort) // 7 AS period_offset,
+         CAST(count(*) AS BIGINT) AS active_users
+  FROM cohorted GROUP BY 1, 2
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+       CAST(period_offset AS BIGINT) AS period_offset, active_users,
+       CAST(max(CASE WHEN period_offset = 0 THEN active_users END)
+            OVER (PARTITION BY cohort) AS BIGINT) AS cohort_size,
+       round(active_users / CAST(max(CASE WHEN period_offset = 0 THEN active_users END)
+            OVER (PARTITION BY cohort) AS DOUBLE), 6) AS retention_rate
+FROM cells
+"""
+
+
+@register("cohort_retention_weekly_users", oracle=_COHORT_ORACLE, tags=("A4", "sequence"))
+def cohort_retention_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", period="week")
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness (operators/windows.py::interarrival_profile):
+# per-event-type gap statistics in integer seconds. Ordering ties are
+# gap-invariant (equal timestamps produce the same second-level gap
+# multiset in either order, in either engine).
+# ---------------------------------------------------------------------------
+
+_BURST_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) // 1000000
+           - lag(epoch_us(ts) // 1000000)
+             OVER (PARTITION BY event_type ORDER BY ts) AS gap
+  FROM events
+), a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(gap) AS BIGINT) AS n_gaps,
+         CAST(sum(gap) AS BIGINT) AS s, CAST(sum(gap * gap) AS BIGINT) AS ss,
+         CAST(min(gap) AS BIGINT) AS min_gap_s, CAST(max(gap) AS BIGINT) AS max_gap_s
+  FROM g GROUP BY 1
+), d AS (
+  SELECT *,
+         CASE WHEN n_gaps > 1 THEN sqrt(greatest(
+           (n_gaps * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s)
+           / (CAST(n_gaps AS DOUBLE) * (n_gaps - 1.0)), 0.0)) END AS sd,
+         CASE WHEN n_gaps > 0 THEN s / CAST(n_gaps AS DOUBLE) END AS mu
+  FROM a
+)
+SELECT event_type, n_events, n_gaps,
+       CASE WHEN n_gaps > 0 THEN round(mu, 6) END AS mean_gap_s,
+       min_gap_s, max_gap_s,
+       CASE WHEN n_gaps > 1 THEN round(sd, 6) END AS std_gap_s,
+       CASE WHEN n_gaps > 1 AND (sd + mu) > 0
+            THEN round((sd - mu) / (sd + mu), 6) END AS burstiness
+FROM d
+"""
+
+
+@register(
+    "interarrival_burstiness_event_types", oracle=_BURST_ORACLE, tags=("sequence",)
+)
+def interarrival_burstiness_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.windows import interarrival_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return interarrival_profile(ev, ["event_type"], "ts").withColumnRenamed(
+        "k", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association rules (operators/market.py::association_rules) over
+# co-purchase baskets: Apriori item prune before the per-basket pair
+# fan-out, canonical a<b election, exact integer counts.
+# ---------------------------------------------------------------------------
+
+_RULES_ORACLE = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+tot AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM bi),
+sup AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY 1),
+freq AS (SELECT * FROM sup WHERE c >= 2),
+pruned AS (SELECT bi.basket, bi.item FROM bi JOIN freq ON freq.item = bi.item),
+pairs AS (
+  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS pc
+  FROM pruned a JOIN pruned b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+directed AS (
+  SELECT ia AS ant, ib AS cons, pc FROM pairs
+  UNION ALL SELECT ib, ia, pc FROM pairs
+)
+SELECT ant AS antecedent, cons AS consequent, pc AS pair_count,
+       fa.c AS antecedent_count, fc.c AS consequent_count, tot.n AS n_baskets,
+       round(pc / CAST(tot.n AS DOUBLE), 6) AS support,
+       round(pc / CAST(fa.c AS DOUBLE), 6) AS confidence,
+       round((pc / CAST(fa.c AS DOUBLE)) / (fc.c / CAST(tot.n AS DOUBLE)), 6) AS lift
+FROM directed JOIN freq fa ON fa.item = directed.ant
+JOIN freq fc ON fc.item = directed.cons, tot
+"""
+
+
+@register("association_rules_copurchase", oracle=_RULES_ORACLE, tags=("LLM", "mining"))
+def association_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.market import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    return association_rules(li, "basket", "item", min_support=2)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (llmprep/text.py::pmi_collocations) over the documents
+# corpus: one tokenizer pass behind a lineage cut, min_count prune before
+# the unigram joins, per-row deterministic ln.
+# ---------------------------------------------------------------------------
+
+_PMI_ORACLE = r"""
+WITH toks AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS a FROM documents
+), t AS (SELECT a FROM toks WHERE len(a) > 0),
+tot AS (
+  SELECT CAST(sum(len(a)) AS BIGINT) AS n_tokens,
+         CAST(sum(len(a) - 1) AS BIGINT) AS n_bigrams FROM t
+),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(a) AS tok FROM t) GROUP BY 1
+),
+bi AS (
+  SELECT a[i] AS token_a, a[i+1] AS token_b, CAST(count(*) AS BIGINT) AS pair_count
+  FROM (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i FROM t)
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT token_a, token_b, pair_count, ua.cnt AS count_a, ub.cnt AS count_b,
+       tot.n_bigrams, tot.n_tokens,
+       round(ln((pair_count / CAST(tot.n_bigrams AS DOUBLE))
+             / ((ua.cnt / CAST(tot.n_tokens AS DOUBLE))
+                * (ub.cnt / CAST(tot.n_tokens AS DOUBLE)))), 6) AS pmi
+FROM bi JOIN uni ua ON ua.tok = bi.token_a
+JOIN uni ub ON ub.tok = bi.token_b, tot
+"""
+
+
+@register("pmi_document_collocations", oracle=_PMI_ORACLE, tags=("LLM", "text"))
+def pmi_document_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.text import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5)
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (llmprep/similarity.py::rrf_fuse): fuse two
+# deterministic document rankings (by char length and by token count) —
+# the operator under test is the fusion, not the rankers; both rank
+# streams are top-k-sized projections.
+# ---------------------------------------------------------------------------
+
+_RRF_ORACLE = r"""
+WITH s1 AS (SELECT doc_id, n_chars AS score FROM documents),
+s2 AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS score
+  FROM documents
+),
+r1 AS (
+  SELECT doc_id, CAST(round(1.0 / (60 + row_number()
+         OVER (ORDER BY score DESC, doc_id ASC)), 9) AS DECIMAL(28,9)) AS rr
+  FROM s1
+), r2 AS (
+  SELECT doc_id, CAST(round(1.0 / (60 + row_number()
+         OVER (ORDER BY score DESC, doc_id ASC)), 9) AS DECIMAL(28,9)) AS rr
+  FROM s2
+), u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+       round(CAST(sum(rr) AS DOUBLE), 6) AS rrf_score
+FROM u GROUP BY 1
+"""
+
+
+@register("rrf_hybrid_doc_ranking", oracle=_RRF_ORACLE, tags=("LLM", "retrieval"))
+def rrf_hybrid_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.similarity import rrf_fuse
+    from ..llmprep.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    by_chars = docs.select("doc_id", F.col("n_chars").alias("score"))
+    by_tokens = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("score")
+    )
+    return rrf_fuse([by_chars, by_tokens], rrf_k=60)
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation profile (operators/trend.py::acf_profile): lag-1..3 ACF
+# of the daily per-event-type value series (decimal-exact daily sums; the
+# date string is a unique order key per series).
+# ---------------------------------------------------------------------------
+
+_ACF_ORACLE = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         sum(CAST(round(value, 2) AS DECIMAL(12,2))) AS v
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT event_type, CAST(v AS DECIMAL(24,6)) AS v,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         CAST(sum(CAST(v AS DECIMAL(24,6))) OVER (PARTITION BY event_type) AS DOUBLE)
+           / count(*) OVER (PARTITION BY event_type) AS m,
+         lag(CAST(v AS DECIMAL(24,6)), 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+         lag(CAST(v AS DECIMAL(24,6)), 2) OVER (PARTITION BY event_type ORDER BY day) AS l2,
+         lag(CAST(v AS DECIMAL(24,6)), 3) OVER (PARTITION BY event_type ORDER BY day) AS l3
+  FROM daily
+),
+agg AS (
+  SELECT event_type, max(n) AS n,
+         sum(CAST(round((CAST(v AS DOUBLE) - m) * (CAST(v AS DOUBLE) - m), 9) AS DECIMAL(28,9))) AS den,
+         sum(CASE WHEN l1 IS NOT NULL THEN CAST(round((CAST(v AS DOUBLE) - m) * (CAST(l1 AS DOUBLE) - m), 9) AS DECIMAL(28,9)) END) AS num1,
+         sum(CASE WHEN l2 IS NOT NULL THEN CAST(round((CAST(v AS DOUBLE) - m) * (CAST(l2 AS DOUBLE) - m), 9) AS DECIMAL(28,9)) END) AS num2,
+         sum(CASE WHEN l3 IS NOT NULL THEN CAST(round((CAST(v AS DOUBLE) - m) * (CAST(l3 AS DOUBLE) - m), 9) AS DECIMAL(28,9)) END) AS num3,
+         count(l1) AS np1, count(l2) AS np2, count(l3) AS np3
+  FROM base GROUP BY event_type
+)
+SELECT event_type, lag, CAST(n AS BIGINT) AS n, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CASE WHEN den > 0 AND n_pairs > 0
+            THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS acf
+FROM (
+  SELECT event_type, CAST(1 AS BIGINT) AS lag, n, np1 AS n_pairs, num1 AS num, den FROM agg
+  UNION ALL
+  SELECT event_type, CAST(2 AS BIGINT), n, np2, num2, den FROM agg
+  UNION ALL
+  SELECT event_type, CAST(3 AS BIGINT), n, np3, num3, den FROM agg
+)
+"""
+
+
+@register("acf_daily_event_value", oracle=_ACF_ORACLE, tags=("A11", "trend"))
+def acf_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import acf_profile
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.sum(F.round("value", 2).cast("decimal(12,2)")).alias("v"))
+    )
+    return acf_profile(daily, ["event_type"], "day", "v", max_lag=3).withColumnRenamed(
+        "k", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities (operators/graph.py::hits_scores) on the
+# supplier→part bipartite supply graph ('s'/'p'-prefixed node ids keep
+# the two keyspaces disjoint). The 2-iteration fixed-point unrolls
+# verbatim into the oracle — integer sums, max, floor division only.
+# ---------------------------------------------------------------------------
+
+_HITS_NORM = (
+    "SELECT node, x // ((SELECT (max(x) + 999999999999) // 1000000000000"
+    " FROM {t})) AS x FROM {t}"
+)
+
+_HITS_ORACLE = f"""
+WITH e AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem
+),
+hub0 AS (SELECT DISTINCT src AS node, CAST(1000000000000 AS BIGINT) AS x FROM e),
+a1r AS (SELECT dst AS node, CAST(sum(h.x) AS BIGINT) AS x
+        FROM e JOIN hub0 h ON h.node = e.src GROUP BY 1),
+a1 AS ({_HITS_NORM.format(t='a1r')}),
+h1r AS (SELECT src AS node, CAST(sum(a.x) AS BIGINT) AS x
+        FROM e JOIN a1 a ON a.node = e.dst GROUP BY 1),
+h1 AS ({_HITS_NORM.format(t='h1r')}),
+a2r AS (SELECT dst AS node, CAST(sum(h.x) AS BIGINT) AS x
+        FROM e JOIN h1 h ON h.node = e.src GROUP BY 1),
+a2 AS ({_HITS_NORM.format(t='a2r')}),
+h2r AS (SELECT src AS node, CAST(sum(a.x) AS BIGINT) AS x
+        FROM e JOIN a2 a ON a.node = e.dst GROUP BY 1),
+h2 AS ({_HITS_NORM.format(t='h2r')})
+SELECT coalesce(h.node, a.node) AS node,
+       CAST(coalesce(h.x, 0) AS BIGINT) AS hub_fp,
+       CAST(coalesce(a.x, 0) AS BIGINT) AS auth_fp
+FROM h2 h FULL JOIN a2 a ON h.node = a.node
+"""
+
+
+@register("hits_supply_graph", oracle=_HITS_ORACLE, tags=("LLM", "graph"))
+def hits_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import hits_scores
+
+    edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits_scores(edges, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# Radius of gyration (functions/geo.py::radius_of_gyration): per-user
+# mobility over deterministic synthetic ping coordinates derived from
+# event ids by integer arithmetic (exact in both engines).
+# ---------------------------------------------------------------------------
+
+_RG_ORACLE = """
+WITH pings AS (
+  SELECT user_id,
+         CAST(-60 + (event_id % 120) AS DOUBLE) AS lat,
+         CAST(-150 + ((event_id * 7) % 300) AS DOUBLE) AS lon
+  FROM events
+), c AS (
+  SELECT user_id, lat, lon,
+         CAST(sum(CAST(lat AS DECIMAL(24,8))) OVER (PARTITION BY user_id) AS DOUBLE)
+           / count(*) OVER (PARTITION BY user_id) AS clat,
+         CAST(sum(CAST(lon AS DECIMAL(24,8))) OVER (PARTITION BY user_id) AS DOUBLE)
+           / count(*) OVER (PARTITION BY user_id) AS clon
+  FROM pings
+), d AS (
+  SELECT user_id, clat, clon,
+         CAST(round(pow(2 * 6371.0 * asin(sqrt(
+           pow(sin(radians(clat - lat) / 2), 2)
+           + cos(radians(lat)) * cos(radians(clat))
+             * pow(sin(radians(clon - lon) / 2), 2))), 2), 9)
+           AS DECIMAL(28,9)) AS d2
+  FROM c
+)
+SELECT user_id AS user, CAST(count(*) AS BIGINT) AS n_pings,
+       round(any_value(clat), 6) AS centroid_lat,
+       round(any_value(clon), 6) AS centroid_lon,
+       round(sqrt(CAST(sum(d2) AS DOUBLE) / count(*)), 6) AS rg_km
+FROM d GROUP BY user_id
+"""
+
+
+@register("mobility_radius_of_gyration", oracle=_RG_ORACLE, tags=("geo",))
+def mobility_radius_of_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geo import radius_of_gyration
+
+    pings = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.lit(-60) + (F.col("event_id") % 120)).cast("double").alias("lat"),
+        (F.lit(-150) + ((F.col("event_id") * 7) % 300)).cast("double").alias("lon"),
+    )
+    return radius_of_gyration(pings, "user_id", "lat", "lon")

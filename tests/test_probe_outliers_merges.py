@@ -115,6 +115,14 @@ def test_new_registrations_inside_driver_window():
         "te_loo_segment_order_totals",
         "auc_discount_predicts_returns",
         "join_preflight_orders_lineitem",
+        "cohort_retention_weekly_users",
+        "interarrival_burstiness_event_types",
+        "association_rules_copurchase",
+        "pmi_document_collocations",
+        "rrf_hybrid_doc_ranking",
+        "acf_daily_event_value",
+        "hits_supply_graph",
+        "mobility_radius_of_gyration",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
