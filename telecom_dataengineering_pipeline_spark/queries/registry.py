@@ -86,6 +86,11 @@ DRIVER_ORDER: list[str] = [
     "acf_daily_event_value",
     "hits_supply_graph",
     "mobility_radius_of_gyration",
+    "interval_overlap_part_launch_window",
+    "ks_drift_priority_totals",
+    "sessionize_user_events",
+    "ols_trend_nation_revenue",
+    "gini_revenue_by_nation",
     # -- fix-up re-entries (VERDICT r6 items 2 & 3): both queries' prior
     #    driver greens were VACUOUS (0 rows at every SF); their literals/
     #    cohorts were fixed this round and they must re-enter the window to

@@ -690,3 +690,287 @@ def mobility_radius_of_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(-150) + ((F.col("event_id") * 7) % 300)).cast("double").alias("lon"),
     )
     return radius_of_gyration(pings, "user_id", "lat", "lon")
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (operators/interval.py::interval_overlap_join):
+# which shipments fall inside each part's launch window (first shipment
+# ± 3 days)? Keyed on the part, bucketized single-shuffle plan; the
+# oracle is the PLAIN keyed overlap join.
+# ---------------------------------------------------------------------------
+
+_INTERVAL_ORACLE = """
+WITH days AS (
+  SELECT l_partkey, l_orderkey, l_linenumber,
+         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ship_day
+  FROM lineitem
+), win AS (
+  SELECT l_partkey AS pk_l, min(ship_day) - 3 AS win_lo, min(ship_day) + 3 AS win_hi
+  FROM days GROUP BY 1
+)
+SELECT w.pk_l AS l_partkey, w.win_lo, w.win_hi,
+       d.l_orderkey, d.l_linenumber, d.ship_day
+FROM win w JOIN days d
+  ON d.l_partkey = w.pk_l AND w.win_lo <= d.ship_day AND d.ship_day <= w.win_hi
+"""
+
+
+@register(
+    "interval_overlap_part_launch_window", oracle=_INTERVAL_ORACLE, tags=("J5", "interval")
+)
+def interval_overlap_part_launch_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.interval import interval_overlap_join
+
+    days = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("ship_day"),
+    )
+    win = days.groupBy(F.col("l_partkey").alias("pk_l")).agg(
+        (F.min("ship_day") - 3).alias("win_lo"),
+        (F.min("ship_day") + 3).alias("win_hi"),
+    )
+    right = days.select(
+        F.col("l_partkey").alias("pk_r"),
+        "l_orderkey",
+        "l_linenumber",
+        "ship_day",
+        F.col("ship_day").alias("ship_day_end"),
+    )
+    out = interval_overlap_join(
+        win,
+        right,
+        ("win_lo", "win_hi"),
+        ("ship_day", "ship_day_end"),
+        bucket_width=7,
+        keys=("pk_l", "pk_r"),
+    )
+    return out.select(
+        F.col("pk_l").alias("l_partkey"),
+        "win_lo",
+        "win_hi",
+        "l_orderkey",
+        "l_linenumber",
+        "ship_day",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS drift (quality/monitors.py::ks_two_sample): do urgent and
+# low-priority orders draw their totals from the same distribution?
+# Bucketized D — the only ordered pass runs over the bucket relation.
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH rb AS (
+  SELECT CAST(floor(o_totalprice / 5000.0) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_ref
+  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice IS NOT NULL
+  GROUP BY 1
+), cb AS (
+  SELECT CAST(floor(o_totalprice / 5000.0) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_cur
+  FROM orders WHERE o_orderpriority = '5-LOW' AND o_totalprice IS NOT NULL
+  GROUP BY 1
+), mrg AS (
+  SELECT coalesce(rb.bucket, cb.bucket) AS bucket,
+         coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+  FROM rb FULL JOIN cb ON rb.bucket = cb.bucket
+), stepped AS (
+  SELECT bucket,
+         sum(n_ref) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_ref,
+         sum(n_cur) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_cur
+  FROM mrg
+), scored AS (
+  SELECT bucket,
+         max(c_ref) OVER () AS t_ref, max(c_cur) OVER () AS t_cur,
+         abs(CAST(c_ref AS DOUBLE) / max(c_ref) OVER ()
+             - CAST(c_cur AS DOUBLE) / max(c_cur) OVER ()) AS diff
+  FROM stepped
+), best AS (
+  SELECT round(max(struct_pack(d := diff, nb := -bucket)).d, 6) AS d_stat,
+         -(max(struct_pack(d := diff, nb := -bucket)).nb) AS at_bucket,
+         CAST(any_value(t_ref) AS BIGINT) AS n_ref,
+         CAST(any_value(t_cur) AS BIGINT) AS n_cur
+  FROM scored
+)
+SELECT d_stat, at_bucket, n_ref, n_cur,
+       round(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE)), 6) AS threshold,
+       d_stat > round(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE)), 6) AS drifted
+FROM best
+"""
+
+
+@register("ks_drift_priority_totals", oracle=_KS_ORACLE, tags=("DQ", "A11"))
+def ks_drift_priority_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import ks_two_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    return ks_two_sample(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+        orders.filter(F.col("o_orderpriority") == "5-LOW"),
+        "o_totalprice",
+        bucket_width=5000.0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (operators/windows.py::sessionize_events): 30-min
+# gap sessions over the events stream, half-up integer-cents value
+# accumulation, event_id tie-break for same-µs events.
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, CAST(event_id AS VARCHAR) AS tb,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, tb)
+), seqd AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, tb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM marked
+), sess AS (
+  SELECT user_id, session_seq, min(us) AS start_us, max(us) AS last_us,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+  FROM seqd GROUP BY 1, 2
+)
+SELECT user_id, session_seq, start_us, last_us, n_events, sum_value,
+       session_seq = max(session_seq) OVER (PARTITION BY user_id) AS is_open
+FROM sess
+"""
+
+
+@register("sessionize_user_events", oracle=_SESSION_ORACLE, tags=("sequence", "W4"))
+def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import sessionize_events
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_events(
+        ev, "user_id", "ts", "value", gap_seconds=1800, tiebreak_col="event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# OLS trend fit (operators/trend.py::ols_trend): per-nation revenue trend
+# over the day index — closed-form slope/intercept/r² from exact decimal
+# sums, one aggregate.
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+WITH daily AS (
+  SELECT n.n_name,
+         CAST(CAST(o.o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS x,
+         sum(CAST(round(o.o_totalprice, 0) AS DECIMAL(18,0))) AS y
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+), s AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS DECIMAL(20,0))) AS sx,
+         sum(CAST(y AS DECIMAL(24,6))) AS sy,
+         sum(CAST(x AS DECIMAL(20,0)) * CAST(x AS DECIMAL(20,0))) AS sxx,
+         sum(CAST(CAST(x AS DECIMAL(20,0)) * CAST(y AS DECIMAL(24,6)) AS DECIMAL(38,6))) AS sxy,
+         sum(CAST(CAST(y AS DECIMAL(24,6)) * CAST(y AS DECIMAL(24,6)) AS DECIMAL(38,6))) AS syy
+  FROM daily GROUP BY 1
+), d AS (
+  SELECT n_name, n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+  FROM s
+)
+SELECT n_name, n,
+  round(CASE WHEN n >= 2 AND nd*sxxd - sxd*sxd > 0
+        THEN (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) END, 6) AS slope,
+  round(CASE WHEN n >= 2 AND nd*sxxd - sxd*sxd > 0
+        THEN (syd - ((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd)) * sxd) / nd END, 6) AS intercept,
+  round(CASE WHEN n >= 2 AND nd*sxxd - sxd*sxd > 0 AND nd*syyd - syd*syd > 0
+        THEN ((nd*sxyd - sxd*syd) * (nd*sxyd - sxd*syd))
+             / ((nd*sxxd - sxd*sxd) * (nd*syyd - syd*syd)) END, 6) AS r2
+FROM d
+"""
+
+
+@register("ols_trend_nation_revenue", oracle=_OLS_ORACLE, tags=("trend", "A11"))
+def ols_trend_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import ols_trend
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            "n_name",
+            # Small day index + whole-dollar y keep every unscaled sum
+            # (incl. Σy², Σxy) under 2^53 at sf0.1, so the decimal→double
+            # casts agree bit-for-bit across engines (the registry's
+            # narrow-scale-first rule; epoch-day x overflowed Σxy's
+            # mantissa and flipped one 6-dp rounding at sf0.001).
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.sum(F.round("o_totalprice", 0).cast("decimal(18,0)")).alias("y"))
+    )
+    return ols_trend(daily, ["n_name"], "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration (quality/monitors.py::gini_concentration): how
+# concentrated is order revenue across each nation's customers? Tie-safe
+# rank form over per-customer revenue.
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH percust AS (
+  SELECT n.n_name, c.c_custkey,
+         sum(CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+), rk AS (
+  SELECT n_name, CAST(rev AS DECIMAL(24,6)) AS v,
+         CAST(row_number() OVER (PARTITION BY n_name ORDER BY rev ASC, c_custkey ASC) AS BIGINT) AS i
+  FROM percust
+), s AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n, sum(v) AS sv,
+         sum(CAST(i * v AS DECIMAL(38,6))) AS siv
+  FROM rk GROUP BY 1
+)
+SELECT n_name, n, round(CAST(sv AS DOUBLE), 6) AS total,
+  round(CASE WHEN CAST(sv AS DOUBLE) > 0
+        THEN (2.0 * CAST(siv AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sv AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)) END, 6) AS gini
+FROM s
+"""
+
+
+@register("gini_revenue_by_nation", oracle=_GINI_ORACLE, tags=("DQ", "A11"))
+def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import gini_concentration
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    percust = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("rev"))
+    )
+    return gini_concentration(percust, ["n_name"], "rev")

@@ -123,6 +123,11 @@ def test_new_registrations_inside_driver_window():
         "acf_daily_event_value",
         "hits_supply_graph",
         "mobility_radius_of_gyration",
+        "interval_overlap_part_launch_window",
+        "ks_drift_priority_totals",
+        "sessionize_user_events",
+        "ols_trend_nation_revenue",
+        "gini_revenue_by_nation",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
