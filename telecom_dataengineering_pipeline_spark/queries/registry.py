@@ -91,6 +91,11 @@ DRIVER_ORDER: list[str] = [
     "sessionize_user_events",
     "ols_trend_nation_revenue",
     "gini_revenue_by_nation",
+    "adamic_adar_copurchase",
+    "ppr_copurchase_seeds",
+    "ewma_event_value_chart",
+    "cdc_chunk_boundaries",
+    "jw_fuzzy_doc_prefixes",
     # -- fix-up re-entries (VERDICT r6 items 2 & 3): both queries' prior
     #    driver greens were VACUOUS (0 rows at every SF); their literals/
     #    cohorts were fixed this round and they must re-enter the window to

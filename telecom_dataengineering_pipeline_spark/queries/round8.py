@@ -974,3 +974,294 @@ def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("rev"))
     )
     return gini_concentration(percust, ["n_name"], "rev")
+
+
+# ---------------------------------------------------------------------------
+# Shared hash-sparsified co-purchase graph (the k_core/jaccard fixture
+# family from round7.py): distinct same-order part pairs from baskets of
+# ≤ 25 parts, 1-in-20 deterministic hash sample.
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_CTE = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sized AS (
+  SELECT l_orderkey FROM baskets GROUP BY 1 HAVING count(*) <= 25
+), rawpairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM baskets a
+  JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey IN (SELECT l_orderkey FROM sized)
+), sampled AS (
+  SELECT u, v FROM rawpairs
+  WHERE ('0x' || substr(md5(CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)), 1, 8))::BIGINT % 20 = 0
+)"""
+
+
+def _sampled_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_COPURCHASE_CTE`` (the round7 jaccard/k-core
+    construction: basket cap 25, md5-hash 1-in-20 sample)."""
+    from ..llmprep.text import token_hash32
+
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= 25)
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(parts, (x, i) -> "
+                        "transform(slice(parts, i + 2, size(parts)), "
+                        "y -> struct(x AS u, y AS v)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+    )
+    return pairs.filter(
+        token_hash32(
+            F.concat(F.col("u").cast("string"), F.lit("_"), F.col("v").cast("string"))
+        )
+        % 20
+        == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adamic–Adar link prediction (operators/graph.py::adamic_adar_scores) on
+# the sampled co-purchase graph — 1/ln(deg) weighted common neighbors
+# with the same hub guard as the jaccard query; round-then-decimal
+# per-wedge partials keep the per-pair sums engine-exact.
+# ---------------------------------------------------------------------------
+
+_AA_ORACLE = _COPURCHASE_CTE + """, bidir AS (
+  SELECT u, v FROM sampled UNION ALL SELECT v AS u, u AS v FROM sampled
+), deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM bidir GROUP BY 1
+), hubs AS (
+  SELECT u FROM deg WHERE deg > 12
+), wedge AS (
+  SELECT b.u, b.v,
+         CAST(CASE WHEN d.deg >= 2
+              THEN round(1.0 / ln(CAST(d.deg AS DOUBLE)), 9) END
+              AS DECIMAL(22,9)) AS aw
+  FROM bidir b JOIN deg d ON d.u = b.v
+  WHERE b.v NOT IN (SELECT u FROM hubs)
+)
+SELECT a.u AS u, b.u AS v, CAST(count(*) AS BIGINT) AS common,
+       round(CAST(sum(a.aw) AS DOUBLE), 6) AS aa_score
+FROM wedge a JOIN wedge b ON a.v = b.v AND a.u < b.u
+GROUP BY 1, 2 HAVING count(*) >= 1
+"""
+
+
+@register("adamic_adar_copurchase", oracle=_AA_ORACLE, tags=("LLM", "graph"))
+def adamic_adar_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import adamic_adar_scores
+
+    return adamic_adar_scores(
+        _sampled_copurchase_pairs(spark, sf_dir), max_hub_degree=12
+    )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (operators/graph.py::personalized_pagerank) from
+# the two smallest part ids of the sampled co-purchase graph — seed
+# discovery is deterministic in both engines; the 3-iteration integer
+# fixed point unrolls verbatim (rank stays sparse: only seed-reachable
+# nodes carry rows).
+# ---------------------------------------------------------------------------
+
+
+def _ppr_oracle() -> str:
+    iters, teleport = 3, 10**12 * 15 // 100
+    parts = [
+        _COPURCHASE_CTE
+        + """, fixture AS (
+  SELECT u AS src, v AS dst FROM sampled
+  UNION ALL SELECT v AS src, u AS dst FROM sampled
+), seeds AS (
+  SELECT DISTINCT src AS node FROM fixture ORDER BY src ASC LIMIT 2
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM fixture GROUP BY 1
+), r0 AS (
+  SELECT node, CAST(%d AS BIGINT) AS rank_fp FROM seeds
+)"""
+        % teleport
+    ]
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f""",
+s{i} AS (
+  SELECT e.dst AS node, CAST(sum((85 * (r.rank_fp // d.outdeg)) // 100) AS BIGINT) AS s
+  FROM fixture e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY 1
+), r{i} AS (
+  SELECT coalesce(s.node, t.node) AS node,
+         CAST(coalesce(t.t, 0) + coalesce(s.s, 0) AS BIGINT) AS rank_fp
+  FROM s{i} s
+  FULL JOIN (SELECT node, CAST({teleport} AS BIGINT) AS t FROM r0) t
+    ON t.node = s.node
+  WHERE coalesce(t.t, 0) + coalesce(s.s, 0) > 0
+)"""
+        )
+    parts.append(f"\nSELECT node, rank_fp FROM r{iters}")
+    return "".join(parts)
+
+
+@register("ppr_copurchase_seeds", oracle=_ppr_oracle(), tags=("LLM", "graph"))
+def ppr_copurchase_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import personalized_pagerank
+
+    sampled = _sampled_copurchase_pairs(spark, sf_dir)
+    edges = sampled.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(sampled.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    # Deterministic seed discovery: the two smallest source ids (bounded
+    # 2-row collect — the seed set is a query parameter by contract).
+    seeds = [
+        r["src"]
+        for r in edges.select("src").distinct().orderBy(F.col("src").asc()).limit(2).collect()
+    ]
+    return personalized_pagerank(edges, seeds, iters=3)
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart (operators/trend.py::ewma_control_chart) over the
+# daily per-event-type value series — the oracle is GENERATED by the
+# operator's paired ewma_oracle_sql (identical left-fold chains,
+# recurrence shapes, and Python-computed limit-factor literals), the
+# cusum_event_value_shifts pattern.
+# ---------------------------------------------------------------------------
+
+_EWMA_STEPS = [f"{d:02d}" for d in range(1, 31)]
+
+
+def _ewma_oracle() -> str:
+    from ..operators.trend import ewma_oracle_sql
+
+    inner = ewma_oracle_sql(
+        "SELECT event_type, strftime(ts, '%d') AS step, "
+        "CAST(round(value, 2) AS DECIMAL(12,2)) AS val FROM events",
+        "event_type",
+        "step",
+        "val",
+        _EWMA_STEPS,
+        lam=0.3,
+        L=3.0,
+    )
+    return (
+        "SELECT k AS event_type, step, x, ewma, ucl, lcl, is_out "
+        f"FROM ({inner}) AS gen"
+    )
+
+
+@register("ewma_event_value_chart", oracle=_ewma_oracle(), tags=("A11", "trend"))
+def ewma_event_value_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import ewma_control_chart
+
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "dd").alias("step"),
+        F.round("value", 2).cast("decimal(12,2)").alias("val"),
+    )
+    return ewma_control_chart(
+        base, ["event_type"], "step", "val", _EWMA_STEPS, lam=0.3, L=3.0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (llmprep/chunking.py::cdc_chunk_documents):
+# insertion-stable chunk boundaries from the engine-neutral md5-prefix
+# token hash — the whole chunker is SQL-expressible.
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS a
+  FROM documents
+), idx AS (
+  SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i
+  FROM d WHERE len(a) > 0
+), bnd AS (
+  SELECT doc_id, any_value(a) AS a,
+         list(i ORDER BY i)
+           FILTER (WHERE ('0x' || substr(md5(a[i]), 1, 8))::BIGINT % 8 = 0) AS e0,
+         max(i) AS n
+  FROM idx GROUP BY doc_id
+), bnd2 AS (
+  SELECT doc_id, a,
+         CASE WHEN e0 IS NULL OR len(e0) = 0 OR e0[-1] <> n
+              THEN list_append(coalesce(e0, []), n) ELSE e0 END AS ends
+  FROM bnd
+), spans AS (
+  SELECT doc_id, a, ends, unnest(generate_series(1, len(ends))) AS ci
+  FROM bnd2
+)
+SELECT doc_id,
+       CAST(ci - 1 AS INTEGER) AS chunk_idx,
+       CAST(CASE WHEN ci = 1 THEN 1 ELSE ends[ci - 1] + 1 END AS INTEGER) AS start_tok,
+       CAST(ends[ci] - (CASE WHEN ci = 1 THEN 1 ELSE ends[ci - 1] + 1 END) + 1 AS INTEGER) AS n_tokens,
+       md5(array_to_string(
+         list_slice(a, CASE WHEN ci = 1 THEN 1 ELSE ends[ci - 1] + 1 END, ends[ci]), ' '
+       )) AS chunk_md5
+FROM spans
+"""
+
+
+@register("cdc_chunk_boundaries", oracle=_CDC_ORACLE, tags=("LLM", "text"))
+def cdc_chunk_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.chunking import cdc_chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunk_documents(docs, divisor=8)
+
+
+# ---------------------------------------------------------------------------
+# Jaro–Winkler verification (llmprep/fuzzy.py::jaro_winkler_pairs) over
+# first-token-blocked document prefix candidates — the Arrow pandas_udf
+# scorer vs DuckDB's NATIVE jaro_winkler_similarity on the same candidate
+# SQL: a true cross-engine check of the only Python-side scorer in the
+# fuzzy tier.
+# ---------------------------------------------------------------------------
+
+_JW_ORACLE = r"""
+WITH keys AS (
+  SELECT doc_id, substr(text, 1, 40) AS pfx,
+         string_split(text, ' ')[1] AS tok0,
+         CAST(floor(length(text) / 100) AS INTEGER) AS band
+  FROM documents
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pfx AS pfx_a, b.pfx AS pfx_b
+  FROM keys a JOIN keys b ON a.tok0 = b.tok0 AND a.band = b.band
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(jaro_winkler_similarity(pfx_a, pfx_b), 6) AS jw_sim
+FROM cand
+WHERE round(jaro_winkler_similarity(pfx_a, pfx_b), 6) >= 0.8
+"""
+
+
+@register("jw_fuzzy_doc_prefixes", oracle=_JW_ORACLE, tags=("LLM", "fuzzy"))
+def jw_fuzzy_doc_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.fuzzy import fuzzy_block_keys, jaro_winkler_pairs
+
+    keys = fuzzy_block_keys(load_table(spark, sf_dir, "documents"))
+    a = keys.select(
+        F.col("doc_id").alias("id_a"), F.col("pfx").alias("pfx_a"), "tok0", "band"
+    )
+    b = keys.select(
+        F.col("doc_id").alias("id_b"), F.col("pfx").alias("pfx_b"), "tok0", "band"
+    )
+    cand = a.join(b, ["tok0", "band"]).filter(F.col("id_a") < F.col("id_b"))
+    return jaro_winkler_pairs(cand, "pfx_a", "pfx_b", threshold=0.8).select(
+        "id_a", "id_b", "jw_sim"
+    )

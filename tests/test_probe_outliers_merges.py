@@ -128,6 +128,11 @@ def test_new_registrations_inside_driver_window():
         "sessionize_user_events",
         "ols_trend_nation_revenue",
         "gini_revenue_by_nation",
+        "adamic_adar_copurchase",
+        "ppr_copurchase_seeds",
+        "ewma_event_value_chart",
+        "cdc_chunk_boundaries",
+        "jw_fuzzy_doc_prefixes",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
