@@ -96,6 +96,9 @@ DRIVER_ORDER: list[str] = [
     "ewma_event_value_chart",
     "cdc_chunk_boundaries",
     "jw_fuzzy_doc_prefixes",
+    "wav_header_roundtrip",
+    "ewma_stream_daily_means",
+    "pca_embedding_projection",
     # -- fix-up re-entries (VERDICT r6 items 2 & 3): both queries' prior
     #    driver greens were VACUOUS (0 rows at every SF); their literals/
     #    cohorts were fixed this round and they must re-enter the window to

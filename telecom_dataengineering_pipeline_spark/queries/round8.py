@@ -1265,3 +1265,250 @@ def jw_fuzzy_doc_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaro_winkler_pairs(cand, "pfx_a", "pfx_b", threshold=0.8).select(
         "id_a", "id_b", "jw_sim"
     )
+
+
+# ---------------------------------------------------------------------------
+# WAV header profile (llmprep/multimodal.py::wav_header_profile): the
+# audio analog of media_header_dimensions — per-row canonical RIFF/WAVE
+# containers constructed from doc_id by fixed formulas (varying channel/
+# rate/depth/frame combinations), parsed back by the pure-codegen
+# little-endian pass; every fifth id keeps its 44-byte header but DROPS
+# the declared payload, driving the truncation screen (header_ok=False,
+# NULL duration) through the value gate. The oracle recomputes every
+# field from the same generating formulas — parse ∘ construct = identity
+# cross-engine.
+# ---------------------------------------------------------------------------
+
+_WAV_ORACLE = """
+WITH g AS (
+  SELECT doc_id AS media_id,
+         doc_id % 2 + 1 AS ch,
+         8000 * (doc_id % 3 + 1) AS rate,
+         CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 24 ELSE 32 END AS bits,
+         50 * (doc_id % 5 + 1) AS n_frames,
+         doc_id % 5 = 4 AS corrupt
+  FROM documents
+), d AS (
+  SELECT media_id, ch, rate, bits, n_frames, corrupt,
+         ch * (bits // 8) AS frame
+  FROM g
+)
+SELECT media_id,
+       TRUE AS is_wav,
+       CAST(1 AS BIGINT) AS audio_format,
+       CAST(ch AS BIGINT) AS channels,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(bits AS BIGINT) AS bits_per_sample,
+       CAST(n_frames * frame AS BIGINT) AS data_bytes,
+       CASE WHEN NOT corrupt
+            THEN CAST((n_frames * frame * 1000) // (rate * frame) AS BIGINT)
+       END AS duration_ms,
+       NOT corrupt AS header_ok
+FROM d
+"""
+
+
+@register("wav_header_roundtrip", oracle=_WAV_ORACLE, tags=("LLM", "multimodal"))
+def wav_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.multimodal import wav_header_profile
+
+    d = F.col("media_id")
+    ch = (d % 2 + 1).cast("long")
+    rate = ((d % 3 + 1) * 8000).cast("long")
+    bits = (
+        F.when(d % 4 == 0, 8)
+        .when(d % 4 == 1, 16)
+        .when(d % 4 == 2, 24)
+        .otherwise(32)
+        .cast("long")
+    )
+    n_frames = ((d % 5 + 1) * 50).cast("long")
+    frame = ch * (bits / 8).cast("long")
+    data = n_frames * frame
+    byte_rate = rate * frame
+
+    def le(c, width_hex):
+        b = F.lpad(F.hex(c), width_hex, "0")
+        # byte-swap big-endian hex to little-endian
+        pairs = [F.substring(b, i, 2) for i in range(width_hex - 1, 0, -2)]
+        return F.concat(*pairs)
+
+    le16 = lambda c: le(c, 4)  # noqa: E731
+    le32 = lambda c: le(c, 8)  # noqa: E731
+    riff_size = F.lit(36).cast("long") + data
+    header_hex = F.concat(
+        F.lit("52494646"),             # RIFF
+        le32(riff_size),
+        F.lit("57415645"),             # WAVE
+        F.lit("666D7420"),             # 'fmt '
+        le32(F.lit(16).cast("long")),  # fmt chunk size
+        le16(F.lit(1).cast("long")),   # PCM
+        le16(ch),
+        le32(rate),
+        le32(byte_rate),
+        le16(frame),
+        le16(bits),
+        F.lit("64617461"),             # 'data'
+        le32(data),
+    )
+    corrupt = d % 5 == 4
+    payload_hex = F.when(corrupt, header_hex).otherwise(
+        F.concat(header_hex, F.repeat(F.lit("00"), data.cast("int")))
+    )
+    media = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .select("media_id", F.unhex(payload_hex).alias("payload"))
+    )
+    return wav_header_profile(media).select(
+        "media_id",
+        "is_wav",
+        "audio_format",
+        "channels",
+        "sample_rate",
+        "bits_per_sample",
+        "data_bytes",
+        "duration_ms",
+        "header_ok",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA monitor (streaming/monitors.py::ewma_stream): the keyed-
+# state twin run to completion under availableNow with the daily series
+# split across two micro-batches, so the (ewma, n) state must survive the
+# batch boundary. Series grain: per-event-type daily MEAN value (scale-
+# free, so the control band is SF-independent). The oracle unrolls the
+# identical IEEE fold (z₀ = x₀, z_t = λx_t + (1−λ)z_{t−1}, λ printed via
+# repr) over the full 30-day spine — both engines' doubles match
+# bit-for-bit because the op sequence is identical. Assumes the full
+# (type × day) spine is populated, like the batch chart's pivot.
+# ---------------------------------------------------------------------------
+
+_SEWMA_LAM = 0.3
+_SEWMA_CENTER = 50.0
+_SEWMA_HALF = 2.0
+
+
+def _stream_ewma_oracle() -> str:
+    lam = float(_SEWMA_LAM)
+    onem = 1.0 - lam
+    days = [f"{d:02d}" for d in range(1, 31)]
+    xs = [
+        (
+            "CAST(sum(CASE WHEN strftime(ts, '%d') = '{d}' THEN "
+            "CAST(round(value, 2) AS DECIMAL(12,2)) END) AS DOUBLE)"
+            " / count(CASE WHEN strftime(ts, '%d') = '{d}' THEN 1 END)"
+        ).format(d=d)
+        for d in days
+    ]
+    z = f"({xs[0]})"
+    for x in xs[1:]:
+        z = f"({lam!r} * ({x}) + {onem!r} * {z})"
+    return f"""
+WITH agg AS (
+  SELECT event_type AS key,
+         {z} AS ewma,
+         CAST(count(DISTINCT strftime(ts, '%d')) AS BIGINT) AS n_points,
+         CAST(max(epoch_us(date_trunc('day', ts))) AS BIGINT) AS last_us
+  FROM events GROUP BY event_type
+)
+SELECT key, ewma, n_points, last_us,
+       (ewma > {_SEWMA_CENTER!r} + {_SEWMA_HALF!r}
+        OR ewma < {_SEWMA_CENTER!r} - {_SEWMA_HALF!r}) AS is_out
+FROM agg
+"""
+
+
+@register("ewma_stream_daily_means", oracle=_stream_ewma_oracle(), tags=("T2", "stream"))
+def ewma_stream_daily_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.monitors import ewma_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        ev.groupBy(
+            F.col("event_type").alias("key"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            (
+                F.sum(F.round("value", 2).cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("x")
+        )
+        .select(
+            "key",
+            F.unix_micros("day").alias("us"),
+            F.date_format("day", "dd").alias("tb"),
+            "x",
+        )
+    )
+    sink = "ewma_stream_daily_means_sink"
+    spark.catalog.dropTempView(sink)
+    staging = tempfile.mkdtemp(prefix="ewma_stream_src_")
+    try:
+        split = F.unix_micros(
+            F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+        )
+        series.filter(F.col("us") < split).coalesce(1).write.parquet(
+            os.path.join(staging, "b0")
+        )
+        series.filter(F.col("us") >= split).coalesce(1).write.parquet(
+            os.path.join(staging, "b1")
+        )
+        stream = (
+            spark.readStream.schema(series.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging + "/b*")
+        )
+        out = ewma_stream(
+            stream, lam=_SEWMA_LAM, center=_SEWMA_CENTER, halfwidth=_SEWMA_HALF
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    snaps = spark.table(sink)
+    final = snaps.groupBy("key").agg(
+        F.max_by("ewma", "n_points").alias("ewma"),
+        F.max("n_points").alias("n_points"),
+        F.max("last_us").alias("last_us"),
+        F.max_by("is_out", "n_points").alias("is_out"),
+    )
+    return final
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (llmprep/projections.py): gram-partial fit + literal-
+# array projection over the embeddings table. No SQL oracle exists for an
+# eigendecomposition (driver records the rows-only check; the numpy
+# full-PCA parity, orthonormality, and whitening-covariance≈I proofs live
+# in tests/test_projections.py). The output is sign-invariant (per-vector
+# projection NORM) so eigenvector sign flips across library versions
+# cannot destabilize the row set.
+# ---------------------------------------------------------------------------
+
+
+@register("pca_embedding_projection", oracle=None, tags=("LLM", "ann"))
+def pca_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.projections import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, k=4)
+    proj = pca_project(emb, model)
+    norm = F.sqrt(
+        F.aggregate(F.col("pca"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return proj.select(
+        "vec_id", "label", F.round(norm, 6).alias("proj_norm")
+    )
