@@ -250,4 +250,11 @@ def jaro_winkler_pairs(
     scored = pairs.filter(
         F.col(left_col).isNotNull() & F.col(right_col).isNotNull()
     ).withColumn(out_col, _jw(F.col(left_col), F.col(right_col)))
+    # Lineage cut before the threshold filter: Catalyst collapses
+    # Filter(Project) and would inline the UDF into BOTH operators,
+    # running every comparison TWICE (two ArrowEvalPython nodes —
+    # plan-pinned). The candidates relation is blocker-bounded, so the
+    # lazy checkpoint is cheap insurance, not a materialization of the
+    # corpus.
+    scored = scored.localCheckpoint(eager=False)
     return scored.filter(F.col(out_col) >= float(threshold))

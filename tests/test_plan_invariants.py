@@ -489,3 +489,94 @@ def test_media_header_parse_no_shuffle(spark, sf_smoke):
     assert _n_shuffles(plan) == 0
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") == 1
+
+
+def test_entropy_profile_two_stage_single_lineage(spark, sf_smoke):
+    """Entropy: one (key,cat) count exchange; the per-key total rides a
+    window over the POST-AGG grain and the key rollup reuses the same
+    hash prefix — the base scan runs exactly once."""
+    plan = _physical(spark, "dq_event_type_entropy_daily", sf_smoke)
+    assert plan.count("FileScan") == 1
+    assert "Python" not in plan
+
+
+def test_acf_one_keyed_exchange_no_self_join(spark, sf_smoke):
+    """ACF: mean/denominator/lag columns and the final aggregate all ride
+    ONE event_type-keyed sort window — no per-lag self-joins."""
+    plan = _physical(spark, "acf_daily_event_value", sf_smoke)
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan  # lags are window functions, never joins
+
+
+def test_binary_auc_single_sort_window_no_second_partitioning(spark, sf_smoke):
+    """AUC: rank and the RANGE-frame tie count share one keyed sort; the
+    aggregate reuses the partitioning. No join, no Python."""
+    plan = _physical(spark, "auc_discount_predicts_returns", sf_smoke)
+    assert _n_shuffles(plan) == 1
+    assert "Join" not in plan and "Python" not in plan
+
+
+def test_target_encode_no_dictionary_join(spark, sf_smoke):
+    """LOO encode: category stats ride a window (no join back onto the
+    row relation beyond the broadcast global mean and the dim join the
+    query itself performs)."""
+    plan = _physical(spark, "te_loo_segment_order_totals", sf_smoke)
+    assert "SortMergeJoin" not in plan  # dims broadcast; no row-relation rejoin
+    assert re.search(r"\bWindow ", plan) is not None
+
+
+def test_pmi_single_tokenizer_materialization(spark, sf_smoke):
+    """PMI: the corpus tokenizes once behind the lineage cut; unigram,
+    bigram, and totals aggregates consume the cached token arrays (no
+    repeated FileScan of documents)."""
+    plan = _physical(spark, "pmi_document_collocations", sf_smoke)
+    assert plan.count("FileScan") == 0  # all branches read the checkpoint
+    assert "Scan ExistingRDD" in plan
+
+
+def test_association_rules_broadcast_supports_no_cartesian(spark, sf_smoke):
+    """Rules: support lookups broadcast; the only basket-keyed work joins
+    the pruned item stream; nothing degenerates to a cross product."""
+    plan = _physical(spark, "association_rules_copurchase", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 3  # freq prune + 2 support lookups + totals
+
+
+def test_cohort_retention_no_user_rejoin(spark, sf_smoke):
+    """Retention: the cohort denominator is a window over the cell grain,
+    never a join back onto the user relation."""
+    plan = _physical(spark, "cohort_retention_weekly_users", sf_smoke)
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_radius_of_gyration_single_user_exchange(spark, sf_smoke):
+    """r_g: centroid windows and the d² aggregate share one user-keyed
+    exchange; no centroid-relation rejoin, no Python."""
+    plan = _physical(spark, "mobility_radius_of_gyration", sf_smoke)
+    assert _n_shuffles(plan) == 1
+    assert "Join" not in plan and "Python" not in plan
+
+
+def test_interarrival_single_sorted_exchange(spark, sf_smoke):
+    plan = _physical(spark, "interarrival_burstiness_event_types", sf_smoke)
+    assert _n_shuffles(plan) == 1
+    assert "Join" not in plan and "Python" not in plan
+
+
+def test_jw_python_stays_on_candidates_only(spark, sf_smoke):
+    """Jaro-Winkler: the ONLY Python stage sits downstream of the blocked
+    candidate join — the corpus-sized token stream never crosses the
+    Arrow boundary."""
+    plan = _physical(spark, "jw_fuzzy_doc_prefixes", sf_smoke)
+    # exactly one Arrow stage: the lineage cut stops Filter(Project)
+    # collapse from inlining the UDF twice (it reads the checkpoint)
+    assert plan.count("ArrowEvalPython") <= 1
+
+
+def test_join_preflight_counts_only_no_row_join(spark, sf_smoke):
+    """Pre-flight: the joined relations are the per-key COUNT relations;
+    the row-grain tables are each aggregated map-side first."""
+    plan = _physical(spark, "join_preflight_orders_lineitem", sf_smoke)
+    # two count aggregates feed the join — row relations never meet
+    assert plan.count("HashAggregate") >= 4  # 2 sides x partial+final
