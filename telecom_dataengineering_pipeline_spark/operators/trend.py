@@ -689,3 +689,118 @@ def acf_profile(
         F.round(F.col("_num").cast("double") / F.col("_den").cast("double"), 6),
     )
     return stacked.select(*key_cols, "lag", "n", "n_pairs", acf.alias("acf"))
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    z_alpha: float = 1.96,
+) -> DataFrame:
+    """Mann–Kendall trend test + Theil–Sen slope per key — the
+    NONPARAMETRIC twin of :func:`ols_trend`: S = Σ_{i<j} sign(x_j − x_i)
+    detects monotone trend without assuming linearity or normal errors,
+    and the Sen slope (median of all pairwise slopes) is robust to the
+    outliers that drag an OLS fit. The standard pairing for "is this KPI
+    really drifting" on noisy telemetry.
+
+    Shape: the pair set is built by ONE key-equi self-join of the series
+    relation against itself (i < j on the order column). That is
+    O(T²/2) pairs per key — sane ONLY because the input is a post-agg
+    series at calendar grain (the same contract as holt/CUSUM/EWMA:
+    T = days or months, never events), so the join is tiny however big
+    the underlying table was; the series relation is lazily checkpointed
+    so both join sides read one materialization.
+
+    Determinism: S and the tie-corrected variance
+    var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18 are exact
+    integers (values compare as decimals; ties counted exactly); z uses
+    the standard continuity correction ((S∓1)/√var, 0 at S=0). The Sen
+    slope is rank-selected from the ordered pairwise slopes (average of
+    the two middle ranks — a deterministic double from exact ranks, no
+    sketch). ``order_col`` must be integral (a step/day index).
+
+    Returns (*key_cols, n, s_stat, var_s, z, trend, sen_slope) — trend ∈
+    increasing/decreasing/no_trend at ``z_alpha``; NULL z/trend/slope
+    for n < 2 or var 0 (all-tied series)."""
+    kcols = list(key_cols)
+    v = F.col(value_col).cast("decimal(24,6)")
+    t = F.col(order_col).cast("long")
+    base = df.select(
+        *[F.col(c) for c in kcols], t.alias("_t"), v.alias("_v")
+    ).localCheckpoint(eager=False)
+    a = base.select(
+        *[F.col(c) for c in kcols],
+        F.col("_t").alias("_ti"),
+        F.col("_v").alias("_vi"),
+    )
+    b = base.select(
+        *[F.col(c).alias(f"_{c}_b") for c in kcols],
+        F.col("_t").alias("_tj"),
+        F.col("_v").alias("_vj"),
+    )
+    cond = [a[c] == b[f"_{c}_b"] for c in kcols]
+    pairs = a.join(b, cond).filter(F.col("_ti") < F.col("_tj"))
+    sgn = F.when(F.col("_vj") > F.col("_vi"), 1).when(
+        F.col("_vj") < F.col("_vi"), -1
+    ).otherwise(0)
+    slope = (F.col("_vj") - F.col("_vi")).cast("double") / (
+        F.col("_tj") - F.col("_ti")
+    ).cast("double")
+    w = Window.partitionBy(*[F.col(c) for c in kcols]).orderBy(
+        F.col("_slope").asc(), F.col("_ti").asc(), F.col("_tj").asc()
+    )
+    scored = pairs.select(
+        *[a[c] for c in kcols],
+        "_ti",
+        "_tj",
+        sgn.alias("_sgn"),
+        slope.alias("_slope"),
+    ).withColumn("_rk", F.row_number().over(w).cast("long"))
+    wm = Window.partitionBy(*[F.col(c) for c in kcols])
+    scored = scored.withColumn("_m", F.max("_rk").over(wm))
+    lo = (F.col("_m") + 1) / 2
+    hi = F.col("_m") / 2 + 1
+    mid = scored.filter(
+        (F.col("_rk") == F.floor(lo)) | (F.col("_rk") == F.floor(hi))
+    ).groupBy(*kcols).agg(
+        (F.sum("_slope") / F.count(F.lit(1))).alias("_sen")
+    )
+    s_agg = scored.groupBy(*kcols).agg(
+        F.sum("_sgn").cast("long").alias("s_stat")
+    )
+    ties = (
+        base.groupBy(*[F.col(c) for c in kcols], F.col("_v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_tg"))
+        .groupBy(*kcols)
+        .agg(
+            F.sum("_tg").cast("long").alias("n"),
+            F.sum(
+                F.col("_tg") * (F.col("_tg") - 1) * (2 * F.col("_tg") + 5)
+            ).cast("long").alias("_tie_term"),
+        )
+    )
+    n = F.col("n")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("_tie_term")).cast("double") / 18.0
+    joined = ties.join(s_agg, kcols, "left").join(mid, kcols, "left")
+    s = F.coalesce(F.col("s_stat"), F.lit(0)).cast("double")
+    z = F.when(var18 > 0,
+        F.when(s > 0, (s - 1) / F.sqrt(var18))
+        .when(s < 0, (s + 1) / F.sqrt(var18))
+        .otherwise(F.lit(0.0)),
+    )
+    trend = F.when(
+        z.isNull(), F.lit(None).cast("string")
+    ).when(z > float(z_alpha), "increasing").when(
+        z < -float(z_alpha), "decreasing"
+    ).otherwise("no_trend")
+    return joined.select(
+        *kcols,
+        "n",
+        F.coalesce(F.col("s_stat"), F.lit(0)).alias("s_stat"),
+        F.round(var18, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        trend.alias("trend"),
+        F.round(F.col("_sen"), 6).alias("sen_slope"),
+    )

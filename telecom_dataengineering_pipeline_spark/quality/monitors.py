@@ -793,3 +793,87 @@ def entropy_profile(
         *key_cols, "n_rows", "n_categories", "entropy",
         evenness.alias("evenness"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns — the
+    dependence monitor that closes the categorical-statistics triangle:
+    :func:`chi_squared_drift` tests whether ONE column's mix moved
+    between windows, :func:`entropy_profile` scores one column's
+    dispersion, MI quantifies how much one column PREDICTS another
+    (plan type vs churn flag, device model vs event type) — the standard
+    feature-selection / redundant-column screen.
+
+    I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), plus both marginal
+    entropies and the normalized score NMI = I/√(H(X)·H(Y)) ∈ [0, 1].
+
+    Scale shape: one map-side-combined count on (x, y) — the only
+    row-grain shuffle; the marginals aggregate that cell relation
+    further (never the base table), and all three totals ride windows /
+    tiny joins over cells. NULLs are real levels (``__null__``),
+    consistent with the other categorical monitors.
+
+    Determinism: counts exact; each cell term is a deterministic double
+    from integer counts ROUNDED to 9 dp then decimal-summed. Returns
+    one row: (n, n_cells, mi, h_x, h_y, nmi) rounded to 6; NMI NULL
+    when either marginal entropy is 0 (a constant column predicts
+    nothing and nothing predicts it — MI is 0 there too)."""
+    x = F.coalesce(F.col(x_col).cast("string"), F.lit("__null__"))
+    y = F.coalesce(F.col(y_col).cast("string"), F.lit("__null__"))
+    cells = (
+        df.select(x.alias("_x"), y.alias("_y"))
+        .groupBy("_x", "_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .localCheckpoint(eager=False)
+    )
+    wx = Window.partitionBy("_x")
+    wy = Window.partitionBy("_y")
+    wall = Window.partitionBy()
+    scored = (
+        cells.withColumn("_nx", F.sum("_n").over(wx).cast("long"))
+        .withColumn("_ny", F.sum("_n").over(wy).cast("long"))
+        .withColumn("_tot", F.sum("_n").over(wall).cast("long"))
+    )
+    Nd = F.col("_tot").cast("double")
+    p_xy = F.col("_n").cast("double") / Nd
+    term_mi = F.round(
+        p_xy
+        * F.log(
+            (F.col("_n").cast("double") * Nd)
+            / (F.col("_nx").cast("double") * F.col("_ny").cast("double"))
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    scored = scored.withColumn("_term", term_mi)
+    mi_agg = scored.agg(
+        F.first("_tot").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.sum("_term").cast("double"), 6).alias("mi"),
+    )
+
+    # marginal entropies from the cell relation (one scan of cells each,
+    # never of the base table)
+    def _h(col: str):
+        m = (
+            cells.groupBy(col)
+            .agg(F.sum("_n").cast("long").alias("_m"))
+        )
+        tot = Window.partitionBy()
+        p = F.col("_m").cast("double") / F.sum("_m").over(tot).cast("double")
+        return (
+            m.withColumn("_t", F.round(-p * F.log(p), 9).cast("decimal(28,9)"))
+            .agg(F.round(F.sum("_t").cast("double"), 6).alias("h"))
+        )
+
+    hx = _h("_x").withColumnRenamed("h", "h_x")
+    hy = _h("_y").withColumnRenamed("h", "h_y")
+    out = mi_agg.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    nmi = F.when(
+        (F.col("h_x") > 0) & (F.col("h_y") > 0),
+        F.round(F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y")), 6),
+    )
+    return out.select("n", "n_cells", "mi", "h_x", "h_y", nmi.alias("nmi"))

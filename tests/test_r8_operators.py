@@ -1429,3 +1429,116 @@ def test_join_cardinality_estimate_exact(spark):
     assert 3 not in rows
     # the estimate equals the REAL inner-join count
     assert ldf.join(rdf, "k").count() == true_out
+
+
+# --- Mann-Kendall / Theil-Sen ----------------------------------------------
+
+
+def _mk_ref(ts, vs, z_alpha=1.96):
+    n = len(vs)
+    s = sum(
+        (vs[j] > vs[i]) - (vs[j] < vs[i])
+        for i in range(n) for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in Counter(vs).values())
+    var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    if var > 0:
+        z = (s - 1) / math.sqrt(var) if s > 0 else ((s + 1) / math.sqrt(var) if s < 0 else 0.0)
+    else:
+        z = None
+    slopes = sorted(
+        (vs[j] - vs[i]) / (ts[j] - ts[i])
+        for i in range(n) for j in range(i + 1, n)
+    )
+    m = len(slopes)
+    sen = (slopes[(m - 1) // 2] + slopes[m // 2]) / 2 if m else None
+    trend = None
+    if z is not None:
+        trend = "increasing" if z > z_alpha else ("decreasing" if z < -z_alpha else "no_trend")
+    return s, var, z, trend, sen
+
+
+def test_mann_kendall_matches_reference(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import (
+        mann_kendall_trend,
+    )
+
+    series = {
+        "up": [1.0, 2.0, 1.5, 3.0, 4.0, 3.5, 5.0, 6.0, 7.0, 8.0],
+        "down": [9.0, 8.0, 8.5, 7.0, 6.0, 5.0, 5.5, 4.0, 3.0, 2.0],
+        "noisy": [5.0, 3.0, 8.0, 2.0, 7.0, 4.0, 6.0, 5.0],
+        "tied": [2.0, 2.0, 2.0, 2.0, 2.0],     # var 0: NULL z/trend
+        "outlier": [1.0, 2.0, 3.0, 100.0, 5.0, 6.0, 7.0],  # sen robust, OLS not
+    }
+    rows = [(k, i, x) for k, xs in series.items() for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {
+        r["k"]: (r["n"], r["s_stat"], r["var_s"], r["z"], r["trend"], r["sen_slope"])
+        for r in mann_kendall_trend(df, ["k"], "t", "v").collect()
+    }
+    for k, xs in series.items():
+        s, var, z, trend, sen = _mk_ref(list(range(len(xs))), xs)
+        n_, s_, v_, z_, t_, sl_ = got[k]
+        assert (n_, s_) == (len(xs), s), k
+        assert v_ == pytest.approx(var, abs=1e-6)
+        if z is None:
+            assert z_ is None and t_ is None
+        else:
+            assert z_ == pytest.approx(z, abs=1e-6)
+            assert t_ == trend
+        assert sl_ == pytest.approx(sen, abs=1e-6)
+    assert got["up"][4] == "increasing" and got["down"][4] == "decreasing"
+    assert got["noisy"][4] == "no_trend"
+    # the planted outlier barely moves the Sen slope
+    assert 0.9 <= got["outlier"][5] <= 1.6
+
+
+# --- mutual information -----------------------------------------------------
+
+
+def _mi_ref(pairs):
+    from collections import Counter
+
+    cxy, cx, cy = Counter(pairs), Counter(p[0] for p in pairs), Counter(p[1] for p in pairs)
+    N = len(pairs)
+    mi = sum(
+        round((n / N) * math.log((n * N) / (cx[a] * cy[b])), 9)
+        for (a, b), n in cxy.items()
+    )
+    hx = sum(round(-(n / N) * math.log(n / N), 9) for n in cx.values())
+    hy = sum(round(-(n / N) * math.log(n / N), 9) for n in cy.values())
+    return mi, hx, hy
+
+
+def test_mutual_information_matches_reference(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        mutual_information,
+    )
+
+    # x fully determines y (perfect dependence) in group A; independent in B
+    dep = [("a", "p")] * 20 + [("b", "q")] * 20 + [("c", "r")] * 10
+    df = spark.createDataFrame(dep, "x string, y string")
+    row = mutual_information(df, "x", "y").collect()[0]
+    mi, hx, hy = _mi_ref(dep)
+    assert row["n"] == 50 and row["n_cells"] == 3
+    assert row["mi"] == pytest.approx(mi, abs=2e-6)
+    assert row["h_x"] == pytest.approx(hx, abs=2e-6)
+    assert row["h_y"] == pytest.approx(hy, abs=2e-6)
+    # perfect dependence with equal-entropy marginals: NMI = 1
+    assert row["nmi"] == pytest.approx(1.0, abs=1e-6)
+
+    # independence: MI ~ 0
+    ind = [(x, y) for x in ("a", "b") for y in ("p", "q") for _ in range(25)]
+    row = mutual_information(
+        spark.createDataFrame(ind, "x string, y string"), "x", "y"
+    ).collect()[0]
+    assert abs(row["mi"]) < 1e-9 and abs(row["nmi"]) < 1e-9
+
+    # constant column: MI 0, NMI NULL; NULLs are a real level
+    const = [("k", v) for v in ("p", "q", None, "p")]
+    row = mutual_information(
+        spark.createDataFrame(const, "x string, y string"), "x", "y"
+    ).collect()[0]
+    assert row["mi"] == 0.0 and row["nmi"] is None and row["n_cells"] == 3
