@@ -99,6 +99,10 @@ DRIVER_ORDER: list[str] = [
     "wav_header_roundtrip",
     "ewma_stream_daily_means",
     "pca_embedding_projection",
+    # -- round-7 session-3 additions: registered the same round they were
+    #    built — no driver row yet, always in-window.
+    "mk_trend_nation_revenue",
+    "mi_priority_status",
     # -- fix-up re-entries (VERDICT r6 items 2 & 3): both queries' prior
     #    driver greens were VACUOUS (0 rows at every SF); their literals/
     #    cohorts were fixed this round and they must re-enter the window to

@@ -1,0 +1,162 @@
+"""Round-7 session-3 registrations: the last two session-2 operators
+promoted from tests-only to oracle-checked driver queries (Mann–Kendall/
+Theil–Sen trend test, categorical mutual information), plus the new
+session-3 wave — drift (PSI), encoding (WOE/IV), ranking quality
+(NDCG@k), survival (Kaplan–Meier), recommendations (item–item CF), and
+seasonal smoothing (Holt–Winters).
+
+Reference parity: extends the reference's monitoring/marts tier
+(``monitoring/pipeline_observability.py``, ``dbt_project/models/marts``)
+with the churn-survival / campaign-evaluation statistics a telecom BI
+stack computes downstream, re-expressed as distributed plans under the
+registry determinism conventions (decimal-exact sums, round-then-decimal
+log/ratio terms, tie-broken windows, matching column names)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall + Theil–Sen (operators/trend.py::mann_kendall_trend): is
+# each nation's MONTHLY revenue monotonically drifting? Monthly grain
+# (~80 points/nation) keeps the O(T²/2) pair join tiny per the series
+# contract; whole-dollar decimal sums keep the pairwise slopes
+# bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+_MK_ORACLE = """
+WITH base AS (
+  SELECT n.n_name AS k,
+         CAST((CAST(strftime(o.o_orderdate, '%Y') AS INT) - 1995) * 12
+              + CAST(strftime(o.o_orderdate, '%m') AS INT) - 1 AS BIGINT) AS t,
+         CAST(sum(CAST(round(o.o_totalprice, 0) AS DECIMAL(18,0))) AS DECIMAL(24,6)) AS v
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.k, a.t AS ti, b.t AS tj,
+         CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn,
+         CAST(b.v - a.v AS DOUBLE) / (b.t - a.t) AS slope
+  FROM base a JOIN base b ON a.k = b.k AND a.t < b.t
+), ranked AS (
+  SELECT k, sgn, slope,
+         CAST(row_number() OVER (PARTITION BY k ORDER BY slope ASC, ti ASC, tj ASC) AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS m
+  FROM pairs
+), sen AS (
+  SELECT k, sum(slope) / count(*) AS sen_slope
+  FROM ranked
+  WHERE rk = CAST(floor((m + 1) / 2.0) AS BIGINT) OR rk = CAST(floor(m / 2.0 + 1) AS BIGINT)
+  GROUP BY k
+), sstat AS (
+  SELECT k, CAST(sum(sgn) AS BIGINT) AS s_stat FROM ranked GROUP BY k
+), ties AS (
+  SELECT k, CAST(sum(tg) AS BIGINT) AS n,
+         CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT k, v, CAST(count(*) AS BIGINT) AS tg FROM base GROUP BY 1, 2)
+  GROUP BY k
+), d AS (
+  SELECT t.k, t.n, coalesce(s.s_stat, 0) AS s_stat,
+         CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term AS DOUBLE) / 18.0 AS var_s,
+         sen.sen_slope
+  FROM ties t LEFT JOIN sstat s ON s.k = t.k LEFT JOIN sen ON sen.k = t.k
+)
+SELECT k AS n_name, n, s_stat, round(var_s, 6) AS var_s,
+  round(CASE WHEN var_s > 0 THEN
+    CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+         WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s) ELSE 0.0 END END, 6) AS z,
+  CASE WHEN var_s <= 0 THEN NULL
+       WHEN (CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s) ELSE 0.0 END) > 1.96
+         THEN 'increasing'
+       WHEN (CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s) ELSE 0.0 END) < -1.96
+         THEN 'decreasing'
+       ELSE 'no_trend' END AS trend,
+  round(sen_slope, 6) AS sen_slope
+FROM d
+"""
+
+
+@register("mk_trend_nation_revenue", oracle=_MK_ORACLE, tags=("trend", "A11"))
+def mk_trend_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import mann_kendall_trend
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1995)) * 12
+                + F.month("o_orderdate")
+                - F.lit(1)
+            )
+            .cast("long")
+            .alias("t"),
+        )
+        .agg(
+            F.sum(F.round("o_totalprice", 0).cast("decimal(18,0)"))
+            .cast("decimal(24,6)")
+            .alias("v")
+        )
+    )
+    return mann_kendall_trend(monthly, ["n_name"], "t", "v")
+
+
+# ---------------------------------------------------------------------------
+# Mutual information (quality/monitors.py::mutual_information): does
+# order PRIORITY predict order STATUS? The feature-selection screen on
+# the two categorical order columns; one-row output.
+# ---------------------------------------------------------------------------
+
+_MI_ORACLE = """
+WITH cells AS (
+  SELECT coalesce(o_orderpriority, '__null__') AS cx,
+         coalesce(o_orderstatus, '__null__') AS cy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), t AS (
+  SELECT cx, cy, n,
+         CAST(sum(n) OVER (PARTITION BY cx) AS BIGINT) AS nx,
+         CAST(sum(n) OVER (PARTITION BY cy) AS BIGINT) AS ny,
+         CAST(sum(n) OVER () AS BIGINT) AS tot
+  FROM cells
+), mi AS (
+  SELECT CAST(any_value(tot) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         round(CAST(sum(CAST(round((n / CAST(tot AS DOUBLE))
+               * ln((CAST(n AS DOUBLE) * tot) / (CAST(nx AS DOUBLE) * ny)), 9)
+               AS DECIMAL(28,9))) AS DOUBLE), 6) AS mi
+  FROM t
+), hx AS (
+  SELECT round(CAST(sum(CAST(round(-(m / CAST(tt AS DOUBLE))
+               * ln(m / CAST(tt AS DOUBLE)), 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS h_x
+  FROM (SELECT cx, CAST(sum(n) AS BIGINT) AS m,
+               CAST(sum(sum(n)) OVER () AS BIGINT) AS tt FROM cells GROUP BY cx)
+), hy AS (
+  SELECT round(CAST(sum(CAST(round(-(m / CAST(tt AS DOUBLE))
+               * ln(m / CAST(tt AS DOUBLE)), 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS h_y
+  FROM (SELECT cy, CAST(sum(n) AS BIGINT) AS m,
+               CAST(sum(sum(n)) OVER () AS BIGINT) AS tt FROM cells GROUP BY cy)
+)
+SELECT n, n_cells, mi, h_x, h_y,
+       CASE WHEN h_x > 0 AND h_y > 0 THEN round(mi / sqrt(h_x * h_y), 6) END AS nmi
+FROM mi, hx, hy
+"""
+
+
+@register("mi_priority_status", oracle=_MI_ORACLE, tags=("DQ", "A11"))
+def mi_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import mutual_information
+
+    orders = load_table(spark, sf_dir, "orders")
+    return mutual_information(orders, "o_orderpriority", "o_orderstatus")

@@ -136,6 +136,9 @@ def test_new_registrations_inside_driver_window():
         "wav_header_roundtrip",
         "ewma_stream_daily_means",
         "pca_embedding_projection",
+        # session-3 additions, registered the round they were built
+        "mk_trend_nation_revenue",
+        "mi_priority_status",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
