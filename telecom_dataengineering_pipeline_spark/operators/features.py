@@ -98,6 +98,161 @@ def ecdf_normalize(
     ).withColumn(out_prefix + "pct_rank", F.round(F.percent_rank().over(wo), 6))
 
 
+def woe_iv_profile(
+    df: DataFrame,
+    category_col: str,
+    label_col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence / information-value profile of a categorical
+    feature against a binary label — the credit-scoring screen that
+    grades each level's pull toward the positive class and the feature's
+    total predictive power: WOE_i = ln(d⁺_i / d⁻_i) with
+    d±_i = (n±_i + s)/(T± + s·C) (Laplace ``smoothing`` s over C levels
+    keeps one-sided cells finite), IV = Σ (d⁺_i − d⁻_i)·WOE_i. The
+    supervised sibling of :func:`~..quality.monitors.mutual_information`
+    (symmetric dependence) and of :func:`target_encode_loo` (which
+    encodes; this one *audits*). Standard IV bands: <0.02 useless,
+    0.02–0.1 weak, 0.1–0.3 medium, >0.3 strong.
+
+    Scale shape: ONE map-side-combined count on the category — the only
+    row-grain shuffle; totals and the level count ride a window over the
+    cell relation (|C| rows, metadata-sized), never the base table.
+    NULL categories are a real level (``__null__``); NULL labels are
+    excluded.
+
+    Determinism: counts exact; each WOE is one fixed-shape double
+    expression from integer counts rounded to 6; IV contributions are
+    rounded to 9 then DECIMAL-summed (round-then-decimal), the total
+    cast to double and rounded to 6 — bit-identical cross-engine.
+    Returns one row per level: (category, n, n_pos, n_neg, woe,
+    iv_contrib, iv_total)."""
+    if smoothing < 0:
+        raise ValueError("smoothing must be >= 0")
+    s = float(smoothing)
+    cat = F.coalesce(F.col(category_col).cast("string"), F.lit("__null__"))
+    y = F.col(label_col).cast("long")
+    cells = (
+        df.filter(y.isNotNull())
+        .select(cat.alias("category"), y.alias("_y"))
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_y").cast("long").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("_y")).cast("long").alias("n_neg"),
+        )
+    )
+    w = Window.partitionBy()
+    cells = (
+        cells.withColumn("_tp", F.sum("n_pos").over(w).cast("long"))
+        .withColumn("_tn", F.sum("n_neg").over(w).cast("long"))
+        .withColumn("_c", F.count(F.lit(1)).over(w).cast("long"))
+    )
+    dp = (F.col("n_pos").cast("double") + F.lit(s)) / (
+        F.col("_tp").cast("double") + F.lit(s) * F.col("_c").cast("double")
+    )
+    dn = (F.col("n_neg").cast("double") + F.lit(s)) / (
+        F.col("_tn").cast("double") + F.lit(s) * F.col("_c").cast("double")
+    )
+    woe = F.log(dp / dn)
+    cells = cells.withColumn(
+        "_ivc", F.round((dp - dn) * woe, 9).cast("decimal(28,9)")
+    )
+    return (
+        cells.withColumn(
+            "iv_total", F.round(F.sum("_ivc").over(w).cast("double"), 6)
+        )
+        .select(
+            "category",
+            "n",
+            "n_pos",
+            "n_neg",
+            F.round(woe, 6).alias("woe"),
+            F.col("_ivc").cast("double").alias("iv_contrib"),
+            "iv_total",
+        )
+    )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    query_cols: Sequence[str],
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """NDCG@k per query — the graded-relevance ranking grade that
+    completes the evaluation rim (:func:`binary_auc` grades a binary
+    scorer globally; recall@k grades set overlap; NDCG grades ORDER with
+    graded gains): DCG@k = Σ_{i≤k} (2^rel_i − 1)/log₂(i+1) over docs
+    ranked by the scorer, normalized by the ideal ordering's IDCG@k.
+
+    Scale shape: one query-keyed exchange — the scorer ranking and the
+    ideal ranking are two sort windows over the SAME partitioning (one
+    hash exchange, two in-partition sorts), and the final rollup
+    aggregates the ranked relation; nothing re-joins the base table.
+
+    Determinism: gains 2^rel − 1 are exact LONGs (``rel`` must be a
+    small non-negative integer grade, e.g. 0–10); each position's
+    discount divides by the identical ln-based double shape in both
+    engines, rounded to 9 then DECIMAL-summed; the final ratio is one
+    double division rounded to 6. Ranking ties break on
+    ``tiebreak_col`` (required unique within query for cross-engine
+    determinism; defaults to ``rel_col``-then-input order if omitted —
+    pass one). Rows with NULL score/rel are excluded.
+
+    Returns one row per query: (*query_cols, n_docs, dcg, idcg, ndcg);
+    ndcg NULL when IDCG = 0 (no relevant docs)."""
+    if k < 1:
+        raise ValueError("ndcg_at_k needs k >= 1")
+    qcols = [F.col(c) for c in query_cols]
+    tb = F.col(tiebreak_col) if tiebreak_col else F.col(score_col)
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(rel_col).isNotNull()
+    ).select(
+        *qcols,
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(rel_col).cast("long").alias("_r"),
+        tb.alias("_tb"),
+    )
+    gain = F.expr("shiftleft(cast(1 as bigint), cast(_r as int)) - 1").cast("long")
+    w_score = Window.partitionBy(*qcols).orderBy(F.col("_s").desc(), F.col("_tb").asc())
+    w_ideal = Window.partitionBy(*qcols).orderBy(F.col("_r").desc(), F.col("_tb").asc())
+    ranked = base.withColumn("_g", gain).select(
+        *query_cols,
+        "_g",
+        F.row_number().over(w_score).alias("_rk"),
+        F.row_number().over(w_ideal).alias("_irk"),
+    )
+    # Identical discount shape in both engines: g / (ln(i+1)/ln(2)),
+    # rounded to 9 before the decimal sum (absorbs any ulp skew).
+    def _term(rank_col: str) -> "F.Column":
+        return F.when(
+            F.col(rank_col) <= k,
+            F.round(
+                F.col("_g").cast("double")
+                / (F.log(F.col(rank_col).cast("double") + 1.0) / F.log(F.lit(2.0))),
+                9,
+            ).cast("decimal(28,9)"),
+        ).otherwise(F.lit(0).cast("decimal(28,9)"))
+
+    agg = ranked.groupBy(*query_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(_term("_rk")).alias("_dcg"),
+        F.sum(_term("_irk")).alias("_idcg"),
+    )
+    dcg = F.col("_dcg").cast("double")
+    idcg = F.col("_idcg").cast("double")
+    return agg.select(
+        *query_cols,
+        "n_docs",
+        F.round(dcg, 6).alias("dcg"),
+        F.round(idcg, 6).alias("idcg"),
+        F.when(idcg > 0, F.round(dcg / idcg, 6)).alias("ndcg"),
+    )
+
+
 def binary_auc(
     df: DataFrame,
     label_col: str,

