@@ -281,3 +281,67 @@ def ndcg_acctbal_vs_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ndcg_at_k(base, ["n_name"], "s", "r", k=10, tiebreak_col="c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier (operators/survival.py::kaplan_meier): per-segment churn
+# survival. Duration = days between a customer's first and last order;
+# event = churned (last order before the 2000-10-01 cutoff), else
+# right-censored — the estimator keeps censored customers in the risk
+# set, which a naive churn-rate rollup can't.
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(CAST(max(o_orderdate) AS DATE) - CAST(min(o_orderdate) AS DATE) AS BIGINT) AS dur,
+         CASE WHEN max(o_orderdate) <= TIMESTAMP '2000-10-01 00:00:00' THEN 1 ELSE 0 END AS ev
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT c.c_mktsegment, cust.dur, cust.ev
+  FROM cust JOIN customer c ON c.c_custkey = cust.o_custkey
+), g AS (
+  SELECT c_mktsegment, dur AS duration,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(ev) AS BIGINT) AS d
+  FROM j GROUP BY 1, 2
+), r AS (
+  SELECT c_mktsegment, duration, d, n - d AS c,
+    CAST(sum(n) OVER (PARTITION BY c_mktsegment)
+         - coalesce(sum(n) OVER (PARTITION BY c_mktsegment ORDER BY duration
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM g
+), s AS (
+  SELECT c_mktsegment, duration, n_risk, d, c,
+    sum(CASE WHEN d < n_risk THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 9) AS DECIMAL(28,9))
+             ELSE CAST(0 AS DECIMAL(28,9)) END)
+      OVER (PARTITION BY c_mktsegment ORDER BY duration
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum,
+    sum(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+      OVER (PARTITION BY c_mktsegment ORDER BY duration
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zs
+  FROM r
+)
+SELECT c_mktsegment, duration, n_risk, d AS n_event, c AS n_censored,
+       CASE WHEN zs > 0 THEN 0.0 ELSE round(exp(CAST(lnsum AS DOUBLE)), 6) END AS survival
+FROM s
+"""
+
+
+@register("km_survival_customer_churn", oracle=_KM_ORACLE, tags=("survival", "A11"))
+def km_survival_customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.survival import kaplan_meier
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max("o_orderdate").cast("date"), F.min("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("dur"),
+        (F.max("o_orderdate") <= F.lit("2000-10-01 00:00:00").cast("timestamp"))
+        .cast("int")
+        .alias("ev"),
+    )
+    j = obs.join(F.broadcast(cust), obs["o_custkey"] == cust["c_custkey"])
+    return kaplan_meier(j, "dur", "ev", ["c_mktsegment"])

@@ -198,6 +198,166 @@ def test_ndcg_validates_k(spark):
         ndcg_at_k(df, ["q"], "score", "rel", k=0)
 
 
+# ---------------------------------------------------------------------------
+# Kaplan–Meier
+# ---------------------------------------------------------------------------
+
+
+def _km_reference(rows):
+    """Textbook product-limit over (key, duration, event) observations."""
+    out = {}
+    keys = {k for k, *_ in rows}
+    for k in keys:
+        obs = sorted((d, e) for kk, d, e in rows if kk == k)
+        durations = sorted({d for d, _ in obs})
+        total = len(obs)
+        removed = 0
+        s = 1.0
+        dead = False
+        for t in durations:
+            d_i = sum(1 for dd, e in obs if dd == t and e == 1)
+            c_i = sum(1 for dd, e in obs if dd == t and e == 0)
+            n_i = total - removed
+            if d_i == n_i:
+                dead = True
+            if not dead:
+                # mirror the operator's round-then-decimal ln chain
+                s_ln = sum(
+                    round(
+                        math.log(
+                            1.0
+                            - sum(1 for dd, e in obs if dd == tt and e == 1)
+                            / (
+                                total
+                                - sum(1 for dd, _ in obs if dd < tt)
+                            )
+                        ),
+                        9,
+                    )
+                    for tt in durations
+                    if tt <= t
+                )
+                surv = round(math.exp(s_ln), 6)
+            else:
+                surv = 0.0
+            out[(k, t)] = (n_i, d_i, c_i, surv)
+            removed += d_i + c_i
+    return out
+
+
+def test_kaplan_meier_matches_reference(spark):
+    from telecom_dataengineering_pipeline_spark.operators.survival import kaplan_meier
+
+    rows = [
+        # classic textbook arm: events at 1,3,4; censored at 2,5
+        ("a", 1, 1), ("a", 2, 0), ("a", 3, 1), ("a", 3, 1), ("a", 4, 1), ("a", 5, 0),
+        # arm where everyone eventually dies (curve reaches 0)
+        ("b", 1, 1), ("b", 2, 1), ("b", 2, 1),
+        # censored-only arm (curve stays 1)
+        ("c", 1, 0), ("c", 2, 0),
+    ]
+    df = spark.createDataFrame(rows, "k string, dur int, ev int")
+    got = {
+        (r["k"], r["duration"]): (r["n_risk"], r["n_event"], r["n_censored"], r["survival"])
+        for r in kaplan_meier(df, "dur", "ev", ["k"]).collect()
+    }
+    ref = _km_reference(rows)
+    assert set(got) == set(ref)
+    for key, (n, d, c, s) in ref.items():
+        gn, gd, gc, gs = got[key]
+        assert (gn, gd, gc) == (n, d, c), key
+        assert gs == pytest.approx(s, abs=1e-6), key
+    assert got[("b", 2)][3] == 0.0  # everyone dead
+    assert got[("c", 2)][3] == 1.0  # censoring never drops the curve
+
+
+def test_kaplan_meier_censoring_vs_event_differs(spark):
+    """A censored observation must NOT lower the curve the way an event
+    does — the defining property vs naive death-rate rollups."""
+    from telecom_dataengineering_pipeline_spark.operators.survival import kaplan_meier
+
+    ev = spark.createDataFrame(
+        [("k", 1, 1), ("k", 2, 1), ("k", 3, 1)], "k string, dur int, ev int"
+    )
+    cen = spark.createDataFrame(
+        [("k", 1, 1), ("k", 2, 0), ("k", 3, 1)], "k string, dur int, ev int"
+    )
+    s_ev = {r["duration"]: r["survival"] for r in kaplan_meier(ev, "dur", "ev", ["k"]).collect()}
+    s_cen = {r["duration"]: r["survival"] for r in kaplan_meier(cen, "dur", "ev", ["k"]).collect()}
+    assert s_cen[2] > s_ev[2]  # censoring at 2 keeps the curve higher
+    # with the middle observation censored, the last one still dies: the
+    # curve drops to 0 at t=3 in both arms
+    assert s_ev[3] == 0.0 and s_cen[3] == 0.0
+
+
+def test_kaplan_meier_two_grain_exchanges(spark):
+    """Shape pin: the map-side-combined (key, duration) aggregate is the
+    only exchange at observation grain; the keyed window exchange carries
+    the already-collapsed duration grain. All four window columns share
+    the second exchange — no further shuffles, no self-join."""
+    from telecom_dataengineering_pipeline_spark.operators.survival import kaplan_meier
+
+    df = spark.createDataFrame(
+        [("k", i % 7 + 1, i % 3 != 0) for i in range(50)], "k string, dur int, ev boolean"
+    )
+    plan = (
+        kaplan_meier(df.withColumn("ev", F.col("ev").cast("int")), "dur", "ev", ["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "HashAggregate" in plan and "Join" not in plan
+
+
+def test_kaplan_meier_duckdb_mirror(spark):
+    import duckdb
+
+    from telecom_dataengineering_pipeline_spark.operators.survival import kaplan_meier
+
+    rows = [
+        ("x", (i * 7 + 3) % 11 + 1, 1 if i % 3 else 0) for i in range(40)
+    ] + [("y", (i * 5 + 1) % 6 + 1, i % 2) for i in range(25)]
+    df = spark.createDataFrame(rows, "k string, dur int, ev int")
+    got = sorted(tuple(r) for r in kaplan_meier(df, "dur", "ev", ["k"]).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (k VARCHAR, dur INTEGER, ev INTEGER)")
+    con.execute(
+        "INSERT INTO fixture VALUES "
+        + ", ".join(f"('{k}', {d}, {e})" for k, d, e in rows)
+    )
+    mirror = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+WITH g AS (
+  SELECT k, CAST(dur AS BIGINT) AS duration,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(ev) AS BIGINT) AS d
+  FROM fixture GROUP BY 1, 2
+), r AS (
+  SELECT k, duration, d, n - d AS c,
+    CAST(sum(n) OVER (PARTITION BY k)
+         - coalesce(sum(n) OVER (PARTITION BY k ORDER BY duration
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM g
+), s AS (
+  SELECT k, duration, n_risk, d, c,
+    sum(CASE WHEN d < n_risk THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 9) AS DECIMAL(28,9))
+             ELSE CAST(0 AS DECIMAL(28,9)) END)
+      OVER (PARTITION BY k ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum,
+    sum(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+      OVER (PARTITION BY k ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zs
+  FROM r
+)
+SELECT k, duration, n_risk, d AS n_event, c AS n_censored,
+       CASE WHEN zs > 0 THEN 0.0 ELSE round(exp(CAST(lnsum AS DOUBLE)), 6) END AS survival
+FROM s
+"""
+        ).fetchall()
+    )
+    assert mirror == got
+
+
 def test_ndcg_single_exchange(spark):
     """Both rankings ride ONE hash exchange on the query key."""
     df = spark.createDataFrame(
