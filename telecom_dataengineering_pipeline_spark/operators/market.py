@@ -120,3 +120,99 @@ def association_rules(
             conf / (F.col("consequent_count").cast("double") / nb), 6
         ).alias("lift"),
     )
+
+
+def item_item_cosine_topk(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    k: int = 10,
+    min_count: int = 2,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Item–item collaborative filtering: the top-``k`` most similar
+    items per item under binary cosine sim(i,j) = |U_i ∩ U_j| /
+    √(|U_i|·|U_j|) over the user–item interaction relation — the
+    neighborhood model behind "customers who bought X also bought Y".
+    Completes the co-occurrence triangle: :func:`association_rules`
+    grades pairs as RULES (directional confidence/lift),
+    ``graph.neighborhood_jaccard`` as LINK PREDICTION (shared-neighbor
+    sets); this ranks NEIGHBORS per item with the cosine that discounts
+    blockbuster items (√ of both popularities in the denominator).
+
+    Scale shape: identical pair discipline to :func:`association_rules`
+    — distinct interactions, anti-monotone ``min_count`` item prune
+    BEFORE the per-user fan-out, ``max_basket_size`` cap on the pruned
+    basket (the hub guard), canonical ``i < j`` election so each pair
+    aggregates once, both directions emitted from the canonical pair
+    relation (pair-grain, metadata-sized), item counts joined back as a
+    broadcast. The final top-k is a WindowGroupLimit-prunable
+    row_number over (item, cosine desc).
+
+    Determinism: all counts exact LONGs; cosine is one fixed-shape
+    double expression co/√(nᵢ·nⱼ) ROUNDED to 6 and the neighbor rank
+    orders by (rounded cosine DESC, neighbor ASC) — rounded-first so
+    ulp skew can't flip a rank cross-engine. Returns one row per
+    (item, neighbor) with rk ≤ k: (item, neighbor, n_item, n_neighbor,
+    n_co, cosine, rk)."""
+    if k < 1:
+        raise ValueError("item_item_cosine_topk needs k >= 1")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    ui = (
+        df.select(F.col(user_col).alias("user"), F.col(item_col).alias("item"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    counts = ui.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+    frequent = counts.filter(F.col("n_item") >= int(min_count))
+    pruned = ui.join(F.broadcast(frequent.select("item")), "item")
+    if max_basket_size is not None:
+        sizes = pruned.groupBy("user").agg(F.count(F.lit(1)).alias("_bsz"))
+        pruned = pruned.join(
+            F.broadcast(sizes.filter(F.col("_bsz") <= int(max_basket_size))).select(
+                "user"
+            ),
+            "user",
+        )
+    a = pruned.select("user", F.col("item").alias("i"))
+    b = pruned.select("user", F.col("item").alias("j"))
+    pairs = (
+        a.join(b, "user")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+    )
+    both = pairs.unionAll(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "n_co")
+    )
+    ni = frequent.select(F.col("item").alias("i"), F.col("n_item").alias("n_item"))
+    nj = frequent.select(F.col("item").alias("j"), F.col("n_item").alias("n_neighbor"))
+    scored = (
+        both.join(F.broadcast(ni), "i")
+        .join(F.broadcast(nj), "j")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("n_co").cast("double")
+                / F.sqrt(
+                    F.col("n_item").cast("double") * F.col("n_neighbor").cast("double")
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= int(k))
+        .select(
+            F.col("i").alias("item"),
+            F.col("j").alias("neighbor"),
+            "n_item",
+            "n_neighbor",
+            "n_co",
+            "cosine",
+            "rk",
+        )
+    )

@@ -345,3 +345,57 @@ def km_survival_customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = obs.join(F.broadcast(cust), obs["o_custkey"] == cust["c_custkey"])
     return kaplan_meier(j, "dur", "ev", ["c_mktsegment"])
+
+
+# ---------------------------------------------------------------------------
+# Item–item CF (operators/market.py::item_item_cosine_topk): top-5
+# "customers who bought X also bought Y" neighbors per part over the
+# customer×part interaction relation. min_count prunes cold parts before
+# the per-customer fan-out; the basket cap guards crawler-sized baskets
+# (TPC-H baskets are ~40 distinct parts at every SF, so 60 is a guard,
+# not a filter).
+# ---------------------------------------------------------------------------
+
+_CF_ORACLE = """
+WITH ui AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), counts AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM ui GROUP BY 1),
+freq AS (SELECT * FROM counts WHERE n_item >= 5),
+pruned0 AS (SELECT ui.u, ui.item FROM ui JOIN freq ON freq.item = ui.item),
+sizes AS (SELECT u, count(*) AS bsz FROM pruned0 GROUP BY 1),
+pruned AS (
+  SELECT p.u, p.item FROM pruned0 p JOIN sizes s ON s.u = p.u AND s.bsz <= 60
+), pairs AS (
+  SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS n_co
+  FROM pruned a JOIN pruned b ON a.u = b.u AND a.item < b.item
+  GROUP BY 1, 2
+), both_dir AS (
+  SELECT i, j, n_co FROM pairs UNION ALL SELECT j, i, n_co FROM pairs
+), scored AS (
+  SELECT b.i, b.j, ni.n_item, nj.n_item AS n_neighbor, b.n_co,
+         round(CAST(b.n_co AS DOUBLE)
+               / sqrt(CAST(ni.n_item AS DOUBLE) * CAST(nj.n_item AS DOUBLE)), 6) AS cosine
+  FROM both_dir b
+  JOIN freq ni ON ni.item = b.i JOIN freq nj ON nj.item = b.j
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY i ORDER BY cosine DESC, j ASC) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT i AS item, j AS neighbor, n_item, n_neighbor, n_co, cosine, rk
+FROM ranked WHERE rk <= 5
+"""
+
+
+@register("cf_item_neighbors_copurchase", oracle=_CF_ORACLE, tags=("recommend", "LLM"))
+def cf_item_neighbors_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.market import item_item_cosine_topk
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ui = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item")
+    )
+    return item_item_cosine_topk(
+        ui, "u", "item", k=5, min_count=5, max_basket_size=60
+    )

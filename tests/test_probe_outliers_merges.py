@@ -142,6 +142,7 @@ def test_new_registrations_inside_driver_window():
         "woe_iv_priority_fulfilled",
         "ndcg_acctbal_vs_spend",
         "km_survival_customer_churn",
+        "cf_item_neighbors_copurchase",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"

@@ -358,6 +358,137 @@ FROM s
     assert mirror == got
 
 
+# ---------------------------------------------------------------------------
+# Item–item collaborative filtering
+# ---------------------------------------------------------------------------
+
+
+def _cf_reference(rows, k, min_count, cap=None):
+    from collections import defaultdict
+
+    ui = sorted(set(rows))
+    items = defaultdict(set)
+    for u, i in ui:
+        items[i].add(u)
+    freq = {i for i, us in items.items() if len(us) >= min_count}
+    if cap is not None:
+        basket = defaultdict(set)
+        for u, i in ui:
+            if i in freq:
+                basket[u].add(i)
+        ok_users = {u for u, its in basket.items() if len(its) <= cap}
+    else:
+        ok_users = {u for u, _ in ui}
+    eff = defaultdict(set)
+    for u, i in ui:
+        if i in freq and u in ok_users:
+            eff[i].add(u)
+    out = defaultdict(list)
+    for i in freq:
+        for j in freq:
+            if i == j:
+                continue
+            co = len(eff[i] & eff[j])
+            if co == 0:
+                continue
+            cos = round(co / math.sqrt(len(items[i]) * len(items[j])), 6)
+            out[i].append((cos, j, len(items[i]), len(items[j]), co))
+    ranked = {}
+    for i, lst in out.items():
+        lst.sort(key=lambda x: (-x[0], x[1]))
+        for rk, (cos, j, n_i, n_j, co) in enumerate(lst[:k], 1):
+            ranked[(i, j)] = (n_i, n_j, co, cos, rk)
+    return ranked
+
+
+def test_item_item_cf_matches_reference(spark):
+    from telecom_dataengineering_pipeline_spark.operators.market import (
+        item_item_cosine_topk,
+    )
+
+    rows = [
+        (u, i)
+        for u in range(12)
+        for i in ["a", "b", "c", "d", "e"]
+        if (u * 7 + ord(i)) % 3 != 0
+    ] + [(0, "a"), (1, "b")]  # duplicate interactions must collapse
+    df = spark.createDataFrame(rows, "u int, item string")
+    got = {
+        (r["item"], r["neighbor"]): (
+            r["n_item"], r["n_neighbor"], r["n_co"], r["cosine"], r["rk"]
+        )
+        for r in item_item_cosine_topk(df, "u", "item", k=3, min_count=2).collect()
+    }
+    ref = _cf_reference(rows, 3, 2)
+    assert got == ref
+
+
+def test_item_item_cf_min_count_prunes_and_cap_guards(spark):
+    from telecom_dataengineering_pipeline_spark.operators.market import (
+        item_item_cosine_topk,
+    )
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "rare")]
+    df = spark.createDataFrame(rows, "u int, item string")
+    got = item_item_cosine_topk(df, "u", "item", k=5, min_count=2).collect()
+    assert {r["item"] for r in got} == {"a", "b"}  # 'rare' pruned
+    # mega-basket user removed by the cap: no pairs survive
+    mega = [(9, it) for it in ["a", "b", "c"]] + [(1, "a"), (2, "a"), (1, "b"), (2, "b"), (1, "c"), (2, "c")]
+    df2 = spark.createDataFrame(mega, "u int, item string")
+    capped = item_item_cosine_topk(df2, "u", "item", k=5, min_count=2, max_basket_size=2).collect()
+    assert capped == []  # every user's pruned basket is 3 > cap
+    with pytest.raises(ValueError):
+        item_item_cosine_topk(df, "u", "item", k=0)
+
+
+def test_item_item_cf_duckdb_mirror(spark):
+    import duckdb
+
+    from telecom_dataengineering_pipeline_spark.operators.market import (
+        item_item_cosine_topk,
+    )
+
+    rows = [(u, f"i{(u * 3 + p) % 7}") for u in range(15) for p in range(4)]
+    df = spark.createDataFrame(rows, "u int, item string")
+    got = sorted(
+        tuple(r) for r in item_item_cosine_topk(df, "u", "item", k=3, min_count=2).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (u INTEGER, item VARCHAR)")
+    con.execute(
+        "INSERT INTO fixture VALUES " + ", ".join(f"({u}, '{i}')" for u, i in rows)
+    )
+    mirror = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+WITH ui AS (SELECT DISTINCT u, item FROM fixture),
+counts AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM ui GROUP BY 1),
+freq AS (SELECT * FROM counts WHERE n_item >= 2),
+pruned AS (SELECT ui.u, ui.item FROM ui JOIN freq ON freq.item = ui.item),
+pairs AS (
+  SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS n_co
+  FROM pruned a JOIN pruned b ON a.u = b.u AND a.item < b.item
+  GROUP BY 1, 2
+), both_dir AS (
+  SELECT i, j, n_co FROM pairs UNION ALL SELECT j, i, n_co FROM pairs
+), scored AS (
+  SELECT b.i, b.j, ni.n_item, nj.n_item AS n_neighbor, b.n_co,
+         round(CAST(b.n_co AS DOUBLE) / sqrt(CAST(ni.n_item AS DOUBLE) * CAST(nj.n_item AS DOUBLE)), 6) AS cosine
+  FROM both_dir b
+  JOIN freq ni ON ni.item = b.i JOIN freq nj ON nj.item = b.j
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY i ORDER BY cosine DESC, j ASC) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT i AS item, j AS neighbor, n_item, n_neighbor, n_co, cosine, rk
+FROM ranked WHERE rk <= 3
+"""
+        ).fetchall()
+    )
+    assert mirror == got
+
+
 def test_ndcg_single_exchange(spark):
     """Both rankings ride ONE hash exchange on the query key."""
     df = spark.createDataFrame(
