@@ -556,3 +556,64 @@ def hits_scores(
             F.coalesce(F.col("auth_fp"), F.lit(0)).cast("long").alias("auth_fp"),
         )
     )
+
+
+def bfs_hop_distance(
+    edges: DataFrame,
+    source_nodes: Sequence[int],
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from a seed set, bounded
+    by ``max_hops`` — the reachability primitive under the centrality
+    tier (:func:`personalized_pagerank` weighs the neighborhood; this
+    MEASURES it: blast-radius of an incident cell, "within 2 hops of a
+    known-fraud account", influence-radius features for the linkage
+    tier). Directed as given — callers union the reverse edges for
+    undirected graphs.
+
+    Scale shape: the frontier stays SPARSE (the PPR discipline) — round
+    i joins edges against the hop-(i−1) FRONTIER only (never the full
+    distance relation), anti-joins the visited set to keep each node's
+    FIRST (minimal) hop, and nodes outside the i-hop ball never enter
+    any shuffle. The loop runs a fixed ``max_hops`` rounds (iteration
+    count is a query parameter, the engine's iterative-operator
+    contract); an exhausted frontier makes the remaining rounds empty
+    joins. Per-round lazy localCheckpoints keep plan growth linear.
+
+    Determinism: hop counts are exact integers; min-hop is structural
+    (first discovery wins and the anti-join makes discovery exclusive),
+    so the result is set-deterministic regardless of partitioning.
+    Seeds not present in the edge relation are dropped (distance is
+    defined on the graph). Returns (node, hop) with hop 0 for seeds.
+    """
+    if max_hops < 1:
+        raise ValueError("bfs_hop_distance needs max_hops >= 1")
+    sources = list(source_nodes)
+    if not sources:
+        raise ValueError("bfs_hop_distance needs a non-empty seed set")
+    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = (
+        nodes.filter(F.col("node").isin(sources))
+        .select("node", F.lit(0).cast("int").alias("hop"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        reached = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = (
+            reached.join(dist, "node", "left_anti")
+            .select("node", F.lit(h).cast("int").alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionAll(fresh).localCheckpoint(eager=False)
+        frontier = fresh
+    return dist

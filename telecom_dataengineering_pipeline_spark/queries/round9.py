@@ -399,3 +399,56 @@ def cf_item_neighbors_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_item_cosine_topk(
         ui, "u", "item", k=5, min_count=5, max_basket_size=60
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance (operators/graph.py::bfs_hop_distance): the 4-hop
+# reachability ball around the two smallest nodes of the sampled
+# copurchase graph (the ppr_copurchase_seeds construction). Oracle is a
+# bounded recursive CTE with min-hop election.
+# ---------------------------------------------------------------------------
+
+
+def _bfs_oracle() -> str:
+    from .round8 import _COPURCHASE_CTE
+
+    return (
+        _COPURCHASE_CTE
+        + """, edges AS (
+  SELECT u AS src, v AS dst FROM sampled
+  UNION ALL SELECT v AS src, u AS dst FROM sampled
+), seeds AS (
+  SELECT DISTINCT src AS node FROM edges ORDER BY src ASC LIMIT 2
+), walk AS (
+  WITH RECURSIVE w(node, hop) AS (
+    SELECT node, 0 FROM seeds
+    UNION
+    SELECT e.dst, w.hop + 1 FROM w JOIN edges e ON e.src = w.node WHERE w.hop < 4
+  )
+  SELECT node, hop FROM w
+)
+SELECT node, CAST(min(hop) AS INTEGER) AS hop FROM walk GROUP BY node
+"""
+    )
+
+
+@register("bfs_copurchase_radius", oracle=_bfs_oracle(), tags=("graph", "LLM"))
+def bfs_copurchase_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_hop_distance
+    from .round8 import _sampled_copurchase_pairs
+
+    sampled = _sampled_copurchase_pairs(spark, sf_dir)
+    edges = sampled.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(sampled.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    # Deterministic seed discovery: the two smallest node ids (bounded
+    # 2-row collect — the seed set is a query parameter by contract).
+    seeds = [
+        r["src"]
+        for r in edges.select("src")
+        .distinct()
+        .orderBy(F.col("src").asc())
+        .limit(2)
+        .collect()
+    ]
+    return bfs_hop_distance(edges, seeds, max_hops=4)

@@ -143,6 +143,7 @@ def test_new_registrations_inside_driver_window():
         "ndcg_acctbal_vs_spend",
         "km_survival_customer_churn",
         "cf_item_neighbors_copurchase",
+        "bfs_copurchase_radius",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"

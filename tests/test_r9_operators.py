@@ -489,6 +489,89 @@ FROM ranked WHERE rk <= 3
     assert mirror == got
 
 
+# ---------------------------------------------------------------------------
+# BFS hop distance
+# ---------------------------------------------------------------------------
+
+
+def _bfs_reference(edges, seeds, max_hops):
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    nodes = set()
+    for s, d in edges:
+        adj[s].append(d)
+        nodes.add(s)
+        nodes.add(d)
+    dist = {s: 0 for s in seeds if s in nodes}
+    q = deque(dist)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_bfs_matches_reference_and_takes_min_hop(spark):
+    from telecom_dataengineering_pipeline_spark.operators.graph import bfs_hop_distance
+
+    # diamond + chain + disconnected node: node 4 reachable via two paths
+    # (min hop must win), node 9 unreachable, seed 99 not in graph.
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 6), (6, 7), (8, 9)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["hop"] for r in bfs_hop_distance(df, [1, 99], max_hops=3).collect()}
+    assert got == _bfs_reference(edges, [1, 99], 3)
+    assert got[4] == 2 and 6 not in got or got.get(5) == 3
+    assert 9 not in got  # disconnected component never shuffles in
+
+
+def test_bfs_multi_source_and_validation(spark):
+    from telecom_dataengineering_pipeline_spark.operators.graph import bfs_hop_distance
+
+    edges = [(1, 2), (2, 3), (10, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["hop"] for r in bfs_hop_distance(df, [1, 10], max_hops=4).collect()}
+    assert got == _bfs_reference(edges, [1, 10], 4)
+    assert got[3] == 1  # via seed 10, not hop-2 via seed 1
+    with pytest.raises(ValueError):
+        bfs_hop_distance(df, [], max_hops=2)
+    with pytest.raises(ValueError):
+        bfs_hop_distance(df, [1], max_hops=0)
+
+
+def test_bfs_duckdb_recursive_mirror(spark):
+    import duckdb
+
+    from telecom_dataengineering_pipeline_spark.operators.graph import bfs_hop_distance
+
+    edges = [((i * 7 + 1) % 23, (i * 11 + 3) % 23) for i in range(60)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = sorted((r["node"], r["hop"]) for r in bfs_hop_distance(df, [0, 1], max_hops=4).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges (src INTEGER, dst INTEGER)")
+    con.execute("INSERT INTO edges VALUES " + ", ".join(f"({s}, {d})" for s, d in edges))
+    mirror = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+WITH RECURSIVE walk(node, hop) AS (
+  SELECT node, 0 FROM (
+    SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges
+  ) WHERE node IN (0, 1)
+  UNION
+  SELECT e.dst, w.hop + 1 FROM walk w JOIN edges e ON e.src = w.node WHERE w.hop < 4
+)
+SELECT node, CAST(min(hop) AS INTEGER) AS hop FROM walk GROUP BY node
+"""
+        ).fetchall()
+    )
+    assert mirror == got
+
+
 def test_ndcg_single_exchange(spark):
     """Both rankings ride ONE hash exchange on the query key."""
     df = spark.createDataFrame(
