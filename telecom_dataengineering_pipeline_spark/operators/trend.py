@@ -804,3 +804,185 @@ def mann_kendall_trend(
         trend.alias("trend"),
         F.round(F.col("_sen"), 6).alias("sen_slope"),
     )
+
+
+def _hw_fold_sum(terms: "list[str]") -> str:
+    """Left-fold addition text ``((a + b) + c)…`` — both engines must
+    evaluate the same association order for IEEE-identical results."""
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    step_col: str,
+    value_col: str,
+    steps: Sequence[str],
+    period: int,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.3,
+    horizon: int | None = None,
+) -> DataFrame:
+    """Holt–Winters additive triple exponential smoothing — the seasonal
+    completion of the trend tier: :func:`holt_linear` fits level+trend,
+    :func:`seasonal_index` measures a static seasonal profile; HW fits
+    level + trend + an EVOLVING seasonal state and forecasts with all
+    three (the standard short-horizon forecaster for weekly-patterned
+    telemetry).
+
+    Recurrence (t ≥ m, m = ``period``):
+    lₜ = α(xₜ − sₜ₋ₘ) + (1−α)(lₜ₋₁ + bₜ₋₁);
+    bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁;
+    sₜ = γ(xₜ − lₜ) + (1−γ)sₜ₋ₘ.
+    Textbook init off the first two seasons (needs T ≥ 2m):
+    l = mean(season 1), b = (Σseason 2 − Σseason 1)/m², sᵢ = xᵢ − l.
+    Forecast h steps ahead: l_T + h·b_T + s_{T−m+((h−1) mod m)}.
+
+    Scale/determinism shape is :func:`holt_linear`'s: ONE conditional
+    aggregate pivots each key's series to T columns (|keys| result
+    rows), the recurrence unrolls into a per-row scalar column chain
+    (no window over time, no driver loop, no UDF), and every sum in the
+    init is a LEFT-FOLD with the same association order the paired
+    :func:`holt_winters_oracle_sql` emits — IEEE determinism needs
+    identical expression trees. Missing steps contribute 0.
+
+    Returns one row per key and h in 1..``horizon`` (default m):
+    (*key_cols, h, level, trend, seasonal, forecast)."""
+    T = len(steps)
+    m = int(period)
+    if m < 2:
+        raise ValueError("holt_winters_additive needs period >= 2")
+    if T < 2 * m:
+        raise ValueError("holt_winters_additive needs at least two full seasons")
+    hz = m if horizon is None else int(horizon)
+    if hz < 1:
+        raise ValueError("horizon must be >= 1")
+    a, b, g = float(alpha), float(beta), float(gamma)
+    aggs = [
+        F.sum(
+            F.when(F.col(step_col) == F.lit(s), F.col(value_col)).otherwise(F.lit(0))
+        ).alias(f"_x{i}")
+        for i, s in enumerate(steps)
+    ]
+    cur = df.groupBy(*key_cols).agg(*aggs)
+    cur = cur.select(
+        *key_cols, *[F.col(f"_x{i}").cast("double").alias(f"_x{i}") for i in range(T)]
+    )
+    s1 = _hw_fold_sum([f"_x{i}" for i in range(m)])
+    s2 = _hw_fold_sum([f"_x{i}" for i in range(m, 2 * m)])
+    cur = cur.withColumn(f"_l{m-1}", F.expr(f"{s1} / {float(m)!r}")).withColumn(
+        f"_b{m-1}", F.expr(f"({s2} - {s1}) / {float(m * m)!r}")
+    )
+    for i in range(m):
+        cur = cur.withColumn(f"_s{i}", F.col(f"_x{i}") - F.col(f"_l{m-1}"))
+    for t in range(m, T):
+        cur = (
+            cur.withColumn(
+                f"_l{t}",
+                F.lit(a) * (F.col(f"_x{t}") - F.col(f"_s{t-m}"))
+                + F.lit(1.0 - a) * (F.col(f"_l{t-1}") + F.col(f"_b{t-1}")),
+            )
+            .withColumn(
+                f"_b{t}",
+                F.lit(b) * (F.col(f"_l{t}") - F.col(f"_l{t-1}"))
+                + F.lit(1.0 - b) * F.col(f"_b{t-1}"),
+            )
+            .withColumn(
+                f"_s{t}",
+                F.lit(g) * (F.col(f"_x{t}") - F.col(f"_l{t}"))
+                + F.lit(1.0 - g) * F.col(f"_s{t-m}"),
+            )
+        )
+    last_l, last_b = F.col(f"_l{T-1}"), F.col(f"_b{T-1}")
+    fc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(h).cast("int").alias("h"),
+                    F.col(f"_s{T - m + ((h - 1) % m)}").alias("seasonal"),
+                    (
+                        last_l
+                        + F.lit(float(h)) * last_b
+                        + F.col(f"_s{T - m + ((h - 1) % m)}")
+                    ).alias("forecast"),
+                )
+                for h in range(1, hz + 1)
+            ]
+        )
+    ).alias("_fc")
+    return cur.select(
+        *key_cols, last_l.alias("_level"), last_b.alias("_trend"), fc
+    ).select(
+        *key_cols,
+        F.col("_fc.h").alias("h"),
+        F.col("_level").alias("level"),
+        F.col("_trend").alias("trend"),
+        F.col("_fc.seasonal").alias("seasonal"),
+        F.col("_fc.forecast").alias("forecast"),
+    )
+
+
+def holt_winters_oracle_sql(
+    base_cte: str,
+    key_expr: str,
+    step_expr: str,
+    value_expr: str,
+    steps: Sequence[str],
+    period: int,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.3,
+    horizon: int | None = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB mirror of :func:`holt_winters_additive`, generated by the
+    SAME unrolling loop (the holt/cusum/ewma pattern): identical
+    left-fold init sums, identical recurrence shapes, repr-printed
+    coefficient literals. ``base_cte`` must expose (key, step, value)
+    via the given expressions."""
+    T = len(steps)
+    m = int(period)
+    a, b, g = float(alpha), float(beta), float(gamma)
+    hz = m if horizon is None else int(horizon)
+    xs = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN {step_expr} = '{s}' THEN {value_expr} ELSE 0 END), 0) AS DOUBLE) AS _x{i}"
+        for i, s in enumerate(steps)
+    )
+    s1 = _hw_fold_sum([f"_x{i}" for i in range(m)])
+    s2 = _hw_fold_sum([f"_x{i}" for i in range(m, 2 * m)])
+    init_s = ", ".join(f"_x{i} - _l{m-1} AS _s{i}" for i in range(m))
+    ctes = [
+        f"base AS ({base_cte})",
+        f"wide AS (SELECT {key_expr} AS k, {xs} FROM base GROUP BY 1)",
+        f"init AS (SELECT *, {s1} / {float(m)!r} AS _l{m-1}, "
+        f"({s2} - {s1}) / {float(m * m)!r} AS _b{m-1} FROM wide)",
+        f"init_s AS (SELECT *, {init_s} FROM init)",
+    ]
+    prev = "init_s"
+    for t in range(m, T):
+        ctes.append(
+            f"sl{t} AS (SELECT *, {a!r} * (_x{t} - _s{t-m}) + {1.0 - a!r} * (_l{t-1} + _b{t-1}) AS _l{t} FROM {prev})"
+        )
+        ctes.append(
+            f"sb{t} AS (SELECT *, {b!r} * (_l{t} - _l{t-1}) + {1.0 - b!r} * _b{t-1} AS _b{t} FROM sl{t})"
+        )
+        ctes.append(
+            f"ss{t} AS (SELECT *, {g!r} * (_x{t} - _l{t}) + {1.0 - g!r} * _s{t-m} AS _s{t} FROM sb{t})"
+        )
+        prev = f"ss{t}"
+    arms = " ".join(
+        f"WHEN h = {h} THEN _s{T - m + ((h - 1) % m)}" for h in range(1, hz + 1)
+    )
+    hs = ", ".join(str(h) for h in range(1, hz + 1))
+    final = (
+        f"SELECT k, CAST(h AS INTEGER) AS h, round(_l{T-1}, {round_dp}) AS level, "
+        f"round(_b{T-1}, {round_dp}) AS trend, "
+        f"round(CASE {arms} END, {round_dp}) AS seasonal, "
+        f"round(_l{T-1} + CAST(h AS DOUBLE) * _b{T-1} + CASE {arms} END, {round_dp}) AS forecast "
+        f"FROM {prev} CROSS JOIN (SELECT unnest([{hs}]) AS h)"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final

@@ -452,3 +452,53 @@ def bfs_copurchase_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return bfs_hop_distance(edges, seeds, max_hops=4)
+
+
+# ---------------------------------------------------------------------------
+# Holt–Winters additive (operators/trend.py::holt_winters_additive):
+# 7-day-ahead forecast of each event type's daily value over the four
+# complete January weeks (period 7 — weekly seasonality). Oracle
+# GENERATED by the paired holt_winters_oracle_sql (identical left-fold
+# init sums and recurrence chains), the holt/cusum/ewma pattern.
+# ---------------------------------------------------------------------------
+
+_HW_DAYS = [f"{d:02d}" for d in range(1, 29)]
+
+
+def _hw_oracle() -> str:
+    from ..operators.trend import holt_winters_oracle_sql
+
+    inner = holt_winters_oracle_sql(
+        "SELECT event_type, strftime(ts, '%d') AS step, "
+        "CAST(round(value, 2) AS DECIMAL(12,2)) AS val FROM events "
+        "WHERE CAST(strftime(ts, '%d') AS INT) <= 28",
+        "event_type",
+        "step",
+        "val",
+        _HW_DAYS,
+        period=7,
+    )
+    return inner.replace("SELECT k,", "SELECT k AS event_type,", 1)
+
+
+@register("hw_forecast_event_values", oracle=_hw_oracle(), tags=("trend", "forecast"))
+def hw_forecast_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import holt_winters_additive
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("step", F.date_format("ts", "dd"))
+        .filter(F.col("step") <= "28")
+        .select(
+            "event_type", "step", F.round("value", 2).cast("decimal(12,2)").alias("val")
+        )
+    )
+    hw = holt_winters_additive(ev, ["event_type"], "step", "val", _HW_DAYS, period=7)
+    return hw.select(
+        "event_type",
+        "h",
+        F.round("level", 4).alias("level"),
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round("forecast", 4).alias("forecast"),
+    )

@@ -144,6 +144,7 @@ def test_new_registrations_inside_driver_window():
         "km_survival_customer_churn",
         "cf_item_neighbors_copurchase",
         "bfs_copurchase_radius",
+        "hw_forecast_event_values",
     }
     window = list(queries())[:50]
     assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"

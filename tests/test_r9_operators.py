@@ -572,6 +572,109 @@ SELECT node, CAST(min(hop) AS INTEGER) AS hop FROM walk GROUP BY node
     assert mirror == got
 
 
+# ---------------------------------------------------------------------------
+# Holt–Winters additive
+# ---------------------------------------------------------------------------
+
+
+def _hw_reference(xs, m, a, b, g, hz):
+    """Textbook additive HW with the operator's init, plain Python."""
+    l = sum(xs[:m]) / m
+    bb = (sum(xs[m : 2 * m]) - sum(xs[:m])) / (m * m)
+    s = [x - l for x in xs[:m]]
+    for t in range(m, len(xs)):
+        l_new = a * (xs[t] - s[t - m]) + (1 - a) * (l + bb)
+        bb = b * (l_new - l) + (1 - b) * bb
+        l = l_new
+        s.append(g * (xs[t] - l) + (1 - g) * s[t - m])
+    T = len(xs)
+    out = {}
+    for h in range(1, hz + 1):
+        si = s[T - m + ((h - 1) % m)]
+        out[h] = (l, bb, si, l + h * bb + si)
+    return out
+
+
+def test_holt_winters_matches_reference(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import (
+        holt_winters_additive,
+    )
+
+    m = 4
+    steps = [f"{i:02d}" for i in range(12)]
+    # seasonal sawtooth + upward trend
+    xs = [10.0 + 2.0 * t + [5.0, -3.0, 1.0, -2.0][t % m] for t in range(12)]
+    rows = [("k", steps[t], xs[t]) for t in range(12)]
+    df = spark.createDataFrame(rows, "k string, step string, v double")
+    got = {
+        r["h"]: (r["level"], r["trend"], r["seasonal"], r["forecast"])
+        for r in holt_winters_additive(
+            df, ["k"], "step", "v", steps, period=m, alpha=0.5, beta=0.3, gamma=0.3
+        ).collect()
+    }
+    ref = _hw_reference(xs, m, 0.5, 0.3, 0.3, m)
+    assert set(got) == set(ref)
+    for h in ref:
+        for gv, rv in zip(got[h], ref[h]):
+            assert gv == pytest.approx(rv, rel=1e-12)
+    # forecasts must carry the seasonal sawtooth: h=1 (peak phase) above
+    # the pure trend line, h=2 (trough phase) below
+    assert got[1][3] - (got[1][0] + got[1][1]) > 3
+    assert got[2][3] - (got[2][0] + 2 * got[2][1]) < -2
+
+
+def test_holt_winters_validation(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import (
+        holt_winters_additive,
+    )
+
+    df = spark.createDataFrame([("k", "00", 1.0)], "k string, step string, v double")
+    with pytest.raises(ValueError):
+        holt_winters_additive(df, ["k"], "step", "v", ["00"] * 6, period=4)
+    with pytest.raises(ValueError):
+        holt_winters_additive(df, ["k"], "step", "v", ["00"] * 8, period=1)
+    with pytest.raises(ValueError):
+        holt_winters_additive(df, ["k"], "step", "v", ["00"] * 8, period=4, horizon=0)
+
+
+def test_holt_winters_generated_mirror(spark):
+    import duckdb
+
+    from telecom_dataengineering_pipeline_spark.operators.trend import (
+        holt_winters_additive,
+        holt_winters_oracle_sql,
+    )
+
+    m = 3
+    steps = [f"{i:02d}" for i in range(9)]
+    rows = [
+        (k, steps[t], float(((t * 7 + j * 5) % 13) + (1 if t % m == 0 else -1) * 3))
+        for j, k in enumerate(["a", "b"])
+        for t in range(9)
+    ]
+    df = spark.createDataFrame(rows, "k string, step string, v double")
+    hw = holt_winters_additive(df, ["k"], "step", "v", steps, period=m)
+    got = sorted(
+        (
+            r["k"], r["h"],
+            round(r["level"], 4), round(r["trend"], 4),
+            round(r["seasonal"], 4), round(r["forecast"], 4),
+        )
+        for r in hw.collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (k VARCHAR, step VARCHAR, v DOUBLE)")
+    con.execute(
+        "INSERT INTO fixture VALUES "
+        + ", ".join(f"('{k}', '{s}', {v})" for k, s, v in rows)
+    )
+    sql = holt_winters_oracle_sql(
+        "SELECT k, step, v FROM fixture", "k", "step", "v", steps, period=m
+    )
+    mirror = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert mirror == got
+
+
 def test_ndcg_single_exchange(spark):
     """Both rankings ride ONE hash exchange on the query key."""
     df = spark.createDataFrame(
