@@ -580,3 +580,46 @@ def test_join_preflight_counts_only_no_row_join(spark, sf_smoke):
     plan = _physical(spark, "join_preflight_orders_lineitem", sf_smoke)
     # two count aggregates feed the join — row relations never meet
     assert plan.count("HashAggregate") >= 4  # 2 sides x partial+final
+
+
+def test_woe_iv_counts_only_single_scan(spark, sf_smoke):
+    """WOE/IV: one category-keyed count is the only row-grain shuffle;
+    totals ride a window over the cell relation (SinglePartition of
+    |levels| rows), never a re-scan or join."""
+    plan = _physical(spark, "woe_iv_priority_fulfilled", sf_smoke)
+    assert _n_shuffles(plan) == 1
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_km_survival_duration_grain_windows(spark, sf_smoke):
+    """Kaplan-Meier: the segment dim broadcasts; the keyed sort window
+    (risk set + ln-sum + zero flag together) runs over the collapsed
+    duration grain — three exchanges total, none at observation grain
+    twice."""
+    plan = _physical(spark, "km_survival_customer_churn", sf_smoke)
+    assert plan.count("BroadcastHashJoin") == 1
+    assert _n_shuffles(plan) <= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_cf_topk_window_group_limit(spark, sf_smoke):
+    """Item-item CF: the per-item top-k is WindowGroupLimit-pushed
+    (map-side prune before the final window sort); support lookups and
+    the frequent-item prune broadcast; nothing degenerates to a cross
+    product."""
+    plan = _physical(spark, "cf_item_neighbors_copurchase", sf_smoke)
+    assert "WindowGroupLimit" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_holt_winters_pivot_only(spark, sf_smoke):
+    """Holt-Winters: the T-step recurrence is pure per-row scalar
+    arithmetic off ONE conditional-aggregate pivot — no time window, no
+    join, no Python."""
+    plan = _physical(spark, "hw_forecast_event_values", sf_smoke)
+    assert _n_shuffles(plan) == 1
+    assert "Join" not in plan and "Python" not in plan
+    assert "Window" not in plan
+    assert plan.count("FileScan") == 1
