@@ -439,7 +439,9 @@ JOIN freq fc ON fc.item = directed.cons, tot
 """
 
 
-@register("association_rules_copurchase", oracle=_RULES_ORACLE, tags=("LLM", "mining"))
+@register(
+    "association_rules_copurchase", oracle=_RULES_ORACLE, tags=("LLM", "mining"), bench=True
+)
 def association_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.market import association_rules
 
