@@ -986,3 +986,97 @@ def holt_winters_oracle_sql(
         f"FROM {prev} CROSS JOIN (SELECT unnest([{hs}]) AS h)"
     )
     return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+def ccf_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Per-key sample CROSS-correlation function at lags −K..K — the
+    two-series sibling of :func:`acf_profile` that answers "does x LEAD
+    y" (does error volume spike before purchase value drops, does
+    signup volume lead purchase volume by a day): r_k = Σ_t (x_t − x̄)
+    (y_{t+k} − ȳ) / √(Σ(x − x̄)²·Σ(y − ȳ)²), full-series means and
+    denominators (the same taper normalization as the ACF, so
+    |r_k| ≤ 1 and lags are comparable). Positive lag = x leads y.
+
+    Scale shape matches :func:`acf_profile` verbatim: ONE keyed
+    exchange carries the means, both denominators, and all 2K+1 lead
+    columns (the window and the final aggregate share the hash
+    partitioning); the lag axis unstacks from the per-key aggregate
+    row — no self-join per lag, no re-scan.
+
+    Determinism: means are decimal-sum/count divisions; every centered
+    product and square is ROUNDED to 9 dp then decimal-summed; the
+    final ratio is one double expression rounded to 6. ``order_col``
+    must be unique per key (a calendar grain). Returns one row per
+    (key, lag): (*key_cols, lag, n, n_pairs, ccf); ccf NULL when either
+    series is constant or the lag has no pairs."""
+    if max_lag < 1:
+        raise ValueError("ccf_profile needs max_lag >= 1")
+    kcols = [F.col(c) for c in key_cols]
+    wo = Window.partitionBy(*kcols).orderBy(F.col(order_col).asc())
+    wp = Window.partitionBy(*kcols)
+    x = F.col(x_col).cast("decimal(24,6)")
+    y = F.col(y_col).cast("decimal(24,6)")
+    cur = df.select(*kcols, F.col(order_col), x.alias("_x"), y.alias("_y"))
+    cur = (
+        cur.withColumn("_n", F.count(F.lit(1)).over(wp).cast("long"))
+        .withColumn(
+            "_mx", F.sum("_x").over(wp).cast("double") / F.col("_n").cast("double")
+        )
+        .withColumn(
+            "_my", F.sum("_y").over(wp).cast("double") / F.col("_n").cast("double")
+        )
+    )
+    dx = F.col("_x").cast("double") - F.col("_mx")
+    dy = F.col("_y").cast("double") - F.col("_my")
+    cur = cur.withColumn("_dx2", F.round(dx * dx, 9).cast("decimal(28,9)")).withColumn(
+        "_dy2", F.round(dy * dy, 9).cast("decimal(28,9)")
+    )
+    lags = list(range(-max_lag, max_lag + 1))
+    for k in lags:
+        led = F.lead(F.col("_y"), k).over(wo) if k >= 0 else F.lag(
+            F.col("_y"), -k
+        ).over(wo)
+        tag = f"m{-k}" if k < 0 else str(k)
+        cur = cur.withColumn(
+            f"_num{tag}",
+            F.when(
+                led.isNotNull(),
+                F.round(dx * (led.cast("double") - F.col("_my")), 9),
+            ).cast("decimal(28,9)"),
+        )
+    tags = [f"m{-k}" if k < 0 else str(k) for k in lags]
+    agg = cur.groupBy(*kcols).agg(
+        F.max("_n").alias("n"),
+        F.sum("_dx2").alias("_denx"),
+        F.sum("_dy2").alias("_deny"),
+        *[F.sum(f"_num{t}").alias(f"_num{t}") for t in tags],
+        *[F.count(f"_num{t}").cast("long").alias(f"_np{t}") for t in tags],
+    )
+    stacked = agg.select(
+        *key_cols,
+        "n",
+        "_denx",
+        "_deny",
+        F.expr(
+            "stack({}, {})".format(
+                len(lags),
+                ", ".join(
+                    f"CAST({k} AS BIGINT), _np{t}, _num{t}"
+                    for k, t in zip(lags, tags)
+                ),
+            )
+        ).alias("lag", "n_pairs", "_num"),
+    )
+    den = F.sqrt(F.col("_denx").cast("double") * F.col("_deny").cast("double"))
+    ccf = F.when(
+        (F.col("_denx") > 0) & (F.col("_deny") > 0) & (F.col("n_pairs") > 0),
+        F.round(F.col("_num").cast("double") / den, 6),
+    )
+    return stacked.select(*key_cols, "lag", "n", "n_pairs", ccf.alias("ccf"))

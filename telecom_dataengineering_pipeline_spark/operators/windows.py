@@ -422,3 +422,67 @@ def interarrival_profile(
         F.when(F.col("n_gaps") > 1, F.round(std, 6)).alias("std_gap_s"),
         F.when(F.col("n_gaps") > 1, b).alias("burstiness"),
     )
+
+
+def eventually_follows(
+    df: DataFrame,
+    case_col: str,
+    order_col: str,
+    activity_col: str,
+) -> DataFrame:
+    """Eventually-follows matrix over event logs — the process-mining
+    relation under conformance checking: activity A eventually-follows
+    into B within a case iff SOME occurrence of A precedes SOME
+    occurrence of B, i.e. min_order(A) < max_order(B). The long-range
+    complement of the adjacent-transition matrix (Markov transitions
+    count only immediate successors; EF catches "signup … eventually
+    purchase" across any number of intermediate events) and the
+    relation a directly-follows process graph is mined from.
+
+    Scale shape: one (case, activity) map-side-combined aggregate
+    collapses the event grain to the case-activity profile (≤ |A| rows
+    per case); the per-case pair fan-out self-joins THAT relation (|A|²
+    per case, |A| = activity-alphabet size — bounded, never events²);
+    pair support is one further map-side-combined count. No window, no
+    events-grain self-join.
+
+    Determinism: comparisons and counts are exact integers
+    (``order_col`` must be integral and totally ordered — µs epochs in
+    the registered queries; strict `<` keeps simultaneous A/B
+    one-sided); support is one double division rounded to 6. Returns
+    one row per ordered activity pair that co-occurs in ≥1 case:
+    (activity_a, activity_b, n_cases_both, n_follows, support)."""
+    base = df.filter(
+        F.col(case_col).isNotNull()
+        & F.col(order_col).isNotNull()
+        & F.col(activity_col).isNotNull()
+    ).select(
+        F.col(case_col).alias("_case"),
+        F.col(activity_col).alias("_act"),
+        F.col(order_col).cast("long").alias("_t"),
+    )
+    prof = base.groupBy("_case", "_act").agg(
+        F.min("_t").alias("_first"), F.max("_t").alias("_last")
+    )
+    a = prof.select(
+        "_case", F.col("_act").alias("activity_a"), F.col("_first").alias("_fa")
+    )
+    b = prof.select(
+        "_case", F.col("_act").alias("activity_b"), F.col("_last").alias("_lb")
+    )
+    pairs = a.join(b, "_case").filter(F.col("activity_a") != F.col("activity_b"))
+    agg = pairs.groupBy("activity_a", "activity_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cases_both"),
+        F.sum((F.col("_fa") < F.col("_lb")).cast("int"))
+        .cast("long")
+        .alias("n_follows"),
+    )
+    return agg.select(
+        "activity_a",
+        "activity_b",
+        "n_cases_both",
+        "n_follows",
+        F.round(
+            F.col("n_follows").cast("double") / F.col("n_cases_both").cast("double"), 6
+        ).alias("support"),
+    )

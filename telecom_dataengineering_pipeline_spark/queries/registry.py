@@ -109,6 +109,8 @@ DRIVER_ORDER: list[str] = [
     "cf_item_neighbors_copurchase",
     "bfs_copurchase_radius",
     "hw_forecast_event_values",
+    "ccf_event_volume_vs_value",
+    "ef_event_process_matrix",
     # -- fix-up re-entries (VERDICT r6 items 2 & 3): both queries' prior
     #    driver greens were VACUOUS (0 rows at every SF); their literals/
     #    cohorts were fixed this round and they must re-enter the window to

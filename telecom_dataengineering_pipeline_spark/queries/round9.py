@@ -502,3 +502,105 @@ def hw_forecast_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("seasonal", 4).alias("seasonal"),
         F.round("forecast", 4).alias("forecast"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCF (operators/trend.py::ccf_profile): does each event type's daily
+# VOLUME lead its daily VALUE (lags −2..+2)? The two-series sibling of
+# acf_daily_event_value on the same daily grain.
+# ---------------------------------------------------------------------------
+
+_CCF_ORACLE = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS x,
+         sum(CAST(round(value, 2) AS DECIMAL(12,2))) AS y
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT event_type,
+         CAST(x AS DECIMAL(24,6)) AS x, CAST(y AS DECIMAL(24,6)) AS y,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         CAST(sum(CAST(x AS DECIMAL(24,6))) OVER (PARTITION BY event_type) AS DOUBLE)
+           / count(*) OVER (PARTITION BY event_type) AS mx,
+         CAST(sum(CAST(y AS DECIMAL(24,6))) OVER (PARTITION BY event_type) AS DOUBLE)
+           / count(*) OVER (PARTITION BY event_type) AS my,
+         lag(CAST(y AS DECIMAL(24,6)), 2) OVER w AS lm2,
+         lag(CAST(y AS DECIMAL(24,6)), 1) OVER w AS lm1,
+         lead(CAST(y AS DECIMAL(24,6)), 1) OVER w AS lp1,
+         lead(CAST(y AS DECIMAL(24,6)), 2) OVER w AS lp2
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), agg AS (
+  SELECT event_type, max(n) AS n,
+    sum(CAST(round((CAST(x AS DOUBLE) - mx) * (CAST(x AS DOUBLE) - mx), 9) AS DECIMAL(28,9))) AS denx,
+    sum(CAST(round((CAST(y AS DOUBLE) - my) * (CAST(y AS DOUBLE) - my), 9) AS DECIMAL(28,9))) AS deny,
+    sum(CASE WHEN lm2 IS NOT NULL THEN CAST(round((CAST(x AS DOUBLE) - mx) * (CAST(lm2 AS DOUBLE) - my), 9) AS DECIMAL(28,9)) END) AS numm2,
+    sum(CASE WHEN lm1 IS NOT NULL THEN CAST(round((CAST(x AS DOUBLE) - mx) * (CAST(lm1 AS DOUBLE) - my), 9) AS DECIMAL(28,9)) END) AS numm1,
+    sum(CASE WHEN y IS NOT NULL THEN CAST(round((CAST(x AS DOUBLE) - mx) * (CAST(y AS DOUBLE) - my), 9) AS DECIMAL(28,9)) END) AS num0,
+    sum(CASE WHEN lp1 IS NOT NULL THEN CAST(round((CAST(x AS DOUBLE) - mx) * (CAST(lp1 AS DOUBLE) - my), 9) AS DECIMAL(28,9)) END) AS nump1,
+    sum(CASE WHEN lp2 IS NOT NULL THEN CAST(round((CAST(x AS DOUBLE) - mx) * (CAST(lp2 AS DOUBLE) - my), 9) AS DECIMAL(28,9)) END) AS nump2,
+    count(lm2) AS npm2, count(lm1) AS npm1, count(y) AS np0,
+    count(lp1) AS npp1, count(lp2) AS npp2
+  FROM base GROUP BY event_type
+)
+SELECT event_type, lag, CAST(n AS BIGINT) AS n, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CASE WHEN denx > 0 AND deny > 0 AND n_pairs > 0
+            THEN round(CAST(num AS DOUBLE)
+                 / sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 6) END AS ccf
+FROM (
+  SELECT event_type, CAST(-2 AS BIGINT) AS lag, n, npm2 AS n_pairs, numm2 AS num, denx, deny FROM agg
+  UNION ALL SELECT event_type, CAST(-1 AS BIGINT), n, npm1, numm1, denx, deny FROM agg
+  UNION ALL SELECT event_type, CAST(0 AS BIGINT), n, np0, num0, denx, deny FROM agg
+  UNION ALL SELECT event_type, CAST(1 AS BIGINT), n, npp1, nump1, denx, deny FROM agg
+  UNION ALL SELECT event_type, CAST(2 AS BIGINT), n, npp2, nump2, denx, deny FROM agg
+)
+"""
+
+
+@register("ccf_event_volume_vs_value", oracle=_CCF_ORACLE, tags=("trend", "A11"))
+def ccf_event_volume_vs_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import ccf_profile
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(F.round("value", 2).cast("decimal(12,2)")).alias("y"),
+        )
+    )
+    return ccf_profile(daily, ["event_type"], "day", "x", "y", max_lag=2)
+
+
+# ---------------------------------------------------------------------------
+# Eventually-follows matrix (operators/windows.py::eventually_follows):
+# the process-mining EF relation over user event logs — which event
+# types eventually lead to which, per user case, on µs epochs.
+# ---------------------------------------------------------------------------
+
+_EF_ORACLE = """
+WITH prof AS (
+  SELECT user_id, event_type,
+         CAST(min(epoch_us(ts)) AS BIGINT) AS f,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS l
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type AS activity_a, b.event_type AS activity_b,
+         CASE WHEN a.f < b.l THEN 1 ELSE 0 END AS fol
+  FROM prof a JOIN prof b ON a.user_id = b.user_id AND a.event_type <> b.event_type
+)
+SELECT activity_a, activity_b,
+       CAST(count(*) AS BIGINT) AS n_cases_both,
+       CAST(sum(fol) AS BIGINT) AS n_follows,
+       round(CAST(sum(fol) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS support
+FROM pairs GROUP BY 1, 2
+"""
+
+
+@register("ef_event_process_matrix", oracle=_EF_ORACLE, tags=("sequence", "W3"))
+def ef_event_process_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import eventually_follows
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_t_us", F.unix_micros("ts")
+    )
+    return eventually_follows(ev, "user_id", "_t_us", "event_type")

@@ -675,6 +675,184 @@ def test_holt_winters_generated_mirror(spark):
     assert mirror == got
 
 
+# ---------------------------------------------------------------------------
+# Cross-correlation profile
+# ---------------------------------------------------------------------------
+
+
+def _ccf_reference(series, K):
+    """series: {key: [(t, x, y), ...]} sorted by t."""
+    out = {}
+    for key, pts in series.items():
+        pts = sorted(pts)
+        xs = [x for _, x, _ in pts]
+        ys = [y for _, _, y in pts]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        denx = sum(round((x - mx) ** 2, 9) for x in xs)
+        deny = sum(round((y - my) ** 2, 9) for y in ys)
+        for k in range(-K, K + 1):
+            num, np_ = 0.0, 0
+            for t in range(n):
+                u = t + k
+                if 0 <= u < n:
+                    num += round((xs[t] - mx) * (ys[u] - my), 9)
+                    np_ += 1
+            if denx > 0 and deny > 0 and np_ > 0:
+                ccf = round(num / math.sqrt(denx * deny), 6)
+            else:
+                ccf = None
+            out[(key, k)] = (n, np_, ccf)
+    return out
+
+
+def test_ccf_matches_reference_and_finds_lead(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import ccf_profile
+
+    # y is x shifted forward by 2 steps (x LEADS y by 2): peak at lag +2
+    xs = [float((i * 7 + 3) % 13) for i in range(20)]
+    ys = [0.0, 0.0] + xs[:-2]
+    rows = [("k", t, xs[t], ys[t]) for t in range(20)]
+    df = spark.createDataFrame(rows, "k string, t int, x double, y double")
+    got = {
+        (r["k"], r["lag"]): (r["n"], r["n_pairs"], r["ccf"])
+        for r in ccf_profile(df, ["k"], "t", "x", "y", max_lag=3).collect()
+    }
+    ref = _ccf_reference({"k": [(t, xs[t], ys[t]) for t in range(20)]}, 3)
+    assert set(got) == set(ref)
+    for key in ref:
+        assert got[key][0] == ref[key][0] and got[key][1] == ref[key][1]
+        if ref[key][2] is None:
+            assert got[key][2] is None
+        else:
+            assert got[key][2] == pytest.approx(ref[key][2], abs=1e-6)
+    peak = max((v[2], k[1]) for k, v in got.items() if v[2] is not None)
+    assert peak[1] == 2  # the true lead is recovered
+
+
+def test_ccf_constant_series_null_and_validation(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import ccf_profile
+
+    df = spark.createDataFrame(
+        [("k", t, 5.0, float(t)) for t in range(6)], "k string, t int, x double, y double"
+    )
+    got = ccf_profile(df, ["k"], "t", "x", "y", max_lag=1).collect()
+    assert all(r["ccf"] is None for r in got)  # constant x
+    with pytest.raises(ValueError):
+        ccf_profile(df, ["k"], "t", "x", "y", max_lag=0)
+
+
+def test_ccf_single_exchange(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import ccf_profile
+
+    df = spark.createDataFrame(
+        [("k", t, float(t % 5), float(t % 3)) for t in range(20)],
+        "k string, t int, x double, y double",
+    )
+    plan = (
+        ccf_profile(df, ["k"], "t", "x", "y", max_lag=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Eventually-follows matrix
+# ---------------------------------------------------------------------------
+
+
+def _ef_reference(rows):
+    from collections import defaultdict
+
+    prof = defaultdict(dict)
+    for c, t, a in rows:
+        f, l = prof[c].get(a, (t, t))
+        prof[c][a] = (min(f, t), max(l, t))
+    out = defaultdict(lambda: [0, 0])
+    for c, acts in prof.items():
+        for a, (fa, _) in acts.items():
+            for b, (_, lb) in acts.items():
+                if a == b:
+                    continue
+                out[(a, b)][0] += 1
+                if fa < lb:
+                    out[(a, b)][1] += 1
+    return {
+        k: (nb, nf, round(nf / nb, 6)) for k, (nb, nf) in out.items()
+    }
+
+
+def test_eventually_follows_matches_reference(spark):
+    from telecom_dataengineering_pipeline_spark.operators.windows import (
+        eventually_follows,
+    )
+
+    rows = [
+        # case 1: a@1 b@2 c@3 a@4  => a EF b, a EF c, b EF c, b EF a (a@4), ...
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "a"),
+        # case 2: c then a only
+        (2, 1, "c"), (2, 5, "a"),
+        # case 3: simultaneous a/b (strict < means neither follows)
+        (3, 7, "a"), (3, 7, "b"),
+    ]
+    df = spark.createDataFrame(rows, "c int, t int, act string")
+    got = {
+        (r["activity_a"], r["activity_b"]): (
+            r["n_cases_both"], r["n_follows"], r["support"]
+        )
+        for r in eventually_follows(df, "c", "t", "act").collect()
+    }
+    assert got == _ef_reference(rows)
+    assert got[("a", "b")] == (2, 1, 0.5)  # case 3 tie does NOT count
+    assert got[("c", "a")][1] == 2  # both cases with c then a
+
+
+def test_eventually_follows_duckdb_mirror(spark):
+    import duckdb
+
+    from telecom_dataengineering_pipeline_spark.operators.windows import (
+        eventually_follows,
+    )
+
+    rows = [
+        (u % 9, (u * 13 + i * 5) % 40, "abcde"[(u + i) % 5])
+        for u in range(25)
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "c int, t int, act string")
+    got = sorted(tuple(r) for r in eventually_follows(df, "c", "t", "act").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (c INTEGER, t INTEGER, act VARCHAR)")
+    con.execute(
+        "INSERT INTO fixture VALUES "
+        + ", ".join(f"({c}, {t}, '{a}')" for c, t, a in rows)
+    )
+    mirror = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+WITH prof AS (
+  SELECT c, act, CAST(min(t) AS BIGINT) AS f, CAST(max(t) AS BIGINT) AS l
+  FROM fixture GROUP BY 1, 2
+), pairs AS (
+  SELECT a.act AS activity_a, b.act AS activity_b,
+         CASE WHEN a.f < b.l THEN 1 ELSE 0 END AS fol
+  FROM prof a JOIN prof b ON a.c = b.c AND a.act <> b.act
+)
+SELECT activity_a, activity_b,
+       CAST(count(*) AS BIGINT) AS n_cases_both,
+       CAST(sum(fol) AS BIGINT) AS n_follows,
+       round(CAST(sum(fol) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS support
+FROM pairs GROUP BY 1, 2
+"""
+        ).fetchall()
+    )
+    assert mirror == got
+
+
 def test_ndcg_single_exchange(spark):
     """Both rankings ride ONE hash exchange on the query key."""
     df = spark.createDataFrame(
