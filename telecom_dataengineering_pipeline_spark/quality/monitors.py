@@ -877,3 +877,151 @@ def mutual_information(
         F.round(F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y")), 6),
     )
     return out.select("n", "n_cells", "mi", "h_x", "h_y", nmi.alias("nmi"))
+
+
+def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One-way ANOVA F statistic — does a categorical factor move a
+    numeric measure? The variance-decomposition screen between
+    :func:`chi_squared_drift` (categorical × categorical) and
+    :func:`mutual_information` (dependence strength): F = MS_between /
+    MS_within over the per-level means, with η² = SS_between/SS_total as
+    the effect size (how much of the variance the factor explains).
+
+    Scale shape: one map-side-combined aggregate on the group key is
+    the only row-grain shuffle (n, Σv, Σv² per level as exact DECIMAL
+    sums); SS terms and the F ratio fold over the level relation
+    (|levels| rows, metadata-sized).
+
+    Determinism: per-level SS contributions are fixed-shape doubles
+    from exact sums ROUNDED to 9 then DECIMAL-summed; the final ratios
+    are single double expressions rounded to 6. NULL groups are a real
+    level (``__null__``); NULL values are excluded. Returns one row:
+    (n, k, ss_between, ss_within, df_between, df_within, f_stat,
+    eta_sq); f_stat NULL when df_within = 0 or SS_within = 0 (a
+    perfectly-explained or degenerate layout is its own signal)."""
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    v = F.col(value_col).cast("decimal(24,6)")
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(g.alias("_g"), v.alias("_v"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_v").alias("_s"),
+            F.sum(F.col("_v") * F.col("_v")).alias("_ss"),
+        )
+    )
+    w = Window.partitionBy()
+    cells = (
+        cells.withColumn("_tn", F.sum("_n").over(w).cast("long"))
+        .withColumn("_tsum", F.sum("_s").over(w))
+        .withColumn("_k", F.count(F.lit(1)).over(w).cast("long"))
+    )
+    gm = F.col("_tsum").cast("double") / F.col("_tn").cast("double")
+    mean_g = F.col("_s").cast("double") / F.col("_n").cast("double")
+    ssb_t = F.round(F.col("_n").cast("double") * (mean_g - gm) * (mean_g - gm), 9)
+    ssw_t = F.round(
+        F.col("_ss").cast("double")
+        - F.col("_s").cast("double") * F.col("_s").cast("double")
+        / F.col("_n").cast("double"),
+        9,
+    )
+    agg = cells.groupBy().agg(
+        F.max("_tn").alias("n"),
+        F.max("_k").alias("k"),
+        F.sum(ssb_t.cast("decimal(28,9)")).alias("_ssb"),
+        F.sum(ssw_t.cast("decimal(28,9)")).alias("_ssw"),
+    )
+    ssb = F.col("_ssb").cast("double")
+    ssw = F.col("_ssw").cast("double")
+    dfb = (F.col("k") - 1).cast("long")
+    dfw = (F.col("n") - F.col("k")).cast("long")
+    f_stat = F.when(
+        (dfb > 0) & (dfw > 0) & (ssw > 0),
+        F.round((ssb / dfb.cast("double")) / (ssw / dfw.cast("double")), 6),
+    )
+    eta = F.when(
+        ssb + ssw > 0, F.round(ssb / (ssb + ssw), 6)
+    )
+    return agg.select(
+        "n",
+        "k",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        dfb.alias("df_between"),
+        dfw.alias("df_within"),
+        f_stat.alias("f_stat"),
+        eta.alias("eta_sq"),
+    )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Spearman rank correlation ρ per key — the monotone-association
+    monitor that survives the outliers and nonlinearity Pearson
+    doesn't: Pearson over tie-AVERAGED ranks. The rank trick is
+    :func:`~..operators.features.binary_auc`'s: 2·avg_rank = 2·rank +
+    tie_count − 1 stays INTEGRAL (rank() is the tie group's min rank, a
+    RANGE frame counts its size), and because correlation is invariant
+    to affine rescaling, ρ computed over u = 2r_x, v = 2r_y equals ρ
+    over the averaged ranks — so every accumulated sum (Σu, Σu², Σuv)
+    is an exact DECIMAL of integers and the whole statistic is one
+    fixed-shape double expression cross-engine.
+
+    Scale shape: two sort windows (one per axis) over the SAME key
+    partitioning — one hash exchange, two in-partition sorts — then one
+    map-side-combined aggregate reusing that partitioning. ``key_cols``
+    empty grades one global pair (single partition — eval-sized inputs,
+    same contract as binary_auc).
+
+    Rows with NULL x or y are excluded (complete-case, keeps both rank
+    spaces aligned). Returns (*key_cols, n, rho) with ρ rounded to 6,
+    NULL when either axis is constant (zero rank variance)."""
+    kcols = [F.col(c) for c in key_cols]
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *kcols,
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    wx = Window.partitionBy(*kcols).orderBy(F.col("_x").asc())
+    wxt = wx.rangeBetween(Window.currentRow, Window.currentRow)
+    wy = Window.partitionBy(*kcols).orderBy(F.col("_y").asc())
+    wyt = wy.rangeBetween(Window.currentRow, Window.currentRow)
+    ranked = base.withColumn(
+        "_u",
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxt) - 1)
+        .cast("long")
+        .cast("decimal(24,0)"),
+    ).withColumn(
+        "_v",
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wyt) - 1)
+        .cast("long")
+        .cast("decimal(24,0)"),
+    )
+    agg = ranked.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_u").alias("_su"),
+        F.sum("_v").alias("_sv"),
+        F.sum(F.col("_u") * F.col("_u")).alias("_suu"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_svv"),
+        F.sum(
+            (F.col("_u") * F.col("_v")).cast("decimal(38,0)")
+        ).alias("_suv"),
+    )
+    nd = F.col("n").cast("double")
+    su, sv = F.col("_su").cast("double"), F.col("_sv").cast("double")
+    suu, svv = F.col("_suu").cast("double"), F.col("_svv").cast("double")
+    suv = F.col("_suv").cast("double")
+    varu = nd * suu - su * su
+    varv = nd * svv - sv * sv
+    rho = F.when(
+        (varu > 0) & (varv > 0),
+        F.round((nd * suv - su * sv) / F.sqrt(varu * varv), 6),
+    )
+    return agg.select(*key_cols, "n", rho.alias("rho"))

@@ -1,0 +1,214 @@
+"""Round-8 registration queue: operators built late in round 7 with their
+DuckDB oracle SQL proven cross-engine here — registration next round is a
+paste of these mirrors (the test_r7/r8 pattern)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from telecom_dataengineering_pipeline_spark.quality.monitors import (
+    anova_oneway,
+    spearman_correlation,
+)
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA
+# ---------------------------------------------------------------------------
+
+
+def _anova_reference(rows):
+    from collections import defaultdict
+
+    cells = defaultdict(list)
+    for g, v in rows:
+        if v is None:
+            continue
+        cells["__null__" if g is None else str(g)].append(v)
+    n = sum(len(vs) for vs in cells.values())
+    k = len(cells)
+    gm = sum(sum(vs) for vs in cells.values()) / n
+    ssb = sum(round(len(vs) * (sum(vs) / len(vs) - gm) ** 2, 9) for vs in cells.values())
+    ssw = sum(
+        round(sum(v * v for v in vs) - sum(vs) ** 2 / len(vs), 9)
+        for vs in cells.values()
+    )
+    dfb, dfw = k - 1, n - k
+    f = (
+        round((ssb / dfb) / (ssw / dfw), 6)
+        if dfb > 0 and dfw > 0 and ssw > 0
+        else None
+    )
+    eta = round(ssb / (ssb + ssw), 6) if ssb + ssw > 0 else None
+    return (n, k, round(ssb, 6), round(ssw, 6), dfb, dfw, f, eta)
+
+
+def test_anova_matches_reference(spark):
+    rows = (
+        [("a", 10.0 + i * 0.5) for i in range(8)]
+        + [("b", 20.0 + i * 0.5) for i in range(8)]
+        + [("c", 15.0 + i * 0.25) for i in range(6)]
+        + [(None, 12.0), ("a", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = tuple(anova_oneway(df, "g", "v").collect()[0])
+    ref = _anova_reference(rows)
+    assert got[:6] == ref[:6]
+    assert got[6] == pytest.approx(ref[6], abs=1e-6)
+    assert got[7] == pytest.approx(ref[7], abs=1e-6)
+    assert got[6] > 10  # strongly separated groups
+
+
+def test_anova_degenerate_single_group_null_f(spark):
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    r = anova_oneway(df, "g", "v").collect()[0]
+    assert r["k"] == 1 and r["f_stat"] is None
+
+
+def test_anova_duckdb_mirror(spark):
+    rows = [(f"g{i % 4}", float((i * 7 + 3) % 11) + i * 0.25) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = tuple(anova_oneway(df, "g", "v").collect()[0])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (g VARCHAR, v DOUBLE)")
+    con.execute(
+        "INSERT INTO fixture VALUES " + ", ".join(f"('{g}', {v})" for g, v in rows)
+    )
+    mirror = con.execute(
+        """
+WITH cells AS (
+  SELECT coalesce(g, '__null__') AS g, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(v AS DECIMAL(24,6))) AS s,
+         sum(CAST(v AS DECIMAL(24,6)) * CAST(v AS DECIMAL(24,6))) AS ss
+  FROM fixture WHERE v IS NOT NULL GROUP BY 1
+), t AS (
+  SELECT *, CAST(sum(n) OVER () AS BIGINT) AS tn,
+         sum(s) OVER () AS tsum, CAST(count(*) OVER () AS BIGINT) AS k
+  FROM cells
+), terms AS (
+  SELECT tn, k,
+    CAST(round(CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
+         * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)), 9) AS DECIMAL(28,9)) AS ssb_t,
+    CAST(round(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9) AS DECIMAL(28,9)) AS ssw_t
+  FROM t
+), agg AS (
+  SELECT CAST(max(tn) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k,
+         CAST(sum(ssb_t) AS DOUBLE) AS ssb, CAST(sum(ssw_t) AS DOUBLE) AS ssw
+  FROM terms
+)
+SELECT n, k, round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+       CAST(k - 1 AS BIGINT) AS df_between, CAST(n - k AS BIGINT) AS df_within,
+       CASE WHEN k - 1 > 0 AND n - k > 0 AND ssw > 0
+            THEN round((ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)), 6) END AS f_stat,
+       CASE WHEN ssb + ssw > 0 THEN round(ssb / (ssb + ssw), 6) END AS eta_sq
+FROM agg
+"""
+    ).fetchone()
+    assert tuple(mirror) == got
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation
+# ---------------------------------------------------------------------------
+
+
+def _spearman_reference(pairs):
+    def avg_ranks(vals):
+        s = sorted(range(len(vals)), key=lambda i: vals[i])
+        r = [0.0] * len(vals)
+        i = 0
+        while i < len(s):
+            j = i
+            while j < len(s) and vals[s[j]] == vals[s[i]]:
+                j += 1
+            avg = (i + 1 + j) / 2.0
+            for t in range(i, j):
+                r[s[t]] = avg
+            i = j
+        return r
+
+    xs = [x for x, _ in pairs]
+    ys = [y for _, y in pairs]
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(pairs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    dx = math.sqrt(sum((a - mx) ** 2 for a in rx))
+    dy = math.sqrt(sum((b - my) ** 2 for b in ry))
+    if dx == 0 or dy == 0:
+        return None
+    return round(num / (dx * dy), 6)
+
+
+def test_spearman_matches_reference_with_ties(spark):
+    pairs = [
+        (1.0, 2.0), (2.0, 4.0), (2.0, 3.0), (3.0, 9.0), (4.0, 8.0),
+        (5.0, 8.0), (5.0, 30.0), (7.0, 50.0), (8.0, 40.0),
+    ]
+    df = spark.createDataFrame(pairs, "x double, y double")
+    r = spearman_correlation(df, "x", "y").collect()[0]
+    assert r["n"] == len(pairs)
+    assert r["rho"] == pytest.approx(_spearman_reference(pairs), abs=1e-6)
+
+
+def test_spearman_monotone_nonlinear_is_one_pearson_is_not(spark):
+    from pyspark.sql import functions as F
+
+    # y = x^3: perfectly monotone, nonlinear
+    pairs = [(float(x), float(x) ** 3) for x in range(-5, 6)]
+    df = spark.createDataFrame(pairs, "x double, y double")
+    r = spearman_correlation(df, "x", "y").collect()[0]
+    assert r["rho"] == 1.0
+    pearson = df.agg(F.corr("x", "y")).collect()[0][0]
+    assert pearson < 0.95  # Pearson underrates the monotone relation
+    # constant axis -> NULL
+    const = spark.createDataFrame([(1.0, 2.0), (1.0, 3.0)], "x double, y double")
+    assert spearman_correlation(const, "x", "y").collect()[0]["rho"] is None
+
+
+def test_spearman_keyed_and_duckdb_mirror(spark):
+    rows = [
+        (f"k{i % 3}", float((i * 7 + 1) % 13), float((i * 5 + 2) % 9))
+        for i in range(45)
+    ]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = sorted(tuple(r) for r in spearman_correlation(df, "x", "y", ["k"]).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (k VARCHAR, x DOUBLE, y DOUBLE)")
+    con.execute(
+        "INSERT INTO fixture VALUES "
+        + ", ".join(f"('{k}', {x}, {y})" for k, x, y in rows)
+    )
+    mirror = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+WITH ranked AS (
+  SELECT k,
+    CAST(2 * rank() OVER (PARTITION BY k ORDER BY x ASC)
+         + count(*) OVER (PARTITION BY k, x) - 1 AS DECIMAL(24,0)) AS u,
+    CAST(2 * rank() OVER (PARTITION BY k ORDER BY y ASC)
+         + count(*) OVER (PARTITION BY k, y) - 1 AS DECIMAL(24,0)) AS v
+  FROM fixture WHERE x IS NOT NULL AND y IS NOT NULL
+), agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n,
+         sum(u) AS su, sum(v) AS sv,
+         sum(u * u) AS suu, sum(v * v) AS svv,
+         sum(CAST(u * v AS DECIMAL(38,0))) AS suv
+  FROM ranked GROUP BY 1
+)
+SELECT k, n,
+  CASE WHEN CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) > 0
+        AND CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) > 0
+       THEN round((CAST(n AS DOUBLE) * CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6)
+  END AS rho
+FROM agg
+"""
+        ).fetchall()
+    )
+    assert mirror == got
