@@ -15,7 +15,7 @@ tiling; the join shape is unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.geo import haversine_km
@@ -65,4 +65,98 @@ def proximity_join_km(
         .select(
             F.col("pid").alias("id1"), F.col("qid").alias("id2"), "distance_km"
         )
+    )
+
+
+def grid_cluster_cells(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    cell_deg: float = 1.0,
+    min_pts: int = 2,
+) -> DataFrame:
+    """Grid-based spatial clustering (DBSCAN-lite): dense grid cells
+    (≥ ``min_pts`` points) merge into clusters when 8-adjacent — the
+    coverage-blob detector over :func:`~..functions.geo.grid_density`'s
+    heat map (which towers form one contiguous high-traffic region, not
+    just which cells are hot). The grid plays DBSCAN's ε-neighborhood
+    and the cell count plays minPts; exact density clustering at cell
+    resolution without any pairwise distance step.
+
+    Scale shape: one cell-keyed count (map-side combined) collapses the
+    point grain; adjacency is a 4-direction FORWARD neighbor equi-join
+    of the dense-cell relation against itself (each undirected adjacency
+    generated once — E/NE/N/NW, the canonical-election trick), never a
+    distance join; components form via the O(log n) large-star/small-star
+    rounds of ``llmprep.dedup.connected_dup_groups_star`` over the
+    metadata-sized cell graph.
+
+    Determinism: counts exact; the cluster id is the component's MINIMUM
+    encoded cell id (structural, partition-order-free); cluster_cells /
+    cluster_points fold over the labeled cell relation. Returns one row
+    per dense cell: (cell_lat, cell_lon, n, cluster_id, cluster_cells,
+    cluster_points). Sparse cells (< min_pts) are noise — absent."""
+    if min_pts < 1:
+        raise ValueError("grid_cluster_cells needs min_pts >= 1")
+    from ..functions.geo import grid_cell
+    from ..llmprep.dedup import connected_dup_groups_star
+
+    cell = grid_cell(F.col(lat_col), F.col(lon_col), cell_deg)
+    dense = (
+        df.groupBy(cell.alias("_c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= int(min_pts))
+        .select(
+            F.col("_c.cell_lat").alias("cell_lat"),
+            F.col("_c.cell_lon").alias("cell_lon"),
+            "n",
+        )
+        .localCheckpoint(eager=False)
+    )
+    # Encoded cell id: bijective over the ±90/±180-degree grid at any
+    # cell_deg ≥ 1e-4 (offsets keep both axes positive; the row stride
+    # exceeds the lon range).
+    off, stride = 4_000_000, 10_000_000
+    cid = ((F.col("cell_lat") + off) * stride + (F.col("cell_lon") + off)).cast(
+        "long"
+    )
+    cells = dense.withColumn("_cid", cid)
+    # Forward half of the 8-neighborhood: E, NE, N, NW — each undirected
+    # adjacency is generated exactly once.
+    nbr = F.explode(
+        F.array(
+            F.struct(F.lit(0).alias("di"), F.lit(1).alias("dj")),
+            F.struct(F.lit(1).alias("di"), F.lit(1).alias("dj")),
+            F.struct(F.lit(1).alias("di"), F.lit(0).alias("dj")),
+            F.struct(F.lit(1).alias("di"), F.lit(-1).alias("dj")),
+        )
+    )
+    probes = cells.select(
+        "cell_lat", "cell_lon", "_cid", nbr.alias("_n")
+    ).select(
+        F.col("_cid").alias("doc1"),
+        (
+            (F.col("cell_lat") + F.col("_n.di") + off) * stride
+            + (F.col("cell_lon") + F.col("_n.dj") + off)
+        )
+        .cast("long")
+        .alias("doc2"),
+    )
+    edges = probes.join(
+        cells.select(F.col("_cid").alias("doc2")), "doc2"
+    ).select("doc1", "doc2")
+    labels = connected_dup_groups_star(edges)
+    labeled = cells.join(
+        labels.withColumnRenamed("doc_id", "_cid"), "_cid", "left"
+    ).withColumn(
+        "cluster_id", F.coalesce(F.col("group_id"), F.col("_cid")).cast("long")
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "cell_lat",
+        "cell_lon",
+        "n",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_cells"),
+        F.sum("n").over(w).cast("long").alias("cluster_points"),
     )

@@ -212,3 +212,145 @@ FROM agg
         ).fetchall()
     )
     assert mirror == got
+
+
+# ---------------------------------------------------------------------------
+# Grid-based spatial clustering (DBSCAN-lite)
+# ---------------------------------------------------------------------------
+
+
+def _grid_cluster_reference(points, cell_deg, min_pts):
+    from collections import Counter, defaultdict
+
+    cells = Counter(
+        (math.floor(la / cell_deg), math.floor(lo / cell_deg)) for la, lo in points
+    )
+    dense = {c: n for c, n in cells.items() if n >= min_pts}
+    # union-find over 8-adjacency
+    parent = {c: c for c in dense}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    for (i, j) in dense:
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if (di, dj) != (0, 0) and (i + di, j + dj) in dense:
+                    a, b = find((i, j)), find((i + di, j + dj))
+                    if a != b:
+                        parent[max(a, b)] = min(a, b)
+    comp = defaultdict(list)
+    for c in dense:
+        comp[find(c)].append(c)
+    off, stride = 4_000_000, 10_000_000
+    out = {}
+    for root, members in comp.items():
+        cid = min((i + off) * stride + (j + off) for i, j in members)
+        n_cells = len(members)
+        n_pts = sum(dense[c] for c in members)
+        for c in members:
+            out[c] = (dense[c], cid, n_cells, n_pts)
+    return out
+
+
+def test_grid_cluster_matches_union_find_reference(spark):
+    from telecom_dataengineering_pipeline_spark.operators.spatial import (
+        grid_cluster_cells,
+    )
+
+    # two blobs joined diagonally + an isolated dense cell + noise
+    points = (
+        [(0.5 + 0.01 * i, 0.5) for i in range(4)]           # cell (0,0)
+        + [(1.5, 1.5), (1.6, 1.4)]                            # cell (1,1) diag-adjacent
+        + [(2.5, 2.5), (2.6, 2.4), (2.4, 2.6)]                # cell (2,2) diag chain
+        + [(10.5, 10.5), (10.6, 10.6)]                        # isolated dense cell
+        + [(50.5, 50.5)]                                      # noise: 1 < min_pts
+    )
+    df = spark.createDataFrame(points, "lat double, lon double")
+    got = {
+        (r["cell_lat"], r["cell_lon"]): (
+            r["n"], r["cluster_id"], r["cluster_cells"], r["cluster_points"]
+        )
+        for r in grid_cluster_cells(df, "lat", "lon", cell_deg=1.0, min_pts=2).collect()
+    }
+    ref = _grid_cluster_reference(points, 1.0, 2)
+    assert got == ref
+    # the diagonal chain merged into one 3-cell cluster
+    assert got[(0, 0)][2] == 3 and got[(0, 0)][1] == got[(2, 2)][1]
+    assert got[(10, 10)][2] == 1  # isolated cell is its own cluster
+    assert (50, 50) not in got  # noise dropped
+
+
+def test_grid_cluster_negative_coords_and_validation(spark):
+    from telecom_dataengineering_pipeline_spark.operators.spatial import (
+        grid_cluster_cells,
+    )
+
+    points = [(-0.5, -0.5), (-0.4, -0.6), (0.5, 0.5), (0.4, 0.6)]
+    df = spark.createDataFrame(points, "lat double, lon double")
+    got = {
+        (r["cell_lat"], r["cell_lon"]): r
+        for r in grid_cluster_cells(df, "lat", "lon", cell_deg=1.0, min_pts=2).collect()
+    }
+    ref = _grid_cluster_reference(points, 1.0, 2)
+    assert set(got) == set(ref)
+    # (-1,-1) and (0,0) are diagonal neighbors: one cluster of 2 cells
+    assert got[(-1, -1)]["cluster_id"] == got[(0, 0)]["cluster_id"]
+    with pytest.raises(ValueError):
+        grid_cluster_cells(df, "lat", "lon", min_pts=0)
+
+
+def test_grid_cluster_duckdb_mirror(spark):
+    from telecom_dataengineering_pipeline_spark.operators.spatial import (
+        grid_cluster_cells,
+    )
+
+    points = [
+        (float(((i * 7) % 5) + 0.3 * (i % 3)), float(((i * 11) % 4) + 0.2 * (i % 4)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(points, "lat double, lon double")
+    got = sorted(
+        tuple(r)
+        for r in grid_cluster_cells(df, "lat", "lon", cell_deg=1.0, min_pts=2).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts (lat DOUBLE, lon DOUBLE)")
+    con.execute(
+        "INSERT INTO pts VALUES " + ", ".join(f"({a}, {b})" for a, b in points)
+    )
+    mirror = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+WITH dense AS (
+  SELECT CAST(floor(lat / 1.0) AS BIGINT) AS ci, CAST(floor(lon / 1.0) AS BIGINT) AS cj,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2 HAVING count(*) >= 2
+), ids AS (
+  SELECT ci, cj, n, (ci + 4000000) * 10000000 + (cj + 4000000) AS cid FROM dense
+), edges AS (
+  SELECT a.cid AS u, b.cid AS v
+  FROM ids a JOIN ids b
+    ON abs(a.ci - b.ci) <= 1 AND abs(a.cj - b.cj) <= 1 AND a.cid <> b.cid
+), reach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT cid, cid FROM ids
+    UNION
+    SELECT e.v, r.root FROM r JOIN edges e ON e.u = r.node
+  )
+  SELECT node, min(root) AS cluster_id FROM r GROUP BY node
+), labeled AS (
+  SELECT i.ci, i.cj, i.n, reach.cluster_id FROM ids i JOIN reach ON reach.node = i.cid
+)
+SELECT ci AS cell_lat, cj AS cell_lon, n, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_cells,
+       CAST(sum(n) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_points
+FROM labeled
+"""
+        ).fetchall()
+    )
+    assert mirror == got
