@@ -354,3 +354,87 @@ FROM labeled
         ).fetchall()
     )
     assert mirror == got
+
+
+# ---------------------------------------------------------------------------
+# Property-based parity: randomized censoring patterns and tie layouts
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_km_obs = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=0, max_value=1),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=_km_obs)
+def test_kaplan_meier_random_censoring_matches_reference(spark, rows):
+    from telecom_dataengineering_pipeline_spark.operators.survival import kaplan_meier
+
+    df = spark.createDataFrame(rows, "k string, dur int, ev int")
+    got = {
+        (r["k"], r["duration"]): (r["n_risk"], r["n_event"], r["n_censored"], r["survival"])
+        for r in kaplan_meier(df, "dur", "ev", ["k"]).collect()
+    }
+    # plain-Python product-limit (true product; operator uses the rounded
+    # ln chain, so compare at 1e-5)
+    from collections import defaultdict
+
+    obs = defaultdict(list)
+    for k, d, e in rows:
+        obs[k].append((d, e))
+    for k, lst in obs.items():
+        durations = sorted({d for d, _ in lst})
+        total, removed, s, dead = len(lst), 0, 1.0, False
+        for t in durations:
+            d_i = sum(1 for dd, e in lst if dd == t and e == 1)
+            c_i = sum(1 for dd, e in lst if dd == t and e == 0)
+            n_i = total - removed
+            if d_i == n_i:
+                dead = True
+                s = 0.0
+            elif not dead:
+                s *= 1.0 - d_i / n_i
+            gn, gd, gc, gs = got[(k, t)]
+            assert (gn, gd, gc) == (n_i, d_i, c_i)
+            assert gs == pytest.approx(0.0 if dead else s, abs=1e-5)
+            removed += d_i + c_i
+
+
+_sp_pairs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6), st.integers(min_value=0, max_value=6)
+    ),
+    min_size=3,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(pairs=_sp_pairs)
+def test_spearman_random_ties_match_reference(spark, pairs):
+    fp = [(float(x), float(y)) for x, y in pairs]
+    df = spark.createDataFrame(fp, "x double, y double")
+    r = spearman_correlation(df, "x", "y").collect()[0]
+    ref = _spearman_reference(fp)
+    assert r["n"] == len(fp)
+    if ref is None:
+        assert r["rho"] is None
+    else:
+        assert r["rho"] == pytest.approx(ref, abs=1e-6)
