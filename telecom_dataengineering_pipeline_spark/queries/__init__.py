@@ -22,5 +22,6 @@ from . import mining  # noqa: F401
 from . import round7  # noqa: F401
 from . import round8  # noqa: F401
 from . import round9  # noqa: F401
+from . import round10  # noqa: F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracle_sql"]

@@ -117,6 +117,14 @@ DRIVER_ORDER: list[str] = [
     #    earn a non-empty row. The rotation test exempts them by name.
     "national_market_share",
     "lapsed_users",
+    # -- round-7 session-4 additions: registered AFTER the 50-slot r7
+    #    window filled (48 new + 2 fix-ups above) — they sit just outside
+    #    it this round, carry local oracle evidence at three SFs, and MUST
+    #    head the round-8 window together with the resumed r3/r4-stale
+    #    rotation.
+    "anova_event_value_by_type",
+    "spearman_acctbal_vs_spend",
+    "spatial_cluster_event_cells",
     # -- stalest driver evidence: last checked in ROUND 3 (all 27
     #    remaining r3 names — the alphabetical tail the r6 window could
     #    not fit).

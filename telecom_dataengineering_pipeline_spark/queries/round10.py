@@ -1,0 +1,195 @@
+"""Round-7 session-4 registrations: the statistics tier built at the tail
+of session 3 promoted to oracle-checked driver queries (one-way ANOVA,
+Spearman rank correlation) plus the grid-based spatial clustering
+(DBSCAN-lite) rollup over synthesized event positions.
+
+Reference parity: extends the reference's monitoring tier
+(``monitoring/pipeline_observability.py``) with the variance-decomposition
+and monotone-association screens its pandas checks stop short of, and the
+coverage-blob detector a telecom RAN team runs over the tower heat map —
+re-expressed as distributed plans under the registry determinism
+conventions (decimal-exact sums, round-then-decimal ratio terms,
+tie-broken windows, matching column names).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (quality/monitors.py::anova_oneway): does event_type move
+# the event value? Values pre-rounded to 2 dp at the query grain (the
+# repo-wide double→decimal safety pattern); the operator's per-level sums
+# are exact DECIMAL(24,6) and the SS terms round-then-decimal at 9 dp, so
+# the F statistic is one fixed-shape double expression cross-engine.
+# ---------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH cells AS (
+  SELECT coalesce(event_type, '__null__') AS g, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(value, 2) AS DECIMAL(24,6))) AS s,
+         sum(CAST(round(value, 2) AS DECIMAL(24,6)) * CAST(round(value, 2) AS DECIMAL(24,6))) AS ss
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), t AS (
+  SELECT *, CAST(sum(n) OVER () AS BIGINT) AS tn,
+         sum(s) OVER () AS tsum, CAST(count(*) OVER () AS BIGINT) AS k
+  FROM cells
+), terms AS (
+  SELECT tn, k,
+    CAST(round(CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
+         * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)), 9) AS DECIMAL(28,9)) AS ssb_t,
+    CAST(round(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9) AS DECIMAL(28,9)) AS ssw_t
+  FROM t
+), agg AS (
+  SELECT CAST(max(tn) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k,
+         CAST(sum(ssb_t) AS DOUBLE) AS ssb, CAST(sum(ssw_t) AS DOUBLE) AS ssw
+  FROM terms
+)
+SELECT n, k, round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+       CAST(k - 1 AS BIGINT) AS df_between, CAST(n - k AS BIGINT) AS df_within,
+       CASE WHEN k - 1 > 0 AND n - k > 0 AND ssw > 0
+            THEN round((ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)), 6) END AS f_stat,
+       CASE WHEN ssb + ssw > 0 THEN round(ssb / (ssb + ssw), 6) END AS eta_sq
+FROM agg
+"""
+
+
+@register("anova_event_value_by_type", oracle=_ANOVA_ORACLE, tags=("A11", "DQ"))
+def anova_event_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import anova_oneway
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round("value", 2).cast("double").alias("v")
+    )
+    return anova_oneway(ev, "event_type", "v")
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (quality/monitors.py::spearman_correlation):
+# per nation, does a customer's account balance track their total spend?
+# Whole-dollar spend keeps the y-axis ranks exact; the doubled-rank trick
+# (2·avg_rank = 2·rank + tie_count − 1) keeps every accumulated sum an
+# exact DECIMAL of integers, so ρ is one fixed-shape double cross-engine.
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = """
+WITH base AS (
+  SELECT n.n_name, c.c_custkey,
+         CAST(max(c.c_acctbal) AS DOUBLE) AS x,
+         CAST(sum(CAST(round(o.o_totalprice, 0) AS DECIMAL(18,0))) AS DOUBLE) AS y
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT n_name,
+    CAST(2 * rank() OVER (PARTITION BY n_name ORDER BY x ASC)
+         + count(*) OVER (PARTITION BY n_name, x) - 1 AS DECIMAL(24,0)) AS u,
+    CAST(2 * rank() OVER (PARTITION BY n_name ORDER BY y ASC)
+         + count(*) OVER (PARTITION BY n_name, y) - 1 AS DECIMAL(24,0)) AS v
+  FROM base WHERE x IS NOT NULL AND y IS NOT NULL
+), agg AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+         sum(u) AS su, sum(v) AS sv,
+         sum(u * u) AS suu, sum(v * v) AS svv,
+         sum(CAST(u * v AS DECIMAL(38,0))) AS suv
+  FROM ranked GROUP BY 1
+)
+SELECT n_name, n,
+  CASE WHEN CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) > 0
+        AND CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) > 0
+       THEN round((CAST(n AS DOUBLE) * CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6)
+  END AS rho
+FROM agg
+"""
+
+
+@register("spearman_acctbal_vs_spend", oracle=_SPEARMAN_ORACLE, tags=("A11", "DQ"))
+def spearman_acctbal_vs_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import spearman_correlation
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), nation.n_nationkey == cust.c_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(
+            F.max("c_acctbal").cast("double").alias("x"),
+            F.sum(F.round("o_totalprice", 0).cast("decimal(18,0)"))
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    return spearman_correlation(base, "x", "y", ["n_name"])
+
+
+# ---------------------------------------------------------------------------
+# Grid-based spatial clustering (operators/spatial.py::grid_cluster_cells)
+# over positions synthesized from event_id (the fixture carries no
+# coordinates — same fixed-formula trick as grid_density_event_cells, with
+# a 60% hot region over 12 cells so dense structure exists at EVERY scale
+# and a quadratic-residue scatter whose cells cross the min_pts line as SF
+# grows). The oracle replays the union-find as a recursive CTE over the
+# metadata-sized dense-cell graph.
+# ---------------------------------------------------------------------------
+
+_SPATIAL_MIN_PTS = 10
+
+_SPATIAL_ORACLE = f"""
+WITH pts AS (
+  SELECT CASE WHEN event_id % 100 < 60
+              THEN (event_id % 300) / 10.0
+              ELSE ((event_id * event_id) % 1800) / 10.0 - 90.0 END AS lat,
+         CASE WHEN event_id % 100 < 60
+              THEN (event_id % 350) / 10.0
+              ELSE ((event_id * 131) % 3600) / 10.0 - 180.0 END AS lon
+  FROM events
+), dense AS (
+  SELECT CAST(floor(lat / 10.0) AS BIGINT) AS ci, CAST(floor(lon / 10.0) AS BIGINT) AS cj,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2 HAVING count(*) >= {_SPATIAL_MIN_PTS}
+), ids AS (
+  SELECT ci, cj, n, (ci + 4000000) * 10000000 + (cj + 4000000) AS cid FROM dense
+), edges AS (
+  SELECT a.cid AS u, b.cid AS v
+  FROM ids a JOIN ids b
+    ON abs(a.ci - b.ci) <= 1 AND abs(a.cj - b.cj) <= 1 AND a.cid <> b.cid
+), reach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT cid, cid FROM ids
+    UNION
+    SELECT e.v, r.root FROM r JOIN edges e ON e.u = r.node
+  )
+  SELECT node, min(root) AS cluster_id FROM r GROUP BY node
+), labeled AS (
+  SELECT i.ci, i.cj, i.n, reach.cluster_id FROM ids i JOIN reach ON reach.node = i.cid
+)
+SELECT ci AS cell_lat, cj AS cell_lon, n, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_cells,
+       CAST(sum(n) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_points
+FROM labeled
+"""
+
+
+@register("spatial_cluster_event_cells", oracle=_SPATIAL_ORACLE, tags=("A1", "geo"))
+def spatial_cluster_event_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import grid_cluster_cells
+
+    hot = F.col("event_id") % 100 < 60
+    pts = load_table(spark, sf_dir, "events").select(
+        F.when(hot, (F.col("event_id") % 300) / F.lit(10.0))
+        .otherwise(((F.col("event_id") * F.col("event_id")) % 1800) / F.lit(10.0) - F.lit(90.0))
+        .alias("lat"),
+        F.when(hot, (F.col("event_id") % 350) / F.lit(10.0))
+        .otherwise(((F.col("event_id") * 131) % 3600) / F.lit(10.0) - F.lit(180.0))
+        .alias("lon"),
+    )
+    return grid_cluster_cells(pts, "lat", "lon", cell_deg=10.0, min_pts=_SPATIAL_MIN_PTS)

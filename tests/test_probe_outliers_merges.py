@@ -159,6 +159,17 @@ def test_new_registrations_inside_driver_window():
     # Fix-up re-entries: previously driver-green but VACUOUSLY (0 rows at
     # every SF) — re-verified non-empty this round (VERDICT r6 items 2-3).
     assert {"national_market_share", "lapsed_users"} <= set(window)
+    # Session-4 additions arrived AFTER the 50-slot window filled: they sit
+    # just outside it (positions 51+), each with an oracle and three-SF
+    # local parity evidence, and must head the round-8 window.
+    s4 = {
+        "anova_event_value_by_type",
+        "spearman_acctbal_vs_spend",
+        "spatial_cluster_event_cells",
+    }
+    after_window = list(queries())[50:53]
+    assert s4 == set(after_window), f"session-4 names not at 51-53: {after_window}"
+    assert s4 <= set(oracle_sql())
 
 
 def test_driver_window_refreshes_stalest_evidence():
