@@ -104,3 +104,113 @@ def kaplan_meier(
         (F.col("_n") - d).cast("long").alias("n_censored"),
         survival.alias("survival"),
     )
+
+
+def log_rank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Log-rank (Mantel–Cox) test: are two groups' survival curves the
+    same? The inference companion to :func:`kaplan_meier` — KM draws the
+    curves, this says whether the gap is noise. At each event time t the
+    observed group-A deaths d_At are compared to the hypergeometric
+    expectation d_t·n_At/n_t given the pooled risk sets;
+    χ² = (ΣO_A − ΣE_A)² / ΣV_t with the standard variance
+    V_t = d_t·(n_At/n_t)·(1 − n_At/n_t)·(n_t − d_t)/(n_t − 1).
+
+    Scale shape: one (group, duration) map-side-combined count collapses
+    the observation grain, a second tiny aggregate pivots the two groups
+    wide per duration, and ONE sort window over the collapsed duration
+    grain (metadata-sized — distinct durations, never observations)
+    builds both risk sets; the χ² folds in a final scalar aggregate.
+
+    Determinism: every n and d is an exact LONG; the E and V terms are
+    fixed-shape doubles of integer ratios ROUNDED to 9 then
+    DECIMAL-summed (the round-then-decimal recipe), so the statistic is
+    bit-identical cross-engine. Durations must be integral; rows outside
+    the two groups or with NULL duration/event are excluded. Returns one
+    row: (n_a, n_b, o_a, e_a, o_b, e_b, var_s, chi_sq); chi_sq NULL when
+    the variance sum is 0 (no comparable event times)."""
+    ga = F.col(group_col) == F.lit(group_a)
+    base = df.filter(
+        (F.col(group_col).isin(group_a, group_b))
+        & F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+    ).select(
+        ga.cast("int").alias("_ga"),
+        F.col(duration_col).cast("long").alias("_t"),
+        F.col(event_col).cast("int").alias("_ev"),
+    )
+    g = base.groupBy("_ga", "_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_ev").cast("long").alias("_d"),
+    )
+    wide = g.groupBy("_t").agg(
+        F.sum(F.when(F.col("_ga") == 1, F.col("_d")).otherwise(0)).cast("long").alias("_d1"),
+        F.sum(F.when(F.col("_ga") == 1, F.col("_n")).otherwise(0)).cast("long").alias("_t1"),
+        F.sum(F.when(F.col("_ga") == 0, F.col("_d")).otherwise(0)).cast("long").alias("_d2"),
+        F.sum(F.when(F.col("_ga") == 0, F.col("_n")).otherwise(0)).cast("long").alias("_t2"),
+    )
+    # Risk sets via right-cumulative over the duration grain: n_g(t) =
+    # total_g − Σ_{u<t} ending_g(u). Single partition over DISTINCT
+    # durations only (calendar-sized), same contract as the series ops.
+    wall = Window.partitionBy()
+    wprev = Window.partitionBy().orderBy(F.col("_t").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = wide.withColumn(
+        "_n1",
+        (F.sum("_t1").over(wall) - F.coalesce(F.sum("_t1").over(wprev), F.lit(0))).cast("long"),
+    ).withColumn(
+        "_n2",
+        (F.sum("_t2").over(wall) - F.coalesce(F.sum("_t2").over(wprev), F.lit(0))).cast("long"),
+    )
+    dt = (F.col("_d1") + F.col("_d2")).cast("long")
+    nt = (F.col("_n1") + F.col("_n2")).cast("long")
+    dtd, ntd = dt.cast("double"), nt.cast("double")
+    n1d, n2d = F.col("_n1").cast("double"), F.col("_n2").cast("double")
+    p1 = n1d / ntd
+    e1_t = F.when(dt > 0, F.round(dtd * p1, 9).cast("decimal(28,9)")).otherwise(
+        F.lit(0).cast("decimal(28,9)")
+    )
+    e2_t = F.when(dt > 0, F.round(dtd * (n2d / ntd), 9).cast("decimal(28,9)")).otherwise(
+        F.lit(0).cast("decimal(28,9)")
+    )
+    v_t = F.when(
+        (dt > 0) & (nt > 1),
+        F.round(
+            dtd * p1 * (F.lit(1.0) - p1) * (ntd - dtd) / (ntd - F.lit(1.0)), 9
+        ).cast("decimal(28,9)"),
+    ).otherwise(F.lit(0).cast("decimal(28,9)"))
+    agg = r.groupBy().agg(
+        F.sum(F.when(F.col("_t1") > 0, F.col("_t1")).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("_t2") > 0, F.col("_t2")).otherwise(0)).cast("long").alias("n_b"),
+        F.sum("_d1").cast("long").alias("o_a"),
+        F.sum("_d2").cast("long").alias("o_b"),
+        F.sum(e1_t).alias("_e1"),
+        F.sum(e2_t).alias("_e2"),
+        F.sum(v_t).alias("_v"),
+    )
+    e1, e2, v = (
+        F.col("_e1").cast("double"),
+        F.col("_e2").cast("double"),
+        F.col("_v").cast("double"),
+    )
+    oa = F.col("o_a").cast("double")
+    chi = F.when(
+        v > 0, F.round((oa - e1) * (oa - e1) / v, 6)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "o_a",
+        F.round(e1, 6).alias("e_a"),
+        "o_b",
+        F.round(e2, 6).alias("e_b"),
+        F.round(v, 6).alias("var_s"),
+        chi.alias("chi_sq"),
+    )

@@ -1025,3 +1025,159 @@ def spearman_correlation(
         F.round((nd * suv - su * sv) / F.sqrt(varu * varv), 6),
     )
     return agg.select(*key_cols, "n", rho.alias("rho"))
+
+
+def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Kruskal–Wallis H test — the rank-based (nonparametric) sibling of
+    :func:`anova_oneway`: does the factor shift the DISTRIBUTION of the
+    measure, judged on ranks so outliers and non-normality can't fake or
+    hide the effect? H = 12/(n(n+1)) Σ R_g²/n_g − 3(n+1) over per-group
+    rank sums, divided by the tie correction
+    C = 1 − Σ(t³−t)/(n³−n).
+
+    Rank trick shared with :func:`spearman_correlation` /
+    ``operators.features.binary_auc``: u = 2·avg_rank = 2·rank +
+    tie_count − 1 stays INTEGRAL, and with R_g = Σu/2 the statistic
+    keeps Σu²/(4n_g) = R_g²/n_g so H = 12/(n(n+1)) · Σ (Σu)²_g/(4n_g) − 3(n+1) — every
+    accumulated sum is an exact DECIMAL of integers (exact while a
+    group's Σu < 2^53, i.e. tens of millions of rows), the per-group
+    terms are fixed-shape doubles rounded to 9 then DECIMAL-summed, and
+    the final H is a single double expression cross-engine.
+
+    Scale shape: ONE global sort window assigns ranks (single
+    partition — the same eval/post-agg-grain contract as binary_auc's
+    global variant: feed it series or evaluation relations, not raw
+    event grain), a lazy lineage cut stops Catalyst re-running the sort
+    into both branches, then the group rank-sums and the tie-size
+    aggregate each reduce map-side and cross-join as 1×1 scalars.
+
+    NULL values are excluded; NULL group is a real ``__null__`` level.
+    Returns one row: (n, k, h_stat, tie_correction, h_adj); h_adj NULL
+    when every value ties (C = 0), h_stat NULL when k < 2."""
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        g.alias("_g"), F.col(value_col).cast("double").alias("_x")
+    )
+    wx = Window.orderBy(F.col("_x").asc())
+    wxt = wx.rangeBetween(Window.currentRow, Window.currentRow)
+    ranked = base.withColumn(
+        "_u",
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxt) - 1)
+        .cast("long")
+        .cast("decimal(24,0)"),
+    ).localCheckpoint(eager=False)
+    per_g = ranked.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_u").cast("decimal(38,0)").alias("_su"),
+    )
+    term = F.round(
+        F.col("_su").cast("double") * F.col("_su").cast("double")
+        / (F.lit(4.0) * F.col("_n").cast("double")),
+        9,
+    ).cast("decimal(28,9)")
+    groups = per_g.groupBy().agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(term).alias("_t"),
+    )
+    # Tie groups share a single u value (same rank, same tie count), so
+    # tie sizes come straight off the ranked relation.
+    ties = (
+        ranked.groupBy("_u")
+        .agg(F.count(F.lit(1)).cast("long").alias("_tsz"))
+        .groupBy()
+        .agg(
+            F.sum(
+                (F.col("_tsz") * F.col("_tsz") * F.col("_tsz") - F.col("_tsz")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("_tie")
+        )
+    )
+    j = groups.crossJoin(ties)
+    nd = F.col("n").cast("double")
+    h = F.when(
+        F.col("k") >= 2,
+        F.lit(12.0) * F.col("_t").cast("double") / (nd * (nd + F.lit(1.0)))
+        - F.lit(3.0) * (nd + F.lit(1.0)),
+    )
+    c = F.when(
+        F.col("n") > 1,
+        F.lit(1.0) - F.col("_tie").cast("double") / (nd * nd * nd - nd),
+    )
+    return j.select(
+        "n",
+        "k",
+        F.round(h, 6).alias("h_stat"),
+        F.round(c, 6).alias("tie_correction"),
+        F.when((c > 0) & h.isNotNull(), F.round(h / c, 6)).alias("h_adj"),
+    )
+
+
+def welch_t_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances) — the focused
+    two-level drilldown under :func:`anova_oneway`: is group A's mean
+    different from group B's, without assuming the two spreads match?
+    t = (m_A − m_B)/√(s²_A/n_A + s²_B/n_B) with the Welch–Satterthwaite
+    degrees of freedom.
+
+    Scale shape: ONE map-side-combined scalar aggregate — six
+    conditional sums (n, Σv, Σv² per side) over DECIMAL-cast values —
+    is the whole plan; no window, no join, no second scan. This is the
+    cheapest monitor in the file and safe at any grain.
+
+    Determinism: the sums are exact DECIMALs; means, variances, t and
+    df are fixed-shape double expressions off those sums, rounded to 6.
+    Rows outside the two groups or with NULL values are excluded.
+    Returns one row: (n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat,
+    df_welch); t/df NULL when either side has n < 2 or both variances
+    are 0."""
+    va = F.col(value_col).cast("decimal(24,6)")
+    ina = (F.col(group_col) == F.lit(group_a)).cast("int")
+    inb = (F.col(group_col) == F.lit(group_b)).cast("int")
+    base = df.filter(
+        F.col(group_col).isin(group_a, group_b) & F.col(value_col).isNotNull()
+    ).select(ina.alias("_a"), inb.alias("_b"), va.alias("_v"))
+    agg = base.groupBy().agg(
+        F.sum("_a").cast("long").alias("n_a"),
+        F.sum("_b").cast("long").alias("n_b"),
+        F.sum(F.when(F.col("_a") == 1, F.col("_v"))).alias("_sa"),
+        F.sum(F.when(F.col("_b") == 1, F.col("_v"))).alias("_sb"),
+        F.sum(F.when(F.col("_a") == 1, F.col("_v") * F.col("_v"))).alias("_ssa"),
+        F.sum(F.when(F.col("_b") == 1, F.col("_v") * F.col("_v"))).alias("_ssb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    ssa, ssb = F.col("_ssa").cast("double"), F.col("_ssb").cast("double")
+    ma, mb = sa / na, sb / nb
+    vara = F.when(F.col("n_a") > 1, (ssa - sa * sa / na) / (na - F.lit(1.0)))
+    varb = F.when(F.col("n_b") > 1, (ssb - sb * sb / nb) / (nb - F.lit(1.0)))
+    se2 = vara / na + varb / nb
+    t = F.when(se2 > 0, F.round((ma - mb) / F.sqrt(se2), 6))
+    dfw = F.when(
+        (se2 > 0) & (F.col("n_a") > 1) & (F.col("n_b") > 1),
+        F.round(
+            se2 * se2
+            / (
+                (vara / na) * (vara / na) / (na - F.lit(1.0))
+                + (varb / nb) * (varb / nb) / (nb - F.lit(1.0))
+            ),
+            6,
+        ),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(vara, 6).alias("var_a"),
+        F.round(varb, 6).alias("var_b"),
+        t.alias("t_stat"),
+        dfw.alias("df_welch"),
+    )

@@ -125,6 +125,9 @@ DRIVER_ORDER: list[str] = [
     "anova_event_value_by_type",
     "spearman_acctbal_vs_spend",
     "spatial_cluster_event_cells",
+    "kw_daily_value_by_type",
+    "welch_purchase_vs_view_value",
+    "logrank_churn_building_vs_auto",
     # -- stalest driver evidence: last checked in ROUND 3 (all 27
     #    remaining r3 names — the alphabetical tail the r6 window could
     #    not fit).

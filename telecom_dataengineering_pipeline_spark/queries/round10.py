@@ -193,3 +193,199 @@ def spatial_cluster_event_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lon"),
     )
     return grid_cluster_cells(pts, "lat", "lon", cell_deg=10.0, min_pts=_SPATIAL_MIN_PTS)
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis (quality/monitors.py::kruskal_wallis): nonparametric twin
+# of the ANOVA query — does event_type shift the DISTRIBUTION of daily
+# value totals, judged on ranks? Runs at the (event_type, day) post-agg
+# grain per the operator's global-sort contract (~600 rows at sf0.1).
+# ---------------------------------------------------------------------------
+
+_KW_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS g,
+         CAST(sum(CAST(round(value, 2) AS DECIMAL(14,2))) AS DOUBLE) AS v
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+), ranked AS (
+  SELECT coalesce(g, '__null__') AS g,
+    CAST(2 * rank() OVER (ORDER BY v ASC) + count(*) OVER (PARTITION BY v) - 1
+         AS DECIMAL(24,0)) AS u
+  FROM daily WHERE v IS NOT NULL
+), per_g AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(u) AS DECIMAL(38,0)) AS su
+  FROM ranked GROUP BY 1
+), groups AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         sum(CAST(round(CAST(su AS DOUBLE) * CAST(su AS DOUBLE)
+             / (4.0 * CAST(n AS DOUBLE)), 9) AS DECIMAL(28,9))) AS t
+  FROM per_g
+), ties AS (
+  SELECT sum(CAST(tsz * tsz * tsz - tsz AS DECIMAL(38,0))) AS tie
+  FROM (SELECT u, CAST(count(*) AS BIGINT) AS tsz FROM ranked GROUP BY 1)
+)
+SELECT n, k,
+  round(CASE WHEN k >= 2 THEN 12.0 * CAST(t AS DOUBLE)
+        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        - 3.0 * (CAST(n AS DOUBLE) + 1.0) END, 6) AS h_stat,
+  round(CASE WHEN n > 1 THEN 1.0 - CAST(tie AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) END, 6)
+    AS tie_correction,
+  CASE WHEN (CASE WHEN n > 1 THEN 1.0 - CAST(tie AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) END) > 0
+        AND k >= 2
+       THEN round((12.0 * CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+             - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+            / (1.0 - CAST(tie AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6)
+  END AS h_adj
+FROM groups CROSS JOIN ties
+"""
+
+
+@register("kw_daily_value_by_type", oracle=_KW_ORACLE, tags=("A11", "DQ"))
+def kw_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import kruskal_wallis
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.sum(F.round("value", 2).cast("decimal(14,2)")).alias("dv"))
+        .select("event_type", F.col("dv").cast("double").alias("v"))
+    )
+    return kruskal_wallis(daily, "event_type", "v")
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (quality/monitors.py::welch_t_test): do purchase events
+# carry a different mean value than view events, without assuming equal
+# spreads? Single map-side-combined scalar aggregate — safe at raw event
+# grain at any scale.
+# ---------------------------------------------------------------------------
+
+_WELCH_ORACLE = """
+WITH base AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b,
+         CAST(round(value, 2) AS DECIMAL(24,6)) AS v
+  FROM events WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+), agg AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
+         sum(CASE WHEN a = 1 THEN v END) AS sa, sum(CASE WHEN b = 1 THEN v END) AS sb,
+         sum(CASE WHEN a = 1 THEN v * v END) AS ssa, sum(CASE WHEN b = 1 THEN v * v END) AS ssb
+  FROM base
+), d AS (
+  SELECT n_a, n_b,
+    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+    CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+    CAST(ssa AS DOUBLE) AS ssad, CAST(ssb AS DOUBLE) AS ssbd
+  FROM agg
+), m AS (
+  SELECT *, sad / nad AS ma, sbd / nbd AS mb,
+    CASE WHEN n_a > 1 THEN (ssad - sad * sad / nad) / (nad - 1.0) END AS vara,
+    CASE WHEN n_b > 1 THEN (ssbd - sbd * sbd / nbd) / (nbd - 1.0) END AS varb
+  FROM d
+)
+SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+  round(vara, 6) AS var_a, round(varb, 6) AS var_b,
+  CASE WHEN vara / nad + varb / nbd > 0
+       THEN round((ma - mb) / sqrt(vara / nad + varb / nbd), 6) END AS t_stat,
+  CASE WHEN vara / nad + varb / nbd > 0 AND n_a > 1 AND n_b > 1
+       THEN round((vara / nad + varb / nbd) * (vara / nad + varb / nbd)
+            / ((vara / nad) * (vara / nad) / (nad - 1.0)
+               + (varb / nbd) * (varb / nbd) / (nbd - 1.0)), 6) END AS df_welch
+FROM m
+"""
+
+
+@register("welch_purchase_vs_view_value", oracle=_WELCH_ORACLE, tags=("A11", "DQ"))
+def welch_purchase_vs_view_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import welch_t_test
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round("value", 2).cast("double").alias("v")
+    )
+    return welch_t_test(ev, "event_type", "v", "purchase", "view")
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test (operators/survival.py::log_rank_test): is the BUILDING
+# segment's churn curve different from AUTOMOBILE's? Same duration/event
+# derivation as km_survival_customer_churn — the inference companion that
+# says whether the two KM curves differ beyond noise.
+# ---------------------------------------------------------------------------
+
+_LOGRANK_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(CAST(max(o_orderdate) AS DATE) - CAST(min(o_orderdate) AS DATE) AS BIGINT) AS dur,
+         CASE WHEN max(o_orderdate) <= TIMESTAMP '2000-10-01 00:00:00' THEN 1 ELSE 0 END AS ev
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ga,
+         cust.dur AS t, cust.ev
+  FROM cust JOIN customer c ON c.c_custkey = cust.o_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+), grp AS (
+  SELECT ga, t, CAST(count(*) AS BIGINT) AS n, CAST(sum(ev) AS BIGINT) AS d
+  FROM base GROUP BY 1, 2
+), wide AS (
+  SELECT t,
+    CAST(sum(CASE WHEN ga = 1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+    CAST(sum(CASE WHEN ga = 1 THEN n ELSE 0 END) AS BIGINT) AS t1,
+    CAST(sum(CASE WHEN ga = 0 THEN d ELSE 0 END) AS BIGINT) AS d2,
+    CAST(sum(CASE WHEN ga = 0 THEN n ELSE 0 END) AS BIGINT) AS t2
+  FROM grp GROUP BY 1
+), r AS (
+  SELECT *,
+    CAST(sum(t1) OVER () - coalesce(sum(t1) OVER (ORDER BY t ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+    CAST(sum(t2) OVER () - coalesce(sum(t2) OVER (ORDER BY t ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n2
+  FROM wide
+), agg AS (
+  SELECT CAST(sum(t1) AS BIGINT) AS n_a, CAST(sum(t2) AS BIGINT) AS n_b,
+    CAST(sum(d1) AS BIGINT) AS o_a, CAST(sum(d2) AS BIGINT) AS o_b,
+    sum(CASE WHEN d1 + d2 > 0 THEN CAST(round(CAST(d1 + d2 AS DOUBLE)
+        * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)), 9) AS DECIMAL(28,9))
+        ELSE CAST(0 AS DECIMAL(28,9)) END) AS e1,
+    sum(CASE WHEN d1 + d2 > 0 THEN CAST(round(CAST(d1 + d2 AS DOUBLE)
+        * (CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)), 9) AS DECIMAL(28,9))
+        ELSE CAST(0 AS DECIMAL(28,9)) END) AS e2,
+    sum(CASE WHEN d1 + d2 > 0 AND n1 + n2 > 1 THEN CAST(round(
+          CAST(d1 + d2 AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+          * (1.0 - CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+          * (CAST(n1 + n2 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE))
+          / (CAST(n1 + n2 AS DOUBLE) - 1.0), 9) AS DECIMAL(28,9))
+        ELSE CAST(0 AS DECIMAL(28,9)) END) AS v
+  FROM r
+)
+SELECT n_a, n_b, o_a, round(CAST(e1 AS DOUBLE), 6) AS e_a,
+       o_b, round(CAST(e2 AS DOUBLE), 6) AS e_b,
+       round(CAST(v AS DOUBLE), 6) AS var_s,
+       CASE WHEN CAST(v AS DOUBLE) > 0
+            THEN round((CAST(o_a AS DOUBLE) - CAST(e1 AS DOUBLE))
+                 * (CAST(o_a AS DOUBLE) - CAST(e1 AS DOUBLE)) / CAST(v AS DOUBLE), 6)
+       END AS chi_sq
+FROM agg
+"""
+
+
+@register("logrank_churn_building_vs_auto", oracle=_LOGRANK_ORACLE, tags=("survival", "A11"))
+def logrank_churn_building_vs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.survival import log_rank_test
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max("o_orderdate").cast("date"), F.min("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("dur"),
+        (F.max("o_orderdate") <= F.lit("2000-10-01 00:00:00").cast("timestamp"))
+        .cast("int")
+        .alias("ev"),
+    )
+    j = obs.join(F.broadcast(cust), obs["o_custkey"] == cust["c_custkey"])
+    return log_rank_test(j, "dur", "ev", "c_mktsegment", "BUILDING", "AUTOMOBILE")

@@ -166,9 +166,12 @@ def test_new_registrations_inside_driver_window():
         "anova_event_value_by_type",
         "spearman_acctbal_vs_spend",
         "spatial_cluster_event_cells",
+        "kw_daily_value_by_type",
+        "welch_purchase_vs_view_value",
+        "logrank_churn_building_vs_auto",
     }
-    after_window = list(queries())[50:53]
-    assert s4 == set(after_window), f"session-4 names not at 51-53: {after_window}"
+    after_window = list(queries())[50 : 50 + len(s4)]
+    assert s4 == set(after_window), f"session-4 names not at 51+: {after_window}"
     assert s4 <= set(oracle_sql())
 
 
