@@ -316,3 +316,210 @@ def binary_auc(
         ),
     )
     return agg.select(*key_cols, "n_pos", "n_neg", auc.alias("auc"))
+
+
+def pr_map_at_k(
+    df: DataFrame,
+    query_cols: Sequence[str],
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Precision@k / Recall@k / AP@k per query — the binary-relevance
+    ranking grades that complete :func:`ndcg_at_k`'s graded view: P@k
+    (how much of the page is relevant, TREC convention: divide by k),
+    R@k (how much of the relevant set the page found), and average
+    precision AP@k = Σ_{i≤k, rel_i} P@i / min(n_rel, k) — the
+    order-sensitive one (macro-averaging AP over queries gives MAP@k).
+
+    Scale shape: ONE query-keyed exchange — ranking, running hit count,
+    and the per-query rollup all ride the same sort window partitioning;
+    nothing re-joins the base relation.
+
+    Determinism: hits and ranks are exact LONGs; each AP term
+    cum_hits_i / i is a fixed-shape double ROUNDED to 9 then
+    DECIMAL-summed; final ratios are single double expressions rounded
+    to 6. ``rel_col`` > 0 marks relevant. Ties break on
+    ``tiebreak_col`` (must be unique within query). NULL score/rel rows
+    are excluded. Returns one row per query: (*query_cols, n_docs,
+    n_rel, hits_at_k, p_at_k, r_at_k, ap_at_k); recall/AP NULL when the
+    query has no relevant docs."""
+    if k < 1:
+        raise ValueError("pr_map_at_k needs k >= 1")
+    qcols = [F.col(c) for c in query_cols]
+    tb = F.col(tiebreak_col) if tiebreak_col else F.col(score_col)
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(rel_col).isNotNull()
+    ).select(
+        *qcols,
+        F.col(score_col).cast("double").alias("_s"),
+        (F.col(rel_col) > 0).cast("long").alias("_r"),
+        tb.alias("_tb"),
+    )
+    w = Window.partitionBy(*qcols).orderBy(F.col("_s").desc(), F.col("_tb").asc())
+    ranked = base.select(
+        *query_cols,
+        "_r",
+        F.row_number().over(w).alias("_rk"),
+        F.sum("_r").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("_cum"),
+    )
+    ap_term = F.when(
+        (F.col("_r") == 1) & (F.col("_rk") <= k),
+        F.round(F.col("_cum").cast("double") / F.col("_rk").cast("double"), 9).cast(
+            "decimal(28,9)"
+        ),
+    ).otherwise(F.lit(0).cast("decimal(28,9)"))
+    agg = ranked.groupBy(*query_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_r").cast("long").alias("n_rel"),
+        F.sum(F.when(F.col("_rk") <= k, F.col("_r")).otherwise(0))
+        .cast("long")
+        .alias("hits_at_k"),
+        F.sum(ap_term).alias("_ap"),
+    )
+    hits = F.col("hits_at_k").cast("double")
+    nrel = F.col("n_rel")
+    denom = F.least(nrel, F.lit(k)).cast("double")
+    return agg.select(
+        *query_cols,
+        "n_docs",
+        "n_rel",
+        "hits_at_k",
+        F.round(hits / F.lit(float(k)), 6).alias("p_at_k"),
+        F.when(nrel > 0, F.round(hits / nrel.cast("double"), 6)).alias("r_at_k"),
+        F.when(nrel > 0, F.round(F.col("_ap").cast("double") / denom, 6)).alias(
+            "ap_at_k"
+        ),
+    )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Decile lift / cumulative-gains table — the campaign-targeting
+    grade: rank the population by a scorer, cut into ``n_buckets``
+    equal slices, and ask how concentrated the positives are in the top
+    slices (lift = slice response rate / base rate; cumulative gain =
+    share of all positives captured so far). The marketing twin of
+    :func:`binary_auc` — AUC grades the whole ordering, lift grades the
+    operating points a campaign actually mails.
+
+    Scale shape: a GLOBAL ntile sort (single partition — the same
+    eval-grain contract as binary_auc's global variant: feed it scored
+    entities, not raw events), then every derived column folds over the
+    bucket grain (``n_buckets`` rows) in one window.
+
+    Determinism: ntile's floor/ceil bucket allocation is the SQL
+    standard one in both engines given a total order — ties break on
+    ``tiebreak_col`` (must be unique); counts are exact LONGs; rates,
+    lift, and gains are fixed-shape doubles rounded to 6.
+    ``label_col`` > 0 marks positives; NULL score/label rows are
+    excluded. Returns one row per bucket: (bucket, n, n_pos, resp_rate,
+    lift, cum_pos, cum_gain); lift/cum_gain NULL when the population
+    has no positives."""
+    if n_buckets < 2:
+        raise ValueError("lift_table needs n_buckets >= 2")
+    tb = F.col(tiebreak_col) if tiebreak_col else F.col(score_col)
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("double").alias("_s"),
+        (F.col(label_col) > 0).cast("long").alias("_y"),
+        tb.alias("_tb"),
+    )
+    w = Window.orderBy(F.col("_s").desc(), F.col("_tb").asc())
+    bucketed = base.select(
+        F.ntile(n_buckets).over(w).cast("long").alias("bucket"), "_y"
+    )
+    g = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("n_pos"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g = (
+        g.withColumn("_tn", F.sum("n").over(wall).cast("long"))
+        .withColumn("_tp", F.sum("n_pos").over(wall).cast("long"))
+        .withColumn("cum_pos", F.sum("n_pos").over(wcum).cast("long"))
+    )
+    nd = F.col("n").cast("double")
+    rate = F.col("n_pos").cast("double") / nd
+    base_rate = F.col("_tp").cast("double") / F.col("_tn").cast("double")
+    return g.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.round(rate, 6).alias("resp_rate"),
+        F.when(F.col("_tp") > 0, F.round(rate / base_rate, 6)).alias("lift"),
+        "cum_pos",
+        F.when(
+            F.col("_tp") > 0,
+            F.round(F.col("cum_pos").cast("double") / F.col("_tp").cast("double"), 6),
+        ).alias("cum_gain"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins — is a probability-scoring model
+    CALIBRATED (when it says 0.7, does the event happen 70% of the
+    time)? Complements rank-order grades (:func:`binary_auc`,
+    :func:`lift_table`, :func:`pr_map_at_k`): a model can rank
+    perfectly yet be wildly miscalibrated, and this is the monitor that
+    sees it. Probabilities bucket into ``n_bins`` equal-width bins;
+    each bin reports predicted mean vs observed frequency and the gap.
+
+    Scale shape: ONE map-side-combined aggregate on the bin key — the
+    bin id is a pure projection, counts/sums reduce before the
+    exchange, and the derived columns fold over the ``n_bins``-row
+    relation. Safe at any grain.
+
+    Determinism: probabilities are DECIMAL(18,6)-cast before summing
+    (feed pre-rounded values per the registry convention); counts are
+    exact; mean/frequency/gap are fixed-shape doubles rounded to 6.
+    ``prob_col`` must lie in [0,1] (values at exactly 1.0 fold into the
+    last bin); ``label_col`` > 0 marks positives; NULL prob/label rows
+    are excluded. Returns one row per non-empty bin: (bin, bin_lo, n,
+    n_pos, mean_prob, frac_pos, gap)."""
+    if n_bins < 2:
+        raise ValueError("calibration_bins needs n_bins >= 2")
+    p = F.col(prob_col).cast("double")
+    base = df.filter(
+        F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.least(
+            F.floor(p * F.lit(float(n_bins))).cast("long"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        F.col(prob_col).cast("decimal(18,6)").alias("_p"),
+        (F.col(label_col) > 0).cast("long").alias("_y"),
+    )
+    g = base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("n_pos"),
+        F.sum("_p").alias("_sp"),
+    )
+    nd = F.col("n").cast("double")
+    mean_p = F.col("_sp").cast("double") / nd
+    frac = F.col("n_pos").cast("double") / nd
+    return g.select(
+        "bin",
+        F.round(F.col("bin").cast("double") / F.lit(float(n_bins)), 6).alias("bin_lo"),
+        "n",
+        "n_pos",
+        F.round(mean_p, 6).alias("mean_prob"),
+        F.round(frac, 6).alias("frac_pos"),
+        F.round(mean_p - frac, 6).alias("gap"),
+    )

@@ -128,6 +128,9 @@ DRIVER_ORDER: list[str] = [
     "kw_daily_value_by_type",
     "welch_purchase_vs_view_value",
     "logrank_churn_building_vs_auto",
+    "pr_at_k_acctbal_vs_spend",
+    "lift_deciles_order_returns",
+    "calibration_discount_returns",
     # -- stalest driver evidence: last checked in ROUND 3 (all 27
     #    remaining r3 names — the alphabetical tail the r6 window could
     #    not fit).

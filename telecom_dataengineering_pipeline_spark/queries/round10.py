@@ -389,3 +389,169 @@ def logrank_churn_building_vs_auto(spark: SparkSession, sf_dir: str) -> DataFram
     )
     j = obs.join(F.broadcast(cust), obs["o_custkey"] == cust["c_custkey"])
     return log_rank_test(j, "dur", "ev", "c_mktsegment", "BUILDING", "AUTOMOBILE")
+
+
+# ---------------------------------------------------------------------------
+# Precision/Recall@k + AP@k (operators/features.py::pr_map_at_k): the
+# binary-relevance twin of ndcg_acctbal_vs_spend — per nation, does
+# ranking customers by account balance surface the top spenders
+# (spend ≥ 2.5M)? Same base relation, binary relevance, k = 10.
+# ---------------------------------------------------------------------------
+
+_PR_AT_K_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(round(o_totalprice, 0) AS DECIMAL(18,0))) AS spend
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT n.n_name, c.c_custkey, CAST(c.c_acctbal AS DOUBLE) AS s,
+         CASE WHEN spend.spend >= 2500000 THEN 1 ELSE 0 END AS rel
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN spend ON spend.o_custkey = c.c_custkey
+), ranked AS (
+  SELECT n_name, rel,
+    CAST(row_number() OVER (PARTITION BY n_name ORDER BY s DESC, c_custkey ASC) AS BIGINT) AS rk,
+    CAST(sum(rel) OVER (PARTITION BY n_name ORDER BY s DESC, c_custkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM base
+), agg AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(rel) AS BIGINT) AS n_rel,
+    CAST(sum(CASE WHEN rk <= 10 THEN rel ELSE 0 END) AS BIGINT) AS hits_at_k,
+    sum(CASE WHEN rel = 1 AND rk <= 10
+        THEN CAST(round(CAST(cum AS DOUBLE) / CAST(rk AS DOUBLE), 9) AS DECIMAL(28,9))
+        ELSE CAST(0 AS DECIMAL(28,9)) END) AS ap
+  FROM ranked GROUP BY 1
+)
+SELECT n_name, n_docs, n_rel, hits_at_k,
+  round(CAST(hits_at_k AS DOUBLE) / 10.0, 6) AS p_at_k,
+  CASE WHEN n_rel > 0 THEN round(CAST(hits_at_k AS DOUBLE) / CAST(n_rel AS DOUBLE), 6) END AS r_at_k,
+  CASE WHEN n_rel > 0 THEN round(CAST(ap AS DOUBLE)
+       / CAST(CASE WHEN n_rel < 10 THEN n_rel ELSE 10 END AS DOUBLE), 6) END AS ap_at_k
+FROM agg
+"""
+
+
+@register("pr_at_k_acctbal_vs_spend", oracle=_PR_AT_K_ORACLE, tags=("feature", "eval"))
+def pr_at_k_acctbal_vs_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import pr_map_at_k
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round("o_totalprice", 0).cast("decimal(18,0)")).alias("spend")
+    )
+    base = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(spend, cust["c_custkey"] == spend["o_custkey"])
+        .select(
+            "n_name",
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("s"),
+            (F.col("spend") >= 2_500_000).cast("int").alias("rel"),
+        )
+    )
+    return pr_map_at_k(base, ["n_name"], "s", "rel", k=10, tiebreak_col="c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Decile lift (operators/features.py::lift_table): rank orders by their
+# max line discount — do returned-line orders concentrate in the deep-
+# discount deciles? Order grain (the scored-entity contract), l_orderkey
+# tie-break.
+# ---------------------------------------------------------------------------
+
+_LIFT_ORACLE = """
+WITH ord AS (
+  SELECT l_orderkey, CAST(max(l_discount) AS DOUBLE) AS s,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS y
+  FROM lineitem GROUP BY 1
+), bucketed AS (
+  SELECT CAST(ntile(10) OVER (ORDER BY s DESC, l_orderkey ASC) AS BIGINT) AS bucket, y
+  FROM ord
+), g AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+  FROM bucketed GROUP BY 1
+), t AS (
+  SELECT *, CAST(sum(n) OVER () AS BIGINT) AS tn, CAST(sum(n_pos) OVER () AS BIGINT) AS tp,
+    CAST(sum(n_pos) OVER (ORDER BY bucket ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+  FROM g
+)
+SELECT bucket, n, n_pos,
+  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS resp_rate,
+  CASE WHEN tp > 0 THEN round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+       / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) END AS lift,
+  cum_pos,
+  CASE WHEN tp > 0 THEN round(CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE), 6) END AS cum_gain
+FROM t
+"""
+
+
+@register("lift_deciles_order_returns", oracle=_LIFT_ORACLE, tags=("feature", "eval"))
+def lift_deciles_order_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import lift_table
+
+    ord_grain = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max("l_discount").cast("double").alias("s"),
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("y"),
+        )
+    )
+    return lift_table(ord_grain, "s", "y", n_buckets=10, tiebreak_col="l_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Calibration bins (operators/features.py::calibration_bins): read each
+# order's mean line discount ×10 as a pseudo-probability of a return —
+# is that "model" calibrated against actual returned lines? The
+# reliability diagram over the same order grain as the lift table.
+# ---------------------------------------------------------------------------
+
+_CALIB_ORACLE = """
+WITH ord AS (
+  SELECT l_orderkey,
+         round(CAST(sum(CAST(round(l_discount, 2) AS DECIMAL(8,2))) AS DOUBLE)
+               * 10.0 / CAST(count(*) AS DOUBLE), 4) AS p,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS y
+  FROM lineitem GROUP BY 1
+), base AS (
+  SELECT CAST(least(CAST(floor(p * 10.0) AS BIGINT), 9) AS BIGINT) AS bin,
+         CAST(p AS DECIMAL(18,6)) AS p, y
+  FROM ord WHERE p IS NOT NULL AND y IS NOT NULL
+), g AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         sum(p) AS sp
+  FROM base GROUP BY 1
+)
+SELECT bin, round(CAST(bin AS DOUBLE) / 10.0, 6) AS bin_lo, n, n_pos,
+  round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_prob,
+  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+  round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
+        - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gap
+FROM g
+"""
+
+
+@register("calibration_discount_returns", oracle=_CALIB_ORACLE, tags=("feature", "eval"))
+def calibration_discount_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import calibration_bins
+
+    ord_grain = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.round("l_discount", 2).cast("decimal(8,2)")).cast("double")
+                * F.lit(10.0)
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("p"),
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("y"),
+        )
+    )
+    return calibration_bins(ord_grain, "p", "y", n_bins=10)

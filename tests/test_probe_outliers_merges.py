@@ -169,6 +169,9 @@ def test_new_registrations_inside_driver_window():
         "kw_daily_value_by_type",
         "welch_purchase_vs_view_value",
         "logrank_churn_building_vs_auto",
+        "pr_at_k_acctbal_vs_spend",
+        "lift_deciles_order_returns",
+        "calibration_discount_returns",
     }
     after_window = list(queries())[50 : 50 + len(s4)]
     assert s4 == set(after_window), f"session-4 names not at 51+: {after_window}"

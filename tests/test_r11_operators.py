@@ -371,3 +371,270 @@ def test_welch_duckdb_mirror(spark):
         "INSERT INTO fixture VALUES " + ", ".join(f"('{g}', {v})" for g, v in rows)
     )
     assert tuple(con.execute(_WELCH_MIRROR).fetchone()) == got
+
+
+# ---------------------------------------------------------------------------
+# Precision/Recall@k + AP@k
+# ---------------------------------------------------------------------------
+
+from telecom_dataengineering_pipeline_spark.operators.features import (  # noqa: E402
+    calibration_bins,
+    lift_table,
+    pr_map_at_k,
+)
+
+
+def _pr_reference(rows, k):
+    """rows: (key, score, rel, tb). Returns {key: (n, n_rel, hits, p, r, ap)}."""
+    from collections import defaultdict
+
+    by_k = defaultdict(list)
+    for key, s, r, tb in rows:
+        if s is None or r is None:
+            continue
+        by_k[key].append((s, 1 if r > 0 else 0, tb))
+    out = {}
+    for key, docs in by_k.items():
+        docs.sort(key=lambda d: (-d[0], d[2]))
+        n, n_rel = len(docs), sum(d[1] for d in docs)
+        hits = sum(d[1] for d in docs[:k])
+        cum, ap = 0, 0.0
+        for i, (_, r, _) in enumerate(docs[:k], start=1):
+            cum += r
+            if r:
+                ap += round(cum / i, 9)
+        out[key] = (
+            n,
+            n_rel,
+            hits,
+            round(hits / k, 6),
+            round(hits / n_rel, 6) if n_rel else None,
+            round(ap / min(n_rel, k), 6) if n_rel else None,
+        )
+    return out
+
+
+_PR_ROWS = [
+    ("q1", 0.9, 1, "a"), ("q1", 0.8, 0, "b"), ("q1", 0.7, 1, "c"),
+    ("q1", 0.6, 0, "d"), ("q1", 0.5, 1, "e"),
+    ("q2", 0.9, 0, "a"), ("q2", 0.8, 0, "b"), ("q2", 0.7, 1, "c"),
+    ("q3", 0.5, 0, "a"), ("q3", 0.4, 0, "b"),  # no relevant docs
+]
+
+
+def test_pr_map_matches_reference(spark):
+    df = spark.createDataFrame(_PR_ROWS, "k string, s double, r int, tb string")
+    got = {
+        r["k"]: (r["n_docs"], r["n_rel"], r["hits_at_k"], r["p_at_k"], r["r_at_k"], r["ap_at_k"])
+        for r in pr_map_at_k(df, ["k"], "s", "r", k=3, tiebreak_col="tb").collect()
+    }
+    assert got == _pr_reference(_PR_ROWS, 3)
+    assert got["q3"][4] is None and got["q3"][5] is None
+
+
+def test_pr_map_perfect_ranking_ap_one(spark):
+    rows = [("q", 1.0 - 0.1 * i, 1 if i < 3 else 0, f"t{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "k string, s double, r int, tb string")
+    r = pr_map_at_k(df, ["k"], "s", "r", k=5, tiebreak_col="tb").collect()[0]
+    assert r["ap_at_k"] == 1.0 and r["r_at_k"] == 1.0 and r["p_at_k"] == 0.6
+
+
+_PR_MIRROR = """
+WITH base AS (
+  SELECT k, s, CASE WHEN r > 0 THEN 1 ELSE 0 END AS rel, tb
+  FROM fixture WHERE s IS NOT NULL AND r IS NOT NULL
+), ranked AS (
+  SELECT k, rel,
+    CAST(row_number() OVER (PARTITION BY k ORDER BY s DESC, tb ASC) AS BIGINT) AS rk,
+    CAST(sum(rel) OVER (PARTITION BY k ORDER BY s DESC, tb ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM base
+), agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(rel) AS BIGINT) AS n_rel,
+    CAST(sum(CASE WHEN rk <= 3 THEN rel ELSE 0 END) AS BIGINT) AS hits_at_k,
+    sum(CASE WHEN rel = 1 AND rk <= 3
+        THEN CAST(round(CAST(cum AS DOUBLE) / CAST(rk AS DOUBLE), 9) AS DECIMAL(28,9))
+        ELSE CAST(0 AS DECIMAL(28,9)) END) AS ap
+  FROM ranked GROUP BY 1
+)
+SELECT k, n_docs, n_rel, hits_at_k,
+  round(CAST(hits_at_k AS DOUBLE) / 3.0, 6) AS p_at_k,
+  CASE WHEN n_rel > 0 THEN round(CAST(hits_at_k AS DOUBLE) / CAST(n_rel AS DOUBLE), 6) END AS r_at_k,
+  CASE WHEN n_rel > 0 THEN round(CAST(ap AS DOUBLE)
+       / CAST(CASE WHEN n_rel < 3 THEN n_rel ELSE 3 END AS DOUBLE), 6) END AS ap_at_k
+FROM agg
+"""
+
+
+def test_pr_map_duckdb_mirror(spark):
+    df = spark.createDataFrame(_PR_ROWS, "k string, s double, r int, tb string")
+    got = sorted(
+        tuple(r)
+        for r in pr_map_at_k(df, ["k"], "s", "r", k=3, tiebreak_col="tb").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (k VARCHAR, s DOUBLE, r INT, tb VARCHAR)")
+    con.execute(
+        "INSERT INTO fixture VALUES "
+        + ", ".join(f"('{k}', {s}, {r}, '{tb}')" for k, s, r, tb in _PR_ROWS)
+    )
+    assert sorted(tuple(r) for r in con.execute(_PR_MIRROR).fetchall()) == got
+
+
+# ---------------------------------------------------------------------------
+# Decile lift / gains
+# ---------------------------------------------------------------------------
+
+
+def _lift_reference(rows, b):
+    """rows: (score, label, tb)."""
+    docs = sorted(((s, 1 if y > 0 else 0, t) for s, y, t in rows), key=lambda d: (-d[0], d[2]))
+    n = len(docs)
+    sizes = [n // b + (1 if i < n % b else 0) for i in range(b)]
+    out, i = {}, 0
+    tp = sum(d[1] for d in docs)
+    cum = 0
+    for bkt, sz in enumerate(sizes, start=1):
+        chunk = docs[i : i + sz]
+        i += sz
+        if not chunk:
+            continue
+        pos = sum(d[1] for d in chunk)
+        cum += pos
+        rate = pos / sz
+        out[bkt] = (
+            sz,
+            pos,
+            round(rate, 6),
+            round(rate / (tp / n), 6) if tp else None,
+            cum,
+            round(cum / tp, 6) if tp else None,
+        )
+    return out
+
+
+def test_lift_matches_reference(spark):
+    rows = [(float(100 - i), 1 if (i * 7) % 3 == 0 and i < 40 else 0, f"t{i:03d}") for i in range(73)]
+    df = spark.createDataFrame(rows, "s double, y int, tb string")
+    got = {
+        r["bucket"]: (r["n"], r["n_pos"], r["resp_rate"], r["lift"], r["cum_pos"], r["cum_gain"])
+        for r in lift_table(df, "s", "y", n_buckets=10, tiebreak_col="tb").collect()
+    }
+    assert got == _lift_reference(rows, 10)
+    # positives concentrated at high scores: top decile lift > 1
+    assert got[1][3] > 1.0 and got[10][5] == 1.0
+
+
+def test_lift_no_positives_nulls(spark):
+    rows = [(float(i), 0, f"t{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "s double, y int, tb string")
+    for r in lift_table(df, "s", "y", n_buckets=4, tiebreak_col="tb").collect():
+        assert r["lift"] is None and r["cum_gain"] is None
+
+
+_LIFT_MIRROR = """
+WITH base AS (
+  SELECT s, CASE WHEN y > 0 THEN 1 ELSE 0 END AS y, tb
+  FROM fixture WHERE s IS NOT NULL AND y IS NOT NULL
+), bucketed AS (
+  SELECT CAST(ntile(10) OVER (ORDER BY s DESC, tb ASC) AS BIGINT) AS bucket, y
+  FROM base
+), g AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+  FROM bucketed GROUP BY 1
+), t AS (
+  SELECT *, CAST(sum(n) OVER () AS BIGINT) AS tn, CAST(sum(n_pos) OVER () AS BIGINT) AS tp,
+    CAST(sum(n_pos) OVER (ORDER BY bucket ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+  FROM g
+)
+SELECT bucket, n, n_pos,
+  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS resp_rate,
+  CASE WHEN tp > 0 THEN round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+       / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) END AS lift,
+  cum_pos,
+  CASE WHEN tp > 0 THEN round(CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE), 6) END AS cum_gain
+FROM t
+"""
+
+
+def test_lift_duckdb_mirror(spark):
+    rows = [(float((i * 17) % 53), 1 if (i * 11) % 4 == 0 else 0, f"t{i:03d}") for i in range(67)]
+    df = spark.createDataFrame(rows, "s double, y int, tb string")
+    got = sorted(
+        tuple(r) for r in lift_table(df, "s", "y", n_buckets=10, tiebreak_col="tb").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (s DOUBLE, y INT, tb VARCHAR)")
+    con.execute(
+        "INSERT INTO fixture VALUES "
+        + ", ".join(f"({s}, {y}, '{t}')" for s, y, t in rows)
+    )
+    assert sorted(tuple(r) for r in con.execute(_LIFT_MIRROR).fetchall()) == got
+
+
+# ---------------------------------------------------------------------------
+# Calibration bins
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_matches_reference(spark):
+    rows = [(round(i / 20, 2), 1 if (i * 3) % 5 < 2 else 0) for i in range(21)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = {
+        r["bin"]: (r["n"], r["n_pos"], r["mean_prob"], r["frac_pos"])
+        for r in calibration_bins(df, "p", "y", n_bins=5).collect()
+    }
+    from collections import defaultdict
+
+    by_b = defaultdict(list)
+    for p, y in rows:
+        by_b[min(int(p * 5), 4)].append((p, 1 if y > 0 else 0))
+    ref = {
+        b: (
+            len(v),
+            sum(y for _, y in v),
+            round(sum(p for p, _ in v) / len(v), 6),
+            round(sum(y for _, y in v) / len(v), 6),
+        )
+        for b, v in by_b.items()
+    }
+    assert got == ref
+
+
+def test_calibration_prob_one_in_last_bin(spark):
+    df = spark.createDataFrame([(1.0, 1), (0.0, 0)], "p double, y int")
+    bins = {r["bin"] for r in calibration_bins(df, "p", "y", n_bins=10).collect()}
+    assert bins == {0, 9}
+
+
+_CALIB_MIRROR = """
+WITH base AS (
+  SELECT CAST(least(CAST(floor(p * 5.0) AS BIGINT), 4) AS BIGINT) AS bin,
+         CAST(p AS DECIMAL(18,6)) AS p,
+         CASE WHEN y > 0 THEN 1 ELSE 0 END AS y
+  FROM fixture WHERE p IS NOT NULL AND y IS NOT NULL
+), g AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         sum(p) AS sp
+  FROM base GROUP BY 1
+)
+SELECT bin, round(CAST(bin AS DOUBLE) / 5.0, 6) AS bin_lo, n, n_pos,
+  round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_prob,
+  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+  round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
+        - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gap
+FROM g
+"""
+
+
+def test_calibration_duckdb_mirror(spark):
+    rows = [(round(((i * 13) % 21) / 20, 2), 1 if (i * 7) % 3 == 0 else 0) for i in range(50)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = sorted(tuple(r) for r in calibration_bins(df, "p", "y", n_bins=5).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (p DOUBLE, y INT)")
+    con.execute(
+        "INSERT INTO fixture VALUES " + ", ".join(f"({p}, {y})" for p, y in rows)
+    )
+    assert sorted(tuple(r) for r in con.execute(_CALIB_MIRROR).fetchall()) == got
