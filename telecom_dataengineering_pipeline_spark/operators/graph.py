@@ -617,3 +617,156 @@ def bfs_hop_distance(
         dist = dist.unionAll(fresh).localCheckpoint(eager=False)
         frontier = fresh
     return dist
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman): do hubs connect to
+    hubs (r > 0) or to the periphery (r < 0)? The one-number structure
+    diagnostic above the per-node centrality tier — telecom co-purchase
+    and interaction graphs are typically disassortative, and a sign
+    flip between snapshots is a data-quality smell in itself. Computed
+    as the Pearson correlation of endpoint degrees over the DIRECTED
+    doubling of the undirected edge set (each edge contributes (dᵤ,dᵥ)
+    and (dᵥ,dᵤ) — the standard symmetric estimator).
+
+    Scale shape: one groupBy counts degrees, two equi-joins decorate
+    the doubled edge list with endpoint degrees (degree relation is
+    node-sized — broadcastable for dimension-scale graphs, shuffle
+    co-partitioned otherwise), and ONE map-side-combined scalar
+    aggregate folds the five sums. No window, no iteration.
+
+    Determinism: input edges are defensively canonicalized
+    (least/greatest + distinct) so a mixed-orientation feed cannot
+    double-count; degrees and all five sums are exact DECIMALs of
+    integers (exact while Σd² < 2³⁸-digit headroom — far past any real
+    graph); r is one fixed-shape double rounded to 6, NULL when either
+    marginal variance is 0 (regular graphs). Returns one row:
+    (n_nodes, n_edges, r_assort)."""
+    und = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("u"),
+            F.greatest(F.col("src"), F.col("dst")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    directed = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    du = deg.select(F.col("node").alias("a"), F.col("deg").alias("_x"))
+    dv = deg.select(F.col("node").alias("b"), F.col("deg").alias("_y"))
+    pairs = directed.join(du, "a").join(dv, "b").select(
+        F.col("_x").cast("decimal(20,0)").alias("_x"),
+        F.col("_y").cast("decimal(20,0)").alias("_y"),
+    )
+    agg = pairs.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("_m"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum((F.col("_x") * F.col("_y")).cast("decimal(38,0)")).alias("_sxy"),
+        F.sum((F.col("_x") * F.col("_x")).cast("decimal(38,0)")).alias("_sxx"),
+        F.sum((F.col("_y") * F.col("_y")).cast("decimal(38,0)")).alias("_syy"),
+    )
+    counts = und.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    nn = deg.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    j = nn.crossJoin(counts).crossJoin(agg)
+    md = F.col("_m").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    varx = md * sxx - sx * sx
+    vary = md * syy - sy * sy
+    r = F.when(
+        (varx > 0) & (vary > 0),
+        F.round((md * sxy - sx * sy) / F.sqrt(varx * vary), 6),
+    )
+    return j.select("n_nodes", "n_edges", r.alias("r_assort"))
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    source_nodes: Sequence[int],
+    max_hops: int = 4,
+) -> DataFrame:
+    """Bounded closeness + harmonic centrality for a seed set — how
+    CENTRAL is each seed, not just what it reaches
+    (:func:`bfs_hop_distance` returns the merged ball; this keeps one
+    distance field PER SEED and folds each into the two standard
+    centrality numbers): closeness = reached/Σd over the ≤``max_hops``
+    ball, harmonic = Σ 1/d (robust to disconnection by construction).
+
+    Scale shape: the labeled frontier ((seed, node) pairs) stays sparse
+    exactly like the BFS it extends — round i joins edges against the
+    hop-(i−1) frontier only, anti-joins the visited relation on the
+    COMPOSITE key, and state is O(|seeds| · ball), a query-parameter
+    bound, never O(|seeds| · V). Fixed ``max_hops`` rounds with lazy
+    per-round localCheckpoints (linear plan growth).
+
+    Determinism: distances are exact structural integers; harmonic
+    terms 1/d round to 9 then DECIMAL-sum; final ratios are fixed-shape
+    doubles rounded to 6. Directed as given — callers union reverse
+    edges for undirected graphs. Returns one row per seed present in
+    the graph: (seed, n_reached, total_hops, closeness, harmonic);
+    closeness NULL when the seed reaches nothing."""
+    if max_hops < 1:
+        raise ValueError("closeness_centrality needs max_hops >= 1")
+    sources = list(source_nodes)
+    if not sources:
+        raise ValueError("closeness_centrality needs a non-empty seed set")
+    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = (
+        nodes.filter(F.col("node").isin(sources))
+        .select(
+            F.col("node").alias("seed"), "node", F.lit(0).cast("int").alias("hop")
+        )
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        reached = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = (
+            reached.join(dist, ["seed", "node"], "left_anti")
+            .select("seed", "node", F.lit(h).cast("int").alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionAll(fresh).localCheckpoint(eager=False)
+        frontier = fresh
+    h_term = F.when(
+        F.col("hop") > 0,
+        F.round(F.lit(1.0) / F.col("hop").cast("double"), 9).cast("decimal(28,9)"),
+    ).otherwise(F.lit(0).cast("decimal(28,9)"))
+    agg = dist.groupBy("seed").agg(
+        F.sum((F.col("hop") > 0).cast("long")).cast("long").alias("n_reached"),
+        F.sum("hop").cast("long").alias("total_hops"),
+        F.sum(h_term).alias("_h"),
+    )
+    return agg.select(
+        "seed",
+        "n_reached",
+        "total_hops",
+        F.when(
+            F.col("total_hops") > 0,
+            F.round(
+                F.col("n_reached").cast("double") / F.col("total_hops").cast("double"),
+                6,
+            ),
+        ).alias("closeness"),
+        F.round(F.col("_h").cast("double"), 6).alias("harmonic"),
+    )

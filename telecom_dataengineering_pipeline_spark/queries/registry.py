@@ -131,6 +131,8 @@ DRIVER_ORDER: list[str] = [
     "pr_at_k_acctbal_vs_spend",
     "lift_deciles_order_returns",
     "calibration_discount_returns",
+    "assortativity_copurchase",
+    "closeness_copurchase_seeds",
     # -- stalest driver evidence: last checked in ROUND 3 (all 27
     #    remaining r3 names — the alphabetical tail the r6 window could
     #    not fit).

@@ -555,3 +555,121 @@ def calibration_discount_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return calibration_bins(ord_grain, "p", "y", n_bins=10)
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (operators/graph.py::degree_assortativity) of the
+# sampled co-purchase graph — do frequently-co-bought parts pair with
+# other hubs or with the long tail? One-number structure diagnostic over
+# the same relation the jaccard/k-core/BFS queries share.
+# ---------------------------------------------------------------------------
+
+
+def _assort_oracle() -> str:
+    from .round8 import _COPURCHASE_CTE
+
+    return (
+        _COPURCHASE_CTE
+        + """, und AS (
+  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM sampled WHERE u <> v
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY 1
+), directed AS (
+  SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und
+), pairs AS (
+  SELECT CAST(da.deg AS DECIMAL(20,0)) AS x, CAST(db.deg AS DECIMAL(20,0)) AS y
+  FROM directed JOIN deg da ON da.node = directed.a JOIN deg db ON db.node = directed.b
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+  FROM pairs
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+  CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        AND CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+       THEN round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+  END AS r_assort
+FROM agg
+"""
+    )
+
+
+@register("assortativity_copurchase", oracle=_assort_oracle(), tags=("graph", "LLM"))
+def assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import degree_assortativity
+    from .round8 import _sampled_copurchase_pairs
+
+    sampled = _sampled_copurchase_pairs(spark, sf_dir)
+    return degree_assortativity(
+        sampled.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Closeness + harmonic centrality (operators/graph.py::
+# closeness_centrality) for the three smallest parts of the sampled
+# co-purchase graph — per-seed labeled BFS folded into the two standard
+# centrality numbers; the per-seed sibling of bfs_copurchase_radius.
+# ---------------------------------------------------------------------------
+
+
+def _closeness_oracle() -> str:
+    from .round8 import _COPURCHASE_CTE
+
+    return (
+        _COPURCHASE_CTE
+        + """, edges AS (
+  SELECT u AS src, v AS dst FROM sampled
+  UNION ALL SELECT v AS src, u AS dst FROM sampled
+), seeds AS (
+  SELECT DISTINCT src AS node FROM edges ORDER BY node ASC LIMIT 3
+), walk AS (
+  WITH RECURSIVE w(seed, node, hop) AS (
+    SELECT node, node, 0 FROM seeds
+    UNION
+    SELECT w.seed, e.dst, w.hop + 1 FROM w JOIN edges e ON e.src = w.node
+    WHERE w.hop < 4
+  )
+  SELECT seed, node, CAST(min(hop) AS INTEGER) AS hop FROM w GROUP BY 1, 2
+)
+SELECT seed,
+  CAST(sum(CASE WHEN hop > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+  CAST(sum(hop) AS BIGINT) AS total_hops,
+  CASE WHEN sum(hop) > 0 THEN round(CAST(sum(CASE WHEN hop > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       / CAST(sum(hop) AS DOUBLE), 6) END AS closeness,
+  round(CAST(sum(CASE WHEN hop > 0
+        THEN CAST(round(1.0 / CAST(hop AS DOUBLE), 9) AS DECIMAL(28,9))
+        ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE), 6) AS harmonic
+FROM walk GROUP BY 1
+"""
+    )
+
+
+@register("closeness_copurchase_seeds", oracle=_closeness_oracle(), tags=("graph", "LLM"))
+def closeness_copurchase_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import closeness_centrality
+    from .round8 import _sampled_copurchase_pairs
+
+    sampled = _sampled_copurchase_pairs(spark, sf_dir)
+    edges = sampled.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(sampled.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    # Deterministic seed discovery: the three smallest node ids (bounded
+    # 3-row collect — the seed set is a query parameter by contract;
+    # DISTINCT before LIMIT per the repeated-minimum gotcha).
+    seeds = [
+        r["src"]
+        for r in edges.select("src")
+        .distinct()
+        .orderBy(F.col("src").asc())
+        .limit(3)
+        .collect()
+    ]
+    return closeness_centrality(edges, seeds, max_hops=4)

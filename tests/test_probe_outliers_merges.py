@@ -172,6 +172,8 @@ def test_new_registrations_inside_driver_window():
         "pr_at_k_acctbal_vs_spend",
         "lift_deciles_order_returns",
         "calibration_discount_returns",
+        "assortativity_copurchase",
+        "closeness_copurchase_seeds",
     }
     after_window = list(queries())[50 : 50 + len(s4)]
     assert s4 == set(after_window), f"session-4 names not at 51+: {after_window}"

@@ -638,3 +638,220 @@ def test_calibration_duckdb_mirror(spark):
         "INSERT INTO fixture VALUES " + ", ".join(f"({p}, {y})" for p, y in rows)
     )
     assert sorted(tuple(r) for r in con.execute(_CALIB_MIRROR).fetchall()) == got
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity
+# ---------------------------------------------------------------------------
+
+from telecom_dataengineering_pipeline_spark.operators.graph import (  # noqa: E402
+    closeness_centrality,
+    degree_assortativity,
+)
+
+
+def _assort_reference(und_edges):
+    from collections import Counter
+
+    deg = Counter()
+    for u, v in und_edges:
+        deg[u] += 1
+        deg[v] += 1
+    xs, ys = [], []
+    for u, v in und_edges:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    varx, vary = m * sxx - sx * sx, m * syy - sy * sy
+    r = (
+        round((m * sxy - sx * sy) / math.sqrt(varx * vary), 6)
+        if varx > 0 and vary > 0
+        else None
+    )
+    return len(deg), len(und_edges), r
+
+
+def test_assortativity_star_is_minus_one(spark):
+    edges = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = degree_assortativity(df).collect()[0]
+    assert (r["n_nodes"], r["n_edges"]) == (6, 5)
+    assert r["r_assort"] == -1.0
+
+
+def test_assortativity_cycle_null(spark):
+    # 2-regular graph: zero degree variance
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert degree_assortativity(df).collect()[0]["r_assort"] is None
+
+
+def test_assortativity_matches_reference_and_orientation_proof(spark):
+    und = [(0, 1), (0, 2), (0, 3), (1, 2), (3, 4), (4, 5), (5, 6), (5, 7), (2, 7)]
+    df = spark.createDataFrame(und, "src long, dst long")
+    got = tuple(degree_assortativity(df).collect()[0])
+    ref = _assort_reference(und)
+    assert got[:2] == ref[:2]
+    assert got[2] == pytest.approx(ref[2], abs=1e-6)
+    # feeding BOTH orientations + duplicates must not change anything
+    noisy = und + [(v, u) for u, v in und] + und[:3]
+    df2 = spark.createDataFrame(noisy, "src long, dst long")
+    assert tuple(degree_assortativity(df2).collect()[0]) == got
+
+
+_ASSORT_MIRROR = """
+WITH und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM fixture WHERE src <> dst
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY 1
+), directed AS (
+  SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und
+), pairs AS (
+  SELECT CAST(da.deg AS DECIMAL(20,0)) AS x, CAST(db.deg AS DECIMAL(20,0)) AS y
+  FROM directed JOIN deg da ON da.node = directed.a JOIN deg db ON db.node = directed.b
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+  FROM pairs
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+  CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        AND CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+       THEN round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+  END AS r_assort
+FROM agg
+"""
+
+
+def test_assortativity_duckdb_mirror(spark):
+    und = [(i, (i * 7 + 3) % 23) for i in range(40) if i != (i * 7 + 3) % 23]
+    df = spark.createDataFrame(und, "src long, dst long")
+    got = tuple(degree_assortativity(df).collect()[0])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (src BIGINT, dst BIGINT)")
+    con.execute(
+        "INSERT INTO fixture VALUES " + ", ".join(f"({u}, {v})" for u, v in und)
+    )
+    assert tuple(con.execute(_ASSORT_MIRROR).fetchone()) == got
+
+
+# ---------------------------------------------------------------------------
+# Closeness centrality
+# ---------------------------------------------------------------------------
+
+
+def _closeness_reference(directed, seeds, max_hops):
+    from collections import deque
+
+    adj = {}
+    nodes = set()
+    for s, d in directed:
+        adj.setdefault(s, set()).add(d)
+        nodes.update((s, d))
+    out = {}
+    for s in seeds:
+        if s not in nodes:
+            continue
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            cur = q.popleft()
+            if dist[cur] >= max_hops:
+                continue
+            for nxt in adj.get(cur, ()):
+                if nxt not in dist:
+                    dist[nxt] = dist[cur] + 1
+                    q.append(nxt)
+        hops = [h for h in dist.values() if h > 0]
+        harm = sum(round(1 / h, 9) for h in hops)
+        out[s] = (
+            len(hops),
+            sum(hops),
+            round(len(hops) / sum(hops), 6) if hops else None,
+            round(harm, 6),
+        )
+    return out
+
+
+def test_closeness_path_graph(spark):
+    # directed path 0→1→2→3→4: from 0, dist 1,2,3,4 capped at 3 hops
+    edges = [(i, i + 1) for i in range(4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["seed"]: (r["n_reached"], r["total_hops"], r["closeness"], r["harmonic"])
+        for r in closeness_centrality(df, [0, 4], max_hops=3).collect()
+    }
+    ref = _closeness_reference(edges, [0, 4], 3)
+    assert got == ref
+    assert got[0][0] == 3 and got[0][1] == 6  # hops 1+2+3, node 4 beyond cap
+    assert got[4] == (0, 0, None, 0.0)  # sink seed: reaches nothing
+
+
+def test_closeness_matches_reference_undirected(spark):
+    und = [(0, 1), (1, 2), (2, 3), (3, 0), (2, 4), (4, 5), (6, 7)]
+    directed = und + [(v, u) for u, v in und]
+    df = spark.createDataFrame(directed, "src long, dst long")
+    seeds = [0, 2, 6]
+    got = {
+        r["seed"]: (r["n_reached"], r["total_hops"], r["closeness"], r["harmonic"])
+        for r in closeness_centrality(df, seeds, max_hops=4).collect()
+    }
+    ref = _closeness_reference(directed, seeds, 4)
+    for s in seeds:
+        assert got[s][:2] == ref[s][:2]
+        assert got[s][2] == pytest.approx(ref[s][2], abs=1e-6)
+        assert got[s][3] == pytest.approx(ref[s][3], abs=1e-6)
+    # component {6,7}: seed 6 sees exactly one node at hop 1
+    assert got[6] == (1, 1, 1.0, 1.0)
+
+
+_CLOSENESS_MIRROR = """
+WITH edges AS (SELECT DISTINCT src, dst FROM fixture),
+seeds AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
+) WHERE node IN (0, 2, 6)),
+walk AS (
+  WITH RECURSIVE w(seed, node, hop) AS (
+    SELECT node, node, 0 FROM seeds
+    UNION
+    SELECT w.seed, e.dst, w.hop + 1 FROM w JOIN edges e ON e.src = w.node
+    WHERE w.hop < 4
+  )
+  SELECT seed, node, CAST(min(hop) AS INTEGER) AS hop FROM w GROUP BY 1, 2
+)
+SELECT seed,
+  CAST(sum(CASE WHEN hop > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+  CAST(sum(hop) AS BIGINT) AS total_hops,
+  CASE WHEN sum(hop) > 0 THEN round(CAST(sum(CASE WHEN hop > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       / CAST(sum(hop) AS DOUBLE), 6) END AS closeness,
+  round(CAST(sum(CASE WHEN hop > 0
+        THEN CAST(round(1.0 / CAST(hop AS DOUBLE), 9) AS DECIMAL(28,9))
+        ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE), 6) AS harmonic
+FROM walk GROUP BY 1
+"""
+
+
+def test_closeness_duckdb_mirror(spark):
+    und = [(0, 1), (1, 2), (2, 3), (3, 0), (2, 4), (4, 5), (6, 7)]
+    directed = und + [(v, u) for u, v in und]
+    df = spark.createDataFrame(directed, "src long, dst long")
+    got = sorted(
+        tuple(r) for r in closeness_centrality(df, [0, 2, 6], max_hops=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (src BIGINT, dst BIGINT)")
+    con.execute(
+        "INSERT INTO fixture VALUES " + ", ".join(f"({u}, {v})" for u, v in directed)
+    )
+    assert sorted(tuple(r) for r in con.execute(_CLOSENESS_MIRROR).fetchall()) == got
