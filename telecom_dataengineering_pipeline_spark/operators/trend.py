@@ -1080,3 +1080,240 @@ def ccf_profile(
         F.round(F.col("_num").cast("double") / den, 6),
     )
     return stacked.select(*key_cols, "lag", "n", "n_pairs", ccf.alias("ccf"))
+
+
+def pettitt_test(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pettitt change-point test — the nonparametric single-breakpoint
+    locator: where does the series' distribution shift, and is the
+    shift significant? Rank-based like :func:`mann_kendall_trend` (its
+    monotone-trend sibling): U_t = Σ_{i≤t} Σ_{j>t} sgn(xᵢ − xⱼ), the
+    break sits at K = max|U_t|, with the classic approximation
+    p ≈ 2·exp(−6K²/(T³+T²)).
+
+    Scale shape: the O(T²) comparison runs as ONE self-join on the
+    series key at the CALENDAR-GRAIN series contract (the Mann–Kendall
+    discipline: feed monthly/daily aggregates, never raw events), via
+    Pettitt's recurrence U_t = U_{t−1} + Σ_{j≠t} sgn(x_t − x_j) — the
+    join collapses to T rows (one V_t per step) before a single keyed
+    sort window accumulates U and elects the argmax.
+
+    Determinism: sgn comparisons run on the EXACT input values (pass
+    DECIMAL aggregates), so every U_t is an exact LONG; the argmax
+    breaks |U| ties on the earliest step; only the p-value is a
+    fixed-shape double, rounded to 6. ``t_col`` must be an integral
+    step index unique per key. Returns one row per key: (*key_cols, n,
+    t_star, u_at_t, k_stat, p_value); NULL t_star/p for series with
+    fewer than 2 points."""
+    kcols = [F.col(c) for c in key_cols]
+    base = df.filter(
+        F.col(t_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *kcols,
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(value_col).alias("_v"),
+    )
+    a = base.select(*[F.col(c).alias(f"_k{i}") for i, c in enumerate(key_cols)],
+                    F.col("_t").alias("_ta"), F.col("_v").alias("_va"))
+    cond = [a[f"_k{i}"] == base[c] for i, c in enumerate(key_cols)]
+    sgn = F.when(F.col("_v") > F.col("_va"), 1).when(
+        F.col("_v") < F.col("_va"), -1
+    ).otherwise(0)
+    v_t = (
+        base.join(a, cond if cond else [F.lit(True)])
+        .filter(F.col("_ta") != F.col("_t"))
+        .groupBy(*key_cols, "_t")
+        .agg(F.sum(sgn).cast("long").alias("_vt"))
+    )
+    # Steps with no comparison rows (T = 1) never reach here; re-join is
+    # unnecessary because every t pairs with every other t.
+    wcum = Window.partitionBy(*kcols).orderBy(F.col("_t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wk = Window.partitionBy(*kcols)
+    wlast = Window.partitionBy(*kcols).orderBy(F.col("_t").desc())
+    u = v_t.withColumn("_u", F.sum("_vt").over(wcum).cast("long")).withColumn(
+        "_n", F.count(F.lit(1)).over(wk).cast("long")
+    ).withColumn("_is_last", F.row_number().over(wlast) == 1)
+    # exclude the final step (U_T = 0 by construction, not a candidate)
+    cand = u.filter(~F.col("_is_last"))
+    wbest = Window.partitionBy(*kcols).orderBy(
+        F.abs(F.col("_u")).desc(), F.col("_t").asc()
+    )
+    best = cand.withColumn("_rk", F.row_number().over(wbest)).filter(
+        F.col("_rk") == 1
+    )
+    nd = F.col("_n").cast("double")
+    k = F.abs(F.col("_u")).cast("double")
+    p = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(2.0) * F.exp(F.lit(-6.0) * k * k / (nd * nd * nd + nd * nd)),
+        ),
+        6,
+    )
+    return best.select(
+        *key_cols,
+        F.col("_n").alias("n"),
+        F.col("_t").alias("t_star"),
+        F.col("_u").alias("u_at_t"),
+        F.abs(F.col("_u")).cast("long").alias("k_stat"),
+        p.alias("p_value"),
+    )
+
+
+def _trig_case_sql(col: str, period: int, fn: str) -> str:
+    """CASE expression mapping ``col % period`` to Python-computed
+    cos/sin literals — the embed-constants recipe that keeps both
+    engines bit-identical without trusting their libm."""
+    import math
+
+    f = {"cos": math.cos, "sin": math.sin}[fn]
+    arms = " ".join(
+        f"WHEN {k} THEN {f(2.0 * math.pi * k / period)!r}" for k in range(period)
+    )
+    return f"CASE CAST({col} % {period} AS INT) {arms} END"
+
+
+def periodogram(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    t_col: str,
+    value_col: str,
+    periods: Sequence[int],
+) -> DataFrame:
+    """Fixed-period DFT periodogram — which cycle length dominates a
+    series? Scans candidate periods (e.g. 2..14 days) and reports the
+    spectral power at each: power_p = C_p² + S_p² over the mean-centered
+    series, where C_p = Σ v'_t·cos(2πt/p), S_p = Σ v'_t·sin(2πt/p).
+    The frequency-domain sibling of :func:`acf_profile` (ACF answers
+    "how correlated at lag k", this answers "how much energy at period
+    p" — sharper when several cycles overlap).
+
+    Scale shape: runs at the calendar-grain series contract; the series
+    relation fans out |periods|× via a literal array explode (still
+    calendar-sized), and ONE keyed aggregate per (key, period) folds
+    the trig sums; the mean rides a window over the same key
+    partitioning — no re-scan, no join.
+
+    Determinism: cos/sin are PYTHON-computed constants embedded as
+    literals in both engines (the fixed-point-constants recipe — trig
+    only ever evaluates at the p distinct phases t mod p, so each
+    period is a p-armed CASE); per-term products round to 9 then
+    DECIMAL-sum; power is one fixed-shape double rounded to 6. Pass
+    DECIMAL values (the mean subtraction is exact-sum-derived).
+    ``t_col`` must be an integral step index unique per key. Returns
+    one row per (key, period): (*key_cols, period, c_sum, s_sum,
+    power)."""
+    import math
+
+    ps = [int(p) for p in periods]
+    if not ps or any(p < 2 for p in ps):
+        raise ValueError("periodogram needs periods all >= 2")
+    kcols = [F.col(c) for c in key_cols]
+    wk = Window.partitionBy(*kcols)
+    base = (
+        df.filter(F.col(t_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            *kcols,
+            F.col(t_col).cast("long").alias("_t"),
+            F.col(value_col).cast("decimal(24,6)").alias("_v"),
+        )
+        .withColumn("_s", F.sum("_v").over(wk))
+        .withColumn("_n", F.count(F.lit(1)).over(wk).cast("long"))
+    )
+    centered = base.select(
+        *key_cols,
+        "_t",
+        (
+            F.col("_v").cast("double")
+            - F.col("_s").cast("double") / F.col("_n").cast("double")
+        ).alias("_c"),
+        F.explode(F.array(*[F.lit(p) for p in ps])).alias("period"),
+    )
+
+    def _trig(fn) -> "F.Column":
+        expr = F.lit(None).cast("double")
+        for p in ps:
+            vals = [fn(2.0 * math.pi * k / p) for k in range(p)]
+            arm = F.element_at(
+                F.array(*[F.lit(v) for v in vals]), (F.col("_t") % p).cast("int") + 1
+            )
+            expr = F.when(F.col("period") == p, arm).otherwise(expr)
+        return expr
+
+    terms = centered.select(
+        *key_cols,
+        "period",
+        F.round(F.col("_c") * _trig(math.cos), 9).cast("decimal(28,9)").alias("_ct"),
+        F.round(F.col("_c") * _trig(math.sin), 9).cast("decimal(28,9)").alias("_st"),
+    )
+    agg = terms.groupBy(*key_cols, "period").agg(
+        F.sum("_ct").alias("_cs"), F.sum("_st").alias("_ss")
+    )
+    c, s = F.col("_cs").cast("double"), F.col("_ss").cast("double")
+    return agg.select(
+        *key_cols,
+        "period",
+        F.round(c, 6).alias("c_sum"),
+        F.round(s, 6).alias("s_sum"),
+        F.round(c * c + s * s, 6).alias("power"),
+    )
+
+
+def periodogram_oracle_sql(
+    inner_sql: str,
+    key_expr: str,
+    t_expr: str,
+    value_expr: str,
+    periods: Sequence[int],
+) -> str:
+    """DuckDB oracle generator paired with :func:`periodogram` — emits
+    the IDENTICAL Python trig literals and expression shapes (the
+    holt/cusum/ewma paired-generator pattern)."""
+    ps = [int(p) for p in periods]
+    arms = []
+    for p in ps:
+        cos_case = _trig_case_sql("t", p, "cos")
+        sin_case = _trig_case_sql("t", p, "sin")
+        arms.append(
+            f"SELECT k, {p} AS period,\n"
+            f"  CAST(round(c * ({cos_case}), 9) AS DECIMAL(28,9)) AS ct,\n"
+            f"  CAST(round(c * ({sin_case}), 9) AS DECIMAL(28,9)) AS st\n"
+            "FROM centered"
+        )
+    union = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH series AS ({inner_sql}),
+typed AS (
+  SELECT {key_expr} AS k, CAST({t_expr} AS BIGINT) AS t,
+         CAST({value_expr} AS DECIMAL(24,6)) AS v
+  FROM series
+  WHERE {t_expr} IS NOT NULL AND {value_expr} IS NOT NULL
+),
+stats AS (
+  SELECT *, sum(v) OVER (PARTITION BY k) AS s,
+         CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+  FROM typed
+),
+centered AS (
+  SELECT k, t, CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS c
+  FROM stats
+),
+terms AS (
+{union}
+),
+agg AS (
+  SELECT k, period, sum(ct) AS cs, sum(st) AS ss FROM terms GROUP BY 1, 2
+)
+SELECT k, period,
+  round(CAST(cs AS DOUBLE), 6) AS c_sum,
+  round(CAST(ss AS DOUBLE), 6) AS s_sum,
+  round(CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+        + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE), 6) AS power
+FROM agg
+"""

@@ -133,6 +133,8 @@ DRIVER_ORDER: list[str] = [
     "calibration_discount_returns",
     "assortativity_copurchase",
     "closeness_copurchase_seeds",
+    "pettitt_daily_event_value",
+    "periodogram_daily_event_volume",
     # -- stalest driver evidence: last checked in ROUND 3 (all 27
     #    remaining r3 names — the alphabetical tail the r6 window could
     #    not fit).

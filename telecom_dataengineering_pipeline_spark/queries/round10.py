@@ -673,3 +673,96 @@ def closeness_copurchase_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return closeness_centrality(edges, seeds, max_hops=4)
+
+
+# ---------------------------------------------------------------------------
+# Pettitt change-point test (operators/trend.py::pettitt_test): for each
+# event type's daily value series, where does the distribution break and
+# is it significant? Daily DECIMAL totals keep every sgn comparison and
+# U_t exact; the calendar-grain contract bounds the O(T²) recurrence at
+# ~30 steps per key.
+# ---------------------------------------------------------------------------
+
+_PETTITT_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS k, CAST(strftime(ts, '%d') AS BIGINT) AS t,
+         sum(CAST(round(value, 2) AS DECIMAL(14,2))) AS v
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT k, t, v FROM daily WHERE t IS NOT NULL AND v IS NOT NULL
+), vt AS (
+  SELECT b.k, b.t, CAST(sum(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS vt
+  FROM base b JOIN base a ON a.k = b.k AND a.t <> b.t
+  GROUP BY 1, 2
+), u AS (
+  SELECT k, t,
+    CAST(sum(vt) OVER (PARTITION BY k ORDER BY t ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS u,
+    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+    CAST(row_number() OVER (PARTITION BY k ORDER BY t DESC) AS BIGINT) AS rlast
+  FROM vt
+), cand AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY k ORDER BY abs(u) DESC, t ASC) AS BIGINT) AS rk
+  FROM u WHERE rlast <> 1
+)
+SELECT k AS event_type, n, t AS t_star, u AS u_at_t, CAST(abs(u) AS BIGINT) AS k_stat,
+  round(least(1.0, 2.0 * exp(-6.0 * CAST(abs(u) AS DOUBLE) * CAST(abs(u) AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+           + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6) AS p_value
+FROM cand WHERE rk = 1
+"""
+
+
+@register("pettitt_daily_event_value", oracle=_PETTITT_ORACLE, tags=("trend", "A11"))
+def pettitt_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import pettitt_test
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.date_format("ts", "dd").cast("long").alias("t"),
+        )
+        .agg(F.sum(F.round("value", 2).cast("decimal(14,2)")).alias("v"))
+    )
+    return pettitt_test(daily, ["event_type"], "t", "v")
+
+
+# ---------------------------------------------------------------------------
+# Periodogram (operators/trend.py::periodogram): spectral power of each
+# event type's DAILY VOLUME at candidate weekly-ish periods — the
+# frequency-domain sibling of acf_daily_event_value. Counts are exact;
+# the trig table is Python-embedded in both engines (paired generator).
+# ---------------------------------------------------------------------------
+
+_PERIODOGRAM_PERIODS = [3, 5, 7, 10, 14]
+
+
+def _periodogram_oracle() -> str:
+    from ..operators.trend import periodogram_oracle_sql
+
+    inner = (
+        "SELECT event_type, CAST(strftime(ts, '%d') AS BIGINT) - 1 AS t, "
+        "CAST(count(*) AS DECIMAL(18,0)) AS v FROM events GROUP BY 1, 2"
+    )
+    sql = periodogram_oracle_sql(inner, "event_type", "t", "v", _PERIODOGRAM_PERIODS)
+    return sql.replace(
+        "SELECT k, period,\n  round(",
+        "SELECT k AS event_type, period,\n  round(",
+        1,
+    )
+
+
+@register("periodogram_daily_event_volume", oracle=_periodogram_oracle(), tags=("trend", "A11"))
+def periodogram_daily_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import periodogram
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            (F.date_format("ts", "dd").cast("long") - 1).alias("t"),
+        )
+        .agg(F.count(F.lit(1)).cast("decimal(18,0)").alias("v"))
+    )
+    return periodogram(daily, ["event_type"], "t", "v", _PERIODOGRAM_PERIODS)

@@ -855,3 +855,171 @@ def test_closeness_duckdb_mirror(spark):
         "INSERT INTO fixture VALUES " + ", ".join(f"({u}, {v})" for u, v in directed)
     )
     assert sorted(tuple(r) for r in con.execute(_CLOSENESS_MIRROR).fetchall()) == got
+
+
+# ---------------------------------------------------------------------------
+# Pettitt change-point test
+# ---------------------------------------------------------------------------
+
+from telecom_dataengineering_pipeline_spark.operators.trend import (  # noqa: E402
+    periodogram,
+    periodogram_oracle_sql,
+    pettitt_test,
+)
+
+
+def _pettitt_reference(series):
+    """series: [(t, v)] sorted by t. Returns (n, t_star, u_at_t, k, p)."""
+    series = sorted(series)
+    T = len(series)
+    best = None
+    for ti in range(T - 1):  # boundary after index ti
+        u = sum(
+            (series[i][1] > series[j][1]) - (series[i][1] < series[j][1])
+            for i in range(ti + 1)
+            for j in range(ti + 1, T)
+        )
+        key = (-abs(u), series[ti][0])
+        if best is None or key < best[0]:
+            best = (key, series[ti][0], u)
+    _, t_star, u = best
+    k = abs(u)
+    p = round(min(1.0, 2.0 * math.exp(-6.0 * k * k / (T**3 + T**2))), 6)
+    return (T, t_star, u, k, p)
+
+
+def test_pettitt_finds_planted_shift(spark):
+    series = [(t, 10.0) for t in range(1, 13)] + [(t, 25.0) for t in range(13, 25)]
+    df = spark.createDataFrame([("s", t, v) for t, v in series], "k string, t int, v double")
+    r = pettitt_test(df, ["k"], "t", "v").collect()[0]
+    ref = _pettitt_reference(series)
+    assert (r["n"], r["t_star"], r["u_at_t"], r["k_stat"]) == ref[:4]
+    assert r["t_star"] == 12 and r["p_value"] < 0.01
+    assert r["p_value"] == pytest.approx(ref[4], abs=2e-6)
+
+
+def test_pettitt_flat_series_p_one(spark):
+    df = spark.createDataFrame(
+        [("s", t, 5.0) for t in range(1, 11)], "k string, t int, v double"
+    )
+    r = pettitt_test(df, ["k"], "t", "v").collect()[0]
+    assert r["k_stat"] == 0 and r["p_value"] == 1.0
+    assert r["t_star"] == 1  # earliest step wins the all-zero tie
+
+
+def test_pettitt_single_point_no_row(spark):
+    df = spark.createDataFrame([("s", 1, 5.0)], "k string, t int, v double")
+    assert pettitt_test(df, ["k"], "t", "v").count() == 0
+
+
+def test_pettitt_keyed_matches_reference(spark):
+    s1 = [(t, float((t * 7) % 13)) for t in range(1, 20)]
+    s2 = [(t, float(t if t < 10 else t + 50)) for t in range(1, 18)]
+    rows = [("a", t, v) for t, v in s1] + [("b", t, v) for t, v in s2]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {
+        r["k"]: (r["n"], r["t_star"], r["u_at_t"], r["k_stat"], r["p_value"])
+        for r in pettitt_test(df, ["k"], "t", "v").collect()
+    }
+    for k, series in (("a", s1), ("b", s2)):
+        ref = _pettitt_reference(series)
+        assert got[k][:4] == ref[:4]
+        assert got[k][4] == pytest.approx(ref[4], abs=2e-6)
+
+
+_PETTITT_MIRROR = """
+WITH base AS (
+  SELECT k, CAST(t AS BIGINT) AS t, v FROM fixture
+  WHERE t IS NOT NULL AND v IS NOT NULL
+), vt AS (
+  SELECT b.k, b.t, CAST(sum(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS vt
+  FROM base b JOIN base a ON a.k = b.k AND a.t <> b.t
+  GROUP BY 1, 2
+), u AS (
+  SELECT k, t,
+    CAST(sum(vt) OVER (PARTITION BY k ORDER BY t ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS u,
+    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+    CAST(row_number() OVER (PARTITION BY k ORDER BY t DESC) AS BIGINT) AS rlast
+  FROM vt
+), cand AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY k ORDER BY abs(u) DESC, t ASC) AS BIGINT) AS rk
+  FROM u WHERE rlast <> 1
+)
+SELECT k, n, t AS t_star, u AS u_at_t, CAST(abs(u) AS BIGINT) AS k_stat,
+  round(least(1.0, 2.0 * exp(-6.0 * CAST(abs(u) AS DOUBLE) * CAST(abs(u) AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+           + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6) AS p_value
+FROM cand WHERE rk = 1
+"""
+
+
+def test_pettitt_duckdb_mirror(spark):
+    rows = [("a", t, float((t * 11 + 2) % 17)) for t in range(1, 22)] + [
+        ("b", t, float(3 if t < 8 else 30)) for t in range(1, 15)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = sorted(tuple(r) for r in pettitt_test(df, ["k"], "t", "v").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (k VARCHAR, t INT, v DOUBLE)")
+    con.execute(
+        "INSERT INTO fixture VALUES "
+        + ", ".join(f"('{k}', {t}, {v})" for k, t, v in rows)
+    )
+    assert sorted(tuple(r) for r in con.execute(_PETTITT_MIRROR).fetchall()) == got
+
+
+# ---------------------------------------------------------------------------
+# Periodogram
+# ---------------------------------------------------------------------------
+
+
+def test_periodogram_recovers_planted_period(spark):
+    rows = [
+        ("s", t, 100.0 + (7.0 if t % 7 == 0 else 0.0) + 0.01 * (t % 3))
+        for t in range(28)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = {r["period"]: r["power"] for r in periodogram(df, ["k"], "t", "v", [3, 5, 7, 9]).collect()}
+    assert max(out, key=out.get) == 7
+
+
+def test_periodogram_matches_numpy_reference(spark):
+    import numpy as np
+
+    vals = [float(((t * 13) % 9) + (5 if t % 4 == 0 else 0)) for t in range(24)]
+    rows = [("s", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {r["period"]: (r["c_sum"], r["s_sum"], r["power"]) for r in periodogram(df, ["k"], "t", "v", [4, 6]).collect()}
+    v = np.array(vals) - np.mean(vals)
+    for p in (4, 6):
+        t = np.arange(24)
+        c = sum(round(x, 9) for x in v * np.cos(2 * np.pi * (t % p) / p))
+        s = sum(round(x, 9) for x in v * np.sin(2 * np.pi * (t % p) / p))
+        assert got[p][0] == pytest.approx(c, abs=1e-5)
+        assert got[p][1] == pytest.approx(s, abs=1e-5)
+        assert got[p][2] == pytest.approx(c * c + s * s, abs=1e-3)
+
+
+def test_periodogram_duckdb_mirror(spark):
+    rows = [("a", t, float((t * 7) % 11)) for t in range(20)] + [
+        ("b", t, float(10 if t % 5 == 0 else 1)) for t in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = sorted(tuple(r) for r in periodogram(df, ["k"], "t", "v", [5, 7]).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (k VARCHAR, t INT, v DOUBLE)")
+    con.execute(
+        "INSERT INTO fixture VALUES "
+        + ", ".join(f"('{k}', {t}, {v})" for k, t, v in rows)
+    )
+    sql = periodogram_oracle_sql("SELECT * FROM fixture", "k", "t", "v", [5, 7])
+    assert sorted(tuple(r) for r in con.execute(sql).fetchall()) == got
+
+
+def test_periodogram_validation(spark):
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, t int, v double")
+    with pytest.raises(ValueError):
+        periodogram(df, ["k"], "t", "v", [])
+    with pytest.raises(ValueError):
+        periodogram(df, ["k"], "t", "v", [1])
