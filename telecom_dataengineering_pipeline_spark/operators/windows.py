@@ -486,3 +486,138 @@ def eventually_follows(
             F.col("n_follows").cast("double") / F.col("n_cases_both").cast("double"), 6
         ).alias("support"),
     )
+
+
+def case_variants(
+    df: DataFrame,
+    case_col: str,
+    activity_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    max_steps: int = 5,
+) -> DataFrame:
+    """Process-mining variant analysis — collapse every case to its
+    ordered activity path (capped at the first ``max_steps`` events)
+    and count how the population distributes over paths. The
+    trace-level summary ABOVE :func:`eventually_follows` (the matrix
+    says which pairs ever follow; variants say which whole JOURNEYS
+    dominate and how much of the volume the top paths explain).
+
+    Scale shape: ONE case-keyed exchange — events collapse to a sorted
+    per-case struct array inside the aggregate (map-side combined), the
+    path truncates to ``max_steps`` BEFORE becoming a string, and the
+    variant rollup + share/rank ride the post-agg grain (a window over
+    variant rows, bounded by the activity-alphabet^max_steps, never by
+    cases).
+
+    Determinism: ordering is (event time in exact microseconds,
+    ``tiebreak_col``) — pass a unique tie-break; counts are exact;
+    share is one fixed-shape double rounded to 6; rank breaks count
+    ties on the variant string. NULL case/activity/ts rows are
+    excluded. Returns one row per variant: (variant, n_cases, share,
+    rank)."""
+    if max_steps < 1:
+        raise ValueError("case_variants needs max_steps >= 1")
+    base = df.filter(
+        F.col(case_col).isNotNull()
+        & F.col(activity_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(case_col).alias("_case"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.col(tiebreak_col).cast("string").alias("_tb"),
+        F.col(activity_col).cast("string").alias("_act"),
+    )
+    per_case = base.groupBy("_case").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.sort_array(F.collect_list(F.struct("_us", "_tb", "_act"))),
+                    1,
+                    max_steps,
+                ),
+                lambda s: s["_act"],
+            ),
+            ">",
+        ).alias("variant")
+    )
+    g = per_case.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cases")
+    )
+    wall = Window.partitionBy()
+    wrank = Window.orderBy(F.col("n_cases").desc(), F.col("variant").asc())
+    g = g.withColumn("_tot", F.sum("n_cases").over(wall).cast("long"))
+    return g.select(
+        "variant",
+        "n_cases",
+        F.round(F.col("n_cases").cast("double") / F.col("_tot").cast("double"), 6).alias(
+            "share"
+        ),
+        F.row_number().over(wrank).cast("long").alias("rank"),
+    )
+
+
+def case_cycle_profile(
+    df: DataFrame,
+    case_col: str,
+    activity_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Cycle-time profile by entry activity — how long does a case take
+    from first to last event, grouped by HOW the journey started? The
+    duration lens on the same trace grain :func:`case_variants` counts:
+    a funnel that starts with 'error' finishing 3× slower than one that
+    starts with 'view' is the classic process-mining finding.
+
+    Scale shape: ONE case-keyed exchange collapses events to (first
+    activity, duration) — first-activity election and the min/max
+    timestamps share a single aggregate via an ordered struct min — and
+    the stats fold map-side over the entry-activity grain
+    (alphabet-sized).
+
+    Determinism: durations are exact microsecond LONGs (summed as
+    DECIMAL); the first event elects by (time, ``tiebreak_col``); mean
+    seconds is a fixed-shape double rounded to 6. Returns one row per
+    entry activity: (first_activity, n_cases, mean_duration_s,
+    min_duration_s, max_duration_s)."""
+    base = df.filter(
+        F.col(case_col).isNotNull()
+        & F.col(activity_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(case_col).alias("_case"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.col(tiebreak_col).cast("string").alias("_tb"),
+        F.col(activity_col).cast("string").alias("_act"),
+    )
+    per_case = base.groupBy("_case").agg(
+        F.min(F.struct("_us", "_tb", "_act")).alias("_first"),
+        F.min("_us").alias("_lo"),
+        F.max("_us").alias("_hi"),
+    )
+    g = per_case.select(
+        F.col("_first._act").alias("first_activity"),
+        (F.col("_hi") - F.col("_lo")).alias("_dur"),
+    ).groupBy("first_activity").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cases"),
+        F.sum(F.col("_dur").cast("decimal(24,0)")).alias("_sd"),
+        F.min("_dur").alias("_mn"),
+        F.max("_dur").alias("_mx"),
+    )
+    return g.select(
+        "first_activity",
+        "n_cases",
+        F.round(
+            F.col("_sd").cast("double")
+            / F.col("n_cases").cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("mean_duration_s"),
+        F.round(F.col("_mn").cast("double") / F.lit(1000000.0), 6).alias(
+            "min_duration_s"
+        ),
+        F.round(F.col("_mx").cast("double") / F.lit(1000000.0), 6).alias(
+            "max_duration_s"
+        ),
+    )

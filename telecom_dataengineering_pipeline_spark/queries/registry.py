@@ -135,6 +135,8 @@ DRIVER_ORDER: list[str] = [
     "closeness_copurchase_seeds",
     "pettitt_daily_event_value",
     "periodogram_daily_event_volume",
+    "variants_user_journeys",
+    "cycle_time_by_entry_event",
     # -- stalest driver evidence: last checked in ROUND 3 (all 27
     #    remaining r3 names — the alphabetical tail the r6 window could
     #    not fit).

@@ -766,3 +766,88 @@ def periodogram_daily_event_volume(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).cast("decimal(18,0)").alias("v"))
     )
     return periodogram(daily, ["event_type"], "t", "v", _PERIODOGRAM_PERIODS)
+
+
+# ---------------------------------------------------------------------------
+# Case variants (operators/windows.py::case_variants): which 5-step user
+# journeys dominate the event log? The trace-level rollup above
+# ef_event_process_matrix (case = user, activity = event_type,
+# microsecond order with event_id tie-break).
+# ---------------------------------------------------------------------------
+
+_VARIANTS_ORACLE = """
+WITH base AS (
+  SELECT user_id AS c, event_type AS act, epoch_us(ts) AS us,
+         CAST(event_id AS VARCHAR) AS tb
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+), ranked AS (
+  SELECT c, act, us, tb,
+    row_number() OVER (PARTITION BY c ORDER BY us ASC, tb ASC) AS rn
+  FROM base
+), per_case AS (
+  SELECT c, string_agg(act, '>' ORDER BY us ASC, tb ASC) AS variant
+  FROM ranked WHERE rn <= 5 GROUP BY c
+), g AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_cases FROM per_case GROUP BY 1
+), t AS (
+  SELECT *, CAST(sum(n_cases) OVER () AS BIGINT) AS tot FROM g
+)
+SELECT variant, n_cases,
+  round(CAST(n_cases AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+  CAST(row_number() OVER (ORDER BY n_cases DESC, variant ASC) AS BIGINT) AS rank
+FROM t
+"""
+
+
+@register("variants_user_journeys", oracle=_VARIANTS_ORACLE, tags=("sequence", "process"))
+def variants_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import case_variants
+
+    ev = load_table(spark, sf_dir, "events")
+    return case_variants(
+        ev, "user_id", "event_type", "ts", "event_id", max_steps=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cycle-time profile (operators/windows.py::case_cycle_profile): how long
+# is a user's whole journey, grouped by how it STARTED? Exact-µs
+# durations; first event elected by (time, event_id).
+# ---------------------------------------------------------------------------
+
+_CYCLE_ORACLE = """
+WITH base AS (
+  SELECT user_id AS c, event_type AS act, epoch_us(ts) AS us,
+         CAST(event_id AS VARCHAR) AS tb
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+), firsts AS (
+  SELECT c, act AS first_activity FROM (
+    SELECT c, act, row_number() OVER (PARTITION BY c ORDER BY us ASC, tb ASC) AS rn
+    FROM base
+  ) WHERE rn = 1
+), spans AS (
+  SELECT c, min(us) AS lo, max(us) AS hi FROM base GROUP BY c
+), per_case AS (
+  SELECT f.first_activity, s.hi - s.lo AS dur
+  FROM firsts f JOIN spans s ON s.c = f.c
+), g AS (
+  SELECT first_activity, CAST(count(*) AS BIGINT) AS n_cases,
+    sum(CAST(dur AS DECIMAL(24,0))) AS sd, min(dur) AS mn, max(dur) AS mx
+  FROM per_case GROUP BY 1
+)
+SELECT first_activity, n_cases,
+  round(CAST(sd AS DOUBLE) / CAST(n_cases AS DOUBLE) / 1000000.0, 6) AS mean_duration_s,
+  round(CAST(mn AS DOUBLE) / 1000000.0, 6) AS min_duration_s,
+  round(CAST(mx AS DOUBLE) / 1000000.0, 6) AS max_duration_s
+FROM g
+"""
+
+
+@register("cycle_time_by_entry_event", oracle=_CYCLE_ORACLE, tags=("sequence", "process"))
+def cycle_time_by_entry_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import case_cycle_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return case_cycle_profile(ev, "user_id", "event_type", "ts", "event_id")

@@ -176,6 +176,8 @@ def test_new_registrations_inside_driver_window():
         "closeness_copurchase_seeds",
         "pettitt_daily_event_value",
         "periodogram_daily_event_volume",
+        "variants_user_journeys",
+        "cycle_time_by_entry_event",
     }
     after_window = list(queries())[50 : 50 + len(s4)]
     assert s4 == set(after_window), f"session-4 names not at 51+: {after_window}"

@@ -1023,3 +1023,159 @@ def test_periodogram_validation(spark):
         periodogram(df, ["k"], "t", "v", [])
     with pytest.raises(ValueError):
         periodogram(df, ["k"], "t", "v", [1])
+
+
+# ---------------------------------------------------------------------------
+# Process-mining: case variants + cycle-time profile
+# ---------------------------------------------------------------------------
+
+from datetime import datetime  # noqa: E402
+
+from telecom_dataengineering_pipeline_spark.operators.windows import (  # noqa: E402
+    case_cycle_profile,
+    case_variants,
+)
+
+
+def _ts(s):
+    return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+
+_PM_ROWS = [
+    # case 1: view > click > purchase
+    (1, "view", _ts("2024-01-01 10:00:00"), "a"),
+    (1, "click", _ts("2024-01-01 10:05:00"), "b"),
+    (1, "purchase", _ts("2024-01-01 10:30:00"), "c"),
+    # case 2: same path
+    (2, "view", _ts("2024-01-02 09:00:00"), "d"),
+    (2, "click", _ts("2024-01-02 09:01:00"), "e"),
+    (2, "purchase", _ts("2024-01-02 09:02:00"), "f"),
+    # case 3: error first, long path truncated at max_steps=3
+    (3, "error", _ts("2024-01-03 08:00:00"), "g"),
+    (3, "view", _ts("2024-01-03 08:10:00"), "h"),
+    (3, "view", _ts("2024-01-03 08:20:00"), "i"),
+    (3, "click", _ts("2024-01-03 08:30:00"), "j"),
+    # case 4: single event
+    (4, "signup", _ts("2024-01-04 12:00:00"), "k"),
+    # tie-break: two events same timestamp, order by tb
+    (5, "b_second", _ts("2024-01-05 00:00:00"), "z2"),
+    (5, "a_first", _ts("2024-01-05 00:00:00"), "z1"),
+]
+
+
+def test_case_variants_counts_and_truncation(spark):
+    df = spark.createDataFrame(_PM_ROWS, "c long, act string, ts timestamp, tb string")
+    got = {
+        r["variant"]: (r["n_cases"], r["share"], r["rank"])
+        for r in case_variants(df, "c", "act", "ts", "tb", max_steps=3).collect()
+    }
+    assert got["view>click>purchase"] == (2, 0.4, 1)
+    assert "error>view>view" in got  # truncated at 3 steps
+    assert got["signup"][0] == 1
+    assert "a_first>b_second" in got  # tie broken by tiebreak col
+    assert sum(v[0] for v in got.values()) == 5
+
+
+def test_case_variants_rank_tie_on_variant_string(spark):
+    df = spark.createDataFrame(_PM_ROWS, "c long, act string, ts timestamp, tb string")
+    rows = case_variants(df, "c", "act", "ts", "tb", max_steps=3).collect()
+    singles = sorted(
+        (r["variant"], r["rank"]) for r in rows if r["n_cases"] == 1
+    )
+    ranks = [rk for _, rk in singles]
+    assert ranks == sorted(ranks)  # alphabetical variants get increasing ranks
+
+
+def test_cycle_profile_matches_reference(spark):
+    df = spark.createDataFrame(_PM_ROWS, "c long, act string, ts timestamp, tb string")
+    got = {
+        r["first_activity"]: (
+            r["n_cases"],
+            r["mean_duration_s"],
+            r["min_duration_s"],
+            r["max_duration_s"],
+        )
+        for r in case_cycle_profile(df, "c", "act", "ts", "tb").collect()
+    }
+    # cases 1 (1800 s) and 2 (120 s) start with view
+    assert got["view"] == (2, 960.0, 120.0, 1800.0)
+    assert got["error"] == (1, 1800.0, 1800.0, 1800.0)
+    assert got["signup"] == (1, 0.0, 0.0, 0.0)
+    assert got["a_first"] == (1, 0.0, 0.0, 0.0)  # same-ts tie elects a_first
+
+
+_PM_FIXTURE_SQL = """
+CREATE TABLE fixture AS SELECT * FROM (VALUES {rows}) t(c, act, ts, tb)
+"""
+
+_VARIANT_MIRROR = """
+WITH base AS (
+  SELECT c, act, epoch_us(ts) AS us, tb FROM fixture
+  WHERE c IS NOT NULL AND act IS NOT NULL AND ts IS NOT NULL
+), ranked AS (
+  SELECT c, act, us, tb,
+    row_number() OVER (PARTITION BY c ORDER BY us ASC, tb ASC) AS rn
+  FROM base
+), per_case AS (
+  SELECT c, string_agg(act, '>' ORDER BY us ASC, tb ASC) AS variant
+  FROM ranked WHERE rn <= 3 GROUP BY c
+), g AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_cases FROM per_case GROUP BY 1
+), t AS (
+  SELECT *, CAST(sum(n_cases) OVER () AS BIGINT) AS tot FROM g
+)
+SELECT variant, n_cases,
+  round(CAST(n_cases AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+  CAST(row_number() OVER (ORDER BY n_cases DESC, variant ASC) AS BIGINT) AS rank
+FROM t
+"""
+
+_CYCLE_MIRROR = """
+WITH base AS (
+  SELECT c, act, epoch_us(ts) AS us, tb FROM fixture
+  WHERE c IS NOT NULL AND act IS NOT NULL AND ts IS NOT NULL
+), per_case AS (
+  SELECT c,
+    min(us) AS lo, max(us) AS hi,
+    (SELECT b2.act FROM base b2 WHERE b2.c = base.c
+     ORDER BY b2.us ASC, b2.tb ASC LIMIT 1) AS first_activity
+  FROM base GROUP BY c
+), g AS (
+  SELECT first_activity, CAST(count(*) AS BIGINT) AS n_cases,
+    sum(CAST(hi - lo AS DECIMAL(24,0))) AS sd,
+    min(hi - lo) AS mn, max(hi - lo) AS mx
+  FROM per_case GROUP BY 1
+)
+SELECT first_activity, n_cases,
+  round(CAST(sd AS DOUBLE) / CAST(n_cases AS DOUBLE) / 1000000.0, 6) AS mean_duration_s,
+  round(CAST(mn AS DOUBLE) / 1000000.0, 6) AS min_duration_s,
+  round(CAST(mx AS DOUBLE) / 1000000.0, 6) AS max_duration_s
+FROM g
+"""
+
+
+def _pm_duckdb():
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({c}, '{a}', TIMESTAMP '{ts}', '{tb}')" for c, a, ts, tb in _PM_ROWS
+    )
+    con.execute(_PM_FIXTURE_SQL.format(rows=vals))
+    return con
+
+
+def test_case_variants_duckdb_mirror(spark):
+    df = spark.createDataFrame(_PM_ROWS, "c long, act string, ts timestamp, tb string")
+    got = sorted(
+        tuple(r) for r in case_variants(df, "c", "act", "ts", "tb", max_steps=3).collect()
+    )
+    con = _pm_duckdb()
+    assert sorted(tuple(r) for r in con.execute(_VARIANT_MIRROR).fetchall()) == got
+
+
+def test_cycle_profile_duckdb_mirror(spark):
+    df = spark.createDataFrame(_PM_ROWS, "c long, act string, ts timestamp, tb string")
+    got = sorted(
+        tuple(r) for r in case_cycle_profile(df, "c", "act", "ts", "tb").collect()
+    )
+    con = _pm_duckdb()
+    assert sorted(tuple(r) for r in con.execute(_CYCLE_MIRROR).fetchall()) == got
