@@ -523,3 +523,79 @@ def calibration_bins(
         F.round(frac, 6).alias("frac_pos"),
         F.round(mean_p - frac, 6).alias("gap"),
     )
+
+
+def classification_report(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-class precision/recall/F1 with support — the thresholded
+    endpoint of the evaluation rim (:func:`binary_auc` grades the raw
+    scorer, :func:`calibration_bins` its probabilities; once a DECISION
+    rule exists, this grades the decisions, one-vs-rest per class,
+    multiclass for free).
+
+    Scale shape: ONE (pred, label) cell shuffle (category² cells); the
+    per-class tp/fp/fn fold over the cell relation via label-level
+    aggregates of the two marginals — the raw grain is touched exactly
+    once.
+
+    Determinism: every count is an exact LONG; precision/recall are
+    fixed-shape doubles rounded to 6, and F1 folds from the UNROUNDED
+    ratios (2pr/(p+r)) before its own 6-dp round. NULL predictions or
+    labels are a real ``__null__`` class. Returns one row per class
+    seen on EITHER side: (class, support, tp, fp, fn, precision,
+    recall, f1); precision NULL when the class is never predicted,
+    recall NULL when it never occurs."""
+    p = F.coalesce(F.col(pred_col).cast("string"), F.lit("__null__"))
+    y = F.coalesce(F.col(label_col).cast("string"), F.lit("__null__"))
+    cells = df.select(p.alias("_p"), y.alias("_y")).groupBy("_p", "_y").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    ).localCheckpoint(eager=False)
+    pred_m = cells.groupBy("_p").agg(F.sum("_n").cast("long").alias("_np")).select(
+        F.col("_p").alias("class"), "_np"
+    )
+    lbl_m = cells.groupBy("_y").agg(F.sum("_n").cast("long").alias("_ny")).select(
+        F.col("_y").alias("class"), "_ny"
+    )
+    diag = cells.filter(F.col("_p") == F.col("_y")).select(
+        F.col("_p").alias("class"), F.col("_n").alias("_tp")
+    )
+    rep = (
+        pred_m.join(lbl_m, "class", "full_outer")
+        .join(diag, "class", "left")
+        .select(
+            "class",
+            F.coalesce(F.col("_ny"), F.lit(0)).cast("long").alias("support"),
+            F.coalesce(F.col("_tp"), F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce(F.col("_np"), F.lit(0)) - F.coalesce(F.col("_tp"), F.lit(0)))
+            .cast("long")
+            .alias("fp"),
+            (F.coalesce(F.col("_ny"), F.lit(0)) - F.coalesce(F.col("_tp"), F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+    )
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        F.round(F.lit(2.0) * prec * rec / (prec + rec), 6),
+    )
+    return rep.select(
+        "class",
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        f1.alias("f1"),
+    )

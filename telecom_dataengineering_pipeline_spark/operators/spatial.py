@@ -160,3 +160,63 @@ def grid_cluster_cells(
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_cells"),
         F.sum("n").over(w).cast("long").alias("cluster_points"),
     )
+
+
+def nearest_assignment(
+    points: DataFrame,
+    sites: DataFrame,
+    point_id_col: str = "id",
+    site_id_col: str = "site_id",
+    lat_cols: "tuple[str, str]" = ("lat", "lat"),
+    lon_cols: "tuple[str, str]" = ("lon", "lon"),
+) -> DataFrame:
+    """Nearest-site assignment — every point adopts its closest site by
+    great-circle distance: the serving-tower map under every coverage /
+    load rollup (:func:`proximity_join_km` finds point-point pairs
+    within a radius; this is the point→DIMENSION argmin, the spatial
+    sibling of a broadcast star join).
+
+    Scale shape: the site relation is dimension-sized and BROADCASTS;
+    the cross product evaluates map-side and collapses to one row per
+    point inside the same map-side-combined min-struct aggregate — the
+    point relation is never shuffled at the fan-out grain, only at the
+    per-point reduction (and Spark's partial aggregation does the
+    argmin before the exchange).
+
+    Determinism: distance is the repo's fixed haversine shape rounded
+    to 6 dp; the argmin breaks rounded-distance ties on ``site_id``
+    (struct min compares (distance, site_id) lexicographically — the
+    same election a SQL row_number mirror runs). NULL coordinates are
+    excluded on both sides. Returns one row per point: (point_id,
+    site_id, distance_km)."""
+    from ..functions.geo import haversine_km
+
+    plat, slat = lat_cols
+    plon, slon = lon_cols
+    p = points.filter(
+        F.col(plat).isNotNull() & F.col(plon).isNotNull()
+    ).select(
+        F.col(point_id_col).alias("point_id"),
+        F.col(plat).cast("double").alias("_plat"),
+        F.col(plon).cast("double").alias("_plon"),
+    )
+    s = sites.filter(
+        F.col(slat).isNotNull() & F.col(slon).isNotNull()
+    ).select(
+        F.col(site_id_col).alias("_sid"),
+        F.col(slat).cast("double").alias("_slat"),
+        F.col(slon).cast("double").alias("_slon"),
+    )
+    d = F.round(
+        haversine_km(F.col("_plat"), F.col("_plon"), F.col("_slat"), F.col("_slon")),
+        6,
+    )
+    paired = p.crossJoin(F.broadcast(s)).select(
+        "point_id", F.struct(d.alias("d"), F.col("_sid").alias("sid")).alias("_c")
+    )
+    best = paired.groupBy("point_id").agg(F.min("_c").alias("_b"))
+    return best.select(
+        "point_id",
+        F.col("_b.sid").alias("site_id"),
+        F.col("_b.d").alias("distance_km"),
+    )

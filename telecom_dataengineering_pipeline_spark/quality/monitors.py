@@ -1181,3 +1181,225 @@ def welch_t_test(
         t.alias("t_stat"),
         dfw.alias("df_welch"),
     )
+
+
+def js_divergence(
+    reference: DataFrame,
+    current: DataFrame,
+    category_col: str,
+) -> DataFrame:
+    """Jensen–Shannon divergence between two categorical mixes — the
+    bounded, symmetric drift score that completes the categorical-drift
+    rim: :func:`chi_squared_drift` answers "is the shift statistically
+    real", JSD answers "how BIG is it on an absolute [0,1] scale"
+    (bits; base-2), comparable across columns and windows and immune to
+    sample size — KL without the infinities (disjoint support maxes at
+    1 bit instead of diverging).
+
+    Scale shape: each side reduces map-side to one count per category;
+    the only shuffled relation is the category-sized cell table
+    (full-outer merged via a side-flagged union, the drift-monitor
+    discipline) and totals ride a window over it.
+
+    Determinism: counts are exact; each term p·ln(p/m) is a fixed-shape
+    double ROUNDED to 9 then DECIMAL-summed; the final /ln(2)
+    normalization and verdict cuts (0.05 / 0.2 bits) are single double
+    expressions. NULL categories are a real ``__null__`` level.
+    Returns one row: (n_ref, n_cur, n_categories, jsd_nats, jsd_bits,
+    status); ``no_reference`` when either side is empty."""
+    g = F.coalesce(F.col(category_col).cast("string"), F.lit("__null__"))
+    ref = reference.select(g.alias("_c"), F.lit(1).alias("_ra"), F.lit(0).alias("_rb"))
+    cur = current.select(g.alias("_c"), F.lit(0).alias("_ra"), F.lit(1).alias("_rb"))
+    cells = (
+        ref.unionAll(cur)
+        .groupBy("_c")
+        .agg(
+            F.sum("_ra").cast("long").alias("_a"),
+            F.sum("_rb").cast("long").alias("_b"),
+        )
+    )
+    w = Window.partitionBy()
+    cells = (
+        cells.withColumn("_na", F.sum("_a").over(w).cast("long"))
+        .withColumn("_nb", F.sum("_b").over(w).cast("long"))
+    )
+    p = F.col("_a").cast("double") / F.col("_na").cast("double")
+    q = F.col("_b").cast("double") / F.col("_nb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    t_p = F.when(
+        F.col("_a") > 0, F.round(p * F.log(p / m), 9).cast("decimal(28,9)")
+    ).otherwise(F.lit(0).cast("decimal(28,9)"))
+    t_q = F.when(
+        F.col("_b") > 0, F.round(q * F.log(q / m), 9).cast("decimal(28,9)")
+    ).otherwise(F.lit(0).cast("decimal(28,9)"))
+    agg = cells.groupBy().agg(
+        F.max("_na").alias("n_ref"),
+        F.max("_nb").alias("n_cur"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum(t_p).alias("_tp"),
+        F.sum(t_q).alias("_tq"),
+    )
+    jsd = (F.col("_tp").cast("double") + F.col("_tq").cast("double")) / F.lit(2.0)
+    import math as _math
+
+    bits = jsd / F.lit(_math.log(2.0))
+    status = F.when(
+        (F.col("n_ref") == 0) | (F.col("n_cur") == 0), F.lit("no_reference")
+    ).otherwise(
+        F.when(bits < 0.05, "stable").when(bits < 0.2, "moderate_shift").otherwise("major_shift")
+    )
+    return agg.select(
+        "n_ref",
+        "n_cur",
+        "n_categories",
+        F.round(jsd, 6).alias("jsd_nats"),
+        F.round(bits, 6).alias("jsd_bits"),
+        status.alias("status"),
+    )
+
+
+def theil_index(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Theil T inequality index with between/within decomposition — the
+    concentration monitor :func:`gini_concentration` can't decompose:
+    how unequal is the measure across units, and how much of that
+    inequality lives BETWEEN groups vs INSIDE them?
+    T = (1/N) Σ (xᵢ/μ)·ln(xᵢ/μ); T_between replaces each unit by its
+    group mean; T_within = T − T_between (exact additive
+    decomposition).
+
+    Scale shape: the global totals reduce to ONE row that broadcasts
+    back over the unit relation (scalar cross join — no window over raw
+    grain, no re-sort); per-unit terms reduce map-side; the group tier
+    folds over the |groups| relation. Two passes over the unit
+    relation, both shuffle-light.
+
+    Determinism: sums are exact DECIMALs (pass DECIMAL-friendly
+    values); every ln term is a fixed-shape double ROUNDED to 9 then
+    DECIMAL-summed; outputs round to 6. Theil is defined on POSITIVE
+    values: rows with NULL or ≤ 0 values are excluded (count reported
+    as n_excluded). Returns one row: (n, n_excluded, k_groups, mean,
+    theil_total, theil_between, theil_within)."""
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    v = F.col(value_col).cast("decimal(24,6)")
+    raw = df.select(g.alias("_g"), v.alias("_v"))
+    base = raw.filter(F.col("_v") > 0).localCheckpoint(eager=False)
+    excluded = raw.filter(F.col("_v").isNull() | (F.col("_v") <= 0)).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_excluded")
+    )
+    totals = base.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_v").alias("_s"),
+    )
+    mu = F.col("_s").cast("double") / F.col("_n").cast("double")
+    # per-unit terms against the broadcast scalar mean
+    unit = base.crossJoin(F.broadcast(totals))
+    x_over_mu = F.col("_v").cast("double") / mu
+    t_term = F.round(x_over_mu * F.log(x_over_mu), 9).cast("decimal(28,9)")
+    t_total = unit.groupBy().agg(F.sum(t_term).alias("_tt"))
+    # group tier: share-weighted log of (income share / population share)
+    groups = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_ng"),
+        F.sum("_v").alias("_sg"),
+    )
+    gu = groups.crossJoin(F.broadcast(totals))
+    inc_share = F.col("_sg").cast("double") / F.col("_s").cast("double")
+    pop_share = F.col("_ng").cast("double") / F.col("_n").cast("double")
+    b_term = F.when(
+        F.col("_sg") > 0,
+        F.round(inc_share * F.log(inc_share / pop_share), 9).cast("decimal(28,9)"),
+    ).otherwise(F.lit(0).cast("decimal(28,9)"))
+    t_between = gu.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum(b_term).alias("_tb"),
+    )
+    j = totals.crossJoin(excluded).crossJoin(t_total).crossJoin(t_between)
+    tt = F.col("_tt").cast("double") / F.col("_n").cast("double")
+    tb = F.col("_tb").cast("double")
+    return j.select(
+        F.col("_n").alias("n"),
+        "n_excluded",
+        "k_groups",
+        F.round(mu, 6).alias("mean"),
+        F.round(tt, 6).alias("theil_total"),
+        F.round(tb, 6).alias("theil_between"),
+        F.round(tt - tb, 6).alias("theil_within"),
+    )
+
+
+def cohens_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str) -> DataFrame:
+    """Cohen's κ — chance-corrected agreement between two categorical
+    labelings (model vs model, annotator vs annotator, rule vs rule):
+    κ = (p_o − p_e)/(1 − p_e) where p_o is observed agreement and p_e
+    the agreement two independent raters with these marginals would hit
+    by luck. The agreement lens :func:`mutual_information` doesn't
+    give — MI rewards ANY dependence, κ only rewards agreement on the
+    SAME label.
+
+    Scale shape: one (a, b) cell shuffle (category² cells, the
+    :func:`mutual_information` discipline); marginals ride windows over
+    the cell relation; the fold is scalar.
+
+    Determinism: counts are exact LONGs; p_e terms are fixed-shape
+    doubles of integer ratios ROUNDED to 9 then DECIMAL-summed; κ is a
+    single double rounded to 6. NULL labels are a real ``__null__``
+    level (two raters agreeing on "missing" IS agreement). Returns one
+    row: (n, k_a, k_b, po, pe, kappa); κ NULL when p_e = 1 (both raters
+    constant)."""
+    a = F.coalesce(F.col(rater_a_col).cast("string"), F.lit("__null__"))
+    b = F.coalesce(F.col(rater_b_col).cast("string"), F.lit("__null__"))
+    cells = df.select(a.alias("_a"), b.alias("_b")).groupBy("_a", "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    w = Window.partitionBy()
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    cells = (
+        cells.withColumn("_tot", F.sum("_n").over(w).cast("long"))
+        .withColumn("_ra", F.sum("_n").over(wa).cast("long"))
+        .withColumn("_rb", F.sum("_n").over(wb).cast("long"))
+    )
+    # p_e needs Σ_label rowshare · colshare over labels BOTH raters use;
+    # a diagonal cell may be absent even when both marginals exist, so the
+    # contribution folds over a label-level join of the two marginal
+    # relations (never the raw grain).
+    ma = cells.groupBy("_a").agg(F.max("_ra").alias("_ca")).select(
+        F.col("_a").alias("_lbl"), "_ca"
+    )
+    mb = cells.groupBy("_b").agg(F.max("_rb").alias("_cb")).select(
+        F.col("_b").alias("_lbl"), "_cb"
+    )
+    tot1 = cells.groupBy().agg(
+        F.max("_tot").alias("n"),
+        F.countDistinct("_a").cast("long").alias("k_a"),
+        F.countDistinct("_b").cast("long").alias("k_b"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("_agree"),
+    )
+    pe_all = (
+        ma.join(mb, "_lbl")
+        .crossJoin(F.broadcast(tot1.select("n")))
+        .select(
+            F.round(
+                (F.col("_ca").cast("double") / F.col("n").cast("double"))
+                * (F.col("_cb").cast("double") / F.col("n").cast("double")),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("_pt")
+        )
+        .groupBy()
+        .agg(F.sum("_pt").alias("_pe"))
+    )
+    j = tot1.crossJoin(pe_all)
+    po = F.col("_agree").cast("double") / F.col("n").cast("double")
+    pe = F.coalesce(F.col("_pe").cast("double"), F.lit(0.0))
+    kappa = F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6))
+    return j.select(
+        "n",
+        "k_a",
+        "k_b",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        kappa.alias("kappa"),
+    )

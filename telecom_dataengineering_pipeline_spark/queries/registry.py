@@ -137,6 +137,11 @@ DRIVER_ORDER: list[str] = [
     "periodogram_daily_event_volume",
     "variants_user_journeys",
     "cycle_time_by_entry_event",
+    "jsd_event_mix_halves",
+    "theil_spend_by_nation",
+    "kappa_discount_rule_vs_returns",
+    "report_discount_rule_vs_returns",
+    "nearest_tower_load",
     # -- stalest driver evidence: last checked in ROUND 3 (all 27
     #    remaining r3 names — the alphabetical tail the r6 window could
     #    not fit).

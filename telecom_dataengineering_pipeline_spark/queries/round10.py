@@ -851,3 +851,301 @@ def cycle_time_by_entry_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return case_cycle_profile(ev, "user_id", "event_type", "ts", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Jensen–Shannon divergence (quality/monitors.py::js_divergence): how far
+# did the event-type mix move from the first half of January to the
+# second, on the absolute [0,1]-bit scale? The effect-size companion to
+# dq_chi_squared_event_mix over the same split.
+# ---------------------------------------------------------------------------
+
+_JSD_ORACLE = """
+WITH cells AS (
+  SELECT c, CAST(sum(ra) AS BIGINT) AS a, CAST(sum(rb) AS BIGINT) AS b FROM (
+    SELECT coalesce(event_type, '__null__') AS c, 1 AS ra, 0 AS rb FROM events
+    WHERE CAST(strftime(ts, '%d') AS INT) <= 15
+    UNION ALL
+    SELECT coalesce(event_type, '__null__') AS c, 0 AS ra, 1 AS rb FROM events
+    WHERE CAST(strftime(ts, '%d') AS INT) > 15
+  ) GROUP BY 1
+), t AS (
+  SELECT *, CAST(sum(a) OVER () AS BIGINT) AS na, CAST(sum(b) OVER () AS BIGINT) AS nb
+  FROM cells
+), terms AS (
+  SELECT na, nb,
+    CASE WHEN a > 0 THEN CAST(round((CAST(a AS DOUBLE) / CAST(na AS DOUBLE))
+      * ln((CAST(a AS DOUBLE) / CAST(na AS DOUBLE))
+           / ((CAST(a AS DOUBLE) / CAST(na AS DOUBLE) + CAST(b AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0)), 9)
+      AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END AS tp,
+    CASE WHEN b > 0 THEN CAST(round((CAST(b AS DOUBLE) / CAST(nb AS DOUBLE))
+      * ln((CAST(b AS DOUBLE) / CAST(nb AS DOUBLE))
+           / ((CAST(a AS DOUBLE) / CAST(na AS DOUBLE) + CAST(b AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0)), 9)
+      AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END AS tq
+  FROM t
+), agg AS (
+  SELECT CAST(max(na) AS BIGINT) AS n_ref, CAST(max(nb) AS BIGINT) AS n_cur,
+         CAST(count(*) AS BIGINT) AS n_categories,
+         sum(tp) AS stp, sum(tq) AS stq
+  FROM terms
+)
+SELECT n_ref, n_cur, n_categories,
+  round((CAST(stp AS DOUBLE) + CAST(stq AS DOUBLE)) / 2.0, 6) AS jsd_nats,
+  round(((CAST(stp AS DOUBLE) + CAST(stq AS DOUBLE)) / 2.0) / ln(2.0), 6) AS jsd_bits,
+  CASE WHEN n_ref = 0 OR n_cur = 0 THEN 'no_reference'
+       WHEN ((CAST(stp AS DOUBLE) + CAST(stq AS DOUBLE)) / 2.0) / ln(2.0) < 0.05 THEN 'stable'
+       WHEN ((CAST(stp AS DOUBLE) + CAST(stq AS DOUBLE)) / 2.0) / ln(2.0) < 0.2 THEN 'moderate_shift'
+       ELSE 'major_shift' END AS status
+FROM agg
+"""
+
+
+@register("jsd_event_mix_halves", oracle=_JSD_ORACLE, tags=("DQ", "drift"))
+def jsd_event_mix_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import js_divergence
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "dd").cast("int").alias("_d")
+    )
+    ref = ev.filter(F.col("_d") <= 15)
+    cur = ev.filter(F.col("_d") > 15)
+    return js_divergence(ref, cur, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Theil index (quality/monitors.py::theil_index): customer-spend
+# inequality decomposed between vs within nations — the decomposition
+# gini_revenue_by_nation can't produce. Whole-dollar spend keeps every
+# sum exact.
+# ---------------------------------------------------------------------------
+
+_THEIL_ORACLE = """
+WITH spend AS (
+  SELECT n.n_name AS g,
+         CAST(sum(CAST(round(o.o_totalprice, 0) AS DECIMAL(18,0))) AS DECIMAL(24,6)) AS v
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, o.o_custkey
+), base AS (
+  SELECT coalesce(g, '__null__') AS g, v FROM spend WHERE v > 0
+), excluded AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_excluded FROM spend WHERE v IS NULL OR v <= 0
+), totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS s FROM base
+), unit AS (
+  SELECT CAST(sum(CAST(round((CAST(b.v AS DOUBLE) / (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))
+    * ln(CAST(b.v AS DOUBLE) / (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))), 9) AS DECIMAL(28,9)))
+    AS DOUBLE) AS tt
+  FROM base b CROSS JOIN totals t
+), grp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS ng, sum(v) AS sg FROM base GROUP BY 1
+), btier AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_groups,
+    CAST(sum(CASE WHEN sg > 0 THEN CAST(round((CAST(sg AS DOUBLE) / CAST(t.s AS DOUBLE))
+      * ln((CAST(sg AS DOUBLE) / CAST(t.s AS DOUBLE)) / (CAST(ng AS DOUBLE) / CAST(t.n AS DOUBLE))), 9)
+      AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE) AS tb
+  FROM grp CROSS JOIN totals t GROUP BY t.n, t.s
+)
+SELECT t.n, e.n_excluded, b.k_groups,
+  round(CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS mean,
+  round(u.tt / CAST(t.n AS DOUBLE), 6) AS theil_total,
+  round(b.tb, 6) AS theil_between,
+  round(u.tt / CAST(t.n AS DOUBLE) - b.tb, 6) AS theil_within
+FROM totals t CROSS JOIN excluded e CROSS JOIN unit u CROSS JOIN btier b
+"""
+
+
+@register("theil_spend_by_nation", oracle=_THEIL_ORACLE, tags=("DQ", "A11"))
+def theil_spend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import theil_index
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(nation), nation.n_nationkey == cust.c_nationkey)
+        .groupBy("n_name", "o_custkey")
+        .agg(
+            F.sum(F.round("o_totalprice", 0).cast("decimal(18,0)"))
+            .cast("decimal(24,6)")
+            .alias("v")
+        )
+        .select(F.col("n_name").alias("g"), "v")
+    )
+    return theil_index(spend, "g", "v")
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa + per-class report (quality/monitors.py::cohens_kappa,
+# operators/features.py::classification_report): grade the deep-discount
+# return rule (discount ≥ 0.06 → predict 'R' else 'N') against the actual
+# return flag — κ for chance-corrected agreement, the report for
+# per-class precision/recall/F1.
+# ---------------------------------------------------------------------------
+
+_RULE_BASE_SQL = """
+  SELECT CASE WHEN l_discount >= 0.06 THEN 'R' ELSE 'N' END AS pred,
+         l_returnflag AS y
+  FROM lineitem
+"""
+
+_KAPPA_ORACLE = f"""
+WITH fixture AS ({_RULE_BASE_SQL}),
+base AS (
+  SELECT coalesce(pred, '__null__') AS a, coalesce(y, '__null__') AS b FROM fixture
+), cells AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n,
+         CAST(count(DISTINCT a) AS BIGINT) AS k_a,
+         CAST(count(DISTINCT b) AS BIGINT) AS k_b,
+         CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS agree
+  FROM cells
+), ma AS (SELECT a AS lbl, CAST(sum(n) AS BIGINT) AS ca FROM cells GROUP BY 1),
+mb AS (SELECT b AS lbl, CAST(sum(n) AS BIGINT) AS cb FROM cells GROUP BY 1),
+pe AS (
+  SELECT sum(CAST(round((CAST(ca AS DOUBLE) / CAST(t.n AS DOUBLE))
+       * (CAST(cb AS DOUBLE) / CAST(t.n AS DOUBLE)), 9) AS DECIMAL(28,9))) AS pe
+  FROM ma JOIN mb ON ma.lbl = mb.lbl CROSS JOIN tot t GROUP BY t.n
+)
+SELECT t.n, t.k_a, t.k_b,
+  round(CAST(t.agree AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS po,
+  round(coalesce(CAST(p.pe AS DOUBLE), 0.0), 6) AS pe,
+  CASE WHEN coalesce(CAST(p.pe AS DOUBLE), 0.0) < 1.0
+       THEN round((CAST(t.agree AS DOUBLE) / CAST(t.n AS DOUBLE) - coalesce(CAST(p.pe AS DOUBLE), 0.0))
+            / (1.0 - coalesce(CAST(p.pe AS DOUBLE), 0.0)), 6) END AS kappa
+FROM tot t CROSS JOIN pe p
+"""
+
+
+def _rule_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_discount") >= 0.06, "R").otherwise("N").alias("pred"),
+        F.col("l_returnflag").alias("y"),
+    )
+
+
+@register("kappa_discount_rule_vs_returns", oracle=_KAPPA_ORACLE, tags=("eval", "DQ"))
+def kappa_discount_rule_vs_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import cohens_kappa
+
+    return cohens_kappa(_rule_base(spark, sf_dir), "pred", "y")
+
+
+_REPORT_ORACLE = f"""
+WITH fixture AS ({_RULE_BASE_SQL}),
+base AS (
+  SELECT coalesce(pred, '__null__') AS p, coalesce(y, '__null__') AS y FROM fixture
+), cells AS (
+  SELECT p, y, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1, 2
+), pm AS (SELECT p AS class, CAST(sum(n) AS BIGINT) AS np FROM cells GROUP BY 1),
+lm AS (SELECT y AS class, CAST(sum(n) AS BIGINT) AS ny FROM cells GROUP BY 1),
+dg AS (SELECT p AS class, n AS tp FROM cells WHERE p = y),
+rep AS (
+  SELECT coalesce(pm.class, lm.class) AS class,
+    CAST(coalesce(ny, 0) AS BIGINT) AS support,
+    CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+    CAST(coalesce(np, 0) - coalesce(tp, 0) AS BIGINT) AS fp,
+    CAST(coalesce(ny, 0) - coalesce(tp, 0) AS BIGINT) AS fn
+  FROM pm FULL OUTER JOIN lm ON pm.class = lm.class
+  LEFT JOIN dg ON dg.class = coalesce(pm.class, lm.class)
+)
+SELECT class, support, tp, fp, fn,
+  round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
+  round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END, 6) AS recall,
+  CASE WHEN tp + fp > 0 AND tp + fn > 0
+        AND CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) > 0
+       THEN round(2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+            * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+            / (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+               + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)), 6) END AS f1
+FROM rep
+"""
+
+
+@register("report_discount_rule_vs_returns", oracle=_REPORT_ORACLE, tags=("eval",))
+def report_discount_rule_vs_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import classification_report
+
+    return classification_report(_rule_base(spark, sf_dir), "pred", "y")
+
+
+# ---------------------------------------------------------------------------
+# Nearest-tower assignment (operators/spatial.py::nearest_assignment):
+# synthesize event positions over the continental-US box, assign each to
+# its serving tower from the CSV seed (broadcast dimension argmin), and
+# roll up load per tower — the coverage-map join the reference's
+# fraud/geo tier implies but never materializes.
+# ---------------------------------------------------------------------------
+
+
+def _nearest_oracle() -> str:
+    from .advanced import SEED_PATH
+
+    return f"""
+WITH pts AS (
+  SELECT event_id AS id,
+         30.0 + (event_id % 1800) / 100.0 AS lat,
+         -123.0 + ((event_id * 31) % 4800) / 100.0 AS lon
+  FROM events
+), sites AS (
+  SELECT tower_id, CAST(latitude AS DOUBLE) AS lat, CAST(longitude AS DOUBLE) AS lon
+  FROM read_csv('{SEED_PATH}', header=true, columns={{
+    'tower_id': 'VARCHAR', 'city': 'VARCHAR', 'state': 'VARCHAR',
+    'latitude': 'DECIMAL(9,6)', 'longitude': 'DECIMAL(9,6)',
+    'tower_type': 'VARCHAR', 'capacity_erlangs': 'INTEGER', 'is_active': 'BOOLEAN'
+  }})
+), d AS (
+  SELECT p.id, s.tower_id,
+    round(2 * 6371.0 * asin(sqrt(
+       sin(radians(s.lat - p.lat) / 2) * sin(radians(s.lat - p.lat) / 2)
+       + cos(radians(p.lat)) * cos(radians(s.lat))
+         * sin(radians(s.lon - p.lon) / 2) * sin(radians(s.lon - p.lon) / 2)
+    )), 6) AS distance_km
+  FROM pts p CROSS JOIN sites s
+), best AS (
+  SELECT id, tower_id, distance_km FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY distance_km ASC, tower_id ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+SELECT tower_id, CAST(count(*) AS BIGINT) AS n_points,
+  round(CAST(sum(CAST(distance_km AS DECIMAL(14,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+    AS mean_km,
+  round(max(distance_km), 6) AS max_km
+FROM best GROUP BY 1
+"""
+
+
+@register("nearest_tower_load", oracle=_nearest_oracle(), tags=("geo", "J1"))
+def nearest_tower_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import nearest_assignment
+    from .advanced import SEED_PATH, TOWER_SEED_SCHEMA
+
+    pts = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        (F.lit(30.0) + (F.col("event_id") % 1800) / F.lit(100.0)).alias("lat"),
+        (F.lit(-123.0) + ((F.col("event_id") * 31) % 4800) / F.lit(100.0)).alias("lon"),
+    )
+    towers = (
+        spark.read.option("header", True)
+        .schema(TOWER_SEED_SCHEMA)
+        .csv(SEED_PATH)
+        .select(
+            "tower_id",
+            F.col("latitude").cast("double").alias("lat"),
+            F.col("longitude").cast("double").alias("lon"),
+        )
+    )
+    assigned = nearest_assignment(pts, towers, point_id_col="id", site_id_col="tower_id")
+    return assigned.groupBy(F.col("site_id").alias("tower_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(
+            F.sum(F.col("distance_km").cast("decimal(14,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_km"),
+        F.round(F.max("distance_km"), 6).alias("max_km"),
+    )

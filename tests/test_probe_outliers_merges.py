@@ -178,6 +178,11 @@ def test_new_registrations_inside_driver_window():
         "periodogram_daily_event_volume",
         "variants_user_journeys",
         "cycle_time_by_entry_event",
+        "jsd_event_mix_halves",
+        "theil_spend_by_nation",
+        "kappa_discount_rule_vs_returns",
+        "report_discount_rule_vs_returns",
+        "nearest_tower_load",
     }
     after_window = list(queries())[50 : 50 + len(s4)]
     assert s4 == set(after_window), f"session-4 names not at 51+: {after_window}"

@@ -1179,3 +1179,396 @@ def test_cycle_profile_duckdb_mirror(spark):
     )
     con = _pm_duckdb()
     assert sorted(tuple(r) for r in con.execute(_CYCLE_MIRROR).fetchall()) == got
+
+
+# ---------------------------------------------------------------------------
+# Jensen–Shannon divergence
+# ---------------------------------------------------------------------------
+
+from telecom_dataengineering_pipeline_spark.quality.monitors import (  # noqa: E402
+    cohens_kappa,
+    js_divergence,
+    theil_index,
+)
+
+
+def _jsd_reference(ref, cur):
+    from collections import Counter
+
+    ca, cb = Counter(ref), Counter(cur)
+    na, nb = len(ref), len(cur)
+    tp = tq = 0.0
+    for c in set(ca) | set(cb):
+        p, q = ca.get(c, 0) / na, cb.get(c, 0) / nb
+        m = (p + q) / 2
+        if p > 0:
+            tp += round(p * math.log(p / m), 9)
+        if q > 0:
+            tq += round(q * math.log(q / m), 9)
+    return (tp + tq) / 2
+
+
+def test_jsd_identical_zero_disjoint_one_bit(spark):
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 5, "c string")
+    r = js_divergence(a, a, "c").collect()[0]
+    assert r["jsd_bits"] == 0.0 and r["status"] == "stable"
+    b = spark.createDataFrame([("z",)] * 10, "c string")
+    r2 = js_divergence(a, b, "c").collect()[0]
+    assert r2["jsd_bits"] == pytest.approx(1.0, abs=1e-6)
+    assert r2["status"] == "major_shift"
+
+
+def test_jsd_matches_reference_with_nulls(spark):
+    ref = ["a"] * 6 + ["b"] * 3 + [None]
+    cur = ["a"] * 3 + ["b"] * 5 + ["c"] * 2
+    da = spark.createDataFrame([(x,) for x in ref], "c string")
+    db = spark.createDataFrame([(x,) for x in cur], "c string")
+    r = js_divergence(da, db, "c").collect()[0]
+    exp = _jsd_reference(["__null__" if x is None else x for x in ref], cur)
+    assert r["jsd_nats"] == pytest.approx(exp, abs=2e-6)
+    assert r["n_categories"] == 4
+
+
+_JSD_MIRROR = """
+WITH cells AS (
+  SELECT c, CAST(sum(ra) AS BIGINT) AS a, CAST(sum(rb) AS BIGINT) AS b FROM (
+    SELECT coalesce(c, '__null__') AS c, 1 AS ra, 0 AS rb FROM ref_fixture
+    UNION ALL
+    SELECT coalesce(c, '__null__') AS c, 0 AS ra, 1 AS rb FROM cur_fixture
+  ) GROUP BY 1
+), t AS (
+  SELECT *, CAST(sum(a) OVER () AS BIGINT) AS na, CAST(sum(b) OVER () AS BIGINT) AS nb
+  FROM cells
+), terms AS (
+  SELECT na, nb,
+    CASE WHEN a > 0 THEN CAST(round((CAST(a AS DOUBLE) / CAST(na AS DOUBLE))
+      * ln((CAST(a AS DOUBLE) / CAST(na AS DOUBLE))
+           / ((CAST(a AS DOUBLE) / CAST(na AS DOUBLE) + CAST(b AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0)), 9)
+      AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END AS tp,
+    CASE WHEN b > 0 THEN CAST(round((CAST(b AS DOUBLE) / CAST(nb AS DOUBLE))
+      * ln((CAST(b AS DOUBLE) / CAST(nb AS DOUBLE))
+           / ((CAST(a AS DOUBLE) / CAST(na AS DOUBLE) + CAST(b AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0)), 9)
+      AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END AS tq
+  FROM t
+), agg AS (
+  SELECT CAST(max(na) AS BIGINT) AS n_ref, CAST(max(nb) AS BIGINT) AS n_cur,
+         CAST(count(*) AS BIGINT) AS n_categories,
+         sum(tp) AS stp, sum(tq) AS stq
+  FROM terms
+)
+SELECT n_ref, n_cur, n_categories,
+  round((CAST(stp AS DOUBLE) + CAST(stq AS DOUBLE)) / 2.0, 6) AS jsd_nats,
+  round(((CAST(stp AS DOUBLE) + CAST(stq AS DOUBLE)) / 2.0) / ln(2.0), 6) AS jsd_bits,
+  CASE WHEN n_ref = 0 OR n_cur = 0 THEN 'no_reference'
+       WHEN ((CAST(stp AS DOUBLE) + CAST(stq AS DOUBLE)) / 2.0) / ln(2.0) < 0.05 THEN 'stable'
+       WHEN ((CAST(stp AS DOUBLE) + CAST(stq AS DOUBLE)) / 2.0) / ln(2.0) < 0.2 THEN 'moderate_shift'
+       ELSE 'major_shift' END AS status
+FROM agg
+"""
+
+
+def test_jsd_duckdb_mirror(spark):
+    ref = [f"c{i % 5}" for i in range(40)]
+    cur = [f"c{(i * 3) % 7}" for i in range(35)]
+    da = spark.createDataFrame([(x,) for x in ref], "c string")
+    db = spark.createDataFrame([(x,) for x in cur], "c string")
+    got = tuple(js_divergence(da, db, "c").collect()[0])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ref_fixture (c VARCHAR)")
+    con.execute("CREATE TABLE cur_fixture (c VARCHAR)")
+    con.execute("INSERT INTO ref_fixture VALUES " + ", ".join(f"('{x}')" for x in ref))
+    con.execute("INSERT INTO cur_fixture VALUES " + ", ".join(f"('{x}')" for x in cur))
+    assert tuple(con.execute(_JSD_MIRROR).fetchone()) == got
+
+
+# ---------------------------------------------------------------------------
+# Theil index
+# ---------------------------------------------------------------------------
+
+
+def _theil_reference(rows):
+    vals = [(g, v) for g, v in rows if v is not None and v > 0]
+    n = len(vals)
+    mu = sum(v for _, v in vals) / n
+    tt = sum(round((v / mu) * math.log(v / mu), 9) for _, v in vals) / n
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for g, v in vals:
+        by_g[g].append(v)
+    s = sum(v for _, v in vals)
+    tb = sum(
+        round((sum(vs) / s) * math.log((sum(vs) / s) / (len(vs) / n)), 9)
+        for vs in by_g.values()
+    )
+    return n, len(by_g), round(mu, 6), round(tt, 6), round(tb, 6), round(tt - tb, 6)
+
+
+def test_theil_equal_values_zero(spark):
+    df = spark.createDataFrame([("a", 10.0)] * 4 + [("b", 10.0)] * 4, "g string, v double")
+    r = theil_index(df, "g", "v").collect()[0]
+    assert r["theil_total"] == 0.0 and r["theil_between"] == 0.0
+
+
+def test_theil_matches_reference_and_decomposition(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 20.0), ("b", 30.0),
+            ("c", 5.0), ("c", 0.0), ("c", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = theil_index(df, "g", "v").collect()[0]
+    ref = _theil_reference(rows)
+    assert (r["n"], r["k_groups"]) == ref[:2] and r["n_excluded"] == 2
+    assert r["theil_total"] == pytest.approx(ref[3], abs=2e-6)
+    assert r["theil_between"] == pytest.approx(ref[4], abs=2e-6)
+    assert r["theil_within"] == pytest.approx(ref[5], abs=2e-6)
+    # between-group inequality dominates (groups differ 10x)
+    assert r["theil_between"] > r["theil_within"]
+
+
+_THEIL_MIRROR = """
+WITH base AS (
+  SELECT coalesce(g, '__null__') AS g, CAST(v AS DECIMAL(24,6)) AS v
+  FROM fixture WHERE CAST(v AS DECIMAL(24,6)) > 0
+), excluded AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_excluded FROM fixture
+  WHERE v IS NULL OR CAST(v AS DECIMAL(24,6)) <= 0
+), totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS s FROM base
+), unit AS (
+  SELECT CAST(sum(CAST(round((CAST(b.v AS DOUBLE) / (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))
+    * ln(CAST(b.v AS DOUBLE) / (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))), 9) AS DECIMAL(28,9)))
+    AS DOUBLE) AS tt
+  FROM base b CROSS JOIN totals t
+), grp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS ng, sum(v) AS sg FROM base GROUP BY 1
+), btier AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_groups,
+    CAST(sum(CASE WHEN sg > 0 THEN CAST(round((CAST(sg AS DOUBLE) / CAST(t.s AS DOUBLE))
+      * ln((CAST(sg AS DOUBLE) / CAST(t.s AS DOUBLE)) / (CAST(ng AS DOUBLE) / CAST(t.n AS DOUBLE))), 9)
+      AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE) AS tb
+  FROM grp CROSS JOIN totals t GROUP BY t.n, t.s
+)
+SELECT t.n, e.n_excluded, b.k_groups,
+  round(CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS mean,
+  round(u.tt / CAST(t.n AS DOUBLE), 6) AS theil_total,
+  round(b.tb, 6) AS theil_between,
+  round(u.tt / CAST(t.n AS DOUBLE) - b.tb, 6) AS theil_within
+FROM totals t CROSS JOIN excluded e CROSS JOIN unit u CROSS JOIN btier b
+"""
+
+
+def test_theil_duckdb_mirror(spark):
+    rows = [(f"g{i % 3}", float((i * 7 + 1) % 23) + 0.5) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = tuple(theil_index(df, "g", "v").collect()[0])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (g VARCHAR, v DOUBLE)")
+    con.execute(
+        "INSERT INTO fixture VALUES " + ", ".join(f"('{g}', {v})" for g, v in rows)
+    )
+    assert tuple(con.execute(_THEIL_MIRROR).fetchone()) == got
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa
+# ---------------------------------------------------------------------------
+
+
+def _kappa_reference(pairs):
+    from collections import Counter
+
+    pairs = [("__null__" if a is None else a, "__null__" if b is None else b) for a, b in pairs]
+    n = len(pairs)
+    po = sum(1 for a, b in pairs if a == b) / n
+    ca = Counter(a for a, _ in pairs)
+    cb = Counter(b for _, b in pairs)
+    pe = sum(round((ca[c] / n) * (cb.get(c, 0) / n), 9) for c in ca if c in cb)
+    kappa = round((po - pe) / (1 - pe), 6) if pe < 1 else None
+    return n, len(ca), len(cb), round(po, 6), round(pe, 6), kappa
+
+
+def test_kappa_perfect_and_chance(spark):
+    same = [("x", "x")] * 5 + [("y", "y")] * 5
+    df = spark.createDataFrame(same, "a string, b string")
+    assert cohens_kappa(df, "a", "b").collect()[0]["kappa"] == 1.0
+    const = [("x", "x")] * 10  # both constant: pe = 1
+    assert cohens_kappa(
+        spark.createDataFrame(const, "a string, b string"), "a", "b"
+    ).collect()[0]["kappa"] is None
+
+
+def test_kappa_matches_reference(spark):
+    pairs = [("x", "x"), ("x", "y"), ("y", "y"), ("y", "y"), ("y", "x"),
+             ("z", "z"), ("z", "y"), (None, None), ("x", None)]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = tuple(cohens_kappa(df, "a", "b").collect()[0])
+    ref = _kappa_reference(pairs)
+    assert got[:3] == ref[:3]
+    for i in (3, 4, 5):
+        assert got[i] == pytest.approx(ref[i], abs=2e-6)
+
+
+_KAPPA_MIRROR = """
+WITH base AS (
+  SELECT coalesce(a, '__null__') AS a, coalesce(b, '__null__') AS b FROM fixture
+), cells AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n,
+         CAST(count(DISTINCT a) AS BIGINT) AS k_a,
+         CAST(count(DISTINCT b) AS BIGINT) AS k_b,
+         CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS agree
+  FROM cells
+), ma AS (SELECT a AS lbl, CAST(sum(n) AS BIGINT) AS ca FROM cells GROUP BY 1),
+mb AS (SELECT b AS lbl, CAST(sum(n) AS BIGINT) AS cb FROM cells GROUP BY 1),
+pe AS (
+  SELECT sum(CAST(round((CAST(ca AS DOUBLE) / CAST(t.n AS DOUBLE))
+       * (CAST(cb AS DOUBLE) / CAST(t.n AS DOUBLE)), 9) AS DECIMAL(28,9))) AS pe
+  FROM ma JOIN mb ON ma.lbl = mb.lbl CROSS JOIN tot t GROUP BY t.n
+)
+SELECT t.n, t.k_a, t.k_b,
+  round(CAST(t.agree AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS po,
+  round(coalesce(CAST(p.pe AS DOUBLE), 0.0), 6) AS pe,
+  CASE WHEN coalesce(CAST(p.pe AS DOUBLE), 0.0) < 1.0
+       THEN round((CAST(t.agree AS DOUBLE) / CAST(t.n AS DOUBLE) - coalesce(CAST(p.pe AS DOUBLE), 0.0))
+            / (1.0 - coalesce(CAST(p.pe AS DOUBLE), 0.0)), 6) END AS kappa
+FROM tot t CROSS JOIN pe p
+"""
+
+
+def test_kappa_duckdb_mirror(spark):
+    pairs = [(f"c{i % 4}", f"c{(i * 5 + (1 if i % 7 == 0 else 0)) % 4}") for i in range(60)]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = tuple(cohens_kappa(df, "a", "b").collect()[0])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (a VARCHAR, b VARCHAR)")
+    con.execute(
+        "INSERT INTO fixture VALUES " + ", ".join(f"('{a}', '{b}')" for a, b in pairs)
+    )
+    assert tuple(con.execute(_KAPPA_MIRROR).fetchone()) == got
+
+
+# ---------------------------------------------------------------------------
+# Classification report
+# ---------------------------------------------------------------------------
+
+from telecom_dataengineering_pipeline_spark.operators.features import (  # noqa: E402
+    classification_report,
+)
+
+
+def test_classification_report_reference(spark):
+    pairs = [("p", "p")] * 6 + [("p", "n")] * 2 + [("n", "p")] * 3 + [("n", "n")] * 9
+    df = spark.createDataFrame(pairs, "pred string, y string")
+    got = {r["class"]: r for r in classification_report(df, "pred", "y").collect()}
+    p = got["p"]
+    assert (p["tp"], p["fp"], p["fn"], p["support"]) == (6, 2, 3, 9)
+    assert p["precision"] == 0.75 and p["recall"] == pytest.approx(6 / 9, abs=1e-6)
+    assert p["f1"] == pytest.approx(2 * 0.75 * (6 / 9) / (0.75 + 6 / 9), abs=1e-6)
+
+
+def test_classification_report_one_sided_classes(spark):
+    pairs = [("a", "a"), ("a", "b"), ("c", "a")]  # 'b' never predicted, 'c' never true
+    df = spark.createDataFrame(pairs, "pred string, y string")
+    got = {r["class"]: r for r in classification_report(df, "pred", "y").collect()}
+    assert got["b"]["precision"] is None and got["b"]["recall"] == 0.0
+    assert got["c"]["recall"] is None and got["c"]["precision"] == 0.0
+
+
+_REPORT_MIRROR = """
+WITH base AS (
+  SELECT coalesce(pred, '__null__') AS p, coalesce(y, '__null__') AS y FROM fixture
+), cells AS (
+  SELECT p, y, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1, 2
+), pm AS (SELECT p AS class, CAST(sum(n) AS BIGINT) AS np FROM cells GROUP BY 1),
+lm AS (SELECT y AS class, CAST(sum(n) AS BIGINT) AS ny FROM cells GROUP BY 1),
+dg AS (SELECT p AS class, n AS tp FROM cells WHERE p = y),
+rep AS (
+  SELECT coalesce(pm.class, lm.class) AS class,
+    CAST(coalesce(ny, 0) AS BIGINT) AS support,
+    CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+    CAST(coalesce(np, 0) - coalesce(tp, 0) AS BIGINT) AS fp,
+    CAST(coalesce(ny, 0) - coalesce(tp, 0) AS BIGINT) AS fn
+  FROM pm FULL OUTER JOIN lm ON pm.class = lm.class
+  LEFT JOIN dg ON dg.class = coalesce(pm.class, lm.class)
+)
+SELECT class, support, tp, fp, fn,
+  round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
+  round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END, 6) AS recall,
+  CASE WHEN tp + fp > 0 AND tp + fn > 0
+        AND CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) > 0
+       THEN round(2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+            * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+            / (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+               + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)), 6) END AS f1
+FROM rep
+"""
+
+
+def test_classification_report_duckdb_mirror(spark):
+    pairs = [
+        (f"c{(i * 3) % 3}", f"c{(i * 3 + (1 if i % 5 == 0 else 0)) % 3}")
+        for i in range(45)
+    ]
+    df = spark.createDataFrame(pairs, "pred string, y string")
+    got = sorted(tuple(r) for r in classification_report(df, "pred", "y").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (pred VARCHAR, y VARCHAR)")
+    con.execute(
+        "INSERT INTO fixture VALUES " + ", ".join(f"('{a}', '{b}')" for a, b in pairs)
+    )
+    assert sorted(tuple(r) for r in con.execute(_REPORT_MIRROR).fetchall()) == got
+
+
+# ---------------------------------------------------------------------------
+# Nearest-site assignment
+# ---------------------------------------------------------------------------
+
+from telecom_dataengineering_pipeline_spark.operators.spatial import (  # noqa: E402
+    nearest_assignment,
+)
+
+
+def test_nearest_assignment_picks_closest_with_tiebreak(spark):
+    pts = spark.createDataFrame(
+        [(1, 10.0, 10.0), (2, 20.05, 20.0), (3, 0.0, 0.0)], "id long, lat double, lon double"
+    )
+    sites = spark.createDataFrame(
+        [("A", 10.1, 10.0), ("B", 20.0, 20.0), ("C", 20.1, 20.0)],
+        "site_id string, lat double, lon double",
+    )
+    got = {r["point_id"]: (r["site_id"], r["distance_km"]) for r in nearest_assignment(pts, sites).collect()}
+    assert got[1][0] == "A"
+    assert got[2][0] in ("B", "C")  # equidistant: tie broken by site_id
+    assert got[2][0] == "B"
+    assert got[3][0] == "A"  # nearest of the three from origin
+
+
+_NEAREST_MIRROR = """
+WITH d AS (
+  SELECT p.id AS point_id, s.site_id,
+    round(2 * 6371.0 * asin(sqrt(
+       sin(radians(s.lat - p.lat) / 2) * sin(radians(s.lat - p.lat) / 2)
+       + cos(radians(p.lat)) * cos(radians(s.lat))
+         * sin(radians(s.lon - p.lon) / 2) * sin(radians(s.lon - p.lon) / 2)
+    )), 6) AS distance_km
+  FROM pts p CROSS JOIN sites s
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY point_id ORDER BY distance_km ASC, site_id ASC) AS rn
+  FROM d
+)
+SELECT point_id, site_id, distance_km FROM r WHERE rn = 1
+"""
+
+
+def test_nearest_assignment_duckdb_mirror(spark):
+    pts_rows = [(i, float((i * 13) % 50) - 10.0, float((i * 7) % 80) - 40.0) for i in range(30)]
+    site_rows = [(f"S{j}", float(j * 9) - 10.0, float(j * 17) - 30.0) for j in range(5)]
+    pts = spark.createDataFrame(pts_rows, "id long, lat double, lon double")
+    sites = spark.createDataFrame(site_rows, "site_id string, lat double, lon double")
+    got = sorted(tuple(r) for r in nearest_assignment(pts, sites).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts (id BIGINT, lat DOUBLE, lon DOUBLE)")
+    con.execute("CREATE TABLE sites (site_id VARCHAR, lat DOUBLE, lon DOUBLE)")
+    con.execute("INSERT INTO pts VALUES " + ", ".join(f"({i},{a},{b})" for i, a, b in pts_rows))
+    con.execute("INSERT INTO sites VALUES " + ", ".join(f"('{s}',{a},{b})" for s, a, b in site_rows))
+    assert sorted(tuple(r) for r in con.execute(_NEAREST_MIRROR).fetchall()) == got
