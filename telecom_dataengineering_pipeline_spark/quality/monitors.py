@@ -1347,29 +1347,27 @@ def cohens_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str) -> DataFrame
     constant)."""
     a = F.coalesce(F.col(rater_a_col).cast("string"), F.lit("__null__"))
     b = F.coalesce(F.col(rater_b_col).cast("string"), F.lit("__null__"))
-    cells = df.select(a.alias("_a"), b.alias("_b")).groupBy("_a", "_b").agg(
-        F.count(F.lit(1)).cast("long").alias("_n")
-    )
-    w = Window.partitionBy()
-    wa = Window.partitionBy("_a")
-    wb = Window.partitionBy("_b")
+    # lineage cut: the cell relation feeds three branches (two marginal
+    # folds + the totals) — without it Catalyst re-runs the base scan and
+    # groupBy into every branch (the shared-subtree rule).
     cells = (
-        cells.withColumn("_tot", F.sum("_n").over(w).cast("long"))
-        .withColumn("_ra", F.sum("_n").over(wa).cast("long"))
-        .withColumn("_rb", F.sum("_n").over(wb).cast("long"))
+        df.select(a.alias("_a"), b.alias("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .localCheckpoint(eager=False)
     )
     # p_e needs Σ_label rowshare · colshare over labels BOTH raters use;
     # a diagonal cell may be absent even when both marginals exist, so the
     # contribution folds over a label-level join of the two marginal
     # relations (never the raw grain).
-    ma = cells.groupBy("_a").agg(F.max("_ra").alias("_ca")).select(
+    ma = cells.groupBy("_a").agg(F.sum("_n").cast("long").alias("_ca")).select(
         F.col("_a").alias("_lbl"), "_ca"
     )
-    mb = cells.groupBy("_b").agg(F.max("_rb").alias("_cb")).select(
+    mb = cells.groupBy("_b").agg(F.sum("_n").cast("long").alias("_cb")).select(
         F.col("_b").alias("_lbl"), "_cb"
     )
     tot1 = cells.groupBy().agg(
-        F.max("_tot").alias("n"),
+        F.sum("_n").cast("long").alias("n"),
         F.countDistinct("_a").cast("long").alias("k_a"),
         F.countDistinct("_b").cast("long").alias("k_b"),
         F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n")).otherwise(0))
