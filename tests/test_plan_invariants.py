@@ -623,3 +623,88 @@ def test_holt_winters_pivot_only(spark, sf_smoke):
     assert "Join" not in plan and "Python" not in plan
     assert "Window" not in plan
     assert plan.count("FileScan") == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-7 session-4 shapes
+# ---------------------------------------------------------------------------
+
+
+def test_welch_single_scan_no_window_no_join(spark, sf_smoke):
+    """Welch t-test: six conditional sums in ONE map-side-combined scalar
+    aggregate — no window, no join, no keyed shuffle, one scan."""
+    plan = _physical(spark, "welch_purchase_vs_view_value", sf_smoke)
+    assert _n_shuffles(plan) == 0  # only the SinglePartition gather
+    assert "Join" not in plan and "Window" not in plan and "Python" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_anova_cells_only_no_join(spark, sf_smoke):
+    """ANOVA: one level-keyed exchange builds the cells; totals ride a
+    window over the level grain; no join, no Python."""
+    plan = _physical(spark, "anova_event_value_by_type", sf_smoke)
+    assert _n_shuffles(plan) == 1
+    assert "Join" not in plan and "Python" not in plan
+
+
+def test_lift_global_sort_no_join(spark, sf_smoke):
+    """Decile lift: one global ntile sort over the scored-order grain and
+    bucket-grain windows — no join anywhere."""
+    plan = _physical(spark, "lift_deciles_order_returns", sf_smoke)
+    assert "Join" not in plan and "Python" not in plan
+
+
+def test_periodogram_no_join_no_python_trig_embedded(spark, sf_smoke):
+    """Periodogram: literal-array explode + embedded trig CASE — the trig
+    never calls out to Python and the series never joins anything."""
+    plan = _physical(spark, "periodogram_daily_event_volume", sf_smoke)
+    assert "Join" not in plan and "Python" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_pettitt_collapses_before_window(spark, sf_smoke):
+    """Pettitt: the O(T²) self-join collapses to T rows (one V_t per
+    step) BEFORE the cumulative window; no Python."""
+    plan = _physical(spark, "pettitt_daily_event_value", sf_smoke)
+    assert "Python" not in plan
+    assert "Window" in plan
+
+
+def test_logrank_broadcast_dim_and_duration_grain(spark, sf_smoke):
+    """Log-rank: the customer dim broadcasts onto the per-customer
+    aggregate; risk sets ride windows over the collapsed duration grain."""
+    plan = _physical(spark, "logrank_churn_building_vs_auto", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan and "Python" not in plan
+
+
+def test_nearest_tower_broadcast_argmin(spark, sf_smoke):
+    """Nearest-tower: the tower dim rides a broadcast nested-loop fan-out
+    and the per-point argmin reduces via partial min-struct aggregation —
+    no sort-merge join, no per-point window sort."""
+    plan = _physical(spark, "nearest_tower_load", sf_smoke)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan  # argmin via min(struct), not row_number
+
+
+def test_theil_no_window_scalar_broadcast(spark, sf_smoke):
+    """Theil: totals broadcast back as a 1-row scalar (cross join) — no
+    window over the unit grain anywhere."""
+    plan = _physical(spark, "theil_spend_by_nation", sf_smoke)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the scalar cross joins
+
+
+def test_variants_single_case_exchange(spark, sf_smoke):
+    """Variant analysis: events collapse per case in one keyed exchange;
+    share/rank ride the variant grain."""
+    plan = _physical(spark, "variants_user_journeys", sf_smoke)
+    assert "Join" not in plan and "Python" not in plan
+
+
+def test_assortativity_no_cartesian(spark, sf_smoke):
+    """Assortativity: degree decoration is two equi-joins, the fold is
+    scalar — nothing degenerates to a cross product of the edge list."""
+    plan = _physical(spark, "assortativity_copurchase", sf_smoke)
+    assert "CartesianProduct" not in plan
