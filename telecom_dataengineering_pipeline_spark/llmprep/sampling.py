@@ -156,3 +156,89 @@ def capped_sample_per_key(
         .filter(F.col("_rn") <= n_per_key)
         .drop("_rn")
     )
+
+
+def stratified_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Stratified-sample design table — before drawing a sample, decide
+    how many units each stratum GETS: proportional allocation
+    (n_h ∝ N_h) and Neyman allocation (n_h ∝ N_h·σ_h — oversample the
+    volatile strata, the variance-optimal design). The planning
+    companion to the drawing operators in this module (hash-priority
+    sampling executes a design; this computes one).
+
+    Both allocations integerize by largest remainder (exact total
+    preserved; quota ties break on the stratum name), so Σ alloc =
+    ``total_n`` exactly in both engines.
+
+    Scale shape: one stratum-keyed map-side-combined aggregate (N, Σv,
+    Σv² per stratum) collapses the population; every derived column —
+    shares, quotas, remainder ranks — folds over the |strata| relation
+    in one window partitioning. The population is touched once.
+
+    Determinism: counts/sums are exact DECIMALs; σ_h is a fixed-shape
+    double from the exact sums (rounded to 9 before the Neyman weight
+    products); floors and remainder ranks are integer-exact. NULL
+    values are excluded from σ but still counted in N_h (allocation is
+    about population size; pass a complete-case relation to change
+    that). Returns one row per stratum: (stratum, n_pop, sd,
+    alloc_proportional, alloc_neyman)."""
+    if total_n < 1:
+        raise ValueError("stratified_allocation needs total_n >= 1")
+    g = F.coalesce(F.col(stratum_col).cast("string"), F.lit("__null__"))
+    v = F.col(value_col).cast("decimal(24,6)")
+    cells = df.select(g.alias("stratum"), v.alias("_v")).groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+        F.count("_v").cast("long").alias("_nv"),
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_ss"),
+    )
+    nv = F.col("_nv").cast("double")
+    s, ss = F.col("_s").cast("double"), F.col("_ss").cast("double")
+    sd = F.when(
+        F.col("_nv") > 1,
+        F.sqrt(
+            F.greatest(F.lit(0.0), (ss - s * s / nv) / (nv - F.lit(1.0)))
+        ),
+    ).otherwise(F.lit(0.0))
+    cells = cells.withColumn("_sd", F.round(sd, 9))
+    w = Window.partitionBy()
+    cells = cells.withColumn("_tot", F.sum("n_pop").over(w).cast("long")).withColumn(
+        "_wsum",
+        F.sum(
+            F.round(F.col("n_pop").cast("double") * F.col("_sd"), 9).cast(
+                "decimal(28,9)"
+            )
+        ).over(w),
+    )
+
+    def _largest_remainder(quota: "F.Column", tag: str) -> "F.Column":
+        base = F.floor(quota).cast("long")
+        rem = quota - base.cast("double")
+        wrem = Window.orderBy(F.round(rem, 9).desc(), F.col("stratum").asc())
+        short = (F.lit(total_n) - F.sum(base).over(w)).cast("long")
+        rk = F.row_number().over(wrem).cast("long")
+        return (base + F.when(rk <= short, 1).otherwise(0)).cast("long").alias(tag)
+
+    quota_p = (
+        F.lit(float(total_n))
+        * F.col("n_pop").cast("double")
+        / F.col("_tot").cast("double")
+    )
+    wgt = F.round(F.col("n_pop").cast("double") * F.col("_sd"), 9)
+    quota_n = F.when(
+        F.col("_wsum").cast("double") > 0,
+        F.lit(float(total_n)) * wgt / F.col("_wsum").cast("double"),
+    ).otherwise(quota_p)
+    out = cells.select(
+        "stratum",
+        "n_pop",
+        F.round(F.col("_sd"), 6).alias("sd"),
+        _largest_remainder(quota_p, "alloc_proportional"),
+        _largest_remainder(quota_n, "alloc_neyman"),
+    )
+    return out

@@ -1317,3 +1317,99 @@ SELECT k, period,
         + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE), 6) AS power
 FROM agg
 """
+
+
+def forecast_errors(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    t_col: str,
+    actual_col: str,
+    forecast_col: str,
+) -> DataFrame:
+    """Forecast-accuracy scorecard per series — MAE, RMSE, MAPE, sMAPE,
+    and MASE over (actual, forecast) pairs: the evaluation closer for
+    the forecasting tier (:func:`holt_linear` /
+    :func:`holt_winters_additive` produce forecasts; this grades any of
+    them, or a naive baseline, on held-out steps). MASE scales MAE by
+    the in-sample naive lag-1 error — the scale-free score that lets a
+    5-event-type dashboard share one threshold (MASE < 1 beats naive).
+
+    Scale shape: ONE keyed sort window derives the lag-1 naive error;
+    the same partitioning feeds the map-side-combined rollup. Runs at
+    the calendar-grain series contract.
+
+    Determinism: pass DECIMAL actuals/forecasts — errors, |errors|, and
+    squared errors stay exact DECIMALs; the per-row MAPE/sMAPE ratios
+    round to 9 then DECIMAL-sum; final scores are fixed-shape doubles
+    rounded to 6. Rows with NULL actual or forecast are excluded; MAPE
+    skips zero actuals (count reported), sMAPE skips rows where
+    |a|+|f| = 0; MASE NULL for single-point series or a flat naive
+    scale. Returns one row per key: (*key_cols, n, n_zero_actual, mae,
+    rmse, mape, smape, mase)."""
+    kcols = [F.col(c) for c in key_cols]
+    base = df.filter(
+        F.col(actual_col).isNotNull()
+        & F.col(forecast_col).isNotNull()
+        & F.col(t_col).isNotNull()
+    ).select(
+        *kcols,
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(actual_col).cast("decimal(24,6)").alias("_a"),
+        F.col(forecast_col).cast("decimal(24,6)").alias("_f"),
+    )
+    wlag = Window.partitionBy(*kcols).orderBy(F.col("_t").asc())
+    cur = base.withColumn("_prev", F.lag("_a").over(wlag))
+    e = F.col("_a") - F.col("_f")
+    abs_e = F.abs(e)
+    ad, fd = F.col("_a").cast("double"), F.col("_f").cast("double")
+    mape_t = F.when(
+        F.col("_a") != 0,
+        F.round(F.abs(ad - fd) / F.abs(ad), 9).cast("decimal(28,9)"),
+    )
+    smape_t = F.when(
+        F.abs(ad) + F.abs(fd) > 0,
+        F.round(
+            F.lit(2.0) * F.abs(ad - fd) / (F.abs(ad) + F.abs(fd)), 9
+        ).cast("decimal(28,9)"),
+    )
+    naive_t = F.when(
+        F.col("_prev").isNotNull(), F.abs(F.col("_a") - F.col("_prev"))
+    )
+    agg = cur.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("_a") == 0).cast("long")).cast("long").alias("n_zero_actual"),
+        F.sum(abs_e).alias("_sae"),
+        F.sum(e * e).alias("_sse"),
+        F.sum(mape_t).alias("_mape"),
+        F.count(mape_t).cast("long").alias("_nmape"),
+        F.sum(smape_t).alias("_smape"),
+        F.count(smape_t).cast("long").alias("_nsmape"),
+        F.sum(naive_t).alias("_snaive"),
+        F.count(naive_t).cast("long").alias("_nnaive"),
+    )
+    nd = F.col("n").cast("double")
+    mae = F.col("_sae").cast("double") / nd
+    rmse = F.sqrt(F.col("_sse").cast("double") / nd)
+    mape = F.when(
+        F.col("_nmape") > 0,
+        F.col("_mape").cast("double") / F.col("_nmape").cast("double"),
+    )
+    smape = F.when(
+        F.col("_nsmape") > 0,
+        F.col("_smape").cast("double") / F.col("_nsmape").cast("double"),
+    )
+    naive_scale = F.when(
+        F.col("_nnaive") > 0,
+        F.col("_snaive").cast("double") / F.col("_nnaive").cast("double"),
+    )
+    mase = F.when(naive_scale > 0, F.round(mae / naive_scale, 6))
+    return agg.select(
+        *key_cols,
+        "n",
+        "n_zero_actual",
+        F.round(mae, 6).alias("mae"),
+        F.round(rmse, 6).alias("rmse"),
+        F.round(mape, 6).alias("mape"),
+        F.round(smape, 6).alias("smape"),
+        mase.alias("mase"),
+    )

@@ -1401,3 +1401,54 @@ def cohens_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str) -> DataFrame
         F.round(pe, 6).alias("pe"),
         kappa.alias("kappa"),
     )
+
+
+def bh_adjust(
+    df: DataFrame,
+    test_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR correction — the monitor OF the monitors:
+    when a dashboard runs dozens of drift/change tests each window
+    (:func:`chi_squared_drift`, :func:`ks_two_sample`, Pettitt, …),
+    raw p < 0.05 guarantees false alarms; BH adjusts the family so the
+    expected false-discovery rate stays at ``alpha``. Emits the
+    step-up-adjusted q-values q_i = min_{j≥i} p_(j)·m/j and the reject
+    verdicts.
+
+    Scale shape: the input is a TEST-GRAIN relation (one row per
+    hypothesis — dozens to thousands); one global sort window ranks the
+    p-values and a reverse running-min folds the step-up in the same
+    partitioning. Metadata-sized by construction.
+
+    Determinism: ranking ties break on the test name; each p·m/rank
+    term is a fixed-shape double ROUNDED to 9 before the running min;
+    q caps at 1 and rounds to 6. NULL p-values are excluded. Returns
+    one row per test: (test, p_value, rank, q_value, reject)."""
+    if not (0 < alpha < 1):
+        raise ValueError("bh_adjust needs 0 < alpha < 1")
+    base = df.filter(F.col(p_col).isNotNull()).select(
+        F.col(test_col).cast("string").alias("test"),
+        F.col(p_col).cast("double").alias("p_value"),
+    )
+    w = Window.partitionBy()
+    wrank = Window.orderBy(F.col("p_value").asc(), F.col("test").asc())
+    ranked = base.withColumn("rank", F.row_number().over(wrank).cast("long")).withColumn(
+        "_m", F.count(F.lit(1)).over(w).cast("long")
+    )
+    term = F.round(
+        F.col("p_value") * F.col("_m").cast("double") / F.col("rank").cast("double"), 9
+    )
+    wrev = Window.orderBy(F.col("rank").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    q = F.least(F.lit(1.0), F.min(term).over(wrev))
+    out = ranked.withColumn("q_value", F.round(q, 6))
+    return out.select(
+        "test",
+        F.round(F.col("p_value"), 6).alias("p_value"),
+        "rank",
+        "q_value",
+        (F.col("q_value") <= F.lit(float(alpha))).alias("reject"),
+    )

@@ -142,6 +142,9 @@ DRIVER_ORDER: list[str] = [
     "kappa_discount_rule_vs_returns",
     "report_discount_rule_vs_returns",
     "nearest_tower_load",
+    "bh_fdr_pettitt_alerts",
+    "stratified_alloc_event_sample",
+    "mase_naive7_event_values",
     # -- stalest driver evidence: last checked in ROUND 3 (all 27
     #    remaining r3 names — the alphabetical tail the r6 window could
     #    not fit).

@@ -1149,3 +1149,175 @@ def nearest_tower_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_km"),
         F.round(F.max("distance_km"), 6).alias("max_km"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg over the Pettitt alerts (quality/monitors.py::
+# bh_adjust ∘ operators/trend.py::pettitt_test): the per-type change-point
+# p-values corrected as a FAMILY — the composed monitor-of-monitors, both
+# stages through the value gate.
+# ---------------------------------------------------------------------------
+
+_BH_PETTITT_ORACLE = f"""
+WITH pett AS ({_PETTITT_ORACLE}),
+base AS (
+  SELECT event_type AS test, CAST(p_value AS DOUBLE) AS p FROM pett
+  WHERE p_value IS NOT NULL
+), ranked AS (
+  SELECT test, p,
+    CAST(row_number() OVER (ORDER BY p ASC, test ASC) AS BIGINT) AS rank,
+    CAST(count(*) OVER () AS BIGINT) AS m
+  FROM base
+), q AS (
+  SELECT test, p, rank,
+    least(1.0, min(round(p * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE), 9))
+      OVER (ORDER BY rank DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS qv
+  FROM ranked
+)
+SELECT test, round(p, 6) AS p_value, rank, round(qv, 6) AS q_value,
+       round(qv, 6) <= 0.1 AS reject
+FROM q
+"""
+
+
+@register("bh_fdr_pettitt_alerts", oracle=_BH_PETTITT_ORACLE, tags=("DQ", "A11"))
+def bh_fdr_pettitt_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import pettitt_test
+    from ..quality.monitors import bh_adjust
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.date_format("ts", "dd").cast("long").alias("t"),
+        )
+        .agg(F.sum(F.round("value", 2).cast("decimal(14,2)")).alias("v"))
+    )
+    alerts = pettitt_test(daily, ["event_type"], "t", "v")
+    return bh_adjust(alerts, "event_type", "p_value", alpha=0.1)
+
+
+# ---------------------------------------------------------------------------
+# Stratified allocation (llmprep/sampling.py::stratified_allocation):
+# design a 1000-row event sample across event types — proportional vs
+# Neyman (variance-optimal) side by side, largest-remainder exact totals.
+# ---------------------------------------------------------------------------
+
+_ALLOC_ORACLE = """
+WITH cells AS (
+  SELECT coalesce(event_type, '__null__') AS stratum,
+         CAST(count(*) AS BIGINT) AS n_pop,
+         CAST(count(round(value, 2)) AS BIGINT) AS nv,
+         sum(CAST(round(value, 2) AS DECIMAL(24,6))) AS sv,
+         sum(CAST(round(value, 2) AS DECIMAL(24,6)) * CAST(round(value, 2) AS DECIMAL(24,6))) AS ssv
+  FROM events GROUP BY 1
+), d AS (
+  SELECT stratum, n_pop,
+    round(CASE WHEN nv > 1 THEN sqrt(greatest(0.0,
+      (CAST(ssv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(nv AS DOUBLE))
+      / (CAST(nv AS DOUBLE) - 1.0))) ELSE 0.0 END, 9) AS sd
+  FROM cells
+), t AS (
+  SELECT *, CAST(sum(n_pop) OVER () AS BIGINT) AS tot,
+    sum(CAST(round(CAST(n_pop AS DOUBLE) * sd, 9) AS DECIMAL(28,9))) OVER () AS wsum
+  FROM d
+), quotas AS (
+  SELECT stratum, n_pop, sd,
+    1000.0 * CAST(n_pop AS DOUBLE) / CAST(tot AS DOUBLE) AS qp,
+    CASE WHEN CAST(wsum AS DOUBLE) > 0
+         THEN 1000.0 * round(CAST(n_pop AS DOUBLE) * sd, 9) / CAST(wsum AS DOUBLE)
+         ELSE 1000.0 * CAST(n_pop AS DOUBLE) / CAST(tot AS DOUBLE) END AS qn
+  FROM t
+), fl AS (
+  SELECT *, CAST(floor(qp) AS BIGINT) AS bp, CAST(floor(qn) AS BIGINT) AS bn,
+    CAST(sum(CAST(floor(qp) AS BIGINT)) OVER () AS BIGINT) AS sbp,
+    CAST(sum(CAST(floor(qn) AS BIGINT)) OVER () AS BIGINT) AS sbn,
+    CAST(row_number() OVER (ORDER BY round(qp - floor(qp), 9) DESC, stratum ASC) AS BIGINT) AS rp,
+    CAST(row_number() OVER (ORDER BY round(qn - floor(qn), 9) DESC, stratum ASC) AS BIGINT) AS rn
+  FROM quotas
+)
+SELECT stratum, n_pop, round(sd, 6) AS sd,
+  CAST(bp + CASE WHEN rp <= 1000.0 - sbp THEN 1 ELSE 0 END AS BIGINT) AS alloc_proportional,
+  CAST(bn + CASE WHEN rn <= 1000.0 - sbn THEN 1 ELSE 0 END AS BIGINT) AS alloc_neyman
+FROM fl
+"""
+
+
+@register("stratified_alloc_event_sample", oracle=_ALLOC_ORACLE, tags=("LLM", "sampling"))
+def stratified_alloc_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.sampling import stratified_allocation
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round("value", 2).cast("double").alias("v")
+    )
+    return stratified_allocation(ev, "event_type", "v", total_n=1000)
+
+
+# ---------------------------------------------------------------------------
+# Forecast errors (operators/trend.py::forecast_errors): grade the
+# seasonal-naive baseline (today = same weekday last week) on each event
+# type's daily values — the MASE scorecard that any real forecaster must
+# beat. Complete-case join on day−7 keeps missing cells out of the score.
+# ---------------------------------------------------------------------------
+
+_MASE_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS k, CAST(strftime(ts, '%d') AS BIGINT) AS t,
+         CAST(sum(CAST(round(value, 2) AS DECIMAL(14,2))) AS DECIMAL(24,6)) AS v
+  FROM events GROUP BY 1, 2
+), paired AS (
+  SELECT a.k, a.t, a.v AS a, f.v AS f
+  FROM daily a JOIN daily f ON f.k = a.k AND f.t = a.t - 7
+), lagged AS (
+  SELECT *, lag(a) OVER (PARTITION BY k ORDER BY t ASC) AS prev FROM paired
+), agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_actual,
+    sum(abs(a - f)) AS sae, sum((a - f) * (a - f)) AS sse,
+    sum(CASE WHEN a <> 0 THEN CAST(round(abs(CAST(a AS DOUBLE) - CAST(f AS DOUBLE)) / abs(CAST(a AS DOUBLE)), 9) AS DECIMAL(28,9)) END) AS smap,
+    CAST(count(CASE WHEN a <> 0 THEN 1 END) AS BIGINT) AS nmape,
+    sum(CASE WHEN abs(CAST(a AS DOUBLE)) + abs(CAST(f AS DOUBLE)) > 0
+        THEN CAST(round(2.0 * abs(CAST(a AS DOUBLE) - CAST(f AS DOUBLE))
+             / (abs(CAST(a AS DOUBLE)) + abs(CAST(f AS DOUBLE))), 9) AS DECIMAL(28,9)) END) AS ssm,
+    CAST(count(CASE WHEN abs(CAST(a AS DOUBLE)) + abs(CAST(f AS DOUBLE)) > 0 THEN 1 END) AS BIGINT) AS nsm,
+    sum(CASE WHEN prev IS NOT NULL THEN abs(a - prev) END) AS snaive,
+    CAST(count(CASE WHEN prev IS NOT NULL THEN 1 END) AS BIGINT) AS nnaive
+  FROM lagged GROUP BY 1
+)
+SELECT k AS event_type, n, n_zero_actual,
+  round(CAST(sae AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mae,
+  round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS rmse,
+  round(CASE WHEN nmape > 0 THEN CAST(smap AS DOUBLE) / CAST(nmape AS DOUBLE) END, 6) AS mape,
+  round(CASE WHEN nsm > 0 THEN CAST(ssm AS DOUBLE) / CAST(nsm AS DOUBLE) END, 6) AS smape,
+  CASE WHEN nnaive > 0 AND CAST(snaive AS DOUBLE) / CAST(nnaive AS DOUBLE) > 0
+       THEN round((CAST(sae AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST(snaive AS DOUBLE) / CAST(nnaive AS DOUBLE)), 6) END AS mase
+FROM agg
+"""
+
+
+@register("mase_naive7_event_values", oracle=_MASE_ORACLE, tags=("trend", "eval"))
+def mase_naive7_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import forecast_errors
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("k"),
+            F.date_format("ts", "dd").cast("long").alias("t"),
+        )
+        .agg(
+            F.sum(F.round("value", 2).cast("decimal(14,2)"))
+            .cast("decimal(24,6)")
+            .alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    fc = daily.select(
+        F.col("k").alias("fk"), (F.col("t") + 7).alias("ft"), F.col("v").alias("f")
+    )
+    paired = daily.join(
+        fc, (F.col("k") == F.col("fk")) & (F.col("t") == F.col("ft"))
+    ).select("k", "t", F.col("v").alias("a"), "f")
+    out = forecast_errors(paired, ["k"], "t", "a", "f")
+    return out.withColumnRenamed("k", "event_type")

@@ -183,6 +183,9 @@ def test_new_registrations_inside_driver_window():
         "kappa_discount_rule_vs_returns",
         "report_discount_rule_vs_returns",
         "nearest_tower_load",
+        "bh_fdr_pettitt_alerts",
+        "stratified_alloc_event_sample",
+        "mase_naive7_event_values",
     }
     after_window = list(queries())[50 : 50 + len(s4)]
     assert s4 == set(after_window), f"session-4 names not at 51+: {after_window}"

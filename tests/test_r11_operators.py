@@ -1572,3 +1572,328 @@ def test_nearest_assignment_duckdb_mirror(spark):
     con.execute("INSERT INTO pts VALUES " + ", ".join(f"({i},{a},{b})" for i, a, b in pts_rows))
     con.execute("INSERT INTO sites VALUES " + ", ".join(f"('{s}',{a},{b})" for s, a, b in site_rows))
     assert sorted(tuple(r) for r in con.execute(_NEAREST_MIRROR).fetchall()) == got
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR
+# ---------------------------------------------------------------------------
+
+from telecom_dataengineering_pipeline_spark.quality.monitors import bh_adjust  # noqa: E402
+
+
+def _bh_reference(tests, alpha):
+    m = len(tests)
+    ranked = sorted(tests, key=lambda t: (t[1], t[0]))
+    terms = [round(p * m / (i + 1), 9) for i, (_, p) in enumerate(ranked)]
+    qs = []
+    run = 1.0
+    for t in reversed(terms):
+        run = min(run, t)
+        qs.append(run)
+    qs.reverse()
+    return {
+        name: (round(p, 6), i + 1, round(min(1.0, q), 6), round(min(1.0, q), 6) <= alpha)
+        for i, ((name, p), q) in enumerate(zip(ranked, qs))
+    }
+
+
+def test_bh_matches_reference(spark):
+    tests = [("t1", 0.001), ("t2", 0.008), ("t3", 0.039), ("t4", 0.041),
+             ("t5", 0.042), ("t6", 0.06), ("t7", 0.074), ("t8", 0.205),
+             ("t9", 0.212), ("t10", 0.216)]
+    df = spark.createDataFrame(tests, "t string, p double")
+    got = {
+        r["test"]: (r["p_value"], r["rank"], r["q_value"], r["reject"])
+        for r in bh_adjust(df, "t", "p", alpha=0.05).collect()
+    }
+    assert got == _bh_reference(tests, 0.05)
+    # the running min equalizes t3..t5 at q = 0.084 (0.042·10/5), so only
+    # the two small p-values survive at alpha = 0.05
+    assert got["t1"][3] and got["t2"][3] and not got["t3"][3]
+    assert got["t3"][2] == got["t4"][2] == got["t5"][2] == 0.084
+
+
+def test_bh_monotone_q_and_cap(spark):
+    tests = [(f"t{i}", min(1.0, 0.3 + 0.1 * i)) for i in range(9)]
+    df = spark.createDataFrame(tests, "t string, p double")
+    rows = sorted(bh_adjust(df, "t", "p").collect(), key=lambda r: r["rank"])
+    qs = [r["q_value"] for r in rows]
+    assert qs == sorted(qs) and max(qs) <= 1.0
+    with pytest.raises(ValueError):
+        bh_adjust(df, "t", "p", alpha=0.0)
+
+
+_BH_MIRROR = """
+WITH base AS (
+  SELECT t AS test, CAST(p AS DOUBLE) AS p FROM fixture WHERE p IS NOT NULL
+), ranked AS (
+  SELECT test, p,
+    CAST(row_number() OVER (ORDER BY p ASC, test ASC) AS BIGINT) AS rank,
+    CAST(count(*) OVER () AS BIGINT) AS m
+  FROM base
+), q AS (
+  SELECT test, p, rank,
+    least(1.0, min(round(p * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE), 9))
+      OVER (ORDER BY rank DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS qv
+  FROM ranked
+)
+SELECT test, round(p, 6) AS p_value, rank, round(qv, 6) AS q_value,
+       round(qv, 6) <= 0.05 AS reject
+FROM q
+"""
+
+
+def test_bh_duckdb_mirror(spark):
+    tests = [(f"m{i:02d}", round(((i * 37) % 97) / 97, 4)) for i in range(25)]
+    df = spark.createDataFrame(tests, "t string, p double")
+    got = sorted(tuple(r) for r in bh_adjust(df, "t", "p", alpha=0.05).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (t VARCHAR, p DOUBLE)")
+    con.execute("INSERT INTO fixture VALUES " + ", ".join(f"('{t}', {p})" for t, p in tests))
+    assert sorted(tuple(r) for r in con.execute(_BH_MIRROR).fetchall()) == got
+
+
+# ---------------------------------------------------------------------------
+# Stratified allocation
+# ---------------------------------------------------------------------------
+
+from telecom_dataengineering_pipeline_spark.llmprep.sampling import (  # noqa: E402
+    stratified_allocation,
+)
+
+
+def _alloc_reference(rows, total_n):
+    from collections import defaultdict
+
+    by_s = defaultdict(list)
+    counts = defaultdict(int)
+    for s, v in rows:
+        s = "__null__" if s is None else s
+        counts[s] += 1
+        if v is not None:
+            by_s[s].append(v)
+    stats = {}
+    for s in counts:
+        vs = by_s.get(s, [])
+        if len(vs) > 1:
+            mu = sum(vs) / len(vs)
+            sd = math.sqrt(max(0.0, sum((x - mu) ** 2 for x in vs) / (len(vs) - 1)))
+        else:
+            sd = 0.0
+        stats[s] = (counts[s], round(sd, 9))
+    tot = sum(c for c, _ in stats.values())
+
+    def lr(quotas):
+        base = {s: int(math.floor(q)) for s, q in quotas.items()}
+        short = total_n - sum(base.values())
+        order = sorted(quotas, key=lambda s: (-round(quotas[s] - base[s], 9), s))
+        for s in order[:short]:
+            base[s] += 1
+        return base
+
+    qp = {s: total_n * c / tot for s, (c, _) in stats.items()}
+    wsum = sum(round(c * sd, 9) for c, sd in stats.values())
+    qn = (
+        {s: total_n * round(c * sd, 9) / wsum for s, (c, sd) in stats.items()}
+        if wsum > 0
+        else qp
+    )
+    ap, an = lr(qp), lr(qn)
+    return {s: (stats[s][0], round(stats[s][1], 6), ap[s], an[s]) for s in stats}
+
+
+def test_alloc_sums_exact_and_neyman_oversamples_volatile(spark):
+    rows = (
+        [("flat", 10.0)] * 40
+        + [("wild", float(v)) for v in (0, 50, 100, 0, 80, 20, 60, 90, 10, 70)] * 4
+    )
+    df = spark.createDataFrame(rows, "s string, v double")
+    got = {
+        r["stratum"]: (r["n_pop"], r["sd"], r["alloc_proportional"], r["alloc_neyman"])
+        for r in stratified_allocation(df, "s", "v", total_n=20).collect()
+    }
+    assert sum(v[2] for v in got.values()) == 20
+    assert sum(v[3] for v in got.values()) == 20
+    # equal sizes: proportional splits evenly, Neyman tilts to the volatile one
+    assert got["flat"][2] == got["wild"][2] == 10
+    assert got["wild"][3] > got["flat"][3]
+    assert got["flat"][3] == 0  # sd 0 stratum gets nothing under Neyman
+
+
+def test_alloc_matches_reference(spark):
+    rows = [(f"s{i % 3}", float((i * 7) % 13) if i % 11 else None) for i in range(50)]
+    df = spark.createDataFrame(rows, "s string, v double")
+    got = {
+        r["stratum"]: (r["n_pop"], r["sd"], r["alloc_proportional"], r["alloc_neyman"])
+        for r in stratified_allocation(df, "s", "v", total_n=17).collect()
+    }
+    ref = _alloc_reference(rows, 17)
+    for s in ref:
+        assert got[s][0] == ref[s][0]
+        assert got[s][1] == pytest.approx(ref[s][1], abs=1e-6)
+        assert got[s][2:] == ref[s][2:]
+
+
+_ALLOC_MIRROR = """
+WITH cells AS (
+  SELECT coalesce(s, '__null__') AS stratum,
+         CAST(count(*) AS BIGINT) AS n_pop,
+         CAST(count(v) AS BIGINT) AS nv,
+         sum(CAST(v AS DECIMAL(24,6))) AS sv,
+         sum(CAST(v AS DECIMAL(24,6)) * CAST(v AS DECIMAL(24,6))) AS ssv
+  FROM fixture GROUP BY 1
+), d AS (
+  SELECT stratum, n_pop,
+    round(CASE WHEN nv > 1 THEN sqrt(greatest(0.0,
+      (CAST(ssv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(nv AS DOUBLE))
+      / (CAST(nv AS DOUBLE) - 1.0))) ELSE 0.0 END, 9) AS sd
+  FROM cells
+), t AS (
+  SELECT *, CAST(sum(n_pop) OVER () AS BIGINT) AS tot,
+    sum(CAST(round(CAST(n_pop AS DOUBLE) * sd, 9) AS DECIMAL(28,9))) OVER () AS wsum
+  FROM d
+), quotas AS (
+  SELECT stratum, n_pop, sd,
+    {N} * CAST(n_pop AS DOUBLE) / CAST(tot AS DOUBLE) AS qp,
+    CASE WHEN CAST(wsum AS DOUBLE) > 0
+         THEN {N} * round(CAST(n_pop AS DOUBLE) * sd, 9) / CAST(wsum AS DOUBLE)
+         ELSE {N} * CAST(n_pop AS DOUBLE) / CAST(tot AS DOUBLE) END AS qn
+  FROM t
+), fl AS (
+  SELECT *, CAST(floor(qp) AS BIGINT) AS bp, CAST(floor(qn) AS BIGINT) AS bn,
+    CAST(sum(CAST(floor(qp) AS BIGINT)) OVER () AS BIGINT) AS sbp,
+    CAST(sum(CAST(floor(qn) AS BIGINT)) OVER () AS BIGINT) AS sbn,
+    CAST(row_number() OVER (ORDER BY round(qp - floor(qp), 9) DESC, stratum ASC) AS BIGINT) AS rp,
+    CAST(row_number() OVER (ORDER BY round(qn - floor(qn), 9) DESC, stratum ASC) AS BIGINT) AS rn
+  FROM quotas
+)
+SELECT stratum, n_pop, round(sd, 6) AS sd,
+  CAST(bp + CASE WHEN rp <= {N} - sbp THEN 1 ELSE 0 END AS BIGINT) AS alloc_proportional,
+  CAST(bn + CASE WHEN rn <= {N} - sbn THEN 1 ELSE 0 END AS BIGINT) AS alloc_neyman
+FROM fl
+"""
+
+
+def test_alloc_duckdb_mirror(spark):
+    rows = [(f"s{i % 4}", float((i * 11 + 3) % 19)) for i in range(60)]
+    df = spark.createDataFrame(rows, "s string, v double")
+    got = sorted(tuple(r) for r in stratified_allocation(df, "s", "v", total_n=23).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (s VARCHAR, v DOUBLE)")
+    con.execute("INSERT INTO fixture VALUES " + ", ".join(f"('{s}', {v})" for s, v in rows))
+    sql = _ALLOC_MIRROR.replace("{N}", "23.0")
+    assert sorted(tuple(r) for r in con.execute(sql).fetchall()) == got
+
+
+# ---------------------------------------------------------------------------
+# Forecast errors
+# ---------------------------------------------------------------------------
+
+from telecom_dataengineering_pipeline_spark.operators.trend import forecast_errors  # noqa: E402
+
+
+def _fc_reference(series):
+    """series: [(t, a, f)] sorted by t."""
+    series = sorted(series)
+    n = len(series)
+    mae = sum(abs(a - f) for _, a, f in series) / n
+    rmse = math.sqrt(sum((a - f) ** 2 for _, a, f in series) / n)
+    mape_rows = [(a, f) for _, a, f in series if a != 0]
+    mape = (
+        sum(round(abs(a - f) / abs(a), 9) for a, f in mape_rows) / len(mape_rows)
+        if mape_rows
+        else None
+    )
+    smape_rows = [(a, f) for _, a, f in series if abs(a) + abs(f) > 0]
+    smape = (
+        sum(round(2 * abs(a - f) / (abs(a) + abs(f)), 9) for a, f in smape_rows)
+        / len(smape_rows)
+        if smape_rows
+        else None
+    )
+    naive = [abs(series[i][1] - series[i - 1][1]) for i in range(1, n)]
+    scale = sum(naive) / len(naive) if naive else None
+    mase = round(mae / scale, 6) if scale else None
+    return (
+        n,
+        sum(1 for _, a, _ in series if a == 0),
+        round(mae, 6),
+        round(rmse, 6),
+        round(mape, 6) if mape is not None else None,
+        round(smape, 6) if smape is not None else None,
+        mase,
+    )
+
+
+def test_forecast_errors_matches_reference(spark):
+    series = [(t, float((t * 7) % 11), float((t * 7) % 11) + (1.5 if t % 3 == 0 else -0.5)) for t in range(12)]
+    df = spark.createDataFrame([("s", t, a, f) for t, a, f in series], "k string, t int, a double, f double")
+    r = forecast_errors(df, ["k"], "t", "a", "f").collect()[0]
+    ref = _fc_reference(series)
+    assert (r["n"], r["n_zero_actual"]) == ref[:2]
+    for i, c in enumerate(("mae", "rmse", "mape", "smape", "mase"), start=2):
+        assert r[c] == pytest.approx(ref[i], abs=2e-6), c
+
+
+def test_forecast_errors_perfect_forecast(spark):
+    df = spark.createDataFrame(
+        [("s", t, float(t + 1), float(t + 1)) for t in range(5)],
+        "k string, t int, a double, f double",
+    )
+    r = forecast_errors(df, ["k"], "t", "a", "f").collect()[0]
+    assert r["mae"] == 0.0 and r["rmse"] == 0.0 and r["mase"] == 0.0
+
+
+def test_forecast_errors_flat_series_mase_null(spark):
+    df = spark.createDataFrame(
+        [("s", t, 5.0, 6.0) for t in range(5)], "k string, t int, a double, f double"
+    )
+    r = forecast_errors(df, ["k"], "t", "a", "f").collect()[0]
+    assert r["mase"] is None and r["mae"] == 1.0
+
+
+_FC_MIRROR = """
+WITH base AS (
+  SELECT k, CAST(t AS BIGINT) AS t, CAST(a AS DECIMAL(24,6)) AS a, CAST(f AS DECIMAL(24,6)) AS f
+  FROM fixture WHERE a IS NOT NULL AND f IS NOT NULL AND t IS NOT NULL
+), lagged AS (
+  SELECT *, lag(a) OVER (PARTITION BY k ORDER BY t ASC) AS prev FROM base
+), agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_actual,
+    sum(abs(a - f)) AS sae, sum((a - f) * (a - f)) AS sse,
+    sum(CASE WHEN a <> 0 THEN CAST(round(abs(CAST(a AS DOUBLE) - CAST(f AS DOUBLE)) / abs(CAST(a AS DOUBLE)), 9) AS DECIMAL(28,9)) END) AS smap,
+    CAST(count(CASE WHEN a <> 0 THEN 1 END) AS BIGINT) AS nmape,
+    sum(CASE WHEN abs(CAST(a AS DOUBLE)) + abs(CAST(f AS DOUBLE)) > 0
+        THEN CAST(round(2.0 * abs(CAST(a AS DOUBLE) - CAST(f AS DOUBLE))
+             / (abs(CAST(a AS DOUBLE)) + abs(CAST(f AS DOUBLE))), 9) AS DECIMAL(28,9)) END) AS ssm,
+    CAST(count(CASE WHEN abs(CAST(a AS DOUBLE)) + abs(CAST(f AS DOUBLE)) > 0 THEN 1 END) AS BIGINT) AS nsm,
+    sum(CASE WHEN prev IS NOT NULL THEN abs(a - prev) END) AS snaive,
+    CAST(count(CASE WHEN prev IS NOT NULL THEN 1 END) AS BIGINT) AS nnaive
+  FROM lagged GROUP BY 1
+)
+SELECT k, n, n_zero_actual,
+  round(CAST(sae AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mae,
+  round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS rmse,
+  round(CASE WHEN nmape > 0 THEN CAST(smap AS DOUBLE) / CAST(nmape AS DOUBLE) END, 6) AS mape,
+  round(CASE WHEN nsm > 0 THEN CAST(ssm AS DOUBLE) / CAST(nsm AS DOUBLE) END, 6) AS smape,
+  CASE WHEN nnaive > 0 AND CAST(snaive AS DOUBLE) / CAST(nnaive AS DOUBLE) > 0
+       THEN round((CAST(sae AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST(snaive AS DOUBLE) / CAST(nnaive AS DOUBLE)), 6) END AS mase
+FROM agg
+"""
+
+
+def test_forecast_errors_duckdb_mirror(spark):
+    rows = [("a", t, float((t * 13) % 7), float((t * 5) % 9)) for t in range(15)] + [
+        ("b", t, float(t % 4), float((t + 1) % 4)) for t in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, a double, f double")
+    got = sorted(tuple(r) for r in forecast_errors(df, ["k"], "t", "a", "f").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (k VARCHAR, t INT, a DOUBLE, f DOUBLE)")
+    con.execute(
+        "INSERT INTO fixture VALUES "
+        + ", ".join(f"('{k}', {t}, {a}, {f})" for k, t, a, f in rows)
+    )
+    assert sorted(tuple(r) for r in con.execute(_FC_MIRROR).fetchall()) == got
