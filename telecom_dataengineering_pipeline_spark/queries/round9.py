@@ -327,7 +327,7 @@ FROM s
 """
 
 
-@register("km_survival_customer_churn", oracle=_KM_ORACLE, tags=("survival", "A11"))
+@register("km_survival_customer_churn", oracle=_KM_ORACLE, tags=("survival", "A11"), bench=True)
 def km_survival_customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.survival import kaplan_meier
 
@@ -387,7 +387,7 @@ FROM ranked WHERE rk <= 5
 """
 
 
-@register("cf_item_neighbors_copurchase", oracle=_CF_ORACLE, tags=("recommend", "LLM"))
+@register("cf_item_neighbors_copurchase", oracle=_CF_ORACLE, tags=("recommend", "LLM"), bench=True)
 def cf_item_neighbors_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.market import item_item_cosine_topk
 
