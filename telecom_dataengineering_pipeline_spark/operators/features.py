@@ -599,3 +599,64 @@ def classification_report(
         F.round(rec, 6).alias("recall"),
         f1.alias("f1"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Cross-source quantile normalization — force every group's value
+    distribution onto the POOLED distribution, so a score of "0.8 from
+    source A" and "0.8 from source B" mean the same thing downstream
+    (the batch-effect fix for heterogeneous quality/score columns
+    before mixing corpora; :func:`ecdf_normalize` maps values to
+    within-group ranks, this maps them to pooled VALUES).
+
+    Each row's within-group quantile position r_g/n_g picks the pooled
+    order statistic at index ⌈(r_g/n_g)·N⌉ — an exact INTEGER index
+    election, no interpolation, so the mapping is engine-exact.
+
+    Scale shape: one per-group sort window ranks each row; one global
+    sort window indexes the pooled distribution (eval-grain contract —
+    feed scored entities, not raw events); the mapping is a single
+    equi-join on the integer index. Ties break on ``tiebreak_col``
+    (must be unique) in BOTH sorts, so every rank is reproducible.
+
+    NULL values are excluded. Returns one row per input row: (group,
+    tiebreak, value, quantile_frac, normalized) with quantile_frac
+    rounded to 6."""
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(tiebreak_col).alias("tiebreak"),
+        F.col(value_col).cast("double").alias("value"),
+    ).localCheckpoint(eager=False)
+    wg = Window.partitionBy("group").orderBy(
+        F.col("value").asc(), F.col("tiebreak").asc()
+    )
+    wgk = Window.partitionBy("group")
+    ranked = base.withColumn("_r", F.row_number().over(wg).cast("long")).withColumn(
+        "_ng", F.count(F.lit(1)).over(wgk).cast("long")
+    )
+    wp = Window.orderBy(F.col("value").asc(), F.col("tiebreak").asc())
+    wall = Window.partitionBy()
+    pooled = base.select(
+        F.row_number().over(wp).cast("long").alias("_idx"),
+        F.col("value").alias("_pv"),
+    ).withColumn("_n", F.count(F.lit(1)).over(wall).cast("long"))
+    # target index: ceil(r/n_g · N) = (r·N + n_g − 1) DIV n_g — pure
+    # integer ceiling division, exact at any scale (no decimal rounding)
+    tgt = F.expr("CAST((_r * _nn + _ng - 1) DIV _ng AS BIGINT)")
+    n_total = pooled.groupBy().agg(F.max("_n").alias("_nn"))
+    j = ranked.crossJoin(F.broadcast(n_total)).withColumn("_tgt", tgt)
+    out = j.join(pooled.select("_idx", "_pv"), j["_tgt"] == F.col("_idx"))
+    return out.select(
+        "group",
+        "tiebreak",
+        "value",
+        F.round(F.col("_r").cast("double") / F.col("_ng").cast("double"), 6).alias(
+            "quantile_frac"
+        ),
+        F.col("_pv").alias("normalized"),
+    )

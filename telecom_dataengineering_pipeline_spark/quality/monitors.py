@@ -1452,3 +1452,73 @@ def bh_adjust(
         "q_value",
         (F.col("q_value") <= F.lit(float(alpha))).alias("reject"),
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Kendall τ-b rank correlation per key — the concordance view of
+    monotone association (:func:`spearman_correlation` correlates rank
+    VALUES; τ counts agreeing pairs, is more robust for tiny series,
+    and its tie treatment τ-b = (C−D)/√((n₀−t_x)(n₀−t_y)) is exact
+    integer arithmetic end to end).
+
+    Scale shape: ONE self-join on the series key at the calendar-grain
+    series contract (the Mann–Kendall discipline — feed daily/monthly
+    aggregates, never raw events; the i<j pair relation is O(T²/2) per
+    key), collapsing straight into a map-side-combined count of
+    concordant/discordant/tied pairs.
+
+    Determinism: comparisons run on the EXACT input values (pass
+    DECIMAL aggregates); C, D, and all tie counts are exact LONGs; τ-b
+    is one fixed-shape double rounded to 6, NULL when either axis is
+    fully tied. Rows with NULL x or y are excluded; a unique
+    ``tiebreak`` ordering is unnecessary (all i<j pairs are counted
+    regardless of order). Returns one row per key: (*key_cols, n,
+    concordant, discordant, tau_b)."""
+    kcols = [F.col(c) for c in key_cols]
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *kcols,
+        F.monotonically_increasing_id().alias("_rid"),
+        F.col(x_col).alias("_x"),
+        F.col(y_col).alias("_y"),
+    ).localCheckpoint(eager=False)
+    a = base.select(
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(key_cols)],
+        F.col("_rid").alias("_ra"),
+        F.col("_x").alias("_xa"),
+        F.col("_y").alias("_ya"),
+    )
+    cond = [a[f"_k{i}"] == base[c] for i, c in enumerate(key_cols)]
+    pairs = base.join(a, cond if cond else [F.lit(True)]).filter(
+        F.col("_ra") < F.col("_rid")
+    )
+    sx = F.when(F.col("_x") > F.col("_xa"), 1).when(F.col("_x") < F.col("_xa"), -1).otherwise(0)
+    sy = F.when(F.col("_y") > F.col("_ya"), 1).when(F.col("_y") < F.col("_ya"), -1).otherwise(0)
+    prod = sx * sy
+    agg = pairs.groupBy(*key_cols).agg(
+        F.sum((prod > 0).cast("long")).cast("long").alias("concordant"),
+        F.sum((prod < 0).cast("long")).cast("long").alias("discordant"),
+        F.sum(((sx == 0) & (sy != 0)).cast("long")).cast("long").alias("_tx"),
+        F.sum(((sy == 0) & (sx != 0)).cast("long")).cast("long").alias("_ty"),
+        F.sum(((sx == 0) & (sy == 0)).cast("long")).cast("long").alias("_txy"),
+    )
+    counts = base.groupBy(*key_cols).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = (
+        agg.join(counts, list(key_cols)) if key_cols else agg.crossJoin(counts)
+    )
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("double")
+    # ties ON x (regardless of y): pairs where sx == 0
+    tx = (F.col("_tx") + F.col("_txy")).cast("double")
+    ty = (F.col("_ty") + F.col("_txy")).cast("double")
+    c, d = F.col("concordant").cast("double"), F.col("discordant").cast("double")
+    denom = F.sqrt((n0 - tx) * (n0 - ty))
+    tau = F.when(
+        (n0 - tx > 0) & (n0 - ty > 0), F.round((c - d) / denom, 6)
+    )
+    return out.select(*key_cols, "n", "concordant", "discordant", tau.alias("tau_b"))

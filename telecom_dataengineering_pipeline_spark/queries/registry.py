@@ -145,6 +145,8 @@ DRIVER_ORDER: list[str] = [
     "bh_fdr_pettitt_alerts",
     "stratified_alloc_event_sample",
     "mase_naive7_event_values",
+    "kendall_daily_volume_vs_value",
+    "qnorm_acctbal_across_segments",
     # -- stalest driver evidence: last checked in ROUND 3 (all 27
     #    remaining r3 names — the alphabetical tail the r6 window could
     #    not fit).

@@ -1321,3 +1321,103 @@ def mase_naive7_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("k", "t", F.col("v").alias("a"), "f")
     out = forecast_errors(paired, ["k"], "t", "a", "f")
     return out.withColumnRenamed("k", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Kendall τ-b (quality/monitors.py::kendall_tau): per event type, do
+# days with more events also carry more value? Daily grain keeps the
+# O(T²/2) pair join at ~30 steps per key; counts and DECIMAL sums keep
+# every comparison exact.
+# ---------------------------------------------------------------------------
+
+_TAU_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS k, strftime(ts, '%d') AS d,
+         CAST(count(*) AS BIGINT) AS x,
+         sum(CAST(round(value, 2) AS DECIMAL(14,2))) AS y
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT k, x, y, row_number() OVER (ORDER BY k, d) AS rid
+  FROM daily WHERE x IS NOT NULL AND y IS NOT NULL
+), pairs AS (
+  SELECT b.k,
+    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sx,
+    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sy
+  FROM base b JOIN base a ON a.k = b.k AND a.rid < b.rid
+), agg AS (
+  SELECT k,
+    CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+    CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+    CAST(sum(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+    CAST(sum(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+    CAST(sum(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS txy
+  FROM pairs GROUP BY 1
+), counts AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1
+)
+SELECT a.k AS event_type, c.n, a.concordant, a.discordant,
+  CASE WHEN CAST(c.n AS DOUBLE) * (CAST(c.n AS DOUBLE) - 1) / 2 - CAST(a.tx + a.txy AS DOUBLE) > 0
+        AND CAST(c.n AS DOUBLE) * (CAST(c.n AS DOUBLE) - 1) / 2 - CAST(a.ty + a.txy AS DOUBLE) > 0
+       THEN round((CAST(a.concordant AS DOUBLE) - CAST(a.discordant AS DOUBLE))
+            / sqrt((CAST(c.n AS DOUBLE) * (CAST(c.n AS DOUBLE) - 1) / 2 - CAST(a.tx + a.txy AS DOUBLE))
+                   * (CAST(c.n AS DOUBLE) * (CAST(c.n AS DOUBLE) - 1) / 2 - CAST(a.ty + a.txy AS DOUBLE))), 6)
+  END AS tau_b
+FROM agg a JOIN counts c ON c.k = a.k
+"""
+
+
+@register("kendall_daily_volume_vs_value", oracle=_TAU_ORACLE, tags=("A11", "DQ"))
+def kendall_daily_volume_vs_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import kendall_tau
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.date_format("ts", "dd").alias("d"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(F.round("value", 2).cast("decimal(14,2)")).alias("y"),
+        )
+    )
+    out = kendall_tau(daily, "x", "y", ["event_type"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization (operators/features.py::quantile_normalize):
+# map each market segment's account-balance distribution onto the pooled
+# customer distribution — the cross-source calibration step before any
+# segment-blind scoring. Integer order-statistic election, engine-exact.
+# ---------------------------------------------------------------------------
+
+_QNORM_ORACLE = """
+WITH base AS (
+  SELECT c_mktsegment AS grp, c_custkey AS tb, CAST(c_acctbal AS DOUBLE) AS v
+  FROM customer WHERE c_acctbal IS NOT NULL
+), ranked AS (
+  SELECT grp, tb, v,
+    CAST(row_number() OVER (PARTITION BY grp ORDER BY v ASC, tb ASC) AS BIGINT) AS r,
+    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS ng
+  FROM base
+), pooled AS (
+  SELECT CAST(row_number() OVER (ORDER BY v ASC, tb ASC) AS BIGINT) AS idx, v AS pv
+  FROM base
+), nt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM base)
+SELECT ranked.grp AS "group", ranked.tb AS tiebreak, ranked.v AS value,
+  round(CAST(r AS DOUBLE) / CAST(ng AS DOUBLE), 6) AS quantile_frac,
+  pooled.pv AS normalized
+FROM ranked CROSS JOIN nt
+JOIN pooled ON pooled.idx = (r * nn + ng - 1) // ng
+"""
+
+
+@register("qnorm_acctbal_across_segments", oracle=_QNORM_ORACLE, tags=("feature", "DQ"))
+def qnorm_acctbal_across_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import quantile_normalize
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal"
+    )
+    return quantile_normalize(cust, "c_mktsegment", "c_acctbal", "c_custkey")

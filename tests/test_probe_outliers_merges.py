@@ -186,6 +186,8 @@ def test_new_registrations_inside_driver_window():
         "bh_fdr_pettitt_alerts",
         "stratified_alloc_event_sample",
         "mase_naive7_event_values",
+        "kendall_daily_volume_vs_value",
+        "qnorm_acctbal_across_segments",
     }
     after_window = list(queries())[50 : 50 + len(s4)]
     assert s4 == set(after_window), f"session-4 names not at 51+: {after_window}"

@@ -1897,3 +1897,193 @@ def test_forecast_errors_duckdb_mirror(spark):
         + ", ".join(f"('{k}', {t}, {a}, {f})" for k, t, a, f in rows)
     )
     assert sorted(tuple(r) for r in con.execute(_FC_MIRROR).fetchall()) == got
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b
+# ---------------------------------------------------------------------------
+
+from telecom_dataengineering_pipeline_spark.quality.monitors import kendall_tau  # noqa: E402
+
+
+def _tau_reference(pairs):
+    pairs = [(x, y) for x, y in pairs if x is not None and y is not None]
+    n = len(pairs)
+    c = d = tx = ty = txy = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sx = (pairs[j][0] > pairs[i][0]) - (pairs[j][0] < pairs[i][0])
+            sy = (pairs[j][1] > pairs[i][1]) - (pairs[j][1] < pairs[i][1])
+            if sx == 0 and sy == 0:
+                txy += 1
+            elif sx == 0:
+                tx += 1
+            elif sy == 0:
+                ty += 1
+            elif sx * sy > 0:
+                c += 1
+            else:
+                d += 1
+    n0 = n * (n - 1) / 2
+    denom = math.sqrt((n0 - (tx + txy)) * (n0 - (ty + txy)))
+    tau = round((c - d) / denom, 6) if denom > 0 else None
+    return n, c, d, tau
+
+
+def test_tau_perfect_and_inverted(spark):
+    rows = [("s", float(i), float(i * 2)) for i in range(8)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    assert kendall_tau(df, "x", "y", ["k"]).collect()[0]["tau_b"] == 1.0
+    inv = spark.createDataFrame(
+        [("s", float(i), float(-i)) for i in range(8)], "k string, x double, y double"
+    )
+    assert kendall_tau(inv, "x", "y", ["k"]).collect()[0]["tau_b"] == -1.0
+
+
+def test_tau_matches_reference_with_ties(spark):
+    pairs = [(1.0, 2.0), (1.0, 3.0), (2.0, 2.0), (3.0, 1.0), (3.0, 5.0),
+             (4.0, 4.0), (5.0, 4.0), (None, 1.0), (2.0, None)]
+    df = spark.createDataFrame([("s", x, y) for x, y in pairs], "k string, x double, y double")
+    r = kendall_tau(df, "x", "y", ["k"]).collect()[0]
+    ref = _tau_reference(pairs)
+    assert (r["n"], r["concordant"], r["discordant"]) == ref[:3]
+    assert r["tau_b"] == pytest.approx(ref[3], abs=2e-6)
+
+
+def test_tau_constant_axis_null(spark):
+    df = spark.createDataFrame(
+        [("s", 1.0, float(i)) for i in range(5)], "k string, x double, y double"
+    )
+    assert kendall_tau(df, "x", "y", ["k"]).collect()[0]["tau_b"] is None
+
+
+_TAU_MIRROR = """
+WITH base AS (
+  SELECT k, x, y, row_number() OVER (ORDER BY x, y) AS rid
+  FROM fixture WHERE x IS NOT NULL AND y IS NOT NULL
+), pairs AS (
+  SELECT b.k,
+    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sx,
+    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sy
+  FROM base b JOIN base a ON a.k = b.k AND a.rid < b.rid
+), agg AS (
+  SELECT k,
+    CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+    CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+    CAST(sum(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+    CAST(sum(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+    CAST(sum(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS txy
+  FROM pairs GROUP BY 1
+), counts AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1
+)
+SELECT a.k, c.n, a.concordant, a.discordant,
+  CASE WHEN CAST(c.n AS DOUBLE) * (CAST(c.n AS DOUBLE) - 1) / 2 - CAST(a.tx + a.txy AS DOUBLE) > 0
+        AND CAST(c.n AS DOUBLE) * (CAST(c.n AS DOUBLE) - 1) / 2 - CAST(a.ty + a.txy AS DOUBLE) > 0
+       THEN round((CAST(a.concordant AS DOUBLE) - CAST(a.discordant AS DOUBLE))
+            / sqrt((CAST(c.n AS DOUBLE) * (CAST(c.n AS DOUBLE) - 1) / 2 - CAST(a.tx + a.txy AS DOUBLE))
+                   * (CAST(c.n AS DOUBLE) * (CAST(c.n AS DOUBLE) - 1) / 2 - CAST(a.ty + a.txy AS DOUBLE))), 6)
+  END AS tau_b
+FROM agg a JOIN counts c ON c.k = a.k
+"""
+
+
+def test_tau_duckdb_mirror(spark):
+    rows = [(f"k{i % 2}", float((i * 7) % 11), float((i * 5 + 1) % 9)) for i in range(30)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = sorted(tuple(r) for r in kendall_tau(df, "x", "y", ["k"]).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (k VARCHAR, x DOUBLE, y DOUBLE)")
+    con.execute(
+        "INSERT INTO fixture VALUES " + ", ".join(f"('{k}', {x}, {y})" for k, x, y in rows)
+    )
+    mirror = sorted(
+        (r[0], r[1], r[2], r[3], r[4]) for r in con.execute(_TAU_MIRROR).fetchall()
+    )
+    # column order: k, n, concordant, discordant, tau_b
+    assert mirror == got
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization
+# ---------------------------------------------------------------------------
+
+from telecom_dataengineering_pipeline_spark.operators.features import (  # noqa: E402
+    quantile_normalize,
+)
+
+
+def _qn_reference(rows):
+    """rows: (group, tb, value). Returns {(g, tb): (frac, normalized)}."""
+    pooled = sorted(((v, tb) for _, tb, v in rows if v is not None))
+    N = len(pooled)
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for g, tb, v in rows:
+        if v is not None:
+            by_g[g].append((v, tb))
+    out = {}
+    for g, vs in by_g.items():
+        vs.sort()
+        ng = len(vs)
+        for r, (v, tb) in enumerate(vs, start=1):
+            tgt = (r * N + ng - 1) // ng
+            out[(g, tb)] = (round(r / ng, 6), pooled[tgt - 1][0])
+    return out
+
+
+def test_qn_matches_reference_and_aligns_groups(spark):
+    rows = (
+        [("a", f"a{i}", float(i)) for i in range(10)]            # uniform 0..9
+        + [("b", f"b{i}", float(i * 100)) for i in range(5)]     # same shape, x100
+    )
+    df = spark.createDataFrame(rows, "g string, tb string, v double")
+    got = {
+        (r["group"], r["tiebreak"]): (r["quantile_frac"], r["normalized"])
+        for r in quantile_normalize(df, "g", "v", "tb").collect()
+    }
+    assert got == _qn_reference(rows)
+    # both groups' maxima map to the pooled maximum (b's 400)
+    assert got[("a", "a9")][1] == got[("b", "b4")][1] == 400.0
+
+
+def test_qn_single_group_is_identityish(spark):
+    rows = [("a", f"t{i}", float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "g string, tb string, v double")
+    for r in quantile_normalize(df, "g", "v", "tb").collect():
+        assert r["normalized"] == r["value"]  # one group: pooled == own
+
+
+_QN_MIRROR = """
+WITH base AS (
+  SELECT CAST(g AS VARCHAR) AS grp, tb, CAST(v AS DOUBLE) AS v
+  FROM fixture WHERE v IS NOT NULL
+), ranked AS (
+  SELECT grp, tb, v,
+    CAST(row_number() OVER (PARTITION BY grp ORDER BY v ASC, tb ASC) AS BIGINT) AS r,
+    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS ng
+  FROM base
+), pooled AS (
+  SELECT CAST(row_number() OVER (ORDER BY v ASC, tb ASC) AS BIGINT) AS idx, v AS pv
+  FROM base
+), nt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM base)
+SELECT ranked.grp AS "group", ranked.tb AS tiebreak, ranked.v AS value,
+  round(CAST(r AS DOUBLE) / CAST(ng AS DOUBLE), 6) AS quantile_frac,
+  pooled.pv AS normalized
+FROM ranked CROSS JOIN nt
+JOIN pooled ON pooled.idx = (r * nn + ng - 1) // ng
+"""
+
+
+def test_qn_duckdb_mirror(spark):
+    rows = [(f"g{i % 3}", f"t{i:02d}", float((i * 17) % 23)) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, tb string, v double")
+    got = sorted(tuple(r) for r in quantile_normalize(df, "g", "v", "tb").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (g VARCHAR, tb VARCHAR, v DOUBLE)")
+    con.execute(
+        "INSERT INTO fixture VALUES "
+        + ", ".join(f"('{g}', '{t}', {v})" for g, t, v in rows)
+    )
+    assert sorted(tuple(r) for r in con.execute(_QN_MIRROR).fetchall()) == got
