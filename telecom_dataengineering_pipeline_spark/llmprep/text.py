@@ -351,3 +351,50 @@ def pmi_collocations(
             F.col("pmi").desc(), F.col("token_a").asc(), F.col("token_b").asc()
         ).limit(int(top_k))
     return out
+
+
+def vocab_richness(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus lexical-richness profile — the one-row health check over
+    the vocabulary the tokenizer tier builds (:func:`~..llmprep.curation
+    .vocab_topk` lists the head; this grades the SHAPE): token count N,
+    vocabulary size V, type-token ratio, hapax/dis legomena counts and
+    the hapax share — the classic signals for boilerplate-heavy (TTR
+    collapses) or OCR-noisy (hapax share explodes) corpora.
+
+    Scale shape: one tokenize-and-explode pass → a token-keyed count
+    (map-side combined) → a frequency-of-frequency rollup
+    (metadata-sized) → one scalar fold. The corpus is read once.
+
+    Determinism: every output is an exact LONG except the two ratios,
+    which are single fixed-shape doubles rounded to 6. Tokenization is
+    the module's whitespace/lowercase convention. Returns one row:
+    (n_tokens, vocab_size, ttr, hapax_count, dis_count, hapax_share).
+    """
+    toks = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("_t")
+    ).filter(F.col("_t") != "")
+    counts = toks.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    fof = counts.groupBy("_c").agg(F.count(F.lit(1)).cast("long").alias("_v"))
+    agg = fof.groupBy().agg(
+        F.sum(F.col("_c") * F.col("_v")).cast("long").alias("n_tokens"),
+        F.sum("_v").cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("_c") == 1, F.col("_v")).otherwise(0))
+        .cast("long")
+        .alias("hapax_count"),
+        F.sum(F.when(F.col("_c") == 2, F.col("_v")).otherwise(0))
+        .cast("long")
+        .alias("dis_count"),
+    )
+    n = F.col("n_tokens").cast("double")
+    vsz = F.col("vocab_size").cast("double")
+    return agg.select(
+        "n_tokens",
+        "vocab_size",
+        F.when(F.col("n_tokens") > 0, F.round(vsz / n, 6)).alias("ttr"),
+        "hapax_count",
+        "dis_count",
+        F.when(
+            F.col("vocab_size") > 0,
+            F.round(F.col("hapax_count").cast("double") / vsz, 6),
+        ).alias("hapax_share"),
+    )

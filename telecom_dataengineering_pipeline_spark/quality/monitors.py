@@ -1522,3 +1522,62 @@ def kendall_tau(
         (n0 - tx > 0) & (n0 - ty > 0), F.round((c - d) / denom, 6)
     )
     return out.select(*key_cols, "n", "concordant", "discordant", tau.alias("tau_b"))
+
+
+def hhi_concentration(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per key — the market-
+    structure number regulators actually quote (Σ share² over the
+    units' value shares, scaled ×10,000): the third lens on
+    concentration next to :func:`gini_concentration` (dispersion) and
+    :func:`theil_index` (decomposable inequality), with crisp
+    conventional cuts (<1500 unconcentrated, 1500–2500 moderate,
+    >2500 concentrated).
+
+    Scale shape: one (key, group) map-side-combined sum collapses the
+    value grain; totals ride a window over the group relation; the HHI
+    folds per key. Nothing touches the raw grain twice.
+
+    Determinism: sums are exact DECIMALs; each share² term is a
+    fixed-shape double ROUNDED to 9 then DECIMAL-summed; HHI rounds to
+    2, the effective-competitor count 1/Σs² to 4. Negative or NULL
+    values are excluded (shares need a nonnegative measure). Returns
+    one row per key: (*key_cols, n_groups, hhi, effective_n, verdict).
+    """
+    kcols = [F.col(c) for c in key_cols]
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    v = F.col(value_col).cast("decimal(24,6)")
+    cells = (
+        df.filter(v.isNotNull() & (v >= 0))
+        .select(*kcols, g.alias("_g"), v.alias("_v"))
+        .groupBy(*key_cols, "_g")
+        .agg(F.sum("_v").alias("_s"))
+    )
+    wk = Window.partitionBy(*kcols)
+    cells = cells.withColumn("_tot", F.sum("_s").over(wk))
+    share = F.col("_s").cast("double") / F.col("_tot").cast("double")
+    term = F.when(
+        F.col("_tot") > 0, F.round(share * share, 9).cast("decimal(28,9)")
+    ).otherwise(F.lit(0).cast("decimal(28,9)"))
+    agg = cells.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(term).alias("_ss"),
+    )
+    ss = F.col("_ss").cast("double")
+    hhi = F.round(ss * F.lit(10000.0), 2)
+    verdict = (
+        F.when(hhi < 1500, "unconcentrated")
+        .when(hhi <= 2500, "moderate")
+        .otherwise("concentrated")
+    )
+    return agg.select(
+        *key_cols,
+        "n_groups",
+        hhi.alias("hhi"),
+        F.when(ss > 0, F.round(F.lit(1.0) / ss, 4)).alias("effective_n"),
+        verdict.alias("verdict"),
+    )

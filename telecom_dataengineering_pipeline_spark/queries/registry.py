@@ -147,6 +147,8 @@ DRIVER_ORDER: list[str] = [
     "mase_naive7_event_values",
     "kendall_daily_volume_vs_value",
     "qnorm_acctbal_across_segments",
+    "hhi_revenue_by_nation",
+    "vocab_richness_profile",
     # -- stalest driver evidence: last checked in ROUND 3 (all 27
     #    remaining r3 names — the alphabetical tail the r6 window could
     #    not fit).

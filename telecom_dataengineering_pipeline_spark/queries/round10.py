@@ -1421,3 +1421,97 @@ def qnorm_acctbal_across_segments(spark: SparkSession, sf_dir: str) -> DataFrame
         "c_mktsegment", "c_custkey", "c_acctbal"
     )
     return quantile_normalize(cust, "c_mktsegment", "c_acctbal", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# HHI concentration (quality/monitors.py::hhi_concentration): how
+# concentrated is each nation's order revenue across its customers? The
+# regulator's number next to gini_revenue_by_nation and
+# theil_spend_by_nation — three concentration lenses over one fixture.
+# ---------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH spend AS (
+  SELECT n.n_name AS k, CAST(o.o_custkey AS VARCHAR) AS g,
+         sum(CAST(round(o.o_totalprice, 0) AS DECIMAL(18,0))) AS raw
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+), cells AS (
+  SELECT k, g, sum(CAST(raw AS DECIMAL(24,6))) AS s FROM spend
+  WHERE raw IS NOT NULL AND CAST(raw AS DECIMAL(24,6)) >= 0 GROUP BY 1, 2
+), t AS (
+  SELECT *, sum(s) OVER (PARTITION BY k) AS tot FROM cells
+), agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_groups,
+    sum(CASE WHEN tot > 0 THEN CAST(round((CAST(s AS DOUBLE) / CAST(tot AS DOUBLE))
+        * (CAST(s AS DOUBLE) / CAST(tot AS DOUBLE)), 9) AS DECIMAL(28,9))
+        ELSE CAST(0 AS DECIMAL(28,9)) END) AS ss
+  FROM t GROUP BY 1
+)
+SELECT k AS n_name, n_groups,
+  round(CAST(ss AS DOUBLE) * 10000.0, 2) AS hhi,
+  CASE WHEN CAST(ss AS DOUBLE) > 0 THEN round(1.0 / CAST(ss AS DOUBLE), 4) END AS effective_n,
+  CASE WHEN round(CAST(ss AS DOUBLE) * 10000.0, 2) < 1500 THEN 'unconcentrated'
+       WHEN round(CAST(ss AS DOUBLE) * 10000.0, 2) <= 2500 THEN 'moderate'
+       ELSE 'concentrated' END AS verdict
+FROM agg
+"""
+
+
+@register("hhi_revenue_by_nation", oracle=_HHI_ORACLE, tags=("DQ", "A11"))
+def hhi_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import hhi_concentration
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(nation), nation.n_nationkey == cust.c_nationkey)
+        .groupBy("n_name", "o_custkey")
+        .agg(
+            F.sum(F.round("o_totalprice", 0).cast("decimal(18,0)")).alias("raw")
+        )
+        .select(
+            F.col("n_name"),
+            F.col("o_custkey").cast("string").alias("g"),
+            F.col("raw").cast("double").alias("v"),
+        )
+    )
+    return hhi_concentration(spend, "g", "v", ["n_name"])
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary richness (llmprep/text.py::vocab_richness): the one-row
+# lexical health check over the documents corpus — TTR and hapax share
+# are the fastest boilerplate/OCR-noise alarms a curation pipeline has.
+# ---------------------------------------------------------------------------
+
+_RICHNESS_ORACLE = """
+WITH ex AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents
+), counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ex WHERE tok <> '' GROUP BY 1
+), fof AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS v FROM counts GROUP BY 1
+), agg AS (
+  SELECT CAST(sum(c * v) AS BIGINT) AS n_tokens, CAST(sum(v) AS BIGINT) AS vocab_size,
+    CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS hapax_count,
+    CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS dis_count
+  FROM fof
+)
+SELECT n_tokens, vocab_size,
+  CASE WHEN n_tokens > 0 THEN round(CAST(vocab_size AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) END AS ttr,
+  hapax_count, dis_count,
+  CASE WHEN vocab_size > 0 THEN round(CAST(hapax_count AS DOUBLE) / CAST(vocab_size AS DOUBLE), 6) END AS hapax_share
+FROM agg
+"""
+
+
+@register("vocab_richness_profile", oracle=_RICHNESS_ORACLE, tags=("LLM", "text"))
+def vocab_richness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.text import vocab_richness
+
+    return vocab_richness(load_table(spark, sf_dir, "documents"))

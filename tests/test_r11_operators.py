@@ -2087,3 +2087,125 @@ def test_qn_duckdb_mirror(spark):
         + ", ".join(f"('{g}', '{t}', {v})" for g, t, v in rows)
     )
     assert sorted(tuple(r) for r in con.execute(_QN_MIRROR).fetchall()) == got
+
+
+# ---------------------------------------------------------------------------
+# HHI concentration
+# ---------------------------------------------------------------------------
+
+from telecom_dataengineering_pipeline_spark.quality.monitors import (  # noqa: E402
+    hhi_concentration,
+)
+
+
+def test_hhi_monopoly_and_uniform(spark):
+    mono = spark.createDataFrame([("k", "a", 100.0), ("k", "b", 0.0)], "k string, g string, v double")
+    r = hhi_concentration(mono, "g", "v", ["k"]).collect()[0]
+    assert r["hhi"] == 10000.0 and r["verdict"] == "concentrated"
+    assert r["effective_n"] == 1.0
+    uni = spark.createDataFrame(
+        [("k", f"g{i}", 10.0) for i in range(10)], "k string, g string, v double"
+    )
+    r2 = hhi_concentration(uni, "g", "v", ["k"]).collect()[0]
+    assert r2["hhi"] == 1000.0 and r2["verdict"] == "unconcentrated"
+    assert r2["effective_n"] == pytest.approx(10.0, abs=1e-3)
+
+
+def test_hhi_reference_and_exclusions(spark):
+    rows = [("k", "a", 50.0), ("k", "b", 30.0), ("k", "c", 20.0),
+            ("k", "d", None), ("k", "e", -5.0)]
+    df = spark.createDataFrame(rows, "k string, g string, v double")
+    r = hhi_concentration(df, "g", "v", ["k"]).collect()[0]
+    exp = round((0.5**2 + 0.3**2 + 0.2**2) * 10000, 2)
+    assert r["hhi"] == pytest.approx(exp, abs=0.01)
+    assert r["n_groups"] == 3  # NULL and negative values excluded
+
+
+_HHI_MIRROR = """
+WITH cells AS (
+  SELECT k, coalesce(g, '__null__') AS g, sum(CAST(v AS DECIMAL(24,6))) AS s
+  FROM fixture WHERE v IS NOT NULL AND CAST(v AS DECIMAL(24,6)) >= 0
+  GROUP BY 1, 2
+), t AS (
+  SELECT *, sum(s) OVER (PARTITION BY k) AS tot FROM cells
+), agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_groups,
+    sum(CASE WHEN tot > 0 THEN CAST(round((CAST(s AS DOUBLE) / CAST(tot AS DOUBLE))
+        * (CAST(s AS DOUBLE) / CAST(tot AS DOUBLE)), 9) AS DECIMAL(28,9))
+        ELSE CAST(0 AS DECIMAL(28,9)) END) AS ss
+  FROM t GROUP BY 1
+)
+SELECT k, n_groups,
+  round(CAST(ss AS DOUBLE) * 10000.0, 2) AS hhi,
+  CASE WHEN CAST(ss AS DOUBLE) > 0 THEN round(1.0 / CAST(ss AS DOUBLE), 4) END AS effective_n,
+  CASE WHEN round(CAST(ss AS DOUBLE) * 10000.0, 2) < 1500 THEN 'unconcentrated'
+       WHEN round(CAST(ss AS DOUBLE) * 10000.0, 2) <= 2500 THEN 'moderate'
+       ELSE 'concentrated' END AS verdict
+FROM agg
+"""
+
+
+def test_hhi_duckdb_mirror(spark):
+    rows = [(f"k{i % 2}", f"g{(i * 3) % 5}", float((i * 7 + 1) % 13)) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, g string, v double")
+    got = sorted(tuple(r) for r in hhi_concentration(df, "g", "v", ["k"]).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (k VARCHAR, g VARCHAR, v DOUBLE)")
+    con.execute(
+        "INSERT INTO fixture VALUES "
+        + ", ".join(f"('{k}', '{g}', {v})" for k, g, v in rows)
+    )
+    assert sorted(tuple(r) for r in con.execute(_HHI_MIRROR).fetchall()) == got
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary richness
+# ---------------------------------------------------------------------------
+
+from telecom_dataengineering_pipeline_spark.llmprep.text import vocab_richness  # noqa: E402
+
+
+def test_vocab_richness_reference(spark):
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the dog sat"), (2, "  ")],
+        "doc_id long, text string",
+    )
+    r = vocab_richness(docs).collect()[0]
+    # tokens: the x3, cat, sat x2, on, mat, dog => N=9, V=6
+    assert (r["n_tokens"], r["vocab_size"]) == (9, 6)
+    assert r["hapax_count"] == 4 and r["dis_count"] == 1  # sat twice
+    assert r["ttr"] == pytest.approx(6 / 9, abs=1e-6)
+    assert r["hapax_share"] == pytest.approx(4 / 6, abs=1e-6)
+
+
+_RICHNESS_MIRROR = """
+WITH ex AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM fixture
+), counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ex WHERE tok <> '' GROUP BY 1
+), fof AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS v FROM counts GROUP BY 1
+), agg AS (
+  SELECT CAST(sum(c * v) AS BIGINT) AS n_tokens, CAST(sum(v) AS BIGINT) AS vocab_size,
+    CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS hapax_count,
+    CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS dis_count
+  FROM fof
+)
+SELECT n_tokens, vocab_size,
+  CASE WHEN n_tokens > 0 THEN round(CAST(vocab_size AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) END AS ttr,
+  hapax_count, dis_count,
+  CASE WHEN vocab_size > 0 THEN round(CAST(hapax_count AS DOUBLE) / CAST(vocab_size AS DOUBLE), 6) END AS hapax_share
+FROM agg
+"""
+
+
+def test_vocab_richness_duckdb_mirror(spark):
+    texts = [f"tok{i % 7} tok{(i * 3) % 11} filler word{i}" for i in range(20)]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = tuple(vocab_richness(docs).collect()[0])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (doc_id BIGINT, text VARCHAR)")
+    con.execute(
+        "INSERT INTO fixture VALUES " + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+    )
+    assert tuple(con.execute(_RICHNESS_MIRROR).fetchone()) == got
