@@ -149,6 +149,7 @@ DRIVER_ORDER: list[str] = [
     "qnorm_acctbal_across_segments",
     "hhi_revenue_by_nation",
     "vocab_richness_profile",
+    "conversion_latency_profile",
     # -- stalest driver evidence: last checked in ROUND 3 (all 27
     #    remaining r3 names — the alphabetical tail the r6 window could
     #    not fit).

@@ -14,7 +14,7 @@ tie-broken windows, matching column names).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -1515,3 +1515,86 @@ def vocab_richness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmprep.text import vocab_richness
 
     return vocab_richness(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Conversion-latency profile: per user, time from FIRST view to the first
+# purchase strictly after it; exact rank-elected quartiles over the
+# converted-user grain (the funnel tier's "how fast", next to
+# sequence_funnel_purchase's "how many"). Pure composition of the window
+# discipline — µs-exact integers end to end.
+# ---------------------------------------------------------------------------
+
+_CONV_LATENCY_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view
+  FROM events GROUP BY 1
+), conv AS (
+  SELECT e.user_id, f.first_view,
+    min(epoch_us(e.ts)) AS first_purchase
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND f.first_view IS NOT NULL
+    AND epoch_us(e.ts) > f.first_view
+  GROUP BY 1, 2
+), lat AS (
+  SELECT user_id, first_purchase - first_view AS us,
+    CAST(row_number() OVER (ORDER BY first_purchase - first_view ASC, user_id ASC) AS BIGINT) AS r,
+    CAST(count(*) OVER () AS BIGINT) AS n
+  FROM conv
+)
+SELECT CAST(max(n) AS BIGINT) AS n_converted,
+  round(CAST(sum(CAST(us AS DECIMAL(24,0))) AS DOUBLE) / CAST(max(n) AS DOUBLE) / 1000000.0, 6) AS mean_s,
+  round(CAST(max(CASE WHEN r = CAST(ceil(CAST(n AS DOUBLE) * 0.5) AS BIGINT) THEN us END) AS DOUBLE) / 1000000.0, 6) AS p50_s,
+  round(CAST(max(CASE WHEN r = CAST(ceil(CAST(n AS DOUBLE) * 0.9) AS BIGINT) THEN us END) AS DOUBLE) / 1000000.0, 6) AS p90_s,
+  round(CAST(max(us) AS DOUBLE) / 1000000.0, 6) AS max_s
+FROM lat
+"""
+
+
+@register("conversion_latency_profile", oracle=_CONV_LATENCY_ORACLE, tags=("sequence", "W3"))
+def conversion_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("first_view")
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .filter(F.col("first_view").isNotNull() & (F.col("us") > F.col("first_view")))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("us").alias("first_purchase"))
+    )
+    w = Window.orderBy(F.col("lat_us").asc(), F.col("user_id").asc())
+    wall = Window.partitionBy()
+    lat = conv.select(
+        "user_id",
+        (F.col("first_purchase") - F.col("first_view")).alias("lat_us"),
+    ).withColumn("r", F.row_number().over(w).cast("long")).withColumn(
+        "n", F.count(F.lit(1)).over(wall).cast("long")
+    )
+    nd = F.col("n").cast("double")
+    p50_rank = F.ceil(nd * F.lit(0.5)).cast("long")
+    p90_rank = F.ceil(nd * F.lit(0.9)).cast("long")
+    return lat.groupBy().agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.round(
+            F.sum(F.col("lat_us").cast("decimal(24,0)")).cast("double")
+            / F.max("n").cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("mean_s"),
+        F.round(
+            F.max(F.when(F.col("r") == p50_rank, F.col("lat_us"))).cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("p50_s"),
+        F.round(
+            F.max(F.when(F.col("r") == p90_rank, F.col("lat_us"))).cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("p90_s"),
+        F.round(F.max("lat_us").cast("double") / F.lit(1000000.0), 6).alias("max_s"),
+    )

@@ -190,6 +190,7 @@ def test_new_registrations_inside_driver_window():
         "qnorm_acctbal_across_segments",
         "hhi_revenue_by_nation",
         "vocab_richness_profile",
+        "conversion_latency_profile",
     }
     after_window = list(queries())[50 : 50 + len(s4)]
     assert s4 == set(after_window), f"session-4 names not at 51+: {after_window}"
