@@ -2209,3 +2209,88 @@ def test_vocab_richness_duckdb_mirror(spark):
         "INSERT INTO fixture VALUES " + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
     )
     assert tuple(con.execute(_RICHNESS_MIRROR).fetchone()) == got
+
+
+# ---------------------------------------------------------------------------
+# Property-based parity: randomized tie layouts and censoring patterns
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_small_vals = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 6)),
+    min_size=3,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=_small_vals)
+def test_kruskal_random_ties_match_reference(spark, rows):
+    frows = [(g, float(v)) for g, v in rows]
+    df = spark.createDataFrame(frows, "g string, v double")
+    got = tuple(kruskal_wallis(df, "g", "v").collect()[0])
+    ref = _kw_reference(frows)
+    assert got[:2] == ref[:2]
+    for i in (2, 3, 4):
+        if ref[i] is None:
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(ref[i], abs=2e-5)
+
+
+_pairs_xy = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 5)), min_size=2, max_size=20
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(pairs=_pairs_xy)
+def test_kendall_random_ties_match_reference(spark, pairs):
+    fp = [(float(x), float(y)) for x, y in pairs]
+    df = spark.createDataFrame([("s", x, y) for x, y in fp], "k string, x double, y double")
+    r = kendall_tau(df, "x", "y", ["k"]).collect()[0]
+    ref = _tau_reference(fp)
+    assert (r["n"], r["concordant"], r["discordant"]) == ref[:3]
+    if ref[3] is None:
+        assert r["tau_b"] is None
+    else:
+        assert r["tau_b"] == pytest.approx(ref[3], abs=2e-6)
+
+
+_lr_obs = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(1, 8),
+        st.integers(0, 1),
+    ),
+    min_size=2,
+    max_size=24,
+).filter(lambda rows: {g for g, _, _ in rows} == {"a", "b"})
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(obs=_lr_obs)
+def test_logrank_random_censoring_matches_reference(spark, obs):
+    df = spark.createDataFrame(obs, "g string, dur int, ev int")
+    got = tuple(log_rank_test(df, "dur", "ev", "g", "a", "b").collect()[0])
+    ref = _logrank_reference(obs)
+    assert got[:3] == ref[:3] and got[4] == ref[4]
+    for i in (3, 5, 6, 7):
+        if ref[i] is None:
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(ref[i], abs=2e-5)
