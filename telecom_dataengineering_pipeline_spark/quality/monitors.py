@@ -1581,3 +1581,66 @@ def hhi_concentration(
         F.when(ss > 0, F.round(F.lit(1.0) / ss, 4)).alias("effective_n"),
         verdict.alias("verdict"),
     )
+
+
+def two_proportion_test(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-proportion z-test with pooled variance — the experiment
+    readout for RATES (:func:`welch_t_test` compares means; conversion,
+    churn, and click-through comparisons need this one):
+    z = (p̂_A − p̂_B) / √(p̂(1−p̂)(1/n_A + 1/n_B)) with the pooled p̂,
+    plus the absolute difference and its unpooled 95% CI half-width.
+
+    Scale shape: ONE map-side-combined scalar aggregate (four
+    conditional integer sums) — the cheapest monitor shape, safe at any
+    grain.
+
+    Determinism: counts are exact LONGs; every derived number is a
+    fixed-shape double rounded to 6. ``success_col`` > 0 counts as
+    success; rows outside the two groups or with NULL success are
+    excluded. Returns one row: (n_a, n_b, rate_a, rate_b, diff,
+    ci95_halfwidth, z_stat); z NULL when a pooled-variance factor is 0
+    (all successes or all failures)."""
+    ina = (F.col(group_col) == F.lit(group_a)).cast("long")
+    inb = (F.col(group_col) == F.lit(group_b)).cast("long")
+    y = (F.col(success_col) > 0).cast("long")
+    base = df.filter(
+        F.col(group_col).isin(group_a, group_b) & F.col(success_col).isNotNull()
+    ).select(ina.alias("_a"), inb.alias("_b"), y.alias("_y"))
+    agg = base.groupBy().agg(
+        F.sum("_a").cast("long").alias("n_a"),
+        F.sum("_b").cast("long").alias("n_b"),
+        F.sum(F.col("_a") * F.col("_y")).cast("long").alias("_sa"),
+        F.sum(F.col("_b") * F.col("_y")).cast("long").alias("_sb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    # ANSI-safe: an empty side NULLs every derived number instead of
+    # dividing by zero (caught live at sf0.001, where no journey starts
+    # with the rarer entry activity).
+    pa = F.when(F.col("n_a") > 0, sa / na)
+    pb = F.when(F.col("n_b") > 0, sb / nb)
+    pool = F.when(F.col("n_a") + F.col("n_b") > 0, (sa + sb) / (na + nb))
+    se_pooled = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)),
+    )
+    z = F.when(se_pooled > 0, F.round((pa - pb) / se_pooled, 6))
+    se_unpooled = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.sqrt(pa * (F.lit(1.0) - pa) / na + pb * (F.lit(1.0) - pb) / nb),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(pa - pb, 6).alias("diff"),
+        F.round(F.lit(1.959963984540054) * se_unpooled, 6).alias("ci95_halfwidth"),
+        z.alias("z_stat"),
+    )

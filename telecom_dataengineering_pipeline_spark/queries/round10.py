@@ -1598,3 +1598,67 @@ def conversion_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_s"),
         F.round(F.max("lat_us").cast("double") / F.lit(1000000.0), 6).alias("max_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test (quality/monitors.py::two_proportion_test): do
+# journeys that START with a view convert to purchase at a different
+# rate than journeys that start with a click? The rate companion to the
+# Welch mean test, over the entry-activity framing of
+# cycle_time_by_entry_event.
+# ---------------------------------------------------------------------------
+
+_ZPROP_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+    (SELECT e2.event_type FROM events e2 WHERE e2.user_id = e.user_id
+     ORDER BY epoch_us(e2.ts) ASC, CAST(e2.event_id AS VARCHAR) ASC LIMIT 1) AS first_act,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events e GROUP BY user_id
+), base AS (
+  SELECT CASE WHEN first_act = 'view' THEN 1 ELSE 0 END AS a,
+         CASE WHEN first_act = 'click' THEN 1 ELSE 0 END AS b,
+         converted AS y
+  FROM per_user WHERE first_act IN ('view', 'click') AND converted IS NOT NULL
+), agg AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
+         CAST(sum(a * y) AS BIGINT) AS sa, CAST(sum(b * y) AS BIGINT) AS sb
+  FROM base
+), d AS (
+  SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+         CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd
+  FROM agg
+)
+SELECT n_a, n_b,
+  round(CASE WHEN n_a > 0 THEN sad / nad END, 6) AS rate_a,
+  round(CASE WHEN n_b > 0 THEN sbd / nbd END, 6) AS rate_b,
+  round(CASE WHEN n_a > 0 AND n_b > 0 THEN sad / nad - sbd / nbd END, 6) AS diff,
+  round(CASE WHEN n_a > 0 AND n_b > 0 THEN 1.959963984540054 * sqrt((sad / nad) * (1.0 - sad / nad) / nad
+        + (sbd / nbd) * (1.0 - sbd / nbd) / nbd) END, 6) AS ci95_halfwidth,
+  CASE WHEN n_a > 0 AND n_b > 0
+        AND sqrt(((sad + sbd) / (nad + nbd)) * (1.0 - (sad + sbd) / (nad + nbd))
+                 * (1.0 / nad + 1.0 / nbd)) > 0
+       THEN round((sad / nad - sbd / nbd)
+            / sqrt(((sad + sbd) / (nad + nbd)) * (1.0 - (sad + sbd) / (nad + nbd))
+                   * (1.0 / nad + 1.0 / nbd)), 6) END AS z_stat
+FROM d
+"""
+
+
+@register("zprop_entry_view_vs_click", oracle=_ZPROP_ORACLE, tags=("A11", "eval"))
+def zprop_entry_view_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import two_proportion_test
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").cast("string").alias("tb"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.struct("us", "tb", "event_type")).alias("_first"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
+    ).select(
+        F.col("_first.event_type").alias("first_act"), "converted"
+    )
+    return two_proportion_test(per_user, "first_act", "converted", "view", "click")

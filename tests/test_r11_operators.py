@@ -2294,3 +2294,85 @@ def test_logrank_random_censoring_matches_reference(spark, obs):
             assert got[i] is None
         else:
             assert got[i] == pytest.approx(ref[i], abs=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test
+# ---------------------------------------------------------------------------
+
+from telecom_dataengineering_pipeline_spark.quality.monitors import (  # noqa: E402
+    two_proportion_test,
+)
+
+
+def _zprop_reference(rows, a, b):
+    na = sum(1 for g, _ in rows if g == a)
+    nb = sum(1 for g, _ in rows if g == b)
+    sa = sum(1 for g, y in rows if g == a and y > 0)
+    sb = sum(1 for g, y in rows if g == b and y > 0)
+    pa, pb = sa / na, sb / nb
+    pool = (sa + sb) / (na + nb)
+    se = math.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    z = round((pa - pb) / se, 6) if se > 0 else None
+    seu = math.sqrt(pa * (1 - pa) / na + pb * (1 - pb) / nb)
+    return (na, nb, round(pa, 6), round(pb, 6), round(pa - pb, 6),
+            round(1.959963984540054 * seu, 6), z)
+
+
+def test_zprop_matches_reference(spark):
+    rows = [("a", 1)] * 30 + [("a", 0)] * 70 + [("b", 1)] * 45 + [("b", 0)] * 55
+    df = spark.createDataFrame(rows, "g string, y int")
+    got = tuple(two_proportion_test(df, "g", "y", "a", "b").collect()[0])
+    ref = _zprop_reference(rows, "a", "b")
+    assert got[:2] == ref[:2]
+    for i in range(2, 7):
+        assert got[i] == pytest.approx(ref[i], abs=2e-6)
+    assert got[6] < -2  # b converts more: strongly negative z
+
+
+def test_zprop_degenerate_all_success(spark):
+    rows = [("a", 1)] * 5 + [("b", 1)] * 5
+    df = spark.createDataFrame(rows, "g string, y int")
+    r = two_proportion_test(df, "g", "y", "a", "b").collect()[0]
+    assert r["z_stat"] is None and r["diff"] == 0.0
+
+
+_ZPROP_MIRROR = """
+WITH base AS (
+  SELECT CASE WHEN g = 'a' THEN 1 ELSE 0 END AS a,
+         CASE WHEN g = 'b' THEN 1 ELSE 0 END AS b,
+         CASE WHEN y > 0 THEN 1 ELSE 0 END AS y
+  FROM fixture WHERE g IN ('a', 'b') AND y IS NOT NULL
+), agg AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
+         CAST(sum(a * y) AS BIGINT) AS sa, CAST(sum(b * y) AS BIGINT) AS sb
+  FROM base
+), d AS (
+  SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+         CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd
+  FROM agg
+)
+SELECT n_a, n_b,
+  round(CASE WHEN n_a > 0 THEN sad / nad END, 6) AS rate_a,
+  round(CASE WHEN n_b > 0 THEN sbd / nbd END, 6) AS rate_b,
+  round(CASE WHEN n_a > 0 AND n_b > 0 THEN sad / nad - sbd / nbd END, 6) AS diff,
+  round(CASE WHEN n_a > 0 AND n_b > 0 THEN 1.959963984540054 * sqrt((sad / nad) * (1.0 - sad / nad) / nad
+        + (sbd / nbd) * (1.0 - sbd / nbd) / nbd) END, 6) AS ci95_halfwidth,
+  CASE WHEN n_a > 0 AND n_b > 0
+        AND sqrt(((sad + sbd) / (nad + nbd)) * (1.0 - (sad + sbd) / (nad + nbd))
+                 * (1.0 / nad + 1.0 / nbd)) > 0
+       THEN round((sad / nad - sbd / nbd)
+            / sqrt(((sad + sbd) / (nad + nbd)) * (1.0 - (sad + sbd) / (nad + nbd))
+                   * (1.0 / nad + 1.0 / nbd)), 6) END AS z_stat
+FROM d
+"""
+
+
+def test_zprop_duckdb_mirror(spark):
+    rows = [(f"{'ab'[i % 2]}", 1 if (i * 7) % 5 < 2 else 0) for i in range(80)]
+    df = spark.createDataFrame(rows, "g string, y int")
+    got = tuple(two_proportion_test(df, "g", "y", "a", "b").collect()[0])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (g VARCHAR, y INT)")
+    con.execute("INSERT INTO fixture VALUES " + ", ".join(f"('{g}', {y})" for g, y in rows))
+    assert tuple(con.execute(_ZPROP_MIRROR).fetchone()) == got
