@@ -151,6 +151,7 @@ DRIVER_ORDER: list[str] = [
     "vocab_richness_profile",
     "conversion_latency_profile",
     "zprop_entry_view_vs_click",
+    "jsd_stream_event_mix",
     # -- stalest driver evidence: last checked in ROUND 3 (all 27
     #    remaining r3 names — the alphabetical tail the r6 window could
     #    not fit).

@@ -1662,3 +1662,80 @@ def zprop_entry_view_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_first.event_type").alias("first_act"), "converted"
     )
     return two_proportion_test(per_user, "first_act", "converted", "view", "click")
+
+
+# ---------------------------------------------------------------------------
+# STREAMING Jensen–Shannon drift (streaming/monitors.py::jsd_stream):
+# the second-half event mix streams file-by-file against the first-half
+# reference; the final keyed-state snapshot must equal the BATCH
+# js_divergence on the same two windows — so the oracle is literally the
+# batch query's oracle. Stream ≡ batch ≡ DuckDB through one value gate.
+# ---------------------------------------------------------------------------
+
+
+@register("jsd_stream_event_mix", oracle=_JSD_ORACLE, tags=("T2", "stream", "DQ"))
+def jsd_stream_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.monitors import jsd_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.coalesce(F.col("event_type"), F.lit("__null__")).alias("cat"),
+        F.date_format("ts", "dd").cast("int").alias("_d"),
+    )
+    # reference mix: first half of January (bounded collect — category
+    # cardinality, the same metadata-sized contract as seed discovery)
+    ref_counts = {
+        r["cat"]: r["n"]
+        for r in ev.filter(F.col("_d") <= 15)
+        .groupBy("cat")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    n_ref = int(sum(ref_counts.values()))
+    sink = "jsd_stream_event_mix_sink"
+    spark.catalog.dropTempView(sink)
+    staging = tempfile.mkdtemp(prefix="jsd_stream_src_")
+    try:
+        cur = ev.filter(F.col("_d") > 15).select(
+            F.lit("all").alias("key"), "cat", "_d"
+        )
+        cur.filter(F.col("_d") <= 22).select("key", "cat").coalesce(1).write.parquet(
+            os.path.join(staging, "b0")
+        )
+        cur.filter(F.col("_d") > 22).select("key", "cat").coalesce(1).write.parquet(
+            os.path.join(staging, "b1")
+        )
+        stream = (
+            spark.readStream.schema("key string, cat string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging + "/b*")
+        )
+        q = (
+            jsd_stream(stream, ref_counts)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    snaps = spark.table(sink)
+    return snaps.groupBy("key").agg(
+        F.max("n_cur").cast("long").alias("n_cur"),
+        F.max_by("n_categories", "n_cur").cast("long").alias("n_categories"),
+        F.max_by("jsd_nats", "n_cur").alias("jsd_nats"),
+        F.max_by("jsd_bits", "n_cur").alias("jsd_bits"),
+        F.max_by("status", "n_cur").alias("status"),
+    ).select(
+        F.lit(n_ref).cast("long").alias("n_ref"),
+        "n_cur",
+        "n_categories",
+        "jsd_nats",
+        "jsd_bits",
+        "status",
+    )

@@ -128,3 +128,131 @@ def ewma_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Jensen–Shannon drift — the streaming twin of
+# quality/monitors.py::js_divergence, same batch≡stream discipline as the
+# EWMA tracker above: state is the per-key category-count vector
+# (O(categories), never O(events)); each micro-batch folds its counts in
+# and re-scores the accumulated mix against a REFERENCE mix fixed at
+# construction (the baseline window's counts). Parity contract (pinned in
+# tests): after consuming the whole stream, the emitted JSD equals the
+# batch operator on the same two windows — the Python twin reproduces the
+# engine arithmetic exactly (shortest-repr HALF_UP rounding at 9 dp, an
+# exact decimal term sum, the same /ln(2) literal).
+# ---------------------------------------------------------------------------
+
+import math as _math
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql.types import ArrayType
+
+JSD_STATE_SCHEMA = StructType(
+    [
+        StructField("cats", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+JSD_OUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_cur", LongType()),
+        StructField("n_categories", LongType()),
+        StructField("jsd_nats", DoubleType()),
+        StructField("jsd_bits", DoubleType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def _round_half_up(x: float, n: int) -> float:
+    """Twin of Spark's Round expression: HALF_UP on the shortest decimal
+    repr of the double (BigDecimal.valueOf semantics)."""
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP))
+
+
+def jsd_score(ref_counts: "dict[str, int]", cur_counts: "dict[str, int]"):
+    """Exact Python twin of the batch js_divergence fold: per-category
+    p·ln(p/m) terms rounded HALF_UP at 9 dp, summed as exact Decimals,
+    halved and /ln(2) as doubles. Returns (n_categories, jsd_nats,
+    jsd_bits, status_unrounded_bits)."""
+    na = sum(ref_counts.values())
+    nb = sum(cur_counts.values())
+    cats = set(ref_counts) | set(cur_counts)
+    tp = Decimal(0)
+    tq = Decimal(0)
+    for c in cats:
+        a = ref_counts.get(c, 0)
+        b = cur_counts.get(c, 0)
+        p = a / na if na else 0.0
+        q = b / nb if nb else 0.0
+        m = (p + q) / 2.0
+        if a > 0:
+            tp += Decimal(repr(_round_half_up(p * _math.log(p / m), 9)))
+        if b > 0:
+            tq += Decimal(repr(_round_half_up(q * _math.log(q / m), 9)))
+    jsd = (float(tp) + float(tq)) / 2.0
+    bits = jsd / _math.log(2.0)
+    if na == 0 or nb == 0:
+        status = "no_reference"
+    elif bits < 0.05:
+        status = "stable"
+    elif bits < 0.2:
+        status = "moderate_shift"
+    else:
+        status = "major_shift"
+    return len(cats), jsd, bits, status
+
+
+def make_jsd_tracker(ref_counts: "dict[str, int]"):
+    """Build the applyInPandasWithState function closed over the
+    reference category counts. Input rows carry a ``cat`` column
+    (pre-coalesced: NULL categories arrive as ``__null__``). Emits one
+    snapshot row per (batch, active key) scoring the ACCUMULATED current
+    mix against the reference."""
+    ref = {str(k): int(v) for k, v in ref_counts.items()}
+    if not ref:
+        raise ValueError("jsd tracker needs a non-empty reference mix")
+
+    def track(
+        key: tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            cats, counts = state.get
+            d = dict(zip(list(cats), [int(c) for c in counts]))
+        else:
+            d = {}
+        for pdf in pdf_iter:
+            for c, n in pdf["cat"].value_counts().items():
+                d[str(c)] = d.get(str(c), 0) + int(n)
+        state.update((list(d.keys()), [int(v) for v in d.values()]))
+        n_cats, jsd, bits, status = jsd_score(ref, d)
+        yield pd.DataFrame(
+            {
+                "key": [k],
+                "n_cur": [sum(d.values())],
+                "n_categories": [n_cats],
+                "jsd_nats": [_round_half_up(jsd, 6)],
+                "jsd_bits": [_round_half_up(bits, 6)],
+                "status": [status],
+            }
+        )
+
+    return track
+
+
+def jsd_stream(stream: DataFrame, ref_counts: "dict[str, int]") -> DataFrame:
+    """stream(key string, cat string) → per-key drift snapshots vs the
+    fixed reference mix. Update output mode: one snapshot per
+    (micro-batch, active key); the final snapshot scores the whole
+    accumulated window (the batch-parity point)."""
+    return stream.groupBy("key").applyInPandasWithState(
+        make_jsd_tracker(ref_counts),
+        JSD_OUT_SCHEMA,
+        JSD_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -192,6 +192,7 @@ def test_new_registrations_inside_driver_window():
         "vocab_richness_profile",
         "conversion_latency_profile",
         "zprop_entry_view_vs_click",
+        "jsd_stream_event_mix",
     }
     after_window = list(queries())[50 : 50 + len(s4)]
     assert s4 == set(after_window), f"session-4 names not at 51+: {after_window}"

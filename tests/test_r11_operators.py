@@ -2376,3 +2376,84 @@ def test_zprop_duckdb_mirror(spark):
     con.execute("CREATE TABLE fixture (g VARCHAR, y INT)")
     con.execute("INSERT INTO fixture VALUES " + ", ".join(f"('{g}', {y})" for g, y in rows))
     assert tuple(con.execute(_ZPROP_MIRROR).fetchone()) == got
+
+
+# ---------------------------------------------------------------------------
+# Streaming JSD drift: batch ≡ stream parity across micro-batch splits
+# ---------------------------------------------------------------------------
+
+
+def _run_jsd_stream(spark, tmpdir, rows_by_file, ref_counts, sink):
+    import os
+
+    from telecom_dataengineering_pipeline_spark.streaming.monitors import jsd_stream
+
+    schema = "key string, cat string"
+    for i, rows in enumerate(rows_by_file):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(tmpdir, f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(tmpdir + "/b*")
+    )
+    q = (
+        jsd_stream(stream, ref_counts)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import pyspark.sql.functions as SF
+
+    return (
+        spark.table(sink)
+        .groupBy("key")
+        .agg(
+            SF.max_by("jsd_nats", "n_cur").alias("jsd_nats"),
+            SF.max_by("jsd_bits", "n_cur").alias("jsd_bits"),
+            SF.max_by("status", "n_cur").alias("status"),
+            SF.max("n_cur").alias("n_cur"),
+            SF.max_by("n_categories", "n_cur").alias("n_categories"),
+        )
+        .collect()[0]
+    )
+
+
+def test_jsd_stream_equals_batch_across_splits(spark, tmp_path):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import js_divergence
+
+    ref_rows = ["a"] * 12 + ["b"] * 6 + ["c"] * 2
+    cur_rows = ["a"] * 4 + ["b"] * 9 + ["d"] * 5
+    ref_counts = {"a": 12, "b": 6, "c": 2}
+    batch = js_divergence(
+        spark.createDataFrame([(x,) for x in ref_rows], "c string"),
+        spark.createDataFrame([(x,) for x in cur_rows], "c string"),
+        "c",
+    ).collect()[0]
+    # split A: one file; split B: two files cut mid-category
+    one = _run_jsd_stream(
+        spark, str(tmp_path / "one"), [[("k", c) for c in cur_rows]], ref_counts, "jsd_one"
+    )
+    two = _run_jsd_stream(
+        spark,
+        str(tmp_path / "two"),
+        [[("k", c) for c in cur_rows[:7]], [("k", c) for c in cur_rows[7:]]],
+        ref_counts,
+        "jsd_two",
+    )
+    for got in (one, two):
+        assert got["jsd_nats"] == batch["jsd_nats"]
+        assert got["jsd_bits"] == batch["jsd_bits"]
+        assert got["status"] == batch["status"]
+        assert got["n_cur"] == batch["n_cur"]
+        assert got["n_categories"] == batch["n_categories"]
+
+
+def test_jsd_stream_identical_mix_stable(spark, tmp_path):
+    rows = ["x"] * 9 + ["y"] * 3
+    got = _run_jsd_stream(
+        spark, str(tmp_path / "s"), [[("k", c) for c in rows]], {"x": 9, "y": 3}, "jsd_same"
+    )
+    assert got["jsd_bits"] == 0.0 and got["status"] == "stable"
