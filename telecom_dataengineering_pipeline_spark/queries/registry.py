@@ -55,73 +55,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 # sort after the list in registration order; names listed but not (yet)
 # registered are simply skipped.
 DRIVER_ORDER: list[str] = [
-    # -- round-7 additions: no driver row yet — ALWAYS inside the window.
-    #    (The round-6 tests-only operators promoted to oracle-checked
-    #    queries, the media header round-trip, and the BPE train→encode
-    #    composition.)
-    "bm25_keyword_retrieval",
-    "robust_outlier_daily_revenue",
-    "grouped_quantile_event_values",
-    "grid_density_event_cells",
-    "last_touch_attribution_purchases",
-    "copurchase_neighborhood_jaccard",
-    "cusum_event_value_shifts",
-    "txnlog_column_defaults",
-    "media_header_dimensions",
-    "bpe_encode_corpus",
-    # -- round-7 session-2 additions: registered the same round they were
-    #    built (no tests-only lag) — no driver row yet, always in-window.
-    "dq_chi_squared_event_mix",
-    "pii_k_anonymity_customers",
-    "dq_event_type_entropy_daily",
-    "ecdf_order_totals_by_priority",
-    "te_loo_segment_order_totals",
-    "auc_discount_predicts_returns",
-    "join_preflight_orders_lineitem",
-    "cohort_retention_weekly_users",
-    "interarrival_burstiness_event_types",
-    "association_rules_copurchase",
-    "pmi_document_collocations",
-    "rrf_hybrid_doc_ranking",
-    "acf_daily_event_value",
-    "hits_supply_graph",
-    "mobility_radius_of_gyration",
-    "interval_overlap_part_launch_window",
-    "ks_drift_priority_totals",
-    "sessionize_user_events",
-    "ols_trend_nation_revenue",
-    "gini_revenue_by_nation",
-    "adamic_adar_copurchase",
-    "ppr_copurchase_seeds",
-    "ewma_event_value_chart",
-    "cdc_chunk_boundaries",
-    "jw_fuzzy_doc_prefixes",
-    "wav_header_roundtrip",
-    "ewma_stream_daily_means",
-    "pca_embedding_projection",
-    # -- round-7 session-3 additions: registered the same round they were
-    #    built — no driver row yet, always in-window.
-    "mk_trend_nation_revenue",
-    "mi_priority_status",
-    "woe_iv_priority_fulfilled",
-    "ndcg_acctbal_vs_spend",
-    "km_survival_customer_churn",
-    "cf_item_neighbors_copurchase",
-    "bfs_copurchase_radius",
-    "hw_forecast_event_values",
-    "ccf_event_volume_vs_value",
-    "ef_event_process_matrix",
-    # -- fix-up re-entries (VERDICT r6 items 2 & 3): both queries' prior
-    #    driver greens were VACUOUS (0 rows at every SF); their literals/
-    #    cohorts were fixed this round and they must re-enter the window to
-    #    earn a non-empty row. The rotation test exempts them by name.
-    "national_market_share",
-    "lapsed_users",
-    # -- round-7 session-4 additions: registered AFTER the 50-slot r7
-    #    window filled (48 new + 2 fix-ups above) — they sit just outside
-    #    it this round, carry local oracle evidence at three SFs, and MUST
-    #    head the round-8 window together with the resumed r3/r4-stale
-    #    rotation.
+    # -- ROUND-8 WINDOW HEAD (VERDICT r7 item 1): the 30 round-7 session-4
+    #    registrations landed AFTER the r7 window filled and have NO driver
+    #    row yet (each carries three-SF local oracle evidence + the judge's
+    #    10/10 sample). They head the window; NO new r8 registration may
+    #    displace them (new r8 names register at positions 51+ and head the
+    #    r9 window, same pattern).
     "anova_event_value_by_type",
     "spearman_acctbal_vs_spend",
     "spatial_cluster_event_cells",
@@ -152,9 +91,10 @@ DRIVER_ORDER: list[str] = [
     "conversion_latency_profile",
     "zprop_entry_view_vs_click",
     "jsd_stream_event_mix",
-    # -- stalest driver evidence: last checked in ROUND 3 (all 27
-    #    remaining r3 names — the alphabetical tail the r6 window could
-    #    not fit).
+    # -- ROTATION SLOTS 31-50 (VERDICT r7 items 1-2): stalest driver
+    #    evidence — last checked in ROUND 3. The first 20 of the 27
+    #    remaining r3 names fill the rest of the r8 window; the last 7
+    #    (below) plus the r4 tier queue for r9.
     "dedup_simhash_pairs",
     "dedup_source_overlap",
     "doc_chunking",
@@ -175,6 +115,9 @@ DRIVER_ORDER: list[str] = [
     "text_langid_heuristic",
     "text_quality_scores",
     "text_repetition_metrics",
+    # ---- r8 window boundary: everything below is OUTSIDE the 50-slot
+    #      window this round and queues for the r9 rotation head.
+    # -- remaining 7 r3-stale names (r9 rotation, ahead of the r4 tier).
     "text_token_counts",
     "text_unigram_logprob",
     "tfidf_top_terms",
@@ -182,8 +125,8 @@ DRIVER_ORDER: list[str] = [
     "training_set_summary",
     "value_distribution_by_type",
     "vocab_topk",
-    # -- last checked in ROUND 4 (first 11 alphabetically; the rest rotate
-    #    in next round — all stay locally oracle-checked).
+    # -- last checked in ROUND 4 (r9 rotation after the r3 tail; the rest
+    #    rotate in later rounds — all stay locally oracle-checked).
     "ann_mmr_rerank",
     "ann_recall_profile",
     "backfill_replace_where_txnlog",

@@ -83,136 +83,94 @@ def test_pair_merge_counts_multiplicity_and_df(spark):
     assert "x" not in rows
 
 
-def test_new_registrations_inside_driver_window():
-    """The driver's correctness harness only verifies the first 50 entries
-    of queries() per round: every query added in the CURRENT round must sit
-    inside that window (earlier rounds' additions already have driver rows
-    from their own round and may rotate out)."""
+# The 30 round-7 session-4 registrations: landed AFTER the r7 window
+# filled, so their FIRST driver row is the r8 window (VERDICT r7 item 1).
+S4_NAMES = [
+    "anova_event_value_by_type",
+    "spearman_acctbal_vs_spend",
+    "spatial_cluster_event_cells",
+    "kw_daily_value_by_type",
+    "welch_purchase_vs_view_value",
+    "logrank_churn_building_vs_auto",
+    "pr_at_k_acctbal_vs_spend",
+    "lift_deciles_order_returns",
+    "calibration_discount_returns",
+    "assortativity_copurchase",
+    "closeness_copurchase_seeds",
+    "pettitt_daily_event_value",
+    "periodogram_daily_event_volume",
+    "variants_user_journeys",
+    "cycle_time_by_entry_event",
+    "jsd_event_mix_halves",
+    "theil_spend_by_nation",
+    "kappa_discount_rule_vs_returns",
+    "report_discount_rule_vs_returns",
+    "nearest_tower_load",
+    "bh_fdr_pettitt_alerts",
+    "stratified_alloc_event_sample",
+    "mase_naive7_event_values",
+    "kendall_daily_volume_vs_value",
+    "qnorm_acctbal_across_segments",
+    "hhi_revenue_by_nation",
+    "vocab_richness_profile",
+    "conversion_latency_profile",
+    "zprop_entry_view_vs_click",
+    "jsd_stream_event_mix",
+]
+
+
+def test_round8_window_is_evidence_catchup():
+    """Round-8 window contract (VERDICT r7 item 1, pinned): the driver
+    verifies the first 50 entries of queries() per round. This round the
+    head is NOT new registrations — it is the 30 round-7 session-4 names
+    (zero driver rows, three-SF local evidence) followed by 20 r3-stale
+    rotation slots. New round-8 registrations sit at positions 51+ (with
+    three-SF local oracle evidence) and head the round-9 window, exactly
+    the session-4 pattern."""
     from telecom_dataengineering_pipeline_spark.queries.registry import (
         oracle_sql,
         queries,
     )
 
-    # Round-7 registrations (round-6 entries all have driver rows in
-    # CORRECTNESS_r06 and rotated out so the r7 window can refresh the
-    # r3/r4-stale tiers).
-    new_names = {
-        "bm25_keyword_retrieval",
-        "robust_outlier_daily_revenue",
-        "grouped_quantile_event_values",
-        "grid_density_event_cells",
-        "last_touch_attribution_purchases",
-        "copurchase_neighborhood_jaccard",
-        "cusum_event_value_shifts",
-        "txnlog_column_defaults",
-        "media_header_dimensions",
-        "bpe_encode_corpus",
-        # session-2 additions, registered the round they were built
-        "dq_chi_squared_event_mix",
-        "pii_k_anonymity_customers",
-        "dq_event_type_entropy_daily",
-        "ecdf_order_totals_by_priority",
-        "te_loo_segment_order_totals",
-        "auc_discount_predicts_returns",
-        "join_preflight_orders_lineitem",
-        "cohort_retention_weekly_users",
-        "interarrival_burstiness_event_types",
-        "association_rules_copurchase",
-        "pmi_document_collocations",
-        "rrf_hybrid_doc_ranking",
-        "acf_daily_event_value",
-        "hits_supply_graph",
-        "mobility_radius_of_gyration",
-        "interval_overlap_part_launch_window",
-        "ks_drift_priority_totals",
-        "sessionize_user_events",
-        "ols_trend_nation_revenue",
-        "gini_revenue_by_nation",
-        "adamic_adar_copurchase",
-        "ppr_copurchase_seeds",
-        "ewma_event_value_chart",
-        "cdc_chunk_boundaries",
-        "jw_fuzzy_doc_prefixes",
-        "wav_header_roundtrip",
-        "ewma_stream_daily_means",
-        "pca_embedding_projection",
-        # session-3 additions, registered the round they were built
-        "mk_trend_nation_revenue",
-        "mi_priority_status",
-        "woe_iv_priority_fulfilled",
-        "ndcg_acctbal_vs_spend",
-        "km_survival_customer_churn",
-        "cf_item_neighbors_copurchase",
-        "bfs_copurchase_radius",
-        "hw_forecast_event_values",
-        "ccf_event_volume_vs_value",
-        "ef_event_process_matrix",
-    }
-    window = list(queries())[:50]
-    assert new_names <= set(window), f"missing from driver window: {new_names - set(window)}"
-    # pca_embedding_projection is the one sanctioned rows-only entry (an
-    # eigendecomposition has no SQL oracle; numpy parity lives in
-    # tests/test_projections.py) — every other addition needs an oracle.
-    assert new_names - {"pca_embedding_projection"} <= set(oracle_sql()), (
-        "every addition needs an oracle"
-    )
-    # Fix-up re-entries: previously driver-green but VACUOUSLY (0 rows at
-    # every SF) — re-verified non-empty this round (VERDICT r6 items 2-3).
-    assert {"national_market_share", "lapsed_users"} <= set(window)
-    # Session-4 additions arrived AFTER the 50-slot window filled: they sit
-    # just outside it (positions 51+), each with an oracle and three-SF
-    # local parity evidence, and must head the round-8 window.
-    s4 = {
-        "anova_event_value_by_type",
-        "spearman_acctbal_vs_spend",
-        "spatial_cluster_event_cells",
-        "kw_daily_value_by_type",
-        "welch_purchase_vs_view_value",
-        "logrank_churn_building_vs_auto",
-        "pr_at_k_acctbal_vs_spend",
-        "lift_deciles_order_returns",
-        "calibration_discount_returns",
-        "assortativity_copurchase",
-        "closeness_copurchase_seeds",
-        "pettitt_daily_event_value",
-        "periodogram_daily_event_volume",
-        "variants_user_journeys",
-        "cycle_time_by_entry_event",
-        "jsd_event_mix_halves",
-        "theil_spend_by_nation",
-        "kappa_discount_rule_vs_returns",
-        "report_discount_rule_vs_returns",
-        "nearest_tower_load",
-        "bh_fdr_pettitt_alerts",
-        "stratified_alloc_event_sample",
-        "mase_naive7_event_values",
-        "kendall_daily_volume_vs_value",
-        "qnorm_acctbal_across_segments",
-        "hhi_revenue_by_nation",
-        "vocab_richness_profile",
-        "conversion_latency_profile",
-        "zprop_entry_view_vs_click",
-        "jsd_stream_event_mix",
-    }
-    after_window = list(queries())[50 : 50 + len(s4)]
-    assert s4 == set(after_window), f"session-4 names not at 51+: {after_window}"
-    assert s4 <= set(oracle_sql())
+    names = list(queries())
+    window = names[:50]
+    assert window[:30] == S4_NAMES, "session-4 names must head the r8 window in order"
+    assert set(S4_NAMES) <= set(oracle_sql())
+    # Rotation slots 31-50: the first 20 (alphabetically) of the 27 names
+    # whose latest driver evidence is round 3 — the stalest tier.
+    r3_rotation = window[30:]
+    assert r3_rotation[0] == "dedup_simhash_pairs"
+    assert r3_rotation[-1] == "text_repetition_metrics"
+    assert len(r3_rotation) == 20
+    # The remaining 7 r3 names queue immediately after the window so they
+    # head the r9 rotation.
+    assert names[50:57] == [
+        "text_token_counts",
+        "text_unigram_logprob",
+        "tfidf_top_terms",
+        "tokenizer_pair_merge_stats",
+        "training_set_summary",
+        "value_distribution_by_type",
+        "vocab_topk",
+    ]
 
 
 def test_driver_window_refreshes_stalest_evidence():
     """Rotation contract (VERDICT r4 item 4, renewed every round): every
     slot of the 50-entry driver window goes to a query with NO driver row
-    yet (current-round additions) or to the stalest-evidence names — no
-    name inside the window may have STRICTLY FRESHER driver evidence than
-    a name waiting outside it. Each new registration legitimately
-    displaces one stale name (those remain locally oracle-checked)."""
+    yet or to the stalest-evidence names — no name inside the window may
+    have STRICTLY FRESHER driver evidence than a name waiting outside it.
+    NEW (VERDICT r7 item 2): a minimum ROTATION BUDGET — at least 20
+    window slots must be refreshes of already-driver-checked names, so the
+    stale tier drains even in heavy-build rounds. Registering >30 new
+    queries in one round can no longer displace the whole rotation."""
     import json
 
     from telecom_dataengineering_pipeline_spark.queries.registry import queries
 
     root = os.path.join(os.path.dirname(__file__), "..")
     seen: dict[str, int] = {}
-    for rnd in (1, 2, 3, 4, 5, 6):
+    for rnd in (1, 2, 3, 4, 5, 6, 7):
         p = os.path.join(root, f"CORRECTNESS_r{rnd:02d}.json")
         if not os.path.exists(p):
             continue
@@ -221,25 +179,21 @@ def test_driver_window_refreshes_stalest_evidence():
     names = list(queries())
     window, outside = names[:50], names[50:]
     assert len(window) == 50
-    # Fix-up re-entries don't constrain the stalest-first ordering: their
-    # prior driver greens were vacuous (0-row results at every SF), so
-    # their "evidence" never exercised the query — they re-enter the
-    # window out of turn by design (VERDICT r6 items 2-3).
-    fixups = {"national_market_share", "lapsed_users"}
-    # New (never-checked) names don't constrain either side.
-    in_ev = [seen[n] for n in window if n in seen and n not in fixups]
+    # Stalest-first: nothing inside the window may be fresher than anything
+    # waiting outside.
+    in_ev = [seen[n] for n in window if n in seen]
     out_ev = [seen[n] for n in outside if n in seen]
-    # A window filled ENTIRELY by never-checked current-round names (plus
-    # the sanctioned fix-ups) satisfies the contract vacuously — round-7
-    # session 3 registered 48 new operators, displacing every stale slot;
-    # the compensating evidence is the full-registry local oracle_check
-    # sweep recorded in COVERAGE.md.
     assert out_ev
     if in_ev:
         assert max(in_ev) <= min(out_ev), (
             f"window holds evidence from round {max(in_ev)} while a staler "
             f"round-{min(out_ev)} name waits outside"
         )
+    # Minimum rotation budget: >= 20 slots are stale-refreshes.
+    assert len(in_ev) >= 20, (
+        f"only {len(in_ev)} rotation slots — the pinned minimum is 20 "
+        "(VERDICT r7 item 2); new registrations go to positions 51+"
+    )
 
 
 def test_pq_encode_shape_and_self_distance(spark):
