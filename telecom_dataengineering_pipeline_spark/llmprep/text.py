@@ -303,10 +303,17 @@ def pmi_collocations(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    bigrams = toks.select(
+    # Single-token docs (including empty/whitespace text, which tokenizes
+    # to ['']) emit NO bigrams: sequence(1, size-1) with size==1 would
+    # produce the DESCENDING [1, 0] and element_at(_, 0)/(_, 2) both throw
+    # under ANSI mode, so the bigram stream filters to size >= 2 first.
+    # Totals below still run over ALL non-empty-token-array docs — a
+    # 1-token doc contributes 1 to n_tokens and 0 to n_bigrams, exactly
+    # like DuckDB's generate_series(1, 0) == empty in the oracle.
+    bigrams = toks.filter(F.size("_a") >= 2).select(
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("_a") - 1, F.lit(0))),
+                F.sequence(F.lit(1), F.size("_a") - 1),
                 lambda i: F.struct(
                     F.element_at(F.col("_a"), i.cast("int")).alias("a"),
                     F.element_at(F.col("_a"), (i + 1).cast("int")).alias("b"),

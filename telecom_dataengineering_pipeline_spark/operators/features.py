@@ -198,16 +198,23 @@ def ndcg_at_k(
     discount divides by the identical ln-based double shape in both
     engines, rounded to 9 then DECIMAL-summed; the final ratio is one
     double division rounded to 6. Ranking ties break on
-    ``tiebreak_col`` (required unique within query for cross-engine
-    determinism; defaults to ``rel_col``-then-input order if omitted —
-    pass one). Rows with NULL score/rel are excluded.
+    ``tiebreak_col`` — REQUIRED and must be unique within query
+    (ADVICE r7: defaulting to ``score_col`` was a no-op tiebreak that
+    made ranks partition-order-dependent whenever scores tie — the
+    same mandatory-tiebreak contract as ``quantile_normalize``). Rows
+    with NULL score/rel are excluded.
 
     Returns one row per query: (*query_cols, n_docs, dcg, idcg, ndcg);
     ndcg NULL when IDCG = 0 (no relevant docs)."""
     if k < 1:
         raise ValueError("ndcg_at_k needs k >= 1")
+    if tiebreak_col is None:
+        raise ValueError(
+            "ndcg_at_k requires tiebreak_col (unique within query): "
+            "tied scores would rank partition-order-dependently without one"
+        )
     qcols = [F.col(c) for c in query_cols]
-    tb = F.col(tiebreak_col) if tiebreak_col else F.col(score_col)
+    tb = F.col(tiebreak_col)
     base = df.filter(
         F.col(score_col).isNotNull() & F.col(rel_col).isNotNull()
     ).select(
@@ -341,14 +348,20 @@ def pr_map_at_k(
     cum_hits_i / i is a fixed-shape double ROUNDED to 9 then
     DECIMAL-summed; final ratios are single double expressions rounded
     to 6. ``rel_col`` > 0 marks relevant. Ties break on
-    ``tiebreak_col`` (must be unique within query). NULL score/rel rows
-    are excluded. Returns one row per query: (*query_cols, n_docs,
-    n_rel, hits_at_k, p_at_k, r_at_k, ap_at_k); recall/AP NULL when the
-    query has no relevant docs."""
+    ``tiebreak_col`` — REQUIRED and must be unique within query
+    (ADVICE r7: no more score-as-tiebreak no-op default). NULL
+    score/rel rows are excluded. Returns one row per query:
+    (*query_cols, n_docs, n_rel, hits_at_k, p_at_k, r_at_k, ap_at_k);
+    recall/AP NULL when the query has no relevant docs."""
     if k < 1:
         raise ValueError("pr_map_at_k needs k >= 1")
+    if tiebreak_col is None:
+        raise ValueError(
+            "pr_map_at_k requires tiebreak_col (unique within query): "
+            "tied scores would rank partition-order-dependently without one"
+        )
     qcols = [F.col(c) for c in query_cols]
-    tb = F.col(tiebreak_col) if tiebreak_col else F.col(score_col)
+    tb = F.col(tiebreak_col)
     base = df.filter(
         F.col(score_col).isNotNull() & F.col(rel_col).isNotNull()
     ).select(
@@ -418,7 +431,8 @@ def lift_table(
 
     Determinism: ntile's floor/ceil bucket allocation is the SQL
     standard one in both engines given a total order — ties break on
-    ``tiebreak_col`` (must be unique); counts are exact LONGs; rates,
+    ``tiebreak_col``, REQUIRED and must be unique (ADVICE r7: no more
+    score-as-tiebreak no-op default); counts are exact LONGs; rates,
     lift, and gains are fixed-shape doubles rounded to 6.
     ``label_col`` > 0 marks positives; NULL score/label rows are
     excluded. Returns one row per bucket: (bucket, n, n_pos, resp_rate,
@@ -426,7 +440,12 @@ def lift_table(
     has no positives."""
     if n_buckets < 2:
         raise ValueError("lift_table needs n_buckets >= 2")
-    tb = F.col(tiebreak_col) if tiebreak_col else F.col(score_col)
+    if tiebreak_col is None:
+        raise ValueError(
+            "lift_table requires tiebreak_col (unique): tied scores would "
+            "bucket partition-order-dependently without one"
+        )
+    tb = F.col(tiebreak_col)
     base = df.filter(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(

@@ -1107,8 +1107,10 @@ def pettitt_test(
     breaks |U| ties on the earliest step; only the p-value is a
     fixed-shape double, rounded to 6. ``t_col`` must be an integral
     step index unique per key. Returns one row per key: (*key_cols, n,
-    t_star, u_at_t, k_stat, p_value); NULL t_star/p for series with
-    fewer than 2 points."""
+    t_star, u_at_t, k_stat, p_value); NULL t_star/u_at_t/k_stat/p for
+    series with fewer than 2 points (a key-grain left join guarantees
+    every input key emits exactly one row — ADVICE r7: 1-point keys
+    used to vanish from the output instead)."""
     kcols = [F.col(c) for c in key_cols]
     base = df.filter(
         F.col(t_col).isNotNull() & F.col(value_col).isNotNull()
@@ -1156,13 +1158,19 @@ def pettitt_test(
         ),
         6,
     )
-    return best.select(
+    best_sel = best.select(
         *key_cols,
-        F.col("_n").alias("n"),
         F.col("_t").alias("t_star"),
         F.col("_u").alias("u_at_t"),
         F.abs(F.col("_u")).cast("long").alias("k_stat"),
         p.alias("p_value"),
+    )
+    # Key-grain left join: a T=1 series produces no comparison pairs, so
+    # it has no `best` row — it still emits (*key, n=1, NULLs) here. The
+    # count relation is key-grain (metadata-sized next to the series).
+    per_key = base.groupBy(*key_cols).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return per_key.join(best_sel, list(key_cols), "left").select(
+        *key_cols, "n", "t_star", "u_at_t", "k_stat", "p_value"
     )
 
 

@@ -704,12 +704,18 @@ WITH daily AS (
 ), cand AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY k ORDER BY abs(u) DESC, t ASC) AS BIGINT) AS rk
   FROM u WHERE rlast <> 1
+), best AS (
+  SELECT k, t, u, CAST(abs(u) AS BIGINT) AS k_stat,
+    round(least(1.0, 2.0 * exp(-6.0 * CAST(abs(u) AS DOUBLE) * CAST(abs(u) AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+             + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6) AS p_value
+  FROM cand WHERE rk = 1
+), keyn AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1
 )
-SELECT k AS event_type, n, t AS t_star, u AS u_at_t, CAST(abs(u) AS BIGINT) AS k_stat,
-  round(least(1.0, 2.0 * exp(-6.0 * CAST(abs(u) AS DOUBLE) * CAST(abs(u) AS DOUBLE)
-        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-           + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6) AS p_value
-FROM cand WHERE rk = 1
+SELECT keyn.k AS event_type, keyn.n, best.t AS t_star, best.u AS u_at_t,
+       best.k_stat, best.p_value
+FROM keyn LEFT JOIN best ON best.k = keyn.k
 """
 
 

@@ -525,6 +525,22 @@ def test_lift_matches_reference(spark):
     assert got[1][3] > 1.0 and got[10][5] == 1.0
 
 
+def test_ranking_eval_requires_tiebreak(spark):
+    """ADVICE r7 (low): omitting tiebreak_col used to fall back to
+    score_col — a no-op tiebreak making ranks partition-order-dependent
+    under ties. All three ranking graders now require it, matching
+    quantile_normalize's mandatory-tiebreak contract."""
+    from telecom_dataengineering_pipeline_spark.operators.features import ndcg_at_k
+
+    df = spark.createDataFrame([("q", 1.0, 1, "t0")], "k string, s double, r int, tb string")
+    with pytest.raises(ValueError, match="tiebreak_col"):
+        ndcg_at_k(df, ["k"], "s", "r", k=3)
+    with pytest.raises(ValueError, match="tiebreak_col"):
+        pr_map_at_k(df, ["k"], "s", "r", k=3)
+    with pytest.raises(ValueError, match="tiebreak_col"):
+        lift_table(df, "s", "r", n_buckets=2)
+
+
 def test_lift_no_positives_nulls(spark):
     rows = [(float(i), 0, f"t{i}") for i in range(20)]
     df = spark.createDataFrame(rows, "s double, y int, tb string")
@@ -907,9 +923,22 @@ def test_pettitt_flat_series_p_one(spark):
     assert r["t_star"] == 1  # earliest step wins the all-zero tie
 
 
-def test_pettitt_single_point_no_row(spark):
-    df = spark.createDataFrame([("s", 1, 5.0)], "k string, t int, v double")
-    assert pettitt_test(df, ["k"], "t", "v").count() == 0
+def test_pettitt_single_point_emits_null_row(spark):
+    """ADVICE r7 (low): a 1-point key produces no comparison pairs, but
+    the docstring promises one row per key — it must emit (k, n=1,
+    NULLs), not vanish (callers joining results back by key would
+    silently lose the series)."""
+    df = spark.createDataFrame(
+        [("solo", 1, 5.0), ("pair", 1, 1.0), ("pair", 2, 9.0)],
+        "k string, t int, v double",
+    )
+    rows = {r["k"]: r for r in pettitt_test(df, ["k"], "t", "v").collect()}
+    assert set(rows) == {"solo", "pair"}
+    solo = rows["solo"]
+    assert solo["n"] == 1
+    assert solo["t_star"] is None and solo["u_at_t"] is None
+    assert solo["k_stat"] is None and solo["p_value"] is None
+    assert rows["pair"]["n"] == 2 and rows["pair"]["p_value"] is not None
 
 
 def test_pettitt_keyed_matches_reference(spark):
@@ -945,19 +974,25 @@ WITH base AS (
 ), cand AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY k ORDER BY abs(u) DESC, t ASC) AS BIGINT) AS rk
   FROM u WHERE rlast <> 1
+), best AS (
+  SELECT k, t, u, CAST(abs(u) AS BIGINT) AS k_stat,
+    round(least(1.0, 2.0 * exp(-6.0 * CAST(abs(u) AS DOUBLE) * CAST(abs(u) AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+             + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6) AS p_value
+  FROM cand WHERE rk = 1
+), keyn AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1
 )
-SELECT k, n, t AS t_star, u AS u_at_t, CAST(abs(u) AS BIGINT) AS k_stat,
-  round(least(1.0, 2.0 * exp(-6.0 * CAST(abs(u) AS DOUBLE) * CAST(abs(u) AS DOUBLE)
-        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-           + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6) AS p_value
-FROM cand WHERE rk = 1
+SELECT keyn.k, keyn.n, best.t AS t_star, best.u AS u_at_t,
+       best.k_stat, best.p_value
+FROM keyn LEFT JOIN best ON best.k = keyn.k
 """
 
 
 def test_pettitt_duckdb_mirror(spark):
     rows = [("a", t, float((t * 11 + 2) % 17)) for t in range(1, 22)] + [
         ("b", t, float(3 if t < 8 else 30)) for t in range(1, 15)
-    ]
+    ] + [("c", 1, 4.0)]  # 1-point key: NULL row in BOTH engines
     df = spark.createDataFrame(rows, "k string, t int, v double")
     got = sorted(tuple(r) for r in pettitt_test(df, ["k"], "t", "v").collect())
     con = duckdb.connect()
