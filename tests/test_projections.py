@@ -81,3 +81,65 @@ def test_pca_validates(spark):
         pca_fit(emb, k=65)
     with pytest.raises(ValueError, match="empty"):
         pca_fit(emb.filter("vec_id < 0"), k=2)
+
+
+# ---------------------------------------------------------------------------
+# pairwise_pca_variance — the value-checkable closed-form companion
+# (VERDICT r7 item 3): ties the SQL-expressible 2x2 eigenvalues to
+# numpy.linalg.eigvalsh on the same dimension pairs.
+# ---------------------------------------------------------------------------
+
+
+def test_pairwise_pca_matches_numpy_eigvalsh(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.projections import (
+        pairwise_pca_variance,
+    )
+
+    emb = _fixture(spark)
+    rows = {r["pair"]: r for r in pairwise_pca_variance(emb).collect()}
+    assert len(rows) == 32
+    x = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()]
+    )
+    for p in (0, 7, 31):
+        r = rows[p]
+        sub = x[:, [2 * p, 2 * p + 1]]
+        cov = np.cov(sub, rowvar=False, ddof=1)
+        ev = np.linalg.eigvalsh(cov)[::-1]
+        # rounding pipeline (12-dp products, 9-dp stats) costs < 1e-8
+        assert r["lambda1"] == pytest.approx(ev[0], abs=1e-7)
+        assert r["lambda2"] == pytest.approx(ev[1], abs=1e-7)
+        assert r["var_a"] == pytest.approx(cov[0, 0], abs=1e-7)
+        assert r["cov_ab"] == pytest.approx(cov[0, 1], abs=1e-7)
+        # eigen identities: trace preserved, ordered, evr consistent
+        assert r["lambda1"] >= r["lambda2"]
+        assert r["lambda1"] + r["lambda2"] == pytest.approx(
+            r["var_a"] + r["var_b"], abs=2e-9
+        )
+        assert 0.5 <= r["evr1"] <= 1.0
+
+
+def test_pairwise_pca_validates_dims(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.projections import (
+        pairwise_pca_variance,
+    )
+
+    emb = _fixture(spark)
+    with pytest.raises(ValueError, match="even dims"):
+        pairwise_pca_variance(emb, dims=63)
+
+
+def test_pairwise_pca_plan_is_jvm_only(spark):
+    """The whole pipeline (explode, decimal partial aggregation, closed
+    form) stays in codegen — no Python evaluator, one exchange on the
+    32-value pair key."""
+    from telecom_dataengineering_pipeline_spark.llmprep.projections import (
+        pairwise_pca_variance,
+    )
+
+    emb = _fixture(spark)
+    plan = (
+        pairwise_pca_variance(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
+    assert plan.count("FileScan") == 1
