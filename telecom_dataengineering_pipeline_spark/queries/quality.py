@@ -52,9 +52,11 @@ FROM events WHERE value < 0 OR value > 100000
 """
 
 
-@register("dq_accepted_values_violations", oracle=_ACCEPTED_ORACLE, tags=("DQ", "U1"))
-def dq_accepted_values_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+def accepted_values_violations(ev: DataFrame) -> DataFrame:
+    """The dbt ``accepted_values`` + range-expression violation stack —
+    shared by the pass-state query (empty on clean data) and its
+    violation-injected twin in ``round11.py`` (non-empty by
+    construction, so the driver's green is not vacuous)."""
     bad_type = ev.filter(
         ~F.col("event_type").isin("signup", "click", "purchase", "error", "view")
         | F.col("event_type").isNull()
@@ -69,6 +71,12 @@ def dq_accepted_values_violations(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit("value out of range [0, 100000]").alias("reason"),
     )
     return bad_type.unionByName(bad_range)
+
+
+@register("dq_accepted_values_violations", oracle=_ACCEPTED_ORACLE, tags=("DQ", "U1"))
+def dq_accepted_values_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return accepted_values_violations(ev)
 
 
 # ---------------------------------------------------------------------------

@@ -71,3 +71,83 @@ def pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pairwise_pca_variance(emb, dims=64)
+
+
+# ---------------------------------------------------------------------------
+# Violation-injected twins (VERDICT r7 item 5): the two referential/DQ
+# violation queries (`orphan_lineitems_check`, `dq_accepted_values_
+# violations`) pass on EMPTY results by design, so their driver greens
+# were vacuous. These twins corrupt a copy IN-QUERY (deterministic key
+# mapping, no rand()) and run the SAME operator path — non-empty,
+# value-gated output proving the anti-join and accepted-values checks
+# actually fire at the driver, not just in unit tests.
+# ---------------------------------------------------------------------------
+
+_ORPHAN_INJECTED_ORACLE = """
+WITH corrupt AS (
+  SELECT -l_orderkey - 1 AS l_orderkey, l_linenumber
+  FROM lineitem WHERE l_orderkey % 131 = 0
+), stacked AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  UNION ALL SELECT l_orderkey, l_linenumber FROM corrupt
+)
+SELECT s.l_orderkey AS orderkey, s.l_linenumber AS linenumber
+FROM stacked s LEFT JOIN orders o ON s.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+"""
+
+
+@register("orphan_lineitems_injected", oracle=_ORPHAN_INJECTED_ORACLE, tags=("J6", "DQ"))
+def orphan_lineitems_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import anti_join_violations
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    # deterministic corruption: remap every 131st orderkey to a key that
+    # cannot exist in orders (orderkeys are non-negative)
+    corrupt = li.filter(F.col("l_orderkey") % 131 == 0).withColumn(
+        "l_orderkey", -F.col("l_orderkey") - 1
+    )
+    stacked = li.unionByName(corrupt)
+    o = load_table(spark, sf_dir, "orders")
+    return anti_join_violations(stacked, o, {"l_orderkey": "o_orderkey"}).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+    )
+
+
+_ACCEPTED_INJECTED_ORACLE = """
+WITH corrupt_type AS (
+  SELECT event_id, concat('zz_', coalesce(event_type, 'null')) AS event_type, value
+  FROM events WHERE event_id % 97 = 0
+), corrupt_range AS (
+  SELECT event_id, event_type, value + 1000000.0 AS value
+  FROM events WHERE event_id % 101 = 0
+), stacked AS (
+  SELECT event_id, event_type, value FROM events
+  UNION ALL SELECT event_id, event_type, value FROM corrupt_type
+  UNION ALL SELECT event_id, event_type, value FROM corrupt_range
+)
+SELECT event_id, 'event_type not in accepted set' AS reason FROM stacked
+WHERE event_type NOT IN ('signup', 'click', 'purchase', 'error', 'view')
+   OR event_type IS NULL
+UNION ALL
+SELECT event_id, 'value out of range [0, 100000]' AS reason FROM stacked
+WHERE value < 0 OR value > 100000
+"""
+
+
+@register("dq_accepted_values_injected", oracle=_ACCEPTED_INJECTED_ORACLE, tags=("DQ", "U1"))
+def dq_accepted_values_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .quality import accepted_values_violations
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    corrupt_type = ev.filter(F.col("event_id") % 97 == 0).withColumn(
+        "event_type", F.concat(F.lit("zz_"), F.coalesce("event_type", F.lit("null")))
+    )
+    corrupt_range = ev.filter(F.col("event_id") % 101 == 0).withColumn(
+        "value", F.col("value") + F.lit(1000000.0)
+    )
+    stacked = ev.unionByName(corrupt_type).unionByName(corrupt_range)
+    # offending_value is dropped from the gated output: stringified raw
+    # doubles are not format-stable cross-engine; (event_id, reason) is.
+    return accepted_values_violations(stacked).select("event_id", "reason")
