@@ -1063,7 +1063,7 @@ GROUP BY 1, 2 HAVING count(*) >= 1
 """
 
 
-@register("adamic_adar_copurchase", oracle=_AA_ORACLE, tags=("LLM", "graph"))
+@register("adamic_adar_copurchase", oracle=_AA_ORACLE, tags=("LLM", "graph"), bench=True)
 def adamic_adar_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import adamic_adar_scores
 
