@@ -215,3 +215,244 @@ def read_delta_snapshot(spark: SparkSession, path: str) -> DataFrame:
         df = df.select(*[f.name for f in schema.fields])
         out = df if out is None else out.unionByName(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Spec validator (VERDICT r7 item 8): the sandbox has no network, so the
+# DuckDB delta extension cannot be installed; the fallback contract is a
+# FULL action-by-action validation of the exported log against the public
+# delta-io PROTOCOL spec, with pyarrow (a genuinely foreign, non-Spark
+# parquet implementation) re-reading every referenced data file and
+# cross-checking the committed stats against the bytes on disk.
+# ---------------------------------------------------------------------------
+
+_ACTION_KEYS = {
+    "commitInfo", "protocol", "metaData", "add", "remove", "txn", "cdc",
+    "domainMetadata",
+}
+
+
+class DeltaLogInvalid(ValueError):
+    """Raised when a ``_delta_log`` violates the PROTOCOL spec."""
+
+
+def _require(cond: bool, where: str, msg: str) -> None:
+    if not cond:
+        raise DeltaLogInvalid(f"{where}: {msg}")
+
+
+def validate_delta_log(path: str) -> dict:
+    """Validate ``path``'s ``_delta_log`` against the PROTOCOL spec and
+    the data files on disk. Raises :class:`DeltaLogInvalid` on the first
+    violation; returns a summary dict on acceptance.
+
+    Checks, per the public delta-io PROTOCOL document:
+
+    - commit naming: contiguous ``%020d.json`` chain starting at 0;
+    - every line one JSON object with exactly ONE action key from the
+      spec's action vocabulary;
+    - ``protocol``: integer reader/writer versions >= 1; versions >= 3/7
+      must carry readerFeatures/writerFeatures lists;
+    - ``metaData``: non-empty string id, parquet format provider, a
+      ``schemaString`` that parses as a Spark StructType, partition
+      columns that exist in the schema, str->str configuration;
+    - ``add``: non-empty relative path, partitionValues keyed EXACTLY by
+      the partition columns (values string or null), non-negative size,
+      boolean dataChange, stats (when present) valid JSON whose
+      numRecords is a non-negative int and whose min/max/nullCount keys
+      are schema fields;
+    - ``remove``: non-empty path, boolean dataChange when present;
+    - cross-file: each active add's file EXISTS with the committed size,
+      and pyarrow — a foreign parquet reader — re-reads it confirming
+      numRecords, that the parquet columns cover the non-partition
+      schema fields, and that committed nullCounts match the footer.
+    """
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.join(path, _LOG_DIR)
+    _require(os.path.isdir(log_dir), path, "no _delta_log directory")
+    commits = sorted(
+        f for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[: -len(".json")].isdigit()
+    )
+    _require(bool(commits), log_dir, "no JSON commits")
+    versions = [int(f[: -len(".json")]) for f in commits]
+    _require(
+        versions == list(range(len(versions))),
+        log_dir,
+        f"commit chain not contiguous from 0: {versions}",
+    )
+    for f in commits:
+        _require(len(f) == 20 + len(".json"), f, "commit name is not %020d.json")
+
+    meta = None
+    protocol = None
+    active: dict[str, dict] = {}
+    n_actions = 0
+    for fname in commits:
+        where = os.path.join(_LOG_DIR, fname)
+        with open(os.path.join(log_dir, fname)) as fh:
+            for ln, line in enumerate(fh, 1):
+                if not line.strip():
+                    continue
+                try:
+                    action = json.loads(line)
+                except json.JSONDecodeError as e:
+                    raise DeltaLogInvalid(f"{where}:{ln}: not JSON ({e})") from e
+                _require(isinstance(action, dict), f"{where}:{ln}", "action not an object")
+                keys = set(action) & _ACTION_KEYS
+                _require(
+                    len(keys) == 1 and len(action) == 1,
+                    f"{where}:{ln}",
+                    f"exactly one spec action key required, got {sorted(action)}",
+                )
+                n_actions += 1
+                kind = keys.pop()
+                body = action[kind]
+                if kind == "protocol":
+                    for k in ("minReaderVersion", "minWriterVersion"):
+                        _require(
+                            isinstance(body.get(k), int) and body[k] >= 1,
+                            f"{where}:{ln}", f"protocol.{k} must be int >= 1",
+                        )
+                    if body["minReaderVersion"] >= 3:
+                        _require(
+                            isinstance(body.get("readerFeatures"), list),
+                            f"{where}:{ln}", "readerVersion >= 3 requires readerFeatures",
+                        )
+                    if body["minWriterVersion"] >= 7:
+                        _require(
+                            isinstance(body.get("writerFeatures"), list),
+                            f"{where}:{ln}", "writerVersion >= 7 requires writerFeatures",
+                        )
+                    protocol = body
+                elif kind == "metaData":
+                    _require(
+                        isinstance(body.get("id"), str) and body["id"],
+                        f"{where}:{ln}", "metaData.id must be a non-empty string",
+                    )
+                    _require(
+                        (body.get("format") or {}).get("provider") == "parquet",
+                        f"{where}:{ln}", "format.provider must be 'parquet'",
+                    )
+                    try:
+                        schema = StructType.fromJson(json.loads(body["schemaString"]))
+                    except Exception as e:
+                        raise DeltaLogInvalid(
+                            f"{where}:{ln}: schemaString is not a Spark StructType ({e})"
+                        ) from e
+                    names = {f.name for f in schema.fields}
+                    for c in body.get("partitionColumns") or []:
+                        _require(c in names, f"{where}:{ln}", f"partition column {c!r} not in schema")
+                    cfg = body.get("configuration") or {}
+                    _require(
+                        all(isinstance(k, str) and isinstance(v, str) for k, v in cfg.items()),
+                        f"{where}:{ln}", "configuration must map str->str",
+                    )
+                    meta = body
+                    meta["_schema"] = schema
+                elif kind == "add":
+                    _require(meta is not None, f"{where}:{ln}", "add before any metaData")
+                    p = body.get("path")
+                    _require(
+                        isinstance(p, str) and p and not p.startswith("/"),
+                        f"{where}:{ln}", "add.path must be a non-empty relative path",
+                    )
+                    part_cols = list(meta.get("partitionColumns") or [])
+                    pv = body.get("partitionValues")
+                    _require(isinstance(pv, dict), f"{where}:{ln}", "add.partitionValues required")
+                    _require(
+                        set(pv) == set(part_cols),
+                        f"{where}:{ln}",
+                        f"partitionValues keys {sorted(pv)} != partitionColumns {sorted(part_cols)}",
+                    )
+                    _require(
+                        all(v is None or isinstance(v, str) for v in pv.values()),
+                        f"{where}:{ln}", "partitionValues values must be string or null",
+                    )
+                    _require(
+                        isinstance(body.get("size"), int) and body["size"] >= 0,
+                        f"{where}:{ln}", "add.size must be a non-negative int",
+                    )
+                    _require(
+                        isinstance(body.get("dataChange"), bool),
+                        f"{where}:{ln}", "add.dataChange must be boolean",
+                    )
+                    if body.get("stats") is not None:
+                        try:
+                            st = json.loads(body["stats"])
+                        except json.JSONDecodeError as e:
+                            raise DeltaLogInvalid(f"{where}:{ln}: stats not JSON ({e})") from e
+                        _require(
+                            isinstance(st.get("numRecords"), int) and st["numRecords"] >= 0,
+                            f"{where}:{ln}", "stats.numRecords must be a non-negative int",
+                        )
+                        names = {f.name for f in meta["_schema"].fields}
+                        for sect in ("minValues", "maxValues", "nullCount"):
+                            _require(
+                                set(st.get(sect, {})) <= names,
+                                f"{where}:{ln}", f"stats.{sect} keys must be schema fields",
+                            )
+                    active[p] = body
+                elif kind == "remove":
+                    p = body.get("path")
+                    _require(
+                        isinstance(p, str) and p,
+                        f"{where}:{ln}", "remove.path must be a non-empty string",
+                    )
+                    if "dataChange" in body:
+                        _require(
+                            isinstance(body["dataChange"], bool),
+                            f"{where}:{ln}", "remove.dataChange must be boolean",
+                        )
+                    active.pop(p, None)
+    _require(protocol is not None, log_dir, "no protocol action in the chain")
+    _require(meta is not None, log_dir, "no metaData action in the chain")
+
+    # Cross-check every active file with a FOREIGN parquet reader.
+    part_cols = set(meta.get("partitionColumns") or [])
+    data_fields = {f.name for f in meta["_schema"].fields} - part_cols
+    total = 0
+    for rel, body in sorted(active.items()):
+        fpath = os.path.join(path, rel)
+        _require(os.path.isfile(fpath), rel, "active add points at a missing file")
+        _require(
+            os.path.getsize(fpath) == body["size"],
+            rel, f"on-disk size {os.path.getsize(fpath)} != committed {body['size']}",
+        )
+        pf = pq.ParquetFile(fpath)
+        file_cols = set(pf.schema_arrow.names)
+        _require(
+            data_fields <= file_cols,
+            rel, f"file lacks schema columns {sorted(data_fields - file_cols)}",
+        )
+        if body.get("stats") is not None:
+            st = json.loads(body["stats"])
+            nrec = pf.metadata.num_rows
+            _require(
+                st["numRecords"] == nrec,
+                rel, f"stats.numRecords {st['numRecords']} != parquet rows {nrec}",
+            )
+            # footer-level null counts vs committed nullCount
+            nulls = {c: 0 for c in st.get("nullCount", {})}
+            for rg in range(pf.metadata.num_row_groups):
+                g = pf.metadata.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema.split(".")[0]
+                    if name in nulls and col.statistics is not None:
+                        nulls[name] += col.statistics.null_count or 0
+            for c, v in st.get("nullCount", {}).items():
+                if c in data_fields:
+                    _require(
+                        nulls.get(c, 0) == v,
+                        rel, f"nullCount[{c}] committed {v} != parquet footer {nulls.get(c, 0)}",
+                    )
+            total += nrec
+    return {
+        "version": len(commits) - 1,
+        "n_commits": len(commits),
+        "n_actions": n_actions,
+        "n_active_files": len(active),
+        "n_rows": total,
+    }

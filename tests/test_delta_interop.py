@@ -178,3 +178,112 @@ def test_reader_refuses_undecodable_features(spark, tmp_path):
     write(3, [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}, meta])
     with pytest.raises(NotImplementedError, match="checkpoint"):
         read_delta_snapshot(spark, root)
+
+
+# ---------------------------------------------------------------------------
+# Spec-complete validator (VERDICT r7 item 8): no network for the DuckDB
+# delta extension, so the fallback is full action-by-action PROTOCOL
+# validation with pyarrow as the foreign reader of every data file.
+# ---------------------------------------------------------------------------
+
+
+def test_validator_accepts_real_export(spark, tmp_path):
+    from telecom_dataengineering_pipeline_spark.sources.delta_export import (
+        validate_delta_log,
+    )
+
+    t = _source_table(spark, tmp_path)
+    dest = str(tmp_path / "delta_v")
+    export_delta_snapshot(t, spark, dest)
+    summary = validate_delta_log(dest)
+    assert summary["version"] == 0
+    assert summary["n_active_files"] >= 1
+    # the foreign reader (pyarrow) re-counted every committed numRecords
+    assert summary["n_rows"] == 2
+
+
+def _corrupt_commit(dest, mutate):
+    p = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(l) for l in open(p) if l.strip()]
+    mutate(actions)
+    with open(p, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+
+@pytest.mark.parametrize(
+    "label,mutate",
+    [
+        (
+            "two action keys in one object",
+            lambda acts: acts.append(
+                {"add": dict(acts[-1]["add"], path="zz.parquet"),
+                 "remove": {"path": "zz.parquet"}}
+            ),
+        ),
+        (
+            "stats numRecords lies about the file",
+            lambda acts: [
+                a["add"].update(stats=json.dumps(
+                    dict(json.loads(a["add"]["stats"]), numRecords=999)))
+                for a in acts if "add" in a
+            ],
+        ),
+        (
+            "partitionValues carries a phantom key",
+            lambda acts: [
+                a["add"].update(partitionValues={"ghost": "1"})
+                for a in acts if "add" in a
+            ],
+        ),
+        (
+            "committed size mismatches the bytes on disk",
+            lambda acts: [
+                a["add"].update(size=a["add"]["size"] + 7)
+                for a in acts if "add" in a
+            ],
+        ),
+        (
+            "protocol version not an int",
+            lambda acts: [
+                a["protocol"].update(minReaderVersion="one")
+                for a in acts if "protocol" in a
+            ],
+        ),
+        (
+            "add references a missing file",
+            lambda acts: [
+                a["add"].update(path="nope/missing.parquet")
+                for a in acts if "add" in a
+            ],
+        ),
+    ],
+)
+def test_validator_rejects_spec_violations(spark, tmp_path, label, mutate):
+    from telecom_dataengineering_pipeline_spark.sources.delta_export import (
+        DeltaLogInvalid,
+        validate_delta_log,
+    )
+
+    t = _source_table(spark, tmp_path)
+    dest = str(tmp_path / "delta_bad")
+    export_delta_snapshot(t, spark, dest)
+    _corrupt_commit(dest, mutate)
+    with pytest.raises(DeltaLogInvalid):
+        validate_delta_log(dest)
+
+
+def test_validator_rejects_noncontiguous_chain(spark, tmp_path):
+    from telecom_dataengineering_pipeline_spark.sources.delta_export import (
+        DeltaLogInvalid,
+        validate_delta_log,
+    )
+
+    t = _source_table(spark, tmp_path)
+    dest = str(tmp_path / "delta_gap")
+    export_delta_snapshot(t, spark, dest)
+    os.rename(
+        os.path.join(dest, "_delta_log", f"{0:020d}.json"),
+        os.path.join(dest, "_delta_log", f"{2:020d}.json"),
+    )
+    with pytest.raises(DeltaLogInvalid, match="contiguous"):
+        validate_delta_log(dest)
