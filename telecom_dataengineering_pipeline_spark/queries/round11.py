@@ -151,3 +151,88 @@ def dq_accepted_values_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
     # offending_value is dropped from the gated output: stringified raw
     # doubles are not format-stable cross-engine; (event_id, reason) is.
     return accepted_values_violations(stacked).select("event_id", "reason")
+
+
+# ---------------------------------------------------------------------------
+# Streaming last-touch attribution (VERDICT r7 item 9): the batch
+# operator's streaming twin (streaming/attribution.py) driven through the
+# VALUE gate — the appended conversion rows across micro-batches must
+# equal the batch window query, checked against the batch query's own
+# DuckDB oracle: stream ≡ batch ≡ oracle in one row set. Same staging
+# recipe as jsd_stream_event_mix: day-split parquet files, one file per
+# trigger, availableNow.
+# ---------------------------------------------------------------------------
+
+
+def _last_touch_stream_oracle() -> str:
+    from .round7 import _LAST_TOUCH_ORACLE
+
+    return _LAST_TOUCH_ORACLE
+
+
+@register(
+    "attribution_stream_purchases",
+    oracle=None,  # replaced below with the batch query's oracle
+    tags=("T2", "T4", "stream", "attribution"),
+)
+def attribution_stream_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.attribution import attribution_stream
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view", "click"))
+        .select(
+            F.col("user_id"),
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id").cast("string").alias("tb"),
+            F.col("event_type").alias("ev"),
+            F.date_format("ts", "dd").cast("int").alias("_d"),
+        )
+    )
+    sink = "attribution_stream_purchases_sink"
+    spark.catalog.dropTempView(sink)
+    staging = tempfile.mkdtemp(prefix="attr_stream_src_")
+    try:
+        cols = ["user_id", "us", "tb", "ev"]
+        # day-split micro-batches: cross-batch event-time order holds
+        ev.filter(F.col("_d") <= 15).select(*cols).coalesce(1).write.parquet(
+            os.path.join(staging, "b0")
+        )
+        ev.filter(F.col("_d") > 15).select(*cols).coalesce(1).write.parquet(
+            os.path.join(staging, "b1")
+        )
+        stream = (
+            spark.readStream.schema("user_id long, us long, tb string, ev string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging + "/b*")
+        )
+        q = (
+            attribution_stream(
+                stream,
+                conversion="purchase",
+                touch_events=["view", "click"],
+                within_seconds=21_600,
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return spark.table(sink).select(
+        "user_id", "conversion_us", "tb", "touch_event", "touch_us"
+    )
+
+
+# late-bind the batch query's oracle so stream ≡ batch ≡ oracle is one
+# contract, not two strings that can drift
+from .registry import REGISTRY as _REG  # noqa: E402
+
+_REG["attribution_stream_purchases"].oracle = _last_touch_stream_oracle()
