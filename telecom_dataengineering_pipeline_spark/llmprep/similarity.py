@@ -1063,3 +1063,95 @@ def rrf_fuse(
             F.col("rrf_score").desc(), F.col(id_col).asc()
         ).limit(int(top_k))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign) quantization + Hamming search — the 1-bit-per-dimension
+# tier below SQ8/PQ: 64-dim float32 vectors compress 32x into two LONG
+# words, and candidate generation is xor+popcount, the cheapest distance
+# a CPU can compute. The standard two-stage ANN recipe pairs this with an
+# exact rerank (cosine_topk over the candidate set).
+# ---------------------------------------------------------------------------
+
+
+def binary_quantize(
+    embeddings: DataFrame,
+    dims: int = 64,
+    word_bits: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pack each vector's sign pattern into ``dims // word_bits`` LONG
+    words: bit j of word w is set iff ``vec[w*word_bits + j] > 0``
+    (strict — zeros quantize to 0, the convention both engines share).
+
+    Scale shape: one projection over one scan — the packing is a
+    literal-unrolled sum of ``when(x > 0, 1 << j)`` terms, pure codegen,
+    no explode, no Python. 32-bit words keep every value strictly
+    positive in a signed LONG (no 2^63 sign-bit trap — the
+    [[spark-cross-engine-gotchas]] overflow rule).
+
+    Returns (id_col, w0..w{n-1})."""
+    if dims % word_bits or word_bits < 1 or word_bits > 62:
+        raise ValueError("need 1 <= word_bits <= 62 evenly dividing dims")
+    words = dims // word_bits
+    cols = []
+    for w in range(words):
+        acc = F.lit(0).cast("long")
+        for j in range(word_bits):
+            idx = w * word_bits + j + 1  # element_at is 1-based
+            acc = acc + F.when(
+                F.element_at(F.col(vec_col), idx) > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        cols.append(acc.alias(f"w{w}"))
+    return embeddings.select(F.col(id_col), *cols)
+
+
+def hamming_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dims: int = 64,
+    word_bits: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest corpus vectors per query under Hamming distance over
+    the sign codes. Exact integer arithmetic end to end: the distance is
+    Σ_w popcount(xor(word, query word)) — deterministic cross-engine, so
+    this ANN stage (unusually) takes a VALUE-exact oracle.
+
+    Scale shape: codes come from one scan (2 longs per vector); the
+    query side filters to the literal id set and BROADCASTS (a few rows);
+    the per-query candidate pass is a broadcast nested loop over the
+    code relation — the binary-prerank standard — and top-k is a
+    WindowGroupLimit rank on (distance, neighbor id). The raw embedding
+    column never joins.
+
+    Returns (query_id, neighbor_id, hamming, rank)."""
+    if not query_ids:
+        raise ValueError("hamming_topk needs at least one query id")
+    codes = binary_quantize(embeddings, dims, word_bits, id_col, vec_col)
+    words = dims // word_bits
+    q = codes.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        *[F.col(f"w{w}").alias(f"q{w}") for w in range(words)],
+    )
+    joined = codes.join(
+        F.broadcast(q), F.col(id_col) != F.col("query_id"), "inner"
+    )
+    dist = None
+    for w in range(words):
+        d = F.bit_count(F.col(f"w{w}").bitwiseXOR(F.col(f"q{w}")))
+        dist = d if dist is None else dist + d
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        dist.cast("int").alias("hamming"),
+    )
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(wnd).cast("int")
+    ).filter(F.col("rank") <= int(k))

@@ -236,3 +236,47 @@ def attribution_stream_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .registry import REGISTRY as _REG  # noqa: E402
 
 _REG["attribution_stream_purchases"].oracle = _last_touch_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Binary-quantized Hamming ANN (llmprep/similarity.py::hamming_topk): the
+# 1-bit tier below SQ8/PQ — sign codes pack 32x, candidates come from
+# xor+popcount over two LONG words per vector. Exact integer arithmetic,
+# so unlike cosine ANN this stage takes a value-exact oracle with no
+# rounding recipe at all.
+# ---------------------------------------------------------------------------
+
+
+def _hamming_oracle(n_queries: int = 10, k: int = 5) -> str:
+    def word(w: int) -> str:
+        terms = " + ".join(
+            f"CASE WHEN embedding[{w * 32 + j + 1}] > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(32)
+        )
+        return f"CAST({terms} AS BIGINT) AS w{w}"
+
+    return f"""
+WITH codes AS (
+  SELECT vec_id, {word(0)}, {word(1)} FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM codes
+  WHERE vec_id < {n_queries}
+), s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(c.w0, q.q0)) + bit_count(xor(c.w1, q.q1)) AS INTEGER) AS hamming
+  FROM codes c JOIN q ON c.vec_id <> q.query_id
+), r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, hamming, rank FROM r WHERE rank <= {k}
+"""
+
+
+@register("ann_hamming_topk", oracle=_hamming_oracle(), tags=("LLM", "similarity"))
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.similarity import hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hamming_topk(emb, query_ids=list(range(10)), k=5)
