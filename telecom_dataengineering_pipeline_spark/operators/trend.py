@@ -608,6 +608,93 @@ def ols_trend(
     )
 
 
+def ols_two_feature(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key TWO-feature least squares ŷ = b0 + b1·x1 + b2·x2 — the
+    multiple-regression step up from :func:`ols_trend`, solved in closed
+    form: the 3×3 normal equations by Cramer's rule, so no iteration, no
+    linear-algebra library, and a SQL oracle can recompute every number.
+
+    Inputs must be EXACT (decimal/integral) — then all nine accumulated
+    sums (Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y, Σy²) are exact
+    and order-independent; the determinants and coefficients are the
+    only doubles, written with one expression shape for both engines.
+
+    One map-side-combined aggregate per key — single pass, no sort, no
+    join. Degenerate keys (n < 3, singular normal matrix from collinear
+    or constant features, zero y-variance for r²) yield NULL fit
+    columns, never a division blow-up. Returns (*key_cols, n, b0, b1,
+    b2, r2, adj_r2) with doubles rounded to 6. SSE uses the OLS-optimum
+    identity SSE = Σy² − (b0·Σy + b1·Σx1y + b2·Σx2y)."""
+    # widths chosen so every PRODUCT stays inside decimal(38,_) exactly:
+    # (16,4)x(16,4)->(33,8), (16,4)x(18,4)->(35,8), (18,4)^2->(37,8)
+    x1 = F.col(x1_col).cast("decimal(16,4)")
+    x2 = F.col(x2_col).cast("decimal(16,4)")
+    y = F.col(y_col).cast("decimal(18,4)")
+    big = "decimal(38,8)"
+    agg = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x1).alias("_s1"),
+        F.sum(x2).alias("_s2"),
+        F.sum(y).alias("_sy"),
+        F.sum((x1 * x1).cast(big)).alias("_s11"),
+        F.sum((x2 * x2).cast(big)).alias("_s22"),
+        F.sum((x1 * x2).cast(big)).alias("_s12"),
+        F.sum((x1 * y).cast(big)).alias("_s1y"),
+        F.sum((x2 * y).cast(big)).alias("_s2y"),
+        F.sum((y * y).cast(big)).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2, sy = (F.col(c).cast("double") for c in ("_s1", "_s2", "_sy"))
+    s11, s22, s12 = (F.col(c).cast("double") for c in ("_s11", "_s22", "_s12"))
+    s1y, s2y, syy = (F.col(c).cast("double") for c in ("_s1y", "_s2y", "_syy"))
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    ok = (F.col("n") >= 3) & (det != 0)
+    b0 = F.round(F.when(ok, det0 / det), 6)
+    b1 = F.round(F.when(ok, det1 / det), 6)
+    b2 = F.round(F.when(ok, det2 / det), 6)
+    sse = syy - ((det0 / det) * sy + (det1 / det) * s1y + (det2 / det) * s2y)
+    sst = syy - sy * sy / n
+    r2x = F.when(ok & (sst > 0), F.lit(1.0) - sse / sst)
+    r2 = F.round(r2x, 6)
+    adj = F.round(
+        F.when(
+            ok & (sst > 0) & (F.col("n") > 3),
+            F.lit(1.0) - (F.lit(1.0) - r2x) * (n - 1) / (n - 3),
+        ),
+        6,
+    )
+    return agg.select(
+        *key_cols, "n",
+        b0.alias("b0"), b1.alias("b1"), b2.alias("b2"),
+        r2.alias("r2"), adj.alias("adj_r2"),
+    )
+
+
 def acf_profile(
     df: DataFrame,
     key_cols: Sequence[str],

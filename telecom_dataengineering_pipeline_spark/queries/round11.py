@@ -280,3 +280,70 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return hamming_topk(emb, query_ids=list(range(10)), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Two-feature closed-form OLS (operators/trend.py::ols_two_feature): per
+# return-flag regression of extended price on quantity and discount —
+# the 3x3 normal equations by Cramer's rule from exact decimal sums; the
+# determinants/coefficients are the only doubles, one expression shape
+# in both engines.
+# ---------------------------------------------------------------------------
+
+_OLS2_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS k,
+         CAST(l_quantity AS DECIMAL(19,4)) AS x1,
+         CAST(l_discount AS DECIMAL(19,4)) AS x2,
+         CAST(l_extendedprice AS DECIMAL(19,4)) AS y
+  FROM lineitem
+), agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n,
+    sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+    sum(CAST(x1 * x1 AS DECIMAL(38,8))) AS s11,
+    sum(CAST(x2 * x2 AS DECIMAL(38,8))) AS s22,
+    sum(CAST(x1 * x2 AS DECIMAL(38,8))) AS s12,
+    sum(CAST(x1 * y AS DECIMAL(38,8))) AS s1y,
+    sum(CAST(x2 * y AS DECIMAL(38,8))) AS s2y,
+    sum(CAST(y * y AS DECIMAL(38,8))) AS syy
+  FROM base GROUP BY 1
+), d AS (
+  SELECT k, n,
+    CAST(n AS DOUBLE) AS nd,
+    CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2, CAST(sy AS DOUBLE) AS sy,
+    CAST(s11 AS DOUBLE) AS s11, CAST(s22 AS DOUBLE) AS s22, CAST(s12 AS DOUBLE) AS s12,
+    CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y, CAST(syy AS DOUBLE) AS syy
+  FROM agg
+), c AS (
+  SELECT *,
+    nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det,
+    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y) AS det0,
+    nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2) AS det1,
+    nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2) AS det2
+  FROM d
+), f AS (
+  SELECT k, n, nd, sy, s1y, s2y, syy, det, det0, det1, det2,
+    (n >= 3 AND det <> 0) AS ok,
+    syy - ((det0 / det) * sy + (det1 / det) * s1y + (det2 / det) * s2y) AS sse,
+    syy - sy * sy / nd AS sst
+  FROM c
+)
+SELECT k AS l_returnflag, n,
+  round(CASE WHEN ok THEN det0 / det END, 6) AS b0,
+  round(CASE WHEN ok THEN det1 / det END, 6) AS b1,
+  round(CASE WHEN ok THEN det2 / det END, 6) AS b2,
+  round(CASE WHEN ok AND sst > 0 THEN 1.0 - sse / sst END, 6) AS r2,
+  round(CASE WHEN ok AND sst > 0 AND n > 3
+        THEN 1.0 - (1.0 - (1.0 - sse / sst)) * (nd - 1) / (nd - 3) END, 6) AS adj_r2
+FROM f
+"""
+
+
+@register("ols2_price_on_qty_discount", oracle=_OLS2_ORACLE, tags=("trend", "A11"))
+def ols2_price_on_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import ols_two_feature
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return ols_two_feature(
+        li, ["l_returnflag"], "l_quantity", "l_discount", "l_extendedprice"
+    )

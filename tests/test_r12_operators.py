@@ -1,0 +1,84 @@
+"""Round-8 operator invariants beyond the value-parity gate: two-feature
+closed-form OLS (numpy reference, degenerate guards, single-pass plan)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from telecom_dataengineering_pipeline_spark.operators.trend import ols_two_feature
+
+
+def _fit_numpy(rows):
+    X = np.array([[1.0, x1, x2] for x1, x2, _ in rows])
+    y = np.array([y for _, _, y in rows])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    sse = float(resid @ resid)
+    sst = float(((y - y.mean()) ** 2).sum())
+    r2 = 1.0 - sse / sst
+    n = len(rows)
+    adj = 1.0 - (1.0 - r2) * (n - 1) / (n - 3)
+    return beta, r2, adj
+
+
+def test_ols2_matches_numpy_lstsq(spark):
+    rows = [
+        (float(q), float(d) / 100.0, 3.0 + 2.5 * q - 40.0 * d / 100.0 + ((q * 7 + d) % 5) * 0.25)
+        for q in range(1, 25)
+        for d in range(0, 10, 3)
+    ]
+    df = spark.createDataFrame(
+        [("k", *r) for r in rows], "k string, x1 double, x2 double, y double"
+    )
+    got = ols_two_feature(df, ["k"], "x1", "x2", "y").collect()[0]
+    beta, r2, adj = _fit_numpy(rows)
+    assert got["n"] == len(rows)
+    assert got["b0"] == pytest.approx(beta[0], abs=1e-5)
+    assert got["b1"] == pytest.approx(beta[1], abs=1e-5)
+    assert got["b2"] == pytest.approx(beta[2], abs=1e-5)
+    assert got["r2"] == pytest.approx(r2, abs=1e-6)
+    assert got["adj_r2"] == pytest.approx(adj, abs=1e-6)
+
+
+def test_ols2_perfect_plane_r2_one(spark):
+    rows = [(float(i), float(i % 7), 1.0 + 2.0 * i + 3.0 * (i % 7)) for i in range(20)]
+    df = spark.createDataFrame(
+        [("k", *r) for r in rows], "k string, x1 double, x2 double, y double"
+    )
+    got = ols_two_feature(df, ["k"], "x1", "x2", "y").collect()[0]
+    assert (got["b0"], got["b1"], got["b2"]) == (1.0, 2.0, 3.0)
+    assert got["r2"] == 1.0
+
+
+def test_ols2_degenerate_keys_null_not_blowup(spark):
+    rows = (
+        # collinear: x2 = 2*x1 -> singular normal matrix
+        [("coll", float(i), 2.0 * float(i), float(i)) for i in range(10)]
+        # constant features
+        + [("const", 1.0, 1.0, float(i)) for i in range(5)]
+        # too few points
+        + [("tiny", 1.0, 2.0, 3.0), ("tiny", 2.0, 1.0, 4.0)]
+    )
+    df = spark.createDataFrame(rows, "k string, x1 double, x2 double, y double")
+    got = {r["k"]: r for r in ols_two_feature(df, ["k"], "x1", "x2", "y").collect()}
+    assert set(got) == {"coll", "const", "tiny"}
+    for k in got:
+        assert got[k]["b0"] is None and got[k]["r2"] is None, k
+
+
+def test_ols2_single_pass_plan(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") % 11).cast("double").alias("x1"),
+        (F.col("id") % 7).cast("double").alias("x2"),
+        (F.col("id") % 13).cast("double").alias("y"),
+    )
+    plan = (
+        ols_two_feature(df, ["k"], "x1", "x2", "y")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one keyed hash aggregate, no window, no join, no Python
+    assert "Window" not in plan and "Join" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
