@@ -632,3 +632,93 @@ def bigram_logprob_scores(
             "mean_bigram_logprob"
         ),
     )
+
+
+def kn_bigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under an ABSOLUTE-
+    DISCOUNT Kneser–Ney model trained on the corpus itself — the
+    standard LM-quality filter one notch above :func:`bigram_logprob_
+    scores`' add-1 smoothing: add-1 over-penalizes bigrams with frequent
+    first tokens, while KN redistributes exactly ``discount`` mass per
+    seen successor and backs off to the CONTINUATION unigram (how many
+    distinct contexts a word follows — the "san francisco" insight:
+    "francisco" is frequent but follows almost nothing).
+
+        p(w2|w1) = max(c(w1w2) − D, 0)/ch(w1)
+                 + (D·N1+(w1·)/ch(w1)) · N1+(·w2)/N1+(··)
+
+    with ch(w1) = Σ_w2 c(w1w2) (history counts, so rows at document ends
+    never leak into denominators) and D = ``discount``.
+
+    Scale shape: the corpus tokenizes ONCE behind a lazy lineage cut;
+    bigrams come from the arrays_zip slice (pure map stage); the three
+    count relations (pair, history, continuation) are one groupBy each
+    off the SAME pair stream, and the scoring joins shuffle the pair
+    stream by its keys — broadcast the vocab-sized history/continuation
+    tables at 100 TB. Scoring the training corpus keeps every scored
+    bigram seen, so p > 0 with no epsilon.
+
+    Determinism: counts are exact LONGs; p is ONE fixed-shape double
+    expression; per-pair ln rounds to 9 dp and DECIMAL-sums (the module
+    convention). Docs with fewer than two non-empty tokens emit
+    (n_bigrams = 0, NULL mean/ppl) via a doc-grain left join — the
+    Pettitt one-row-per-key lesson. Returns (doc_id, n_bigrams,
+    mean_kn_logprob, kn_perplexity)."""
+    if not 0 < discount < 1:
+        raise ValueError("kn_bigram_logprob_scores needs 0 < discount < 1")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(tokens(text_col), lambda t: t != "").alias("t"),
+    ).localCheckpoint(eager=False)
+    n = F.size(F.col("t"))
+    prs = base.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.greatest(n - 1, F.lit(0))),
+                F.expr("slice(t, 2, greatest(size(t) - 1, 0))"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    big = prs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    ).localCheckpoint(eager=False)
+    hist = big.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("ch"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"),
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1b"))
+    nbb = big.agg(F.count(F.lit(1)).cast("bigint").alias("B"))
+    d = F.lit(float(discount))
+    p = (
+        F.greatest(F.col("c12").cast("double") - d, F.lit(0.0))
+        / F.col("ch").cast("double")
+        + (d * F.col("n1f").cast("double") / F.col("ch").cast("double"))
+        * (F.col("n1b").cast("double") / F.col("B").cast("double"))
+    )
+    logp = F.round(F.log(p), 9).cast("decimal(18,9)").alias("logp")
+    scored = (
+        prs.join(big, ["w1", "w2"])
+        .join(hist, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nbb))
+        .select("doc_id", logp)
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("logp").alias("_slp"),
+    )
+    grain = base.select("doc_id")
+    # double-divide (NOT decimal-divide) so both engines share the shape
+    avg = F.col("_slp").cast("double") / F.col("n_bigrams").cast("double")
+    return grain.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.round(avg, 6).alias("mean_kn_logprob"),
+        F.round(F.exp(-avg), 6).alias("kn_perplexity"),
+    )

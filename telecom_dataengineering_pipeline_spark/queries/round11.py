@@ -347,3 +347,53 @@ def ols2_price_on_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols_two_feature(
         li, ["l_returnflag"], "l_quantity", "l_discount", "l_extendedprice"
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM scoring (llmprep/curation.py::kn_bigram_logprob_
+# scores): absolute-discount KN trained on the corpus itself — the
+# LM-quality filter above add-1 smoothing. Counts exact; p is one
+# fixed-shape double; per-pair ln rounds to 9dp and decimal-sums.
+# ---------------------------------------------------------------------------
+
+_KN_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+  FROM documents
+), prs AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM base)
+), big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM prs GROUP BY 1, 2
+), hist AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS ch, CAST(count(*) AS BIGINT) AS n1f
+  FROM big GROUP BY 1
+), cont AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM big GROUP BY 1
+), nbb AS (SELECT CAST(count(*) AS BIGINT) AS B FROM big),
+scored AS (
+  SELECT prs.doc_id,
+    CAST(round(ln(
+      greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(ch AS DOUBLE)
+      + (0.75 * CAST(n1f AS DOUBLE) / CAST(ch AS DOUBLE))
+        * (CAST(n1b AS DOUBLE) / CAST(B AS DOUBLE))
+    ), 9) AS DECIMAL(18,9)) AS logp
+  FROM prs JOIN big USING (w1, w2) JOIN hist USING (w1) JOIN cont USING (w2), nbb
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, sum(logp) AS slp
+  FROM scored GROUP BY 1
+)
+SELECT b.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+  round(CAST(p.slp AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE), 6) AS mean_kn_logprob,
+  round(exp(-(CAST(p.slp AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE))), 6) AS kn_perplexity
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register("kn_bigram_doc_scores", oracle=_KN_ORACLE, tags=("LLM", "text"))
+def kn_bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.curation import kn_bigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kn_bigram_logprob_scores(docs)

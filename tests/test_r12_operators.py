@@ -82,3 +82,78 @@ def test_ols2_single_pass_plan(spark):
     # one keyed hash aggregate, no window, no join, no Python
     assert "Window" not in plan and "Join" not in plan
     assert "Python" not in plan and "Arrow" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def _kn_reference(texts, discount=0.75):
+    """Plain-Python absolute-discount KN over whitespace-lowered tokens."""
+    import math
+    from collections import Counter
+
+    toks = [[w for w in t.lower().split() if w] for t in texts]
+    pairs = [(d[i], d[i + 1]) for d in toks for i in range(len(d) - 1)]
+    c12 = Counter(pairs)
+    ch = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (w1, w2), c in c12.items():
+        ch[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    B = len(c12)
+
+    def p(w1, w2):
+        return max(c12[(w1, w2)] - discount, 0.0) / ch[w1] + (
+            discount * n1f[w1] / ch[w1]
+        ) * (n1b[w2] / B)
+
+    out = {}
+    for i, d in enumerate(toks):
+        bs = [(d[j], d[j + 1]) for j in range(len(d) - 1)]
+        if not bs:
+            out[i] = (0, None, None)
+            continue
+        s = sum(round(math.log(p(*b)), 9) for b in bs)
+        out[i] = (len(bs), round(s / len(bs), 6), round(math.exp(-(s / len(bs))), 6))
+    return out, p, ch, n1b, B
+
+
+def test_kn_scores_match_python_reference(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.curation import (
+        kn_bigram_logprob_scores,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the fish",
+        "dogs chase the cat",
+        "solo",  # 1 token: NULL row, not a dropped doc
+        "san francisco is in california and san francisco is foggy",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_kn_logprob"], r["kn_perplexity"])
+        for r in kn_bigram_logprob_scores(df).collect()
+    }
+    ref, p, ch, n1b, B = _kn_reference(texts)
+    assert got == ref
+    # KN normalization identity: for any seen history, the discounted
+    # mass plus the redistributed continuation mass sums to 1 over vocab
+    vocab = set(n1b) | {w for t in texts for w in t.lower().split()}
+    for w1 in ("the", "cat", "san"):
+        total = sum(p(w1, w2) for w2 in vocab)
+        assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_kn_rejects_bad_discount(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.curation import (
+        kn_bigram_logprob_scores,
+    )
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="discount"):
+        kn_bigram_logprob_scores(df, discount=1.0)
