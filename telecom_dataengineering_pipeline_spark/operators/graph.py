@@ -770,3 +770,43 @@ def closeness_centrality(
         ).alias("closeness"),
         F.round(F.col("_h").cast("double"), 6).alias("harmonic"),
     )
+
+
+def local_clustering_coefficient(
+    edges: DataFrame, closure_strategy: str = "broadcast"
+) -> DataFrame:
+    """Per-node local clustering coefficient cc(v) = 2·T(v)/(d(v)·(d(v)−1))
+    over an undirected graph — "how clique-like is each neighborhood", the
+    node-level refinement of :func:`triangle_counts` (Watts–Strogatz's
+    small-world statistic; averaging it gives the network's clustering
+    index).
+
+    ``edges``: distinct undirected pairs (u, v) with u < v. Composes the
+    degree-ordered triangle kernel (hub-safe wedge enumeration, see
+    :func:`triangle_counts`) with the node-grain degree table: one extra
+    metadata-sized left join, so every node emits a row — triangles
+    coalesce to 0, cc is NULL for degree < 2 (undefined, never a division
+    blow-up). The ratio is ONE fixed-shape double rounded to 6, so a SQL
+    oracle verifies it exactly. Returns (node, degree, triangles, cc)."""
+    e = edges.select("u", "v").localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tris = triangle_counts(e, closure_strategy=closure_strategy)
+    d = F.col("degree").cast("double")
+    cc = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            F.lit(2.0) * F.col("triangles").cast("double") / (d * (d - F.lit(1.0))),
+            6,
+        ),
+    )
+    return deg.join(tris, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        cc.alias("cc"),
+    )

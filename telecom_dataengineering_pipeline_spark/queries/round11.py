@@ -397,3 +397,74 @@ def kn_bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return kn_bigram_logprob_scores(docs)
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient (operators/graph.py::local_clustering_
+# coefficient) on the capped part co-purchase graph — the per-node
+# refinement of triangle_count_copurchase. The Spark side counts each
+# triangle once at its lowest-degree vertex; the oracle enumerates by id
+# order — two independent single-count formulations hashing identically.
+# ---------------------------------------------------------------------------
+
+_CC_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sized AS (
+  SELECT l_orderkey FROM baskets GROUP BY 1 HAVING count(*) <= 25
+), pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM baskets a
+  JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey IN (SELECT l_orderkey FROM sized)
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+  ) GROUP BY 1
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.v = e2.u
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+), tcount AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+)
+SELECT deg.node, deg.degree, coalesce(tcount.triangles, 0) AS triangles,
+  CASE WHEN deg.degree >= 2 THEN
+    round(2.0 * CAST(coalesce(tcount.triangles, 0) AS DOUBLE)
+          / (CAST(deg.degree AS DOUBLE) * (CAST(deg.degree AS DOUBLE) - 1.0)), 6)
+  END AS cc
+FROM deg LEFT JOIN tcount ON tcount.node = deg.node
+"""
+
+
+@register("clustering_coeff_copurchase", oracle=_CC_ORACLE, tags=("LLM", "graph"))
+def clustering_coeff_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import local_clustering_coefficient
+
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= 25)
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(parts, (x, i) -> "
+                        "transform(slice(parts, i + 2, size(parts)), "
+                        "y -> struct(x AS u, y AS v)))"
+                    )
+                )
+            ).alias("uv")
+        )
+        .select(F.col("uv.u").alias("u"), F.col("uv.v").alias("v"))
+        .distinct()
+    )
+    return local_clustering_coefficient(edges)

@@ -157,3 +157,43 @@ def test_kn_rejects_bad_discount(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="discount"):
         kn_bigram_logprob_scores(df, discount=1.0)
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coefficient_known_graph(spark):
+    from telecom_dataengineering_pipeline_spark.operators.graph import (
+        local_clustering_coefficient,
+    )
+
+    # triangle 1-2-3 plus pendant 4 on node 1, isolated edge 5-6
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (5, 6)], "u long, v long"
+    )
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["cc"])
+        for r in local_clustering_coefficient(edges).collect()
+    }
+    # node 1: deg 3, 1 triangle -> cc = 2/(3*2) = 0.333333
+    assert got[1] == (3, 1, 0.333333)
+    assert got[2] == (2, 1, 1.0) and got[3] == (2, 1, 1.0)
+    # pendant and isolated-edge nodes: cc undefined, row still emitted
+    assert got[4] == (1, 0, None)
+    assert got[5] == (1, 0, None) and got[6] == (1, 0, None)
+
+
+def test_clustering_coefficient_complete_graph_all_one(spark):
+    from telecom_dataengineering_pipeline_spark.operators.graph import (
+        local_clustering_coefficient,
+    )
+
+    nodes = range(5)
+    edges = spark.createDataFrame(
+        [(u, v) for u in nodes for v in nodes if u < v], "u long, v long"
+    )
+    rows = local_clustering_coefficient(edges).collect()
+    assert len(rows) == 5
+    assert all(r["cc"] == 1.0 and r["triangles"] == 6 and r["degree"] == 4 for r in rows)
