@@ -468,3 +468,92 @@ def clustering_coeff_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return local_clustering_coefficient(edges)
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (operators/features.py::cuped_adjusted_means):
+# synthetic A/B over events — arm = user parity, covariate = each user's
+# first-half-of-month spend, metric = second-half spend. Pooled theta from
+# exact decimal sums; per-arm adjusted means and variances are fixed-shape
+# doubles.
+# ---------------------------------------------------------------------------
+
+_CUPED_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(strftime(ts, '%d') AS BIGINT) AS d,
+         CAST(round(value, 2) AS DECIMAL(14,2)) AS v
+  FROM events
+), units AS (
+  SELECT user_id,
+    CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+    CAST(coalesce(sum(CASE WHEN d <= 15 THEN v END), 0) AS DECIMAL(19,4)) AS x,
+    CAST(coalesce(sum(CASE WHEN d > 15 THEN v END), 0) AS DECIMAL(19,4)) AS y
+  FROM ev GROUP BY 1, 2
+), pooled AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x * x AS DECIMAL(38,8))) AS sxx,
+         sum(CAST(x * y AS DECIMAL(38,8))) AS sxy
+  FROM units
+), arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
+         sum(x) AS ax, sum(y) AS ay,
+         sum(CAST(x * x AS DECIMAL(38,8))) AS axx,
+         sum(CAST(y * y AS DECIMAL(38,8))) AS ayy,
+         sum(CAST(x * y AS DECIMAL(38,8))) AS axy
+  FROM units GROUP BY 1
+), d AS (
+  SELECT arm, n_units,
+    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+    CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+    CAST(n_units AS DOUBLE) AS an, CAST(ax AS DOUBLE) AS ax, CAST(ay AS DOUBLE) AS ay,
+    CAST(axx AS DOUBLE) AS axx, CAST(ayy AS DOUBLE) AS ayy, CAST(axy AS DOUBLE) AS axy
+  FROM arms, pooled
+), c AS (
+  SELECT *,
+    (sxx - sx * sx / nd) AS pvx,
+    (sxy - sx * sy / nd) / (sxx - sx * sx / nd) AS theta,
+    ay / an AS mean_post,
+    (ayy - ay * ay / an) / (an - 1.0) AS var_y,
+    (axx - ax * ax / an) / (an - 1.0) AS var_x,
+    (axy - ax * ay / an) / (an - 1.0) AS cov_a
+  FROM d
+)
+SELECT arm, n_units,
+  round(CASE WHEN pvx <> 0 THEN theta END, 6) AS theta,
+  round(mean_post, 6) AS mean_post,
+  round(CASE WHEN pvx <> 0 THEN mean_post - theta * (ax / an - sx / nd)
+        ELSE mean_post END, 6) AS adj_mean_post,
+  round(CASE WHEN n_units >= 2 THEN var_y END, 6) AS var_post,
+  round(CASE WHEN n_units >= 2 AND pvx <> 0
+        THEN var_y - 2.0 * theta * cov_a + theta * theta * var_x END, 6) AS var_adj,
+  round(CASE WHEN n_units >= 2 AND pvx <> 0 AND var_y <> 0
+        THEN 1.0 - (var_y - 2.0 * theta * cov_a + theta * theta * var_x) / var_y
+        END, 6) AS var_reduction
+FROM c
+"""
+
+
+@register("cuped_event_value_experiment", oracle=_CUPED_ORACLE, tags=("eval", "A11"))
+def cuped_event_value_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import cuped_adjusted_means
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_format("ts", "dd").cast("long").alias("d"),
+        F.round("value", 2).cast("decimal(14,2)").alias("v"),
+    )
+    units = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("d") <= 15, F.col("v"))), F.lit(0))
+        .cast("decimal(19,4)")
+        .alias("x"),
+        F.coalesce(F.sum(F.when(F.col("d") > 15, F.col("v"))), F.lit(0))
+        .cast("decimal(19,4)")
+        .alias("y"),
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("arm"),
+        "x",
+        "y",
+    )
+    return cuped_adjusted_means(units, "arm", "x", "y")

@@ -197,3 +197,70 @@ def test_clustering_coefficient_complete_graph_all_one(spark):
     rows = local_clustering_coefficient(edges).collect()
     assert len(rows) == 5
     assert all(r["cc"] == 1.0 and r["triangles"] == 6 and r["degree"] == 4 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# CUPED adjusted means
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_matches_numpy_and_reduces_variance(spark):
+    from telecom_dataengineering_pipeline_spark.operators.features import (
+        cuped_adjusted_means,
+    )
+
+    # correlated pre/post: y = 2x + arm effect + deterministic noise
+    rows = []
+    for i in range(200):
+        x = float((i * 13) % 50)
+        arm = "t" if i % 2 else "c"
+        y = 2.0 * x + (5.0 if arm == "t" else 0.0) + float((i * 7) % 11)
+        rows.append((arm, x, y))
+    df = spark.createDataFrame(rows, "arm string, x double, y double")
+    got = {r["arm"]: r for r in cuped_adjusted_means(df, "arm", "x", "y").collect()}
+
+    x = np.array([r[1] for r in rows])
+    y = np.array([r[2] for r in rows])
+    theta = ((x * y).sum() - x.sum() * y.sum() / len(x)) / (
+        (x * x).sum() - x.sum() ** 2 / len(x)
+    )
+    for arm in ("c", "t"):
+        xa = np.array([r[1] for r in rows if r[0] == arm])
+        ya = np.array([r[2] for r in rows if r[0] == arm])
+        adj = ya - theta * (xa - x.mean())
+        assert got[arm]["theta"] == pytest.approx(theta, abs=1e-6)
+        assert got[arm]["mean_post"] == pytest.approx(ya.mean(), abs=1e-6)
+        assert got[arm]["adj_mean_post"] == pytest.approx(adj.mean(), abs=1e-6)
+        assert got[arm]["var_post"] == pytest.approx(ya.var(ddof=1), abs=1e-4)
+        assert got[arm]["var_adj"] == pytest.approx(adj.var(ddof=1), abs=1e-4)
+        # strongly correlated covariate -> big reduction
+        assert got[arm]["var_reduction"] > 0.9
+    # the pooled adjustment is mean-zero: weighted adj means == weighted
+    # raw means (treatment-effect preserving)
+    n_c, n_t = got["c"]["n_units"], got["t"]["n_units"]
+    raw = n_c * got["c"]["mean_post"] + n_t * got["t"]["mean_post"]
+    adj = n_c * got["c"]["adj_mean_post"] + n_t * got["t"]["adj_mean_post"]
+    assert raw == pytest.approx(adj, abs=1e-3)
+
+
+def test_cuped_degenerate_guards(spark):
+    from telecom_dataengineering_pipeline_spark.operators.features import (
+        cuped_adjusted_means,
+    )
+
+    # constant covariate: theta undefined, means pass through unadjusted
+    df = spark.createDataFrame(
+        [("c", 1.0, 10.0), ("c", 1.0, 12.0), ("t", 1.0, 20.0), ("t", 1.0, 24.0)],
+        "arm string, x double, y double",
+    )
+    got = {r["arm"]: r for r in cuped_adjusted_means(df, "arm", "x", "y").collect()}
+    assert got["c"]["theta"] is None and got["c"]["adj_mean_post"] == 11.0
+    assert got["t"]["adj_mean_post"] == 22.0
+    # single-unit arm: variance columns NULL, not a blow-up
+    df2 = spark.createDataFrame(
+        [("c", 1.0, 10.0), ("c", 3.0, 12.0), ("t", 2.0, 20.0)],
+        "arm string, x double, y double",
+    )
+    got2 = {r["arm"]: r for r in cuped_adjusted_means(df2, "arm", "x", "y").collect()}
+    assert got2["t"]["n_units"] == 1
+    assert got2["t"]["var_post"] is None and got2["t"]["var_adj"] is None
