@@ -405,3 +405,66 @@ def vocab_richness(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.col("hapax_count").cast("double") / vsz, 6),
         ).alias("hapax_share"),
     )
+
+
+def readability_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease + Flesch–Kincaid grade per document — the
+    classic readability screen a curation funnel runs next to
+    :func:`quality_scores` (too-low ease ≈ OCR noise / code dumps;
+    too-high ≈ boilerplate listicles). Syllables use the standard
+    vowel-group heuristic with the PER-WORD floor of 1 (a vowelless
+    token still counts one syllable); sentences count terminal-
+    punctuation runs ``[.!?]+`` with a floor of 1 once the doc has any
+    word.
+
+        ease  = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)
+        grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59
+
+    Scale shape: one tokenize pass behind a lazy lineage cut feeds the
+    doc-grain projection AND the word explode (whose per-word syllable
+    count is a JVM ``regexp_extract_all``+``size`` — no Python); one
+    doc-keyed aggregate folds syllables back; the doc grain left-joins
+    so zero-word docs emit (0, 0, 0, NULL, NULL) rows.
+
+    Determinism: every count is an exact LONG in both engines (regex is
+    the same RE2-safe class pattern); the two scores are fixed-shape
+    double expressions with literal coefficients, rounded to 6. Returns
+    (doc_id, n_words, n_sentences, n_syllables, flesch_ease,
+    fk_grade)."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("t"),
+        F.size(
+            F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")
+        ).cast("long").alias("_raw_sent"),
+    ).localCheckpoint(eager=False)
+    words = base.select("doc_id", F.explode("t").alias("w"))
+    syl_w = F.greatest(
+        F.size(F.expr("regexp_extract_all(w, '[aeiouy]+', 0)")).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    per_doc = words.groupBy("doc_id").agg(F.sum(syl_w).cast("long").alias("n_syllables"))
+    grain = base.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_words"),
+        F.when(F.size("t") > 0, F.greatest(F.col("_raw_sent"), F.lit(1).cast("long")))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("n_sentences"),
+    )
+    j = grain.join(per_doc, "doc_id", "left")
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    syl = F.col("n_syllables").cast("double")
+    ok = F.col("n_words") > 0
+    ease = F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (syl / w)
+    grade = F.lit(0.39) * (w / s) + F.lit(11.8) * (syl / w) - F.lit(15.59)
+    return j.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        F.coalesce(F.col("n_syllables"), F.lit(0)).cast("long").alias("n_syllables"),
+        F.round(F.when(ok, ease), 6).alias("flesch_ease"),
+        F.round(F.when(ok, grade), 6).alias("fk_grade"),
+    )

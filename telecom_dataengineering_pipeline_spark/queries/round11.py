@@ -557,3 +557,48 @@ def cuped_event_value_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
     )
     return cuped_adjusted_means(units, "arm", "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (llmprep/text.py::readability_scores): Flesch ease
+# + FK grade from exact regex counts (vowel-group syllables with the
+# per-word floor, terminal-punctuation sentence runs).
+# ---------------------------------------------------------------------------
+
+_READABILITY_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t,
+         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS raw_sent
+  FROM documents
+), words AS (
+  SELECT doc_id, unnest(t) AS w FROM base
+), per_doc AS (
+  SELECT doc_id,
+         CAST(sum(greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)) AS BIGINT)
+           AS n_syllables
+  FROM words GROUP BY 1
+), grain AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+         CASE WHEN len(t) > 0 THEN greatest(raw_sent, 1) ELSE 0 END AS n_sentences
+  FROM base
+)
+SELECT g.doc_id, g.n_words, CAST(g.n_sentences AS BIGINT) AS n_sentences,
+  coalesce(p.n_syllables, 0) AS n_syllables,
+  round(CASE WHEN g.n_words > 0 THEN
+    206.835 - 1.015 * (CAST(g.n_words AS DOUBLE) / CAST(g.n_sentences AS DOUBLE))
+    - 84.6 * (CAST(p.n_syllables AS DOUBLE) / CAST(g.n_words AS DOUBLE)) END, 6)
+    AS flesch_ease,
+  round(CASE WHEN g.n_words > 0 THEN
+    0.39 * (CAST(g.n_words AS DOUBLE) / CAST(g.n_sentences AS DOUBLE))
+    + 11.8 * (CAST(p.n_syllables AS DOUBLE) / CAST(g.n_words AS DOUBLE)) - 15.59 END, 6)
+    AS fk_grade
+FROM grain g LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register("readability_doc_scores", oracle=_READABILITY_ORACLE, tags=("LLM", "text"))
+def readability_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.text import readability_scores
+
+    return readability_scores(load_table(spark, sf_dir, "documents"))

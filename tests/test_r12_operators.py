@@ -264,3 +264,36 @@ def test_cuped_degenerate_guards(spark):
     got2 = {r["arm"]: r for r in cuped_adjusted_means(df2, "arm", "x", "y").collect()}
     assert got2["t"]["n_units"] == 1
     assert got2["t"]["var_post"] is None and got2["t"]["var_adj"] is None
+
+
+# ---------------------------------------------------------------------------
+# Readability scores
+# ---------------------------------------------------------------------------
+
+
+def test_readability_matches_hand_computation(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.text import (
+        readability_scores,
+    )
+
+    texts = {
+        0: "The cat sat. The dog ran!",  # 6 words, 2 sentences
+        1: "",  # empty: zero row with NULL scores
+        2: "xzzv brr",  # vowelless tokens (y counts as a vowel): floor of 1
+        3: "no terminal punctuation here",  # sentence floor of 1
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in readability_scores(df).collect()}
+
+    r = got[0]
+    assert (r["n_words"], r["n_sentences"]) == (6, 2)
+    # syllables: the(1) cat(1) sat.(1) the(1) dog(1) ran!(1) = 6
+    assert r["n_syllables"] == 6
+    ease = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    grade = 0.39 * (6 / 2) + 11.8 * (6 / 6) - 15.59
+    assert r["flesch_ease"] == pytest.approx(ease, abs=1e-6)
+    assert r["fk_grade"] == pytest.approx(grade, abs=1e-6)
+
+    assert got[1]["n_words"] == 0 and got[1]["flesch_ease"] is None
+    assert got[2]["n_syllables"] == 2  # floor of 1 per vowelless word
+    assert got[3]["n_sentences"] == 1  # floor once words exist
