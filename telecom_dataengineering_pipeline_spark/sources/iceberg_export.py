@@ -1,0 +1,509 @@
+"""Iceberg interop WITHOUT the Iceberg package: a CONVERT-shaped snapshot
+exporter that writes REAL v2 table metadata — Avro manifest + manifest
+list + ``metadata.json`` — plus a spec-based reader that replays one.
+
+The Delta half of the reference's table-format interop closed in round 7
+(``delta_export.py``); this closes the Iceberg half the same way, from
+the PUBLIC Iceberg table spec: a snapshot is ``metadata/vN.metadata.json``
+pointing at a ``snap-*.avro`` manifest LIST, whose rows point at
+manifest Avro files, whose ``manifest_entry`` rows carry the data-file
+paths, formats, partition tuples, and stats. Field names/ids follow the
+spec's v2 tables (``manifest_path``=500, ``added_snapshot_id``=503,
+``data_file.file_path``=100, …) and every Avro schema carries the
+``field-id`` annotations Iceberg readers project by.
+
+No Avro library ships in this environment's Python, but Spark's JVM
+bundles ``avro-1.12``; records cross the py4j bridge as JSON through
+Avro's own ``jsonDecoder``/``jsonEncoder`` (py4j unboxes ``Long`` objects
+in transit, so building ``GenericData.Record`` values directly is a
+type-corruption trap — the JSON codec keeps all typing JVM-side). The
+manifests are METADATA-sized, and Iceberg's own commit path is equally
+driver-side, so nothing here violates the engine's no-driver-data rule:
+the data files themselves are written by a distributed ``df.write``.
+
+Reference parity: the reference compacts its bronze layer through real
+Iceberg tables (``processing/bronze/bronze_compaction.py:125-160``).
+Validation in this offline sandbox: :func:`validate_iceberg_metadata`
+(structural spec checks + pyarrow — a foreign parquet reader — re-reading
+every referenced data file), since neither the DuckDB ``iceberg``
+extension nor an Iceberg runtime can be downloaded here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructType,
+    TimestampType,
+)
+
+_SPARK_TO_ICEBERG = {
+    LongType: "long",
+    IntegerType: "int",
+    DoubleType: "double",
+    FloatType: "float",
+    StringType: "string",
+    BooleanType: "boolean",
+    DateType: "date",
+    TimestampType: "timestamptz",
+}
+
+_ICEBERG_TO_SPARK = {
+    "long": "bigint",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz",
+}
+
+
+class IcebergMetadataInvalid(ValueError):
+    """Raised when table metadata violates the Iceberg spec."""
+
+
+def _require(cond: bool, where: str, msg: str) -> None:
+    if not cond:
+        raise IcebergMetadataInvalid(f"{where}: {msg}")
+
+
+def _iceberg_schema(schema: StructType) -> dict:
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        if isinstance(f.dataType, DecimalType):
+            t = f"decimal({f.dataType.precision}, {f.dataType.scale})"
+        else:
+            t = _SPARK_TO_ICEBERG.get(type(f.dataType))
+            if t is None:
+                raise ValueError(f"unsupported type for Iceberg export: {f.dataType}")
+        fields.append(
+            {"id": i, "name": f.name, "required": False, "type": t}
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+# Avro schema for a v2 data-manifest entry, minimal-but-spec-valid: the
+# required fields with their canonical field-ids; optional column stats
+# are omitted (readers project by field-id, absent optionals read null).
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {
+                        "name": "partition",
+                        "field-id": 102,
+                        "type": {"type": "record", "name": "r102", "fields": []},
+                    },
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                ],
+            },
+        },
+    ],
+}
+
+# v2 manifest-list entry (names as Iceberg's java V2Metadata writes them).
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_data_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_data_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_data_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+def _avro_write(spark: SparkSession, schema: dict, records: list[dict],
+                meta: dict[str, str], path: str) -> None:
+    """Write an Avro OCF at ``path`` via the JVM's bundled avro library.
+    Records cross the bridge as avro-JSON (unions pre-wrapped by the
+    caller) so all numeric typing stays JVM-side."""
+    jvm = spark._jvm
+    js = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(js)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(js)
+    fw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    for k, v in meta.items():
+        fw.setMeta(k, v)
+    fw.create(js, jvm.java.io.File(path))
+    try:
+        for rec in records:
+            dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(
+                js, json.dumps(rec)
+            )
+            fw.append(reader.read(None, dec))
+    finally:
+        fw.close()
+
+
+def _avro_read(spark: SparkSession, path: str) -> tuple[dict, list[dict], dict]:
+    """Read an Avro OCF: returns (schema dict, records as plain dicts
+    with avro-JSON union wrappers, file metadata strings)."""
+    jvm = spark._jvm
+    dr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    try:
+        js = dr.getSchema()
+        schema = json.loads(js.toString())
+        meta = {}
+        for k in dr.getMetaKeys():
+            if str(k) not in ("avro.schema", "avro.codec"):
+                meta[str(k)] = dr.getMetaString(str(k))
+        writer = jvm.org.apache.avro.generic.GenericDatumWriter(js)
+        records = []
+        while dr.hasNext():
+            bos = jvm.java.io.ByteArrayOutputStream()
+            enc = jvm.org.apache.avro.io.EncoderFactory.get().jsonEncoder(js, bos)
+            writer.write(dr.next(), enc)
+            enc.flush()
+            records.append(json.loads(bos.toString("UTF-8")))
+        return schema, records, meta
+    finally:
+        dr.close()
+
+
+def export_iceberg_snapshot(t, spark: SparkSession, dest_path: str) -> dict:
+    """Export ``t``'s current LOGICAL snapshot (renames resolved, DVs
+    applied, defaults filled — ``TxnLogTable.read`` semantics) as an
+    Iceberg v2 table: ``data/`` parquet + ``metadata/`` with a manifest,
+    a manifest list, ``v1.metadata.json``, and ``version-hint.text``.
+    Deep copy by design, the same CONVERT rationale as the Delta
+    exporter. Returns {version, n_files, n_rows, snapshot_id}."""
+    df = t.read(spark)
+    schema = df.schema
+    data_dir = os.path.join(dest_path, "data")
+    meta_dir = os.path.join(dest_path, "metadata")
+    df.write.mode("error").parquet(data_dir)
+    os.makedirs(meta_dir, exist_ok=True)
+
+    # one distributed pass for per-file record counts
+    back = spark.read.schema(schema).parquet(data_dir).select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f")
+    )
+    per_file = {
+        r["__f"]: r["__n"]
+        for r in back.groupBy("__f").agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+
+    snapshot_id = 1
+    seq = 1
+    ice_schema = _iceberg_schema(schema)
+    entries = []
+    n_rows = 0
+    for fname in sorted(per_file):
+        fpath = os.path.join(data_dir, fname)
+        n_rows += per_file[fname]
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": {"long": snapshot_id},
+                "sequence_number": {"long": seq},
+                "file_sequence_number": {"long": seq},
+                "data_file": {
+                    "content": 0,
+                    "file_path": fpath,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": per_file[fname],
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                },
+            }
+        )
+    manifest_name = f"manifest-{uuid.uuid4().hex}-m0.avro"
+    manifest_path = os.path.join(meta_dir, manifest_name)
+    spec_fields: list = []  # unpartitioned spec-0
+    _avro_write(
+        spark,
+        _MANIFEST_ENTRY_SCHEMA,
+        entries,
+        {
+            "schema": json.dumps(ice_schema),
+            "schema-id": "0",
+            "partition-spec": json.dumps(spec_fields),
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+        manifest_path,
+    )
+    list_name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    list_path = os.path.join(meta_dir, list_name)
+    _avro_write(
+        spark,
+        _MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": n_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        {"format-version": "2"},
+        list_path,
+    )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": dest_path,
+        "last-sequence-number": seq,
+        "last-updated-ms": 0,
+        "last-column-id": len(schema.fields),
+        "current-schema-id": 0,
+        "schemas": [ice_schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": [
+            {
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "timestamp-ms": 0,
+                "manifest-list": list_path,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(metadata, fh, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return {
+        "version": 1,
+        "n_files": len(entries),
+        "n_rows": n_rows,
+        "snapshot_id": snapshot_id,
+    }
+
+
+def _unwrap(v):
+    """Strip avro-JSON union wrappers ({"long": 3} -> 3)."""
+    if isinstance(v, dict) and len(v) == 1 and next(iter(v)) in (
+        "long", "int", "string", "double", "float", "boolean",
+    ):
+        return next(iter(v.values()))
+    return v
+
+
+def read_iceberg_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """Attach to an Iceberg table directory and return the current
+    snapshot's live rows: version-hint → metadata.json → manifest list →
+    manifests → data files (entries with status DELETED=2 drop; manifest
+    content=1 (deletes) is refused loudly — equality/position deletes
+    are not decoded, the Delta reader's refusal discipline)."""
+    meta_dir = os.path.join(path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        md = json.load(fh)
+    if md.get("format-version") not in (1, 2):
+        raise NotImplementedError("unsupported Iceberg format-version")
+    snap_id = md["current-snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == snap_id)
+    schema_json = next(
+        s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+    )
+    ddl = ", ".join(
+        f"`{f['name']}` {_ICEBERG_TO_SPARK.get(f['type'], f['type'])}"
+        for f in schema_json["fields"]
+    )
+    _, manifests, _ = _avro_read(spark, snap["manifest-list"])
+    files: list[str] = []
+    for m in manifests:
+        if _unwrap(m.get("content", 0)) == 1:
+            raise NotImplementedError("delete manifests are not decoded")
+        _, entries, mmeta = _avro_read(spark, _unwrap(m["manifest_path"]))
+        for e in entries:
+            if _unwrap(e["status"]) == 2:  # DELETED
+                continue
+            files.append(_unwrap(e["data_file"]["file_path"]))
+    if not files:
+        return spark.createDataFrame([], ddl)
+    return spark.read.schema(ddl).parquet(*sorted(files))
+
+
+def validate_iceberg_metadata(path: str) -> dict:
+    """Validate an exported table against the Iceberg v2 spec and the
+    bytes on disk; raises :class:`IcebergMetadataInvalid` on the first
+    violation, returns a summary on acceptance.
+
+    Checks: metadata.json required v2 fields and referential integrity
+    (current schema/spec/snapshot ids resolve); the manifest list is a
+    real Avro OCF whose schema carries the spec's field-ids (500/501/…)
+    and whose lengths match the files on disk; each manifest carries the
+    required key/value metadata (schema, partition-spec-id,
+    format-version, content) and entry field-ids (0/1/2/3/4, data_file
+    100/101/102/103/104/134); every live data file exists with the
+    committed size, and pyarrow — a foreign parquet reader — confirms
+    record_count and that the parquet columns cover the schema."""
+    import pyarrow.parquet as pq
+
+    meta_dir = os.path.join(path, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    _require(os.path.isfile(hint), path, "missing version-hint.text")
+    version = int(open(hint).read().strip())
+    mpath = os.path.join(meta_dir, f"v{version}.metadata.json")
+    _require(os.path.isfile(mpath), meta_dir, f"missing v{version}.metadata.json")
+    md = json.load(open(mpath))
+    for k in (
+        "format-version", "table-uuid", "location", "last-sequence-number",
+        "last-column-id", "current-schema-id", "schemas", "default-spec-id",
+        "partition-specs", "current-snapshot-id", "snapshots",
+    ):
+        _require(k in md, mpath, f"metadata.json missing required field {k!r}")
+    _require(md["format-version"] == 2, mpath, "expected format-version 2")
+    schema_ids = {s["schema-id"] for s in md["schemas"]}
+    _require(md["current-schema-id"] in schema_ids, mpath, "current-schema-id unresolved")
+    spec_ids = {s["spec-id"] for s in md["partition-specs"]}
+    _require(md["default-spec-id"] in spec_ids, mpath, "default-spec-id unresolved")
+    snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
+    _require(md["current-snapshot-id"] in snaps, mpath, "current-snapshot-id unresolved")
+    snap = snaps[md["current-snapshot-id"]]
+    for k in ("sequence-number", "manifest-list", "summary"):
+        _require(k in snap, mpath, f"snapshot missing {k!r}")
+    _require(
+        snap["summary"].get("operation") in
+        ("append", "replace", "overwrite", "delete"),
+        mpath, "snapshot.summary.operation invalid",
+    )
+
+    # manifest list: parse the OCF header WITHOUT the JVM (pure-python
+    # container parse is overkill; pyarrow cannot read avro — use the
+    # stored schema json from the header via a minimal scan)
+    from ..session import get_spark
+
+    spark = get_spark()
+    list_path = snap["manifest-list"]
+    _require(os.path.isfile(list_path), mpath, "manifest-list file missing")
+    lschema, manifests, _ = _avro_read(spark, list_path)
+    lids = {
+        f["name"]: f.get("field-id") for f in lschema["fields"]
+    }
+    for name, fid in (
+        ("manifest_path", 500), ("manifest_length", 501),
+        ("partition_spec_id", 502), ("added_snapshot_id", 503),
+        ("sequence_number", 515), ("min_sequence_number", 516), ("content", 517),
+    ):
+        _require(lids.get(name) == fid, list_path, f"{name} must carry field-id {fid}")
+    _require(manifests, list_path, "manifest list is empty")
+
+    schema_fields = {
+        f["name"] for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        for f in s["fields"]
+    }
+    total = 0
+    n_files = 0
+    for m in manifests:
+        mp = _unwrap(m["manifest_path"])
+        _require(os.path.isfile(mp), list_path, f"manifest missing: {mp}")
+        _require(
+            os.path.getsize(mp) == _unwrap(m["manifest_length"]),
+            mp, "manifest_length mismatches the file on disk",
+        )
+        eschema, entries, mmeta = _avro_read(spark, mp)
+        for k in ("schema", "partition-spec-id", "format-version", "content"):
+            _require(k in mmeta, mp, f"manifest metadata missing {k!r}")
+        _require(mmeta["format-version"] == "2", mp, "manifest format-version != 2")
+        eids = {f["name"]: f.get("field-id") for f in eschema["fields"]}
+        for name, fid in (("status", 0), ("snapshot_id", 1), ("data_file", 2)):
+            _require(eids.get(name) == fid, mp, f"{name} must carry field-id {fid}")
+        df_schema = next(
+            f for f in eschema["fields"] if f["name"] == "data_file"
+        )["type"]
+        dids = {f["name"]: f.get("field-id") for f in df_schema["fields"]}
+        for name, fid in (
+            ("file_path", 100), ("file_format", 101), ("partition", 102),
+            ("record_count", 103), ("file_size_in_bytes", 104), ("content", 134),
+        ):
+            _require(dids.get(name) == fid, mp, f"data_file.{name} must carry field-id {fid}")
+        for e in entries:
+            _require(_unwrap(e["status"]) in (0, 1, 2), mp, "entry status not in 0/1/2")
+            d = e["data_file"]
+            if _unwrap(e["status"]) == 2:
+                continue
+            fp = _unwrap(d["file_path"])
+            _require(os.path.isfile(fp), mp, f"data file missing: {fp}")
+            _require(
+                os.path.getsize(fp) == _unwrap(d["file_size_in_bytes"]),
+                fp, "file_size_in_bytes mismatches disk",
+            )
+            _require(
+                _unwrap(d["file_format"]).upper() == "PARQUET",
+                fp, "file_format must be PARQUET",
+            )
+            pf = pq.ParquetFile(fp)
+            _require(
+                pf.metadata.num_rows == _unwrap(d["record_count"]),
+                fp, f"record_count {_unwrap(d['record_count'])} != parquet rows {pf.metadata.num_rows}",
+            )
+            _require(
+                schema_fields <= set(pf.schema_arrow.names),
+                fp, "parquet columns do not cover the table schema",
+            )
+            total += pf.metadata.num_rows
+            n_files += 1
+    return {
+        "version": version,
+        "snapshot_id": md["current-snapshot-id"],
+        "n_manifests": len(manifests),
+        "n_files": n_files,
+        "n_rows": total,
+    }
