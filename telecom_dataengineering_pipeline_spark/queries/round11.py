@@ -602,3 +602,60 @@ def readability_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmprep.text import readability_scores
 
     return readability_scores(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Iceberg export round-trip (sources/iceberg_export.py): a txnlog orders
+# slice (with a MOR deletion vector forcing logical/physical divergence)
+# exports as REAL Iceberg v2 metadata — avro manifest + manifest list via
+# the JVM's bundled avro — and the reader replays it; the rows that come
+# back through the format must equal the slice computed directly. Same
+# S7 discipline as merge_upsert_orders_txnlog: the storage format must
+# not change semantics.
+# ---------------------------------------------------------------------------
+
+_ICEBERG_RT_ORACLE = """
+SELECT o_orderkey AS orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+       o_orderstatus AS status
+FROM orders WHERE o_orderkey % 5 != 0 AND o_orderkey >= 1000
+"""
+
+
+@register("iceberg_export_roundtrip", oracle=_ICEBERG_RT_ORACLE, tags=("S7", "interop"))
+def iceberg_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.iceberg_export import (
+        export_iceberg_snapshot,
+        read_iceberg_snapshot,
+        validate_iceberg_metadata,
+    )
+    from ..sources.txnlog import TxnLogTable
+
+    o = load_table(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"iceberg_rt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = TxnLogTable(os.path.join(scratch, "src"), stat_cols=("o_orderkey",))
+    t.create_or_replace(target)
+    # MOR deletion vector so the LOGICAL snapshot diverges from the
+    # physical files: the exporter must apply DVs, not copy bytes
+    t.delete_where_mor(spark, [("o_orderkey", "<", 1000)])
+    dest = os.path.join(scratch, "ice")
+    export_iceberg_snapshot(t, spark, dest)
+    validate_iceberg_metadata(dest)
+    return read_iceberg_snapshot(spark, dest).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("price").cast("double").alias("price"),
+        "status",
+    )
