@@ -1508,3 +1508,148 @@ def forecast_errors(
         F.round(smape, 6).alias("smape"),
         mase.alias("mase"),
     )
+
+
+def croston_method(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    step_col: str,
+    value_col: str,
+    steps: Sequence[str],
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Croston's method (1972) — the intermittent-demand forecaster the
+    Holt/Holt-Winters family mishandles (zero-heavy series drag their
+    levels toward zero between demands): smooth the NONZERO demand sizes
+    zₜ and the inter-demand intervals pₜ separately, forecast = z/p
+    (expected demand per period).
+
+    Same scale/determinism shape as :func:`holt_linear`/:func:`cusum_
+    change_points`: one conditional aggregate pivots each key's series
+    onto the FIXED ``steps`` spine (|keys| rows; cast ``value_col`` to a
+    decimal upstream when a (key, step) cell can hold >1 row — the cusum
+    exactness note), and the branchy recurrence unrolls into per-row
+    CASE column chains — no window, no driver loop. The paired
+    :func:`croston_oracle_sql` emits IDENTICAL expression shapes.
+
+    State per step: seen (any demand yet), c (periods since the last
+    demand), z (smoothed size), p (smoothed interval). The first demand
+    initializes z to the demand and p to its 1-based position (the
+    textbook init); later demands update z ← α·x + (1−α)·z and
+    p ← α·(c+1) + (1−α)·p. Keys with NO demand in the spine emit NULL
+    state/forecast. Returns one row per key: (*key_cols, n_steps,
+    n_demand_steps, z_final, p_final, croston_forecast) rounded to 6."""
+    T = len(steps)
+    if T < 2:
+        raise ValueError("croston_method needs at least two steps")
+    if not 0 < alpha < 1:
+        raise ValueError("croston_method needs 0 < alpha < 1")
+    a = float(alpha)
+    aggs = [
+        F.sum(
+            F.when(F.col(step_col) == F.lit(s), F.col(value_col)).otherwise(F.lit(0))
+        ).alias(f"_x{i}")
+        for i, s in enumerate(steps)
+    ]
+    cur = df.groupBy(*key_cols).agg(*aggs)
+    cur = cur.select(
+        *key_cols, *[F.col(f"_x{i}").cast("double").alias(f"_x{i}") for i in range(T)]
+    )
+    nd = F.when(F.col("_x0") > 0, 1).otherwise(0)
+    for t in range(1, T):
+        nd = nd + F.when(F.col(f"_x{t}") > 0, 1).otherwise(0)
+    cur = cur.withColumn("_nd", nd.cast("long"))
+    # step 0
+    cur = (
+        cur.withColumn("_seen0", F.col("_x0") > 0)
+        .withColumn("_z0", F.when(F.col("_x0") > 0, F.col("_x0")))
+        .withColumn("_p0", F.when(F.col("_x0") > 0, F.lit(1.0)))
+        .withColumn("_c0", F.when(F.col("_x0") > 0, F.lit(0)).otherwise(F.lit(1)))
+    )
+    for t in range(1, T):
+        x = F.col(f"_x{t}")
+        seen_p, z_p, p_p, c_p = (
+            F.col(f"_seen{t-1}"), F.col(f"_z{t-1}"),
+            F.col(f"_p{t-1}"), F.col(f"_c{t-1}"),
+        )
+        cur = (
+            cur.withColumn(f"_seen{t}", seen_p | (x > 0))
+            .withColumn(
+                f"_z{t}",
+                F.when(
+                    x > 0,
+                    F.when(seen_p, F.lit(a) * x + F.lit(1.0 - a) * z_p).otherwise(x),
+                ).otherwise(z_p),
+            )
+            .withColumn(
+                f"_p{t}",
+                F.when(
+                    x > 0,
+                    F.when(
+                        seen_p,
+                        F.lit(a) * (c_p + F.lit(1)).cast("double")
+                        + F.lit(1.0 - a) * p_p,
+                    ).otherwise(F.lit(float(t + 1))),
+                ).otherwise(p_p),
+            )
+            .withColumn(
+                f"_c{t}", F.when(x > 0, F.lit(0)).otherwise(c_p + F.lit(1))
+            )
+        )
+    zf, pf = F.col(f"_z{T-1}"), F.col(f"_p{T-1}")
+    return cur.select(
+        *key_cols,
+        F.lit(T).cast("long").alias("n_steps"),
+        F.col("_nd").alias("n_demand_steps"),
+        F.round(zf, 6).alias("z_final"),
+        F.round(pf, 6).alias("p_final"),
+        F.round(F.when(pf > 0, zf / pf), 6).alias("croston_forecast"),
+    )
+
+
+def croston_oracle_sql(
+    base_cte: str,
+    key_expr: str,
+    step_expr: str,
+    value_expr: str,
+    steps: Sequence[str],
+    alpha: float = 0.1,
+    key_name: str = "k",
+) -> str:
+    """DuckDB mirror of :func:`croston_method`, generated by the SAME
+    unrolling loop (identical double expression shapes)."""
+    T = len(steps)
+    a = float(alpha)
+    xs = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN {step_expr} = '{s}' THEN {value_expr} ELSE 0 END), 0) AS DOUBLE) AS x{i}"
+        for i, s in enumerate(steps)
+    )
+    nd = " + ".join(f"CASE WHEN x{t} > 0 THEN 1 ELSE 0 END" for t in range(T))
+    ctes = [
+        f"base AS ({base_cte})",
+        f"wide AS (SELECT {key_expr} AS {key_name}, {xs} FROM base GROUP BY 1)",
+        (
+            "s0 AS (SELECT *, "
+            f"CAST({nd} AS BIGINT) AS nd, "
+            "x0 > 0 AS seen0, "
+            "CASE WHEN x0 > 0 THEN x0 END AS z0, "
+            "CASE WHEN x0 > 0 THEN 1.0 END AS p0, "
+            "CASE WHEN x0 > 0 THEN 0 ELSE 1 END AS c0 FROM wide)"
+        ),
+    ]
+    for t in range(1, T):
+        ctes.append(
+            f"s{t} AS (SELECT *, "
+            f"(seen{t-1} OR x{t} > 0) AS seen{t}, "
+            f"CASE WHEN x{t} > 0 THEN (CASE WHEN seen{t-1} THEN {a} * x{t} + {1.0 - a} * z{t-1} ELSE x{t} END) ELSE z{t-1} END AS z{t}, "
+            f"CASE WHEN x{t} > 0 THEN (CASE WHEN seen{t-1} THEN {a} * CAST(c{t-1} + 1 AS DOUBLE) + {1.0 - a} * p{t-1} ELSE {float(t + 1)} END) ELSE p{t-1} END AS p{t}, "
+            f"CASE WHEN x{t} > 0 THEN 0 ELSE c{t-1} + 1 END AS c{t} "
+            f"FROM s{t-1})"
+        )
+    final = (
+        f"SELECT {key_name}, CAST({T} AS BIGINT) AS n_steps, nd AS n_demand_steps, "
+        f"round(z{T-1}, 6) AS z_final, round(p{T-1}, 6) AS p_final, "
+        f"round(CASE WHEN p{T-1} > 0 THEN z{T-1} / p{T-1} END, 6) AS croston_forecast "
+        f"FROM s{T-1}"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final

@@ -659,3 +659,48 @@ def iceberg_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price").cast("double").alias("price"),
         "status",
     )
+
+
+# ---------------------------------------------------------------------------
+# Croston's intermittent-demand method (operators/trend.py::croston_
+# method): sparse daily error-event demand per user cohort — the
+# zero-heavy series shape Holt mishandles. The oracle is generated by the
+# SAME unrolling loop (croston_oracle_sql), the holt/cusum discipline.
+# ---------------------------------------------------------------------------
+
+_CROSTON_STEPS = [f"{d:02d}" for d in range(1, 29)]
+
+
+def _croston_oracle() -> str:
+    from ..operators.trend import croston_oracle_sql
+
+    return croston_oracle_sql(
+        base_cte=(
+            "SELECT CAST(user_id % 5 AS BIGINT) AS cohort, "
+            "strftime(ts, '%d') AS d, "
+            "CAST(round(value, 2) AS DECIMAL(14,2)) AS v "
+            "FROM events WHERE event_type = 'error' AND user_id % 23 = 0"
+        ),
+        key_expr="cohort",
+        step_expr="d",
+        value_expr="v",
+        steps=_CROSTON_STEPS,
+        alpha=0.1,
+        key_name="cohort",
+    )
+
+
+@register("croston_error_demand", oracle=_croston_oracle(), tags=("trend", "A11"))
+def croston_error_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import croston_method
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "error") & (F.col("user_id") % 23 == 0))
+        .select(
+            (F.col("user_id") % 5).cast("long").alias("cohort"),
+            F.date_format("ts", "dd").alias("d"),
+            F.round("value", 2).cast("decimal(14,2)").alias("v"),
+        )
+    )
+    return croston_method(ev, ["cohort"], "d", "v", _CROSTON_STEPS, alpha=0.1)

@@ -297,3 +297,71 @@ def test_readability_matches_hand_computation(spark):
     assert got[1]["n_words"] == 0 and got[1]["flesch_ease"] is None
     assert got[2]["n_syllables"] == 2  # floor of 1 per vowelless word
     assert got[3]["n_sentences"] == 1  # floor once words exist
+
+
+# ---------------------------------------------------------------------------
+# Croston's method
+# ---------------------------------------------------------------------------
+
+
+def _croston_reference(series, alpha=0.1):
+    """series: demand per step (zeros included). Returns (nd, z, p, fc)."""
+    seen = False
+    z = p = None
+    c = None
+    for t, x in enumerate(series):
+        if x > 0:
+            if seen:
+                z = alpha * x + (1 - alpha) * z
+                p = alpha * (c + 1) + (1 - alpha) * p
+            else:
+                z, p, seen = x, float(t + 1), True
+            c = 0
+        else:
+            c = (c if c is not None else 0) + 1
+    nd = sum(1 for x in series if x > 0)
+    fc = None if not seen or p <= 0 else round(z / p, 6)
+    return (nd, round(z, 6) if z is not None else None,
+            round(p, 6) if p is not None else None, fc)
+
+
+def test_croston_matches_python_reference(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import croston_method
+
+    steps = [f"{i:02d}" for i in range(1, 15)]
+    series = {
+        "a": [0, 0, 5, 0, 0, 0, 3, 0, 4, 0, 0, 6, 0, 0],  # intermittent
+        "b": [2, 4, 1, 3, 2, 4, 1, 3, 2, 4, 1, 3, 2, 4],  # dense
+        "c": [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 7, 0],  # one demand
+        "z": [0] * 14,  # never any demand: NULL state
+    }
+    rows = [
+        (k, steps[t], float(x))
+        for k, xs in series.items()
+        for t, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "k string, d string, v double")
+    got = {
+        r["k"]: (r["n_demand_steps"], r["z_final"], r["p_final"], r["croston_forecast"])
+        for r in croston_method(df, ["k"], "d", "v", steps).collect()
+    }
+    for k, xs in series.items():
+        ref = _croston_reference(xs)
+        assert got[k][0] == ref[0], k
+        for gi, ri in zip(got[k][1:], ref[1:]):
+            if ri is None:
+                assert gi is None, k
+            else:
+                assert gi == pytest.approx(ri, abs=2e-6), k
+    # one-demand key: z = the demand, p = its position
+    assert got["c"][1] == 7.0 and got["c"][2] == 13.0
+
+
+def test_croston_validations(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import croston_method
+
+    df = spark.createDataFrame([("a", "01", 1.0)], "k string, d string, v double")
+    with pytest.raises(ValueError, match="two steps"):
+        croston_method(df, ["k"], "d", "v", ["01"])
+    with pytest.raises(ValueError, match="alpha"):
+        croston_method(df, ["k"], "d", "v", ["01", "02"], alpha=1.0)
