@@ -621,3 +621,106 @@ def case_cycle_profile(
             "max_duration_s"
         ),
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    window: int = 7,
+) -> DataFrame:
+    """Exact rolling median over the last ``window`` rows per key — the
+    robust sibling of the WMA/EWMA smoothers (one outlier day drags a
+    mean for the whole window; the median shrugs it off), at the same
+    calendar-grain series contract (feed daily/monthly aggregates, never
+    raw events).
+
+    Shape: ONE keyed sort window collects the trailing ``window`` values
+    into an array (bounded: ``window`` elements per row — this is why
+    the calendar-grain contract matters), sorts it in-expression, and
+    elects the middle by integer order statistics: odd counts take the
+    middle element, even counts average the two middles — the election
+    indices are exact integers, so both engines pick identical elements.
+
+    Determinism: pass an exact (decimal/integral) ``value_col``; the
+    only double is the final middle(-pair average) expression, rounded
+    to 6. ``order_col`` must be unique per key (a step/day index).
+    Returns the series plus (n_in_window, rolling_median)."""
+    if window < 1:
+        raise ValueError("rolling_median needs window >= 1")
+    kcols = [F.col(c) for c in key_cols]
+    w = (
+        Window.partitionBy(*kcols)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(-(int(window) - 1), Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list(F.col(value_col)).over(w))
+    cur = df.withColumn("_arr", arr).withColumn(
+        "_n", F.size("_arr").cast("long")
+    )
+    lo = F.element_at("_arr", ((F.col("_n") + 1) / 2).cast("int"))
+    hi = F.element_at("_arr", (F.col("_n") / 2 + 1).cast("int"))
+    med = F.round((lo.cast("double") + hi.cast("double")) / F.lit(2.0), 6)
+    return cur.select(
+        *key_cols,
+        F.col(order_col),
+        F.col(value_col),
+        F.col("_n").alias("n_in_window"),
+        med.alias("rolling_median"),
+    )
+
+
+def abc_classification(
+    df: DataFrame,
+    item_col: str,
+    value_col: str,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+) -> DataFrame:
+    """ABC / Pareto classification — rank items by value contribution,
+    accumulate the share, and band: 'A' while the running share is
+    within ``a_cut`` (the vital few), 'B' to ``b_cut``, 'C' beyond (the
+    trivial many). The inventory/revenue-concentration companion of the
+    Gini/HHI monitors (they grade the WHOLE distribution; this labels
+    each item).
+
+    Shape: one item-grain rollup (exact decimal sum), then a single
+    global sort window for rank and running share — item grain is
+    metadata-sized next to the fact table (the eval-grain contract).
+    Ties in value break on the item id, so the cumulative share (and
+    therefore the class boundary) is deterministic cross-engine.
+
+    Determinism: sums exact; share/cum_share are fixed-shape doubles
+    rounded to 6; the class CASE compares the ROUNDED cumulative share
+    against literal cuts (same rounded value both engines — comparisons
+    on unrounded doubles at a band edge would be ulp-fragile). Returns
+    (item, total_value, rank, share, cum_share, abc_class)."""
+    if not 0 < a_cut < b_cut < 1:
+        raise ValueError("need 0 < a_cut < b_cut < 1")
+    items = df.groupBy(F.col(item_col).alias("item")).agg(
+        F.sum(F.col(value_col)).alias("_tv")
+    )
+    wrank = Window.orderBy(F.col("_tv").desc(), F.col("item").asc())
+    wcum = wrank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    cur = (
+        items.withColumn("rank", F.row_number().over(wrank).cast("long"))
+        .withColumn("_cum", F.sum("_tv").over(wcum))
+        .withColumn("_all", F.sum("_tv").over(wall))
+    )
+    share = F.round(F.col("_tv").cast("double") / F.col("_all").cast("double"), 6)
+    cum = F.round(F.col("_cum").cast("double") / F.col("_all").cast("double"), 6)
+    cls = (
+        F.when(cum <= F.lit(float(a_cut)), F.lit("A"))
+        .when(cum <= F.lit(float(b_cut)), F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return cur.select(
+        "item",
+        F.col("_tv").cast("double").alias("total_value"),
+        "rank",
+        share.alias("share"),
+        cum.alias("cum_share"),
+        cls.alias("abc_class"),
+    )

@@ -704,3 +704,98 @@ def croston_error_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return croston_method(ev, ["cohort"], "d", "v", _CROSTON_STEPS, alpha=0.1)
+
+
+# ---------------------------------------------------------------------------
+# Exact rolling median (operators/windows.py::rolling_median): 7-day
+# trailing median of daily event value per type — the robust smoother
+# next to WMA/EWMA; integer order-statistic election keeps both engines
+# on identical elements.
+# ---------------------------------------------------------------------------
+
+_ROLLMED_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS k, CAST(strftime(ts, '%d') AS BIGINT) AS d,
+         sum(CAST(round(value, 2) AS DECIMAL(14,2))) AS v
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT k, d, v,
+    list_sort(list(v) OVER (PARTITION BY k ORDER BY d ASC
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+  FROM daily
+), sized AS (
+  SELECT k, d, v, arr, CAST(len(arr) AS BIGINT) AS n FROM win
+)
+SELECT k AS event_type, d, CAST(v AS DOUBLE) AS v,
+       n AS n_in_window,
+       round((CAST(arr[CAST((n + 1) // 2 AS INT)] AS DOUBLE)
+            + CAST(arr[CAST(n // 2 + 1 AS INT)] AS DOUBLE)) / 2.0, 6)
+         AS rolling_median
+FROM sized
+"""
+
+
+@register("rolling_median_event_values", oracle=_ROLLMED_ORACLE, tags=("W4", "trend"))
+def rolling_median_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import rolling_median
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("k"),
+            F.date_format("ts", "dd").cast("long").alias("d"),
+        )
+        .agg(F.sum(F.round("value", 2).cast("decimal(14,2)")).alias("v"))
+    )
+    return rolling_median(daily, ["k"], "d", "v", window=7).select(
+        F.col("k").alias("event_type"),
+        "d",
+        F.col("v").cast("double").alias("v"),
+        "n_in_window",
+        "rolling_median",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification (operators/windows.py::abc_classification):
+# parts banded by revenue contribution (A to 80%, B to 95%, C beyond) —
+# class CASE compares the ROUNDED cumulative share so band edges are not
+# ulp-fragile.
+# ---------------------------------------------------------------------------
+
+_ABC_ORACLE = """
+WITH items AS (
+  SELECT l_partkey AS item,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1 - l_discount AS DECIMAL(8,4))) AS tv
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT item, tv,
+    CAST(row_number() OVER (ORDER BY tv DESC, item ASC) AS BIGINT) AS rank,
+    sum(tv) OVER (ORDER BY tv DESC, item ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(tv) OVER () AS total
+  FROM items
+)
+SELECT item, CAST(tv AS DOUBLE) AS total_value, rank,
+  round(CAST(tv AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
+  CASE WHEN round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) <= 0.8 THEN 'A'
+       WHEN round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) <= 0.95 THEN 'B'
+       ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+@register("abc_parts_by_revenue", oracle=_ABC_ORACLE, tags=("O6", "A5"))
+def abc_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import abc_classification
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("item"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+        ).alias("rev"),
+    )
+    return abc_classification(li, "item", "rev")

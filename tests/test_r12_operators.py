@@ -365,3 +365,43 @@ def test_croston_validations(spark):
         croston_method(df, ["k"], "d", "v", ["01"])
     with pytest.raises(ValueError, match="alpha"):
         croston_method(df, ["k"], "d", "v", ["01", "02"], alpha=1.0)
+
+
+# ---------------------------------------------------------------------------
+# Rolling median + ABC classification
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_median_matches_python(spark):
+    from telecom_dataengineering_pipeline_spark.operators.windows import rolling_median
+
+    vals = [5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 4.0]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "k string, d int, v double"
+    )
+    got = {r["d"]: (r["n_in_window"], r["rolling_median"]) for r in
+           rolling_median(df, ["k"], "d", "v", window=3).collect()}
+    import statistics
+    for i in range(len(vals)):
+        w = vals[max(0, i - 2): i + 1]
+        assert got[i] == (len(w), round(statistics.median(w), 6)), i
+    with pytest.raises(ValueError, match="window"):
+        rolling_median(df, ["k"], "d", "v", window=0)
+
+
+def test_abc_classification_bands_and_shares(spark):
+    from telecom_dataengineering_pipeline_spark.operators.windows import (
+        abc_classification,
+    )
+
+    # one dominant item (70%), one mid (20%), two small (5% each)
+    rows = [("big", 70.0), ("mid", 20.0), ("s1", 5.0), ("s2", 5.0)]
+    df = spark.createDataFrame(rows, "item string, v double")
+    got = {r["item"]: r for r in abc_classification(df, "item", "v").collect()}
+    assert got["big"]["abc_class"] == "A" and got["big"]["cum_share"] == 0.7
+    assert got["mid"]["abc_class"] == "B" and got["mid"]["cum_share"] == 0.9
+    assert got["s1"]["abc_class"] == "B"  # cum 0.95 <= b_cut
+    assert got["s2"]["abc_class"] == "C" and got["s2"]["rank"] == 4
+    assert sum(r["share"] for r in got.values()) == pytest.approx(1.0, abs=1e-6)
+    with pytest.raises(ValueError, match="a_cut"):
+        abc_classification(df, "item", "v", a_cut=0.9, b_cut=0.5)
