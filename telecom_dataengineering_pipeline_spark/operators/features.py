@@ -764,3 +764,75 @@ def cuped_adjusted_means(
             F.when(has_var & ok_t & (var_y != 0), F.lit(1.0) - var_adj / var_y), 6
         ).alias("var_reduction"),
     )
+
+
+def impute_group_stats(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    strategy: str = "median",
+    out_col: str = "value_imputed",
+) -> DataFrame:
+    """Group-wise missing-value imputation — the feature-engineering
+    staple before any model sees the table: NULLs in ``value_col`` fill
+    with the group's mean or EXACT median (never a sketch), and
+    ``was_imputed`` marks the filled rows for downstream audits.
+
+    Scale shape (median): no per-group array collect — group sizes are
+    unbounded. The non-null rows rank inside one keyed sort window
+    (value, then a stable in-group tiebreak), the two middle ranks elect
+    by integer order statistics ((n+1)//2 and n//2+1 — exact, the
+    qnorm/rolling-median discipline), and the per-key middle average
+    joins back as a metadata-sized relation. Mean is one exact
+    decimal-sum aggregate. Either way: one extra key-grain join, the
+    fact table scans once per branch off a lineage cut.
+
+    Determinism: elections are integer-exact on exact-typed inputs (cast
+    ``value_col`` to a decimal upstream); the fill value is one
+    fixed-shape double rounded to 6. Groups that are entirely NULL stay
+    NULL (``was_imputed`` false — nothing to borrow). Returns the input
+    plus (out_col, was_imputed)."""
+    if strategy not in ("mean", "median"):
+        raise ValueError("strategy must be 'mean' or 'median'")
+    kcols = [F.col(c) for c in key_cols]
+    base = df.localCheckpoint(eager=False)
+    nn = base.filter(F.col(value_col).isNotNull())
+    if strategy == "mean":
+        fill = nn.groupBy(*kcols).agg(
+            F.round(
+                F.sum(F.col(value_col)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("_fill")
+        )
+    else:
+        wrank = Window.partitionBy(*kcols).orderBy(
+            F.col(value_col).asc(), *[F.col(c).asc() for c in key_cols]
+        )
+        wn = Window.partitionBy(*kcols)
+        ranked = nn.withColumn("_rk", F.row_number().over(wrank).cast("long")).withColumn(
+            "_n", F.count(F.lit(1)).over(wn).cast("long")
+        )
+        lo = ((F.col("_n") + 1) / 2).cast("long")
+        hi = (F.col("_n") / 2 + 1).cast("long")
+        fill = (
+            ranked.filter((F.col("_rk") == lo) | (F.col("_rk") == hi))
+            .groupBy(*kcols)
+            .agg(
+                F.round(
+                    F.sum(F.col(value_col)).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                ).alias("_fill")
+            )
+        )
+    out = base.join(fill, list(key_cols), "left")
+    missing = F.col(value_col).isNull()
+    return out.withColumn(
+        out_col,
+        F.when(missing, F.col("_fill")).otherwise(
+            F.round(F.col(value_col).cast("double"), 6)
+        ),
+    ).withColumn(
+        "was_imputed", missing & F.col("_fill").isNotNull()
+    ).drop("_fill")

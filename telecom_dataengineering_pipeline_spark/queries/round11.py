@@ -799,3 +799,51 @@ def abc_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rev"),
     )
     return abc_classification(li, "item", "rev")
+
+
+# ---------------------------------------------------------------------------
+# Group-wise median imputation (operators/features.py::impute_group_
+# stats): NULLs injected deterministically (event_id % 13 — the injected-
+# twin pattern, since the synthetic tables carry no NULLs), filled with
+# the group's EXACT rank-elected median.
+# ---------------------------------------------------------------------------
+
+_IMPUTE_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN NULL
+              ELSE CAST(round(value, 2) AS DECIMAL(14,2)) END AS v
+  FROM events
+), nn AS (
+  SELECT event_type, v,
+    CAST(row_number() OVER (PARTITION BY event_type ORDER BY v ASC) AS BIGINT) AS rk,
+    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM base WHERE v IS NOT NULL
+), fill AS (
+  SELECT event_type,
+    round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS f
+  FROM nn WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1
+  GROUP BY 1
+)
+SELECT b.event_id, b.event_type,
+  CASE WHEN b.v IS NULL THEN fill.f ELSE round(CAST(b.v AS DOUBLE), 6) END
+    AS value_imputed,
+  (b.v IS NULL AND fill.f IS NOT NULL) AS was_imputed
+FROM base b LEFT JOIN fill USING (event_type)
+"""
+
+
+@register("impute_event_values_median", oracle=_IMPUTE_ORACLE, tags=("eval", "DQ"))
+def impute_event_values_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import impute_group_stats
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 13 == 0, F.lit(None)
+        ).otherwise(F.round("value", 2).cast("decimal(14,2)")).alias("v"),
+    )
+    return impute_group_stats(ev, ["event_type"], "v", strategy="median").select(
+        "event_id", "event_type", "value_imputed", "was_imputed"
+    )

@@ -405,3 +405,34 @@ def test_abc_classification_bands_and_shares(spark):
     assert sum(r["share"] for r in got.values()) == pytest.approx(1.0, abs=1e-6)
     with pytest.raises(ValueError, match="a_cut"):
         abc_classification(df, "item", "v", a_cut=0.9, b_cut=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Group imputation
+# ---------------------------------------------------------------------------
+
+
+def test_impute_median_and_mean(spark):
+    from telecom_dataengineering_pipeline_spark.operators.features import (
+        impute_group_stats,
+    )
+
+    rows = [
+        ("a", 1, 1.0), ("a", 2, 3.0), ("a", 3, 9.0), ("a", 4, None),  # odd n -> 3.0
+        ("b", 5, 2.0), ("b", 6, 4.0), ("b", 7, None),  # even n -> 3.0
+        ("c", 8, None), ("c", 9, None),  # all-null group: stays NULL
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    med = {r["id"]: (r["value_imputed"], r["was_imputed"]) for r in
+           impute_group_stats(df, ["k"], "v", strategy="median").collect()}
+    assert med[4] == (3.0, True)
+    assert med[7] == (3.0, True)
+    assert med[1] == (1.0, False)
+    assert med[8] == (None, False) and med[9] == (None, False)
+
+    mean = {r["id"]: r["value_imputed"] for r in
+            impute_group_stats(df, ["k"], "v", strategy="mean").collect()}
+    assert mean[4] == pytest.approx((1 + 3 + 9) / 3, abs=1e-6)
+
+    with pytest.raises(ValueError, match="strategy"):
+        impute_group_stats(df, ["k"], "v", strategy="mode")
