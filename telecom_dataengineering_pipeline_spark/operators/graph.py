@@ -810,3 +810,97 @@ def local_clustering_coefficient(
         F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
         cc.alias("cc"),
     )
+
+
+def bellman_ford_distance(
+    edges: DataFrame,
+    source_nodes: Sequence[int],
+    rounds: int = 6,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths — Bellman–Ford relaxation
+    bounded to ``rounds`` edges, the weighted upgrade of
+    :func:`bfs_hop_distance` (hops treat every edge as 1; real routing /
+    affinity costs do not). ``edges`` is (src, dst, w) with INTEGRAL
+    non-negative weights — integer sums keep every candidate distance
+    and min-election exact, the graph tier's fixed-point discipline.
+    Directed as given; union reverse edges for undirected graphs.
+
+    Scale shape: SPFA-style frontier — round r relaxes OUT of the nodes
+    whose distance improved in round r−1 only (provably equal to full
+    per-round relaxation: every shortest ≤r-edge path improves through
+    an improved prefix), so settled regions leave the shuffle early;
+    per-round lazy localCheckpoints keep plan growth linear. After R
+    rounds the result is EXACTLY "shortest distance using at most R
+    edges" — a deterministic object the oracle unrolls to, converged or
+    not (the k-core lesson: never trust convergence, pin the round
+    count).
+
+    Returns (node, dist) for nodes within ``rounds`` edges of the seed
+    set (seeds at 0). Negative weights are rejected."""
+    if rounds < 1:
+        raise ValueError("bellman_ford_distance needs rounds >= 1")
+    sources = list(source_nodes)
+    if not sources:
+        raise ValueError("bellman_ford_distance needs a non-empty seed set")
+    e = edges.select(
+        "src", "dst", F.col("w").cast("long").alias("w")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = (
+        nodes.filter(F.col("node").isin(sources))
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist
+    for _ in range(rounds):
+        cand = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        prev = dist.select(F.col("node"), F.col("dist").alias("_old"))
+        improved = (
+            cand.join(prev, "node", "left")
+            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("node", "dist")
+            .localCheckpoint(eager=False)
+        )
+        dist = (
+            dist.unionAll(improved)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        frontier = improved
+    return dist
+
+
+def bellman_ford_oracle_sql(
+    edges_cte: str, seeds_sql: str, rounds: int = 6
+) -> str:
+    """DuckDB mirror of :func:`bellman_ford_distance`: full per-round
+    relaxation unrolled to the SAME round count (provably equal to the
+    frontier form round-by-round). ``edges_cte`` must expose
+    (src, dst, w); ``seeds_sql`` a relation of seed nodes (node)."""
+    ctes = [
+        f"e AS ({edges_cte})",
+        f"d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM ({seeds_sql}) "
+        "WHERE node IN (SELECT src FROM e UNION SELECT dst FROM e))",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"d{r} AS (SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{r-1} "
+            f"UNION ALL "
+            f"SELECT e.dst AS node, d.dist + e.w AS dist "
+            f"FROM d{r-1} d JOIN e ON e.src = d.node) GROUP BY 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, dist FROM d{rounds}"
+    )

@@ -847,3 +847,92 @@ def impute_event_values_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return impute_group_stats(ev, ["event_type"], "v", strategy="median").select(
         "event_id", "event_type", "value_imputed", "was_imputed"
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest paths (operators/graph.py::bellman_ford_distance) on
+# the capped co-purchase graph with integer affinity costs
+# w = 1000 // pair_count + 1 (strong co-purchase = cheap edge). Seeds =
+# the 3 smallest node ids (bounded seed discovery, the ppr/closeness
+# discipline); 6 relaxation rounds pinned on BOTH sides — the oracle is
+# unrolled by bellman_ford_oracle_sql, converged or not.
+# ---------------------------------------------------------------------------
+
+_BF_EDGES_CTE = """
+SELECT u AS src, v AS dst, CAST(1000 // pc + 1 AS BIGINT) AS w FROM (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(count(*) AS BIGINT) AS pc
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey IN (
+    SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    GROUP BY 1 HAVING count(*) <= 25)
+  GROUP BY 1, 2
+)
+UNION ALL
+SELECT v, u, CAST(1000 // pc + 1 AS BIGINT) FROM (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(count(*) AS BIGINT) AS pc
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey IN (
+    SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    GROUP BY 1 HAVING count(*) <= 25)
+  GROUP BY 1, 2
+)
+"""
+
+
+def _bf_oracle() -> str:
+    from ..operators.graph import bellman_ford_oracle_sql
+
+    return bellman_ford_oracle_sql(
+        edges_cte=_BF_EDGES_CTE,
+        seeds_sql=(
+            "SELECT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) "
+            "ORDER BY node LIMIT 3"
+        ),
+        rounds=6,
+    )
+
+
+@register("sssp_copurchase_costs", oracle=_bf_oracle(), tags=("LLM", "graph"))
+def sssp_copurchase_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bellman_ford_distance
+
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= 25)
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(parts, (x, i) -> "
+                        "transform(slice(parts, i + 2, size(parts)), "
+                        "y -> struct(x AS u, y AS v)))"
+                    )
+                )
+            ).alias("uv")
+        )
+        .groupBy(F.col("uv.u").alias("u"), F.col("uv.v").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("pc"))
+    )
+    w = (F.lit(1000) / F.col("pc")).cast("long") + 1  # 1000 // pc + 1
+    directed = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), w.alias("w")
+    ).unionAll(
+        pairs.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"), w.alias("w")
+        )
+    )
+    # bounded seed discovery: the 3 smallest node ids (same rule as the
+    # oracle's ORDER BY node LIMIT 3)
+    nodes = directed.select(F.col("src").alias("node")).unionAll(
+        directed.select(F.col("dst").alias("node"))
+    ).distinct()
+    seeds = [r["node"] for r in nodes.orderBy("node").limit(3).collect()]
+    return bellman_ford_distance(directed, seeds, rounds=6)

@@ -436,3 +436,59 @@ def test_impute_median_and_mean(spark):
 
     with pytest.raises(ValueError, match="strategy"):
         impute_group_stats(df, ["k"], "v", strategy="mode")
+
+
+# ---------------------------------------------------------------------------
+# Bellman-Ford weighted shortest paths
+# ---------------------------------------------------------------------------
+
+
+def test_bellman_ford_matches_dijkstra_reference(spark):
+    from telecom_dataengineering_pipeline_spark.operators.graph import (
+        bellman_ford_distance,
+    )
+
+    # weighted graph where the cheapest path is NOT the fewest-hop path:
+    # 0->3 direct costs 10; 0->1->2->3 costs 3
+    edges = [
+        (0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 10),
+        (3, 4, 2), (1, 4, 9), (5, 6, 1),  # 5-6 unreachable from 0
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["node"]: r["dist"] for r in bellman_ford_distance(df, [0], rounds=6).collect()}
+    # dijkstra reference
+    import heapq
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = du + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    assert got == dist
+    assert got[3] == 3 and 5 not in got and 6 not in got
+
+
+def test_bellman_ford_round_bound_is_exact_contract(spark):
+    from telecom_dataengineering_pipeline_spark.operators.graph import (
+        bellman_ford_distance,
+    )
+
+    # a chain 0->1->2->3 (w=1 each) with a 1-round budget reaches only
+    # node 1: "shortest using <= R edges" is the pinned object
+    df = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1)], "src long, dst long, w long"
+    )
+    got = {r["node"]: r["dist"] for r in bellman_ford_distance(df, [0], rounds=1).collect()}
+    assert got == {0: 0, 1: 1}
+    with pytest.raises(ValueError, match="rounds"):
+        bellman_ford_distance(df, [0], rounds=0)
+    with pytest.raises(ValueError, match="seed"):
+        bellman_ford_distance(df, [], rounds=2)
