@@ -886,15 +886,21 @@ def bellman_ford_oracle_sql(
     """DuckDB mirror of :func:`bellman_ford_distance`: full per-round
     relaxation unrolled to the SAME round count (provably equal to the
     frontier form round-by-round). ``edges_cte`` must expose
-    (src, dst, w); ``seeds_sql`` a relation of seed nodes (node)."""
+    (src, dst, w); ``seeds_sql`` a relation of seed nodes (node).
+
+    Every CTE is ``AS MATERIALIZED``: DuckDB inlines CTEs by default, so
+    an un-materialized edge relation would RE-RUN its (possibly heavy)
+    derivation inside every one of the ``rounds`` relaxation joins — at
+    sf0.1 the inlined co-purchase self-join spilled >50 GB before the
+    hint; materialized, each relation computes once."""
     ctes = [
-        f"e AS ({edges_cte})",
-        f"d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM ({seeds_sql}) "
+        f"e AS MATERIALIZED ({edges_cte})",
+        f"d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM ({seeds_sql}) "
         "WHERE node IN (SELECT src FROM e UNION SELECT dst FROM e))",
     ]
     for r in range(1, rounds + 1):
         ctes.append(
-            f"d{r} AS (SELECT node, min(dist) AS dist FROM ("
+            f"d{r} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM ("
             f"SELECT node, dist FROM d{r-1} "
             f"UNION ALL "
             f"SELECT e.dst AS node, d.dist + e.w AS dist "

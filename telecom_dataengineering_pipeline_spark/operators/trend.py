@@ -1653,3 +1653,92 @@ def croston_oracle_sql(
         f"FROM s{T-1}"
     )
     return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+def seasonal_decompose_additive(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    t_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classic additive seasonal decomposition (the statsmodels
+    ``seasonal_decompose`` shape): trend = centered ``period``-point
+    moving average (defined only where the full window exists),
+    seasonal = the phase-mean of the detrended series re-centered to
+    sum 0 over one period, residual = x − trend − seasonal. The
+    decompose view behind :func:`seasonal_index` (which reports the
+    seasonal profile alone) and the input convention for
+    seasonal-anomaly monitors (alert on |residual|).
+
+    Scale/determinism shape: calendar-grain series contract (``t_col``
+    an integral step index unique per key; ``value_col`` EXACT). Trend
+    is an exact decimal window sum divided once; the detrended values
+    are doubles, so the phase means use ROUND-THEN-DECIMAL folding
+    (9 dp) — the order-independent recipe — as does the re-centering
+    mean over the ``period`` phase values. One keyed sort window + one
+    phase-grain aggregate + one metadata-sized join back; the series
+    base is lineage-cut so the branches scan one materialization.
+
+    Returns one row per input row: (*key_cols, t, x, phase, trend,
+    seasonal, residual); trend/residual NULL at the edges (incomplete
+    window), seasonal NULL only if the key has NO complete window.
+    ``period`` must be odd (centered window) and >= 3."""
+    if period < 3 or period % 2 == 0:
+        raise ValueError("seasonal_decompose_additive needs an odd period >= 3")
+    half = period // 2
+    kcols = [F.col(c) for c in key_cols]
+    base = df.select(
+        *kcols,
+        F.col(t_col).cast("long").alias("t"),
+        F.col(value_col).alias("_v"),
+    ).localCheckpoint(eager=False)
+    w = (
+        Window.partitionBy(*kcols)
+        .orderBy(F.col("t").asc())
+        .rowsBetween(-half, half)
+    )
+    cur = base.withColumn("_wn", F.count(F.lit(1)).over(w)).withColumn(
+        "_ws", F.sum("_v").over(w)
+    )
+    trend = F.when(
+        F.col("_wn") == period,
+        F.col("_ws").cast("double") / F.lit(float(period)),
+    )
+    cur = cur.withColumn("trend", trend).withColumn(
+        "phase", (F.col("t") % period).cast("int")
+    )
+    det = F.when(
+        F.col("trend").isNotNull(),
+        F.round(F.col("_v").cast("double") - F.col("trend"), 9).cast("decimal(28,9)"),
+    )
+    cur = cur.withColumn("_det", det).localCheckpoint(eager=False)
+    phase_means = (
+        cur.filter(F.col("_det").isNotNull())
+        .groupBy(*kcols, "phase")
+        .agg(
+            (F.sum("_det").cast("double") / F.count(F.lit(1)).cast("double")).alias("_pm")
+        )
+    )
+    wkey = Window.partitionBy(*kcols)
+    centered = phase_means.withColumn(
+        "_gm",
+        F.sum(F.round(F.col("_pm"), 9).cast("decimal(28,9)")).over(wkey).cast("double")
+        / F.count(F.lit(1)).over(wkey).cast("double"),
+    ).select(
+        *kcols, "phase", F.round(F.col("_pm") - F.col("_gm"), 9).alias("seasonal")
+    )
+    out = cur.join(centered, [*key_cols, "phase"], "left")
+    resid = F.when(
+        F.col("trend").isNotNull() & F.col("seasonal").isNotNull(),
+        F.round(F.col("_v").cast("double") - F.col("trend") - F.col("seasonal"), 6),
+    )
+    return out.select(
+        *key_cols,
+        "t",
+        F.col("_v").cast("double").alias("x"),
+        "phase",
+        F.round(F.col("trend"), 6).alias("trend"),
+        F.round(F.col("seasonal"), 6).alias("seasonal"),
+        resid.alias("residual"),
+    )

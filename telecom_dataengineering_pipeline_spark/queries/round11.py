@@ -936,3 +936,63 @@ def sssp_copurchase_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     seeds = [r["node"] for r in nodes.orderBy("node").limit(3).collect()]
     return bellman_ford_distance(directed, seeds, rounds=6)
+
+
+# ---------------------------------------------------------------------------
+# Additive seasonal decomposition (operators/trend.py::seasonal_
+# decompose_additive): daily event value per type, weekly period —
+# centered-MA trend, re-centered phase-mean seasonal, residual. Phase
+# means fold detrended doubles round-then-decimal (order-independent).
+# ---------------------------------------------------------------------------
+
+_DECOMP_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS k, CAST(strftime(ts, '%d') AS BIGINT) AS t,
+         sum(CAST(round(value, 2) AS DECIMAL(14,2))) AS v
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT k, t, v,
+    CAST(count(*) OVER win AS BIGINT) AS wn,
+    sum(v) OVER win AS ws,
+    CAST(t % 7 AS INT) AS phase
+  FROM daily
+  WINDOW win AS (PARTITION BY k ORDER BY t ASC ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), tr AS (
+  SELECT *, CASE WHEN wn = 7 THEN CAST(ws AS DOUBLE) / 7.0 END AS trend FROM w
+), det AS (
+  SELECT *, CASE WHEN trend IS NOT NULL
+    THEN CAST(round(CAST(v AS DOUBLE) - trend, 9) AS DECIMAL(28,9)) END AS d
+  FROM tr
+), pm AS (
+  SELECT k, phase, CAST(sum(d) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pm
+  FROM det WHERE d IS NOT NULL GROUP BY 1, 2
+), ctr AS (
+  SELECT k, phase,
+    round(pm - CAST(sum(CAST(round(pm, 9) AS DECIMAL(28,9))) OVER (PARTITION BY k) AS DOUBLE)
+               / CAST(count(*) OVER (PARTITION BY k) AS DOUBLE), 9) AS seasonal
+  FROM pm
+)
+SELECT det.k AS event_type, det.t, CAST(det.v AS DOUBLE) AS x, det.phase,
+  round(det.trend, 6) AS trend,
+  round(ctr.seasonal, 6) AS seasonal,
+  CASE WHEN det.trend IS NOT NULL AND ctr.seasonal IS NOT NULL
+    THEN round(CAST(det.v AS DOUBLE) - det.trend - ctr.seasonal, 6) END AS residual
+FROM det LEFT JOIN ctr ON ctr.k = det.k AND ctr.phase = det.phase
+"""
+
+
+@register("seasonal_decompose_event_values", oracle=_DECOMP_ORACLE, tags=("trend", "A11"))
+def seasonal_decompose_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import seasonal_decompose_additive
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("k"),
+            F.date_format("ts", "dd").cast("long").alias("t"),
+        )
+        .agg(F.sum(F.round("value", 2).cast("decimal(14,2)")).alias("v"))
+    )
+    return seasonal_decompose_additive(daily, ["k"], "t", "v", period=7).select(
+        F.col("k").alias("event_type"), "t", "x", "phase", "trend", "seasonal", "residual"
+    )

@@ -492,3 +492,48 @@ def test_bellman_ford_round_bound_is_exact_contract(spark):
         bellman_ford_distance(df, [0], rounds=0)
     with pytest.raises(ValueError, match="seed"):
         bellman_ford_distance(df, [], rounds=2)
+
+
+# ---------------------------------------------------------------------------
+# Additive seasonal decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decompose_recovers_planted_components(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import (
+        seasonal_decompose_additive,
+    )
+
+    # x = linear trend + weekly seasonal (sums to 0) + tiny residual
+    seasonal = [3.0, -1.0, 2.0, -4.0, 1.0, 0.0, -1.0]
+    rows = [
+        ("k", t, 100.0 + 2.0 * t + seasonal[t % 7])
+        for t in range(28)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {r["t"]: r for r in
+           seasonal_decompose_additive(df, ["k"], "t", "v", period=7).collect()}
+    assert len(got) == 28
+    # edges: first/last 3 points have no full window
+    for t in (0, 1, 2, 25, 26, 27):
+        assert got[t]["trend"] is None and got[t]["residual"] is None
+    # interior: centered MA of a linear trend is exact; seasonal sums to
+    # 0 by construction so phase means recover the planted values
+    for t in range(3, 25):
+        assert got[t]["trend"] == pytest.approx(100.0 + 2.0 * t, abs=1e-6), t
+        assert got[t]["seasonal"] == pytest.approx(seasonal[t % 7], abs=1e-6), t
+        assert got[t]["residual"] == pytest.approx(0.0, abs=1e-6), t
+    # reconstruction identity where defined
+    for t in range(3, 25):
+        r = got[t]
+        assert r["x"] == pytest.approx(r["trend"] + r["seasonal"] + r["residual"], abs=5e-6)
+
+
+def test_seasonal_decompose_validates_period(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import (
+        seasonal_decompose_additive,
+    )
+
+    df = spark.createDataFrame([("k", 1, 1.0)], "k string, t int, v double")
+    with pytest.raises(ValueError, match="odd period"):
+        seasonal_decompose_additive(df, ["k"], "t", "v", period=6)
