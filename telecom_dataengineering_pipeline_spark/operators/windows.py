@@ -724,3 +724,69 @@ def abc_classification(
         cum.alias("cum_share"),
         cls.alias("abc_class"),
     )
+
+
+def growth_accounting(
+    df: DataFrame,
+    user_col: str,
+    step_col: str,
+) -> DataFrame:
+    """Daily growth accounting (the Social-Capital/a16z framework): for
+    each step (day/week), split active users into NEW (first activity),
+    RETAINED (also active the previous step), RESURRECTED (inactive the
+    previous step but seen before), and report CHURNED (active the
+    previous step, inactive now) — the decomposition every growth
+    dashboard runs on top of the cohort-retention triangle (which slices
+    by cohort; this slices by state transition). Identity:
+    active(t) = new + retained + resurrected, and
+    active(t) = active(t−1) + new + resurrected − churned.
+
+    Scale shape: one distinct (user, step) projection, ONE user-keyed
+    sort window for lag/first flags, then a step-grain rollup; churn
+    re-enters as each activity row's NEXT-step gap counted onto step+1
+    (no self-join against the calendar). Steps where nothing happened
+    emit no row (callers gap-fill on a spine if they need zeros).
+
+    ``step_col`` must be an integral step index (day number); counts
+    are exact LONGs — nothing to round. Returns (step, active, new_users,
+    retained, resurrected, churned_from_prev)."""
+    ua = df.select(
+        F.col(user_col).alias("u"), F.col(step_col).cast("long").alias("t")
+    ).distinct()
+    w = Window.partitionBy("u").orderBy(F.col("t").asc())
+    flagged = ua.withColumn("_prev", F.lag("t").over(w))
+    state = flagged.select(
+        "t",
+        F.when(F.col("_prev").isNull(), 1).otherwise(0).alias("_new"),
+        F.when(F.col("_prev") == F.col("t") - 1, 1).otherwise(0).alias("_ret"),
+        F.when(
+            F.col("_prev").isNotNull() & (F.col("_prev") < F.col("t") - 1), 1
+        ).otherwise(0).alias("_res"),
+    )
+    active = state.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("active"),
+        F.sum("_new").cast("long").alias("new_users"),
+        F.sum("_ret").cast("long").alias("retained"),
+        F.sum("_res").cast("long").alias("resurrected"),
+    )
+    # churned at step t+1 = active at t whose next activity is not t+1
+    nxt = ua.withColumn("_next", F.lead("t").over(w))
+    churn = (
+        nxt.filter(F.col("_next").isNull() | (F.col("_next") > F.col("t") + 1))
+        .select((F.col("t") + 1).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("churned_from_prev"))
+    )
+    return (
+        active.join(churn, "t", "left")
+        .select(
+            F.col("t").alias("step"),
+            "active",
+            "new_users",
+            "retained",
+            "resurrected",
+            F.coalesce(F.col("churned_from_prev"), F.lit(0)).cast("long").alias(
+                "churned_from_prev"
+            ),
+        )
+    )

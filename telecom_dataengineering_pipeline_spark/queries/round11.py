@@ -996,3 +996,45 @@ def seasonal_decompose_event_values(spark: SparkSession, sf_dir: str) -> DataFra
     return seasonal_decompose_additive(daily, ["k"], "t", "v", period=7).select(
         F.col("k").alias("event_type"), "t", "x", "phase", "trend", "seasonal", "residual"
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting (operators/windows.py::growth_accounting): daily
+# new/retained/resurrected/churned user decomposition over events.
+# ---------------------------------------------------------------------------
+
+_GROWTH_ORACLE = """
+WITH ua AS (
+  SELECT DISTINCT user_id AS u, CAST(strftime(ts, '%d') AS BIGINT) AS t FROM events
+), flagged AS (
+  SELECT t,
+    CASE WHEN lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS is_new,
+    CASE WHEN lag(t) OVER w = t - 1 THEN 1 ELSE 0 END AS is_ret,
+    CASE WHEN lag(t) OVER w IS NOT NULL AND lag(t) OVER w < t - 1 THEN 1 ELSE 0 END AS is_res
+  FROM ua WINDOW w AS (PARTITION BY u ORDER BY t ASC)
+), active AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS active,
+         CAST(sum(is_new) AS BIGINT) AS new_users,
+         CAST(sum(is_ret) AS BIGINT) AS retained,
+         CAST(sum(is_res) AS BIGINT) AS resurrected
+  FROM flagged GROUP BY 1
+), nxt AS (
+  SELECT t, lead(t) OVER (PARTITION BY u ORDER BY t ASC) AS nt FROM ua
+), churn AS (
+  SELECT t + 1 AS t, CAST(count(*) AS BIGINT) AS churned
+  FROM nxt WHERE nt IS NULL OR nt > t + 1 GROUP BY 1
+)
+SELECT active.t AS step, active.active, active.new_users, active.retained,
+       active.resurrected, coalesce(churn.churned, 0) AS churned_from_prev
+FROM active LEFT JOIN churn ON churn.t = active.t
+"""
+
+
+@register("growth_accounting_daily_users", oracle=_GROWTH_ORACLE, tags=("W3", "cohort"))
+def growth_accounting_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import growth_accounting
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_format("ts", "dd").cast("long").alias("d")
+    )
+    return growth_accounting(ev, "user_id", "d")

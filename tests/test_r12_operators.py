@@ -537,3 +537,34 @@ def test_seasonal_decompose_validates_period(spark):
     df = spark.createDataFrame([("k", 1, 1.0)], "k string, t int, v double")
     with pytest.raises(ValueError, match="odd period"):
         seasonal_decompose_additive(df, ["k"], "t", "v", period=6)
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting
+# ---------------------------------------------------------------------------
+
+
+def test_growth_accounting_states_and_identities(spark):
+    from telecom_dataengineering_pipeline_spark.operators.windows import (
+        growth_accounting,
+    )
+
+    # u1: days 1,2,4 (new@1, retained@2, churn onto 3, resurrected@4)
+    # u2: day 2 only (new@2, churn onto 3)
+    # u3: days 1,2,3,4 (always retained after 1)
+    rows = [(1, 1), (1, 2), (1, 4), (2, 2), (3, 1), (3, 2), (3, 3), (3, 4)]
+    df = spark.createDataFrame(rows, "u long, d long")
+    got = {r["step"]: r for r in growth_accounting(df, "u", "d").collect()}
+
+    assert (got[1]["active"], got[1]["new_users"]) == (2, 2)
+    assert got[2]["active"] == 3 and got[2]["new_users"] == 1
+    assert got[2]["retained"] == 2 and got[2]["resurrected"] == 0
+    assert got[3]["active"] == 1 and got[3]["churned_from_prev"] == 2
+    assert got[4]["active"] == 2 and got[4]["resurrected"] == 1 and got[4]["retained"] == 1
+    # identities on every step
+    prev_active = 0
+    for t in sorted(got):
+        r = got[t]
+        assert r["active"] == r["new_users"] + r["retained"] + r["resurrected"], t
+        assert r["active"] == prev_active + r["new_users"] + r["resurrected"] - r["churned_from_prev"], t
+        prev_active = r["active"]
