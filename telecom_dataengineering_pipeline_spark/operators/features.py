@@ -836,3 +836,61 @@ def impute_group_stats(
     ).withColumn(
         "was_imputed", missing & F.col("_fill").isNotNull()
     ).drop("_fill")
+
+
+def winsorize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    lower_pct: int = 5,
+    upper_pct: int = 95,
+    out_col: str = "value_winsorized",
+) -> DataFrame:
+    """Group-wise winsorization — clip each value into its group's
+    [P_lower, P_upper] band, the robust-preprocessing staple next to
+    :func:`impute_group_stats` (imputation fixes holes; winsorization
+    tames tails before means/OLS see them).
+
+    The bounds are EXACT order statistics: rank ⌈p·n⌉ elected by the
+    INTEGER ceiling division (p·n + 99) // 100 — no float percentile, no
+    sketch ([[spark-cross-engine-gotchas]]: integer ceiling division is
+    the portable order-statistic election). One keyed sort window ranks
+    the non-null values, the two elected rows per key join back
+    metadata-sized, and the clip is a projection.
+
+    Pass an exact-typed ``value_col``; the output value is one
+    fixed-shape double rounded to 6. NULL values pass through NULL with
+    both flags false. Returns the input plus (out_col, clipped_low,
+    clipped_high)."""
+    if not 0 <= lower_pct < upper_pct <= 100:
+        raise ValueError("need 0 <= lower_pct < upper_pct <= 100")
+    kcols = [F.col(c) for c in key_cols]
+    base = df.localCheckpoint(eager=False)
+    nn = base.filter(F.col(value_col).isNotNull())
+    wrank = Window.partitionBy(*kcols).orderBy(F.col(value_col).asc())
+    wn = Window.partitionBy(*kcols)
+    ranked = nn.withColumn("_rk", F.row_number().over(wrank).cast("long")).withColumn(
+        "_n", F.count(F.lit(1)).over(wn).cast("long")
+    )
+    lo_rk = F.greatest(
+        F.lit(1).cast("long"),
+        ((F.col("_n") * lower_pct + 99) / 100).cast("long"),
+    )
+    hi_rk = ((F.col("_n") * upper_pct + 99) / 100).cast("long")
+    bounds = (
+        ranked.filter((F.col("_rk") == lo_rk) | (F.col("_rk") == hi_rk))
+        .groupBy(*kcols)
+        .agg(
+            F.min(F.col(value_col)).cast("double").alias("_lo"),
+            F.max(F.col(value_col)).cast("double").alias("_hi"),
+        )
+    )
+    out = base.join(bounds, list(key_cols), "left")
+    v = F.col(value_col).cast("double")
+    clipped = F.round(F.least(F.greatest(v, F.col("_lo")), F.col("_hi")), 6)
+    return (
+        out.withColumn(out_col, F.when(v.isNotNull(), clipped))
+        .withColumn("clipped_low", v.isNotNull() & (v < F.col("_lo")))
+        .withColumn("clipped_high", v.isNotNull() & (v > F.col("_hi")))
+        .drop("_lo", "_hi")
+    )

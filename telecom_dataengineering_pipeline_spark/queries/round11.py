@@ -1038,3 +1038,46 @@ def growth_accounting_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id", F.date_format("ts", "dd").cast("long").alias("d")
     )
     return growth_accounting(ev, "user_id", "d")
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (operators/features.py::winsorize): event values clipped
+# into each type's exact [P5, P95] band — integer ceiling-division order
+# statistics, no float percentile.
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(round(value, 2) AS DECIMAL(14,2)) AS v
+  FROM events
+), ranked AS (
+  SELECT event_type, v,
+    CAST(row_number() OVER (PARTITION BY event_type ORDER BY v ASC) AS BIGINT) AS rk,
+    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM base WHERE v IS NOT NULL
+), bounds AS (
+  SELECT event_type, CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi
+  FROM ranked
+  WHERE rk = greatest(1, (n * 5 + 99) // 100) OR rk = (n * 95 + 99) // 100
+  GROUP BY 1
+)
+SELECT b.event_id, b.event_type,
+  CASE WHEN b.v IS NOT NULL
+    THEN round(least(greatest(CAST(b.v AS DOUBLE), bounds.lo), bounds.hi), 6)
+  END AS value_winsorized,
+  (b.v IS NOT NULL AND CAST(b.v AS DOUBLE) < bounds.lo) AS clipped_low,
+  (b.v IS NOT NULL AND CAST(b.v AS DOUBLE) > bounds.hi) AS clipped_high
+FROM base b LEFT JOIN bounds USING (event_type)
+"""
+
+
+@register("winsorize_event_values", oracle=_WINSOR_ORACLE, tags=("eval", "DQ"))
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import winsorize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 2).cast("decimal(14,2)").alias("v")
+    )
+    return winsorize(ev, ["event_type"], "v", 5, 95).select(
+        "event_id", "event_type", "value_winsorized", "clipped_low", "clipped_high"
+    )

@@ -568,3 +568,29 @@ def test_growth_accounting_states_and_identities(spark):
         assert r["active"] == r["new_users"] + r["retained"] + r["resurrected"], t
         assert r["active"] == prev_active + r["new_users"] + r["resurrected"] - r["churned_from_prev"], t
         prev_active = r["active"]
+
+
+# ---------------------------------------------------------------------------
+# Winsorization
+# ---------------------------------------------------------------------------
+
+
+def test_winsorize_clips_to_exact_order_statistics(spark):
+    from telecom_dataengineering_pipeline_spark.operators.features import winsorize
+
+    # 20 values 1..20: P5 rank = ceil(1.0) = 1 -> lo = 1; P95 rank =
+    # ceil(19.0) = 19 -> hi = 19; so only 20 clips high, nothing low.
+    rows = [("k", i, float(i)) for i in range(1, 21)] + [("k", 99, None)]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    got = {r["id"]: r for r in winsorize(df, ["k"], "v", 5, 95).collect()}
+    assert got[20]["value_winsorized"] == 19.0 and got[20]["clipped_high"]
+    assert got[1]["value_winsorized"] == 1.0 and not got[1]["clipped_low"]
+    assert got[10]["value_winsorized"] == 10.0
+    assert got[99]["value_winsorized"] is None
+    assert not got[99]["clipped_low"] and not got[99]["clipped_high"]
+    # tighter band: 25/75 on 1..20 -> lo = rank ceil(5) = 5, hi = rank 15
+    got2 = {r["id"]: r for r in winsorize(df, ["k"], "v", 25, 75).collect()}
+    assert got2[1]["value_winsorized"] == 5.0 and got2[1]["clipped_low"]
+    assert got2[20]["value_winsorized"] == 15.0 and got2[20]["clipped_high"]
+    with pytest.raises(ValueError, match="lower_pct"):
+        winsorize(df, ["k"], "v", 80, 20)
