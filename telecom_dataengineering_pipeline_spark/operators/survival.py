@@ -214,3 +214,62 @@ def log_rank_test(
         F.round(v, 6).alias("var_s"),
         chi.alias("chi_sq"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator per key:
+    H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ over the same duration/risk-set grain as
+    :func:`kaplan_meier` — the hazard-side view of the same data (KM
+    answers "what fraction survives"; NA answers "how much hazard has
+    accumulated", the additive quantity log-rank-style comparisons and
+    hazard-ratio eyeballing want). Also emits the Fleming–Harrington
+    survival estimate exp(−H), KM's asymptotic twin.
+
+    Same shape and determinism recipe as KM: duration-grain counts,
+    ONE keyed sort window for the at-risk cumulative, per-step d/n
+    rounded to 9 dp then DECIMAL-cumulated (order-free), doubles only
+    at the end (rounded 6). Returns one row per (key, duration):
+    (*key_cols, duration, n_risk, n_event, n_censored, cum_hazard,
+    fh_survival)."""
+    kcols = [F.col(c) for c in key_cols]
+    base = df.filter(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    ).select(
+        *kcols,
+        F.col(duration_col).cast("long").alias("duration"),
+        F.col(event_col).cast("int").alias("_ev"),
+    )
+    g = base.groupBy(*key_cols, "duration").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_ev").cast("long").alias("n_event"),
+    )
+    wk = Window.partitionBy(*kcols)
+    wo = Window.partitionBy(*kcols).orderBy(F.col("duration").asc())
+    w_prev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cur = g.withColumn(
+        "n_risk",
+        (
+            F.sum("_n").over(wk)
+            - F.coalesce(F.sum("_n").over(w_prev), F.lit(0))
+        ).cast("long"),
+    )
+    term = F.round(
+        F.col("n_event").cast("double") / F.col("n_risk").cast("double"), 9
+    ).cast("decimal(28,9)")
+    cur = cur.withColumn("_h", F.sum(term).over(w_cum))
+    h = F.col("_h").cast("double")
+    return cur.select(
+        *key_cols,
+        "duration",
+        "n_risk",
+        "n_event",
+        (F.col("_n") - F.col("n_event")).cast("long").alias("n_censored"),
+        F.round(h, 6).alias("cum_hazard"),
+        F.round(F.exp(-h), 6).alias("fh_survival"),
+    )

@@ -1081,3 +1081,62 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize(ev, ["event_type"], "v", 5, 95).select(
         "event_id", "event_type", "value_winsorized", "clipped_low", "clipped_high"
     )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (operators/survival.py::nelson_aalen):
+# the hazard-side twin of km_survival_customer_churn on the SAME
+# churn-duration cohort.
+# ---------------------------------------------------------------------------
+
+_NA_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(CAST(max(o_orderdate) AS DATE) - CAST(min(o_orderdate) AS DATE) AS BIGINT) AS dur,
+         CASE WHEN max(o_orderdate) <= TIMESTAMP '2000-10-01 00:00:00' THEN 1 ELSE 0 END AS ev
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT c.c_mktsegment, cust.dur, cust.ev
+  FROM cust JOIN customer c ON c.c_custkey = cust.o_custkey
+), g AS (
+  SELECT c_mktsegment, dur AS duration,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(ev) AS BIGINT) AS d
+  FROM j GROUP BY 1, 2
+), r AS (
+  SELECT c_mktsegment, duration, d, n - d AS c,
+    CAST(sum(n) OVER (PARTITION BY c_mktsegment)
+         - coalesce(sum(n) OVER (PARTITION BY c_mktsegment ORDER BY duration
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM g
+), s AS (
+  SELECT c_mktsegment, duration, n_risk, d, c,
+    sum(CAST(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 9) AS DECIMAL(28,9)))
+      OVER (PARTITION BY c_mktsegment ORDER BY duration
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+  FROM r
+)
+SELECT c_mktsegment, duration, n_risk, d AS n_event, c AS n_censored,
+       round(CAST(h AS DOUBLE), 6) AS cum_hazard,
+       round(exp(-(CAST(h AS DOUBLE))), 6) AS fh_survival
+FROM s
+"""
+
+
+@register("na_hazard_customer_churn", oracle=_NA_ORACLE, tags=("survival", "A11"))
+def na_hazard_customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.survival import nelson_aalen
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max("o_orderdate").cast("date"), F.min("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("dur"),
+        (F.max("o_orderdate") <= F.lit("2000-10-01 00:00:00").cast("timestamp"))
+        .cast("int")
+        .alias("ev"),
+    )
+    j = obs.join(F.broadcast(cust), obs["o_custkey"] == cust["c_custkey"])
+    return nelson_aalen(j, "dur", "ev", ["c_mktsegment"])

@@ -594,3 +594,40 @@ def test_winsorize_clips_to_exact_order_statistics(spark):
     assert got2[20]["value_winsorized"] == 15.0 and got2[20]["clipped_high"]
     with pytest.raises(ValueError, match="lower_pct"):
         winsorize(df, ["k"], "v", 80, 20)
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen
+# ---------------------------------------------------------------------------
+
+
+def test_nelson_aalen_matches_lifelines_style_reference(spark):
+    from telecom_dataengineering_pipeline_spark.operators.survival import (
+        nelson_aalen,
+    )
+
+    # durations with an event flag (1) or censoring (0)
+    obs = [(2, 1), (3, 1), (3, 0), (5, 1), (5, 1), (7, 0), (8, 1)]
+    df = spark.createDataFrame([("k", d, e) for d, e in obs], "k string, dur int, ev int")
+    got = {r["duration"]: r for r in nelson_aalen(df, "dur", "ev", ["k"]).collect()}
+    # hand reference
+    import math
+    n_total = len(obs)
+    h = 0.0
+    seen = 0
+    from collections import Counter
+    by_d = sorted(Counter(d for d, _ in obs).items())
+    dcount = Counter(d for d, e in obs if e == 1)
+    ncount = Counter(d for d, _ in obs)
+    for d, _ in by_d:
+        n_risk = n_total - seen
+        h += round(dcount[d] / n_risk, 9)
+        seen += ncount[d]
+        assert got[d]["n_risk"] == n_risk, d
+        assert got[d]["cum_hazard"] == pytest.approx(h, abs=1e-6), d
+        assert got[d]["fh_survival"] == pytest.approx(math.exp(-h), abs=1e-6), d
+    # FH survival upper-bounds KM everywhere (standard inequality)
+    from telecom_dataengineering_pipeline_spark.operators.survival import kaplan_meier
+    km = {r["duration"]: r["survival"] for r in kaplan_meier(df, "dur", "ev", ["k"]).collect()}
+    for d in km:
+        assert got[d]["fh_survival"] >= km[d] - 1e-9
