@@ -708,3 +708,41 @@ def test_assortativity_no_cartesian(spark, sf_smoke):
     scalar — nothing degenerates to a cross product of the edge list."""
     plan = _physical(spark, "assortativity_copurchase", sf_smoke)
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions
+# ---------------------------------------------------------------------------
+
+
+def test_growth_accounting_single_user_exchange(spark, sf_smoke):
+    """growth_accounting: lag/lead flags ride ONE user-keyed exchange;
+    no calendar self-join, no Python."""
+    plan = _physical(spark, "growth_accounting_daily_users", sf_smoke)
+    assert "Python" not in plan and "CartesianProduct" not in plan
+    # one scan of events feeding the distinct + windows
+    assert plan.count("FileScan") <= 2  # activity grain reused via lag+lead branches
+
+
+def test_impute_and_winsorize_bounded_scans(spark, sf_smoke):
+    """The fill/bounds relations derive from the lineage-cut base: the
+    fact table must not scan once per branch."""
+    for name in ("impute_event_values_median", "winsorize_event_values"):
+        plan = _physical(spark, name, sf_smoke)
+        assert plan.count("FileScan") <= 1, name  # base is a checkpoint RDD
+        assert "Python" not in plan, name
+
+
+def test_hamming_and_pca_variance_jvm_only(spark, sf_smoke):
+    for name in ("ann_hamming_topk", "pca_variance_explained"):
+        plan = _physical(spark, name, sf_smoke)
+        assert "Python" not in plan and "Arrow" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_seasonal_decompose_one_series_exchange(spark, sf_smoke):
+    """Trend window + phase join run off the lineage-cut series: no
+    re-scan of events per branch, no Python."""
+    plan = _physical(spark, "seasonal_decompose_event_values", sf_smoke)
+    assert plan.count("FileScan") <= 1
+    assert "Python" not in plan
