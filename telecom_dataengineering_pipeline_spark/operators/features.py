@@ -894,3 +894,79 @@ def winsorize(
         .withColumn("clipped_high", v.isNotNull() & (v > F.col("_hi")))
         .drop("_lo", "_hi")
     )
+
+
+def diff_in_differences(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Two-period difference-in-differences — the quasi-experimental
+    workhorse next to :func:`cuped_adjusted_means` (CUPED shrinks a
+    randomized experiment's variance; DiD estimates an effect WITHOUT
+    randomization by differencing out group and period effects):
+    DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), with the
+    classic unpooled standard error √(Σ s²_cell/n_cell) over the four
+    cells and t = DiD/se.
+
+    Input is a UNIT-PERIOD-GRAIN relation (one row per unit per period
+    with an exact decimal/integral outcome; ``treat_col``/``post_col``
+    integral 0/1). One map-side-combined aggregate over the four cells
+    — metadata-sized output, everything downstream fixed-shape doubles
+    from exact sums (products sized for decimal(38), the width-19
+    DuckDB discipline).
+
+    Returns ONE row: (n_treat_pre, n_treat_post, n_control_pre,
+    n_control_post, mean_treat_pre, mean_treat_post, mean_control_pre,
+    mean_control_post, did, se, t_stat); se/t NULL when any cell has
+    n < 2."""
+    t = F.col(treat_col).cast("int")
+    p = F.col(post_col).cast("int")
+    y = F.col(y_col).cast("decimal(19,4)")
+    big = "decimal(38,8)"
+
+    def cell(tv: int, pv: int, tag: str):
+        m = (t == tv) & (p == pv)
+        return [
+            F.sum(F.when(m, 1).otherwise(0)).cast("long").alias(f"n_{tag}"),
+            F.sum(F.when(m, y)).alias(f"_s_{tag}"),
+            F.sum(F.when(m, (y * y).cast(big))).alias(f"_ss_{tag}"),
+        ]
+
+    agg = df.agg(
+        *cell(1, 0, "treat_pre"),
+        *cell(1, 1, "treat_post"),
+        *cell(0, 0, "control_pre"),
+        *cell(0, 1, "control_post"),
+    )
+    tags = ("treat_pre", "treat_post", "control_pre", "control_post")
+    means = {}
+    variances = {}
+    for tag in tags:
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"_s_{tag}").cast("double")
+        ss = F.col(f"_ss_{tag}").cast("double")
+        means[tag] = s / n
+        variances[tag] = (ss - s * s / n) / (n - F.lit(1.0))
+    did = (means["treat_post"] - means["treat_pre"]) - (
+        means["control_post"] - means["control_pre"]
+    )
+    var_sum = None
+    for tag in tags:
+        term = variances[tag] / F.col(f"n_{tag}").cast("double")
+        var_sum = term if var_sum is None else var_sum + term
+    ok = None
+    for tag in tags:
+        c = F.col(f"n_{tag}") >= 2
+        ok = c if ok is None else (ok & c)
+    se = F.when(ok, F.sqrt(var_sum))
+    return agg.select(
+        *[F.col(f"n_{tag}") for tag in tags],
+        *[F.round(means[tag], 6).alias(f"mean_{tag}") for tag in tags],
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(F.when(ok & (F.sqrt(var_sum) != 0), did / F.sqrt(var_sum)), 6).alias(
+            "t_stat"
+        ),
+    )

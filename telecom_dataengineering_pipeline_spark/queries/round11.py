@@ -1140,3 +1140,80 @@ def na_hazard_customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = obs.join(F.broadcast(cust), obs["o_custkey"] == cust["c_custkey"])
     return nelson_aalen(j, "dur", "ev", ["c_mktsegment"])
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (operators/features.py::diff_in_differences):
+# synthetic quasi-experiment over events — treat = user parity, post =
+# second half of the month, outcome = each user-period's total value.
+# ---------------------------------------------------------------------------
+
+_DID_ORACLE = """
+WITH units AS (
+  SELECT user_id,
+    CAST(user_id % 2 AS INT) AS treat,
+    CAST(CASE WHEN CAST(strftime(ts, '%d') AS BIGINT) > 15 THEN 1 ELSE 0 END AS INT) AS post,
+    CAST(sum(CAST(round(value, 2) AS DECIMAL(14,2))) AS DECIMAL(19,4)) AS y
+  FROM events GROUP BY 1, 2, 3
+), agg AS (
+  SELECT
+    CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat_pre,
+    sum(CASE WHEN treat = 1 AND post = 0 THEN y END) AS s_tp0,
+    sum(CASE WHEN treat = 1 AND post = 0 THEN CAST(y * y AS DECIMAL(38,8)) END) AS ss_tp0,
+    CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat_post,
+    sum(CASE WHEN treat = 1 AND post = 1 THEN y END) AS s_tp1,
+    sum(CASE WHEN treat = 1 AND post = 1 THEN CAST(y * y AS DECIMAL(38,8)) END) AS ss_tp1,
+    CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control_pre,
+    sum(CASE WHEN treat = 0 AND post = 0 THEN y END) AS s_cp0,
+    sum(CASE WHEN treat = 0 AND post = 0 THEN CAST(y * y AS DECIMAL(38,8)) END) AS ss_cp0,
+    CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_control_post,
+    sum(CASE WHEN treat = 0 AND post = 1 THEN y END) AS s_cp1,
+    sum(CASE WHEN treat = 0 AND post = 1 THEN CAST(y * y AS DECIMAL(38,8)) END) AS ss_cp1
+  FROM units
+), d AS (
+  SELECT *,
+    CAST(s_tp0 AS DOUBLE) / CAST(n_treat_pre AS DOUBLE) AS m_tp0,
+    CAST(s_tp1 AS DOUBLE) / CAST(n_treat_post AS DOUBLE) AS m_tp1,
+    CAST(s_cp0 AS DOUBLE) / CAST(n_control_pre AS DOUBLE) AS m_cp0,
+    CAST(s_cp1 AS DOUBLE) / CAST(n_control_post AS DOUBLE) AS m_cp1,
+    (CAST(ss_tp0 AS DOUBLE) - CAST(s_tp0 AS DOUBLE) * CAST(s_tp0 AS DOUBLE) / CAST(n_treat_pre AS DOUBLE)) / (CAST(n_treat_pre AS DOUBLE) - 1.0) AS v_tp0,
+    (CAST(ss_tp1 AS DOUBLE) - CAST(s_tp1 AS DOUBLE) * CAST(s_tp1 AS DOUBLE) / CAST(n_treat_post AS DOUBLE)) / (CAST(n_treat_post AS DOUBLE) - 1.0) AS v_tp1,
+    (CAST(ss_cp0 AS DOUBLE) - CAST(s_cp0 AS DOUBLE) * CAST(s_cp0 AS DOUBLE) / CAST(n_control_pre AS DOUBLE)) / (CAST(n_control_pre AS DOUBLE) - 1.0) AS v_cp0,
+    (CAST(ss_cp1 AS DOUBLE) - CAST(s_cp1 AS DOUBLE) * CAST(s_cp1 AS DOUBLE) / CAST(n_control_post AS DOUBLE)) / (CAST(n_control_post AS DOUBLE) - 1.0) AS v_cp1
+  FROM agg
+), f AS (
+  SELECT *,
+    (m_tp1 - m_tp0) - (m_cp1 - m_cp0) AS did,
+    v_tp0 / CAST(n_treat_pre AS DOUBLE) + v_tp1 / CAST(n_treat_post AS DOUBLE)
+      + v_cp0 / CAST(n_control_pre AS DOUBLE) + v_cp1 / CAST(n_control_post AS DOUBLE) AS vs,
+    (n_treat_pre >= 2 AND n_treat_post >= 2 AND n_control_pre >= 2 AND n_control_post >= 2) AS ok
+  FROM d
+)
+SELECT n_treat_pre, n_treat_post, n_control_pre, n_control_post,
+  round(m_tp0, 6) AS mean_treat_pre, round(m_tp1, 6) AS mean_treat_post,
+  round(m_cp0, 6) AS mean_control_pre, round(m_cp1, 6) AS mean_control_post,
+  round(did, 6) AS did,
+  round(CASE WHEN ok THEN sqrt(vs) END, 6) AS se,
+  round(CASE WHEN ok AND sqrt(vs) <> 0 THEN did / sqrt(vs) END, 6) AS t_stat
+FROM f
+"""
+
+
+@register("did_event_value_quasi_experiment", oracle=_DID_ORACLE, tags=("eval", "A11"))
+def did_event_value_quasi_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import diff_in_differences
+
+    units = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            (F.col("user_id") % 2).cast("int").alias("treat"),
+            (F.date_format("ts", "dd").cast("long") > 15).cast("int").alias("post"),
+        )
+        .agg(
+            F.sum(F.round("value", 2).cast("decimal(14,2)"))
+            .cast("decimal(19,4)")
+            .alias("y")
+        )
+    )
+    return diff_in_differences(units, "treat", "post", "y")

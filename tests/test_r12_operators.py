@@ -631,3 +631,53 @@ def test_nelson_aalen_matches_lifelines_style_reference(spark):
     km = {r["duration"]: r["survival"] for r in kaplan_meier(df, "dur", "ev", ["k"]).collect()}
     for d in km:
         assert got[d]["fh_survival"] >= km[d] - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences
+# ---------------------------------------------------------------------------
+
+
+def test_did_matches_numpy_reference(spark):
+    from telecom_dataengineering_pipeline_spark.operators.features import (
+        diff_in_differences,
+    )
+
+    # planted effect: +5 on treated units post; group effect +10 on
+    # treated; period effect +2 on post; deterministic noise
+    rows = []
+    for u in range(120):
+        treat = u % 2
+        base = 50.0 + 10.0 * treat + (u % 7)
+        rows.append((treat, 0, base))
+        rows.append((treat, 1, base + 2.0 + 5.0 * treat + ((u * 3) % 5)))
+    df = spark.createDataFrame(rows, "treat int, post int, y double")
+    got = diff_in_differences(df, "treat", "post", "y").collect()[0]
+
+    cells = {}
+    for tv in (0, 1):
+        for pv in (0, 1):
+            ys = np.array([y for t, p, y in rows if t == tv and p == pv])
+            cells[(tv, pv)] = ys
+    did = (cells[(1, 1)].mean() - cells[(1, 0)].mean()) - (
+        cells[(0, 1)].mean() - cells[(0, 0)].mean()
+    )
+    se = np.sqrt(sum(c.var(ddof=1) / len(c) for c in cells.values()))
+    assert got["did"] == pytest.approx(did, abs=1e-6)
+    assert got["se"] == pytest.approx(se, abs=1e-6)
+    assert got["t_stat"] == pytest.approx(did / se, abs=1e-4)
+    assert got["n_treat_pre"] == 60 and got["n_control_post"] == 60
+    # planted treatment effect recovered (noise means differ slightly)
+    assert abs(got["did"] - 5.0) < 1.0
+
+
+def test_did_small_cell_null_se(spark):
+    from telecom_dataengineering_pipeline_spark.operators.features import (
+        diff_in_differences,
+    )
+
+    rows = [(1, 0, 1.0), (1, 1, 2.0), (0, 0, 1.0), (0, 0, 2.0), (0, 1, 1.5), (0, 1, 2.5)]
+    df = spark.createDataFrame(rows, "treat int, post int, y double")
+    got = diff_in_differences(df, "treat", "post", "y").collect()[0]
+    assert got["did"] is not None
+    assert got["se"] is None and got["t_stat"] is None  # 1-obs treated cells
