@@ -753,8 +753,16 @@ def growth_accounting(
     ua = df.select(
         F.col(user_col).alias("u"), F.col(step_col).cast("long").alias("t")
     ).distinct()
+    # lag AND lead ride the SAME window spec — one exchange + one sort —
+    # and the flagged relation is lineage-cut so the state and churn
+    # rollups read one materialization (plan-audit finding: separate
+    # lag/lead passes cost 6 exchanges and a double scan)
     w = Window.partitionBy("u").orderBy(F.col("t").asc())
-    flagged = ua.withColumn("_prev", F.lag("t").over(w))
+    flagged = (
+        ua.withColumn("_prev", F.lag("t").over(w))
+        .withColumn("_next", F.lead("t").over(w))
+        .localCheckpoint(eager=False)
+    )
     state = flagged.select(
         "t",
         F.when(F.col("_prev").isNull(), 1).otherwise(0).alias("_new"),
@@ -770,9 +778,8 @@ def growth_accounting(
         F.sum("_res").cast("long").alias("resurrected"),
     )
     # churned at step t+1 = active at t whose next activity is not t+1
-    nxt = ua.withColumn("_next", F.lead("t").over(w))
     churn = (
-        nxt.filter(F.col("_next").isNull() | (F.col("_next") > F.col("t") + 1))
+        flagged.filter(F.col("_next").isNull() | (F.col("_next") > F.col("t") + 1))
         .select((F.col("t") + 1).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("churned_from_prev"))

@@ -107,7 +107,9 @@ def orphan_lineitems_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupt = li.filter(F.col("l_orderkey") % 131 == 0).withColumn(
         "l_orderkey", -F.col("l_orderkey") - 1
     )
-    stacked = li.unionByName(corrupt)
+    # lineage cut: the anti-join probes the stacked relation once, not
+    # one lineitem scan per union branch (plan-audit finding)
+    stacked = li.unionByName(corrupt).localCheckpoint(eager=False)
     o = load_table(spark, sf_dir, "orders")
     return anti_join_violations(stacked, o, {"l_orderkey": "o_orderkey"}).select(
         F.col("l_orderkey").alias("orderkey"),
@@ -147,7 +149,14 @@ def dq_accepted_values_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupt_range = ev.filter(F.col("event_id") % 101 == 0).withColumn(
         "value", F.col("value") + F.lit(1000000.0)
     )
-    stacked = ev.unionByName(corrupt_type).unionByName(corrupt_range)
+    # lineage cut: accepted_values_violations filters the stack TWICE
+    # (type + range branches) — without the cut each branch re-scans
+    # events per union arm (6 scans; plan-audit finding)
+    stacked = (
+        ev.unionByName(corrupt_type)
+        .unionByName(corrupt_range)
+        .localCheckpoint(eager=False)
+    )
     # offending_value is dropped from the gated output: stringified raw
     # doubles are not format-stable cross-engine; (event_id, reason) is.
     return accepted_values_violations(stacked).select("event_id", "reason")
