@@ -1226,3 +1226,80 @@ def did_event_value_quasi_experiment(spark: SparkSession, sf_dir: str) -> DataFr
         )
     )
     return diff_in_differences(units, "treat", "post", "y")
+
+
+# ---------------------------------------------------------------------------
+# Streaming growth accounting (streaming/growth.py): the stream twin of
+# growth_accounting_daily_users for the stream-computable states — churn
+# needs future knowledge of absence and stays batch-only (documented in
+# the module). Stream ≡ batch ≡ oracle on (active, new, retained,
+# resurrected) per step; same day-split availableNow staging as the
+# other stream gate queries.
+# ---------------------------------------------------------------------------
+
+_GROWTH_STREAM_ORACLE = """
+WITH ua AS (
+  SELECT DISTINCT user_id AS u, CAST(strftime(ts, '%d') AS BIGINT) AS t FROM events
+), flagged AS (
+  SELECT t,
+    CASE WHEN lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS is_new,
+    CASE WHEN lag(t) OVER w = t - 1 THEN 1 ELSE 0 END AS is_ret,
+    CASE WHEN lag(t) OVER w IS NOT NULL AND lag(t) OVER w < t - 1 THEN 1 ELSE 0 END AS is_res
+  FROM ua WINDOW w AS (PARTITION BY u ORDER BY t ASC)
+)
+SELECT t AS step, CAST(count(*) AS BIGINT) AS active,
+       CAST(sum(is_new) AS BIGINT) AS new_users,
+       CAST(sum(is_ret) AS BIGINT) AS retained,
+       CAST(sum(is_res) AS BIGINT) AS resurrected
+FROM flagged GROUP BY 1
+"""
+
+
+@register("growth_stream_daily_users", oracle=_GROWTH_STREAM_ORACLE, tags=("T2", "stream", "cohort"))
+def growth_stream_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.growth import growth_stream
+
+    ua = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.date_format("ts", "dd").cast("long").alias("t"),
+    ).distinct()
+    sink = "growth_stream_daily_users_sink"
+    spark.catalog.dropTempView(sink)
+    staging = tempfile.mkdtemp(prefix="growth_stream_src_")
+    try:
+        ua.filter(F.col("t") <= 15).coalesce(1).write.parquet(
+            os.path.join(staging, "b0")
+        )
+        ua.filter(F.col("t") > 15).coalesce(1).write.parquet(
+            os.path.join(staging, "b1")
+        )
+        stream = (
+            spark.readStream.schema("u long, t long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging + "/b*")
+        )
+        q = (
+            growth_stream(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return (
+        spark.table(sink)
+        .groupBy(F.col("t").alias("step"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active"),
+            F.sum((F.col("cls") == "new").cast("int")).cast("long").alias("new_users"),
+            F.sum((F.col("cls") == "retained").cast("int")).cast("long").alias("retained"),
+            F.sum((F.col("cls") == "resurrected").cast("int")).cast("long").alias("resurrected"),
+        )
+    )
