@@ -216,3 +216,68 @@ def item_item_cosine_topk(
             "rk",
         )
     )
+
+
+def cohort_overlap_matrix(
+    df: DataFrame,
+    unit_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Pairwise audience-overlap matrix over a (unit, label) membership
+    relation — "how many users who did X also did Y": |A∩B|, Jaccard,
+    and lift vs independence, the audience-planning companion of the
+    association-rules tier (rules rank directed item pairs by support
+    inside baskets; this profiles label AUDIENCES over units).
+
+    Scale shape: memberships dedup to the (unit, label) grain, then the
+    per-unit label-set fan-out is alphabet-bounded (labels per unit ≤
+    |labels| — event types, segments, plans; NOT items) before one
+    map-side-combined pair count. Label totals ride a broadcast join;
+    nothing quadratic in units.
+
+    Determinism: counts exact; jaccard/lift fixed-shape doubles rounded
+    to 6 (lift = n_both·n_units / (n_a·n_b)). Returns one row per
+    unordered label pair (label_a < label_b): (label_a, label_b,
+    n_both, n_a, n_b, n_units, jaccard, lift)."""
+    m = df.select(
+        F.col(unit_col).alias("u"), F.col(label_col).alias("l")
+    ).distinct().localCheckpoint(eager=False)
+    totals = m.groupBy("l").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_units = m.select("u").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_units")
+    )
+    sets = m.groupBy("u").agg(F.sort_array(F.collect_set("l")).alias("ls"))
+    pairs = (
+        sets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ls, (x, i) -> "
+                        "transform(slice(ls, i + 2, size(ls)), "
+                        "y -> struct(x AS a, y AS b)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("label_a"), F.col("p.b").alias("label_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ta = totals.select(F.col("l").alias("label_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("l").alias("label_b"), F.col("n").alias("n_b"))
+    j = (
+        pairs.join(F.broadcast(ta), "label_a")
+        .join(F.broadcast(tb), "label_b")
+        .crossJoin(F.broadcast(n_units))
+    )
+    both = F.col("n_both").cast("double")
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    return j.select(
+        "label_a",
+        "label_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        "n_units",
+        F.round(both / (na + nb - both), 6).alias("jaccard"),
+        F.round(both * F.col("n_units").cast("double") / (na * nb), 6).alias("lift"),
+    )

@@ -1303,3 +1303,38 @@ def growth_stream_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("cls") == "resurrected").cast("int")).cast("long").alias("resurrected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap matrix (operators/market.py::cohort_overlap_matrix):
+# event-type audiences over users — |A∩B|, Jaccard, lift vs independence.
+# ---------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH m AS (
+  SELECT DISTINCT user_id AS u, event_type AS l FROM events
+), totals AS (
+  SELECT l, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1
+), nu AS (
+  SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_units FROM m
+), pairs AS (
+  SELECT a.l AS label_a, b.l AS label_b, CAST(count(*) AS BIGINT) AS n_both
+  FROM m a JOIN m b ON a.u = b.u AND a.l < b.l
+  GROUP BY 1, 2
+)
+SELECT p.label_a, p.label_b, p.n_both, ta.n AS n_a, tb.n AS n_b, nu.n_units,
+  round(CAST(p.n_both AS DOUBLE)
+        / (CAST(ta.n AS DOUBLE) + CAST(tb.n AS DOUBLE) - CAST(p.n_both AS DOUBLE)), 6) AS jaccard,
+  round(CAST(p.n_both AS DOUBLE) * CAST(nu.n_units AS DOUBLE)
+        / (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE)), 6) AS lift
+FROM pairs p JOIN totals ta ON ta.l = p.label_a
+JOIN totals tb ON tb.l = p.label_b, nu
+"""
+
+
+@register("event_type_overlap_matrix", oracle=_OVERLAP_ORACLE, tags=("mining", "A1"))
+def event_type_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.market import cohort_overlap_matrix
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_overlap_matrix(ev, "user_id", "event_type")

@@ -681,3 +681,29 @@ def test_did_small_cell_null_se(spark):
     got = diff_in_differences(df, "treat", "post", "y").collect()[0]
     assert got["did"] is not None
     assert got["se"] is None and got["t_stat"] is None  # 1-obs treated cells
+
+
+# ---------------------------------------------------------------------------
+# Cohort overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_overlap_matrix_counts_and_lift(spark):
+    from telecom_dataengineering_pipeline_spark.operators.market import (
+        cohort_overlap_matrix,
+    )
+
+    # u1: A,B  u2: A,B  u3: A  u4: B,C  u5: C (duplicates must dedup)
+    rows = [(1, "A"), (1, "B"), (1, "B"), (2, "A"), (2, "B"), (3, "A"),
+            (4, "B"), (4, "C"), (5, "C")]
+    df = spark.createDataFrame(rows, "u long, l string")
+    got = {(r["label_a"], r["label_b"]): r for r in
+           cohort_overlap_matrix(df, "u", "l").collect()}
+    ab = got[("A", "B")]
+    assert (ab["n_both"], ab["n_a"], ab["n_b"], ab["n_units"]) == (2, 3, 3, 5)
+    assert ab["jaccard"] == 0.5  # 2 / (3+3-2)
+    assert ab["lift"] == pytest.approx(2 * 5 / 9, abs=1e-6)
+    bc = got[("B", "C")]
+    assert bc["n_both"] == 1 and bc["jaccard"] == 0.25
+    # A-C never co-occur -> pair absent (no zero rows)
+    assert ("A", "C") not in got
