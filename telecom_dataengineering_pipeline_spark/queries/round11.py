@@ -1338,3 +1338,104 @@ def event_type_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return cohort_overlap_matrix(ev, "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# dbt-style expectations profile: the reference's schema.yml test pack
+# (not_null / unique / accepted_values / relationships / bounds) as ONE
+# check-grain relation — each check emits (check_name, metric, passed)
+# whether it passes or fails, so the driver green is never vacuous
+# (unlike the raw violation queries, which pass empty).
+# ---------------------------------------------------------------------------
+
+_EXPECT_ORACLE = """
+SELECT 'orders_custkey_not_null' AS check_name,
+       CAST(sum((o_custkey IS NULL)::INT) AS BIGINT) AS metric,
+       sum((o_custkey IS NULL)::INT) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'orders_orderkey_unique',
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+       count(*) = count(DISTINCT o_orderkey)
+FROM orders
+UNION ALL
+SELECT 'orders_status_accepted',
+       CAST(sum((o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL)::INT) AS BIGINT),
+       sum((o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL)::INT) = 0
+FROM orders
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       CAST(sum((o_totalprice <= 0)::INT) AS BIGINT),
+       sum((o_totalprice <= 0)::INT) = 0
+FROM orders
+UNION ALL
+SELECT 'lineitem_orderkey_relationship',
+       CAST(count(*) AS BIGINT), count(*) = 0
+FROM (SELECT l.l_orderkey FROM lineitem l
+      LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL)
+UNION ALL
+SELECT 'orders_row_count_nonzero', CAST(count(*) AS BIGINT), count(*) > 0
+FROM orders
+"""
+
+
+@register("dq_expectations_orders_profile", oracle=_EXPECT_ORACLE, tags=("DQ", "U1", "A7"))
+def dq_expectations_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import anti_join_violations
+
+    o = load_table(spark, sf_dir, "orders").localCheckpoint(eager=False)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    def row(name: str, metric, passed):
+        return [F.lit(name).alias("check_name"), metric.alias("metric"), passed.alias("passed")]
+
+    nn = o.agg(
+        *row(
+            "orders_custkey_not_null",
+            F.sum(F.col("o_custkey").isNull().cast("int")).cast("long"),
+            F.sum(F.col("o_custkey").isNull().cast("int")) == 0,
+        )
+    )
+    uq = o.agg(
+        *row(
+            "orders_orderkey_unique",
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("long"),
+            F.count(F.lit(1)) == F.countDistinct("o_orderkey"),
+        )
+    )
+    acc = o.agg(
+        *row(
+            "orders_status_accepted",
+            F.sum(
+                (~F.col("o_orderstatus").isin("O", "F", "P")
+                 | F.col("o_orderstatus").isNull()).cast("int")
+            ).cast("long"),
+            F.sum(
+                (~F.col("o_orderstatus").isin("O", "F", "P")
+                 | F.col("o_orderstatus").isNull()).cast("int")
+            ) == 0,
+        )
+    )
+    pos = o.agg(
+        *row(
+            "orders_totalprice_positive",
+            F.sum((F.col("o_totalprice") <= 0).cast("int")).cast("long"),
+            F.sum((F.col("o_totalprice") <= 0).cast("int")) == 0,
+        )
+    )
+    rel = anti_join_violations(li, o, {"l_orderkey": "o_orderkey"}).agg(
+        *row(
+            "lineitem_orderkey_relationship",
+            F.count(F.lit(1)).cast("long"),
+            F.count(F.lit(1)) == 0,
+        )
+    )
+    rc = o.agg(
+        *row(
+            "orders_row_count_nonzero",
+            F.count(F.lit(1)).cast("long"),
+            F.count(F.lit(1)) > 0,
+        )
+    )
+    return nn.unionByName(uq).unionByName(acc).unionByName(pos).unionByName(rel).unionByName(rc)
