@@ -1742,3 +1742,171 @@ def seasonal_decompose_additive(
         F.round(F.col("seasonal"), 6).alias("seasonal"),
         resid.alias("residual"),
     )
+
+
+def holt_winters_multiplicative(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    step_col: str,
+    value_col: str,
+    steps: Sequence[str],
+    period: int,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.3,
+    horizon: int | None = None,
+) -> DataFrame:
+    """Holt–Winters MULTIPLICATIVE triple exponential smoothing — the
+    variant for series whose seasonal swing scales WITH the level
+    (revenue whose weekend dip is a percentage, not a fixed amount);
+    the additive form (:func:`holt_winters_additive`) models a constant-
+    amplitude season. Recurrence (t ≥ m):
+    lₜ = α(xₜ/sₜ₋ₘ) + (1−α)(lₜ₋₁+bₜ₋₁); bₜ as Holt;
+    sₜ = γ(xₜ/lₜ) + (1−γ)sₜ₋ₘ; forecast = (l_T + h·b_T)·s.
+    Textbook init: l = mean(season 1), b = (Σs₂−Σs₁)/m², sᵢ = xᵢ/l.
+
+    Multiplicative decomposition is defined on STRICTLY POSITIVE data:
+    keys with any pivoted step ≤ 0 emit NULL state/forecast rather than
+    dividing through zero (the degenerate shape is its own signal — use
+    the additive form there). Same unrolled-column-chain scale shape
+    and left-fold determinism as the additive twin; the paired
+    :func:`holt_winters_mult_oracle_sql` emits identical expression
+    trees. Returns (*key_cols, h, level, trend, seasonal, forecast)."""
+    T = len(steps)
+    m = int(period)
+    if m < 2:
+        raise ValueError("holt_winters_multiplicative needs period >= 2")
+    if T < 2 * m:
+        raise ValueError("holt_winters_multiplicative needs at least two full seasons")
+    hz = m if horizon is None else int(horizon)
+    if hz < 1:
+        raise ValueError("horizon must be >= 1")
+    a, b, g = float(alpha), float(beta), float(gamma)
+    aggs = [
+        F.sum(
+            F.when(F.col(step_col) == F.lit(s), F.col(value_col)).otherwise(F.lit(0))
+        ).alias(f"_x{i}")
+        for i, s in enumerate(steps)
+    ]
+    cur = df.groupBy(*key_cols).agg(*aggs)
+    cur = cur.select(
+        *key_cols, *[F.col(f"_x{i}").cast("double").alias(f"_x{i}") for i in range(T)]
+    )
+    pos = F.col("_x0") > 0
+    for i in range(1, T):
+        pos = pos & (F.col(f"_x{i}") > 0)
+    cur = cur.withColumn("_pos", pos)
+    s1 = _hw_fold_sum([f"_x{i}" for i in range(m)])
+    s2 = _hw_fold_sum([f"_x{i}" for i in range(m, 2 * m)])
+    cur = cur.withColumn(
+        f"_l{m-1}", F.when(F.col("_pos"), F.expr(f"{s1} / {float(m)!r}"))
+    ).withColumn(
+        f"_b{m-1}", F.when(F.col("_pos"), F.expr(f"({s2} - {s1}) / {float(m * m)!r}"))
+    )
+    for i in range(m):
+        cur = cur.withColumn(f"_s{i}", F.col(f"_x{i}") / F.col(f"_l{m-1}"))
+    for t in range(m, T):
+        cur = (
+            cur.withColumn(
+                f"_l{t}",
+                F.lit(a) * (F.col(f"_x{t}") / F.col(f"_s{t-m}"))
+                + F.lit(1.0 - a) * (F.col(f"_l{t-1}") + F.col(f"_b{t-1}")),
+            )
+            .withColumn(
+                f"_b{t}",
+                F.lit(b) * (F.col(f"_l{t}") - F.col(f"_l{t-1}"))
+                + F.lit(1.0 - b) * F.col(f"_b{t-1}"),
+            )
+            .withColumn(
+                f"_s{t}",
+                F.lit(g) * (F.col(f"_x{t}") / F.col(f"_l{t}"))
+                + F.lit(1.0 - g) * F.col(f"_s{t-m}"),
+            )
+        )
+    last_l, last_b = F.col(f"_l{T-1}"), F.col(f"_b{T-1}")
+    fc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(h).cast("int").alias("h"),
+                    F.col(f"_s{T - m + ((h - 1) % m)}").alias("seasonal"),
+                    (
+                        (last_l + F.lit(float(h)) * last_b)
+                        * F.col(f"_s{T - m + ((h - 1) % m)}")
+                    ).alias("forecast"),
+                )
+                for h in range(1, hz + 1)
+            ]
+        )
+    ).alias("_fc")
+    return cur.select(
+        *key_cols, last_l.alias("_level"), last_b.alias("_trend"), fc
+    ).select(
+        *key_cols,
+        F.col("_fc.h").alias("h"),
+        F.col("_level").alias("level"),
+        F.col("_trend").alias("trend"),
+        F.col("_fc.seasonal").alias("seasonal"),
+        F.col("_fc.forecast").alias("forecast"),
+    )
+
+
+def holt_winters_mult_oracle_sql(
+    base_cte: str,
+    key_expr: str,
+    step_expr: str,
+    value_expr: str,
+    steps: Sequence[str],
+    period: int,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.3,
+    horizon: int | None = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB mirror of :func:`holt_winters_multiplicative` — same
+    unrolling loop, identical expression trees."""
+    T = len(steps)
+    m = int(period)
+    a, b, g = float(alpha), float(beta), float(gamma)
+    hz = m if horizon is None else int(horizon)
+    xs = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN {step_expr} = '{s}' THEN {value_expr} ELSE 0 END), 0) AS DOUBLE) AS _x{i}"
+        for i, s in enumerate(steps)
+    )
+    pos = " AND ".join(f"_x{i} > 0" for i in range(T))
+    s1 = _hw_fold_sum([f"_x{i}" for i in range(m)])
+    s2 = _hw_fold_sum([f"_x{i}" for i in range(m, 2 * m)])
+    init_s = ", ".join(f"_x{i} / _l{m-1} AS _s{i}" for i in range(m))
+    ctes = [
+        f"base AS ({base_cte})",
+        f"wide AS (SELECT {key_expr} AS k, {xs} FROM base GROUP BY 1)",
+        f"posw AS (SELECT *, ({pos}) AS _pos FROM wide)",
+        f"init AS (SELECT *, CASE WHEN _pos THEN {s1} / {float(m)!r} END AS _l{m-1}, "
+        f"CASE WHEN _pos THEN ({s2} - {s1}) / {float(m * m)!r} END AS _b{m-1} FROM posw)",
+        f"init_s AS (SELECT *, {init_s} FROM init)",
+    ]
+    prev = "init_s"
+    for t in range(m, T):
+        ctes.append(
+            f"sl{t} AS (SELECT *, {a!r} * (_x{t} / _s{t-m}) + {1.0 - a!r} * (_l{t-1} + _b{t-1}) AS _l{t} FROM {prev})"
+        )
+        ctes.append(
+            f"sb{t} AS (SELECT *, {b!r} * (_l{t} - _l{t-1}) + {1.0 - b!r} * _b{t-1} AS _b{t} FROM sl{t})"
+        )
+        ctes.append(
+            f"ss{t} AS (SELECT *, {g!r} * (_x{t} / _l{t}) + {1.0 - g!r} * _s{t-m} AS _s{t} FROM sb{t})"
+        )
+        prev = f"ss{t}"
+    arms = " ".join(
+        f"WHEN h = {h} THEN _s{T - m + ((h - 1) % m)}" for h in range(1, hz + 1)
+    )
+    hs = ", ".join(str(h) for h in range(1, hz + 1))
+    final = (
+        f"SELECT k, CAST(h AS INTEGER) AS h, round(_l{T-1}, {round_dp}) AS level, "
+        f"round(_b{T-1}, {round_dp}) AS trend, "
+        f"round(CASE {arms} END, {round_dp}) AS seasonal, "
+        f"round((_l{T-1} + CAST(h AS DOUBLE) * _b{T-1}) * (CASE {arms} END), {round_dp}) AS forecast "
+        f"FROM {prev} CROSS JOIN (SELECT unnest([{hs}]) AS h)"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final

@@ -1439,3 +1439,55 @@ def dq_expectations_orders_profile(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return nn.unionByName(uq).unionByName(acc).unionByName(pos).unionByName(rel).unionByName(rc)
+
+
+# ---------------------------------------------------------------------------
+# Multiplicative Holt-Winters (operators/trend.py::holt_winters_
+# multiplicative): the percentage-seasonality twin of hw_forecast_event_
+# values, on daily event value (strictly positive at every SF, the
+# multiplicative precondition). Oracle generated by the SAME unrolling
+# loop.
+# ---------------------------------------------------------------------------
+
+_HWM_DAYS = [f"{d:02d}" for d in range(1, 29)]
+
+
+def _hwm_oracle() -> str:
+    from ..operators.trend import holt_winters_mult_oracle_sql
+
+    inner = holt_winters_mult_oracle_sql(
+        "SELECT event_type, strftime(ts, '%d') AS step, "
+        "CAST(round(value, 2) AS DECIMAL(12,2)) AS val FROM events "
+        "WHERE CAST(strftime(ts, '%d') AS INT) <= 28",
+        "event_type",
+        "step",
+        "val",
+        _HWM_DAYS,
+        period=7,
+    )
+    return inner.replace("SELECT k,", "SELECT k AS event_type,", 1)
+
+
+@register("hwm_forecast_event_values", oracle=_hwm_oracle(), tags=("trend", "forecast"))
+def hwm_forecast_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import holt_winters_multiplicative
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("step", F.date_format("ts", "dd"))
+        .filter(F.col("step") <= "28")
+        .select(
+            "event_type", "step", F.round("value", 2).cast("decimal(12,2)").alias("val")
+        )
+    )
+    hw = holt_winters_multiplicative(
+        ev, ["event_type"], "step", "val", _HWM_DAYS, period=7
+    )
+    return hw.select(
+        "event_type",
+        "h",
+        F.round("level", 4).alias("level"),
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round("forecast", 4).alias("forecast"),
+    )

@@ -707,3 +707,60 @@ def test_cohort_overlap_matrix_counts_and_lift(spark):
     assert bc["n_both"] == 1 and bc["jaccard"] == 0.25
     # A-C never co-occur -> pair absent (no zero rows)
     assert ("A", "C") not in got
+
+
+# ---------------------------------------------------------------------------
+# Multiplicative Holt-Winters
+# ---------------------------------------------------------------------------
+
+
+def _hwm_reference(series, m, a=0.5, b=0.3, g=0.3, hz=None):
+    hz = hz or m
+    T = len(series)
+    l = sum(series[:m]) / m
+    tr = (sum(series[m:2 * m]) - sum(series[:m])) / (m * m)
+    s = [x / l for x in series[:m]]
+    for t in range(m, T):
+        lp = l
+        l = a * (series[t] / s[t - m]) + (1 - a) * (l + tr)
+        tr = b * (l - lp) + (1 - b) * tr
+        s.append(g * (series[t] / l) + (1 - g) * s[t - m])
+    return {
+        h: (l, tr, s[T - m + ((h - 1) % m)], (l + h * tr) * s[T - m + ((h - 1) % m)])
+        for h in range(1, hz + 1)
+    }
+
+
+def test_hw_multiplicative_matches_python_reference(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import (
+        holt_winters_multiplicative,
+    )
+
+    m = 4
+    steps = [f"{i:02d}" for i in range(1, 13)]
+    season = [1.2, 0.8, 1.1, 0.9]
+    series = [(50.0 + 3.0 * t) * season[t % m] for t in range(12)]
+    rows = [("k", steps[t], series[t]) for t in range(12)]
+    df = spark.createDataFrame(rows, "k string, step string, val double")
+    got = {
+        r["h"]: (r["level"], r["trend"], r["seasonal"], r["forecast"])
+        for r in holt_winters_multiplicative(df, ["k"], "step", "val", steps, m).collect()
+    }
+    ref = _hwm_reference(series, m)
+    for h in ref:
+        for gv, rv in zip(got[h], ref[h]):
+            assert gv == pytest.approx(rv, rel=1e-9), h
+    # multiplicative forecast tracks the growing level times the season
+    assert got[1][3] > 0
+
+
+def test_hw_multiplicative_nonpositive_series_nulls(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import (
+        holt_winters_multiplicative,
+    )
+
+    steps = [f"{i:02d}" for i in range(1, 9)]
+    rows = [("k", steps[t], float(t)) for t in range(8)]  # x0 = 0: not positive
+    df = spark.createDataFrame(rows, "k string, step string, val double")
+    out = holt_winters_multiplicative(df, ["k"], "step", "val", steps, 4).collect()
+    assert out and all(r["forecast"] is None for r in out)
