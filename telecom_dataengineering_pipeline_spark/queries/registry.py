@@ -155,7 +155,9 @@ DRIVER_ORDER: list[str] = [
     # abc_parts_by_revenue, impute_event_values_median,
     # sssp_copurchase_costs, seasonal_decompose_event_values,
     # growth_accounting_daily_users, winsorize_event_values,
-    # na_hazard_customer_churn, did_event_value_quasi_experiment (+ any
+    # na_hazard_customer_churn, did_event_value_quasi_experiment,
+    # growth_stream_daily_users, event_type_overlap_matrix,
+    # dq_expectations_orders_profile, hwm_forecast_event_values (+ any
     # later additions — every registered r8 name carries three-SF local
     # oracle evidence from its registration day).
 ]
