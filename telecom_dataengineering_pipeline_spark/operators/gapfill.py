@@ -81,3 +81,63 @@ def gap_fill_ffill(
     for name, _ in values:
         out = out.withColumn(name, F.last(name, ignorenulls=True).over(w))
     return out
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dense per-key series with LINEAR interpolation across gaps — the
+    numeric upgrade of :func:`gap_fill_ffill` (locf steps; interpolation
+    draws the line): for each missing integer step between two observed
+    points, v = v_prev + (v_next − v_prev)·(t − t_prev)/(t_next − t_prev).
+    Steps before the first / after the last observation stay NULL (no
+    extrapolation — that's a forecast, see the trend tier).
+
+    Shape: the integer spine explodes per key from min/max bounds
+    (metadata-sized against the fact table), ONE keyed sort window
+    carries the four carries (prev/next value and step — two frames of
+    the same window spec: one exchange, one sort), and the blend is a
+    projection. Exact inputs recommended; the interpolated value is one
+    fixed-shape double rounded to 6. Adds ``is_gap``. ``t_col`` must be
+    integral. Returns (*key_cols, t, value, is_gap)."""
+    kcols = [F.col(c) for c in key_cols]
+    obs = df.select(
+        *kcols, F.col(t_col).cast("long").alias("t"), F.col(value_col).alias("_v")
+    )
+    bounds = obs.groupBy(*key_cols).agg(
+        F.min("t").alias("_lo"), F.max("t").alias("_hi")
+    )
+    spine = bounds.select(
+        *key_cols, F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("t")
+    )
+    joined = spine.join(obs, [*key_cols, "t"], "left")
+    wo = Window.partitionBy(*kcols).orderBy(F.col("t").asc())
+    wp = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = wo.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    known_t = F.when(F.col("_v").isNotNull(), F.col("t"))
+    cur = (
+        joined.withColumn("_pv", F.last("_v", ignorenulls=True).over(wp))
+        .withColumn("_pt", F.last(known_t, ignorenulls=True).over(wp))
+        .withColumn("_nv", F.first("_v", ignorenulls=True).over(wn))
+        .withColumn("_nt", F.first(known_t, ignorenulls=True).over(wn))
+    )
+    frac = (F.col("t") - F.col("_pt")).cast("double") / (
+        F.col("_nt") - F.col("_pt")
+    ).cast("double")
+    interp = F.col("_pv").cast("double") + (
+        F.col("_nv").cast("double") - F.col("_pv").cast("double")
+    ) * frac
+    value = F.when(F.col("_v").isNotNull(), F.round(F.col("_v").cast("double"), 6)).otherwise(
+        F.when(
+            F.col("_pv").isNotNull() & F.col("_nv").isNotNull(), F.round(interp, 6)
+        )
+    )
+    return cur.select(
+        *key_cols,
+        "t",
+        value.alias("value"),
+        F.col("_v").isNull().alias("is_gap"),
+    )

@@ -1491,3 +1491,65 @@ def hwm_forecast_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("seasonal", 4).alias("seasonal"),
         F.round("forecast", 4).alias("forecast"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap fill (operators/gapfill.py::gap_fill_
+# interpolate) over the sparse error-demand series (the croston base —
+# real gaps at every SF).
+# ---------------------------------------------------------------------------
+
+_INTERP_ORACLE = """
+WITH obs AS (
+  SELECT CAST(user_id % 5 AS BIGINT) AS cohort,
+         CAST(strftime(ts, '%d') AS BIGINT) AS t,
+         sum(CAST(round(value, 2) AS DECIMAL(14,2))) AS v
+  FROM events WHERE event_type = 'error' AND user_id % 23 = 0
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT cohort, min(t) AS lo, max(t) AS hi FROM obs GROUP BY 1
+), spine AS (
+  SELECT cohort, unnest(generate_series(lo, hi)) AS t FROM bounds
+), j AS (
+  SELECT s.cohort, s.t, o.v FROM spine s
+  LEFT JOIN obs o ON o.cohort = s.cohort AND o.t = s.t
+), c AS (
+  SELECT cohort, t, v,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY cohort ORDER BY t ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+      OVER (PARTITION BY cohort ORDER BY t ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(v IGNORE NULLS) OVER (PARTITION BY cohort ORDER BY t ASC
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+      OVER (PARTITION BY cohort ORDER BY t ASC
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j
+)
+SELECT cohort, t,
+  CASE WHEN v IS NOT NULL THEN round(CAST(v AS DOUBLE), 6)
+       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         round(CAST(pv AS DOUBLE)
+               + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                 * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)), 6)
+  END AS value,
+  v IS NULL AS is_gap
+FROM c
+"""
+
+
+@register("interpolate_error_demand_series", oracle=_INTERP_ORACLE, tags=("trend", "gapfill"))
+def interpolate_error_demand_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.gapfill import gap_fill_interpolate
+
+    obs = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "error") & (F.col("user_id") % 23 == 0))
+        .groupBy(
+            (F.col("user_id") % 5).cast("long").alias("cohort"),
+            F.date_format("ts", "dd").cast("long").alias("t"),
+        )
+        .agg(F.sum(F.round("value", 2).cast("decimal(14,2)")).alias("v"))
+    )
+    return gap_fill_interpolate(obs, ["cohort"], "t", "v")

@@ -764,3 +764,28 @@ def test_hw_multiplicative_nonpositive_series_nulls(spark):
     df = spark.createDataFrame(rows, "k string, step string, val double")
     out = holt_winters_multiplicative(df, ["k"], "step", "val", steps, 4).collect()
     assert out and all(r["forecast"] is None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation gap fill
+# ---------------------------------------------------------------------------
+
+
+def test_gap_fill_interpolate_lines_and_edges(spark):
+    from telecom_dataengineering_pipeline_spark.operators.gapfill import (
+        gap_fill_interpolate,
+    )
+
+    # key a: observed at t=1 (10), t=4 (40), t=5 (45) -> 2,3 interpolate
+    rows = [("a", 1, 10.0), ("a", 4, 40.0), ("a", 5, 45.0), ("b", 7, 3.0)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {(r["k"], r["t"]): (r["value"], r["is_gap"]) for r in
+           gap_fill_interpolate(df, ["k"], "t", "v").collect()}
+    assert got[("a", 1)] == (10.0, False)
+    assert got[("a", 2)] == (20.0, True)
+    assert got[("a", 3)] == (30.0, True)
+    assert got[("a", 4)] == (40.0, False)
+    assert got[("a", 5)] == (45.0, False)
+    # single-point key: just its own row, nothing synthesized
+    assert got[("b", 7)] == (3.0, False)
+    assert len(got) == 6
