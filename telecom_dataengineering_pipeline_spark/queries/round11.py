@@ -12,7 +12,7 @@ operator inventory (training-data-pipeline tier), same as rounds 3-7.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -1553,3 +1553,89 @@ def interpolate_error_demand_series(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.sum(F.round("value", 2).cast("decimal(14,2)")).alias("v"))
     )
     return gap_fill_interpolate(obs, ["cohort"], "t", "v")
+
+
+# ---------------------------------------------------------------------------
+# Pivot (the DataFrame pivot() API surface — melt's inverse, reshape.py):
+# order counts and exact revenue by priority x status, literal column
+# set so both engines emit identical schemas.
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority AS priority,
+  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P,
+  CAST(sum(CASE WHEN o_orderstatus = 'O'
+       THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS rev_O,
+  CAST(sum(CASE WHEN o_orderstatus = 'F'
+       THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS rev_F,
+  CAST(sum(CASE WHEN o_orderstatus = 'P'
+       THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS rev_P
+FROM orders GROUP BY 1
+"""
+
+
+@register("pivot_status_by_priority", oracle=_PIVOT_ORACLE, tags=("reshape", "A1"))
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+    )
+    piv = (
+        o.groupBy("priority")
+        .pivot("o_orderstatus", ["O", "F", "P"])  # literal set: no discovery job
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p").alias("rev"),
+        )
+    )
+    return piv.select(
+        "priority",
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("long").alias("n_O"),
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("long").alias("n_F"),
+        F.coalesce(F.col("P_n"), F.lit(0)).cast("long").alias("n_P"),
+        F.col("O_rev").cast("double").alias("rev_O"),
+        F.col("F_rev").cast("double").alias("rev_F"),
+        F.col("P_rev").cast("double").alias("rev_P"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-of-magnitude profile: distribution of integer digit counts of
+# order totals — the log-histogram data-profiling staple, but INTEGER-
+# exact (digit count of the truncated value), dodging floor(log10(x))'s
+# ulp fragility at exact powers of ten.
+# ---------------------------------------------------------------------------
+
+_MAGNITUDE_ORACLE = """
+WITH d AS (
+  SELECT length(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR)) AS digits
+  FROM orders WHERE o_totalprice >= 1
+)
+SELECT CAST(digits AS INT) AS digits, CAST(count(*) AS BIGINT) AS n,
+  round(CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+FROM d GROUP BY 1
+"""
+
+
+@register("magnitude_profile_order_totals", oracle=_MAGNITUDE_ORACLE, tags=("DQ", "A11"))
+def magnitude_profile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.length(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string")
+        ).cast("int").alias("digits")
+    )
+    w = Window.partitionBy()
+    return (
+        d.groupBy("digits")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "share",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
+            ),
+        )
+    )
