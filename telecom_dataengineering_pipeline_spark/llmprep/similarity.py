@@ -1155,3 +1155,66 @@ def hamming_topk(
     return scored.withColumn(
         "rank", F.row_number().over(wnd).cast("int")
     ).filter(F.col("rank") <= int(k))
+
+
+def truncation_recall_profile(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    dims_list: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncation audit: for each prefix width d' in
+    ``dims_list``, the recall@k of brute-force cosine over the FIRST d'
+    dimensions against the full-width ground truth — the measurement
+    behind "can we store/search 16 of the 64 dims" (MRL-trained
+    embeddings keep recall high under prefix truncation; PCA/random
+    ones decay — this profiles which world the corpus lives in). The
+    measured sibling of :func:`ann_recall_profile` (which audits an
+    index; this audits a REPRESENTATION).
+
+    Shape: one full-width exact top-k (the ground truth) plus one per
+    d' over the sliced arrays — each a broadcast of the |query| rows
+    over the corpus, the knn baseline shape; recall joins are at the
+    (query, neighbor) result grain (metadata-sized).
+
+    Determinism: recall counts are exact integer overlaps of rank-k
+    sets whose ties break on neighbor id (the cosine_topk convention);
+    the per-d' mean recall divides exact sums, rounded to 6. Returns
+    one row per d': (dims, k, n_queries, mean_recall)."""
+    if not dims_list:
+        raise ValueError("truncation_recall_profile needs at least one width")
+    truth = cosine_topk(embeddings, query_ids, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=False)
+    out = None
+    for d in sorted(set(int(x) for x in dims_list)):
+        if d < 1:
+            raise ValueError("widths must be >= 1")
+        sliced = embeddings.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        approx = cosine_topk(sliced, query_ids, k, id_col, vec_col).select(
+            "query_id", "neighbor_id"
+        )
+        hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        per_q = truth.groupBy("query_id").agg(
+            F.count(F.lit(1)).cast("long").alias("_t")
+        ).join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("_h")),
+            "query_id",
+            "left",
+        )
+        row = per_q.agg(
+            F.lit(d).cast("int").alias("dims"),
+            F.lit(int(k)).cast("int").alias("k"),
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.round(
+                F.sum(F.coalesce(F.col("_h"), F.lit(0))).cast("double")
+                / F.sum("_t").cast("double"),
+                6,
+            ).alias("mean_recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1639,3 +1639,51 @@ def magnitude_profile_order_totals(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Truncation recall (llmprep/similarity.py::truncation_recall_profile):
+# recall@10 of prefix-truncated cosine search (8/16/32 dims) vs the
+# 64-dim ground truth — the Matryoshka storage-vs-quality audit.
+# ---------------------------------------------------------------------------
+
+
+def _trunc_oracle(dims=(8, 16, 32), k=10, nq=10) -> str:
+    def knn(width_expr: str, name: str) -> str:
+        return f"""
+{name}_n AS (
+  SELECT vec_id, {width_expr} AS v FROM emb
+), {name}_nn AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM {name}_n
+), {name}_q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM {name}_nn WHERE vec_id < {nq}
+), {name}_r AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+    row_number() OVER (PARTITION BY q.query_id
+      ORDER BY list_dot_product(q.qv, n.v) / (q.qn * n.nrm) DESC, n.vec_id ASC) AS rk
+  FROM {name}_q q JOIN {name}_nn n ON n.vec_id <> q.query_id
+), {name}_top AS (
+  SELECT query_id, neighbor_id FROM {name}_r WHERE rk <= {k}
+)"""
+
+    parts = ["WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS full_v FROM embeddings)"]
+    parts.append("," + knn("full_v", "truth").lstrip())
+    selects = []
+    for d in dims:
+        parts.append("," + knn(f"full_v[1:{d}]", f"d{d}").lstrip())
+        selects.append(f"""
+SELECT CAST({d} AS INT) AS dims, CAST({k} AS INT) AS k,
+  CAST(count(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+  round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS mean_recall
+FROM truth_top t LEFT JOIN d{d}_top a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id""")
+    return "\n".join(parts) + "\nSELECT * FROM (" + "\nUNION ALL".join(selects) + ")"
+
+
+@register("mrl_truncation_recall", oracle=_trunc_oracle(), tags=("LLM", "similarity"))
+def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.similarity import truncation_recall_profile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return truncation_recall_profile(emb, list(range(10)), [8, 16, 32], k=10)

@@ -789,3 +789,26 @@ def test_gap_fill_interpolate_lines_and_edges(spark):
     # single-point key: just its own row, nothing synthesized
     assert got[("b", 7)] == (3.0, False)
     assert len(got) == 6
+
+
+# ---------------------------------------------------------------------------
+# Truncation recall profile
+# ---------------------------------------------------------------------------
+
+
+def test_truncation_recall_full_width_is_one(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.similarity import (
+        truncation_recall_profile,
+    )
+    from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = {r["dims"]: r for r in
+           truncation_recall_profile(emb, list(range(5)), [8, 64], k=5).collect()}
+    # truncating to the FULL width reproduces the ground truth exactly
+    assert got[64]["mean_recall"] == 1.0
+    # an 8-dim prefix of a 64-dim near-isotropic embedding loses recall
+    assert got[8]["mean_recall"] < 1.0
+    assert got[8]["n_queries"] == 5
+    with pytest.raises(ValueError, match="at least one width"):
+        truncation_recall_profile(emb, [0], [], k=5)
