@@ -1644,3 +1644,49 @@ def two_proportion_test(
         F.round(F.lit(1.959963984540054) * se_unpooled, 6).alias("ci95_halfwidth"),
         z.alias("z_stat"),
     )
+
+
+def wilson_proportion_ci(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    success_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Wilson score interval per key for a binary proportion — the CI
+    every rate dashboard should draw instead of the Wald interval (Wald
+    collapses to zero width at p̂ ∈ {0,1} and goes negative near the
+    edges; Wilson stays inside [0,1] and behaves at small n):
+
+        (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+
+    One map-side-combined aggregate per key; counts exact; the interval
+    is a fixed-shape double expression whose only transcendental is
+    sqrt (IEEE-exact — the closed form needs no erf, which is why
+    Wilson is oracle-checkable and a power calculator is not). ``z``
+    defaults to the two-sided 95% normal quantile, embedded as a
+    LITERAL in both engines (the periodogram no-libm discipline).
+    ``success_col`` is integral 0/1; NULLs excluded. Returns
+    (*key_cols, n, n_success, p_hat, ci_lo, ci_hi) rounded to 6."""
+    zf = float(z)
+    s = F.col(success_col).cast("long")
+    base = df.filter(s.isNotNull()).select(
+        *[F.col(c) for c in key_cols], s.alias("_s")
+    )
+    agg = base.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_s").cast("long").alias("n_success"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("n_success").cast("double") / n
+    z2 = F.lit(zf * zf)
+    center = p + z2 / (F.lit(2.0) * n)
+    margin = F.lit(zf) * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+    denom = F.lit(1.0) + z2 / n
+    return agg.select(
+        *key_cols,
+        "n",
+        "n_success",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - margin) / denom, 6).alias("ci_lo"),
+        F.round((center + margin) / denom, 6).alias("ci_hi"),
+    )

@@ -1687,3 +1687,58 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return truncation_recall_profile(emb, list(range(10)), [8, 16, 32], k=10)
+
+
+# ---------------------------------------------------------------------------
+# Wilson score intervals (quality/monitors.py::wilson_proportion_ci):
+# per-nation fulfilled-order proportion with a 95% CI — sqrt-only closed
+# form, z embedded as a literal in both engines.
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = 1.959963984540054
+
+_WILSON_ORACLE = f"""
+WITH base AS (
+  SELECT n.n_name AS nation,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS s
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+), agg AS (
+  SELECT nation, CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS n_success
+  FROM base GROUP BY 1
+)
+SELECT nation, n, n_success,
+  round(CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+  round((CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE)
+         + {_WILSON_Z * _WILSON_Z} / (2.0 * CAST(n AS DOUBLE))
+         - {_WILSON_Z} * sqrt(CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE)
+             * (1.0 - CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+             + {_WILSON_Z * _WILSON_Z} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        / (1.0 + {_WILSON_Z * _WILSON_Z} / CAST(n AS DOUBLE)), 6) AS ci_lo,
+  round((CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE)
+         + {_WILSON_Z * _WILSON_Z} / (2.0 * CAST(n AS DOUBLE))
+         + {_WILSON_Z} * sqrt(CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE)
+             * (1.0 - CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+             + {_WILSON_Z * _WILSON_Z} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        / (1.0 + {_WILSON_Z * _WILSON_Z} / CAST(n AS DOUBLE)), 6) AS ci_hi
+FROM agg
+"""
+
+
+@register("wilson_ci_fulfilled_by_nation", oracle=_WILSON_ORACLE, tags=("DQ", "A11"))
+def wilson_ci_fulfilled_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import wilson_proportion_ci
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nt = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nt), c["c_nationkey"] == nt["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            (F.col("o_orderstatus") == "F").cast("int").alias("s"),
+        )
+    )
+    return wilson_proportion_ci(base, ["nation"], "s", z=_WILSON_Z)

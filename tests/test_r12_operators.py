@@ -812,3 +812,36 @@ def test_truncation_recall_full_width_is_one(spark):
     assert got[8]["n_queries"] == 5
     with pytest.raises(ValueError, match="at least one width"):
         truncation_recall_profile(emb, [0], [], k=5)
+
+
+# ---------------------------------------------------------------------------
+# Wilson proportion CI
+# ---------------------------------------------------------------------------
+
+
+def test_wilson_ci_matches_hand_formula_and_bounds(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        wilson_proportion_ci,
+    )
+
+    import math
+    z = 1.959963984540054
+    rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 1)] * 1 + [("b", 0)] * 0 + [("c", 0)] * 5
+    df = spark.createDataFrame(rows, "k string, s int")
+    got = {r["k"]: r for r in wilson_proportion_ci(df, ["k"], "s").collect()}
+
+    def wilson(ns, n):
+        p = ns / n
+        c = p + z * z / (2 * n)
+        m = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        d = 1 + z * z / n
+        return round((c - m) / d, 6), round((c + m) / d, 6)
+
+    lo, hi = wilson(8, 10)
+    assert (got["a"]["ci_lo"], got["a"]["ci_hi"]) == (lo, hi)
+    assert got["a"]["p_hat"] == 0.8
+    # p_hat = 1 with n = 1: Wilson stays inside [0, 1] and is non-degenerate
+    assert 0.0 < got["b"]["ci_lo"] < 1.0 and got["b"]["ci_hi"] == 1.0
+    # p_hat = 0: lower bound 0, upper bound > 0 (the Wald interval would
+    # collapse to [0, 0])
+    assert got["c"]["ci_lo"] == 0.0 and got["c"]["ci_hi"] > 0.0
