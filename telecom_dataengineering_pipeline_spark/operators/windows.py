@@ -797,3 +797,47 @@ def growth_accounting(
             ),
         )
     )
+
+
+def dwell_time_profile(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-in-state profile: how long users DWELL in each state before
+    their next event — the duration-weighted view of the transition
+    matrix (``eventually_follows``/``transitions`` count WHERE users go;
+    this measures HOW LONG they sit first). Dwell of an event = µs until
+    the same user's next event (any state); each user's LAST event has
+    no successor and is excluded (open-ended dwell is censoring —
+    survival territory, not a mean).
+
+    One user-keyed sort window (lead over (µs, tie-break)) then a
+    state-grain rollup. Durations are exact integer µs; the mean/max
+    divide exact sums (double, rounded 6). Returns one row per state:
+    (state, n_dwells, mean_dwell_s, max_dwell_s, total_dwell_s)."""
+    tb = tiebreak_col or ts_col
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(tb).cast("string").alias("tb"),
+        F.col(state_col).alias("state"),
+    )
+    w = Window.partitionBy("u").orderBy(F.col("us").asc(), F.col("tb").asc())
+    d = ev.withColumn("_next", F.lead("us").over(w)).filter(
+        F.col("_next").isNotNull()
+    ).withColumn("_dwell", F.col("_next") - F.col("us"))
+    us_per_s = F.lit(1_000_000.0)
+    return d.groupBy("state").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dwells"),
+        F.round(
+            F.sum("_dwell").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / us_per_s,
+            6,
+        ).alias("mean_dwell_s"),
+        F.round(F.max("_dwell").cast("double") / us_per_s, 6).alias("max_dwell_s"),
+        F.round(F.sum("_dwell").cast("double") / us_per_s, 6).alias("total_dwell_s"),
+    )

@@ -1742,3 +1742,38 @@ def wilson_ci_fulfilled_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return wilson_proportion_ci(base, ["nation"], "s", z=_WILSON_Z)
+
+
+# ---------------------------------------------------------------------------
+# Dwell-time profile (operators/windows.py::dwell_time_profile): how long
+# users sit in each event state before their next event — the duration-
+# weighted companion of the transition matrix. Exact integer microsecond
+# durations (the unix_micros/epoch_us floor convention).
+# ---------------------------------------------------------------------------
+
+_DWELL_ORACLE = """
+WITH ev AS (
+  SELECT user_id AS u, epoch_us(ts) AS us, CAST(event_id AS VARCHAR) AS tb,
+         event_type AS state
+  FROM events
+), d AS (
+  SELECT state,
+    lead(us) OVER (PARTITION BY u ORDER BY us ASC, tb ASC) - us AS dwell
+  FROM ev
+)
+SELECT state, CAST(count(*) AS BIGINT) AS n_dwells,
+  round(CAST(sum(dwell) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6)
+    AS mean_dwell_s,
+  round(CAST(max(dwell) AS DOUBLE) / 1000000.0, 6) AS max_dwell_s,
+  round(CAST(sum(dwell) AS DOUBLE) / 1000000.0, 6) AS total_dwell_s
+FROM d WHERE dwell IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("dwell_time_by_event_type", oracle=_DWELL_ORACLE, tags=("W3", "sequence"))
+def dwell_time_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import dwell_time_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return dwell_time_profile(ev, "user_id", "ts", "event_type", tiebreak_col="event_id")
