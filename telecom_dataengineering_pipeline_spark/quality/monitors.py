@@ -1690,3 +1690,75 @@ def wilson_proportion_ci(
         F.round((center - margin) / denom, 6).alias("ci_lo"),
         F.round((center + margin) / denom, 6).alias("ci_hi"),
     )
+
+
+def contingency_profile(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Full contingency-table drill-down: per-cell observed/expected
+    counts and STANDARDIZED residuals (o−e)/√e — which cells drive the
+    dependence — plus the table-level χ², dof, and Cramér's V effect
+    size √((χ²/n)/min(r−1, c−1)) on every row. The drill-down companion
+    of the scalar dependence monitors (χ² says "drifted", mutual
+    information says "how much", this says WHERE).
+
+    One map-side-combined cell count (the only row-grain shuffle);
+    margins, n, r, c, χ² and V all ride windows over the cell relation
+    (metadata-sized). NULL levels are a real level (``__null__``).
+
+    Determinism: counts exact; expected/residuals are fixed-shape
+    doubles rounded to 6; the χ² fold is round-then-decimal (9 dp).
+    Degenerate 1×C / R×1 tables emit NULL chi2/v (dof 0). Returns one
+    row per cell: (row_level, col_level, observed, expected,
+    std_residual, chi2, dof, cramers_v)."""
+    r = F.coalesce(F.col(row_col).cast("string"), F.lit("__null__"))
+    c = F.coalesce(F.col(col_col).cast("string"), F.lit("__null__"))
+    cells = df.select(r.alias("row_level"), c.alias("col_level")).groupBy(
+        "row_level", "col_level"
+    ).agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    wall = Window.partitionBy()
+    wr = Window.partitionBy("row_level")
+    wc = Window.partitionBy("col_level")
+    cur = (
+        cells.withColumn("_n", F.sum("observed").over(wall).cast("long"))
+        .withColumn("_rt", F.sum("observed").over(wr).cast("long"))
+        .withColumn("_ct", F.sum("observed").over(wc).cast("long"))
+        .withColumn(
+            "_r", F.size(F.collect_set("row_level").over(wall)).cast("long")
+        )
+        .withColumn(
+            "_c", F.size(F.collect_set("col_level").over(wall)).cast("long")
+        )
+    )
+    exp = F.col("_rt").cast("double") * F.col("_ct").cast("double") / F.col(
+        "_n"
+    ).cast("double")
+    term = F.round(
+        (F.col("observed").cast("double") - exp) * (F.col("observed").cast("double") - exp)
+        / exp,
+        9,
+    ).cast("decimal(28,9)")
+    cur = cur.withColumn("_exp", exp).withColumn(
+        "_chi2", F.sum(term).over(wall).cast("double")
+    )
+    dof = (F.col("_r") - 1) * (F.col("_c") - 1)
+    mindim = F.least(F.col("_r") - 1, F.col("_c") - 1).cast("double")
+    v = F.when(
+        dof > 0,
+        F.sqrt((F.col("_chi2") / F.col("_n").cast("double")) / mindim),
+    )
+    return cur.select(
+        "row_level",
+        "col_level",
+        "observed",
+        F.round(F.col("_exp"), 6).alias("expected"),
+        F.round(
+            (F.col("observed").cast("double") - F.col("_exp")) / F.sqrt(F.col("_exp")),
+            6,
+        ).alias("std_residual"),
+        F.round(F.when(dof > 0, F.col("_chi2")), 6).alias("chi2"),
+        dof.cast("long").alias("dof"),
+        F.round(v, 6).alias("cramers_v"),
+    )

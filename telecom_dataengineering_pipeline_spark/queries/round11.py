@@ -1777,3 +1777,50 @@ def dwell_time_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return dwell_time_profile(ev, "user_id", "ts", "event_type", tiebreak_col="event_id")
+
+
+# ---------------------------------------------------------------------------
+# Contingency drill-down (quality/monitors.py::contingency_profile):
+# priority x status — per-cell standardized residuals plus table-level
+# chi2 and Cramér's V on every row.
+# ---------------------------------------------------------------------------
+
+_CONTINGENCY_ORACLE = """
+WITH cells AS (
+  SELECT coalesce(CAST(o_orderpriority AS VARCHAR), '__null__') AS row_level,
+         coalesce(CAST(o_orderstatus AS VARCHAR), '__null__') AS col_level,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM orders GROUP BY 1, 2
+), m AS (
+  SELECT *, CAST(sum(observed) OVER () AS BIGINT) AS n,
+    CAST(sum(observed) OVER (PARTITION BY row_level) AS BIGINT) AS rt,
+    CAST(sum(observed) OVER (PARTITION BY col_level) AS BIGINT) AS ct,
+    CAST(count(DISTINCT row_level) OVER () AS BIGINT) AS r,
+    CAST(count(DISTINCT col_level) OVER () AS BIGINT) AS c
+  FROM cells
+), e AS (
+  SELECT *, CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS exp
+  FROM m
+), x AS (
+  SELECT *, CAST(sum(CAST(round((CAST(observed AS DOUBLE) - exp)
+    * (CAST(observed AS DOUBLE) - exp) / exp, 9) AS DECIMAL(28,9))) OVER ()
+    AS DOUBLE) AS chi2_raw
+  FROM e
+)
+SELECT row_level, col_level, observed, round(exp, 6) AS expected,
+  round((CAST(observed AS DOUBLE) - exp) / sqrt(exp), 6) AS std_residual,
+  round(CASE WHEN (r - 1) * (c - 1) > 0 THEN chi2_raw END, 6) AS chi2,
+  CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+  round(CASE WHEN (r - 1) * (c - 1) > 0 THEN
+    sqrt((chi2_raw / CAST(n AS DOUBLE)) / CAST(least(r - 1, c - 1) AS DOUBLE)) END, 6)
+    AS cramers_v
+FROM x
+"""
+
+
+@register("contingency_priority_status", oracle=_CONTINGENCY_ORACLE, tags=("DQ", "A11"))
+def contingency_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import contingency_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return contingency_profile(o, "o_orderpriority", "o_orderstatus")

@@ -845,3 +845,41 @@ def test_wilson_ci_matches_hand_formula_and_bounds(spark):
     # p_hat = 0: lower bound 0, upper bound > 0 (the Wald interval would
     # collapse to [0, 0])
     assert got["c"]["ci_lo"] == 0.0 and got["c"]["ci_hi"] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Contingency profile (chi2 + Cramér's V + residuals)
+# ---------------------------------------------------------------------------
+
+
+def test_contingency_profile_matches_scipy_style_reference(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        contingency_profile,
+    )
+
+    rows = (
+        [("a", "x")] * 30 + [("a", "y")] * 10
+        + [("b", "x")] * 10 + [("b", "y")] * 30
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    got = {(q["row_level"], q["col_level"]): q for q in
+           contingency_profile(df, "r", "c").collect()}
+    obs = np.array([[30, 10], [10, 30]], dtype=float)
+    n = obs.sum()
+    exp = np.outer(obs.sum(1), obs.sum(0)) / n
+    chi2 = float((np.round((obs - exp) ** 2 / exp, 9)).sum())
+    v = float(np.sqrt((chi2 / n) / 1.0))
+    for (i, rl) in enumerate(("a", "b")):
+        for (j, cl) in enumerate(("x", "y")):
+            cell = got[(rl, cl)]
+            assert cell["expected"] == pytest.approx(exp[i, j], abs=1e-6)
+            assert cell["std_residual"] == pytest.approx(
+                (obs[i, j] - exp[i, j]) / np.sqrt(exp[i, j]), abs=1e-6
+            )
+            assert cell["chi2"] == pytest.approx(chi2, abs=1e-5)
+            assert cell["cramers_v"] == pytest.approx(v, abs=1e-6)
+            assert cell["dof"] == 1
+    # degenerate 1xC table: NULL chi2/v, dof 0
+    df1 = spark.createDataFrame([("a", "x"), ("a", "y")], "r string, c string")
+    one = contingency_profile(df1, "r", "c").collect()[0]
+    assert one["chi2"] is None and one["cramers_v"] is None and one["dof"] == 0
