@@ -468,3 +468,62 @@ def readability_scores(
         F.round(F.when(ok, ease), 6).alias("flesch_ease"),
         F.round(F.when(ok, grade), 6).alias("fk_grade"),
     )
+
+
+def char_class_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-class composition per document — the OCR-noise / code-
+    dump / wrong-script detector next to :func:`quality_scores` and
+    :func:`readability_scores`: shares of letters, digits, whitespace,
+    punctuation-or-symbol, and everything else. A scanned-PDF artifact
+    shows up as a symbol-share spike long before an LM score moves.
+
+    Pure JVM regexp_replace length arithmetic — count(class) =
+    len(text) − len(text with the class removed) — one projection, no
+    explode, no Python; the class regexes are the same POSIX-safe
+    character sets in both engines. Shares are fixed-shape doubles
+    rounded to 6; empty docs emit zero counts with NULL shares.
+    Returns (doc_id, n_chars, n_letter, n_digit, n_space, n_punct,
+    n_other, letter_share, digit_share, space_share, punct_share)."""
+    c = F.col(text_col)
+    total = F.length(c)
+
+    def n_of(pattern: str) -> Column:
+        return (total - F.length(F.regexp_replace(c, pattern, ""))).cast("long")
+
+    letters = n_of("[A-Za-z]")
+    digits = n_of("[0-9]")
+    spaces = n_of(r"[ \t\n\r]")
+    punct = n_of(r"""[!-/:-@\[-`{-~]""")
+    cur = docs.select(
+        F.col(id_col).alias("doc_id"),
+        total.cast("long").alias("n_chars"),
+        letters.alias("n_letter"),
+        digits.alias("n_digit"),
+        spaces.alias("n_space"),
+        punct.alias("n_punct"),
+    ).withColumn(
+        "n_other",
+        (
+            F.col("n_chars") - F.col("n_letter") - F.col("n_digit")
+            - F.col("n_space") - F.col("n_punct")
+        ).cast("long"),
+    )
+    tot = F.col("n_chars").cast("double")
+    share = lambda col: F.when(  # noqa: E731
+        F.col("n_chars") > 0, F.round(F.col(col).cast("double") / tot, 6)
+    )
+    return cur.select(
+        "doc_id",
+        "n_chars",
+        "n_letter",
+        "n_digit",
+        "n_space",
+        "n_punct",
+        "n_other",
+        share("n_letter").alias("letter_share"),
+        share("n_digit").alias("digit_share"),
+        share("n_space").alias("space_share"),
+        share("n_punct").alias("punct_share"),
+    )

@@ -1824,3 +1824,35 @@ def contingency_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return contingency_profile(o, "o_orderpriority", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Character-class profile (llmprep/text.py::char_class_profile): the
+# OCR-noise/code-dump detector — length-difference counting, identical
+# POSIX class sets in both engines.
+# ---------------------------------------------------------------------------
+
+_CHARCLASS_ORACLE = r"""
+WITH c AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_letter,
+    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+    CAST(length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS BIGINT) AS n_space,
+    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_chars, n_letter, n_digit, n_space, n_punct,
+  n_chars - n_letter - n_digit - n_space - n_punct AS n_other,
+  CASE WHEN n_chars > 0 THEN round(CAST(n_letter AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END AS letter_share,
+  CASE WHEN n_chars > 0 THEN round(CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END AS digit_share,
+  CASE WHEN n_chars > 0 THEN round(CAST(n_space AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END AS space_share,
+  CASE WHEN n_chars > 0 THEN round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END AS punct_share
+FROM c
+"""
+
+
+@register("char_class_doc_profile", oracle=_CHARCLASS_ORACLE, tags=("LLM", "text"))
+def char_class_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.text import char_class_profile
+
+    return char_class_profile(load_table(spark, sf_dir, "documents"))

@@ -883,3 +883,26 @@ def test_contingency_profile_matches_scipy_style_reference(spark):
     df1 = spark.createDataFrame([("a", "x"), ("a", "y")], "r string, c string")
     one = contingency_profile(df1, "r", "c").collect()[0]
     assert one["chi2"] is None and one["cramers_v"] is None and one["dof"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Character-class profile
+# ---------------------------------------------------------------------------
+
+
+def test_char_class_profile_counts(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.text import (
+        char_class_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "Ab1 !?\n"), (1, ""), (2, "éé€")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in char_class_profile(df).collect()}
+    r0 = got[0]
+    assert (r0["n_chars"], r0["n_letter"], r0["n_digit"]) == (7, 2, 1)
+    assert (r0["n_space"], r0["n_punct"], r0["n_other"]) == (2, 2, 0)
+    assert r0["letter_share"] == pytest.approx(2 / 7, abs=1e-6)
+    assert got[1]["n_chars"] == 0 and got[1]["letter_share"] is None
+    # non-ASCII letters/symbols land in n_other (the wrong-script signal)
+    assert got[2]["n_other"] == 3 and got[2]["n_letter"] == 0
