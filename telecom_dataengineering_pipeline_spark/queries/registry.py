@@ -141,25 +141,25 @@ DRIVER_ORDER: list[str] = [
     # -- everything else (fresher round-5/round-6 driver rows) sorts after,
     #    in registration order.
     #
-    # ROUND-9 WINDOW PLAN (do this first next round): the round-8
+    # ROUND-9 WINDOW PLAN (do this first next round): the 33 round-8
     # registrations below sort at positions 69+ (unlisted, registration
     # order) and have NO driver row — they head the r9 window, then the
-    # 7 r3-stale names above (positions 51-57), then the r4 tier, keeping
-    # the >=20-rotation-slot pin satisfied. r8 names (queries/round11.py):
-    # pca_variance_explained, orphan_lineitems_injected,
-    # dq_accepted_values_injected, attribution_stream_purchases,
-    # ann_hamming_topk, ols2_price_on_qty_discount, kn_bigram_doc_scores,
-    # clustering_coeff_copurchase, cuped_event_value_experiment,
-    # readability_doc_scores, iceberg_export_roundtrip,
-    # croston_error_demand, rolling_median_event_values,
-    # abc_parts_by_revenue, impute_event_values_median,
-    # sssp_copurchase_costs, seasonal_decompose_event_values,
-    # growth_accounting_daily_users, winsorize_event_values,
-    # na_hazard_customer_churn, did_event_value_quasi_experiment,
-    # growth_stream_daily_users, event_type_overlap_matrix,
-    # dq_expectations_orders_profile, hwm_forecast_event_values (+ any
-    # later additions — every registered r8 name carries three-SF local
-    # oracle evidence from its registration day).
+    # 7 r3-stale names above (positions 51-57), then ~10 r4-stale names,
+    # keeping the >=20-rotation-slot pin satisfied (33 + 7 + 10 = 50).
+    # r8 names (authoritative source: @register calls in
+    # queries/round11.py; every one carries three-SF local oracle
+    # evidence from its registration day):
+    # pca_variance_explained, orphan_lineitems_injected, dq_accepted_values_injected,
+    # attribution_stream_purchases, ann_hamming_topk, ols2_price_on_qty_discount,
+    # kn_bigram_doc_scores, clustering_coeff_copurchase, cuped_event_value_experiment,
+    # readability_doc_scores, iceberg_export_roundtrip, croston_error_demand,
+    # rolling_median_event_values, abc_parts_by_revenue, impute_event_values_median,
+    # sssp_copurchase_costs, seasonal_decompose_event_values, growth_accounting_daily_users,
+    # winsorize_event_values, na_hazard_customer_churn, did_event_value_quasi_experiment,
+    # growth_stream_daily_users, event_type_overlap_matrix, dq_expectations_orders_profile,
+    # hwm_forecast_event_values, interpolate_error_demand_series, pivot_status_by_priority,
+    # magnitude_profile_order_totals, mrl_truncation_recall, wilson_ci_fulfilled_by_nation,
+    # dwell_time_by_event_type, contingency_priority_status, char_class_doc_profile
 ]
 
 
