@@ -662,7 +662,7 @@ def iceberg_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete_where_mor(spark, [("o_orderkey", "<", 1000)])
     dest = os.path.join(scratch, "ice")
     export_iceberg_snapshot(t, spark, dest)
-    validate_iceberg_metadata(dest)
+    validate_iceberg_metadata(dest, spark)
     return read_iceberg_snapshot(spark, dest).select(
         F.col("o_orderkey").alias("orderkey"),
         F.col("price").cast("double").alias("price"),

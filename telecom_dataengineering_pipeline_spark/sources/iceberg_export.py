@@ -380,7 +380,7 @@ def read_iceberg_snapshot(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(ddl).parquet(*sorted(files))
 
 
-def validate_iceberg_metadata(path: str) -> dict:
+def validate_iceberg_metadata(path: str, spark: SparkSession | None = None) -> dict:
     """Validate an exported table against the Iceberg v2 spec and the
     bytes on disk; raises :class:`IcebergMetadataInvalid` on the first
     violation, returns a summary on acceptance.
@@ -428,9 +428,16 @@ def validate_iceberg_metadata(path: str) -> dict:
     # manifest list: parse the OCF header WITHOUT the JVM (pure-python
     # container parse is overkill; pyarrow cannot read avro — use the
     # stored schema json from the header via a minimal scan)
-    from ..session import get_spark
+    # the avro reads need a JVM; prefer the caller's session, then the
+    # process's active one — only build a new session as a last resort
+    # (a hidden get_spark() here was order-dependent under the full test
+    # suite when a prior test had torn the active session down)
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        from ..session import get_spark
 
-    spark = get_spark()
+        spark = get_spark()
     list_path = snap["manifest-list"]
     _require(os.path.isfile(list_path), mpath, "manifest-list file missing")
     lschema, manifests, _ = _avro_read(spark, list_path)

@@ -45,7 +45,7 @@ def test_export_validate_read_round_trip(spark, tmp_path):
     man = export_iceberg_snapshot(t, spark, dest)
     assert man["n_rows"] == 2 and man["n_files"] >= 1
 
-    summary = validate_iceberg_metadata(dest)
+    summary = validate_iceberg_metadata(dest, spark)
     assert summary["n_rows"] == 2 and summary["n_manifests"] == 1
 
     got = {
@@ -82,15 +82,18 @@ def test_manifest_carries_spec_field_ids_and_metadata(spark, tmp_path):
 def test_validator_rejects_corruptions(spark, tmp_path):
     t = _source_table(spark, tmp_path)
 
-    # missing data file
+    # missing data file — the victim must be a REFERENCED add (the
+    # exporter can leave unreferenced empty part files behind, and
+    # deleting one of those is not a corruption; picking from listdir
+    # made this order-dependent under the full suite's partition config)
     d1 = str(tmp_path / "c1")
     export_iceberg_snapshot(t, spark, d1)
-    victim = next(
-        f for f in os.listdir(os.path.join(d1, "data")) if f.endswith(".parquet")
-    )
-    os.remove(os.path.join(d1, "data", victim))
+    md1 = json.load(open(os.path.join(d1, "metadata", "v1.metadata.json")))
+    _, m1, _ = _avro_read(spark, md1["snapshots"][0]["manifest-list"])
+    _, e1, _ = _avro_read(spark, m1[0]["manifest_path"])
+    os.remove(e1[0]["data_file"]["file_path"])
     with pytest.raises(IcebergMetadataInvalid, match="missing|mismatches"):
-        validate_iceberg_metadata(d1)
+        validate_iceberg_metadata(d1, spark)
 
     # unresolved current-snapshot-id
     d2 = str(tmp_path / "c2")
@@ -100,7 +103,7 @@ def test_validator_rejects_corruptions(spark, tmp_path):
     md["current-snapshot-id"] = 777
     json.dump(md, open(mp, "w"))
     with pytest.raises(IcebergMetadataInvalid, match="current-snapshot-id"):
-        validate_iceberg_metadata(d2)
+        validate_iceberg_metadata(d2, spark)
 
     # manifest_length lies after the manifest grows
     d3 = str(tmp_path / "c3")
@@ -110,7 +113,7 @@ def test_validator_rejects_corruptions(spark, tmp_path):
     with open(manifests[0]["manifest_path"], "ab") as fh:
         fh.write(b"x")
     with pytest.raises(IcebergMetadataInvalid, match="manifest_length"):
-        validate_iceberg_metadata(d3)
+        validate_iceberg_metadata(d3, spark)
 
 
 def test_reader_refuses_delete_manifests(spark, tmp_path):
@@ -146,7 +149,7 @@ def test_export_decimal_and_temporal_types(spark, tmp_path):
     assert types["amt"] == "decimal(12, 2)"
     assert types["d"] == "date" and types["ts"] == "timestamptz"
     assert types["flag"] == "boolean"
-    validate_iceberg_metadata(dest)
+    validate_iceberg_metadata(dest, spark)
     got = {
         (r["id"], str(r["amt"]), str(r["d"]), r["flag"])
         for r in read_iceberg_snapshot(spark, dest).collect()
