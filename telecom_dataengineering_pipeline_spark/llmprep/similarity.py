@@ -1198,11 +1198,19 @@ def truncation_recall_profile(
         approx = cosine_topk(sliced, query_ids, k, id_col, vec_col).select(
             "query_id", "neighbor_id"
         )
-        hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        # the result relations are |query|*k rows — broadcast them so the
+        # recall joins never sort-merge metadata-sized sides
+        hits = truth.join(
+            F.broadcast(approx), ["query_id", "neighbor_id"], "left_semi"
+        )
         per_q = truth.groupBy("query_id").agg(
             F.count(F.lit(1)).cast("long").alias("_t")
         ).join(
-            hits.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("_h")),
+            F.broadcast(
+                hits.groupBy("query_id").agg(
+                    F.count(F.lit(1)).cast("long").alias("_h")
+                )
+            ),
             "query_id",
             "left",
         )

@@ -104,9 +104,11 @@ def gap_fill_interpolate(
     fixed-shape double rounded to 6. Adds ``is_gap``. ``t_col`` must be
     integral. Returns (*key_cols, t, value, is_gap)."""
     kcols = [F.col(c) for c in key_cols]
+    # lineage cut: bounds and the spine join both read obs — without it
+    # the fact derivation runs once per branch
     obs = df.select(
         *kcols, F.col(t_col).cast("long").alias("t"), F.col(value_col).alias("_v")
-    )
+    ).localCheckpoint(eager=False)
     bounds = obs.groupBy(*key_cols).agg(
         F.min("t").alias("_lo"), F.max("t").alias("_hi")
     )
