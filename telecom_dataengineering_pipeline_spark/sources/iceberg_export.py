@@ -343,12 +343,15 @@ def _unwrap(v):
     return v
 
 
-def read_iceberg_snapshot(spark: SparkSession, path: str) -> DataFrame:
-    """Attach to an Iceberg table directory and return the current
-    snapshot's live rows: version-hint → metadata.json → manifest list →
-    manifests → data files (entries with status DELETED=2 drop; manifest
-    content=1 (deletes) is refused loudly — equality/position deletes
-    are not decoded, the Delta reader's refusal discipline)."""
+def read_iceberg_snapshot(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Attach to an Iceberg table directory and return a snapshot's live
+    rows: version-hint → metadata.json → manifest list → manifests →
+    data files (entries with status DELETED=2 drop; manifest content=1
+    (deletes) is refused loudly — equality/position deletes are not
+    decoded, the Delta reader's refusal discipline). ``snapshot_id``
+    time-travels to any snapshot in the chain (default: current)."""
     meta_dir = os.path.join(path, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as fh:
         version = int(fh.read().strip())
@@ -356,8 +359,11 @@ def read_iceberg_snapshot(spark: SparkSession, path: str) -> DataFrame:
         md = json.load(fh)
     if md.get("format-version") not in (1, 2):
         raise NotImplementedError("unsupported Iceberg format-version")
-    snap_id = md["current-snapshot-id"]
-    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == snap_id)
+    snap_id = md["current-snapshot-id"] if snapshot_id is None else int(snapshot_id)
+    try:
+        snap = next(s for s in md["snapshots"] if s["snapshot-id"] == snap_id)
+    except StopIteration:
+        raise ValueError(f"no snapshot {snap_id} in {path}") from None
     schema_json = next(
         s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
     )
@@ -513,4 +519,155 @@ def validate_iceberg_metadata(path: str, spark: SparkSession | None = None) -> d
         "n_manifests": len(manifests),
         "n_files": n_files,
         "n_rows": total,
+    }
+
+
+def append_iceberg_snapshot(
+    df: DataFrame, spark: SparkSession, dest_path: str
+) -> dict:
+    """Commit an APPEND snapshot to an exported Iceberg table: new data
+    files under ``data/<uuid>/``, a new manifest for them, a new
+    manifest LIST carrying every previous manifest (existing counts
+    re-labelled existing, sequence numbers preserved — the spec's
+    manifest-reuse shape) plus the new one, and ``v{N+1}.metadata.json``
+    with the snapshot chain (parent-snapshot-id, snapshot-log,
+    metadata-log) extended and the version hint bumped. Schema must
+    match the table's current schema by name.
+
+    This turns the single-commit CONVERT export into a real multi-
+    snapshot table: :func:`read_iceberg_snapshot` replays any snapshot
+    by id (time travel) and :func:`validate_iceberg_metadata` checks the
+    whole chain. Returns {version, snapshot_id, n_files, n_rows}."""
+    meta_dir = os.path.join(dest_path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        md = json.load(fh)
+    schema_json = next(
+        s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+    )
+    want = [f["name"] for f in schema_json["fields"]]
+    if list(df.columns) != want:
+        raise ValueError(
+            f"append schema {list(df.columns)} != table schema {want}"
+        )
+    batch = uuid.uuid4().hex
+    batch_dir = os.path.join(dest_path, "data", batch)
+    df.write.mode("error").parquet(batch_dir)
+    back = spark.read.schema(df.schema).parquet(batch_dir).select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f")
+    )
+    per_file = {
+        r["__f"]: r["__n"]
+        for r in back.groupBy("__f").agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    prev_snap = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    snapshot_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+    seq = md["last-sequence-number"] + 1
+    entries = []
+    n_rows = 0
+    for fname in sorted(per_file):
+        fpath = os.path.join(batch_dir, fname)
+        n_rows += per_file[fname]
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": {"long": snapshot_id},
+                "sequence_number": {"long": seq},
+                "file_sequence_number": {"long": seq},
+                "data_file": {
+                    "content": 0,
+                    "file_path": fpath,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": per_file[fname],
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                },
+            }
+        )
+    manifest_path = os.path.join(meta_dir, f"manifest-{uuid.uuid4().hex}-m0.avro")
+    _avro_write(
+        spark,
+        _MANIFEST_ENTRY_SCHEMA,
+        entries,
+        {
+            "schema": json.dumps(schema_json),
+            "schema-id": str(md["current-schema-id"]),
+            "partition-spec": json.dumps([]),
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+        manifest_path,
+    )
+    # carry every previous manifest (counts flip to existing)
+    _, prev_manifests, _ = _avro_read(spark, prev_snap["manifest-list"])
+    carried = []
+    for m in prev_manifests:
+        row = {k: _unwrap(v) for k, v in m.items()}
+        row["existing_data_files_count"] = (
+            row["existing_data_files_count"] + row["added_data_files_count"]
+        )
+        row["existing_rows_count"] = (
+            row["existing_rows_count"] + row["added_rows_count"]
+        )
+        row["added_data_files_count"] = 0
+        row["added_rows_count"] = 0
+        carried.append(row)
+    new_list_rows = [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ] + carried
+    list_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    _avro_write(
+        spark, _MANIFEST_FILE_SCHEMA, new_list_rows, {"format-version": "2"}, list_path
+    )
+    md["last-sequence-number"] = seq
+    md["current-snapshot-id"] = snapshot_id
+    md["snapshots"].append(
+        {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": prev_snap["snapshot-id"],
+            "sequence-number": seq,
+            "timestamp-ms": 0,
+            "manifest-list": list_path,
+            "summary": {"operation": "append"},
+            "schema-id": md["current-schema-id"],
+        }
+    )
+    md.setdefault("snapshot-log", []).append(
+        {"snapshot-id": snapshot_id, "timestamp-ms": 0}
+    )
+    md.setdefault("metadata-log", []).append(
+        {
+            "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+            "timestamp-ms": 0,
+        }
+    )
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w") as fh:
+        json.dump(md, fh, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version + 1))
+    return {
+        "version": version + 1,
+        "snapshot_id": snapshot_id,
+        "n_files": len(entries),
+        "n_rows": n_rows,
     }

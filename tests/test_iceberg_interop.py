@@ -155,3 +155,40 @@ def test_export_decimal_and_temporal_types(spark, tmp_path):
         for r in read_iceberg_snapshot(spark, dest).collect()
     }
     assert len(got) == 5
+
+
+def test_append_snapshot_chain_and_time_travel(spark, tmp_path):
+    from telecom_dataengineering_pipeline_spark.sources.iceberg_export import (
+        append_iceberg_snapshot,
+    )
+
+    t = _source_table(spark, tmp_path)
+    dest = str(tmp_path / "ice_chain")
+    export_iceberg_snapshot(t, spark, dest)
+    extra = spark.createDataFrame(
+        [(9, 90, "z", "apac"), (10, 100, "w", "apac")],
+        "id long, amount long, s string, region string",
+    )
+    man = append_iceberg_snapshot(extra, spark, dest)
+    assert man["version"] == 2 and man["snapshot_id"] == 2 and man["n_rows"] == 2
+
+    # the chain validates end to end (two manifests in the new list)
+    summary = validate_iceberg_metadata(dest, spark)
+    assert summary["n_manifests"] == 2 and summary["n_rows"] == 4
+    md = json.load(open(os.path.join(dest, "metadata", "v2.metadata.json")))
+    snap2 = next(s for s in md["snapshots"] if s["snapshot-id"] == 2)
+    assert snap2["parent-snapshot-id"] == 1
+    assert md["snapshot-log"][-1]["snapshot-id"] == 2
+
+    # current read sees both commits; time travel sees only the first
+    now = {r["id"] for r in read_iceberg_snapshot(spark, dest).collect()}
+    assert now == {1, 3, 9, 10}
+    old = {r["id"] for r in read_iceberg_snapshot(spark, dest, snapshot_id=1).collect()}
+    assert old == {1, 3}
+    with pytest.raises(ValueError, match="no snapshot 99"):
+        read_iceberg_snapshot(spark, dest, snapshot_id=99)
+
+    # schema mismatch refused
+    bad = spark.createDataFrame([(1, "x")], "id long, wrong string")
+    with pytest.raises(ValueError, match="append schema"):
+        append_iceberg_snapshot(bad, spark, dest)
