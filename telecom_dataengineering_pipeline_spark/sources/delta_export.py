@@ -456,3 +456,74 @@ def validate_delta_log(path: str) -> dict:
         "n_active_files": len(active),
         "n_rows": total,
     }
+
+
+def append_delta_snapshot(df: DataFrame, spark: SparkSession, dest_path: str) -> dict:
+    """Commit an APPEND to an exported Delta table: new parquet files
+    under ``batch-<uuid>/``, one ``%020d.json`` commit of add actions
+    with per-file numRecords stats — the multi-commit symmetry of
+    :func:`export_delta_snapshot` (whose reader already replays ordered
+    chains; this writes them). Schema must match the table's metaData
+    by name. Returns {version, n_files, n_rows}."""
+    log_dir = os.path.join(dest_path, _LOG_DIR)
+    commits = sorted(
+        f for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[: -len(".json")].isdigit()
+    )
+    if not commits:
+        raise ValueError(f"no Delta commits under {log_dir}")
+    meta = None
+    for fname in commits:
+        with open(os.path.join(log_dir, fname)) as fh:
+            for line in fh:
+                if line.strip():
+                    action = json.loads(line)
+                    if "metaData" in action:
+                        meta = action["metaData"]
+    if meta is None:
+        raise ValueError("log carries no metaData action")
+    want = [f["name"] for f in json.loads(meta["schemaString"])["fields"]]
+    if list(df.columns) != want:
+        raise ValueError(f"append schema {list(df.columns)} != table schema {want}")
+    batch = f"batch-{uuid.uuid4().hex}"
+    batch_dir = os.path.join(dest_path, batch)
+    df.write.mode("error").parquet(batch_dir)
+    back = spark.read.schema(df.schema).parquet(batch_dir).select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f")
+    )
+    per_file = {
+        r["__f"]: r["__n"]
+        for r in back.groupBy("__f").agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "WRITE",
+                "operationParameters": {"mode": "Append"},
+                "engineInfo": "telecom-dataengineering-pipeline-spark",
+            }
+        }
+    ]
+    n_rows = 0
+    for fname in sorted(per_file):
+        rel = f"{batch}/{fname}"
+        fpath = os.path.join(dest_path, rel)
+        n_rows += per_file[fname]
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(fpath),
+                    "modificationTime": int(os.path.getmtime(fpath) * 1000),
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": per_file[fname]}),
+                }
+            }
+        )
+    version = int(commits[-1][: -len(".json")]) + 1
+    tmp = _commit_path(dest_path, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    os.rename(tmp, _commit_path(dest_path, version))
+    return {"version": version, "n_files": len(per_file), "n_rows": n_rows}

@@ -287,3 +287,28 @@ def test_validator_rejects_noncontiguous_chain(spark, tmp_path):
     )
     with pytest.raises(DeltaLogInvalid, match="contiguous"):
         validate_delta_log(dest)
+
+
+def test_append_commit_chain_round_trip(spark, tmp_path):
+    from telecom_dataengineering_pipeline_spark.sources.delta_export import (
+        append_delta_snapshot,
+        validate_delta_log,
+    )
+
+    t = _source_table(spark, tmp_path)
+    dest = str(tmp_path / "delta_chain")
+    export_delta_snapshot(t, spark, dest)
+    extra = spark.createDataFrame(
+        [(9, 90, "z", "apac")], "id long, amount long, s string, region string"
+    )
+    man = append_delta_snapshot(extra, spark, dest)
+    assert man["version"] == 1 and man["n_rows"] == 1
+    # validator accepts the chain; reader replays BOTH commits
+    summary = validate_delta_log(dest)
+    assert summary["n_commits"] == 2 and summary["n_rows"] == 3
+    got = {r["id"] for r in read_delta_snapshot(spark, dest).collect()}
+    assert got == {1, 3, 9}
+    with pytest.raises(ValueError, match="append schema"):
+        append_delta_snapshot(
+            spark.createDataFrame([(1,)], "id long"), spark, dest
+        )
