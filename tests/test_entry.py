@@ -26,26 +26,30 @@ def test_queries_and_oracles_consistent():
     assert set(o) <= set(q), "oracle_sql keys must be a subset of queries"
 
 
-def test_driver_window_covers_round1_unchecked():
-    """The driver verifies the first 50 queries() entries per round.
-
-    Round 1 left the llmprep/writeside layer (+ the quality tail) outside
-    that window; DRIVER_ORDER rotates them in.  Pin the invariant so a new
-    registration can't silently push them back out.
-    """
+def test_driver_window_is_computed_and_complete():
+    """The driver verifies the first 50 queries() entries per round; the
+    order is COMPUTED from the committed CORRECTNESS files (VERDICT r8
+    item 10 — the hand-maintained DRIVER_ORDER list drifted twice and is
+    gone). Pin the structural properties: the order is a permutation of
+    the registry, deterministic, and never-checked names head the window
+    up to the 30-slot cap in registration order."""
     from telecom_dataengineering_pipeline_spark.queries.registry import (
-        DRIVER_ORDER,
+        NEW_NAME_SLOT_CAP,
         REGISTRY,
+        _latest_driver_round,
+        driver_order,
     )
 
-    window = list(entry_mod.queries())[:50]
-    must_be_in_window = DRIVER_ORDER[:22]  # the 22 without a round-1 driver row
-    missing = [n for n in must_be_in_window if n not in window]
-    assert not missing, f"round-1-unchecked queries outside driver window: {missing}"
-    # Every name in DRIVER_ORDER is either registered or a planned round-2 query.
-    unregistered = set(DRIVER_ORDER) - set(REGISTRY)
-    planned = {"fraud_stream_availablenow", "dedup_connected_groups_star", "jdbc_source_contract"}
-    assert unregistered <= planned, f"typo in DRIVER_ORDER: {unregistered - planned}"
+    order = driver_order()
+    assert order == driver_order(), "order must be deterministic"
+    assert sorted(order) == sorted(REGISTRY), "order must be a registry permutation"
+    seen = _latest_driver_round()
+    never = [n for n in REGISTRY if n not in seen]
+    window = order[:50]
+    expected_head = never[:NEW_NAME_SLOT_CAP]
+    assert window[: len(expected_head)] == expected_head, (
+        "never-checked names head the window in registration order"
+    )
 
 
 def test_all_queries_run_at_smoke_sf(spark, sf_smoke):
