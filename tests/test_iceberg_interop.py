@@ -116,7 +116,10 @@ def test_validator_rejects_corruptions(spark, tmp_path):
         validate_iceberg_metadata(d3, spark)
 
 
-def test_reader_refuses_delete_manifests(spark, tmp_path):
+def test_reader_rejects_mislabeled_delete_manifest(spark, tmp_path):
+    """A manifest-list row claiming content=1 while its entries carry
+    data files (content=0) is spec-corrupt: the reader must refuse it,
+    not silently treat the data files as deletes (or vice versa)."""
     t = _source_table(spark, tmp_path)
     dest = str(tmp_path / "ice_del")
     export_iceberg_snapshot(t, spark, dest)
@@ -124,12 +127,35 @@ def test_reader_refuses_delete_manifests(spark, tmp_path):
     md = json.load(open(md_path))
     _, manifests, _ = _avro_read(spark, md["snapshots"][0]["manifest-list"])
     row = dict(manifests[0])
-    row["content"] = 1  # a delete manifest
+    row["content"] = 1  # claims to be a delete manifest
     fake_list = os.path.join(dest, "metadata", "snap-fake.avro")
     _avro_write(spark, _MANIFEST_FILE_SCHEMA, [row], {"format-version": "2"}, fake_list)
     md["snapshots"][0]["manifest-list"] = fake_list
     json.dump(md, open(md_path, "w"))
-    with pytest.raises(NotImplementedError, match="delete manifests"):
+    with pytest.raises(IcebergMetadataInvalid, match="data file in a delete manifest"):
+        read_iceberg_snapshot(spark, dest)
+
+
+def test_reader_refuses_equality_deletes(spark, tmp_path):
+    """Equality deletes (data_file.content=2) stay loudly undecoded —
+    position deletes are the only delete surface this reader applies."""
+    from telecom_dataengineering_pipeline_spark.sources.iceberg_export import (
+        _MANIFEST_ENTRY_SCHEMA,
+    )
+
+    t = _source_table(spark, tmp_path)
+    dest = str(tmp_path / "ice_eq")
+    export_iceberg_snapshot(t, spark, dest)
+    md_path = os.path.join(dest, "metadata", "v1.metadata.json")
+    md = json.load(open(md_path))
+    list_path = md["snapshots"][0]["manifest-list"]
+    _, manifests, _ = _avro_read(spark, list_path)
+    mp = manifests[0]["manifest_path"]
+    eschema, entries, mmeta = _avro_read(spark, mp)
+    bad = json.loads(json.dumps(entries[0]))
+    bad["data_file"]["content"] = 2  # EQUALITY_DELETES
+    _avro_write(spark, _MANIFEST_ENTRY_SCHEMA, [bad], mmeta, mp)
+    with pytest.raises(NotImplementedError, match="equality deletes"):
         read_iceberg_snapshot(spark, dest)
 
 
@@ -192,3 +218,84 @@ def test_append_snapshot_chain_and_time_travel(spark, tmp_path):
     bad = spark.createDataFrame([(1, "x")], "id long, wrong string")
     with pytest.raises(ValueError, match="append schema"):
         append_iceberg_snapshot(bad, spark, dest)
+
+
+def test_positional_delete_commit_read_validate(spark, tmp_path):
+    """The v2 MOR DELETE surface (VERDICT r8 item 4): delete_iceberg_rows
+    writes REAL position-delete parquet + a delete manifest; the reader
+    applies them; the validator accepts the chain and counts them; time
+    travel to the pre-delete snapshot still sees every row."""
+    from telecom_dataengineering_pipeline_spark.sources.iceberg_export import (
+        append_iceberg_snapshot,
+        delete_iceberg_rows,
+    )
+
+    t = _source_table(spark, tmp_path)
+    dest = str(tmp_path / "ice_posdel")
+    export_iceberg_snapshot(t, spark, dest)           # snapshot 1: ids 1,3
+    append_iceberg_snapshot(                          # snapshot 2: +ids 4,5
+        spark.createDataFrame(
+            [(4, 40, "d", "apac"), (5, 50, "e", "apac")],
+            "id long, amount long, s string, region string",
+        ),
+        spark,
+        dest,
+    )
+    info = delete_iceberg_rows(spark, dest, "id IN (3, 4)")  # snapshot 3
+    assert info["n_deleted_rows"] == 2 and info["snapshot_id"] == 3
+
+    live = {r["id"] for r in read_iceberg_snapshot(spark, dest).collect()}
+    assert live == {1, 5}
+    # time travel: pre-delete snapshots are untouched
+    assert {r["id"] for r in read_iceberg_snapshot(spark, dest, snapshot_id=2).collect()} == {1, 3, 4, 5}
+    assert {r["id"] for r in read_iceberg_snapshot(spark, dest, snapshot_id=1).collect()} == {1, 3}
+
+    summary = validate_iceberg_metadata(dest, spark)
+    assert summary["n_delete_files"] >= 1
+    assert summary["n_position_deletes"] == 2
+    # the delete files carry the reserved spec field-ids in their parquet schema
+    import glob
+
+    import pyarrow.parquet as pq
+
+    dfiles = glob.glob(os.path.join(dest, "data", "deletes-*", "*.parquet"))
+    assert dfiles
+    sch = pq.ParquetFile(dfiles[0]).schema_arrow
+    fid = lambda name: sch.field(name).metadata.get(b"PARQUET:field_id")
+    assert fid("file_path") == b"2147483546"
+    assert fid("pos") == b"2147483545"
+
+
+def test_positional_delete_sequence_rule(spark, tmp_path):
+    """A delete file applies only to data files whose sequence number is
+    <= its own: rows appended AFTER the delete survive even when they
+    would match the deleted positions' key."""
+    from telecom_dataengineering_pipeline_spark.sources.iceberg_export import (
+        append_iceberg_snapshot,
+        delete_iceberg_rows,
+    )
+
+    t = TxnLogTable(str(tmp_path / "src2"), stat_cols=("id",))
+    t.create_or_replace(spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"))
+    dest = str(tmp_path / "ice_seq")
+    export_iceberg_snapshot(t, spark, dest)             # seq 1: ids 1,2
+    delete_iceberg_rows(spark, dest, "id = 2")          # seq 2 delete
+    append_iceberg_snapshot(                            # seq 3: id 2 re-added
+        spark.createDataFrame([(2, "b2")], "id long, s string"), spark, dest
+    )
+    rows = {(r["id"], r["s"]) for r in read_iceberg_snapshot(spark, dest).collect()}
+    assert rows == {(1, "a"), (2, "b2")}, "post-delete append must not be re-deleted"
+
+
+def test_delete_refuses_empty_match(spark, tmp_path):
+    from telecom_dataengineering_pipeline_spark.sources.iceberg_export import (
+        delete_iceberg_rows,
+    )
+
+    t = _source_table(spark, tmp_path)
+    dest = str(tmp_path / "ice_empty")
+    export_iceberg_snapshot(t, spark, dest)
+    with pytest.raises(ValueError, match="matched no rows"):
+        delete_iceberg_rows(spark, dest, "id = 999")
+    # the refused commit must not have bumped the chain
+    assert open(os.path.join(dest, "metadata", "version-hint.text")).read().strip() == "1"
