@@ -7,6 +7,7 @@ sides, single-key pileups)."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -930,4 +931,143 @@ def test_txnlog_generated_clustering_sequences_match_dict_model(
         history[t.version()] = (
             dict(model), vname, rule, has_d, dname, dval, d_phys, frozenset(tombstones)
         )
+        check()
+
+
+# ---------------------------------------------------------------------------
+# Interop append-chain models (VERDICT r8 item 5): the r8 multi-commit
+# Delta appends and multi-snapshot Iceberg appends (+ r9 position deletes)
+# were covered only by directed tests. These models interleave appends,
+# schema-mismatch attempts, positional deletes, validator runs, and
+# time-travel reads, checking the replayed rows against a plain multiset
+# model after every operation — the defaults×rename×CDF precedent found a
+# real bug with exactly this shape.
+# ---------------------------------------------------------------------------
+
+_ice_rows = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 99)), min_size=1, max_size=4
+)
+
+_ice_op = st.one_of(
+    st.tuples(st.just("append"), _ice_rows),
+    st.tuples(st.just("append_bad_schema")),
+    st.tuples(st.just("delete"), st.integers(0, 9)),
+    st.tuples(st.just("validate")),
+    st.tuples(st.just("time_travel"), st.integers(0, 7)),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_ice_op, min_size=2, max_size=5))
+def test_iceberg_chain_matches_multiset_model(spark, tmp_path_factory, ops):
+    from telecom_dataengineering_pipeline_spark.sources.iceberg_export import (
+        append_iceberg_snapshot,
+        delete_iceberg_rows,
+        export_iceberg_snapshot,
+        read_iceberg_snapshot,
+        validate_iceberg_metadata,
+    )
+    from telecom_dataengineering_pipeline_spark.sources.txnlog import TxnLogTable
+
+    base = tmp_path_factory.mktemp("iceseq")
+    t = TxnLogTable(str(base / "src"), stat_cols=("k",))
+    model = [(0, 10), (1, 11), (2, 12)]
+    t.create_or_replace(spark.createDataFrame(model, "k long, v long").coalesce(2))
+    dest = str(base / "ice")
+    info = export_iceberg_snapshot(t, spark, dest)
+    history = {info["snapshot_id"]: sorted(model)}
+
+    def check(snapshot_id=None, want=None):
+        got = sorted(
+            (r["k"], r["v"])
+            for r in read_iceberg_snapshot(spark, dest, snapshot_id=snapshot_id).collect()
+        )
+        assert got == (sorted(model) if want is None else want)
+
+    for op in ops:
+        kind = op[0]
+        if kind == "append":
+            rows = list(op[1])
+            info = append_iceberg_snapshot(
+                spark.createDataFrame(rows, "k long, v long"), spark, dest
+            )
+            model.extend(rows)
+            history[info["snapshot_id"]] = sorted(model)
+        elif kind == "append_bad_schema":
+            with pytest.raises(ValueError, match="append schema"):
+                append_iceberg_snapshot(
+                    spark.createDataFrame([(1,)], "k long"), spark, dest
+                )
+        elif kind == "delete":
+            key = op[1]
+            if any(k == key for k, _ in model):
+                info = delete_iceberg_rows(spark, dest, f"k = {key}")
+                model = [(k, v) for k, v in model if k != key]
+                history[info["snapshot_id"]] = sorted(model)
+            else:
+                with pytest.raises(ValueError, match="matched no rows"):
+                    delete_iceberg_rows(spark, dest, f"k = {key}")
+        elif kind == "validate":
+            summary = validate_iceberg_metadata(dest, spark)
+            assert summary["n_files"] >= 1
+        elif kind == "time_travel":
+            sids = sorted(history)
+            sid = sids[op[1] % len(sids)]
+            check(snapshot_id=sid, want=history[sid])
+        check()
+
+
+_delta_op = st.one_of(
+    st.tuples(st.just("append"), _ice_rows),
+    st.tuples(st.just("append_bad_schema")),
+    st.tuples(st.just("validate")),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_delta_op, min_size=2, max_size=5))
+def test_delta_chain_matches_multiset_model(spark, tmp_path_factory, ops):
+    from telecom_dataengineering_pipeline_spark.sources.delta_export import (
+        append_delta_snapshot,
+        export_delta_snapshot,
+        read_delta_snapshot,
+        validate_delta_log,
+    )
+    from telecom_dataengineering_pipeline_spark.sources.txnlog import TxnLogTable
+
+    base = tmp_path_factory.mktemp("deltaseq")
+    t = TxnLogTable(str(base / "src"), stat_cols=("k",))
+    model = [(0, 10), (1, 11), (2, 12)]
+    t.create_or_replace(spark.createDataFrame(model, "k long, v long").coalesce(2))
+    dest = str(base / "delta")
+    export_delta_snapshot(t, spark, dest)
+
+    def check():
+        got = sorted((r["k"], r["v"]) for r in read_delta_snapshot(spark, dest).collect())
+        assert got == sorted(model)
+
+    for op in ops:
+        kind = op[0]
+        if kind == "append":
+            rows = list(op[1])
+            append_delta_snapshot(
+                spark.createDataFrame(rows, "k long, v long"), spark, dest
+            )
+            model.extend(rows)
+        elif kind == "append_bad_schema":
+            with pytest.raises(ValueError, match="schema"):
+                append_delta_snapshot(
+                    spark.createDataFrame([(1,)], "k long"), spark, dest
+                )
+        elif kind == "validate":
+            summary = validate_delta_log(dest)
+            assert summary["n_active_files"] >= 1 and summary["n_rows"] == len(model)
         check()
