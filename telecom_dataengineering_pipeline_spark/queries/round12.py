@@ -324,3 +324,83 @@ def iceberg_positional_delete_roundtrip(spark: SparkSession, sf_dir: str) -> Dat
         F.col("price").cast("double").alias("price"),
         "status",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming dwell-time profile (VERDICT r8 item 9): the time-in-state
+# family's streaming twin (streaming/dwell.py) through the VALUE gate.
+# Per-user keyed state holds ONE pending event (µs, tie-break, state);
+# each arrival closes the held event's dwell and emits it; a user's final
+# event never closes — exactly the batch operator's censoring. The
+# state-grain rollup over the emitted rows must equal the batch window
+# query, checked against the batch query's own DuckDB oracle:
+# stream ≡ batch ≡ oracle in one row set. Same staging recipe as
+# attribution_stream_purchases: day-split parquet, one file per trigger,
+# availableNow.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dwell_stream_by_event_type",
+    oracle=None,  # replaced below with the batch query's oracle
+    tags=("T2", "T4", "W3", "stream", "sequence"),
+)
+def dwell_stream_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.dwell import dwell_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").cast("string").alias("tb"),
+        F.col("event_type").alias("state"),
+        F.date_format("ts", "dd").cast("int").alias("_d"),
+    )
+    sink = "dwell_stream_by_event_type_sink"
+    spark.catalog.dropTempView(sink)
+    staging = tempfile.mkdtemp(prefix="dwell_stream_src_")
+    try:
+        cols = ["user_id", "us", "tb", "state"]
+        # day-split micro-batches: cross-batch event-time order holds
+        ev.filter(F.col("_d") <= 15).select(*cols).coalesce(1).write.parquet(
+            os.path.join(staging, "b0")
+        )
+        ev.filter(F.col("_d") > 15).select(*cols).coalesce(1).write.parquet(
+            os.path.join(staging, "b1")
+        )
+        stream = (
+            spark.readStream.schema("user_id long, us long, tb string, state string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging + "/b*")
+        )
+        q = (
+            dwell_stream(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    # state-grain rollup — the batch profile's exact expression shapes
+    us_per_s = F.lit(1_000_000.0)
+    return spark.table(sink).groupBy("state").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dwells"),
+        F.round(
+            F.sum("dwell_us").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / us_per_s,
+            6,
+        ).alias("mean_dwell_s"),
+        F.round(F.max("dwell_us").cast("double") / us_per_s, 6).alias("max_dwell_s"),
+        F.round(F.sum("dwell_us").cast("double") / us_per_s, 6).alias("total_dwell_s"),
+    )
+
+
+# late-bind the batch dwell query's oracle: stream ≡ batch ≡ oracle is one
+# contract, not two strings that can drift
+from .registry import REGISTRY as _REG  # noqa: E402
+from .round11 import _DWELL_ORACLE as _DWELL_ORACLE_SHARED  # noqa: E402
+
+_REG["dwell_stream_by_event_type"].oracle = _DWELL_ORACLE_SHARED
