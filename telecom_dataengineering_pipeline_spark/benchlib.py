@@ -63,7 +63,7 @@ def _silence_accumulator_cleanup_noise(spark: SparkSession) -> None:
 # median of VARIANCE_REPS clean runs — the same protocol
 # BENCH_BASELINE.json's own dedup entries were recorded with (median of
 # clean solo runs).
-VARIANCE_TAGS = ("dedup", "pipeline", "iterative", "sketch")
+VARIANCE_TAGS = ("dedup", "pipeline", "iterative", "sketch", "recommend")
 VARIANCE_REPS = 3
 
 
