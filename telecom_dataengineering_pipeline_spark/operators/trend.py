@@ -1910,3 +1910,335 @@ def holt_winters_mult_oracle_sql(
         f"FROM {prev} CROSS JOIN (SELECT unnest([{hs}]) AS h)"
     )
     return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend per key: the MEDIAN of all pairwise slopes
+    (y_j − y_i)/(t_j − t_i) over i<j — up to ~29% contamination leaves the
+    estimate standing where OLS (``ols_trend``) is dragged by one outlier.
+
+    ``t_col`` must be INTEGRAL and unique per key (a day/month index);
+    ``y_col`` should derive from exact decimal sums cast to double with
+    the same expression shape on both engines. The pair fan-out is an
+    equi-self-join on the key, quadratic ONLY in the per-key series
+    length — callers aggregate to a bounded time grain first (months,
+    days), so a key's pair count is thousands, never row-scale; the
+    shuffle moves the aggregated grain, not raw events. Median = the
+    row_number mirror (avg of the two middle order stats for even n,
+    integer-DIV rank selection — DuckDB ``//`` ≡ Spark ``DIV``), never a
+    sketch. Returns (key, n_points, n_pairs, theil_sen_slope) with the
+    slope rounded to 6."""
+    # lineage cut: the (usually aggregated) input subtree is consumed
+    # THREE times (both pair sides + the n_points rollup); Spark does not
+    # dedupe shared subtrees, so checkpoint the series grain once
+    src = df.select(
+        F.col(key_col).alias("k"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(y_col).cast("double").alias("y"),
+    ).localCheckpoint(eager=False)
+    a = src.select("k", F.col("t").alias("t1"), F.col("y").alias("y1"))
+    b = src.select("k", F.col("t").alias("t2"), F.col("y").alias("y2"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("t1") < F.col("t2"))
+        .select(
+            "k",
+            "t1",
+            "t2",
+            (
+                (F.col("y2") - F.col("y1"))
+                / (F.col("t2") - F.col("t1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("k").orderBy(
+        F.col("slope").asc(), F.col("t1").asc(), F.col("t2").asc()
+    )
+    ranked = pairs.select(
+        "k",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("k")).alias("np"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(np + 1) DIV 2")) | (F.col("rn") == F.expr("np DIV 2 + 1"))
+    )
+    pts = src.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    return (
+        mid.groupBy("k")
+        .agg(
+            F.max("np").cast("long").alias("n_pairs"),
+            F.round(F.sum("slope") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "theil_sen_slope"
+            ),
+        )
+        .join(pts, "k")
+        .select(
+            F.col("k").alias(key_col), "n_points", "n_pairs", "theil_sen_slope"
+        )
+    )
+
+
+def theil_sen_oracle_sql(
+    base_cte: str,
+    key_name: str = "k",
+) -> str:
+    """DuckDB mirror of :func:`theil_sen_slope`. ``base_cte`` must expose
+    (k, t, y) at the aggregated series grain — the SAME relation the Spark
+    side feeds the operator (same exact-sum → double derivation)."""
+    return f"""
+WITH base AS MATERIALIZED ({base_cte}),
+pairs AS (
+  SELECT a.k, a.t AS t1, b.t AS t2,
+         (b.y - a.y) / CAST(b.t - a.t AS DOUBLE) AS slope
+  FROM base a JOIN base b ON a.k = b.k AND a.t < b.t
+), ranked AS (
+  SELECT k, slope,
+         CAST(row_number() OVER (PARTITION BY k ORDER BY slope ASC, t1 ASC, t2 ASC) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS np
+  FROM pairs
+), mid AS (
+  SELECT k, slope, np FROM ranked
+  WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
+), pts AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_points FROM base GROUP BY 1
+)
+SELECT mid.k AS {key_name}, pts.n_points, max(np) AS n_pairs,
+       round(sum(slope) / CAST(count(*) AS DOUBLE), 6) AS theil_sen_slope
+FROM mid JOIN pts ON mid.k = pts.k
+GROUP BY 1, 2
+"""
+
+
+def page_hinkley(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+    delta: float = 0.0,
+    lam: float = 50.0,
+    x_scale: int = 2,
+) -> DataFrame:
+    """Page–Hinkley drift detector per key: the sequential companion of
+    ``cusum_change_points`` for mean drift against a RUNNING (not fixed)
+    reference. At step t, with running mean x̄_t of the series so far, the
+    cumulative deviation m_t = Σ_{i≤t}(x_i − x̄_i − δ); the PH statistic is
+    max_{i≤t} m_i − m_t, alarming when it exceeds λ — a drop in level stops
+    m growing while its historical max stands.
+
+    INTEGER FIXED-POINT throughout (the PageRank/HLL discipline): ``x_col``
+    must be an exact DECIMAL with scale ≤ ``x_scale``; values move to
+    micro-units (×10⁶) as LONGs, the running mean is rounded HALF-UP to
+    micro-units with pure integer arithmetic (sign·((2·|S|·10^{6−s} + i)
+    DIV (2·i)) — an exact rational rounding no float can wobble), and the
+    running sums/maxima stay LONG. The first float-rounded-at-a-grid
+    version of this operator mismatched DuckDB at 1 ulp: decimal→double
+    casts differ at 1 ulp between engines for some sums, and per-step
+    rounding at 1e-9 AMPLIFIES that into grid-boundary flips; integers
+    cannot. Doubles appear only in the final display division by 10⁶.
+    Bounds: |Σx|·10^{6−s+1} must fit in int64 (~4.6e18; document per
+    caller). Two stacked window passes over the key's series —
+    cardinality is the time grain, not events. Returns one row per
+    (key, t): (key, t, x, m, ph, alarm)."""
+    if x_scale < 0 or x_scale > 6:
+        raise ValueError("x_scale must be in [0, 6]")
+    up = 10 ** (6 - x_scale)
+    delta6 = int(round(float(delta) * 1_000_000))
+    lam6 = int(round(float(lam) * 1_000_000))
+    w = Window.partitionBy("k").orderBy("t")
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(t_col).alias("t"),
+        (F.col(x_col) * F.lit(10 ** x_scale)).cast("long").alias("xs"),
+    )
+    cum = base.select(
+        "k",
+        "t",
+        "xs",
+        F.row_number().over(w).cast("long").alias("_i"),
+        F.sum("xs").over(w).alias("_s"),
+    )
+    # running mean in micro-units, exact HALF-UP integer rounding
+    sgn = F.when(F.col("_s") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    mean6 = sgn * F.expr(f"(2 * abs(_s) * {up} + _i) DIV (2 * _i)")
+    dev = cum.select(
+        "k",
+        "t",
+        "xs",
+        (F.col("xs") * F.lit(up) - mean6 - F.lit(delta6)).alias("_dev6"),
+    )
+    m = dev.select("k", "t", "xs", F.sum("_dev6").over(w).alias("_m6"))
+    ph6 = F.max("_m6").over(w) - F.col("_m6")
+    return m.select(
+        F.col("k").alias(key_col),
+        "t",
+        (F.col("xs").cast("double") / F.lit(float(10 ** x_scale))).alias("x"),
+        (F.col("_m6").cast("double") / F.lit(1_000_000.0)).alias("m"),
+        (ph6.cast("double") / F.lit(1_000_000.0)).alias("ph"),
+        (ph6 > F.lit(lam6)).cast("int").alias("alarm"),
+    )
+
+
+def page_hinkley_oracle_sql(
+    base_cte: str,
+    delta: float = 0.0,
+    lam: float = 50.0,
+    x_scale: int = 2,
+    key_name: str = "k",
+) -> str:
+    """DuckDB mirror of :func:`page_hinkley` — the same integer
+    fixed-point pipeline (``//`` ≡ Spark ``DIV`` on non-negatives; the
+    sign is factored out first). ``base_cte`` exposes (k, t, x) with x
+    the SAME exact decimal the Spark side scales."""
+    up = 10 ** (6 - x_scale)
+    delta6 = int(round(float(delta) * 1_000_000))
+    lam6 = int(round(float(lam) * 1_000_000))
+    return f"""
+WITH base AS ({base_cte}),
+scaled AS (
+  SELECT k, t, CAST(x * {10 ** x_scale} AS BIGINT) AS xs FROM base
+), cum AS (
+  SELECT k, t, xs,
+         CAST(row_number() OVER (PARTITION BY k ORDER BY t) AS BIGINT) AS i,
+         CAST(sum(xs) OVER (PARTITION BY k ORDER BY t) AS BIGINT) AS s
+  FROM scaled
+), dev AS (
+  SELECT k, t, xs,
+         xs * {up}
+           - (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+             * ((2 * abs(s) * {up} + i) // (2 * i))
+           - {delta6} AS dev6
+  FROM cum
+), m AS (
+  SELECT k, t, xs, CAST(sum(dev6) OVER (PARTITION BY k ORDER BY t) AS BIGINT) AS m6
+  FROM dev
+)
+SELECT k AS {key_name}, t,
+       CAST(xs AS DOUBLE) / {float(10 ** x_scale)!r} AS x,
+       CAST(m6 AS DOUBLE) / 1000000.0 AS m,
+       CAST(max(m6) OVER (PARTITION BY k ORDER BY t) - m6 AS DOUBLE) / 1000000.0 AS ph,
+       CAST(max(m6) OVER (PARTITION BY k ORDER BY t) - m6 > {lam6} AS INTEGER) AS alarm
+FROM m
+"""
+
+
+def binseg_mean_shift(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Single binary-segmentation changepoint per key: the split that
+    maximizes the between-segment sum-of-squares gain — the first
+    iteration of classic binary segmentation (Scott–Knott / CROPS
+    family), the MEAN-SHIFT companion of the rank-based ``pettitt_test``.
+    For ordered x_1..x_n and split after position p, the SSE reduction is
+    S_L²/n_L + S_R²/n_R − S²/n (S = segment sums) — variance terms cancel,
+    so only running sums are needed.
+
+    ``x_col`` must be an exact DECIMAL: prefix sums come off ONE
+    cumulative window pass (exact), the gain is derived in double with
+    one expression shape, rounded to 6, and the argmax breaks ties on the
+    earliest boundary — fully deterministic. Cardinality is the series
+    grain. Keys with n < 2 emit a NULL-boundary row (the pettitt NULL-row
+    convention: the key is visible, the split is undefined). Returns
+    (key, split_t, n_left, n_right, mean_left, mean_right, gain)."""
+    w = Window.partitionBy("k").orderBy("t")
+    wk = Window.partitionBy("k")
+    # lineage cut: base feeds both the split window chain and the
+    # singleton rollup (shared-subtree double-scan otherwise)
+    base = df.select(
+        F.col(key_col).alias("k"), F.col(t_col).alias("t"), F.col(x_col).alias("x")
+    ).localCheckpoint(eager=False)
+    cum = base.select(
+        "k",
+        "t",
+        F.row_number().over(w).alias("_p"),
+        F.sum("x").over(w).alias("_sl"),
+        F.count(F.lit(1)).over(wk).alias("_n"),
+        F.sum("x").over(wk).alias("_s"),
+    )
+    nl = F.col("_p").cast("double")
+    nr = (F.col("_n") - F.col("_p")).cast("double")
+    sl = F.col("_sl").cast("double")
+    sr = (F.col("_s") - F.col("_sl")).cast("double")
+    st = F.col("_s").cast("double")
+    gain = F.round(
+        sl * sl / nl + sr * sr / nr - st * st / F.col("_n").cast("double"), 6
+    )
+    splits = cum.filter(F.col("_p") < F.col("_n")).select(
+        "k",
+        "t",
+        "_p",
+        "_n",
+        gain.alias("_gain"),
+        F.round(sl / nl, 6).alias("_ml"),
+        F.round(sr / nr, 6).alias("_mr"),
+    )
+    pick = Window.partitionBy("k").orderBy(F.col("_gain").desc(), F.col("t").asc())
+    best = splits.withColumn("_rn", F.row_number().over(pick)).filter(
+        F.col("_rn") == 1
+    )
+    singletons = (
+        base.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") < 2)
+        .select(
+            "k",
+            F.lit(None).cast("string").alias("split_t"),
+            F.lit(None).cast("long").alias("n_left"),
+            F.lit(None).cast("long").alias("n_right"),
+            F.lit(None).cast("double").alias("mean_left"),
+            F.lit(None).cast("double").alias("mean_right"),
+            F.lit(None).cast("double").alias("gain"),
+        )
+    )
+    return best.select(
+        "k",
+        F.col("t").cast("string").alias("split_t"),
+        F.col("_p").cast("long").alias("n_left"),
+        (F.col("_n") - F.col("_p")).cast("long").alias("n_right"),
+        F.col("_ml").alias("mean_left"),
+        F.col("_mr").alias("mean_right"),
+        F.col("_gain").alias("gain"),
+    ).unionByName(singletons).withColumnRenamed("k", key_col)
+
+
+def binseg_oracle_sql(base_cte: str, key_name: str = "k") -> str:
+    """DuckDB mirror of :func:`binseg_mean_shift`. ``base_cte`` exposes
+    (k, t, x) with x the SAME exact decimal as the Spark side."""
+    return f"""
+WITH base AS ({base_cte}),
+cum AS (
+  SELECT k, t,
+         CAST(row_number() OVER (PARTITION BY k ORDER BY t) AS BIGINT) AS p,
+         sum(x) OVER (PARTITION BY k ORDER BY t) AS sl,
+         CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+         sum(x) OVER (PARTITION BY k) AS s
+  FROM base
+), splits AS (
+  SELECT k, t, p, n,
+    round(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(p AS DOUBLE)
+        + CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE) / CAST(n - p AS DOUBLE)
+        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gain,
+    round(CAST(sl AS DOUBLE) / CAST(p AS DOUBLE), 6) AS ml,
+    round(CAST(s - sl AS DOUBLE) / CAST(n - p AS DOUBLE), 6) AS mr
+  FROM cum WHERE p < n
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY gain DESC, t ASC) AS rn
+  FROM splits
+)
+SELECT k AS {key_name}, CAST(t AS VARCHAR) AS split_t, p AS n_left,
+       n - p AS n_right, ml AS mean_left, mr AS mean_right, gain
+FROM best WHERE rn = 1
+UNION ALL
+SELECT k, NULL, NULL, NULL, NULL, NULL, NULL
+FROM base GROUP BY 1 HAVING count(*) < 2
+"""

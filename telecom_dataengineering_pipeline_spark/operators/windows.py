@@ -841,3 +841,122 @@ def dwell_time_profile(
         F.round(F.max("_dwell").cast("double") / us_per_s, 6).alias("max_dwell_s"),
         F.round(F.sum("_dwell").cast("double") / us_per_s, 6).alias("total_dwell_s"),
     )
+
+
+def activity_streaks(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per user
+    — the classic streak kernel (daily-habit retention, SLA continuity).
+    Distinct (user, day) first (events collapse to the day grain, so the
+    shuffle moves user×day, never raw events), then the anchor trick:
+    day − row_number() is constant exactly within a consecutive run, so
+    one user-keyed sort window plus a groupBy yields every island with no
+    self-join. Returns one row per streak:
+    (user, start_day, end_day, streak_len)."""
+    days = df.select(
+        F.col(user_col).alias("u"), F.to_date(F.col(ts_col)).alias("d")
+    ).distinct()
+    w = Window.partitionBy("u").orderBy("d")
+    isl = days.withColumn(
+        "_anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return isl.groupBy("u", "_anchor").agg(
+        F.min("d").alias("start_day"),
+        F.max("d").alias("end_day"),
+        F.count(F.lit(1)).cast("long").alias("streak_len"),
+    ).select(
+        F.col("u").alias(user_col), "start_day", "end_day", "streak_len"
+    )
+
+
+def position_based_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    conversion: str,
+    touch_events: Sequence[str],
+    within_seconds: int | None = None,
+    tiebreak_col: str | None = None,
+    first_weight: float = 0.4,
+    last_weight: float = 0.4,
+) -> DataFrame:
+    """Position-based (U-shaped) MULTI-touch attribution — the fractional
+    companion of :func:`last_touch_attribution`: every conversion splits
+    one unit of credit over ALL its qualifying touches (strictly
+    preceding, within the window): the first touch gets ``first_weight``,
+    the last ``last_weight``, middles share the remainder evenly; a lone
+    touch gets 1.0, a pair splits (first+mid share)/(last+mid share) per
+    the standard U-shape degeneration (0.5/0.5 at the defaults).
+
+    One user-keyed sort window assigns each touch its NEXT conversion
+    (running ``min`` over the descending (µs, tie-break) frame of a
+    zero-padded conversion key — no self-join, touches and conversions
+    share the stream exactly as in last-touch); positions and k then come
+    from windows over the (user, conversion) grain. Credit fractions are
+    rounded to 9 and should be folded as DECIMAL downstream so rollups
+    stay order-independent. Returns one row per credited touch:
+    (user, conv_us, conv_tb, touch_event, touch_us, k_touches, position,
+    credit)."""
+    if conversion in set(touch_events):
+        raise ValueError("the conversion event cannot also be a touch event")
+    fw, lw = float(first_weight), float(last_weight)
+    if fw < 0 or lw < 0 or fw + lw > 1:
+        raise ValueError("first/last weights must be >= 0 and sum to <= 1")
+    tb = tiebreak_col or event_col
+    names = [conversion, *touch_events]
+    ev = df.filter(F.col(event_col).isin(names)).select(
+        F.col(user_col).alias("user"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(tb).cast("string").alias("tb"),
+        F.col(event_col).alias("ev"),
+    )
+    is_conv = F.col("ev") == conversion
+    # zero-padded (µs, tie-break) key: lexicographic order == event order,
+    # so a running min over the "at-or-after" frame is the NEXT conversion
+    conv_key = F.concat(F.lpad(F.col("us").cast("string"), 20, "0"), F.lit("|"), F.col("tb"))
+    w_after = (
+        Window.partitionBy("user")
+        .orderBy(F.col("us").desc(), F.col("tb").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = ev.withColumn(
+        "_ck", F.min(F.when(is_conv, conv_key)).over(w_after)
+    )
+    touches = tagged.filter(~is_conv & F.col("_ck").isNotNull()).withColumn(
+        "_conv_us", F.substring("_ck", 1, 20).cast("long")
+    )
+    if within_seconds is not None:
+        touches = touches.filter(
+            F.col("_conv_us") - F.col("us") <= within_seconds * 1_000_000
+        )
+    grain = Window.partitionBy("user", "_ck")
+    pos_w = grain.orderBy(F.col("us").asc(), F.col("tb").asc())
+    ranked = touches.select(
+        "user",
+        "us",
+        "tb",
+        "ev",
+        "_ck",
+        "_conv_us",
+        F.row_number().over(pos_w).alias("position"),
+        F.count(F.lit(1)).over(grain).alias("k"),
+    )
+    mid_share = (F.lit(1.0) - F.lit(fw) - F.lit(lw)) / (F.col("k") - 2).cast("double")
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when((F.col("k") == 2) & (F.col("position") == 1), F.lit(fw + (1.0 - fw - lw) / 2.0))
+        .when((F.col("k") == 2) & (F.col("position") == 2), F.lit(lw + (1.0 - fw - lw) / 2.0))
+        .when(F.col("position") == 1, F.lit(fw))
+        .when(F.col("position") == F.col("k"), F.lit(lw))
+        .otherwise(mid_share)
+    )
+    return ranked.select(
+        F.col("user").alias(user_col),
+        F.col("_conv_us").alias("conv_us"),
+        F.substring("_ck", 22, 2_000_000).alias("conv_tb"),
+        F.col("ev").alias("touch_event"),
+        F.col("us").alias("touch_us"),
+        F.col("k").cast("long").alias("k_touches"),
+        F.col("position").cast("long").alias("position"),
+        F.round(credit, 9).alias("credit"),
+    )

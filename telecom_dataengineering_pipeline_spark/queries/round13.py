@@ -1,0 +1,245 @@
+"""Round-13 registrations (round 9, session continuation): five new
+operator families, each Spark-first and value-gated.
+
+- gaps-and-islands activity streaks (``operators/windows.py::
+  activity_streaks``) — the consecutive-day run kernel;
+- Theil–Sen robust trend (``operators/trend.py::theil_sen_slope``) —
+  median-of-pairwise-slopes, the outlier-immune companion of
+  ``ols_trend``;
+- Page–Hinkley drift (``operators/trend.py::page_hinkley``) — the
+  sequential running-mean drift detector next to CUSUM/Pettitt;
+- single binary-segmentation changepoint (``operators/trend.py::
+  binseg_mean_shift``) — the mean-shift SSE-gain split, rank-free
+  companion of the Pettitt test;
+- position-based (U-shaped) multi-touch attribution
+  (``operators/windows.py::position_based_attribution``) — fractional
+  credit over ALL qualifying touches, extending last-touch (reference
+  parity: the campaign rollups over
+  ``/root/reference/dbt_project/models/gold/facts/fact_calls.sql``-style
+  ordered per-caller sequences).
+
+Registry conventions apply: exact DECIMAL folds everywhere a sum crosses
+engines, Python-computed float constants interpolated into BOTH engines'
+expressions, round-then-decimal for float terms, unique window
+tie-breaks, matching column names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day activity streaks. The query grain is
+# the streak-length distribution (streak rows carry DATEs, which are not
+# fetchdf-stable; the distribution is all BIGINTs).
+# ---------------------------------------------------------------------------
+
+_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+), isl AS (
+  SELECT u, d,
+         d - CAST(row_number() OVER (PARTITION BY u ORDER BY d) AS INTEGER) AS anchor
+  FROM days
+), s AS (
+  SELECT u, anchor, CAST(count(*) AS BIGINT) AS len FROM isl GROUP BY 1, 2
+)
+SELECT len AS streak_len, CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_users
+FROM s GROUP BY 1
+"""
+
+
+@register("user_activity_streaks", oracle=_STREAKS_ORACLE, tags=("W1", "sequence"))
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import activity_streaks
+
+    ev = load_table(spark, sf_dir, "events")
+    streaks = activity_streaks(ev, "user_id", "ts")
+    return streaks.groupBy(F.col("streak_len")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend: monthly revenue per nation (month index =
+# year*12+month, an integral unique time key; revenue = exact decimal sum
+# cast double with ONE expression shape on both engines).
+# ---------------------------------------------------------------------------
+
+
+def _theil_sen_oracle() -> str:
+    from ..operators.trend import theil_sen_oracle_sql
+
+    base = """
+SELECT n.n_name AS k,
+       CAST(date_part('year', o.o_orderdate) * 12 + date_part('month', o.o_orderdate) AS BIGINT) AS t,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS y
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1, 2
+"""
+    return theil_sen_oracle_sql(base, key_name="nation")
+
+
+@register("theil_sen_nation_revenue_trend", oracle=_theil_sen_oracle(), tags=("trend", "A11"))
+def theil_sen_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import theil_sen_slope
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("t"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    return theil_sen_slope(monthly, "nation", "t", "y")
+
+
+# ---------------------------------------------------------------------------
+# Page–Hinkley drift + binary-segmentation changepoint share one base:
+# daily event-value sums per event type (exact decimal via the
+# round-then-decimal fold, day key a string).
+# ---------------------------------------------------------------------------
+
+_DAILY_VALUE_CTE = """
+SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS t,
+       sum(CAST(round(value, 2) AS DECIMAL(14,2))) AS x
+FROM events GROUP BY 1, 2
+"""
+
+
+def _daily_value_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("event_type"), F.date_format("ts", "yyyy-MM-dd").alias("t")
+    ).agg(F.sum(F.round("value", 2).cast("decimal(14,2)")).alias("x"))
+
+
+def _ph_oracle() -> str:
+    from ..operators.trend import page_hinkley_oracle_sql
+
+    return page_hinkley_oracle_sql(
+        _DAILY_VALUE_CTE, delta=0.0, lam=500.0, key_name="event_type"
+    )
+
+
+@register("page_hinkley_daily_event_value", oracle=_ph_oracle(), tags=("trend", "A11", "DQ"))
+def page_hinkley_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import page_hinkley
+
+    base = _daily_value_base(spark, sf_dir)
+    return page_hinkley(base, "event_type", "t", "x", delta=0.0, lam=500.0)
+
+
+def _binseg_oracle() -> str:
+    from ..operators.trend import binseg_oracle_sql
+
+    return binseg_oracle_sql(_DAILY_VALUE_CTE, key_name="event_type")
+
+
+@register("binseg_split_daily_event_value", oracle=_binseg_oracle(), tags=("trend", "A11"))
+def binseg_split_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import binseg_mean_shift
+
+    base = _daily_value_base(spark, sf_dir)
+    return binseg_mean_shift(base, "event_type", "t", "x")
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution: per touch type, the
+# fractional credit mass over purchase conversions. Credit constants are
+# Python floats interpolated into BOTH engines (the operator computes the
+# same expressions from fw/lw); per-touch credits round to 9 and fold as
+# DECIMAL(20,9) so the rollup is order-independent.
+# ---------------------------------------------------------------------------
+
+_FW, _LW = 0.4, 0.4
+_MID = 1.0 - _FW - _LW
+_K2F = _FW + _MID / 2.0
+_K2L = _LW + _MID / 2.0
+_ATTR_WITHIN_S = 21_600
+
+_POSITION_ATTR_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id AS u, epoch_us(ts) AS us, CAST(event_id AS VARCHAR) AS tb,
+         event_type AS ev
+  FROM events WHERE event_type IN ('purchase', 'view', 'click')
+), tagged AS (
+  SELECT *, min(CASE WHEN ev = 'purchase'
+                     THEN lpad(CAST(us AS VARCHAR), 20, '0') || '|' || tb END)
+    OVER (PARTITION BY u ORDER BY us DESC, tb DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck
+  FROM ev
+), touches AS (
+  SELECT u, us, tb, ev, ck, CAST(substr(ck, 1, 20) AS BIGINT) AS conv_us
+  FROM tagged WHERE ev <> 'purchase' AND ck IS NOT NULL
+), fit AS (
+  SELECT * FROM touches WHERE conv_us - us <= {_ATTR_WITHIN_S * 1_000_000}
+), ranked AS (
+  SELECT ev,
+    CAST(row_number() OVER (PARTITION BY u, ck ORDER BY us ASC, tb ASC) AS BIGINT) AS position,
+    CAST(count(*) OVER (PARTITION BY u, ck) AS BIGINT) AS k
+  FROM fit
+), credit AS (
+  SELECT ev, CAST(round(CASE
+      WHEN k = 1 THEN 1.0
+      WHEN k = 2 AND position = 1 THEN {_K2F!r}
+      WHEN k = 2 AND position = 2 THEN {_K2L!r}
+      WHEN position = 1 THEN {_FW!r}
+      WHEN position = k THEN {_LW!r}
+      ELSE {_MID!r} / CAST(k - 2 AS DOUBLE) END, 9) AS DECIMAL(20,9)) AS c
+  FROM ranked
+)
+SELECT ev AS touch_event, CAST(count(*) AS BIGINT) AS n_touches,
+       round(CAST(sum(c) AS DOUBLE), 6) AS total_credit
+FROM credit GROUP BY 1
+"""
+
+
+@register(
+    "attribution_position_based_purchases",
+    oracle=_POSITION_ATTR_ORACLE,
+    tags=("attribution", "W3", "sequence"),
+)
+def attribution_position_based_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import position_based_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = position_based_attribution(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        conversion="purchase",
+        touch_events=["view", "click"],
+        within_seconds=_ATTR_WITHIN_S,
+        tiebreak_col="event_id",
+        first_weight=_FW,
+        last_weight=_LW,
+    )
+    return rows.groupBy("touch_event").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.round(
+            F.sum(F.col("credit").cast("decimal(20,9)")).cast("double"), 6
+        ).alias("total_credit"),
+    )

@@ -1,0 +1,318 @@
+"""Round-13 operator semantics: gaps-and-islands streaks, Theil–Sen,
+Page–Hinkley (integer fixed-point), binary-segmentation split, and
+position-based multi-touch attribution — directed hand-checkable cases
+plus plan-shape pins (no Python, no cartesian, bounded scans)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from telecom_dataengineering_pipeline_spark.operators.trend import (
+    binseg_mean_shift,
+    page_hinkley,
+    theil_sen_slope,
+)
+from telecom_dataengineering_pipeline_spark.operators.windows import (
+    activity_streaks,
+    position_based_attribution,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# activity_streaks
+# ---------------------------------------------------------------------------
+
+
+def test_streaks_islands_and_gaps(spark):
+    def ts(day, h=0):
+        return dt.datetime(2024, 1, day, h)
+
+    rows = (
+        # user 1: days 1,2,3 (one 3-streak; day 2 twice -> still one day)
+        [(1, ts(1)), (1, ts(2)), (1, ts(2, 5)), (1, ts(3))]
+        # user 1: day 5 alone
+        + [(1, ts(5))]
+        # user 2: single day
+        + [(2, ts(9))]
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["user_id"], str(r["start_day"])): (str(r["end_day"]), r["streak_len"])
+        for r in activity_streaks(df, "user_id", "ts").collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): ("2024-01-03", 3),
+        (1, "2024-01-05"): ("2024-01-05", 1),
+        (2, "2024-01-09"): ("2024-01-09", 1),
+    }
+
+
+def test_streaks_plan_no_join_no_python(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("user_id"),
+        F.to_timestamp(F.lit("2024-01-01")).alias("ts"),
+    )
+    plan = _plan(activity_streaks(df, "user_id", "ts"))
+    assert "Join" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_slope
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_outlier_immune(spark):
+    # y = 3t exactly, except one wild outlier; median slope stays 3
+    rows = [("k", t, 3.0 * t) for t in range(1, 10)] + [("k", 10, 1000.0)]
+    df = spark.createDataFrame(rows, "k string, t long, y double")
+    got = theil_sen_slope(df, "k", "t", "y").collect()[0]
+    assert got["n_points"] == 10
+    assert got["n_pairs"] == 45
+    assert got["theil_sen_slope"] == 3.0
+
+
+def test_theil_sen_even_pairs_average_two_middles(spark):
+    rows = [("k", 0, 0.0), ("k", 1, 4.0), ("k", 2, 5.0), ("k", 3, 9.0)]
+    # pairwise slopes sorted: 1, 2.5, 2.5, 3, 4, 4; middles 2.5 and 3 -> 2.75
+    df = spark.createDataFrame(rows, "k string, t long, y double")
+    got = theil_sen_slope(df, "k", "t", "y").collect()[0]
+    assert got["n_pairs"] == 6
+    assert got["theil_sen_slope"] == 2.75
+
+
+def test_theil_sen_plan_no_cartesian_no_python(spark):
+    df = spark.range(50).select(
+        (F.col("id") % 2).cast("string").alias("k"),
+        F.col("id").alias("t"),
+        F.col("id").cast("double").alias("y"),
+    )
+    plan = _plan(theil_sen_slope(df, "k", "t", "y"))
+    assert "Cartesian" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# page_hinkley
+# ---------------------------------------------------------------------------
+
+
+def test_page_hinkley_hand_values_and_alarm(spark):
+    # level 100 for 5 steps then 0 for 5 steps; delta=0
+    rows = [("k", f"t{i:02d}", 100 if i < 5 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, t string, x long").select(
+        "k", "t", F.col("x").cast("decimal(14,2)").alias("x")
+    )
+    out = {r["t"]: r for r in page_hinkley(df, "k", "t", "x", lam=100.0).collect()}
+    # while flat at 100: mean == x -> dev 0 -> m 0, ph 0
+    assert out["t04"]["m"] == 0.0 and out["t04"]["ph"] == 0.0
+    assert out["t04"]["alarm"] == 0
+    # after the drop m goes negative, historical max 0 stands -> ph = -m
+    assert out["t09"]["m"] < -100.0
+    assert out["t09"]["ph"] == -out["t09"]["m"]
+    assert out["t09"]["alarm"] == 1
+    # exact integer-arithmetic check for the first post-drop step:
+    # means: t05 mean = 500/6 -> dev6 = 0 - round(500e6/6) = -83333333
+    assert out["t05"]["m"] == -83.333333
+
+
+def test_page_hinkley_negative_values_sign_path(spark):
+    rows = [("k", "a", -10), ("k", "b", -20), ("k", "c", -30)]
+    df = spark.createDataFrame(rows, "k string, t string, x long").select(
+        "k", "t", F.col("x").cast("decimal(14,2)").alias("x")
+    )
+    out = {r["t"]: r for r in page_hinkley(df, "k", "t", "x", x_scale=2).collect()}
+    # running means: -10, -15, -20 -> devs 0, -5, -10 -> m: 0, -5, -15
+    assert out["a"]["m"] == 0.0
+    assert out["b"]["m"] == -5.0
+    assert out["c"]["m"] == -15.0
+    assert out["c"]["ph"] == 15.0
+
+
+def test_page_hinkley_plan_no_join_no_python(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        F.col("id").cast("string").alias("t"),
+        F.col("id").cast("decimal(14,2)").alias("x"),
+    )
+    plan = _plan(page_hinkley(df, "k", "t", "x"))
+    assert "Join" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# binseg_mean_shift
+# ---------------------------------------------------------------------------
+
+
+def test_binseg_clean_shift(spark):
+    rows = [("k", f"t{i}", 0 if i < 3 else 10) for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, t string, x long").select(
+        "k", "t", F.col("x").cast("decimal(14,2)").alias("x")
+    )
+    got = binseg_mean_shift(df, "k", "t", "x").collect()[0]
+    assert got["split_t"] == "t2"
+    assert (got["n_left"], got["n_right"]) == (3, 3)
+    assert (got["mean_left"], got["mean_right"]) == (0.0, 10.0)
+    # gain = 0 + 900/3 - 900/6 = 150
+    assert got["gain"] == 150.0
+
+
+def test_binseg_singleton_emits_null_row(spark):
+    rows = [("solo", "t0", 5), ("pair", "t0", 1), ("pair", "t1", 9)]
+    df = spark.createDataFrame(rows, "k string, t string, x long").select(
+        "k", "t", F.col("x").cast("decimal(14,2)").alias("x")
+    )
+    got = {r["k"]: r for r in binseg_mean_shift(df, "k", "t", "x").collect()}
+    assert set(got) == {"solo", "pair"}
+    assert got["solo"]["split_t"] is None and got["solo"]["gain"] is None
+    assert got["pair"]["split_t"] == "t0"
+
+
+def test_binseg_tie_breaks_on_earliest_boundary(spark):
+    # symmetric series: both splits give equal gain -> earliest t wins
+    rows = [("k", "t0", 0), ("k", "t1", 5), ("k", "t2", 10)]
+    df = spark.createDataFrame(rows, "k string, t string, x long").select(
+        "k", "t", F.col("x").cast("decimal(14,2)").alias("x")
+    )
+    got = binseg_mean_shift(df, "k", "t", "x").collect()[0]
+    assert got["split_t"] == "t0"
+
+
+# ---------------------------------------------------------------------------
+# position_based_attribution
+# ---------------------------------------------------------------------------
+
+
+def _attr(spark, rows, within=None):
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    return position_based_attribution(
+        df,
+        "user_id",
+        "ts",
+        "event_type",
+        conversion="purchase",
+        touch_events=["view", "click"],
+        within_seconds=within,
+        tiebreak_col="event_id",
+    ).collect()
+
+
+def test_position_attr_u_shape_and_degenerations(spark):
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    rows = (
+        # user 1: 4 touches -> 0.4, 0.1, 0.1, 0.4
+        [(1, ts(0), "view", 1), (1, ts(1), "click", 2), (1, ts(2), "view", 3),
+         (1, ts(3), "click", 4), (1, ts(4), "purchase", 5)]
+        # user 2: 2 touches -> 0.5 / 0.5
+        + [(2, ts(0), "view", 6), (2, ts(1), "click", 7), (2, ts(2), "purchase", 8)]
+        # user 3: 1 touch -> 1.0
+        + [(3, ts(0), "view", 9), (3, ts(1), "purchase", 10)]
+        # user 4: touch AFTER the only purchase -> dropped
+        + [(4, ts(0), "purchase", 11), (4, ts(1), "view", 12)]
+    )
+    got = _attr(spark, rows)
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r["position"])
+    assert [round(r["credit"], 9) for r in u1] == [0.4, 0.1, 0.1, 0.4]
+    assert all(r["k_touches"] == 4 for r in u1)
+    u2 = sorted(by_user[2], key=lambda r: r["position"])
+    assert [r["credit"] for r in u2] == [0.5, 0.5]
+    assert [r["credit"] for r in by_user[3]] == [1.0]
+    assert 4 not in by_user
+    # total credit mass == one unit per credited conversion
+    assert round(sum(r["credit"] for r in got), 9) == 3.0
+
+
+def test_position_attr_window_cut_and_multi_conversion(spark):
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # touch 6 min before purchase; within=300s (inclusive) excludes it
+        (1, ts(0), "view", 1),
+        (1, ts(4), "click", 2),  # 2 min before -> kept, becomes the ONLY touch
+        (1, ts(6), "purchase", 3),
+        # second conversion: the later view credits IT, not the first
+        (1, ts(7), "view", 4),
+        (1, ts(8), "purchase", 5),
+    ]
+    got = _attr(spark, rows, within=300)
+    by_conv = {}
+    for r in got:
+        by_conv.setdefault(r["conv_tb"], []).append(r)
+    assert [r["credit"] for r in by_conv["3"]] == [1.0]  # k=1 after the cut
+    assert by_conv["3"][0]["touch_us"] == int(ts(4).timestamp() * 1_000_000)
+    assert [r["credit"] for r in by_conv["5"]] == [1.0]
+    assert by_conv["5"][0]["touch_us"] == int(ts(7).timestamp() * 1_000_000)
+
+
+def test_position_attr_same_us_tiebreak_and_validation(spark):
+    # conversion and touch share a timestamp: tb decides strict precedence
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, "view", 1), (1, t0, "purchase", 2)]
+    got = _attr(spark, rows)
+    assert len(got) == 1 and got[0]["credit"] == 1.0  # tb 1 < 2 -> view precedes
+    rows2 = [(1, t0, "purchase", 1), (1, t0, "view", 2)]
+    assert _attr(spark, rows2) == []  # view sorts after -> no credit
+    with pytest.raises(ValueError):
+        position_based_attribution(
+            spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, event_id long"),
+            "user_id", "ts", "event_type",
+            conversion="purchase", touch_events=["purchase"],
+        )
+    with pytest.raises(ValueError):
+        position_based_attribution(
+            spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, event_id long"),
+            "user_id", "ts", "event_type",
+            conversion="purchase", touch_events=["view"], first_weight=0.8,
+            last_weight=0.3,
+        )
+
+
+def test_position_attr_plan_no_join_no_python(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("user_id"),
+        F.to_timestamp(F.lit("2024-01-01")).alias("ts"),
+        F.when(F.col("id") % 3 == 0, "purchase").otherwise("view").alias("event_type"),
+        F.col("id").alias("event_id"),
+    )
+    plan = _plan(
+        position_based_attribution(
+            df, "user_id", "ts", "event_type",
+            conversion="purchase", touch_events=["view", "click"],
+        )
+    )
+    assert "Join" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# registered-query scan audits: one FileScan per source table
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name,max_scans",
+    [
+        ("user_activity_streaks", 1),
+        ("page_hinkley_daily_event_value", 1),
+        ("binseg_split_daily_event_value", 1),
+        ("attribution_position_based_purchases", 1),
+        ("theil_sen_nation_revenue_trend", 3),  # orders + customer + nation
+    ],
+)
+def test_r13_query_scan_counts(spark, sf_smoke, name, max_scans):
+    from telecom_dataengineering_pipeline_spark.queries.registry import REGISTRY
+
+    plan = _plan(REGISTRY[name].fn(spark, sf_smoke))
+    assert plan.count("FileScan") <= max_scans, plan
