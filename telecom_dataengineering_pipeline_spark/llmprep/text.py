@@ -527,3 +527,83 @@ def char_class_profile(
         share("n_space").alias("space_share"),
         share("n_punct").alias("punct_share"),
     )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: Sequence[str] = STOPWORDS,
+    max_phrase_len: int = 4,
+    k: int = 50,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over a corpus: candidate
+    phrases are maximal stopword-free token runs (capped at
+    ``max_phrase_len`` words — longer runs are skipped, the classic RAKE
+    phrase-length parameter); each word scores deg(w)/freq(w) where freq
+    counts phrase memberships and deg adds the length of every phrase the
+    word appears in (co-occurrence degree, self included); a phrase scores
+    the sum of its word scores. Returns the global top-``k`` phrases:
+    (phrase, n_occurrences, rake_score).
+
+    Scale shape: ONE posexplode of the tokenizer (corpus-sized, the same
+    exchange every text query pays), a doc-keyed cumulative window for
+    phrase grouping, then everything is phrase- or vocabulary-grain; word
+    scores join back as a broadcast. Determinism: freq/deg are exact
+    LONGs; word scores round to 9 and phrase sums fold as DECIMAL(20,9)
+    (order-independent); the final top-k orders by (score DESC, phrase
+    ASC) — a total order on unique phrase strings — through
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    stop = [s.lower() for s in stopwords]
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    grouped = (
+        toks.withColumn("_stop", F.col("tok").isin(stop).cast("int"))
+        .withColumn("_grp", F.sum("_stop").over(w))
+        .filter((F.col("_stop") == 0) & (F.col("tok") != ""))
+    )
+    wp = Window.partitionBy("doc", "_grp")
+    capped = (
+        grouped.withColumn("_plen", F.count(F.lit(1)).over(wp))
+        .filter(F.col("_plen") <= int(max_phrase_len))
+        # consumed three times below (word stats, phrase assembly, score
+        # fold) — cut the explode+window subtree once
+        .localCheckpoint(eager=False)
+    )
+    wordstats = capped.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("_plen").cast("long").alias("deg"),
+    )
+    wordstats = wordstats.withColumn(
+        "_wscore",
+        F.round(F.col("deg").cast("double") / F.col("freq").cast("double"), 9),
+    )
+    phrases = capped.groupBy("doc", "_grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase")
+    )
+    pscore = (
+        capped.join(F.broadcast(wordstats.select("tok", "_wscore")), "tok")
+        .groupBy("doc", "_grp")
+        .agg(F.sum(F.col("_wscore").cast("decimal(20,9)")).alias("_s"))
+    )
+    return (
+        phrases.join(pscore, ["doc", "_grp"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.round(F.max("_s").cast("double"), 6).alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), F.col("phrase").asc())
+        .limit(int(k))
+    )

@@ -243,3 +243,63 @@ def attribution_position_based_purchases(spark: SparkSession, sf_dir: str) -> Da
             F.sum(F.col("credit").cast("decimal(20,9)")).cast("double"), 6
         ).alias("total_credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (llmprep/text.py::rake_keywords): corpus-tuned
+# stoplist (articles + the adjective fillers — ~20% stop density gives
+# natural phrase lengths in the synthetic corpus), classic phrase-length
+# cap 4, global top-50 phrases by summed word degree/frequency scores.
+# ---------------------------------------------------------------------------
+
+_RAKE_STOP = ("the", "a", "big", "small", "fast", "slow", "data")
+_RAKE_CAP = 4
+_RAKE_K = 50
+
+_RAKE_ORACLE = f"""
+WITH toks0 AS (
+  SELECT doc_id AS doc, u.pos AS pos, u.tok AS tok
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+        FROM documents),
+       unnest(list_transform(l, (x, i) -> {{'pos': i, 'tok': x}})) AS t(u)
+), g AS (
+  SELECT doc, pos, tok,
+         CASE WHEN tok IN {_RAKE_STOP!r} THEN 1 ELSE 0 END AS stop,
+         sum(CASE WHEN tok IN {_RAKE_STOP!r} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc ORDER BY pos) AS grp
+  FROM toks0
+), wrds AS (
+  SELECT doc, grp, pos, tok,
+         CAST(count(*) OVER (PARTITION BY doc, grp) AS BIGINT) AS plen
+  FROM g WHERE stop = 0 AND tok <> ''
+), capped AS (
+  SELECT * FROM wrds WHERE plen <= {_RAKE_CAP}
+), wordstats AS (
+  SELECT tok,
+         round(CAST(sum(plen) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS wscore
+  FROM capped GROUP BY 1
+), phrases AS (
+  SELECT doc, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase
+  FROM capped GROUP BY 1, 2
+), pscore AS (
+  SELECT c.doc, c.grp, sum(CAST(w.wscore AS DECIMAL(20,9))) AS s
+  FROM capped c JOIN wordstats w USING (tok) GROUP BY 1, 2
+)
+SELECT p.phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+       round(CAST(max(s.s) AS DOUBLE), 6) AS rake_score
+FROM phrases p JOIN pscore s ON p.doc = s.doc AND p.grp = s.grp
+GROUP BY 1
+ORDER BY rake_score DESC, phrase ASC
+LIMIT {_RAKE_K}
+"""
+
+
+@register("rake_keywords_topk", oracle=_RAKE_ORACLE, tags=("LLM", "text"))
+def rake_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.text import rake_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rake_keywords(
+        docs, "doc_id", "text",
+        stopwords=_RAKE_STOP, max_phrase_len=_RAKE_CAP, k=_RAKE_K,
+    )

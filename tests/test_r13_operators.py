@@ -316,3 +316,45 @@ def test_r13_query_scan_counts(spark, sf_smoke, name, max_scans):
 
     plan = _plan(REGISTRY[name].fn(spark, sf_smoke))
     assert plan.count("FileScan") <= max_scans, plan
+
+
+# ---------------------------------------------------------------------------
+# rake_keywords
+# ---------------------------------------------------------------------------
+
+
+def test_rake_hand_scores_cap_and_order(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.text import rake_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (0, "red apple the red apple"),   # two "red apple" phrases
+            (1, "apple"),                      # lone "apple" phrase
+            (2, "b b b b b"),                  # one 5-word run: cap-dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["phrase"]: (r["n_occurrences"], r["rake_score"])
+        for r in rake_keywords(
+            docs, "doc_id", "text", stopwords=("the",), max_phrase_len=4, k=10
+        ).collect()
+    }
+    # freq(red)=2 deg(red)=4 -> 2.0; freq(apple)=3 deg(apple)=5 -> 5/3
+    apple = round(5 / 3, 9)
+    assert got == {
+        "red apple": (2, round(2.0 + apple, 6)),
+        "apple": (1, round(apple, 6)),
+    }
+
+
+def test_rake_registered_query_plan(spark, sf_smoke):
+    from telecom_dataengineering_pipeline_spark.queries.registry import REGISTRY
+
+    plan = (
+        REGISTRY["rake_keywords_topk"].fn(spark, sf_smoke)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Cartesian" not in plan
+    assert plan.count("FileScan") <= 1, plan
+    assert "TakeOrdered" in plan  # global top-k, never a full sort
