@@ -303,3 +303,86 @@ def rake_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text",
         stopwords=_RAKE_STOP, max_phrase_len=_RAKE_CAP, k=_RAKE_K,
     )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg v2 EQUALITY-delete roundtrip: the CDC writer's delete shape
+# (content=2, the last undecoded spec surface) through the VALUE gate.
+# export -> equality DELETE on the key column -> append rows REUSING
+# deleted keys (they must survive: the spec's strictly-less sequence
+# rule) -> validate -> replay. The oracle re-derives the surviving
+# multiset analytically, so a wrong seq rule, a missed key, or an
+# over-applied delete all redden the row.
+# ---------------------------------------------------------------------------
+
+_ICEBERG_EQ_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 5 <> 0
+), extra AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) + 1000 AS price,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 21 = 0 AND o_orderkey % 5 <> 0
+)
+SELECT o_orderkey AS orderkey, CAST(price AS DOUBLE) AS price, status
+FROM base WHERE o_orderkey % 7 <> 0
+UNION ALL
+SELECT o_orderkey AS orderkey, CAST(price AS DOUBLE) AS price, status
+FROM extra
+"""
+
+
+@register(
+    "iceberg_equality_delete_roundtrip",
+    oracle=_ICEBERG_EQ_ORACLE,
+    tags=("S7", "interop"),
+)
+def iceberg_equality_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.iceberg_export import (
+        append_iceberg_snapshot,
+        delete_iceberg_rows_equality,
+        export_iceberg_snapshot,
+        read_iceberg_snapshot,
+        validate_iceberg_metadata,
+    )
+    from ..sources.txnlog import TxnLogTable
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    base = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", price.alias("price"), F.col("o_orderstatus").alias("status")
+    )
+    # appended AFTER the delete, reusing deleted keys (%21=0 implies %7=0)
+    extra = o.filter(
+        (F.col("o_orderkey") % 21 == 0) & (F.col("o_orderkey") % 5 != 0)
+    ).select(
+        "o_orderkey",
+        (price + 1000).cast("decimal(12,2)").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"iceberg_eqdel_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = TxnLogTable(os.path.join(scratch, "src"), stat_cols=("o_orderkey",))
+    t.create_or_replace(base)
+    dest = os.path.join(scratch, "ice")
+    export_iceberg_snapshot(t, spark, dest)                      # snapshot 1
+    delete_iceberg_rows_equality(
+        spark, dest, "o_orderkey % 7 = 0", ["o_orderkey"]
+    )                                                            # snapshot 2 (MOR)
+    append_iceberg_snapshot(extra, spark, dest)                  # snapshot 3
+    summary = validate_iceberg_metadata(dest, spark)
+    assert summary["n_equality_delete_files"] >= 1
+    assert summary["n_equality_keys"] > 0
+    return read_iceberg_snapshot(spark, dest).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("price").cast("double").alias("price"),
+        "status",
+    )

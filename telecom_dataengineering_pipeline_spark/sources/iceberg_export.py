@@ -126,6 +126,12 @@ _MANIFEST_ENTRY_SCHEMA = {
                     },
                     {"name": "record_count", "type": "long", "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
+                        "default": None,
+                        "field-id": 135,
+                    },
                 ],
             },
         },
@@ -248,6 +254,7 @@ def export_iceberg_snapshot(t, spark: SparkSession, dest_path: str) -> dict:
                     "partition": {},
                     "record_count": per_file[fname],
                     "file_size_in_bytes": os.path.getsize(fpath),
+                    "equality_ids": None,
                 },
             }
         )
@@ -343,16 +350,30 @@ def _unwrap(v):
     return v
 
 
+def _unwrap_ids(v) -> tuple[int, ...]:
+    """Decode an avro-JSON equality_ids union value to a tuple of ints."""
+    if isinstance(v, dict) and "array" in v:
+        v = v["array"]
+    if not isinstance(v, list) or not v:
+        raise IcebergMetadataInvalid("equality delete file without equality_ids")
+    return tuple(int(_unwrap(x)) for x in v)
+
+
 def _snapshot_files(
     spark: SparkSession, snap: dict
-) -> tuple[list[tuple[str, int]], list[tuple[str, int]]]:
-    """Walk a snapshot's manifest list and return
-    ``(data_files, position_delete_files)`` as ``(path, sequence_number)``
-    lists. Equality deletes (data_file.content=2) are refused loudly —
-    the one v2 surface still undecoded."""
+) -> tuple[
+    list[tuple[str, int]],
+    list[tuple[str, int]],
+    list[tuple[str, int, tuple[int, ...]]],
+]:
+    """Walk a snapshot's manifest list and return ``(data_files,
+    position_delete_files, equality_delete_files)``: the first two as
+    ``(path, sequence_number)`` lists, equality deletes (content=2) as
+    ``(path, sequence_number, equality_ids)``."""
     _, manifests, _ = _avro_read(spark, snap["manifest-list"])
     data_files: list[tuple[str, int]] = []
     delete_files: list[tuple[str, int]] = []
+    eq_delete_files: list[tuple[str, int, tuple[int, ...]]] = []
     for m in manifests:
         mcontent = _unwrap(m.get("content", 0))
         _, entries, _ = _avro_read(spark, _unwrap(m["manifest_path"]))
@@ -363,21 +384,24 @@ def _snapshot_files(
             fcontent = _unwrap(d.get("content", 0))
             seq = _unwrap(e.get("sequence_number")) or 0
             fpath = _unwrap(d["file_path"])
-            if fcontent == 2:
-                raise NotImplementedError("equality deletes are not decoded")
-            if fcontent == 1:
+            if fcontent in (1, 2):
                 if mcontent != 1:
                     raise IcebergMetadataInvalid(
                         f"{fpath}: delete file in a data manifest"
                     )
-                delete_files.append((fpath, int(seq)))
+                if fcontent == 1:
+                    delete_files.append((fpath, int(seq)))
+                else:
+                    eq_delete_files.append(
+                        (fpath, int(seq), _unwrap_ids(d.get("equality_ids")))
+                    )
             else:
                 if mcontent != 0:
                     raise IcebergMetadataInvalid(
                         f"{fpath}: data file in a delete manifest"
                     )
                 data_files.append((fpath, int(seq)))
-    return data_files, delete_files
+    return data_files, delete_files, eq_delete_files
 
 
 def read_iceberg_snapshot(
@@ -389,9 +413,13 @@ def read_iceberg_snapshot(
     (manifest content=1, data_file.content=1) are applied per the v2
     spec — a delete file removes ``(file_path, pos)`` rows from data
     files whose data sequence number is <= the delete file's — via one
-    distributed anti-join on ``_metadata.row_index``; equality deletes
-    (content=2) are refused loudly. ``snapshot_id`` time-travels to any
-    snapshot in the chain (default: current)."""
+    distributed anti-join on ``_metadata.row_index``. EQUALITY deletes
+    (content=2) apply per the spec's STRICTLY-LESS rule — a delete row
+    removes every data row with null-safe-equal values on the delete
+    file's ``equality_ids`` columns in files with data seq < the
+    delete's — one anti-join per equality-id set, the file→seq map
+    broadcast. ``snapshot_id`` time-travels to any snapshot in the
+    chain (default: current)."""
     meta_dir = os.path.join(path, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as fh:
         version = int(fh.read().strip())
@@ -411,16 +439,16 @@ def read_iceberg_snapshot(
         f"`{f['name']}` {_ICEBERG_TO_SPARK.get(f['type'], f['type'])}"
         for f in schema_json["fields"]
     )
-    data_files, delete_files = _snapshot_files(spark, snap)
+    data_files, delete_files, eq_delete_files = _snapshot_files(spark, snap)
     if not data_files:
         return spark.createDataFrame([], ddl)
     files = sorted(p for p, _ in data_files)
-    if not delete_files:
+    if not delete_files and not eq_delete_files:
         return spark.read.schema(ddl).parquet(*files)
-    # position deletes: capture (file_path, pos) ON the scan, then one
-    # anti-join against the union of delete files (each tagged with its
-    # sequence number; the <= rule resolves through a broadcast of the
-    # metadata-sized file->seq map).
+    # deletes: capture (file_path, pos) ON the scan, then anti-joins
+    # against the delete files (each tagged with its sequence number; the
+    # seq rules resolve through a broadcast of the metadata-sized
+    # file->seq map).
     base = spark.read.schema(ddl).parquet(*files).select(
         "*",
         F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias("__fp"),
@@ -429,21 +457,49 @@ def read_iceberg_snapshot(
     seq_map = spark.createDataFrame(
         [(p, s) for p, s in data_files], "__fp STRING, __data_seq BIGINT"
     )
-    dels = None
-    for dpath, dseq in sorted(delete_files):
-        one = spark.read.parquet(dpath).select(
-            F.col("file_path").alias("__fp"),
-            F.col("pos").alias("__pos"),
-            F.lit(int(dseq)).alias("__del_seq"),
+    if delete_files:
+        dels = None
+        for dpath, dseq in sorted(delete_files):
+            one = spark.read.parquet(dpath).select(
+                F.col("file_path").alias("__fp"),
+                F.col("pos").alias("__pos"),
+                F.lit(int(dseq)).alias("__del_seq"),
+            )
+            dels = one if dels is None else dels.unionByName(one)
+        applicable = (
+            dels.join(F.broadcast(seq_map), "__fp")
+            .filter(F.col("__data_seq") <= F.col("__del_seq"))
+            .select("__fp", "__pos")
+            .distinct()
         )
-        dels = one if dels is None else dels.unionByName(one)
-    applicable = (
-        dels.join(F.broadcast(seq_map), "__fp")
-        .filter(F.col("__data_seq") <= F.col("__del_seq"))
-        .select("__fp", "__pos")
-        .distinct()
-    )
-    return base.join(applicable, ["__fp", "__pos"], "left_anti").drop("__fp", "__pos")
+        base = base.join(applicable, ["__fp", "__pos"], "left_anti")
+    if eq_delete_files:
+        id_to_name = {f["id"]: f["name"] for f in schema_json["fields"]}
+        base = base.join(F.broadcast(seq_map), "__fp")
+        # group delete files by their equality-id set; one anti-join each
+        by_ids: dict[tuple[int, ...], list[tuple[str, int]]] = {}
+        for dpath, dseq, ids in eq_delete_files:
+            by_ids.setdefault(ids, []).append((dpath, dseq))
+        for ids in sorted(by_ids):
+            try:
+                cols = [id_to_name[i] for i in ids]
+            except KeyError as exc:
+                raise IcebergMetadataInvalid(
+                    f"equality_ids {ids} not in the table schema"
+                ) from exc
+            dels = None
+            for dpath, dseq in sorted(by_ids[ids]):
+                one = spark.read.parquet(dpath).select(
+                    *[F.col(c).alias(f"__d_{c}") for c in cols],
+                    F.lit(int(dseq)).alias("__del_seq"),
+                )
+                dels = one if dels is None else dels.unionByName(one)
+            cond = F.col("__data_seq") < F.col("__del_seq")
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__d_{c}"))
+            base = base.join(dels, cond, "left_anti")
+        base = base.drop("__data_seq")
+    return base.drop("__fp", "__pos")
 
 
 def validate_iceberg_metadata(path: str, spark: SparkSession | None = None) -> dict:
@@ -526,6 +582,8 @@ def validate_iceberg_metadata(path: str, spark: SparkSession | None = None) -> d
     n_files = 0
     n_delete_files = 0
     n_position_deletes = 0
+    n_equality_delete_files = 0
+    n_equality_keys = 0
     live_data_paths: set[str] = set()
     delete_target_paths: set[str] = set()
     for m in manifests:
@@ -564,7 +622,7 @@ def validate_iceberg_metadata(path: str, spark: SparkSession | None = None) -> d
                 continue
             fcontent = _unwrap(d.get("content", 0))
             _require(
-                fcontent == (1 if mcontent == 1 else 0),
+                fcontent in ((1, 2) if mcontent == 1 else (0,)),
                 mp, f"data_file.content {fcontent} illegal in a "
                     f"{'delete' if mcontent == 1 else 'data'} manifest",
             )
@@ -591,10 +649,34 @@ def validate_iceberg_metadata(path: str, spark: SparkSession | None = None) -> d
                     {"file_path", "pos"} <= set(pf.schema_arrow.names),
                     fp, "position-delete file must carry file_path/pos columns",
                 )
+                _require(
+                    _unwrap(d.get("equality_ids")) in (None, []),
+                    fp, "position-delete file must not carry equality_ids",
+                )
                 tbl = pf.read(columns=["file_path"])
                 delete_target_paths.update(tbl.column("file_path").to_pylist())
                 n_position_deletes += pf.metadata.num_rows
                 n_delete_files += 1
+            elif fcontent == 2:
+                # equality-delete file: equality_ids must resolve to schema
+                # columns and the parquet must carry exactly those columns
+                ids = _unwrap_ids(d.get("equality_ids"))
+                id_to_name = {
+                    f["id"]: f["name"]
+                    for sc in md["schemas"]
+                    if sc["schema-id"] == md["current-schema-id"]
+                    for f in sc["fields"]
+                }
+                _require(
+                    set(ids) <= set(id_to_name),
+                    fp, f"equality_ids {ids} not in the table schema",
+                )
+                _require(
+                    {id_to_name[i] for i in ids} <= set(pf.schema_arrow.names),
+                    fp, "equality-delete parquet missing its key columns",
+                )
+                n_equality_keys += pf.metadata.num_rows
+                n_equality_delete_files += 1
             else:
                 _require(
                     schema_fields <= set(pf.schema_arrow.names),
@@ -617,6 +699,8 @@ def validate_iceberg_metadata(path: str, spark: SparkSession | None = None) -> d
         "n_rows": total,
         "n_delete_files": n_delete_files,
         "n_position_deletes": n_position_deletes,
+        "n_equality_delete_files": n_equality_delete_files,
+        "n_equality_keys": n_equality_keys,
     }
 
 
@@ -649,6 +733,20 @@ def append_iceberg_snapshot(
         raise ValueError(
             f"append schema {list(df.columns)} != table schema {want}"
         )
+    # types must match too: a silently widened decimal (e.g. price+1000
+    # -> decimal(14,2) vs the table's (12,2)) writes parquet the reader's
+    # table-schema scan then refuses — fail the APPEND, not the read
+    got_types = {
+        f["name"]: f["type"] for f in _iceberg_schema(df.schema)["fields"]
+    }
+    want_types = {f["name"]: f["type"] for f in schema_json["fields"]}
+    bad = {
+        n: (got_types[n], want_types[n])
+        for n in want
+        if got_types[n] != want_types[n]
+    }
+    if bad:
+        raise ValueError(f"append column types mismatch the table schema: {bad}")
     batch = uuid.uuid4().hex
     batch_dir = os.path.join(dest_path, "data", batch)
     df.write.mode("error").parquet(batch_dir)
@@ -682,6 +780,7 @@ def append_iceberg_snapshot(
                     "partition": {},
                     "record_count": per_file[fname],
                     "file_size_in_bytes": os.path.getsize(fpath),
+                    "equality_ids": None,
                 },
             }
         )
@@ -815,7 +914,7 @@ def delete_iceberg_rows(
         f"`{f['name']}` {_ICEBERG_TO_SPARK.get(f['type'], f['type'])}"
         for f in schema_json["fields"]
     )
-    data_files, _prev_deletes = _snapshot_files(spark, snap)
+    data_files, _prev_deletes, _prev_eq = _snapshot_files(spark, snap)
     if not data_files:
         raise ValueError("DELETE on an empty table")
     positions = (
@@ -874,6 +973,7 @@ def delete_iceberg_rows(
                     "partition": {},
                     "record_count": per_file[fname],
                     "file_size_in_bytes": os.path.getsize(fpath),
+                    "equality_ids": None,
                 },
             }
         )
@@ -955,4 +1055,177 @@ def delete_iceberg_rows(
         "snapshot_id": snapshot_id,
         "n_delete_files": len(entries),
         "n_deleted_rows": n_deleted,
+    }
+
+
+def delete_iceberg_rows_equality(
+    spark: SparkSession, dest_path: str, condition: str, equality_cols: list[str]
+) -> dict:
+    """Commit an EQUALITY-DELETE snapshot (v2 MOR, ``content=2``) — the
+    delete shape streaming CDC writers (Flink's Iceberg sink, the engine
+    family the reference's processing jobs come from) emit, where the
+    writer knows the KEYS it retracted but not their row positions.
+
+    The distinct ``equality_cols`` values of the current LIVE rows
+    matching ``condition`` are written as one equality-delete parquet
+    file (columns carry the table schema's field-ids; rows sorted by the
+    key columns), referenced by a delete manifest whose ``data_file`` has
+    ``content=2`` and ``equality_ids`` = those field-ids, in a new
+    manifest list (``content=1`` row + every previous manifest carried).
+    Readers apply it with the spec's STRICTLY-LESS sequence rule: rows in
+    files appended AFTER this commit keep living even under matching
+    keys — exactly the upsert semantics a CDC writer needs. Raises
+    ``ValueError`` when the predicate matches nothing."""
+    meta_dir = os.path.join(dest_path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        md = json.load(fh)
+    snap = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    schema_json = next(
+        s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+    )
+    name_to_id = {f["name"]: f["id"] for f in schema_json["fields"]}
+    missing = [c for c in equality_cols if c not in name_to_id]
+    if missing:
+        raise ValueError(f"equality columns not in the table schema: {missing}")
+    ids = [name_to_id[c] for c in equality_cols]
+
+    live = read_iceberg_snapshot(spark, dest_path)
+    keys = (
+        live.filter(condition)
+        .select(
+            *[
+                F.col(c).alias(c, metadata={"parquet.field.id": name_to_id[c]})
+                for c in equality_cols
+            ]
+        )
+        .distinct()
+    )
+    batch_dir = os.path.join(dest_path, "data", f"eq-deletes-{uuid.uuid4().hex}")
+    with_ids = spark.conf.get("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    try:
+        keys.sort(*equality_cols).coalesce(1).write.mode("error").parquet(batch_dir)
+    finally:
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", with_ids)
+    back = spark.read.parquet(batch_dir).select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f")
+    )
+    per_file = {
+        r["__f"]: r["__n"]
+        for r in back.groupBy("__f").agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    n_keys = sum(per_file.values())
+    if n_keys == 0:
+        import shutil
+
+        shutil.rmtree(batch_dir, ignore_errors=True)
+        raise ValueError(f"equality DELETE predicate matched no rows: {condition!r}")
+
+    snapshot_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+    seq = md["last-sequence-number"] + 1
+    entries = []
+    for fname in sorted(per_file):
+        if per_file[fname] == 0:
+            continue
+        fpath = os.path.join(batch_dir, fname)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": {"long": snapshot_id},
+                "sequence_number": {"long": seq},
+                "file_sequence_number": {"long": seq},
+                "data_file": {
+                    "content": 2,  # EQUALITY_DELETES
+                    "file_path": fpath,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": per_file[fname],
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                    "equality_ids": {"array": ids},
+                },
+            }
+        )
+    manifest_path = os.path.join(meta_dir, f"manifest-{uuid.uuid4().hex}-m0.avro")
+    _avro_write(
+        spark,
+        _MANIFEST_ENTRY_SCHEMA,
+        entries,
+        {
+            "schema": json.dumps(schema_json),
+            "schema-id": str(md["current-schema-id"]),
+            "partition-spec": json.dumps([]),
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "deletes",
+        },
+        manifest_path,
+    )
+    _, prev_manifests, _ = _avro_read(spark, snap["manifest-list"])
+    carried = []
+    for m in prev_manifests:
+        row = {k: _unwrap(v) for k, v in m.items()}
+        row["existing_data_files_count"] = (
+            row["existing_data_files_count"] + row["added_data_files_count"]
+        )
+        row["existing_rows_count"] = row["existing_rows_count"] + row["added_rows_count"]
+        row["added_data_files_count"] = 0
+        row["added_rows_count"] = 0
+        carried.append(row)
+    new_list_rows = [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 1,  # DELETES manifest
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": n_keys,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ] + carried
+    list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro")
+    _avro_write(
+        spark, _MANIFEST_FILE_SCHEMA, new_list_rows, {"format-version": "2"}, list_path
+    )
+    md["last-sequence-number"] = seq
+    md["current-snapshot-id"] = snapshot_id
+    md["snapshots"].append(
+        {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": snap["snapshot-id"],
+            "sequence-number": seq,
+            "timestamp-ms": 0,
+            "manifest-list": list_path,
+            "summary": {"operation": "delete"},
+            "schema-id": md["current-schema-id"],
+        }
+    )
+    md.setdefault("snapshot-log", []).append(
+        {"snapshot-id": snapshot_id, "timestamp-ms": 0}
+    )
+    md.setdefault("metadata-log", []).append(
+        {
+            "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+            "timestamp-ms": 0,
+        }
+    )
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w") as fh:
+        json.dump(md, fh, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version + 1))
+    return {
+        "version": version + 1,
+        "snapshot_id": snapshot_id,
+        "n_delete_files": len(entries),
+        "n_equality_keys": n_keys,
+        "equality_ids": ids,
     }

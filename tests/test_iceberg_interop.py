@@ -136,11 +136,13 @@ def test_reader_rejects_mislabeled_delete_manifest(spark, tmp_path):
         read_iceberg_snapshot(spark, dest)
 
 
-def test_reader_refuses_equality_deletes(spark, tmp_path):
-    """Equality deletes (data_file.content=2) stay loudly undecoded —
-    position deletes are the only delete surface this reader applies."""
+def test_reader_refuses_delete_typed_file_in_data_manifest(spark, tmp_path):
+    """A delete-typed data_file (content=2) inside a DATA manifest is a
+    spec violation the reader refuses loudly (equality deletes are only
+    legal in delete manifests, where the reader now APPLIES them)."""
     from telecom_dataengineering_pipeline_spark.sources.iceberg_export import (
         _MANIFEST_ENTRY_SCHEMA,
+        IcebergMetadataInvalid,
     )
 
     t = _source_table(spark, tmp_path)
@@ -153,9 +155,10 @@ def test_reader_refuses_equality_deletes(spark, tmp_path):
     mp = manifests[0]["manifest_path"]
     eschema, entries, mmeta = _avro_read(spark, mp)
     bad = json.loads(json.dumps(entries[0]))
-    bad["data_file"]["content"] = 2  # EQUALITY_DELETES
+    bad["data_file"]["content"] = 2  # EQUALITY_DELETES in a data manifest
+    bad["data_file"]["equality_ids"] = {"array": [1]}
     _avro_write(spark, _MANIFEST_ENTRY_SCHEMA, [bad], mmeta, mp)
-    with pytest.raises(NotImplementedError, match="equality deletes"):
+    with pytest.raises(IcebergMetadataInvalid, match="delete file in a data manifest"):
         read_iceberg_snapshot(spark, dest)
 
 
@@ -299,3 +302,106 @@ def test_delete_refuses_empty_match(spark, tmp_path):
         delete_iceberg_rows(spark, dest, "id = 999")
     # the refused commit must not have bumped the chain
     assert open(os.path.join(dest, "metadata", "version-hint.text")).read().strip() == "1"
+
+
+# ---------------------------------------------------------------------------
+# equality deletes (v2 content=2): write, validate, apply with the
+# strictly-less sequence rule
+# ---------------------------------------------------------------------------
+
+
+def _eq_table(spark, tmp_path, name="eqsrc"):
+    t = TxnLogTable(str(tmp_path / name), stat_cols=("id",))
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(i, i * 10, "g" if i % 2 == 0 else "h") for i in range(1, 7)],
+            "id long, v long, grp string",
+        )
+    )
+    return t
+
+
+def test_equality_delete_write_validate_read(spark, tmp_path):
+    from telecom_dataengineering_pipeline_spark.sources.iceberg_export import (
+        delete_iceberg_rows_equality,
+    )
+
+    t = _eq_table(spark, tmp_path)
+    dest = str(tmp_path / "ice_eqd")
+    export_iceberg_snapshot(t, spark, dest)
+    res = delete_iceberg_rows_equality(spark, dest, "grp = 'g'", ["id"])
+    assert res["n_equality_keys"] == 3  # ids 2, 4, 6
+    assert res["equality_ids"] == [1]  # id is schema field 1
+
+    summary = validate_iceberg_metadata(dest, spark)
+    assert summary["n_equality_delete_files"] == 1
+    assert summary["n_equality_keys"] == 3
+    assert summary["n_rows"] == 6  # data files untouched (MOR)
+
+    got = {r["id"] for r in read_iceberg_snapshot(spark, dest).collect()}
+    assert got == {1, 3, 5}
+    # time travel to the pre-delete snapshot still sees every row
+    md = json.load(open(os.path.join(dest, "metadata", "v2.metadata.json")))
+    first = min(s["snapshot-id"] for s in md["snapshots"])
+    assert {
+        r["id"] for r in read_iceberg_snapshot(spark, dest, snapshot_id=first).collect()
+    } == {1, 2, 3, 4, 5, 6}
+
+
+def test_equality_delete_strictly_less_rule(spark, tmp_path):
+    """Rows appended AFTER the equality delete survive even under
+    matching keys — the spec's strict seq < rule, the property CDC
+    upserts rely on (delete old key, append new row, same key)."""
+    from telecom_dataengineering_pipeline_spark.sources.iceberg_export import (
+        append_iceberg_snapshot,
+        delete_iceberg_rows_equality,
+    )
+
+    t = _eq_table(spark, tmp_path)
+    dest = str(tmp_path / "ice_eqseq")
+    export_iceberg_snapshot(t, spark, dest)
+    delete_iceberg_rows_equality(spark, dest, "id IN (2, 4)", ["id"])
+    # re-insert id 2 with a new value: the upsert's append half
+    append_iceberg_snapshot(
+        spark.createDataFrame([(2, 999, "g")], "id long, v long, grp string"),
+        spark,
+        dest,
+    )
+    got = {(r["id"], r["v"]) for r in read_iceberg_snapshot(spark, dest).collect()}
+    assert (2, 999) in got  # appended after -> survives
+    assert (2, 20) not in got and (4, 40) not in got  # pre-delete rows gone
+    assert {i for i, _ in got} == {1, 2, 3, 5, 6}
+    summary = validate_iceberg_metadata(dest, spark)
+    assert summary["n_equality_delete_files"] == 1
+
+
+def test_equality_delete_multi_column_key_and_position_mix(spark, tmp_path):
+    from telecom_dataengineering_pipeline_spark.sources.iceberg_export import (
+        delete_iceberg_rows,
+        delete_iceberg_rows_equality,
+    )
+
+    t = _eq_table(spark, tmp_path)
+    dest = str(tmp_path / "ice_eqmix")
+    export_iceberg_snapshot(t, spark, dest)
+    # position delete id=1, then equality delete on the composite key
+    delete_iceberg_rows(spark, dest, "id = 1")
+    delete_iceberg_rows_equality(spark, dest, "id = 6 AND grp = 'g'", ["id", "grp"])
+    got = {r["id"] for r in read_iceberg_snapshot(spark, dest).collect()}
+    assert got == {2, 3, 4, 5}
+    summary = validate_iceberg_metadata(dest, spark)
+    assert summary["n_delete_files"] == 1 and summary["n_equality_delete_files"] == 1
+
+
+def test_equality_delete_refusals(spark, tmp_path):
+    from telecom_dataengineering_pipeline_spark.sources.iceberg_export import (
+        delete_iceberg_rows_equality,
+    )
+
+    t = _eq_table(spark, tmp_path)
+    dest = str(tmp_path / "ice_eqbad")
+    export_iceberg_snapshot(t, spark, dest)
+    with pytest.raises(ValueError, match="matched no rows"):
+        delete_iceberg_rows_equality(spark, dest, "id > 999", ["id"])
+    with pytest.raises(ValueError, match="not in the table schema"):
+        delete_iceberg_rows_equality(spark, dest, "id = 1", ["nope"])
