@@ -951,7 +951,9 @@ _ice_rows = st.lists(
 _ice_op = st.one_of(
     st.tuples(st.just("append"), _ice_rows),
     st.tuples(st.just("append_bad_schema")),
+    st.tuples(st.just("append_bad_types")),
     st.tuples(st.just("delete"), st.integers(0, 9)),
+    st.tuples(st.just("eq_delete"), st.integers(0, 9)),
     st.tuples(st.just("validate")),
     st.tuples(st.just("time_travel"), st.integers(0, 7)),
 )
@@ -967,6 +969,7 @@ def test_iceberg_chain_matches_multiset_model(spark, tmp_path_factory, ops):
     from telecom_dataengineering_pipeline_spark.sources.iceberg_export import (
         append_iceberg_snapshot,
         delete_iceberg_rows,
+        delete_iceberg_rows_equality,
         export_iceberg_snapshot,
         read_iceberg_snapshot,
         validate_iceberg_metadata,
@@ -1002,6 +1005,24 @@ def test_iceberg_chain_matches_multiset_model(spark, tmp_path_factory, ops):
                 append_iceberg_snapshot(
                     spark.createDataFrame([(1,)], "k long"), spark, dest
                 )
+        elif kind == "append_bad_types":
+            with pytest.raises(ValueError, match="column types mismatch"):
+                append_iceberg_snapshot(
+                    spark.createDataFrame([(1, "nope")], "k long, v string"),
+                    spark,
+                    dest,
+                )
+        elif kind == "eq_delete":
+            key = op[1]
+            if any(k == key for k, _ in model):
+                info = delete_iceberg_rows_equality(
+                    spark, dest, f"k = {key}", ["k"]
+                )
+                model = [(k, v) for k, v in model if k != key]
+                history[info["snapshot_id"]] = sorted(model)
+            else:
+                with pytest.raises(ValueError, match="matched no rows"):
+                    delete_iceberg_rows_equality(spark, dest, f"k = {key}", ["k"])
         elif kind == "delete":
             key = op[1]
             if any(k == key for k, _ in model):
