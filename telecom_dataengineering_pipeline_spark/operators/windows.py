@@ -960,3 +960,121 @@ def position_based_attribution(
         F.col("position").cast("long").alias("position"),
         F.round(credit, 9).alias("credit"),
     )
+
+
+def time_to_convert(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    start_event: str,
+    end_event: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-touch-to-conversion latency per user: the µs gap between a
+    user's FIRST ``start_event`` and their first ``end_event`` at or
+    after it — the funnel's time axis (``sequence_funnel`` counts who
+    converts; this measures how long conversion takes). Users whose
+    conversions all precede their first start, or who never convert,
+    are excluded (they have no defined latency).
+
+    Two stacked whole-partition windows over ONE user-keyed exchange:
+    the first elects the user's first start key (exact string min on a
+    zero-padded (µs, tie-break) key), the second the first conversion
+    key AT OR AFTER it — so an out-of-funnel conversion BEFORE the first
+    start neither qualifies nor blocks a later one. Returns one row per
+    converted user: (user, start_us, convert_us, lag_s) with lag_s an
+    exact integer-µs-derived double (µs/1e6, one division)."""
+    tb = tiebreak_col or event_col
+    ev = df.filter(F.col(event_col).isin([start_event, end_event])).select(
+        F.col(user_col).alias("user"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(tb).cast("string").alias("tb"),
+        F.col(event_col).alias("ev"),
+    )
+    key = F.concat(F.lpad(F.col("us").cast("string"), 20, "0"), F.lit("|"), F.col("tb"))
+    wu = Window.partitionBy("user")
+    t1 = ev.withColumn("_k", key).withColumn(
+        "_sk", F.min(F.when(F.col("ev") == start_event, key)).over(wu)
+    )
+    t2 = t1.withColumn(
+        "_ek",
+        F.min(
+            F.when(
+                (F.col("ev") == end_event) & (F.col("_k") >= F.col("_sk")),
+                F.col("_k"),
+            )
+        ).over(wu),
+    )
+    per_user = (
+        t2.groupBy("user")
+        .agg(F.max("_sk").alias("_sk"), F.max("_ek").alias("_ek"))
+        .filter(F.col("_sk").isNotNull() & F.col("_ek").isNotNull())
+    )
+    start_us = F.substring("_sk", 1, 20).cast("long")
+    return per_user.select(
+        F.col("user").alias(user_col),
+        start_us.alias("start_us"),
+        F.substring("_ek", 1, 20).cast("long").alias("convert_us"),
+        (
+            (F.substring("_ek", 1, 20).cast("long") - start_us).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("lag_s"),
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    bar: str = "yyyy-MM-dd",
+) -> DataFrame:
+    """OHLC resampling: per (key, bar) — open (first value by event
+    order), high, low, close (last), count, and the exact-decimal total;
+    the financial candlestick kernel applied to any measured stream.
+    ``bar`` is a date_format pattern (day bars by default).
+
+    One hash aggregate over (key, bar): open/close elect the min/max
+    zero-padded (µs, tie-break, value-string) key — pure MIN/MAX, no
+    window, no sort, so the bar build is a single exchange at the bar
+    grain. Values fold as DECIMAL(14,2) (round-then-decimal recipe);
+    open/close decode from the elected key's value suffix, exactly."""
+    tb = tiebreak_col or ts_col
+    v = F.round(F.col(value_col), 2).cast("decimal(14,2)")
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.date_format(F.col(ts_col), bar).alias("bar"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(tb).cast("string").alias("tb"),
+        v.alias("v"),
+    )
+    # event-ordered election key; the value rides behind a second
+    # separator so min/max compare on (us, tb) and carry v along
+    ekey = F.concat(
+        F.lpad(F.col("us").cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col("tb"), 24, "0"),
+        F.lit("|"),
+        F.col("v").cast("string"),
+    )
+    agg = base.groupBy("k", "bar").agg(
+        F.min(ekey).alias("_first"),
+        F.max(ekey).alias("_last"),
+        F.min("v").alias("_low"),
+        F.max("v").alias("_high"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("v").alias("_total"),
+    )
+    val_of = lambda c: F.substring_index(c, "|", -1).cast("decimal(14,2)")  # noqa: E731
+    return agg.select(
+        F.col("k").alias(key_col),
+        "bar",
+        val_of(F.col("_first")).cast("double").alias("open"),
+        F.col("_high").cast("double").alias("high"),
+        F.col("_low").cast("double").alias("low"),
+        val_of(F.col("_last")).cast("double").alias("close"),
+        "n_events",
+        F.col("_total").cast("double").alias("total"),
+    )

@@ -1762,3 +1762,39 @@ def contingency_profile(
         dof.cast("long").alias("dof"),
         F.round(v, 6).alias("cramers_v"),
     )
+
+
+def candidate_key_profile(
+    df: DataFrame, combos: "Sequence[Sequence[str]]"
+) -> DataFrame:
+    """Uniqueness / candidate-key profiling: for each column combination,
+    how close it comes to identifying rows — the discovery half of the
+    dbt ``unique`` test (which asserts a KNOWN key; this measures every
+    candidate). Distinctness counts the combo as a STRUCT, so null
+    values participate like any other value (two (1, NULL) rows are one
+    distinct combo, duplicating — Spark ``countDistinct(struct(...))``
+    and DuckDB ``count(DISTINCT (a, b))`` agree on this). One exact
+    distinct-aggregate shuffle per combo, unioned at the combo grain —
+    the shuffle count is the (small, caller-chosen) combo list, never
+    data-sized. Returns one row per combo:
+    (combo, n_rows, n_distinct, dup_rows, is_unique)."""
+    if not combos:
+        raise ValueError("candidate_key_profile needs at least one combo")
+    out = None
+    for cols in combos:
+        cols = list(cols)
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"combo {cols}: unknown columns {missing}")
+        one = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(F.struct(*cols)).cast("long").alias("n_distinct"),
+        ).select(
+            F.lit(",".join(cols)).alias("combo"),
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") - F.col("n_distinct")).cast("long").alias("dup_rows"),
+            (F.col("n_rows") == F.col("n_distinct")).cast("int").alias("is_unique"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -386,3 +386,118 @@ def iceberg_equality_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
         F.col("price").cast("double").alias("price"),
         "status",
     )
+
+
+# ---------------------------------------------------------------------------
+# Candidate-key / uniqueness profiling (quality/monitors.py::
+# candidate_key_profile): distinctness of column combos counted as
+# STRUCTS (nulls participate — Spark countDistinct(struct) ≡ DuckDB
+# count(DISTINCT ROW(...))), one exact distinct-agg per combo.
+# ---------------------------------------------------------------------------
+
+_CK_COMBOS = [
+    ["o_orderkey"],
+    ["o_custkey"],
+    ["o_custkey", "o_orderdate"],
+    ["o_orderstatus", "o_orderpriority"],
+]
+
+
+def _ck_oracle() -> str:
+    parts = []
+    for cols in _CK_COMBOS:
+        row = ", ".join(cols)
+        parts.append(f"""
+SELECT '{",".join(cols)}' AS combo, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT ROW({row})) AS BIGINT) AS n_distinct,
+       CAST(count(*) - count(DISTINCT ROW({row})) AS BIGINT) AS dup_rows,
+       CAST(count(*) = count(DISTINCT ROW({row})) AS INTEGER) AS is_unique
+FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("dq_candidate_keys_orders", oracle=_ck_oracle(), tags=("DQ", "A12"))
+def dq_candidate_keys_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import candidate_key_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return candidate_key_profile(o, _CK_COMBOS)
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert (operators/windows.py::time_to_convert): first
+# view -> first purchase at-or-after it, per user; out-of-funnel
+# purchases BEFORE the first view neither qualify nor block.
+# ---------------------------------------------------------------------------
+
+_TTC_ORACLE = """
+WITH ev AS (
+  SELECT user_id AS u, epoch_us(ts) AS us, CAST(event_id AS VARCHAR) AS tb,
+         event_type AS ev
+  FROM events WHERE event_type IN ('view', 'purchase')
+), keyed AS (
+  SELECT *, lpad(CAST(us AS VARCHAR), 20, '0') || '|' || tb AS k FROM ev
+), t1 AS (
+  SELECT *, min(CASE WHEN ev = 'view' THEN k END) OVER (PARTITION BY u) AS sk
+  FROM keyed
+), t2 AS (
+  SELECT *, min(CASE WHEN ev = 'purchase' AND k >= sk THEN k END)
+              OVER (PARTITION BY u) AS ek
+  FROM t1
+), per_user AS (
+  SELECT u, max(sk) AS sk, max(ek) AS ek FROM t2 GROUP BY 1
+)
+SELECT u AS user_id,
+       CAST(substr(sk, 1, 20) AS BIGINT) AS start_us,
+       CAST(substr(ek, 1, 20) AS BIGINT) AS convert_us,
+       CAST(CAST(substr(ek, 1, 20) AS BIGINT)
+            - CAST(substr(sk, 1, 20) AS BIGINT) AS DOUBLE) / 1000000.0 AS lag_s
+FROM per_user WHERE sk IS NOT NULL AND ek IS NOT NULL
+"""
+
+
+@register("funnel_time_to_convert", oracle=_TTC_ORACLE, tags=("sequence", "W3"))
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import time_to_convert
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_to_convert(
+        ev, "user_id", "ts", "event_type",
+        start_event="view", end_event="purchase", tiebreak_col="event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars (operators/windows.py::ohlc_bars): daily open/high/low/close
+# per event type — pure MIN/MAX election on a zero-padded event-order
+# key, one exchange at the bar grain, no window, no sort.
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+WITH base AS (
+  SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS bar, epoch_us(ts) AS us,
+         CAST(event_id AS VARCHAR) AS tb,
+         CAST(round(value, 2) AS DECIMAL(14,2)) AS v
+  FROM events
+), keyed AS (
+  SELECT *, lpad(CAST(us AS VARCHAR), 20, '0') || '|'
+            || lpad(tb, 24, '0') || '|' || CAST(v AS VARCHAR) AS ekey
+  FROM base
+)
+SELECT k AS event_type, bar,
+       CAST(CAST(split_part(min(ekey), '|', 3) AS DECIMAL(14,2)) AS DOUBLE) AS open,
+       CAST(max(v) AS DOUBLE) AS high,
+       CAST(min(v) AS DOUBLE) AS low,
+       CAST(CAST(split_part(max(ekey), '|', 3) AS DECIMAL(14,2)) AS DOUBLE) AS close,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v) AS DOUBLE) AS total
+FROM keyed GROUP BY 1, 2
+"""
+
+
+@register("ohlc_daily_event_value", oracle=_OHLC_ORACLE, tags=("A2", "trend"))
+def ohlc_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import ohlc_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_bars(ev, "event_type", "ts", "value", tiebreak_col="event_id")

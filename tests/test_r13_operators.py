@@ -358,3 +358,104 @@ def test_rake_registered_query_plan(spark, sf_smoke):
     assert "Python" not in plan and "Cartesian" not in plan
     assert plan.count("FileScan") <= 1, plan
     assert "TakeOrdered" in plan  # global top-k, never a full sort
+
+
+# ---------------------------------------------------------------------------
+# candidate_key_profile / time_to_convert / ohlc_bars
+# ---------------------------------------------------------------------------
+
+
+def test_candidate_key_profile_nulls_count_as_values(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        candidate_key_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (1, None), (2, 3), (None, None)], "a long, b long"
+    )
+    got = {
+        r["combo"]: (r["n_rows"], r["n_distinct"], r["dup_rows"], r["is_unique"])
+        for r in candidate_key_profile(df, [["a"], ["a", "b"]]).collect()
+    }
+    # struct semantics: (1,None) duplicates itself; (None,) is a value
+    assert got["a"] == (4, 3, 1, 0)
+    assert got["a,b"] == (4, 3, 1, 0)
+    with pytest.raises(ValueError, match="unknown columns"):
+        candidate_key_profile(df, [["nope"]])
+    with pytest.raises(ValueError, match="at least one combo"):
+        candidate_key_profile(df, [])
+
+
+def test_time_to_convert_prior_conversion_does_not_block(spark):
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # user 1: purchase BEFORE first view, then view, then purchase
+        (1, ts(0), "purchase", 1),
+        (1, ts(2), "view", 2),
+        (1, ts(5), "purchase", 3),
+        # user 2: view, never purchases after (only before) -> excluded
+        (2, ts(0), "purchase", 4),
+        (2, ts(1), "view", 5),
+        # user 3: converts instantly (same ts, tb orders view first)
+        (3, ts(7), "view", 6),
+        (3, ts(7), "purchase", 7),
+    ]
+    from telecom_dataengineering_pipeline_spark.operators.windows import (
+        time_to_convert,
+    )
+
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = {
+        r["user_id"]: r["lag_s"]
+        for r in time_to_convert(
+            df, "user_id", "ts", "event_type",
+            start_event="view", end_event="purchase", tiebreak_col="event_id",
+        ).collect()
+    }
+    assert got == {1: 180.0, 3: 0.0}
+
+
+def test_ohlc_bars_hand_values(spark):
+    def ts(d, m):
+        return dt.datetime(2024, 1, d, 0, m)
+
+    rows = [
+        ("x", ts(1, 0), 5.0, 1),   # day 1 open
+        ("x", ts(1, 5), 9.0, 2),   # day 1 high
+        ("x", ts(1, 9), 2.0, 3),   # day 1 low + close
+        ("x", ts(2, 0), 7.0, 4),   # day 2 single event
+        ("y", ts(1, 1), 4.0, 5),
+    ]
+    from telecom_dataengineering_pipeline_spark.operators.windows import ohlc_bars
+
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, event_id long"
+    )
+    got = {
+        (r["event_type"], r["bar"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"], r["total"]
+        )
+        for r in ohlc_bars(
+            df, "event_type", "ts", "value", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got[("x", "2024-01-01")] == (5.0, 9.0, 2.0, 2.0, 3, 16.0)
+    assert got[("x", "2024-01-02")] == (7.0, 7.0, 7.0, 7.0, 1, 7.0)
+    assert got[("y", "2024-01-01")] == (4.0, 4.0, 4.0, 4.0, 1, 4.0)
+
+
+def test_ohlc_plan_single_aggregate_no_window(spark):
+    from telecom_dataengineering_pipeline_spark.operators.windows import ohlc_bars
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("event_type"),
+        F.to_timestamp(F.lit("2024-01-01")).alias("ts"),
+        (F.col("id") % 7).cast("double").alias("value"),
+        F.col("id").alias("event_id"),
+    )
+    plan = _plan(ohlc_bars(df, "event_type", "ts", "value", tiebreak_col="event_id"))
+    assert "Window" not in plan and "Join" not in plan and "Python" not in plan
