@@ -910,3 +910,163 @@ def bellman_ford_oracle_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, dist FROM d{rounds}"
     )
+
+
+def betweenness_from_seeds(
+    edges: DataFrame,
+    source_nodes: Sequence[int],
+    max_hops: int = 4,
+) -> DataFrame:
+    """Seed-sampled Brandes betweenness: the exact single-source
+    dependency accumulation δ_s(v) = Σ_{w: v∈pred(w)} σ_v/σ_w·(1+δ_s(w))
+    run from a SEED SET and truncated at ``max_hops`` — the classic
+    "which nodes sit on shortest paths" centrality, restricted the way
+    every large-graph deployment restricts it (pivot sampling; Brandes &
+    Pich 2007). Returns the UNNORMALIZED dependency sum over the given
+    seeds for every reached non-seed pair — exact for those seeds and
+    radius, a deterministic object the oracle unrolls to.
+
+    Scale shape: the forward pass is the sparse-frontier BFS
+    (``bfs_hop_distance``) carrying exact integer path counts σ (level
+    h's σ sums over level h−1 predecessors — finalized at discovery, the
+    BFS DAG property); the backward pass walks levels deepest-first,
+    joining each level only against the NEXT level's (node, σ, δ) — no
+    full-relation joins anywhere, per-level lazy checkpoints. All seeds
+    advance simultaneously behind a seed column, so the round count is
+    ``max_hops``, not seeds×hops. Determinism: σ is an exact LONG;
+    δ terms are one double shape rounded to 9 and folded as
+    DECIMAL(28,9). Returns (node, betweenness) over nodes reached from
+    any seed (seed self-rows excluded), betweenness rounded to 6."""
+    if max_hops < 1:
+        raise ValueError("betweenness_from_seeds needs max_hops >= 1")
+    seeds = list(source_nodes)
+    if not seeds:
+        raise ValueError("betweenness_from_seeds needs a non-empty seed set")
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    lvl0 = (
+        nodes.filter(F.col("node").isin(seeds))
+        .select(
+            F.col("node").alias("s"),
+            "node",
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    levels = [lvl0]
+    visited = lvl0.select("s", "node")
+    for _h in range(1, max_hops + 1):
+        prev = levels[-1]
+        cand = (
+            prev.join(e, prev["node"] == e["src"])
+            .groupBy("s", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+        )
+        fresh = cand.join(visited, ["s", "node"], "left_anti").localCheckpoint(
+            eager=False
+        )
+        levels.append(fresh)
+        visited = visited.unionAll(fresh.select("s", "node")).localCheckpoint(
+            eager=False
+        )
+    zero = F.lit(0).cast("decimal(28,9)")
+    deltas = levels[-1].select("s", "node", "sigma", zero.alias("delta"))
+    acc = [deltas]
+    for h in range(max_hops - 1, -1, -1):
+        v = levels[h]
+        w = deltas.select(
+            F.col("s").alias("ws"),
+            F.col("node").alias("wnode"),
+            F.col("sigma").alias("wsigma"),
+            F.col("delta").alias("wdelta"),
+        )
+        term = F.round(
+            F.col("sigma").cast("double")
+            / F.col("wsigma").cast("double")
+            * (F.lit(1.0) + F.col("wdelta").cast("double")),
+            9,
+        ).cast("decimal(28,9)")
+        contrib = (
+            v.join(e, v["node"] == e["src"])
+            .join(
+                w,
+                (F.col("s") == F.col("ws")) & (e["dst"] == F.col("wnode")),
+            )
+            .groupBy("s", "node")
+            .agg(F.sum(term).alias("_d"))
+        )
+        deltas = (
+            v.join(contrib, ["s", "node"], "left")
+            .select(
+                "s",
+                "node",
+                "sigma",
+                F.coalesce(F.col("_d"), zero).alias("delta"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        acc.append(deltas)
+    allrows = acc[0]
+    for d in acc[1:]:
+        allrows = allrows.unionByName(d)
+    return (
+        allrows.filter(F.col("node") != F.col("s"))
+        .groupBy("node")
+        .agg(F.round(F.sum("delta").cast("double"), 6).alias("betweenness"))
+    )
+
+
+def betweenness_oracle_sql(
+    edges_cte: str, seeds_sql: str, rounds: int = 4
+) -> str:
+    """DuckDB mirror of :func:`betweenness_from_seeds`: the same forward
+    σ levels and backward δ accumulation unrolled to ``rounds`` (all
+    CTEs ``AS MATERIALIZED`` — the Bellman–Ford lesson). ``edges_cte``
+    must expose e(src, dst); ``seeds_sql`` a relation (node)."""
+    R = rounds
+    ctes = [
+        f"e AS MATERIALIZED ({edges_cte})",
+        f"l0 AS MATERIALIZED (SELECT node AS s, node, CAST(1 AS BIGINT) AS sigma "
+        f"FROM ({seeds_sql}) WHERE node IN (SELECT src FROM e UNION SELECT dst FROM e))",
+        "vis0 AS MATERIALIZED (SELECT s, node FROM l0)",
+    ]
+    for h in range(1, R + 1):
+        ctes.append(
+            f"l{h} AS MATERIALIZED (SELECT c.s, c.node, c.sigma FROM ("
+            f"SELECT l.s, e.dst AS node, CAST(sum(l.sigma) AS BIGINT) AS sigma "
+            f"FROM l{h-1} l JOIN e ON e.src = l.node GROUP BY 1, 2) c "
+            f"ANTI JOIN vis{h-1} v ON v.s = c.s AND v.node = c.node)"
+        )
+        ctes.append(
+            f"vis{h} AS MATERIALIZED (SELECT s, node FROM vis{h-1} "
+            f"UNION ALL SELECT s, node FROM l{h})"
+        )
+    ctes.append(
+        f"d{R} AS MATERIALIZED (SELECT s, node, sigma, "
+        f"CAST(0 AS DECIMAL(28,9)) AS delta FROM l{R})"
+    )
+    for h in range(R - 1, -1, -1):
+        ctes.append(
+            f"d{h} AS MATERIALIZED (SELECT v.s, v.node, v.sigma, "
+            f"coalesce(c.d, CAST(0 AS DECIMAL(28,9))) AS delta FROM l{h} v "
+            f"LEFT JOIN (SELECT v2.s, v2.node, "
+            f"sum(CAST(round(CAST(v2.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) "
+            f"* (1.0 + CAST(w.delta AS DOUBLE)), 9) AS DECIMAL(28,9))) AS d "
+            f"FROM l{h} v2 JOIN e ON e.src = v2.node "
+            f"JOIN d{h+1} w ON w.s = v2.s AND w.node = e.dst "
+            f"GROUP BY 1, 2) c ON c.s = v.s AND c.node = v.node)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT s, node, delta FROM d{h}" for h in range(R + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, round(CAST(sum(delta) AS DOUBLE), 6) AS betweenness "
+        f"FROM ({union}) WHERE node <> s GROUP BY 1"
+    )

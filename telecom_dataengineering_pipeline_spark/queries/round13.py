@@ -501,3 +501,63 @@ def ohlc_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return ohlc_bars(ev, "event_type", "ts", "value", tiebreak_col="event_id")
+
+
+# ---------------------------------------------------------------------------
+# Seed-sampled Brandes betweenness (operators/graph.py::
+# betweenness_from_seeds) on the sampled co-purchase graph — the classic
+# "who sits on shortest paths" centrality, truncated at 4 hops from the
+# 3 smallest nodes (the BFS/SSSP seed rule). Oracle = the same forward-σ
+# / backward-δ recursion unrolled in SQL.
+# ---------------------------------------------------------------------------
+
+_BETW_SAMPLED_SUBQ = """
+SELECT u, v FROM (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey IN (
+    SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    GROUP BY 1 HAVING count(*) <= 25)
+)
+WHERE ('0x' || substr(md5(CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)), 1, 8))::BIGINT % 20 = 0
+"""
+
+
+def _betweenness_oracle() -> str:
+    from ..operators.graph import betweenness_oracle_sql
+
+    return betweenness_oracle_sql(
+        edges_cte=(
+            f"SELECT src, dst FROM (SELECT u AS src, v AS dst FROM ({_BETW_SAMPLED_SUBQ}) "
+            f"UNION ALL SELECT v AS src, u AS dst FROM ({_BETW_SAMPLED_SUBQ}))"
+        ),
+        seeds_sql=(
+            "SELECT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) "
+            "ORDER BY node LIMIT 3"
+        ),
+        rounds=4,
+    )
+
+
+@register(
+    "betweenness_copurchase_seeds",
+    oracle=_betweenness_oracle(),
+    tags=("LLM", "iterative", "graph"),
+)
+def betweenness_copurchase_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import betweenness_from_seeds
+    from .round8 import _sampled_copurchase_pairs
+
+    pairs = _sampled_copurchase_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    # lineage cut: the pair fan-out feeds seed discovery AND the BFS spine
+    edges = edges.localCheckpoint(eager=False)
+    nodes = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    seeds = [r["node"] for r in nodes.orderBy("node").limit(3).collect()]
+    return betweenness_from_seeds(edges, seeds, max_hops=4)

@@ -459,3 +459,88 @@ def test_ohlc_plan_single_aggregate_no_window(spark):
     )
     plan = _plan(ohlc_bars(df, "event_type", "ts", "value", tiebreak_col="event_id"))
     assert "Window" not in plan and "Join" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# betweenness_from_seeds
+# ---------------------------------------------------------------------------
+
+
+def _undirected(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return df.unionAll(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def test_betweenness_path_graph_both_ends(spark):
+    from telecom_dataengineering_pipeline_spark.operators.graph import (
+        betweenness_from_seeds,
+    )
+
+    e = _undirected(spark, [(0, 1), (1, 2), (2, 3)])
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_from_seeds(e, [0, 3], max_hops=4).collect()
+    }
+    # Brandes by hand: from seed 0, delta = {1: 2, 2: 1, 3: 0};
+    # from seed 3, delta = {2: 2, 1: 1, 0: 0}
+    assert got == {0: 0.0, 1: 3.0, 2: 3.0, 3: 0.0}
+
+
+def test_betweenness_diamond_split_paths(spark):
+    from telecom_dataengineering_pipeline_spark.operators.graph import (
+        betweenness_from_seeds,
+    )
+
+    e = _undirected(spark, [(0, 1), (0, 2), (1, 3), (2, 3)])
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_from_seeds(e, [0], max_hops=4).collect()
+    }
+    # two shortest paths to 3 (sigma=2): each middle carries 1/2
+    assert got == {1: 0.5, 2: 0.5, 3: 0.0}
+
+
+def test_betweenness_hop_truncation_and_validation(spark):
+    from telecom_dataengineering_pipeline_spark.operators.graph import (
+        betweenness_from_seeds,
+    )
+
+    e = _undirected(spark, [(0, 1), (1, 2), (2, 3)])
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_from_seeds(e, [0], max_hops=2).collect()
+    }
+    # radius 2: node 3 never discovered; delta(1) = 1*(1+0) from node 2
+    assert got == {1: 1.0, 2: 0.0}
+    with pytest.raises(ValueError):
+        betweenness_from_seeds(e, [], max_hops=2)
+    with pytest.raises(ValueError):
+        betweenness_from_seeds(e, [0], max_hops=0)
+
+
+def test_betweenness_matches_unrolled_oracle_on_random_graph(spark):
+    """Cross-engine: the Spark operator and the DuckDB unrolled oracle
+    agree on a pseudo-random graph (the value gate in miniature)."""
+    import duckdb
+
+    from telecom_dataengineering_pipeline_spark.operators.graph import (
+        betweenness_from_seeds,
+        betweenness_oracle_sql,
+    )
+
+    pairs = sorted({((i * 7 + 3) % 23, (i * i + 5) % 23) for i in range(60)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = _undirected(spark, pairs)
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_from_seeds(e, [0, 1, 2], max_hops=4).collect()
+    }
+    values = ", ".join(f"({a}, {b}), ({b}, {a})" for a, b in pairs)
+    sql = betweenness_oracle_sql(
+        f"SELECT DISTINCT src, dst FROM (VALUES {values}) t(src, dst)",
+        "SELECT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) "
+        "ORDER BY node LIMIT 3",
+        rounds=4,
+    )
+    want = {int(n): float(b) for n, b in duckdb.sql(sql).fetchall()}
+    assert got == want
