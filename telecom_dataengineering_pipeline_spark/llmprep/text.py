@@ -607,3 +607,62 @@ def rake_keywords(
         .orderBy(F.col("rake_score").desc(), F.col("phrase").asc())
         .limit(int(k))
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: Sequence[str] = STOPWORDS,
+    window: int = 2,
+    iters: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """TextRank keyword ranking (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph — words are nodes, undirected edges
+    connect words within ``window`` positions of each other in the
+    STOPWORD-FILTERED token sequence (positions re-index after the
+    filter, the standard construction), aggregated corpus-wide as a
+    distinct edge set. The walk itself is the engine's integer
+    fixed-point :func:`~..operators.graph.pagerank_fixed_point`, so
+    ranks are exact LONGs — hash-exact cross-engine, no float drift.
+
+    Scale shape: co-occurrence pairs come from ``lead`` columns over one
+    doc-keyed sort window (never a positional self-join — linear in
+    tokens, not quadratic per doc); the edge set collapses to the
+    vocabulary grain before any iteration. Returns the top-``k``
+    (word, rank_fp) by rank."""
+    from ..operators.graph import pagerank_fixed_point
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError("textrank_keywords needs window >= 1")
+    stop = [s.lower() for s in stopwords]
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    ).filter((F.col("tok") != "") & ~F.col("tok").isin(stop))
+    w = Window.partitionBy("doc").orderBy("pos")
+    with_leads = toks.select(
+        "tok",
+        *[F.lead("tok", d).over(w).alias(f"_l{d}") for d in range(1, window + 1)],
+    )
+    und = None
+    for d in range(1, window + 1):
+        one = with_leads.filter(
+            F.col(f"_l{d}").isNotNull() & (F.col("tok") != F.col(f"_l{d}"))
+        ).select(
+            F.least("tok", F.col(f"_l{d}")).alias("a"),
+            F.greatest("tok", F.col(f"_l{d}")).alias("b"),
+        )
+        und = one if und is None else und.unionAll(one)
+    und = und.distinct()
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    pr = pagerank_fixed_point(edges, iters=iters)
+    return (
+        pr.select(F.col("node").alias("word"), "rank_fp")
+        .orderBy(F.col("rank_fp").desc(), F.col("word").asc())
+        .limit(int(k))
+    )

@@ -1070,3 +1070,42 @@ def betweenness_oracle_sql(
         + f"\nSELECT node, round(CAST(sum(delta) AS DOUBLE), 6) AS betweenness "
         f"FROM ({union}) WHERE node <> s GROUP BY 1"
     )
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    topk: int | None = None,
+) -> str:
+    """DuckDB mirror of :func:`pagerank_fixed_point` over an arbitrary
+    edge relation — the purchase-graph query's unrolled-CTE oracle,
+    generalized (same integer fixed-point recurrence, so ranks are
+    hash-exact). ``edges_cte`` must expose (src, dst), pre-deduped to
+    the same multiset the Spark side feeds."""
+    teleport = scale * (100 - damping_pct) // 100
+    parts = [
+        f"""WITH e AS MATERIALIZED ({edges_cte}),
+nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_fp FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        prev = "r0" if i == 1 else f"i{i - 1}"
+        parts.append(
+            f""",
+i{i} AS (
+  SELECT n.node,
+         CAST({teleport} + ({damping_pct} * coalesce(s.s, 0)) // 100 AS BIGINT) AS rank_fp
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank_fp // d.outdeg) AS s
+    FROM e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY 1
+  ) s ON s.node = n.node
+)"""
+        )
+    tail = f"\nSELECT node, rank_fp FROM i{iters}"
+    if topk is not None:
+        tail += f" ORDER BY rank_fp DESC, node ASC LIMIT {int(topk)}"
+    return "".join(parts) + tail

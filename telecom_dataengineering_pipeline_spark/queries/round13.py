@@ -561,3 +561,53 @@ def betweenness_copurchase_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     seeds = [r["node"] for r in nodes.orderBy("node").limit(3).collect()]
     return betweenness_from_seeds(edges, seeds, max_hops=4)
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords (llmprep/text.py::textrank_keywords): integer
+# fixed-point PageRank over the stopword-filtered word co-occurrence
+# graph (window 2, lead-based pair construction — linear in tokens).
+# Ranks are exact LONGs: hash-exact cross-engine, no rounding recipe.
+# ---------------------------------------------------------------------------
+
+
+def _textrank_oracle() -> str:
+    from ..operators.graph import pagerank_oracle_sql
+
+    stop = ", ".join(f"'{s}'" for s in _RAKE_STOP)
+    edges = f"""
+WITH toks0 AS (
+  SELECT doc_id AS doc, u.pos AS pos, u.tok AS tok
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+        FROM documents),
+       unnest(list_transform(l, (x, i) -> {{'pos': i, 'tok': x}})) AS t(u)
+), toks AS (
+  SELECT doc, pos, tok FROM toks0 WHERE tok <> '' AND tok NOT IN ({stop})
+), leads AS (
+  SELECT tok,
+         lead(tok, 1) OVER (PARTITION BY doc ORDER BY pos) AS l1,
+         lead(tok, 2) OVER (PARTITION BY doc ORDER BY pos) AS l2
+  FROM toks
+), und AS (
+  SELECT DISTINCT least(tok, l) AS a, greatest(tok, l) AS b FROM (
+    SELECT tok, l1 AS l FROM leads WHERE l1 IS NOT NULL AND tok <> l1
+    UNION ALL
+    SELECT tok, l2 AS l FROM leads WHERE l2 IS NOT NULL AND tok <> l2
+  )
+)
+SELECT a AS src, b AS dst FROM und
+UNION ALL SELECT b AS src, a AS dst FROM und
+"""
+    inner = pagerank_oracle_sql(edges_cte=edges, iters=3, topk=20)
+    return inner.replace("SELECT node, rank_fp FROM i3",
+                         "SELECT node AS word, rank_fp FROM i3")
+
+
+@register("textrank_word_graph", oracle=_textrank_oracle(), tags=("LLM", "text", "iterative"))
+def textrank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.text import textrank_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textrank_keywords(
+        docs, "doc_id", "text", stopwords=_RAKE_STOP, window=2, iters=3, k=20
+    )

@@ -544,3 +544,48 @@ def test_betweenness_matches_unrolled_oracle_on_random_graph(spark):
     )
     want = {int(n): float(b) for n, b in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# textrank_keywords
+# ---------------------------------------------------------------------------
+
+
+def test_textrank_structure_and_determinism(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.text import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            # hub degree 4 (alpha, beta, gamma, delta); all others <= 2
+            (0, "alpha hub beta the hub gamma the delta hub"),
+            (1, "alpha the hub"),  # stopword re-indexes: alpha-hub adjacency
+            (2, "solo"),           # no pairs contributed
+        ],
+        "doc_id long, text string",
+    )
+    out = textrank_keywords(
+        docs, stopwords=("the",), window=1, iters=3, k=10
+    ).collect()
+    ranks = {r["word"]: r["rank_fp"] for r in out}
+    assert set(ranks) == {"hub", "alpha", "beta", "gamma", "delta"}
+    # the strict-degree hub holds the strictly highest rank
+    assert max(ranks, key=ranks.get) == "hub"
+    assert "solo" not in ranks  # isolated word never enters the edge set
+    # integer fixed-point: re-running yields the identical longs
+    again = {
+        r["word"]: r["rank_fp"]
+        for r in textrank_keywords(
+            docs, stopwords=("the",), window=1, iters=3, k=10
+        ).collect()
+    }
+    assert again == ranks
+
+
+def test_textrank_plan_no_cartesian_no_python(spark, sf_smoke):
+    from telecom_dataengineering_pipeline_spark.queries.registry import REGISTRY
+
+    plan = (
+        REGISTRY["textrank_word_graph"].fn(spark, sf_smoke)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "Python" not in plan
