@@ -1798,3 +1798,203 @@ def candidate_key_profile(
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+def sprt_bernoulli(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    success_col: str,
+    total_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test per key, group-sequential
+    form: after each step t the cumulative log-likelihood ratio
+    llr = c1·ln(p1/p0) + c0·ln((1−p1)/(1−p0)) (c1/c0 = cumulative
+    successes/failures) is compared against the decision bounds
+    A = ln((1−β)/α), B = ln(β/(1−α)) — accept H1 above A, accept H0
+    below B, keep sampling in between. The sequential counterpart of the
+    fixed-horizon two-proportion z test in this battery.
+
+    Determinism: cumulative counts are exact LONGs off one key-ordered
+    window; the llr is two integer×constant multiplies and one add, with
+    the ln constants computed ONCE in Python and embedded in both
+    engines — no accumulation, no drift. Returns one row per (key, t):
+    (key, t, n_seen, c1, llr, decision) with llr rounded to 6 and
+    decision in ('accept_h1', 'accept_h0', 'continue')."""
+    import math
+
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0) or p0 == p1:
+        raise ValueError("need 0 < p0, p1 < 1 and p0 != p1")
+    if not (0.0 < alpha < 1.0 and 0.0 < beta < 1.0):
+        raise ValueError("alpha/beta must be in (0, 1)")
+    k1 = math.log(p1 / p0)
+    k0 = math.log((1.0 - p1) / (1.0 - p0))
+    upper = math.log((1.0 - beta) / alpha)
+    lower = math.log(beta / (1.0 - alpha))
+    w = Window.partitionBy("k").orderBy("t")
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(t_col).alias("t"),
+        F.col(success_col).cast("long").alias("s"),
+        F.col(total_col).cast("long").alias("n"),
+    )
+    cum = base.select(
+        "k",
+        "t",
+        F.sum("s").over(w).alias("c1"),
+        F.sum(F.col("n") - F.col("s")).over(w).alias("c0"),
+        F.sum("n").over(w).alias("n_seen"),
+    )
+    llr = F.col("c1").cast("double") * F.lit(k1) + F.col("c0").cast("double") * F.lit(k0)
+    decision = (
+        F.when(llr > F.lit(upper), F.lit("accept_h1"))
+        .when(llr < F.lit(lower), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    return cum.select(
+        F.col("k").alias(key_col),
+        "t",
+        "n_seen",
+        "c1",
+        F.round(llr, 6).alias("llr"),
+        decision.alias("decision"),
+    )
+
+
+def sprt_oracle_sql(
+    base_cte: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+    key_name: str = "k",
+) -> str:
+    """DuckDB mirror of :func:`sprt_bernoulli`. ``base_cte`` exposes
+    (k, t, s, n) at the step grain; the ln constants are the SAME Python
+    floats interpolated here and into the Spark columns."""
+    import math
+
+    k1 = math.log(p1 / p0)
+    k0 = math.log((1.0 - p1) / (1.0 - p0))
+    upper = math.log((1.0 - beta) / alpha)
+    lower = math.log(beta / (1.0 - alpha))
+    return f"""
+WITH base AS ({base_cte}),
+cum AS (
+  SELECT k, t,
+         CAST(sum(s) OVER (PARTITION BY k ORDER BY t) AS BIGINT) AS c1,
+         CAST(sum(n - s) OVER (PARTITION BY k ORDER BY t) AS BIGINT) AS c0,
+         CAST(sum(n) OVER (PARTITION BY k ORDER BY t) AS BIGINT) AS n_seen
+  FROM base
+)
+SELECT k AS {key_name}, t, n_seen, c1,
+       round(CAST(c1 AS DOUBLE) * {k1!r} + CAST(c0 AS DOUBLE) * {k0!r}, 6) AS llr,
+       CASE WHEN CAST(c1 AS DOUBLE) * {k1!r} + CAST(c0 AS DOUBLE) * {k0!r} > {upper!r}
+              THEN 'accept_h1'
+            WHEN CAST(c1 AS DOUBLE) * {k1!r} + CAST(c0 AS DOUBLE) * {k0!r} < {lower!r}
+              THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM cum
+"""
+
+
+def empirical_bayes_rates(
+    df: DataFrame,
+    key_col: str,
+    success_col: str,
+    total_col: str,
+) -> DataFrame:
+    """Beta-binomial empirical-Bayes rate shrinkage: per-key raw rates
+    x/n shrink toward the population with strength fitted by the method
+    of moments — α̂, β̂ from the mean and variance of the raw rates
+    (James–Stein-style pooling; the small-n keys move most). The
+    smoothing companion of the Wilson-CI row in this battery: Wilson
+    widens the interval, this moves the point estimate.
+
+    Determinism: raw rates are one double shape; the across-key moment
+    sums fold round-9 DECIMALs (order-independent); α̂/β̂ derive from
+    those exact sums with one expression shape and join back as a
+    broadcast 1×1. Degenerate variance (all rates equal, var ≤ 0 after
+    the moment identity) yields NULL α/β and shrunk = raw — visible, not
+    silent. Returns (key, n, x, raw_rate, alpha, beta, shrunk_rate),
+    rates rounded to 6."""
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(success_col).cast("long").alias("x"),
+        F.col(total_col).cast("long").alias("n"),
+    ).filter(F.col("n") > 0)
+    rate = F.col("x").cast("double") / F.col("n").cast("double")
+    rated = base.select("k", "x", "n", rate.alias("r"))
+    moments = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.sum(F.round(F.col("r"), 9).cast("decimal(28,9)")).alias("sr"),
+        F.sum(F.round(F.col("r") * F.col("r"), 9).cast("decimal(28,9)")).alias("srr"),
+    )
+    g = F.col("g").cast("double")
+    mu = F.col("sr").cast("double") / g
+    var = F.col("srr").cast("double") / g - mu * mu
+    common = mu * (F.lit(1.0) - mu) / var - F.lit(1.0)
+    ab = moments.select(
+        F.when(var > 0, F.round(mu * common, 9)).alias("_alpha"),
+        F.when(var > 0, F.round((F.lit(1.0) - mu) * common, 9)).alias("_beta"),
+    )
+    out = rated.crossJoin(F.broadcast(ab))
+    shrunk = F.when(
+        F.col("_alpha").isNotNull() & (F.col("_alpha") > 0) & (F.col("_beta") > 0),
+        (F.col("x").cast("double") + F.col("_alpha"))
+        / (F.col("n").cast("double") + F.col("_alpha") + F.col("_beta")),
+    ).otherwise(F.col("r"))
+    return out.select(
+        F.col("k").alias(key_col),
+        "n",
+        "x",
+        F.round(F.col("r"), 6).alias("raw_rate"),
+        F.round(F.col("_alpha"), 6).alias("alpha"),
+        F.round(F.col("_beta"), 6).alias("beta"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+    )
+
+
+def empirical_bayes_oracle_sql(base_cte: str, key_name: str = "k") -> str:
+    """DuckDB mirror of :func:`empirical_bayes_rates`. ``base_cte``
+    exposes (k, x, n) at the key grain."""
+    return f"""
+WITH base AS (SELECT k, x, n FROM ({base_cte}) WHERE n > 0),
+rated AS (
+  SELECT k, x, n, CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS r FROM base
+), moments AS (
+  SELECT CAST(count(*) AS BIGINT) AS g,
+         sum(CAST(round(r, 9) AS DECIMAL(28,9))) AS sr,
+         sum(CAST(round(r * r, 9) AS DECIMAL(28,9))) AS srr
+  FROM rated
+), ab AS (
+  SELECT
+    CASE WHEN CAST(srr AS DOUBLE) / CAST(g AS DOUBLE)
+              - (CAST(sr AS DOUBLE) / CAST(g AS DOUBLE)) * (CAST(sr AS DOUBLE) / CAST(g AS DOUBLE)) > 0
+      THEN round((CAST(sr AS DOUBLE) / CAST(g AS DOUBLE))
+        * ((CAST(sr AS DOUBLE) / CAST(g AS DOUBLE)) * (1.0 - CAST(sr AS DOUBLE) / CAST(g AS DOUBLE))
+           / (CAST(srr AS DOUBLE) / CAST(g AS DOUBLE)
+              - (CAST(sr AS DOUBLE) / CAST(g AS DOUBLE)) * (CAST(sr AS DOUBLE) / CAST(g AS DOUBLE))) - 1.0), 9)
+    END AS a,
+    CASE WHEN CAST(srr AS DOUBLE) / CAST(g AS DOUBLE)
+              - (CAST(sr AS DOUBLE) / CAST(g AS DOUBLE)) * (CAST(sr AS DOUBLE) / CAST(g AS DOUBLE)) > 0
+      THEN round((1.0 - CAST(sr AS DOUBLE) / CAST(g AS DOUBLE))
+        * ((CAST(sr AS DOUBLE) / CAST(g AS DOUBLE)) * (1.0 - CAST(sr AS DOUBLE) / CAST(g AS DOUBLE))
+           / (CAST(srr AS DOUBLE) / CAST(g AS DOUBLE)
+              - (CAST(sr AS DOUBLE) / CAST(g AS DOUBLE)) * (CAST(sr AS DOUBLE) / CAST(g AS DOUBLE))) - 1.0), 9)
+    END AS b
+  FROM moments
+)
+SELECT rated.k AS {key_name}, rated.n, rated.x,
+       round(r, 6) AS raw_rate,
+       round(a, 6) AS alpha,
+       round(b, 6) AS beta,
+       round(CASE WHEN a IS NOT NULL AND a > 0 AND b > 0
+                  THEN (CAST(x AS DOUBLE) + a) / (CAST(n AS DOUBLE) + a + b)
+                  ELSE r END, 6) AS shrunk_rate
+FROM rated CROSS JOIN ab
+"""

@@ -611,3 +611,75 @@ def textrank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(
         docs, "doc_id", "text", stopwords=_RAKE_STOP, window=2, iters=3, k=20
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential testing + empirical-Bayes shrinkage (quality/monitors.py):
+# SPRT over daily purchase share per user-parity cohort, and
+# beta-binomial shrunk purchase rates per user.
+# ---------------------------------------------------------------------------
+
+_SPRT_P0, _SPRT_P1 = 0.18, 0.22
+
+_SPRT_BASE_CTE = """
+SELECT CAST(user_id % 2 AS BIGINT) AS k, strftime(ts, '%Y-%m-%d') AS t,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS s,
+       CAST(count(*) AS BIGINT) AS n
+FROM events WHERE event_type IN ('purchase', 'view')
+GROUP BY 1, 2
+"""
+
+
+def _sprt_oracle() -> str:
+    from ..quality.monitors import sprt_oracle_sql
+
+    return sprt_oracle_sql(
+        _SPRT_BASE_CTE, p0=_SPRT_P0, p1=_SPRT_P1, key_name="cohort"
+    )
+
+
+@register("sprt_daily_purchase_share", oracle=_sprt_oracle(), tags=("DQ", "A11"))
+def sprt_daily_purchase_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import sprt_bernoulli
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    base = ev.groupBy(
+        (F.col("user_id") % 2).cast("long").alias("cohort"),
+        F.date_format("ts", "yyyy-MM-dd").alias("t"),
+    ).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return sprt_bernoulli(
+        base, "cohort", "t", "s", "n", p0=_SPRT_P0, p1=_SPRT_P1
+    )
+
+
+def _eb_oracle() -> str:
+    from ..quality.monitors import empirical_bayes_oracle_sql
+
+    base = """
+SELECT user_id AS k,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+    return empirical_bayes_oracle_sql(base, key_name="user_id")
+
+
+@register("eb_shrunk_user_purchase_rates", oracle=_eb_oracle(), tags=("DQ", "A11"))
+def eb_shrunk_user_purchase_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import empirical_bayes_rates
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.groupBy(F.col("user_id")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("x"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return empirical_bayes_rates(base, "user_id", "x", "n")

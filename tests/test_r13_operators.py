@@ -589,3 +589,64 @@ def test_textrank_plan_no_cartesian_no_python(spark, sf_smoke):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Cartesian" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sprt_bernoulli / empirical_bayes_rates
+# ---------------------------------------------------------------------------
+
+
+def test_sprt_decisions_and_hand_llr(spark):
+    import math
+
+    from telecom_dataengineering_pipeline_spark.quality.monitors import sprt_bernoulli
+
+    # strong H1 evidence: all successes; strong H0: all failures
+    rows = [("h1", f"t{i}", 10, 10) for i in range(5)] + [
+        ("h0", f"t{i}", 0, 10) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "k string, t string, s long, n long")
+    out = {
+        (r["k"], r["t"]): (r["llr"], r["decision"])
+        for r in sprt_bernoulli(df, "k", "t", "s", "n", p0=0.3, p1=0.7).collect()
+    }
+    k1, k0 = math.log(0.7 / 0.3), math.log(0.3 / 0.7)
+    assert out[("h1", "t0")][0] == round(10 * k1, 6)
+    assert out[("h1", "t4")][1] == "accept_h1"
+    assert out[("h0", "t4")][1] == "accept_h0"
+    with pytest.raises(ValueError):
+        sprt_bernoulli(df, "k", "t", "s", "n", p0=0.3, p1=0.3)
+
+
+def test_empirical_bayes_shrinks_small_n_toward_pool(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        empirical_bayes_rates,
+    )
+
+    rows = (
+        [(f"big{i}", 500 + i, 1000) for i in range(8)]   # rates ~0.5, n huge
+        + [("tiny_hi", 2, 2), ("tiny_lo", 0, 2)]          # extreme small-n
+        + [("empty", 0, 0)]                               # n=0 dropped
+    )
+    df = spark.createDataFrame(rows, "k string, x long, n long")
+    got = {r["k"]: r for r in empirical_bayes_rates(df, "k", "x", "n").collect()}
+    assert "empty" not in got
+    # extremes move strictly toward the pooled mean (~0.5); big keys barely
+    assert 0.0 < got["tiny_lo"]["shrunk_rate"] < got["big0"]["shrunk_rate"]
+    assert got["tiny_hi"]["shrunk_rate"] < 1.0
+    assert abs(got["big0"]["shrunk_rate"] - got["big0"]["raw_rate"]) < 0.01
+    assert abs(got["tiny_hi"]["shrunk_rate"] - got["tiny_hi"]["raw_rate"]) > 0.1
+    assert got["big0"]["alpha"] is not None and got["big0"]["alpha"] > 0
+
+
+def test_empirical_bayes_degenerate_variance_keeps_raw(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        empirical_bayes_rates,
+    )
+
+    rows = [("a", 1, 2), ("b", 2, 4), ("c", 3, 6)]  # all rates exactly 0.5
+    df = spark.createDataFrame(rows, "k string, x long, n long")
+    got = {r["k"]: r for r in empirical_bayes_rates(df, "k", "x", "n").collect()}
+    for k in got:
+        assert got[k]["alpha"] is None
+        assert got[k]["shrunk_rate"] == got[k]["raw_rate"] == 0.5
