@@ -1998,3 +1998,62 @@ SELECT rated.k AS {key_name}, rated.n, rated.x,
                   ELSE r END, 6) AS shrunk_rate
 FROM rated CROSS JOIN ab
 """
+
+
+def weighted_median(
+    df: DataFrame,
+    key_cols: "Sequence[str]",
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact WEIGHTED (lower) median per key: the smallest value v whose
+    cumulative weight reaches half the total — the quantity-weighted
+    companion of the exact rank-mirror medians in this battery (a
+    volume-weighted "typical price" ignores how many units traded; this
+    doesn't). Weights must be integral and positive (exact LONG sums).
+
+    One key-ordered cumulative window ORDERED BY VALUE ALONE: the
+    default RANGE frame gives every tied value the same cumulative
+    weight in both engines, so no tie-break column is needed and the
+    crossing value is fully deterministic. Returns
+    (keys..., total_weight, weighted_median)."""
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col("_v").asc())
+    tot = Window.partitionBy(*keys)
+    base = df.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        F.col(weight_col).cast("long").alias("_wt"),
+    ).filter(F.col("_wt") > 0)
+    cum = base.select(
+        *keys,
+        "_v",
+        F.sum("_wt").over(w).alias("_cw"),
+        F.sum("_wt").over(tot).alias("_W"),
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("_cw") >= F.col("_W"))
+        .groupBy(*keys)
+        .agg(
+            F.max("_W").cast("long").alias("total_weight"),
+            F.min("_v").cast("double").alias("weighted_median"),
+        )
+    )
+
+
+def weighted_median_oracle_sql(base_cte: str, key_exprs: "Sequence[str]") -> str:
+    """DuckDB mirror of :func:`weighted_median`. ``base_cte`` exposes
+    (keys..., v, wt) with wt integral positive."""
+    ks = ", ".join(key_exprs)
+    return f"""
+WITH base AS (SELECT * FROM ({base_cte}) WHERE wt > 0),
+cum AS (
+  SELECT {ks}, v,
+         CAST(sum(wt) OVER (PARTITION BY {ks} ORDER BY v ASC) AS BIGINT) AS cw,
+         CAST(sum(wt) OVER (PARTITION BY {ks}) AS BIGINT) AS W
+  FROM base
+)
+SELECT {ks}, max(W) AS total_weight, CAST(min(v) AS DOUBLE) AS weighted_median
+FROM cum WHERE 2 * cw >= W
+GROUP BY {ks}
+"""

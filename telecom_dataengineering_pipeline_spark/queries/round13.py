@@ -683,3 +683,46 @@ def eb_shrunk_user_purchase_rates(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     return empirical_bayes_rates(base, "user_id", "x", "n")
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median (quality/monitors.py::weighted_median): the
+# quantity-weighted typical line price per supplier nation. RANGE-frame
+# cumulative weights make tied values share one cumulative sum, so the
+# crossing value needs no tie-break and is deterministic cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def _wmedian_oracle() -> str:
+    from ..quality.monitors import weighted_median_oracle_sql
+
+    base = """
+SELECT n.n_name AS nation,
+       CAST(l.l_extendedprice AS DECIMAL(12,2)) AS v,
+       CAST(l.l_quantity AS BIGINT) AS wt
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+"""
+    return weighted_median_oracle_sql(base, ["nation"])
+
+
+@register("weighted_median_price_by_nation", oracle=_wmedian_oracle(), tags=("A11", "DQ"))
+def weighted_median_price_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("v"),
+            F.col("l_quantity").cast("long").alias("wt"),
+        )
+    )
+    return weighted_median(base, ["nation"], "v", "wt")

@@ -650,3 +650,37 @@ def test_empirical_bayes_degenerate_variance_keeps_raw(spark):
     for k in got:
         assert got[k]["alpha"] is None
         assert got[k]["shrunk_rate"] == got[k]["raw_rate"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# weighted_median
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_median_hand_values_and_ties(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import weighted_median
+
+    rows = [
+        # key a: values 1(w1), 2(w1), 10(w1) -> W=3, crossing at 2
+        ("a", 1.0, 1), ("a", 2.0, 1), ("a", 10.0, 1),
+        # key b: heavy low value dominates: 1(w9), 100(w1) -> median 1
+        ("b", 1.0, 9), ("b", 100.0, 1),
+        # key c: even split 1(w1), 2(w1) -> lower median 1
+        ("c", 1.0, 1), ("c", 2.0, 1),
+        # key d: tied values share the RANGE cumulative -> median 5
+        ("d", 5.0, 1), ("d", 5.0, 1), ("d", 6.0, 1),
+        # zero/negative weights are dropped
+        ("e", 7.0, 0), ("e", 3.0, 2),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, wt long")
+    got = {
+        r["k"]: (r["total_weight"], r["weighted_median"])
+        for r in weighted_median(df, ["k"], "v", "wt").collect()
+    }
+    assert got == {
+        "a": (3, 2.0),
+        "b": (10, 1.0),
+        "c": (2, 1.0),
+        "d": (3, 5.0),
+        "e": (2, 3.0),
+    }
