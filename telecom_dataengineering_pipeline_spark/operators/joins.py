@@ -151,3 +151,50 @@ def join_cardinality_estimate(
         F.lit(1.0).alias("share"),
     )
     return total_row.unionAll(top_rows)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join with semantics IDENTICAL to the plain join:
+    the left (skewed/probe) side gets a deterministic per-row salt in
+    [0, salt_factor) and the right (build) side replicates once per salt
+    value, so one hot key's rows spread over ``salt_factor`` shuffle
+    partitions instead of landing on one straggler task. This is the
+    manual form of what AQE's skew-join splitting does adaptively — kept
+    as an explicit operator for the cases AQE cannot re-plan (skew known
+    a priori, AQE disabled, non-shuffle-stage consumers) and as the
+    pattern's executable documentation.
+
+    The salt is a pure function of the left row's key (xxhash64 of the
+    key plus a fixed tag, mod salt_factor is WRONG — that would put all
+    rows of one key on one salt again; instead the salt hashes a
+    uniformly-distributed secondary: ``monotonically_increasing_id`` is
+    nondeterministic under retries, so we hash ALL left columns), which
+    keeps re-runs and speculative retries consistent. Only ``inner`` and
+    ``left`` joins are offered: semi/anti/outer variants need
+    per-variant duplicate handling under replication.
+
+    Returns the joined DataFrame with both key columns, salts dropped —
+    bit-identical rows to ``left.join(right, left[k]==right[k], how)``."""
+    if salt_factor < 1:
+        raise ValueError("salt_factor must be >= 1")
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how in ('inner', 'left')")
+    salt = F.pmod(
+        F.xxhash64(F.lit("salt"), *[F.col(c) for c in left.columns]),
+        F.lit(int(salt_factor)),
+    ).cast("int")
+    lsalted = left.withColumn("__salt", salt)
+    rrep = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(int(salt_factor))]))
+    )
+    cond = (lsalted[left_key] == rrep[right_key]) & (
+        lsalted["__salt"] == rrep["__salt"]
+    )
+    return lsalted.join(rrep, cond, how).drop("__salt")

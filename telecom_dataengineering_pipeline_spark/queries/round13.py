@@ -726,3 +726,35 @@ def weighted_median_price_by_nation(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     return weighted_median(base, ["nation"], "v", "wt")
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join (operators/joins.py::salted_join): semantics
+# IDENTICAL to the plain equi-join — the oracle IS the plain join — with
+# the hot-key fan-out spread over salt_factor shuffle partitions. The
+# manual form of AQE skew splitting, kept explicit for skew known a
+# priori; plan pin asserts the salt participates in the join keys.
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT o.o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+@register("salted_join_order_revenue", oracle=_SALTED_ORACLE, tags=("J1", "J2"))
+def salted_join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_extendedprice").cast("decimal(12,2)").alias("price")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(li, o, "l_orderkey", "o_orderkey", salt_factor=8)
+    return joined.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("price").cast("double").alias("revenue"),
+    )

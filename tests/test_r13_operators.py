@@ -684,3 +684,48 @@ def test_weighted_median_hand_values_and_ties(spark):
         "d": (3, 5.0),
         "e": (2, 3.0),
     }
+
+
+# ---------------------------------------------------------------------------
+# salted_join
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_identical_to_plain_join(spark):
+    from telecom_dataengineering_pipeline_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (3, "d")], "k long, lv string"
+    )
+    right = spark.createDataFrame([(1, "X"), (2, "Y"), (9, "Z")], "rk long, rv string")
+    for how in ("inner", "left"):
+        got = sorted(
+            (r["k"], r["lv"], r["rv"])
+            for r in salted_join(left, right, "k", "rk", salt_factor=4, how=how)
+            .select("k", "lv", "rv")
+            .collect()
+        )
+        want = sorted(
+            (r["k"], r["lv"], r["rv"])
+            for r in left.join(right, left["k"] == right["rk"], how)
+            .select("k", "lv", "rv")
+            .collect()
+        )
+        assert got == want, how
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", "rk", salt_factor=0)
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", "rk", how="full")
+
+
+def test_salted_join_plan_has_salt_in_join_keys(spark):
+    from telecom_dataengineering_pipeline_spark.operators.joins import salted_join
+
+    left = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("rk"), (F.col("id") * 2).alias("rv")
+    )
+    plan = _plan(salted_join(left, right, "k", "rk", salt_factor=8))
+    assert "__salt" in plan  # the salt participates in the join
