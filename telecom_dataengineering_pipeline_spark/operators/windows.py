@@ -1078,3 +1078,59 @@ def ohlc_bars(
         "n_events",
         F.col("_total").cast("double").alias("total"),
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Cohort lifetime-value curves: users cohort by their FIRST activity
+    month; each cohort's revenue accumulates over cohort age (months
+    since first activity) and normalizes per cohort member — the revenue
+    companion of :func:`cohort_retention` (that counts who comes back;
+    this counts what they're worth by age). ``ts_col`` may be a
+    timestamp or date; ``value_col`` folds as DECIMAL(16,
+    ``value_scale``) so cumulative sums stay exact.
+
+    Two shuffles total: the first-activity aggregate (user grain) rides
+    the same user-keyed exchange as the base rollup; the cohort×age
+    grain is months², metadata-sized at any corpus. The cumulative sum
+    is an exact decimal window over age. Returns one row per
+    (cohort_month, age_months): (cohort_month, age_months, cohort_users,
+    n_buyers, period_revenue, cum_revenue, ltv_per_user), money as
+    doubles rounded 6 derived from exact sums with one expression
+    shape."""
+    midx = (F.year(F.col(ts_col)) * 12 + F.month(F.col(ts_col))).cast("long")
+    v = F.col(value_col).cast(f"decimal(16,{int(value_scale)})")
+    base = df.select(
+        F.col(user_col).alias("u"), midx.alias("m"), v.alias("v")
+    )
+    firsts = base.groupBy("u").agg(F.min("m").alias("cohort_m"))
+    cohort_sizes = firsts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    aged = base.join(firsts, "u").select(
+        "cohort_m", (F.col("m") - F.col("cohort_m")).cast("long").alias("age"),
+        "u", "v",
+    )
+    grain = aged.groupBy("cohort_m", "age").agg(
+        F.countDistinct("u").cast("long").alias("n_buyers"),
+        F.sum("v").alias("_rev"),
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age")
+    cum = grain.withColumn("_cum", F.sum("_rev").over(w))
+    out = cum.join(F.broadcast(cohort_sizes), "cohort_m")
+    return out.select(
+        F.col("cohort_m").alias("cohort_month"),
+        F.col("age").alias("age_months"),
+        "cohort_users",
+        "n_buyers",
+        F.round(F.col("_rev").cast("double"), 6).alias("period_revenue"),
+        F.round(F.col("_cum").cast("double"), 6).alias("cum_revenue"),
+        F.round(
+            F.col("_cum").cast("double") / F.col("cohort_users").cast("double"), 6
+        ).alias("ltv_per_user"),
+    )

@@ -758,3 +758,47 @@ def salted_join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_items"),
         F.sum("price").cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves (operators/windows.py::cohort_ltv): customers cohort
+# by first order month; revenue accumulates over cohort age and
+# normalizes per member — the revenue companion of cohort_retention.
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH base AS (
+  SELECT o_custkey AS u,
+         CAST(date_part('year', o_orderdate) * 12 + date_part('month', o_orderdate) AS BIGINT) AS m,
+         CAST(o_totalprice AS DECIMAL(16,2)) AS v
+  FROM orders
+), firsts AS (
+  SELECT u, min(m) AS cohort_m FROM base GROUP BY 1
+), sizes AS (
+  SELECT cohort_m, CAST(count(*) AS BIGINT) AS cohort_users FROM firsts GROUP BY 1
+), aged AS (
+  SELECT f.cohort_m, CAST(b.m - f.cohort_m AS BIGINT) AS age, b.u, b.v
+  FROM base b JOIN firsts f ON f.u = b.u
+), grain AS (
+  SELECT cohort_m, age, CAST(count(DISTINCT u) AS BIGINT) AS n_buyers,
+         sum(v) AS rev
+  FROM aged GROUP BY 1, 2
+), cum AS (
+  SELECT *, sum(rev) OVER (PARTITION BY cohort_m ORDER BY age) AS cumrev
+  FROM grain
+)
+SELECT c.cohort_m AS cohort_month, c.age AS age_months, s.cohort_users,
+       c.n_buyers,
+       round(CAST(c.rev AS DOUBLE), 6) AS period_revenue,
+       round(CAST(c.cumrev AS DOUBLE), 6) AS cum_revenue,
+       round(CAST(c.cumrev AS DOUBLE) / CAST(s.cohort_users AS DOUBLE), 6) AS ltv_per_user
+FROM cum c JOIN sizes s ON s.cohort_m = c.cohort_m
+"""
+
+
+@register("cohort_ltv_curves", oracle=_LTV_ORACLE, tags=("A4", "sequence"))
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import cohort_ltv
+
+    o = load_table(spark, sf_dir, "orders")
+    return cohort_ltv(o, "o_custkey", "o_orderdate", "o_totalprice")

@@ -729,3 +729,36 @@ def test_salted_join_plan_has_salt_in_join_keys(spark):
     )
     plan = _plan(salted_join(left, right, "k", "rk", salt_factor=8))
     assert "__salt" in plan  # the salt participates in the join
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_ltv_hand_values(spark):
+    from telecom_dataengineering_pipeline_spark.operators.windows import cohort_ltv
+
+    def d(m, day=1):
+        return dt.datetime(2024, m, day)
+
+    rows = [
+        # cohort 2024-01 (midx 24289): users 1, 2
+        (1, d(1), 10.0), (2, d(1), 20.0),
+        (1, d(2), 5.0),                      # age 1: only user 1 returns
+        # cohort 2024-02: user 3
+        (3, d(2), 100.0),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    got = {
+        (r["cohort_month"], r["age_months"]): (
+            r["cohort_users"], r["n_buyers"], r["period_revenue"],
+            r["cum_revenue"], r["ltv_per_user"],
+        )
+        for r in cohort_ltv(df, "u", "ts", "v").collect()
+    }
+    jan = 2024 * 12 + 1
+    feb = jan + 1
+    assert got[(jan, 0)] == (2, 2, 30.0, 30.0, 15.0)
+    assert got[(jan, 1)] == (2, 1, 5.0, 35.0, 17.5)
+    assert got[(feb, 0)] == (1, 1, 100.0, 100.0, 100.0)
