@@ -2057,3 +2057,84 @@ SELECT {ks}, max(W) AS total_weight, CAST(min(v) AS DOUBLE) AS weighted_median
 FROM cum WHERE 2 * cw >= W
 GROUP BY {ks}
 """
+
+
+def pareto_concentration(
+    df: DataFrame,
+    key_cols: "Sequence[str]",
+    member_col: str,
+    value_col: str,
+    threshold_pct: int = 80,
+) -> DataFrame:
+    """Pareto (80/20) concentration per key: the smallest number of
+    members (ranked by value, descending) whose cumulative value reaches
+    ``threshold_pct`` of the key's total — the business-facing view of
+    the concentration family (:func:`theil_index` and Gini measure
+    inequality abstractly; this answers "how many customers are 80% of
+    revenue"). ``value_col`` must be exact DECIMAL.
+
+    The threshold compare is EXACT integer-style decimal arithmetic —
+    a member is needed while 100·cum_before < pct·total — no float
+    share ever computed for the decision; the reported share divides
+    exact counts (one double shape, rounded 6). One key-ordered window
+    (value DESC, member ASC tie-break). Returns (keys..., n_members,
+    n_top, top_share)."""
+    if not (0 < int(threshold_pct) < 100):
+        raise ValueError("threshold_pct must be in (0, 100)")
+    keys = list(key_cols)
+    pct = int(threshold_pct)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_v").desc(), F.col("_m").asc()
+    )
+    tot = Window.partitionBy(*keys)
+    base = df.select(
+        *keys, F.col(member_col).alias("_m"), F.col(value_col).alias("_v")
+    )
+    cum = base.select(
+        *keys,
+        "_v",
+        (F.sum("_v").over(w) - F.col("_v")).alias("_before"),
+        F.sum("_v").over(tot).alias("_total"),
+    )
+    needed = (F.lit(100) * F.col("_before") < F.lit(pct) * F.col("_total")).cast(
+        "int"
+    )
+    return (
+        cum.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(needed).cast("long").alias("n_top"),
+        )
+        .select(
+            *keys,
+            "n_members",
+            "n_top",
+            F.round(
+                F.col("n_top").cast("double") / F.col("n_members").cast("double"), 6
+            ).alias("top_share"),
+        )
+    )
+
+
+def pareto_oracle_sql(
+    base_cte: str, key_exprs: "Sequence[str]", threshold_pct: int = 80
+) -> str:
+    """DuckDB mirror of :func:`pareto_concentration`. ``base_cte``
+    exposes (keys..., m, v) with v exact decimal."""
+    ks = ", ".join(key_exprs)
+    pct = int(threshold_pct)
+    return f"""
+WITH base AS ({base_cte}),
+cum AS (
+  SELECT {ks}, v,
+         sum(v) OVER (PARTITION BY {ks} ORDER BY v DESC, m ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - v AS before,
+         sum(v) OVER (PARTITION BY {ks}) AS total
+  FROM base
+)
+SELECT {ks}, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN 100 * before < {pct} * total THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+       round(CAST(sum(CASE WHEN 100 * before < {pct} * total THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS top_share
+FROM cum GROUP BY {ks}
+"""

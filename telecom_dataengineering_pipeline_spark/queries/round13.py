@@ -802,3 +802,41 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return cohort_ltv(o, "o_custkey", "o_orderdate", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration (quality/monitors.py::pareto_concentration): how
+# many customers cover 80% of each nation's revenue. The threshold
+# decision is exact decimal arithmetic (100·cum_before < 80·total) —
+# no float share on the cut line.
+# ---------------------------------------------------------------------------
+
+
+def _pareto_oracle() -> str:
+    from ..quality.monitors import pareto_oracle_sql
+
+    base = """
+SELECT n.n_name AS nation, o.o_custkey AS m,
+       sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS v
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1, 2
+"""
+    return pareto_oracle_sql(base, ["nation"], threshold_pct=80)
+
+
+@register("pareto_revenue_concentration", oracle=_pareto_oracle(), tags=("A11", "DQ"))
+def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import pareto_concentration
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_custkey").alias("m"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("v"))
+    )
+    return pareto_concentration(base, ["nation"], "m", "v", threshold_pct=80)

@@ -762,3 +762,35 @@ def test_cohort_ltv_hand_values(spark):
     assert got[(jan, 0)] == (2, 2, 30.0, 30.0, 15.0)
     assert got[(jan, 1)] == (2, 1, 5.0, 35.0, 17.5)
     assert got[(feb, 0)] == (1, 1, 100.0, 100.0, 100.0)
+
+
+# ---------------------------------------------------------------------------
+# pareto_concentration
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_hand_values_and_exact_boundary(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        pareto_concentration,
+    )
+
+    rows = [
+        # key a: values 80, 15, 5 -> 80% of 100 covered by the first alone?
+        # cum_before of member1 = 0 < 80 -> needed; member2: 80 < 80 FALSE
+        ("a", 1, "80.00"), ("a", 2, "15.00"), ("a", 3, "5.00"),
+        # key b: uniform 4x25 -> need 4 members for 80? cum_before 75<80
+        # at the 4th -> all 4 needed
+        ("b", 1, "25.00"), ("b", 2, "25.00"), ("b", 3, "25.00"), ("b", 4, "25.00"),
+    ]
+    df = spark.createDataFrame(rows, "k string, m long, v string").select(
+        "k", "m", F.col("v").cast("decimal(14,2)").alias("v")
+    )
+    got = {
+        r["k"]: (r["n_members"], r["n_top"], r["top_share"])
+        for r in pareto_concentration(df, ["k"], "m", "v").collect()
+    }
+    # exact boundary: member with cum_before == threshold is NOT needed
+    assert got["a"] == (3, 1, round(1 / 3, 6))
+    assert got["b"] == (4, 4, 1.0)
+    with pytest.raises(ValueError):
+        pareto_concentration(df, ["k"], "m", "v", threshold_pct=100)
