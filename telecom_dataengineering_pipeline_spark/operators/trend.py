@@ -2242,3 +2242,118 @@ UNION ALL
 SELECT k, NULL, NULL, NULL, NULL, NULL, NULL
 FROM base GROUP BY 1 HAVING count(*) < 2
 """
+
+
+def bollinger_bands(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    t_col: str,
+    v_col: str,
+    window: int = 7,
+    k: float = 2.0,
+    min_periods: int = 3,
+) -> DataFrame:
+    """Bollinger bands over an ordered series: mean ± ``k``·σ (population)
+    of the ``window`` rows STRICTLY BEFORE each point, plus a breakout
+    flag for the point itself.
+
+    The volatility-band companion of :func:`weighted_moving_avg` /
+    :func:`ewma_control_chart` — bands ADAPT to local variance instead of
+    a fixed z or EWMA limit. Reference parity: the same
+    threshold-over-rolling-stats shape as the volume-anomaly dbt test
+    (``assert_row_count_anomaly.sql``), with a variance-scaled band. The
+    frame EXCLUDES the current row deliberately: a spike inside its own
+    band inflates σ, and with the row included the maximum attainable
+    |z| is (n−1)/√n — a k=2 band over a ≤5-row window could never fire.
+    Rows with fewer than ``min_periods`` history rows are dropped (the
+    band is meaningless on an empty/1-row history).
+
+    Determinism discipline: ``v_col`` must be an exact DECIMAL; Σx and
+    Σx² fold as DECIMAL over the trailing frame (exact, order-free), and
+    every float appears only in the final mean/var/sqrt expressions,
+    whose SHAPE is mirrored verbatim in :func:`bollinger_oracle_sql` —
+    both engines run the identical IEEE ops on identical exact inputs,
+    so even the unrounded band COMPARISON (the breakout flag) is
+    cross-engine stable. One window pass over the series partitioning;
+    no join, no Python. At 100 TB this rides the (key, day) grain —
+    cardinality |keys|·|days|, never the event grain.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if min_periods < 1:
+        raise ValueError("min_periods must be >= 1")
+    kf = float(k)
+    v = F.col(v_col)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(t_col).asc())
+        .rowsBetween(-window, -1)
+    )
+    n = F.count(F.lit(1)).over(w).cast("long")
+    s = F.sum(v).over(w)
+    ss = F.sum(v * v).over(w)
+    mean = s.cast("double") / n.cast("double")
+    var = ss.cast("double") / n.cast("double") - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    upper = mean + F.lit(kf) * sd
+    lower = mean - F.lit(kf) * sd
+    breakout = (
+        F.when(v.cast("double") > upper, F.lit(1))
+        .when(v.cast("double") < lower, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return df.select(
+        *key_cols,
+        F.col(t_col),
+        v.cast("double").alias("v"),
+        n.alias("n_window"),
+        F.round(mean, 6).alias("ma"),
+        F.round(sd, 6).alias("sd"),
+        F.round(upper, 6).alias("upper_band"),
+        F.round(lower, 6).alias("lower_band"),
+        breakout.cast("int").alias("breakout"),
+    ).filter(F.col("n_window") >= min_periods)
+
+
+def bollinger_oracle_sql(
+    base_cte: str,
+    window: int = 7,
+    k: float = 2.0,
+    key_name: str = "k",
+    min_periods: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`bollinger_bands` (same IEEE shapes).
+
+    ``base_cte`` must yield columns ``k`` (key), ``t`` (order key,
+    unique per key) and ``x`` (exact DECIMAL value).
+    """
+    kf = float(k)
+    return f"""
+WITH base AS ({base_cte}),
+win AS (
+  SELECT k, t, x,
+    CAST(count(*) OVER w AS BIGINT) AS n,
+    sum(x) OVER w AS s,
+    sum(x * x) OVER w AS ss
+  FROM base
+  WINDOW w AS (PARTITION BY k ORDER BY t ASC
+               ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)
+),
+bands AS (
+  SELECT k, t, x, n,
+    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+    CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS var
+  FROM win
+  WHERE n >= {min_periods}
+)
+SELECT k AS {key_name}, t, CAST(x AS DOUBLE) AS v, n AS n_window,
+  round(mean, 6) AS ma,
+  round(sqrt(greatest(var, 0.0)), 6) AS sd,
+  round(mean + {kf!r} * sqrt(greatest(var, 0.0)), 6) AS upper_band,
+  round(mean - {kf!r} * sqrt(greatest(var, 0.0)), 6) AS lower_band,
+  CAST(CASE WHEN CAST(x AS DOUBLE) > mean + {kf!r} * sqrt(greatest(var, 0.0)) THEN 1
+            WHEN CAST(x AS DOUBLE) < mean - {kf!r} * sqrt(greatest(var, 0.0)) THEN -1
+            ELSE 0 END AS INTEGER) AS breakout
+FROM bands
+"""

@@ -1134,3 +1134,121 @@ def cohort_ltv(
             F.col("_cum").cast("double") / F.col("cohort_users").cast("double"), 6
         ).alias("ltv_per_user"),
     )
+
+
+def time_decay_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    conversion: str,
+    touch_events: Sequence[str],
+    within_seconds: int | None = None,
+    tiebreak_col: str | None = None,
+    half_life_seconds: int = 3600,
+) -> DataFrame:
+    """Time-decay multi-touch attribution: each conversion splits one unit
+    of credit over its qualifying touches with EXPONENTIAL half-life decay
+    — a touch ``half_life_seconds`` older than a fresher one earns half
+    the weight. The recency-weighted sibling of
+    :func:`position_based_attribution` (U-shape) and
+    :func:`last_touch_attribution` (winner-take-all).
+
+    Rides the position-based kernel (same next-conversion running-min
+    window — no self-join); the decay is EXACT arithmetic: age buckets
+    are integer floor-divisions of the µs gap (``DIV``, never float
+    division — a float ratio can round UP across the bucket boundary),
+    raw weights are exact binary reciprocals ``1 / (1 << age)`` (ages
+    clamped at 62 so the shift stays in LONG range), and the
+    per-conversion weight sum is order-independent because with a
+    bounded ``within_seconds`` the age range is small, so the partial
+    sums of reciprocal powers of two stay inside double's 53-bit
+    significand. Shares round to 9 for the cross-engine hash; fold them
+    as DECIMAL(20,9) downstream.
+
+    Returns one row per credited touch: (user, conv_us, conv_tb,
+    touch_event, touch_us, age_units, credit).
+    """
+    if half_life_seconds < 1:
+        raise ValueError("half_life_seconds must be >= 1")
+    rows = position_based_attribution(
+        df,
+        user_col,
+        ts_col,
+        event_col,
+        conversion,
+        touch_events,
+        within_seconds=within_seconds,
+        tiebreak_col=tiebreak_col,
+    )
+    age = F.least(
+        F.expr(f"(conv_us - touch_us) DIV {half_life_seconds * 1_000_000}"),
+        F.lit(62).cast("long"),
+    )
+    grain = Window.partitionBy(user_col, "conv_us", "conv_tb")
+    return (
+        rows.withColumn("age_units", age)
+        .withColumn(
+            "_w",
+            F.expr(
+                "1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(age_units AS INT)) AS DOUBLE)"
+            ),
+        )
+        .withColumn("credit", F.round(F.col("_w") / F.sum("_w").over(grain), 9))
+        .select(
+            user_col,
+            "conv_us",
+            "conv_tb",
+            "touch_event",
+            "touch_us",
+            F.col("age_units").cast("long").alias("age_units"),
+            "credit",
+        )
+    )
+
+
+def sequence_ngrams(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    n: int = 3,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Sequential-pattern mining at the n-gram grain: every run of ``n``
+    CONSECUTIVE events per user becomes one pattern occurrence; the output
+    is the corpus-wide pattern support table (occurrences + distinct
+    users + support rank). The n>1 generalization of the first-order
+    :func:`event_transition_matrix` — trigrams expose the paths a Markov
+    matrix marginalizes away.
+
+    One user-keyed sort window produces the (n−1) leads; the aggregate
+    shuffles on the pattern key, whose cardinality is bounded by the
+    event-type alphabet to the n-th power — metadata-sized however big
+    the event table is. The final rank window runs over that pattern
+    relation, not the events. Ties rank deterministically
+    (count desc, then pattern lexicographic asc).
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    tb = tiebreak_col or event_col
+    w = Window.partitionBy(user_col).orderBy(
+        F.unix_micros(F.col(ts_col)).asc(), F.col(tb).asc()
+    )
+    steps = [F.col(event_col).alias("e1")] + [
+        F.lead(F.col(event_col), i).over(w).alias(f"e{i + 1}") for i in range(1, n)
+    ]
+    grams = df.select(F.col(user_col).alias("_u"), *steps).filter(
+        F.col(f"e{n}").isNotNull()
+    )
+    pattern_cols = [f"e{i + 1}" for i in range(n)]
+    counts = grams.groupBy(*pattern_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("support"),
+        F.countDistinct("_u").cast("long").alias("n_users"),
+    )
+    rank_w = Window.orderBy(
+        F.col("support").desc(), *[F.col(c).asc() for c in pattern_cols]
+    )
+    return counts.withColumn(
+        "pattern_rank", F.row_number().over(rank_w).cast("long")
+    )
