@@ -148,3 +148,84 @@ def radius_of_gyration(
             F.sqrt(F.col("_ss").cast("double") / F.col("n_pings").cast("double")), 6
         ).alias("rg_km"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Geohash over integer micro-degrees — pure integer arithmetic end to end
+# so both engines compute identical cells (no float quantization anywhere,
+# hence no floor-boundary ulp risk). The bit-interleave and base32 decode
+# are GENERATED once in Python and emitted per SQL dialect, so the Spark
+# expression and the DuckDB oracle are the same tree by construction.
+# ---------------------------------------------------------------------------
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_expr(lat_us: str, lon_us: str, chars: int = 5, dialect: str = "spark") -> str:
+    """SQL expression string computing the ``chars``-character geohash of
+    integer micro-degree coordinates (lat ∈ [-90e6, 90e6), lon ∈
+    [-180e6, 180e6)).
+
+    Standard geohash bit layout: ``5·chars`` bits, longitude first,
+    alternating lon/lat, MSB first; each 5-bit group decodes through the
+    base32 alphabet. Quantization is integer: ``ix = (lon_us + 180e6) ·
+    2^bits_lon DIV 360e6`` (exact — never a float ratio on a cell
+    boundary). ``dialect`` picks shift syntax: Spark ``shiftleft/
+    shiftright`` functions, DuckDB ``<<``/``>>`` operators; everything
+    else (``&``, ``+``, ``substr``, ``DIV``/``//``) is shared.
+    """
+    if chars < 1 or chars > 7:
+        raise ValueError("chars must be in 1..7 (35 bits max keeps BIGINT exact)")
+    total_bits = 5 * chars
+    bits_lon = (total_bits + 1) // 2
+    bits_lat = total_bits // 2
+    if dialect == "spark":
+        def shr(e: str, n: int) -> str:
+            return f"shiftright({e}, {n})"
+        intdiv = "DIV"
+    elif dialect == "duck":
+        def shr(e: str, n: int) -> str:
+            return f"(({e}) >> {n})"
+        intdiv = "//"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    ix = (
+        f"(CAST(({lon_us}) + 180000000 AS BIGINT) * {1 << bits_lon}"
+        f" {intdiv} 360000000)"
+    )
+    iy = (
+        f"(CAST(({lat_us}) + 90000000 AS BIGINT) * {1 << bits_lat}"
+        f" {intdiv} 180000000)"
+    )
+    # interleave MSB-first: even geohash bit positions take lon bits
+    terms = []
+    lon_taken = lat_taken = 0
+    for k in range(total_bits):
+        if k % 2 == 0:
+            src, taken, width = ix, lon_taken, bits_lon
+            lon_taken += 1
+        else:
+            src, taken, width = iy, lat_taken, bits_lat
+            lat_taken += 1
+        bit = f"({shr(src, width - 1 - taken)} & 1)"
+        shift = total_bits - 1 - k
+        terms.append(f"({bit} * {1 << shift})" if shift else bit)
+    code = "(" + " + ".join(terms) + ")"
+    chars_sql = [
+        f"substr('{GEOHASH_BASE32}', ({shr(code, 5 * (chars - 1 - c))} & 31) + 1, 1)"
+        for c in range(chars)
+    ]
+    return "concat(" + ", ".join(chars_sql) + ")"
+
+
+def synthetic_micro_coords(key: str, dialect: str = "spark") -> tuple[str, str]:
+    """Deterministic synthetic (lat_us, lon_us) micro-degree coordinates
+    from an integer key — the fixture-coordinate precedent of the
+    haversine/spatial queries, kept integer so geohash cells are exact.
+    Knuth multiplier scatters latitude; a coprime multiplier scatters
+    longitude independently. Identical text in both dialects (``%`` on
+    non-negative operands agrees across engines)."""
+    del dialect  # same text both sides; parameter kept for symmetry
+    lat = f"((({key}) * 2654435761) % 180000000 - 90000000)"
+    lon = f"((({key}) * 40503) % 360000000 - 180000000)"
+    return lat, lon

@@ -1145,3 +1145,109 @@ def containment_pairs(
         .select("doc1", "doc2", F.round(c, 6).alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every ``k``-token gram, slide a ``w``-gram
+    window, and SELECT the minimum hash per window — robust winnowing's
+    rightmost-tie rule included. Guarantee: any shared token run of at
+    least ``w + k − 1`` tokens contributes at least one shared selected
+    fingerprint, while only ~2/(w+1) of positions are kept — the
+    sub-linear sketch between exact shingle dedup (keeps all) and MinHash
+    (fixed-size, probabilistic).
+
+    The per-window argmin needs no self-join and no Python: tie-breaks
+    are ENCODED into one integer key ``h·2²⁶ + (2²⁶−1−pos)`` (minimizing
+    the key minimizes the hash and, among equal hashes, prefers the
+    RIGHTMOST position — exactly robust winnowing), so selection is a
+    single running ``min`` over the trailing w-row frame of the
+    doc-keyed positioned gram stream. Docs shorter than ``w`` grams
+    still yield their global-min fingerprint (the last row's frame spans
+    the whole doc). One doc-keyed exchange; integer arithmetic end to
+    end (cross-engine exact).
+
+    Returns DISTINCT (doc_id, fp_hash).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    ex = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .repartition(F.col("doc_id"))
+        .select("doc_id", F.posexplode(tokens("_t")).alias("pos", "tok"))
+    )
+    order = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(order) for j in range(1, k)]
+    gram = F.concat_ws(" ", F.col("tok"), *leads) if k > 1 else F.col("tok")
+    last = leads[-1] if k > 1 else F.col("tok")
+    grams = ex.select(
+        "doc_id", "pos", token_hash32(gram).alias("h"), last.alias("_last")
+    ).filter(F.col("_last").isNotNull())
+    key = F.col("h") * F.lit(1 << 26).cast("long") + (
+        F.lit((1 << 26) - 1).cast("long") - F.col("pos")
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    )
+    n_grams = Window.partitionBy("doc_id")
+    selected = (
+        grams.select(
+            "doc_id",
+            "pos",
+            F.min(key).over(frame).alias("_mkey"),
+            F.count(F.lit(1)).over(n_grams).alias("_n"),
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")).alias("_rn"),
+        )
+        .filter((F.col("pos") >= w - 1) | (F.col("_rn") == F.col("_n")))
+        .select(
+            "doc_id",
+            # integer DIV — the key tops 2^58, past double's exact range
+            F.expr(f"_mkey DIV {1 << 26}").alias("fp_hash"),
+        )
+        .distinct()
+    )
+    return selected
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by shared winnowing fingerprints —
+    the MOSS pairing stage. Same quadratic guard as the shingle/minhash
+    joins: fingerprints held by more than ``max_df`` docs are dropped
+    before the self-join (boilerplate hashes otherwise fan out df²), and
+    only fingerprints shared by ≥2 docs enter it at all. Returns
+    (doc_a, doc_b, n_shared) for pairs sharing at least ``min_shared``
+    selected fingerprints."""
+    fp = winnowing_fingerprints(docs, text_col, id_col, k=k, w=w)
+    per_fp = fp.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("_df"))
+    lo, hi = 2, max_df if max_df is not None else None
+    keep = per_fp.filter(
+        (F.col("_df") >= lo) & ((F.col("_df") <= hi) if hi is not None else F.lit(True))
+    ).select("fp_hash")
+    shared = fp.join(keep, "fp_hash")
+    a, b = shared.alias("a"), shared.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

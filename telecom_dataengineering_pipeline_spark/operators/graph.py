@@ -1109,3 +1109,66 @@ i{i} AS (
     if topk is not None:
         tail += f" ORDER BY rank_fp DESC, node ASC LIMIT {int(topk)}"
     return "".join(parts) + tail
+
+
+def community_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community Newman modularity decomposition of a node labeling:
+    for each community c, its additive contribution
+    ``q_c = e_c/m − (d_c/2m)²`` (e_c = internal edges, d_c = degree sum,
+    m = total edges) — Q = Σ q_c grades the partition (LPA, connected
+    components, any labeling). The exact numerator ``4m·e_c − d_c²``
+    (integer, = q_c·4m²) rides alongside so the cross-engine comparison
+    has an arithmetic-exact pillar next to the one-shape float.
+
+    ``edges``: distinct u<v pairs. ``labels``: (node, label) covering
+    every endpoint. Shape: one m-fold (1×1 broadcast back — scalar cross
+    join, never a Window over the data), two label equi-joins decorating
+    the edge list, one doubled-edge degree count, all map-side
+    combinable; output grain is |communities|. Callers should cut the
+    edge lineage (``localCheckpoint``) before passing it here — the edge
+    relation is referenced three times.
+    """
+    e = edges.select("u", "v")
+    lab = labels.select("node", "label").localCheckpoint(eager=False)
+    m_df = e.agg(F.count(F.lit(1)).cast("long").alias("_m"))
+    lu = lab.select(F.col("node").alias("_nu"), F.col("label").alias("_lu"))
+    lv = lab.select(F.col("node").alias("_nv"), F.col("label").alias("_lv"))
+    internal = (
+        e.join(lu, e["u"] == F.col("_nu"))
+        .join(lv, e["v"] == F.col("_nv"))
+        .filter(F.col("_lu") == F.col("_lv"))
+        .groupBy(F.col("_lu").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_e"))
+    )
+    doubled = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = doubled.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    deg_c = (
+        deg.join(lab, deg["u"] == lab["node"])
+        .groupBy("label")
+        .agg(F.sum("_deg").cast("long").alias("_d"))
+    )
+    members = lab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    out = (
+        members.join(deg_c, "label", "left")
+        .join(internal, "label", "left")
+        .crossJoin(F.broadcast(m_df))
+    )
+    e_c = F.coalesce(F.col("_e"), F.lit(0)).cast("long")
+    d_c = F.coalesce(F.col("_d"), F.lit(0)).cast("long")
+    md = F.col("_m").cast("double")
+    half = d_c.cast("double") / (F.lit(2.0) * md)
+    q = e_c.cast("double") / md - half * half
+    return out.select(
+        F.col("label").alias("community"),
+        "n_members",
+        e_c.alias("internal_edges"),
+        d_c.alias("degree_sum"),
+        (F.lit(4).cast("long") * F.col("_m") * e_c - d_c * d_c)
+        .cast("long")
+        .alias("q_num_4m2"),
+        # + 0.0 normalizes IEEE negative zero (round(-1e-12, 9) is -0.0 in
+        # DuckDB but 0.0 in Spark; the hash requires bit-identity)
+        (F.round(q, 9) + F.lit(0.0)).alias("q_contrib"),
+    )

@@ -680,7 +680,10 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _lpa_oracle(iters: int = 2) -> str:
+def lpa_label_cte(iters: int = 2) -> str:
+    """The unrolled deterministic-LPA label derivation as a WITH-chain
+    fragment (ends after ``l{iters}``) — shared by the community-size
+    oracle below and the modularity oracle in ``round14.py``."""
     parts = [
         """WITH baskets AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -719,33 +722,31 @@ l{i} AS (
   FROM nodes LEFT JOIN w{i} ON w{i}.n = nodes.node
 )"""
         )
-    parts.append(
-        f"""
-SELECT label, CAST(count(*) AS BIGINT) AS n_members
-FROM l{iters} GROUP BY 1"""
-    )
     return "".join(parts)
 
 
-@register("lpa_copurchase_communities", oracle=_lpa_oracle(), tags=("LLM", "iterative", "graph"))
-def lpa_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community size distribution after 2 LPA rounds on the co-purchase
-    graph (same capped-basket edge construction as the triangle query).
-    Scale shape per round: one edge⋈label shuffle + one map-side-combined
-    (node, label) count + one per-node argmax; label state is one row per
-    node, never adjacency-sized."""
-    from ..operators.graph import label_propagation
+def _lpa_oracle(iters: int = 2) -> str:
+    return (
+        lpa_label_cte(iters)
+        + f"""
+SELECT label, CAST(count(*) AS BIGINT) AS n_members
+FROM l{iters} GROUP BY 1"""
+    )
 
-    # Basket-at-a-time pair expansion (one shuffle), same as the triangle
-    # query: collapse each order to its sorted distinct-part array, cap
-    # basket size, expand u<v pairs map-side, DISTINCT the pair stream.
+
+def capped_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct u<v co-purchase part pairs over ≤25-part baskets — the
+    exact edge set behind :func:`lpa_label_cte` (shared by the LPA and
+    modularity queries). Basket-at-a-time pair expansion (one shuffle):
+    collapse each order to its sorted distinct-part array, cap basket
+    size, expand u<v pairs map-side, DISTINCT the pair stream."""
     baskets = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .filter(F.size("parts") <= 25)
     )
-    pairs = (
+    return (
         baskets.select(
             F.explode(
                 F.flatten(
@@ -760,7 +761,18 @@ def lpa_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.u", "p.v")
         .distinct()
     )
-    labels = label_propagation(pairs, iters=2)
+
+
+@register("lpa_copurchase_communities", oracle=_lpa_oracle(), tags=("LLM", "iterative", "graph"))
+def lpa_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community size distribution after 2 LPA rounds on the co-purchase
+    graph (same capped-basket edge construction as the triangle query).
+    Scale shape per round: one edge⋈label shuffle + one map-side-combined
+    (node, label) count + one per-node argmax; label state is one row per
+    node, never adjacency-sized."""
+    from ..operators.graph import label_propagation
+
+    labels = label_propagation(capped_copurchase_pairs(spark, sf_dir), iters=2)
     return labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )

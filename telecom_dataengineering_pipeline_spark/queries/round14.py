@@ -176,3 +176,153 @@ def event_trigram_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_ngrams(
         ev, "user_id", "ts", "event_type", n=3, tiebreak_col="event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Geohash occupancy: integer micro-degree synthetic coordinates (the
+# haversine/spatial fixture-coordinate precedent) through the generated
+# bit-interleave + base32 expression — the SAME Python generator emits
+# both engines' expressions, so the cell assignment is identical by
+# construction (validated against published geohash values in tests).
+# ---------------------------------------------------------------------------
+
+
+def _geohash_oracle() -> str:
+    from ..functions.geo import geohash_expr, synthetic_micro_coords
+
+    lat, lon = synthetic_micro_coords("user_id", "duck")
+    gh = geohash_expr(lat, lon, chars=5, dialect="duck")
+    return f"""
+SELECT {gh} AS cell, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+@register("geohash_event_occupancy", oracle=_geohash_oracle(), tags=("F20", "spatial"))
+def geohash_event_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geo import geohash_expr, synthetic_micro_coords
+
+    lat, lon = synthetic_micro_coords("user_id", "spark")
+    gh = geohash_expr(lat, lon, chars=5, dialect="spark")
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    return ev.select(F.expr(gh).alias("cell"), "user_id").groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS) fingerprint pairs over the documents corpus: k=3 token
+# grams, w=4 windows, robust rightmost-tie selection encoded into one
+# integer min-key; pairs share >= 2 selected fingerprints, boilerplate
+# fingerprints df-capped at 1000 before the self-join (the minhash
+# quadratic guard).
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+_WINNOW_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+grams0 AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(toks) - 2, 0)),
+    i -> struct_pack(pos := i - 1,
+                     g := toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+  )) AS s
+  FROM toks
+),
+keyed AS (
+  SELECT doc_id, s.pos AS pos,
+         ('0x' || substr(md5(s.g), 1, 8))::BIGINT * 67108864
+           + (67108863 - s.pos) AS key
+  FROM grams0
+),
+sel AS (
+  SELECT doc_id, pos,
+    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mkey,
+    count(*) OVER (PARTITION BY doc_id) AS n,
+    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM keyed
+),
+fp AS (
+  SELECT DISTINCT doc_id, mkey // 67108864 AS fp_hash
+  FROM sel WHERE pos >= 3 OR rn = n
+),
+keep AS (
+  SELECT fp_hash FROM fp GROUP BY 1 HAVING count(*) BETWEEN 2 AND 1000
+),
+j AS (SELECT f.doc_id, f.fp_hash FROM fp f JOIN keep k ON k.fp_hash = f.fp_hash)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM j a JOIN j b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+@register(
+    "winnowing_fingerprint_pairs", oracle=_WINNOW_ORACLE, tags=("LLM", "dedup")
+)
+def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.dedup import winnowing_pairs
+
+    return winnowing_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, w=4, min_shared=2, max_df=1000
+    )
+
+
+# ---------------------------------------------------------------------------
+# Modularity decomposition of the 2-round LPA partition on the co-purchase
+# graph: exact integer pillar (4m·e_c − d_c²) next to the one-shape float
+# contribution. Shares the capped-basket edge construction AND the
+# unrolled label CTE with lpa_copurchase_communities.
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    from .advanced import lpa_label_cte
+
+    return (
+        lpa_label_cte(2)
+        + """,
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+members AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_members FROM l2 GROUP BY 1
+),
+degc AS (
+  SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS d
+  FROM deg d JOIN l2 l ON l.node = d.u GROUP BY 1
+),
+internal AS (
+  SELECT a.label, CAST(count(*) AS BIGINT) AS e
+  FROM pairs p JOIN l2 a ON a.node = p.u JOIN l2 b ON b.node = p.v
+  WHERE a.label = b.label GROUP BY 1
+)
+SELECT mem.label AS community, mem.n_members,
+  CAST(coalesce(i.e, 0) AS BIGINT) AS internal_edges,
+  dc.d AS degree_sum,
+  CAST(4 * m.m * coalesce(i.e, 0) - dc.d * dc.d AS BIGINT) AS q_num_4m2,
+  round(CAST(coalesce(i.e, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+      - (CAST(dc.d AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+        * (CAST(dc.d AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))), 9) + 0.0 AS q_contrib
+FROM members mem
+JOIN degc dc ON dc.label = mem.label
+LEFT JOIN internal i ON i.label = mem.label
+CROSS JOIN m
+"""
+    )
+
+
+@register(
+    "modularity_lpa_copurchase",
+    oracle=_modularity_oracle(),
+    tags=("graph", "iterative"),
+)
+def modularity_lpa_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import community_modularity, label_propagation
+    from .advanced import capped_copurchase_pairs
+
+    pairs = capped_copurchase_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    labels = label_propagation(pairs, iters=2)
+    return community_modularity(pairs, labels)

@@ -194,3 +194,176 @@ def test_ngram_validation_and_plan(spark):
         sequence_ngrams(df, "user_id", "ts", "event_type", n=1)
     plan = _plan(sequence_ngrams(df, "user_id", "ts", "event_type", n=2))
     assert "Join" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# geohash_expr / synthetic_micro_coords
+# ---------------------------------------------------------------------------
+
+
+def test_geohash_matches_published_values(spark):
+    from telecom_dataengineering_pipeline_spark.functions.geo import geohash_expr
+
+    cases = [
+        (37.7749, -122.4194, "9q8yy"),
+        (51.5074, -0.1278, "gcpvj"),
+        (-33.8688, 151.2093, "r3gx2"),
+    ]
+    exprs = [
+        geohash_expr(str(int(lat * 1e6)), str(int(lon * 1e6)), 5, "spark")
+        for lat, lon, _ in cases
+    ]
+    row = spark.range(1).select(
+        *[F.expr(e).alias(f"g{i}") for i, e in enumerate(exprs)]
+    ).collect()[0]
+    assert [row[f"g{i}"] for i in range(3)] == [want for _, _, want in cases]
+
+
+def test_geohash_dialects_agree_and_validate(spark):
+    import duckdb
+
+    from telecom_dataengineering_pipeline_spark.functions.geo import (
+        geohash_expr,
+        synthetic_micro_coords,
+    )
+
+    lat_s, lon_s = synthetic_micro_coords("id")
+    lat_d, lon_d = synthetic_micro_coords("id", "duck")
+    sp = spark.range(0, 50).select(
+        F.expr(geohash_expr(lat_s, lon_s, 5, "spark")).alias("g")
+    )
+    got_spark = [r["g"] for r in sp.collect()]
+    con = duckdb.connect()
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {geohash_expr(lat_d, lon_d, 5, 'duck')} AS g "
+            "FROM generate_series(0, 49) t(id) ORDER BY id"
+        ).fetchall()
+    ]
+    assert got_spark == got_duck
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        geohash_expr("0", "0", chars=8)
+    with _pytest.raises(ValueError):
+        geohash_expr("0", "0", dialect="postgres")
+
+
+# ---------------------------------------------------------------------------
+# winnowing
+# ---------------------------------------------------------------------------
+
+
+def _ref_winnow(text, k=3, w=4):
+    import hashlib
+    import re
+
+    toks = re.split(r"\s+", text.strip().lower())
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    keys = [h * (1 << 26) + ((1 << 26) - 1 - i) for i, h in enumerate(hs)]
+    n = len(keys)
+    sel = set()
+    for p in range(n):
+        if p >= w - 1 or p == n - 1:
+            sel.add(min(keys[max(0, p - w + 1) : p + 1]) >> 26)
+    return sel
+
+
+def test_winnowing_matches_python_reference(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.dedup import (
+        winnowing_fingerprints,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "tiny doc",  # shorter than k: zero grams
+        "one two three four",  # 2 grams < w: global-min fingerprint only
+        "x x x x x x x x",  # all-equal hashes: rightmost-tie rule
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnowing_fingerprints(docs, k=3, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    for i, t in enumerate(texts):
+        toks = t.split()
+        want = _ref_winnow(t) if len(toks) >= 3 else set()
+        assert got.get(i, set()) == want, f"doc {i}"
+    # all-equal-hash doc collapses to exactly one fingerprint
+    assert len(got[3]) == 1
+
+
+def test_winnowing_guarantee_shared_run_pairs(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.dedup import winnowing_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens >= w+k-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"unrelated prefix words here {shared}"),
+            (2, f"{shared} and a totally different tail of tokens"),
+            (3, "nothing in common with the others at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnowing_pairs(docs, k=3, w=4, min_shared=1, max_df=None).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_winnowing_plan_no_python(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.dedup import (
+        winnowing_fingerprints,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    plan = _plan(winnowing_fingerprints(docs))
+    assert "Python" not in plan and "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# community_modularity
+# ---------------------------------------------------------------------------
+
+
+def test_modularity_hand_graph(spark):
+    from telecom_dataengineering_pipeline_spark.operators.graph import (
+        community_modularity,
+    )
+
+    # triangle {1,2,3} + edge {4,5} + one cross edge (3,4): m=5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (3, 4)], "u long, v long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], "node long, label long"
+    )
+    got = {
+        r["community"]: r for r in community_modularity(edges, labels).collect()
+    }
+    a, b = got[1], got[4]
+    assert (a["n_members"], a["internal_edges"], a["degree_sum"]) == (3, 3, 7)
+    assert (b["n_members"], b["internal_edges"], b["degree_sum"]) == (2, 1, 3)
+    assert a["q_num_4m2"] == 4 * 5 * 3 - 49 == 11
+    assert b["q_num_4m2"] == 4 * 5 * 1 - 9 == 11
+    assert a["q_contrib"] == round(3 / 5 - (7 / 10) ** 2, 9)
+    assert b["q_contrib"] == round(1 / 5 - (3 / 10) ** 2, 9)
+    # sum of contributions == modularity of the partition
+    assert abs((a["q_contrib"] + b["q_contrib"]) - 0.22) < 1e-9
+
+
+def test_modularity_singleton_community_zero_internal(spark):
+    from telecom_dataengineering_pipeline_spark.operators.graph import (
+        community_modularity,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "u long, v long")
+    labels = spark.createDataFrame([(1, 1), (2, 2)], "node long, label long")
+    got = {r["community"]: r for r in community_modularity(edges, labels).collect()}
+    assert got[1]["internal_edges"] == 0 and got[2]["internal_edges"] == 0
+    assert got[1]["q_contrib"] == round(0 - 0.25, 9)
