@@ -2357,3 +2357,125 @@ SELECT k AS {key_name}, t, CAST(x AS DOUBLE) AS v, n AS n_window,
             ELSE 0 END AS INTEGER) AS breakout
 FROM bands
 """
+
+
+def haar_detail_energy(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    t_col: str,
+    v_col: str,
+    levels: int = 4,
+) -> DataFrame:
+    """Multi-resolution Haar wavelet energy decomposition of an ordered
+    series: per key, the first ``2^levels`` observations transform
+    through ``levels`` rounds of pairwise sums (approximation) and
+    signed differences (detail); the output is each level's detail
+    ENERGY — which time scales carry the series' variation, the
+    time-domain companion of :func:`periodogram` (frequency) and
+    :func:`acf_profile` (lag).
+
+    Exactness: the transform is UN-normalized (integer ±1 coefficients,
+    pure DECIMAL addition — no √2 anywhere), so every coefficient is
+    exact; the conventional 1/2^level normalization is applied to the
+    final energy as one float division per level. Each level is one
+    aggregate on the halved index (``DIV 2`` — integer), and the whole
+    transform touches only the first 2^levels rows per key —
+    calendar-sized however big the event table is. Keys shorter than
+    2^levels rows are dropped (both engines agree on the cutoff).
+
+    Returns (keys…, level 1..levels, n_coeffs, detail_energy) where
+    level 1 is the finest scale.
+    """
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    need = 1 << levels
+    keys = list(key_cols)
+    w_key = Window.partitionBy(*keys)
+    base = df.select(
+        *keys,
+        (F.row_number().over(w_key.orderBy(F.col(t_col).asc())) - 1).alias("_i"),
+        F.count(F.lit(1)).over(w_key).cast("long").alias("_n"),
+        F.col(v_col).cast("decimal(18,2)").alias("_x"),
+    ).filter((F.col("_n") >= need) & (F.col("_i") < need))
+    cur = base.select(*keys, "_i", "_x")
+    outs = []
+    for lvl in range(1, levels + 1):
+        nxt = (
+            cur.groupBy(*keys, F.expr("_i DIV 2").alias("_h"))
+            .agg(
+                F.sum("_x").cast("decimal(18,2)").alias("_a"),
+                F.sum(
+                    F.when(F.col("_i") % 2 == 0, F.col("_x")).otherwise(-F.col("_x"))
+                )
+                .cast("decimal(18,2)")
+                .alias("_d"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        outs.append(
+            nxt.groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_coeffs"),
+                F.round(
+                    F.sum(F.col("_d") * F.col("_d")).cast("double")
+                    / F.lit(float(1 << lvl)),
+                    6,
+                ).alias("detail_energy"),
+            )
+            .select(
+                *keys,
+                F.lit(lvl).cast("int").alias("level"),
+                "n_coeffs",
+                "detail_energy",
+            )
+        )
+        cur = nxt.select(*keys, F.col("_h").alias("_i"), F.col("_a").alias("_x"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def haar_oracle_sql(
+    base_cte: str, levels: int = 4, key_name: str = "k"
+) -> str:
+    """DuckDB mirror of :func:`haar_detail_energy`. ``base_cte`` yields
+    (k, t, x DECIMAL). Level CTEs materialize (DuckDB otherwise inlines
+    the whole chain into every union branch); the detail square casts
+    one operand to DECIMAL(19,2) to force INT128 (the round-8 overflow
+    note)."""
+    need = 1 << levels
+    parts = [
+        f"""WITH daily AS ({base_cte}),
+idx AS (
+  SELECT k, row_number() OVER (PARTITION BY k ORDER BY t ASC) - 1 AS i,
+         count(*) OVER (PARTITION BY k) AS n, x
+  FROM daily
+),
+b0 AS MATERIALIZED (
+  SELECT k, i, CAST(x AS DECIMAL(18,2)) AS x
+  FROM idx WHERE n >= {need} AND i < {need}
+)"""
+    ]
+    prev = "b0"
+    for lvl in range(1, levels + 1):
+        parts.append(
+            f""",
+l{lvl} AS MATERIALIZED (
+  SELECT k, i // 2 AS i,
+    CAST(sum(x) AS DECIMAL(18,2)) AS x,
+    CAST(sum(CASE WHEN i % 2 = 0 THEN x ELSE -x END) AS DECIMAL(18,2)) AS d
+  FROM {prev} GROUP BY 1, 2
+)"""
+        )
+        prev = f"l{lvl}"
+    branches = [
+        f"""SELECT k AS {key_name}, CAST({lvl} AS INTEGER) AS level,
+  CAST(count(*) AS BIGINT) AS n_coeffs,
+  round(CAST(sum(CAST(d AS DECIMAL(19,2)) * d) AS DOUBLE) / {float(1 << lvl)!r}, 6)
+    AS detail_energy
+FROM l{lvl} GROUP BY 1"""
+        for lvl in range(1, levels + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(branches))
+    return "".join(parts)

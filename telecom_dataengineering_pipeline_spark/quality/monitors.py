@@ -2138,3 +2138,120 @@ SELECT {ks}, CAST(count(*) AS BIGINT) AS n_members,
              / CAST(count(*) AS DOUBLE), 6) AS top_share
 FROM cum GROUP BY {ks}
 """
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    key_cols: "Sequence[str] | list[str]",
+    t_col: str,
+    v_col: str,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    salt: str = "boot",
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the per-key mean —
+    HASH-DETERMINISTIC resampling, so the \"random\" draws are identical
+    in every engine and every run (the same md5 hash family as the
+    CMS/HLL sketches; classic bootstrap randomness is exactly what an
+    oracle-checked engine can't have).
+
+    Resample b draws n indices ``hash32(salt_b_j_key) % n`` with
+    replacement; each resample's SUM folds as DECIMAL (exact), resamples
+    rank by that exact sum (tie-break b), and the CI bounds are the
+    order statistics at ranks ``floor(α/2·B)`` and ``B+1−floor(α/2·B)``.
+    The only floats are the final mean/se expressions, one shape on both
+    engines.
+
+    Scale: the grid is |keys|·B·n rows where n is the SERIES length
+    (calendar-sized, never the event grain) — the resample join is a
+    co-partitioned equi-join on (key, index), embarrassingly parallel in
+    B. ``v_col`` must be an exact DECIMAL.
+
+    Returns one row per key: (keys…, n_obs, n_boot, point_mean, ci_lo,
+    ci_hi, se_boot).
+    """
+    if n_boot < 4:
+        raise ValueError("n_boot must be >= 4")
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    lo_rank = int((alpha / 2.0) * n_boot)
+    if lo_rank < 1:
+        raise ValueError("alpha/2 * n_boot must be >= 1 (raise n_boot)")
+    hi_rank = n_boot + 1 - lo_rank
+    keys = list(key_cols)
+    kexpr = F.concat_ws("|", *[F.col(c).cast("string") for c in keys])
+    w_key = Window.partitionBy(*keys)
+    base = df.select(
+        *keys,
+        (F.row_number().over(w_key.orderBy(F.col(t_col).asc())) - 1).alias("_i"),
+        F.count(F.lit(1)).over(w_key).cast("long").alias("_n"),
+        F.col(v_col).alias("_v"),
+        kexpr.alias("_ks"),
+    ).localCheckpoint(eager=False)
+    # each observation row hosts one draw slot j per resample b
+    grid = base.select(
+        *keys,
+        "_n",
+        "_ks",
+        F.col("_i").alias("_j"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("_b"),
+    )
+    draw_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}_"),
+                    F.col("_b").cast("string"),
+                    F.lit("_"),
+                    F.col("_j").cast("string"),
+                    F.lit("_"),
+                    F.col("_ks"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    drawn = grid.withColumn("_tgt", draw_hash % F.col("_n"))
+    vals = base.select(*keys, F.col("_i").alias("_tgt"), "_v")
+    sums = (
+        drawn.join(vals, [*keys, "_tgt"])
+        .groupBy(*keys, "_b")
+        .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    ranked = sums.withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy(*keys).orderBy(F.col("_s").asc(), F.col("_b").asc())
+        ),
+    )
+    s18 = F.col("_s").cast("decimal(18,2)")
+    stats = ranked.groupBy(*keys).agg(
+        F.max("_n").alias("_n"),
+        F.min(F.when(F.col("_r") == lo_rank, F.col("_s"))).alias("_slo"),
+        F.min(F.when(F.col("_r") == hi_rank, F.col("_s"))).alias("_shi"),
+        F.sum(s18).alias("_ss"),
+        F.sum(s18 * s18).alias("_ss2"),
+    )
+    point = df.groupBy(*keys).agg(
+        F.sum(F.col(v_col)).alias("_pt"), F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    nd = F.col("_n").cast("double")
+    bd = float(n_boot)
+    var_sums = (
+        F.col("_ss2").cast("double")
+        - F.col("_ss").cast("double") * F.col("_ss").cast("double") / F.lit(bd)
+    ) / F.lit(bd - 1.0)
+    return point.join(stats, keys).select(
+        *keys,
+        "n_obs",
+        F.lit(n_boot).cast("long").alias("n_boot"),
+        F.round(F.col("_pt").cast("double") / F.col("n_obs").cast("double"), 6).alias(
+            "point_mean"
+        ),
+        F.round(F.col("_slo").cast("double") / nd, 6).alias("ci_lo"),
+        F.round(F.col("_shi").cast("double") / nd, 6).alias("ci_hi"),
+        F.round(F.sqrt(F.greatest(var_sums, F.lit(0.0))) / nd, 6).alias("se_boot"),
+    )

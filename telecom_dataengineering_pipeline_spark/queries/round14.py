@@ -326,3 +326,191 @@ def modularity_lpa_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = capped_copurchase_pairs(spark, sf_dir).localCheckpoint(eager=False)
     labels = label_propagation(pairs, iters=2)
     return community_modularity(pairs, labels)
+
+
+# ---------------------------------------------------------------------------
+# Hash-deterministic percentile bootstrap for the daily-mean CI: the
+# "random" draws are md5-derived (the CMS/HLL hash family), so both
+# engines replay the identical resampling plan; resample sums fold as
+# DECIMAL and the CI bounds are exact order statistics of those sums.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 200
+_BOOT_LO = 5  # floor(0.025 * 200)
+_BOOT_HI = _BOOT_B + 1 - _BOOT_LO
+
+_BOOT_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS t,
+         sum(CAST(round(value, 2) AS DECIMAL(14,2))) AS v
+  FROM events GROUP BY 1, 2
+),
+base AS MATERIALIZED (
+  SELECT k, row_number() OVER (PARTITION BY k ORDER BY t ASC) - 1 AS i,
+         CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n, v
+  FROM daily
+),
+grid AS (
+  SELECT base.k, base.n, base.i AS j, g.b
+  FROM base CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) g
+),
+drawn AS (
+  SELECT k, b,
+    ('0x'||substr(md5('boot_' || CAST(b AS VARCHAR) || '_' ||
+                      CAST(j AS VARCHAR) || '_' || k), 1, 8))::BIGINT % n AS tgt
+  FROM grid
+),
+sums AS (
+  SELECT d.k, d.b, sum(v2.v) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM drawn d JOIN base v2 ON v2.k = d.k AND v2.i = d.tgt
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY s ASC, b ASC) AS r
+  FROM sums
+),
+stats AS (
+  SELECT k, max(n) AS n,
+    min(CASE WHEN r = {_BOOT_LO} THEN s END) AS slo,
+    min(CASE WHEN r = {_BOOT_HI} THEN s END) AS shi,
+    sum(CAST(s AS DECIMAL(18,2))) AS ss,
+    sum(CAST(s AS DECIMAL(19,2)) * CAST(s AS DECIMAL(18,2))) AS ss2
+  FROM ranked GROUP BY 1
+),
+point AS (
+  SELECT k, sum(v) AS pt, CAST(count(*) AS BIGINT) AS n_obs FROM daily GROUP BY 1
+)
+SELECT p.k AS event_type, p.n_obs, CAST({_BOOT_B} AS BIGINT) AS n_boot,
+  round(CAST(p.pt AS DOUBLE) / CAST(p.n_obs AS DOUBLE), 6) AS point_mean,
+  round(CAST(s.slo AS DOUBLE) / CAST(s.n AS DOUBLE), 6) AS ci_lo,
+  round(CAST(s.shi AS DOUBLE) / CAST(s.n AS DOUBLE), 6) AS ci_hi,
+  round(sqrt(greatest((CAST(s.ss2 AS DOUBLE)
+      - CAST(s.ss AS DOUBLE) * CAST(s.ss AS DOUBLE) / {float(_BOOT_B)!r})
+      / {float(_BOOT_B - 1)!r}, 0.0)) / CAST(s.n AS DOUBLE), 6) AS se_boot
+FROM point p JOIN stats s ON s.k = p.k
+"""
+
+
+def _daily_value_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("k"),
+            F.date_format("ts", "yyyy-MM-dd").alias("t"),
+        )
+        .agg(F.sum(F.round("value", 2).cast("decimal(14,2)")).alias("v"))
+    )
+
+
+@register(
+    "bootstrap_ci_daily_event_value", oracle=_BOOT_ORACLE, tags=("A11", "eval")
+)
+def bootstrap_ci_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import bootstrap_mean_ci
+
+    daily = _daily_value_decimal(spark, sf_dir)
+    out = bootstrap_mean_ci(daily, ["k"], "t", "v", n_boot=_BOOT_B, alpha=0.05)
+    return out.withColumnRenamed("k", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet detail energies over the first 16 days of each event
+# type's daily values — which time scales carry the variation (the
+# time-domain sibling of the periodogram / ACF). Un-normalized ±1
+# transform keeps every coefficient exact DECIMAL; 1/2^level scales the
+# final energies only.
+# ---------------------------------------------------------------------------
+
+
+def _haar_oracle() -> str:
+    from ..operators.trend import haar_oracle_sql
+
+    return haar_oracle_sql(_BOLL_BASE_CTE, levels=4, key_name="event_type")
+
+
+@register("haar_energy_daily_event_value", oracle=_haar_oracle(), tags=("trend", "A11"))
+def haar_energy_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import haar_detail_energy
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"), F.date_format("ts", "yyyy-MM-dd").alias("t")
+        )
+        .agg(
+            F.sum(F.round("value", 2).cast("decimal(14,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+    )
+    out = haar_detail_energy(daily, ["event_type"], "t", "x", levels=4)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# STREAMING count-min sketch: the token stream arrives file-by-file and
+# the d×w counter grid accumulates as a streaming aggregate (counters
+# are additive — the sketch IS streaming state); the final grid feeds
+# the same broadcast estimate + top-k as the batch query, so the oracle
+# is literally the batch query's oracle. Stream ≡ batch ≡ DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def _cms_stream_oracle() -> str:
+    from .llmprep import _CMS_ORACLE
+
+    return _CMS_ORACLE
+
+
+@register(
+    "cms_stream_heavy_hitters",
+    oracle=_cms_stream_oracle(),
+    tags=("T2", "stream", "sketch"),
+)
+def cms_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..llmprep.sketches import cms_build, cms_estimate
+    from ..llmprep.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    sink = "cms_stream_heavy_hitters_sink"
+    spark.catalog.dropTempView(sink)
+    staging = tempfile.mkdtemp(prefix="cms_stream_src_")
+    try:
+        for b in (0, 1):  # two shards -> two triggers: counters must merge
+            (
+                docs.filter(F.col("doc_id") % 2 == b)
+                .select(F.explode(tokens("text")).alias("tok"))
+                .filter(F.col("tok") != "")
+                .coalesce(1)
+                .write.parquet(os.path.join(staging, f"b{b}"))
+            )
+        stream = (
+            spark.readStream.schema("tok string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging + "/b*")
+        )
+        q = (
+            cms_build(stream, "tok", depth=4, width=256)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    # update-mode emissions are monotone per cell: the final grid is the max
+    grid = spark.table(sink).groupBy("rw", "cl").agg(F.max("cnt").alias("cnt"))
+    cands = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    est = cms_estimate(grid, cands, "tok", depth=4, width=256)
+    return est.orderBy(F.col("cms_count").desc(), F.col("tok").asc()).limit(20)

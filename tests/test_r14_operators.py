@@ -367,3 +367,147 @@ def test_modularity_singleton_community_zero_internal(spark):
     got = {r["community"]: r for r in community_modularity(edges, labels).collect()}
     assert got[1]["internal_edges"] == 0 and got[2]["internal_edges"] == 0
     assert got[1]["q_contrib"] == round(0 - 0.25, 9)
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_mean_ci
+# ---------------------------------------------------------------------------
+
+
+def _ref_bootstrap(values, key, n_boot=200, alpha=0.05):
+    import hashlib
+
+    n = len(values)
+    sums = []
+    for b in range(n_boot):
+        s = 0.0
+        for j in range(n):
+            h = int(
+                hashlib.md5(f"boot_{b}_{j}_{key}".encode()).hexdigest()[:8], 16
+            )
+            s += values[h % n]
+        sums.append((s, b))
+    sums.sort()
+    lo_rank = int((alpha / 2) * n_boot)
+    slo, shi = sums[lo_rank - 1][0], sums[n_boot - lo_rank][0]
+    return round(slo / n, 6), round(shi / n, 6)
+
+
+def test_bootstrap_matches_python_reference(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        bootstrap_mean_ci,
+    )
+
+    values = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0]
+    rows = [("k", i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k string, t long, v double").select(
+        "k", "t", F.col("v").cast("decimal(14,2)").alias("v")
+    )
+    got = bootstrap_mean_ci(df, ["k"], "t", "v", n_boot=200).collect()[0]
+    want_lo, want_hi = _ref_bootstrap(values, "k")
+    assert got["n_obs"] == 7 and got["n_boot"] == 200
+    assert got["point_mean"] == 40.0
+    assert got["ci_lo"] == want_lo and got["ci_hi"] == want_hi
+    assert got["ci_lo"] <= got["point_mean"] <= got["ci_hi"]
+    assert got["se_boot"] > 0
+
+
+def test_bootstrap_constant_series_degenerate(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        bootstrap_mean_ci,
+    )
+
+    rows = [("k", i, 5.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, t long, v double").select(
+        "k", "t", F.col("v").cast("decimal(14,2)").alias("v")
+    )
+    got = bootstrap_mean_ci(df, ["k"], "t", "v", n_boot=40).collect()[0]
+    assert got["ci_lo"] == got["ci_hi"] == got["point_mean"] == 5.0
+    assert got["se_boot"] == 0.0
+
+
+def test_bootstrap_validation(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        bootstrap_mean_ci,
+    )
+
+    df = spark.createDataFrame([("k", 1, 1.0)], "k string, t long, v double")
+    with pytest.raises(ValueError):
+        bootstrap_mean_ci(df, ["k"], "t", "v", n_boot=2)
+    with pytest.raises(ValueError):
+        bootstrap_mean_ci(df, ["k"], "t", "v", alpha=1.5)
+    with pytest.raises(ValueError):
+        bootstrap_mean_ci(df, ["k"], "t", "v", n_boot=10, alpha=0.05)  # rank 0
+
+
+# ---------------------------------------------------------------------------
+# haar_detail_energy
+# ---------------------------------------------------------------------------
+
+
+def _ref_haar(values, levels=4):
+    cur = list(values)
+    out = {}
+    for lvl in range(1, levels + 1):
+        a = [cur[2 * j] + cur[2 * j + 1] for j in range(len(cur) // 2)]
+        d = [cur[2 * j] - cur[2 * j + 1] for j in range(len(cur) // 2)]
+        out[lvl] = (len(d), round(sum(x * x for x in d) / (1 << lvl), 6))
+        cur = a
+    return out
+
+
+def test_haar_matches_python_reference(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import (
+        haar_detail_energy,
+    )
+
+    values = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0, 8.0, 9.0, 7.0, 9.0, 3.0]
+    rows = [("k", i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k string, t long, x double").select(
+        "k", "t", F.col("x").cast("decimal(18,2)").alias("x")
+    )
+    got = {
+        r["level"]: (r["n_coeffs"], r["detail_energy"])
+        for r in haar_detail_energy(df, ["k"], "t", "x", levels=4).collect()
+    }
+    assert got == _ref_haar(values)
+
+
+def test_haar_short_keys_dropped_and_validation(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import (
+        haar_detail_energy,
+    )
+
+    rows = [("short", i, 1.0) for i in range(15)] + [
+        ("full", i, float(i)) for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, x double").select(
+        "k", "t", F.col("x").cast("decimal(18,2)").alias("x")
+    )
+    out = haar_detail_energy(df, ["k"], "t", "x", levels=4).collect()
+    assert {r["k"] for r in out} == {"full"}
+    with pytest.raises(ValueError):
+        haar_detail_energy(df, ["k"], "t", "x", levels=0)
+    plan = _plan(haar_detail_energy(df, ["k"], "t", "x"))
+    assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# cms_stream_heavy_hitters: stream == batch on the same corpus
+# ---------------------------------------------------------------------------
+
+
+def test_cms_stream_equals_batch(spark):
+    from telecom_dataengineering_pipeline_spark.queries.llmprep import (
+        cms_heavy_hitters_q,
+    )
+    from telecom_dataengineering_pipeline_spark.queries.round14 import (
+        cms_stream_heavy_hitters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = [(r["tok"], r["cms_count"]) for r in cms_heavy_hitters_q(spark, sf).collect()]
+    stream = [
+        (r["tok"], r["cms_count"]) for r in cms_stream_heavy_hitters(spark, sf).collect()
+    ]
+    assert stream == batch
