@@ -970,3 +970,84 @@ def diff_in_differences(
             "t_stat"
         ),
     )
+
+
+def split_conformal_interval(
+    pairs: DataFrame,
+    key_cols: Sequence[str],
+    t_col: str,
+    actual_col: str,
+    forecast_col: str,
+    split_t,
+    coverage_num: int = 9,
+    coverage_den: int = 10,
+) -> DataFrame:
+    """Split-conformal prediction intervals around a point forecaster:
+    calibration rows (``t_col <= split_t``) rank their ABSOLUTE residuals
+    exactly, the conformal quantile q̂ is the ``ceil((n+1)·cov)``-th
+    order statistic, and the held-out rows (``t_col > split_t``) report
+    the interval's EMPIRICAL coverage — the distribution-free guarantee
+    (coverage ≥ cov on exchangeable data) made auditable per key.
+
+    Exactness: residuals are DECIMAL differences (no float |a−f|), the
+    rank index uses INTEGER ceiling arithmetic
+    ``(num·(n+1) + den−1) DIV den`` — never ``ceil(0.9·(n+1))``, whose
+    binary-0.9 ulp both engines would have to agree on — and the
+    covered/|test| comparison happens on exact decimals. The only floats
+    are the final reporting columns (one shape per engine). One key
+    exchange: a rank window over the calibration slice, a broadcast of
+    the |keys|-row q̂ relation back onto the test slice.
+
+    Returns (keys…, n_cal, n_test, q_hat, covered, coverage, target_cov);
+    q_hat is NULL (and coverage with it) when the quantile index exceeds
+    n_cal — the honest "not enough calibration data" answer.
+    """
+    if not (0 < coverage_num < coverage_den):
+        raise ValueError("coverage must be a proper fraction")
+    keys = list(key_cols)
+    r = (F.col(actual_col) - F.col(forecast_col)).alias("_r")
+    absr = F.when(F.col("_r") < 0, -F.col("_r")).otherwise(F.col("_r"))
+    base = pairs.select(
+        *keys, F.col(t_col).alias("_t"), r
+    ).withColumn("_ar", absr)
+    cal = base.filter(F.col("_t") <= F.lit(split_t))
+    test = base.filter(F.col("_t") > F.lit(split_t))
+    w = Window.partitionBy(*keys).orderBy(F.col("_ar").asc(), F.col("_t").asc())
+    ranked = cal.select(
+        *keys,
+        "_ar",
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(Window.partitionBy(*keys)).cast("long").alias("_n"),
+    )
+    qidx = F.expr(
+        f"({coverage_num} * (_n + 1) + {coverage_den - 1}) DIV {coverage_den}"
+    )
+    qhat = ranked.groupBy(*keys).agg(
+        F.max("_n").alias("n_cal"),
+        F.min(F.when(F.col("_rk") == qidx, F.col("_ar"))).alias("_q"),
+    )
+    scored = test.join(F.broadcast(qhat), keys, "left")
+    out = scored.groupBy(*keys).agg(
+        F.max("n_cal").alias("n_cal"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.max("_q").alias("_q"),
+        F.sum(F.when(F.col("_ar") <= F.col("_q"), 1)).cast("long").alias("_cov"),
+    )
+    covered = F.when(F.col("_q").isNotNull(), F.coalesce(F.col("_cov"), F.lit(0)))
+    cov = F.when(
+        F.col("_q").isNotNull(),
+        F.round(
+            F.coalesce(F.col("_cov"), F.lit(0)).cast("double")
+            / F.col("n_test").cast("double"),
+            6,
+        ),
+    )
+    return out.select(
+        *keys,
+        "n_cal",
+        "n_test",
+        F.round(F.col("_q").cast("double"), 6).alias("q_hat"),
+        covered.cast("long").alias("covered"),
+        cov.alias("coverage"),
+        F.lit(float(coverage_num) / float(coverage_den)).alias("target_cov"),
+    )

@@ -2479,3 +2479,83 @@ FROM l{lvl} GROUP BY 1"""
     ]
     parts.append("\n" + "\nUNION ALL\n".join(branches))
     return "".join(parts)
+
+
+def pacf_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Partial autocorrelation at lags 1..3 via the Durbin–Levinson
+    recursion — the AR-order fingerprint next to :func:`acf_profile`
+    (ACF says "correlated at lag k"; PACF says "correlated at lag k
+    AFTER removing shorter lags", which is what picks an AR(p)).
+
+    Builds on the ACF's own cross-engine contract: the recursion runs on
+    the ROUNDED (6 dp) r₁..r₃ that :func:`acf_profile` already emits
+    identically in both engines, so every downstream float is a
+    fixed-shape expression over identical inputs. Degenerate
+    denominators (|r₁| = 1, etc.) yield NULL, not a crash; rounded
+    outputs normalize IEEE −0.0 with ``+ 0.0``.
+
+    Returns one row per key: (keys…, n, r1, r2, r3, pacf1, pacf2,
+    pacf3).
+    """
+    acf = acf_profile(df, key_cols, order_col, value_col, max_lag=3)
+    keys = list(key_cols)
+    piv = acf.groupBy(*keys).agg(
+        F.max("n").alias("n"),
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("acf"))).alias(f"r{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    den2 = F.lit(1.0) - r1 * r1
+    phi2 = F.when(den2 != 0.0, (r2 - r1 * r1) / den2)
+    phi21 = r1 - phi2 * r1
+    den3 = F.lit(1.0) - phi21 * r1 - phi2 * r2
+    phi3 = F.when(den3 != 0.0, (r3 - phi21 * r2 - phi2 * r1) / den3)
+    return piv.select(
+        *keys,
+        "n",
+        "r1",
+        "r2",
+        "r3",
+        r1.alias("pacf1"),
+        (F.round(phi2, 6) + F.lit(0.0)).alias("pacf2"),
+        (F.round(phi3, 6) + F.lit(0.0)).alias("pacf3"),
+    )
+
+
+def pacf_oracle_sql(acf_sql: str, key_name: str = "k") -> str:
+    """DuckDB mirror of :func:`pacf_profile` over an ACF relation
+    (``acf_sql`` must yield (<key_name>, lag, n, n_pairs, acf) — pass
+    the registered ACF query's own oracle)."""
+    return f"""
+WITH acf AS ({acf_sql}),
+piv AS (
+  SELECT {key_name} AS k, max(n) AS n,
+    max(CASE WHEN lag = 1 THEN acf END) AS r1,
+    max(CASE WHEN lag = 2 THEN acf END) AS r2,
+    max(CASE WHEN lag = 3 THEN acf END) AS r3
+  FROM acf GROUP BY 1
+),
+dl AS (
+  SELECT k, n, r1, r2, r3,
+    CASE WHEN 1.0 - r1 * r1 <> 0.0
+         THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS phi2
+  FROM piv
+),
+dl2 AS (
+  SELECT *, r1 - phi2 * r1 AS phi21 FROM dl
+)
+SELECT k AS {key_name}, CAST(n AS BIGINT) AS n, r1, r2, r3,
+  r1 AS pacf1,
+  round(phi2, 6) + 0.0 AS pacf2,
+  CASE WHEN 1.0 - phi21 * r1 - phi2 * r2 <> 0.0
+       THEN round((r3 - phi21 * r2 - phi2 * r1)
+            / (1.0 - phi21 * r1 - phi2 * r2), 6) + 0.0 END AS pacf3
+FROM dl2
+"""

@@ -2255,3 +2255,63 @@ def bootstrap_mean_ci(
         F.round(F.col("_shi").cast("double") / nd, 6).alias("ci_hi"),
         F.round(F.sqrt(F.greatest(var_sums, F.lit(0.0))) / nd, 6).alias("se_boot"),
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    key_cols: "Sequence[str] | list[str]",
+    value_col: str,
+    tiebreak_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Hill estimator of the Pareto tail index per key: over the top-``k``
+    order statistics x₍₁₎ ≥ … ≥ x₍ₖ₎,
+    ``α̂ = (k−1) / Σᵢ₌₁^{k−1} ln(xᵢ / xₖ)`` — how heavy the upper tail is
+    (α < 2: infinite variance). The tail-risk companion of
+    :func:`pareto_concentration` / the Benford and Gini profiles.
+
+    One rank window elects the top-k (value desc, tie-break asc —
+    deterministic under ties); the log terms use the registry's
+    round-then-decimal fold (9 dp, order-independent); the final α̂ is
+    one fixed-shape float division. Keys with fewer than ``k`` positive
+    values are DROPPED (no k-th order statistic exists); a zero log-sum
+    (all top-k equal) reports a NULL α̂ — the honest degenerate answers.
+    Everything after the rank window is |keys|-sized.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    keys = list(key_cols)
+    v = F.col(value_col)
+    base = df.filter(v > 0).select(
+        *keys, v.alias("_x"), F.col(tiebreak_col).alias("_tb")
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("_x").desc(), F.col("_tb").asc())
+    ranked = base.select(*keys, "_x", F.row_number().over(w).alias("_rk")).filter(
+        F.col("_rk") <= k
+    )
+    xk = ranked.filter(F.col("_rk") == k).select(
+        *keys, F.col("_x").alias("_xk")
+    )
+    terms = ranked.filter(F.col("_rk") < k).join(F.broadcast(xk), keys)
+    log_term = F.round(
+        F.log(F.col("_x").cast("double") / F.col("_xk").cast("double")), 9
+    ).cast("decimal(28,9)")
+    agg = terms.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.max(F.col("_xk").cast("double")).alias("x_k"),
+        F.sum(log_term).alias("_slog"),
+    )
+    alpha = F.when(
+        F.col("_slog") > 0,
+        F.round(
+            F.col("n_terms").cast("double") / F.col("_slog").cast("double"), 6
+        ),
+    )
+    return agg.select(
+        *keys,
+        F.lit(k).cast("long").alias("k"),
+        "n_terms",
+        F.round(F.col("x_k"), 6).alias("x_k"),
+        F.round(F.col("_slog").cast("double"), 6).alias("sum_log"),
+        alpha.alias("hill_alpha"),
+    )

@@ -514,3 +514,149 @@ def cms_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = cms_estimate(grid, cands, "tok", depth=4, width=256)
     return est.orderBy(F.col("cms_count").desc(), F.col("tok").asc()).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal intervals around the seasonal-naive forecaster: the
+# day<=22 pairs calibrate |residual| exactly (DECIMAL differences, rank
+# by integer-ceiling index), day>22 pairs audit the empirical coverage.
+# ---------------------------------------------------------------------------
+
+_CONFORMAL_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS k, CAST(strftime(ts, '%d') AS BIGINT) AS t,
+         CAST(sum(CAST(round(value, 2) AS DECIMAL(14,2))) AS DECIMAL(24,6)) AS v
+  FROM events GROUP BY 1, 2
+), paired AS (
+  SELECT a.k, a.t, a.v - f.v AS r
+  FROM daily a JOIN daily f ON f.k = a.k AND f.t = a.t - 7
+), ar AS (
+  SELECT k, t, CASE WHEN r < 0 THEN -r ELSE r END AS ar FROM paired
+), cal AS (
+  SELECT k, ar,
+    row_number() OVER (PARTITION BY k ORDER BY ar ASC, t ASC) AS rk,
+    count(*) OVER (PARTITION BY k) AS n
+  FROM ar WHERE t <= 22
+), qh AS (
+  SELECT k, CAST(max(n) AS BIGINT) AS n_cal,
+    min(CASE WHEN rk = (9 * (n + 1) + 9) // 10 THEN ar END) AS q
+  FROM cal GROUP BY 1
+), test AS (SELECT k, ar FROM ar WHERE t > 22)
+SELECT t.k AS event_type, q.n_cal, CAST(count(*) AS BIGINT) AS n_test,
+  round(CAST(q.q AS DOUBLE), 6) AS q_hat,
+  CASE WHEN q.q IS NOT NULL
+       THEN CAST(coalesce(sum(CASE WHEN t.ar <= q.q THEN 1 END), 0) AS BIGINT)
+  END AS covered,
+  CASE WHEN q.q IS NOT NULL
+       THEN round(CAST(coalesce(sum(CASE WHEN t.ar <= q.q THEN 1 END), 0) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 6)
+  END AS coverage,
+  0.9 AS target_cov
+FROM test t LEFT JOIN qh q ON q.k = t.k
+GROUP BY 1, 2, q.q
+"""
+
+
+@register(
+    "conformal_naive7_event_values", oracle=_CONFORMAL_ORACLE, tags=("eval", "trend")
+)
+def conformal_naive7_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import split_conformal_interval
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("k"),
+            F.date_format("ts", "dd").cast("long").alias("t"),
+        )
+        .agg(
+            F.sum(F.round("value", 2).cast("decimal(14,2)"))
+            .cast("decimal(24,6)")
+            .alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    fc = daily.select(
+        F.col("k").alias("fk"), (F.col("t") + 7).alias("ft"), F.col("v").alias("f")
+    )
+    paired = daily.join(
+        fc, (F.col("k") == F.col("fk")) & (F.col("t") == F.col("ft"))
+    ).select("k", "t", F.col("v").alias("a"), "f")
+    out = split_conformal_interval(
+        paired, ["k"], "t", "a", "f", split_t=22, coverage_num=9, coverage_den=10
+    )
+    return out.withColumnRenamed("k", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# PACF at lags 1..3 (Durbin–Levinson on the ACF query's own rounded
+# r-values — both engines recurse over identical inputs).
+# ---------------------------------------------------------------------------
+
+
+def _pacf_oracle() -> str:
+    from ..operators.trend import pacf_oracle_sql
+    from .round8 import _ACF_ORACLE
+
+    return pacf_oracle_sql(_ACF_ORACLE, key_name="event_type")
+
+
+@register("pacf_daily_event_value", oracle=_pacf_oracle(), tags=("A11", "trend"))
+def pacf_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import pacf_profile
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.round("value", 2).cast("decimal(12,2)")).alias("v"))
+    )
+    return pacf_profile(daily, ["event_type"], "day", "v")
+
+
+# ---------------------------------------------------------------------------
+# Hill tail index of order totals per market segment — how heavy the
+# spend tail is, next to the Gini/Pareto/Benford profiles.
+# ---------------------------------------------------------------------------
+
+_HILL_K = 50
+
+_HILL_ORACLE = f"""
+WITH base AS (
+  SELECT c.c_mktsegment AS k, CAST(o.o_totalprice AS DECIMAL(12,2)) AS x,
+         o.o_orderkey AS tb
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE CAST(o.o_totalprice AS DECIMAL(12,2)) > 0
+), ranked AS (
+  SELECT k, x, row_number() OVER (PARTITION BY k ORDER BY x DESC, tb ASC) AS rk
+  FROM base
+), xk AS (
+  SELECT k, x AS xv FROM ranked WHERE rk = {_HILL_K}
+), terms AS (
+  SELECT r.k, x2.xv,
+    CAST(round(ln(CAST(r.x AS DOUBLE) / CAST(x2.xv AS DOUBLE)), 9)
+         AS DECIMAL(28,9)) AS lt
+  FROM ranked r JOIN xk x2 ON x2.k = r.k WHERE r.rk < {_HILL_K}
+)
+SELECT k AS segment, CAST({_HILL_K} AS BIGINT) AS k,
+  CAST(count(*) AS BIGINT) AS n_terms,
+  round(max(CAST(xv AS DOUBLE)), 6) AS x_k,
+  round(CAST(sum(lt) AS DOUBLE), 6) AS sum_log,
+  CASE WHEN sum(lt) > 0
+       THEN round(CAST(count(*) AS DOUBLE) / CAST(sum(lt) AS DOUBLE), 6)
+  END AS hill_alpha
+FROM terms GROUP BY 1
+"""
+
+
+@register("hill_tail_index_order_prices", oracle=_HILL_ORACLE, tags=("A11", "DQ"))
+def hill_tail_index_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import hill_tail_index
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(12,2)").alias("x"), "o_orderkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"), "x", "o_orderkey"
+    )
+    return hill_tail_index(base, ["segment"], "x", "o_orderkey", k=_HILL_K)

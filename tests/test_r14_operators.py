@@ -511,3 +511,141 @@ def test_cms_stream_equals_batch(spark):
         (r["tok"], r["cms_count"]) for r in cms_stream_heavy_hitters(spark, sf).collect()
     ]
     assert stream == batch
+
+
+# ---------------------------------------------------------------------------
+# split_conformal_interval
+# ---------------------------------------------------------------------------
+
+
+def _pairs(spark, rows):
+    df = spark.createDataFrame(rows, "k string, t long, a double, f double")
+    return df.select(
+        "k",
+        "t",
+        F.col("a").cast("decimal(24,6)").alias("a"),
+        F.col("f").cast("decimal(24,6)").alias("f"),
+    )
+
+
+def test_conformal_hand_case(spark):
+    from telecom_dataengineering_pipeline_spark.operators.features import (
+        split_conformal_interval,
+    )
+
+    # calibration residuals 1..10 -> qidx = ceil(9*11/10) = 10 -> q_hat 10
+    rows = [("k", t, float(t), 0.0) for t in range(1, 11)] + [
+        ("k", 23, 5.0, 0.0),   # |r|=5  <= 10: covered
+        ("k", 24, 15.0, 0.0),  # |r|=15 > 10: not covered
+        ("k", 25, -10.0, 0.0), # |r|=10 <= 10: covered (abs of negative)
+    ]
+    got = split_conformal_interval(
+        _pairs(spark, rows), ["k"], "t", "a", "f", split_t=22
+    ).collect()[0]
+    assert (got["n_cal"], got["n_test"]) == (10, 3)
+    assert got["q_hat"] == 10.0
+    assert got["covered"] == 2
+    assert got["coverage"] == round(2 / 3, 6)
+    assert got["target_cov"] == 0.9
+
+
+def test_conformal_insufficient_calibration_is_null(spark):
+    from telecom_dataengineering_pipeline_spark.operators.features import (
+        split_conformal_interval,
+    )
+
+    # n_cal = 1 -> qidx = ceil(9*2/10) = 2 > 1 -> q_hat NULL, coverage NULL
+    rows = [("k", 1, 3.0, 0.0), ("k", 23, 1.0, 0.0)]
+    got = split_conformal_interval(
+        _pairs(spark, rows), ["k"], "t", "a", "f", split_t=22
+    ).collect()[0]
+    assert got["q_hat"] is None and got["coverage"] is None and got["covered"] is None
+    assert (got["n_cal"], got["n_test"]) == (1, 1)
+    with pytest.raises(ValueError):
+        split_conformal_interval(
+            _pairs(spark, rows), ["k"], "t", "a", "f", split_t=22, coverage_num=10
+        )
+
+
+# ---------------------------------------------------------------------------
+# pacf_profile
+# ---------------------------------------------------------------------------
+
+
+def test_pacf_durbin_levinson_consistency(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import (
+        acf_profile,
+        pacf_profile,
+    )
+
+    vals = [1, 3, 2, 5, 4, 7, 6, 9, 8, 11, 10, 13]
+    rows = [("k", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    r = {
+        row["lag"]: row["acf"]
+        for row in acf_profile(df, ["k"], "t", "v", max_lag=3).collect()
+    }
+    got = pacf_profile(df, ["k"], "t", "v").collect()[0]
+    assert got["pacf1"] == r[1]
+    phi2 = (r[2] - r[1] * r[1]) / (1.0 - r[1] * r[1])
+    assert got["pacf2"] == round(phi2, 6) + 0.0
+    phi21 = r[1] - phi2 * r[1]
+    den3 = 1.0 - phi21 * r[1] - phi2 * r[2]
+    assert got["pacf3"] == round((r[3] - phi21 * r[2] - phi2 * r[1]) / den3, 6) + 0.0
+
+
+def test_pacf_constant_series_nulls(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import pacf_profile
+
+    rows = [("k", i, 5.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = pacf_profile(df, ["k"], "t", "v").collect()[0]
+    assert got["r1"] is None and got["pacf2"] is None and got["pacf3"] is None
+
+
+# ---------------------------------------------------------------------------
+# hill_tail_index
+# ---------------------------------------------------------------------------
+
+
+def test_hill_matches_python_reference(spark):
+    import math
+
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        hill_tail_index,
+    )
+
+    values = [100.0, 50.0, 25.0, 12.5, 6.25, 3.0, 1.0]
+    rows = [("k", v, i) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k string, x double, tb long").select(
+        "k", F.col("x").cast("decimal(12,2)").alias("x"), "tb"
+    )
+    k = 4
+    got = hill_tail_index(df, ["k"], "x", "tb", k=k).collect()[0]
+    top = sorted(values, reverse=True)[:k]
+    xk = top[-1]
+    slog = sum(round(math.log(x / xk), 9) for x in top[:-1])
+    assert got["n_terms"] == k - 1
+    assert got["x_k"] == round(xk, 6)
+    assert got["sum_log"] == round(slog, 6)
+    assert got["hill_alpha"] == round((k - 1) / slog, 6)
+
+
+def test_hill_degenerate_and_short_keys(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        hill_tail_index,
+    )
+
+    rows = (
+        [("flat", 7.0, i) for i in range(5)]  # all-equal top-k -> NULL alpha
+        + [("short", 9.0, 0)]  # fewer than k positives -> dropped
+        + [("neg", -1.0, 0), ("neg", -2.0, 1)]  # nothing positive -> dropped
+    )
+    df = spark.createDataFrame(rows, "k string, x double, tb long").select(
+        "k", F.col("x").cast("decimal(12,2)").alias("x"), "tb"
+    )
+    got = {r["k"]: r for r in hill_tail_index(df, ["k"], "x", "tb", k=3).collect()}
+    assert set(got) == {"flat"}
+    assert got["flat"]["hill_alpha"] is None and got["flat"]["sum_log"] == 0.0
+    with pytest.raises(ValueError):
+        hill_tail_index(df, ["k"], "x", "tb", k=1)
