@@ -1233,7 +1233,12 @@ def winnowing_pairs(
     only fingerprints shared by ≥2 docs enter it at all. Returns
     (doc_a, doc_b, n_shared) for pairs sharing at least ``min_shared``
     selected fingerprints."""
-    fp = winnowing_fingerprints(docs, text_col, id_col, k=k, w=w)
+    # lineage cut: fp feeds the df-count AND both sides of the self-join —
+    # without it the whole tokenize→hash→winnow pipeline re-runs 4×
+    # (FileScan-count audit, round-9 session 3)
+    fp = winnowing_fingerprints(docs, text_col, id_col, k=k, w=w).localCheckpoint(
+        eager=False
+    )
     per_fp = fp.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("_df"))
     lo, hi = 2, max_df if max_df is not None else None
     keep = per_fp.filter(

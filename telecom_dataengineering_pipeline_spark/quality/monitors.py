@@ -2286,8 +2286,12 @@ def hill_tail_index(
         *keys, v.alias("_x"), F.col(tiebreak_col).alias("_tb")
     )
     w = Window.partitionBy(*keys).orderBy(F.col("_x").desc(), F.col("_tb").asc())
-    ranked = base.select(*keys, "_x", F.row_number().over(w).alias("_rk")).filter(
-        F.col("_rk") <= k
+    # lineage cut: ranked feeds both the k-th-order-statistic probe and the
+    # terms join — without it the base scan re-runs per branch
+    ranked = (
+        base.select(*keys, "_x", F.row_number().over(w).alias("_rk"))
+        .filter(F.col("_rk") <= k)
+        .localCheckpoint(eager=False)
     )
     xk = ranked.filter(F.col("_rk") == k).select(
         *keys, F.col("_x").alias("_xk")
