@@ -1252,3 +1252,40 @@ def sequence_ngrams(
     return counts.withColumn(
         "pattern_rank", F.row_number().over(rank_w).cast("long")
     )
+
+
+def linear_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    conversion: str,
+    touch_events: Sequence[str],
+    within_seconds: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution: each conversion's
+    unit of credit splits evenly over its k qualifying touches — the
+    fourth standard model next to last-touch, U-shaped and time-decay,
+    and the convention-free baseline the others are compared against.
+    Same next-conversion kernel (one running-min window, no self-join);
+    1/k rounds to 9 for the cross-engine hash (fold as DECIMAL(20,9))."""
+    rows = position_based_attribution(
+        df,
+        user_col,
+        ts_col,
+        event_col,
+        conversion,
+        touch_events,
+        within_seconds=within_seconds,
+        tiebreak_col=tiebreak_col,
+    )
+    return rows.select(
+        user_col,
+        "conv_us",
+        "conv_tb",
+        "touch_event",
+        "touch_us",
+        "k_touches",
+        F.round(F.lit(1.0) / F.col("k_touches").cast("double"), 9).alias("credit"),
+    )

@@ -660,3 +660,65 @@ def hill_tail_index_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"), "x", "o_orderkey"
     )
     return hill_tail_index(base, ["segment"], "x", "o_orderkey", k=_HILL_K)
+
+
+# ---------------------------------------------------------------------------
+# Linear attribution completes the four-model family (last-touch,
+# U-shaped, time-decay, linear): same kernel, equal 1/k credit; the
+# rollup adds credit share per touch type so the models are comparable.
+# ---------------------------------------------------------------------------
+
+_LINEAR_ATTR_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id AS u, epoch_us(ts) AS us, CAST(event_id AS VARCHAR) AS tb,
+         event_type AS ev
+  FROM events WHERE event_type IN ('purchase', 'view', 'click')
+), tagged AS (
+  SELECT *, min(CASE WHEN ev = 'purchase'
+                     THEN lpad(CAST(us AS VARCHAR), 20, '0') || '|' || tb END)
+    OVER (PARTITION BY u ORDER BY us DESC, tb DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck
+  FROM ev
+), touches AS (
+  SELECT u, us, tb, ev, ck, CAST(substr(ck, 1, 20) AS BIGINT) AS conv_us
+  FROM tagged WHERE ev <> 'purchase' AND ck IS NOT NULL
+), fit AS (
+  SELECT * FROM touches WHERE conv_us - us <= {_TD_WITHIN_S * 1_000_000}
+), sized AS (
+  SELECT ev, CAST(count(*) OVER (PARTITION BY u, ck) AS BIGINT) AS k
+  FROM fit
+), credit AS (
+  SELECT ev, CAST(round(1.0 / CAST(k AS DOUBLE), 9) AS DECIMAL(20,9)) AS c
+  FROM sized
+)
+SELECT ev AS touch_event, CAST(count(*) AS BIGINT) AS n_touches,
+       round(CAST(sum(c) AS DOUBLE), 6) AS total_credit
+FROM credit GROUP BY 1
+"""
+
+
+@register(
+    "attribution_linear_purchases",
+    oracle=_LINEAR_ATTR_ORACLE,
+    tags=("attribution", "W3", "sequence"),
+)
+def attribution_linear_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import linear_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = linear_attribution(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        conversion="purchase",
+        touch_events=["view", "click"],
+        within_seconds=_TD_WITHIN_S,
+        tiebreak_col="event_id",
+    )
+    return rows.groupBy("touch_event").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.round(
+            F.sum(F.col("credit").cast("decimal(20,9)")).cast("double"), 6
+        ).alias("total_credit"),
+    )

@@ -649,3 +649,39 @@ def test_hill_degenerate_and_short_keys(spark):
     assert got["flat"]["hill_alpha"] is None and got["flat"]["sum_log"] == 0.0
     with pytest.raises(ValueError):
         hill_tail_index(df, ["k"], "x", "tb", k=1)
+
+
+# ---------------------------------------------------------------------------
+# linear_attribution
+# ---------------------------------------------------------------------------
+
+
+def test_linear_attribution_equal_split(spark):
+    from telecom_dataengineering_pipeline_spark.operators.windows import (
+        linear_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "view", 1),
+        (1, t0 + dt.timedelta(minutes=10), "click", 2),
+        (1, t0 + dt.timedelta(minutes=20), "view", 3),
+        (1, t0 + dt.timedelta(minutes=30), "purchase", 4),
+        (2, t0, "click", 5),
+        (2, t0 + dt.timedelta(minutes=5), "purchase", 6),
+    ]
+    out = linear_attribution(
+        _ev(spark, rows),
+        "user_id",
+        "ts",
+        "event_type",
+        conversion="purchase",
+        touch_events=["view", "click"],
+        within_seconds=21_600,
+        tiebreak_col="event_id",
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r["credit"])
+    assert sorted(by_user[1]) == [round(1 / 3, 9)] * 3
+    assert by_user[2] == [1.0]
