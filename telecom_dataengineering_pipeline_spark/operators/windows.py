@@ -1289,3 +1289,64 @@ def linear_attribution(
         "k_touches",
         F.round(F.lit(1.0) / F.col("k_touches").cast("double"), 9).alias("credit"),
     )
+
+
+def markov_transition_entropy(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-state Markov entropy of user journeys: for each current event
+    type, the Shannon entropy of the NEXT-event distribution — how
+    predictable the journey is from each state (0 nats = deterministic
+    next step), plus the state's stationary weight so Σ weight·H is the
+    chain's entropy rate. The information-theoretic summary of
+    :func:`event_transition_matrix`'s rows (and the conditional
+    companion of the daily event-mix entropy monitor).
+
+    Exactness: transition counts are exact; each −p·ln p term uses the
+    round-then-decimal fold (9 dp) so the per-state sum is
+    order-independent; weights are one fixed-shape division. The lag
+    runs on the user-keyed exchange every sequence query shares; the
+    entropy folds over the (src, dst) pair grain — alphabet², metadata-
+    sized, so its single-partition global-total window is sanctioned.
+
+    Returns one row per state: (state, n_transitions, n_next_states,
+    h_nats, weight, rate_term).
+    """
+    tb = tiebreak_col or event_col
+    w = Window.partitionBy(user_col).orderBy(
+        F.unix_micros(F.col(ts_col)).asc(), F.col(tb).asc()
+    )
+    seq = df.select(
+        F.col(event_col).alias("src"),
+        F.lead(F.col(event_col)).over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = F.sum("n").over(Window.partitionBy("src")).cast("long")
+    total = F.sum("n").over(Window.partitionBy()).cast("long")
+    p = F.col("n").cast("double") / F.col("t").cast("double")
+    term = F.round(-(p * F.log(p)), 9).cast("decimal(28,9)")
+    cells = pairs.select("src", "n", t.alias("t"), total.alias("total")).select(
+        "src", "n", "t", "total", term.alias("_term")
+    )
+    out = cells.groupBy("src").agg(
+        F.max("t").alias("n_transitions"),
+        F.count(F.lit(1)).cast("long").alias("n_next_states"),
+        F.sum("_term").alias("_h"),
+        F.max("total").alias("_tot"),
+    )
+    h = F.col("_h").cast("double")
+    wgt = F.col("n_transitions").cast("double") / F.col("_tot").cast("double")
+    return out.select(
+        F.col("src").alias("state"),
+        "n_transitions",
+        "n_next_states",
+        (F.round(h, 6) + F.lit(0.0)).alias("h_nats"),
+        F.round(wgt, 6).alias("weight"),
+        (F.round(wgt * h, 6) + F.lit(0.0)).alias("rate_term"),
+    )

@@ -722,3 +722,129 @@ def attribution_linear_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("credit").cast("decimal(20,9)")).cast("double"), 6
         ).alias("total_credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy of user journeys: per-state next-event entropy + the
+# stationary-weighted entropy-rate terms — the information-theoretic
+# summary of the transition matrix.
+# ---------------------------------------------------------------------------
+
+_MARKOV_ENTROPY_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) ASC, event_id ASC) AS dst
+  FROM events
+), pairs AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+), cells AS (
+  SELECT src, n,
+         CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS t,
+         CAST(sum(n) OVER () AS BIGINT) AS total
+  FROM pairs
+), terms AS (
+  SELECT src, n, t, total,
+    CAST(round(-(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+         * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)), 9) AS DECIMAL(28,9)) AS term
+  FROM cells
+), agg AS (
+  SELECT src, max(t) AS n_transitions, CAST(count(*) AS BIGINT) AS n_next_states,
+         sum(term) AS h, max(total) AS tot
+  FROM terms GROUP BY 1
+)
+SELECT src AS state, n_transitions, n_next_states,
+  round(CAST(h AS DOUBLE), 6) + 0.0 AS h_nats,
+  round(CAST(n_transitions AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
+  round((CAST(n_transitions AS DOUBLE) / CAST(tot AS DOUBLE))
+        * CAST(h AS DOUBLE), 6) + 0.0 AS rate_term
+FROM agg
+"""
+
+
+@register(
+    "markov_entropy_user_journeys",
+    oracle=_MARKOV_ENTROPY_ORACLE,
+    tags=("sequence", "A11", "W3"),
+)
+def markov_entropy_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import markov_transition_entropy
+
+    ev = load_table(spark, sf_dir, "events")
+    return markov_transition_entropy(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING trigram mining (streaming/ngrams.py): per-user keyed state
+# holds the two most recent events; each arrival completes a trigram.
+# The support/rank rollup over the emitted rows is the batch aggregate,
+# so the batch trigram oracle gates the stream row-for-row. Same staging
+# recipe as the other sequence streams: day-split parquet, one file per
+# trigger, availableNow.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "trigram_stream_mining",
+    oracle=_TRIGRAM_ORACLE,
+    tags=("T2", "T4", "stream", "sequence"),
+)
+def trigram_stream_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..streaming.ngrams import trigram_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").cast("string").alias("tb"),
+        F.col("event_type").alias("ev"),
+        F.date_format("ts", "dd").cast("int").alias("_d"),
+    )
+    sink = "trigram_stream_mining_sink"
+    spark.catalog.dropTempView(sink)
+    staging = tempfile.mkdtemp(prefix="trigram_stream_src_")
+    try:
+        cols = ["user_id", "us", "tb", "ev"]
+        ev.filter(F.col("_d") <= 15).select(*cols).coalesce(1).write.parquet(
+            os.path.join(staging, "b0")
+        )
+        ev.filter(F.col("_d") > 15).select(*cols).coalesce(1).write.parquet(
+            os.path.join(staging, "b1")
+        )
+        stream = (
+            spark.readStream.schema("user_id long, us long, tb string, ev string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging + "/b*")
+        )
+        q = (
+            trigram_stream(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    counts = spark.table(sink).groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).cast("long").alias("support"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    rank_w = Window.orderBy(
+        F.col("support").desc(),
+        F.col("e1").asc(),
+        F.col("e2").asc(),
+        F.col("e3").asc(),
+    )
+    return counts.withColumn(
+        "pattern_rank", F.row_number().over(rank_w).cast("long")
+    )

@@ -685,3 +685,63 @@ def test_linear_attribution_equal_split(spark):
         by_user.setdefault(r["user_id"], []).append(r["credit"])
     assert sorted(by_user[1]) == [round(1 / 3, 9)] * 3
     assert by_user[2] == [1.0]
+
+
+# ---------------------------------------------------------------------------
+# markov_transition_entropy
+# ---------------------------------------------------------------------------
+
+
+def test_markov_entropy_hand_case(spark):
+    import math
+
+    from telecom_dataengineering_pipeline_spark.operators.windows import (
+        markov_transition_entropy,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1: a -> b -> a -> c : transitions a->b, b->a, a->c
+    rows = [
+        (1, t0 + dt.timedelta(minutes=i), e, i)
+        for i, e in enumerate(["a", "b", "a", "c"])
+    ]
+    got = {
+        r["state"]: r
+        for r in markov_transition_entropy(
+            _ev(spark, rows), "user_id", "ts", "event_type", tiebreak_col="event_id"
+        ).collect()
+    }
+    # state a: next in {b, c} uniformly -> H = ln 2; weight 2/3
+    term = round(-(0.5 * math.log(0.5)), 9)
+    h_a = round(2 * term, 6)
+    assert got["a"]["n_transitions"] == 2 and got["a"]["n_next_states"] == 2
+    assert got["a"]["h_nats"] == h_a
+    assert got["a"]["weight"] == round(2 / 3, 6)
+    # state b: deterministic next -> 0 entropy (and -0.0 normalized)
+    assert got["b"]["h_nats"] == 0.0 and str(got["b"]["h_nats"])[0] != "-"
+    assert got["b"]["rate_term"] == 0.0
+    assert "c" not in got  # terminal state: no outgoing transitions
+
+
+# ---------------------------------------------------------------------------
+# trigram_stream_mining: stream == batch on the same corpus
+# ---------------------------------------------------------------------------
+
+
+def test_trigram_stream_equals_batch(spark):
+    from telecom_dataengineering_pipeline_spark.queries.round14 import (
+        event_trigram_mining,
+        trigram_stream_mining,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: (r["pattern_rank"], r["e1"], r["e2"], r["e3"])
+    batch = sorted(
+        (key(r), r["support"], r["n_users"])
+        for r in event_trigram_mining(spark, sf).collect()
+    )
+    stream = sorted(
+        (key(r), r["support"], r["n_users"])
+        for r in trigram_stream_mining(spark, sf).collect()
+    )
+    assert stream == batch
