@@ -1226,3 +1226,101 @@ def truncation_recall_profile(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def kcenter_greedy(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-center greedy coreset selection (farthest-point traversal, the
+    2-approximation of the k-center objective): starting from the
+    smallest id, repeatedly select the point FARTHEST from the current
+    set — the classic diversity-maximizing subset for training-data
+    curation and the seeding rule of k-means++ without the randomness.
+
+    Determinism/scale shape: squared L2 distances derive from the same
+    left-fold dot product the cosine queries already bit-match across
+    engines (d² = |a|² + |b|² − 2·a·b, one expression shape), round to 6
+    before comparisons, and break argmax ties by smallest id. Each of
+    the k rounds is ONE pass over the lineage-cut point set (running-min
+    update against the 1-row broadcast center) plus a top-1
+    TakeOrdered — no pairwise matrix ever materializes; at 100 TB this
+    is k scans of the embedding table, the standard distributed
+    farthest-point sweep. Rounds checkpoint lazily so the unrolled plan
+    stays linear in k.
+
+    Returns k rows: (sel_rank, vec_id, dist2) — dist2 the selected
+    point's squared distance to the previously selected set (NULL for
+    the seed), i.e. the coverage radius² of the first rank−1 centers.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pts = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("sq", _dot(F.col("v"), F.col("v")))
+        .localCheckpoint(eager=False)
+    )
+
+    def d2(sq_col, csq_col, v_col, cv_col):
+        raw = sq_col + csq_col - F.lit(2.0) * _dot(v_col, cv_col)
+        return F.round(F.greatest(raw, F.lit(0.0)), 6)
+
+    seed = pts.orderBy(F.col("vec_id").asc()).limit(1).localCheckpoint(eager=False)
+    picks = [
+        seed.select(
+            F.lit(1).cast("int").alias("sel_rank"),
+            "vec_id",
+            F.lit(None).cast("double").alias("dist2"),
+        )
+    ]
+    cur = (
+        pts.crossJoin(
+            F.broadcast(seed.select(F.col("v").alias("cv"), F.col("sq").alias("csq")))
+        )
+        .select(
+            "vec_id",
+            "v",
+            "sq",
+            d2(F.col("sq"), F.col("csq"), F.col("v"), F.col("cv")).alias("mind"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for r in range(2, k + 1):
+        c = (
+            cur.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        picks.append(
+            c.select(
+                F.lit(r).cast("int").alias("sel_rank"),
+                "vec_id",
+                F.col("mind").alias("dist2"),
+            )
+        )
+        if r < k:
+            cur = (
+                cur.crossJoin(
+                    F.broadcast(
+                        c.select(F.col("v").alias("cv"), F.col("sq").alias("csq"))
+                    )
+                )
+                .select(
+                    "vec_id",
+                    "v",
+                    "sq",
+                    F.least(
+                        F.col("mind"),
+                        d2(F.col("sq"), F.col("csq"), F.col("v"), F.col("cv")),
+                    ).alias("mind"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

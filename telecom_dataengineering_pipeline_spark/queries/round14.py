@@ -848,3 +848,67 @@ def trigram_stream_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn(
         "pattern_rank", F.row_number().over(rank_w).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset over the embeddings table: farthest-point
+# traversal, 8 centers. The oracle unrolls the identical greedy rounds
+# (MATERIALIZED per round — DuckDB otherwise re-inlines the whole prefix
+# into every union branch); distances share the cosine queries' proven
+# left-fold dot-product shape.
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 8
+
+
+def _kcenter_oracle(k: int = _KCENTER_K) -> str:
+    parts = [
+        """WITH pts AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), base AS MATERIALIZED (
+  SELECT vec_id, v, list_dot_product(v, v) AS sq FROM pts
+),
+c1 AS (SELECT vec_id, v, sq FROM base ORDER BY vec_id ASC LIMIT 1),
+d1 AS MATERIALIZED (
+  SELECT p.vec_id, p.v, p.sq,
+    round(greatest(p.sq + c.sq - 2.0 * list_dot_product(p.v, c.v), 0.0), 6) AS mind
+  FROM base p CROSS JOIN c1 c
+)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f""",
+c{r} AS (SELECT vec_id, v, sq, mind FROM d{r - 1}
+        ORDER BY mind DESC, vec_id ASC LIMIT 1)"""
+        )
+        if r < k:
+            parts.append(
+                f""",
+d{r} AS MATERIALIZED (
+  SELECT p.vec_id, p.v, p.sq,
+    least(p.mind,
+          round(greatest(p.sq + c.sq - 2.0 * list_dot_product(p.v, c.v), 0.0), 6)
+    ) AS mind
+  FROM d{r - 1} p CROSS JOIN c{r} c
+)"""
+            )
+    branches = [
+        "SELECT CAST(1 AS INTEGER) AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS dist2 FROM c1"
+    ] + [
+        f"SELECT CAST({r} AS INTEGER), vec_id, mind FROM c{r}" for r in range(2, k + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(branches))
+    return "".join(parts)
+
+
+@register(
+    "coreset_kcenter_embeddings",
+    oracle=_kcenter_oracle(),
+    tags=("LLM", "similarity", "sampling", "iterative"),
+)
+def coreset_kcenter_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.similarity import kcenter_greedy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_greedy(emb, k=_KCENTER_K)

@@ -745,3 +745,27 @@ def test_trigram_stream_equals_batch(spark):
         for r in trigram_stream_mining(spark, sf).collect()
     )
     assert stream == batch
+
+
+# ---------------------------------------------------------------------------
+# kcenter_greedy
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_greedy_hand_case(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.similarity import (
+        kcenter_greedy,
+    )
+
+    # 1-D points on a line: greedy from the smallest id (pos 0)
+    pts = [(1, [0.0]), (2, [1.0]), (3, [10.0]), (4, [11.0]), (5, [100.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    got = [
+        (r["sel_rank"], r["vec_id"], r["dist2"])
+        for r in kcenter_greedy(df, k=4).orderBy("sel_rank").collect()
+    ]
+    # rank2: farthest from {0} is 100 (d2 10000); rank3: 11 (min(121,7921));
+    # rank4: tie at d2=1 between ids 2 and 3 -> smaller id wins
+    assert got == [(1, 1, None), (2, 5, 10000.0), (3, 4, 121.0), (4, 2, 1.0)]
+    with pytest.raises(ValueError):
+        kcenter_greedy(df, k=0)
