@@ -240,3 +240,93 @@ def pca_project(
         scaled_w = [float(x) * scale for x in w]
         coords.append(_dot_lit(F.col(vec_col), scaled_w) - F.lit(offset))
     return emb.withColumn(out_col, F.array(*coords))
+
+
+def jl_sign_matrix(in_dims: int, out_dims: int, salt: str = "jl") -> list[list[float]]:
+    """Deterministic ±1 Johnson–Lindenstrauss projection matrix: sign
+    (j, i) derives from md5(f"{salt}_{j}_{i}") — the same engine-neutral
+    hash family as the CMS/HLL/bootstrap constructions, computed ONCE in
+    Python and embedded as literals in BOTH engines' expressions (random
+    Gaussian/Rademacher draws are exactly what an oracle-checked engine
+    can't have). Achlioptas (2003): ±1 entries satisfy the JL lemma with
+    the same distortion bounds as Gaussian entries."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{salt}_{j}_{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1.0
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def jl_distortion_pairs(
+    emb: DataFrame,
+    in_dims: int = 64,
+    out_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "jl",
+) -> DataFrame:
+    """JL sign-projection distortion audit over consecutive-id pairs:
+    project every vector to ``out_dims`` via the deterministic ±1 matrix
+    (scaled 1/√out_dims — exact when out_dims is a perfect square like
+    16), then compare each (id, id+1) pair's projected squared distance
+    against the original. ``distortion`` ≈ 1 everywhere is the JL
+    guarantee made auditable — the cheap-random sibling of the PCA/MRL
+    audits.
+
+    Shape: the projection is ``out_dims`` literal-weight fold dots per
+    row (pure codegen, the proven left-fold shape); the pair join is a
+    self-equi-join on id+1 — linear, never pairwise. Audit grain =
+    |vectors| rows.
+    """
+    root = out_dims ** 0.5
+    if root != int(root):
+        raise ValueError("out_dims must be a perfect square so 1/sqrt is exact")
+    scale = 1.0 / root
+    mat = jl_sign_matrix(in_dims, out_dims, salt=salt)
+    from .similarity import _as_double, _dot
+
+    pts = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    proj = pts.select(
+        "vec_id",
+        "v",
+        *[
+            (_dot_lit(F.col("v"), row) * F.lit(scale)).alias(f"p{j}")
+            for j, row in enumerate(mat)
+        ],
+    ).localCheckpoint(eager=False)
+    a = proj.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        *[F.col(f"p{j}").alias(f"a{j}") for j in range(out_dims)],
+    )
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        *[F.col(f"p{j}").alias(f"b{j}") for j in range(out_dims)],
+    )
+    joined = a.join(b, "id_a")
+    diff = F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x - y)
+    orig_d2 = _dot(diff, diff)
+    proj_terms = [
+        (F.col(f"a{j}") - F.col(f"b{j}")) * (F.col(f"a{j}") - F.col(f"b{j}"))
+        for j in range(out_dims)
+    ]
+    proj_d2 = proj_terms[0]
+    for t in proj_terms[1:]:
+        proj_d2 = proj_d2 + t
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(orig_d2, 6).alias("orig_d2"),
+        F.round(proj_d2, 6).alias("proj_d2"),
+        F.when(orig_d2 > 0, F.round(proj_d2 / orig_d2, 6)).alias("distortion"),
+    )

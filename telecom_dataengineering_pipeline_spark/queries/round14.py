@@ -912,3 +912,62 @@ def coreset_kcenter_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kcenter_greedy(emb, k=_KCENTER_K)
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss distortion audit: the ±1 projection matrix is
+# md5-derived IN PYTHON and embedded as literals in both engines
+# (Achlioptas signs; random draws are what an oracle-checked engine
+# can't have); scale 1/√16 = 0.25 is exact. Original and projected
+# distances both fold left-to-right (the proven dot shape).
+# ---------------------------------------------------------------------------
+
+_JL_OUT = 16
+
+
+def _jl_oracle() -> str:
+    from ..llmprep.projections import jl_sign_matrix
+
+    mat = jl_sign_matrix(64, _JL_OUT)
+    cols = ",\n    ".join(
+        "list_dot_product(v, ["
+        + ", ".join(f"{x!r}" for x in row)
+        + f"]) * 0.25 AS p{j}"
+        for j, row in enumerate(mat)
+    )
+    proj_d2 = " + ".join(
+        f"(a.p{j} - b.p{j}) * (a.p{j} - b.p{j})" for j in range(_JL_OUT)
+    )
+    return f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+proj AS MATERIALIZED (
+  SELECT vec_id, v,
+    {cols}
+  FROM pts
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_dot_product(
+      list_transform(list_zip(a.v, b.v), s -> s[1] - s[2]),
+      list_transform(list_zip(a.v, b.v), s -> s[1] - s[2])
+    ) AS orig_d2,
+    {proj_d2} AS proj_d2
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+)
+SELECT id_a, id_b, round(orig_d2, 6) AS orig_d2, round(proj_d2, 6) AS proj_d2,
+  CASE WHEN orig_d2 > 0 THEN round(proj_d2 / orig_d2, 6) END AS distortion
+FROM pairs
+"""
+
+
+@register(
+    "jl_distortion_pairs", oracle=_jl_oracle(), tags=("LLM", "similarity")
+)
+def jl_distortion_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmprep.projections import jl_distortion_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return jl_distortion_pairs(emb, in_dims=64, out_dims=_JL_OUT)

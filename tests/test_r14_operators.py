@@ -769,3 +769,46 @@ def test_kcenter_greedy_hand_case(spark):
     assert got == [(1, 1, None), (2, 5, 10000.0), (3, 4, 121.0), (4, 2, 1.0)]
     with pytest.raises(ValueError):
         kcenter_greedy(df, k=0)
+
+
+# ---------------------------------------------------------------------------
+# jl_distortion_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_jl_matrix_deterministic_and_balanced():
+    from telecom_dataengineering_pipeline_spark.llmprep.projections import (
+        jl_sign_matrix,
+    )
+
+    m1 = jl_sign_matrix(64, 16)
+    m2 = jl_sign_matrix(64, 16)
+    assert m1 == m2  # pure function of the salt
+    flat = [x for row in m1 for x in row]
+    assert set(flat) == {1.0, -1.0}
+    # md5 signs should be roughly balanced (this is a fixed matrix,
+    # so the bound is a deterministic fact, not a flaky statistic)
+    pos = sum(1 for x in flat if x > 0)
+    assert 400 < pos < 624
+
+
+def test_jl_distortion_near_one_for_identical_shift(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.projections import (
+        jl_distortion_pairs,
+    )
+
+    # pair of identical vectors: orig_d2 = 0 -> NULL distortion;
+    # pair differing in one coordinate: proj_d2 = sum_j (r_ji * delta)^2 / 16
+    # = delta^2 * (sum of 16 sign^2)/16 = delta^2 exactly -> distortion 1.0
+    v = [1.0] * 64
+    v2 = list(v)
+    v2[5] = 3.0
+    df = spark.createDataFrame(
+        [(0, v), (1, v), (2, v2)], "vec_id long, embedding array<float>"
+    )
+    got = {r["id_a"]: r for r in jl_distortion_pairs(df).collect()}
+    assert got[0]["orig_d2"] == 0.0 and got[0]["distortion"] is None
+    assert got[1]["orig_d2"] == 4.0
+    assert got[1]["distortion"] == 1.0  # single-coordinate delta is exact under signs
+    with pytest.raises(ValueError):
+        jl_distortion_pairs(df, out_dims=15)
