@@ -2559,3 +2559,105 @@ SELECT k AS {key_name}, CAST(n AS BIGINT) AS n, r1, r2, r3,
             / (1.0 - phi21 * r1 - phi2 * r2), 6) + 0.0 END AS pacf3
 FROM dl2
 """
+
+
+def granger_lag1(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    t_col: str,
+    y_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Lag-1 Granger-causality F-test per key: does x's past improve the
+    prediction of y beyond y's own past? Unrestricted
+    ``y_t = b0 + b1·y_{t−1} + b2·x_{t−1}`` vs restricted
+    ``y_t = a0 + a1·y_{t−1}``; F = (SSE_r − SSE_u) / (SSE_u/(n−3)) with
+    (1, n−3) degrees of freedom. The causal-direction companion of
+    :func:`ccf_profile` (which only measures lagged correlation).
+
+    Both models solve in closed form from ONE set of exact decimal sums
+    (the :func:`ols_two_feature` width discipline — every product stays
+    inside decimal(38,_)); the lag is one window over the unique time
+    key; every float is a fixed-shape expression mirrored in the oracle.
+    SSEs use the OLS-optimum identity. Degenerate keys (n < 4, singular
+    normal matrix, zero residual variance) yield NULL F, never a
+    blow-up. Returns (keys…, n_obs, b1_y, b2_x, sse_u, sse_r, f_stat).
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(t_col).asc())
+    lagged = df.select(
+        *keys,
+        F.col(y_col).alias("_yraw"),
+        F.lag(F.col(y_col)).over(w).alias("_ylag"),
+        F.lag(F.col(x_col)).over(w).alias("_xlag"),
+    ).filter(F.col("_ylag").isNotNull() & F.col("_xlag").isNotNull())
+    x1 = F.col("_ylag").cast("decimal(16,4)")
+    x2 = F.col("_xlag").cast("decimal(16,4)")
+    y = F.col("_yraw").cast("decimal(18,4)")
+    big = "decimal(38,8)"
+    agg = lagged.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x1).alias("_s1"),
+        F.sum(x2).alias("_s2"),
+        F.sum(y).alias("_sy"),
+        F.sum((x1 * x1).cast(big)).alias("_s11"),
+        F.sum((x2 * x2).cast(big)).alias("_s22"),
+        F.sum((x1 * x2).cast(big)).alias("_s12"),
+        F.sum((x1 * y).cast(big)).alias("_s1y"),
+        F.sum((x2 * y).cast(big)).alias("_s2y"),
+        F.sum((y * y).cast(big)).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2, sy = (F.col(c).cast("double") for c in ("_s1", "_s2", "_sy"))
+    # FLOOR the PRODUCT sums before the double cast: their scale-8
+    # unscaled values exceed 2^53 at gate scales, where the two engines'
+    # decimal→double rounding can differ by 1 ulp — harmless alone, but
+    # detr = n·s11 − s1² CANCELS, amplifying that ulp ~300× into the
+    # restricted SSE (caught at sf0.1). floor() has identical toward-−∞
+    # semantics in both engines (a decimal(22,0) narrowing does NOT:
+    # Spark rounds HALF_UP, DuckDB truncates — also caught here), and
+    # the floored integer is < 2^53 so the double cast is exact. The
+    # dropped sub-unit fraction is ~1e-15 relative at this magnitude.
+    s11, s22, s12 = (
+        F.floor(F.col(c)).cast("double") for c in ("_s11", "_s22", "_s12")
+    )
+    s1y, s2y, syy = (
+        F.floor(F.col(c)).cast("double") for c in ("_s1y", "_s2y", "_syy")
+    )
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    sse_u = syy - ((det0 / det) * sy + (det1 / det) * s1y + (det2 / det) * s2y)
+    detr = n * s11 - s1 * s1
+    a1 = (n * s1y - s1 * sy) / detr
+    a0 = (sy - a1 * s1) / n
+    sse_r = syy - a0 * sy - a1 * s1y
+    ok = (F.col("n") >= 4) & (det != 0) & (detr != 0)
+    f_ok = ok & (sse_u > 0)
+    f_stat = (sse_r - sse_u) / (sse_u / (n - F.lit(3.0)))
+    return agg.select(
+        *keys,
+        F.col("n").alias("n_obs"),
+        F.round(F.when(ok, det1 / det), 6).alias("b1_y"),
+        F.round(F.when(ok, det2 / det), 6).alias("b2_x"),
+        (F.round(F.when(ok, sse_u), 6) + F.lit(0.0)).alias("sse_u"),
+        (F.round(F.when(ok, sse_r), 6) + F.lit(0.0)).alias("sse_r"),
+        (F.round(F.when(f_ok, f_stat), 6) + F.lit(0.0)).alias("f_stat"),
+    )

@@ -2319,3 +2319,44 @@ def hill_tail_index(
         F.round(F.col("_slog").cast("double"), 6).alias("sum_log"),
         alpha.alias("hill_alpha"),
     )
+
+
+def dispersion_index(
+    df: DataFrame,
+    key_cols: "Sequence[str] | list[str]",
+    count_col: str,
+) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) per key over a count
+    series — the Poisson-ness check: D ≈ 1 is Poisson, D > 1
+    overdispersed (bursty), D < 1 underdispersed (regular); the χ²
+    statistic (n−1)·D grades it. The count-data companion of the
+    z-score/EWMA volume monitors (they assume a stable mean; this asks
+    whether the VARIANCE is even compatible with one).
+
+    Counts are exact integers, so Σc and Σc² are exact LONG sums and
+    mean/variance are the only floats (one shape per engine, sample
+    variance via the sum identity). Keys with n < 2 or zero mean yield
+    NULL. One map-side-combined aggregate; output is |keys|-sized.
+    """
+    keys = list(key_cols)
+    c = F.col(count_col).cast("long")
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(c).alias("_s"),
+        F.sum(c * c).alias("_ss"),
+    )
+    n = F.col("n_obs").cast("double")
+    s, ss = F.col("_s").cast("double"), F.col("_ss").cast("double")
+    mean = s / n
+    var = (ss - s * s / n) / (n - F.lit(1.0))
+    ok = (F.col("n_obs") >= 2) & (F.col("_s") > 0)
+    d = var / mean
+    return agg.select(
+        *keys,
+        "n_obs",
+        F.round(mean, 6).alias("mean_count"),
+        (F.round(F.when(ok, var), 6) + F.lit(0.0)).alias("var_count"),
+        (F.round(F.when(ok, d), 6) + F.lit(0.0)).alias("dispersion_index"),
+        (F.round(F.when(ok, (n - F.lit(1.0)) * d), 6) + F.lit(0.0)).alias("chi2"),
+        F.when(ok, d > F.lit(1.0)).alias("overdispersed"),
+    )

@@ -971,3 +971,153 @@ def jl_distortion_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return jl_distortion_pairs(emb, in_dims=64, out_dims=_JL_OUT)
+
+
+# ---------------------------------------------------------------------------
+# Granger lag-1 causality: does daily event VOLUME's past improve the
+# prediction of daily event VALUE beyond value's own past, per type?
+# Both nested OLS models solve from one exact decimal sum set.
+# ---------------------------------------------------------------------------
+
+_GRANGER_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS t,
+         sum(CAST(round(value, 2) AS DECIMAL(14,2))) AS yv,
+         CAST(count(*) AS BIGINT) AS xv
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT k, yv AS yraw,
+         lag(yv) OVER (PARTITION BY k ORDER BY t ASC) AS ylag,
+         lag(xv) OVER (PARTITION BY k ORDER BY t ASC) AS xlag
+  FROM daily
+), rows_ AS (
+  SELECT k, CAST(ylag AS DECIMAL(16,4)) AS x1, CAST(xlag AS DECIMAL(16,4)) AS x2,
+         CAST(yraw AS DECIMAL(18,4)) AS y
+  FROM lagged WHERE ylag IS NOT NULL AND xlag IS NOT NULL
+), agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n,
+    sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+    sum(CAST(CAST(x1 AS DECIMAL(19,4)) * x1 AS DECIMAL(38,8))) AS s11,
+    sum(CAST(CAST(x2 AS DECIMAL(19,4)) * x2 AS DECIMAL(38,8))) AS s22,
+    sum(CAST(CAST(x1 AS DECIMAL(19,4)) * x2 AS DECIMAL(38,8))) AS s12,
+    sum(CAST(CAST(x1 AS DECIMAL(19,4)) * y AS DECIMAL(38,8))) AS s1y,
+    sum(CAST(CAST(x2 AS DECIMAL(19,4)) * y AS DECIMAL(38,8))) AS s2y,
+    sum(CAST(CAST(y AS DECIMAL(19,4)) * y AS DECIMAL(38,8))) AS syy
+  FROM rows_ GROUP BY 1
+), d AS (
+  SELECT k, n,
+    CAST(n AS DOUBLE) AS nd,
+    CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2, CAST(sy AS DOUBLE) AS sy,
+    CAST(floor(s11) AS DOUBLE) AS s11,
+    CAST(floor(s22) AS DOUBLE) AS s22,
+    CAST(floor(s12) AS DOUBLE) AS s12,
+    CAST(floor(s1y) AS DOUBLE) AS s1y,
+    CAST(floor(s2y) AS DOUBLE) AS s2y,
+    CAST(floor(syy) AS DOUBLE) AS syy
+  FROM agg
+), m AS (
+  SELECT k, n, nd, s1, s2, sy, s1y, s2y, syy,
+    nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s12 - s11 * s2) AS det,
+    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+    nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s2y - s1y * s2) AS det1,
+    nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+      + sy * (s1 * s12 - s11 * s2) AS det2,
+    nd * s11 - s1 * s1 AS detr
+  FROM d
+), fit AS (
+  SELECT k, n, nd, det, det1, det2, detr,
+    syy - ((det0 / det) * sy + (det1 / det) * s1y + (det2 / det) * s2y) AS sse_u,
+    syy - ((sy - ((nd * s1y - s1 * sy) / detr) * s1) / nd) * sy
+        - ((nd * s1y - s1 * sy) / detr) * s1y AS sse_r
+  FROM m
+)
+SELECT k AS event_type, n AS n_obs,
+  round(CASE WHEN n >= 4 AND det <> 0 AND detr <> 0 THEN det1 / det END, 6) AS b1_y,
+  round(CASE WHEN n >= 4 AND det <> 0 AND detr <> 0 THEN det2 / det END, 6) AS b2_x,
+  round(CASE WHEN n >= 4 AND det <> 0 AND detr <> 0 THEN sse_u END, 6) + 0.0 AS sse_u,
+  round(CASE WHEN n >= 4 AND det <> 0 AND detr <> 0 THEN sse_r END, 6) + 0.0 AS sse_r,
+  round(CASE WHEN n >= 4 AND det <> 0 AND detr <> 0 AND sse_u > 0
+        THEN (sse_r - sse_u) / (sse_u / (nd - 3.0)) END, 6) + 0.0 AS f_stat
+FROM fit
+"""
+
+
+@register(
+    "granger_volume_causes_value", oracle=_GRANGER_ORACLE, tags=("trend", "A11")
+)
+def granger_volume_causes_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import granger_lag1
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("k"),
+            F.date_format("ts", "yyyy-MM-dd").alias("t"),
+        )
+        .agg(
+            F.sum(F.round("value", 2).cast("decimal(14,2)")).alias("yv"),
+            F.count(F.lit(1)).cast("long").alias("xv"),
+        )
+    )
+    out = granger_lag1(daily, ["k"], "t", "yv", "xv")
+    return out.withColumnRenamed("k", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Index of dispersion over daily event counts per type: the Poisson-ness
+# check the volume monitors implicitly assume.
+# ---------------------------------------------------------------------------
+
+_DISPERSION_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS t,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+  FROM daily GROUP BY 1
+)
+SELECT k AS event_type, n_obs,
+  round(CAST(s AS DOUBLE) / CAST(n_obs AS DOUBLE), 6) AS mean_count,
+  round(CASE WHEN n_obs >= 2 AND s > 0
+        THEN (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+              / CAST(n_obs AS DOUBLE)) / (CAST(n_obs AS DOUBLE) - 1.0) END, 6)
+    + 0.0 AS var_count,
+  round(CASE WHEN n_obs >= 2 AND s > 0
+        THEN ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n_obs AS DOUBLE)) / (CAST(n_obs AS DOUBLE) - 1.0))
+             / (CAST(s AS DOUBLE) / CAST(n_obs AS DOUBLE)) END, 6)
+    + 0.0 AS dispersion_index,
+  round(CASE WHEN n_obs >= 2 AND s > 0
+        THEN (CAST(n_obs AS DOUBLE) - 1.0)
+             * ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n_obs AS DOUBLE)) / (CAST(n_obs AS DOUBLE) - 1.0))
+             / (CAST(s AS DOUBLE) / CAST(n_obs AS DOUBLE)) END, 6)
+    + 0.0 AS chi2,
+  CASE WHEN n_obs >= 2 AND s > 0
+       THEN ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+              / CAST(n_obs AS DOUBLE)) / (CAST(n_obs AS DOUBLE) - 1.0))
+            / (CAST(s AS DOUBLE) / CAST(n_obs AS DOUBLE)) > 1.0
+  END AS overdispersed
+FROM agg
+"""
+
+
+@register(
+    "dispersion_index_daily_counts", oracle=_DISPERSION_ORACLE, tags=("DQ", "A11")
+)
+def dispersion_index_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.monitors import dispersion_index
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"), F.date_format("ts", "yyyy-MM-dd").alias("t")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return dispersion_index(daily, ["event_type"], "c")

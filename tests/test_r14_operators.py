@@ -812,3 +812,74 @@ def test_jl_distortion_near_one_for_identical_shift(spark):
     assert got[1]["distortion"] == 1.0  # single-coordinate delta is exact under signs
     with pytest.raises(ValueError):
         jl_distortion_pairs(df, out_dims=15)
+
+
+# ---------------------------------------------------------------------------
+# granger_lag1 / dispersion_index
+# ---------------------------------------------------------------------------
+
+
+def test_granger_matches_python_reference(spark):
+    import math
+
+    from telecom_dataengineering_pipeline_spark.operators.trend import granger_lag1
+
+    ys = [10.0, 20.0, 15.0, 30.0, 25.0, 40.0, 35.0, 50.0]
+    xs = [1, 4, 2, 5, 3, 7, 8, 9]
+    rows = [("k", t + 1, ys[t], xs[t]) for t in range(8)]
+    df = spark.createDataFrame(rows, "k string, t long, yv double, xv long").select(
+        "k", "t", F.col("yv").cast("decimal(14,2)").alias("yv"), "xv"
+    )
+    got = granger_lag1(df, ["k"], "t", "yv", "xv").collect()[0]
+    # pure-Python mirror of the exact expression tree
+    pts = [(ys[t - 1], float(xs[t - 1]), ys[t]) for t in range(1, 8)]
+    n = float(len(pts))
+    s1 = sum(p[0] for p in pts); s2 = sum(p[1] for p in pts); sy = sum(p[2] for p in pts)
+    s11 = math.floor(sum(p[0] * p[0] for p in pts)); s22 = math.floor(sum(p[1] * p[1] for p in pts))
+    s12 = math.floor(sum(p[0] * p[1] for p in pts)); s1y = math.floor(sum(p[0] * p[2] for p in pts))
+    s2y = math.floor(sum(p[1] * p[2] for p in pts)); syy = math.floor(sum(p[2] * p[2] for p in pts))
+    det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+    det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+    det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)
+    det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)
+    sse_u = syy - ((det0 / det) * sy + (det1 / det) * s1y + (det2 / det) * s2y)
+    detr = n * s11 - s1 * s1
+    a1 = (n * s1y - s1 * sy) / detr
+    a0 = (sy - a1 * s1) / n
+    sse_r = syy - a0 * sy - a1 * s1y
+    assert got["n_obs"] == 7
+    assert got["b1_y"] == round(det1 / det, 6)
+    assert got["b2_x"] == round(det2 / det, 6)
+    assert got["sse_u"] == round(sse_u, 6) + 0.0
+    assert got["sse_r"] == round(sse_r, 6) + 0.0
+    assert got["f_stat"] == round((sse_r - sse_u) / (sse_u / (n - 3.0)), 6) + 0.0
+
+
+def test_granger_degenerate_short_series(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import granger_lag1
+
+    rows = [("k", t, 1.0 * t, t) for t in range(1, 4)]  # only 2 lagged rows
+    df = spark.createDataFrame(rows, "k string, t long, yv double, xv long").select(
+        "k", "t", F.col("yv").cast("decimal(14,2)").alias("yv"), "xv"
+    )
+    got = granger_lag1(df, ["k"], "t", "yv", "xv").collect()[0]
+    assert got["f_stat"] is None and got["b1_y"] is None
+
+
+def test_dispersion_index_hand_cases(spark):
+    from telecom_dataengineering_pipeline_spark.quality.monitors import (
+        dispersion_index,
+    )
+
+    rows = (
+        [("under", 1, 4), ("under", 2, 6)]  # var 2, mean 5 -> D 0.4
+        + [("over", 1, 1), ("over", 2, 9)]  # var 32, mean 5 -> D 6.4
+        + [("single", 1, 7)]  # n < 2 -> NULLs
+    )
+    df = spark.createDataFrame(rows, "k string, t long, c long")
+    got = {r["k"]: r for r in dispersion_index(df, ["k"], "c").collect()}
+    assert got["under"]["dispersion_index"] == 0.4
+    assert got["under"]["overdispersed"] is False
+    assert got["over"]["dispersion_index"] == 6.4
+    assert got["over"]["chi2"] == 6.4 and got["over"]["overdispersed"] is True
+    assert got["single"]["dispersion_index"] is None
