@@ -1,22 +1,28 @@
-"""Round-14 registrations (round 9, session 3): volatility bands,
-recency-decayed attribution, and sequential-pattern mining.
+"""Round-14 registrations (round 9, session 3) — twenty new oracled
+queries across the analytics tiers:
 
-- Bollinger bands (``operators/trend.py::bollinger_bands``) — trailing
-  mean ± k·σ with a breakout flag, the variance-adaptive sibling of the
-  fixed-band WMA/EWMA monitors (reference parity: the dbt volume-anomaly
-  threshold shape, ``assert_row_count_anomaly.sql``, with a local-σ band);
-- time-decay multi-touch attribution
-  (``operators/windows.py::time_decay_attribution``) — exponential
-  half-life credit over the same next-conversion kernel as last-touch /
-  U-shaped, completing the standard attribution-model trio;
-- event-sequence n-gram mining (``operators/windows.py::sequence_ngrams``)
-  — trigram support table over per-user ordered journeys, the n>1
-  generalization of the first-order transition matrix.
+- trend/monitoring: Bollinger bands (prior-window frame, breakout
+  flag), Haar wavelet detail energies, PACF via Durbin–Levinson over
+  the ACF query's rounded r-values, lag-1 Granger causality (nested
+  closed-form OLS), the variance-to-mean dispersion index;
+- attribution/sequence: time-decay and linear multi-touch attribution
+  (completing the four-model family), event trigram mining + its
+  keyed-state STREAMING twin, per-state Markov journey entropy;
+- inference/eval: hash-deterministic percentile bootstrap CIs,
+  split-conformal prediction intervals, the Hill tail index;
+- spatial: geohash-5 occupancy via a per-dialect generated
+  bit-interleave over integer micro-degrees;
+- LLM-prep: winnowing/MOSS fingerprint dedup pairs, k-center greedy
+  coreset selection, the Johnson–Lindenstrauss sign-projection
+  distortion audit, a STREAMING count-min-sketch twin.
 
 Registry conventions apply: exact DECIMAL folds wherever a sum crosses
-engines, integer DIV for bucketing (never float ratios on a floor
-boundary), identical IEEE expression shapes on both sides for every
-float, unique window tie-breaks, matching column names.
+engines, integer DIV for bucketing and key decodes past 2^53 (never
+float ratios on a floor boundary), explicit ``floor()`` for any
+scale-reducing narrowing (Spark HALF_UP vs DuckDB truncate), ``+ 0.0``
+after rounds that can yield IEEE −0.0, identical IEEE expression
+shapes on both sides for every float, unique window tie-breaks,
+matching column names.
 """
 
 from __future__ import annotations
