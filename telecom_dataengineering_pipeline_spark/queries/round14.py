@@ -267,7 +267,10 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 
 
 @register(
-    "winnowing_fingerprint_pairs", oracle=_WINNOW_ORACLE, tags=("LLM", "dedup")
+    "winnowing_fingerprint_pairs",
+    oracle=_WINNOW_ORACLE,
+    tags=("LLM", "dedup"),
+    bench=True,
 )
 def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmprep.dedup import winnowing_pairs
