@@ -2661,3 +2661,60 @@ def granger_lag1(
         (F.round(F.when(ok, sse_r), 6) + F.lit(0.0)).alias("sse_r"),
         (F.round(F.when(f_ok, f_stat), 6) + F.lit(0.0)).alias("f_stat"),
     )
+
+
+def pinball_loss_scorecard(
+    pairs: DataFrame,
+    key_cols: Sequence[str],
+    actual_col: str,
+    forecast_col: str,
+    quantiles: Sequence[float] = (0.1, 0.5, 0.9),
+) -> DataFrame:
+    """Pinball (quantile) loss of a point forecast read as each requested
+    quantile: L_q = q·(a−f)⁺ + (1−q)·(f−a)⁺, averaged per key — the
+    quantile-forecast member of the evaluation family
+    (:func:`forecast_errors` grades the mean, the conformal audit grades
+    the interval, this grades asymmetric over/under-forecasting: a
+    forecaster that systematically under-predicts scores badly at q=0.9).
+
+    Exactness: residuals are DECIMAL differences; each q is a Python
+    literal interpolated into BOTH engines, and q·r folds as
+    round-then-decimal (9 dp) so the per-key mean is order-independent.
+    One map-side aggregate; output grain |keys|·|quantiles|.
+    Returns (keys…, q, n_pairs, pinball_loss).
+    """
+    qs = [float(q) for q in quantiles]
+    if not qs or any(not (0.0 < q < 1.0) for q in qs):
+        raise ValueError("quantiles must be in (0, 1)")
+    keys = list(key_cols)
+    r = F.col(actual_col) - F.col(forecast_col)
+    base = pairs.select(*keys, r.alias("_r"))
+    over = F.when(F.col("_r") > 0, F.col("_r")).otherwise(F.lit(0)).cast("double")
+    under = F.when(F.col("_r") < 0, -F.col("_r")).otherwise(F.lit(0)).cast("double")
+    aggs = []
+    for i, q in enumerate(qs):
+        term = F.round(F.lit(q) * over + F.lit(1.0 - q) * under, 9).cast(
+            "decimal(28,9)"
+        )
+        aggs.append(F.sum(term).alias(f"_l{i}"))
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"), *aggs
+    )
+    stacked = agg.select(
+        *keys,
+        "n_pairs",
+        F.expr(
+            "stack({}, {})".format(
+                len(qs),
+                ", ".join(f"CAST({q!r} AS DOUBLE), _l{i}" for i, q in enumerate(qs)),
+            )
+        ).alias("q", "_l"),
+    )
+    return stacked.select(
+        *keys,
+        "q",
+        "n_pairs",
+        F.round(
+            F.col("_l").cast("double") / F.col("n_pairs").cast("double"), 6
+        ).alias("pinball_loss"),
+    )

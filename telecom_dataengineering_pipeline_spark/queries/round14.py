@@ -1130,3 +1130,67 @@ def dispersion_index_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     return dispersion_index(daily, ["event_type"], "c")
+
+
+# ---------------------------------------------------------------------------
+# Pinball-loss scorecard of the seasonal-naive forecaster at q=0.1/0.5/
+# 0.9 — asymmetric over/under-forecast grading next to MASE + conformal.
+# ---------------------------------------------------------------------------
+
+_PINBALL_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS k, CAST(strftime(ts, '%d') AS BIGINT) AS t,
+         CAST(sum(CAST(round(value, 2) AS DECIMAL(14,2))) AS DECIMAL(24,6)) AS v
+  FROM events GROUP BY 1, 2
+), paired AS (
+  SELECT a.k, a.v - f.v AS r
+  FROM daily a JOIN daily f ON f.k = a.k AND f.t = a.t - 7
+), parts AS (
+  SELECT k,
+    CAST(CASE WHEN r > 0 THEN r ELSE 0 END AS DOUBLE) AS over_,
+    CAST(CASE WHEN r < 0 THEN -r ELSE 0 END AS DOUBLE) AS under_
+  FROM paired
+), agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+    sum(CAST(round(0.1 * over_ + 0.9 * under_, 9) AS DECIMAL(28,9))) AS l0,
+    sum(CAST(round(0.5 * over_ + 0.5 * under_, 9) AS DECIMAL(28,9))) AS l1,
+    sum(CAST(round(0.9 * over_ + 0.09999999999999998 * under_, 9) AS DECIMAL(28,9))) AS l2
+  FROM parts GROUP BY 1
+)
+SELECT k AS event_type, q, n_pairs,
+       round(CAST(l AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS pinball_loss
+FROM (
+  SELECT k, CAST(0.1 AS DOUBLE) AS q, n_pairs, l0 AS l FROM agg
+  UNION ALL SELECT k, CAST(0.5 AS DOUBLE), n_pairs, l1 FROM agg
+  UNION ALL SELECT k, CAST(0.9 AS DOUBLE), n_pairs, l2 FROM agg
+)
+"""
+
+
+@register(
+    "pinball_naive7_event_values", oracle=_PINBALL_ORACLE, tags=("eval", "trend")
+)
+def pinball_naive7_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import pinball_loss_scorecard
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("k"),
+            F.date_format("ts", "dd").cast("long").alias("t"),
+        )
+        .agg(
+            F.sum(F.round("value", 2).cast("decimal(14,2)"))
+            .cast("decimal(24,6)")
+            .alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    fc = daily.select(
+        F.col("k").alias("fk"), (F.col("t") + 7).alias("ft"), F.col("v").alias("f")
+    )
+    paired = daily.join(
+        fc, (F.col("k") == F.col("fk")) & (F.col("t") == F.col("ft"))
+    ).select("k", F.col("v").alias("a"), "f")
+    out = pinball_loss_scorecard(paired, ["k"], "a", "f", quantiles=(0.1, 0.5, 0.9))
+    return out.withColumnRenamed("k", "event_type")

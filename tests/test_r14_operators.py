@@ -883,3 +883,43 @@ def test_dispersion_index_hand_cases(spark):
     assert got["over"]["dispersion_index"] == 6.4
     assert got["over"]["chi2"] == 6.4 and got["over"]["overdispersed"] is True
     assert got["single"]["dispersion_index"] is None
+
+
+# ---------------------------------------------------------------------------
+# pinball_loss_scorecard
+# ---------------------------------------------------------------------------
+
+
+def test_pinball_hand_case(spark):
+    from telecom_dataengineering_pipeline_spark.operators.trend import (
+        pinball_loss_scorecard,
+    )
+
+    # residuals: +10 (under-forecast) and -10 (over-forecast)
+    rows = [("k", 20.0, 10.0), ("k", 10.0, 20.0)]
+    df = spark.createDataFrame(rows, "k string, a double, f double").select(
+        "k",
+        F.col("a").cast("decimal(24,6)").alias("a"),
+        F.col("f").cast("decimal(24,6)").alias("f"),
+    )
+    got = {
+        r["q"]: r["pinball_loss"]
+        for r in pinball_loss_scorecard(df, ["k"], "a", "f").collect()
+    }
+    # q=0.5: (0.5*10 + 0.5*10)/2 = 5; q=0.1: (1+9)/2 = 5; q=0.9 symmetric
+    assert got[0.5] == 5.0
+    assert got[0.1] == round((round(0.1 * 10 + 0.9 * 10, 9)) / 2 * 1.0, 6) == 5.0
+    # asymmetric case: only under-forecasts -> q=0.9 hurts 9x more than q=0.1
+    rows2 = [("k", 20.0, 10.0)]
+    df2 = spark.createDataFrame(rows2, "k string, a double, f double").select(
+        "k",
+        F.col("a").cast("decimal(24,6)").alias("a"),
+        F.col("f").cast("decimal(24,6)").alias("f"),
+    )
+    got2 = {
+        r["q"]: r["pinball_loss"]
+        for r in pinball_loss_scorecard(df2, ["k"], "a", "f").collect()
+    }
+    assert got2[0.1] == 1.0 and got2[0.9] == 9.0
+    with pytest.raises(ValueError):
+        pinball_loss_scorecard(df2, ["k"], "a", "f", quantiles=(0.0,))
