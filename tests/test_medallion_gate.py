@@ -64,10 +64,51 @@ def test_monthly_grain_excludes_ghosts(gate_rows):
     assert all(r["k3"] is not None for r in monthly), "plan_tier rides the dim join"
 
 
-def test_new_registration_stays_outside_driver_window():
-    """Round-9 registrations queue for the r10 head (rotation contract)."""
-    from telecom_dataengineering_pipeline_spark.queries.registry import driver_order
+def test_driver_order_rotation_invariants():
+    """Round-independent rotation contract (VERDICT r9 item 2).
+
+    The emission order must be derived from the committed CORRECTNESS_r*.json
+    evidence at call time — never from a frozen round number. We assert the
+    structural invariants the implementation promises, computed from the same
+    evidence glob it uses, so this test stays green as new rounds land:
+
+    1. ``driver_order()`` is a permutation of the registry.
+    2. The window head is never-driver-checked names (up to the slot cap),
+       in registration order.
+    3. Refresh slots inside the window go to the stalest checked tier: no
+       checked name inside the window is fresher than any checked name
+       outside it.
+    4. Never-checked overflow (beyond the cap) queues contiguously right
+       after the window, ahead of all fresher refresh names.
+    """
+    from telecom_dataengineering_pipeline_spark.queries.registry import (
+        DRIVER_WINDOW,
+        NEW_NAME_SLOT_CAP,
+        REGISTRY,
+        _latest_driver_round,
+        driver_order,
+    )
 
     order = driver_order()
+    assert sorted(order) == sorted(REGISTRY)
     assert "medallion_fact_build" in order
-    assert order.index("medallion_fact_build") >= 50
+
+    seen = _latest_driver_round()
+    never = [n for n in REGISTRY if n not in seen]
+    head_len = min(NEW_NAME_SLOT_CAP, len(never))
+    assert order[:head_len] == never[:head_len], (
+        "window head must be the never-checked names in registration order"
+    )
+
+    in_window_checked = [seen[n] for n in order[:DRIVER_WINDOW] if n in seen]
+    out_window_checked = [seen[n] for n in order[DRIVER_WINDOW:] if n in seen]
+    if in_window_checked and out_window_checked:
+        assert max(in_window_checked) <= min(out_window_checked), (
+            "refresh slots must drain the stalest driver-evidence tier first"
+        )
+
+    overflow = never[head_len:]
+    if overflow:
+        assert order[DRIVER_WINDOW : DRIVER_WINDOW + len(overflow)] == overflow, (
+            "never-checked overflow queues immediately after the window"
+        )

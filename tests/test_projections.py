@@ -143,3 +143,51 @@ def test_pairwise_pca_plan_is_jvm_only(spark):
     )
     assert "Python" not in plan and "Arrow" not in plan
     assert plan.count("FileScan") == 1
+
+
+# ---------------------------------------------------------------------------
+# pairwise_pca_project — the value-checkable projection twin (VERDICT r9
+# item 3): ties the SQL-expressible block-diagonal scores to a numpy
+# blockwise reference, pins sign-invariance of the norm, and pins the
+# eigh-dominance inequality the registered query emits as a column.
+# ---------------------------------------------------------------------------
+
+
+def test_pairwise_pca_project_matches_numpy_blockwise(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.projections import (
+        pairwise_pca_project,
+    )
+
+    emb = _fixture(spark)
+    got = {r["vec_id"]: r["proj_norm"] for r in pairwise_pca_project(emb).collect()}
+    rows = emb.collect()
+    x = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    ids = [r["vec_id"] for r in rows]
+    scores = np.zeros((x.shape[0], 32))
+    for p in range(32):
+        sub = x[:, [2 * p, 2 * p + 1]]
+        mu = sub.mean(axis=0)
+        cov = np.cov(sub, rowvar=False, ddof=1)
+        evals, evecs = np.linalg.eigh(cov)
+        u = evecs[:, int(np.argmax(evals))]
+        scores[:, p] = (sub - mu) @ u
+    ref = np.sqrt((scores**2).sum(axis=1))
+    for i, vid in enumerate(ids):
+        # sign-invariant: u vs −u flips scores but not the squared sum;
+        # rounding pipeline (12-dp model/score, 6-dp output) costs < 1e-5
+        assert got[vid] == pytest.approx(ref[i], abs=1e-5)
+
+
+def test_pca_projection_query_eigh_dominates(spark):
+    """Σ top-4 eigh eigenvalues ≥ Σ top-4 block λ₁ (the top-4 block
+    eigenvectors are an orthonormal 4-frame — disjoint coordinate
+    blocks — and the eigh subspace maximizes captured variance over all
+    such frames), so the registered query's gate column must be True."""
+    from telecom_dataengineering_pipeline_spark.queries.round8 import (
+        pca_embedding_projection,
+    )
+
+    out = pca_embedding_projection(spark, "/root/testdata/sf0.001")
+    assert out.schema["eigh_dominates"].dataType.typeName() == "boolean"
+    flags = {r["eigh_dominates"] for r in out.select("eigh_dominates").collect()}
+    assert flags == {True}
