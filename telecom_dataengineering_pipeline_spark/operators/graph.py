@@ -1121,7 +1121,13 @@ def community_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     has an arithmetic-exact pillar next to the one-shape float.
 
     ``edges``: distinct u<v pairs. ``labels``: (node, label) covering
-    every endpoint. Shape: one m-fold (1×1 broadcast back — scalar cross
+    every endpoint (labels without edges are kept with e_c = d_c = 0).
+    Exactness bound: ``q_num_4m2`` folds in LONG, so the integer pillar
+    requires ``4·m·e_c < 2⁶³`` (i.e. m·e_c < 2⁶¹ ≈ 2.3e18 — ~1.5e9 edges
+    even when one community holds every edge); beyond that Spark would
+    wrap silently while a DuckDB mirror raises on BIGINT overflow. The
+    float ``q_contrib`` column has no such bound.
+    Shape: one m-fold (1×1 broadcast back — scalar cross
     join, never a Window over the data), two label equi-joins decorating
     the edge list, one doubled-edge degree count, all map-side
     combinable; output grain is |communities|. Callers should cut the

@@ -2365,6 +2365,7 @@ def haar_detail_energy(
     t_col: str,
     v_col: str,
     levels: int = 4,
+    dec_type: str = "decimal(18,2)",
 ) -> DataFrame:
     """Multi-resolution Haar wavelet energy decomposition of an ordered
     series: per key, the first ``2^levels`` observations transform
@@ -2377,7 +2378,16 @@ def haar_detail_energy(
     Exactness: the transform is UN-normalized (integer ±1 coefficients,
     pure DECIMAL addition — no √2 anywhere), so every coefficient is
     exact; the conventional 1/2^level normalization is applied to the
-    final energy as one float division per level. Each level is one
+    final energy as one float division per level.
+
+    Quantization/overflow contract: inputs are cast to ``dec_type``
+    (default ``decimal(18,2)``) — values with a finer scale are
+    QUANTIZED at the cast, and a level sum that overflows the type
+    yields NULL in Spark while a mirrored DuckDB oracle ERRORS. Pass a
+    ``dec_type`` wide enough for ``2^levels`` summed inputs at the
+    source scale (and the matching precision/scale to
+    :func:`haar_oracle_sql`); level-``levels`` approximation sums reach
+    ``2^levels · max|v|``. Each level is one
     aggregate on the halved index (``DIV 2`` — integer), and the whole
     transform touches only the first 2^levels rows per key —
     calendar-sized however big the event table is. Keys shorter than
@@ -2395,7 +2405,7 @@ def haar_detail_energy(
         *keys,
         (F.row_number().over(w_key.orderBy(F.col(t_col).asc())) - 1).alias("_i"),
         F.count(F.lit(1)).over(w_key).cast("long").alias("_n"),
-        F.col(v_col).cast("decimal(18,2)").alias("_x"),
+        F.col(v_col).cast(dec_type).alias("_x"),
     ).filter((F.col("_n") >= need) & (F.col("_i") < need))
     cur = base.select(*keys, "_i", "_x")
     outs = []
@@ -2403,11 +2413,11 @@ def haar_detail_energy(
         nxt = (
             cur.groupBy(*keys, F.expr("_i DIV 2").alias("_h"))
             .agg(
-                F.sum("_x").cast("decimal(18,2)").alias("_a"),
+                F.sum("_x").cast(dec_type).alias("_a"),
                 F.sum(
                     F.when(F.col("_i") % 2 == 0, F.col("_x")).otherwise(-F.col("_x"))
                 )
-                .cast("decimal(18,2)")
+                .cast(dec_type)
                 .alias("_d"),
             )
             .localCheckpoint(eager=False)
@@ -2437,14 +2447,20 @@ def haar_detail_energy(
 
 
 def haar_oracle_sql(
-    base_cte: str, levels: int = 4, key_name: str = "k"
+    base_cte: str,
+    levels: int = 4,
+    key_name: str = "k",
+    precision: int = 18,
+    scale: int = 2,
 ) -> str:
-    """DuckDB mirror of :func:`haar_detail_energy`. ``base_cte`` yields
-    (k, t, x DECIMAL). Level CTEs materialize (DuckDB otherwise inlines
-    the whole chain into every union branch); the detail square casts
-    one operand to DECIMAL(19,2) to force INT128 (the round-8 overflow
-    note)."""
+    """DuckDB mirror of :func:`haar_detail_energy` — pass the SAME
+    decimal ``precision``/``scale`` as the operator's ``dec_type``.
+    ``base_cte`` yields (k, t, x DECIMAL). Level CTEs materialize
+    (DuckDB otherwise inlines the whole chain into every union branch);
+    the detail square casts one operand to DECIMAL(precision+1, scale)
+    to force INT128 (the round-8 overflow note)."""
     need = 1 << levels
+    wide = precision + 1
     parts = [
         f"""WITH daily AS ({base_cte}),
 idx AS (
@@ -2453,7 +2469,7 @@ idx AS (
   FROM daily
 ),
 b0 AS MATERIALIZED (
-  SELECT k, i, CAST(x AS DECIMAL(18,2)) AS x
+  SELECT k, i, CAST(x AS DECIMAL({precision},{scale})) AS x
   FROM idx WHERE n >= {need} AND i < {need}
 )"""
     ]
@@ -2463,8 +2479,8 @@ b0 AS MATERIALIZED (
             f""",
 l{lvl} AS MATERIALIZED (
   SELECT k, i // 2 AS i,
-    CAST(sum(x) AS DECIMAL(18,2)) AS x,
-    CAST(sum(CASE WHEN i % 2 = 0 THEN x ELSE -x END) AS DECIMAL(18,2)) AS d
+    CAST(sum(x) AS DECIMAL({precision},{scale})) AS x,
+    CAST(sum(CASE WHEN i % 2 = 0 THEN x ELSE -x END) AS DECIMAL({precision},{scale})) AS d
   FROM {prev} GROUP BY 1, 2
 )"""
         )
@@ -2472,7 +2488,7 @@ l{lvl} AS MATERIALIZED (
     branches = [
         f"""SELECT k AS {key_name}, CAST({lvl} AS INTEGER) AS level,
   CAST(count(*) AS BIGINT) AS n_coeffs,
-  round(CAST(sum(CAST(d AS DECIMAL(19,2)) * d) AS DOUBLE) / {float(1 << lvl)!r}, 6)
+  round(CAST(sum(CAST(d AS DECIMAL({wide},{scale})) * d) AS DOUBLE) / {float(1 << lvl)!r}, 6)
     AS detail_energy
 FROM l{lvl} GROUP BY 1"""
         for lvl in range(1, levels + 1)

@@ -1166,11 +1166,31 @@ def time_decay_attribution(
     significand. Shares round to 9 for the cross-engine hash; fold them
     as DECIMAL(20,9) downstream.
 
+    Cross-engine exactness precondition: the age span must stay under
+    ~46 half-lives (2⁻⁰ + … + 2⁻⁴⁶ still fits the 53-bit significand
+    with headroom for the touch count). ``within_seconds=None`` — or a
+    ``within_seconds / half_life_seconds`` ratio above 46 — lets ages
+    reach the 62 clamp, where the window sum of 2⁻⁶²-granularity weights
+    can lose exactness and credit becomes order/ulp-sensitive across
+    engines; a ``UserWarning`` flags it (results stay deterministic
+    within one engine — only the cross-engine hash contract weakens).
+
     Returns one row per credited touch: (user, conv_us, conv_tb,
     touch_event, touch_us, age_units, credit).
     """
     if half_life_seconds < 1:
         raise ValueError("half_life_seconds must be >= 1")
+    if within_seconds is None or within_seconds / half_life_seconds > 46:
+        import warnings
+
+        warnings.warn(
+            "time_decay_attribution: age span exceeds 46 half-lives "
+            f"(within_seconds={within_seconds}, half_life_seconds="
+            f"{half_life_seconds}); per-conversion weight sums can lose "
+            "exactness and credit is no longer cross-engine hash-stable",
+            UserWarning,
+            stacklevel=2,
+        )
     rows = position_based_attribution(
         df,
         user_col,

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from ..streaming.staging import pin_staging_mtimes
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -353,6 +354,7 @@ def sequence_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         projected.filter(F.col("us") >= split).coalesce(1).write.parquet(
             os.path.join(staging, "b1")
         )
+        pin_staging_mtimes(staging, 2)  # deterministic trigger order
         stream = (
             spark.readStream.schema(projected.schema)
             .option("maxFilesPerTrigger", 1)

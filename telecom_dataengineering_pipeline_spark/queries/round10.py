@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from ..streaming.staging import pin_staging_mtimes
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -1714,6 +1715,7 @@ def jsd_stream_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur.filter(F.col("_d") > 22).select("key", "cat").coalesce(1).write.parquet(
             os.path.join(staging, "b1")
         )
+        pin_staging_mtimes(staging, 2)  # deterministic trigger order
         stream = (
             spark.readStream.schema("key string, cat string")
             .option("maxFilesPerTrigger", 1)

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from ..streaming.staging import pin_staging_mtimes
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -214,6 +215,7 @@ def attribution_stream_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("_d") > 15).select(*cols).coalesce(1).write.parquet(
             os.path.join(staging, "b1")
         )
+        pin_staging_mtimes(staging, 2)  # deterministic trigger order
         stream = (
             spark.readStream.schema("user_id long, us long, tb string, ev string")
             .option("maxFilesPerTrigger", 1)
@@ -1286,6 +1288,7 @@ def growth_stream_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ua.filter(F.col("t") > 15).coalesce(1).write.parquet(
             os.path.join(staging, "b1")
         )
+        pin_staging_mtimes(staging, 2)  # deterministic trigger order
         stream = (
             spark.readStream.schema("u long, t long")
             .option("maxFilesPerTrigger", 1)

@@ -32,6 +32,7 @@ from ..plans.medallion import REGION_MAP, MedallionPipeline
 from ..sources.catalog import load_table
 from ..sources.generators import TOWERS
 from ..sources.writers import write_partitioned
+from ..streaming.staging import pin_staging_mtimes
 from .registry import register
 
 # state -> region CASE arms, shared by the oracle builder below.
@@ -367,6 +368,7 @@ def dwell_stream_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("_d") > 15).select(*cols).coalesce(1).write.parquet(
             os.path.join(staging, "b1")
         )
+        pin_staging_mtimes(staging, 2)  # deterministic trigger order
         stream = (
             spark.readStream.schema("user_id long, us long, tb string, state string")
             .option("maxFilesPerTrigger", 1)

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from ..streaming.staging import pin_staging_mtimes
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -310,13 +311,13 @@ internal AS (
 )
 SELECT mem.label AS community, mem.n_members,
   CAST(coalesce(i.e, 0) AS BIGINT) AS internal_edges,
-  dc.d AS degree_sum,
-  CAST(4 * m.m * coalesce(i.e, 0) - dc.d * dc.d AS BIGINT) AS q_num_4m2,
+  CAST(coalesce(dc.d, 0) AS BIGINT) AS degree_sum,
+  CAST(4 * m.m * coalesce(i.e, 0) - coalesce(dc.d, 0) * coalesce(dc.d, 0) AS BIGINT) AS q_num_4m2,
   round(CAST(coalesce(i.e, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
-      - (CAST(dc.d AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
-        * (CAST(dc.d AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))), 9) + 0.0 AS q_contrib
+      - (CAST(coalesce(dc.d, 0) AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+        * (CAST(coalesce(dc.d, 0) AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))), 9) + 0.0 AS q_contrib
 FROM members mem
-JOIN degc dc ON dc.label = mem.label
+LEFT JOIN degc dc ON dc.label = mem.label
 LEFT JOIN internal i ON i.label = mem.label
 CROSS JOIN m
 """
@@ -828,6 +829,7 @@ def trigram_stream_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("_d") > 15).select(*cols).coalesce(1).write.parquet(
             os.path.join(staging, "b1")
         )
+        pin_staging_mtimes(staging, 2)  # deterministic trigger order
         stream = (
             spark.readStream.schema("user_id long, us long, tb string, ev string")
             .option("maxFilesPerTrigger", 1)

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from ..streaming.staging import pin_staging_mtimes
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -1462,6 +1463,7 @@ def ewma_stream_daily_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         series.filter(F.col("us") >= split).coalesce(1).write.parquet(
             os.path.join(staging, "b1")
         )
+        pin_staging_mtimes(staging, 2)  # deterministic trigger order
         stream = (
             spark.readStream.schema(series.schema)
             .option("maxFilesPerTrigger", 1)

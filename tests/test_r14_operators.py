@@ -146,6 +146,23 @@ def test_time_decay_validation(spark):
         )
 
 
+def test_time_decay_warns_past_exactness_bound(spark):
+    """Beyond ~46 half-lives the per-conversion double weight sum can lose
+    exactness (ADVICE r9): within_seconds=None and ratio>46 both warn;
+    a bounded ratio stays silent."""
+    import warnings
+
+    df = _ev(spark, [(1, dt.datetime(2024, 1, 1), "view", 1)])
+    args = (df, "user_id", "ts", "event_type", "purchase", ["view"])
+    with pytest.warns(UserWarning, match="46 half-lives"):
+        time_decay_attribution(*args, within_seconds=None)
+    with pytest.warns(UserWarning, match="46 half-lives"):
+        time_decay_attribution(*args, within_seconds=4700, half_life_seconds=100)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        time_decay_attribution(*args, within_seconds=4600, half_life_seconds=100)
+
+
 # ---------------------------------------------------------------------------
 # sequence_ngrams
 # ---------------------------------------------------------------------------
