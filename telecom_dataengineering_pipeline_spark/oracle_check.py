@@ -98,16 +98,92 @@ def check_query(spark: SparkSession, name: str, sf_dir: str) -> ParityResult:
     return ParityResult(name, True, f"match ({len(spark_pd)} rows)", len(spark_pd), len(duck_pd))
 
 
-def main() -> int:
+def _current_round() -> int:
+    """Next round number = max committed CORRECTNESS_r*.json + 1."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    rounds = [
+        int(m.group(1))
+        for p in root.glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p.name))
+    ]
+    return (max(rounds) + 1) if rounds else 0
+
+
+def sweep(sf_dir: str, out_path: str | None, names: list[str]) -> int:
+    """Resumable full-registry sweep (VERDICT r9 item 9): runs every name
+    through the driver-replica check and records a driver-shaped JSON
+    artifact, flushed after EVERY query so an interrupted sweep resumes
+    where it stopped (names already recorded OK are skipped; recorded
+    failures re-run). One command re-verifies the whole registry:
+
+        python -m telecom_dataengineering_pipeline_spark.oracle_check \\
+            --sweep [--sf DIR] [--out FILE] [names...]
+    """
+    import json
+    import time
+    from pathlib import Path
+
     from .session import get_spark
 
+    sf_tag = Path(sf_dir.rstrip("/")).name
+    path = Path(out_path) if out_path else Path(f"SWEEP_r{_current_round():02d}_{sf_tag}.json")
+    results: dict[str, dict] = {}
+    if path.exists():
+        results = json.loads(path.read_text())
+        done_ok = [n for n in names if results.get(n, {}).get("ok")]
+        if done_ok:
+            print(f"resuming {path}: {len(done_ok)} names already OK, skipping")
+        names = [n for n in names if not results.get(n, {}).get("ok")]
+    spark = get_spark("oracle-sweep")
+    failures = 0
+    for i, n in enumerate(names):
+        t0 = time.monotonic()
+        try:
+            r = check_query(spark, n, sf_dir)
+        except Exception as e:
+            r = ParityResult(n, False, f"exception: {type(e).__name__}: {e}")
+        elapsed = round(time.monotonic() - t0, 2)
+        results[n] = {
+            "ok": r.ok,
+            "detail": r.detail,
+            "spark_rows": r.spark_rows,
+            "oracle_rows": r.oracle_rows,
+            "sf_dir": sf_dir,
+            "elapsed_s": elapsed,
+        }
+        path.write_text(json.dumps(results, indent=1))
+        status = "OK  " if r.ok else "FAIL"
+        print(f"[{i + 1}/{len(names)}] {status} {n}: {r.detail} ({elapsed}s)", flush=True)
+        failures += 0 if r.ok else 1
+    n_ok = sum(1 for v in results.values() if v["ok"])
+    print(f"\n{n_ok}/{len(results)} recorded OK -> {path}")
+    return 1 if failures else 0
+
+
+def main() -> int:
     args = [a for a in sys.argv[1:]]
     sf_dir = "/root/testdata/sf0.01"
     if "--sf" in args:
         i = args.index("--sf")
         sf_dir = args[i + 1]
         del args[i : i + 2]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i : i + 2]
+    do_sweep = "--sweep" in args
+    if do_sweep:
+        args.remove("--sweep")
     names = args or list(REGISTRY)
+    if do_sweep:
+        return sweep(sf_dir, out_path, names)
+
+    from .session import get_spark
+
     spark = get_spark("oracle-check")
     failures = 0
     for n in names:

@@ -33,7 +33,10 @@ from .registry import register
 # deterministic 1-in-20 edge sample chosen by the engine-neutral 32-bit hash:
 # a sparse Poisson-degree graph with a real peeling cascade (4 synchronous
 # rounds to the fixpoint at both checked SFs). The operator runs 8 rounds,
-# the oracle unrolls 6; peeling is monotone, so both sit at the fixpoint.
+# the oracle unrolls 6 with MATERIALIZED per-round CTEs (DuckDB
+# otherwise re-inlines the whole pairs derivation into every round —
+# the r8 Bellman-Ford lesson; this is what makes the sf0.1 oracle
+# affordable); peeling is monotone, so both sit at the fixpoint.
 # ---------------------------------------------------------------------------
 
 _KCORE_K = 3
@@ -42,19 +45,19 @@ _KCORE_ROUNDS_ORACLE = 6
 
 def _kcore_oracle() -> str:
     parts = [
-        """WITH baskets AS (
+        """WITH baskets AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), sized AS (
+), sized AS MATERIALIZED (
   SELECT l_orderkey FROM baskets GROUP BY 1 HAVING count(*) <= 25
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM baskets a
   JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   WHERE a.l_orderkey IN (SELECT l_orderkey FROM sized)
-), sampled AS (
+), sampled AS MATERIALIZED (
   SELECT u, v FROM pairs
   WHERE ('0x' || substr(md5(CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)), 1, 8))::BIGINT % 20 = 0
-), s0 AS (
+), s0 AS MATERIALIZED (
   SELECT u, v FROM sampled UNION ALL SELECT v AS u, u AS v FROM sampled
 )"""
     ]
@@ -62,8 +65,8 @@ def _kcore_oracle() -> str:
         prev = f"s{i - 1}"
         parts.append(
             f""",
-d{i} AS (SELECT u FROM {prev} GROUP BY u HAVING count(*) >= {_KCORE_K}),
-s{i} AS (
+d{i} AS MATERIALIZED (SELECT u FROM {prev} GROUP BY u HAVING count(*) >= {_KCORE_K}),
+s{i} AS MATERIALIZED (
   SELECT s.u, s.v FROM {prev} s
   JOIN d{i} du ON s.u = du.u
   JOIN d{i} dv ON s.v = dv.u
