@@ -191,3 +191,23 @@ def test_pca_projection_query_eigh_dominates(spark):
     assert out.schema["eigh_dominates"].dataType.typeName() == "boolean"
     flags = {r["eigh_dominates"] for r in out.select("eigh_dominates").collect()}
     assert flags == {True}
+
+
+def test_pairwise_pca_project_plan_shape(spark):
+    """Scale-shape pin: the whole projection stays in codegen (no Python
+    evaluator), the 32-row model reaches the score pass as a BROADCAST
+    join (never a shuffle join against n rows), and the source is read
+    exactly twice — once reduced to the d/2-row model, once for the
+    score pass (re-scanning beats persisting an n×d/2 explode at scale)."""
+    from telecom_dataengineering_pipeline_spark.llmprep.projections import (
+        pairwise_pca_project,
+    )
+
+    emb = _fixture(spark)
+    plan = (
+        pairwise_pca_project(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan") == 2
