@@ -439,12 +439,27 @@ def read_iceberg_snapshot(
         f"`{f['name']}` {_ICEBERG_TO_SPARK.get(f['type'], f['type'])}"
         for f in schema_json["fields"]
     )
+    base = _live_rows_with_pos(spark, snap, schema_json, ddl)
+    if base is None:
+        return spark.createDataFrame([], ddl)
+    return base.drop("__fp", "__pos")
+
+
+def _live_rows_with_pos(
+    spark: SparkSession, snap: dict, schema_json: dict, ddl: str
+) -> DataFrame | None:
+    """A snapshot's LIVE rows with their ``(__fp, __pos)`` capture columns
+    (file path + row index, taken ON the scan) — the shared kernel of
+    :func:`read_iceberg_snapshot` and :func:`delete_iceberg_rows`: both
+    must see rows net of every already-committed position/equality
+    delete (a position DELETE that matches only dead rows would
+    otherwise commit a redundant delete file instead of raising, the
+    double-delete bug the multiset property test caught). Returns None
+    when the snapshot has no data files."""
     data_files, delete_files, eq_delete_files = _snapshot_files(spark, snap)
     if not data_files:
-        return spark.createDataFrame([], ddl)
+        return None
     files = sorted(p for p, _ in data_files)
-    if not delete_files and not eq_delete_files:
-        return spark.read.schema(ddl).parquet(*files)
     # deletes: capture (file_path, pos) ON the scan, then anti-joins
     # against the delete files (each tagged with its sequence number; the
     # seq rules resolve through a broadcast of the metadata-sized
@@ -499,7 +514,7 @@ def read_iceberg_snapshot(
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__d_{c}"))
             base = base.join(dels, cond, "left_anti")
         base = base.drop("__data_seq")
-    return base.drop("__fp", "__pos")
+    return base
 
 
 def validate_iceberg_metadata(path: str, spark: SparkSession | None = None) -> dict:
@@ -892,7 +907,10 @@ def delete_iceberg_rows(
 
     The (file_path, pos) tuples are captured ON the data scan via
     ``_metadata.row_index`` — one distributed pass, no collect of row
-    data. Raises ``ValueError`` when the predicate matches nothing (an
+    data. The match scan sees LIVE rows only (prior position/equality
+    deletes applied through :func:`_live_rows_with_pos`), so re-deleting
+    an already-dead row raises instead of committing a redundant delete
+    file. Raises ``ValueError`` when the predicate matches nothing (an
     empty delete commit would be a spec-violating no-op).
 
     Reference parity: the reference's Iceberg bronze tables are MOR
@@ -914,22 +932,12 @@ def delete_iceberg_rows(
         f"`{f['name']}` {_ICEBERG_TO_SPARK.get(f['type'], f['type'])}"
         for f in schema_json["fields"]
     )
-    data_files, _prev_deletes, _prev_eq = _snapshot_files(spark, snap)
-    if not data_files:
+    live = _live_rows_with_pos(spark, snap, schema_json, ddl)
+    if live is None:
         raise ValueError("DELETE on an empty table")
-    positions = (
-        spark.read.schema(ddl)
-        .parquet(*sorted(p for p, _ in data_files))
-        .select(
-            "*",
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias("__fp"),
-            F.col("_metadata.row_index").alias("__pos"),
-        )
-        .filter(condition)
-        .select(
-            F.col("__fp").alias("file_path", metadata={"parquet.field.id": _DELETE_FILE_PATH_ID}),
-            F.col("__pos").alias("pos", metadata={"parquet.field.id": _DELETE_POS_ID}),
-        )
+    positions = live.filter(condition).select(
+        F.col("__fp").alias("file_path", metadata={"parquet.field.id": _DELETE_FILE_PATH_ID}),
+        F.col("__pos").alias("pos", metadata={"parquet.field.id": _DELETE_POS_ID}),
     )
     batch_dir = os.path.join(dest_path, "data", f"deletes-{uuid.uuid4().hex}")
     with_ids = spark.conf.get("spark.sql.parquet.fieldId.write.enabled", "true")

@@ -304,6 +304,31 @@ def test_delete_refuses_empty_match(spark, tmp_path):
     assert open(os.path.join(dest, "metadata", "version-hint.text")).read().strip() == "1"
 
 
+def test_delete_refuses_already_dead_rows(spark, tmp_path):
+    """Double-delete of the same key: the match scan sees LIVE rows only,
+    so the second DELETE (which matches nothing alive) must raise instead
+    of committing a redundant delete file — the falsifying example the
+    multiset property test found (ops=[('delete', k), ('delete', k)])."""
+    from telecom_dataengineering_pipeline_spark.sources.iceberg_export import (
+        delete_iceberg_rows,
+        read_iceberg_snapshot,
+    )
+
+    t = _source_table(spark, tmp_path)
+    dest = str(tmp_path / "ice_double_del")
+    export_iceberg_snapshot(t, spark, dest)
+    before = read_iceberg_snapshot(spark, dest).count()
+    delete_iceberg_rows(spark, dest, "id = 1")
+    assert read_iceberg_snapshot(spark, dest).count() == before - 1
+    hint = os.path.join(dest, "metadata", "version-hint.text")
+    v_after_first = open(hint).read().strip()
+    with pytest.raises(ValueError, match="matched no rows"):
+        delete_iceberg_rows(spark, dest, "id = 1")
+    # the refused re-delete must not bump the chain or change the rows
+    assert open(hint).read().strip() == v_after_first
+    assert read_iceberg_snapshot(spark, dest).count() == before - 1
+
+
 # ---------------------------------------------------------------------------
 # equality deletes (v2 content=2): write, validate, apply with the
 # strictly-less sequence rule
