@@ -63,6 +63,14 @@ def _silence_accumulator_cleanup_noise(spark: SparkSession) -> None:
 # median of VARIANCE_REPS clean runs — the same protocol
 # BENCH_BASELINE.json's own dedup entries were recorded with (median of
 # clean solo runs).
+#
+# Since r10 EVERY query reports a median-of-VARIANCE_REPS: the r10 gate
+# episode showed host steal windows inflating single-draw queries up to 8×
+# (two back-to-back gate runs failed DISJOINT sets) while the median-of-3
+# families in the same sessions ran at-or-below baseline — on a
+# noisy-neighbor VM the median is the only draw worth reporting. The
+# per-rep protocol (warm + cache clear + full GC) is unchanged, so medians
+# remain comparable to the committed best-of-session baselines.
 VARIANCE_TAGS = ("dedup", "pipeline", "iterative", "sketch", "recommend")
 VARIANCE_REPS = 3
 
@@ -84,12 +92,11 @@ def _clear_caches(spark: SparkSession) -> None:
 
 
 def measure_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
-    from .queries.registry import REGISTRY, bench_queries
+    from .queries.registry import bench_queries
 
     timings: dict[str, float] = {}
     for name, fn in bench_queries().items():
-        tags = REGISTRY[name].tags
-        reps = VARIANCE_REPS if any(t in tags for t in VARIANCE_TAGS) else 1
+        reps = VARIANCE_REPS
         fn(spark, sf_dir).count()  # warm: plan + codegen JIT
         # Drop the warm run's cache residue BEFORE the timed reps: the first
         # rep would otherwise reuse the persisted relations the warm run
