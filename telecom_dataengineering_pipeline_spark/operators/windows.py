@@ -62,6 +62,7 @@ def quantile_bucket_scores(
     k: int = 4,
     accuracy: int = 10000,
     suffix: str = "_bucket",
+    exact: bool = False,
 ):
     """Quantile bucket (quartile/decile) scores WITHOUT a global window —
     the 100 TB replacement for ``ntile(k) OVER (ORDER BY metric)``, which
@@ -74,27 +75,106 @@ def quantile_bucket_scores(
     (``accuracy`` trades memory for error), so bucket POPULATIONS are
     approximately equal instead of exactly equal, and ties land in one
     bucket together instead of splitting. Ascending convention: bucket 1
-    holds the smallest values; NULL metrics get NULL buckets."""
+    holds the smallest values; NULL metrics get NULL buckets.
+
+    ``exact=True`` upgrades the cutoffs to rank-exact at ANY scale —
+    sketch proposes, exact refinement disposes: the proposed cutoff v for
+    prob p is checked against the target order statistic r = ceil(p·n)
+    (n = non-null count) with one conditional-count aggregate over all
+    proposed cutoffs at once; when count(x<v) < r <= count(x<=v) fails,
+    the true r-th smallest is recovered with a tiny TakeOrdered job on
+    the narrow slice above/below v whose depth is bounded by the sketch's
+    rank error (<= n/accuracy — at most a handful of rows at sane
+    accuracy; guarded so a mis-sized sketch fails loudly instead of
+    launching an unbounded sort). Still zero global sorts: TakeOrdered
+    keeps k rows per partition. The refinement runs 2 extra jobs at
+    plan-build time and bucket comparison uses plain literals, so the
+    returned plan is pure map-side."""
     from pyspark.sql import functions as F
 
     probs = [i / k for i in range(1, k)]
-    cuts = df.agg(
-        *[
-            F.percentile_approx(
-                F.col(c), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
-            ).alias(f"__cuts_{c}")
-            for c in metric_cols
-        ]
-    )
-    out = df.crossJoin(F.broadcast(cuts))
+    sketch_aggs = [
+        F.percentile_approx(
+            F.col(c), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+        ).alias(f"__cuts_{c}")
+        for c in metric_cols
+    ]
+    if not exact:
+        cuts = df.agg(*sketch_aggs)
+        out = df.crossJoin(F.broadcast(cuts))
+        for c in metric_cols:
+            b = F.lit(1)
+            for i in range(1, k):
+                b = b + (
+                    F.col(c) > F.element_at(F.col(f"__cuts_{c}"), i)
+                ).cast("int")
+            out = out.withColumn(
+                f"{c}{suffix}", F.when(F.col(c).isNotNull(), b).cast("int")
+            )
+        return out.drop(*[f"__cuts_{c}" for c in metric_cols])
+
+    import math
+
+    stats = df.agg(
+        *sketch_aggs,
+        *[F.count(F.col(c)).alias(f"__n_{c}") for c in metric_cols],
+    ).collect()[0]
+    cond_aggs = []
+    for c in metric_cols:
+        for i, v in enumerate(stats[f"__cuts_{c}"]):
+            cond_aggs.append(
+                F.sum((F.col(c) < F.lit(v)).cast("long")).alias(f"__lt_{c}_{i}")
+            )
+            cond_aggs.append(
+                F.sum((F.col(c) <= F.lit(v)).cast("long")).alias(f"__le_{c}_{i}")
+            )
+    counts = df.agg(*cond_aggs).collect()[0]
+    exact_cuts: dict[str, list] = {}
+    for c in metric_cols:
+        n_c = stats[f"__n_{c}"]
+        refined = []
+        for i, p in enumerate(probs):
+            r = math.ceil(p * n_c)
+            v = stats[f"__cuts_{c}"][i]
+            c_lt = counts[f"__lt_{c}_{i}"] or 0
+            c_le = counts[f"__le_{c}_{i}"] or 0
+            if c_lt < r <= c_le:
+                refined.append(v)
+                continue
+            # Sketch rank error bound: a correction deeper than this means
+            # the accuracy/n contract is broken — fail loudly.
+            err_cap = max(4, 2 * math.ceil(n_c / max(accuracy, 1)))
+            if c_le < r:  # true cutoff above v: (r - c_le)-th smallest > v
+                depth = r - c_le
+                slice_ = df.where(F.col(c) > F.lit(v)).orderBy(F.col(c).asc())
+            else:  # c_lt >= r: true cutoff below v: (c_lt - r + 1)-th largest < v
+                depth = c_lt - r + 1
+                slice_ = df.where(F.col(c) < F.lit(v)).orderBy(F.col(c).desc())
+            if depth > err_cap:
+                raise ValueError(
+                    f"quantile_bucket_scores(exact=True): sketch for {c!r} "
+                    f"p={p} missed the target rank by {depth} > error cap "
+                    f"{err_cap}; raise accuracy (n={n_c}, accuracy={accuracy})"
+                )
+            row = (
+                slice_.select(c)
+                .limit(depth)
+                .agg(
+                    (F.min(c) if c_lt >= r else F.max(c)).alias("__t")
+                )
+                .collect()[0]
+            )
+            refined.append(row["__t"])
+        exact_cuts[c] = refined
+    out = df
     for c in metric_cols:
         b = F.lit(1)
-        for i in range(1, k):
-            b = b + (F.col(c) > F.element_at(F.col(f"__cuts_{c}"), i)).cast("int")
+        for v in exact_cuts[c]:
+            b = b + (F.col(c) > F.lit(v)).cast("int")
         out = out.withColumn(
             f"{c}{suffix}", F.when(F.col(c).isNotNull(), b).cast("int")
         )
-    return out.drop(*[f"__cuts_{c}" for c in metric_cols])
+    return out
 
 
 def sequence_funnel(

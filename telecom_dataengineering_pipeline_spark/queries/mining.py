@@ -409,11 +409,13 @@ def sequence_funnel_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Approx-cutoff RFM segmentation (operators/windows.py::quantile_bucket_scores)
 # — the 100 TB replacement for customer_rfm_segments' exact global ntile
 # windows: one scalar aggregate computes the quartile cutoffs per metric
-# (percentile_approx sketch), broadcasts the single cutoff row, and scores
-# by comparison — ZERO single-partition exchanges. At the checked scales the
-# sketch's rank error is < 1 row (accuracy 10000 ≫ n), so the cutoffs are
-# exactly the values at rank ceil(p·n) — which is what the oracle computes
-# with row_number, making the sketch swap value-checked, not just documented.
+# (percentile_approx sketch) and scores by comparison — ZERO
+# single-partition exchanges. Since r11 the cutoffs are RANK-EXACT at any
+# scale (exact=True: sketch proposes, a conditional-count check + tiny
+# TakeOrdered correction bounded by the sketch's rank error disposes), so
+# the oracle's row_number definition — cutoff = value at rank ceil(p·n) —
+# holds at every SF, not just where accuracy ≫ n. This closed the last
+# sf0.1 sweep drift (one m_score rank boundary at n=15,000).
 # ---------------------------------------------------------------------------
 
 _RFM_APPROX_ORACLE = """
@@ -459,11 +461,12 @@ FROM scored
 
 @register("customer_rfm_segments_approx", oracle=_RFM_APPROX_ORACLE, tags=("A4", "segmentation"))
 def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM quartile scores with comparison-bucketing against broadcast
-    sketch cutoffs. Buckets are ascending (1 = smallest), so the RFM
+    """RFM quartile scores with comparison-bucketing against rank-exact
+    cutoffs (sketch-proposed, order-statistic-refined — no global window
+    at any step). Buckets are ascending (1 = smallest), so the RFM
     convention (1 = best = most recent / most frequent / highest spend)
-    is ``5 - bucket``. Populations are approximately equal (ties land
-    together) — the stated trade vs the exact-ntile variant."""
+    is ``5 - bucket``. Ties land in one bucket together — the stated
+    trade vs the exact-ntile variant, whose populations split ties."""
     from ..operators.windows import quantile_bucket_scores
 
     o = load_table(spark, sf_dir, "orders")
@@ -472,12 +475,14 @@ def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("monetary"),
     )
-    # The grain feeds BOTH the cutoff sketch and the scoring pass; the
-    # lineage cut materializes it once instead of re-running the fact
-    # scan + aggregate per branch (Spark does not dedupe shared subtrees).
+    # The grain feeds the cutoff sketch, the refinement counts, and the
+    # scoring pass; the lineage cut materializes it once instead of
+    # re-running the fact scan + aggregate per job (Spark does not dedupe
+    # shared subtrees).
     agg = agg.localCheckpoint(eager=False)
     scored = quantile_bucket_scores(
-        agg, ["last_us", "frequency", "monetary"], k=4, accuracy=10000
+        agg, ["last_us", "frequency", "monetary"], k=4, accuracy=10000,
+        exact=True,
     )
     r = (F.lit(5) - F.col("last_us_bucket")).cast("int")
     f_ = (F.lit(5) - F.col("frequency_bucket")).cast("int")

@@ -347,18 +347,19 @@ def test_rfm_windows_over_post_aggregate_grain(spark, sf_smoke):
 
 def test_rfm_approx_no_grain_sized_single_partition(spark, sf_smoke):
     """The approx-cutoff RFM variant's 100 TB contract: no ntile, no
-    window operator, no grain-sized SinglePartition funnel. The one
-    SinglePartition exchange merges the percentile sketches' PARTIAL
-    states (one bounded-size sketch per input partition) — the exact
-    variant's SinglePartition carries the whole customer grain instead.
-    The scoring side consumes the broadcast one-row cutoff frame; the
-    customer grain itself is materialized once behind a lineage cut and
-    never re-aggregated per branch."""
+    window operator, no grain-sized SinglePartition funnel anywhere. Since
+    the r11 rank-exact upgrade the sketch + refinement jobs run at
+    plan-build time over the lineage-cut customer grain (their only
+    SinglePartition carries bounded sketch partials / one count row), so
+    the RETURNED plan is pure map-side scoring: literal cutoff
+    comparisons over the checkpointed grain — zero exchanges, zero
+    rescans of the orders fact."""
     plan = _physical(spark, "customer_rfm_segments_approx", sf_smoke)
-    assert re.search(r"\bntile\(", plan) is None  # (percentile_approx is fine)
+    assert re.search(r"\bntile\(", plan) is None
     assert re.search(r"\bWindow ", plan) is None
-    assert plan.count("Exchange SinglePartition") == 1  # sketch-partial merge
-    assert "BroadcastExchange" in plan  # one-row cutoffs broadcast to scorers
+    assert "Exchange" not in plan  # scoring is map-only over the grain
+    assert "ExistingRDD" in plan  # the lineage cut feeding the scorers
+    assert "FileScan" not in plan  # fact scan paid once at build, not here
 
 
 def test_sequence_funnel_single_shuffle_no_window_no_udf(spark, sf_smoke):

@@ -114,6 +114,45 @@ def test_quantile_bucket_scores_no_global_window(spark):
     assert "Sort [" not in plan
 
 
+def test_quantile_bucket_scores_exact_matches_rank_definition(spark):
+    """exact=True yields RANK-EXACT buckets regardless of sketch error:
+    every cutoff is the value at rank ceil(p·n) (row_number definition,
+    ties with multiplicity), verified against a Python-sorted oracle on a
+    tie-heavy fixture with a deliberately starved sketch (accuracy ~ n/6,
+    so the proposal can miss ranks and the TakeOrdered refinement must
+    land them). The returned plan stays window-free and exchange-free —
+    literal comparisons only."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.operators.windows import (
+        quantile_bucket_scores,
+    )
+
+    # 300 values with heavy ties: v = (7*i) % 50 — every value repeats ~6x.
+    vals = [float((7 * i) % 50) for i in range(300)]
+    df = (
+        spark.createDataFrame([(v,) for v in vals], "m double")
+        .repartition(8)
+        .localCheckpoint(eager=False)  # mirror the call-site lineage cut
+    )
+    out = quantile_bucket_scores(df, ["m"], k=4, accuracy=50, exact=True)
+
+    srt = sorted(vals)
+    n = len(srt)
+    cuts = [srt[math.ceil(p * n) - 1] for p in (0.25, 0.50, 0.75)]
+
+    def expect_bucket(v):
+        return 1 + sum(v > c for c in cuts)
+
+    got = {(r["m"], r["m_bucket"]) for r in out.collect()}
+    assert got == {(v, expect_bucket(v)) for v in vals}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Exchange" not in plan
+
+
 def test_boilerplate_line_filter(spark):
     """Short lines, symbol-heavy lines, and unpunctuated ALL-CAPS
     headings drop; prose survives in original order; a fully-boilerplate
