@@ -439,14 +439,18 @@ def read_iceberg_snapshot(
         f"`{f['name']}` {_ICEBERG_TO_SPARK.get(f['type'], f['type'])}"
         for f in schema_json["fields"]
     )
-    base = _live_rows_with_pos(spark, snap, schema_json, ddl)
+    base = _live_rows_with_pos(spark, snap, schema_json, ddl, capture_pos=False)
     if base is None:
         return spark.createDataFrame([], ddl)
     return base.drop("__fp", "__pos")
 
 
 def _live_rows_with_pos(
-    spark: SparkSession, snap: dict, schema_json: dict, ddl: str
+    spark: SparkSession,
+    snap: dict,
+    schema_json: dict,
+    ddl: str,
+    capture_pos: bool = True,
 ) -> DataFrame | None:
     """A snapshot's LIVE rows with their ``(__fp, __pos)`` capture columns
     (file path + row index, taken ON the scan) — the shared kernel of
@@ -455,11 +459,18 @@ def _live_rows_with_pos(
     delete (a position DELETE that matches only dead rows would
     otherwise commit a redundant delete file instead of raising, the
     double-delete bug the multiset property test caught). Returns None
-    when the snapshot has no data files."""
+    when the snapshot has no data files.
+
+    ``capture_pos=False`` lets a delete-free snapshot skip the
+    ``_metadata`` capture entirely and return a plain pruned parquet scan
+    (no ``__fp``/``__pos`` columns) — the read-path fast path; callers
+    that go on to emit position deletes must keep the default."""
     data_files, delete_files, eq_delete_files = _snapshot_files(spark, snap)
     if not data_files:
         return None
     files = sorted(p for p, _ in data_files)
+    if not capture_pos and not delete_files and not eq_delete_files:
+        return spark.read.schema(ddl).parquet(*files)
     # deletes: capture (file_path, pos) ON the scan, then anti-joins
     # against the delete files (each tagged with its sequence number; the
     # seq rules resolve through a broadcast of the metadata-sized

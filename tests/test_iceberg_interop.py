@@ -55,6 +55,20 @@ def test_export_validate_read_round_trip(spark, tmp_path):
     want = {(r["id"], r["amount"], r["s"], r["region"]) for r in t.read(spark).collect()}
     assert got == want
 
+    # Delete-free fast path: a clean snapshot reads as a PLAIN pruned
+    # parquet scan — no _metadata (__fp/__pos) capture, no anti-join
+    # machinery in the plan (those belong only to snapshots that carry
+    # delete files; the shared live-row kernel still captures them there).
+    plan = (
+        read_iceberg_snapshot(spark, dest)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__fp" not in plan and "__pos" not in plan
+    assert "row_index" not in plan
+    assert "Join" not in plan
+
 
 def test_manifest_carries_spec_field_ids_and_metadata(spark, tmp_path):
     t = _source_table(spark, tmp_path)

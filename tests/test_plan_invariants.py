@@ -747,3 +747,40 @@ def test_seasonal_decompose_one_series_exchange(spark, sf_smoke):
     plan = _physical(spark, "seasonal_decompose_event_values", sf_smoke)
     assert plan.count("FileScan") <= 1
     assert "Python" not in plan
+
+
+def test_winnowing_pairs_lineage_cut(spark, sf_smoke):
+    """The fingerprint relation feeds the df-count filter AND both sides
+    of the candidate self-join; the localCheckpoint in winnowing_pairs is
+    load-bearing (without it the tokenize→hash→winnow pipeline re-runs
+    4×, the round-9 FileScan audit). Pin: every consumer reads the
+    checkpoint RDD — zero document FileScans and zero Window operators
+    survive in the final plan."""
+    plan = _physical(spark, "winnowing_fingerprint_pairs", sf_smoke)
+    assert plan.count("FileScan") == 0  # all branches behind the cut
+    assert plan.count("ExistingRDD") >= 3  # df-count + self-join sides
+    assert re.search(r"\bWindow ", plan) is None  # winnow ran pre-cut once
+
+
+def test_sssp_edges_lineage_cut(spark, sf_smoke, monkeypatch):
+    """The basket-pair fan-out is consumed twice (seed-discovery collect
+    + the Bellman–Ford relaxation spine); the localCheckpoint on the
+    directed edges is worth 1.7× (15.2→8.8 s, r9 audit) and this is the
+    assertion that keeps it: the edge frame handed to
+    bellman_ford_distance must already be a checkpoint scan — no
+    lineitem rescan inside the iteration."""
+    from telecom_dataengineering_pipeline_spark.operators import graph
+
+    captured = {}
+    real = graph.bellman_ford_distance
+
+    def spy(edges, seeds, rounds=6):
+        captured["plan"] = (
+            edges._jdf.queryExecution().executedPlan().toString()
+        )
+        return real(edges, seeds, rounds=rounds)
+
+    monkeypatch.setattr(graph, "bellman_ford_distance", spy)
+    _physical(spark, "sssp_copurchase_costs", sf_smoke)
+    assert "ExistingRDD" in captured["plan"]
+    assert captured["plan"].count("FileScan") == 0
