@@ -57,21 +57,16 @@ def _silence_accumulator_cleanup_noise(spark: SparkSession) -> None:
         pass  # logging-only cosmetics; never fail a bench run over it
 
 
-# The localCheckpoint-heavy dedup/pipeline/iterative spines vary ±40%
-# run-to-run (executor-local block writes + Python worker scheduling); a
-# single draw makes gate verdicts a coin flip, so those families report the
-# median of VARIANCE_REPS clean runs — the same protocol
-# BENCH_BASELINE.json's own dedup entries were recorded with (median of
-# clean solo runs).
-#
-# Since r10 EVERY query reports a median-of-VARIANCE_REPS: the r10 gate
-# episode showed host steal windows inflating single-draw queries up to 8×
-# (two back-to-back gate runs failed DISJOINT sets) while the median-of-3
-# families in the same sessions ran at-or-below baseline — on a
-# noisy-neighbor VM the median is the only draw worth reporting. The
-# per-rep protocol (warm + cache clear + full GC) is unchanged, so medians
-# remain comparable to the committed best-of-session baselines.
-VARIANCE_TAGS = ("dedup", "pipeline", "iterative", "sketch", "recommend")
+# Since r10 EVERY query reports a median-of-VARIANCE_REPS. History: the
+# localCheckpoint-heavy dedup/pipeline/iterative/sketch/recommend families
+# vary ±40% run-to-run (executor-local block writes + Python worker
+# scheduling) and were the first to get median-of-3 (r9, via a tag list);
+# the r10 gate episode then showed host steal windows inflating
+# single-draw queries up to 8× (two back-to-back gate runs failed DISJOINT
+# sets) while those median-of-3 families in the same sessions ran
+# at-or-below baseline — on a noisy-neighbor VM the median is the only
+# draw worth reporting, so the tag conditionality was retired. The per-rep
+# protocol (warm + cache clear + full GC) is unchanged.
 VARIANCE_REPS = 3
 
 

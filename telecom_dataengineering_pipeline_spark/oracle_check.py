@@ -9,6 +9,7 @@ column names/types, and order-insensitive values. Used by tests and by
 from __future__ import annotations
 
 import math
+import os
 import sys
 from dataclasses import dataclass
 
@@ -133,10 +134,27 @@ def sweep(sf_dir: str, out_path: str | None, names: list[str]) -> int:
     results: dict[str, dict] = {}
     if path.exists():
         results = json.loads(path.read_text())
-        done_ok = [n for n in names if results.get(n, {}).get("ok")]
+        # Only entries verified at THIS sf_dir count as done — resuming an
+        # artifact recorded at another scale would otherwise silently mix
+        # scales into what presents as one sweep.
+        def _done(n: str) -> bool:
+            e = results.get(n, {})
+            return bool(e.get("ok")) and e.get("sf_dir") == sf_dir
+
+        wrong_sf = sorted({
+            e["sf_dir"]
+            for n in names
+            if (e := results.get(n, {})).get("ok") and e.get("sf_dir") != sf_dir
+        })
+        if wrong_sf:
+            print(
+                f"resuming {path}: ignoring OK entries recorded at other "
+                f"scale(s) {wrong_sf}; re-running them at {sf_dir}"
+            )
+        done_ok = [n for n in names if _done(n)]
         if done_ok:
             print(f"resuming {path}: {len(done_ok)} names already OK, skipping")
-        names = [n for n in names if not results.get(n, {}).get("ok")]
+        names = [n for n in names if not _done(n)]
     spark = get_spark("oracle-sweep")
     failures = 0
     for i, n in enumerate(names):
@@ -154,7 +172,11 @@ def sweep(sf_dir: str, out_path: str | None, names: list[str]) -> int:
             "sf_dir": sf_dir,
             "elapsed_s": elapsed,
         }
-        path.write_text(json.dumps(results, indent=1))
+        # atomic flush: a kill mid-write must not truncate the artifact
+        # (the next resume json.loads it)
+        tmp = path.with_name(path.name + ".tmp")
+        tmp.write_text(json.dumps(results, indent=1))
+        os.replace(tmp, path)
         status = "OK  " if r.ok else "FAIL"
         print(f"[{i + 1}/{len(names)}] {status} {n}: {r.detail} ({elapsed}s)", flush=True)
         failures += 0 if r.ok else 1

@@ -18,13 +18,22 @@ import os
 def pin_staging_mtimes(staging: str, shards: int, step_seconds: int = 10) -> None:
     """Stamp each ``staging/b{i}`` shard's files with mtime ``base + i·step``
     (base = now − shards·step, so stamps stay in the past). Call AFTER all
-    shard writes, BEFORE ``readStream`` starts."""
+    shard writes, BEFORE ``readStream`` starts. A missing or file-less
+    shard dir raises — ``os.walk`` would otherwise silently no-op and the
+    mis-staged query would stream in undefined order."""
     import time
 
     base = time.time() - shards * step_seconds
     for i in range(shards):
         shard_dir = os.path.join(staging, f"b{i}")
         ts = base + i * step_seconds
+        stamped = 0
         for root, _dirs, files in os.walk(shard_dir):
             for f in files:
                 os.utime(os.path.join(root, f), (ts, ts))
+                stamped += 1
+        if stamped == 0:
+            raise FileNotFoundError(
+                f"pin_staging_mtimes: shard {shard_dir} is missing or empty "
+                f"— staging wrote fewer than {shards} shards"
+            )
