@@ -784,3 +784,30 @@ def test_sssp_edges_lineage_cut(spark, sf_smoke, monkeypatch):
     _physical(spark, "sssp_copurchase_costs", sf_smoke)
     assert "ExistingRDD" in captured["plan"]
     assert captured["plan"].count("FileScan") == 0
+
+
+def test_bench_headliners_no_plan_antipatterns(spark, sf_smoke):
+    """Registry-wide guard over every bench=True query: no
+    CartesianProduct and no row-at-a-time Python evaluation
+    (BatchEvalPython) anywhere — Arrow-batched Python is the only
+    permitted Python surface. BroadcastNestedLoopJoin is banned except
+    for the three queries whose crossJoin side is a SCALAR or bounded
+    broadcast frame by construction (a totals anchor row, the broadcast
+    k-query set of the brute-force ANN baseline, a one-row sketch-cutoff
+    frame) — a new bench query that trips this must justify itself here
+    or fix its join."""
+    from telecom_dataengineering_pipeline_spark.queries.registry import REGISTRY
+
+    bnlj_bounded_by_construction = {
+        "association_rules_copurchase",
+        "knn_cosine_bruteforce",
+        "value_quantile_sketch",
+    }
+    for name, ent in sorted(REGISTRY.items()):
+        if not getattr(ent, "bench", False):
+            continue
+        plan = _physical(spark, name, sf_smoke)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if name not in bnlj_bounded_by_construction:
+            assert "BroadcastNestedLoopJoin" not in plan, name

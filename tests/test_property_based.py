@@ -1092,3 +1092,42 @@ def test_delta_chain_matches_multiset_model(spark, tmp_path_factory, ops):
             summary = validate_delta_log(dest)
             assert summary["n_active_files"] >= 1 and summary["n_rows"] == len(model)
         check()
+
+
+# ---------------------------------------------------------------------------
+# quantile_bucket_scores(exact=True): the cutoffs must equal the value at
+# rank ceil(p*n) (row_number definition, ties with multiplicity) for ANY
+# data distribution, bucket count, and sketch accuracy — the refinement
+# must absorb whatever rank error the sketch commits.
+# ---------------------------------------------------------------------------
+
+_metric_vals = st.lists(
+    st.integers(min_value=-50, max_value=50).map(float),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(vals=_metric_vals, k=st.integers(min_value=2, max_value=6),
+       accuracy=st.sampled_from([20, 100, 10000]))
+def test_quantile_bucket_exact_matches_rank_model(spark, vals, k, accuracy):
+    import math
+
+    from telecom_dataengineering_pipeline_spark.operators.windows import (
+        quantile_bucket_scores,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "m double").coalesce(2)
+    out = quantile_bucket_scores(df, ["m"], k=k, accuracy=accuracy, exact=True)
+
+    srt = sorted(vals)
+    n = len(srt)
+    cuts = [srt[math.ceil(i / k * n) - 1] for i in range(1, k)]
+    want = sorted((v, 1 + sum(v > c for c in cuts)) for v in vals)
+    got = sorted((r["m"], r["m_bucket"]) for r in out.collect())
+    assert got == want
