@@ -242,3 +242,52 @@ def stratified_allocation(
         _largest_remainder(quota_n, "alloc_neyman"),
     )
     return out
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    groups: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "group_id",
+    salt: str = "split_v1",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Split assignment that cannot leak near-duplicates across the
+    train/eval boundary: the bucket is a pure function of
+    ``md5(salt || group_id)`` — the doc's dup-group representative (from
+    :func:`~..dedup.connected_dup_groups` /
+    ``entity_resolution_clusters``; the doc's own id for docs outside
+    ``groups``) — so every member of a duplicate cluster lands in the
+    SAME split. A per-doc hash split sends ~2·p·(1−p) of every dup pair
+    across the train/eval boundary (exactly the contamination
+    ``decontamination_overlap`` exists to catch after the fact); keying
+    the hash by the group prevents it by construction. Same bucket
+    formula as :func:`split_assign`, so singletons' assignments are
+    IDENTICAL to the per-doc split — only clustered docs move (onto
+    their representative's bucket).
+
+    Scale shape: one left join of the corpus against the
+    ``(doc_id, group_id)`` relation — pair-derived, far smaller than the
+    corpus; broadcast when it fits, shuffle equi-join otherwise (AQE's
+    call) — then the same shuffle-free bucket map as
+    :func:`split_assign`. Adds ``split_bucket`` and ``split``."""
+    g = groups.select(
+        F.col(id_col).alias("__grp_doc"), F.col(group_col).alias("__grp")
+    )
+    joined = df.join(g, df[id_col] == g["__grp_doc"], "left").drop("__grp_doc")
+    anchor = F.coalesce(F.col("__grp"), F.col(id_col))
+    bucket = F.pmod(
+        token_hash32(F.concat(F.lit(salt + "_"), anchor.cast("string"))),
+        F.lit(100),
+    ).cast("int")
+    return (
+        joined.withColumn("split_bucket", bucket)
+        .withColumn(
+            "split",
+            F.when(F.col("split_bucket") < train_pct, F.lit("train"))
+            .when(F.col("split_bucket") < train_pct + val_pct, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+        .drop("__grp")
+    )

@@ -115,3 +115,50 @@ def test_capped_sample_per_key_deterministic(spark):
 
     with _pt.raises(ValueError):
         capped_sample_per_key(df, "domain", 0)
+
+
+def test_leakage_safe_split_coassigns_dup_groups(spark):
+    """r12 registration candidate (tests-only under the r11 freeze):
+    every member of a connected dup group must land in ONE split (the
+    per-doc hash split straddles ~2·p·(1−p) of dup pairs across the
+    train/eval boundary); docs outside the group relation keep their
+    split_assign bucket EXACTLY (same md5 formula, own id)."""
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.llmprep.dedup import (
+        connected_dup_groups,
+    )
+    from telecom_dataengineering_pipeline_spark.llmprep.sampling import (
+        leakage_safe_split,
+        split_assign,
+    )
+
+    docs = spark.range(1, 401).select(F.col("id").alias("doc_id"))
+    # components: {1..3} (chain), {10,11}, {20,21}; everything else singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "doc1 LONG, doc2 LONG"
+    )
+    groups = connected_dup_groups(pairs)
+
+    out = leakage_safe_split(docs, groups)
+    got = {r["doc_id"]: (r["split"], r["split_bucket"]) for r in out.collect()}
+    assert len(got) == 400  # left join: no row lost or duplicated
+
+    for comp in ({1, 2, 3}, {10, 11}, {20, 21}):
+        assert len({got[d] for d in comp}) == 1, comp  # co-assigned
+        rep = min(comp)
+        assert got[rep] == got[max(comp)]  # representative's bucket
+
+    per_doc = {r["doc_id"]: (r["split"], r["split_bucket"])
+               for r in split_assign(docs).collect()}
+    grouped_ids = {1, 2, 3, 10, 11, 20, 21}
+    for d in set(got) - grouped_ids:
+        assert got[d] == per_doc[d], d  # singletons identical to split_assign
+    # group members inherit the REPRESENTATIVE's per-doc bucket
+    assert got[2] == per_doc[1] and got[3] == per_doc[1]
+    assert got[11] == per_doc[10] and got[21] == per_doc[20]
+
+    # deterministic under repartitioning (pure function of the ids)
+    re = {r["doc_id"]: (r["split"], r["split_bucket"])
+          for r in leakage_safe_split(docs.repartition(7), groups).collect()}
+    assert re == got
