@@ -52,6 +52,8 @@ def decontamination_overlap(
     salt: str = "split_v1",
     train_pct: int = 90,
     val_pct: int = 5,
+    groups: DataFrame | None = None,
+    group_col: str = "group_id",
 ) -> DataFrame:
     """Per eval-split (val/test) document: how much of it appears verbatim
     (at n-gram granularity) in the train split.
@@ -61,10 +63,26 @@ def decontamination_overlap(
     big side — it stays a distinct-hash relation (narrow: one long per
     shingle) and the join is hash-partitioned on the shingle; the eval side
     is a few percent of the corpus by construction.
+
+    ``groups`` (a ``(doc_id, group_id)`` dup-cluster relation) switches the
+    split to :func:`~.sampling.leakage_safe_split`: near-duplicate clusters
+    are co-assigned, so the dup-driven slice of contamination this audit
+    exists to surface disappears by construction and what remains is REAL
+    cross-document leakage worth reading.
     """
     from .dedup import shingle_stream
 
-    assigned = split_assign(docs, id_col=id_col, salt=salt, train_pct=train_pct, val_pct=val_pct)
+    if groups is None:
+        assigned = split_assign(
+            docs, id_col=id_col, salt=salt, train_pct=train_pct, val_pct=val_pct
+        )
+    else:
+        from .sampling import leakage_safe_split
+
+        assigned = leakage_safe_split(
+            docs, groups, id_col=id_col, group_col=group_col,
+            salt=salt, train_pct=train_pct, val_pct=val_pct,
+        )
     stream = shingle_stream(assigned, text_col, id_col, n)
     sided = stream.join(assigned.select(F.col(id_col).alias("doc_id"), "split"), "doc_id")
     train_set = (

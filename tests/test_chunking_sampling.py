@@ -162,3 +162,35 @@ def test_leakage_safe_split_coassigns_dup_groups(spark):
     re = {r["doc_id"]: (r["split"], r["split_bucket"])
           for r in leakage_safe_split(docs.repartition(7), groups).collect()}
     assert re == got
+
+
+def test_group_keyed_decontamination_removes_dup_driven_leakage(spark):
+    """decontamination_overlap(groups=...) co-assigns exact-dup pairs, so
+    an eval doc's twin can never sit in the train shingle set; with the
+    per-doc split the same fixture MUST show contaminated eval docs
+    (pair texts are unique per pair, so any contamination is dup-driven
+    by construction)."""
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.llmprep.curation import (
+        decontamination_overlap,
+    )
+
+    rows = []
+    for i in range(120):  # 120 exact-dup pairs, texts unique per pair
+        text = " ".join(f"tok{i}w{j}" for j in range(8))
+        rows.append((2 * i, text))
+        rows.append((2 * i + 1, text))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    groups = spark.createDataFrame(
+        [(2 * i, 2 * i) for i in range(120)]
+        + [(2 * i + 1, 2 * i) for i in range(120)],
+        "doc_id LONG, group_id LONG",
+    )
+
+    per_doc = decontamination_overlap(docs).collect()
+    assert any(r["n_contaminated"] > 0 for r in per_doc)  # straddled pairs
+
+    grouped = decontamination_overlap(docs, groups=groups).collect()
+    assert grouped  # some clusters land in val/test
+    assert all(r["n_contaminated"] == 0 for r in grouped)  # leakage gone
