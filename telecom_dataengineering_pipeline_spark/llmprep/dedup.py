@@ -358,6 +358,111 @@ def minhash_near_dup_pairs(
     )
 
 
+def minhash_calibration_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    engine_neutral_hash: bool = True,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Sketch-honesty audit of the MinHash geometry on THIS corpus: for
+    every LSH candidate pair, the signature-agreement estimate (fraction
+    of equal positions — the unbiased MinHash estimator of Jaccard, se ≈
+    √(j(1−j)/num_perm)) next to the EXACT n-gram Jaccard, rolled up into
+    exact-Jaccard buckets: (bucket, lo, n_pairs, mean_est, mean_exact,
+    mean_abs_err, max_abs_err). Read it before trusting a (num_perm,
+    bands) configuration's verdicts at scale — a drifted bucket means the
+    shingle distribution (boilerplate, short docs) breaks the estimator's
+    assumptions for that similarity range, not that MinHash is wrong.
+
+    Scale shape: candidate generation is the banded equi-join (never
+    all-pairs); signatures re-attach to the pair relation by doc id (two
+    keyed joins of a pair-grain relation — the banded explode never
+    carries the num_perm-long array); the exact side is the
+    candidate-restricted shingle join minhash_near_dup_pairs verifies
+    with; output is n_buckets rows. The agreement estimate is one
+    zip_with/filter/size expression — JVM-side, no Python."""
+    stream = shingle_stream(docs, text_col, id_col, n)
+    hashed = stream.select(
+        "doc_id",
+        _hash31(F.col("shingle"), engine_neutral_hash).alias("_h"),
+        F.xxhash64("shingle").alias("shingle_h"),
+    ).localCheckpoint(eager=False)
+    sig_sizes = (
+        hashed.groupBy("doc_id")
+        .agg(
+            *_signature_min_exprs(num_perm, F.col("_h")),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .withColumn(
+            "signature", F.array(*[F.col(f"mh_{i}") for i in range(num_perm)])
+        )
+        .select("doc_id", "signature", "n_shingles")
+        .localCheckpoint(eager=False)
+    )
+    cands = lsh_candidate_pairs(
+        sig_sizes, bands, sig_len=num_perm, carry_cols=("n_shingles",)
+    )
+    s1 = sig_sizes.select(
+        F.col("doc_id").alias("doc1"), F.col("signature").alias("_sig1")
+    )
+    s2 = sig_sizes.select(
+        F.col("doc_id").alias("doc2"), F.col("signature").alias("_sig2")
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("_sig1", "_sig2", lambda x, y: x == y),
+                lambda b: b,
+            )
+        ).cast("double")
+        / F.lit(float(num_perm))
+    )
+    pairs = (
+        cands.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1", "doc2", "n_shingles_1", "n_shingles_2",
+            F.round(est, 6).alias("est_jaccard"),
+        )
+    )
+    ex = hashed.select("doc_id", "shingle_h")
+    left = pairs.join(ex.withColumnRenamed("doc_id", "doc1"), "doc1").select(
+        "doc1", "doc2", "n_shingles_1", "n_shingles_2", "est_jaccard", "shingle_h"
+    )
+    inter = (
+        left.join(ex.withColumnRenamed("doc_id", "doc2"), ["doc2", "shingle_h"])
+        .groupBy("doc1", "doc2", "n_shingles_1", "n_shingles_2", "est_jaccard")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    exact = F.col("inter").cast("double") / (
+        F.col("n_shingles_1") + F.col("n_shingles_2") - F.col("inter")
+    )
+    graded = inter.select(
+        "est_jaccard", F.round(exact, 6).alias("exact_jaccard")
+    )
+    bucket = F.least(
+        F.floor(F.col("exact_jaccard") * n_buckets).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    err = F.abs(F.col("est_jaccard") - F.col("exact_jaccard"))
+    return (
+        graded.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min(F.col("bucket").cast("double") / n_buckets), 6).alias("lo"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("est_jaccard"), 6).alias("mean_est"),
+            F.round(F.avg("exact_jaccard"), 6).alias("mean_exact"),
+            F.round(F.avg(err), 6).alias("mean_abs_err"),
+            F.round(F.max(err), 6).alias("max_abs_err"),
+        )
+    )
+
+
 def incremental_lsh_probe(
     index_docs: DataFrame,
     batch_docs: DataFrame,

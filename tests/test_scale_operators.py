@@ -207,3 +207,41 @@ def test_proximity_join_blocking_complete_and_no_cartesian(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_calibration_audit_estimates_track_exact(spark):
+    """r12 registration candidate (tests-only under the r11 freeze): the
+    calibration table's per-bucket MinHash agreement estimate must track
+    exact n-gram Jaccard within the estimator's statistical band
+    (se ≈ √(j(1−j)/64) ≈ 0.06 per pair; bucket means much tighter), on a
+    fixture whose pair overlaps span the candidate-surfaceable range.
+    Plan stays candidate-join shaped: no cartesian, no Python."""
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.llmprep.dedup import (
+        minhash_calibration_audit,
+    )
+
+    rows = []
+    for i in range(240):
+        # pair i shares a prefix of L of 20 tokens, L spread over 8..20:
+        # 3-gram jaccard = (L-2)/(2*18-(L-2)) spanning ~0.2..1.0
+        L = 8 + (i % 13)
+        a = [f"p{i}t{j}" for j in range(20)]
+        b = a[:L] + [f"p{i}x{j}" for j in range(20 - L)]
+        rows.append((2 * i, " ".join(a)))
+        rows.append((2 * i + 1, " ".join(b)))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    out = minhash_calibration_audit(docs)
+    got = {r["bucket"]: r for r in out.collect()}
+    assert len(got) >= 4  # spread across the similarity range
+    assert sum(r["n_pairs"] for r in got.values()) >= 60
+    for b, r in got.items():
+        assert 0.0 <= r["mean_est"] <= 1.0 and 0.0 <= r["mean_exact"] <= 1.0
+        assert r["lo"] == b / 10
+        if r["n_pairs"] >= 10:
+            assert r["mean_abs_err"] <= 0.12, (b, r)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
