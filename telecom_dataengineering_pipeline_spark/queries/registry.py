@@ -67,6 +67,15 @@ REGISTRY: dict[str, QuerySpec] = {}
 # char_class_doc_profile) hold at 51+ for the r10 head, exactly
 # COVERAGE.md's corrected plan.  Evidence names no longer registered are
 # ignored; new registrations always start never-checked.
+#
+# Round-12 plan (registry frozen through r11 per the r10 verdict): with
+# never-checked = 0 after r11 lands, all 50 r12 slots are refreshes —
+# enough to retire the r5-stale tier (29 names) with 21 slots spare.
+# Growth resumes r12 with the three tests-only candidates prepped in
+# r11, each needing only an oracle + registration:
+#   - leakage_safe_split (llmprep/sampling.py) — dup-group-keyed split
+#   - decontamination_overlap(groups=...) — group-keyed decon twin
+#   - minhash_calibration_audit (llmprep/dedup.py) — sketch-honesty table
 NEW_NAME_SLOT_CAP = 30
 DRIVER_WINDOW = 50
 
