@@ -448,17 +448,23 @@ def minhash_calibration_audit(
         F.floor(F.col("exact_jaccard") * n_buckets).cast("int"),
         F.lit(n_buckets - 1),
     )
-    err = F.abs(F.col("est_jaccard") - F.col("exact_jaccard"))
+    # Registry convention (cross-engine determinism): no raw doubles out of
+    # aggregations — the 6-dp estimates sum EXACTLY as decimals and cast to
+    # double once, so the bucket means are order-independent.
+    est_d = F.col("est_jaccard").cast("decimal(10,6)")
+    exa_d = F.col("exact_jaccard").cast("decimal(10,6)")
+    err_d = F.abs(est_d - exa_d)
+    n_rows = F.count(F.lit(1))
     return (
         graded.withColumn("bucket", bucket)
         .groupBy("bucket")
         .agg(
             F.round(F.min(F.col("bucket").cast("double") / n_buckets), 6).alias("lo"),
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.round(F.avg("est_jaccard"), 6).alias("mean_est"),
-            F.round(F.avg("exact_jaccard"), 6).alias("mean_exact"),
-            F.round(F.avg(err), 6).alias("mean_abs_err"),
-            F.round(F.max(err), 6).alias("max_abs_err"),
+            n_rows.cast("long").alias("n_pairs"),
+            F.round(F.sum(est_d).cast("double") / n_rows, 6).alias("mean_est"),
+            F.round(F.sum(exa_d).cast("double") / n_rows, 6).alias("mean_exact"),
+            F.round(F.sum(err_d).cast("double") / n_rows, 6).alias("mean_abs_err"),
+            F.max(err_d).cast("double").alias("max_abs_err"),
         )
     )
 

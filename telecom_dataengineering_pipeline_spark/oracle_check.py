@@ -64,13 +64,22 @@ class ParityResult:
 
 def check_query(spark: SparkSession, name: str, sf_dir: str) -> ParityResult:
     spec = REGISTRY[name]
-    sdf = spec.fn(spark, sf_dir)
+    return check_frame(spec.fn(spark, sf_dir), spec.oracle, sf_dir, name)
+
+
+def check_frame(
+    sdf, oracle: str | None, sf_dir: str, name: str = "<unregistered>"
+) -> ParityResult:
+    """The driver-replica comparison for an arbitrary (DataFrame, oracle
+    SQL) pair — lets tests value-gate REGISTRATION CANDIDATES with the
+    identical row-count / column / repr-strict value logic before they
+    enter the registry (check_query is this applied to a REGISTRY entry)."""
     spark_pd = sdf.toPandas()
-    if spec.oracle is None:
+    if oracle is None:
         return ParityResult(name, True, f"rows-only ({len(spark_pd)} rows)", len(spark_pd), -1)
     con = duckdb_connection(sf_dir)
     try:
-        duck_pd = con.execute(spec.oracle).fetchdf()
+        duck_pd = con.execute(oracle).fetchdf()
     finally:
         con.close()
 
