@@ -71,11 +71,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 # Round-12 plan (registry frozen through r11 per the r10 verdict): with
 # never-checked = 0 after r11 lands, all 50 r12 slots are refreshes —
 # enough to retire the r5-stale tier (29 names) with 21 slots spare.
-# Growth resumes r12 with the three tests-only candidates prepped in
-# r11, each needing only an oracle + registration:
-#   - leakage_safe_split (llmprep/sampling.py) — dup-group-keyed split
-#   - decontamination_overlap(groups=...) — group-keyed decon twin
-#   - minhash_calibration_audit (llmprep/dedup.py) — sketch-honesty table
+# Growth resumes r12 with the three candidates in queries/round12_prep.py
+# — each already a full (fn, oracle) pair verified at all three scales
+# via oracle_check.check_frame (tests/test_round12_prep.py); registration
+# is moving the pair into a @register block verbatim:
+#   - leakage_safe_split_assignments — dup-cluster-keyed split
+#   - decontamination_group_split_check — group-keyed decon twin
+#   - minhash_calibration_report — sketch-honesty table
 NEW_NAME_SLOT_CAP = 30
 DRIVER_WINDOW = 50
 
