@@ -369,11 +369,13 @@ def minhash_calibration_audit(
     n_buckets: int = 10,
 ) -> DataFrame:
     """Sketch-honesty audit of the MinHash geometry on THIS corpus: for
-    every LSH candidate pair, the signature-agreement estimate (fraction
-    of equal positions — the unbiased MinHash estimator of Jaccard, se ≈
-    √(j(1−j)/num_perm)) next to the EXACT n-gram Jaccard, rolled up into
-    exact-Jaccard buckets: (bucket, lo, n_pairs, mean_est, mean_exact,
-    mean_abs_err, max_abs_err). Read it before trusting a (num_perm,
+    every LSH candidate pair — including zero-overlap pairs surfaced only
+    by a bucket-merge collision, which grade exact = 0 into bucket 0 (the
+    worst-calibrated pairs an audit exists to expose; ADVICE r11) — the
+    signature-agreement estimate (fraction of equal positions — the
+    unbiased MinHash estimator of Jaccard, se ≈ √(j(1−j)/num_perm)) next
+    to the EXACT n-gram Jaccard, rolled up into exact-Jaccard buckets:
+    (bucket, lo, n_pairs, mean_est, mean_exact, mean_abs_err, max_abs_err). Read it before trusting a (num_perm,
     bands) configuration's verdicts at scale — a drifted bucket means the
     shingle distribution (boilerplate, short docs) breaks the estimator's
     assumptions for that similarity range, not that MinHash is wrong.
@@ -433,10 +435,18 @@ def minhash_calibration_audit(
     left = pairs.join(ex.withColumnRenamed("doc_id", "doc1"), "doc1").select(
         "doc1", "doc2", "n_shingles_1", "n_shingles_2", "est_jaccard", "shingle_h"
     )
+    # LEFT join on the doc2 side: a candidate pair with ZERO shingle
+    # intersection must survive with inter = 0 (exact = 0, bucket 0) —
+    # an inner join would silently drop exactly the pairs whose sketch
+    # estimate is most wrong (ADVICE r11).
     inter = (
-        left.join(ex.withColumnRenamed("doc_id", "doc2"), ["doc2", "shingle_h"])
+        left.join(
+            ex.withColumnRenamed("doc_id", "doc2").withColumn("_hit", F.lit(1)),
+            ["doc2", "shingle_h"],
+            "left",
+        )
         .groupBy("doc1", "doc2", "n_shingles_1", "n_shingles_2", "est_jaccard")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(F.count("_hit").alias("inter"))
     )
     exact = F.col("inter").cast("double") / (
         F.col("n_shingles_1") + F.col("n_shingles_2") - F.col("inter")

@@ -271,9 +271,18 @@ def leakage_safe_split(
     ``(doc_id, group_id)`` relation — pair-derived, far smaller than the
     corpus; broadcast when it fits, shuffle equi-join otherwise (AQE's
     call) — then the same shuffle-free bucket map as
-    :func:`split_assign`. Adds ``split_bucket`` and ``split``."""
-    g = groups.select(
-        F.col(id_col).alias("__grp_doc"), F.col(group_col).alias("__grp")
+    :func:`split_assign`. Adds ``split_bucket`` and ``split``.
+
+    ``groups`` contract: one row per doc. A malformed multi-group
+    relation is reduced DETERMINISTICALLY (min group per doc) before the
+    join, so output cardinality always equals input cardinality — the
+    left join can never fan the corpus out (ADVICE r11)."""
+    g = (
+        groups.select(
+            F.col(id_col).alias("__grp_doc"), F.col(group_col).alias("__grp")
+        )
+        .groupBy("__grp_doc")
+        .agg(F.min("__grp").alias("__grp"))
     )
     joined = df.join(g, df[id_col] == g["__grp_doc"], "left").drop("__grp_doc")
     anchor = F.coalesce(F.col("__grp"), F.col(id_col))

@@ -89,7 +89,16 @@ def quantile_bucket_scores(
     launching an unbounded sort). Still zero global sorts: TakeOrdered
     keeps k rows per partition. The refinement runs 2 extra jobs at
     plan-build time and bucket comparison uses plain literals, so the
-    returned plan is pure map-side."""
+    returned plan is pure map-side.
+
+    ``exact=True`` contract (ADVICE r11): the refinement jobs run EAGERLY
+    over ``df`` at call time and the collected cutoffs then score ``df``
+    again — the input must be deterministic across those evaluations
+    (cache/localCheckpoint any non-deterministic lineage first, as
+    ``customer_rfm_segments_approx`` does), or the refined cutoffs can
+    disagree with the data they score. An all-NULL (or empty) metric
+    column skips refinement and emits NULL buckets, matching
+    ``exact=False``."""
     from pyspark.sql import functions as F
 
     probs = [i / k for i in range(1, k)]
@@ -121,17 +130,25 @@ def quantile_bucket_scores(
     ).collect()[0]
     cond_aggs = []
     for c in metric_cols:
-        for i, v in enumerate(stats[f"__cuts_{c}"]):
+        # percentile_approx yields NULL for an all-NULL/empty column —
+        # no cutoffs to check, no refinement (ADVICE r11 guard).
+        for i, v in enumerate(stats[f"__cuts_{c}"] or []):
             cond_aggs.append(
                 F.sum((F.col(c) < F.lit(v)).cast("long")).alias(f"__lt_{c}_{i}")
             )
             cond_aggs.append(
                 F.sum((F.col(c) <= F.lit(v)).cast("long")).alias(f"__le_{c}_{i}")
             )
-    counts = df.agg(*cond_aggs).collect()[0]
+    counts = df.agg(*cond_aggs).collect()[0] if cond_aggs else None
     exact_cuts: dict[str, list] = {}
     for c in metric_cols:
         n_c = stats[f"__n_{c}"]
+        if not n_c or stats[f"__cuts_{c}"] is None:
+            # All-NULL column: every row's metric is NULL, so the
+            # isNotNull guard below emits NULL buckets regardless of
+            # cutoffs — same behavior as exact=False.
+            exact_cuts[c] = []
+            continue
         refined = []
         for i, p in enumerate(probs):
             r = math.ceil(p * n_c)

@@ -176,10 +176,13 @@ est AS (
   FROM cand c JOIN sig s1 ON s1.doc_id = c.doc1 JOIN sig s2 ON s2.doc_id = c.doc2
 ),
 inter AS (
-  SELECT e.doc1, e.doc2, e.est_jaccard, count(*) AS i
+  -- LEFT join: zero-intersection candidates (bucket-merge collisions)
+  -- keep i = 0 and grade into bucket 0, mirroring the Spark side's
+  -- left-join + count(_hit) (ADVICE r11).
+  SELECT e.doc1, e.doc2, e.est_jaccard, count(b.g) AS i
   FROM est e
   JOIN ex a ON a.doc_id = e.doc1
-  JOIN ex b ON b.doc_id = e.doc2 AND b.g = a.g
+  LEFT JOIN ex b ON b.doc_id = e.doc2 AND b.g = a.g
   GROUP BY 1, 2, 3
 ),
 graded AS (

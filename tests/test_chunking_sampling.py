@@ -194,3 +194,33 @@ def test_group_keyed_decontamination_removes_dup_driven_leakage(spark):
     grouped = decontamination_overlap(docs, groups=groups).collect()
     assert grouped  # some clusters land in val/test
     assert all(r["n_contaminated"] == 0 for r in grouped)  # leakage gone
+
+
+def test_leakage_safe_split_dedupes_malformed_group_relation(spark):
+    """ADVICE r11: a groups relation with more than one row per doc must
+    NOT fan the corpus out through the left join — the relation is
+    reduced deterministically (min group per doc) before joining, so
+    output cardinality equals input cardinality and the anchor is
+    stable."""
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.llmprep.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.range(1, 51).select(F.col("id").alias("doc_id"))
+    malformed = spark.createDataFrame(
+        [(1, 7), (1, 3), (2, 3), (2, 3)],  # doc 1 in two groups, doc 2 twice
+        "doc_id LONG, group_id LONG",
+    )
+    out = leakage_safe_split(docs, malformed)
+    assert out.count() == 50  # the left join never fans out
+    got = {r["doc_id"]: r["split_bucket"] for r in out.collect()}
+    well_formed = spark.createDataFrame(
+        [(1, 3), (2, 3)], "doc_id LONG, group_id LONG"
+    )
+    want = {
+        r["doc_id"]: r["split_bucket"]
+        for r in leakage_safe_split(docs, well_formed).collect()
+    }
+    assert got == want  # min-group anchor, deterministic

@@ -311,3 +311,27 @@ def test_cusum_needs_three_steps(spark):
     df = spark.createDataFrame([("a", "s0", 1.0)], "g string, step string, x double")
     with pytest.raises(ValueError, match="three steps"):
         cusum_change_points(df, ["g"], "step", "x", ["s0", "s1"])
+
+
+def test_quantile_bucket_scores_exact_all_null_metric(spark):
+    """ADVICE r11: an all-NULL (or empty) metric column must emit NULL
+    buckets under exact=True — the same graceful behavior exact=False has
+    (the NULL sketch propagates) — instead of crashing on
+    enumerate(None); a mixed frame still rank-refines its non-null
+    column."""
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.operators.windows import (
+        quantile_bucket_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i), None) for i in range(20)], "m double, z double"
+    )
+    out = quantile_bucket_scores(df, ["m", "z"], k=4, accuracy=50, exact=True)
+    rows = out.collect()
+    assert all(r["z_bucket"] is None for r in rows)
+    assert {r["m_bucket"] for r in rows} == {1, 2, 3, 4}
+    # fully empty input: no refinement jobs, no crash, zero rows out
+    empty = quantile_bucket_scores(df.where(F.lit(False)), ["m"], k=4, exact=True)
+    assert empty.count() == 0

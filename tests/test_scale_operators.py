@@ -245,3 +245,7 @@ def test_minhash_calibration_audit_estimates_track_exact(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    # ADVICE r11 pin: the exact-intersection join is LEFT outer, so a
+    # zero-overlap candidate pair (bucket-merge collision) grades into
+    # bucket 0 with exact = 0 instead of being silently dropped.
+    assert "LeftOuter" in plan
