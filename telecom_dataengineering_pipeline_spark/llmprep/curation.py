@@ -103,6 +103,87 @@ def decontamination_overlap(
     )
 
 
+def split_leakage_audit(
+    docs: DataFrame,
+    groups: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    salt: str = "split_v1",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    group_col: str = "group_id",
+) -> DataFrame:
+    """End-to-end contract of the group-keyed split, per eval split: run
+    :func:`~.sampling.leakage_safe_split` and
+    :func:`decontamination_overlap` over the SAME assignment (both are
+    pure functions of ``md5(salt || group)``, so the assignment is
+    identical by construction) and roll up
+
+    - ``n_dup_straddle_docs`` — eval docs with a same-group mate in
+      train. ZERO by construction under the group-keyed split; COMPUTED
+      (not a literal) so a break anywhere in the split keying turns the
+      column non-zero and reddens the value gate.
+    - ``n_leaky_docs`` / ``n_contaminated`` — what remains after the
+      dup-driven slice is gone: REAL cross-document n-gram leakage.
+
+    Grain note: docs too short to produce an n-gram (< n tokens) carry
+    no contamination evidence and are excluded on both engines, so
+    ``n_eval_docs`` counts eval docs WITH shingles.
+
+    Scale shape: the split + anchor joins touch the narrow
+    ``(doc_id, group)`` relation; the decon join is the hash join on the
+    distinct train-shingle set; output is ≤ 2 rows."""
+    from .sampling import leakage_safe_split
+
+    assigned = leakage_safe_split(
+        docs, groups, id_col=id_col, group_col=group_col,
+        salt=salt, train_pct=train_pct, val_pct=val_pct,
+    )
+    decon = decontamination_overlap(
+        docs, text_col, id_col, n, salt, train_pct, val_pct,
+        groups=groups, group_col=group_col,
+    )
+    g = (
+        groups.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(group_col).cast("string").alias("__grp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("__grp").alias("__grp"))  # same reduction as the split
+    )
+    anchored = (
+        assigned.select(F.col(id_col).alias("doc_id"), "split")
+        .join(g, "doc_id", "left")
+        .withColumn(
+            "__anchor", F.coalesce(F.col("__grp"), F.col("doc_id").cast("string"))
+        )
+    )
+    train_anchors = (
+        anchored.filter(F.col("split") == "train").select("__anchor").distinct()
+    )
+    straddle = (
+        anchored.filter(F.col("split") != "train")
+        .join(train_anchors.withColumn("__t", F.lit(1)), "__anchor", "left")
+        .select("doc_id", "__t")
+    )
+    joined = decon.join(straddle, "doc_id")
+    return joined.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_docs"),
+        F.sum(F.col("__t").isNotNull().cast("int")).cast("long").alias(
+            "n_dup_straddle_docs"
+        ),
+        F.sum((F.col("n_contaminated") > 0).cast("int")).cast("long").alias(
+            "n_leaky_docs"
+        ),
+        F.sum("n_shingles").cast("long").alias("n_shingles"),
+        F.sum("n_contaminated").cast("long").alias("n_contaminated"),
+        F.round(
+            F.sum("n_contaminated").cast("double") / F.sum("n_shingles"), 6
+        ).alias("contamination_ratio"),
+    )
+
+
 def pack_sequences(
     chunks: DataFrame,
     context_len: int = 512,

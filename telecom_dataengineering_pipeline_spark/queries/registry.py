@@ -68,16 +68,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 # COVERAGE.md's corrected plan.  Evidence names no longer registered are
 # ignored; new registrations always start never-checked.
 #
-# Round-12 plan (registry frozen through r11 per the r10 verdict): with
-# never-checked = 0 after r11 lands, all 50 r12 slots are refreshes —
-# enough to retire the r5-stale tier (29 names) with 21 slots spare.
-# Growth resumes r12 with the three candidates in queries/round12_prep.py
-# — each already a full (fn, oracle) pair verified at all three scales
-# via oracle_check.check_frame (tests/test_round12_prep.py); registration
-# is moving the pair into a @register block verbatim:
-#   - leakage_safe_split_assignments — dup-cluster-keyed split
-#   - decontamination_group_split_check — group-keyed decon twin
-#   - minhash_calibration_report — sketch-honesty table
+# Round-12 instance: growth resumed — the three r11-verified candidates
+# plus the composed split-leakage contract and the prepared-LSH pair are
+# registered in queries/round15.py (6 never-checked names head the r12
+# window), leaving 44 rotation slots: the whole r5-stale tier (29 names)
+# retires plus the 15 oldest r6-stale names.
 NEW_NAME_SLOT_CAP = 30
 DRIVER_WINDOW = 50
 

@@ -224,3 +224,54 @@ def test_leakage_safe_split_dedupes_malformed_group_relation(spark):
         for r in leakage_safe_split(docs, well_formed).collect()
     }
     assert got == want  # min-group anchor, deterministic
+
+
+def test_split_leakage_audit_zero_dup_straddle_on_seeded_clusters(spark):
+    """VERDICT r11 item 4 property gate: on a corpus seeded with exact-dup
+    clusters, the composed group-keyed split → decontamination audit must
+    report n_dup_straddle_docs == 0 in EVERY eval split (the contract the
+    registered split_leakage_audit_e2e query value-gates), while the same
+    fixture under the per-doc split provably straddles — the zero is
+    load-bearing, not vacuous."""
+    from pyspark.sql import functions as F
+
+    from telecom_dataengineering_pipeline_spark.llmprep.curation import (
+        split_leakage_audit,
+    )
+    from telecom_dataengineering_pipeline_spark.llmprep.dedup import (
+        connected_dup_groups,
+    )
+    from telecom_dataengineering_pipeline_spark.llmprep.sampling import split_assign
+
+    rows, pairs = [], []
+    for i in range(80):  # 80 exact-dup pairs
+        t = " ".join(f"p{i}w{j}" for j in range(12))
+        rows += [(2 * i, t), (2 * i + 1, t)]
+        pairs.append((2 * i, 2 * i + 1))
+    for i in range(1000, 1200):  # singleton filler
+        rows.append((i, " ".join(f"s{i}w{j}" for j in range(12))))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    groups = connected_dup_groups(
+        spark.createDataFrame(pairs, "doc1 LONG, doc2 LONG")
+    )
+
+    out = {r["split"]: r for r in split_leakage_audit(docs, groups).collect()}
+    assert set(out) <= {"val", "test"} and out
+    for r in out.values():
+        assert r["n_dup_straddle_docs"] == 0
+        # token universes are disjoint per pair → no real leakage either,
+        # so the group-keyed audit reads fully clean on this fixture
+        assert r["n_contaminated"] == 0 and r["n_leaky_docs"] == 0
+        assert r["contamination_ratio"] == 0.0
+        assert r["n_eval_docs"] > 0 and r["n_shingles"] > 0
+
+    # Non-vacuous: the per-doc split DOES straddle dup pairs on this corpus.
+    per_doc = split_assign(docs).select("doc_id", "split")
+    a = per_doc.withColumnRenamed("doc_id", "d1").withColumnRenamed("split", "s1")
+    b = per_doc.withColumnRenamed("doc_id", "d2").withColumnRenamed("split", "s2")
+    pf = spark.createDataFrame(pairs, "d1 LONG, d2 LONG").join(a, "d1").join(b, "d2")
+    straddled = pf.filter(
+        ((F.col("s1") == "train") & (F.col("s2") != "train"))
+        | ((F.col("s1") != "train") & (F.col("s2") == "train"))
+    ).count()
+    assert straddled > 0
