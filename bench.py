@@ -17,7 +17,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from telecom_dataengineering_pipeline_spark.benchlib import bench_session, measure_queries
+from telecom_dataengineering_pipeline_spark.benchlib import (
+    bench_session,
+    measure_queries,
+    noise_flags,
+    noise_probe,
+)
 
 
 def main() -> None:
@@ -26,9 +31,12 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = -1.0
+    probe_start = noise_probe()
     spark = bench_session("bench")
     timings = measure_queries(spark, sf_dir)
     total = round(sum(timings.values()), 3)
+    spark.stop()
+    probe_end = noise_probe()
     print(
         json.dumps(
             {
@@ -37,10 +45,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Ambient-noise sentinel: probe_inflation ~1.0 = quiet host;
+                # a flagged session's timings should be discounted/re-judged
+                # solo instead of read as regressions (r10/r11 episodes).
+                "noise_probe": {
+                    "start": probe_start,
+                    "end": probe_end,
+                    "flags": noise_flags(probe_start, probe_end),
+                },
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

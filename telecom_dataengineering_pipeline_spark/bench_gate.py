@@ -30,7 +30,7 @@ import json
 import os
 import sys
 
-from .benchlib import bench_session, measure_queries
+from .benchlib import bench_session, measure_queries, noise_flags, noise_probe
 
 
 def main() -> int:
@@ -56,9 +56,12 @@ def main() -> int:
             )
             return 2
 
+    probe_start = noise_probe()
     spark = bench_session("bench-gate")
     timings = measure_queries(spark, sf_dir)
     spark.stop()
+    probe_end = noise_probe()
+    flags = noise_flags(probe_start, probe_end)
 
     if args.update or not os.path.exists(baseline_path):
         doc = {"sf_dir": sf_dir, "queries": timings}
@@ -91,6 +94,18 @@ def main() -> int:
             print(f"ok   {name}: {t:.3f}s vs baseline {base:.3f}s")
     for name in sorted(set(baseline) - set(timings)):
         print(f"GONE {name}: baseline {baseline[name]:.3f}s but not in bench set")
+    if flags:
+        # Annotate, never auto-pass: a flagged session's FAIL rows must be
+        # re-judged solo on a quiet window (the r9-r11 protocol), but the
+        # gate verdict itself stands until someone does.
+        print("\nNOISY SESSION — timings above are suspect:")
+        for fl in flags:
+            print(f"  noise: {fl}")
+        print(
+            f"  probes: start inflation {probe_start['probe_inflation']}x, "
+            f"end inflation {probe_end['probe_inflation']}x "
+            f"(reference = quiet-host spin)"
+        )
     if failures:
         print(f"\n{len(failures)} regression(s) beyond {args.factor}x")
         return 1

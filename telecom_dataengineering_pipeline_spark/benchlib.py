@@ -13,9 +13,101 @@ queries' residue.
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import SparkSession
+
+# --- Ambient-noise sentinel (VERDICT r11 item 2) -------------------------
+#
+# Two straight rounds of gate numbers needed manual exoneration because the
+# driver's bench session landed on a contended host window (r10: disjoint
+# FAIL sets across back-to-back runs; r11: 1.40x geomean that re-measured
+# at 1.12x solo). The sentinel makes that mechanical: loadavg + foreign-JVM
+# count + a fixed-cost CPU spin whose wall-clock inflation vs a pinned
+# quiet-window reference is emitted with every bench JSON, so a judge or
+# driver can discount a noisy session without re-running it.
+PROBE_ITERS = 6_000_000
+# Quiet-window median-of-10 of the spin on this instance class
+# (2026-08-16, loadavg < 1.6, zero java processes: samples 0.541-0.604 s).
+# If the fleet hardware changes, re-pin with:
+#   python -c "from telecom_dataengineering_pipeline_spark.benchlib import _probe_spin_sec;
+#              print(sorted(_probe_spin_sec() for _ in range(10)))"
+PROBE_REFERENCE_SEC = 0.55
+# Inflation past this reads as host contention (the quiet-host run-to-run
+# band is ~±10%; the r11 noisy window measured the same binaries ~1.3-2x).
+PROBE_NOISY_FACTOR = 1.3
+
+
+def _probe_spin_sec() -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(PROBE_ITERS):
+        x = (x * 1103515245 + i) & 0xFFFFFFFF
+    return time.perf_counter() - t0
+
+
+def _count_foreign_java() -> int:
+    """Java processes NOT owned by this driver (our own local[*] JVM is a
+    direct child) — concurrent Spark/pytest sessions are the #1 recorded
+    cause of garbage bench numbers on this instance class."""
+    me = str(os.getpid())
+    n = 0
+    try:
+        pids = [p for p in os.listdir("/proc") if p.isdigit()]
+    except OSError:
+        return -1
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                raw = f.read()
+            comm = raw.split("(", 1)[1].rsplit(")", 1)[0]
+            ppid = raw.rsplit(")", 1)[1].split()[1]
+        except (OSError, IndexError):
+            continue
+        if comm == "java" and ppid != me:
+            n += 1
+    return n
+
+
+def noise_probe() -> dict:
+    """One ambient-noise reading: take it at session start and end and ship
+    both in the bench JSON. probe_inflation ~1.0 = quiet host;
+    > PROBE_NOISY_FACTOR = the host was stealing cycles and every timing
+    in the session is suspect."""
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = -1.0
+    sec = _probe_spin_sec()
+    return {
+        "loadavg_1m": round(load1, 2),
+        "foreign_java_procs": _count_foreign_java(),
+        "probe_sec": round(sec, 4),
+        "probe_inflation": round(sec / PROBE_REFERENCE_SEC, 3),
+    }
+
+
+def noise_flags(*probes: dict) -> list[str]:
+    """Human-readable contention flags over one or more probe readings —
+    emitted in the JSON and printed by bench_gate. Flags ANNOTATE a
+    session (a flagged FAIL should be re-judged solo on a quiet window,
+    per the r9-r11 protocol); they never auto-pass or auto-fail one."""
+    flags: list[str] = []
+    for tag, p in zip(("start", "end"), probes):
+        if p.get("probe_inflation", 0.0) > PROBE_NOISY_FACTOR:
+            flags.append(
+                f"{tag}: cpu probe {p['probe_inflation']}x reference — host contention"
+            )
+        if p.get("foreign_java_procs", 0) > 0:
+            flags.append(
+                f"{tag}: {p['foreign_java_procs']} foreign java process(es) running"
+            )
+        # loadavg is only meaningful BEFORE the session: the bench itself
+        # saturates local[32], so the end reading reflects our own work.
+        if tag == "start" and p.get("loadavg_1m", 0.0) > 8.0:
+            flags.append(f"{tag}: loadavg {p['loadavg_1m']} on a 32-cpu host")
+    return flags
 
 
 def bench_session(app_name: str) -> SparkSession:
