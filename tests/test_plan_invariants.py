@@ -786,28 +786,95 @@ def test_sssp_edges_lineage_cut(spark, sf_smoke, monkeypatch):
     assert captured["plan"].count("FileScan") == 0
 
 
-def test_bench_headliners_no_plan_antipatterns(spark, sf_smoke):
-    """Registry-wide guard over every bench=True query: no
-    CartesianProduct and no row-at-a-time Python evaluation
-    (BatchEvalPython) anywhere — Arrow-batched Python is the only
-    permitted Python surface. BroadcastNestedLoopJoin is banned except
-    for the three queries whose crossJoin side is a SCALAR or bounded
-    broadcast frame by construction (a totals anchor row, the broadcast
-    k-query set of the brute-force ANN baseline, a one-row sketch-cutoff
-    frame) — a new bench query that trips this must justify itself here
-    or fix its join."""
+# Queries whose plan carries a BroadcastNestedLoopJoin because a SCALAR or
+# bounded broadcast frame crossJoins onto the relation BY CONSTRUCTION (a
+# one-row totals/cutoff/count anchor, the broadcast k-query set of an ANN
+# baseline, a broadcast centroid/codebook table). BNLJ with a bounded build
+# side is the cheapest way to attach a scalar to every row; BNLJ between two
+# DATA relations is banned. A new registration that trips the guard must
+# either fix its join or add itself here with the bounded-side argument.
+BNLJ_BOUNDED_BY_CONSTRUCTION = {
+    "ann_hamming_topk",
+    "ann_ivf_kmeans_cells",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_nprobe_topk",
+    "ann_ivf_pq_topk",
+    "ann_ivf_topk",
+    "ann_recall_profile",
+    "association_rules_copurchase",
+    "assortativity_copurchase",
+    "bitext_mining_mutual_nn",
+    "bm25_keyword_retrieval",
+    "cuped_event_value_experiment",
+    "curation_filter_funnel",
+    "dq_chi_squared_event_mix",
+    "dq_freshness_check",
+    "dq_volume_zscore",
+    "eb_shrunk_user_purchase_rates",
+    "event_type_overlap_matrix",
+    "events_key_skew_profile",
+    "fk_integrity_audit",
+    "hard_negative_mining",
+    "haversine_tower_distances",
+    "hll_set_ops_users",
+    "important_part_values",
+    "incremental_lookback_slice",
+    "join_preflight_orders_lineitem",
+    "kappa_discount_rule_vs_returns",
+    "kn_bigram_doc_scores",
+    "knn_cosine_bruteforce",
+    "kw_daily_value_by_type",
+    "mi_priority_status",
+    "modularity_lpa_copurchase",
+    "mrl_truncation_recall",
+    "nearest_tower_load",
+    "pmi_document_collocations",
+    "promo_part_shippers",
+    "prospect_balance_anti",
+    "psi_value_drift",
+    "qnorm_acctbal_across_segments",
+    "robust_outlier_daily_revenue",
+    "row_count_anomaly_check",
+    "supplier_part_variety",
+    "te_loo_segment_order_totals",
+    "text_bigram_logprob",
+    "text_unigram_logprob",
+    "tfidf_top_terms",
+    "theil_spend_by_nation",
+    "value_quantile_sketch",
+    "winsorized_value_stats",
+}
+
+
+def test_full_registry_no_plan_antipatterns(spark, sf_smoke):
+    """THE registry-wide scale guard (VERDICT r11 item 8 — grown from the
+    bench=True-only version): every registered query's physical plan at
+    sf0.001, checked for the absolute bans — no CartesianProduct and no
+    row-at-a-time Python evaluation (BatchEvalPython) anywhere;
+    Arrow-batched Python (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas) is the only permitted Python surface.
+    BroadcastNestedLoopJoin is allowed only for the pinned
+    scalar-anchor population above, asserted by SET EQUALITY so the
+    allowlist can neither go stale nor grow silently. One test, all
+    violations reported together (~8-9 min: some queries run eager
+    stages at plan-build time — streams, iterative fixpoints, the
+    medallion build)."""
     from telecom_dataengineering_pipeline_spark.queries.registry import REGISTRY
 
-    bnlj_bounded_by_construction = {
-        "association_rules_copurchase",
-        "knn_cosine_bruteforce",
-        "value_quantile_sketch",
-    }
-    for name, ent in sorted(REGISTRY.items()):
-        if not getattr(ent, "bench", False):
-            continue
+    violations: list[str] = []
+    bnlj_names: set[str] = set()
+    for name in sorted(REGISTRY):
         plan = _physical(spark, name, sf_smoke)
-        assert "CartesianProduct" not in plan, name
-        assert "BatchEvalPython" not in plan, name
-        if name not in bnlj_bounded_by_construction:
-            assert "BroadcastNestedLoopJoin" not in plan, name
+        if "CartesianProduct" in plan:
+            violations.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            violations.append(f"{name}: BatchEvalPython (row-wise Python)")
+        if "BroadcastNestedLoopJoin" in plan:
+            bnlj_names.add(name)
+    unexpected = bnlj_names - BNLJ_BOUNDED_BY_CONSTRUCTION
+    stale = BNLJ_BOUNDED_BY_CONSTRUCTION - bnlj_names
+    if unexpected:
+        violations.append(f"unlisted BNLJ: {sorted(unexpected)}")
+    if stale:
+        violations.append(f"stale BNLJ allowlist entries: {sorted(stale)}")
+    assert not violations, "\n".join(violations)
