@@ -821,3 +821,194 @@ def kn_bigram_logprob_scores(
         F.round(avg, 6).alias("mean_kn_logprob"),
         F.round(F.exp(-avg), 6).alias("kn_perplexity"),
     )
+
+
+def decontamination_source_attribution(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n: int = 3,
+    salt: str = "split_v1",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """WHERE the leakage comes from: per (eval split, train source), the
+    volume of eval-document shingles that also appear in that train
+    source's shingle vocabulary.
+
+    :func:`decontamination_overlap` answers *how contaminated* each eval
+    doc is; this answers *which train feeds to quarantine first* — the
+    actionable half of the audit a curation team runs before re-pulling a
+    source. A shingle present in several train sources is attributed to
+    each (the quarantine decision is per source, so shared phrases count
+    against every source that carries them).
+
+    Scale shape: the train side collapses to a DISTINCT (shingle_hash,
+    source) relation — narrow (one long + one low-cardinality string per
+    row, ~#sources × the plain shingle set in the worst case) — and the
+    join is hash-partitioned on the shingle hash, exactly the
+    decontamination_overlap spine. The eval side is a few percent of the
+    corpus by construction. No all-pairs anywhere.
+
+    Returns (split, train_source, n_hits, n_eval_docs, n_shingles):
+    occurrence hits, distinct eval docs touched, distinct shingles shared.
+    """
+    from .dedup import shingle_stream
+
+    assigned = split_assign(
+        docs, id_col=id_col, salt=salt, train_pct=train_pct, val_pct=val_pct
+    )
+    stream = shingle_stream(assigned, text_col, id_col, n)
+    sided = stream.join(
+        assigned.select(
+            F.col(id_col).alias("doc_id"), "split", F.col(source_col).alias("_src")
+        ),
+        "doc_id",
+    )
+    train_dict = (
+        sided.filter(F.col("split") == "train")
+        .select(F.xxhash64("shingle").alias("shingle_h"), F.col("_src").alias("train_source"))
+        .distinct()
+    )
+    ev = sided.filter(F.col("split") != "train").select(
+        "doc_id", "split", F.xxhash64("shingle").alias("shingle_h")
+    )
+    return (
+        ev.join(train_dict, "shingle_h")
+        .groupBy("split", "train_source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.countDistinct("doc_id").cast("long").alias("n_eval_docs"),
+            F.countDistinct("shingle_h").cast("long").alias("n_shingles"),
+        )
+    )
+
+
+def dedup_quality_bias(
+    docs: DataFrame,
+    groups: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "group_id",
+) -> DataFrame:
+    """Does near-duplication correlate with document quality? Per
+    dup-group-size band — 'unique' (no near-dup), 'pair' (group of 2),
+    'cluster' (3+) — the mean quality-filter features of the member docs.
+
+    The audit a curation team runs before deciding keep-one-per-group
+    policy: if large dup clusters skew low-quality (boilerplate, spam
+    farms), aggressive dedup doubles as a quality filter; if they skew
+    high-quality (popular reference texts), keep-one needs a
+    quality-aware representative choice (see cluster_representatives).
+
+    ``groups`` is a (doc_id, group_id) relation covering only docs that
+    near-dup with something (connected_dup_groups output); docs absent
+    from it band as 'unique' via a left join. Group sizes come from one
+    hash agg on the (narrow) group relation; the corpus is scanned once
+    for the per-doc features. Means fold through DECIMAL(10,6) sums
+    (registry convention — order-independent, cross-engine exact).
+    """
+    from .text import distinct_token_ratio, tokens as _toks
+
+    sizes = groups.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gsz"))
+    labeled = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .join(groups.select(F.col(id_col).alias("doc_id"), group_col), "doc_id", "left")
+        .join(sizes, group_col, "left")
+    )
+    band = (
+        F.when(F.col("_gsz").isNull(), F.lit("unique"))
+        .when(F.col("_gsz") == 2, F.lit("pair"))
+        .otherwise(F.lit("cluster"))
+    )
+    toks = _toks("_t")
+    featured = labeled.select(
+        band.alias("band"),
+        F.col(group_col),
+        F.size(toks).cast("long").alias("_ntok"),
+        F.round(distinct_token_ratio(toks), 6).cast("decimal(10,6)").alias("_dtr"),
+        F.length("_t").cast("long").alias("_nch"),
+    )
+    n = F.count(F.lit(1))
+    return featured.groupBy("band").agg(
+        n.cast("long").alias("n_docs"),
+        F.countDistinct(group_col).cast("long").alias("n_groups"),
+        F.round(F.sum("_ntok").cast("double") / n, 6).alias("mean_tokens"),
+        F.round(F.sum("_dtr").cast("double") / n, 6).alias("mean_distinct_ratio"),
+        F.round(F.sum("_nch").cast("double") / n, 6).alias("mean_chars"),
+    )
+
+
+def token_budget_schedule(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    budget_factor: float = 2.0,
+    max_epochs: float = 2.0,
+) -> DataFrame:
+    """Exact water-filling token allocation across sources under a repeat
+    cap — the step after :func:`source_mixing_weights` that turns mixing
+    weights into an actually-runnable sampling schedule.
+
+    Target: allocate a budget B = ``budget_factor`` × total corpus tokens
+    proportionally to the temperature weights w_s = sqrt(tokens_s)/Σsqrt,
+    but never schedule any source past ``max_epochs`` passes (the
+    overfitting cap small high-weight sources would otherwise blow
+    through). The optimum is the classic water-filling solution
+    alloc_s = min(cap_s, λ·w_s) with λ chosen so Σ alloc = B (or every
+    source capped when B exceeds Σ cap).
+
+    λ is found in CLOSED FORM, not iteratively: sort sources by
+    r_s = cap_s/w_s (monotone in tokens_s, so the sort key is the exact
+    BIGINT token count), and for each boundary "first k sources capped"
+    solve λ_k = (B − Σ_{j≤k} cap_j)/Σ_{j>k} w_j; exactly one bracket
+    r_k ≤ λ_k ≤ r_{k+1} holds (f(λ) = Σ min(cap, λw) is continuous and
+    increasing). All of it runs as window functions over the per-source
+    aggregate — a #sources-row frame, so the whole-frame windows are
+    bounded by construction and the corpus is scanned exactly once.
+
+    Returns per source: doc/token counts, mix_weight, cap_tokens,
+    alloc_tokens, epochs (= alloc/tokens), capped flag, and budget_fill
+    (= Σ alloc / B, < 1 only when every source hit its cap).
+    """
+    per_source = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("long").alias("n_tokens"),
+    )
+    whole = Window.partitionBy()
+    ordered = Window.partitionBy().orderBy("n_tokens", "source")
+    budget = F.lit(budget_factor) * F.sum("n_tokens").over(whole)
+    weight = F.sqrt(F.col("n_tokens")) / F.sum(F.sqrt(F.col("n_tokens"))).over(whole)
+    cap = F.lit(max_epochs) * F.col("n_tokens")
+    staged = per_source.select(
+        "source", "n_docs", "n_tokens",
+        budget.alias("_b"), weight.alias("_w"), cap.alias("_cap"),
+        (cap / weight).alias("_r"),
+    )
+    c_prev = F.coalesce(
+        F.sum("_cap").over(ordered.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0.0)
+    )
+    sw = F.sum("_w").over(ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    lam = (F.col("_b") - c_prev) / sw
+    r_prev = F.lag("_r").over(ordered)
+    valid = (lam <= F.col("_r")) & (r_prev.isNull() | (r_prev <= lam))
+    bracketed = staged.select(
+        "*", F.when(valid, lam).alias("_lam_k")
+    )
+    lam_star = F.min("_lam_k").over(whole)
+    alloc = F.when(lam_star.isNull(), F.col("_cap")).otherwise(
+        F.least(F.col("_cap"), lam_star * F.col("_w"))
+    )
+    alloc_d = F.round(alloc, 2).cast("decimal(18,2)")
+    return bracketed.select(
+        "source", "n_docs", "n_tokens",
+        F.round("_w", 6).alias("mix_weight"),
+        F.round("_cap", 2).alias("cap_tokens"),
+        F.round(alloc, 2).alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+        (lam_star.isNull() | (F.col("_r") <= lam_star)).alias("capped"),
+        F.round(F.sum(alloc_d).over(whole).cast("double") / F.col("_b"), 6).alias(
+            "budget_fill"
+        ),
+    )

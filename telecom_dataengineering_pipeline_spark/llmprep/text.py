@@ -666,3 +666,55 @@ def textrank_keywords(
         .orderBy(F.col("rank_fp").desc(), F.col("word").asc())
         .limit(int(k))
     )
+
+
+# Default phrase dictionary for phrase_tag_profile: bigram → topic tag.
+# Deliberately tiny — the operator's point is the broadcast-dim shape, and
+# a real deployment swaps in its own taxonomy table.
+PHRASE_TAGS: tuple[tuple[str, str], ...] = (
+    ("customer join", "join"),
+    ("query join", "join"),
+    ("batch scan", "scan"),
+    ("row scan", "scan"),
+    ("merge group", "merge"),
+    ("table merge", "merge"),
+    ("slow query", "perf"),
+    ("slow key", "perf"),
+)
+
+
+def phrase_tag_profile(
+    docs: DataFrame,
+    dictionary: Sequence[tuple[str, str]] = PHRASE_TAGS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Tag documents by dictionary phrases (bigram → tag) and profile hit
+    volume per (corpus source, tag) — the domain-taxonomy classifier of a
+    curation stack (which feeds carry how much of each topic).
+
+    The scale pattern is the point: the phrase dictionary is a SMALL
+    side explicitly broadcast onto the corpus bigram stream, so the
+    corpus-sized side never shuffles for the join — at 100 TB the bigram
+    stream stays partitioned by document (the shingle spine's layout) and
+    each executor probes an in-memory dictionary hash map. Multiplicity
+    is kept (a doc mentioning a phrase five times counts five hits);
+    ``n_docs`` dedups per (source, tag, doc) inside the aggregation.
+    """
+    from .dedup import shingle_stream
+
+    spark = docs.sparkSession
+    dict_df = spark.createDataFrame(list(dictionary), "phrase string, tag string")
+    bigrams = shingle_stream(docs, text_col, id_col, n=2, distinct=False)
+    sourced = bigrams.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")),
+        "doc_id",
+    )
+    tagged = sourced.join(
+        F.broadcast(dict_df), sourced["shingle"] == dict_df["phrase"]
+    )
+    return tagged.groupBy("source", "tag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )

@@ -28,5 +28,6 @@ from . import round12  # noqa: F401
 from . import round13  # noqa: F401
 from . import round14  # noqa: F401
 from . import round15  # noqa: F401
+from . import round16  # noqa: F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracle_sql"]

@@ -69,10 +69,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 # ignored; new registrations always start never-checked.
 #
 # Round-12 instance: growth resumed — the three r11-verified candidates
-# plus the composed split-leakage contract and the prepared-LSH pair are
-# registered in queries/round15.py (6 never-checked names head the r12
-# window), leaving 44 rotation slots: the whole r5-stale tier (29 names)
-# retires plus the 15 oldest r6-stale names.
+# plus the composed split-leakage contract and the prepared-LSH pair
+# (queries/round15.py) and the four curation-audit growth queries
+# (queries/round16.py: source attribution, broadcast phrase tagger,
+# dedup-quality bias bands, water-filling budget schedule) give 10
+# never-checked names at the r12 window head, leaving 40 rotation slots:
+# the whole r5-stale tier (29 names) retires plus the 11 oldest r6-stale
+# names.
 NEW_NAME_SLOT_CAP = 30
 DRIVER_WINDOW = 50
 

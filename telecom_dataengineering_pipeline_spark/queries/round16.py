@@ -1,0 +1,250 @@
+"""Round-16 registrations (round 12, growth tier) — the curation-audit
+surfaces a training-data team runs AROUND the dedup/decontamination core
+already in the registry:
+
+- ``decon_source_attribution`` — per (eval split, train source): the
+  volume of eval shingles that appear in that train source's vocabulary.
+  decontamination_check says HOW contaminated; this says WHICH train feed
+  to quarantine first.
+- ``phrase_tag_profile_by_source`` — a broadcast phrase-dictionary tagger
+  (bigram → topic tag) profiled per corpus source: the classic
+  broadcast-small-dim-onto-corpus-stream shape, plan-pinned to a
+  BroadcastHashJoin so the corpus side never shuffles for the join.
+- ``dedup_quality_bias_bands`` — do near-dup clusters skew document
+  quality? Mean quality-filter features per dup-group-size band
+  ('unique' / 'pair' / 'cluster'), the keep-one-per-group policy audit.
+- ``token_budget_mixture_schedule`` — exact water-filling allocation of a
+  token budget across sources under a repeat cap (closed-form λ via
+  sorted prefix/suffix windows — no iteration, no driver-side solve).
+
+Oracle conventions as ever: shingle-hash join equality == string-shingle
+equality up to 2⁻⁶⁴ xxhash64 merges; LSH candidate recall ~1 at the
+64-perm/16-band 0.5-threshold geometry (same grounds as
+dedup_connected_groups); every mean folds through DECIMAL sums; doubles
+leave aggregations only through round().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..llmprep.text import PHRASE_TAGS
+from ..sources.catalog import load_table
+from .llmprep import _SPLIT_BUCKET, _TOKS
+from .registry import register
+
+_SHINGLES3 = (
+    "list_distinct(list_transform("
+    f"generate_series(1, greatest(len({_TOKS}) - 2, 0)), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))"
+)
+
+_DECON_SOURCE_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id, text, source,
+         CASE WHEN {_SPLIT_BUCKET} < 90 THEN 'train'
+              WHEN {_SPLIT_BUCKET} < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), sets AS (
+  SELECT doc_id, split, source, {_SHINGLES3} AS s FROM assigned
+), ex AS (SELECT doc_id, split, source, unnest(s) AS g FROM sets),
+train_dict AS (SELECT DISTINCT g, source AS train_source FROM ex WHERE split = 'train'),
+ev AS (SELECT doc_id, split, g FROM ex WHERE split <> 'train')
+SELECT ev.split, t.train_source,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs,
+       CAST(count(DISTINCT ev.g) AS BIGINT) AS n_shingles
+FROM ev JOIN train_dict t ON ev.g = t.g
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "decon_source_attribution",
+    oracle=_DECON_SOURCE_ORACLE,
+    tags=("LLM", "curation"),
+)
+def decon_source_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination attributed to train sources: the actionable half of
+    the decontamination audit (which feed leaked into eval). Same
+    distinct-shingle-hash equi-join spine as decontamination_check, with
+    the train side keyed (shingle_h, source)."""
+    from ..llmprep.curation import decontamination_source_attribution
+
+    return decontamination_source_attribution(load_table(spark, sf_dir, "documents"))
+
+
+def _phrase_values() -> str:
+    return ", ".join(f"('{p}', '{t}')" for p, t in PHRASE_TAGS)
+
+
+_PHRASE_TAG_ORACLE = f"""
+WITH dict(phrase, tag) AS (VALUES {_phrase_values()}),
+t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM t
+)
+SELECT source, d.tag,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM bg JOIN dict d ON bg.g = d.phrase
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "phrase_tag_profile_by_source",
+    oracle=_PHRASE_TAG_ORACLE,
+    tags=("LLM", "text", "join"),
+)
+def phrase_tag_profile_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dictionary phrase tagging rolled up per corpus source.
+    The dictionary is the explicit broadcast side; the corpus bigram
+    stream keeps its by-document layout (plan-pinned in
+    test_round16.py)."""
+    from ..llmprep.text import phrase_tag_profile
+
+    return phrase_tag_profile(load_table(spark, sf_dir, "documents"))
+
+
+# Near-dup group spine: exact-Jaccard pairs at the registry's 0.5 threshold
+# + recursive-CTE connected components — same grounds as the
+# dedup_connected_groups oracle (LSH recall ~1 at 64 perm / 16 bands).
+_CC_SPINE = f"""
+WITH sets AS (
+  SELECT doc_id, {_SHINGLES3} AS s FROM documents
+), ex AS (SELECT doc_id, unnest(s) AS g FROM sets),
+sz AS (SELECT doc_id, len(s) AS n FROM sets),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc1, doc2
+  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+), edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs
+), walk AS (
+  WITH RECURSIVE w(doc_id, label) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, w.label FROM w JOIN edges e ON e.a = w.doc_id
+  )
+  SELECT doc_id, label FROM w
+), grp AS (SELECT doc_id, min(label) AS group_id FROM walk GROUP BY doc_id)"""
+
+_QUALITY_BIAS_ORACLE = (
+    _CC_SPINE
+    + f""",
+gsz AS (SELECT group_id, count(*) AS gsz FROM grp GROUP BY 1),
+lab AS (
+  SELECT d.doc_id, d.text, g.group_id, z.gsz
+  FROM documents d
+  LEFT JOIN grp g ON g.doc_id = d.doc_id
+  LEFT JOIN gsz z ON z.group_id = g.group_id
+), feat AS (
+  SELECT CASE WHEN gsz IS NULL THEN 'unique'
+              WHEN gsz = 2 THEN 'pair'
+              ELSE 'cluster' END AS band,
+         group_id,
+         CAST(len({_TOKS}) AS BIGINT) AS ntok,
+         CAST(round(CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                    / greatest(len({_TOKS}), 1), 6) AS DECIMAL(10,6)) AS dtr,
+         CAST(length(text) AS BIGINT) AS nch
+  FROM lab
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups,
+       round(CAST(sum(ntok) AS DOUBLE) / count(*), 6) AS mean_tokens,
+       round(CAST(sum(dtr) AS DOUBLE) / count(*), 6) AS mean_distinct_ratio,
+       round(CAST(sum(nch) AS DOUBLE) / count(*), 6) AS mean_chars
+FROM feat GROUP BY 1
+"""
+)
+
+
+@register(
+    "dedup_quality_bias_bands",
+    oracle=_QUALITY_BIAS_ORACLE,
+    tags=("LLM", "dedup", "curation"),
+)
+def dedup_quality_bias_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter features per dup-group-size band — the audit behind
+    a keep-one-per-group policy decision."""
+    from ..llmprep.curation import dedup_quality_bias
+    from ..llmprep.dedup import connected_dup_groups, minhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = connected_dup_groups(minhash_near_dup_pairs(docs, threshold=0.5))
+    return dedup_quality_bias(docs, groups)
+
+
+_BUDGET_FACTOR = 1.95
+_MAX_EPOCHS = 2.0
+
+_BUDGET_SCHEDULE_ORACLE = f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), w AS (
+  SELECT *,
+         {_BUDGET_FACTOR} * sum(n_tokens) OVER () AS b,
+         sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER () AS wt,
+         {_MAX_EPOCHS} * n_tokens AS cap
+  FROM per_source
+), o AS (
+  SELECT *, cap / wt AS r,
+         coalesce(sum(cap) OVER (ORDER BY n_tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_prev,
+         sum(wt) OVER (ORDER BY n_tokens, source
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sw,
+         lag(cap / wt) OVER (ORDER BY n_tokens, source) AS r_prev
+  FROM w
+), lamt AS (
+  SELECT min(CASE WHEN (b - c_prev) / sw <= r
+                   AND (r_prev IS NULL OR r_prev <= (b - c_prev) / sw)
+                  THEN (b - c_prev) / sw END) AS lam_star
+  FROM o
+), alloc AS (
+  SELECT o.*, lam_star,
+         CASE WHEN lam_star IS NULL THEN cap
+              ELSE least(cap, lam_star * wt) END AS al
+  FROM o CROSS JOIN lamt
+)
+SELECT source, n_docs, n_tokens,
+       round(wt, 6) AS mix_weight,
+       round(cap, 2) AS cap_tokens,
+       round(al, 2) AS alloc_tokens,
+       round(al / n_tokens, 6) AS epochs,
+       (lam_star IS NULL OR r <= lam_star) AS capped,
+       round(CAST(sum(CAST(round(al, 2) AS DECIMAL(18,2))) OVER () AS DOUBLE) / b, 6)
+         AS budget_fill
+FROM alloc
+"""
+
+
+@register(
+    "token_budget_mixture_schedule",
+    oracle=_BUDGET_SCHEDULE_ORACLE,
+    tags=("LLM", "sampling", "curation"),
+)
+def token_budget_mixture_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token allocation across sources: budget = 1.95×
+    corpus tokens, repeat cap 2 epochs — a genuine capped/uncapped mix at
+    every SF (the per-source token spread straddles the cap; 2.0× would
+    make B = Σcap exactly, the degenerate all-capped corner)."""
+    from ..llmprep.curation import token_budget_schedule
+
+    return token_budget_schedule(
+        load_table(spark, sf_dir, "documents"),
+        budget_factor=_BUDGET_FACTOR,
+        max_epochs=_MAX_EPOCHS,
+    )
