@@ -1012,3 +1012,95 @@ def token_budget_schedule(
             "budget_fill"
         ),
     )
+
+
+def ngram_novelty_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct n-gram shingles
+    whose FIRST corpus appearance (min doc_id) is this document — the
+    curriculum/ordering signal ("how much does doc k add that docs < k
+    didn't already say"). A fully-boilerplate late document scores ~0;
+    the corpus's first document scores exactly 1.
+
+    Two hash shuffles over the narrow shingle-hash stream: min(doc_id)
+    per shingle, join back, per-doc rollup. The shingle relation is one
+    long + one long per row — the corpus text never re-shuffles.
+    """
+    from .dedup import shingle_stream
+
+    stream = shingle_stream(docs, text_col, id_col, n).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle_h")
+    )
+    first_seen = stream.groupBy("shingle_h").agg(F.min("doc_id").alias("_first"))
+    return (
+        stream.join(first_seen, "shingle_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("_first") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 6).alias(
+                "novelty_ratio"
+            ),
+        )
+    )
+
+
+def contamination_weighted_mixing(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Mixing weights with a leakage penalty: down-weight train sources in
+    proportion to their share of eval-set contamination, then
+    renormalize — the curation action :func:`decontamination_source_attribution`
+    exists to inform, closed into one schedule.
+
+    adj_weight_s ∝ mix_weight_s × (1 − hits_s / Σhits); sources with no
+    attributed hits keep their temperature weight (penalty 0). The
+    attribution spine is the corpus-scale work; the reweighting is
+    whole-frame window math over the #sources-row aggregate.
+    """
+    from .text import tokens as _toks
+
+    attr = decontamination_source_attribution(
+        docs, text_col=text_col, id_col=id_col, source_col=source_col
+    )
+    hits = attr.groupBy(F.col("train_source").alias("source")).agg(
+        F.sum("n_hits").cast("long").alias("n_hits")
+    )
+    per_source = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(_toks(text_col))).cast("long").alias("n_tokens"),
+    )
+    whole = Window.partitionBy()
+    joined = per_source.join(hits, "source", "left").withColumn(
+        "n_hits", F.coalesce("n_hits", F.lit(0))
+    )
+    weight = F.sqrt(F.col("n_tokens")) / F.sum(F.sqrt(F.col("n_tokens"))).over(whole)
+    # Zero-contamination corpus: share 0 everywhere (not NULL/NaN from 0/0).
+    share = F.coalesce(
+        F.col("n_hits").cast("double")
+        / F.nullif(F.sum("n_hits").over(whole), F.lit(0)).cast("double"),
+        F.lit(0.0),
+    )
+    adj_raw = weight * (F.lit(1.0) - share)
+    return joined.select(
+        "source",
+        "n_tokens",
+        "n_hits",
+        F.round(weight, 6).alias("mix_weight"),
+        F.round(share, 6).alias("contamination_share"),
+        F.round(adj_raw / F.sum(adj_raw).over(whole), 6).alias("adj_weight"),
+    )

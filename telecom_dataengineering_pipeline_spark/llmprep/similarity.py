@@ -1324,3 +1324,64 @@ def kcenter_greedy(
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+def semdedup_cell_prune(
+    embeddings: DataFrame,
+    centroid_mod: int = 100,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then prune —
+    WITHIN each cluster only — any vector that has a lower-id cluster-mate
+    with cosine ≥ ``threshold``. The min-id member of every ε-ball
+    survives; comparisons never cross cluster boundaries, which is the
+    whole scale trick: the O(n²) cosine matrix becomes Σ|cell|² with
+    |cell| ≈ centroid_mod by construction.
+
+    Deterministic keep policy: "exists a LOWER-id near neighbor in the
+    cell" (order-independent, engine-reproducible), not the paper's
+    greedy-against-kept-only scan — the pruned set differs only for
+    chains A~B, B~C, A≁C, where this variant prunes both B and C
+    (conservative: never keeps a near-duplicate pair).
+
+    Threshold note: real deployments run ~0.95 on trained encoders; the
+    synthetic test embeddings are near-orthogonal (within-cell max cosine
+    p99 ≈ 0.46), so the registered query calibrates τ to the corpus.
+
+    The comparison uses the 6-dp ROUNDED cosine so both engines grade
+    identical values. One cell equi-join, no cartesian; the centroid
+    assignment is a broadcast (see ivf_assign).
+
+    Returns (vec_id, cell, max_lower_cos, pruned) — max_lower_cos NULL
+    for vectors with no lower-id cell-mate (always kept).
+    """
+    assigned = ivf_assign(embeddings, centroid_mod, id_col, vec_col)
+    lower = assigned.select(
+        F.col("vec_id").alias("_lid"),
+        F.col("v").alias("_lv"),
+        F.col("nrm").alias("_ln"),
+        F.col("cell").alias("_lcell"),
+    )
+    cos = F.round(
+        _dot(F.col("v"), F.col("_lv")) / (F.col("nrm") * F.col("_ln")), 6
+    )
+    pairs = assigned.join(
+        lower,
+        (F.col("cell") == F.col("_lcell")) & (F.col("_lid") < F.col("vec_id")),
+    ).select("vec_id", cos.alias("_cos"))
+    mx = pairs.groupBy("vec_id").agg(F.max("_cos").alias("max_lower_cos"))
+    return (
+        assigned.select("vec_id", "cell")
+        .join(mx, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "max_lower_cos",
+            F.coalesce(F.col("max_lower_cos") >= threshold, F.lit(False)).alias(
+                "pruned"
+            ),
+        )
+    )

@@ -17,6 +17,17 @@ already in the registry:
   token budget across sources under a repeat cap (closed-form λ via
   sorted prefix/suffix windows — no iteration, no driver-side solve).
 
+Second batch (same session):
+
+- ``semdedup_cell_prune`` — SemDeDup (arXiv:2303.09540): IVF-cell-scoped
+  cosine pruning with a deterministic min-id keeper policy; Σ|cell|²
+  comparisons instead of O(n²).
+- ``ngram_novelty_curve`` — per-doc fraction of shingles first seen in
+  that document (curriculum/ordering signal).
+- ``contamination_weighted_mixing`` — mixing weights with the leakage
+  penalty folded in: sources down-weighted by their attributed share of
+  eval contamination, renormalized.
+
 Oracle conventions as ever: shingle-hash join equality == string-shingle
 equality up to 2⁻⁶⁴ xxhash64 merges; LSH candidate recall ~1 at the
 64-perm/16-band 0.5-threshold geometry (same grounds as
@@ -248,3 +259,131 @@ def token_budget_mixture_schedule_q(spark: SparkSession, sf_dir: str) -> DataFra
         budget_factor=_BUDGET_FACTOR,
         max_epochs=_MAX_EPOCHS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Second growth batch: semantic dedup (SemDeDup), n-gram novelty curve,
+# contamination-penalized mixing weights.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.35  # corpus-calibrated: synthetic embeddings are near-
+# orthogonal (within-cell max-cos p99 ~0.46); real encoders run ~0.95.
+
+_SEMDEDUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), cent AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT n.vec_id, n.v, n.nrm, cent.cid,
+         list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn) AS c_cos
+  FROM n CROSS JOIN cent
+), assigned AS (
+  SELECT vec_id, v, nrm, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cid ASC) AS _rn
+    FROM scored
+  ) WHERE _rn = 1
+), px AS (
+  SELECT b.vec_id,
+         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), mx AS (SELECT vec_id, max(cos) AS max_lower_cos FROM px GROUP BY 1)
+SELECT s.vec_id, s.cell, m.max_lower_cos,
+       coalesce(m.max_lower_cos >= {_SEMDEDUP_TAU}, FALSE) AS pruned
+FROM assigned s LEFT JOIN mx m ON m.vec_id = s.vec_id
+"""
+
+
+@register(
+    "semdedup_cell_prune",
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("LLM", "dedup", "similarity"),
+)
+def semdedup_cell_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: IVF-cell-scoped cosine pruning,
+    min-id keeper policy (llmprep.similarity.semdedup_cell_prune)."""
+    from ..llmprep.similarity import semdedup_cell_prune
+
+    return semdedup_cell_prune(
+        load_table(spark, sf_dir, "embeddings"), threshold=_SEMDEDUP_TAU
+    )
+
+
+_NOVELTY_ORACLE = f"""
+WITH sets AS (
+  SELECT doc_id, {_SHINGLES3} AS s FROM documents
+), ex AS (SELECT doc_id, unnest(s) AS g FROM sets),
+fs AS (SELECT g, min(doc_id) AS first FROM ex GROUP BY 1)
+SELECT ex.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN fs.first = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN fs.first = ex.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty_ratio
+FROM ex JOIN fs ON fs.g = ex.g
+GROUP BY 1
+"""
+
+
+@register(
+    "ngram_novelty_curve",
+    oracle=_NOVELTY_ORACLE,
+    tags=("LLM", "curation", "text"),
+)
+def ngram_novelty_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty ratio: fraction of its shingles first seen in this
+    document (corpus-order curriculum signal)."""
+    from ..llmprep.curation import ngram_novelty_scores
+
+    return ngram_novelty_scores(load_table(spark, sf_dir, "documents"))
+
+
+_CONTAM_MIX_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id, text, source,
+         CASE WHEN {_SPLIT_BUCKET} < 90 THEN 'train'
+              WHEN {_SPLIT_BUCKET} < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), sets AS (
+  SELECT doc_id, split, source, {_SHINGLES3} AS s FROM assigned
+), ex AS (SELECT doc_id, split, source, unnest(s) AS g FROM sets),
+train_dict AS (SELECT DISTINCT g, source AS train_source FROM ex WHERE split = 'train'),
+ev AS (SELECT doc_id, split, g FROM ex WHERE split <> 'train'),
+hits AS (
+  SELECT t.train_source AS source, CAST(count(*) AS BIGINT) AS n_hits
+  FROM ev JOIN train_dict t ON ev.g = t.g GROUP BY 1
+), per_source AS (
+  SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), j AS (
+  SELECT p.source, p.n_tokens, coalesce(h.n_hits, 0) AS n_hits
+  FROM per_source p LEFT JOIN hits h ON h.source = p.source
+), w AS (
+  SELECT *,
+         sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER () AS wt,
+         coalesce(CAST(n_hits AS DOUBLE)
+                  / nullif(CAST(sum(n_hits) OVER () AS DOUBLE), 0.0), 0.0) AS share
+  FROM j
+), a AS (SELECT *, wt * (1.0 - share) AS adj FROM w)
+SELECT source, n_tokens, n_hits,
+       round(wt, 6) AS mix_weight,
+       round(share, 6) AS contamination_share,
+       round(adj / sum(adj) OVER (), 6) AS adj_weight
+FROM a
+"""
+
+
+@register(
+    "contamination_weighted_mixing",
+    oracle=_CONTAM_MIX_ORACLE,
+    tags=("LLM", "curation", "sampling"),
+)
+def contamination_weighted_mixing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixing weights with the leakage penalty folded in: sources are
+    down-weighted by their share of attributed eval contamination and the
+    weights renormalized."""
+    from ..llmprep.curation import contamination_weighted_mixing
+
+    return contamination_weighted_mixing(load_table(spark, sf_dir, "documents"))

@@ -835,6 +835,7 @@ BNLJ_BOUNDED_BY_CONSTRUCTION = {
     "qnorm_acctbal_across_segments",
     "robust_outlier_daily_revenue",
     "row_count_anomaly_check",
+    "semdedup_cell_prune",  # broadcast centroid table (ivf_assign)
     "supplier_part_variety",
     "te_loo_segment_order_totals",
     "text_bigram_logprob",

@@ -138,3 +138,83 @@ def test_token_budget_schedule_single_scan_no_cartesian(spark, sf_smoke):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_prunes_duplicates_keeps_min_id(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.similarity import (
+        semdedup_cell_prune,
+    )
+
+    # vec 0 is the (only) centroid; 0/1 identical, 2 orthogonal-ish.
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.2])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in semdedup_cell_prune(emb, threshold=0.9).collect()}
+    assert not rows[0].pruned and rows[0].max_lower_cos is None  # min-id keeper
+    assert rows[1].pruned and rows[1].max_lower_cos == 1.0
+    assert not rows[2].pruned
+
+
+def test_semdedup_pruned_iff_threshold(spark, sf_smoke):
+    from telecom_dataengineering_pipeline_spark.llmprep.similarity import (
+        semdedup_cell_prune,
+    )
+
+    out = semdedup_cell_prune(load_table(spark, sf_smoke, "embeddings"), threshold=0.35)
+    bad = out.filter(
+        F.col("pruned") != F.coalesce(F.col("max_lower_cos") >= 0.35, F.lit(False))
+    )
+    assert bad.count() == 0
+    n = out.count()
+    assert out.select("vec_id").distinct().count() == n  # one verdict per vector
+
+
+def test_novelty_first_doc_is_fully_novel(spark, sf_smoke):
+    from telecom_dataengineering_pipeline_spark.llmprep.curation import (
+        ngram_novelty_scores,
+    )
+    from telecom_dataengineering_pipeline_spark.llmprep.dedup import shingle_stream
+
+    docs = load_table(spark, sf_smoke, "documents")
+    out = ngram_novelty_scores(docs)
+    first = out.orderBy("doc_id").first()
+    assert first.novelty_ratio == 1.0
+    # Every distinct corpus shingle is novel in exactly one document.
+    n_distinct = (
+        shingle_stream(docs).select(F.xxhash64("shingle")).distinct().count()
+    )
+    assert out.agg(F.sum("n_novel")).first()[0] == n_distinct
+
+
+def test_contamination_mixing_normalizes_and_penalizes(spark, sf_smoke):
+    from telecom_dataengineering_pipeline_spark.llmprep.curation import (
+        contamination_weighted_mixing,
+    )
+
+    rows = contamination_weighted_mixing(load_table(spark, sf_smoke, "documents")).collect()
+    assert abs(sum(r.adj_weight for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.contamination_share for r in rows) - 1.0) < 1e-4
+    # The most-contaminated source must lose weight relative to its
+    # temperature weight; a least-contaminated one gains or holds.
+    worst = max(rows, key=lambda r: r.contamination_share)
+    assert worst.adj_weight < worst.mix_weight
+
+
+def test_contamination_mixing_zero_leak_corpus_keeps_weights(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.curation import (
+        contamination_weighted_mixing,
+    )
+
+    # Two docs with disjoint vocabularies and <3 tokens shared: no shingle
+    # overlap across splits → zero hits everywhere → adj == mix.
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(10)), f"s{i%2}") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    rows = contamination_weighted_mixing(docs).collect()
+    assert all(r.n_hits == 0 for r in rows)
+    assert all(r.contamination_share == 0.0 for r in rows)
+    for r in rows:
+        assert abs(r.adj_weight - r.mix_weight) < 2e-6
