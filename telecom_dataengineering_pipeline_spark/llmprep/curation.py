@@ -904,17 +904,26 @@ def dedup_quality_bias(
 
     ``groups`` is a (doc_id, group_id) relation covering only docs that
     near-dup with something (connected_dup_groups output); docs absent
-    from it band as 'unique' via a left join. Group sizes come from one
-    hash agg on the (narrow) group relation; the corpus is scanned once
-    for the per-doc features. Means fold through DECIMAL(10,6) sums
-    (registry convention — order-independent, cross-engine exact).
+    from it band as 'unique' via a left join. Contract: one row per doc —
+    a malformed multi-group relation is reduced DETERMINISTICALLY (min
+    group per doc) before anything else, so the left join can never fan
+    the corpus out and the band counts always partition it (same rule as
+    leakage_safe_split, ADVICE r11). Group sizes come from one hash agg
+    on the (narrow) reduced relation; the corpus is scanned once for the
+    per-doc features. Means fold through DECIMAL(10,6) sums (registry
+    convention — order-independent, cross-engine exact).
     """
     from .text import distinct_token_ratio, tokens as _toks
 
-    sizes = groups.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gsz"))
+    g = (
+        groups.select(F.col(id_col).alias("doc_id"), group_col)
+        .groupBy("doc_id")
+        .agg(F.min(group_col).alias(group_col))
+    )
+    sizes = g.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gsz"))
     labeled = (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
-        .join(groups.select(F.col(id_col).alias("doc_id"), group_col), "doc_id", "left")
+        .join(g, "doc_id", "left")
         .join(sizes, group_col, "left")
     )
     band = (
@@ -971,6 +980,10 @@ def token_budget_schedule(
     Returns per source: doc/token counts, mix_weight, cap_tokens,
     alloc_tokens, epochs (= alloc/tokens), capped flag, and budget_fill
     (= Σ alloc / B, < 1 only when every source hit its cap).
+
+    Assumes every source has ≥1 token (a zero-token source has no
+    defined temperature weight; filter empty docs upstream — the filter
+    funnel's length gate — before scheduling).
     """
     per_source = docs.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1029,6 +1042,10 @@ def ngram_novelty_scores(
     Two hash shuffles over the narrow shingle-hash stream: min(doc_id)
     per shingle, join back, per-doc rollup. The shingle relation is one
     long + one long per row — the corpus text never re-shuffles.
+
+    Documents shorter than ``n`` tokens have no shingles and no row in
+    the output (nothing to grade — mirrored exactly by the oracle's
+    empty generate_series).
     """
     from .dedup import shingle_stream
 

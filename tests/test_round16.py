@@ -218,3 +218,17 @@ def test_contamination_mixing_zero_leak_corpus_keeps_weights(spark):
     assert all(r.contamination_share == 0.0 for r in rows)
     for r in rows:
         assert abs(r.adj_weight - r.mix_weight) < 2e-6
+
+
+def test_dedup_quality_bias_malformed_groups_cannot_fan_out(spark, sf_smoke):
+    """A doc listed in two groups reduces to its min group before the
+    join: n_docs still partitions the corpus (ADVICE-r11 rule)."""
+    docs = load_table(spark, sf_smoke, "documents")
+    malformed = spark.createDataFrame(
+        [(0, 10), (0, 30), (1, 10), (2, 20), (3, 20), (4, 20)],
+        "doc_id long, group_id long",
+    )
+    out = {r.band: r for r in dedup_quality_bias(docs, malformed).collect()}
+    assert sum(r.n_docs for r in out.values()) == docs.count()
+    assert out["pair"].n_docs == 2      # docs 0,1 via min-group 10
+    assert out["cluster"].n_docs == 3
