@@ -919,6 +919,10 @@ def dedup_quality_bias(
         groups.select(F.col(id_col).alias("doc_id"), group_col)
         .groupBy("doc_id")
         .agg(F.min(group_col).alias(group_col))
+        # The group relation feeds BOTH the size agg and the corpus join;
+        # cut the lineage once so an expensive upstream (iterative CC) is
+        # computed once, not per consumer (house shared-subtree rule).
+        .localCheckpoint(eager=False)
     )
     sizes = g.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gsz"))
     labeled = (

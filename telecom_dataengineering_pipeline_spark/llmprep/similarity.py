@@ -1358,7 +1358,12 @@ def semdedup_cell_prune(
     Returns (vec_id, cell, max_lower_cos, pruned) — max_lower_cos NULL
     for vectors with no lower-id cell-mate (always kept).
     """
-    assigned = ivf_assign(embeddings, centroid_mod, id_col, vec_col)
+    # The assignment feeds three consumers (pair left/right + final
+    # verdict join); cut the lineage once so the centroid scoring runs
+    # once, not three times (house shared-subtree rule).
+    assigned = ivf_assign(embeddings, centroid_mod, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     lower = assigned.select(
         F.col("vec_id").alias("_lid"),
         F.col("v").alias("_lv"),
