@@ -1125,3 +1125,93 @@ def contamination_weighted_mixing(
         F.round(share, 6).alias("contamination_share"),
         F.round(adj_raw / F.sum(adj_raw).over(whole), 6).alias("adj_weight"),
     )
+
+
+def quality_drift_by_source(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Which feed is degrading: per source, the Jensen–Shannon divergence
+    of its quality-gate distribution against the whole corpus — the
+    per-source refinement of the corpus-level drift rim
+    (``quality/monitors.py::js_divergence``), read weekly by a curation
+    team to catch a source whose quality profile shifts before it
+    pollutes the mix.
+
+    The category is the INTEGER number of passed quality gates (0-3:
+    length in [10, 1000] tokens, stopword ratio in [0.05, 0.6], distinct
+    ratio ≥ 0.3 — exactly the composite quality_score × 3), so the
+    category key is exact on every engine (no double→string formatting
+    hazard). Each source's P is compared against the corpus-wide Q
+    (which includes the source itself — the standard member-vs-whole
+    drift convention; a small source can never look drifted merely
+    because the rest moved without it).
+
+    One corpus scan map-reduces to (source, gates) counts; the grid is
+    sources × gate-levels (bounded: ≤ 4·#sources rows) built by a
+    broadcast cross of two tiny aggregates. JSD terms follow the
+    registry determinism recipe: each p·ln(p/m) rounded to 9 dp, summed
+    as DECIMAL(28,9), one double division at the end.
+
+    Returns (source, n_docs, n_categories, jsd_nats, jsd_bits, status).
+    """
+    import math as _math
+
+    toks = tokens(text_col)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"))
+    )
+    ntok = F.size(toks)
+    sw = stop_hits.cast("double") / F.greatest(ntok, F.lit(1))
+    dr = F.size(F.array_distinct(toks)).cast("double") / F.greatest(ntok, F.lit(1))
+    gates = (
+        ntok.between(10, 1000).cast("int")
+        + (sw >= 0.05).cast("int") * (sw <= 0.6).cast("int")
+        + (dr >= 0.3).cast("int")
+    )
+    scored = docs.select(F.col(source_col).alias("source"), gates.alias("gates"))
+    per_sc = scored.groupBy("source", "gates").agg(
+        F.count(F.lit(1)).cast("long").alias("_a")
+    )
+    per_cat = scored.groupBy("gates").agg(F.count(F.lit(1)).cast("long").alias("_b"))
+    sources = scored.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    grid = sources.crossJoin(F.broadcast(per_cat))
+    cells = grid.join(per_sc, ["source", "gates"], "left").withColumn(
+        "_a", F.coalesce("_a", F.lit(0))
+    )
+    w_src = Window.partitionBy("source")
+    na = F.col("_n").cast("double")
+    nb = F.sum("_b").over(w_src).cast("double")
+    p = F.col("_a").cast("double") / na
+    q = F.col("_b").cast("double") / nb
+    m = (p + q) / F.lit(2.0)
+    t_p = F.when(
+        F.col("_a") > 0, F.round(p * F.log(p / m), 9).cast("decimal(28,9)")
+    ).otherwise(F.lit(0).cast("decimal(28,9)"))
+    t_q = F.round(q * F.log(q / m), 9).cast("decimal(28,9)")  # _b > 0 by grid
+    agg = (
+        cells.select("source", F.col("_n"), t_p.alias("_tp"), t_q.alias("_tq"))
+        .groupBy("source")
+        .agg(
+            F.max("_n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+            F.sum("_tp").alias("_stp"),
+            F.sum("_tq").alias("_stq"),
+        )
+    )
+    jsd = (F.col("_stp").cast("double") + F.col("_stq").cast("double")) / F.lit(2.0)
+    bits = jsd / F.lit(_math.log(2.0))
+    status = (
+        F.when(bits < 0.05, "stable")
+        .when(bits < 0.2, "moderate_shift")
+        .otherwise("major_shift")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_categories",
+        F.round(jsd, 6).alias("jsd_nats"),
+        F.round(bits, 6).alias("jsd_bits"),
+        status.alias("status"),
+    )

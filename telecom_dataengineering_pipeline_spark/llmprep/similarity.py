@@ -1390,3 +1390,75 @@ def semdedup_cell_prune(
             ),
         )
     )
+
+
+def knn_label_agreement(
+    embeddings: DataFrame,
+    k: int = 5,
+    centroid_mod: int = 100,
+    suspect_max: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise audit (confident-learning-lite): for every vector, the
+    fraction of its k nearest neighbors (cosine) that share its label.
+    Low agreement flags likely mislabeled examples — the standard triage
+    pass before training on a labeled corpus.
+
+    Scale path: neighbors are ranked WITHIN the vector's IVF cell only
+    (the SemDeDup trick — Σ|cell|² work, cells ≈ centroid_mod, never
+    O(n²)); a cell-boundary neighbor miss trades recall for the same
+    fan-in reduction every bucketed-ANN query in the registry accepts.
+    Ranking grades the 6-dp ROUNDED cosine with the id as tie-break, so
+    the neighbor set is engine-reproducible. Vectors alone in their cell
+    have no evidence: n_neighbors = 0, agreement NULL, never suspect.
+
+    Returns (vec_id, label, n_neighbors, n_same_label, agreement,
+    suspect).
+    """
+    assigned = ivf_assign(embeddings, centroid_mod, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
+    labels = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("label")
+    )
+    other = assigned.select(
+        F.col("vec_id").alias("_oid"),
+        F.col("v").alias("_ov"),
+        F.col("nrm").alias("_on"),
+        F.col("cell").alias("_ocell"),
+    )
+    cos = F.round(_dot(F.col("v"), F.col("_ov")) / (F.col("nrm") * F.col("_on")), 6)
+    pairs = assigned.join(
+        other,
+        (F.col("cell") == F.col("_ocell")) & (F.col("_oid") != F.col("vec_id")),
+    ).select("vec_id", F.col("_oid"), cos.alias("_cos"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("_oid").asc())
+    topk = pairs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    nb = (
+        topk.join(labels.withColumnRenamed("vec_id", "_oid").withColumnRenamed(
+            "label", "_olabel"), "_oid")
+        .join(labels, "vec_id")
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            F.sum((F.col("_olabel") == F.col("label")).cast("int"))
+            .cast("long")
+            .alias("n_same_label"),
+        )
+    )
+    agreement = F.round(
+        F.col("n_same_label").cast("double") / F.col("n_neighbors"), 6
+    )
+    return (
+        labels.join(nb, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce("n_neighbors", F.lit(0)).cast("long").alias("n_neighbors"),
+            F.coalesce("n_same_label", F.lit(0)).cast("long").alias("n_same_label"),
+            agreement.alias("agreement"),
+            F.coalesce(agreement <= suspect_max, F.lit(False)).alias("suspect"),
+        )
+    )

@@ -28,6 +28,15 @@ Second batch (same session):
   penalty folded in: sources down-weighted by their attributed share of
   eval contamination, renormalized.
 
+Third batch (same session):
+
+- ``knn_label_agreement_audit`` — label-noise triage: per vector, the
+  fraction of its k nearest cell-mates sharing its label (cell-scoped
+  like SemDeDup; rounded-cosine ranking with id tie-break).
+- ``quality_drift_by_source`` — per-source JSD of the quality-gate
+  distribution vs the corpus (integer gate-count categories; the
+  round-9-recipe decimal-summed log terms).
+
 Oracle conventions as ever: shingle-hash join equality == string-shingle
 equality up to 2⁻⁶⁴ xxhash64 merges; LSH candidate recall ~1 at the
 64-perm/16-band 0.5-threshold geometry (same grounds as
@@ -387,3 +396,138 @@ def contamination_weighted_mixing_q(spark: SparkSession, sf_dir: str) -> DataFra
     from ..llmprep.curation import contamination_weighted_mixing
 
     return contamination_weighted_mixing(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Third growth batch: label-noise audit (kNN label agreement) and
+# per-source quality drift (grouped JSD).
+# ---------------------------------------------------------------------------
+
+_KNN_LABEL_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), cent AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT n.vec_id, n.v, n.nrm, cent.cid,
+         list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn) AS c_cos
+  FROM n CROSS JOIN cent
+), assigned AS (
+  SELECT vec_id, v, nrm, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cid ASC) AS _rn
+    FROM scored
+  ) WHERE _rn = 1
+), px AS (
+  SELECT b.vec_id, a.vec_id AS oid,
+         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+), rk AS (
+  SELECT vec_id, oid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, oid ASC) AS rn
+  FROM px
+), nb AS (
+  SELECT r.vec_id,
+         CAST(count(*) AS BIGINT) AS n_neighbors,
+         CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+  FROM rk r
+  JOIN e la ON la.vec_id = r.oid
+  JOIN e lb ON lb.vec_id = r.vec_id
+  WHERE r.rn <= 5
+  GROUP BY 1
+)
+SELECT e.vec_id, e.label,
+       coalesce(nb.n_neighbors, 0) AS n_neighbors,
+       coalesce(nb.n_same, 0) AS n_same_label,
+       round(CAST(nb.n_same AS DOUBLE) / nb.n_neighbors, 6) AS agreement,
+       coalesce(round(CAST(nb.n_same AS DOUBLE) / nb.n_neighbors, 6) <= 0.2, FALSE)
+         AS suspect
+FROM e LEFT JOIN nb ON nb.vec_id = e.vec_id
+"""
+
+
+@register(
+    "knn_label_agreement_audit",
+    oracle=_KNN_LABEL_ORACLE,
+    tags=("LLM", "similarity", "quality"),
+)
+def knn_label_agreement_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise triage: per vector, the fraction of its 5 nearest
+    cell-mates sharing its label (llmprep.similarity.knn_label_agreement)."""
+    from ..llmprep.similarity import knn_label_agreement
+
+    return knn_label_agreement(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+# Python-computed constant embedded in BOTH engines' expressions (house
+# float-determinism recipe).
+_LN2 = "0.6931471805599453"
+
+_STOPS = "('the','a','of','and','to','in','is','on','for','with')"
+
+_QUALITY_DRIFT_ORACLE = f"""
+WITH t AS (
+  SELECT source, {_TOKS} AS toks FROM documents
+), g AS (
+  SELECT source,
+    (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+    + (CASE WHEN CAST(len(list_filter(toks, x -> x IN {_STOPS})) AS DOUBLE)
+             / greatest(len(toks), 1) >= 0.05
+         AND CAST(len(list_filter(toks, x -> x IN {_STOPS})) AS DOUBLE)
+             / greatest(len(toks), 1) <= 0.6 THEN 1 ELSE 0 END)
+    + (CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE)
+             / greatest(len(toks), 1) >= 0.3 THEN 1 ELSE 0 END) AS gates
+  FROM t
+), per_sc AS (SELECT source, gates, CAST(count(*) AS BIGINT) AS _a FROM g GROUP BY 1, 2),
+per_cat AS (SELECT gates, CAST(count(*) AS BIGINT) AS _b FROM g GROUP BY 1),
+srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS _n FROM g GROUP BY 1),
+grid AS (SELECT s.source, s._n, c.gates, c._b FROM srcs s CROSS JOIN per_cat c),
+cells AS (
+  SELECT gr.source, gr._n, gr.gates, gr._b, coalesce(p._a, 0) AS _a
+  FROM grid gr LEFT JOIN per_sc p ON p.source = gr.source AND p.gates = gr.gates
+), terms AS (
+  SELECT source, _n, _a, _b, sum(_b) OVER (PARTITION BY source) AS _nb FROM cells
+), jt AS (
+  SELECT source, _n,
+    CASE WHEN _a > 0 THEN CAST(round(
+           (CAST(_a AS DOUBLE) / CAST(_n AS DOUBLE))
+           * ln((CAST(_a AS DOUBLE) / CAST(_n AS DOUBLE))
+                / ((CAST(_a AS DOUBLE) / CAST(_n AS DOUBLE)
+                    + CAST(_b AS DOUBLE) / CAST(_nb AS DOUBLE)) / 2.0)), 9)
+         AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END AS tp,
+    CAST(round(
+           (CAST(_b AS DOUBLE) / CAST(_nb AS DOUBLE))
+           * ln((CAST(_b AS DOUBLE) / CAST(_nb AS DOUBLE))
+                / ((CAST(_a AS DOUBLE) / CAST(_n AS DOUBLE)
+                    + CAST(_b AS DOUBLE) / CAST(_nb AS DOUBLE)) / 2.0)), 9)
+         AS DECIMAL(28,9)) AS tq
+  FROM terms
+)
+SELECT source,
+       CAST(max(_n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_categories,
+       round((CAST(sum(tp) AS DOUBLE) + CAST(sum(tq) AS DOUBLE)) / 2.0, 6) AS jsd_nats,
+       round(((CAST(sum(tp) AS DOUBLE) + CAST(sum(tq) AS DOUBLE)) / 2.0) / {_LN2}, 6)
+         AS jsd_bits,
+       CASE WHEN ((CAST(sum(tp) AS DOUBLE) + CAST(sum(tq) AS DOUBLE)) / 2.0) / {_LN2}
+                 < 0.05 THEN 'stable'
+            WHEN ((CAST(sum(tp) AS DOUBLE) + CAST(sum(tq) AS DOUBLE)) / 2.0) / {_LN2}
+                 < 0.2 THEN 'moderate_shift'
+            ELSE 'major_shift' END AS status
+FROM jt GROUP BY 1
+"""
+
+
+@register(
+    "quality_drift_by_source",
+    oracle=_QUALITY_DRIFT_ORACLE,
+    tags=("LLM", "curation", "DQ", "drift"),
+)
+def quality_drift_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source JSD of the quality-gate distribution vs the corpus
+    (llmprep.curation.quality_drift_by_source)."""
+    from ..llmprep.curation import quality_drift_by_source
+
+    return quality_drift_by_source(load_table(spark, sf_dir, "documents"))

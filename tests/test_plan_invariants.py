@@ -833,9 +833,13 @@ BNLJ_BOUNDED_BY_CONSTRUCTION = {
     "prospect_balance_anti",
     "psi_value_drift",
     "qnorm_acctbal_across_segments",
+    # NOTE: semdedup_cell_prune / knn_label_agreement_audit also run the
+    # broadcast-centroid BNLJ (ivf_assign), but behind a lazy
+    # localCheckpoint — the final plan shows the checkpoint scan, so they
+    # are intentionally NOT listed here.
+    "quality_drift_by_source",  # sources × gate-levels grid (two tiny aggregates)
     "robust_outlier_daily_revenue",
     "row_count_anomaly_check",
-    "semdedup_cell_prune",  # broadcast centroid table (ivf_assign)
     "supplier_part_variety",
     "te_loo_segment_order_totals",
     "text_bigram_logprob",

@@ -232,3 +232,67 @@ def test_dedup_quality_bias_malformed_groups_cannot_fan_out(spark, sf_smoke):
     assert sum(r.n_docs for r in out.values()) == docs.count()
     assert out["pair"].n_docs == 2      # docs 0,1 via min-group 10
     assert out["cluster"].n_docs == 3
+
+
+def test_knn_label_agreement_properties(spark, sf_smoke):
+    from telecom_dataengineering_pipeline_spark.llmprep.similarity import (
+        knn_label_agreement,
+    )
+
+    out = knn_label_agreement(load_table(spark, sf_smoke, "embeddings"), k=5)
+    rows = out.collect()
+    assert len(rows) == 500                      # one verdict per vector
+    for r in rows:
+        assert r.n_neighbors <= 5
+        assert r.n_same_label <= r.n_neighbors
+        if r.n_neighbors == 0:
+            assert r.agreement is None and not r.suspect
+        else:
+            assert abs(r.agreement - r.n_same_label / r.n_neighbors) < 1e-6
+            assert r.suspect == (r.agreement <= 0.2)
+    assert any(r.suspect for r in rows)          # audit is non-vacuous
+
+
+def test_knn_label_agreement_planted_noise(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.similarity import (
+        knn_label_agreement,
+    )
+
+    # One tight cluster around the centroid (vec 0), all label 1 except a
+    # planted mislabel; k=3 neighbors all agree except for the plant.
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i) * 1e-3], 1 if i != 2 else 9) for i in range(4)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    rows = {r.vec_id: r for r in knn_label_agreement(emb, k=3).collect()}
+    assert rows[2].suspect and rows[2].n_same_label == 0
+    assert not rows[0].suspect and abs(rows[0].agreement - 2 / 3) < 1e-6
+
+
+def test_quality_drift_by_source_bounds(spark, sf_smoke):
+    from telecom_dataengineering_pipeline_spark.llmprep.curation import (
+        quality_drift_by_source,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    rows = quality_drift_by_source(docs).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r.jsd_bits <= 1.0 + 1e-9   # JSD is bounded by 1 bit
+        assert r.status in ("stable", "moderate_shift", "major_shift")
+
+
+def test_quality_drift_identical_sources_are_stable(spark):
+    from telecom_dataengineering_pipeline_spark.llmprep.curation import (
+        quality_drift_by_source,
+    )
+
+    # Every source has the same single-doc text → identical distributions
+    # → JSD exactly 0, status stable.
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again and again", f"s{i%3}")
+         for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    rows = quality_drift_by_source(docs).collect()
+    assert all(r.jsd_bits == 0.0 and r.status == "stable" for r in rows)
