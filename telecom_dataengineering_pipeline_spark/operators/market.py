@@ -83,17 +83,26 @@ def association_rules(
         .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
         .filter(F.col("pair_count") >= int(min_support))
     )
+    # Both rule directions via a map-side explode instead of a union of a
+    # swapped projection — the union's second branch re-executes the pair
+    # aggregate (shared subtrees are not deduped); the explode doubles
+    # rows inside the same stage. See item_item_cosine_topk.
     both = pairs.select(
-        F.col("item_a").alias("antecedent"),
-        F.col("item_b").alias("consequent"),
-        "pair_count",
-    ).unionAll(
-        pairs.select(
-            F.col("item_b").alias("antecedent"),
-            F.col("item_a").alias("consequent"),
-            "pair_count",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                    F.col("pair_count").alias("pair_count"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                    F.col("pair_count").alias("pair_count"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.antecedent", "p.consequent", "p.pair_count")
     ac = frequent.select(
         F.col("item").alias("antecedent"), F.col("item_count").alias("antecedent_count")
     )
@@ -183,9 +192,24 @@ def item_item_cosine_topk(
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
     )
-    both = pairs.unionAll(
-        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "n_co")
-    )
+    # Emit both neighbor directions with a map-side explode instead of a
+    # union of a swapped projection: the union's second branch re-executes
+    # the whole pair aggregate (Spark does not dedupe shared subtrees —
+    # runtime exchange reuse saves the shuffle write but the final
+    # aggregate + downstream still run per branch); the explode doubles
+    # rows inside the same stage for free.
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("i").alias("i"), F.col("j").alias("j"), F.col("n_co").alias("n_co")
+                ),
+                F.struct(
+                    F.col("j").alias("i"), F.col("i").alias("j"), F.col("n_co").alias("n_co")
+                ),
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.n_co")
     ni = frequent.select(F.col("item").alias("i"), F.col("n_item").alias("n_item"))
     nj = frequent.select(F.col("item").alias("j"), F.col("n_item").alias("n_neighbor"))
     scored = (

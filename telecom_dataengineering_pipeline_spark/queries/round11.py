@@ -938,13 +938,22 @@ def sssp_copurchase_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("pc"))
     )
     w = (F.lit(1000) / F.col("pc")).cast("long") + 1  # 1000 // pc + 1
+    # Both edge directions via a map-side explode instead of a union of a
+    # swapped projection: the union's second branch re-executes the whole
+    # pair-count aggregate (shared subtrees are not deduped); the explode
+    # doubles rows inside the same stage for free.
     directed = pairs.select(
-        F.col("u").alias("src"), F.col("v").alias("dst"), w.alias("w")
-    ).unionAll(
-        pairs.select(
-            F.col("v").alias("src"), F.col("u").alias("dst"), w.alias("w")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("u").alias("src"), F.col("v").alias("dst"), w.alias("w")
+                ),
+                F.struct(
+                    F.col("v").alias("src"), F.col("u").alias("dst"), w.alias("w")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
     # lineage cut: the basket pair fan-out is the expensive subtree and is
     # consumed TWICE (seed discovery collect + the BF relaxation spine) —
     # checkpoint it once so the seeds scan doesn't recompute it
