@@ -27,14 +27,22 @@ def chunk_documents(
     stride: int = 80,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """One row per (doc, chunk): chunk_idx, token count, md5 of the chunk
-    text. Empty documents produce no chunks."""
+    text. Empty documents produce no chunks.
+
+    ``carry_cols``: per-doc columns of ``docs`` propagated unchanged onto
+    every chunk row — chunking is a pure map stage, so riding functional
+    metadata (language, split) through it is free, while re-attaching it
+    downstream would cost a doc-keyed join against a second execution of
+    the (possibly expensive) ``docs`` subtree."""
     base = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+        F.col(id_col).alias("doc_id"), *carry_cols, tokens(text_col).alias("toks")
     ).withColumn("n_tok", F.size(F.filter(F.col("toks"), lambda t: t != "")))
     starts = base.filter(F.col("n_tok") > 0).select(
         "doc_id",
+        *carry_cols,
         "toks",
         "n_tok",
         F.explode(
@@ -44,6 +52,7 @@ def chunk_documents(
     piece = F.slice(F.col("toks"), F.col("start") + 1, chunk_size)
     return starts.select(
         "doc_id",
+        *carry_cols,
         (F.col("start") / stride).cast("int").alias("chunk_idx"),
         F.least(F.lit(chunk_size), F.col("n_tok") - F.col("start")).alias("n_tokens"),
         F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),

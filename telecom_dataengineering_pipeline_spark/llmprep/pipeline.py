@@ -72,17 +72,23 @@ def training_set_summary(
     survivors = training_set_survivors(
         docs, jaccard_threshold, min_quality, engine_neutral_hash=engine_neutral_hash
     )
-    assigned = split_assign(survivors.select("doc_id", "pred_lang"))
-    chunks = chunk_documents(survivors, chunk_size, stride)
-    per_doc = chunks.groupBy("doc_id").agg(
+    # Split assignment is a pure hash-of-id map and chunking is a pure map
+    # stage, so both ride the SAME single pass over the survivor stream
+    # (split/pred_lang carried onto the chunk rows). The former shape —
+    # chunk stats joined back onto a separately split-assigned survivor
+    # relation — executed the whole survivor subtree (exact-dup window,
+    # MinHash verify joins, anti-join, quality/langid maps) TWICE: Spark
+    # does not dedupe shared subtrees, and a doc-keyed join re-attached
+    # what a carried column gets for free.
+    assigned = split_assign(survivors.select("doc_id", "pred_lang", "text"))
+    chunks = chunk_documents(
+        assigned, chunk_size, stride, carry_cols=("pred_lang", "split")
+    )
+    per_doc = chunks.groupBy("doc_id", "split", "pred_lang").agg(
         F.count(F.lit(1)).alias("n_chunks"), F.sum("n_tokens").alias("n_tokens")
     )
-    return (
-        assigned.join(per_doc, "doc_id")
-        .groupBy("split", "pred_lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chunks").alias("n_chunks"),
-            F.sum("n_tokens").alias("n_tokens"),
-        )
+    return per_doc.groupBy("split", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
     )
