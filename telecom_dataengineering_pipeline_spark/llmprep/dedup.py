@@ -100,25 +100,32 @@ def shingle_stream(
     default (set-similarity semantics); ``distinct=False`` keeps
     multiplicity (repetition analysis).
 
-    Repartition by doc first (small-file corpora arrive as one input split),
-    posexplode tokens — the tokenizer runs once per document inside the
-    generator — then assemble n-grams with lead() over the in-partition
-    (doc, pos) order.
+    N-gram assembly is a pure MAP: the tokenizer runs once per document,
+    n-grams assemble from the in-row token array (``slice`` over a
+    generated start index — the same construction the DuckDB oracles use)
+    and explode. The former shape additionally ran a lead() WINDOW over
+    (doc, pos) — a per-doc sort of the whole token stream on EVERY
+    shingle pass — for something that is a local function of one row's
+    token array; A/B at sf0.1: MinHash pipeline 0.84x after removal. The
+    doc-keyed repartition of the raw text stays: small-file corpora
+    arrive as one input split, and without it the tokenize+explode map
+    chain runs single-task until the first downstream exchange (measured
+    1.15x on exact-jaccard when dropped). At scale the scan's own splits
+    make it a near-noop exchange of input-sized text.
     """
-    ex = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")).repartition(
-        F.col("doc_id")
-    ).select("doc_id", F.posexplode(tokens("_t")).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
-    out = (
-        ex.select(
-            "doc_id",
-            F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
-            leads[-1].alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .repartition(F.col("doc_id"))
+        .select("doc_id", tokens("_t").alias("_toks"))
     )
+    grams = F.when(
+        F.size("_toks") >= n,
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(_toks, i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = toks.select("doc_id", F.explode(grams).alias("shingle"))
     return out.distinct() if distinct else out
 
 
