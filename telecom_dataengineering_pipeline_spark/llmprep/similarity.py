@@ -524,7 +524,12 @@ def pq_codebooks(
                 F.transform(F.col("_dc"), lambda s: s.getField("c")).alias("cw"),
             )
         )
-    return cbs
+    # The codebook (m × k rows) feeds BOTH the corpus encode pass and the
+    # per-query distance tables, under different projections — no runtime
+    # exchange reuse applies, so without a cut each consumer re-runs the
+    # whole Lloyd chain INCLUDING its corpus-sized assignment aggregate.
+    # Materializing m × k tiny rows once is free by comparison.
+    return cbs.localCheckpoint(eager=False)
 
 
 def _nearest_codeword(sv: DataFrame, cbs: DataFrame) -> DataFrame:
