@@ -863,20 +863,21 @@ def bellman_ford_distance(
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
-        prev = dist.select(F.col("node"), F.col("dist").alias("_old"))
-        improved = (
-            cand.join(prev, "node", "left")
-            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
-            .select("node", "dist")
+        # One full-outer join merges the round: both the updated distance
+        # relation (least of old/candidate — ≡ the union + min-regroup it
+        # replaces, since node is unique on both sides) and the improved
+        # frontier are projections of the SAME merged relation, so each
+        # round pays one join exchange + one checkpoint instead of a join
+        # + a dist-sized union aggregate + two checkpoints.
+        merged = (
+            dist.select("node", F.col("dist").alias("_old"))
+            .join(cand.select("node", F.col("dist").alias("_new")), "node", "full")
             .localCheckpoint(eager=False)
         )
-        dist = (
-            dist.unionAll(improved)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
-        )
-        frontier = improved
+        dist = merged.select("node", F.least("_old", "_new").alias("dist"))
+        frontier = merged.filter(
+            F.col("_old").isNull() | (F.col("_new") < F.col("_old"))
+        ).select("node", F.col("_new").alias("dist"))
     return dist
 
 
