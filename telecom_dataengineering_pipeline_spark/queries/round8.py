@@ -636,15 +636,29 @@ FROM h2 h FULL JOIN a2 a ON h.node = a.node
 def hits_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import hits_scores
 
+    # Long-encoded node ids through the iterations (supplier 2k, part
+    # 2k+1 — disjoint by parity), decoded to the "s<id>"/"p<id>" labels on
+    # the output rows only: scores are id-value-independent and every
+    # shuffle/join key in the spine drops from a string to 8 bytes (the
+    # pagerank_purchase_graph recipe).
     edges = (
         load_table(spark, sf_dir, "lineitem")
         .select(
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
-    return hits_scores(edges, iters=2)
+    return hits_scores(edges, iters=2).select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("s"), F.expr("CAST(node DIV 2 AS STRING)")),
+        )
+        .otherwise(F.concat(F.lit("p"), F.expr("CAST((node - 1) DIV 2 AS STRING)")))
+        .alias("node"),
+        "hub_fp",
+        "auth_fp",
+    )
 
 
 # ---------------------------------------------------------------------------
