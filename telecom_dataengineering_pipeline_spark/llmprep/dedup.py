@@ -623,9 +623,17 @@ def lsh_index_tables(
         _hash31(F.col("shingle"), engine_neutral_hash).alias("_h"),
         F.xxhash64("shingle").alias("shingle_h"),
     ).localCheckpoint(eager=False)
-    sig = hashed.groupBy("doc_id").agg(
-        *_signature_min_exprs(num_perm, F.col("_h")),
-        F.count(F.lit(1)).alias("n_shingles"),
+    sig = (
+        hashed.groupBy("doc_id")
+        .agg(
+            *_signature_min_exprs(num_perm, F.col("_h")),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        # The banded stream feeds two consumers in the one-pass probe (the
+        # batch/index parity filters) and the candidate self-join; without
+        # a cut each re-runs the 64-expression signature aggregate over
+        # the whole hashed stream. |docs| rows materialize once instead.
+        .localCheckpoint(eager=False)
     )
 
     def _bucket(b: int) -> Column:
