@@ -979,6 +979,10 @@ def connected_dup_groups_star(pairs: DataFrame, max_iters: int = 25) -> DataFram
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # Round 1's large-star consumes this twice (both union directions)
+        # before the first eager round checkpoint exists — cut the lineage
+        # so the upstream pair pipeline executes once, not per reference.
+        .localCheckpoint(eager=False)
     )
     all_nodes = (
         pairs.select(F.col("doc1").alias("doc_id"))
@@ -1057,6 +1061,11 @@ def connected_dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
         .union(pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b")))
         .distinct()
+        # The edge list is re-joined EVERY round (plus the label init):
+        # without a cut each round re-executes the whole upstream pair
+        # pipeline (for the dup-group family that is the full MinHash
+        # banded join + exact verify, per round). Materialize once.
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("a").alias("doc_id"))
