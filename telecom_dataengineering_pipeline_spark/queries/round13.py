@@ -550,7 +550,7 @@ def betweenness_copurchase_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import betweenness_from_seeds
     from .round8 import _sampled_copurchase_pairs
 
-    pairs = _sampled_copurchase_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = _sampled_copurchase_pairs(spark, sf_dir)  # checkpointed inside
     edges = pairs.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))

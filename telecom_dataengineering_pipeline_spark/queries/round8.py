@@ -1017,7 +1017,11 @@ WITH baskets AS (
 
 def _sampled_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of ``_COPURCHASE_CTE`` (the round7 jaccard/k-core
-    construction: basket cap 25, md5-hash 1-in-20 sample)."""
+    construction: basket cap 25, md5-hash 1-in-20 sample).
+
+    Returned lazily checkpointed: every caller fans the relation out
+    (direction unions, seed discovery, degree counts), and without the cut
+    each reference re-executes the basket fan-out + distinct."""
     from ..llmprep.text import token_hash32
 
     baskets = (
@@ -1047,7 +1051,7 @@ def _sampled_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         % 20
         == 0
-    )
+    ).localCheckpoint(eager=False)
 
 
 # ---------------------------------------------------------------------------
