@@ -763,7 +763,11 @@ def capped_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact edge set behind :func:`lpa_label_cte` (shared by the LPA and
     modularity queries). Basket-at-a-time pair expansion (one shuffle):
     collapse each order to its sorted distinct-part array, cap basket
-    size, expand u<v pairs map-side, DISTINCT the pair stream."""
+    size, expand u<v pairs map-side, DISTINCT the pair stream.
+
+    Returned lazily checkpointed: consumers fan the edge set out (both
+    union directions, modularity's three references) and the basket
+    fan-out + distinct would otherwise re-execute per reference."""
     baskets = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -784,6 +788,7 @@ def capped_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.u", "p.v")
         .distinct()
+        .localCheckpoint(eager=False)
     )
 
 

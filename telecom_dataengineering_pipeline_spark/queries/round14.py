@@ -333,7 +333,7 @@ def modularity_lpa_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import community_modularity, label_propagation
     from .advanced import capped_copurchase_pairs
 
-    pairs = capped_copurchase_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = capped_copurchase_pairs(spark, sf_dir)  # checkpointed inside
     labels = label_propagation(pairs, iters=2)
     return community_modularity(pairs, labels)
 
