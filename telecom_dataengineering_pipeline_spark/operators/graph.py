@@ -878,6 +878,17 @@ def bellman_ford_distance(
         frontier = merged.filter(
             F.col("_old").isNull() | (F.col("_new") < F.col("_old"))
         ).select("node", F.col("_new").alias("dist"))
+        # Identity-round collapse: once the frontier is empty every
+        # remaining round is a provable no-op — cand is empty, the full
+        # outer join returns exactly dist's rows with _new NULL, and
+        # least(_old, NULL) = _old — so skip building the dead rounds
+        # instead of paying their edge-scan join + dist-sized checkpoint
+        # each (the result is the SAME relation the unrolled rounds
+        # produce, converged or not, so the fixed-round oracle contract
+        # holds). The probe is a take(1) on the already-checkpointed
+        # merged relation; rounds are sequential barriers anyway.
+        if frontier.isEmpty():
+            break
     return dist
 
 

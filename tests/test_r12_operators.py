@@ -476,6 +476,37 @@ def test_bellman_ford_matches_dijkstra_reference(spark):
     assert got[3] == 3 and 5 not in got and 6 not in got
 
 
+def test_bellman_ford_collapses_identity_rounds(spark):
+    """r13 optimization: once the frontier is empty every remaining round
+    is an identity map (cand = ∅ ⇒ least(_old, NULL) = _old), so the loop
+    must stop building rounds instead of paying a join + checkpoint per
+    dead round. Observable: each executed round materializes exactly one
+    localCheckpoint (the merged relation), so a huge round budget on a
+    tiny-diameter graph must NOT add ~rounds checkpoints. Results must be
+    identical to the unrolled round count."""
+    from telecom_dataengineering_pipeline_spark.llmprep.dedup import (
+        _persistent_rdd_ids,
+    )
+    from telecom_dataengineering_pipeline_spark.operators.graph import (
+        bellman_ford_distance,
+    )
+
+    # diameter 3 from the seed; frontier is empty after round 4
+    df = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1)], "src long, dst long, w long"
+    )
+    before = _persistent_rdd_ids(spark)
+    got = {
+        r["node"]: r["dist"]
+        for r in bellman_ford_distance(df, [0], rounds=60).collect()
+    }
+    new_rdds = len(_persistent_rdd_ids(spark) - before)
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    # executed rounds ≈ 4 (3 improving + 1 empty-probe) → edge + seed +
+    # ~4 merged checkpoints; 60 unrolled rounds would pin ~62
+    assert new_rdds <= 10, f"identity rounds were built: {new_rdds} new RDDs"
+
+
 def test_bellman_ford_round_bound_is_exact_contract(spark):
     from telecom_dataengineering_pipeline_spark.operators.graph import (
         bellman_ford_distance,
