@@ -37,6 +37,12 @@ def chunk_documents(
     metadata (language, split) through it is free, while re-attaching it
     downstream would cost a doc-keyed join against a second execution of
     the (possibly expensive) ``docs`` subtree."""
+    reserved = {"doc_id", "toks", "n_tok", "start", "chunk_idx", "n_tokens", "chunk_md5"}
+    bad = reserved.intersection(carry_cols)
+    if bad:
+        raise ValueError(
+            f"carry_cols collide with chunker-internal columns: {sorted(bad)}"
+        )
     base = docs.select(
         F.col(id_col).alias("doc_id"), *carry_cols, tokens(text_col).alias("toks")
     ).withColumn("n_tok", F.size(F.filter(F.col("toks"), lambda t: t != "")))

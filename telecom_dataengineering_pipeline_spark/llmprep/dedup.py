@@ -112,6 +112,14 @@ def shingle_stream(
     chain runs single-task until the first downstream exchange (measured
     1.15x on exact-jaccard when dropped). At scale the scan's own splits
     make it a near-noop exchange of input-sized text.
+
+    Memory bound (ADVICE r12): the in-row gram array peaks at
+    O(doc_tokens × n) strings per row before the explode, vs one token
+    per row in the old streaming shape — fine for this corpus (docs are
+    KB-scale), but a pathologically large document could build an
+    oversized row; cap tokens per doc upstream (or fall back to the
+    posexplode+lead form above a size threshold) if huge docs become
+    possible.
     """
     toks = (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))

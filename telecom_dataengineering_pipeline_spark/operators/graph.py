@@ -27,6 +27,37 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def parity_encode(key, odd: bool):
+    """Long-encode a node id into a parity namespace (even 2k / odd 2k+1)
+    so two id spaces ride a graph fixed point as 8-byte longs instead of
+    prefixed strings (guide §2.3 — narrower shuffle/join/sort keys; the
+    pagerank_purchase_graph recipe, measured 2.3×).
+
+    ASSUMES NON-NEGATIVE KEYS: ``node % 2`` on a negative long is negative
+    in Spark, so a negative id would decode into the wrong namespace. Holds
+    for every TPC-H key; assert at the call site for any new id space that
+    can go negative. This helper and :func:`parity_decode` are the single
+    definition both namespaces' queries share, so encode and decode cannot
+    drift (ADVICE r12)."""
+    k = F.col(key).cast("long") if isinstance(key, str) else key.cast("long")
+    return k * 2 + 1 if odd else k * 2
+
+
+def parity_decode(node_col: str, even_prefix: str, odd_prefix: str):
+    """Inverse of :func:`parity_encode` as a label expression
+    (``<prefix><id>``), applied on output rows only. Uses integer ``DIV``
+    (never ``/``) so the decode is exact past 2^53."""
+    n = F.col(node_col)
+    return F.when(
+        n % 2 == 0,
+        F.concat(F.lit(even_prefix), F.expr(f"CAST({node_col} DIV 2 AS STRING)")),
+    ).otherwise(
+        F.concat(
+            F.lit(odd_prefix), F.expr(f"CAST(({node_col} - 1) DIV 2 AS STRING)")
+        )
+    )
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     iters: int = 3,

@@ -578,11 +578,13 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bytes (decomposed at sf0.1: the spine, not the iterations, was ~90%
     # of the query). The final ORDER BY uses the DECODED label, so the
     # rank/tie-break contract vs the oracle is unchanged.
+    from ..operators.graph import parity_decode, parity_encode
+
     pairs = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            parity_encode("o_custkey", odd=False).alias("src"),
+            parity_encode("l_suppkey", odd=True).alias("dst"),
         )
         .distinct()
     )
@@ -598,12 +600,7 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("e.src", "e.dst")
     ranks = pagerank_fixed_point(edges, iters=3)
     decoded = ranks.select(
-        F.when(
-            F.col("node") % 2 == 0,
-            F.concat(F.lit("c"), F.expr("CAST(node DIV 2 AS STRING)")),
-        )
-        .otherwise(F.concat(F.lit("s"), F.expr("CAST((node - 1) DIV 2 AS STRING)")))
-        .alias("node"),
+        parity_decode("node", "c", "s").alias("node"),
         "rank_fp",
     )
     return decoded.orderBy(F.col("rank_fp").desc(), F.col("node").asc()).limit(20)

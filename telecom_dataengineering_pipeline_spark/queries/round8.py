@@ -641,21 +641,18 @@ def hits_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the output rows only: scores are id-value-independent and every
     # shuffle/join key in the spine drops from a string to 8 bytes (the
     # pagerank_purchase_graph recipe).
+    from ..operators.graph import parity_decode, parity_encode
+
     edges = (
         load_table(spark, sf_dir, "lineitem")
         .select(
-            (F.col("l_suppkey") * 2).alias("src"),
-            (F.col("l_partkey") * 2 + 1).alias("dst"),
+            parity_encode("l_suppkey", odd=False).alias("src"),
+            parity_encode("l_partkey", odd=True).alias("dst"),
         )
         .distinct()
     )
     return hits_scores(edges, iters=2).select(
-        F.when(
-            F.col("node") % 2 == 0,
-            F.concat(F.lit("s"), F.expr("CAST(node DIV 2 AS STRING)")),
-        )
-        .otherwise(F.concat(F.lit("p"), F.expr("CAST((node - 1) DIV 2 AS STRING)")))
-        .alias("node"),
+        parity_decode("node", "s", "p").alias("node"),
         "hub_fp",
         "auth_fp",
     )
