@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .text import tokens
+from ..lineage import lineage_cut
 
 SEP = "\x1f"
 
@@ -63,7 +64,7 @@ def bpe_train_rounds(
     round: ``(round, merged_pair, tf, tokens_after, vocab_after)`` — the
     merge table plus the corpus compression trajectory."""
     spark = docs.sparkSession
-    state = _sentinel_string(docs, text_col, id_col).localCheckpoint(eager=False)
+    state = _sentinel_string(docs, text_col, id_col).transform(lineage_cut)
     out: DataFrame | None = None
     for rnd in range(1, rounds + 1):
         a = _tok_array(F.col("s"))
@@ -93,7 +94,7 @@ def bpe_train_rounds(
                 "w2",
                 "tf",
             )
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut)
         )
         after_tok = _tok_array(F.col("s"))
         stats = state.select(
@@ -125,7 +126,7 @@ def bpe_learn_merges(
     (``bpe_train_rounds`` can't serve here: its ``merged_pair`` column joins
     w1/w2 with a space, which is ambiguous once merged symbols themselves
     contain spaces.)"""
-    state = _sentinel_string(docs, text_col, id_col).localCheckpoint(eager=False)
+    state = _sentinel_string(docs, text_col, id_col).transform(lineage_cut)
     merges: list[tuple[str, str]] = []
     for _ in range(rounds):
         a = _tok_array(F.col("s"))
@@ -153,7 +154,7 @@ def bpe_learn_merges(
         rep = F.lit(SEP + w1 + " " + w2 + SEP)
         state = state.select(
             "doc_id", F.call_function("replace", F.col("s"), pat, rep).alias("s")
-        ).localCheckpoint(eager=False)
+        ).transform(lineage_cut)
     return merges
 
 

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from .sampling import split_assign
 from .text import tokens
+from ..lineage import lineage_cut
 
 
 def _shingle_stream_all(
@@ -773,7 +774,7 @@ def kn_bigram_logprob_scores(
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.filter(tokens(text_col), lambda t: t != "").alias("t"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     n = F.size(F.col("t"))
     prs = base.select(
         "doc_id",
@@ -786,7 +787,7 @@ def kn_bigram_logprob_scores(
     ).select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
     big = prs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c12")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     hist = big.groupBy("w1").agg(
         F.sum("c12").cast("bigint").alias("ch"),
         F.count(F.lit(1)).cast("bigint").alias("n1f"),
@@ -922,7 +923,7 @@ def dedup_quality_bias(
         # The group relation feeds BOTH the size agg and the corpus join;
         # cut the lineage once so an expensive upstream (iterative CC) is
         # computed once, not per consumer (house shared-subtree rule).
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     sizes = g.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gsz"))
     labeled = (

@@ -38,6 +38,7 @@ from .text import normalized_fingerprint, token_hash32, tokens
 import sys as _sys
 
 from pyspark import cloudpickle as _cp
+from ..lineage import lineage_cut, lineage_cut_eager
 
 _cp.register_pickle_by_value(_sys.modules[__name__])
 
@@ -173,7 +174,7 @@ def jaccard_pairs(
         )
     # Three consumers below (both self-join sides + sizes): materialize the
     # narrow hashed stream once instead of re-running the shingle spine.
-    ex = ex.localCheckpoint(eager=False)
+    ex = ex.transform(lineage_cut)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = ex.alias("a")
     b = ex.alias("b")
@@ -338,11 +339,11 @@ def minhash_near_dup_pairs(
         "doc_id",
         _hash31(F.col("shingle"), engine_neutral_hash).alias("_h"),
         F.xxhash64("shingle").alias("shingle_h"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     sig_sizes = (
         hashed.groupBy("doc_id")
         .agg(*_signature_min_exprs(num_perm, F.col("_h")), F.count(F.lit(1)).alias("n_shingles"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     cands = lsh_candidate_pairs(
         sig_sizes.select(
@@ -407,7 +408,7 @@ def minhash_calibration_audit(
         "doc_id",
         _hash31(F.col("shingle"), engine_neutral_hash).alias("_h"),
         F.xxhash64("shingle").alias("shingle_h"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     sig_sizes = (
         hashed.groupBy("doc_id")
         .agg(
@@ -418,7 +419,7 @@ def minhash_calibration_audit(
             "signature", F.array(*[F.col(f"mh_{i}") for i in range(num_perm)])
         )
         .select("doc_id", "signature", "n_shingles")
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     cands = lsh_candidate_pairs(
         sig_sizes, bands, sig_len=num_perm, carry_cols=("n_shingles",)
@@ -630,7 +631,7 @@ def lsh_index_tables(
         "doc_id",
         _hash31(F.col("shingle"), engine_neutral_hash).alias("_h"),
         F.xxhash64("shingle").alias("shingle_h"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     sig = (
         hashed.groupBy("doc_id")
         .agg(
@@ -641,7 +642,7 @@ def lsh_index_tables(
         # batch/index parity filters) and the candidate self-join; without
         # a cut each re-runs the 64-expression signature aggregate over
         # the whole hashed stream. |docs| rows materialize once instead.
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
 
     def _bucket(b: int) -> Column:
@@ -906,7 +907,7 @@ def cosine_dup_pairs(
     # Materialize the banded buckets once: the self-join would otherwise run
     # the whole signature pipeline (incl. the mapInPandas projection) once
     # per side.
-    bb = rhp_band_buckets(vecs, planes, bands, dims).localCheckpoint(eager=False)
+    bb = rhp_band_buckets(vecs, planes, bands, dims).transform(lineage_cut)
     x, y = bb.alias("x"), bb.alias("y")
     cands = (
         x.join(
@@ -990,13 +991,13 @@ def connected_dup_groups_star(pairs: DataFrame, max_iters: int = 25) -> DataFram
         # Round 1's large-star consumes this twice (both union directions)
         # before the first eager round checkpoint exists — cut the lineage
         # so the upstream pair pipeline executes once, not per reference.
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     all_nodes = (
         pairs.select(F.col("doc1").alias("doc_id"))
         .union(pairs.select("doc2"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
 
     def _labels(edges: DataFrame) -> DataFrame:
@@ -1034,7 +1035,7 @@ def connected_dup_groups_star(pairs: DataFrame, max_iters: int = 25) -> DataFram
         # rounds are released by persistent-RDD id instead (id-diff around
         # the checkpoint — without this, ~max_iters edge RDDs stay pinned).
         ids_before = _persistent_rdd_ids(spark)
-        e = e.localCheckpoint(eager=True)
+        e = e.transform(lineage_cut_eager)
         new_ids = _persistent_rdd_ids(spark) - ids_before
         labels = _labels(e)
         if prev_labels is not None:
@@ -1073,7 +1074,7 @@ def connected_dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         # without a cut each round re-executes the whole upstream pair
         # pipeline (for the dup-group family that is the full MinHash
         # banded join + exact verify, per round). Materialize once.
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     labels = (
         edges.select(F.col("a").alias("doc_id"))
@@ -1096,7 +1097,7 @@ def connected_dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         # release (CacheManager no-op), so those are dropped by id.
         if it % 4 == 3:
             ids_before = _persistent_rdd_ids(spark)
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = new_labels.transform(lineage_cut_eager)
             new_ids = _persistent_rdd_ids(spark) - ids_before
             new_df = None
         else:
@@ -1221,7 +1222,7 @@ def simhash_near_dup_pairs(
     # Materialize the banded fingerprints ONCE: the self-join would
     # otherwise run the token-explode + 32-column aggregation pipeline once
     # per side (same convention as the MinHash spine).
-    banded = banded.localCheckpoint(eager=False)
+    banded = banded.transform(lineage_cut)
     x, y = banded.alias("x"), banded.alias("y")
     cands = (
         x.join(
@@ -1274,7 +1275,7 @@ def containment_pairs(
             .filter(F.col("_df") <= max_df)
             .drop("_df")
         )
-    ex = ex.localCheckpoint(eager=False)
+    ex = ex.transform(lineage_cut)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = ex.alias("a")
     b = ex.alias("b")

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyspark import cloudpickle as _cp
+from ..lineage import lineage_cut
 
 # jaro_winkler_pairs ships a pandas_udf whose closure references this
 # module; consumers that only sys.path the repo on the DRIVER would crash
@@ -256,5 +257,5 @@ def jaro_winkler_pairs(
     # plan-pinned). The candidates relation is blocker-bounded, so the
     # lazy checkpoint is cheap insurance, not a materialization of the
     # corpus.
-    scored = scored.localCheckpoint(eager=False)
+    scored = scored.transform(lineage_cut)
     return scored.filter(F.col(out_col) >= float(threshold))

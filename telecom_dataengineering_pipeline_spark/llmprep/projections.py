@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 import sys as _sys
+from ..lineage import lineage_cut
 
 try:  # workers must rebuild these closures without /root/repo on sys.path
     from pyspark import cloudpickle as _cp
@@ -467,7 +468,7 @@ def jl_distortion_pairs(
             (_dot_lit(F.col("v"), row) * F.lit(scale)).alias(f"p{j}")
             for j, row in enumerate(mat)
         ],
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     a = proj.select(
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("va"),

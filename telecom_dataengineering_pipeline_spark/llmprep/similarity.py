@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..lineage import lineage_cut
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -529,7 +530,7 @@ def pq_codebooks(
     # exchange reuse applies, so without a cut each consumer re-runs the
     # whole Lloyd chain INCLUDING its corpus-sized assignment aggregate.
     # Materializing m × k tiny rows once is free by comparison.
-    return cbs.localCheckpoint(eager=False)
+    return cbs.transform(lineage_cut)
 
 
 def _nearest_codeword(sv: DataFrame, cbs: DataFrame) -> DataFrame:
@@ -604,7 +605,7 @@ def pq_adc_topk(
     # One materialization of the (vec, sub) stream feeds seeding, training,
     # encode AND the query distance tables — four consumers otherwise re-run
     # the scan + posexplode each.
-    sv = pq_subvectors(embeddings, m, dims, id_col, vec_col).localCheckpoint(eager=False)
+    sv = pq_subvectors(embeddings, m, dims, id_col, vec_col).transform(lineage_cut)
     cbs = pq_codebooks(
         embeddings, m, dims, codeword_mod, iters, id_col, vec_col, sv=sv
     )
@@ -666,7 +667,7 @@ def ivf_pq_topk(
     cells = ivf_assign(embeddings, centroid_mod, id_col, vec_col).select(
         "vec_id", "cell"
     )
-    sv = pq_subvectors(embeddings, m, dims, id_col, vec_col).localCheckpoint(eager=False)
+    sv = pq_subvectors(embeddings, m, dims, id_col, vec_col).transform(lineage_cut)
     cbs = pq_codebooks(
         embeddings, m, dims, codeword_mod, iters, id_col, vec_col, sv=sv
     )
@@ -831,7 +832,7 @@ def semantic_dedup_pairs(
     cells by re-clustering) — cells here are seed-count bounded."""
     a = ivf_kmeans_assign(
         embeddings, centroid_mod=centroid_mod, iters=iters, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint(eager=False)  # one k-means run feeds both join sides
+    ).transform(lineage_cut)  # one k-means run feeds both join sides
     left, right = a.alias("a"), a.alias("b")
     cos = F.round(
         _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
@@ -932,7 +933,7 @@ def mmr_rerank(
     pool = cosine_topk(embeddings, query_ids, k=pool_k, id_col=id_col, vec_col=vec_col)
     pool = pool.select(
         "query_id", F.col("neighbor_id").alias("cand_id"), F.col("cosine").alias("rel"), "rank"
-    ).localCheckpoint(eager=False)  # three+ consumers: don't re-run retrieval per round
+    ).transform(lineage_cut)  # three+ consumers: don't re-run retrieval per round
 
     # Pairwise candidate sims within each query's pool (pool_k² per query).
     emb = embeddings.select(
@@ -956,7 +957,7 @@ def mmr_rerank(
             F.col("b.cand_id").alias("c2"),
             F.round(sim, 6).alias("sim"),
         )
-        .localCheckpoint(eager=False)  # reused by every round after the first
+        .transform(lineage_cut)  # reused by every round after the first
     )
 
     # Score arithmetic is exact DECIMAL — λ·rel − (1−λ)·max_sim lands on a
@@ -1192,7 +1193,7 @@ def truncation_recall_profile(
         raise ValueError("truncation_recall_profile needs at least one width")
     truth = cosine_topk(embeddings, query_ids, k, id_col, vec_col).select(
         "query_id", "neighbor_id"
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     out = None
     for d in sorted(set(int(x) for x in dims_list)):
         if d < 1:
@@ -1267,14 +1268,14 @@ def kcenter_greedy(
             F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
         )
         .withColumn("sq", _dot(F.col("v"), F.col("v")))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
 
     def d2(sq_col, csq_col, v_col, cv_col):
         raw = sq_col + csq_col - F.lit(2.0) * _dot(v_col, cv_col)
         return F.round(F.greatest(raw, F.lit(0.0)), 6)
 
-    seed = pts.orderBy(F.col("vec_id").asc()).limit(1).localCheckpoint(eager=False)
+    seed = pts.orderBy(F.col("vec_id").asc()).limit(1).transform(lineage_cut)
     picks = [
         seed.select(
             F.lit(1).cast("int").alias("sel_rank"),
@@ -1292,13 +1293,13 @@ def kcenter_greedy(
             "sq",
             d2(F.col("sq"), F.col("csq"), F.col("v"), F.col("cv")).alias("mind"),
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     for r in range(2, k + 1):
         c = (
             cur.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
             .limit(1)
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut)
         )
         picks.append(
             c.select(
@@ -1323,7 +1324,7 @@ def kcenter_greedy(
                         d2(F.col("sq"), F.col("csq"), F.col("v"), F.col("cv")),
                     ).alias("mind"),
                 )
-                .localCheckpoint(eager=False)
+                .transform(lineage_cut)
             )
     out = picks[0]
     for p in picks[1:]:

@@ -18,6 +18,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..lineage import lineage_cut
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -220,10 +221,10 @@ def bm25_scores(
         F.explode_outer(
             F.filter(toks, lambda t: t.isin(terms))
         ).alias("_t"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     lengths = base.groupBy(id_col).agg(
         F.first("_dl_i").alias("_dl")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     corpus = lengths.agg(
         F.count(F.lit(1)).cast("double").alias("_n_docs"),
         F.avg("_dl").alias("_avgdl"),
@@ -296,12 +297,12 @@ def pmi_collocations(
         raise ValueError("pmi_collocations needs min_count >= 1")
     toks = docs.select(tokens(F.col(text_col)).alias("_a")).filter(
         F.size("_a") > 0
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     uni = (
         toks.select(F.explode("_a").alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     # Single-token docs (including empty/whitespace text, which tokenizes
     # to ['']) emit NO bigrams: sequence(1, size-1) with size==1 would
@@ -439,7 +440,7 @@ def readability_scores(
         F.size(
             F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")
         ).cast("long").alias("_raw_sent"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     words = base.select("doc_id", F.explode("t").alias("w"))
     syl_w = F.greatest(
         F.size(F.expr("regexp_extract_all(w, '[aeiouy]+', 0)")).cast("long"),
@@ -573,7 +574,7 @@ def rake_keywords(
         .filter(F.col("_plen") <= int(max_phrase_len))
         # consumed three times below (word stats, phrase assembly, score
         # fold) — cut the explode+window subtree once
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     wordstats = capped.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("freq"),

@@ -17,6 +17,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..lineage import lineage_cut
 
 
 def target_encode_loo(
@@ -571,7 +572,7 @@ def classification_report(
     y = F.coalesce(F.col(label_col).cast("string"), F.lit("__null__"))
     cells = df.select(p.alias("_p"), y.alias("_y")).groupBy("_p", "_y").agg(
         F.count(F.lit(1)).cast("long").alias("_n")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     pred_m = cells.groupBy("_p").agg(F.sum("_n").cast("long").alias("_np")).select(
         F.col("_p").alias("class"), "_np"
     )
@@ -650,7 +651,7 @@ def quantile_normalize(
         F.col(group_col).cast("string").alias("group"),
         F.col(tiebreak_col).alias("tiebreak"),
         F.col(value_col).cast("double").alias("value"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     wg = Window.partitionBy("group").orderBy(
         F.col("value").asc(), F.col("tiebreak").asc()
     )
@@ -713,7 +714,7 @@ def cuped_adjusted_means(
         F.col(arm_col).alias("arm"),
         F.col(pre_col).cast("decimal(19,4)").alias("x"),
         F.col(post_col).cast("decimal(19,4)").alias("y"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     big = "decimal(38,8)"
     pooled = base.agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
@@ -795,7 +796,7 @@ def impute_group_stats(
     if strategy not in ("mean", "median"):
         raise ValueError("strategy must be 'mean' or 'median'")
     kcols = [F.col(c) for c in key_cols]
-    base = df.localCheckpoint(eager=False)
+    base = df.transform(lineage_cut)
     nn = base.filter(F.col(value_col).isNotNull())
     if strategy == "mean":
         fill = nn.groupBy(*kcols).agg(
@@ -865,7 +866,7 @@ def winsorize(
     if not 0 <= lower_pct < upper_pct <= 100:
         raise ValueError("need 0 <= lower_pct < upper_pct <= 100")
     kcols = [F.col(c) for c in key_cols]
-    base = df.localCheckpoint(eager=False)
+    base = df.transform(lineage_cut)
     nn = base.filter(F.col(value_col).isNotNull())
     wrank = Window.partitionBy(*kcols).orderBy(F.col(value_col).asc())
     wn = Window.partitionBy(*kcols)

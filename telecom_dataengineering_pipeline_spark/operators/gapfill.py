@@ -29,6 +29,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..lineage import lineage_cut
 
 
 def dense_spine(
@@ -108,7 +109,7 @@ def gap_fill_interpolate(
     # the fact derivation runs once per branch
     obs = df.select(
         *kcols, F.col(t_col).cast("long").alias("t"), F.col(value_col).alias("_v")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     bounds = obs.groupBy(*key_cols).agg(
         F.min("t").alias("_lo"), F.max("t").alias("_hi")
     )

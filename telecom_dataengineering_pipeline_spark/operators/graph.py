@@ -25,6 +25,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..lineage import lineage_cut
 
 
 def parity_encode(key, odd: bool):
@@ -74,11 +75,11 @@ def pagerank_fixed_point(
     # per-iteration degree join.
     if iters < 1:
         raise ValueError("pagerank needs at least one iteration")
-    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    edges = edges.select("src", "dst").transform(lineage_cut)
     w = Window.partitionBy("src")
     ed = edges.withColumn(
         "outdeg", F.count(F.lit(1)).over(w).cast("long")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     teleport = scale * (100 - damping_pct) // 100
     damp = f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100"
     # Ranks stay SPARSE between iterations: only nodes with inflow carry a
@@ -140,7 +141,7 @@ def triangle_counts(
     cost floor without an approximate prefilter. Counts are exact
     integers, nothing on the driver either way.
     """
-    e = edges.select("u", "v").localCheckpoint(eager=False)
+    e = edges.select("u", "v").transform(lineage_cut)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -219,7 +220,7 @@ def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
     e = edges.select("u", "v")
     both = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     nodes = both.select(F.col("u").alias("node")).distinct().localCheckpoint(
         eager=False
     )
@@ -247,7 +248,7 @@ def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
         # between a plan and a 2^10 analysis blowup).
         labels = nodes.join(winner, nodes["node"] == winner["n"], "left").select(
             "node", F.coalesce(F.col("w.label"), F.col("node")).alias("label")
-        ).localCheckpoint(eager=False)
+        ).transform(lineage_cut)
     return labels
 
 
@@ -269,7 +270,7 @@ def k_core(edges: DataFrame, k: int, rounds: int = 10) -> DataFrame:
     e = edges.select("u", "v")
     surviving = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     for _ in range(rounds):
         deg = (
             surviving.groupBy("u")
@@ -286,7 +287,7 @@ def k_core(edges: DataFrame, k: int, rounds: int = 10) -> DataFrame:
         surviving = (
             surviving.join(deg, "u", "left_semi")
             .join(deg.select(F.col("u").alias("v")), "v", "left_semi")
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut)
         )
     return surviving.select(F.col("u").alias("node")).distinct()
 
@@ -328,7 +329,7 @@ def neighborhood_jaccard(
         # shared subtrees, so without this the whole upstream edge
         # derivation (often a join/explode pipeline) re-executes per
         # reference. Lazy: materializes executor-local on first use.
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     both = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
@@ -395,7 +396,7 @@ def adamic_adar_scores(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     both = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
@@ -466,17 +467,17 @@ def personalized_pagerank(
     sources = list(source_nodes)
     if not sources:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
-    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    edges = edges.select("src", "dst").transform(lineage_cut)
     w = Window.partitionBy("src")
     ed = edges.withColumn(
         "outdeg", F.count(F.lit(1)).over(w).cast("long")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     teleport = scale * (100 - damping_pct) // 100
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     is_seed = F.col("node").isin(sources)
     rank = nodes.filter(is_seed).select(
@@ -504,7 +505,7 @@ def personalized_pagerank(
                 .alias("rank_fp"),
             )
             .filter(F.col("rank_fp") > 0)
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut)
         )
     return rank
 
@@ -546,7 +547,7 @@ def hits_scores(
     hubs."""
     if iters < 1:
         raise ValueError("hits_scores needs at least one iteration")
-    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    edges = edges.select("src", "dst").transform(lineage_cut)
 
     def _normalize(df: DataFrame, col: str) -> DataFrame:
         mx = df.agg(F.max(col).alias("_mx"))
@@ -554,14 +555,14 @@ def hits_scores(
         return (
             df.crossJoin(F.broadcast(mx))
             .select("node", F.expr(f"{col} div {k}").alias(col))
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut)
         )
 
     hub = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.lit(int(scale)).cast("long").alias("hub_fp"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     auth: DataFrame | None = None
     for _ in range(iters):
@@ -622,7 +623,7 @@ def bfs_hop_distance(
     sources = list(source_nodes)
     if not sources:
         raise ValueError("bfs_hop_distance needs a non-empty seed set")
-    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    edges = edges.select("src", "dst").distinct().transform(lineage_cut)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -631,7 +632,7 @@ def bfs_hop_distance(
     dist = (
         nodes.filter(F.col("node").isin(sources))
         .select("node", F.lit(0).cast("int").alias("hop"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     frontier = dist
     for h in range(1, max_hops + 1):
@@ -643,9 +644,9 @@ def bfs_hop_distance(
         fresh = (
             reached.join(dist, "node", "left_anti")
             .select("node", F.lit(h).cast("int").alias("hop"))
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut)
         )
-        dist = dist.unionAll(fresh).localCheckpoint(eager=False)
+        dist = dist.unionAll(fresh).transform(lineage_cut)
         frontier = fresh
     return dist
 
@@ -680,14 +681,14 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     directed = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         und.select(F.col("v").alias("a"), F.col("u").alias("b"))
@@ -752,7 +753,7 @@ def closeness_centrality(
     sources = list(source_nodes)
     if not sources:
         raise ValueError("closeness_centrality needs a non-empty seed set")
-    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    edges = edges.select("src", "dst").distinct().transform(lineage_cut)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -763,7 +764,7 @@ def closeness_centrality(
         .select(
             F.col("node").alias("seed"), "node", F.lit(0).cast("int").alias("hop")
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     frontier = dist
     for h in range(1, max_hops + 1):
@@ -775,9 +776,9 @@ def closeness_centrality(
         fresh = (
             reached.join(dist, ["seed", "node"], "left_anti")
             .select("seed", "node", F.lit(h).cast("int").alias("hop"))
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut)
         )
-        dist = dist.unionAll(fresh).localCheckpoint(eager=False)
+        dist = dist.unionAll(fresh).transform(lineage_cut)
         frontier = fresh
     h_term = F.when(
         F.col("hop") > 0,
@@ -819,7 +820,7 @@ def local_clustering_coefficient(
     coalesce to 0, cc is NULL for degree < 2 (undefined, never a division
     blow-up). The ratio is ONE fixed-shape double rounded to 6, so a SQL
     oracle verifies it exactly. Returns (node, degree, triangles, cc)."""
-    e = edges.select("u", "v").localCheckpoint(eager=False)
+    e = edges.select("u", "v").transform(lineage_cut)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -875,7 +876,7 @@ def bellman_ford_distance(
         raise ValueError("bellman_ford_distance needs a non-empty seed set")
     e = edges.select(
         "src", "dst", F.col("w").cast("long").alias("w")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -884,7 +885,7 @@ def bellman_ford_distance(
     dist = (
         nodes.filter(F.col("node").isin(sources))
         .select("node", F.lit(0).cast("long").alias("dist"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     frontier = dist
     for _ in range(rounds):
@@ -903,7 +904,7 @@ def bellman_ford_distance(
         merged = (
             dist.select("node", F.col("dist").alias("_old"))
             .join(cand.select("node", F.col("dist").alias("_new")), "node", "full")
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut)
         )
         dist = merged.select("node", F.least("_old", "_new").alias("dist"))
         frontier = merged.filter(
@@ -986,7 +987,7 @@ def betweenness_from_seeds(
     if not seeds:
         raise ValueError("betweenness_from_seeds needs a non-empty seed set")
     spark = edges.sparkSession
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    e = edges.select("src", "dst").distinct().transform(lineage_cut)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -999,7 +1000,7 @@ def betweenness_from_seeds(
             "node",
             F.lit(1).cast("long").alias("sigma"),
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     levels = [lvl0]
     visited = lvl0.select("s", "node")
@@ -1051,7 +1052,7 @@ def betweenness_from_seeds(
                 "sigma",
                 F.coalesce(F.col("_d"), zero).alias("delta"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut)
         )
         acc.append(deltas)
     allrows = acc[0]
@@ -1178,7 +1179,7 @@ def community_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     relation is referenced three times.
     """
     e = edges.select("u", "v")
-    lab = labels.select("node", "label").localCheckpoint(eager=False)
+    lab = labels.select("node", "label").transform(lineage_cut)
     m_df = e.agg(F.count(F.lit(1)).cast("long").alias("_m"))
     lu = lab.select(F.col("node").alias("_nu"), F.col("label").alias("_lu"))
     lv = lab.select(F.col("node").alias("_nv"), F.col("label").alias("_lv"))

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..lineage import lineage_cut
 
 
 def association_rules(
@@ -54,7 +55,7 @@ def association_rules(
             F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     totals = bi.agg(
         F.count_distinct(F.col("basket")).cast("long").alias("n_baskets")
@@ -171,7 +172,7 @@ def item_item_cosine_topk(
     ui = (
         df.select(F.col(user_col).alias("user"), F.col(item_col).alias("item"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     counts = ui.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
     frequent = counts.filter(F.col("n_item") >= int(min_count))
@@ -265,7 +266,7 @@ def cohort_overlap_matrix(
     n_both, n_a, n_b, n_units, jaccard, lift)."""
     m = df.select(
         F.col(unit_col).alias("u"), F.col(label_col).alias("l")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().transform(lineage_cut)
     totals = m.groupBy("l").agg(F.count(F.lit(1)).cast("long").alias("n"))
     n_units = m.select("u").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_units")

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.geo import haversine_km
+from ..lineage import lineage_cut
 
 _KM_PER_DEG_LAT = 111.0  # < true 111.19: cells strictly taller than needed
 
@@ -111,7 +112,7 @@ def grid_cluster_cells(
             F.col("_c.cell_lon").alias("cell_lon"),
             "n",
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     # Encoded cell id: bijective over the ±90/±180-degree grid at any
     # cell_deg ≥ 1e-4 (offsets keep both axes positive; the row stride

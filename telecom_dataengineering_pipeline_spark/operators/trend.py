@@ -25,6 +25,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..lineage import lineage_cut
 
 
 def weighted_moving_avg(
@@ -816,7 +817,7 @@ def mann_kendall_trend(
     t = F.col(order_col).cast("long")
     base = df.select(
         *[F.col(c) for c in kcols], t.alias("_t"), v.alias("_v")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     a = base.select(
         *[F.col(c) for c in kcols],
         F.col("_t").alias("_ti"),
@@ -1692,7 +1693,7 @@ def seasonal_decompose_additive(
         *kcols,
         F.col(t_col).cast("long").alias("t"),
         F.col(value_col).alias("_v"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     w = (
         Window.partitionBy(*kcols)
         .orderBy(F.col("t").asc())
@@ -1712,7 +1713,7 @@ def seasonal_decompose_additive(
         F.col("trend").isNotNull(),
         F.round(F.col("_v").cast("double") - F.col("trend"), 9).cast("decimal(28,9)"),
     )
-    cur = cur.withColumn("_det", det).localCheckpoint(eager=False)
+    cur = cur.withColumn("_det", det).transform(lineage_cut)
     phase_means = (
         cur.filter(F.col("_det").isNotNull())
         .groupBy(*kcols, "phase")
@@ -1940,7 +1941,7 @@ def theil_sen_slope(
         F.col(key_col).alias("k"),
         F.col(t_col).cast("long").alias("t"),
         F.col(y_col).cast("double").alias("y"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     a = src.select("k", F.col("t").alias("t1"), F.col("y").alias("y1"))
     b = src.select("k", F.col("t").alias("t2"), F.col("y").alias("y2"))
     pairs = (
@@ -2156,7 +2157,7 @@ def binseg_mean_shift(
     # singleton rollup (shared-subtree double-scan otherwise)
     base = df.select(
         F.col(key_col).alias("k"), F.col(t_col).alias("t"), F.col(x_col).alias("x")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     cum = base.select(
         "k",
         "t",
@@ -2420,7 +2421,7 @@ def haar_detail_energy(
                 .cast(dec_type)
                 .alias("_d"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut)
         )
         outs.append(
             nxt.groupBy(*keys)

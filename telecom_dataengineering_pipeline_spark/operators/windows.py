@@ -18,6 +18,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..lineage import lineage_cut
 
 
 def with_prev_event(
@@ -858,7 +859,7 @@ def growth_accounting(
     flagged = (
         ua.withColumn("_prev", F.lag("t").over(w))
         .withColumn("_next", F.lead("t").over(w))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     state = flagged.select(
         "t",

@@ -18,6 +18,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..lineage import lineage_cut
 
 
 def volume_zscore(df: DataFrame, date_col: str, z_threshold: float = 3.0) -> DataFrame:
@@ -828,7 +829,7 @@ def mutual_information(
         df.select(x.alias("_x"), y.alias("_y"))
         .groupBy("_x", "_y")
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     wx = Window.partitionBy("_x")
     wy = Window.partitionBy("_y")
@@ -1065,7 +1066,7 @@ def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxt) - 1)
         .cast("long")
         .cast("decimal(24,0)"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     per_g = ranked.groupBy("_g").agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("_u").cast("decimal(38,0)").alias("_su"),
@@ -1282,7 +1283,7 @@ def theil_index(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
     v = F.col(value_col).cast("decimal(24,6)")
     raw = df.select(g.alias("_g"), v.alias("_v"))
-    base = raw.filter(F.col("_v") > 0).localCheckpoint(eager=False)
+    base = raw.filter(F.col("_v") > 0).transform(lineage_cut)
     excluded = raw.filter(F.col("_v").isNull() | (F.col("_v") <= 0)).groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("n_excluded")
     )
@@ -1354,7 +1355,7 @@ def cohens_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str) -> DataFrame
         df.select(a.alias("_a"), b.alias("_b"))
         .groupBy("_a", "_b")
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     # p_e needs Σ_label rowshare · colshare over labels BOTH raters use;
     # a diagonal cell may be absent even when both marginals exist, so the
@@ -1487,7 +1488,7 @@ def kendall_tau(
         F.monotonically_increasing_id().alias("_rid"),
         F.col(x_col).alias("_x"),
         F.col(y_col).alias("_y"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     a = base.select(
         *[F.col(c).alias(f"_k{i}") for i, c in enumerate(key_cols)],
         F.col("_rid").alias("_ra"),
@@ -2187,7 +2188,7 @@ def bootstrap_mean_ci(
         F.count(F.lit(1)).over(w_key).cast("long").alias("_n"),
         F.col(v_col).alias("_v"),
         kexpr.alias("_ks"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     # each observation row hosts one draw slot j per resample b
     grid = base.select(
         *keys,
@@ -2291,7 +2292,7 @@ def hill_tail_index(
     ranked = (
         base.select(*keys, "_x", F.row_number().over(w).alias("_rk"))
         .filter(F.col("_rk") <= k)
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     xk = ranked.filter(F.col("_rk") == k).select(
         *keys, F.col("_x").alias("_xk")

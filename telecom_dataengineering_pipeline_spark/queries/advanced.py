@@ -22,6 +22,7 @@ from ..operators.asof import asof_join, range_join
 from ..operators.dedup import dedup_keep_latest
 from ..sources.catalog import load_table
 from .registry import register
+from ..lineage import lineage_cut
 
 # ---------------------------------------------------------------------------
 # J5a: as-of join — each event picks up the customer's latest "price change"
@@ -785,7 +786,7 @@ def capped_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.u", "p.v")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..sources.catalog import load_table
 from ..streaming.staging import pin_staging_mtimes
 from .registry import register
+from ..lineage import lineage_cut
 
 # ---------------------------------------------------------------------------
 # k-core (operators/graph.py::k_core) on the hash-sparsified co-purchase
@@ -479,7 +480,7 @@ def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring pass; the lineage cut materializes it once instead of
     # re-running the fact scan + aggregate per job (Spark does not dedupe
     # shared subtrees).
-    agg = agg.localCheckpoint(eager=False)
+    agg = agg.transform(lineage_cut)
     scored = quantile_bucket_scores(
         agg, ["last_us", "frequency", "monetary"], k=4, accuracy=10000,
         exact=True,

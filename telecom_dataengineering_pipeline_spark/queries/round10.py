@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..sources.catalog import load_table
 from ..streaming.staging import pin_staging_mtimes
 from .registry import register
+from ..lineage import lineage_cut
 
 # ---------------------------------------------------------------------------
 # One-way ANOVA (quality/monitors.py::anova_oneway): does event_type move
@@ -1318,7 +1319,7 @@ def mase_naive7_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(24,6)")
             .alias("v")
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     fc = daily.select(
         F.col("k").alias("fk"), (F.col("t") + 7).alias("ft"), F.col("v").alias("f")

@@ -110,7 +110,7 @@ def orphan_lineitems_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # lineage cut: the anti-join probes the stacked relation once, not
     # one lineitem scan per union branch (plan-audit finding)
-    stacked = li.unionByName(corrupt).localCheckpoint(eager=False)
+    stacked = li.unionByName(corrupt).transform(lineage_cut)
     o = load_table(spark, sf_dir, "orders")
     return anti_join_violations(stacked, o, {"l_orderkey": "o_orderkey"}).select(
         F.col("l_orderkey").alias("orderkey"),
@@ -156,7 +156,7 @@ def dq_accepted_values_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
     stacked = (
         ev.unionByName(corrupt_type)
         .unionByName(corrupt_range)
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     # offending_value is dropped from the gated output: stringified raw
     # doubles are not format-stable cross-engine; (event_id, reason) is.
@@ -245,6 +245,7 @@ def attribution_stream_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 # late-bind the batch query's oracle so stream ≡ batch ≡ oracle is one
 # contract, not two strings that can drift
 from .registry import REGISTRY as _REG  # noqa: E402
+from ..lineage import lineage_cut
 
 _REG["attribution_stream_purchases"].oracle = _last_touch_stream_oracle()
 
@@ -957,7 +958,7 @@ def sssp_copurchase_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage cut: the basket pair fan-out is the expensive subtree and is
     # consumed TWICE (seed discovery collect + the BF relaxation spine) —
     # checkpoint it once so the seeds scan doesn't recompute it
-    directed = directed.localCheckpoint(eager=False)
+    directed = directed.transform(lineage_cut)
     # bounded seed discovery: the 3 smallest node ids (same rule as the
     # oracle's ORDER BY node LIMIT 3)
     nodes = directed.select(F.col("src").alias("node")).unionAll(
@@ -1405,7 +1406,7 @@ FROM orders
 def dq_expectations_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.joins import anti_join_violations
 
-    o = load_table(spark, sf_dir, "orders").localCheckpoint(eager=False)
+    o = load_table(spark, sf_dir, "orders").transform(lineage_cut)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
 
     def row(name: str, metric, passed):

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
 from .registry import register
+from ..lineage import lineage_cut
 
 # ---------------------------------------------------------------------------
 # Gaps-and-islands: consecutive-day activity streaks. The query grain is
@@ -555,7 +556,7 @@ def betweenness_copurchase_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
     # lineage cut: the pair fan-out feeds seed discovery AND the BFS spine
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.transform(lineage_cut)
     nodes = edges.select(F.col("src").alias("node")).unionAll(
         edges.select(F.col("dst").alias("node"))
     ).distinct()

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from ..sources.catalog import load_table
 from ..streaming.staging import pin_staging_mtimes
 from .registry import register
+from ..lineage import lineage_cut
 
 # ---------------------------------------------------------------------------
 # Bollinger bands over daily event values per type. Day key is a string;
@@ -584,7 +585,7 @@ def conformal_naive7_event_values(spark: SparkSession, sf_dir: str) -> DataFrame
             .cast("decimal(24,6)")
             .alias("v")
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     fc = daily.select(
         F.col("k").alias("fk"), (F.col("t") + 7).alias("ft"), F.col("v").alias("f")
@@ -1186,7 +1187,7 @@ def pinball_naive7_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(24,6)")
             .alias("v")
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     fc = daily.select(
         F.col("k").alias("fk"), (F.col("t") + 7).alias("ft"), F.col("v").alias("f")

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
 from .registry import register
+from ..lineage import lineage_cut
 
 # ---------------------------------------------------------------------------
 # BM25 keyword retrieval (llmprep/text.py::bm25_scores) over the documents
@@ -127,7 +128,7 @@ def robust_outlier_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize the (calendar-bounded) aggregate once instead of
         # re-running the orders scan+shuffle per pass, exactly the
         # operator's documented 100 TB-tier contract
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     return robust_outlier_profile(daily, "x")
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..sources.catalog import load_table
 from ..streaming.staging import pin_staging_mtimes
 from .registry import register
+from ..lineage import lineage_cut
 
 # ---------------------------------------------------------------------------
 # Chi-squared categorical drift (quality/monitors.py::chi_squared_drift):
@@ -1048,7 +1049,7 @@ def _sampled_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         % 20
         == 0
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
 
 
 # ---------------------------------------------------------------------------

@@ -31,6 +31,7 @@ from pyspark.sql.types import StructType
 
 from ..llmprep.dedup import _probe_verified_pairs, lsh_index_tables
 from ..sources.txnlog import TxnLogTable
+from ..lineage import lineage_cut
 
 _FLAG_SCHEMA = "batch_doc LONG, index_doc LONG, jaccard DOUBLE, batch_id LONG"
 
@@ -74,8 +75,8 @@ class DedupIngestLoop:
         )
         # The banded/shingle streams feed both the probe and the index
         # append — pin them so tokenize+minhash runs once, not twice.
-        b_banded = b_banded.localCheckpoint(eager=False)
-        b_shingles = b_shingles.localCheckpoint(eager=False)
+        b_banded = b_banded.transform(lineage_cut)
+        b_shingles = b_shingles.transform(lineage_cut)
         if self.banded.exists():
             pairs = _probe_verified_pairs(
                 b_banded,
