@@ -1390,9 +1390,7 @@ def winnowing_pairs(
     # lineage cut: fp feeds the df-count AND both sides of the self-join —
     # without it the whole tokenize→hash→winnow pipeline re-runs 4×
     # (FileScan-count audit, round-9 session 3)
-    fp = winnowing_fingerprints(docs, text_col, id_col, k=k, w=w).localCheckpoint(
-        eager=False
-    )
+    fp = winnowing_fingerprints(docs, text_col, id_col, k=k, w=w).transform(lineage_cut)
     per_fp = fp.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("_df"))
     lo, hi = 2, max_df if max_df is not None else None
     keep = per_fp.filter(

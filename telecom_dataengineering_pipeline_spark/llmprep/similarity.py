@@ -1367,9 +1367,7 @@ def semdedup_cell_prune(
     # The assignment feeds three consumers (pair left/right + final
     # verdict join); cut the lineage once so the centroid scoring runs
     # once, not three times (house shared-subtree rule).
-    assigned = ivf_assign(embeddings, centroid_mod, id_col, vec_col).localCheckpoint(
-        eager=False
-    )
+    assigned = ivf_assign(embeddings, centroid_mod, id_col, vec_col).transform(lineage_cut)
     lower = assigned.select(
         F.col("vec_id").alias("_lid"),
         F.col("v").alias("_lv"),
@@ -1423,9 +1421,7 @@ def knn_label_agreement(
     Returns (vec_id, label, n_neighbors, n_same_label, agreement,
     suspect).
     """
-    assigned = ivf_assign(embeddings, centroid_mod, id_col, vec_col).localCheckpoint(
-        eager=False
-    )
+    assigned = ivf_assign(embeddings, centroid_mod, id_col, vec_col).transform(lineage_cut)
     labels = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(label_col).alias("label")
     )

@@ -221,9 +221,7 @@ def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
     both = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).transform(lineage_cut)
-    nodes = both.select(F.col("u").alias("node")).distinct().localCheckpoint(
-        eager=False
-    )
+    nodes = both.select(F.col("u").alias("node")).distinct().transform(lineage_cut)
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iters):
         # Each node's own current label joins the vote (weight 1): the
@@ -1011,13 +1009,9 @@ def betweenness_from_seeds(
             .groupBy("s", F.col("dst").alias("node"))
             .agg(F.sum("sigma").cast("long").alias("sigma"))
         )
-        fresh = cand.join(visited, ["s", "node"], "left_anti").localCheckpoint(
-            eager=False
-        )
+        fresh = cand.join(visited, ["s", "node"], "left_anti").transform(lineage_cut)
         levels.append(fresh)
-        visited = visited.unionAll(fresh.select("s", "node")).localCheckpoint(
-            eager=False
-        )
+        visited = visited.unionAll(fresh.select("s", "node")).transform(lineage_cut)
     zero = F.lit(0).cast("decimal(28,9)")
     deltas = levels[-1].select("s", "node", "sigma", zero.alias("delta"))
     acc = [deltas]
