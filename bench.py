@@ -45,6 +45,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # r13: timed action is the noop sink (guide §1.4) — count()
+                # let the optimizer prune declared output columns. Baseline
+                # re-pinned under this protocol in the same commit; numbers
+                # from r12-and-earlier BENCH_*.json are count-protocol.
+                "protocol": "noop_sink",
                 # Ambient-noise sentinel: probe_inflation ~1.0 = quiet host;
                 # a flagged session's timings should be discounted/re-judged
                 # solo instead of read as regressions (r10/r11 episodes).

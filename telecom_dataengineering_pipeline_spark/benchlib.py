@@ -178,24 +178,46 @@ def _clear_caches(spark: SparkSession) -> None:
     spark.sparkContext._jvm.System.gc()
 
 
-def measure_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+def _run(df, action: str) -> None:
+    if action == "noop":
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        df.count()
+
+
+def measure_queries(
+    spark: SparkSession, sf_dir: str, action: str = "noop"
+) -> dict[str, float]:
+    """Timed action is the NOOP SINK since r13 (guide §1.4): ``count()``
+    let the optimizer prune columns (and whole subtrees) the query claims
+    to produce, so compute-heavy final projections were partly untimed;
+    the noop write computes every column of every row and discards it.
+    BENCH_BASELINE.json was re-pinned under this protocol in the same
+    commit (its note records the change); r12-and-earlier BENCH_*.json
+    numbers are count-protocol — cross-protocol ratios are documented in
+    OPTIMIZATION_r13.md, which also records a final count-mode run.
+    ``action="count"`` keeps the old protocol callable for exactly such
+    documentation runs."""
     from .queries.registry import bench_queries
 
     timings: dict[str, float] = {}
     for name, fn in bench_queries().items():
         reps = VARIANCE_REPS
-        fn(spark, sf_dir).count()  # warm: plan + codegen JIT
+        spark.sparkContext.setJobDescription(f"bench warm: {name}")
+        _run(fn(spark, sf_dir), action)  # warm: plan + codegen JIT
         # Drop the warm run's cache residue BEFORE the timed reps: the first
         # rep would otherwise reuse the persisted relations the warm run
         # materialized (CacheManager matches the rebuilt plan) while later
         # reps rebuild them — a median over two different distributions.
         _clear_caches(spark)
         samples: list[float] = []
-        for _ in range(reps):
+        for i in range(reps):
+            spark.sparkContext.setJobDescription(f"bench {name} rep {i + 1}")
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            _run(fn(spark, sf_dir), action)
             samples.append(time.perf_counter() - t0)
             _clear_caches(spark)
+        spark.sparkContext.setJobDescription(None)
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
     return timings
