@@ -52,6 +52,7 @@ def test_poll_ack_advances_and_crash_replays_same_batch(spark, tmp_path):
     assert cur2.poll(spark) is None
 
 
+@pytest.mark.slow
 def test_apply_to_materializes_replica_exactly_once(spark, tmp_path):
     src = _src(spark, tmp_path / "src", [(1, 10), (2, 20), (3, 30)])
     sink = TxnLogTable(str(tmp_path / "sink"), stat_cols=("k",))

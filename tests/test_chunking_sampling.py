@@ -10,6 +10,7 @@ from telecom_dataengineering_pipeline_spark.llmprep.sampling import (
     stratified_sample_flag,
 )
 from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
+import pytest
 
 
 def test_chunking_is_shuffle_free(spark, sf_smoke):
@@ -60,6 +61,7 @@ def test_stratified_sample_exactly_k_per_stratum(spark, sf_smoke):
         assert r.n == min(5, sizes[r.lang])
 
 
+@pytest.mark.slow
 def test_connected_groups_star_on_deep_chain(spark):
     """A 1000-link chain converges in O(log n) star rounds (min-label
     propagation would need ~1000 diameter rounds). Every node must land in

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from telecom_dataengineering_pipeline_spark.streaming.dedup_ingest import DedupIngestLoop
+import pytest
 
 _SCHEMA = "doc_id LONG, text STRING"
 
@@ -39,6 +40,7 @@ def _stage_source(spark, src_dir: str) -> None:
         os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
 
 
+@pytest.mark.slow
 def test_stream_flags_cross_batch_near_dups_with_time_travel(spark, tmp_path):
     src = str(tmp_path / "src")
     _stage_source(spark, src)

@@ -48,6 +48,7 @@ def test_mor_delete_equals_cow_delete_without_rewrites(spark, tmp_path):
     assert d["num_rows"] == 55
 
 
+@pytest.mark.slow
 def test_dvs_are_cumulative_per_file(spark, tmp_path):
     t = _table(spark, tmp_path / "t")
     t.delete_where_mor(spark, [("k", "=", 3)])
@@ -214,6 +215,7 @@ def test_update_mor_single_commit_no_rewrites(spark, tmp_path):
         t.update_where_mor(spark, [("k", "=", 1)], {"nope": F.lit(1)})
 
 
+@pytest.mark.slow
 def test_merge_mor_vectors_matches_and_appends_winners(spark, tmp_path):
     mor = _table(spark, tmp_path / "mor")
     cow = _table(spark, tmp_path / "cow")
@@ -248,6 +250,7 @@ def test_merge_mor_vectors_matches_and_appends_winners(spark, tmp_path):
     assert mor.read(spark).count() == 61
 
 
+@pytest.mark.slow
 def test_merge_mor_then_optimize_converges_layout(spark, tmp_path):
     t = _table(spark, tmp_path / "t", n_files=3)
     for i in range(3):
@@ -261,6 +264,7 @@ def test_merge_mor_then_optimize_converges_layout(spark, tmp_path):
     assert len(got) == 60 and got[0] == 900 and got[10] == 901 and got[20] == 902
 
 
+@pytest.mark.slow
 def test_streaming_cdc_upserts_through_mor_merge(spark, tmp_path):
     """The streaming-upsert loop the MOR merge exists for: foreachBatch
     applies each micro-batch of change rows via merge_keep_latest_mor

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import importlib.util
+import pytest
 import os
 
 spec = importlib.util.spec_from_file_location(
@@ -52,6 +53,7 @@ def test_driver_window_is_computed_and_complete():
     )
 
 
+@pytest.mark.slow
 def test_all_queries_run_at_smoke_sf(spark, sf_smoke):
     for name, fn in entry_mod.queries().items():
         df = fn(spark, sf_smoke)

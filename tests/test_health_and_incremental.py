@@ -36,6 +36,7 @@ def test_health_impact_via_lineage(spark):
         assert {"gold.fact_calls", "gold.agg_tower_hourly", "gold.agg_customer_monthly"} <= impacted
 
 
+@pytest.mark.slow
 def test_incremental_silver_refresh(spark):
     with tempfile.TemporaryDirectory() as d:
         p = MedallionPipeline(spark, d, n_events=3000, n_customers=200)

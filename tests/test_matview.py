@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from telecom_dataengineering_pipeline_spark.operators.matview import IncrementalRollup
 from telecom_dataengineering_pipeline_spark.sources.txnlog import TxnLogTable
+import pytest
 
 
 def _df(spark, rows):
@@ -45,6 +46,7 @@ def _assert_view_matches_base(spark, base, view):
     assert got == want
 
 
+@pytest.mark.slow
 def test_feed_folding_matches_recompute_through_group_birth_and_death(spark, tmp_path):
     base, view = _mk(spark, tmp_path)
     base.create_or_replace(_df(spark, [(1, "a", 1, 10.00), (2, "a", 1, 5.50), (3, "b", 1, 7.25)]))
@@ -81,6 +83,7 @@ def test_feed_folding_matches_recompute_through_group_birth_and_death(spark, tmp
     _assert_view_matches_base(spark, base, view)
 
 
+@pytest.mark.slow
 def test_retried_refresh_is_a_noop(spark, tmp_path):
     base, view = _mk(spark, tmp_path)
     base.create_or_replace(_df(spark, [(1, "a", 1, 10.00)]))
@@ -94,6 +97,7 @@ def test_retried_refresh_is_a_noop(spark, tmp_path):
     assert before == after
 
 
+@pytest.mark.slow
 def test_streaming_rollup_loop_with_crash_recovery(spark, tmp_path):
     """foreachBatch streaming IVM: three micro-batches ingest + fold; a
     batch retried after its append committed (crash before the view merge)
@@ -154,6 +158,7 @@ def test_streaming_rollup_loop_with_crash_recovery(spark, tmp_path):
     assert rollup.last_refreshed_version() == base.version() == 4
 
 
+@pytest.mark.slow
 def test_cursor_driven_catch_up_crash_and_grown_replay(spark, tmp_path):
     """catch_up_cursor: the shared ChangeFeedCursor is the resume
     mechanism. Exact replay (ack lost) is a txn-id no-op; a GROWN replay
@@ -202,6 +207,7 @@ def test_cursor_driven_catch_up_crash_and_grown_replay(spark, tmp_path):
     _assert_view_matches_base(spark, base, view)
 
 
+@pytest.mark.slow
 def test_streaming_rollup_loop_through_cursor(spark, tmp_path):
     """StreamingRollupLoop with cursor_path: ingest + IVM resume through
     the shared cursor; a retried batch stays exactly-once."""

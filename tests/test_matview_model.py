@@ -47,6 +47,7 @@ _ivm_op = st.one_of(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(ops=st.lists(_ivm_op, min_size=3, max_size=8))
 def test_ivm_matches_recompute_under_random_interleavings(
     spark, tmp_path_factory, ops

@@ -11,10 +11,27 @@ from __future__ import annotations
 import pytest
 
 from telecom_dataengineering_pipeline_spark.oracle_check import check_query
-from telecom_dataengineering_pipeline_spark.queries.registry import REGISTRY
+from telecom_dataengineering_pipeline_spark.queries.registry import (
+    REGISTRY,
+    bench_queries,
+)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(spark, sf_smoke, name):
+    """Full-registry parity — slow tier (~12 min): per-round coverage of
+    all 344 queries also lands in the committed SWEEP artifacts and the
+    driver's own oracle gate; the default run keeps the bench-set twin
+    below."""
+    res = check_query(spark, name, sf_smoke)
+    assert res.ok, res.detail
+
+
+@pytest.mark.parametrize("name", sorted(bench_queries()))
+def test_bench_query_matches_oracle(spark, sf_smoke, name):
+    """Default-run representative subset: the 31 bench queries (every
+    operator family the bench exercises) stay oracle-checked on every
+    plain `pytest tests/` run."""
     res = check_query(spark, name, sf_smoke)
     assert res.ok, res.detail

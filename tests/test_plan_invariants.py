@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from telecom_dataengineering_pipeline_spark.queries.registry import REGISTRY
 
 
@@ -851,6 +853,29 @@ BNLJ_BOUNDED_BY_CONSTRUCTION = {
 }
 
 
+def test_bench_set_no_plan_antipatterns(spark, sf_smoke):
+    """Default-tier twin of the full-registry guard below (which moved to
+    the slow tier with the r13 budget split): the absolute bans —
+    CartesianProduct and row-at-a-time Python — checked on every bench
+    query on every plain pytest run, so a regression in the hot set is
+    caught without paying the 344-query sweep."""
+    from telecom_dataengineering_pipeline_spark.queries.registry import (
+        bench_queries,
+    )
+
+    violations: list[str] = []
+    for name in sorted(bench_queries()):
+        plan = _physical(spark, name, sf_smoke)
+        if "CartesianProduct" in plan:
+            violations.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            violations.append(f"{name}: BatchEvalPython (row-wise Python)")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BOUNDED_BY_CONSTRUCTION:
+            violations.append(f"{name}: unlisted BroadcastNestedLoopJoin")
+    assert not violations, "\n".join(violations)
+
+
+@pytest.mark.slow
 def test_full_registry_no_plan_antipatterns(spark, sf_smoke):
     """THE registry-wide scale guard (VERDICT r11 item 8 — grown from the
     bench=True-only version): every registered query's physical plan at

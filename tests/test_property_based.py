@@ -115,6 +115,7 @@ def test_merge_upsert_matches_bruteforce(spark, target, source):
         max_size=3,
     ),
 )
+@pytest.mark.slow
 def test_txnlog_merge_sequence_matches_reference(spark, tmp_path_factory, base, batches):
     """A create + N successive MERGEs through the transaction log equals the
     in-memory keep-latest fold, for arbitrary overlapping key batches —
@@ -212,6 +213,7 @@ _vals = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(vals=_vals, cut=st.integers(min_value=0, max_value=60), p=st.sampled_from([0.25, 0.5, 0.9]))
 def test_quantile_sketch_bound_and_merge(spark, vals, cut, p):
     from telecom_dataengineering_pipeline_spark.quality.quantile_sketch import (
@@ -349,6 +351,7 @@ _dml_op = st.one_of(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(ops=st.lists(_dml_op, min_size=1, max_size=6))
 def test_txnlog_dml_sequences_match_dict_model(spark, tmp_path_factory, ops):
     from telecom_dataengineering_pipeline_spark.sources.txnlog import TxnLogTable
@@ -437,6 +440,7 @@ _dml_op_cm = st.one_of(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(ops=st.lists(_dml_op_cm, min_size=2, max_size=6))
 def test_txnlog_dml_with_renames_matches_dict_model(spark, tmp_path_factory, ops):
     from telecom_dataengineering_pipeline_spark.sources.txnlog import TxnLogTable
@@ -539,6 +543,7 @@ _maint_op = st.one_of(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(ops=st.lists(_maint_op, min_size=2, max_size=6))
 def test_txnlog_maintenance_sequences_match_dict_model(spark, tmp_path_factory, ops):
     from telecom_dataengineering_pipeline_spark.sources.txnlog import TxnLogTable
@@ -671,6 +676,7 @@ _gencl_op = st.one_of(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(ops=st.lists(_gencl_op, min_size=3, max_size=7))
 def test_txnlog_generated_clustering_sequences_match_dict_model(
     spark, tmp_path_factory, ops
@@ -964,6 +970,7 @@ _ice_op = st.one_of(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(ops=st.lists(_ice_op, min_size=2, max_size=5))
 def test_iceberg_chain_matches_multiset_model(spark, tmp_path_factory, ops):
     from telecom_dataengineering_pipeline_spark.sources.iceberg_export import (
@@ -1054,6 +1061,7 @@ _delta_op = st.one_of(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(ops=st.lists(_delta_op, min_size=2, max_size=5))
 def test_delta_chain_matches_multiset_model(spark, tmp_path_factory, ops):
     from telecom_dataengineering_pipeline_spark.sources.delta_export import (
@@ -1115,6 +1123,7 @@ _metric_vals = st.lists(
 )
 @given(vals=_metric_vals, k=st.integers(min_value=2, max_value=6),
        accuracy=st.sampled_from([20, 100, 10000]))
+@pytest.mark.slow
 def test_quantile_bucket_exact_matches_rank_model(spark, vals, k, accuracy):
     import math
 

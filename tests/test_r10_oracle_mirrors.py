@@ -379,6 +379,7 @@ _km_obs = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(rows=_km_obs)
 def test_kaplan_meier_random_censoring_matches_reference(spark, rows):
     from telecom_dataengineering_pipeline_spark.operators.survival import kaplan_meier

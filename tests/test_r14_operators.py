@@ -514,6 +514,7 @@ def test_haar_short_keys_dropped_and_validation(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_cms_stream_equals_batch(spark):
     from telecom_dataengineering_pipeline_spark.queries.llmprep import (
         cms_heavy_hitters_q,

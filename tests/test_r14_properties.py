@@ -11,6 +11,8 @@ from __future__ import annotations
 import datetime as dt
 import math
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -125,6 +127,7 @@ def test_bollinger_invariants(spark, values):
         unique=True,
     )
 )
+@pytest.mark.slow
 def test_kcenter_radius_monotone_and_permutation_free(spark, coords):
     """The greedy selection distance is non-increasing with rank, and the
     result is independent of input row order (a shuffle permutes
@@ -162,6 +165,7 @@ def test_kcenter_radius_monotone_and_permutation_free(spark, coords):
         max_size=25,
     )
 )
+@pytest.mark.slow
 def test_attribution_models_conserve_credit(spark, events):
     """Every attribution model distributes EXACTLY one unit of credit per
     attributed conversion (up to the 9-dp share rounding): the

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 
+@pytest.mark.slow
 def test_k_core_clique_with_pendant_chain(spark):
     from telecom_dataengineering_pipeline_spark.operators.graph import k_core
 

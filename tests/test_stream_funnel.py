@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from telecom_dataengineering_pipeline_spark.operators.windows import sequence_funnel
 from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
 from telecom_dataengineering_pipeline_spark.streaming.funnel import funnel_stream
+import pytest
 
 STEPS = ["signup", "click", "purchase"]
 WINDOW_S = 3600
@@ -73,6 +74,7 @@ def test_stream_funnel_matches_batch(spark, sf_smoke):
     assert got == batch
 
 
+@pytest.mark.slow
 def test_stream_funnel_window_expiry_across_batches(spark):
     """A step-2 event in a LATER batch past the window must not advance
     the funnel (the window opened by batch-1's signup has expired), and a

@@ -21,6 +21,7 @@ from telecom_dataengineering_pipeline_spark.streaming.growth import (
 )
 
 
+@pytest.mark.slow
 def test_stream_growth_matches_batch(spark, sf_smoke):
     ev = load_table(spark, sf_smoke, "events").select(
         F.col("user_id").alias("u"), F.date_format("ts", "dd").cast("long").alias("t")

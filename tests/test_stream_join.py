@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
 from telecom_dataengineering_pipeline_spark.streaming.joins import interval_join_streams
+import pytest
 
 
 def _sides(spark, sf_dir):
@@ -23,6 +24,7 @@ def _sides(spark, sf_dir):
     return purchases, errors
 
 
+@pytest.mark.slow
 def test_stream_interval_join_matches_batch(spark, sf_smoke):
     purchases, errors = _sides(spark, sf_smoke)
     batch = interval_join_streams(

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from telecom_dataengineering_pipeline_spark.sources.catalog import load_table
 from telecom_dataengineering_pipeline_spark.streaming.sessions import session_stream
+import pytest
 
 GAP_S = 1800
 
@@ -102,6 +103,7 @@ def test_stream_sessions_match_batch(spark, sf_smoke):
     assert any((u, s) in got for u, s in last_per_user.items())
 
 
+@pytest.mark.slow
 def test_session_seq_survives_timeout_flush(spark, tmp_path):
     """A user who goes idle (session flushed by event-time timeout) and
     later returns must CONTINUE session_seq — dropping the counter with the

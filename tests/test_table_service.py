@@ -8,12 +8,14 @@ from telecom_dataengineering_pipeline_spark.plans.table_service import (
     run_table_maintenance,
 )
 from telecom_dataengineering_pipeline_spark.sources.txnlog import TxnLogTable
+import pytest
 
 
 def _df(spark, rows):
     return spark.createDataFrame(rows, "id LONG, payload STRING")
 
 
+@pytest.mark.slow
 def test_maintenance_stage_compacts_expires_and_vacuums(spark, tmp_path):
     t = TxnLogTable(str(tmp_path / "svc"), checkpoint_interval=3)
     for i in range(5):  # five tiny single-file commits -> fragmented

@@ -251,6 +251,7 @@ def test_concurrent_append_conflicts_with_merge(spark, tmp_path):
     assert t.read(spark).count() == 3
 
 
+@pytest.mark.slow
 def test_checkpoint_reconstruction_matches_full_replay(spark, tmp_path):
     """A checkpoint + tail replay must reconstruct the identical snapshot a
     full log replay would: files, stats, schema, txn ids."""
@@ -527,6 +528,7 @@ def test_append_rejects_incompatible_schema_evolution(spark, tmp_path):
     assert t.read(spark).collect()[0]["id"] == "9"
 
 
+@pytest.mark.slow
 def test_maintenance_plan_flags_small_files_log_tail_and_orphans(spark, tmp_path):
     t = TxnLogTable(str(tmp_path / "t16"), checkpoint_interval=3)
     for i in range(5):  # five tiny single-file commits
@@ -588,6 +590,7 @@ def test_delete_conflicts_with_concurrent_append(spark, tmp_path):
         t.commit(adds=adds, removes=files, operation="delete", read_version=rv, stats=stats)
 
 
+@pytest.mark.slow
 def test_concurrent_appenders_all_land_exactly_once(spark, tmp_path):
     """Optimistic-concurrency stress: many threads blind-append with
     version-collision retries; every row lands exactly once, versions are
@@ -938,6 +941,7 @@ def test_restore_rolls_back_constraints(spark, tmp_path):
     assert t2.constraints() == {}
 
 
+@pytest.mark.slow
 def test_commit_cache_lru_bounded(spark, tmp_path):
     """A long-lived driver scanning many versions keeps O(cap) parsed
     commits in memory, evicting least-recently-touched first."""
