@@ -38,6 +38,7 @@ def _jaccard_ref(edges, max_hub=None, min_common=1):
     return out
 
 
+@pytest.mark.slow
 def test_neighborhood_jaccard_matches_bruteforce(spark):
     edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (1, 6)]
     df = spark.createDataFrame(edges, "u long, v long")

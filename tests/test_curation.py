@@ -3,6 +3,7 @@ normalization, funnel first-fail attribution, keep-best tie-breaks."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from telecom_dataengineering_pipeline_spark.llmprep.curation import (
@@ -78,6 +79,7 @@ def test_funnel_is_single_scan(spark, sf_smoke):
     assert plan.count("FileScan parquet") == 2  # corpus scan + count(*) scan
 
 
+@pytest.mark.slow
 def test_kmeans_centroids_move_and_tighten(spark, sf_smoke):
     from telecom_dataengineering_pipeline_spark.llmprep.similarity import (
         ivf_kmeans_assign,

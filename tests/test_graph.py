@@ -4,6 +4,7 @@ see — hub dominance, determinism across runs, and the Pregel plan shape."""
 from __future__ import annotations
 
 from telecom_dataengineering_pipeline_spark.operators.graph import pagerank_fixed_point
+import pytest
 
 
 def _edges(spark, pairs):
@@ -86,6 +87,7 @@ def test_triangle_query_plan_semi_closure_no_cartesian(spark, sf_smoke):
     assert "LeftSemi" in plan  # closure probe is a semi join, not a count join
 
 
+@pytest.mark.slow
 def test_label_propagation_two_communities(spark):
     from telecom_dataengineering_pipeline_spark.operators.graph import (
         label_propagation,

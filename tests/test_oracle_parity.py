@@ -28,10 +28,24 @@ def test_query_matches_oracle(spark, sf_smoke, name):
     assert res.ok, res.detail
 
 
-@pytest.mark.parametrize("name", sorted(bench_queries()))
+_PARITY_HEAVY = {
+    # covered by the slow-tier full sweep, the per-round SWEEP artifacts
+    # and the driver's own gate; their sf0.001 parity runs cost 7-15 s
+    # each, which the default driver-budget tier cannot afford
+    "dedup_incremental_lsh_probe",
+    "dedup_minhash_lsh_pairs",
+    "training_set_summary",
+    "dedup_jaccard_pairs",
+}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(bench_queries()) - _PARITY_HEAVY)
+)
 def test_bench_query_matches_oracle(spark, sf_smoke, name):
-    """Default-run representative subset: the 31 bench queries (every
-    operator family the bench exercises) stay oracle-checked on every
-    plain `pytest tests/` run."""
+    """Default-run representative subset: the bench queries (every
+    operator family the bench exercises) minus the four heavyweight
+    dedup-parity runs stay oracle-checked on every plain `pytest tests/`
+    run."""
     res = check_query(spark, name, sf_smoke)
     assert res.ok, res.detail

@@ -45,6 +45,7 @@ def _ref_asof(left, right):
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(left=_left_rows, right=_right_rows)
 def test_asof_join_matches_bruteforce(spark, left, right):
     # left rows need a unique id so duplicate (k, ts) rows survive the join
@@ -87,6 +88,7 @@ def _ref_merge(target, source):
     target=st.lists(st.tuples(_key, _val), min_size=0, max_size=10),
     source=st.lists(st.tuples(_key, _val), min_size=0, max_size=10),
 )
+@pytest.mark.slow
 def test_merge_upsert_matches_bruteforce(spark, target, source):
     tdf = spark.createDataFrame(
         [(k, 1, v) for k, v in target] or [(99, 1, 0)], "k LONG, version INT, v LONG"
@@ -172,6 +174,7 @@ _keys = st.lists(st.integers(min_value=-1000, max_value=1000), min_size=0, max_s
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(members=_keys, probes=_keys)
 def test_bloom_never_false_negative(spark, members, probes):
     from telecom_dataengineering_pipeline_spark.operators.bloom import (
@@ -307,6 +310,7 @@ _state = st.dictionaries(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(old=_state, new=_state)
 def test_snapshot_diff_matches_dict_compare(spark, old, new):
     from telecom_dataengineering_pipeline_spark.operators.diff import snapshot_diff

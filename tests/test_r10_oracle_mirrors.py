@@ -68,6 +68,7 @@ def test_anova_degenerate_single_group_null_f(spark):
     assert r["k"] == 1 and r["f_stat"] is None
 
 
+@pytest.mark.slow
 def test_anova_duckdb_mirror(spark):
     rows = [(f"g{i % 4}", float((i * 7 + 3) % 11) + i * 0.25) for i in range(40)]
     df = spark.createDataFrame(rows, "g string, v double")
@@ -154,6 +155,7 @@ def test_spearman_matches_reference_with_ties(spark):
     assert r["rho"] == pytest.approx(_spearman_reference(pairs), abs=1e-6)
 
 
+@pytest.mark.slow
 def test_spearman_monotone_nonlinear_is_one_pearson_is_not(spark):
     from pyspark.sql import functions as F
 
@@ -169,6 +171,7 @@ def test_spearman_monotone_nonlinear_is_one_pearson_is_not(spark):
     assert spearman_correlation(const, "x", "y").collect()[0]["rho"] is None
 
 
+@pytest.mark.slow
 def test_spearman_keyed_and_duckdb_mirror(spark):
     rows = [
         (f"k{i % 3}", float((i * 7 + 1) % 13), float((i * 5 + 2) % 9))
@@ -256,6 +259,7 @@ def _grid_cluster_reference(points, cell_deg, min_pts):
     return out
 
 
+@pytest.mark.slow
 def test_grid_cluster_matches_union_find_reference(spark):
     from telecom_dataengineering_pipeline_spark.operators.spatial import (
         grid_cluster_cells,
@@ -284,6 +288,7 @@ def test_grid_cluster_matches_union_find_reference(spark):
     assert (50, 50) not in got  # noise dropped
 
 
+@pytest.mark.slow
 def test_grid_cluster_negative_coords_and_validation(spark):
     from telecom_dataengineering_pipeline_spark.operators.spatial import (
         grid_cluster_cells,
@@ -428,6 +433,7 @@ _sp_pairs = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(pairs=_sp_pairs)
 def test_spearman_random_ties_match_reference(spark, pairs):
     fp = [(float(x), float(y)) for x, y in pairs]

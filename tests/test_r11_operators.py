@@ -2318,6 +2318,7 @@ _lr_obs = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(obs=_lr_obs)
 def test_logrank_random_censoring_matches_reference(spark, obs):
     df = spark.createDataFrame(obs, "g string, dur int, ev int")
@@ -2456,6 +2457,7 @@ def _run_jsd_stream(spark, tmpdir, rows_by_file, ref_counts, sink):
     )
 
 
+@pytest.mark.slow
 def test_jsd_stream_equals_batch_across_splits(spark, tmp_path):
     from telecom_dataengineering_pipeline_spark.quality.monitors import js_divergence
 

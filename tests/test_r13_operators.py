@@ -518,6 +518,7 @@ def test_betweenness_hop_truncation_and_validation(spark):
         betweenness_from_seeds(e, [0], max_hops=0)
 
 
+@pytest.mark.slow
 def test_betweenness_matches_unrolled_oracle_on_random_graph(spark):
     """Cross-engine: the Spark operator and the DuckDB unrolled oracle
     agree on a pseudo-random graph (the value gate in miniature)."""

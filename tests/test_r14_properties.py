@@ -74,6 +74,7 @@ def test_winnowing_guarantee_and_density(spark, docs):
     pre=st.lists(_token, min_size=0, max_size=6),
     post=st.lists(_token, min_size=0, max_size=6),
 )
+@pytest.mark.slow
 def test_winnowing_shared_run_always_pairs(spark, shared, pre, post):
     from telecom_dataengineering_pipeline_spark.llmprep.dedup import winnowing_pairs
 

@@ -158,6 +158,7 @@ def test_jaccard_max_df_caps_ubiquitous_shingle(spark):
     assert elapsed < 60
 
 
+@pytest.mark.slow
 def test_minhash_fast_hash_mode_matches_neutral(spark, sf_smoke):
     """The xxhash64 fast spine must emit the same verified pairs as the
     engine-neutral md5 spine on the fixture corpus (the exact-verify step

@@ -15,6 +15,7 @@ from telecom_dataengineering_pipeline_spark.llmprep.sketches import (
     cms_merge,
 )
 from telecom_dataengineering_pipeline_spark.llmprep.similarity import bitext_mutual_nn
+import pytest
 
 
 def _tokens(spark, rows):
@@ -183,6 +184,7 @@ def test_streaming_cms_loop_merges_batches_and_time_travels(spark, tmp_path):
     assert {(r["rw"], r["cl"]): r["cnt"] for r in loop.sketch(spark).collect()} == single
 
 
+@pytest.mark.slow
 def test_streaming_hll_loop_tracks_cardinality_curve(spark, tmp_path):
     """Continuous HLL: per-batch registers max-merge through the txnlog to
     the single-pass registers; the estimate is monotone along the version

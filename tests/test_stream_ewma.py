@@ -35,6 +35,7 @@ def _batch_chain(spark):
     }
 
 
+@pytest.mark.slow
 def test_stream_ewma_matches_batch_chain_across_batch_splits(spark):
     batch = _batch_chain(spark)
     # one point per (key, step); us encodes the step order; split into

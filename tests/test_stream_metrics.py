@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from telecom_dataengineering_pipeline_spark.streaming.metrics import (
     harvest_progress,
     progress_df,
@@ -12,6 +14,7 @@ from telecom_dataengineering_pipeline_spark.streaming.metrics import (
 )
 
 
+@pytest.mark.slow
 def test_harvest_captures_batches_rows_and_state(spark, tmp_path):
     src = str(tmp_path / "src")
     df = spark.range(0, 1000).select("id", (F.col("id") % 5).alias("k"))
